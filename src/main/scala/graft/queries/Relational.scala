@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The relational query surface (SURVEY.md §2.1).
+  *
+  * The reference exposes Iceberg tables as regular Postgres relations, so
+  * its query capability is the full PG SQL executor on top of the AM scan
+  * (pg_lakehouse_iceberg/src/iceberg_am.c, README.md "Join with local
+  * tables"). Here the same surface is the DataFrame API: Catalyst plans
+  * every one of these declaratively, so filter/projection pushdown, join
+  * strategy selection (broadcast vs shuffle), partial aggregation and
+  * whole-stage codegen all come for free and survive a 1000-executor
+  * scale-up.
+  *
+  * Conventions for DuckDB-oracle parity (driver hash-compares values):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - floating aggregates are rounded (sum→2dp, avg/ratio→4dp) on BOTH
+  *    sides so engine-specific summation order can't flip the hash;
+  *  - window/top-k orderings always carry a unique tie-break key.
+  */
+object Relational {
+
+  /** q01: filter + projection — both must reach the parquet scan
+    * (PushedFilters + ReadSchema in .explain). At 100 TB this is the
+    * difference between scanning 3 columns vs 16. */
+  def q01ScanFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_discount") > lit(0.05))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** q02: TPC-H Q1-style grouped aggregation. Partial (map-side) agg +
+    * single shuffle on the 6-ish distinct group keys. */
+  def q02AggGroupBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q03: fact⋈dim with an explicit broadcast of the dimension — no
+    * shuffle of the orders fact table at any scale. */
+  def q03JoinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum(col("o_totalprice")), 2).as("segment_total"),
+        count(lit(1)).as("n_orders"))
+
+  /** q04: 5-way star join (TPC-H Q5 shape). Dims (supplier, nation,
+    * region, customer at TPC-H scale-ratio) broadcast; the only shuffle
+    * is lineitem⋈orders on orderkey. */
+  def q04JoinMultiway(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** q05: EXISTS → left-semi join (no row multiplication, early out). */
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** q06: NOT EXISTS → left-anti join (customers with no urgent order). */
+  def q06AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** q07: left outer join + null-safe aggregation. */
+  def q07OuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+
+  /** q08: distinct aggregation (expand + two-phase agg under the hood). */
+  def q08AggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  /** q09: top-N per group via row_number with a unique tie-break. */
+  def q09WindowTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** q10: running (cumulative) sum per customer over order time. */
+  def q10WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+  }
+
+  /** q11: scalar subquery — filter against a global aggregate. Expressed
+    * as a broadcast of the 1-row aggregate, not a driver collect. */
+  def q11SubqueryScalar(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.crossJoin(broadcast(p.agg(avg(col("p_retailprice")).as("avg_price"))))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+  }
+
+  /** q12: IN subquery → left-semi against the subquery result. */
+  def q12SubqueryIn(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** q13: global top-k — TakeOrderedAndProject, no full sort shuffle. */
+  def q13SortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(20)
+
+  /** q14: conditional (pivot-style) aggregation via CASE. */
+  def q14ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("hi_disc_revenue"),
+        round(sum(when(col("l_discount") <= 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("lo_disc_revenue"),
+        count(lit(1)).as("n"))
+
+  /** q15: string functions — all codegen'd builtins, no UDFs. */
+  def q15StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%widget%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_type")).as("type_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** q16: date/time extraction + grouping. */
+  def q16DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("month_total"))
+
+  /** q17: UNION + dedup (distinct = shuffle on the row value). */
+  def q17SetOps(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** q18: HAVING — post-aggregation filter. */
+  def q18Having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") > 5)
+
+  /** q19: ROLLUP grouping sets. */
+  def q19GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** q20: high-cardinality agg on the events stream table (the skew
+    * candidate — AQE skew handling applies at scale). */
+  def q20SkewAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> (q01ScanFilterProject _),
+    "q02_agg_groupby" -> (q02AggGroupBy _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_join_multiway" -> (q04JoinMultiway _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_anti_join" -> (q06AntiJoin _),
+    "q07_outer_join" -> (q07OuterJoin _),
+    "q08_agg_distinct" -> (q08AggDistinct _),
+    "q09_window_topk" -> (q09WindowTopK _),
+    "q10_window_running" -> (q10WindowRunning _),
+    "q11_subquery_scalar" -> (q11SubqueryScalar _),
+    "q12_subquery_in" -> (q12SubqueryIn _),
+    "q13_sort_limit" -> (q13SortLimit _),
+    "q14_conditional_agg" -> (q14ConditionalAgg _),
+    "q15_string_funcs" -> (q15StringFuncs _),
+    "q16_date_funcs" -> (q16DateFuncs _),
+    "q17_set_ops" -> (q17SetOps _),
+    "q18_having" -> (q18Having _),
+    "q19_grouping_sets" -> (q19GroupingSets _),
+    "q20_skew_agg" -> (q20SkewAgg _))
+
+  /** DuckDB-equivalent SQL, column-aliased identically (driver compare
+    * sorts columns by name then hashes values). */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05""",
+    "q02_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS segment_total,
+                count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_join_multiway" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
+    "q07_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q08_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus""",
+    "q09_window_topk" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+           FROM orders) t
+         WHERE rn <= 3""",
+    "q10_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_total
+         FROM orders""",
+    "q11_subquery_scalar" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""",
+    "q12_subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'AUTOMOBILE')""",
+    "q13_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 20""",
+    "q14_conditional_agg" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS hi_disc_revenue,
+                round(sum(CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS lo_disc_revenue,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q15_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+                substring(p_name, 1, 8) AS name_prefix,
+                CAST(length(p_type) AS INTEGER) AS type_len,
+                p_brand || '-' || p_type AS brand_type
+         FROM part WHERE p_name LIKE '%widget%'""",
+    "q16_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                CAST(month(o_orderdate) AS INTEGER) AS order_month,
+                count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS month_total
+         FROM orders GROUP BY 1, 2""",
+    "q17_set_ops" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT s_nationkey AS nationkey FROM supplier""",
+    "q18_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) > 5""",
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q20_skew_agg" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""")
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has matching column names with its oracle alias contract") {
+    // hash compare sorts columns by name: ensure no duplicate column names
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      assert(cols.distinct.length == cols.length, s"$name has duplicate columns")
+    }
+  }
+
+  test("q02 aggregates per (returnflag, linestatus)") {
+    val rows = queries.Relational.q02AggGroupBy(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("count_order")).sum <= 6000)
+  }
+
+  test("q09 keeps at most 3 rows per status") {
+    val rows = queries.Relational.q09WindowTopK(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) => assert(g.length <= 3) }
+  }
+
+  test("semi and anti join partition the customers with urgent orders") {
+    val semi = queries.Relational.q05SemiJoin(spark, sf).count()
+    val anti = queries.Relational.q06AntiJoin(spark, sf).count()
+    val total = Tables.customer(spark, sf).count()
+    // q05 is urgent-order customers; q06 is customers with no urgent order
+    assert(semi + anti == total)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <outDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
+compares: column names (sorted), row count, and a hash of the sorted
+values. NOT shipped library code — dev-side validation only.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+fails = 0
+names = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+for name in names:
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    got = canon(con.execute(
+        f"SELECT * FROM read_parquet({files!r})").df())
+    if name not in oracle:
+        print(f"rows {name}: {len(got)} rows (no oracle)"); continue
+    try:
+        exp = canon(con.execute(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}"); fails += 1
+    elif len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1
+    elif not got.equals(exp):
+        diff = (got != exp)
+        bad = diff.any(axis=1)
+        print(f"FAIL {name}: value mismatch on {bad.sum()} rows; first:")
+        print(got[bad].head(2)); print(exp[bad].head(2)); fails += 1
+    else:
+        print(f"PASS {name}: {len(got)} rows")
+print(f"{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'} / {len(names)} queries")
+sys.exit(1 if fails else 0)
