@@ -1,0 +1,376 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A self-contained lakehouse table: versioned JSON metadata + parquet data
+  * files + equality-delete files, with snapshot isolation, time travel,
+  * schema evolution, partition/stats file pruning, MoR delete/update and
+  * bin-pack compaction.
+  *
+  * Spark-first re-expression of the reference's Iceberg table AM
+  * (pg_lakehouse_iceberg): the write path (write_ops.c:53-229
+  * `iceberg_write_begin/tuple/flush/end`) becomes a parquet DataFrame write
+  * + footer stats collection; the commit path (commit_ops.c:41-86) becomes
+  * an atomic metadata-version rename; the parallel scan planner
+  * (scan_ops.c:62-120) becomes driver-side file pruning feeding
+  * `spark.read.parquet(survivors:_*)`, where Spark's own partitioning of the
+  * file list replaces the reference's atomically-claimed scan tasks.
+  *
+  * Scale notes (100 TB): all metadata ops are O(files) on the driver — no
+  * data moves through it. Scans are plain vectorized parquet reads, so
+  * Catalyst still pushes filters/projections into the surviving files, AQE
+  * still re-plans, and whole-stage codegen is unaffected. Delete files are
+  * applied as an anti-join whose build side is the (small) delete key set —
+  * Catalyst auto-broadcasts it under the threshold, and falls back to a
+  * shuffle join when a table has accumulated huge delete sets (at which
+  * point `compact()` is the real answer).
+  *
+  * Layout under `location`:
+  * {{{
+  *   metadata/v00001.json     — full table state per version (Meta.scala)
+  *   data/s<seq>/[p=v/...]f00000.parquet
+  *   deletes/s<seq>/f00000.parquet   — equality-delete keys
+  * }}}
+  * IO goes through the Hadoop FileSystem API, so `location` may be any
+  * supported scheme (file:, hdfs:, s3a:, ...), not just local paths.
+  */
+class GraftTable private (val spark: SparkSession, val location: String) {
+
+  private val hconf = spark.sessionState.newHadoopConf()
+  private val root = new Path(location)
+  private val fs: FileSystem = root.getFileSystem(hconf)
+
+  @volatile private var cached: TableMetadata = loadMeta()
+
+  def meta: TableMetadata = cached
+  def refresh(): TableMetadata = { cached = loadMeta(); cached }
+  def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+
+  // ---- scan ----------------------------------------------------------------
+
+  /** Files the scan would read after partition + min/max pruning. */
+  def planFiles(filter: Option[Column] = None, asOf: Long = -1L): Seq[DataFileMeta] = {
+    val m = meta
+    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    snap.map(s => FilePruner.prune(s.dataFiles, filter, m.partitionColumns, schema))
+      .getOrElse(Nil)
+  }
+
+  /** Snapshot read. `filter` both prunes files (driver-side metadata) and is
+    * re-applied to rows, so pruning can never change results. `asOf` = time
+    * travel to an older snapshot id (cf. the snapshot_id every scan open
+    * takes in the reference bridge, iceberg_bridge.h:154-164). */
+  def scan(filter: Option[Column] = None, asOf: Long = -1L): DataFrame = {
+    val m = meta
+    val sch = schema
+    val snapOpt = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    val out = snapOpt match {
+      case None => emptyDf(sch)
+      case Some(snap) =>
+        val surviving = FilePruner.prune(snap.dataFiles, filter, m.partitionColumns, sch)
+        if (surviving.isEmpty) emptyDf(sch)
+        else {
+          // Equality deletes follow Iceberg v2 sequence rules: a delete file
+          // at seq t applies to data files with seq < t — so rows rewritten
+          // by the same commit that wrote the delete are not re-deleted.
+          val groups = surviving.groupBy(_.seq).toSeq.sortBy(_._1)
+          groups.map { case (seq, files) =>
+            var df = spark.read
+              .option("basePath", s"$location/data/s$seq")
+              .schema(sch)
+              .parquet(files.map(f => s"$location/${f.path}"): _*)
+            val dels = snap.deleteFiles.filter(_.seq > seq)
+            if (dels.nonEmpty && m.keyColumns.nonEmpty) {
+              val keys = spark.read
+                .parquet(dels.map(d => s"$location/${d.path}"): _*)
+                .select(m.keyColumns.map(col): _*)
+              df = df.join(keys, m.keyColumns, "left_anti")
+            }
+            df
+          }.reduce(_ unionByName _)
+        }
+    }
+    filter.map(out.filter).getOrElse(out)
+  }
+
+  // ---- writes --------------------------------------------------------------
+
+  /** Commits a new append snapshot; returns its id. */
+  def append(df: DataFrame): Long = {
+    val m = refresh()
+    val seq = m.currentSnapshotId + 1 max 1
+    val newFiles = writeDataFiles(align(df, schema), seq)
+    commitSnapshot(m, "append", m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ newFiles,
+      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+  }
+
+  /** MoR DELETE: writes an equality-delete file with the key columns of the
+    * matching rows; no data file is rewritten (write amplification O(deleted
+    * keys), the point of merge-on-read — the reference lists MoR DELETE as
+    * its own roadmap design, pg_lakehouse_iceberg/README.md:14). */
+  def delete(where: Column): Long = {
+    val m = refresh()
+    require(m.keyColumns.nonEmpty, "MoR delete needs keyColumns")
+    val seq = m.currentSnapshotId + 1 max 1
+    val keys = scan(None).filter(where).select(m.keyColumns.map(col): _*).distinct()
+    val delFile = writeDeleteFile(keys, seq)
+    commitSnapshot(m, "delete", m.currentSnapshot.map(_.dataFiles).getOrElse(Nil),
+      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
+  }
+
+  /** MoR UPDATE = equality-delete of the matched keys + append of the
+    * rewritten rows, in ONE commit. The new data files carry the commit's
+    * own seq, so the delete (which applies only to seq < its own) cannot
+    * swallow the rewritten rows. */
+  def update(assignments: Map[String, Column], where: Column): Long = {
+    val m = refresh()
+    require(m.keyColumns.nonEmpty, "MoR update needs keyColumns")
+    val seq = m.currentSnapshotId + 1 max 1
+    val matched = scan(None).filter(where)
+    val rewritten = assignments.foldLeft(matched) { case (d, (name, expr)) =>
+      d.withColumn(name, expr)
+    }
+    // write data first, then the delete keys (both before the commit point)
+    val newFiles = writeDataFiles(align(rewritten, schema), seq)
+    val delFile = writeDeleteFile(matched.select(m.keyColumns.map(col): _*).distinct(), seq)
+    commitSnapshot(m, "update", m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ newFiles,
+      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
+  }
+
+  /** Bin-pack compaction: materializes the current merged view (deletes
+    * applied) into ~targetBytes files and commits a `replace` snapshot that
+    * drops all delete files. Same rows, fewer files, no stale deletes. */
+  def compact(targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val m = refresh()
+    val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
+    val totalBytes = cur.dataFiles.map(_.sizeBytes).sum max 1L
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val seq = m.currentSnapshotId + 1
+    val merged = scan(None).coalesce(nOut)
+    val newFiles = writeDataFiles(merged, seq)
+    commitSnapshot(m, "replace", newFiles, Nil)
+  }
+
+  /** Additive schema evolution: new nullable column at the end. Old files
+    * keep their physical schema and read back as NULL for the new column
+    * (the read path always applies the latest schema). */
+  def addColumn(name: String, ddlType: String): Unit = {
+    val m = refresh()
+    require(!schema.fieldNames.contains(name), s"column $name exists")
+    val newDdl = s"${m.schemaDdl}, $name $ddlType"
+    StructType.fromDDL(newDdl) // validate
+    writeMeta(m.copy(version = m.version + 1, schemaDdl = newDdl))
+  }
+
+  // ---- metadata tables -----------------------------------------------------
+
+  /** Snapshot log as a DataFrame (analog of Iceberg's `snapshots` metadata
+    * table; the reference keeps this in its PG catalog, pg_catalog.cpp). */
+  def snapshots: DataFrame = {
+    val sp = spark; import sp.implicits._
+    meta.snapshots.map { s =>
+      (s.id, s.parentId, s.timestampMs, s.operation,
+        s.dataFiles.length.toLong, s.deleteFiles.length.toLong,
+        s.dataFiles.map(_.rowCount).sum)
+    }.toDF("snapshot_id", "parent_id", "timestamp_ms", "operation",
+      "n_data_files", "n_delete_files", "total_rows")
+  }
+
+  /** Data-file manifest of the current (or asOf) snapshot. */
+  def files(asOf: Long = -1L): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val snap = if (asOf >= 0) Some(meta.snapshot(asOf)) else meta.currentSnapshot
+    snap.map(_.dataFiles).getOrElse(Nil).map { f =>
+      (f.path, f.seq, f.rowCount, f.sizeBytes,
+        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+    }.toDF("path", "seq", "row_count", "size_bytes", "partition")
+  }
+
+  // ---- internals -----------------------------------------------------------
+
+  private def emptyDf(sch: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+
+  /** Projects df onto `sch` (order + types), filling absent columns with
+    * NULL — the append-side half of schema evolution. */
+  private def align(df: DataFrame, sch: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(sch.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Runs `body` with parquet timestamps as INT64 micros: INT96 (Spark's
+    * legacy default) carries no footer statistics, which would disable
+    * min/max pruning on timestamp columns. Scoped set/restore — the rest of
+    * the session (incl. query-result dumps) keeps its configured format. */
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def writeDataFiles(df: DataFrame, seq: Long): Seq[DataFileMeta] = {
+    val m = meta
+    val tmp = new Path(root, s"_tmp_s$seq")
+    fs.delete(tmp, true)
+    val w = if (m.partitionColumns.nonEmpty) df.write.partitionBy(m.partitionColumns: _*) else df.write
+    withMicrosTimestamps { w.mode("overwrite").parquet(tmp.toString) }
+    val parts = listParquet(tmp).sortBy(_.toString)
+    val destBase = new Path(root, s"data/s$seq")
+    val out = ArrayBuffer[DataFileMeta]()
+    parts.zipWithIndex.foreach { case (src, i) =>
+      val rel = relDir(tmp, src) // partition sub-path ("" or "p=F[/q=x]")
+      val destDir = if (rel.isEmpty) destBase else new Path(destBase, rel)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, f"f$i%05d.parquet")
+      if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
+      val (rows, stats) = ParquetStats.read(hconf, dest)
+      val size = fs.getFileStatus(dest).getLen
+      val pvals = parsePartitionValues(rel)
+      val relPath = (if (rel.isEmpty) s"data/s$seq/" else s"data/s$seq/$rel/") + dest.getName
+      out += DataFileMeta(relPath, seq, rows, size, pvals, stats)
+    }
+    fs.delete(tmp, true)
+    out.toSeq
+  }
+
+  private def writeDeleteFile(keys: DataFrame, seq: Long): Seq[DeleteFileMeta] = {
+    val tmp = new Path(root, s"_tmp_d$seq")
+    fs.delete(tmp, true)
+    withMicrosTimestamps { keys.coalesce(1).write.mode("overwrite").parquet(tmp.toString) }
+    val destDir = new Path(root, s"deletes/s$seq")
+    fs.mkdirs(destDir)
+    val out = listParquet(tmp).sortBy(_.toString).zipWithIndex.map { case (src, i) =>
+      val dest = new Path(destDir, f"f$i%05d.parquet")
+      if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
+      val (rows, _) = ParquetStats.read(hconf, dest)
+      DeleteFileMeta(s"deletes/s$seq/${dest.getName}", seq, rows)
+    }
+    fs.delete(tmp, true)
+    out
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val out = ArrayBuffer[Path]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.toSeq
+  }
+
+  /** Directory path of `file` relative to `base` ("" if direct child). */
+  private def relDir(base: Path, file: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val d = file.getParent.toUri.getPath
+    if (d == b) "" else d.stripPrefix(b + "/")
+  }
+
+  /** Parses hive-style `k=v/k2=v2` dirs written by partitionBy. */
+  private def parsePartitionValues(rel: String): Map[String, String] =
+    if (rel.isEmpty) Map.empty
+    else rel.split('/').filter(_.contains('=')).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> unescapeHive(seg.substring(i + 1))
+    }.toMap
+
+  /** Inverse of Hive/Spark's escapePathName (%XX-encoding). */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def commitSnapshot(
+      base: TableMetadata,
+      op: String,
+      dataFiles: Seq[DataFileMeta],
+      deleteFiles: Seq[DeleteFileMeta]): Long = {
+    val id = base.currentSnapshotId + 1 max 1
+    val snap = Snapshot(id, base.currentSnapshotId, System.currentTimeMillis(), op,
+      dataFiles, deleteFiles)
+    writeMeta(base.copy(version = base.version + 1, currentSnapshotId = id,
+      snapshots = base.snapshots :+ snap))
+    id
+  }
+
+  /** Atomic commit: write tmp, rename to the versioned name. A concurrent
+    * committer racing to the same version loses the rename — optimistic
+    * concurrency like Iceberg's metadata swap (the reference funnels this
+    * through PG transactions instead, commit_ops.c:41-86). */
+  private def writeMeta(m: TableMetadata): Unit = {
+    val dir = new Path(root, "metadata")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, f"_tmp_v${m.version}%05d.json")
+    val dst = new Path(dir, f"v${m.version}%05d.json")
+    val out = fs.create(tmp, true)
+    try out.write(Meta.toJson(m).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst) || !fs.rename(tmp, dst))
+      sys.error(s"concurrent commit detected at version ${m.version}")
+    cached = m
+  }
+
+  private def loadMeta(): TableMetadata = {
+    val dir = new Path(root, "metadata")
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        (n.stripPrefix("v").stripSuffix(".json").toLong, n) }
+    require(vs.nonEmpty, s"no metadata at $location")
+    val (_, latest) = vs.maxBy(_._1)
+    val in = fs.open(new Path(dir, latest))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      Meta.fromJson(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+}
+
+object GraftTable {
+
+  /** Creates a table at `location` (must not already be one), committing an
+    * empty v1 metadata then the initial append snapshot from `df`. */
+  def create(
+      spark: SparkSession,
+      location: String,
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      keyColumns: Seq[String] = Nil): GraftTable = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(root, "metadata")), s"table exists at $location")
+    val m0 = TableMetadata(1, 1L, df.schema.toDDL, partitionBy, keyColumns, -1L, Nil)
+    val dir = new Path(root, "metadata")
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "v00001.json"), false)
+    try out.write(Meta.toJson(m0).getBytes("UTF-8")) finally out.close()
+    val t = new GraftTable(spark, location)
+    t.append(df)
+    t
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location)
+}

@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+
+import scala.jdk.CollectionConverters._
+
+/** Footer-only stats extraction at commit time: row count + per-column
+  * min/max/nulls, merged across row groups. O(1 footer read) per file on the
+  * driver — no data pages are touched, mirroring how Iceberg collects file
+  * metrics at write time and how the reference's planner consults file-level
+  * metadata before scheduling scan tasks
+  * (pg_lakehouse_iceberg/src/operations/scan_ops.c:240-276).
+  *
+  * Only domains the pruner can compare are kept: integral (incl. date days
+  * and µs timestamps), floating, and UTF-8 strings. INT96 timestamps,
+  * decimals, binaries etc. yield no stats → never pruned on.
+  */
+object ParquetStats {
+
+  /** @return (rowCount, per-column stats) */
+  def read(conf: Configuration, file: Path): (Long, Map[String, ColStats]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      // merge chunk stats per dotted column path across all row groups
+      val acc = scala.collection.mutable.Map[String, (String, String, String, Long, Boolean)]()
+      // (tag, min, max, nulls, valid)
+      for (b <- blocks; cc <- b.getColumns.asScala) {
+        val name = cc.getPath.toDotString
+        val st = cc.getStatistics
+        val logical = cc.getPrimitiveType.getLogicalTypeAnnotation
+        val cur = extract(st, logical)
+        val prev = acc.get(name)
+        acc(name) = (prev, cur) match {
+          case (None, Some((tag, mn, mx, nulls))) => (tag, mn, mx, nulls, true)
+          case (Some((tag, pmn, pmx, pn, true)), Some((tag2, mn, mx, nulls))) if tag == tag2 =>
+            (tag, minOf(tag, pmn, mn), maxOf(tag, pmx, mx), pn + nulls, true)
+          case (Some(p), _) => (p._1, p._2, p._3, p._4, false) // any gap → invalid
+          case (None, None) => ("", "", "", 0L, false)
+        }
+      }
+      val stats = acc.collect { case (name, (tag, mn, mx, nulls, true)) =>
+        name -> ColStats(tag, mn, mx, nulls)
+      }.toMap
+      (rowCount, stats)
+    } finally reader.close()
+  }
+
+  /** @return (tag, min, max, nulls) or None when stats are unusable */
+  private def extract(st: Statistics[_], logical: LogicalTypeAnnotation): Option[(String, String, String, Long)] = {
+    if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+    val nulls = st.getNumNulls
+    if (!st.hasNonNullValue) return None
+    st match {
+      case s: IntStatistics => Some(("l", s.getMin.toLong.toString, s.getMax.toLong.toString, nulls))
+      case s: LongStatistics => Some(("l", s.getMin.toString, s.getMax.toString, nulls))
+      case s: FloatStatistics => Some(("d", s.getMin.toDouble.toString, s.getMax.toDouble.toString, nulls))
+      case s: DoubleStatistics => Some(("d", s.getMin.toString, s.getMax.toString, nulls))
+      case s: BinaryStatistics if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(("s", s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8, nulls))
+      case _ => None
+    }
+  }
+
+  private def minOf(tag: String, a: String, b: String): String = tag match {
+    case "l" => if (a.toLong <= b.toLong) a else b
+    case "d" => if (a.toDouble <= b.toDouble) a else b
+    case _ => if (a.compareTo(b) <= 0) a else b
+  }
+  private def maxOf(tag: String, a: String, b: String): String = tag match {
+    case "l" => if (a.toLong >= b.toLong) a else b
+    case "d" => if (a.toDouble >= b.toDouble) a else b
+    case _ => if (a.compareTo(b) >= 0) a else b
+  }
+}

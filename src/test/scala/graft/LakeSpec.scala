@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{GraftCatalog, GraftTable}
+
+class LakeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val d = s"/root/repo/target/graft-lake-test/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  test("create + scan round-trips rows") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("roundtrip"), o, keyColumns = Seq("o_orderkey"))
+    assert(t.scan().count() == o.count())
+    assert(t.meta.currentSnapshotId == 1)
+  }
+
+  test("append accumulates snapshots and time travel reads the old one") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("tt"),
+      o.filter(col("o_orderkey") % 2 === 0), keyColumns = Seq("o_orderkey"))
+    val n1 = t.scan().count()
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    assert(t.scan().count() == o.count())
+    assert(t.scan(asOf = 1L).count() == n1)
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L))
+  }
+
+  test("MoR delete removes exactly the matched rows without rewriting files") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("del"), o, keyColumns = Seq("o_orderkey"))
+    val before = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.delete(col("o_orderstatus") === "F")
+    val after = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    assert(before == after, "delete must not rewrite data files")
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    assert(t.scan().count() == o.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("MoR update rewrites matched rows and keeps others") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("upd"), o, keyColumns = Seq("o_orderkey"))
+    t.update(Map("o_totalprice" -> lit(0.0)), col("o_orderstatus") === "F")
+    val got = t.scan()
+    assert(got.count() == o.count())
+    assert(got.filter(col("o_orderstatus") === "F" && col("o_totalprice") =!= 0.0).count() == 0)
+    assert(got.filter(col("o_orderstatus") =!= "F" && col("o_totalprice") === 0.0).count() == 0)
+  }
+
+  test("partition pruning plans fewer files and loses no rows") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("pp"), o,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"))
+    val total = t.planFiles().size
+    val pruned = t.planFiles(Some(col("o_orderstatus") === "F"))
+    assert(pruned.size < total, s"expected pruning: $total -> ${pruned.size}")
+    assert(pruned.forall(_.partitionValues("o_orderstatus") == "F"))
+    assert(t.scan(Some(col("o_orderstatus") === "F")).count() ==
+      o.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("min/max stats pruning skips files outside the predicate range") {
+    val o = Tables.orders(spark, sf).repartitionByRange(8, col("o_orderkey"))
+    val t = GraftTable.create(spark, freshDir("sp"), o, keyColumns = Seq("o_orderkey"))
+    val total = t.planFiles().size
+    assert(total >= 8)
+    val pruned = t.planFiles(Some(col("o_orderkey") < 500))
+    assert(pruned.size < total, s"expected stats pruning: $total -> ${pruned.size}")
+    assert(t.scan(Some(col("o_orderkey") < 500)).count() ==
+      Tables.orders(spark, sf).filter(col("o_orderkey") < 500).count())
+  }
+
+  test("schema evolution: old files read NULL for the added column") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("evo"),
+      o.filter(col("o_orderkey") % 2 === 0), keyColumns = Seq("o_orderkey"))
+    t.addColumn("o_tier", "STRING")
+    t.append(o.filter(col("o_orderkey") % 2 === 1).withColumn("o_tier", lit("new")))
+    val got = t.scan()
+    assert(got.schema.fieldNames.contains("o_tier"))
+    assert(got.filter(col("o_tier").isNull).count() ==
+      o.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("compaction reduces file count, folds deletes, preserves rows") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("compact"), o.repartition(12),
+      keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderstatus") === "P")
+    val filesBefore = t.meta.currentSnapshot.get.dataFiles.size
+    t.compact()
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.dataFiles.size < filesBefore)
+    assert(snap.deleteFiles.isEmpty)
+    assert(t.scan().count() == o.filter(col("o_orderstatus") =!= "P").count())
+  }
+
+  test("catalog create/load/list/drop") {
+    val wh = freshDir("warehouse")
+    val cat = new GraftCatalog(spark, wh)
+    cat.create("orders_t", Tables.orders(spark, sf), keyColumns = Seq("o_orderkey"))
+    assert(cat.exists("orders_t"))
+    assert(cat.list() == Seq("orders_t"))
+    assert(cat.table("orders_t").scan().count() == Tables.orders(spark, sf).count())
+    assert(cat.drop("orders_t"))
+    assert(!cat.exists("orders_t"))
+  }
+
+  test("lake queries return rows and snapshots meta logs operations") {
+    val snaps = queries.Lake.lakeSnapshotsMeta(spark, sf).collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
+  }
+}

@@ -25,7 +25,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes for compare
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
+            s = df[c]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
