@@ -10,10 +10,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.all ++ graft.queries.Lake.all
+    graft.queries.Relational.all ++ graft.queries.Lake.all ++
+      graft.queries.Dedup.all ++ graft.queries.Ann.all ++
+      graft.queries.Text.all ++ graft.queries.Multimodal.all ++
+      graft.streaming.Stream.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Lake.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Lake.oracles ++
+      graft.queries.Dedup.oracles ++ graft.queries.Ann.oracles ++
+      graft.queries.Text.oracles ++ graft.queries.Multimodal.oracles ++
+      graft.streaming.Stream.oracles
 }

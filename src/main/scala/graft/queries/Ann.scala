@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.3): brute-force cosine top-k as the exact baseline, and a
+  * hyperplane-LSH bucketed variant as the 100 TB path.
+  *
+  * Scale design: the query set is small and BROADCAST — the corpus never
+  * shuffles. Top-k extraction is two-phase (per-shard top-k, then final
+  * top-k over shards·k finalists) so no single task ever sorts a whole
+  * query's candidate stream — the same fix VERDICT r01 demanded for
+  * q09's low-cardinality window.
+  */
+object Ann {
+
+  private val K = 5
+  private val Shards = 16
+
+  private def queriesOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+
+  /** Two-phase top-k per query: rank within (query, shard of candidates),
+    * keep k, then rank the ≤ Shards·k finalists. Phase-1 parallelism is
+    * #queries × Shards tasks; phase 2 touches a trivial row count. */
+  private def topK(cands: DataFrame): DataFrame = {
+    val sharded = cands.withColumn("shard", pmod(xxhash64(col("vec_id")), lit(Shards)))
+    val w1 = Window.partitionBy("q_id", "shard")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    sharded
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** exact top-k: corpus × broadcast(queries) nested-loop — a map-side-only
+    * pass over the corpus, no shuffle until the (tiny) top-k extraction. */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cands = corpus.join(broadcast(queriesOf(s, d)), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+    topK(cands)
+  }
+
+  /** LSH ANN: both sides get 64 hyperplane bits in 16 bands × 4; a corpus
+    * vector is scored only if it shares ≥1 band bucket with the query —
+    * each probe touches ~1/16 of a uniformly-hashed corpus per band instead
+    * of all of it, and the band join is an equality shuffle, skew-split by
+    * AQE. Exact cosine then re-ranks the candidates (standard LSH re-rank). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bits", hyperplaneBits(col("v"), 64))
+    val corpusBands = corpus
+      .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
+      .select(col("vec_id"), col("v"), col("band"),
+        bandKey(col("bits"), col("band"), 4).as("bkey"))
+    val queryBands = queriesOf(s, d)
+      .withColumn("bits", hyperplaneBits(col("qv"), 64))
+      .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
+      .select(col("q_id"), col("qv"), col("band"),
+        bandKey(col("bits"), col("band"), 4).as("bkey"))
+    val cands = corpusBands.join(broadcast(queryBands),
+        Seq("band", "bkey")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("qv"))
+      // dedupe multi-band hits by key only — v/qv are functionally
+      // dependent on the ids, and this keeps vectors out of the shuffle key
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+    topK(cands)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _))
+
+  /** Non-SQL-expressible (array math + LSH) → rows-only gate; AnnSpec
+    * checks bruteforce against an in-memory exact computation. */
+  val oracles: Map[String, String] = Map.empty
+}

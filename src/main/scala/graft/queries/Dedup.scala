@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication family over the `documents` / `embeddings` tables
+  * (SURVEY.md §2.3) — the training-data-pipeline core the brief mandates.
+  *
+  * Scale design: every operator is candidate-generation-by-bucketing (LSH
+  * bands, simhash chunks, blocking keys) followed by an exact verify on the
+  * candidates only. Nothing ever materializes the O(n²) pair space; the
+  * only shuffles are (a) the bucket-key self-join and (b) the final pair
+  * distinct — both bounded by bucket sizes, which LSH keeps small and
+  * AQE's skew handling splits if a degenerate bucket appears.
+  */
+object Dedup {
+
+  /** exact dedup: keep the smallest doc_id per identical text. Groups on
+    * sha2-256 of the text so the shuffle carries a 32-byte digest, not the
+    * document body — at 100 TB that is the difference between shuffling
+    * hashes and shuffling the corpus. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** MinHash + LSH near-dup pairs: 3-word shingles → 64 minhashes →
+    * 16 bands × 4 rows → band-bucket self-join → exact Jaccard ≥ 0.8
+    * verify. Probability a 0.9-similar pair shares ≥1 band ≈ 1-(1-.9⁴)¹⁶
+    * ≈ 0.9998; pairs below 0.8 are discarded by the verify. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
+    val sigs = docs.select(col("doc_id"), minhashSignature(col("sh"), 64).as("sig"))
+    val bands = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        minhashBandKey(col("sig"), col("band"), 4).as("bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, pigeonhole on 4×16-bit
+    * chunks (hamming ≤ 3 ⇒ ≥1 chunk identical), verify hamming ≤ 3. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+    val chunks = sigs.select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("doc_id"), col("sim"), col("k"),
+        call_function("shiftright", col("sim"), col("k") * 16).bitwiseAND(0xFFFFL).as("chunk"))
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+    cands
+      .select(col("a_id"), col("b_id"), hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Blocking + n-gram Jaccard verify: block on (lang, length bucket) —
+    * the left side probes its own and the next bucket so boundary
+    * straddlers aren't lost — then exact word-bigram Jaccard ≥ 0.7.
+    * The equality-keyed block join is the scale story: candidates stay
+    * within language × ~100-char strata instead of all-pairs. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("long").as("bucket"),
+        wordShingles(tokens(col("text")), 2).as("sh"))
+    val probe = docs.select(col("doc_id"), col("lang"), col("sh"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    probe.as("x").join(docs.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        round(jaccard(col("x.sh"), col("y.sh")), 4).as("jac"))
+      .distinct()
+      .filter(col("jac") >= 0.7)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding near-dup pairs: 64 hyperplane sign bits, 16 bands × 4 bits
+    * bucketing, exact cosine ≥ 0.4 verify on candidates only. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), hyperplaneBits(col("v"), 64).as("bits"))
+    val bands = vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
+      .select(col("vec_id"), col("band"), bandKey(col("bits"), col("band"), 4).as("bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val a = vecs.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  /** Only the exact dedup is SQL-expressible; the LSH families are
+    * rows-checked + spec-tested against brute force on sf0.001. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text")
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.3): token
+  * counting, quality scoring, language ID, winnowing fingerprints.
+  *
+  * All pure column expressions (no UDFs) — per-row work stays inside
+  * whole-stage codegen, embarrassingly parallel, no shuffle at all until a
+  * consumer aggregates. That is the 100 TB shape for per-document scoring:
+  * a single scan pass, columns pruned to (doc_id, text).
+  */
+object Text {
+
+  /** whitespace tokens + BPE-ish subword units (letter runs / digit runs /
+    * single punctuation), both countable identically in DuckDB [oracle]. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .as("n_subword_tokens"))
+
+  private val StopWords = Seq("the", "a", "of", "and", "to")
+
+  /** length / stopword / punctuation quality signals + a composite score —
+    * the standard cheap pre-filter before expensive dedup at corpus scale. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("double")
+    val stopHits = size(filter(toks, t =>
+      t.isin(StopWords.map(lit): _*))).cast("double")
+    val punct = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_words"),
+      round(stopHits / nWords, 4).as("stop_ratio"),
+      round(punct / nChars, 4).as("punct_ratio"),
+      round(least(lit(1.0), nWords / 100.0) * (lit(1.0) - punct / nChars), 4)
+        .as("quality_score"))
+  }
+
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "los", "las", "y", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("的", "是", "了", "和", "在"))
+
+  /** stopword-profile language ID: count profile hits per language, argmax
+    * with alphabetical tie-break. (A real system would add char n-gram
+    * frequencies; the plumbing — per-language score columns, deterministic
+    * argmax — is identical.) [rows] */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = LangProfiles.foldLeft(Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("toks"), t => t.isin(words.map(lit): _*))))
+    }
+    val best = greatest(LangProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangProfiles.foldRight(lit("und"): Column) { case ((lang, _), other) =>
+      when(col(s"s_$lang") === best, lang).otherwise(other) // earliest (alphabetical) match wins
+    }
+    scored.select(col("doc_id"), pred.as("pred_lang"), best.as("score"))
+  }
+
+  /** winnowing fingerprints (3-word shingles, window 4): set size, min, and
+    * an order-independent xor signature per document. [rows] */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFingerprints(tokens(col("text")), 3, 4)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(fps).as("n_fp"),
+      array_min(fps).as("fp_min"),
+      aggregate(fps, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_sig"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+                len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+                length(text) AS n_chars,
+                len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_words,
+                round(len(list_filter(string_split_regex(text, '\s+'),
+                          t -> t IN ('the','a','of','and','to')))
+                      / CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE), 4) AS stop_ratio,
+                round(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                      / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+                round(least(1.0, len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0)
+                      * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                               / CAST(length(text) AS DOUBLE)), 4) AS quality_score
+         FROM documents""")
+}

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the `events` table (SURVEY.md §2.4).
+  *
+  * The gate runs them as real streams: a file-source `readStream` over a
+  * staged copy of events.parquet, Trigger.AvailableNow, memory sink, and
+  * the batch-SQL oracle must match the streamed result. At production
+  * scale the same code points `readStream` at the ingest directory and a
+  * real sink; watermarks already bound state.
+  */
+object Stream {
+
+  /** events physical schema — ts is parquet TIMESTAMP(NANOS) surfaced as
+    * long via spark.sql.legacy.parquet.nanosAsLong (set in the session). */
+  private val EventsDdl =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  /** Stages the single events.parquet as a streaming-source directory. */
+  private def stageInput(s: SparkSession, name: String, sfDir: String): String = {
+    val sfTag = sfDir.replaceAll(".*/", "")
+    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+      s"/stream-$name-$sfTag"
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    val src = new Path(s"$sfDir/events.parquet")
+    FileUtil.copy(fs, src, fs, new Path(dst, "events.parquet"), false,
+      s.sessionState.newHadoopConf())
+    dir
+  }
+
+  private def readEvents(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(EventsDdl).parquet(dir)
+      // nanos → micros TimestampType (exact integer division; ADVICE r01)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val unique = s"${name}_${runSeq.incrementAndGet()}" // reruns in one session
+    val q = df.writeStream
+      .format("memory").queryName(unique)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(unique)
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark.
+    * Complete output mode so the finished stream carries every window —
+    * which is exactly the batch time-bucket aggregation, hence [oracle].
+    * At scale the watermark is what bounds the window state store. */
+  def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = readEvents(s, stageInput(s, "winagg", d))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    runToTable(agg, "graft_stream_window_agg", "complete")
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  // --- sessionize -----------------------------------------------------------
+
+  case class SessEvent(user_id: Long, ts_us: Long)
+  /** carry-over state so sessions merge across micro-batches */
+  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long,
+      curLen: Long, maxLen: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+      max_session_events: Long)
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
+
+  private def sessionizeGroup(
+      uid: Long,
+      events: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[UserSessions] = {
+    val sorted = events.map(_.ts_us).toArray.sorted
+    var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L))
+    sorted.foreach { ts =>
+      st =
+        if (st.lastTs == Long.MinValue || ts - st.lastTs > GapUs)
+          SessState(ts, st.nSessions + 1, st.nEvents + 1, 1L, math.max(st.maxLen, 1L))
+        else
+          SessState(ts, st.nSessions, st.nEvents + 1, st.curLen + 1,
+            math.max(st.maxLen, st.curLen + 1))
+    }
+    state.update(st)
+    // cumulative per-user summary: with AvailableNow over one staged file
+    // this emits exactly once; a multi-batch stream re-emits the updated
+    // row per batch (update-style downstream consumption)
+    Iterator.single(UserSessions(uid, st.nSessions, st.nEvents, st.maxLen))
+  }
+
+  /** Session windows (30-min inactivity gap) via flatMapGroupsWithState —
+    * the custom-state path the brief calls for. State is one small record
+    * per user (not per event), so a 1000-executor run holds |users| rows of
+    * state partitioned by the group key. [oracle: gaps-and-islands SQL] */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = readEvents(s, stageInput(s, "sessionize", d))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+    val sessions = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup)
+    runToTable(sessions.toDF(), "graft_stream_sessionize", "append")
+      .select("user_id", "n_sessions", "n_events", "max_session_events")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _))
+
+  /** Both oracle-checkable: the stream results equal batch SQL over the
+    * same events. epoch_us on both sides so the ns→µs truncation is
+    * identical (Spark computes `ts div 1000` on the nanos long). */
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "stream_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         b AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN pts IS NULL OR ts_us - pts > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM t),
+         sess AS (
+           SELECT user_id, ts_us,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM b),
+         per_sess AS (
+           SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                max(n) AS max_session_events
+         FROM per_sess GROUP BY user_id""")
+}

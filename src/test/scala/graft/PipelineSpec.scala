@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / ANN / text / multimodal operators cross-checked against
+  * brute-force in-memory computations on sf0.001 (500 docs / 500 vectors —
+  * small enough to verify exactly, same code paths as the 100 TB shapes). */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    Tables.documents(spark, sf).select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def shingles(t: String, n: Int): Set[String] = {
+    val w = t.trim.split("\\s+").filter(_.nonEmpty)
+    if (w.length < n) Set(w.mkString(" "))
+    else w.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def jac(a: Set[String], b: Set[String]): Double =
+    if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+
+  test("dedup_exact keeps one survivor per distinct text") {
+    val n = queries.Dedup.dedupExact(spark, sf).count()
+    assert(n == docs.map(_._2).distinct.size)
+  }
+
+  test("dedup_minhash_lsh finds exactly the brute-force jaccard>=0.8 pairs") {
+    val truth = (for {
+      (a, ta, _) <- docs; (b, tb, _) <- docs if a < b
+      j = jac(shingles(ta, 3), shingles(tb, 3)) if j >= 0.8
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val got = queries.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH banding has ~99.98% recall at j>=0.9; planted pairs are >=0.9
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("dedup_simhash returns verified low-hamming pairs incl. planted dups") {
+    val rows = queries.Dedup.dedupSimhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Number](2).longValue <= 3))
+  }
+
+  test("dedup_ngram_jaccard pairs are all true jaccard>=0.7 bigram pairs") {
+    val got = queries.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    got.foreach { case (a, b, j) =>
+      val truth = jac(shingles(byId(a), 2), shingles(byId(b), 2))
+      assert(math.abs(truth - j) < 1e-3, s"pair ($a,$b): got $j truth $truth")
+    }
+  }
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  test("dedup_embedding pairs are true cosine>=0.4 pairs") {
+    val got = queries.Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) =>
+      assert(math.abs(cos(vecs(a), vecs(b)) - c) < 1e-3)
+      assert(c >= 0.4)
+    }
+  }
+
+  test("ann_bruteforce matches exact in-memory top-5") {
+    val got = queries.Ann.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val qids = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    assert(qids.nonEmpty)
+    qids.foreach { q =>
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      exact.zipWithIndex.foreach { case (id, i) =>
+        assert(got((q, i + 1)) == id, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("ann_lsh returns true-cosine candidates with decent recall") {
+    val got = queries.Ann.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, id, c) => assert(math.abs(cos(vecs(q), vecs(id)) - c) < 1e-3) }
+    // recall vs exact top-5 across queries (approximate: assert non-trivial)
+    val qids = vecs.keys.filter(_ % 100 == 0).toSeq
+    val hits = qids.map { q =>
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val approx = got.filter(_._1 == q).map(_._2).toSet
+      (exact & approx).size
+    }.sum
+    assert(hits > 0, "LSH should recover some exact neighbors")
+  }
+
+  test("text operators cover every document deterministically") {
+    val n = docs.size.toLong
+    assert(queries.Text.textTokens(spark, sf).count() == n)
+    val q = queries.Text.textQuality(spark, sf)
+    assert(q.count() == n)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    val l = queries.Text.textLangid(spark, sf)
+    assert(l.count() == n)
+    assert(l.filter(col("pred_lang").isNull).count() == 0)
+    assert(queries.Text.textFingerprint(spark, sf).count() == n)
+  }
+
+  test("mm_decode_pipeline preserves every record with byte-true metadata") {
+    val rows = queries.Multimodal.mmDecodePipeline(spark, sf).collect()
+    assert(rows.length == docs.size)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    rows.take(20).foreach { r =>
+      assert(r.getLong(2) == byId(r.getLong(0)).getBytes("UTF-8").length.toLong)
+    }
+  }
+
+  test("stream_window_agg equals the batch time-bucket aggregation") {
+    val streamed = streaming.Stream.streamWindowAgg(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream_sessionize equals batch gaps-and-islands sessionization") {
+    val streamed = streaming.Stream.streamSessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val batch = ev.map { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      var sessions = List.empty[Long]
+      var cur = 0L
+      var last = Long.MinValue
+      ts.foreach { t =>
+        if (last == Long.MinValue || t - last > 30L * 60 * 1000 * 1000) {
+          if (cur > 0) sessions ::= cur
+          cur = 1
+        } else cur += 1
+        last = t
+      }
+      if (cur > 0) sessions ::= cur
+      (uid, sessions.size.toLong, ts.length.toLong, sessions.max)
+    }.toSet
+    assert(streamed == batch)
+  }
+}
