@@ -27,14 +27,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long, then convert to micros TimestampType.
-    * The µs truncation is immaterial for hour/minute bucketing. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * rejects; the session MUST set spark.sql.legacy.parquet.nanosAsLong
+    * (all graft session builders do — Verify, Bench, TestSpark). The nanos
+    * long is floor-divided to micros TimestampType with integer `div`
+    * (a double division would lose µs precision: nanos epochs exceed the
+    * 53-bit mantissa — ADVICE r01). */
+  def events(s: SparkSession, d: String): DataFrame =
     apply(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
-  }
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spreads a narrow input across the cluster before compute-heavy
+    * per-row work. The test corpora are single small parquet files → one
+    * input partition → one task doing all the hashing; at 100 TB the
+    * source arrives in thousands of splits and this is a no-op (the guard
+    * keeps it from adding a shuffle when parallelism already exists). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

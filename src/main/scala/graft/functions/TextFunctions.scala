@@ -1,14 +1,25 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Text primitives for the dedup / analysis operators, all as codegen'd
-  * column expressions (no UDFs): tokenization, word shingles, MinHash
-  * signatures, SimHash, rolling-hash fingerprints.
+/** Text primitives for the dedup / analysis operators: tokenization, word
+  * shingles, MinHash signatures, SimHash, rolling-hash fingerprints.
   *
   * Everything is deterministic — hash seeds are literal ints — so results
   * are identical across runs, partitionings and cluster sizes.
+  *
+  * PERFORMANCE RULE learned the hard way (r02 bench): Spark's higher-order
+  * functions (transform/aggregate/filter) evaluate INTERPRETED, and an
+  * expression referenced inside a lambda is re-evaluated on every lambda
+  * invocation after projection collapse. A "transform(seq(0,63), j ->
+  * ...over tokens...)" therefore re-splits the document 64 times on one
+  * core — minutes per partition at sf0.1. Signature computations here are
+  * instead structured as explode → hash-aggregate: the per-element work is
+  * plain row expressions inside whole-stage codegen, and the k accumulators
+  * are ordinary min/sum aggregates with map-side partial aggregation. That
+  * shape is also the right 100 TB plan: one narrow explode, one shuffle on
+  * the doc key.
   */
 object TextFunctions {
 
@@ -23,12 +34,23 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** `k` MinHash values: minᵢ xxhash64(shingle, seed) per seed — the
-    * classic permutation-free MinHash (Broder 1997). k×|shingles| hashes
-    * per row, all inside codegen. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+  /** `k` MinHash values per document (Broder 1997, permutation-free): from
+    * a (id, shingles array) frame, explode shingles and run k `min` hash
+    * aggregates — returns (idCol, sig array<long>[k]). Codegen'd end to
+    * end; the only shuffle is the partial-agg'd groupBy on the id. */
+  def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
+    // 2-hash family: hash each shingle string twice, derive the k functions
+    // as h1 xor rotl(h2, j) — 3 shifts per function instead of re-hashing
+    // the string k times (~10x less per-shingle work at k=64)
+    val ex = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__h1"), xxhash64(col("__s"), lit(7777)).as("__h2"))
+    def rotl(c: Column, j: Int): Column =
+      if (j % 64 == 0) c
+      else shiftleft(c, j % 64).bitwiseOR(shiftrightunsigned(c, 64 - (j % 64)))
+    val aggs = (0 until k).map(j => min(col("__h1").bitwiseXOR(rotl(col("__h2"), j))).as(s"__m$j"))
+    ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"__m$j")): _*).as("sig"))
+  }
 
   /** Packs band `b` (of `rowsPerBand` signature slots) into one bucket key:
     * docs agreeing on a whole band collide → LSH candidates. Hashes the
@@ -45,30 +67,68 @@ object TextFunctions {
     when(uni === 0.0, 0.0).otherwise(inter / uni)
   }
 
-  /** 64-bit SimHash (Charikar 2002): per bit j, sum ±1 over tokens by bit j
-    * of xxhash64(token), then take the sign. Near-identical docs differ in
-    * a few bits (compare with hamming()). */
-  def simhash64(toks: Column): Column = {
-    val bitSums = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-      acc.bitwiseOR(when(element_at(bitSums, (j + 1).cast("int")) > 0L,
-        call_function("shiftleft", lit(1L), j)).otherwise(0L)))
+  /** Shingle set → sorted distinct xxhash64 ids: the representation
+    * jaccardHashed verifies in a codegen'd merge walk. Hashing runs once
+    * per document; candidate pairs then never touch strings. */
+  def shingleIdSet(shingles: Column): Column =
+    array_sort(array_distinct(transform(shingles, s => xxhash64(s))))
+
+  /** Jaccard over shingleIdSet columns — |A∩B| via the native
+    * SortedIntersectCount expression, |A∪B| = |A|+|B|-|A∩B|. Equal to
+    * string-set Jaccard up to 64-bit hash collisions (negligible). */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(a),
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(b))).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
+    when(uni === 0.0, 0.0).otherwise(inter / uni)
+  }
+
+  /** 64-bit SimHash per document (Charikar 2002): per bit j, sum ±1 over
+    * token instances by bit j of xxhash64(token), then take the sign.
+    * Same explode → 64 sum-aggregates shape as minhashSignatures; the
+    * token hash is computed ONCE per token, bits are extracted from it.
+    * Returns (idCol, sim: long). */
+  def simhashSignatures(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(toksCol)).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__b$j"))
+    ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+          acc.bitwiseOR(when(col(s"__b$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+        }.as("sim"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): rolling
-    * hashes of `n`-word shingles, then the min hash of each sliding window
-    * of `w` — a position-robust document signature. */
-  def winnowFingerprints(toks: Column, n: Int, w: Int): Column = {
-    val hashes = transform(wordShingles(toks, n), s => xxhash64(s))
-    val mins = when(size(hashes) < w, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w)))))
-    array_sort(array_distinct(mins))
+    * hashes of `n`-word shingles, min hash per sliding window of `w`,
+    * distinct mins = the document signature. Shaped as posexplode → sliding
+    * window-min (WindowExec partitioned by doc, ~|shingles| rows each) →
+    * per-doc aggregate, instead of a nested-lambda slice scan that would
+    * re-hash the document once per window position.
+    * Returns (idCol, n_fp, fp_min, fp_sig). */
+  def winnowFingerprintsDf(df: DataFrame, idCol: String, toksCol: String, n: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol),
+      posexplode(wordShingles(col(toksCol), n)).as(Seq("__pos", "__s")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__s")).as("__h"))
+    val byDoc = Window.partitionBy(idCol).orderBy("__pos").rowsBetween(-(w - 1), 0)
+    val cnt = Window.partitionBy(idCol)
+    val mins = sh
+      .withColumn("__mh", min(col("__h")).over(byDoc))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      // keep only full windows; short docs (< w shingles) keep their last
+      // row, whose window covers every shingle — one whole-doc fingerprint
+      .filter(col("__pos") >= w - 1 || (col("__n") < w && col("__pos") === col("__n") - 1))
+    mins.groupBy(col(idCol), col("__mh")).agg(count(lit(1)).as("__dup"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_fp"),
+        min(col("__mh")).as("fp_min"),
+        expr("bit_xor(__mh)").as("fp_sig"))
   }
 }

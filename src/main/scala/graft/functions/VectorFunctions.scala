@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ */
+  /** Σ aᵢ·bᵢ — graft's native codegen expression (a zip_with/aggregate
+    * formulation runs interpreted: ~200 boxed evals per 64-dim pair, which
+    * dominated LSH candidate verification in the r02 bench). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(a.cast("array<double>")),
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(b.cast("array<double>"))))
 
   /** ‖a‖₂ */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cos(a,b) with zero-vector guard. */
   def cosine(a: Column, b: Column): Column = {
@@ -28,20 +32,22 @@ object VectorFunctions {
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
-  /** `nBits` random-hyperplane signs of `vec` as an int array (SimHash for
-    * real-valued vectors, Charikar 2002). Hyperplane p's component for
-    * dimension i is a deterministic pseudo-random in [-1,1] derived from
-    * xxhash64(p,i) — reproducible across executors with no broadcast of
-    * plane matrices, and cheap enough (nBits×dim mults) to stay columnar. */
-  def hyperplaneBits(vec: Column, nBits: Int): Column = {
-    val v = vec.cast("array<double>")
-    transform(sequence(lit(0), lit(nBits - 1)), p => {
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * (pmod(xxhash64(p, i), lit(1000003L)).cast("double") / 500001.5 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0.0, 1).otherwise(0)
-    })
+  /** `nBits` random-hyperplane sign bits per vector (LSH for cosine,
+    * Charikar 2002). Hyperplane p's component for dimension i is a
+    * deterministic pseudo-random in [-1,1] from xxhash64(p,i) —
+    * reproducible everywhere, no plane matrix to broadcast. Shaped as
+    * posexplode(vec) → nBits sum-aggregates (codegen'd, partial-agg'd)
+    * rather than nested lambdas, which would run interpreted and
+    * re-evaluate per plane. Returns (idCol, bits array<int>[nBits]). */
+  def hyperplaneSignatures(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String, nBits: Int): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+    val aggs = (0 until nBits).map(p =>
+      sum(col("__x") * (pmod(xxhash64(lit(p), col("__i")), lit(1000003L)).cast("double") / 500001.5 - 1.0))
+        .as(s"__d$p"))
+    ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until nBits).map(p =>
+        when(col(s"__d$p") > 0.0, 1).otherwise(0)): _*).as("bits"))
   }
 
   /** Packs `rowsPerBand` consecutive sign bits of band `b` into one long

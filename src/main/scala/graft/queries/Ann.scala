@@ -58,15 +58,16 @@ object Ann {
     * of all of it, and the band join is an equality shuffle, skew-split by
     * AQE. Exact cosine then re-ranks the candidates (standard LSH re-rank). */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val corpus = Tables.embeddings(s, d)
+    val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bits", hyperplaneBits(col("v"), 64))
     val corpusBands = corpus
+      .join(hyperplaneSignatures(corpus, "vec_id", "v", 64), "vec_id")
       .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
       .select(col("vec_id"), col("v"), col("band"),
         bandKey(col("bits"), col("band"), 4).as("bkey"))
-    val queryBands = queriesOf(s, d)
-      .withColumn("bits", hyperplaneBits(col("qv"), 64))
+    val queries = queriesOf(s, d)
+    val queryBands = queries
+      .join(hyperplaneSignatures(queries.select(col("q_id"), col("qv")), "q_id", "qv", 64), "q_id")
       .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
       .select(col("q_id"), col("qv"), col("band"),
         bandKey(col("bits"), col("band"), 4).as("bkey"))

@@ -33,10 +33,9 @@ object Dedup {
     * verify. Probability a 0.9-similar pair shares ≥1 band ≈ 1-(1-.9⁴)¹⁶
     * ≈ 0.9998; pairs below 0.8 are discarded by the verify. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
-    val sigs = docs.select(col("doc_id"), minhashSignature(col("sh"), 64).as("sig"))
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("sh"))
+    val sigs = minhashSignatures(docs, "doc_id", "sh", 64)
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
@@ -46,11 +45,13 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    // verify on hashed shingle-id sets: codegen'd merge intersection
+    val sets = docs.select(col("doc_id"), shingleIdSet(col("sh")).as("ids"))
+    val a = sets.select(col("doc_id").as("a_id"), col("ids").as("ids_a"))
+    val b = sets.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
     cands.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+        round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy("a_id", "b_id")
   }
@@ -58,8 +59,10 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature, pigeonhole on 4×16-bit
     * chunks (hamming ≤ 3 ⇒ ≥1 chunk identical), verify hamming ≤ 3. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+    val sigs = simhashSignatures(
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks")),
+      "doc_id", "toks")
     val chunks = sigs.select(col("doc_id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("k"))
       .select(col("doc_id"), col("sim"), col("k"),
@@ -82,17 +85,21 @@ object Dedup {
     * The equality-keyed block join is the scale story: candidates stay
     * within language × ~100-char strata instead of all-pairs. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("bucket"),
-        wordShingles(tokens(col("text")), 2).as("sh"))
-    val probe = docs.select(col("doc_id"), col("lang"), col("sh"),
+        shingleIdSet(wordShingles(tokens(col("text")), 2)).as("ids"))
+    val probe = docs.select(col("doc_id"), col("lang"), col("ids"),
       explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
     probe.as("x").join(docs.as("y"),
         col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
+      // cheap size prefilter: jaccard >= 0.7 needs |A|/|B| in [0.65, 1/0.65]
+      // — kills ~95% of blocked pairs before the exact set intersection
+      .filter(least(size(col("x.ids")), size(col("y.ids"))).cast("double") >=
+        greatest(size(col("x.ids")), size(col("y.ids"))) * 0.65)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        round(jaccard(col("x.sh"), col("y.sh")), 4).as("jac"))
+        round(jaccardHashed(col("x.ids"), col("y.ids")), 4).as("jac"))
       .distinct()
       .filter(col("jac") >= 0.7)
       .orderBy("a_id", "b_id")
@@ -101,10 +108,10 @@ object Dedup {
   /** Embedding near-dup pairs: 64 hyperplane sign bits, 16 bands × 4 bits
     * bucketing, exact cosine ≥ 0.4 verify on candidates only. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val vecs = Tables.embeddings(s, d)
+    val vecs = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), hyperplaneBits(col("v"), 64).as("bits"))
-    val bands = vecs.select(col("vec_id"),
+    val sigs = hyperplaneSignatures(vecs, "vec_id", "v", 64)
+    val bands = sigs.select(col("vec_id"),
         explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
       .select(col("vec_id"), col("band"), bandKey(col("bits"), col("band"), 4).as("bkey"))
     val cands = bands.as("x").join(bands.as("y"),

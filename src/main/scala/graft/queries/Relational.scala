@@ -106,12 +106,22 @@ object Relational {
       .agg(countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"))
 
-  /** q09: top-N per group via row_number with a unique tie-break. */
+  /** q09: top-N per group via two-phase row_number. o_orderstatus has ~3
+    * values, so a single window over it would funnel the whole table
+    * through 3 tasks (the r01 scale-killer). Phase 1 ranks within
+    * (status, hash-shard) — 3×32-way parallel — and keeps ≤3 per shard;
+    * phase 2 re-ranks the ≤ 3·32·3 finalists, reproducing the exact
+    * global row_number. */
   def q09WindowTopK(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus")
+    val w1 = Window.partitionBy("o_orderstatus", "shard")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val w2 = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("shard", pmod(xxhash64(col("o_orderkey")), lit(32)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 3)
+      .withColumn("rn", row_number().over(w2))
       .filter(col("rn") <= 3)
       .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
   }
@@ -167,7 +177,8 @@ object Relational {
         upper(col("p_brand")).as("brand_upper"),
         substring(col("p_name"), 1, 8).as("name_prefix"),
         length(col("p_type")).as("type_len"),
-        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+        // concat (not concat_ws): matches the oracle's `||` NULL semantics
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))
 
   /** q16: date/time extraction + grouping. */
   def q16DateFuncs(s: SparkSession, d: String): DataFrame =

@@ -72,14 +72,12 @@ object Text {
 
   /** winnowing fingerprints (3-word shingles, window 4): set size, min, and
     * an order-independent xor signature per document. [rows] */
-  def textFingerprint(s: SparkSession, d: String): DataFrame = {
-    val fps = winnowFingerprints(tokens(col("text")), 3, 4)
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(fps).as("n_fp"),
-      array_min(fps).as("fp_min"),
-      aggregate(fps, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_sig"))
-  }
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowFingerprintsDf(
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks")),
+      "doc_id", "toks", 3, 4)
+      .select("doc_id", "n_fp", "fp_min", "fp_sig")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),

@@ -16,4 +16,9 @@ object ColumnExpr {
     * would return a lazy ColumnNodeExpression wrapper whose children are
     * still internal nodes — useless for pattern matching). */
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Wraps a Catalyst expression back into a Column (for graft's native
+    * codegen expressions, e.g. graft.expressions.DotProduct). */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -30,12 +30,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
+            # round for sort stability only; equality uses isclose (below)
             df[c] = df[c].round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
         else:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def col_match(a: pd.Series, b: pd.Series):
+    """Float cells: tolerance + NaN==NaN (half-way 2dp rounding can differ
+    by engine, and NaN != NaN would flag matching cells). Others: exact."""
+    import numpy as np
+    if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+        return pd.Series(np.isclose(a, b, rtol=0, atol=1.5e-6, equal_nan=True),
+                         index=a.index)
+    return (a == b) | (a.isna() & b.isna())
+
+def frames_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    return all(col_match(a[c], b[c]).all() for c in a.columns)
 
 fails = 0
 names = sorted(d for d in os.listdir(outdir)
@@ -56,8 +69,8 @@ for name in names:
         print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}"); fails += 1
     elif len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1
-    elif not got.equals(exp):
-        diff = (got != exp)
+    elif not frames_match(got, exp):
+        diff = pd.DataFrame({c: ~col_match(got[c], exp[c]) for c in got.columns})
         bad = diff.any(axis=1)
         print(f"FAIL {name}: value mismatch on {bad.sum()} rows; first:")
         print(got[bad].head(2)); print(exp[bad].head(2)); fails += 1
