@@ -115,9 +115,42 @@ object Stream {
       .select("user_id", "n_sessions", "n_events", "max_session_events")
   }
 
+  /** Streaming ingestion INTO the lake: each micro-batch commits one
+    * append snapshot via foreachBatch — exactly-once per batch by way of
+    * the table's atomic metadata commit. Staged as two source files with
+    * maxFilesPerTrigger=1 so the run genuinely exercises multi-batch
+    * commits (snapshot log grows per batch; LakeStreamSpec asserts it).
+    * At scale this is the ingest topology: readStream from the landing
+    * zone, one snapshot per trigger, readers see atomic table states. */
+  def streamLakeSink(s: SparkSession, d: String): DataFrame = {
+    val sfTag = d.replaceAll(".*/", "")
+    val work = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake")
+    val stage = s"$work/stream-lakesink-in-$sfTag"
+    val tableLoc = s"$work/stream-lakesink-table-$sfTag"
+    val fs = new Path(work).getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new Path(stage), true)
+    fs.delete(new Path(tableLoc), true)
+    // stage the batch events as two parquet files => two micro-batches
+    graft.Tables.events(s, d).repartitionByRange(2, col("event_id"))
+      .write.parquet(stage)
+    val t = graft.lake.GraftTable.create(s, tableLoc,
+      graft.Tables.events(s, d).limit(0), keyColumns = Seq("event_id"))
+    val q = s.readStream
+      .schema(graft.Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => t.append(batch); () }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    t.scan().groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_lake_sink" -> (streamLakeSink _))
 
   /** Both oracle-checkable: the stream results equal batch SQL over the
     * same events. epoch_us on both sides so the ns→µs truncation is
@@ -146,5 +179,7 @@ object Stream {
          SELECT user_id, count(*) AS n_sessions,
                 CAST(sum(n) AS BIGINT) AS n_events,
                 max(n) AS max_session_events
-         FROM per_sess GROUP BY user_id""")
+         FROM per_sess GROUP BY user_id""",
+    "stream_lake_sink" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type")
 }

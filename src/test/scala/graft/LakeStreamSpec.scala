@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingestion into the lake: one append snapshot per micro-batch. */
+class LakeStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream_lake_sink commits one snapshot per micro-batch, losing no rows") {
+    val agg = streaming.Stream.streamLakeSink(spark, sf)
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val sfTag = sf.replaceAll(".*/", "")
+    val t = lake.GraftTable.load(spark,
+      s"/root/repo/target/graft-lake/stream-lakesink-table-$sfTag")
+    // create (empty) + 2 micro-batch appends
+    assert(t.meta.snapshots.map(_.operation) == Seq("append", "append", "append"))
+    assert(t.meta.snapshots.length == 3)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{ColStats, DataFileMeta, FilePruner, Meta}
+
+import scala.util.Random
+
+/** Property test for the scan planner's file skipping: for randomized
+  * files (rows + derived min/max stats + partition values) and randomized
+  * predicate trees, a file containing ANY matching row must survive
+  * pruning. Pruning too much = wrong results at scale; this is the
+  * invariant the whole lake read path rests on. (False keeps are fine —
+  * the predicate re-applies to rows.)
+  */
+class PrunerPropertySpec extends AnyFunSuite {
+
+  private val schema = StructType.fromDDL("a BIGINT, p STRING")
+  private val pvals = Seq("x", "y", "z", null)
+
+  // predicate AST mirrored as (Column, row => Boolean-with-null-semantics)
+  private case class P(col: Column, eval: (Long, String) => Option[Boolean])
+
+  private def leafA(rnd: Random): P = {
+    val v = rnd.between(-10L, 11L)
+    rnd.nextInt(5) match {
+      case 0 => P(org.apache.spark.sql.functions.col("a") === v, (a, _) => Some(a == v))
+      case 1 => P(org.apache.spark.sql.functions.col("a") < v, (a, _) => Some(a < v))
+      case 2 => P(org.apache.spark.sql.functions.col("a") <= v, (a, _) => Some(a <= v))
+      case 3 => P(org.apache.spark.sql.functions.col("a") > v, (a, _) => Some(a > v))
+      case _ => P(org.apache.spark.sql.functions.col("a") >= v, (a, _) => Some(a >= v))
+    }
+  }
+
+  private def leafP(rnd: Random): P = {
+    val v = pvals(rnd.nextInt(3)) // non-null literal
+    rnd.nextInt(4) match {
+      case 0 => P(col("p") === v, (_, p) => if (p == null) None else Some(p == v))
+      case 1 => P(col("p") =!= v, (_, p) => if (p == null) None else Some(p != v))
+      case 2 => P(col("p").isNull, (_, p) => Some(p == null))
+      case _ => P(col("p").isNotNull, (_, p) => Some(p != null))
+    }
+  }
+
+  private def gen(rnd: Random, depth: Int): P =
+    if (depth == 0 || rnd.nextInt(3) == 0) {
+      if (rnd.nextBoolean()) leafA(rnd) else leafP(rnd)
+    } else {
+      val l = gen(rnd, depth - 1)
+      val r = gen(rnd, depth - 1)
+      if (rnd.nextBoolean())
+        P(l.col && r.col, (a, p) => (l.eval(a, p), r.eval(a, p)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None // SQL three-valued AND with NULL
+        })
+      else
+        P(l.col || r.col, (a, p) => (l.eval(a, p), r.eval(a, p)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        })
+    }
+
+  test("a file with any matching row always survives pruning (1000 cases)") {
+    val rnd = new Random(42)
+    var checkedKeeps = 0
+    for (i <- 1 to 1000) {
+      val pv = pvals(rnd.nextInt(pvals.length))
+      val rows = Seq.fill(rnd.between(1, 8))(rnd.between(-10L, 11L))
+      val stats = Map("a" -> ColStats("l", rows.min.toString, rows.max.toString, 0L))
+      val file = DataFileMeta("data/s1/f.parquet", 1L, rows.size.toLong, 1L,
+        Map("p" -> (if (pv == null) Meta.NullPartition else pv)), stats)
+      val pred = gen(rnd, 2)
+      val kept = FilePruner.prune(Seq(file), Some(pred.col), Seq("p"), schema).nonEmpty
+      val anyMatch = rows.exists(a => pred.eval(a, pv).contains(true))
+      if (anyMatch) {
+        assert(kept, s"case $i: pruned a file with a matching row (p=$pv rows=$rows)")
+        checkedKeeps += 1
+      }
+    }
+    assert(checkedKeeps > 300, s"generator too weak: only $checkedKeeps positive cases")
+  }
+}
