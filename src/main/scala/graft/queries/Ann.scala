@@ -45,10 +45,14 @@ object Ann {
   /** exact top-k: corpus × broadcast(queries) nested-loop — a map-side-only
     * pass over the corpus, no shuffle until the (tiny) top-k extraction. */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    // both sides unit-normalized once → cosine is a single graft_dot per
+    // (corpus row × query) instead of dot + two norms per pair
     val corpus = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cands = corpus.join(broadcast(queriesOf(s, d)), col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .select(col("vec_id"), normalized(col("embedding")).as("u"))
+    val queries = queriesOf(s, d)
+      .select(col("q_id"), normalized(col("qv")).as("qu"))
+    val cands = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot(col("u"), col("qu")))
     topK(cands)
   }
 
@@ -62,22 +66,24 @@ object Ann {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val corpusBands = corpus
       .join(hyperplaneSignatures(corpus, "vec_id", "v", 64), "vec_id")
-      .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
-      .select(col("vec_id"), col("v"), col("band"),
+      .select(col("vec_id"), normalized(col("v")).as("u"),
+        explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
+      .select(col("vec_id"), col("u"), col("band"),
         bandKey(col("bits"), col("band"), 4).as("bkey"))
     val queries = queriesOf(s, d)
     val queryBands = queries
       .join(hyperplaneSignatures(queries.select(col("q_id"), col("qv")), "q_id", "qv", 64), "q_id")
-      .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
-      .select(col("q_id"), col("qv"), col("band"),
+      .select(col("q_id"), normalized(col("qv")).as("qu"),
+        explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
+      .select(col("q_id"), col("qu"), col("band"),
         bandKey(col("bits"), col("band"), 4).as("bkey"))
     val cands = corpusBands.join(broadcast(queryBands),
         Seq("band", "bkey")).filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("v"), col("qv"))
-      // dedupe multi-band hits by key only — v/qv are functionally
+      .select(col("q_id"), col("vec_id"), col("u"), col("qu"))
+      // dedupe multi-band hits by key only — u/qu are functionally
       // dependent on the ids, and this keeps vectors out of the shuffle key
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("cos_sim", dot(col("u"), col("qu")))
     topK(cands)
   }
 

@@ -119,10 +119,12 @@ object Dedup {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val a = vecs.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = vecs.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    // unit vectors computed once per side → pairwise cosine is one graft_dot
+    val unit = vecs.select(col("vec_id"), normalized(col("v")).as("u"))
+    val a = unit.select(col("vec_id").as("a_id"), col("u").as("ua"))
+    val b = unit.select(col("vec_id").as("b_id"), col("u").as("ub"))
     cands.join(a, "a_id").join(b, "b_id")
-      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .select(col("a_id"), col("b_id"), round(dot(col("ua"), col("ub")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("a_id", "b_id")
   }

@@ -79,11 +79,38 @@ object Text {
       "doc_id", "toks", 3, 4)
       .select("doc_id", "n_fp", "fp_min", "fp_sig")
 
+  /** fixed-size token chunking with overlap (size 64, stride 48) — the
+    * standard pre-tokenization step for LLM training shards. One chunk row
+    * per (doc, window); chunks start at 0, 48, 96, ... so consecutive
+    * chunks share 16 tokens. Pure per-doc column work + posexplode: no
+    * shuffle at all — at 100 TB this is a single map pass. [oracle] */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val chunks = transform(
+      sequence(lit(0), floor((size(toks) - 1) / 48).cast("int")),
+      i => concat_ws(" ", slice(toks, i * 48 + 1, lit(64))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"), col("chunk_text"))
+  }
+
+  /** corpus vocabulary: global word frequencies, top 100 (count desc, word
+    * asc tie-break). explode → partial-agg'd count — the shuffle carries
+    * one row per distinct word per partition, not one per token. [oracle] */
+  def textVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(100)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_chunk" -> (textChunk _),
+    "text_vocab" -> (textVocab _))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -103,5 +130,18 @@ object Text {
                 round(least(1.0, len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0)
                       * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))
                                / CAST(length(text) AS DOUBLE)), 4) AS quality_score
-         FROM documents""")
+         FROM documents""",
+    "text_chunk" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, i AS chunk_id,
+                array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+         FROM t, unnest(range(0, CAST(floor((len(toks) - 1) / 48) AS BIGINT) + 1)) AS u(i)""",
+    "text_vocab" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS word
+               FROM documents)
+         GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""")
 }
