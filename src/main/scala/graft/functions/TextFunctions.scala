@@ -38,12 +38,14 @@ object TextFunctions {
     * a (id, shingles array) frame, explode shingles and run k `min` hash
     * aggregates — returns (idCol, sig array<long>[k]). Codegen'd end to
     * end; the only shuffle is the partial-agg'd groupBy on the id. */
-  def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
-    // 2-hash family: hash each shingle string twice, derive the k functions
-    // as h1 xor rotl(h2, j) — 3 shifts per function instead of re-hashing
-    // the string k times (~10x less per-shingle work at k=64)
-    val ex = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("__h1"), xxhash64(col("__s"), lit(7777)).as("__h2"))
+  /** Variant over pre-hashed shingle-id sets (see shingleIdSet): the k
+    * hash functions derive from the 64-bit id and one re-hash of it as
+    * h1 xor rotl(h2, j) — no string ever enters the explode/shuffle, and
+    * the same ids column feeds both signature and exact-Jaccard verify,
+    * so the corpus is tokenized once. */
+  def minhashSignaturesFromIds(df: DataFrame, idCol: String, idsCol: String, k: Int): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(idsCol)).as("__h1"))
+      .select(col(idCol), col("__h1"), xxhash64(col("__h1"), lit(7777)).as("__h2"))
     def rotl(c: Column, j: Int): Column =
       if (j % 64 == 0) c
       else shiftleft(c, j % 64).bitwiseOR(shiftrightunsigned(c, 64 - (j % 64)))

@@ -33,9 +33,11 @@ object Dedup {
     * verify. Probability a 0.9-similar pair shares ≥1 band ≈ 1-(1-.9⁴)¹⁶
     * ≈ 0.9998; pairs below 0.8 are discarded by the verify. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // tokenize ONCE into hashed shingle-id sets; signatures and the exact
+    // verify both run on the longs — strings never leave the first scan
     val docs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("sh"))
-    val sigs = minhashSignatures(docs, "doc_id", "sh", 64)
+      .select(col("doc_id"), shingleIdSet(wordShingles(tokens(col("text")), 3)).as("ids"))
+    val sigs = minhashSignaturesFromIds(docs, "doc_id", "ids", 64)
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
@@ -45,10 +47,9 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // verify on hashed shingle-id sets: codegen'd merge intersection
-    val sets = docs.select(col("doc_id"), shingleIdSet(col("sh")).as("ids"))
-    val a = sets.select(col("doc_id").as("a_id"), col("ids").as("ids_a"))
-    val b = sets.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
+    // verify on the same hashed shingle-id sets: codegen'd merge intersection
+    val a = docs.select(col("doc_id").as("a_id"), col("ids").as("ids_a"))
+    val b = docs.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
     cands.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
         round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
