@@ -318,7 +318,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * committer racing to the same version loses the rename — optimistic
     * concurrency like Iceberg's metadata swap (the reference funnels this
     * through PG transactions instead, commit_ops.c:41-86). */
-  private def writeMeta(m: TableMetadata): Unit = {
+  private[lake] def writeMeta(m: TableMetadata): Unit = {
     val dir = new Path(root, "metadata")
     fs.mkdirs(dir)
     val tmp = new Path(dir, f"_tmp_v${m.version}%05d.json")

@@ -112,6 +112,29 @@ class LakeSpec extends AnyFunSuite {
     assert(!cat.exists("orders_t"))
   }
 
+  test("two handles on one table interleave appends without losing commits") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("race")
+    val t1 = GraftTable.create(spark, loc, o.limit(10), keyColumns = Seq("o_orderkey"))
+    val t2 = GraftTable.load(spark, loc)
+    t1.append(o.limit(10))
+    t2.append(o.limit(10)) // stale handle refreshes before committing
+    t1.append(o.limit(10))
+    val fresh = GraftTable.load(spark, loc)
+    assert(fresh.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L, 4L))
+    assert(fresh.scan().count() == 40)
+  }
+
+  test("time travel still sees rows that a later MoR delete removed") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("ttdel"), o, keyColumns = Seq("o_orderkey"))
+    val before = t.scan().count()
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.scan().count() < before)
+    // snapshot 1 predates the delete file → unaffected
+    assert(t.scan(asOf = 1L).count() == before)
+  }
+
   test("lake queries return rows and snapshots meta logs operations") {
     val snaps = queries.Lake.lakeSnapshotsMeta(spark, sf).collect()
     assert(snaps.length == 3)
