@@ -64,19 +64,23 @@ object Ann {
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // band width scales with log2(corpus) so buckets stay small at any n
+    // (fixed-width keys go quadratic — see Dedup.adaptiveBandBits)
+    val bandBits = math.max(4,
+      math.ceil(math.log(math.max(1.0, Tables.embeddings(s, d).count() / 64.0)) / math.log(2)).toInt)
     val corpusBands = corpus
-      .join(hyperplaneSignatures(corpus, "vec_id", "v", 64), "vec_id")
+      .join(hyperplaneSignatures(corpus, "vec_id", "v", 16 * bandBits), "vec_id")
       .select(col("vec_id"), normalized(col("v")).as("u"),
         explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
       .select(col("vec_id"), col("u"), col("band"),
-        bandKey(col("bits"), col("band"), 4).as("bkey"))
+        bandKey(col("bits"), col("band"), bandBits).as("bkey"))
     val queries = queriesOf(s, d)
     val queryBands = queries
-      .join(hyperplaneSignatures(queries.select(col("q_id"), col("qv")), "q_id", "qv", 64), "q_id")
+      .join(hyperplaneSignatures(queries.select(col("q_id"), col("qv")), "q_id", "qv", 16 * bandBits), "q_id")
       .select(col("q_id"), normalized(col("qv")).as("qu"),
         explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
       .select(col("q_id"), col("qu"), col("band"),
-        bandKey(col("bits"), col("band"), 4).as("bkey"))
+        bandKey(col("bits"), col("band"), bandBits).as("bkey"))
     val cands = corpusBands.join(broadcast(queryBands),
         Seq("band", "bkey")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("u"), col("qu"))

@@ -106,15 +106,26 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding near-dup pairs: 64 hyperplane sign bits, 16 bands × 4 bits
-    * bucketing, exact cosine ≥ 0.4 verify on candidates only. */
+  /** Bits per LSH band, sized so expected bucket occupancy stays ~constant:
+    * 2^bits buckets per band ≈ n / 64. A FIXED band width is a scale bug —
+    * at n=10⁹ a 4-bit key leaves 16 buckets per band and the bucket
+    * self-join goes quadratic. Width grows with log₂(n), so the plane
+    * count (16 bands × bits) grows logarithmically while buckets stay
+    * small; recall concentrates on high-similarity pairs, which is what
+    * near-dup detection needs at scale. */
+  private def adaptiveBandBits(n: Long): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt)
+
+  /** Embedding near-dup pairs: 16 bands of adaptive-width hyperplane sign
+    * bits, exact cosine ≥ 0.4 verify on candidates only. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sigs = hyperplaneSignatures(vecs, "vec_id", "v", 64)
+    val bandBits = adaptiveBandBits(Tables.embeddings(s, d).count())
+    val sigs = hyperplaneSignatures(vecs, "vec_id", "v", 16 * bandBits)
     val bands = sigs.select(col("vec_id"),
         explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
-      .select(col("vec_id"), col("band"), bandKey(col("bits"), col("band"), 4).as("bkey"))
+      .select(col("vec_id"), col("band"), bandKey(col("bits"), col("band"), bandBits).as("bkey"))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
