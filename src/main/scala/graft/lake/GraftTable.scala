@@ -167,6 +167,53 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     writeMeta(m.copy(version = m.version + 1, schemaDdl = newDdl))
   }
 
+  /** Metadata-only rollback: commits a new snapshot that replicates the
+    * file lists of `snapshotId`. History is preserved (the bad commits
+    * stay in the log); readers atomically flip to the old state. */
+  def rollback(snapshotId: Long): Long = {
+    val m = refresh()
+    val target = m.snapshot(snapshotId)
+    commitSnapshot(m, "rollback", target.dataFiles, target.deleteFiles)
+  }
+
+  /** Trims the snapshot log to the most recent `keepLast` entries (the
+    * current snapshot always survives). Time travel to expired ids stops
+    * working; data files are not touched — run vacuum() for that. */
+  def expireSnapshots(keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val m = refresh()
+    val keep = m.snapshots.sortBy(_.id).takeRight(keepLast)
+    require(keep.exists(_.id == m.currentSnapshotId),
+      "cannot expire the current snapshot")
+    writeMeta(m.copy(version = m.version + 1, snapshots = keep))
+  }
+
+  /** Deletes data/delete files referenced by NO remaining snapshot (after
+    * expireSnapshots, or left behind by compaction). Driver-side O(files)
+    * set difference; returns the number of files removed. */
+  def vacuum(): Int = {
+    val m = refresh()
+    val referenced: Set[String] =
+      m.snapshots.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    var removed = 0
+    for (sub <- Seq("data", "deletes")) {
+      val base = new Path(root, sub)
+      if (fs.exists(base)) {
+        val it = fs.listFiles(base, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) {
+            val rel = f.toUri.getPath.stripPrefix(root.toUri.getPath.stripSuffix("/") + "/")
+            if (!referenced.contains(rel)) {
+              if (fs.delete(f, false)) removed += 1
+            }
+          }
+        }
+      }
+    }
+    removed
+  }
+
   // ---- metadata tables -----------------------------------------------------
 
   /** Snapshot log as a DataFrame (analog of Iceberg's `snapshots` metadata

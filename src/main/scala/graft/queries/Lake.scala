@@ -147,7 +147,34 @@ object Lake {
     t.files().select("path", "seq", "row_count", "partition").orderBy("path")
   }
 
+  /** metadata-only rollback undoes a MoR delete; the scan must equal the
+    * original table again. */
+  def lakeRollback(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "rollback", d), Tables.orders(s, d),
+      keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    t.rollback(1L)
+    statusAgg(t.scan())
+  }
+
+  /** maintenance cycle: compact → expire history → vacuum unreferenced
+    * files; reports what the GC did ([rows] check + LakeSpec asserts). */
+  def lakeVacuum(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val t = GraftTable.create(s, work(s, "vacuum", d),
+      Tables.orders(s, d).repartition(8), keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderstatus") === "P")
+    t.compact()
+    t.expireSnapshots(keepLast = 1)
+    val removed = t.vacuum()
+    val rows = t.scan().count()
+    Seq((t.meta.snapshots.length.toLong, removed.toLong, rows))
+      .toDF("snapshots_kept", "files_removed", "rows_after")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_rollback" -> (lakeRollback _),
+    "lake_vacuum" -> (lakeVacuum _),
     "lake_create_scan" -> (lakeCreateScan _),
     "lake_append_commit" -> (lakeAppendCommit _),
     "lake_time_travel" -> (lakeTimeTravel _),
@@ -164,6 +191,10 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_rollback" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "lake_create_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total

@@ -135,6 +135,25 @@ class LakeSpec extends AnyFunSuite {
     assert(t.scan(asOf = 1L).count() == before)
   }
 
+  test("rollback restores an old state; expire + vacuum GC unreferenced files") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("maint"), o, keyColumns = Seq("o_orderkey"))
+    val n0 = t.scan().count()
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.scan().count() < n0)
+    t.rollback(1L)
+    assert(t.scan().count() == n0, "rollback must restore the pre-delete state")
+    // compact rewrites data files; old ones become unreferenced once the
+    // pre-compaction snapshots expire
+    t.compact()
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshots.length == 1)
+    val removed = t.vacuum()
+    assert(removed > 0, "vacuum should GC the replaced data + delete files")
+    assert(t.scan().count() == n0, "current snapshot untouched by vacuum")
+    intercept[IllegalArgumentException] { t.scan(asOf = 1L) } // expired
+  }
+
   test("lake queries return rows and snapshots meta logs operations") {
     val snaps = queries.Lake.lakeSnapshotsMeta(spark, sf).collect()
     assert(snaps.length == 3)
