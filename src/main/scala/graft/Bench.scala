@@ -16,7 +16,12 @@ object Bench {
     // doesn't absorb cold-start (~4s of the r01 numbers was warmup)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query-name filter, for targeted perf iteration
+    // (the driver passes none → full suite)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan incl. projected columns; a
       // count() would let Catalyst prune every column (ADVICE r01)

@@ -1,0 +1,296 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass signature expressions for the dedup/ANN family.
+  *
+  * The r02 explode → k-aggregate formulation was already codegen'd, but it
+  * paid a full shuffle per signature (groupBy doc over the exploded corpus
+  * — at 100 TB the exploded shingle stream is ~10× the corpus). Each
+  * expression here computes a whole document/vector signature in ONE pass
+  * over the input array, so signature derivation becomes a narrow map-only
+  * projection and the only shuffle left in an LSH pipeline is the band-
+  * bucket join itself — the minimal shuffle the algorithm requires.
+  *
+  * All are `CodegenFallback`: the per-row work is a tight JIT'd JVM loop
+  * over `ArrayData` primitives (no boxing per element), and one virtual
+  * eval call per ROW is noise next to per-element lambda dispatch of the
+  * HOF alternative. Hashing uses Spark's XXH64 — the same mixers the
+  * builtin xxhash64 uses — with fixed literal seeds, so results are
+  * deterministic across runs, partitionings and cluster sizes.
+  */
+object Signatures {
+  /** Chained xxhash64 of a token window: h := H(tokenᵢ, h). Token-boundary
+    * safe (unlike hashing the concatenation) because each token is hashed
+    * with the running hash as seed. */
+  private[expressions] final val ShingleSeed = 0x9747b28cL
+
+  private[expressions] def rotl(x: Long, r: Int): Long =
+    if (r % 64 == 0) x else (x << (r % 64)) | (x >>> (64 - (r % 64)))
+}
+
+/** `graft_shingle_ids(tokens, n)` → sorted distinct array<long>: xxhash64
+  * ids of the n-word shingles of a whitespace-tokenized document. Empty
+  * tokens are skipped (mirrors `split(text,'\\s+')` producing a leading
+  * "" on padded input); a document shorter than n tokens contributes one
+  * whole-document shingle, so every doc gets a non-degenerate signature.
+  * Output feeds BOTH MinHash banding and the exact-Jaccard verify
+  * (SortedIntersectCount), so the corpus is tokenized exactly once.
+  */
+case class ShingleIds(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingle_ids needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_ids"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    // collect non-empty tokens (split("\\s+") yields "" before leading ws)
+    val toks = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) toks.add(t)
+      }
+      i += 1
+    }
+    val k = toks.size()
+    val nShingles = if (k < n) 1 else k - n + 1
+    val hs = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val end = if (k < n) k else s + n
+      var h = Signatures.ShingleSeed
+      var j = s
+      while (j < end) { h = XXH64.hashUTF8String(toks.get(j), h); j += 1 }
+      hs(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted)
+    var w = 0
+    var r = 0
+    while (r < nShingles) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == nShingles) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_band_keys(ids, k, bands)` → array<long>[bands]: the k
+  * MinHash slots (Broder 1997, permutation-free: slot j = min over ids of
+  * h1 ⊕ rotl(h2, j) with h2 = xxhash64(h1)) folded into one bucket key per
+  * LSH band. Documents agreeing on a whole band collide. One pass over the
+  * id set; map-only — banding needs no aggregate and no shuffle.
+  */
+case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k % bands == 0, s"k=$k must divide into bands=$bands")
+  private val rowsPerBand = k / bands
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash_band_keys needs array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData]
+    val m = ids.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h1 = ids.getLong(i)
+      val h2 = XXH64.hashLong(h1, 7777L)
+      var j = 0
+      while (j < k) {
+        val v = h1 ^ Signatures.rotl(h2, j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, 42L)
+      var j = 0
+      while (j < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + j), h); j += 1 }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(tokens)` → 64-bit SimHash (Charikar 2002): per token
+  * instance, ±1 per bit of xxhash64(token); sign of each counter is the
+  * signature bit. One pass, map-only. Empty tokens skipped.
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash needs array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val h = XXH64.hashUTF8String(t, 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_band_keys(vec)` → array<long>[bands]: random-
+  * hyperplane LSH for cosine (Charikar 2002). Band b's key packs
+  * `bitsPerBand` sign bits sign(v · plane_p). Plane components are a
+  * deterministic splitmix64 stream of (plane, dim) — regenerated lazily
+  * per executor, nothing to broadcast, identical on every node. Map-only:
+  * replaces the r02 posexplode → nBits-aggregate shuffle.
+  *
+  * `maxDim` bounds the plane matrix; input dimensions beyond it are
+  * ignored (callers pass maxDim ≥ embedding dim).
+  */
+case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, maxDim: Int = 256)
+    extends UnaryExpression with CodegenFallback {
+  require(bitsPerBand >= 1 && bitsPerBand <= 62, "band key must fit a long")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_hyperplane_band_keys needs array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_band_keys"
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** plane p, flattened: component for dim i at p*maxDim+i, uniform [-1,1]. */
+  @transient private lazy val planes: Array[Double] = {
+    val nPlanes = bands * bitsPerBand
+    val a = new Array[Double](nPlanes * maxDim)
+    var p = 0
+    while (p < nPlanes) {
+      var i = 0
+      while (i < maxDim) {
+        val u = splitmix64(p.toLong * 1000003L + i)
+        a(p * maxDim + i) = (u >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
+        i += 1
+      }
+      p += 1
+    }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = math.min(v.numElements(), maxDim)
+    val pl = planes
+    val keys = new Array[Long](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val off = p * maxDim
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += v.getDouble(i) * pl(off + i); i += 1 }
+        key = (key << 1) | (if (d > 0.0) 1L else 0L)
+        j += 1
+        p += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_normalize(vec)` → v/‖v‖₂ in one primitive pass (zero vectors pass
+  * through). The `transform(v, x -> x/n)` HOF alternative re-evaluates the
+  * norm subtree per element, interpreted. Pre-normalizing once per vector
+  * turns every downstream pairwise cosine into a single graft_dot.
+  */
+case class NormalizeVector(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_normalize needs array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = v.numElements()
+    val out = new Array[Double](m)
+    var s = 0.0
+    var i = 0
+    while (i < m) { val x = v.getDouble(i); out(i) = x; s += x * x; i += 1 }
+    if (s > 0.0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < m) { out(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

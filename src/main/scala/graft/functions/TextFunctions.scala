@@ -14,12 +14,10 @@ import org.apache.spark.sql.functions._
   * expression referenced inside a lambda is re-evaluated on every lambda
   * invocation after projection collapse. A "transform(seq(0,63), j ->
   * ...over tokens...)" therefore re-splits the document 64 times on one
-  * core — minutes per partition at sf0.1. Signature computations here are
-  * instead structured as explode → hash-aggregate: the per-element work is
-  * plain row expressions inside whole-stage codegen, and the k accumulators
-  * are ordinary min/sum aggregates with map-side partial aggregation. That
-  * shape is also the right 100 TB plan: one narrow explode, one shuffle on
-  * the doc key.
+  * core — minutes per partition at sf0.1. Whole-signature computations
+  * (shingle ids, MinHash bands, SimHash) are native single-pass
+  * expressions in graft.expressions — map-only, no explode, no shuffle
+  * (see SignatureExpressions.scala scaladoc for the plan rationale).
   */
 object TextFunctions {
 
@@ -34,33 +32,30 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** `k` MinHash values per document (Broder 1997, permutation-free): from
-    * a (id, shingles array) frame, explode shingles and run k `min` hash
-    * aggregates — returns (idCol, sig array<long>[k]). Codegen'd end to
-    * end; the only shuffle is the partial-agg'd groupBy on the id. */
-  /** Variant over pre-hashed shingle-id sets (see shingleIdSet): the k
-    * hash functions derive from the 64-bit id and one re-hash of it as
-    * h1 xor rotl(h2, j) — no string ever enters the explode/shuffle, and
-    * the same ids column feeds both signature and exact-Jaccard verify,
-    * so the corpus is tokenized once. */
-  def minhashSignaturesFromIds(df: DataFrame, idCol: String, idsCol: String, k: Int): DataFrame = {
-    val ex = df.select(col(idCol), explode(col(idsCol)).as("__h1"))
-      .select(col(idCol), col("__h1"), xxhash64(col("__h1"), lit(7777)).as("__h2"))
-    def rotl(c: Column, j: Int): Column =
-      if (j % 64 == 0) c
-      else shiftleft(c, j % 64).bitwiseOR(shiftrightunsigned(c, 64 - (j % 64)))
-    val aggs = (0 until k).map(j => min(col("__h1").bitwiseXOR(rotl(col("__h2"), j))).as(s"__m$j"))
-    ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until k).map(j => col(s"__m$j")): _*).as("sig"))
-  }
+  /** n-word shingle ids (sorted distinct xxhash64 longs) straight from the
+    * raw `split` output — one native single-pass expression, map-only (the
+    * r02 explode → k-aggregate shape paid a shuffle per signature). Empty
+    * tokens are skipped inside the expression, so callers pass
+    * `split(text, "\\s+")` without a filter HOF. */
+  def shingleIds(rawTokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.ShingleIds(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n))
 
-  /** Packs band `b` (of `rowsPerBand` signature slots) into one bucket key:
-    * docs agreeing on a whole band collide → LSH candidates. Hashes the
-    * slots directly (no polynomial accumulation — ANSI mode would overflow
-    * long on 64-bit minhash values). */
-  def minhashBandKey(sig: Column, band: Column, rowsPerBand: Int): Column =
-    xxhash64(band +: (0 until rowsPerBand).map(j =>
-      element_at(sig, (band * rowsPerBand + j + 1).cast("int"))): _*)
+  /** `bands` LSH bucket keys from the k MinHash slots of a shingle-id set
+    * (Broder 1997, permutation-free) — one pass, map-only; documents
+    * agreeing on a whole band collide. */
+  def minhashBandKeys(ids: Column, k: Int, bands: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.MinHashBandKeys(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(ids), k, bands))
+
+  /** 64-bit SimHash (Charikar 2002) from raw `split` output — one pass,
+    * map-only. */
+  def simhashSig(rawTokens: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.SimHashSig(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens)))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -69,13 +64,7 @@ object TextFunctions {
     when(uni === 0.0, 0.0).otherwise(inter / uni)
   }
 
-  /** Shingle set → sorted distinct xxhash64 ids: the representation
-    * jaccardHashed verifies in a codegen'd merge walk. Hashing runs once
-    * per document; candidate pairs then never touch strings. */
-  def shingleIdSet(shingles: Column): Column =
-    array_sort(array_distinct(transform(shingles, s => xxhash64(s))))
-
-  /** Jaccard over shingleIdSet columns — |A∩B| via the native
+  /** Jaccard over shingleIds columns — |A∩B| via the native
     * SortedIntersectCount expression, |A∪B| = |A|+|B|-|A∩B|. Equal to
     * string-set Jaccard up to 64-bit hash collisions (negligible). */
   def jaccardHashed(a: Column, b: Column): Column = {
@@ -85,23 +74,6 @@ object TextFunctions {
         org.apache.spark.sql.graftshim.ColumnExpr.expression(b))).cast("double")
     val uni = size(a).cast("double") + size(b).cast("double") - inter
     when(uni === 0.0, 0.0).otherwise(inter / uni)
-  }
-
-  /** 64-bit SimHash per document (Charikar 2002): per bit j, sum ±1 over
-    * token instances by bit j of xxhash64(token), then take the sign.
-    * Same explode → 64 sum-aggregates shape as minhashSignatures; the
-    * token hash is computed ONCE per token, bits are extracted from it.
-    * Returns (idCol, sim: long). */
-  def simhashSignatures(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    val ex = df.select(col(idCol), explode(col(toksCol)).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
-    val aggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__b$j"))
-    ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-          acc.bitwiseOR(when(col(s"__b$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
-        }.as("sim"))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -32,38 +32,23 @@ object VectorFunctions {
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
-  /** a/‖a‖ (zero vectors pass through). Pre-normalizing each side ONCE
-    * turns pairwise cosine into a single graft_dot per candidate — at k
-    * candidates per row that saves 2k norm evaluations. The norm ref
-    * inside the lambda re-evaluates per element (HOF rule), but that is
-    * dim×dim mults once per VECTOR, amortized across all its pairs. */
-  def normalized(a: Column): Column = {
-    val v = a.cast("array<double>")
-    val n = norm(v)
-    when(n === 0.0, v).otherwise(transform(v, x => x / n))
-  }
+  /** a/‖a‖ (zero vectors pass through) — native one-pass expression.
+    * Pre-normalizing each side ONCE turns pairwise cosine into a single
+    * graft_dot per candidate — at k candidates per row that saves 2k norm
+    * evaluations. */
+  def normalized(a: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.NormalizeVector(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(a.cast("array<double>"))))
 
-  /** `nBits` random-hyperplane sign bits per vector (LSH for cosine,
-    * Charikar 2002). Hyperplane p's component for dimension i is a
-    * deterministic pseudo-random in [-1,1] from xxhash64(p,i) —
-    * reproducible everywhere, no plane matrix to broadcast. Shaped as
-    * posexplode(vec) → nBits sum-aggregates (codegen'd, partial-agg'd)
-    * rather than nested lambdas, which would run interpreted and
-    * re-evaluate per plane. Returns (idCol, bits array<int>[nBits]). */
-  def hyperplaneSignatures(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String, nBits: Int): org.apache.spark.sql.DataFrame = {
-    val ex = df.select(col(idCol),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
-    val aggs = (0 until nBits).map(p =>
-      sum(col("__x") * (pmod(xxhash64(lit(p), col("__i")), lit(1000003L)).cast("double") / 500001.5 - 1.0))
-        .as(s"__d$p"))
-    ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until nBits).map(p =>
-        when(col(s"__d$p") > 0.0, 1).otherwise(0)): _*).as("bits"))
-  }
-
-  /** Packs `rowsPerBand` consecutive sign bits of band `b` into one long
-    * bucket key (LSH banding: near vectors collide in ≥1 band). */
-  def bandKey(bits: Column, band: Column, rowsPerBand: Int): Column =
-    aggregate(sequence(lit(0), lit(rowsPerBand - 1)), lit(0L),
-      (acc, j) => acc * 2 + element_at(bits, (band * rowsPerBand + j + 1).cast("int")).cast("long"))
+  /** `bands` hyperplane-LSH bucket keys of `bitsPerBand` sign bits each
+    * (Charikar 2002) — one native pass per vector, map-only (the r02
+    * posexplode → nBits-aggregate shape paid a full shuffle). Plane
+    * components are a deterministic splitmix64 stream regenerated per
+    * executor — nothing to broadcast, identical on every node. */
+  def hyperplaneBandKeys(v: Column, bands: Int, bitsPerBand: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.HyperplaneBandKeys(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(v.cast("array<double>")),
+        bands, bitsPerBand))
 }

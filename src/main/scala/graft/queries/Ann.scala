@@ -68,19 +68,15 @@ object Ann {
     // (fixed-width keys go quadratic — see Dedup.adaptiveBandBits)
     val bandBits = math.max(4,
       math.ceil(math.log(math.max(1.0, Tables.embeddings(s, d).count() / 64.0)) / math.log(2)).toInt)
+    // signatures are a map-only projection (native expression) — the
+    // corpus side is scan → project → explode with NO shuffle before the
+    // broadcast band join
     val corpusBands = corpus
-      .join(hyperplaneSignatures(corpus, "vec_id", "v", 16 * bandBits), "vec_id")
       .select(col("vec_id"), normalized(col("v")).as("u"),
-        explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
-      .select(col("vec_id"), col("u"), col("band"),
-        bandKey(col("bits"), col("band"), bandBits).as("bkey"))
-    val queries = queriesOf(s, d)
-    val queryBands = queries
-      .join(hyperplaneSignatures(queries.select(col("q_id"), col("qv")), "q_id", "qv", 16 * bandBits), "q_id")
+        posexplode(hyperplaneBandKeys(col("v"), 16, bandBits)).as(Seq("band", "bkey")))
+    val queryBands = queriesOf(s, d)
       .select(col("q_id"), normalized(col("qv")).as("qu"),
-        explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
-      .select(col("q_id"), col("qu"), col("band"),
-        bandKey(col("bits"), col("band"), bandBits).as("bkey"))
+        posexplode(hyperplaneBandKeys(col("qv"), 16, bandBits)).as(Seq("band", "bkey")))
     val cands = corpusBands.join(broadcast(queryBands),
         Seq("band", "bkey")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("u"), col("qu"))

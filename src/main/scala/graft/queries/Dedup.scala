@@ -33,15 +33,13 @@ object Dedup {
     * verify. Probability a 0.9-similar pair shares ≥1 band ≈ 1-(1-.9⁴)¹⁶
     * ≈ 0.9998; pairs below 0.8 are discarded by the verify. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // tokenize ONCE into hashed shingle-id sets; signatures and the exact
-    // verify both run on the longs — strings never leave the first scan
+    // one map-only pass builds the hashed shingle-id sets; signatures,
+    // banding AND the exact verify all run on the longs — strings never
+    // leave the first scan, and no shuffle happens before the band join
     val docs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), shingleIdSet(wordShingles(tokens(col("text")), 3)).as("ids"))
-    val sigs = minhashSignaturesFromIds(docs, "doc_id", "ids", 64)
-    val bands = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        minhashBandKey(col("sig"), col("band"), 4).as("bkey"))
+      .select(col("doc_id"), shingleIds(split(col("text"), "\\s+"), 3).as("ids"))
+    val bands = docs.select(col("doc_id"),
+      posexplode(minhashBandKeys(col("ids"), 64, 16)).as(Seq("band", "bkey")))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -60,10 +58,8 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature, pigeonhole on 4×16-bit
     * chunks (hamming ≤ 3 ⇒ ≥1 chunk identical), verify hamming ≤ 3. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSignatures(
-      Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks")),
-      "doc_id", "toks")
+    val sigs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), simhashSig(split(col("text"), "\\s+")).as("sim"))
     val chunks = sigs.select(col("doc_id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("k"))
       .select(col("doc_id"), col("sim"), col("k"),
@@ -89,7 +85,7 @@ object Dedup {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("bucket"),
-        shingleIdSet(wordShingles(tokens(col("text")), 2)).as("ids"))
+        shingleIds(split(col("text"), "\\s+"), 2).as("ids"))
     val probe = docs.select(col("doc_id"), col("lang"), col("ids"),
       explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
     probe.as("x").join(docs.as("y"),
@@ -122,10 +118,8 @@ object Dedup {
     val vecs = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bandBits = adaptiveBandBits(Tables.embeddings(s, d).count())
-    val sigs = hyperplaneSignatures(vecs, "vec_id", "v", 16 * bandBits)
-    val bands = sigs.select(col("vec_id"),
-        explode(sequence(lit(0), lit(15))).as("band"), col("bits"))
-      .select(col("vec_id"), col("band"), bandKey(col("bits"), col("band"), bandBits).as("bkey"))
+    val bands = vecs.select(col("vec_id"),
+      posexplode(hyperplaneBandKeys(col("v"), 16, bandBits)).as(Seq("band", "bkey")))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
