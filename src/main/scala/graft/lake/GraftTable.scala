@@ -142,6 +142,48 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
   }
 
+  /** MoR MERGE/upsert: source rows replace target rows with matching keys
+    * and insert otherwise, in ONE commit — an equality-delete of the
+    * source's key set plus an append of the full source. The new data
+    * files carry the commit's own seq, and the delete applies only to
+    * seq < its own, so the incoming rows are never swallowed. Write
+    * amplification is O(|source|), never O(table) — the point of
+    * merge-on-read upserts for continuous ingestion. */
+  def upsert(source: DataFrame): Long = {
+    val m = refresh()
+    require(m.keyColumns.nonEmpty, "MoR upsert needs keyColumns")
+    val seq = m.currentSnapshotId + 1 max 1
+    val aligned = align(source, schema)
+    val newFiles = writeDataFiles(aligned, seq)
+    val delFile = writeDeleteFile(
+      aligned.select(m.keyColumns.map(col): _*).distinct(), seq)
+    commitSnapshot(m, "upsert",
+      m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ newFiles,
+      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
+  }
+
+  /** Incremental append scan: rows ADDED by append/upsert snapshots with
+    * id in (fromId, toId] — the CDC-consumption read (cf. Iceberg's
+    * incremental append scan). Only files first referenced by those
+    * snapshots are touched (file seq == snapshot id), so a downstream
+    * consumer pays O(new data), never a full-table diff. `replace`
+    * snapshots (compaction rewrites) are skipped — they add no rows. */
+  def changes(fromId: Long, toId: Long): DataFrame = {
+    val m = refresh()
+    val sch = schema
+    val newFiles = m.snapshots
+      .filter(s => s.id > fromId && s.id <= toId)
+      .filter(s => s.operation == "append" || s.operation == "upsert")
+      .flatMap(s => s.dataFiles.filter(_.seq == s.id))
+    if (newFiles.isEmpty) emptyDf(sch)
+    else newFiles.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
+      spark.read
+        .option("basePath", s"$location/data/s$seq")
+        .schema(sch)
+        .parquet(files.map(f => s"$location/${f.path}"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Bin-pack compaction: materializes the current merged view (deletes
     * applied) into ~targetBytes files and commits a `replace` snapshot that
     * drops all delete files. Same rows, fewer files, no stale deletes. */

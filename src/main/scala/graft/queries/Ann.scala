@@ -87,9 +87,45 @@ object Ann {
     topK(cands)
   }
 
+  /** IVF ANN (coarse-quantizer inverted file, à la FAISS IVF-Flat): a
+    * deterministic ~√n sample of the corpus acts as coarse centroids; each
+    * corpus vector is assigned to its nearest centroid (one map-side pass
+    * against the broadcast centroid set + a single corpus shuffle to
+    * build the inverted lists — at production scale that assignment is
+    * written once as a bucketed table and amortized over every query
+    * batch); each query probes its `nprobe` nearest centroids and
+    * exact-cosine re-ranks only those lists — touching ~nprobe/√n of the
+    * corpus instead of all of it. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 8
+    val n = Tables.embeddings(s, d).count()
+    val step = math.max(1L, (n / math.ceil(math.sqrt(n.toDouble)).toLong) max 1L)
+    val corpus = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), normalized(col("embedding")).as("u"))
+    val centroids = corpus.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("c_id"), col("u").as("cu"))
+    // inverted-list build: argmax cosine over the broadcast centroids;
+    // max_by keeps the assignment inside one partial-agg'd aggregate
+    val assigned = corpus.join(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(first(col("u")).as("u"),
+        max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
+    val queries = queriesOf(s, d).select(col("q_id"), normalized(col("qv")).as("qu"))
+    val qc = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("qu"), col("c_id"), dot(col("qu"), col("cu")).as("sim"))
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qu"), col("c_id"))
+    val cands = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot(col("u"), col("qu")))
+    topK(cands)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
-    "ann_lsh" -> (annLsh _))
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _))
 
   /** Non-SQL-expressible (array math + LSH) → rows-only gate; AnnSpec
     * checks bruteforce against an in-memory exact computation. */

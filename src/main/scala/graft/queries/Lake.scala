@@ -172,7 +172,33 @@ object Lake {
       .toDF("snapshots_kept", "files_removed", "rows_after")
   }
 
+  /** MERGE/upsert: urgent orders get their price doubled (matched-update)
+    * AND re-inserted under shifted keys (not-matched-insert), one commit. */
+  def lakeMerge(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "merge", d), o, keyColumns = Seq("o_orderkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+    // ×2 exact in binary fp → both engines stay bit-identical (cf. lakeUpdate)
+    val updates = urgent.withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = urgent.withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    t.upsert(updates.unionByName(inserts))
+    statusAgg(t.scan())
+  }
+
+  /** incremental append scan: changes(1, 3] over two appends must equal
+    * exactly the appended rows — the CDC-consumption contract. */
+  def lakeIncremental(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "incremental", d),
+      o.filter(year(col("o_orderdate")) < 1995), keyColumns = Seq("o_orderkey"))
+    t.append(o.filter(year(col("o_orderdate")) === 1995))
+    t.append(o.filter(year(col("o_orderdate")) > 1995))
+    statusAgg(t.changes(1L, 3L))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_merge" -> (lakeMerge _),
+    "lake_incremental" -> (lakeIncremental _),
     "lake_rollback" -> (lakeRollback _),
     "lake_vacuum" -> (lakeVacuum _),
     "lake_create_scan" -> (lakeCreateScan _),
@@ -191,6 +217,23 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_merge" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, round(sum(p), 2) AS total
+         FROM (
+           SELECT o_orderstatus, o_totalprice AS p FROM orders
+            WHERE o_orderpriority <> '1-URGENT'
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice * 2 FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+         ) GROUP BY o_orderstatus""",
+    "lake_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE year(o_orderdate) >= 1995
+         GROUP BY o_orderstatus""",
     "lake_rollback" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total

@@ -147,10 +147,39 @@ object Stream {
     t.scan().groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming exact dedup: dropDuplicates on (lang, sha2(text)) as the
+    * documents stream in, then a per-lang distinct-text count. State is one
+    * 32-byte digest per distinct key, partitioned by key — the streaming
+    * half of dedup_exact for a continuously-ingested corpus. (Keyed on
+    * (lang, hash) rather than hash alone: the corpus has cross-language
+    * duplicate texts, and hash-only survivor choice would be arrival-order
+    * nondeterministic.) At production scale the same query runs with a
+    * watermark on ingest time to bound state to a dedup horizon. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val sfTag = d.replaceAll(".*/", "")
+    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+      s"/stream-dedup-$sfTag"
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
+      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
+    val deduped = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .dropDuplicates("lang", "h")
+      .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+    runToTable(deduped, "graft_stream_dedup", "complete")
+      .select("lang", "n_distinct")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_lake_sink" -> (streamLakeSink _))
+    "stream_lake_sink" -> (streamLakeSink _),
+    "stream_dedup" -> (streamDedup _))
 
   /** Both oracle-checkable: the stream results equal batch SQL over the
     * same events. epoch_us on both sides so the ns→µs truncation is
@@ -181,5 +210,8 @@ object Stream {
                 max(n) AS max_session_events
          FROM per_sess GROUP BY user_id""",
     "stream_lake_sink" ->
-      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type")
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "stream_dedup" ->
+      """SELECT lang, count(DISTINCT text) AS n_distinct
+         FROM documents GROUP BY lang""")
 }

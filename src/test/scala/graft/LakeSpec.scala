@@ -135,6 +135,36 @@ class LakeSpec extends AnyFunSuite {
     assert(t.scan(asOf = 1L).count() == before)
   }
 
+  test("upsert replaces matched keys and inserts new ones in one commit") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("merge"), o, keyColumns = Seq("o_orderkey"))
+    val src = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", lit(1.0))
+    val shifted = src.withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    t.upsert(src.unionByName(shifted))
+    val got = t.scan()
+    assert(got.count() == o.count() + shifted.count())
+    // matched rows rewritten, exactly once per key
+    val m = got.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 100000000L)
+    assert(m.count() == src.count())
+    assert(m.filter(col("o_totalprice") =!= 1.0).count() == 0)
+    assert(t.meta.currentSnapshot.get.operation == "upsert")
+  }
+
+  test("changes() returns exactly the rows added in a snapshot range") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("changes"),
+      o.filter(col("o_orderkey") % 3 === 0), keyColumns = Seq("o_orderkey"))
+    t.append(o.filter(col("o_orderkey") % 3 === 1))
+    t.append(o.filter(col("o_orderkey") % 3 === 2))
+    assert(t.changes(1L, 2L).count() == o.filter(col("o_orderkey") % 3 === 1).count())
+    assert(t.changes(1L, 3L).count() == o.filter(col("o_orderkey") % 3 =!= 0).count())
+    assert(t.changes(3L, 3L).count() == 0)
+    // compaction adds no rows to an incremental consumer
+    t.compact()
+    assert(t.changes(3L, 4L).count() == 0)
+  }
+
   test("rollback restores an old state; expire + vacuum GC unreferenced files") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("maint"), o, keyColumns = Seq("o_orderkey"))

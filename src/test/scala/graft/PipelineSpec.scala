@@ -109,6 +109,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits > 0, "LSH should recover some exact neighbors")
   }
 
+  test("ann_ivf returns true-cosine candidates with decent recall") {
+    val got = queries.Ann.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, id, c) => assert(math.abs(cos(vecs(q), vecs(id)) - c) < 1e-3) }
+    val qids = vecs.keys.filter(_ % 100 == 0).toSeq
+    val hits = qids.map { q =>
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val approx = got.filter(_._1 == q).map(_._2).toSet
+      (exact & approx).size
+    }.sum
+    assert(hits > 0, "IVF should recover some exact neighbors")
+  }
+
+  test("stream_dedup equals batch per-lang distinct-text counts") {
+    val streamed = streaming.Stream.streamDedup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = docs.groupBy(_._3).map { case (lang, ds) =>
+      (lang, ds.map(_._2).distinct.size.toLong)
+    }.toSet
+    assert(streamed == batch)
+  }
+
   test("text operators cover every document deterministically") {
     val n = docs.size.toLong
     assert(queries.Text.textTokens(spark, sf).count() == n)
