@@ -48,6 +48,14 @@ object FilePruner {
     * — rewrite the comparison/boolean skeleton into concrete Catalyst nodes
     * so the walk below can match; unknown functions stay opaque (→ keep). */
   private def normalize(e: Expression): Expression = e.transformUp {
+    // constant-fold literal casts (e.g. lit("1994-01-01").cast("date") →
+    // date literal as epoch-day int) so date/timestamp range predicates
+    // become prunable; anything that fails to fold stays opaque (→ keep)
+    case c: Cast if c.child.isInstanceOf[Literal] =>
+      try {
+        val withTz = if (c.timeZoneId.isEmpty && c.needsTimeZone) c.withTimeZone("UTC") else c
+        Literal(withTz.eval(null), c.dataType)
+      } catch { case _: Throwable => c }
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if u.nameParts.length == 1 && !u.isDistinct =>
       val args = u.arguments
@@ -102,7 +110,7 @@ object FilePruner {
     partValue(f, name, parts) match {
       case Some(pv) =>
         if (pv == null) false // null != x is null → row filtered
-        else (typedPartValue(pv, name, schema), litValue(l)) match {
+        else (typedPartValue(pv, name, schema), litFor(l, name, schema)) match {
           case (Some(p), Some(v)) => compare(p, v).map(_ != 0).getOrElse(true)
           case _ => true
         }
@@ -136,11 +144,11 @@ object FilePruner {
 
   private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, parts: Set[String], schema: StructType): Boolean = {
     if (op == "?") return true
-    val lv = litValue(l) match {
+    if (l.value == null) return false // col <op> NULL matches nothing
+    val lv = litFor(l, name, schema) match {
       case Some(v) => v
       case None => return true
     }
-    if (l.value == null) return false // col <op> NULL matches nothing
     partValue(f, name, parts) match {
       case Some(pv) =>
         if (pv == null) false
@@ -196,17 +204,69 @@ object FilePruner {
     }
   }
 
-  private def litValue(l: Literal): Option[V] = l.value match {
-    case null => None
-    case b: Byte => Some(LongV(b.toLong))
-    case s: Short => Some(LongV(s.toLong))
-    case i: Int => Some(LongV(i.toLong))
-    case j: Long => Some(LongV(j))
-    case f: Float => Some(DoubleV(f.toDouble))
-    case d: Double => Some(DoubleV(d))
-    case u: UTF8String => Some(StringV(u.toString))
-    case s: String => Some(StringV(s))
-    case _ => None // decimal/binary/etc: conservative
+  /** Converts a literal into the DOMAIN of `name`'s file stats, which is
+    * fixed by the column's schema type: numeric stats are the value itself,
+    * DateType stats are epoch days, TimestampType stats are epoch MICROS
+    * (GraftTable always writes TIMESTAMP_MICROS). A literal whose type
+    * can't be soundly mapped into the column's domain yields None → the
+    * file is kept. Comparing raw literal values against stats without this
+    * mapping is a correctness bug: a date literal (epoch days) against
+    * timestamp stats (micros) both look like longs and would prune
+    * essentially every file. */
+  private def litFor(l: Literal, name: String, schema: StructType): Option[V] = {
+    val colType = schema.find(_.name == name).map(_.dataType).getOrElse(return None)
+    val v = l.value
+    if (v == null) return None
+    colType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        v match {
+          case b: Byte => Some(LongV(b.toLong))
+          case s: Short => Some(LongV(s.toLong))
+          case i: Int => Some(LongV(i.toLong))
+          case j: Long => Some(LongV(j))
+          case f: Float => Some(DoubleV(f.toDouble))
+          case d: Double => Some(DoubleV(d))
+          case _ => None
+        }
+      case StringType =>
+        v match {
+          case u: UTF8String => Some(StringV(u.toString))
+          case s: String => Some(StringV(s))
+          case _ => None
+        }
+      case DateType =>
+        (l.dataType, v) match {
+          case (DateType, i: Int) => Some(LongV(i.toLong))
+          case (StringType, _) => parseDateDays(v.toString).map(LongV)
+          case _ => None
+        }
+      case TimestampType | TimestampNTZType =>
+        (l.dataType, v) match {
+          case (TimestampType | TimestampNTZType, j: Long) => Some(LongV(j))
+          // date → timestamp at UTC midnight, matching the session tz
+          // (all graft sessions run spark.sql.session.timeZone=UTC)
+          case (DateType, i: Int) => Some(LongV(i.toLong * MicrosPerDay))
+          case (StringType, _) => parseTimestampMicros(v.toString).map(LongV)
+          case _ => None
+        }
+      case _ => None // decimal/binary/etc: conservative
+    }
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  private def parseDateDays(s: String): Option[Long] =
+    try Some(java.time.LocalDate.parse(s.trim).toEpochDay)
+    catch { case _: Throwable => None }
+
+  private def parseTimestampMicros(s: String): Option[Long] = {
+    val t = s.trim
+    try {
+      val ldt = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+    } catch {
+      case _: Throwable => parseDateDays(t).map(_ * MicrosPerDay)
+    }
   }
 
   private def statValue(st: ColStats, s: String): Option[V] = st.tag match {
@@ -231,6 +291,10 @@ object FilePruner {
       case ByteType | ShortType | IntegerType | LongType => raw.toLongOption.map(LongV)
       case FloatType | DoubleType => raw.toDoubleOption.map(DoubleV)
       case StringType => Some(StringV(raw))
+      // hive partition dirs store dates as yyyy-MM-dd; stats/literals use
+      // epoch days — same domain after parsing
+      case DateType =>
+        try Some(LongV(java.time.LocalDate.parse(raw).toEpochDay)) catch { case _: Throwable => None }
       case _ => None
     }
 

@@ -198,6 +198,27 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     commitSnapshot(m, "replace", newFiles, Nil)
   }
 
+  /** Sort-order rewrite (clustering): materializes the merged view
+    * range-partitioned + sorted by `sortCols` and commits a `replace`
+    * snapshot. Files end up with DISJOINT min/max ranges on the sort
+    * columns, so stats pruning on them skips all but the matching files —
+    * the same reason Iceberg tables get rewritten with a sort order (and
+    * the 1-D core of Z-ordering). Same rows, same schema; one full-table
+    * shuffle, paid once, amortized over every pruned scan after. */
+  def rewriteSorted(sortCols: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    val m = refresh()
+    val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
+    val totalBytes = cur.dataFiles.map(_.sizeBytes).sum max 1L
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val seq = m.currentSnapshotId + 1
+    val clustered = scan(None)
+      .repartitionByRange(nOut, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val newFiles = writeDataFiles(clustered, seq)
+    commitSnapshot(m, "replace", newFiles, Nil)
+  }
+
   /** Additive schema evolution: new nullable column at the end. Old files
     * keep their physical schema and read back as NULL for the new column
     * (the read path always applies the latest schema). */

@@ -35,9 +35,13 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     // one map-only pass builds the hashed shingle-id sets; signatures,
     // banding AND the exact verify all run on the longs — strings never
-    // leave the first scan, and no shuffle happens before the band join
+    // leave the first scan, and no shuffle happens before the band join.
+    // The id frame feeds three consumers (banding + both verify sides), so
+    // it is persisted: ~10× smaller than the corpus (longs, not text), and
+    // MEMORY_AND_DISK spills rather than OOMs on a 100 TB run.
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), shingleIds(split(col("text"), "\\s+"), 3).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"),
       posexplode(minhashBandKeys(col("ids"), 64, 16)).as(Seq("band", "bkey")))
     val cands = bands.as("x").join(bands.as("y"),

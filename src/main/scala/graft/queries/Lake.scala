@@ -196,7 +196,21 @@ object Lake {
     statusAgg(t.changes(1L, 3L))
   }
 
+  /** sort-order rewrite: cluster by o_orderdate, then a date-range scan —
+    * after clustering, min/max stats prune every file outside the range
+    * (LakeSpec asserts the file-count drop; the gate checks the rows). */
+  def lakeCluster(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "cluster", d),
+      Tables.orders(s, d).repartition(8), keyColumns = Seq("o_orderkey"))
+    t.rewriteSorted(Seq("o_orderdate"), targetBytes = 256L * 1024)
+    // direct range predicate on the sort column → min/max prunable
+    statusAgg(t.scan(Some(
+      col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") <= lit("1996-12-31").cast("date"))))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_cluster" -> (lakeCluster _),
     "lake_merge" -> (lakeMerge _),
     "lake_incremental" -> (lakeIncremental _),
     "lake_rollback" -> (lakeRollback _),
@@ -217,6 +231,12 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_cluster" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY o_orderstatus""",
     "lake_merge" ->
       """SELECT o_orderstatus, count(*) AS n_orders, round(sum(p), 2) AS total
          FROM (

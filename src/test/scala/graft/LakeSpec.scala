@@ -165,6 +165,26 @@ class LakeSpec extends AnyFunSuite {
     assert(t.changes(3L, 4L).count() == 0)
   }
 
+  test("sort-order rewrite makes date-range stats pruning effective") {
+    val o = Tables.orders(spark, sf)
+    // random 8-way layout: every file spans the full date range
+    val t = GraftTable.create(spark, freshDir("cluster"), o.repartition(8),
+      keyColumns = Seq("o_orderkey"))
+    val pred = col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+      col("o_orderdate") <= lit("1996-12-31").cast("date")
+    val before = t.planFiles(Some(pred)).size
+    assert(before == t.planFiles().size, "random layout should prune nothing")
+    t.rewriteSorted(Seq("o_orderdate"), targetBytes = 8L * 1024)
+    val total = t.planFiles().size
+    val after = t.planFiles(Some(pred)).size
+    assert(total > 2, s"rewrite should produce several files, got $total")
+    assert(after < total, s"clustered layout must prune: $after of $total")
+    // rows and content unchanged
+    assert(t.scan().count() == o.count())
+    assert(t.scan(Some(pred)).count() ==
+      o.filter(pred).count())
+  }
+
   test("rollback restores an old state; expire + vacuum GC unreferenced files") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("maint"), o, keyColumns = Seq("o_orderkey"))
