@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass signature expressions for the dedup/ANN family.
@@ -255,6 +255,81 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, m
       b += 1
     }
     new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_winnow(tokens, n, w)` → struct(n_fp, fp_min, fp_sig): winnowing
+  * fingerprints (Schleimer/Wilkerson/Aiken 2003) in one pass — n-word
+  * shingle hashes, min per sliding window of w, distinct mins = the
+  * document signature (count / min / order-independent xor). Replaces a
+  * posexplode → WindowExec → two-groupBy pipeline (two shuffles + a
+  * per-doc sort) with a map-only projection. A document with fewer than
+  * w shingles contributes one whole-range fingerprint, mirroring the
+  * window shape of the r02 DataFrame formulation.
+  */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && w >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_winnow needs array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fp", LongType, nullable = false),
+    StructField("fp_min", LongType, nullable = false),
+    StructField("fp_sig", LongType, nullable = false)))
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) toks.add(t)
+      }
+      i += 1
+    }
+    val k = toks.size()
+    val nShingles = if (k < n) 1 else k - n + 1
+    val hs = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val end = if (k < n) k else s + n
+      var h = Signatures.ShingleSeed
+      var j = s
+      while (j < end) { h = XXH64.hashUTF8String(toks.get(j), h); j += 1 }
+      hs(s) = h
+      s += 1
+    }
+    // rolling window-min (w is small; O(nShingles·w) beats deque setup)
+    val nWin = if (nShingles < w) 1 else nShingles - w + 1
+    val mins = new Array[Long](nWin)
+    var e = 0
+    while (e < nWin) {
+      val from = e
+      val to = if (nShingles < w) nShingles else e + w
+      var mn = Long.MaxValue
+      var j = from
+      while (j < to) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      mins(e) = mn
+      e += 1
+    }
+    java.util.Arrays.sort(mins)
+    var nFp = 0L
+    var sig = 0L
+    var r = 0
+    while (r < nWin) {
+      if (r == 0 || mins(r) != mins(r - 1)) { nFp += 1; sig ^= mins(r) }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nFp, mins(0), sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

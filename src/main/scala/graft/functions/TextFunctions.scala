@@ -79,30 +79,12 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): rolling
-    * hashes of `n`-word shingles, min hash per sliding window of `w`,
-    * distinct mins = the document signature. Shaped as posexplode → sliding
-    * window-min (WindowExec partitioned by doc, ~|shingles| rows each) →
-    * per-doc aggregate, instead of a nested-lambda slice scan that would
-    * re-hash the document once per window position.
-    * Returns (idCol, n_fp, fp_min, fp_sig). */
-  def winnowFingerprintsDf(df: DataFrame, idCol: String, toksCol: String, n: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol),
-      posexplode(wordShingles(col(toksCol), n)).as(Seq("__pos", "__s")))
-      .select(col(idCol), col("__pos"), xxhash64(col("__s")).as("__h"))
-    val byDoc = Window.partitionBy(idCol).orderBy("__pos").rowsBetween(-(w - 1), 0)
-    val cnt = Window.partitionBy(idCol)
-    val mins = sh
-      .withColumn("__mh", min(col("__h")).over(byDoc))
-      .withColumn("__n", count(lit(1)).over(cnt))
-      // keep only full windows; short docs (< w shingles) keep their last
-      // row, whose window covers every shingle — one whole-doc fingerprint
-      .filter(col("__pos") >= w - 1 || (col("__n") < w && col("__pos") === col("__n") - 1))
-    mins.groupBy(col(idCol), col("__mh")).agg(count(lit(1)).as("__dup"))
-      .groupBy(idCol).agg(
-        count(lit(1)).as("n_fp"),
-        min(col("__mh")).as("fp_min"),
-        expr("bit_xor(__mh)").as("fp_sig"))
-  }
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) as one native
+    * pass over the raw `split` output — struct(n_fp, fp_min, fp_sig),
+    * map-only (the r02 posexplode → WindowExec → groupBy shape paid two
+    * shuffles and a per-doc sort). */
+  def winnowFingerprint(rawTokens: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.WinnowFingerprint(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n, w))
 }

@@ -34,4 +34,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
       .filter(exists).sorted.toSeq
+
+  /** Registers every catalog table (plus `<name>__snapshots` /
+    * `<name>__files` metadata tables) as temp views, so the whole
+    * warehouse is queryable from `spark.sql` — the SQL-access analog of
+    * the reference's catalog lookup feeding its table AM
+    * (pg_catalog.cpp:204-260). Views resolve against the CURRENT snapshot
+    * at registration; re-register after commits for fresh reads. */
+  def registerViews(): Unit =
+    list().foreach { name =>
+      val t = table(name)
+      t.scan().createOrReplaceTempView(name)
+      t.snapshots.createOrReplaceTempView(s"${name}__snapshots")
+      t.files().createOrReplaceTempView(s"${name}__files")
+    }
 }

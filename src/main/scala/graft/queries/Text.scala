@@ -71,13 +71,15 @@ object Text {
   }
 
   /** winnowing fingerprints (3-word shingles, window 4): set size, min, and
-    * an order-independent xor signature per document. [rows] */
+    * an order-independent xor signature per document — one native map-only
+    * pass, no shuffle (two-step select so the struct expression is
+    * evaluated once, not once per extracted field). [rows] */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
-    winnowFingerprintsDf(
-      Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks")),
-      "doc_id", "toks", 3, 4)
-      .select("doc_id", "n_fp", "fp_min", "fp_sig")
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        winnowFingerprint(split(col("text"), "\\s+"), 3, 4).as("w"))
+      .select(col("doc_id"), col("w.n_fp").as("n_fp"),
+        col("w.fp_min").as("fp_min"), col("w.fp_sig").as("fp_sig"))
 
   /** fixed-size token chunking with overlap (size 64, stride 48) — the
     * standard pre-tokenization step for LLM training shards. One chunk row

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft_* functions must be callable from plain SQL once registered
+  * (extension-library contract: spark.sql.extensions=graft.GraftExtensions
+  * or GraftExtensions.register). */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  GraftExtensions.register(spark)
+
+  test("graft_dot and graft_normalize from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_dot(graft_normalize(array(3.0d, 4.0d)), graft_normalize(array(3.0d, 4.0d))) AS unit"
+    ).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("graft_shingle_ids + graft_sorted_intersect_count give SQL jaccard") {
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect_count(
+           graft_shingle_ids(split('a b c d', ' '), 2),
+           graft_shingle_ids(split('a b c x', ' '), 2)) AS inter,
+         size(graft_shingle_ids(split('a b c d', ' '), 2)) AS n""").head()
+    assert(r.getLong(0) == 2L) // "a b", "b c" shared; "c d" vs "c x" differ
+    assert(r.getInt(1) == 3)
+  }
+
+  test("signature functions are deterministic across invocations") {
+    val q = "SELECT graft_simhash(split('the quick brown fox', ' ')) AS s, " +
+      "graft_minhash_band_keys(graft_shingle_ids(split('the quick brown fox', ' '), 2), 64, 16) AS mk, " +
+      "graft_hyperplane_band_keys(array(0.1d, -0.2d, 0.3d), 4, 4) AS hk, " +
+      "graft_winnow(split('a b c d e f g h', ' '), 3, 4) AS w"
+    val a = spark.sql(q).head()
+    val b = spark.sql(q).head()
+    assert(a == b)
+    assert(a.getSeq[Long](1).length == 16)
+    assert(a.getSeq[Long](2).length == 4)
+    assert(a.getStruct(3).getLong(0) > 0)
+  }
+}

@@ -108,6 +108,13 @@ class LakeSpec extends AnyFunSuite {
     assert(cat.exists("orders_t"))
     assert(cat.list() == Seq("orders_t"))
     assert(cat.table("orders_t").scan().count() == Tables.orders(spark, sf).count())
+    // SQL access through registered views, incl. metadata tables
+    cat.registerViews()
+    assert(spark.sql("SELECT count(*) FROM orders_t").head().getLong(0) ==
+      Tables.orders(spark, sf).count())
+    assert(spark.sql("SELECT count(*) FROM orders_t__snapshots").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT sum(row_count) FROM orders_t__files").head().getLong(0) ==
+      Tables.orders(spark, sf).count())
     assert(cat.drop("orders_t"))
     assert(!cat.exists("orders_t"))
   }
