@@ -55,8 +55,38 @@ object Multimodal {
         round(element_at(col("feat"), 8), 4).as("f7"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_pipeline" -> (mmDecodePipeline _))
+  /** frame sampling over a multi-frame binary payload: the payload is
+    * treated as fixed-size frames (256 bytes — a real container would use
+    * codec frame boundaries); every 4th frame is extracted with binary
+    * `substring` and fingerprinted. Shape: sequence → posexplode → per-
+    * frame column work — map-only, no shuffle, the frame-parallel layout a
+    * video/audio pipeline needs (each frame row can fan out to its own
+    * decode task). Frame extraction itself is codegen'd column work; only
+    * the per-frame feature is the deterministic stub. [rows] */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    val frameBytes = 256
+    val stride = 4
+    val withPayload = graft.Tables.documents(s, d).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    withPayload
+      .select(col("doc_id"), col("payload"), nFrames.as("n_frames"),
+        posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+          .as(Seq("sample_idx", "frame_idx")))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .cast("long").as("frame_bytes"),
+        xxhash64(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_fingerprint"))
+  }
 
-  val oracles: Map[String, String] = Map.empty // stubbed decode → rows-only
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_pipeline" -> (mmDecodePipeline _),
+    "mm_frame_sample" -> (mmFrameSample _))
+
+  /** frame geometry (counts + sampled frame lengths) is SQL-expressible;
+    * the fingerprint column is excluded from the oracle-checkable subset,
+    * so mm_frame_sample gates on rows + the spec's byte-true assertions. */
+  val oracles: Map[String, String] = Map.empty
 }

@@ -155,6 +155,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_frame_sample extracts byte-true sampled frames") {
+    val rows = queries.Multimodal.mmFrameSample(spark, sf).collect()
+    val byId = docs.map(d => d._1 -> d._2.getBytes("UTF-8")).toMap
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val (id, nf, fi, fb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val payload = byId(id)
+      assert(nf == math.ceil(payload.length / 256.0).toLong)
+      assert(fi % 4 == 0 && fi < math.max(nf, 1L))
+      val expectLen = math.min(256L, payload.length - fi * 256L)
+      assert(fb == math.max(expectLen, 0L), s"doc $id frame $fi")
+    }
+    // every doc appears, with ceil(nFrames/4) sampled frames
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.keySet == byId.keySet)
+    perDoc.foreach { case (id, rs) =>
+      val nf = math.max(1L, math.ceil(byId(id).length / 256.0).toLong)
+      assert(rs.length == ((nf - 1) / 4 + 1), s"doc $id")
+    }
+  }
+
   test("stream_window_agg equals the batch time-bucket aggregation") {
     val streamed = streaming.Stream.streamWindowAgg(spark, sf)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
