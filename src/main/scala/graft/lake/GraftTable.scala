@@ -40,6 +40,7 @@ import scala.collection.mutable.ArrayBuffer
   * supported scheme (file:, hdfs:, s3a:, ...), not just local paths.
   */
 class GraftTable private (val spark: SparkSession, val location: String) {
+  import GraftTable.{ConflictMode, MergeAny, MergeUnlessNewData, ReplaceExact}
 
   private val hconf = spark.sessionState.newHadoopConf()
   private val root = new Path(location)
@@ -105,8 +106,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val m = refresh()
     val seq = m.currentSnapshotId + 1 max 1
     val newFiles = writeDataFiles(align(df, schema), seq)
-    commitSnapshot(m, "append", m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ newFiles,
-      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+    commitRetrying(m, "append", seq, newFiles, Nil, MergeAny)
   }
 
   /** MoR DELETE: writes an equality-delete file with the key columns of the
@@ -119,8 +119,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val seq = m.currentSnapshotId + 1 max 1
     val keys = scan(None).filter(where).select(m.keyColumns.map(col): _*).distinct()
     val delFile = writeDeleteFile(keys, seq)
-    commitSnapshot(m, "delete", m.currentSnapshot.map(_.dataFiles).getOrElse(Nil),
-      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
+    commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
   }
 
   /** MoR UPDATE = equality-delete of the matched keys + append of the
@@ -138,8 +137,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // write data first, then the delete keys (both before the commit point)
     val newFiles = writeDataFiles(align(rewritten, schema), seq)
     val delFile = writeDeleteFile(matched.select(m.keyColumns.map(col): _*).distinct(), seq)
-    commitSnapshot(m, "update", m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ newFiles,
-      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
+    commitRetrying(m, "update", seq, newFiles, delFile, MergeUnlessNewData)
   }
 
   /** MoR MERGE/upsert: source rows replace target rows with matching keys
@@ -157,9 +155,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val newFiles = writeDataFiles(aligned, seq)
     val delFile = writeDeleteFile(
       aligned.select(m.keyColumns.map(col): _*).distinct(), seq)
-    commitSnapshot(m, "upsert",
-      m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ newFiles,
-      m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ delFile)
+    commitRetrying(m, "upsert", seq, newFiles, delFile, MergeAny)
   }
 
   /** Incremental append scan: rows ADDED by append/upsert snapshots with
@@ -195,7 +191,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val seq = m.currentSnapshotId + 1
     val merged = scan(None).coalesce(nOut)
     val newFiles = writeDataFiles(merged, seq)
-    commitSnapshot(m, "replace", newFiles, Nil)
+    commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
   }
 
   /** Sort-order rewrite (clustering): materializes the merged view
@@ -216,7 +212,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val newFiles = writeDataFiles(clustered, seq)
-    commitSnapshot(m, "replace", newFiles, Nil)
+    commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
   }
 
   /** Additive schema evolution: new nullable column at the end. Old files
@@ -236,7 +232,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def rollback(snapshotId: Long): Long = {
     val m = refresh()
     val target = m.snapshot(snapshotId)
-    commitSnapshot(m, "rollback", target.dataFiles, target.deleteFiles)
+    commitRetrying(m, "rollback", m.currentSnapshotId + 1 max 1,
+      target.dataFiles, target.deleteFiles, ReplaceExact, replaceLists = true)
   }
 
   /** Trims the snapshot log to the most recent `keepLast` entries (the
@@ -333,7 +330,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   private def writeDataFiles(df: DataFrame, seq: Long): Seq[DataFileMeta] = {
     val m = meta
-    val tmp = new Path(root, s"_tmp_s$seq")
+    // nonce in staging dir AND file names: concurrent writers never collide
+    // even when both target the same provisional sequence directory
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(root, s"_tmp_$nonce")
     fs.delete(tmp, true)
     val w = if (m.partitionColumns.nonEmpty) df.write.partitionBy(m.partitionColumns: _*) else df.write
     withMicrosTimestamps { w.mode("overwrite").parquet(tmp.toString) }
@@ -344,7 +344,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val rel = relDir(tmp, src) // partition sub-path ("" or "p=F[/q=x]")
       val destDir = if (rel.isEmpty) destBase else new Path(destBase, rel)
       fs.mkdirs(destDir)
-      val dest = new Path(destDir, f"f$i%05d.parquet")
+      val dest = new Path(destDir, f"f$nonce-$i%05d.parquet")
       if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
       val (rows, stats) = ParquetStats.read(hconf, dest)
       val size = fs.getFileStatus(dest).getLen
@@ -357,13 +357,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   }
 
   private def writeDeleteFile(keys: DataFrame, seq: Long): Seq[DeleteFileMeta] = {
-    val tmp = new Path(root, s"_tmp_d$seq")
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(root, s"_tmp_d$nonce")
     fs.delete(tmp, true)
     withMicrosTimestamps { keys.coalesce(1).write.mode("overwrite").parquet(tmp.toString) }
     val destDir = new Path(root, s"deletes/s$seq")
     fs.mkdirs(destDir)
     val out = listParquet(tmp).sortBy(_.toString).zipWithIndex.map { case (src, i) =>
-      val dest = new Path(destDir, f"f$i%05d.parquet")
+      val dest = new Path(destDir, f"f$nonce-$i%05d.parquet")
       if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
       val (rows, _) = ParquetStats.read(hconf, dest)
       DeleteFileMeta(s"deletes/s$seq/${dest.getName}", seq, rows)
@@ -424,6 +425,74 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     id
   }
 
+  /** Optimistic-retry commit (Iceberg-style): if another writer committed
+    * first, re-validate against the fresh metadata per `mode`, relocate the
+    * already-written files to the new sequence directory (one O(1) rename —
+    * data is never rewritten), and re-attempt. Files written by THIS commit
+    * are identified by seq == the provisional sequence; `replace` commits
+    * carry forward older files untouched. */
+  private[lake] def commitRetrying(
+      base: TableMetadata,
+      op: String,
+      writtenSeq: Long,
+      newData: Seq[DataFileMeta],
+      newDeletes: Seq[DeleteFileMeta],
+      mode: ConflictMode,
+      replaceLists: Boolean = false): Long = {
+    var m = base
+    var curSeq = writtenSeq
+    var data = newData
+    var dels = newDeletes
+    var attempts = 0
+    while (true) {
+      if (m.currentSnapshotId != base.currentSnapshotId) {
+        mode match {
+          case ReplaceExact =>
+            sys.error(s"$op conflicts with concurrent commit " +
+              s"${m.currentSnapshotId} (table rewrite requires a quiet table); retry the operation")
+          case MergeUnlessNewData =>
+            val added = m.snapshots.filter(_.id > base.currentSnapshotId)
+              .exists(s => s.dataFiles.exists(_.seq == s.id))
+            if (added) sys.error(s"$op read snapshot ${base.currentSnapshotId} but a " +
+              "concurrent commit added data files; re-run against the current state")
+          case MergeAny => ()
+        }
+      }
+      val want = m.currentSnapshotId + 1 max 1
+      if (want != curSeq) {
+        // relocate only the files THIS commit wrote (seq == curSeq), one
+        // rename each — the provisional seq dir may be shared with a
+        // concurrent writer, so a whole-directory rename would drag its
+        // files along. File names are nonce-unique, so no collisions.
+        def move(kind: String, relPath: String): String = {
+          val rel = relPath.stripPrefix(s"$kind/s$curSeq/")
+          val from = new Path(root, relPath)
+          val to = new Path(root, s"$kind/s$want/$rel")
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to)) sys.error(s"relocate $from -> $to failed")
+          s"$kind/s$want/$rel"
+        }
+        data = data.map(f => if (f.seq == curSeq)
+          f.copy(path = move("data", f.path), seq = want) else f)
+        dels = dels.map(f => if (f.seq == curSeq)
+          f.copy(path = move("deletes", f.path), seq = want) else f)
+        curSeq = want
+      }
+      val (allData, allDels) =
+        if (replaceLists) (data, dels)
+        else (m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ data,
+          m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ dels)
+      try return commitSnapshot(m, op, allData, allDels)
+      catch {
+        case e: RuntimeException if attempts < 5 &&
+            e.getMessage != null && e.getMessage.contains("concurrent commit") =>
+          attempts += 1
+          m = refresh()
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Atomic commit: write tmp, rename to the versioned name. A concurrent
     * committer racing to the same version loses the rename — optimistic
     * concurrency like Iceberg's metadata swap (the reference funnels this
@@ -431,12 +500,26 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   private[lake] def writeMeta(m: TableMetadata): Unit = {
     val dir = new Path(root, "metadata")
     fs.mkdirs(dir)
-    val tmp = new Path(dir, f"_tmp_v${m.version}%05d.json")
+    // nonce'd tmp: two racing committers must never collide on the staging
+    // file (a shared name let the loser truncate the winner's half-written
+    // metadata — found by the racing-appends spec)
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(dir, f"_tmp_${nonce}_v${m.version}%05d.json")
     val dst = new Path(dir, f"v${m.version}%05d.json")
     val out = fs.create(tmp, true)
     try out.write(Meta.toJson(m).getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst) || !fs.rename(tmp, dst))
+    // In-JVM committers serialize on a per-location lock, which makes the
+    // exists+rename check-then-act race-free for local[*] (POSIX rename
+    // overwrites silently, so the check alone is TOCTOU). Cross-process
+    // safety rides on rename-fails-if-dst-exists, which HDFS-class stores
+    // guarantee — same posture as Iceberg's HadoopTableOperations.
+    val committed = GraftTable.commitLock(location).synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!committed) {
+      fs.delete(tmp, false)
       sys.error(s"concurrent commit detected at version ${m.version}")
+    }
     cached = m
   }
 
@@ -459,6 +542,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  /** Per-table-location commit lock: serializes in-JVM committers so the
+    * local-FS exists+rename sequence is race-free under local[*]. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[lake] def commitLock(location: String): Object =
+    commitLocks.computeIfAbsent(location, _ => new Object)
+
+  /** Conflict policy when a commit loses the optimistic race. */
+  sealed trait ConflictMode
+  /** additive commit (append/upsert): remerge onto whatever won. */
+  case object MergeAny extends ConflictMode
+  /** predicate-scoped commit (delete/update): remerge unless a concurrent
+    * commit ADDED data files our scan never saw (write-skew guard). */
+  case object MergeUnlessNewData extends ConflictMode
+  /** whole-table rewrite (compact/cluster/rollback): abort on any change —
+    * replacing the file list would silently drop the winner's commit. */
+  case object ReplaceExact extends ConflictMode
 
   /** Creates a table at `location` (must not already be one), committing an
     * empty v1 metadata then the initial append snapshot from `df`. */

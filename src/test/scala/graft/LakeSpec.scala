@@ -119,6 +119,34 @@ class LakeSpec extends AnyFunSuite {
     assert(!cat.exists("orders_t"))
   }
 
+  test("concurrent appends from racing threads all commit via optimistic retry") {
+    val o = Tables.orders(spark, sf).limit(50)
+    val loc = freshDir("concurrent")
+    GraftTable.create(spark, loc, o, keyColumns = Seq("o_orderkey"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // 4 writers × 3 appends, each through its OWN handle, genuinely racing
+    val futures = (1 to 4).map { _ =>
+      Future {
+        val t = GraftTable.load(spark, loc)
+        (1 to 3).foreach(_ => t.append(o))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val fresh = GraftTable.load(spark, loc)
+    assert(fresh.meta.snapshots.map(_.id).sorted == (1L to 13L),
+      "all 13 commits must land with consecutive snapshot ids")
+    assert(fresh.scan().count() == 13 * 50)
+    // every referenced file must actually exist (relocation left no danglers)
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(loc)
+    val hfs = rootP.getFileSystem(hconf)
+    fresh.meta.currentSnapshot.get.dataFiles.foreach { f =>
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(rootP, f.path)), f.path)
+    }
+  }
+
   test("two handles on one table interleave appends without losing commits") {
     val o = Tables.orders(spark, sf)
     val loc = freshDir("race")
