@@ -215,6 +215,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
   }
 
+  /** Partition evolution: later appends use the new partition spec; files
+    * already written keep their old layout and stay scannable (partition
+    * values are recorded PER FILE, so the pruner consults whatever each
+    * file actually has and falls back to min/max stats otherwise — exactly
+    * Iceberg's per-manifest partition-spec behavior). Metadata-only. */
+  def setPartitioning(cols: Seq[String]): Unit = {
+    val m = refresh()
+    val known = schema.fieldNames.toSet
+    cols.foreach(c => require(known.contains(c), s"unknown partition column $c"))
+    writeMeta(m.copy(version = m.version + 1, partitionColumns = cols))
+  }
+
   /** Additive schema evolution: new nullable column at the end. Old files
     * keep their physical schema and read back as NULL for the new column
     * (the read path always applies the latest schema). */

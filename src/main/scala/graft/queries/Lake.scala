@@ -209,7 +209,24 @@ object Lake {
         col("o_orderdate") <= lit("1996-12-31").cast("date"))))
   }
 
+  /** partition evolution: table starts unpartitioned, later appends land
+    * under a status-partitioned layout; a status-filtered scan prunes the
+    * new files by partition value and keeps old files via stats fallback
+    * (LakeSpec asserts the file counts; gate checks the rows). */
+  def lakePartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "partition_evolution", d),
+      o.filter(year(col("o_orderdate")) < 1996), keyColumns = Seq("o_orderkey"))
+    t.setPartitioning(Seq("o_orderstatus"))
+    t.append(o.filter(year(col("o_orderdate")) >= 1996))
+    t.scan(Some(col("o_orderstatus") === "F"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_partition_evolution" -> (lakePartitionEvolution _),
     "lake_cluster" -> (lakeCluster _),
     "lake_merge" -> (lakeMerge _),
     "lake_incremental" -> (lakeIncremental _),
@@ -231,6 +248,11 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_partition_evolution" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority""",
     "lake_cluster" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total

@@ -175,11 +175,59 @@ object Stream {
       .select("lang", "n_distinct")
   }
 
+  /** Stream-static enrichment join: the events stream joins a broadcast
+    * dimension derived from batch state (per-type max value), then
+    * aggregates. The static side is planned ONCE and broadcast to every
+    * micro-batch — the standard shape for enriching a 100 TB/day stream
+    * with reference data without shuffling the stream. (Threshold is
+    * 0.5·max — exact in floating point, so both engines agree on the
+    * boundary rows.) */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.events(s, d)
+      .groupBy("event_type").agg(max(col("value")).as("type_max"))
+    val agg = readEvents(s, stageInput(s, "join", d))
+      .join(broadcast(dim), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("type_max") * 0.5, 1L).otherwise(0L)).as("n_above_half"))
+    runToTable(agg, "graft_stream_join", "complete")
+      .select("event_type", "n_events", "n_above_half")
+  }
+
+  /** Streaming signature extraction: the native single-pass signature
+    * expressions are STATELESS projections, so the whole dedup front end
+    * (shingle ids, SimHash, MinHash band keys) runs unchanged inside a
+    * stream — map-only per micro-batch, no state store at all. Returns
+    * one signature row per document ([rows]; PipelineSpec asserts equality
+    * with the batch computation). */
+  def streamSignatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sfTag = d.replaceAll(".*/", "")
+    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+      s"/stream-sigs-$sfTag"
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
+      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
+    val sigs = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(dir)
+      .select(col("doc_id"),
+        simhashSig(split(col("text"), "\\s+")).as("simhash"),
+        size(shingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
+    runToTable(sigs, "graft_stream_signatures", "append")
+      .select("doc_id", "simhash", "n_shingles")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_lake_sink" -> (streamLakeSink _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_join" -> (streamJoin _),
+    "stream_signatures" -> (streamSignatures _))
 
   /** Both oracle-checkable: the stream results equal batch SQL over the
     * same events. epoch_us on both sides so the ns→µs truncation is
@@ -213,5 +261,13 @@ object Stream {
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct
-         FROM documents GROUP BY lang""")
+         FROM documents GROUP BY lang""",
+    "stream_join" ->
+      """WITH dim AS (SELECT event_type, max(value) AS type_max
+                      FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN e.value > d.type_max * 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_above_half
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         GROUP BY e.event_type""")
 }

@@ -200,6 +200,26 @@ class LakeSpec extends AnyFunSuite {
     assert(t.changes(3L, 4L).count() == 0)
   }
 
+  test("partition evolution: new spec prunes new files, old files stay scannable") {
+    val o = Tables.orders(spark, sf)
+    val oldHalf = o.filter(col("o_orderkey") % 2 === 0)
+    val newHalf = o.filter(col("o_orderkey") % 2 === 1)
+    val t = GraftTable.create(spark, freshDir("pevo"), oldHalf,
+      keyColumns = Seq("o_orderkey"))
+    t.setPartitioning(Seq("o_orderstatus"))
+    t.append(newHalf)
+    val total = t.planFiles().size
+    val pruned = t.planFiles(Some(col("o_orderstatus") === "F"))
+    // every old (unpartitioned) file must survive; new files prune to F only
+    val oldFiles = t.meta.currentSnapshot.get.dataFiles.filter(_.partitionValues.isEmpty)
+    assert(oldFiles.nonEmpty && pruned.size < total)
+    assert(oldFiles.forall(f => pruned.exists(_.path == f.path)),
+      "pre-evolution files must be conservatively kept")
+    assert(t.scan(Some(col("o_orderstatus") === "F")).count() ==
+      o.filter(col("o_orderstatus") === "F").count())
+    assert(t.scan().count() == o.count())
+  }
+
   test("sort-order rewrite makes date-range stats pruning effective") {
     val o = Tables.orders(spark, sf)
     // random 8-way layout: every file spans the full date range

@@ -176,6 +176,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_signatures equals batch signature extraction per document") {
+    import graft.functions.TextFunctions._
+    val streamed = streaming.Stream.streamSignatures(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        simhashSig(split(col("text"), "\\s+")).as("simhash"),
+        size(shingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream_window_agg equals the batch time-bucket aggregation") {
     val streamed = streaming.Stream.streamWindowAgg(spark, sf)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
