@@ -63,8 +63,35 @@ object ParquetStats {
       case s: FloatStatistics => Some(("d", s.getMin.toDouble.toString, s.getMax.toDouble.toString, nulls))
       case s: DoubleStatistics => Some(("d", s.getMin.toString, s.getMax.toString, nulls))
       case s: BinaryStatistics if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        Some(("s", s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8, nulls))
+        truncatedRange(s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+          .map { case (mn, mx) => ("s", mn, mx, nulls) }
       case _ => None
+    }
+  }
+
+  /** Max stored length for string min/max. A document table's text column
+    * would otherwise copy whole documents into every metadata version
+    * (Iceberg truncates at 16 bytes for the same reason). */
+  private val MaxStatLen = 64
+
+  /** Truncation that preserves pruning soundness: a truncated MIN is a
+    * prefix, i.e. ≤ the true min; a truncated MAX must be bumped to a
+    * string ≥ the true max (prefix with last char incremented). If the
+    * bump is impossible (all 64 chars are ￿) the range is unusable →
+    * no stats for the column. */
+  private def truncatedRange(mn: String, mx: String): Option[(String, String)] = {
+    val lo = if (mn.length <= MaxStatLen) mn else mn.substring(0, MaxStatLen)
+    if (mx.length <= MaxStatLen) return Some((lo, mx))
+    // bump only an ASCII char: incrementing into surrogate ranges would
+    // put invalid UTF-16 in the metadata JSON, and the pruner only
+    // compares ASCII bounds anyway (parquet uses unsigned byte order)
+    val prefix = mx.substring(0, MaxStatLen).toCharArray
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) >= 0x7F) i -= 1
+    if (i < 0) None
+    else {
+      prefix(i) = (prefix(i) + 1).toChar
+      Some((lo, new String(prefix, 0, i + 1)))
     }
   }
 

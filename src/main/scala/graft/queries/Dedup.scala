@@ -139,7 +139,50 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over the near-dup pair graph → one canonical
+    * representative (min doc_id) per duplicate cluster: the decision step
+    * a production pipeline runs after pair generation ("keep one copy per
+    * cluster"). Min-label propagation over the symmetrized edge list —
+    * each iteration is one join + one map-side-combined min aggregate, and
+    * labels converge in O(log(cluster diameter)) iterations; near-dup
+    * clusters are near-cliques, so 8 rounds is far beyond convergence at
+    * any corpus size (a production job would loop until a converged-count
+    * aggregate fixes, same plan per round). No driver-side graph. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (eager) after the pair generation and after every
+    // propagation round: iterative DataFrame algorithms otherwise double
+    // their lineage per round and re-run the whole LSH pipeline 2^rounds
+    // times. A cluster job with strict fault-tolerance needs would use
+    // reliable checkpoints to a checkpoint dir instead — same plan shape.
+    val pairs = dedupMinhashLsh(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // label(v) starts as v; each round: label(v) = min(label(v), min over
+    // neighbors' labels). Loop to a FIXED POINT (no label changed) — near-
+    // dup clusters are near-cliques so this is ~3 rounds, and the check
+    // makes convergence a guarantee instead of an iteration-count guess.
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val viaNeighbors = edges.join(labels, edges("b_id") === labels("id"))
+        .select(edges("a_id").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels, Seq("id", "label"), "left_anti").isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),

@@ -200,6 +200,23 @@ class LakeSpec extends AnyFunSuite {
     assert(t.changes(3L, 4L).count() == 0)
   }
 
+  test("string stats are truncated with sound bounds (no document bodies in metadata)") {
+    val docs = Tables.documents(spark, sf)
+    val t = GraftTable.create(spark, freshDir("strstats"), docs,
+      keyColumns = Seq("doc_id"))
+    val st = t.meta.currentSnapshot.get.dataFiles.head.stats("text")
+    assert(st.min.length <= 65 && st.max.length <= 65,
+      s"stats must be truncated, got ${st.min.length}/${st.max.length}")
+    // bounds stay sound: every text row is within [min, max]
+    val (mn, mx) = (st.min, st.max)
+    val out = docs.select(min(col("text")), max(col("text"))).head()
+    assert(mn <= out.getString(0) && mx >= out.getString(1))
+    // and a text filter still loses no rows
+    val some = docs.select(col("text")).head().getString(0)
+    assert(t.scan(Some(col("text") === some)).count() ==
+      docs.filter(col("text") === some).count())
+  }
+
   test("partition evolution: new spec prunes new files, old files stay scannable") {
     val o = Tables.orders(spark, sf)
     val oldHalf = o.filter(col("o_orderkey") % 2 === 0)

@@ -39,6 +39,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("dedup_cluster matches union-find over the minhash pair graph") {
+    val pairs = queries.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // in-memory union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(v => v -> find(v)).filter(p => p._1 != p._2).toMap
+    val got = queries.Dedup.dedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth, s"missing=${truth.toSet -- got.toSet} extra=${got.toSet -- truth.toSet}")
+  }
+
   test("dedup_simhash returns verified low-hamming pairs incl. planted dups") {
     val rows = queries.Dedup.dedupSimhash(spark, sf).collect()
     assert(rows.nonEmpty)
