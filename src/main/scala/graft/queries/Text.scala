@@ -106,7 +106,31 @@ object Text {
       .orderBy(col("n").desc, col("word").asc)
       .limit(100)
 
+  /** PII redaction — the standard scrub pass before corpus release:
+    * email / phone-shaped / 4+-digit-run patterns replaced with typed
+    * sentinels, plus per-doc counts of each. Pure regexp column work
+    * (patterns chosen to behave identically under Java regex and RE2 so
+    * the DuckDB oracle can verify byte-for-byte: no lookaround, no
+    * backrefs). Map-only at any scale. [oracle] */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+    val longDigits = "[0-9]{4,}"
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>"),
+        longDigits, "<NUM>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$email', 0)")).as("n_emails"),
+      length(redacted).as("n_chars_redacted"),
+      substring(redacted, 1, 80).as("head_redacted"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> (textPiiRedact _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -115,6 +139,18 @@ object Text {
     "text_vocab" -> (textVocab _))
 
   val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                length(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                  '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+                  '[0-9]{4,}', '<NUM>', 'g')) AS n_chars_redacted,
+                substring(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                  '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+                  '[0-9]{4,}', '<NUM>', 'g'), 1, 80) AS head_redacted
+         FROM documents""",
     "text_tokens" ->
       """SELECT doc_id,
                 len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_ws_tokens,

@@ -164,6 +164,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(l.count() == n)
     assert(l.filter(col("pred_lang").isNull).count() == 0)
     assert(queries.Text.textFingerprint(spark, sf).count() == n)
+    val pii = queries.Text.textPiiRedact(spark, sf)
+    assert(pii.count() == n)
+    assert(pii.filter(col("head_redacted").rlike("[0-9]{4,}")).count() == 0,
+      "no long digit runs survive redaction")
   }
 
   test("mm_decode_pipeline preserves every record with byte-true metadata") {
