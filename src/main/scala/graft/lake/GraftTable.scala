@@ -212,7 +212,32 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val newFiles = writeDataFiles(clustered, seq)
-    commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
+    commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true,
+      propUpdates = Map("sort.order" -> sortCols.mkString(",")))
+  }
+
+  /** Table properties (Iceberg-style string map; metadata-only commit). */
+  def setProperty(key: String, value: String): Unit = {
+    val m = refresh()
+    writeMeta(m.copy(version = m.version + 1, properties = m.props + (key -> value)))
+  }
+  def property(key: String): Option[String] = meta.props.get(key)
+
+  /** Exactly-once streaming-sink append: Structured Streaming re-delivers
+    * a micro-batch after failure with the SAME batchId, so the sink must
+    * be idempotent per (query, batchId). The last committed id is kept in
+    * a table property and checked against a fresh metadata read before
+    * appending; a replayed batch is a no-op. foreachBatch calls are
+    * serialized per query, so check-then-commit here is race-free. */
+  def appendStreamBatch(df: DataFrame, batchId: Long): Long = {
+    val key = "stream.lastBatchId"
+    val m = refresh()
+    val last = m.props.get(key).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return m.currentSnapshotId // replay → idempotent skip
+    val seq = m.currentSnapshotId + 1 max 1
+    val newFiles = writeDataFiles(align(df, schema), seq)
+    commitRetrying(m, "append", seq, newFiles, Nil, MergeAny,
+      propUpdates = Map(key -> batchId.toString))
   }
 
   /** Partition evolution: later appends use the new partition spec; files
@@ -428,12 +453,14 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       base: TableMetadata,
       op: String,
       dataFiles: Seq[DataFileMeta],
-      deleteFiles: Seq[DeleteFileMeta]): Long = {
+      deleteFiles: Seq[DeleteFileMeta],
+      propUpdates: Map[String, String] = Map.empty): Long = {
     val id = base.currentSnapshotId + 1 max 1
     val snap = Snapshot(id, base.currentSnapshotId, System.currentTimeMillis(), op,
       dataFiles, deleteFiles)
     writeMeta(base.copy(version = base.version + 1, currentSnapshotId = id,
-      snapshots = base.snapshots :+ snap))
+      snapshots = base.snapshots :+ snap,
+      properties = base.props ++ propUpdates))
     id
   }
 
@@ -450,7 +477,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       newData: Seq[DataFileMeta],
       newDeletes: Seq[DeleteFileMeta],
       mode: ConflictMode,
-      replaceLists: Boolean = false): Long = {
+      replaceLists: Boolean = false,
+      propUpdates: Map[String, String] = Map.empty): Long = {
     var m = base
     var curSeq = writtenSeq
     var data = newData
@@ -494,7 +522,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         if (replaceLists) (data, dels)
         else (m.currentSnapshot.map(_.dataFiles).getOrElse(Nil) ++ data,
           m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++ dels)
-      try return commitSnapshot(m, op, allData, allDels)
+      try return commitSnapshot(m, op, allData, allDels, propUpdates)
       catch {
         case e: RuntimeException if attempts < 5 &&
             e.getMessage != null && e.getMessage.contains("concurrent commit") =>

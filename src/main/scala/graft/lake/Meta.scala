@@ -53,7 +53,13 @@ case class TableMetadata(
     partitionColumns: Seq[String],
     keyColumns: Seq[String],// equality-delete key (MoR delete/update)
     currentSnapshotId: Long,// -1 if no snapshot yet
-    snapshots: Seq[Snapshot]) {
+    snapshots: Seq[Snapshot],
+    properties: Map[String, String] = Map.empty) { // table properties (Iceberg-style)
+
+  /** null-safe properties (metadata written before the field existed
+    * deserializes it as null). */
+  def props: Map[String, String] =
+    if (properties == null) Map.empty else properties
 
   def snapshot(id: Long): Snapshot =
     snapshots.find(_.id == id).getOrElse(

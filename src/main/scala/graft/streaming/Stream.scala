@@ -140,7 +140,9 @@ object Stream {
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => t.append(batch); () }
+      // exactly-once per micro-batch: a replayed batchId is skipped by the
+      // table's stream.lastBatchId property (LakeStreamSpec asserts it)
+      .foreachBatch { (batch: DataFrame, id: Long) => t.appendStreamBatch(batch, id); () }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -19,5 +19,16 @@ class LakeStreamSpec extends AnyFunSuite {
     // create (empty) + 2 micro-batch appends
     assert(t.meta.snapshots.map(_.operation) == Seq("append", "append", "append"))
     assert(t.meta.snapshots.length == 3)
+    // exactly-once: the sink recorded the last batch id, and a REPLAY of an
+    // already-committed micro-batch is an idempotent no-op
+    assert(t.property("stream.lastBatchId").contains("1"))
+    val before = t.scan().count()
+    val replayed = t.appendStreamBatch(Tables.events(spark, sf).limit(10), 1L)
+    assert(replayed == t.meta.currentSnapshotId)
+    assert(t.meta.snapshots.length == 3, "replayed batch must not commit")
+    assert(t.scan().count() == before)
+    // a NEW batch id still appends
+    t.appendStreamBatch(Tables.events(spark, sf).limit(10), 2L)
+    assert(t.scan().count() == before + 10)
   }
 }
