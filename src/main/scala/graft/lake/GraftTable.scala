@@ -252,6 +252,65 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     writeMeta(m.copy(version = m.version + 1, partitionColumns = cols))
   }
 
+  /** Z-order rewrite: multi-dimensional clustering (Delta's OPTIMIZE
+    * ZORDER analog, the 2-D+ generalization of rewriteSorted). Each
+    * column is normalized to a 16-bit fixed-point rank using the table's
+    * OWN file stats (global min/max merged driver-side — no extra data
+    * pass), the ranks are bit-interleaved into one Z-value, and the table
+    * is range-partitioned + sorted by it. Files then have locality in
+    * EVERY z-ordered dimension, so min/max pruning works for range
+    * predicates on any of them — at the cost of each being ~√ as tight
+    * as a dedicated 1-D sort. The Z-value is a codegen'd column
+    * expression; the rewrite is one full shuffle, paid once. */
+  def rewriteZOrdered(cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(cols.length >= 2, "z-order needs >= 2 columns (use rewriteSorted for 1)")
+    val m = refresh()
+    val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
+    val bits = 16
+    // global [min,max] per column from the manifest stats
+    def bounds(name: String): (Double, Double) = {
+      val vals = cur.dataFiles.map { f =>
+        val st = f.stats.getOrElse(name,
+          sys.error(s"z-order column $name has no stats (unsupported type?)"))
+        st.tag match {
+          case "l" => (st.min.toDouble, st.max.toDouble)
+          case "d" => (st.min.toDouble, st.max.toDouble)
+          case t => sys.error(s"z-order column $name has non-numeric stats tag '$t'")
+        }
+      }
+      (vals.map(_._1).min, vals.map(_._2).max)
+    }
+    val ranks: Seq[Column] = cols.map { name =>
+      val (lo, hi) = bounds(name)
+      val range = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val scaled = (col(name).cast("double") - lit(lo)) / lit(range) * lit((1 << bits) - 1)
+      org.apache.spark.sql.functions.greatest(lit(0L),
+        org.apache.spark.sql.functions.least(lit((1L << bits) - 1), scaled.cast("long")))
+    }
+    // interleave: z = Σ_bit Σ_col ((rank_c >> bit) & 1) << (bit*nCols + c)
+    val n = cols.length
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      ranks.zipWithIndex.foldLeft(acc) { case (a, (r, c)) =>
+        // stay in LONG arithmetic throughout: shift positions reach
+        // bits*nCols-1 (>31), which would sign-overflow an int lane
+        a.bitwiseOR(org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.shiftrightunsigned(r, bit).bitwiseAND(lit(1L)),
+          bit * n + c))
+      }
+    }
+    val totalBytes = cur.dataFiles.map(_.sizeBytes).sum max 1L
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val seq = m.currentSnapshotId + 1
+    val clustered = scan(None)
+      .withColumn("__zkey", zkey)
+      .repartitionByRange(nOut, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+    val newFiles = writeDataFiles(clustered, seq)
+    commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true,
+      propUpdates = Map("zorder.by" -> cols.mkString(",")))
+  }
+
   /** Additive schema evolution: new nullable column at the end. Old files
     * keep their physical schema and read back as NULL for the new column
     * (the read path always applies the latest schema). */

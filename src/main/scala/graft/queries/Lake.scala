@@ -225,7 +225,18 @@ object Lake {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** z-order rewrite: 2-D clustering on (o_orderkey, o_custkey); a range
+    * scan on the SECOND dimension still prunes files (LakeSpec asserts
+    * both dimensions prune; the gate checks the rows). */
+  def lakeZorder(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "zorder", d),
+      Tables.orders(s, d).repartition(8), keyColumns = Seq("o_orderkey"))
+    t.rewriteZOrdered(Seq("o_orderkey", "o_custkey"), targetBytes = 256L * 1024)
+    statusAgg(t.scan(Some(col("o_custkey") < 400)))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
     "lake_cluster" -> (lakeCluster _),
     "lake_merge" -> (lakeMerge _),
@@ -248,6 +259,11 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_zorder" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_custkey < 400
+         GROUP BY o_orderstatus""",
     "lake_partition_evolution" ->
       """SELECT o_orderpriority, count(*) AS n,
                 round(sum(o_totalprice), 2) AS total

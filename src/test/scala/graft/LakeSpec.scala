@@ -257,6 +257,27 @@ class LakeSpec extends AnyFunSuite {
       o.filter(pred).count())
   }
 
+  test("z-order rewrite makes range pruning effective on BOTH dimensions") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("zorder"), o.repartition(8),
+      keyColumns = Seq("o_orderkey"))
+    val pk = col("o_orderkey") < 200
+    val pc = col("o_custkey") < 40
+    assert(t.planFiles(Some(pk)).size == t.planFiles().size,
+      "random layout prunes nothing on orderkey")
+    t.rewriteZOrdered(Seq("o_orderkey", "o_custkey"), targetBytes = 8L * 1024)
+    val total = t.planFiles().size
+    assert(total > 3, s"expected several files, got $total")
+    val afterK = t.planFiles(Some(pk)).size
+    val afterC = t.planFiles(Some(pc)).size
+    assert(afterK < total, s"orderkey prune: $afterK of $total")
+    assert(afterC < total, s"custkey prune: $afterC of $total")
+    assert(t.property("zorder.by").contains("o_orderkey,o_custkey"))
+    // content identical
+    assert(t.scan().count() == o.count())
+    assert(t.scan(Some(pk && pc)).count() == o.filter(pk && pc).count())
+  }
+
   test("rollback restores an old state; expire + vacuum GC unreferenced files") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("maint"), o, keyColumns = Seq("o_orderkey"))
