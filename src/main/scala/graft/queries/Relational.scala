@@ -227,7 +227,41 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** q21: correlated aggregate comparison — customers whose spend exceeds
+    * 2× their own nation's average spend. Expressed as two aggregate
+    * levels + a broadcast join of the tiny per-nation frame; Catalyst
+    * plans the correlated SQL form identically (decorrelation to joins),
+    * so the DataFrame shape IS the decorrelated plan. Rounding both the
+    * comparison operands the same way on both engines keeps the boundary
+    * rows deterministic. */
+  def q21CorrelatedAgg(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val perNation = perCust.groupBy(col("c_nationkey"))
+      .agg(round(avg(col("spend")), 2).as("nation_avg"))
+    perCust.join(broadcast(perNation), "c_nationkey")
+      .filter(col("spend") > col("nation_avg") * 2)
+      .select(col("c_custkey"), col("spend"), col("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
+  /** q22: approximate distinct (HyperLogLog++) next to the exact count —
+    * the cardinality sketch every 100 TB profiling pass uses (exact
+    * distinct shuffles every key; the sketch is mergeable map-side state).
+    * Sketch values are engine-specific → rows-only gate; RelationalSpec
+    * bounds the relative error against the exact count. */
+  def q22ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_correlated_agg" -> (q21CorrelatedAgg _),
+    "q22_approx_distinct" -> (q22ApproxDistinct _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
     "q02_agg_groupby" -> (q02AggGroupBy _),
     "q03_join_broadcast" -> (q03JoinBroadcast _),
@@ -252,6 +286,17 @@ object Relational {
   /** DuckDB-equivalent SQL, column-aliased identically (driver compare
     * sorts columns by name then hashes values). */
   val oracles: Map[String, String] = Map(
+    "q21_correlated_agg" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS spend
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey, c_nationkey),
+         per_nation AS (
+           SELECT c_nationkey, round(avg(spend), 2) AS nation_avg
+           FROM per_cust GROUP BY c_nationkey)
+         SELECT p.c_custkey, p.spend, n.nation_avg
+         FROM per_cust p JOIN per_nation n ON p.c_nationkey = n.c_nationkey
+         WHERE p.spend > n.nation_avg * 2""",
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem

@@ -52,6 +52,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(semi + anti == total)
   }
 
+  test("q21 flags only customers spending > 2x their nation average") {
+    val rows = queries.Relational.q21CorrelatedAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > r.getDouble(2) * 2))
+  }
+
+  test("q22 approx distinct stays within the configured error bound") {
+    val rows = queries.Relational.q22ApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      // rsd 0.02 → generous 10% acceptance band (HLL++ tail risk)
+      assert(math.abs(approx - exact) / math.max(exact, 1.0) < 0.10,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
