@@ -384,6 +384,35 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       "n_data_files", "n_delete_files", "total_rows")
   }
 
+  /** Table-level per-column statistics merged from the current snapshot's
+    * file stats — the profiling view an optimizer or data engineer reads
+    * without touching data (Iceberg's `partitions`/column-metrics analog).
+    * Pure driver-side metadata fold, O(files). */
+  def columnStats: DataFrame = {
+    val sp = spark; import sp.implicits._
+    val files = meta.currentSnapshot.map(_.dataFiles).getOrElse(Nil)
+    val rows = schema.fieldNames.toSeq.map { name =>
+      val sts = files.flatMap(_.stats.get(name))
+      val nulls = sts.map(_.nulls).sum
+      val nFiles = sts.length.toLong
+      val (mn, mx) = sts.headOption.map { h =>
+        def lo(a: String, b: String) = h.tag match {
+          case "l" => if (a.toLong <= b.toLong) a else b
+          case "d" => if (a.toDouble <= b.toDouble) a else b
+          case _ => if (a <= b) a else b
+        }
+        def hi(a: String, b: String) = h.tag match {
+          case "l" => if (a.toLong >= b.toLong) a else b
+          case "d" => if (a.toDouble >= b.toDouble) a else b
+          case _ => if (a >= b) a else b
+        }
+        (sts.map(_.min).reduce(lo), sts.map(_.max).reduce(hi))
+      }.getOrElse(("", ""))
+      (name, nFiles, nulls, mn, mx)
+    }
+    rows.toDF("column", "n_files_with_stats", "n_nulls", "min", "max")
+  }
+
   /** Data-file manifest of the current (or asOf) snapshot. */
   def files(asOf: Long = -1L): DataFrame = {
     val sp = spark; import sp.implicits._
@@ -400,9 +429,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     spark.createDataFrame(new java.util.ArrayList[Row](), sch)
 
   /** Projects df onto `sch` (order + types), filling absent columns with
-    * NULL — the append-side half of schema evolution. */
+    * NULL — the append-side half of schema evolution. Columns the table
+    * does NOT have are an error: silently dropping writer data is the
+    * worst failure mode a table format can have (add the column first —
+    * addColumn — then append). */
   private def align(df: DataFrame, sch: StructType): DataFrame = {
     val have = df.columns.toSet
+    val known = sch.fieldNames.toSet
+    val unknown = df.columns.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"source has columns not in the table schema: ${unknown.mkString(", ")} " +
+        "(use addColumn to evolve the schema first)")
     df.select(sch.fields.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)

@@ -235,7 +235,17 @@ object Lake {
     statusAgg(t.scan(Some(col("o_custkey") < 400)))
   }
 
+  /** table-level column statistics metadata view — global min/max/nulls
+    * folded from the manifest on the driver ([rows] + LakeSpec asserts
+    * the bounds contain the data). */
+  def lakeColumnStats(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "column_stats", d),
+      Tables.orders(s, d).repartition(4), keyColumns = Seq("o_orderkey"))
+    t.columnStats.orderBy("column")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
     "lake_cluster" -> (lakeCluster _),

@@ -235,15 +235,23 @@ object Relational {
     * comparison operands the same way on both engines keeps the boundary
     * rows deterministic. */
   def q21CorrelatedAgg(s: SparkSession, d: String): DataFrame = {
+    // exact integer-cents arithmetic end to end: double summation order is
+    // nondeterministic in the last ulp, and a customer sitting exactly on
+    // the 2×-average boundary flipped the gate (found by a flaky r02 run).
+    // Long sums are order-independent, so both the filter and the
+    // displayed values are bit-stable on both engines.
     val perCust = Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_custkey"), col("c_nationkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     val perNation = perCust.groupBy(col("c_nationkey"))
-      .agg(round(avg(col("spend")), 2).as("nation_avg"))
+      .agg(sum(col("cents")).as("nation_cents"), count(lit(1)).as("n_cust"))
     perCust.join(broadcast(perNation), "c_nationkey")
-      .filter(col("spend") > col("nation_avg") * 2)
-      .select(col("c_custkey"), col("spend"), col("nation_avg"))
+      // spend > 2 × nation average, entirely in integer space
+      .filter(col("cents") * col("n_cust") > col("nation_cents") * 2)
+      .select(col("c_custkey"),
+        round(col("cents") / 100.0, 2).as("spend"),
+        round(col("nation_cents") / col("n_cust") / 100.0, 2).as("nation_avg"))
       .orderBy("c_custkey")
   }
 
@@ -288,15 +296,20 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q21_correlated_agg" ->
       """WITH per_cust AS (
-           SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS spend
+           SELECT c_custkey, c_nationkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM customer JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey, c_nationkey),
          per_nation AS (
-           SELECT c_nationkey, round(avg(spend), 2) AS nation_avg
+           SELECT c_nationkey,
+                  CAST(sum(cents) AS BIGINT) AS nation_cents,
+                  count(*) AS n_cust
            FROM per_cust GROUP BY c_nationkey)
-         SELECT p.c_custkey, p.spend, n.nation_avg
+         SELECT p.c_custkey,
+                round(p.cents / 100.0, 2) AS spend,
+                round(n.nation_cents / n.n_cust / 100.0, 2) AS nation_avg
          FROM per_cust p JOIN per_nation n ON p.c_nationkey = n.c_nationkey
-         WHERE p.spend > n.nation_avg * 2""",
+         WHERE p.cents * n.n_cust > n.nation_cents * 2""",
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem

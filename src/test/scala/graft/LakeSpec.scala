@@ -257,6 +257,31 @@ class LakeSpec extends AnyFunSuite {
       o.filter(pred).count())
   }
 
+  test("append rejects columns the table does not have") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("strict"), o, keyColumns = Seq("o_orderkey"))
+    val ex = intercept[IllegalArgumentException] {
+      t.append(o.withColumn("surprise", lit(1)))
+    }
+    assert(ex.getMessage.contains("surprise"))
+    // evolution-then-append is the sanctioned path
+    t.addColumn("surprise", "INT")
+    t.append(o.limit(5).withColumn("surprise", lit(1)))
+    assert(t.scan().count() == o.count() + 5)
+  }
+
+  test("columnStats bounds contain the actual data") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("colstats"), o.repartition(4),
+      keyColumns = Seq("o_orderkey"))
+    val st = t.columnStats.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getString(3), r.getString(4))).toMap
+    val (nf, mn, mx) = st("o_orderkey")
+    assert(nf == t.meta.currentSnapshot.get.dataFiles.size.toLong)
+    val bounds = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+    assert(mn.toLong == bounds.getLong(0) && mx.toLong == bounds.getLong(1))
+  }
+
   test("z-order rewrite makes range pruning effective on BOTH dimensions") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("zorder"), o.repartition(8),

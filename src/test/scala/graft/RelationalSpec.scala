@@ -55,7 +55,9 @@ class RelationalSpec extends AnyFunSuite {
   test("q21 flags only customers spending > 2x their nation average") {
     val rows = queries.Relational.q21CorrelatedAgg(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getDouble(1) > r.getDouble(2) * 2))
+    // displayed values are rounded to cents; the filter itself is exact
+    // integer arithmetic, so allow the rounding slack on the check
+    rows.foreach(r => assert(r.getDouble(1) > r.getDouble(2) * 2 - 0.02))
   }
 
   test("q22 approx distinct stays within the configured error bound") {
