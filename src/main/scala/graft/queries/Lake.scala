@@ -35,7 +35,7 @@ object Lake {
   private def statusAgg(df: DataFrame): DataFrame =
     df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.sum2(col("o_totalprice")).as("total"))
 
   // ---- §2.2 operators ------------------------------------------------------
 
@@ -94,7 +94,7 @@ object Lake {
       .withColumn("o_tier", substring(col("o_orderpriority"), 1, 1)))
     t.scan().groupBy("o_tier")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.sum2(col("o_totalprice")).as("total"))
   }
 
   /** partition-column filter prunes whole partitions at plan time. */
@@ -104,7 +104,7 @@ object Lake {
     t.scan(Some(col("o_orderstatus") === "F"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.sum2(col("o_totalprice")).as("total"))
   }
 
   /** min/max file skipping: range-clustered files, point-range predicate.
@@ -116,7 +116,7 @@ object Lake {
       keyColumns = Seq("o_orderkey"))
     t.scan(Some(col("o_orderkey") < 500))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.sum2(col("o_totalprice")).as("total"))
   }
 
   /** bin-pack compaction after a MoR delete: fewer files, same rows, delete
@@ -222,7 +222,7 @@ object Lake {
     t.scan(Some(col("o_orderstatus") === "F"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.sum2(col("o_totalprice")).as("total"))
   }
 
   /** z-order rewrite: 2-D clustering on (o_orderkey, o_custkey); a range
@@ -271,22 +271,22 @@ object Lake {
   val oracles: Map[String, String] = Map(
     "lake_zorder" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_custkey < 400
          GROUP BY o_orderstatus""",
     "lake_partition_evolution" ->
       """SELECT o_orderpriority, count(*) AS n,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderpriority""",
     "lake_cluster" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders
          WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
          GROUP BY o_orderstatus""",
     "lake_merge" ->
-      """SELECT o_orderstatus, count(*) AS n_orders, round(sum(p), 2) AS total
+      """SELECT o_orderstatus, count(*) AS n_orders, round(CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM (
            SELECT o_orderstatus, o_totalprice AS p FROM orders
             WHERE o_orderpriority <> '1-URGENT'
@@ -299,50 +299,50 @@ object Lake {
          ) GROUP BY o_orderstatus""",
     "lake_incremental" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE year(o_orderdate) >= 1995
          GROUP BY o_orderstatus""",
     "lake_rollback" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_create_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_append_commit" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE year(o_orderdate) < 1996 GROUP BY o_orderstatus""",
     "lake_mor_delete" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderpriority <> '1-URGENT'
          GROUP BY o_orderstatus""",
     "lake_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(CASE WHEN o_orderstatus = 'F'
+                round(CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'
                                THEN o_totalprice * 2
-                               ELSE o_totalprice END), 2) AS total
+                               ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_schema_evolution" ->
       """SELECT CASE WHEN year(o_orderdate) >= 1996
                      THEN substring(o_orderpriority, 1, 1) END AS o_tier,
-                count(*) AS n, round(sum(o_totalprice), 2) AS total
+                count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY 1""",
     "lake_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
     "lake_stats_prune" ->
-      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderkey < 500""",
     "lake_compaction" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""")
 }

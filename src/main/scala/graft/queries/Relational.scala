@@ -18,8 +18,10 @@ import graft.Tables
   *
   * Conventions for DuckDB-oracle parity (driver hash-compares values):
   *  - every computed column is aliased identically in Spark and SQL;
-  *  - floating aggregates are rounded (sum→2dp, avg/ratio→4dp) on BOTH
-  *    sides so engine-specific summation order can't flip the hash;
+  *  - money/metric aggregates go through `Money` (exact integer-unit
+  *    sums, divide-then-round once) — plain `round(sum(double), 2)` is
+  *    order-nondeterministic in the last ulp and flips the hash at a
+  *    half-cent boundary (observed on q21 in r02);
   *  - window/top-k orderings always carry a unique tie-break key.
   */
 object Relational {
@@ -41,10 +43,10 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Money.sum2(col("l_extendedprice")).as("sum_base_price"),
+        Money.sum2(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Money.avg4(col("l_discount"), 100).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** q03: fact⋈dim with an explicit broadcast of the dimension — no
@@ -53,7 +55,7 @@ object Relational {
     Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(round(sum(col("o_totalprice")), 2).as("segment_total"),
+      .agg(Money.sum2(col("o_totalprice")).as("segment_total"),
         count(lit(1)).as("n_orders"))
 
   /** q04: 5-way star join (TPC-H Q5 shape). Dims (supplier, nation,
@@ -74,7 +76,7 @@ object Relational {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Money.sum2(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("revenue"))
   }
 
   /** q05: EXISTS → left-semi join (no row multiplication, early out). */
@@ -100,12 +102,13 @@ object Relational {
   def q07OuterJoin(s: SparkSession, d: String): DataFrame = {
     val perCust = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("__n"), sum(col("o_totalprice")).as("__sum"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
     Tables.customer(s, d)
       .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"),
         coalesce(col("__n"), lit(0L)).as("n_orders"),
-        round(coalesce(col("__sum"), lit(0.0)), 2).as("total_spent"))
+        round(coalesce(col("__cents"), lit(0L)) / 100.0, 2).as("total_spent"))
   }
 
   /** q08: distinct aggregation (expand + two-phase agg under the hood). */
@@ -149,8 +152,12 @@ object Relational {
     * as a broadcast of the 1-row aggregate, not a driver collect. */
   def q11SubqueryScalar(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d)
-    p.crossJoin(broadcast(p.agg(avg(col("p_retailprice")).as("avg_price"))))
-      .filter(col("p_retailprice") > col("avg_price"))
+    // price > global average, compared in exact integer cents (see Money)
+    val stats = p.agg(
+      sum(round(col("p_retailprice") * 100).cast("long")).as("__cents"),
+      count(lit(1)).as("__n"))
+    p.crossJoin(broadcast(stats))
+      .filter(round(col("p_retailprice") * 100).cast("long") * col("__n") > col("__cents"))
       .select("p_partkey", "p_name", "p_retailprice")
   }
 
@@ -173,8 +180,8 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("hi_disc_revenue"),
-        round(sum(when(col("l_discount") <= 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("lo_disc_revenue"),
+        Money.sum2(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))).as("hi_disc_revenue"),
+        Money.sum2(when(col("l_discount") <= 0.05, col("l_extendedprice")).otherwise(lit(0.0))).as("lo_disc_revenue"),
         count(lit(1)).as("n"))
 
   /** q15: string functions — all codegen'd builtins, no UDFs. */
@@ -195,7 +202,7 @@ object Relational {
       .groupBy(year(col("o_orderdate")).as("order_year"),
         month(col("o_orderdate")).as("order_month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("month_total"))
+        Money.sum2(col("o_totalprice")).as("month_total"))
 
   /** q17: UNION + dedup (distinct = shuffle on the row value). */
   def q17SetOps(s: SparkSession, d: String): DataFrame =
@@ -208,7 +215,7 @@ object Relational {
     Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.sum2(col("o_totalprice")).as("total"))
       .filter(col("n_orders") > 5)
 
   /** q19: ROLLUP grouping sets. */
@@ -224,7 +231,7 @@ object Relational {
     Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
+        Money.sum2(col("value"), 1000000L).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   /** q21: correlated aggregate comparison — customers whose spend exceeds
@@ -317,21 +324,21 @@ object Relational {
     "q02_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
+                round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS sum_disc_price,
                 round(avg(l_quantity), 4) AS avg_qty,
-                round(avg(l_discount), 4) AS avg_disc,
+                round(CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0, 4) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q03_join_broadcast" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS segment_total,
+      """SELECT c_mktsegment, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS segment_total,
                 count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q04_join_multiway" ->
       """SELECT n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -351,7 +358,7 @@ object Relational {
                              AND o_orderpriority = '1-URGENT')""",
     "q07_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-                round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+                round(coalesce(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT), 0) / 100.0, 2) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
     "q08_agg_distinct" ->
@@ -374,7 +381,10 @@ object Relational {
          FROM orders""",
     "q11_subquery_scalar" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""",
+         WHERE CAST(round(p_retailprice * 100) AS BIGINT) *
+               (SELECT count(*) FROM part)
+               > (SELECT CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                  FROM part)""",
     "q12_subquery_in" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
@@ -385,8 +395,8 @@ object Relational {
          LIMIT 20""",
     "q14_conditional_agg" ->
       """SELECT l_returnflag,
-                round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS hi_disc_revenue,
-                round(sum(CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS lo_disc_revenue,
+                round(CAST(sum(CAST(round((CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS hi_disc_revenue,
+                round(CAST(sum(CAST(round((CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS lo_disc_revenue,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q15_string_funcs" ->
@@ -399,7 +409,7 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
                 CAST(month(o_orderdate) AS INTEGER) AS order_month,
                 count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS month_total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS month_total
          FROM orders GROUP BY 1, 2""",
     "q17_set_ops" ->
       """SELECT c_nationkey AS nationkey FROM customer
@@ -407,7 +417,7 @@ object Relational {
          SELECT s_nationkey AS nationkey FROM supplier""",
     "q18_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_custkey HAVING count(*) > 5""",
     "q19_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -415,7 +425,7 @@ object Relational {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q20_skew_agg" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour,
-                count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""")
 }

@@ -61,7 +61,7 @@ object Stream {
     val agg = readEvents(s, stageInput(s, "winagg", d))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.queries.Money.sum2(col("value"), 1000000L).as("sum_value"))
     runToTable(agg, "graft_stream_window_agg", "complete")
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
@@ -237,7 +237,7 @@ object Stream {
   val oracles: Map[String, String] = Map(
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-                count(*) AS n_events, round(sum(value), 2) AS sum_value
+                count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value
          FROM events GROUP BY 1, 2""",
     "stream_sessionize" ->
       """WITH t AS (
