@@ -62,6 +62,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .getOrElse(Nil)
   }
 
+  /** Snapshot id current AS OF `timestampMs` — the latest snapshot
+    * committed at or before that wall-clock time (Iceberg's
+    * time-travel-by-timestamp form). -1 if the table had no snapshot yet. */
+  def snapshotAsOfTime(timestampMs: Long): Long = {
+    val m = meta
+    m.snapshots.filter(_.timestampMs <= timestampMs) match {
+      case Nil => -1L
+      case hits => hits.maxBy(_.timestampMs).id
+    }
+  }
+
+  /** Time travel by wall-clock timestamp: scan the snapshot that was
+    * current at `timestampMs`. */
+  def scanAsOfTime(timestampMs: Long, filter: Option[Column] = None): DataFrame = {
+    val id = snapshotAsOfTime(timestampMs)
+    require(id >= 0, s"no snapshot existed at $timestampMs")
+    scan(filter, asOf = id)
+  }
+
   /** Snapshot read. `filter` both prunes files (driver-side metadata) and is
     * re-applied to rows, so pruning can never change results. `asOf` = time
     * travel to an older snapshot id (cf. the snapshot_id every scan open

@@ -160,6 +160,22 @@ class LakeSpec extends AnyFunSuite {
     assert(fresh.scan().count() == 40)
   }
 
+  test("time travel by timestamp resolves the snapshot current at that instant") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("tt-time"),
+      o.filter(col("o_orderkey") % 2 === 0), keyColumns = Seq("o_orderkey"))
+    val ts1 = t.meta.currentSnapshot.get.timestampMs
+    Thread.sleep(5) // ensure distinct commit timestamps
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    val ts2 = t.meta.currentSnapshot.get.timestampMs
+    assert(t.snapshotAsOfTime(ts1 - 1) == -1L)
+    assert(t.scanAsOfTime(ts1).count() == o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(t.scanAsOfTime((ts1 + ts2) / 2).count() ==
+      o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(t.scanAsOfTime(ts2).count() == o.count())
+    intercept[IllegalArgumentException] { t.scanAsOfTime(0L) }
+  }
+
   test("time travel still sees rows that a later MoR delete removed") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("ttdel"), o, keyColumns = Seq("o_orderkey"))
