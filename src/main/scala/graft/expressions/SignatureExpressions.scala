@@ -93,6 +93,54 @@ case class ShingleIds(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_ngram_ids(tokens, n)` → ORDER-PRESERVING, NON-distinct xxhash64
+  * ids of the n-grams — the language-model companion to ShingleIds (which
+  * is sorted+distinct for set semantics). A document with fewer than n
+  * tokens yields an empty array (no n-grams exist — unlike ShingleIds's
+  * whole-doc fallback, an LM must not invent one). Position i of the
+  * output is the n-gram starting at token i, so `element_at` aligns
+  * unigram and bigram streams for conditional-probability lookups.
+  */
+case class NGramIds(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n-gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_ngram_ids needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_ids"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) toks.add(t)
+      }
+      i += 1
+    }
+    val k = toks.size()
+    val out = new Array[Long](math.max(0, k - n + 1))
+    var s = 0
+    while (s < out.length) {
+      var h = Signatures.ShingleSeed
+      var j = s
+      while (j < s + n) { h = XXH64.hashUTF8String(toks.get(j), h); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_minhash_band_keys(ids, k, bands)` → array<long>[bands]: the k
   * MinHash slots (Broder 1997, permutation-free: slot j = min over ids of
   * h1 ⊕ rotl(h2, j) with h2 = xxhash64(h1)) folded into one bucket key per

@@ -42,6 +42,14 @@ object TextFunctions {
       graft.expressions.ShingleIds(
         org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n))
 
+  /** Order-preserving non-distinct n-gram ids from raw `split` output —
+    * the LM-statistics companion to shingleIds (empty array when the doc
+    * has fewer than n tokens). */
+  def ngramIds(rawTokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.NGramIds(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n))
+
   /** `bands` LSH bucket keys from the k MinHash slots of a shingle-id set
     * (Broder 1997, permutation-free) — one pass, map-only; documents
     * agreeing on a whole band collide. */

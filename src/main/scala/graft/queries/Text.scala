@@ -129,7 +129,46 @@ object Text {
       substring(redacted, 1, 80).as("head_redacted"))
   }
 
+  /** Bigram language-model quality score — the perplexity-proxy filter
+    * every pretraining pipeline runs: score(doc) = mean over bigrams of
+    * log P(w₂|w₁) under add-one smoothing, with corpus counts estimated
+    * from the corpus itself. Two-phase: (1) global unigram/bigram counts
+    * (explode → partial-agg'd groupBy on hashed ids — the shuffle carries
+    * one row per DISTINCT n-gram per partition, not per token); (2)
+    * per-doc scoring joins the exploded bigram stream against the counts
+    * (broadcast at dictionary scale; falls back to a shuffle join for an
+    * open-vocabulary corpus, which Catalyst decides from sizes). Per-doc
+    * mean uses Money-style integer micro-log units so the result is
+    * bit-stable under any partitioning. [rows + spec vs in-memory] */
+  def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), ngramIds(toks, 1).as("ugs"), ngramIds(toks, 2).as("bgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniCounts = docs.select(explode(col("ugs")).as("ug"))
+      .groupBy("ug").agg(count(lit(1)).as("cu"))
+    val biCounts = docs.select(explode(col("bgs")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val perBigram = docs
+      .select(col("doc_id"), col("ugs"), posexplode(col("bgs")).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("bg"),
+        element_at(col("ugs"), col("pos") + 1).as("ug"))
+      .join(broadcast(biCounts), "bg")
+      .join(broadcast(uniCounts), "ug")
+      .crossJoin(broadcast(vocab))
+      // add-one smoothed conditional log-prob, in integer micro-units
+      .select(col("doc_id"),
+        round(log((col("cb") + 1).cast("double") / (col("cu") + col("v"))) * 1000000)
+          .cast("long").as("lp_micro"))
+    perBigram.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp_micro")) / count(lit(1)) / 1000000.0, 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),

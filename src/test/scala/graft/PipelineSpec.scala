@@ -170,6 +170,38 @@ class PipelineSpec extends AnyFunSuite {
       "no long digit runs survive redaction")
   }
 
+  test("text_lm_score matches the in-memory bigram model") {
+    val got = queries.Text.textLmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // in-memory add-one bigram LM over the same corpus
+    def words(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (_, t, _) =>
+      val w = words(t)
+      w.foreach(x => uni(x) += 1)
+      w.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    val v = uni.size
+    var checked = 0
+    docs.take(50).foreach { case (id, t, _) =>
+      val w = words(t)
+      if (w.length >= 2) {
+        val lps = w.sliding(2).filter(_.length == 2).map { p =>
+          // mirror the query's integer micro-unit rounding
+          math.round(math.log((bi((p(0), p(1))) + 1).toDouble / (uni(p(0)) + v)) * 1e6)
+        }.toSeq
+        val want = BigDecimal(lps.sum.toDouble / lps.length / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (n, score) = got(id)
+        assert(n == lps.length, s"doc $id bigram count")
+        assert(math.abs(score - want) < 1e-9, s"doc $id: got $score want $want")
+        checked += 1
+      } else assert(!got.contains(id), s"doc $id has no bigrams")
+    }
+    assert(checked > 10)
+  }
+
   test("mm_decode_pipeline preserves every record with byte-true metadata") {
     val rows = queries.Multimodal.mmDecodePipeline(spark, sf).collect()
     assert(rows.length == docs.size)
