@@ -43,6 +43,9 @@ object GraftExtensions {
     ("graft_shingle_ids",
       "graft_shingle_ids(tokens, n) - sorted distinct xxhash64 ids of n-word shingles",
       (args: Seq[Expression]) => ShingleIds(args(0), intArg(args(1), "n"))),
+    ("graft_ngram_ids",
+      "graft_ngram_ids(tokens, n) - order-preserving non-distinct n-gram ids",
+      (args: Seq[Expression]) => NGramIds(args(0), intArg(args(1), "n"))),
     ("graft_minhash_band_keys",
       "graft_minhash_band_keys(ids, k, bands) - LSH bucket keys from k minhash slots",
       (args: Seq[Expression]) =>

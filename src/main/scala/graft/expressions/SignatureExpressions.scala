@@ -384,6 +384,55 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `graft_quantize8(vec)` → struct(n_dims, vmin, vmax, max_abs_err):
+  * per-vector int8 scalar quantization (FAISS SQ8 shape) — codes are
+  * round((v−min)/scale) for scale=(max−min)/255 — evaluated and
+  * immediately reconstructed in the same pass to report the max absolute
+  * reconstruction error. 4× smaller storage than float32 with bounded
+  * error ≤ scale/2; constant vectors quantize losslessly (scale 0).
+  */
+case class Quantize8Stats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_quantize8 needs array<double>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_dims", LongType, nullable = false),
+    StructField("vmin", DoubleType, nullable = false),
+    StructField("vmax", DoubleType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_quantize8"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = v.numElements()
+    var mn = Double.MaxValue
+    var mx = Double.MinValue
+    var i = 0
+    while (i < m) { val x = v.getDouble(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+    if (m == 0) { mn = 0.0; mx = 0.0 }
+    val scale = (mx - mn) / 255.0
+    var err = 0.0
+    if (scale > 0.0) {
+      i = 0
+      while (i < m) {
+        val x = v.getDouble(i)
+        val code = math.round((x - mn) / scale)
+        val recon = mn + code * scale
+        val e = math.abs(recon - x)
+        if (e > err) err = e
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, mn, mx, err)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_normalize(vec)` → v/‖v‖₂ in one primitive pass (zero vectors pass
   * through). The `transform(v, x -> x/n)` HOF alternative re-evaluates the
   * norm subtree per element, interpreted. Pre-normalizing once per vector

@@ -122,10 +122,30 @@ object Ann {
     topK(cands)
   }
 
+  /** int8 scalar quantization pass over the embedding store (FAISS SQ8
+    * shape): one native expression per vector computes the quantization
+    * range and the max reconstruction error — map-only, the shape of a
+    * 4×-compression rewrite of a 100 TB vector store. Error must stay
+    * ≤ (vmax−vmin)/510 per dimension (half a code step); AnnSpec-style
+    * check lives in PipelineSpec. [rows] */
+  def annQuantize(s: SparkSession, d: String): DataFrame = {
+    val q = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.Quantize8Stats(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(
+          col("embedding").cast("array<double>"))))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q.n_dims").as("n_dims"),
+        round(col("q.vmin"), 6).as("vmin"), round(col("q.vmax"), 6).as("vmax"),
+        round(col("q.max_abs_err"), 8).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "ann_quantize" -> (annQuantize _))
 
   /** Non-SQL-expressible (array math + LSH) → rows-only gate; AnnSpec
     * checks bruteforce against an in-memory exact computation. */

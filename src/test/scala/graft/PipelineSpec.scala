@@ -145,6 +145,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits > 0, "IVF should recover some exact neighbors")
   }
 
+  test("ann_quantize reconstruction error is within half a code step") {
+    val rows = queries.Ann.annQuantize(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val (id, n, mn, mx, err) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n == vecs(id).length)
+      assert(mn <= mx)
+      // max error bound: half a quantization step (+ rounding display slack)
+      assert(err <= (mx - mn) / 510.0 + 1e-8, s"vec $id err $err range ${mx - mn}")
+    }
+  }
+
   test("stream_dedup equals batch per-lang distinct-text counts") {
     val streamed = streaming.Stream.streamDedup(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
