@@ -13,7 +13,7 @@ object SparkEntry {
     graft.queries.Relational.all ++ graft.queries.Lake.all ++
       graft.queries.Dedup.all ++ graft.queries.Ann.all ++
       graft.queries.Text.all ++ graft.queries.Multimodal.all ++
-      graft.streaming.Stream.all
+      graft.queries.Pipeline.all ++ graft.streaming.Stream.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Lake.oracles ++
       graft.queries.Dedup.oracles ++ graft.queries.Ann.oracles ++
       graft.queries.Text.oracles ++ graft.queries.Multimodal.oracles ++
-      graft.streaming.Stream.oracles
+      graft.queries.Pipeline.oracles ++ graft.streaming.Stream.oracles
 }

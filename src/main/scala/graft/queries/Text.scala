@@ -26,6 +26,15 @@ object Text {
 
   private val StopWords = Seq("the", "a", "of", "and", "to")
 
+  /** Composite quality score as a pure column expression — single source
+    * of truth for textQuality and the end-to-end pipeline. */
+  def qualityScoreCol(text: Column): Column = {
+    val nWords = size(tokens(text)).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+    val nChars = length(text).cast("double")
+    round(least(lit(1.0), nWords / 100.0) * (lit(1.0) - punct / nChars), 4)
+  }
+
   /** length / stopword / punctuation quality signals + a composite score —
     * the standard cheap pre-filter before expensive dedup at corpus scale. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
@@ -41,8 +50,7 @@ object Text {
       size(toks).as("n_words"),
       round(stopHits / nWords, 4).as("stop_ratio"),
       round(punct / nChars, 4).as("punct_ratio"),
-      round(least(lit(1.0), nWords / 100.0) * (lit(1.0) - punct / nChars), 4)
-        .as("quality_score"))
+      qualityScoreCol(col("text")).as("quality_score"))
   }
 
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
@@ -51,6 +59,19 @@ object Text {
     "es" -> Seq("el", "los", "las", "y", "de"),
     "fr" -> Seq("le", "la", "les", "et", "des"),
     "zh" -> Seq("的", "是", "了", "和", "在"))
+
+  /** Predicted language as a pure column expression (argmax of profile
+    * hits, alphabetical tie-break) — shared with the pipeline. */
+  def predLangCol(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), other) =>
+      when(sc === best, lang).otherwise(other)
+    }
+  }
 
   /** stopword-profile language ID: count profile hits per language, argmax
     * with alphabetical tie-break. (A real system would add char n-gram
@@ -112,19 +133,25 @@ object Text {
     * (patterns chosen to behave identically under Java regex and RE2 so
     * the DuckDB oracle can verify byte-for-byte: no lookaround, no
     * backrefs). Map-only at any scale. [oracle] */
-  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
-    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** PII redaction as a pure column expression (shared with the
+    * end-to-end pipeline). */
+  def piiRedactCol(text: Column): Column = {
     val phone = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
     val longDigits = "[0-9]{4,}"
-    val redacted =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), email, "<EMAIL>"),
-          phone, "<PHONE>"),
-        longDigits, "<NUM>")
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        phone, "<PHONE>"),
+      longDigits, "<NUM>")
+  }
+
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val redacted = piiRedactCol(col("text"))
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(expr(s"regexp_extract_all(text, '$email', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
       length(redacted).as("n_chars_redacted"),
       substring(redacted, 1, 80).as("head_redacted"))
   }

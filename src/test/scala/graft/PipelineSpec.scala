@@ -215,6 +215,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked > 10)
   }
 
+  test("pipeline_end_to_end output is deterministic with sound invariants") {
+    val out1 = queries.Pipeline.pipelineEndToEnd(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out2 = queries.Pipeline.pipelineEndToEnd(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out1.toSeq == out2.toSeq, "two runs must be identical")
+    assert(out1.nonEmpty)
+    val totalDocs = out1.map(_._2).sum
+    assert(totalDocs > 0 && totalDocs < docs.size,
+      "filters + dedup must drop something but not everything")
+    out1.foreach { case (lang, nDocs, nChunks) =>
+      assert(lang.nonEmpty && nChunks >= nDocs, s"$lang: $nChunks chunks / $nDocs docs")
+    }
+  }
+
   test("mm_decode_pipeline preserves every record with byte-true metadata") {
     val rows = queries.Multimodal.mmDecodePipeline(spark, sf).collect()
     assert(rows.length == docs.size)
