@@ -61,7 +61,10 @@ object GraftExtensions {
     ("graft_winnow",
       "graft_winnow(tokens, n, w) - winnowing fingerprint struct(n_fp, fp_min, fp_sig)",
       (args: Seq[Expression]) =>
-        WinnowFingerprint(args(0), intArg(args(1), "n"), intArg(args(2), "w")))
+        WinnowFingerprint(args(0), intArg(args(1), "n"), intArg(args(2), "w"))),
+    ("graft_quantize8",
+      "graft_quantize8(vec) - int8 quantization stats struct(n_dims, vmin, vmax, max_abs_err)",
+      (args: Seq[Expression]) => Quantize8Stats(args(0)))
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.expressions", null, name, usage, ""),

@@ -33,12 +33,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val q = "SELECT graft_simhash(split('the quick brown fox', ' ')) AS s, " +
       "graft_minhash_band_keys(graft_shingle_ids(split('the quick brown fox', ' '), 2), 64, 16) AS mk, " +
       "graft_hyperplane_band_keys(array(0.1d, -0.2d, 0.3d), 4, 4) AS hk, " +
-      "graft_winnow(split('a b c d e f g h', ' '), 3, 4) AS w"
+      "graft_winnow(split('a b c d e f g h', ' '), 3, 4) AS w, " +
+      "graft_ngram_ids(split('a b c', ' '), 2) AS ng, " +
+      "graft_quantize8(array(0.0d, 0.5d, 1.0d)) AS qz"
     val a = spark.sql(q).head()
     val b = spark.sql(q).head()
     assert(a == b)
     assert(a.getSeq[Long](1).length == 16)
     assert(a.getSeq[Long](2).length == 4)
     assert(a.getStruct(3).getLong(0) > 0)
+    assert(a.getSeq[Long](4).length == 2) // bigrams of 3 tokens
+    assert(a.getStruct(5).getLong(0) == 3 && a.getStruct(5).getDouble(3) < 0.002)
   }
 }
