@@ -39,6 +39,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Row count of a parquet file/dir from FOOTERS ONLY — a driver-side
+    * O(files) metadata read, no Spark job. Sizing decisions (LSH band
+    * width, IVF centroid count) need n BEFORE the corpus scan; a
+    * `df.count()` there is a full extra pass over the data per operator
+    * at 100 TB (r02 verdict #3). An engine reads this from its manifest
+    * (GraftTable keeps rowCount per file); for raw parquet dirs the
+    * footers ARE the manifest. */
+  def rowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) files += f
+      }
+    } else files += p
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Spreads a narrow input across the cluster before compute-heavy
     * per-row work. The test corpora are single small parquet files → one
     * input partition → one task doing all the hashing; at 100 TB the

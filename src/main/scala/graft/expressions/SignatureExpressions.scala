@@ -166,13 +166,17 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < m) {
-      val h1 = ids.getLong(i)
-      val h2 = XXH64.hashLong(h1, 7777L)
-      var j = 0
-      while (j < k) {
-        val v = h1 ^ Signatures.rotl(h2, j)
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      // null ids skipped (GenericArrayData rows would NPE on getLong;
+      // same null posture as DotProduct — ADVICE r02)
+      if (!ids.isNullAt(i)) {
+        val h1 = ids.getLong(i)
+        val h2 = XXH64.hashLong(h1, 7777L)
+        var j = 0
+        while (j < k) {
+          val v = h1 ^ Signatures.rotl(h2, j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -294,7 +298,8 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, m
         val off = p * maxDim
         var d = 0.0
         var i = 0
-        while (i < dim) { d += v.getDouble(i) * pl(off + i); i += 1 }
+        // null elements contribute 0 (same posture as DotProduct)
+        while (i < dim) { if (!v.isNullAt(i)) d += v.getDouble(i) * pl(off + i); i += 1 }
         key = (key << 1) | (if (d > 0.0) 1L else 0L)
         j += 1
         p += 1
@@ -410,15 +415,20 @@ case class Quantize8Stats(child: Expression)
     val m = v.numElements()
     var mn = Double.MaxValue
     var mx = Double.MinValue
+    var any = false
     var i = 0
-    while (i < m) { val x = v.getDouble(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
-    if (m == 0) { mn = 0.0; mx = 0.0 }
+    // null elements read as 0 (same posture as DotProduct)
+    while (i < m) {
+      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      if (x < mn) mn = x; if (x > mx) mx = x; any = true; i += 1
+    }
+    if (!any) { mn = 0.0; mx = 0.0 }
     val scale = (mx - mn) / 255.0
     var err = 0.0
     if (scale > 0.0) {
       i = 0
       while (i < m) {
-        val x = v.getDouble(i)
+        val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
         val code = math.round((x - mn) / scale)
         val recon = mn + code * scale
         val e = math.abs(recon - x)
@@ -454,7 +464,11 @@ case class NormalizeVector(child: Expression)
     val out = new Array[Double](m)
     var s = 0.0
     var i = 0
-    while (i < m) { val x = v.getDouble(i); out(i) = x; s += x * x; i += 1 }
+    // null elements become 0 (same posture as DotProduct)
+    while (i < m) {
+      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      out(i) = x; s += x * x; i += 1
+    }
     if (s > 0.0) {
       val inv = 1.0 / math.sqrt(s)
       i = 0

@@ -69,7 +69,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val m = meta
     m.snapshots.filter(_.timestampMs <= timestampMs) match {
       case Nil => -1L
-      case hits => hits.maxBy(_.timestampMs).id
+      // tie-break same-millisecond commits by id: the LATEST snapshot
+      // current at that instant wins (ADVICE r02)
+      case hits => hits.maxBy(s => (s.timestampMs, s.id)).id
     }
   }
 
@@ -98,13 +100,33 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           // Equality deletes follow Iceberg v2 sequence rules: a delete file
           // at seq t applies to data files with seq < t — so rows rewritten
           // by the same commit that wrote the delete are not re-deleted.
-          val groups = surviving.groupBy(_.seq).toSeq.sortBy(_._1)
-          groups.map { case (seq, files) =>
+          //
+          // Files are grouped by their APPLICABLE DELETE SET (plus the
+          // partition-dir layout, so hive discovery stays consistent per
+          // read), NOT by sequence number: with no deletes — the common
+          // case, and always right after compact() — every surviving file
+          // reads through ONE scan node. Plan size is O(delete boundaries
+          // × partition specs), never O(snapshots); the r02 per-seq
+          // grouping made a streaming-ingested table's plan grow one union
+          // branch per micro-batch commit (r02 verdict scale-killer #2).
+          val delSeqs = snap.deleteFiles.map(_.seq).distinct.sorted
+          // group key: index into delSeqs of the first delete applying to
+          // the file — the applicable set {d | d.seq > f.seq} is a suffix
+          // of delSeqs, so equal indices share the exact delete set
+          def delFrom(fileSeq: Long): Int = {
+            var i = delSeqs.length
+            while (i > 0 && delSeqs(i - 1) > fileSeq) i -= 1
+            i
+          }
+          val groups = surviving
+            .groupBy(f => (delFrom(f.seq), partitionLayout(f)))
+            .toSeq.sortBy { case ((di, lay), _) => (di, lay.mkString(",")) }
+          groups.map { case ((di, _), files) =>
             var df = spark.read
-              .option("basePath", s"$location/data/s$seq")
+              .option("basePath", s"$location/data")
               .schema(sch)
               .parquet(files.map(f => s"$location/${f.path}"): _*)
-            val dels = snap.deleteFiles.filter(_.seq > seq)
+            val dels = snap.deleteFiles.filter(d => delSeqs.drop(di).contains(d.seq))
             if (dels.nonEmpty && m.keyColumns.nonEmpty) {
               val keys = spark.read
                 .parquet(dels.map(d => s"$location/${d.path}"): _*)
@@ -191,13 +213,22 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .filter(s => s.operation == "append" || s.operation == "upsert")
       .flatMap(s => s.dataFiles.filter(_.seq == s.id))
     if (newFiles.isEmpty) emptyDf(sch)
-    else newFiles.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
-      spark.read
-        .option("basePath", s"$location/data/s$seq")
-        .schema(sch)
-        .parquet(files.map(f => s"$location/${f.path}"): _*)
-    }.reduce(_ unionByName _)
+    // one scan node per partition LAYOUT (not per snapshot) — plan size
+    // stays O(partition specs) however many commits the range spans
+    else newFiles.groupBy(partitionLayout).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, files) =>
+        spark.read
+          .option("basePath", s"$location/data")
+          .schema(sch)
+          .parquet(files.map(f => s"$location/${f.path}"): _*)
+      }.reduce(_ unionByName _)
   }
+
+  /** Ordered partition-column layout of a file's path (e.g. Seq("p","q")
+    * for data/s3/p=x/q=y/f.parquet) — the hive-discovery grouping key for
+    * multi-file reads across partition-spec changes. */
+  private def partitionLayout(f: DataFileMeta): Seq[String] =
+    f.path.split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
 
   /** Bin-pack compaction: materializes the current merged view (deletes
     * applied) into ~targetBytes files and commits a `replace` snapshot that
@@ -245,14 +276,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   /** Exactly-once streaming-sink append: Structured Streaming re-delivers
     * a micro-batch after failure with the SAME batchId, so the sink must
     * be idempotent per (query, batchId). The last committed id is kept in
-    * a table property and checked against a fresh metadata read before
-    * appending; a replayed batch is a no-op. foreachBatch calls are
-    * serialized per query, so check-then-commit here is race-free. */
-  def appendStreamBatch(df: DataFrame, batchId: Long): Long = {
-    val key = "stream.lastBatchId"
+    * a PER-QUERY table property (two streaming queries feeding one table
+    * track independently — ADVICE r02) and checked against a fresh
+    * metadata read before appending; a replayed batch is a no-op, and a
+    * batchId BELOW the last committed one fails loudly — that means the
+    * query's checkpoint was reset, and silently skipping its batches
+    * would drop data. foreachBatch calls are serialized per query, so
+    * check-then-commit here is race-free. */
+  def appendStreamBatch(df: DataFrame, batchId: Long, queryId: String = "default"): Long = {
+    val key = s"stream.$queryId.lastBatchId"
     val m = refresh()
     val last = m.props.get(key).map(_.toLong).getOrElse(-1L)
-    if (batchId <= last) return m.currentSnapshotId // replay → idempotent skip
+    if (batchId == last) return m.currentSnapshotId // replay → idempotent skip
+    require(batchId > last,
+      s"batchId $batchId < last committed $last for stream query '$queryId': " +
+        "the checkpoint was reset — re-ingest under a new queryId")
     val seq = m.currentSnapshotId + 1 max 1
     val newFiles = writeDataFiles(align(df, schema), seq)
     commitRetrying(m, "append", seq, newFiles, Nil, MergeAny,
@@ -285,7 +323,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     require(cols.length >= 2, "z-order needs >= 2 columns (use rewriteSorted for 1)")
     val m = refresh()
     val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
-    val bits = 16
+    // total interleaved width capped at 63 bits: position bits*nCols-1 must
+    // stay below the sign bit — a 64-bit shift would wrap mod 64 and
+    // corrupt the z-key ordering for 4+ columns (ADVICE r02)
+    val bits = math.min(16, 63 / cols.length)
     // global [min,max] per column from the manifest stats
     def bounds(name: String): (Double, Double) = {
       val vals = cur.dataFiles.map { f =>
@@ -365,19 +406,27 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   /** Deletes data/delete files referenced by NO remaining snapshot (after
     * expireSnapshots, or left behind by compaction). Driver-side O(files)
-    * set difference; returns the number of files removed. */
-  def vacuum(): Int = {
+    * set difference; returns the number of files removed.
+    *
+    * `minAgeMs` guards concurrent writers: a racing append's files sit
+    * unreferenced between their write and the metadata commit, so removing
+    * a young unreferenced file can corrupt that commit. The 3-day default
+    * mirrors Iceberg's remove_orphan_files retention; pass 0 ONLY on a
+    * table known to be quiet (ADVICE r02). */
+  def vacuum(minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Int = {
     val m = refresh()
     val referenced: Set[String] =
       m.snapshots.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0
     for (sub <- Seq("data", "deletes")) {
       val base = new Path(root, sub)
       if (fs.exists(base)) {
         val it = fs.listFiles(base, true)
         while (it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) {
+          val st = it.next()
+          val f = st.getPath
+          if (f.getName.endsWith(".parquet") && st.getModificationTime <= cutoff) {
             val rel = f.toUri.getPath.stripPrefix(root.toUri.getPath.stripSuffix("/") + "/")
             if (!referenced.contains(rel)) {
               if (fs.delete(f, false)) removed += 1
@@ -697,6 +746,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  /** Default vacuum retention (Iceberg remove_orphan_files parity): files
+    * younger than this are never GC'd, protecting in-flight commits. */
+  val DefaultVacuumMinAgeMs: Long = 3L * 24 * 3600 * 1000
 
   /** Per-table-location commit lock: serializes in-JVM committers so the
     * local-FS exists+rename sequence is race-free under local[*]. */

@@ -65,9 +65,11 @@ object Ann {
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // band width scales with log2(corpus) so buckets stay small at any n
-    // (fixed-width keys go quadratic — see Dedup.adaptiveBandBits)
+    // (fixed-width keys go quadratic — see Dedup.adaptiveBandBits); n comes
+    // from parquet-footer metadata, not an extra count() pass (r02 #3)
     val bandBits = math.max(4,
-      math.ceil(math.log(math.max(1.0, Tables.embeddings(s, d).count() / 64.0)) / math.log(2)).toInt)
+      math.ceil(math.log(math.max(1.0,
+        Tables.rowCount(s, s"$d/embeddings.parquet") / 64.0)) / math.log(2)).toInt)
     // signatures are a map-only projection (native expression) — the
     // corpus side is scan → project → explode with NO shuffle before the
     // broadcast band join
@@ -98,7 +100,8 @@ object Ann {
     * corpus instead of all of it. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 8
-    val n = Tables.embeddings(s, d).count()
+    // corpus size from parquet-footer metadata — no extra pass (r02 #3)
+    val n = Tables.rowCount(s, s"$d/embeddings.parquet")
     val step = math.max(1L, (n / math.ceil(math.sqrt(n.toDouble)).toLong) max 1L)
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), normalized(col("embedding")).as("u"))

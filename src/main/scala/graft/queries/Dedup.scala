@@ -121,7 +121,8 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bandBits = adaptiveBandBits(Tables.embeddings(s, d).count())
+    // n from parquet-footer metadata — no extra data pass (r02 verdict #3)
+    val bandBits = adaptiveBandBits(Tables.rowCount(s, s"$d/embeddings.parquet"))
     val bands = vecs.select(col("vec_id"),
       posexplode(hyperplaneBandKeys(col("v"), 16, bandBits)).as(Seq("band", "bkey")))
     val cands = bands.as("x").join(bands.as("y"),

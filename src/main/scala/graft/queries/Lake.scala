@@ -166,7 +166,9 @@ object Lake {
     t.delete(col("o_orderstatus") === "P")
     t.compact()
     t.expireSnapshots(keepLast = 1)
-    val removed = t.vacuum()
+    // minAgeMs=0: this table is quiet (single-writer test build); the
+    // default 3-day retention is the concurrent-writer guard
+    val removed = t.vacuum(minAgeMs = 0L)
     val rows = t.scan().count()
     Seq((t.meta.snapshots.length.toLong, removed.toLong, rows))
       .toDF("snapshots_kept", "files_removed", "rows_after")

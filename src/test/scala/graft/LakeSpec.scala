@@ -332,7 +332,7 @@ class LakeSpec extends AnyFunSuite {
     t.compact()
     t.expireSnapshots(keepLast = 1)
     assert(t.meta.snapshots.length == 1)
-    val removed = t.vacuum()
+    val removed = t.vacuum(minAgeMs = 0L)
     assert(removed > 0, "vacuum should GC the replaced data + delete files")
     assert(t.scan().count() == n0, "current snapshot untouched by vacuum")
     intercept[IllegalArgumentException] { t.scan(asOf = 1L) } // expired
@@ -342,5 +342,38 @@ class LakeSpec extends AnyFunSuite {
     val snaps = queries.Lake.lakeSnapshotsMeta(spark, sf).collect()
     assert(snaps.length == 3)
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
+  }
+
+  private def scanNodeCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+
+  test("scan plan stays O(delete boundaries), not O(snapshots)") {
+    // r02 verdict scale-killer #2: per-seq grouping grew one union branch
+    // per commit — a streaming-ingest table accumulated a 10k-branch plan
+    // in a day. After the fix, files group by applicable-delete-set.
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("planwidth"),
+      o.filter(col("o_orderkey") % 25 === 0), keyColumns = Seq("o_orderkey"))
+    (1 until 25).foreach(i => t.append(o.filter(col("o_orderkey") % 25 === i)))
+    assert(t.meta.snapshots.length == 25)
+    // 25 append snapshots, zero deletes → ONE parquet scan node
+    assert(scanNodeCount(t.scan()) == 1,
+      s"append-only table must plan a single scan, got ${scanNodeCount(t.scan())}")
+    assert(t.scan().count() == o.count())
+    // one delete splits files into two delete-set groups: ≤ seq (anti-joined,
+    // 2 scans: data + delete keys) and > seq (none yet). Later appends all
+    // join the no-deletes group — the plan does NOT grow with commits.
+    t.delete(col("o_orderstatus") === "P")
+    val afterDelete = scanNodeCount(t.scan())
+    (26 to 30).foreach(_ => t.append(o.limit(0))) // empty appends still commit
+    t.append(o.filter(col("o_orderkey") % 25 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+    assert(scanNodeCount(t.scan()) == afterDelete + 1,
+      "post-delete appends must share ONE no-deletes scan group")
+    // compaction folds deletes → back to a single scan node
+    t.compact()
+    assert(scanNodeCount(t.scan()) == 1, "compacted table must plan a single scan")
   }
 }

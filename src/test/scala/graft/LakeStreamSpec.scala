@@ -21,14 +21,24 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(t.meta.snapshots.length == 3)
     // exactly-once: the sink recorded the last batch id, and a REPLAY of an
     // already-committed micro-batch is an idempotent no-op
-    assert(t.property("stream.lastBatchId").contains("1"))
+    assert(t.property("stream.default.lastBatchId").contains("1"))
     val before = t.scan().count()
     val replayed = t.appendStreamBatch(Tables.events(spark, sf).limit(10), 1L)
     assert(replayed == t.meta.currentSnapshotId)
     assert(t.meta.snapshots.length == 3, "replayed batch must not commit")
     assert(t.scan().count() == before)
+    // a batch id BELOW the last committed one = reset checkpoint → loud fail
+    intercept[IllegalArgumentException] {
+      t.appendStreamBatch(Tables.events(spark, sf).limit(10), 0L)
+    }
     // a NEW batch id still appends
     t.appendStreamBatch(Tables.events(spark, sf).limit(10), 2L)
     assert(t.scan().count() == before + 10)
+    // a SECOND query feeding the same table tracks its batches
+    // independently — its batch 0 is not mistaken for a replay
+    t.appendStreamBatch(Tables.events(spark, sf).limit(5), 0L, queryId = "q2")
+    assert(t.scan().count() == before + 15)
+    assert(t.property("stream.q2.lastBatchId").contains("0"))
+    assert(t.property("stream.default.lastBatchId").contains("2"))
   }
 }

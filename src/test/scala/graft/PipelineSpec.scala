@@ -215,6 +215,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked > 10)
   }
 
+  test("text_lm_score shuffle-joins the count dictionaries when broadcast is off") {
+    // r02 verdict scale-killer #1: a forced broadcast() of the bigram
+    // dictionary OOMs on an open-vocabulary corpus. With the hints gone,
+    // Catalyst picks the join from measured sizes — under a disabled
+    // threshold the dictionary joins MUST become shuffle joins, and the
+    // result must not change.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val baseline = queries.Text.textLmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    try {
+      spark.conf.set(key, "-1")
+      val df = queries.Text.textLmScore(spark, sf)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == baseline, "join strategy must not change the scores")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"dictionary joins must fall back to shuffle joins, plan:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("pipeline_end_to_end output is deterministic with sound invariants") {
     val out1 = queries.Pipeline.pipelineEndToEnd(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
