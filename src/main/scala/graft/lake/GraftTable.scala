@@ -33,9 +33,15 @@ import scala.collection.mutable.ArrayBuffer
   * Layout under `location`:
   * {{{
   *   metadata/v00001.json     — full table state per version (Meta.scala)
-  *   data/s<seq>/[p=v/...]f00000.parquet
-  *   deletes/s<seq>/f00000.parquet   — equality-delete keys
+  *   data/[p=v/...]s<seq>-f<nonce>-00000.parquet
+  *   deletes/s<seq>-f<nonce>-00000.parquet   — equality-delete keys
   * }}}
+  * The sequence number lives in the FILE NAME, not a directory level:
+  * partition dirs sit directly under data/, so hive-style partition
+  * discovery sees ONE consistent root (`basePath=data`) for every file of
+  * every commit — which is what lets a scan read files from any number of
+  * snapshots through a single scan node (a per-seq directory forced one
+  * union branch per commit on partitioned tables; r02 verdict).
   * IO goes through the Hadoop FileSystem API, so `location` may be any
   * supported scheme (file:, hdfs:, s3a:, ...), not just local paths.
   */
@@ -142,6 +148,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   // ---- writes --------------------------------------------------------------
 
+  /** Whole-table replace: writes `df` and commits a `replace` snapshot
+    * that drops every previous data/delete file (INSERT OVERWRITE /
+    * TRUNCATE+append semantics, in one atomic commit). */
+  def overwrite(df: DataFrame): Long = {
+    val m = refresh()
+    val seq = m.currentSnapshotId + 1 max 1
+    val newFiles = writeDataFiles(align(df, schema), seq)
+    commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
+  }
+
   /** Commits a new append snapshot; returns its id. */
   def append(df: DataFrame): Long = {
     val m = refresh()
@@ -225,7 +241,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   }
 
   /** Ordered partition-column layout of a file's path (e.g. Seq("p","q")
-    * for data/s3/p=x/q=y/f.parquet) — the hive-discovery grouping key for
+    * for data/p=x/q=y/s3-f….parquet) — the hive-discovery grouping key for
     * multi-file reads across partition-spec changes. */
   private def partitionLayout(f: DataFileMeta): Seq[String] =
     f.path.split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
@@ -539,18 +555,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val w = if (m.partitionColumns.nonEmpty) df.write.partitionBy(m.partitionColumns: _*) else df.write
     withMicrosTimestamps { w.mode("overwrite").parquet(tmp.toString) }
     val parts = listParquet(tmp).sortBy(_.toString)
-    val destBase = new Path(root, s"data/s$seq")
+    val destBase = new Path(root, "data")
     val out = ArrayBuffer[DataFileMeta]()
     parts.zipWithIndex.foreach { case (src, i) =>
       val rel = relDir(tmp, src) // partition sub-path ("" or "p=F[/q=x]")
       val destDir = if (rel.isEmpty) destBase else new Path(destBase, rel)
       fs.mkdirs(destDir)
-      val dest = new Path(destDir, f"f$nonce-$i%05d.parquet")
+      // seq in the file NAME (not a dir): every commit's files share the
+      // partition-dir root, so multi-snapshot scans discover partitions
+      // through one basePath — see the class doc layout note
+      val dest = new Path(destDir, f"s$seq-f$nonce-$i%05d.parquet")
       if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
       val (rows, stats) = ParquetStats.read(hconf, dest)
       val size = fs.getFileStatus(dest).getLen
       val pvals = parsePartitionValues(rel)
-      val relPath = (if (rel.isEmpty) s"data/s$seq/" else s"data/s$seq/$rel/") + dest.getName
+      val relPath = (if (rel.isEmpty) "data/" else s"data/$rel/") + dest.getName
       out += DataFileMeta(relPath, seq, rows, size, pvals, stats)
     }
     fs.delete(tmp, true)
@@ -562,13 +581,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val tmp = new Path(root, s"_tmp_d$nonce")
     fs.delete(tmp, true)
     withMicrosTimestamps { keys.coalesce(1).write.mode("overwrite").parquet(tmp.toString) }
-    val destDir = new Path(root, s"deletes/s$seq")
+    val destDir = new Path(root, "deletes")
     fs.mkdirs(destDir)
     val out = listParquet(tmp).sortBy(_.toString).zipWithIndex.map { case (src, i) =>
-      val dest = new Path(destDir, f"f$nonce-$i%05d.parquet")
+      val dest = new Path(destDir, f"s$seq-f$nonce-$i%05d.parquet")
       if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
       val (rows, _) = ParquetStats.read(hconf, dest)
-      DeleteFileMeta(s"deletes/s$seq/${dest.getName}", seq, rows)
+      DeleteFileMeta(s"deletes/${dest.getName}", seq, rows)
     }
     fs.delete(tmp, true)
     out
@@ -665,21 +684,24 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val want = m.currentSnapshotId + 1 max 1
       if (want != curSeq) {
         // relocate only the files THIS commit wrote (seq == curSeq), one
-        // rename each — the provisional seq dir may be shared with a
-        // concurrent writer, so a whole-directory rename would drag its
-        // files along. File names are nonce-unique, so no collisions.
-        def move(kind: String, relPath: String): String = {
-          val rel = relPath.stripPrefix(s"$kind/s$curSeq/")
+        // in-place rename each (s<curSeq>-… → s<want>-… in the same dir).
+        // File names are nonce-unique, so no collisions with a concurrent
+        // writer staging under the same provisional sequence.
+        def move(relPath: String): String = {
+          val slash = relPath.lastIndexOf('/')
+          val dir = relPath.substring(0, slash + 1)
+          val name = relPath.substring(slash + 1)
+          require(name.startsWith(s"s$curSeq-"), s"unexpected file name $relPath")
+          val moved = dir + s"s$want-" + name.stripPrefix(s"s$curSeq-")
           val from = new Path(root, relPath)
-          val to = new Path(root, s"$kind/s$want/$rel")
-          fs.mkdirs(to.getParent)
+          val to = new Path(root, moved)
           if (!fs.rename(from, to)) sys.error(s"relocate $from -> $to failed")
-          s"$kind/s$want/$rel"
+          moved
         }
         data = data.map(f => if (f.seq == curSeq)
-          f.copy(path = move("data", f.path), seq = want) else f)
+          f.copy(path = move(f.path), seq = want) else f)
         dels = dels.map(f => if (f.seq == curSeq)
-          f.copy(path = move("deletes", f.path), seq = want) else f)
+          f.copy(path = move(f.path), seq = want) else f)
         curSeq = want
       }
       val (allData, allDels) =
@@ -769,6 +791,28 @@ object GraftTable {
     * replacing the file list would silently drop the winner's commit. */
   case object ReplaceExact extends ConflictMode
 
+  /** Creates an EMPTY table at `location` (must not already be one):
+    * v1 metadata, no snapshot yet — the CREATE TABLE path of the SQL
+    * surface. Scans return zero rows until the first append. */
+  def createEmpty(
+      spark: SparkSession,
+      location: String,
+      schema: StructType,
+      partitionBy: Seq[String] = Nil,
+      keyColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(root, "metadata")), s"table exists at $location")
+    val m0 = TableMetadata(1, 1L, schema.toDDL, partitionBy, keyColumns, -1L, Nil,
+      properties)
+    val dir = new Path(root, "metadata")
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "v00001.json"), false)
+    try out.write(Meta.toJson(m0).getBytes("UTF-8")) finally out.close()
+    new GraftTable(spark, location)
+  }
+
   /** Creates a table at `location` (must not already be one), committing an
     * empty v1 metadata then the initial append snapshot from `df`. */
   def create(
@@ -777,15 +821,7 @@ object GraftTable {
       df: DataFrame,
       partitionBy: Seq[String] = Nil,
       keyColumns: Seq[String] = Nil): GraftTable = {
-    val root = new Path(location)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(new Path(root, "metadata")), s"table exists at $location")
-    val m0 = TableMetadata(1, 1L, df.schema.toDDL, partitionBy, keyColumns, -1L, Nil)
-    val dir = new Path(root, "metadata")
-    fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, "v00001.json"), false)
-    try out.write(Meta.toJson(m0).getBytes("UTF-8")) finally out.close()
-    val t = new GraftTable(spark, location)
+    val t = createEmpty(spark, location, df.schema, partitionBy, keyColumns)
     t.append(df)
     t
   }

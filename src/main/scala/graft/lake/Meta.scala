@@ -26,7 +26,7 @@ package graft.lake
 case class ColStats(tag: String, min: String, max: String, nulls: Long)
 
 case class DataFileMeta(
-    path: String,           // relative to table location, e.g. data/s1/f00000.parquet
+    path: String,           // relative to table location, e.g. data/[p=v/]s1-f<nonce>-00000.parquet
     seq: Long,              // sequence number = id of the committing snapshot
     rowCount: Long,
     sizeBytes: Long,

@@ -1,0 +1,251 @@
+package graft.lake.sql
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{FilePruner, GraftTable}
+
+/** DataSourceV2 `TableCatalog` for graft lake tables — the plain-SQL
+  * surface the reference exposes through its PG table AM (every query in
+  * pg_lakehouse_iceberg/README.md:30-44 is `CREATE TABLE` / `INSERT INTO`
+  * / `SELECT` against a catalog table):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftSqlCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *   spark.sql("CREATE TABLE graft.orders (...) TBLPROPERTIES('key.columns'='id')")
+  *   spark.sql("INSERT INTO graft.orders SELECT ...")
+  *   spark.sql("SELECT ... FROM graft.orders WHERE ...")
+  * }}}
+  *
+  * Reads resolve the CURRENT snapshot at query time (each `loadTable`
+  * re-reads metadata — commits are immediately visible, unlike the r02
+  * registerViews snapshot-at-registration views), push down filters
+  * through `FilePruner` for manifest-level file skipping, push down
+  * column pruning, and re-use the whole `GraftTable.scan` machinery (MoR
+  * delete application, schema evolution, partition-layout grouping) via
+  * the `V1Scan` bridge. Writes ride `V1Write → InsertableRelation`, so
+  * `INSERT INTO` is a `GraftTable.append` commit and
+  * `INSERT OVERWRITE` an atomic whole-table `replace` — both with the
+  * optimistic-retry concurrency the programmatic API has.
+  *
+  * Scale notes: catalog ops are O(1) metadata IO; a scan's data path is
+  * exactly `GraftTable.scan` (vectorized parquet + Catalyst pushdown
+  * inside the produced plan). The only cost this bridge adds is one
+  * Row-materialization boundary at the scan root (`V1Scan` hands Spark an
+  * `RDD[Row]`); filters/projections are already applied INSIDE the
+  * bridged plan, so the boundary carries only surviving rows/columns.
+  */
+class GraftSqlCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.error(s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def location(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def exists(ident: Identifier): Boolean = {
+    val p = new Path(location(ident), "metadata")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(new Path(base, n), "metadata")))
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(GraftTable.load(spark, location(ident)), ident.toString)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft supports identity partitioning only, got $t")
+    }
+    val keyCols = Option(properties.get("key.columns"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val t = GraftTable.createEmpty(spark, location(ident), schema, partCols, keyCols)
+    new GraftSqlTable(t, ident.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, location(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        t.addColumn(add.fieldNames()(0), add.dataType().sql)
+      case set: TableChange.SetProperty =>
+        t.setProperty(set.property(), set.value())
+      case c => throw new UnsupportedOperationException(s"unsupported table change $c")
+    }
+    new GraftSqlTable(t, ident.toString)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!exists(ident)) return false
+    val p = new Path(location(ident))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!exists(from)) throw new NoSuchTableException(from)
+    if (exists(to)) throw new TableAlreadyExistsException(to)
+    val src = new Path(location(from))
+    val dst = new Path(location(to))
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst)) sys.error(s"rename $src -> $dst failed")
+  }
+}
+
+/** One catalog table: reads bridge to `GraftTable.scan` (fresh snapshot
+  * per query), writes to append/overwrite commits. */
+class GraftSqlTable(val table: GraftTable, ident: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = table.schema
+
+  override def partitioning(): Array[Transform] =
+    table.meta.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    table.meta.props.foreach { case (k, v) => m.put(k, v) }
+    if (table.meta.keyColumns.nonEmpty)
+      m.put("key.columns", table.meta.keyColumns.mkString(","))
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite) table.overwrite(data)
+              else table.append(data)
+          }
+      }
+    }
+}
+
+/** Scan builder: pushed filters feed `FilePruner` (manifest min/max +
+  * partition-value file skipping BEFORE any task is scheduled — the scan
+  * planner the reference runs in scan_ops.c); every filter is also
+  * returned as residual so Spark re-applies it row-level, keeping pruning
+  * strictly an IO optimization. Column pruning narrows the bridged plan,
+  * which Catalyst then pushes into the parquet reader. */
+class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftFilters.toColumn(f).isDefined)
+    filters // all residual: Spark re-applies row-level (pruning is IO-only)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1Scan(table, pushed, required)
+}
+
+class GraftV1Scan(table: GraftTable, pushed: Array[Filter], required: StructType)
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = true
+      override def buildScan(): RDD[Row] = {
+        val filter = pushed.flatMap(GraftFilters.toColumn).reduceOption(_ && _)
+        val df = table.scan(filter)
+        val projected =
+          if (required.isEmpty) df.select() // e.g. SELECT count(*)
+          else df.select(required.fieldNames.toIndexedSeq.map(col): _*)
+        projected.rdd
+      }
+    }.asInstanceOf[T]
+}
+
+/** v1 `sources.Filter` → `Column` translation for the file pruner.
+  * Partial on purpose: an untranslatable conjunct is simply not used for
+  * pruning (And keeps the translatable side — sound, since pruning with a
+  * weaker predicate only keeps extra files). */
+object GraftFilters {
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => attr(a).map(_ === lit(v))
+    case sources.GreaterThan(a, v) => attr(a).map(_ > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+    case sources.LessThan(a, v) => attr(a).map(_ < lit(v))
+    case sources.LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+    case sources.In(a, vs) => attr(a).map(_.isin(vs.toIndexedSeq.map(lit): _*))
+    case sources.IsNull(a) => attr(a).map(_.isNull)
+    case sources.IsNotNull(a) => attr(a).map(_.isNotNull)
+    case sources.And(l, r) => // one-sided translation stays sound for pruning
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other)
+      }
+    case sources.Or(l, r) => // Or must translate BOTH sides to stay sound
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case sources.Not(sources.EqualTo(a, v)) => attr(a).map(_ =!= lit(v))
+    case _ => None
+  }
+
+  /** dotted names would misparse through functions.col — skip them. */
+  private def attr(name: String): Option[Column] =
+    if (name.contains('.') || name.contains('`')) None else Some(col(name))
+}

@@ -237,6 +237,37 @@ object Lake {
     statusAgg(t.scan(Some(col("o_custkey") < 400)))
   }
 
+  /** Pure-SQL DML through the DataSourceV2 catalog — the reference's core
+    * UX (README.md:30-44 is CREATE TABLE / INSERT INTO / SELECT against
+    * catalog tables): CTAS creates the lake table, two INSERT INTO
+    * statements commit append snapshots, and the final SELECT (with a
+    * WHERE that pushes into the scan builder → FilePruner file skipping)
+    * reads the CURRENT snapshot — all without touching the programmatic
+    * API. The whole write→commit→plan→scan path runs under SQL. */
+  def lakeSqlDml(s: SparkSession, d: String): DataFrame = {
+    val wh = work(s, "sql_dml", d)
+    val cat = "graft_sql"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Tables.orders(s, d).createOrReplaceTempView("graft_sql_dml_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    s.sql(
+      s"""CREATE TABLE $cat.orders_t TBLPROPERTIES ('key.columns'='o_orderkey')
+          AS SELECT * FROM graft_sql_dml_src WHERE o_orderkey % 3 = 0""")
+    s.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_sql_dml_src WHERE o_orderkey % 3 = 1")
+    s.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_sql_dml_src WHERE o_orderkey % 3 = 2")
+    // Money-style integer-unit sum in Spark SQL text; 100.0D keeps the
+    // division in DOUBLE (a bare 100.0 parses as DECIMAL in Spark SQL and
+    // would flip the output type vs the oracle)
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2) AS total
+          FROM $cat.orders_t
+          WHERE o_orderdate >= DATE '1995-01-01'
+          GROUP BY o_orderstatus""")
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -247,6 +278,7 @@ object Lake {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_dml" -> (lakeSqlDml _),
     "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
@@ -271,6 +303,11 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_sql_dml" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+         GROUP BY o_orderstatus""",
     "lake_zorder" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

@@ -344,6 +344,63 @@ class LakeSpec extends AnyFunSuite {
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
   }
 
+  test("SQL DML through the DSv2 catalog: CTAS, INSERT, SELECT, fresh reads") {
+    val wh = freshDir("sqlcat")
+    spark.conf.set("spark.sql.catalog.graft_test",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse", wh)
+    val o = Tables.orders(spark, sf)
+    o.createOrReplaceTempView("orders_src_sql")
+    spark.sql("DROP TABLE IF EXISTS graft_test.t1")
+    spark.sql(
+      """CREATE TABLE graft_test.t1 TBLPROPERTIES('key.columns'='o_orderkey')
+         AS SELECT * FROM orders_src_sql WHERE o_orderkey % 2 = 0""")
+    spark.sql(
+      "INSERT INTO graft_test.t1 SELECT * FROM orders_src_sql WHERE o_orderkey % 2 = 1")
+    assert(spark.sql("SELECT count(*) FROM graft_test.t1").head().getLong(0) == o.count())
+    // fresh reads: an API commit is immediately visible to the NEXT SQL
+    // query (no re-registration — loadTable re-reads metadata per query)
+    val t = GraftTable.load(spark, s"$wh/t1")
+    t.delete(col("o_orderstatus") === "P")
+    val expAfterDel = o.filter(col("o_orderstatus") =!= "P").count()
+    assert(spark.sql("SELECT count(*) FROM graft_test.t1").head().getLong(0) == expAfterDel)
+    // WHERE pushes into the scan builder (file pruning + residual re-apply)
+    val q = spark.sql(
+      "SELECT o_orderkey FROM graft_test.t1 WHERE o_orderdate >= DATE '1996-01-01'")
+    val expected = o.filter(col("o_orderstatus") =!= "P" &&
+      col("o_orderdate") >= lit("1996-01-01").cast("date")).count()
+    assert(q.count() == expected)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"filter must reach the scan builder, plan:\n$plan")
+    // INSERT OVERWRITE replaces the whole table in one atomic commit
+    spark.sql(
+      "INSERT OVERWRITE graft_test.t1 SELECT * FROM orders_src_sql WHERE o_orderstatus = 'F'")
+    assert(spark.sql("SELECT count(*) FROM graft_test.t1").head().getLong(0) ==
+      o.filter(col("o_orderstatus") === "F").count())
+    assert(t.refresh().snapshots.last.operation == "replace")
+    // partitioned CREATE + ALTER ADD COLUMN + catalog listing
+    spark.sql("DROP TABLE IF EXISTS graft_test.t2")
+    spark.sql(
+      """CREATE TABLE graft_test.t2 (k BIGINT, status STRING)
+         PARTITIONED BY (status)""")
+    spark.sql("INSERT INTO graft_test.t2 VALUES (1, 'A'), (2, 'B'), (3, 'A')")
+    assert(spark.sql("SELECT count(*) FROM graft_test.t2 WHERE status = 'A'")
+      .head().getLong(0) == 2)
+    val t2 = GraftTable.load(spark, s"$wh/t2")
+    assert(t2.meta.partitionColumns == Seq("status"))
+    assert(t2.planFiles(Some(col("status") === "A")).size <
+      t2.planFiles().size, "partition pruning must skip the B file")
+    spark.sql("ALTER TABLE graft_test.t2 ADD COLUMN note STRING")
+    spark.sql("INSERT INTO graft_test.t2 VALUES (4, 'C', 'late')")
+    val rows = spark.sql(
+      "SELECT k, note FROM graft_test.t2 ORDER BY k").collect()
+    assert(rows.map(_.isNullAt(1)).toSeq == Seq(true, true, true, false),
+      "old files read NULL for the added column")
+    assert(spark.sql("SHOW TABLES IN graft_test").collect()
+      .map(_.getString(1)).toSet == Set("t1", "t2"))
+  }
+
   private def scanNodeCount(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
