@@ -28,6 +28,7 @@ object FilePruner {
   private case class LongV(v: Long) extends V
   private case class DoubleV(v: Double) extends V
   private case class StringV(v: String) extends V
+  private case class DecimalV(v: BigDecimal) extends V
 
   def prune(
       files: Seq[DataFileMeta],
@@ -249,9 +250,29 @@ object FilePruner {
           case (StringType, _) => parseTimestampMicros(v.toString).map(LongV)
           case _ => None
         }
-      case _ => None // decimal/binary/etc: conservative
+      case _: DecimalType =>
+        // exact BigDecimal domain. A DOUBLE literal against a decimal
+        // column deliberately yields None: Spark evaluates that predicate
+        // in double-rounded semantics, and an exact-domain prune could
+        // drop a file whose boundary row only matches after rounding.
+        v match {
+          case d: org.apache.spark.sql.types.Decimal => Some(DecimalV(d.toBigDecimal))
+          case d: java.math.BigDecimal => Some(DecimalV(BigDecimal(d)))
+          case d: BigDecimal => Some(DecimalV(d))
+          case b: Byte => Some(DecimalV(BigDecimal(b.toInt)))
+          case s: Short => Some(DecimalV(BigDecimal(s.toInt)))
+          case i: Int => Some(DecimalV(BigDecimal(i)))
+          case j: Long => Some(DecimalV(BigDecimal(j)))
+          case u: UTF8String => parseDecimal(u.toString)
+          case s: String => parseDecimal(s)
+          case _ => None
+        }
+      case _ => None // binary/etc: conservative
     }
   }
+
+  private def parseDecimal(s: String): Option[V] =
+    try Some(DecimalV(BigDecimal(s.trim))) catch { case _: Throwable => None }
 
   private val MicrosPerDay = 86400000000L
 
@@ -273,6 +294,7 @@ object FilePruner {
     case "l" => s.toLongOption.map(LongV)
     case "d" => s.toDoubleOption.map(DoubleV)
     case "s" => Some(StringV(s))
+    case "c" => parseDecimal(s)
     case _ => None
   }
 
@@ -295,6 +317,7 @@ object FilePruner {
       // epoch days — same domain after parsing
       case DateType =>
         try Some(LongV(java.time.LocalDate.parse(raw).toEpochDay)) catch { case _: Throwable => None }
+      case _: DecimalType => parseDecimal(raw)
       case _ => None
     }
 
@@ -307,6 +330,11 @@ object FilePruner {
     case (DoubleV(x), DoubleV(y)) => Some(java.lang.Double.compare(x, y))
     case (LongV(x), DoubleV(y)) => Some(java.lang.Double.compare(x.toDouble, y))
     case (DoubleV(x), LongV(y)) => Some(java.lang.Double.compare(x, y.toDouble))
+    // decimal: exact comparison; long promotes exactly. Double-vs-decimal
+    // stays incomparable (see litFor) — keep the file.
+    case (DecimalV(x), DecimalV(y)) => Some(x.compare(y))
+    case (DecimalV(x), LongV(y)) => Some(x.compare(BigDecimal(y)))
+    case (LongV(x), DecimalV(y)) => Some(BigDecimal(x).compare(y))
     // parquet footer min/max use unsigned UTF-8 byte order; Java compareTo is
     // UTF-16 — they agree only on ASCII, so never prune on non-ASCII strings.
     case (StringV(x), StringV(y)) if isAscii(x) && isAscii(y) => Some(x.compareTo(y))

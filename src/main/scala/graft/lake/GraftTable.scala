@@ -483,11 +483,13 @@ class GraftTable private (val spark: SparkSession, val location: String) {
         def lo(a: String, b: String) = h.tag match {
           case "l" => if (a.toLong <= b.toLong) a else b
           case "d" => if (a.toDouble <= b.toDouble) a else b
+          case "c" => if (BigDecimal(a) <= BigDecimal(b)) a else b
           case _ => if (a <= b) a else b
         }
         def hi(a: String, b: String) = h.tag match {
           case "l" => if (a.toLong >= b.toLong) a else b
           case "d" => if (a.toDouble >= b.toDouble) a else b
+          case "c" => if (BigDecimal(a) >= BigDecimal(b)) a else b
           case _ => if (a >= b) a else b
         }
         (sts.map(_.min).reduce(lo), sts.map(_.max).reduce(hi))

@@ -17,8 +17,9 @@ import scala.jdk.CollectionConverters._
   * (pg_lakehouse_iceberg/src/operations/scan_ops.c:240-276).
   *
   * Only domains the pruner can compare are kept: integral (incl. date days
-  * and µs timestamps), floating, and UTF-8 strings. INT96 timestamps,
-  * decimals, binaries etc. yield no stats → never pruned on.
+  * and µs timestamps), floating, decimal (rescaled to exact decimal
+  * strings), and UTF-8 strings. INT96 timestamps, binaries etc. yield no
+  * stats → never pruned on.
   */
 object ParquetStats {
 
@@ -57,12 +58,31 @@ object ParquetStats {
     if (st == null || st.isEmpty || !st.isNumNullsSet) return None
     val nulls = st.getNumNulls
     if (!st.hasNonNullValue) return None
-    st match {
-      case s: IntStatistics => Some(("l", s.getMin.toLong.toString, s.getMax.toLong.toString, nulls))
-      case s: LongStatistics => Some(("l", s.getMin.toString, s.getMax.toString, nulls))
-      case s: FloatStatistics => Some(("d", s.getMin.toDouble.toString, s.getMax.toDouble.toString, nulls))
-      case s: DoubleStatistics => Some(("d", s.getMin.toString, s.getMax.toString, nulls))
-      case s: BinaryStatistics if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+    // decimal columns (reference type bridge: iceberg_bridge.h:59; its
+    // README schema uses `amount DECIMAL`): parquet stores the UNSCALED
+    // value in int32/int64/binary depending on precision — rescale into
+    // plain decimal strings under tag "c" so the pruner compares exactly
+    val decScale: Option[Int] = logical match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
+    def dec(unscaled: java.math.BigInteger, scale: Int): String =
+      new java.math.BigDecimal(unscaled, scale).toPlainString
+    (st, decScale) match {
+      case (s: IntStatistics, Some(sc)) =>
+        Some(("c", dec(java.math.BigInteger.valueOf(s.getMin.toLong), sc),
+          dec(java.math.BigInteger.valueOf(s.getMax.toLong), sc), nulls))
+      case (s: LongStatistics, Some(sc)) =>
+        Some(("c", dec(java.math.BigInteger.valueOf(s.getMin), sc),
+          dec(java.math.BigInteger.valueOf(s.getMax), sc), nulls))
+      case (s: BinaryStatistics, Some(sc)) => // fixed_len_byte_array: big-endian two's complement
+        Some(("c", dec(new java.math.BigInteger(s.genericGetMin.getBytes), sc),
+          dec(new java.math.BigInteger(s.genericGetMax.getBytes), sc), nulls))
+      case (s: IntStatistics, None) => Some(("l", s.getMin.toLong.toString, s.getMax.toLong.toString, nulls))
+      case (s: LongStatistics, None) => Some(("l", s.getMin.toString, s.getMax.toString, nulls))
+      case (s: FloatStatistics, None) => Some(("d", s.getMin.toDouble.toString, s.getMax.toDouble.toString, nulls))
+      case (s: DoubleStatistics, None) => Some(("d", s.getMin.toString, s.getMax.toString, nulls))
+      case (s: BinaryStatistics, None) if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         truncatedRange(s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
           .map { case (mn, mx) => ("s", mn, mx, nulls) }
       case _ => None
@@ -98,11 +118,13 @@ object ParquetStats {
   private def minOf(tag: String, a: String, b: String): String = tag match {
     case "l" => if (a.toLong <= b.toLong) a else b
     case "d" => if (a.toDouble <= b.toDouble) a else b
+    case "c" => if (BigDecimal(a) <= BigDecimal(b)) a else b
     case _ => if (a.compareTo(b) <= 0) a else b
   }
   private def maxOf(tag: String, a: String, b: String): String = tag match {
     case "l" => if (a.toLong >= b.toLong) a else b
     case "d" => if (a.toDouble >= b.toDouble) a else b
+    case "c" => if (BigDecimal(a) >= BigDecimal(b)) a else b
     case _ => if (a.compareTo(b) >= 0) a else b
   }
 }

@@ -344,6 +344,60 @@ class LakeSpec extends AnyFunSuite {
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
   }
 
+  test("full table lifecycle round-trips on a non-file: Hadoop scheme") {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftFsFileSystem].getName)
+    val loc = "graftfs:///root/repo/target/graft-lake-test/altscheme"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, loc, o,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"))
+    assert(t.scan().count() == o.count())
+    // partition pruning consults per-file values parsed from graftfs paths
+    assert(t.planFiles(Some(col("o_orderstatus") === "F")).size < t.planFiles().size)
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    val kept = o.filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(t.scan().count() == kept)
+    t.compact()
+    t.expireSnapshots(keepLast = 1)
+    // vacuum's relative-path computation must survive the scheme prefix
+    assert(t.vacuum(minAgeMs = 0L) > 0)
+    assert(t.scan().count() == kept)
+  }
+
+  test("decimal min/max stats prune files on a DECIMAL column") {
+    // `amount DECIMAL` is the reference's own README schema example; r02
+    // yielded no decimal stats so such a column never pruned.
+    val o = Tables.orders(spark, sf)
+      .withColumn("amount", col("o_totalprice").cast("decimal(12,2)"))
+      .repartitionByRange(8, col("amount"))
+    val t = GraftTable.create(spark, freshDir("decimal"), o, keyColumns = Seq("o_orderkey"))
+    val total = t.planFiles().size
+    assert(total >= 8)
+    val bound = new java.math.BigDecimal("50000.00")
+    val pruned = t.planFiles(Some(col("amount") < lit(bound)))
+    assert(pruned.size < total, s"expected decimal stats pruning: $total -> ${pruned.size}")
+    assert(t.scan(Some(col("amount") < lit(bound))).count() ==
+      o.filter(col("amount") < lit(bound)).count())
+    // a DOUBLE literal against the decimal column must NOT prune (Spark
+    // evaluates it in double-rounded semantics — exact-domain pruning
+    // would be unsound at the boundary) but must still return right rows
+    assert(t.planFiles(Some(col("amount") < lit(50000.0))).size == total)
+    assert(t.scan(Some(col("amount") < lit(50000.0))).count() ==
+      o.filter(col("amount") < lit(50000.0)).count())
+    // SQL path: decimal literals parse as DECIMAL, so WHERE prunes too
+    val wh = freshDir("decimalsql")
+    spark.conf.set("spark.sql.catalog.graft_dec",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dec.warehouse", wh)
+    o.createOrReplaceTempView("dec_src")
+    spark.sql("DROP TABLE IF EXISTS graft_dec.t")
+    spark.sql("CREATE TABLE graft_dec.t AS SELECT * FROM dec_src")
+    assert(spark.sql("SELECT count(*) FROM graft_dec.t WHERE amount < 50000.00")
+      .head().getLong(0) == o.filter(col("amount") < lit(bound)).count())
+  }
+
   test("SQL DML through the DSv2 catalog: CTAS, INSERT, SELECT, fresh reads") {
     val wh = freshDir("sqlcat")
     spark.conf.set("spark.sql.catalog.graft_test",
