@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark. One JSON line: total + per-query seconds.
+  *
+  * r03 isolation fixes (r02 verdict):
+  * - queries run in SORTED order (a hash-map order made run-to-run
+  *   comparisons noisy) and each starts from a clean slate: every cached/
+  *   persisted dataset from the previous query is dropped (several
+  *   operators persist() intermediates; leaked pins were the leading
+  *   suspect for q15/q19's 6-8 s outliers) and a GC runs so one query's
+  *   garbage is not the next one's pause.
+  * - setup is timed SEPARATELY from execution: `fn(spark, dir)` builds
+  *   lake tables / stages stream inputs (driver-side Spark jobs of the
+  *   harness, not of the measured query), while `exec` is the noop-sink
+  *   run of the returned plan. "queries" stays setup+exec for
+  *   comparability with r02; "exec"/"setup" break it down.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,23 +32,44 @@ object Bench {
     // doesn't absorb cold-start (~4s of the r01 numbers was warmup)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    def isolate(): Unit = {
+      // drop leaked persist() pins + SQL cache from the previous query,
+      // then GC: each query is measured against an empty storage memory
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+
     // optional args = query-name filter, for targeted perf iteration
     // (the driver passes none → full suite)
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      (if (args.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => args.contains(n) })
+        .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
+      isolate()
       val t0 = System.nanoTime()
+      val planned =
+        try Some(fn(spark, sfDir))
+        catch { case _: Throwable => None }
+      val t1 = System.nanoTime()
       // noop sink executes the FULL plan incl. projected columns; a
       // count() would let Catalyst prune every column (ADVICE r01)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try planned.foreach(_.write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime()
+      (name, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val total = results.map(r => r._2 + r._3).sum
+    val setupTotal = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":${jmap(r => r._2 + r._3)}""" +
+      s""","exec":${jmap(_._3)},"setup":${jmap(_._2)}""" +
+      s""","setup_total":$setupTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
