@@ -21,8 +21,11 @@ import graft.expressions._
   * exports); here registration is per-session and purely additive.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // vectorized substitution of DSv2 graft-table reads (see the rule doc)
+    ext.injectResolutionRule(_ => new graft.lake.sql.GraftNativeScanRule)
+  }
 }
 
 object GraftExtensions {

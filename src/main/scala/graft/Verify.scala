@@ -14,6 +14,7 @@ object Verify {
       // events.parquet is TIMESTAMP(NANOS): read nanos as long (Tables.events
       // converts); set once here, not as a loader side effect (ADVICE r01).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

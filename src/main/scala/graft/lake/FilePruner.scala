@@ -39,11 +39,25 @@ object FilePruner {
       case None => files
       case Some(c) =>
         val expr =
-          try normalize(org.apache.spark.sql.graftshim.ColumnExpr.expression(c))
+          try org.apache.spark.sql.graftshim.ColumnExpr.expression(c)
           catch { case _: Throwable => return files }
-        val partSet = partitionColumns.toSet
-        files.filter(f => mayMatch(f, expr, partSet, schema))
+        pruneResolved(files, expr, partitionColumns, schema)
     }
+
+  /** Same walk over an already-built Catalyst predicate (resolved trees
+    * pass through `normalize` unchanged — the walk matches
+    * AttributeReference and concrete comparison nodes directly). */
+  def pruneResolved(
+      files: Seq[DataFileMeta],
+      predicate: Expression,
+      partitionColumns: Seq[String],
+      schema: StructType): Seq[DataFileMeta] = {
+    val expr =
+      try normalize(predicate)
+      catch { case _: Throwable => return files }
+    val partSet = partitionColumns.toSet
+    files.filter(f => mayMatch(f, expr, partSet, schema))
+  }
 
   /** Spark 4's Column ops arrive as UnresolvedFunction("=", "<", "and", ...)
     * — rewrite the comparison/boolean skeleton into concrete Catalyst nodes

@@ -39,13 +39,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * `<name>__files` metadata tables) as temp views, so the whole
     * warehouse is queryable from `spark.sql` — the SQL-access analog of
     * the reference's catalog lookup feeding its table AM
-    * (pg_catalog.cpp:204-260). Views resolve against the CURRENT snapshot
-    * at registration; re-register after commits for fresh reads. */
-  def registerViews(): Unit =
+    * (pg_catalog.cpp:204-260).
+    *
+    * Data views are defined THROUGH the DataSourceV2 catalog
+    * (`SELECT * FROM <v2cat>.<name>`), so each query re-resolves the
+    * table and reads the CURRENT snapshot — commits after registration
+    * are immediately visible (the r02 snapshot-at-registration staleness
+    * is gone). Metadata views stay snapshot-at-registration: they
+    * describe table state, and pinning the state they describe is the
+    * useful semantic. */
+  def registerViews(): Unit = {
+    val v2cat = "graft_v2_" + Integer.toHexString(warehouse.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$v2cat",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$v2cat.warehouse", warehouse)
     list().foreach { name =>
       val t = table(name)
-      t.scan().createOrReplaceTempView(name)
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS SELECT * FROM $v2cat.`$name`")
       t.snapshots.createOrReplaceTempView(s"${name}__snapshots")
       t.files().createOrReplaceTempView(s"${name}__files")
     }
+  }
 }

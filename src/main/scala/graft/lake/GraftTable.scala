@@ -101,8 +101,38 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       case None => emptyDf(sch)
       case Some(snap) =>
         val surviving = FilePruner.prune(snap.dataFiles, filter, m.partitionColumns, sch)
-        if (surviving.isEmpty) emptyDf(sch)
-        else {
+        buildScan(m, sch, snap, surviving)
+    }
+    filter.map(out.filter).getOrElse(out)
+  }
+
+  /** Scan with files pruned by an already-RESOLVED Catalyst predicate and
+    * WITHOUT re-applying it to rows — for the extensions substitution
+    * rule (GraftNativeScanRule), which keeps Spark's own Filter node
+    * above the result, so row-level re-application would be redundant. */
+  private[graft] def scanPrunedOnly(
+      pruneWith: Option[org.apache.spark.sql.catalyst.expressions.Expression]): DataFrame = {
+    val m = meta
+    val sch = schema
+    m.currentSnapshot match {
+      case None => emptyDf(sch)
+      case Some(snap) =>
+        val surviving = pruneWith
+          .map(e => FilePruner.pruneResolved(snap.dataFiles, e, m.partitionColumns, sch))
+          .getOrElse(snap.dataFiles)
+        buildScan(m, sch, snap, surviving)
+    }
+  }
+
+  /** Builds the merged DataFrame over `surviving` files of `snap` (delete
+    * application + partition-layout grouping); no row filter applied. */
+  private def buildScan(
+      m: TableMetadata,
+      sch: StructType,
+      snap: Snapshot,
+      surviving: Seq[DataFileMeta]): DataFrame = {
+    if (surviving.isEmpty) emptyDf(sch)
+    else {
           // Equality deletes follow Iceberg v2 sequence rules: a delete file
           // at seq t applies to data files with seq < t — so rows rewritten
           // by the same commit that wrote the delete are not re-deleted.
@@ -141,9 +171,10 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             }
             df
           }.reduce(_ unionByName _)
-        }
+          // normalize to table-schema column ORDER: hive discovery appends
+          // partition columns after the data columns
+          .select(sch.fieldNames.toIndexedSeq.map(col): _*)
     }
-    filter.map(out.filter).getOrElse(out)
   }
 
   // ---- writes --------------------------------------------------------------

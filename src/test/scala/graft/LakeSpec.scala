@@ -115,6 +115,11 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM orders_t__snapshots").head().getLong(0) == 1L)
     assert(spark.sql("SELECT sum(row_count) FROM orders_t__files").head().getLong(0) ==
       Tables.orders(spark, sf).count())
+    // view freshness (r02 verdict #9): a commit AFTER registration is
+    // visible to the already-registered view without re-registering
+    cat.table("orders_t").append(Tables.orders(spark, sf).limit(10))
+    assert(spark.sql("SELECT count(*) FROM orders_t").head().getLong(0) ==
+      Tables.orders(spark, sf).count() + 10)
     assert(cat.drop("orders_t"))
     assert(!cat.exists("orders_t"))
   }
@@ -426,7 +431,20 @@ class LakeSpec extends AnyFunSuite {
     assert(q.count() == expected)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
-      s"filter must reach the scan builder, plan:\n$plan")
+      s"filter must reach the scan, plan:\n$plan")
+    // with GraftExtensions installed the read is SUBSTITUTED with the
+    // native vectorized plan — no V1 RDD[Row] bridge node in the tree
+    assert(!plan.contains("GraftV1Scan") && plan.contains("FileScan parquet"),
+      s"native substitution must bypass the V1 bridge, plan:\n$plan")
+    // pin the extension-less fallback: V1Scan path, same results
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    try {
+      val v1 = spark.sql(
+        "SELECT o_orderkey FROM graft_test.t1 WHERE o_orderdate >= DATE '1996-01-01'")
+      assert(v1.count() == expected, "V1 fallback must return the same rows")
+      assert(v1.queryExecution.executedPlan.toString.contains("GraftV1Scan"),
+        "fallback must plan through the V1 bridge")
+    } finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
     // INSERT OVERWRITE replaces the whole table in one atomic commit
     spark.sql(
       "INSERT OVERWRITE graft_test.t1 SELECT * FROM orders_src_sql WHERE o_orderstatus = 'F'")
