@@ -274,7 +274,79 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** q23: AS-OF join — for every purchase, the most recent click by the
+    * same user at or before it (the market-data/attribution join the
+    * brief names as an operator Spark lacks natively). Composed from
+    * existing ops — preference (a) of the brief's custom-operator order:
+    * both sides union into one stream tagged right-before-left, ONE
+    * shuffle partitions by user, and a running `last(ignoreNulls)` over
+    * (ts, tag) carries the latest right row forward to each left row.
+    * No per-row subquery, no range self-join: O(n log n) inside each
+    * user partition, the canonical distributed as-of shape. Timestamps
+    * compare in epoch-µs integers so both engines agree at the
+    * nanosecond-truncation boundary; the right side is pre-aggregated
+    * to one row per (user, µs) so ties are deterministic. [oracle:
+    * DuckDB's native ASOF LEFT JOIN] */
+  def q23AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("value")).as("v"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast("bigint").as("event_id"),
+        struct(col("ts_us").as("mts"), col("v").as("mv")).as("m"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts_us"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("struct<mts:bigint,mv:double>").as("m")))
+    // right (tag 0) sorts before left (tag 1) at equal ts → "at or before"
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("lastm", last(col("m"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("lastm.mts").as("click_ts_us"), col("lastm.mv").as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** q24: range (interval) join — lineitems matched into promotion
+    * windows [lo, hi] derived from a deterministic subset of orders (the
+    * brief's second named missing operator). The naive plan is a
+    * cartesian BroadcastNestedLoopJoin re-checking BETWEEN per pair; the
+    * scale shape BUCKETIZES the time axis: each range explodes to the
+    * few buckets it covers (bounded by rangeLen/bucketDays), the probe
+    * side maps to its single bucket, candidates meet in an ordinary
+    * equi-shuffle on bucket, and the exact BETWEEN re-check runs on
+    * candidates only — candidate-generation-then-verify, exactly like
+    * the LSH families, with no O(n·m) pair space. [oracle] */
+  def q24RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bucketDays = 16
+    val epoch = lit("1990-01-01").cast("date")
+    val ranges = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        datediff(col("o_orderdate"), epoch).as("lo"),
+        (datediff(col("o_orderdate"), epoch) + col("o_orderkey") % 14).as("hi"))
+    val items = Tables.lineitem(s, d)
+      .select(col("l_quantity"), datediff(col("l_shipdate"), epoch).as("day"))
+      .withColumn("bucket", floor(col("day") / bucketDays))
+    val rangeBuckets = ranges.withColumn("bucket",
+      explode(sequence(floor(col("lo") / bucketDays), floor(col("hi") / bucketDays))))
+    items.join(rangeBuckets, "bucket")
+      .filter(col("day") >= col("lo") && col("day") <= col("hi"))
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("total_qty"))
+      .orderBy("promo_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_asof_join" -> (q23AsofJoin _),
+    "q24_range_join" -> (q24RangeJoin _),
     "q21_correlated_agg" -> (q21CorrelatedAgg _),
     "q22_approx_distinct" -> (q22ApproxDistinct _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
@@ -301,6 +373,25 @@ object Relational {
   /** DuckDB-equivalent SQL, column-aliased identically (driver compare
     * sorts columns by name then hashes values). */
   val oracles: Map[String, String] = Map(
+    "q23_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS v
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT l.event_id, l.user_id, r.ts_us AS click_ts_us, r.v AS click_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+         ORDER BY l.event_id""",
+    "q24_range_join" ->
+      """WITH r AS (SELECT o_orderkey AS promo_id,
+                           datediff('day', DATE '1990-01-01', o_orderdate) AS lo,
+                           datediff('day', DATE '1990-01-01', o_orderdate) + o_orderkey % 14 AS hi
+                    FROM orders WHERE o_orderkey % 100 = 0)
+         SELECT r.promo_id, count(*) AS n_items,
+                CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+         FROM lineitem l JOIN r
+           ON datediff('day', DATE '1990-01-01', l.l_shipdate) BETWEEN r.lo AND r.hi
+         GROUP BY r.promo_id ORDER BY r.promo_id""",
     "q21_correlated_agg" ->
       """WITH per_cust AS (
            SELECT c_custkey, c_nationkey,

@@ -53,6 +53,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(semi + anti == total)
   }
 
+  test("q23 as-of join matches each purchase to a click at-or-before it") {
+    import org.apache.spark.sql.functions.{col => c, unix_micros}
+    val rows = queries.Relational.q23AsofJoin(spark, sf).collect()
+    val purchaseTs = Tables.events(spark, sf)
+      .filter(c("event_type") === "purchase")
+      .select(c("event_id"), unix_micros(c("ts")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == purchaseTs.size, "left join must keep every purchase")
+    var matched = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        matched += 1
+        assert(r.getLong(2) <= purchaseTs(r.getLong(0)),
+          s"purchase ${r.getLong(0)} matched a FUTURE click")
+      }
+    }
+    assert(matched > 0, "some purchases must have a preceding click")
+  }
+
   test("q21 flags only customers spending > 2x their nation average") {
     val rows = queries.Relational.q21CorrelatedAgg(spark, sf).collect()
     assert(rows.nonEmpty)
