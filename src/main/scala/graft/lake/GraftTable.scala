@@ -269,6 +269,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .schema(sch)
           .parquet(files.map(f => s"$location/${f.path}"): _*)
       }.reduce(_ unionByName _)
+      .select(sch.fieldNames.toIndexedSeq.map(col): _*) // schema column order
   }
 
   /** Ordered partition-column layout of a file's path (e.g. Seq("p","q")

@@ -177,6 +177,30 @@ object Stream {
       .select("lang", "n_distinct")
   }
 
+  /** Streaming SOURCE from the lake (the read half of the ingest
+    * topology; streamLakeSink is the write half): `readStream.format
+    * ("graft-table")` tails a GraftTable by snapshot id — each
+    * micro-batch is exactly the rows appended by the commits in
+    * (start, end], discovered from table metadata with no file listing
+    * and no re-delivery across compactions. Here the table is built
+    * from two append commits, then the stream aggregates per type —
+    * which must equal the batch aggregate over all events. [oracle] */
+  def streamLakeSource(s: SparkSession, d: String): DataFrame = {
+    val sfTag = d.replaceAll(".*/", "")
+    val work = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake")
+    val tableLoc = s"$work/stream-lakesource-table-$sfTag"
+    val fs = new Path(work).getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new Path(tableLoc), true)
+    val ev = graft.Tables.events(s, d)
+    val t = graft.lake.GraftTable.create(s, tableLoc,
+      ev.filter(col("event_id") % 2 === 0), keyColumns = Seq("event_id"))
+    t.append(ev.filter(col("event_id") % 2 === 1))
+    val agg = s.readStream.format("graft-table").load(tableLoc)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    runToTable(agg, "graft_stream_lake_source", "complete")
+      .select("event_type", "n")
+  }
+
   /** Watermark-BOUNDED streaming dedup (the production shape of
     * stream_dedup, whose dropDuplicates state grows forever): events with
     * a 1-hour watermark on event time and
@@ -263,6 +287,7 @@ object Stream {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_lake_sink" -> (streamLakeSink _),
+    "stream_lake_source" -> (streamLakeSource _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join" -> (streamJoin _),
@@ -297,6 +322,8 @@ object Stream {
                 max(n) AS max_session_events
          FROM per_sess GROUP BY user_id""",
     "stream_lake_sink" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "stream_lake_source" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct

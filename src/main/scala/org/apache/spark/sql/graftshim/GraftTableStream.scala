@@ -1,0 +1,86 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.GraftTable
+
+/** Streaming SOURCE over a graft lake table — the read half of the
+  * streaming story (the sink half is `GraftTable.appendStreamBatch`):
+  * a downstream consumer tails a continuously-ingested table with
+  * exactly-once offsets, paying O(new data) per micro-batch.
+  *
+  * {{{
+  *   spark.readStream.format("graft-table").load(tableLocation)
+  * }}}
+  *
+  * Offsets are SNAPSHOT IDS — the same dense commit ordinals the
+  * incremental `changes()` scan consumes, so a micro-batch (start, end]
+  * is exactly the rows appended/upserted by those commits (replace/
+  * compaction snapshots add no rows and are skipped — rewrites don't
+  * re-deliver data). `getOffset` re-reads table metadata, so new commits
+  * are discovered without any listing of data files; recovery
+  * deserializes the checkpointed snapshot id. Pass
+  * `option("startingSnapshot", id)` to begin tailing after `id` instead
+  * of from table creation (use it when history before `id` was expired).
+  *
+  * Lives in the shim package because marking a batch DataFrame as
+  * streaming (`internalCreateDataFrame(..., isStreaming = true)`) is
+  * `private[sql]` — the same boundary every V1 file/socket source uses.
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def location(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table source needs .load(<table location>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-table",
+      schema.getOrElse(
+        GraftTable.load(sqlContext.sparkSession, location(parameters)).schema))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableStreamSource(sqlContext, location(parameters),
+      parameters.get("startingSnapshot").map(_.toLong).getOrElse(0L))
+}
+
+class GraftTableStreamSource(
+    sqlContext: SQLContext,
+    location: String,
+    startingSnapshot: Long) extends Source {
+
+  private val table = GraftTable.load(sqlContext.sparkSession, location)
+
+  override def schema: StructType = table.schema
+
+  override def getOffset: Option[OffsetV1] = {
+    val id = table.refresh().currentSnapshotId
+    if (id <= startingSnapshot) None else Some(LongOffset(id))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(_.json.trim.toLong).getOrElse(startingSnapshot)
+    val batch = table.changes(from, end.json.trim.toLong)
+    // V1 contract: the returned frame must carry isStreaming=true; rows
+    // still evaluate lazily per micro-batch through the batch plan's RDD
+    sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(batch.queryExecution.toRdd, batch.schema,
+        isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
