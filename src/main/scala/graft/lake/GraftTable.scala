@@ -586,7 +586,17 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(root, s"_tmp_$nonce")
     fs.delete(tmp, true)
-    val w = if (m.partitionColumns.nonEmpty) df.write.partitionBy(m.partitionColumns: _*) else df.write
+    val w0 = if (m.partitionColumns.nonEmpty) df.write.partitionBy(m.partitionColumns: _*) else df.write
+    // parquet-native bloom filters on the equality-delete key columns:
+    // the vectorized reader consults them per row group, so point
+    // lookups (WHERE key = v) skip row groups that min/max ranges can't
+    // exclude on an unclustered high-cardinality key. Adaptive sizing
+    // keeps the bitset proportional to actual NDV instead of the 1 MB
+    // worst-case default.
+    val w = m.keyColumns.foldLeft(
+      w0.option("parquet.bloom.filter.adaptive.enabled", "true")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     withMicrosTimestamps { w.mode("overwrite").parquet(tmp.toString) }
     val parts = listParquet(tmp).sortBy(_.toString)
     val destBase = new Path(root, "data")

@@ -349,6 +349,34 @@ class LakeSpec extends AnyFunSuite {
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
   }
 
+  test("data files carry parquet bloom filters for the key columns") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("bloom"), o, keyColumns = Seq("o_orderkey"))
+    val file = new org.apache.hadoop.fs.Path(
+      s"${t.location}/${t.meta.currentSnapshot.get.dataFiles.head.path}")
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val keyChunk = block.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderkey").get
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(keyChunk)
+      assert(bloom != null, "key column must carry a bloom filter")
+      // a value present in the file tests positive (no false negatives)
+      val present = o.select(org.apache.spark.sql.functions.min("o_orderkey"))
+        .head().getLong(0)
+      assert(bloom.findHash(bloom.hash(present)),
+        "present key must hit the bloom filter")
+      // a non-key column carries none (no per-column bloat by default)
+      val other = block.getColumns.asScala
+        .find(_.getPath.toDotString == "o_comment")
+        .orElse(block.getColumns.asScala.find(_.getPath.toDotString == "o_orderstatus")).get
+      assert(reader.getBloomFilterDataReader(block).readBloomFilter(other) == null)
+    } finally reader.close()
+  }
+
   test("full table lifecycle round-trips on a non-file: Hadoop scheme") {
     spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
       classOf[GraftFsFileSystem].getName)
