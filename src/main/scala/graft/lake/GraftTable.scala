@@ -111,10 +111,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * rule (GraftNativeScanRule), which keeps Spark's own Filter node
     * above the result, so row-level re-application would be redundant. */
   private[graft] def scanPrunedOnly(
-      pruneWith: Option[org.apache.spark.sql.catalyst.expressions.Expression]): DataFrame = {
+      pruneWith: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      asOf: Long = -1L): DataFrame = {
     val m = meta
     val sch = schema
-    m.currentSnapshot match {
+    (if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot) match {
       case None => emptyDf(sch)
       case Some(snap) =>
         val surviving = pruneWith

@@ -58,7 +58,8 @@ class GraftNativeScanRule extends Rule[LogicalPlan] {
       t: GraftSqlTable,
       pruneWith: Option[Expression]): LogicalPlan =
     try {
-      val native = t.table.scanPrunedOnly(pruneWith).queryExecution.analyzed
+      // respect a time-travel pin (VERSION/TIMESTAMP AS OF → t.asOf)
+      val native = t.table.scanPrunedOnly(pruneWith, t.asOf).queryExecution.analyzed
       // remap by NAME: hive discovery may order partition columns after
       // the data columns, so positional zip would misalign them
       val byName = native.output.map(a => a.name -> a).toMap

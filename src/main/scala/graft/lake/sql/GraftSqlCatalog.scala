@@ -85,6 +85,27 @@ class GraftSqlCatalog extends TableCatalog {
     new GraftSqlTable(GraftTable.load(spark, location(ident)), ident.toString)
   }
 
+  /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF <snapshotId>`
+    * (snapshot isolation is the reference's own roadmap item,
+    * pg_lakehouse_iceberg/README.md). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, location(ident))
+    val id = version.toLong
+    t.meta.snapshot(id) // validate eagerly → clean error for unknown ids
+    new GraftSqlTable(t, ident.toString, asOf = id)
+  }
+
+  /** `… TIMESTAMP AS OF <ts>` — Spark hands micros since epoch; resolve
+    * to the snapshot current at that instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, location(ident))
+    val id = t.snapshotAsOfTime(timestampMicros / 1000L)
+    require(id >= 0, s"no snapshot of $ident existed at $timestampMicros")
+    new GraftSqlTable(t, ident.toString, asOf = id)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -133,8 +154,9 @@ class GraftSqlCatalog extends TableCatalog {
 }
 
 /** One catalog table: reads bridge to `GraftTable.scan` (fresh snapshot
-  * per query), writes to append/overwrite commits. */
-class GraftSqlTable(val table: GraftTable, ident: String)
+  * per query — or the pinned `asOf` snapshot for time travel), writes to
+  * append/overwrite commits. */
+class GraftSqlTable(val table: GraftTable, ident: String, val asOf: Long = -1L)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident
@@ -158,7 +180,7 @@ class GraftSqlTable(val table: GraftTable, ident: String)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table)
+    new GraftScanBuilder(table, asOf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -181,7 +203,7 @@ class GraftSqlTable(val table: GraftTable, ident: String)
   * returned as residual so Spark re-applies it row-level, keeping pruning
   * strictly an IO optimization. Column pruning narrows the bridged plan,
   * which Catalyst then pushes into the parquet reader. */
-class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+class GraftScanBuilder(table: GraftTable, asOf: Long = -1L) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -196,11 +218,11 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(table, pushed, required)
+  override def build(): Scan = new GraftV1Scan(table, pushed, required, asOf)
 }
 
-class GraftV1Scan(table: GraftTable, pushed: Array[Filter], required: StructType)
-    extends V1Scan {
+class GraftV1Scan(table: GraftTable, pushed: Array[Filter], required: StructType,
+    asOf: Long = -1L) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -211,7 +233,7 @@ class GraftV1Scan(table: GraftTable, pushed: Array[Filter], required: StructType
       override def needConversion: Boolean = true
       override def buildScan(): RDD[Row] = {
         val filter = pushed.flatMap(GraftFilters.toColumn).reduceOption(_ && _)
-        val df = table.scan(filter)
+        val df = table.scan(filter, asOf)
         val projected =
           if (required.isEmpty) df.select() // e.g. SELECT count(*)
           else df.select(required.fieldNames.toIndexedSeq.map(col): _*)

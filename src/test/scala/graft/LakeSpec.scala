@@ -499,6 +499,19 @@ class LakeSpec extends AnyFunSuite {
       "old files read NULL for the added column")
     assert(spark.sql("SHOW TABLES IN graft_test").collect()
       .map(_.getString(1)).toSet == Set("t1", "t2"))
+    // SQL time travel: snapshot 1 is the CTAS content (even keys only),
+    // read back after two later commits changed the table — on both the
+    // native path and the V1 fallback
+    val v1Rows = o.filter(col("o_orderkey") % 2 === 0).count()
+    assert(spark.sql("SELECT count(*) FROM graft_test.t1 VERSION AS OF 1")
+      .head().getLong(0) == v1Rows)
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    try assert(spark.sql("SELECT count(*) FROM graft_test.t1 VERSION AS OF 1")
+      .head().getLong(0) == v1Rows)
+    finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft_test.t1 VERSION AS OF 999").collect()
+    }
   }
 
   private def scanNodeCount(df: org.apache.spark.sql.DataFrame): Int =
