@@ -39,6 +39,10 @@ class GraftNativeScanRule extends Rule[LogicalPlan] {
     else plan match {
       case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
         w.withNewQuery(apply(w.query))
+      // any other command (DELETE FROM, DDL, CTAS, …) keeps its relations:
+      // row-level commands NEED the DSv2 table node, and a command's read
+      // side still works through the V1 path
+      case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
       case _ => plan.transformDown {
         case Filter(cond, sa @ SubqueryAlias(_,
             rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _))) =>

@@ -157,10 +157,24 @@ class GraftSqlCatalog extends TableCatalog {
   * per query — or the pinned `asOf` snapshot for time travel), writes to
   * append/overwrite commits. */
 class GraftSqlTable(val table: GraftTable, ident: String, val asOf: Long = -1L)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = table.schema
+
+  /** `DELETE FROM cat.t WHERE p` → one MoR equality-delete commit (the
+    * reference's own MoR-DELETE roadmap item, executed from SQL). Only
+    * accepted when every conjunct translates — a partial predicate would
+    * delete the wrong rows — and the table has key columns. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    table.meta.keyColumns.nonEmpty &&
+      filters.forall(f => GraftFilters.toColumnExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftFilters.toColumnExact)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    table.delete(cond)
+  }
 
   override def partitioning(): Array[Transform] =
     table.meta.partitionColumns.map(Expressions.identity).toArray
@@ -264,7 +278,21 @@ object GraftFilters {
     case sources.Or(l, r) => // Or must translate BOTH sides to stay sound
       for { a <- toColumn(l); b <- toColumn(r) } yield a || b
     case sources.Not(sources.EqualTo(a, v)) => attr(a).map(_ =!= lit(v))
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
     case _ => None
+  }
+
+  /** EXACT translation: every conjunct must translate (And is two-sided
+    * here, unlike the pruning-oriented `toColumn`, whose one-sided And is
+    * sound only because pruning with a WEAKER predicate keeps extra
+    * files — a delete with a weaker predicate would remove extra ROWS). */
+  def toColumnExact(f: Filter): Option[Column] = f match {
+    case sources.And(l, r) =>
+      for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a && b
+    case sources.Or(l, r) =>
+      for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a || b
+    case leaf => toColumn(leaf) // every non-And case in toColumn is exact
   }
 
   /** dotted names would misparse through functions.col — skip them. */

@@ -512,6 +512,17 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT count(*) FROM graft_test.t1 VERSION AS OF 999").collect()
     }
+    // SQL DELETE FROM → one MoR equality-delete commit
+    val beforeDel = spark.sql("SELECT count(*) FROM graft_test.t1").head().getLong(0)
+    val urgent = spark.sql(
+      "SELECT count(*) FROM graft_test.t1 WHERE o_orderpriority = '1-URGENT'")
+      .head().getLong(0)
+    assert(urgent > 0)
+    spark.sql("DELETE FROM graft_test.t1 WHERE o_orderpriority = '1-URGENT'")
+    assert(spark.sql("SELECT count(*) FROM graft_test.t1").head().getLong(0) ==
+      beforeDel - urgent)
+    assert(t.refresh().snapshots.last.operation == "delete",
+      "SQL DELETE must commit merge-on-read, not rewrite")
   }
 
   private def scanNodeCount(df: org.apache.spark.sql.DataFrame): Int =
