@@ -796,12 +796,25 @@ class GraftTable private (val spark: SparkSession, val location: String) {
 
   private def loadMeta(): TableMetadata = {
     val dir = new Path(root, "metadata")
-    val vs = fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        (n.stripPrefix("v").stripSuffix(".json").toLong, n) }
+    val vs = fs.listStatus(dir)
+      .collect { case st if st.getPath.getName.startsWith("v") &&
+          st.getPath.getName.endsWith(".json") =>
+        (st.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong,
+          st.getPath.getName, st.getModificationTime) }
     require(vs.nonEmpty, s"no metadata at $location")
-    val (_, latest) = vs.maxBy(_._1)
-    val in = fs.open(new Path(dir, latest))
+    val (_, latest, mtime) = vs.maxBy(_._1)
+    // metadata versions are immutable once committed (writers only ever
+    // CREATE v<N+1>), so caching the parsed document by (location,
+    // version, mtime) is sound — mtime guards the drop-and-recreate case
+    // where a fresh table reuses v00001.json at the same location.
+    // Freshness still costs one directory listing per load; the parse of
+    // a long snapshot log (the expensive part at 10k commits: every SQL
+    // query loadTable()s) is paid once.
+    GraftTable.metaCache.get(s"$location/$latest@$mtime")(readParse(dir, latest))
+  }
+
+  private def readParse(dir: Path, name: String): TableMetadata = {
+    val in = fs.open(new Path(dir, name))
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -817,6 +830,20 @@ object GraftTable {
   /** Default vacuum retention (Iceberg remove_orphan_files parity): files
     * younger than this are never GC'd, protecting in-flight commits. */
   val DefaultVacuumMinAgeMs: Long = 3L * 24 * 3600 * 1000
+
+  /** Bounded cache of parsed metadata documents, keyed by (location,
+    * version file) — sound because committed versions are immutable.
+    * Coarse whole-cache eviction at the cap: correctness never depends
+    * on a hit, and re-parsing after eviction is the pre-cache behavior. */
+  private object metaCache {
+    private val MaxEntries = 256
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, TableMetadata]()
+    def get(key: String)(load: => TableMetadata): TableMetadata = {
+      if (m.size > MaxEntries) m.clear()
+      m.computeIfAbsent(key, _ => load)
+    }
+  }
 
   /** Per-table-location commit lock: serializes in-JVM committers so the
     * local-FS exists+rename sequence is race-free under local[*]. */
