@@ -344,7 +344,28 @@ object Relational {
       .orderBy("promo_id")
   }
 
+  /** q25: approximate quantiles (Spark's GK-sketch `percentile_approx`)
+    * next to the exact percentiles — the profiling companion to q22's
+    * HLL: the sketch is mergeable map-side state, while the exact path
+    * funnels each group's values through a sort. Sketch outputs are
+    * engine-specific → rows-only gate; RelationalSpec bounds the sketch
+    * against the exact answer. */
+  def q25ApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val pcts = array(lit(0.5), lit(0.95))
+    Tables.events(s, d).groupBy("event_type").agg(
+      round(element_at(percentile_approx(col("value"), pcts, lit(10000)), 1), 2)
+        .as("p50_approx"),
+      round(element_at(percentile_approx(col("value"), pcts, lit(10000)), 2), 2)
+        .as("p95_approx"),
+      round(element_at(expr("percentile(value, array(0.5D, 0.95D))"), 1), 2)
+        .as("p50_exact"),
+      round(element_at(expr("percentile(value, array(0.5D, 0.95D))"), 2), 2)
+        .as("p95_exact"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_approx_quantile" -> (q25ApproxQuantile _),
     "q23_asof_join" -> (q23AsofJoin _),
     "q24_range_join" -> (q24RangeJoin _),
     "q21_correlated_agg" -> (q21CorrelatedAgg _),

@@ -72,6 +72,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(matched > 0, "some purchases must have a preceding click")
   }
 
+  test("q25 sketch quantiles track the exact percentiles") {
+    val rows = queries.Relational.q25ApproxQuantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val spread = math.max(1.0, math.abs(r.getDouble(4)) + math.abs(r.getDouble(2)))
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= 0.05 * spread,
+        s"p50 sketch off: $r")
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) <= 0.05 * spread,
+        s"p95 sketch off: $r")
+    }
+  }
+
   test("q21 flags only customers spending > 2x their nation average") {
     val rows = queries.Relational.q21CorrelatedAgg(spark, sf).collect()
     assert(rows.nonEmpty)
