@@ -46,24 +46,9 @@ object Tables {
     * at 100 TB (r02 verdict #3). An engine reads this from its manifest
     * (GraftTable keeps rowCount per file); for raw parquet dirs the
     * footers ARE the manifest. */
-  def rowCount(s: SparkSession, path: String): Long = {
-    val conf = s.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
-    if (fs.getFileStatus(p).isDirectory) {
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) files += f
-      }
-    } else files += p
-    files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
+  def rowCount(s: SparkSession, path: String): Long =
+    graft.lake.ParquetStats.rowCount(s.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(path))
 
   /** Spreads a narrow input across the cluster before compute-heavy
     * per-row work. The test corpora are single small parquet files → one

@@ -49,7 +49,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * describe table state, and pinning the state they describe is the
     * useful semantic. */
   def registerViews(): Unit = {
-    val v2cat = "graft_v2_" + Integer.toHexString(warehouse.hashCode)
+    // sanitized path + hash: distinct warehouses get distinct catalog
+    // names (hashCode alone can collide and silently repoint views)
+    val v2cat = "graft_v2_" +
+      warehouse.replaceAll("[^A-Za-z0-9]", "_").takeRight(40) + "_" +
+      Integer.toHexString(warehouse.hashCode)
     spark.conf.set(s"spark.sql.catalog.$v2cat",
       classOf[graft.lake.sql.GraftSqlCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$v2cat.warehouse", warehouse)

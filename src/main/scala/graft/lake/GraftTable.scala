@@ -173,10 +173,15 @@ class GraftTable private (val spark: SparkSession, val location: String) {
             df
           }.reduce(_ unionByName _)
           // normalize to table-schema column ORDER: hive discovery appends
-          // partition columns after the data columns
-          .select(sch.fieldNames.toIndexedSeq.map(col): _*)
+          // partition columns after the data columns (backtick-quoted so
+          // dotted column names stay names, not struct paths)
+          .select(sch.fieldNames.toIndexedSeq.map(quotedCol): _*)
     }
   }
+
+  /** Column reference by EXACT name (dots and backticks escaped). */
+  private def quotedCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   // ---- writes --------------------------------------------------------------
 
@@ -270,7 +275,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
           .schema(sch)
           .parquet(files.map(f => s"$location/${f.path}"): _*)
       }.reduce(_ unionByName _)
-      .select(sch.fieldNames.toIndexedSeq.map(col): _*) // schema column order
+      .select(sch.fieldNames.toIndexedSeq.map(quotedCol): _*) // schema column order
   }
 
   /** Ordered partition-column layout of a file's path (e.g. Seq("p","q")
@@ -335,7 +340,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def appendStreamBatch(df: DataFrame, batchId: Long, queryId: String = "default"): Long = {
     val key = s"stream.$queryId.lastBatchId"
     val m = refresh()
-    val last = m.props.get(key).map(_.toLong).getOrElse(-1L)
+    val last = m.props.get(key)
+      // migration: tables ingested before per-query tracking kept one
+      // table-wide key — honor it for the default query so a replayed
+      // batch on an upgraded table is still a no-op
+      .orElse(if (queryId == "default") m.props.get("stream.lastBatchId") else None)
+      .map(_.toLong).getOrElse(-1L)
     if (batchId == last) return m.currentSnapshotId // replay → idempotent skip
     require(batchId > last,
       s"batchId $batchId < last committed $last for stream query '$queryId': " +
@@ -800,17 +810,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .collect { case st if st.getPath.getName.startsWith("v") &&
           st.getPath.getName.endsWith(".json") =>
         (st.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong,
-          st.getPath.getName, st.getModificationTime) }
+          st.getPath.getName, st.getModificationTime, st.getLen) }
     require(vs.nonEmpty, s"no metadata at $location")
-    val (_, latest, mtime) = vs.maxBy(_._1)
+    val (_, latest, mtime, len) = vs.maxBy(_._1)
     // metadata versions are immutable once committed (writers only ever
     // CREATE v<N+1>), so caching the parsed document by (location,
-    // version, mtime) is sound — mtime guards the drop-and-recreate case
-    // where a fresh table reuses v00001.json at the same location.
-    // Freshness still costs one directory listing per load; the parse of
-    // a long snapshot log (the expensive part at 10k commits: every SQL
-    // query loadTable()s) is paid once.
-    GraftTable.metaCache.get(s"$location/$latest@$mtime")(readParse(dir, latest))
+    // version, mtime, length) is sound — mtime+length guard the
+    // drop-and-recreate case where a fresh table reuses v00001.json at
+    // the same location (length also discriminates within coarse mtime
+    // granularity, e.g. S3's 1-second LastModified). Freshness still
+    // costs one directory listing per load; the parse of a long snapshot
+    // log (the expensive part at 10k commits: every SQL query
+    // loadTable()s) is paid once.
+    GraftTable.metaCache.get(s"$location/$latest@$mtime:$len")(readParse(dir, latest))
   }
 
   private def readParse(dir: Path, name: String): TableMetadata = {

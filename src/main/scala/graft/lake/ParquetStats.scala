@@ -23,6 +23,24 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetStats {
 
+  /** Total record count of a parquet file (or every .parquet under a
+    * directory) from footers only — no data pages, no Spark job. */
+  def rowCount(conf: Configuration, path: Path): Long = {
+    val fs = path.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer[Path]()
+    if (fs.getFileStatus(path).isDirectory) {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) files += f
+      }
+    } else files += path
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** @return (rowCount, per-column stats) */
   def read(conf: Configuration, file: Path): (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))

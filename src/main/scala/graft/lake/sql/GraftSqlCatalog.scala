@@ -120,7 +120,12 @@ class GraftSqlCatalog extends TableCatalog {
     }
     val keyCols = Option(properties.get("key.columns"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val t = GraftTable.createEmpty(spark, location(ident), schema, partCols, keyCols)
+    // persist user TBLPROPERTIES (minus Spark-managed/reserved entries) —
+    // dropping them silently would lose user metadata
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap -- GraftSqlCatalog.ReservedProps
+    val t = GraftTable.createEmpty(spark, location(ident), schema, partCols, keyCols,
+      properties = userProps)
     new GraftSqlTable(t, ident.toString)
   }
 
@@ -151,6 +156,14 @@ class GraftSqlCatalog extends TableCatalog {
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) sys.error(s"rename $src -> $dst failed")
   }
+}
+
+object GraftSqlCatalog {
+  /** Spark-managed table properties that must not persist as user
+    * metadata (key.columns IS persisted, via TableMetadata.keyColumns). */
+  private val ReservedProps: Set[String] =
+    Set("key.columns", "provider", "location", "owner", "external", "comment",
+      "option.path", "path")
 }
 
 /** One catalog table: reads bridge to `GraftTable.scan` (fresh snapshot

@@ -53,9 +53,20 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftTableStreamSource(sqlContext, location(parameters),
+      parameters: Map[String, String]): Source = {
+    val loc = location(parameters)
+    // reject a user schema that differs from the table's: batches are
+    // produced in the table schema, and a silent mismatch would fail (or
+    // misbind columns) mid-stream instead of at analysis
+    val tableSchema = GraftTable.load(sqlContext.sparkSession, loc).schema
+    schema.filter(_ != tableSchema).foreach { s =>
+      throw new IllegalArgumentException(
+        s"graft-table source reads the table schema $tableSchema; " +
+          s"drop .schema(...) or pass it verbatim (got $s)")
+    }
+    new GraftTableStreamSource(sqlContext, loc,
       parameters.get("startingSnapshot").map(_.toLong).getOrElse(0L))
+  }
 }
 
 class GraftTableStreamSource(

@@ -483,7 +483,10 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_test.t2")
     spark.sql(
       """CREATE TABLE graft_test.t2 (k BIGINT, status STRING)
-         PARTITIONED BY (status)""")
+         PARTITIONED BY (status)
+         TBLPROPERTIES ('retention'='7d')""")
+    // user TBLPROPERTIES persist (reserved/Spark-managed keys filtered)
+    assert(GraftTable.load(spark, s"$wh/t2").property("retention").contains("7d"))
     spark.sql("INSERT INTO graft_test.t2 VALUES (1, 'A'), (2, 'B'), (3, 'A')")
     assert(spark.sql("SELECT count(*) FROM graft_test.t2 WHERE status = 'A'")
       .head().getLong(0) == 2)

@@ -42,6 +42,24 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(t.property("stream.default.lastBatchId").contains("2"))
   }
 
+  test("pre-upgrade tables with the table-wide batch key stay exactly-once") {
+    val loc = "/root/repo/target/graft-lake-test/legacy-batchid"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val t = lake.GraftTable.create(spark, loc,
+      Tables.events(spark, sf).limit(20), keyColumns = Seq("event_id"))
+    // simulate a table ingested before per-query tracking
+    t.setProperty("stream.lastBatchId", "5")
+    val before = t.scan().count()
+    // replay of the legacy-committed batch must still be a no-op
+    t.appendStreamBatch(Tables.events(spark, sf).limit(10), 5L)
+    assert(t.scan().count() == before, "legacy replay must not duplicate rows")
+    // and the next batch appends under the new per-query key
+    t.appendStreamBatch(Tables.events(spark, sf).limit(10), 6L)
+    assert(t.scan().count() == before + 10)
+    assert(t.property("stream.default.lastBatchId").contains("6"))
+  }
+
   test("graft-table streaming source tails appends incrementally across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val base = "/root/repo/target/graft-lake-test/lakesource"
