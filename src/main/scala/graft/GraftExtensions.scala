@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     // vectorized substitution of DSv2 graft-table reads (see the rule doc)
     ext.injectResolutionRule(_ => new graft.lake.sql.GraftNativeScanRule)
+    // SQL UPDATE / MERGE INTO lowered onto the MoR commit path
+    ext.injectResolutionRule(_ => new graft.lake.sql.GraftRowLevelSqlRule)
   }
 }
 

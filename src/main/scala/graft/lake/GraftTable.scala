@@ -235,6 +235,18 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
   }
 
+  /** MoR delete of an EXPLICIT key set (the `MERGE … WHEN MATCHED THEN
+    * DELETE` shape): one equality-delete commit of the given keys, no
+    * scan of the table at all — write amplification O(|keys|). */
+  def deleteKeys(keys: DataFrame): Long = {
+    val m = refresh()
+    require(m.keyColumns.nonEmpty, "MoR delete needs keyColumns")
+    val seq = m.currentSnapshotId + 1 max 1
+    val delFile = writeDeleteFile(
+      keys.select(m.keyColumns.map(col): _*).distinct(), seq)
+    commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
+  }
+
   /** MoR UPDATE = equality-delete of the matched keys + append of the
     * rewritten rows, in ONE commit. The new data files carry the commit's
     * own seq, so the delete (which applies only to seq < its own) cannot
@@ -285,16 +297,67 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       .filter(s => s.operation == "append" || s.operation == "upsert")
       .flatMap(s => s.dataFiles.filter(_.seq == s.id))
     if (newFiles.isEmpty) emptyDf(sch)
-    // one scan node per partition LAYOUT (not per snapshot) — plan size
-    // stays O(partition specs) however many commits the range spans
-    else newFiles.groupBy(partitionLayout).toSeq.sortBy(_._1.mkString(","))
-      .map { case (_, files) =>
+    else readFilesGrouped(sch, newFiles)
+  }
+
+  /** Reads a file set with one scan node per partition LAYOUT (not per
+    * snapshot) — plan size stays O(partition specs) however many commits
+    * the set spans — normalized to table-schema column order. */
+  private def readFilesGrouped(sch: StructType, files: Seq[DataFileMeta]): DataFrame =
+    files.groupBy(partitionLayout).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, fs) =>
         spark.read
           .option("basePath", s"$location/data")
           .schema(sch)
-          .parquet(files.map(f => s"$location/${f.path}"): _*)
+          .parquet(fs.map(f => s"$location/${f.path}"): _*)
       }.reduce(_ unionByName _)
       .select(sch.fieldNames.toIndexedSeq.map(quotedCol): _*) // schema column order
+
+  /** CDC read with DELETES: every change in snapshot range (fromId, toId]
+    * as a row tagged `_change_type` ∈ {insert, delete} — the
+    * Iceberg-CDC-shaped contract a downstream consumer needs on tables
+    * that take deletes (an append-only `changes()` consumer silently
+    * misses them; r03 verdict #3).
+    *
+    *  - append            → its new rows as `insert`
+    *  - delete            → the removed rows (parent-snapshot state
+    *                        semi-joined with the commit's delete keys) as
+    *                        `delete`
+    *  - update / upsert   → `delete` rows for the PRIOR versions of
+    *                        matched keys + `insert` rows for the rewrites
+    *                        (the standard CDC encoding of an update)
+    *  - replace (compact/cluster) → nothing: rewrites move no rows
+    *
+    * Cost: inserts are O(new data) exactly like `changes()`; each
+    * delete-bearing commit adds one pruned parent-snapshot scan
+    * semi-joined against its (small, broadcastable) key set — O(delete
+    * commits in range) plan branches, which a tailing consumer keeps at
+    * one or two per micro-batch. */
+  def cdc(fromId: Long, toId: Long): DataFrame = {
+    val m = refresh()
+    val sch = schema
+    val ct = "_change_type"
+    val snaps = m.snapshots.filter(s => s.id > fromId && s.id <= toId).sortBy(_.id)
+    val frames = ArrayBuffer[DataFrame]()
+    val newFiles = snaps.filter(s => Set("append", "upsert", "update")(s.operation))
+      .flatMap(s => s.dataFiles.filter(_.seq == s.id))
+    if (newFiles.nonEmpty)
+      frames += readFilesGrouped(sch, newFiles).withColumn(ct, lit("insert"))
+    for (s <- snaps) {
+      val dels = s.deleteFiles.filter(_.seq == s.id)
+      if (dels.nonEmpty && m.keyColumns.nonEmpty && s.parentId >= 0) {
+        val keys = spark.read
+          .parquet(dels.map(d => s"$location/${d.path}"): _*)
+          .select(m.keyColumns.map(col): _*)
+        frames += scan(None, asOf = s.parentId)
+          .join(keys, m.keyColumns, "left_semi")
+          .withColumn(ct, lit("delete"))
+      }
+    }
+    if (frames.isEmpty)
+      emptyDf(StructType(sch.fields :+
+        org.apache.spark.sql.types.StructField(ct, org.apache.spark.sql.types.StringType, false)))
+    else frames.reduce(_ unionByName _)
   }
 
   /** Ordered partition-column layout of a file's path (e.g. Seq("p","q")

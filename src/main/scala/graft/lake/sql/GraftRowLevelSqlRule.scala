@@ -1,0 +1,213 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.{ColumnExpr, PlanDf}
+
+import graft.lake.GraftTable
+
+/** SQL `UPDATE cat.t SET … WHERE …` and `MERGE INTO cat.t USING …` for
+  * graft tables — the remaining DML of the reference's "use it like a
+  * regular PG table" UX (pg_lakehouse_iceberg/README.md:37-39; UPDATE
+  * merge-on-read is its own roadmap line, README.md:14).
+  *
+  * Spark's built-in rewrite for these commands requires the connector to
+  * implement the DSv2 row-level-operation machinery, whose group-based
+  * plans rewrite whole files copy-on-write. Graft's MoR commits
+  * (equality-delete + append in one snapshot) are strictly cheaper — write
+  * amplification O(matched rows), not O(touched files) — so this rule
+  * intercepts the RESOLVED logical command during analysis and lowers it
+  * onto the existing programmatic path:
+  *
+  *  - `UpdateTable`      → [[GraftUpdateCommand]]  → `GraftTable.update`
+  *  - `MergeIntoTable`   → [[GraftMergeCommand]]:
+  *      MATCHED UPDATE SET * + NOT MATCHED INSERT *  → `upsert(source)`
+  *      MATCHED UPDATE SET * only                    → `upsert(source ⋉ target)`
+  *      NOT MATCHED INSERT * only                    → `append(source ▷ target)`
+  *      MATCHED DELETE only                          → `deleteKeys(source keys)`
+  *
+  * The MERGE condition must be the conjunction of equality predicates
+  * over exactly the table's `key.columns` (the equality-delete key — the
+  * only join the MoR read path can honor); anything else fails with a
+  * clear error instead of silently wrong rows. Action conditions and
+  * partial assignment lists are rejected the same way. Resolved
+  * attributes are detached to name references before re-resolving against
+  * the table's own scan, so the commands run on a FRESH snapshot at
+  * execution time with the optimistic-retry commit semantics of the
+  * programmatic API.
+  */
+class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved =>
+      graftTarget(u.table).map { t =>
+        val assigns = u.assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new UnsupportedOperationException(
+              s"graft UPDATE supports top-level columns only, got $other")
+          }
+          name -> detach(a.value)
+        }
+        GraftUpdateCommand(t.table.location, assigns,
+          u.condition.map(detach)): LogicalPlan
+      }.getOrElse(u)
+
+    case m: MergeIntoTable if m.resolved =>
+      graftTarget(m.targetTable).map { t =>
+        lowerMerge(m, t): LogicalPlan
+      }.getOrElse(m)
+
+    case _ => plan
+  }
+
+  private def lowerMerge(m: MergeIntoTable, t: GraftSqlTable): GraftMergeCommand = {
+    val keyCols = t.table.meta.keyColumns
+    if (keyCols.isEmpty) throw new UnsupportedOperationException(
+      s"MERGE INTO a graft table needs key.columns (equality-delete key) on ${t.name()}")
+    if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
+      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+    // condition must be key-equality between target and source, covering
+    // exactly the key columns
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val eqNames = splitConjunctivePredicates(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if l.name == r.name &&
+            ((tOut.contains(l) && sOut.contains(r)) ||
+             (tOut.contains(r) && sOut.contains(l))) => l.name
+      case other => throw new UnsupportedOperationException(
+        "graft MERGE condition must be target.k = source.k equalities over " +
+          s"the key columns, got $other")
+    }
+    if (eqNames.toSet != keyCols.toSet) throw new UnsupportedOperationException(
+      s"graft MERGE condition must cover exactly key.columns ${keyCols.mkString(",")}, " +
+        s"got ${eqNames.mkString(",")}")
+    val tableCols = t.table.schema.fieldNames.toSeq
+    val shape = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(u) , Seq(i)) if starUpdate(u, tableCols) && starInsert(i, tableCols) =>
+        GraftMergeCommand.Upsert
+      case (Seq(u), Seq()) if starUpdate(u, tableCols) => GraftMergeCommand.UpdateOnly
+      case (Seq(), Seq(i)) if starInsert(i, tableCols) => GraftMergeCommand.InsertOnly
+      case (Seq(DeleteAction(None)), Seq()) => GraftMergeCommand.DeleteMatched
+      case _ => throw new UnsupportedOperationException(
+        "graft MERGE supports: [WHEN MATCHED THEN UPDATE SET *] " +
+          "[WHEN NOT MATCHED THEN INSERT *] | WHEN MATCHED THEN DELETE " +
+          "(unconditional actions, full-row assignments)")
+    }
+    GraftMergeCommand(t.table.location, m.sourceTable, shape)
+  }
+
+  /** Is the action an unconditional full-row name-identical UPDATE — i.e.
+    * `UPDATE SET *`, either still a star or already expanded by the
+    * analyzer into per-column assignments? */
+  private def starUpdate(a: MergeAction, tableCols: Seq[String]): Boolean = a match {
+    case UpdateStarAction(None) => true
+    case UpdateAction(None, assigns, _) => fullRowNameIdentical(assigns, tableCols)
+    case _ => false
+  }
+
+  private def starInsert(a: MergeAction, tableCols: Seq[String]): Boolean = a match {
+    case InsertStarAction(None) => true
+    case InsertAction(None, assigns) => fullRowNameIdentical(assigns, tableCols)
+    case _ => false
+  }
+
+  /** Every table column assigned from the source attribute of the SAME
+    * name (modulo an implicit cast) — the expanded form of `SET *`. */
+  private def fullRowNameIdentical(assigns: Seq[Assignment], tableCols: Seq[String]): Boolean = {
+    def sourceName(e: Expression): Option[String] = e match {
+      case ar: AttributeReference => Some(ar.name)
+      case c: Cast => sourceName(c.child)
+      case _ => None
+    }
+    val pairs = assigns.flatMap { a =>
+      a.key match {
+        case k: AttributeReference => sourceName(a.value).filter(_ == k.name).map(_ => k.name)
+        case _ => None
+      }
+    }
+    pairs.length == assigns.length && pairs.toSet == tableCols.toSet
+  }
+
+  /** The graft DSv2 table under the (possibly aliased) target relation —
+    * None leaves the plan for Spark's own (failing) path, so non-graft
+    * tables keep their stock error messages. */
+  private def graftTarget(plan: LogicalPlan): Option[GraftSqlTable] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) => Some(t)
+    case _ => None
+  }
+
+  /** Resolved expression → name-based Column that re-resolves against the
+    * table's own scan at execution time. Subqueries can't be re-bound
+    * that way — reject loudly. */
+  private def detach(e: Expression): Column = {
+    e.foreach {
+      case _: SubqueryExpression => throw new UnsupportedOperationException(
+        s"graft UPDATE/MERGE does not support subqueries in $e")
+      case _ => ()
+    }
+    ColumnExpr.column(e.transform {
+      case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+    })
+  }
+}
+
+/** `UPDATE` lowered to one MoR update commit (equality-delete of matched
+  * keys + append of rewritten rows — GraftTable.update). Holds Columns,
+  * not Expressions, so the analyzer does not traverse into the detached
+  * (unresolved-by-design) trees. */
+case class GraftUpdateCommand(
+    location: String,
+    assignments: Seq[(String, Column)],
+    condition: Option[Column]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(sparkSession, location)
+    t.update(assignments.toMap, condition.getOrElse(lit(true)))
+    Nil
+  }
+}
+
+/** `MERGE INTO` lowered to one MoR commit on the analyzed source plan. */
+case class GraftMergeCommand(
+    location: String,
+    source: LogicalPlan,
+    shape: GraftMergeCommand.Shape) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import GraftMergeCommand._
+    val t = GraftTable.load(sparkSession, location)
+    val src = PlanDf.ofRows(sparkSession, source)
+    val keys = t.meta.keyColumns
+    shape match {
+      case Upsert => t.upsert(src)
+      case UpdateOnly =>
+        // restrict the upsert to keys already present → pure update
+        val existing = t.scan().select(keys.map(col): _*)
+        t.upsert(src.join(existing, keys, "left_semi"))
+      case InsertOnly =>
+        val existing = t.scan().select(keys.map(col): _*)
+        t.append(src.join(existing, keys, "left_anti"))
+      case DeleteMatched =>
+        t.deleteKeys(src.select(keys.map(col): _*))
+    }
+    Nil
+  }
+}
+
+object GraftMergeCommand {
+  sealed trait Shape
+  case object Upsert extends Shape
+  case object UpdateOnly extends Shape
+  case object InsertOnly extends Shape
+  case object DeleteMatched extends Shape
+}

@@ -268,6 +268,64 @@ object Lake {
           GROUP BY o_orderstatus""")
   }
 
+  /** SQL row-level DML — `UPDATE … SET … WHERE` and `MERGE INTO … USING`
+    * lowered onto MoR commits by GraftRowLevelSqlRule (the reference's
+    * remaining "regular PG table" DML, README.md:37-39): CTAS, an UPDATE
+    * that zeroes matched prices, then a MERGE whose source both replaces
+    * existing keys (UPDATE SET *) and inserts shifted new keys
+    * (INSERT *) — one update commit + one upsert commit, verified by the
+    * final aggregate. ×2 price stays exact in binary fp (cf. lakeMerge). */
+  def lakeSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val wh = work(s, "sql_update", d)
+    val cat = "graft_sqlu"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Tables.orders(s, d).createOrReplaceTempView("graft_sqlu_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    s.sql(
+      s"""CREATE TABLE $cat.orders_t TBLPROPERTIES ('key.columns'='o_orderkey')
+          AS SELECT * FROM graft_sqlu_src""")
+    s.sql(s"UPDATE $cat.orders_t SET o_totalprice = 0.0D WHERE o_orderstatus = 'F'")
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW graft_sqlu_merge AS
+         SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM graft_sqlu_src WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice * 2,
+                  o_orderdate, o_orderpriority
+           FROM graft_sqlu_src WHERE o_orderkey % 10 = 0)""")
+    s.sql(
+      s"""MERGE INTO $cat.orders_t t USING graft_sqlu_merge src
+          ON t.o_orderkey = src.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2) AS total
+          FROM $cat.orders_t
+          GROUP BY o_orderstatus""")
+  }
+
+  /** CDC read with deletes: create (even keys) + append (odd keys) +
+    * MoR delete (status F), then `cdc(1, 3)` — the appended rows arrive
+    * tagged `insert`, the rows the delete removed arrive tagged
+    * `delete` (Iceberg-CDC shape; an append-only incremental consumer
+    * would silently miss them — r03 verdict). */
+  def lakeCdc(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "cdc", d),
+      o.filter(col("o_orderkey") % 2 === 0), keyColumns = Seq("o_orderkey"))
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    t.delete(col("o_orderstatus") === "F")
+    t.cdc(1L, 3L)
+      .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Money.sum2(col("o_totalprice")).as("total"))
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -279,6 +337,8 @@ object Lake {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sql_dml" -> (lakeSqlDml _),
+    "lake_sql_update" -> (lakeSqlUpdate _),
+    "lake_cdc" -> (lakeCdc _),
     "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
@@ -303,6 +363,27 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_sql_update" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                       WHEN o_orderstatus = 'F' THEN 0 ELSE o_totalprice END AS p
+           FROM orders
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 0
+         ) GROUP BY o_orderstatus""",
+    "lake_cdc" ->
+      """SELECT change_type, o_orderstatus, count(*) AS n_rows,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM (
+           SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 1
+           UNION ALL
+           SELECT 'delete', o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderstatus = 'F'
+         ) GROUP BY change_type, o_orderstatus""",
     "lake_sql_dml" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

@@ -39,14 +39,24 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       throw new IllegalArgumentException(
         "graft-table source needs .load(<table location>)"))
 
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("cdc").exists(_.equalsIgnoreCase("true"))
+
+  private def streamSchema(tableSchema: StructType, cdc: Boolean): StructType =
+    if (!cdc) tableSchema
+    else StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     ("graft-table",
-      schema.getOrElse(
-        GraftTable.load(sqlContext.sparkSession, location(parameters)).schema))
+      schema.getOrElse(streamSchema(
+        GraftTable.load(sqlContext.sparkSession, location(parameters)).schema,
+        isCdc(parameters))))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -58,25 +68,36 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     // reject a user schema that differs from the table's: batches are
     // produced in the table schema, and a silent mismatch would fail (or
     // misbind columns) mid-stream instead of at analysis
-    val tableSchema = GraftTable.load(sqlContext.sparkSession, loc).schema
-    schema.filter(_ != tableSchema).foreach { s =>
+    val expected = streamSchema(
+      GraftTable.load(sqlContext.sparkSession, loc).schema, isCdc(parameters))
+    schema.filter(_ != expected).foreach { s =>
       throw new IllegalArgumentException(
-        s"graft-table source reads the table schema $tableSchema; " +
+        s"graft-table source reads the table schema $expected; " +
           s"drop .schema(...) or pass it verbatim (got $s)")
     }
     new GraftTableStreamSource(sqlContext, loc,
-      parameters.get("startingSnapshot").map(_.toLong).getOrElse(0L))
+      parameters.get("startingSnapshot").map(_.toLong).getOrElse(0L),
+      cdc = isCdc(parameters))
   }
 }
 
+/** `cdc = true` switches micro-batches from the append-only `changes()`
+  * read to `GraftTable.cdc` — rows tagged `_change_type` (insert|delete),
+  * so delete/update/upsert commits reach the consumer instead of being
+  * silently skipped. */
 class GraftTableStreamSource(
     sqlContext: SQLContext,
     location: String,
-    startingSnapshot: Long) extends Source {
+    startingSnapshot: Long,
+    cdc: Boolean = false) extends Source {
 
   private val table = GraftTable.load(sqlContext.sparkSession, location)
 
-  override def schema: StructType = table.schema
+  override def schema: StructType =
+    if (!cdc) table.schema
+    else StructType(table.schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
 
   override def getOffset: Option[OffsetV1] = {
     val id = table.refresh().currentSnapshotId
@@ -85,7 +106,8 @@ class GraftTableStreamSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(_.json.trim.toLong).getOrElse(startingSnapshot)
-    val batch = table.changes(from, end.json.trim.toLong)
+    val to = end.json.trim.toLong
+    val batch = if (cdc) table.cdc(from, to) else table.changes(from, to)
     // V1 contract: the returned frame must carry isStreaming=true; rows
     // still evaluate lazily per micro-batch through the batch plan's RDD
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

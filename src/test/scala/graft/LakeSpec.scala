@@ -528,6 +528,62 @@ class LakeSpec extends AnyFunSuite {
       "SQL DELETE must commit merge-on-read, not rewrite")
   }
 
+  test("SQL UPDATE and MERGE INTO lower onto MoR commits") {
+    val wh = freshDir("sqlwh-rowlevel")
+    spark.conf.set("spark.sql.catalog.graft_rl",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+    val o = Tables.orders(spark, sf)
+    o.createOrReplaceTempView("orders_src_rl")
+    spark.sql("DROP TABLE IF EXISTS graft_rl.t")
+    spark.sql(
+      """CREATE TABLE graft_rl.t TBLPROPERTIES('key.columns'='o_orderkey')
+         AS SELECT * FROM orders_src_rl""")
+    // UPDATE … SET … WHERE → one MoR update commit
+    spark.sql(
+      "UPDATE graft_rl.t SET o_totalprice = 0.0D, o_custkey = o_custkey + 1000000 " +
+        "WHERE o_orderstatus = 'F'")
+    val t = GraftTable.load(spark, s"$wh/t")
+    assert(t.meta.currentSnapshot.get.operation == "update")
+    assert(spark.sql("SELECT count(*) FROM graft_rl.t").head().getLong(0) == o.count())
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_rl.t WHERE o_orderstatus = 'F' AND o_totalprice <> 0.0D")
+      .head().getLong(0) == 0, "matched rows must be rewritten")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_rl.t WHERE o_orderstatus <> 'F' AND o_custkey >= 1000000")
+      .head().getLong(0) == 0, "unmatched rows must be untouched")
+    // MERGE upsert: UPDATE SET * + INSERT * → one MoR upsert commit
+    val upd = o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(1.0))
+    val ins = upd.withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    upd.unionByName(ins).createOrReplaceTempView("merge_src_rl")
+    spark.sql(
+      """MERGE INTO graft_rl.t t USING merge_src_rl s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.refresh().snapshots.last.operation == "upsert")
+    assert(spark.sql("SELECT count(*) FROM graft_rl.t").head().getLong(0) ==
+      o.count() + ins.count())
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_rl.t WHERE o_orderkey % 10 = 0 AND o_totalprice <> 1.0D")
+      .head().getLong(0) == 0, "matched keys must carry the source row")
+    // MERGE delete shape: WHEN MATCHED THEN DELETE
+    spark.sql(
+      """MERGE INTO graft_rl.t t
+         USING (SELECT * FROM merge_src_rl WHERE o_orderkey >= 100000000) s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM graft_rl.t").head().getLong(0) == o.count(),
+      "merge-delete must remove exactly the inserted keys")
+    assert(t.refresh().snapshots.last.operation == "delete")
+    // non-key merge condition fails loudly, not silently wrong
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_rl.t t USING merge_src_rl s ON t.o_custkey = s.o_custkey
+           WHEN MATCHED THEN DELETE""")
+    }
+    assert(ex.getMessage.contains("key.columns"), ex.getMessage)
+  }
+
   private def scanNodeCount(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
