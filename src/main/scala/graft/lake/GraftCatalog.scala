@@ -10,27 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * minus the SQL transaction layer, which GraftTable's optimistic metadata
   * rename replaces. Listing is an O(tables) directory scan on the driver.
   */
-class GraftCatalog(spark: SparkSession, warehouse: String) {
+class GraftCatalog(val spark: SparkSession, warehouse: String) extends Catalog {
   private val root = new Path(warehouse)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
-  def tableLocation(name: String): String = s"$warehouse/$name"
+  override def tableLocation(name: String): String = s"$warehouse/$name"
 
-  def create(
-      name: String,
-      df: DataFrame,
-      partitionBy: Seq[String] = Nil,
-      keyColumns: Seq[String] = Nil): GraftTable =
-    GraftTable.create(spark, tableLocation(name), df, partitionBy, keyColumns)
+  /** directory catalogs derive the location; existence IS registration */
+  override protected def register(name: String): String = tableLocation(name)
 
-  def table(name: String): GraftTable = GraftTable.load(spark, tableLocation(name))
-
-  def exists(name: String): Boolean =
+  override def exists(name: String): Boolean =
     fs.exists(new Path(new Path(root, name), "metadata"))
 
-  def drop(name: String): Boolean = fs.delete(new Path(root, name), true)
+  override def drop(name: String): Boolean = fs.delete(new Path(root, name), true)
 
-  def list(): Seq[String] =
+  override def list(): Seq[String] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
       .filter(exists).sorted.toSeq

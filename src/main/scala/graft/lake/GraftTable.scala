@@ -597,6 +597,47 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     removed
   }
 
+  /** Property-driven maintenance in one call — compaction, snapshot
+    * retention, and file GC stop being operator discipline (the r03
+    * verdict's mitigation gap for unbounded history: metadata stays
+    * bounded only if someone remembers to run the steps). Configure once
+    * with table properties, then schedule `maintain()`:
+    *
+    *  - `maintain.compact.min-files`   — bin-pack when the current
+    *    snapshot holds at least this many data files (or any delete
+    *    files, which compaction folds in)
+    *  - `maintain.expire.keep-last`    — trim the snapshot log to the
+    *    last N entries
+    *  - `maintain.vacuum.min-age-ms`   — GC age guard for unreferenced
+    *    data/delete/manifest files (defaults to the 3-day
+    *    remove-orphan-files retention; the property exists for quiet
+    *    single-writer tables that want immediate GC)
+    *
+    * Steps without their property set are skipped. Returns what happened:
+    * `compacted` (0/1), `expired_snapshots`, `removed_files`. */
+  def maintain(): Map[String, Long] = {
+    val p = refresh().props
+    var compacted = 0L
+    p.get("maintain.compact.min-files").map(_.toInt).foreach { minFiles =>
+      val snap = meta.currentSnapshot
+      val files = snap.map(_.nDataFiles).getOrElse(0)
+      val dels = snap.map(_.nDeleteFiles).getOrElse(0)
+      if (files >= minFiles || dels > 0) { compact(); compacted = 1 }
+    }
+    var expired = 0L
+    p.get("maintain.expire.keep-last").map(_.toInt).foreach { keep =>
+      val before = meta.snapshots.length
+      if (before > keep) { expireSnapshots(keep); expired = before - keep }
+    }
+    val removed =
+      if (expired > 0 || compacted > 0 || p.contains("maintain.vacuum.min-age-ms"))
+        vacuum(p.get("maintain.vacuum.min-age-ms").map(_.toLong)
+          .getOrElse(GraftTable.DefaultVacuumMinAgeMs)).toLong
+      else 0L
+    Map("compacted" -> compacted, "expired_snapshots" -> expired,
+      "removed_files" -> removed)
+  }
+
   // ---- metadata tables -----------------------------------------------------
 
   /** Snapshot log as a DataFrame (analog of Iceberg's `snapshots` metadata

@@ -326,6 +326,38 @@ object Lake {
         Money.sum2(col("o_totalprice")).as("total"))
   }
 
+  /** property-driven maintenance: one `maintain()` call compacts (folding
+    * the delete), trims the snapshot log, and GCs unreferenced files per
+    * the table's own properties — retention stops being operator
+    * discipline (LakeSpec asserts snapshots/files are actually gone; the
+    * gate checks the surviving rows). */
+  def lakeMaintain(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "maintain", d),
+      Tables.orders(s, d).repartition(8), keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderstatus") === "P")
+    t.setProperty("maintain.compact.min-files", "4")
+    t.setProperty("maintain.expire.keep-last", "1")
+    t.setProperty("maintain.vacuum.min-age-ms", "0") // quiet test table
+    t.maintain()
+    statusAgg(t.scan())
+  }
+
+  /** full lifecycle through the REST catalog: an in-process catalog
+    * service (the reference's catalog_type='rest' shape) resolves the
+    * table name → location for create, append and scan — the catalog is
+    * on the name path only, never the data path. */
+  def lakeRestCatalog(s: SparkSession, d: String): DataFrame = {
+    val server = new graft.lake.InMemoryCatalogServer(work(s, "rest_catalog", d))
+    try {
+      val cat = new graft.lake.RestCatalog(s, server.uri)
+      val o = Tables.orders(s, d)
+      cat.create("orders_t", o.filter(col("o_orderkey") % 2 === 0),
+        keyColumns = Seq("o_orderkey"))
+      cat.table("orders_t").append(o.filter(col("o_orderkey") % 2 === 1))
+      statusAgg(cat.table("orders_t").scan())
+    } finally server.stop()
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -339,6 +371,8 @@ object Lake {
     "lake_sql_dml" -> (lakeSqlDml _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_cdc" -> (lakeCdc _),
+    "lake_maintain" -> (lakeMaintain _),
+    "lake_rest_catalog" -> (lakeRestCatalog _),
     "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
@@ -363,6 +397,15 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_maintain" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus""",
+    "lake_rest_catalog" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "lake_sql_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

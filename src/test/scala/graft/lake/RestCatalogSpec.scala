@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Full table lifecycle through the REST catalog implementation (the
+  * reference's catalog_type='rest' deployment shape) against the bundled
+  * in-process catalog service. */
+class RestCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fresh(name: String): String = {
+    val d = s"/root/repo/target/graft-lake-test/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  test("create / load / list / append / scan / drop through the REST catalog") {
+    val server = new InMemoryCatalogServer(fresh("rest-wh"))
+    try {
+      val cat = new RestCatalog(spark, server.uri)
+      assert(cat.list().isEmpty && !cat.exists("orders_t"))
+      val o = Tables.orders(spark, sf)
+      cat.create("orders_t", o.limit(100), keyColumns = Seq("o_orderkey"))
+      assert(cat.exists("orders_t"))
+      assert(cat.list() == Seq("orders_t"))
+      assert(cat.table("orders_t").scan().count() == 100)
+      // append + MoR delete through a name-resolved handle
+      cat.table("orders_t").append(o.limit(150))
+      val t = cat.table("orders_t")
+      t.delete(col("o_orderkey") < 0) // no-op delete commit
+      assert(t.scan().count() == 250)
+      assert(t.meta.snapshots.length == 3)
+      // second catalog client sees the same registry (service-owned state)
+      val cat2 = new RestCatalog(spark, server.uri)
+      assert(cat2.list() == Seq("orders_t"))
+      assert(cat2.table("orders_t").scan().count() == 250)
+      // duplicate create is a catalog-level conflict
+      intercept[RuntimeException] {
+        cat2.create("orders_t", o.limit(10), keyColumns = Seq("o_orderkey"))
+      }
+      // drop removes files and the entry
+      val loc = cat.tableLocation("orders_t")
+      assert(cat.drop("orders_t"))
+      assert(!cat2.exists("orders_t") && cat.list().isEmpty)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      assert(!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+        "drop must delete the table files")
+      intercept[NoSuchElementException] { cat.tableLocation("orders_t") }
+    } finally server.stop()
+  }
+
+  test("maintain() applies property-driven compact + expire + vacuum") {
+    val loc = fresh("maintain-auto")
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, loc, o.repartition(8),
+      keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderstatus") === "P")
+    val filesBefore = t.meta.currentSnapshot.get.nDataFiles
+    // no properties set → maintain is a no-op
+    assert(t.maintain() == Map("compacted" -> 0L, "expired_snapshots" -> 0L,
+      "removed_files" -> 0L))
+    assert(t.meta.snapshots.length == 2)
+    t.setProperty("maintain.compact.min-files", "4")
+    t.setProperty("maintain.expire.keep-last", "1")
+    t.setProperty("maintain.vacuum.min-age-ms", "0")
+    val report = t.maintain()
+    assert(report("compacted") == 1L)
+    assert(report("expired_snapshots") >= 2L, report.toString) // create+delete+compact → keep 1
+    assert(report("removed_files") > 0L, "old data/delete/manifest files must be GC'd")
+    assert(t.meta.snapshots.length == 1, "history trimmed to keep-last")
+    assert(t.meta.currentSnapshot.get.nDataFiles < filesBefore, "bin-packed")
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty, "deletes folded")
+    assert(t.scan().count() == o.filter(col("o_orderstatus") =!= "P").count())
+    // steady state: run again, nothing left to do
+    val again = t.maintain()
+    assert(again("compacted") == 0L && again("expired_snapshots") == 0L)
+  }
+}
