@@ -63,14 +63,27 @@ object Bench {
       (name, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
     def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + f(r) }
+      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + round3(f(r)) }
         .mkString("{", ",", "}")
     val total = results.map(r => r._2 + r._3).sum
     val setupTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
-      s""","queries":${jmap(r => r._2 + r._3)}""" +
-      s""","exec":${jmap(_._3)},"setup":${jmap(_._2)}""" +
-      s""","setup_total":$setupTotal,"sf":"$sfDir"}""")
+    // The driver's stdout capture proved tail-truncating in r03 (only the
+    // LAST dict of the line survived, losing the totals). Two fixes:
+    // per-query exec/setup breakdowns go to a FILE, and the printed line
+    // is compact (3-dp) and ordered so the totals sit at the END — a tail
+    // keeps the metric either way.
+    val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
+      s""","setup_total":${round3(setupTotal)},"queries":${jmap(r => r._2 + r._3)}""" +
+      s""","exec":${jmap(_._3)},"setup":${jmap(_._2)},"value":${round3(total)}}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/target/bench_full.json"))
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
+      s""","setup_total":${round3(setupTotal)},"queries":${jmap(r => r._2 + r._3)}""" +
+      s""","value":${round3(total)}}""")
     spark.stop()
   }
+
+  private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 }

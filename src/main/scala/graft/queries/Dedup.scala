@@ -61,15 +61,54 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit signature, pigeonhole on 4×16-bit
     * chunks (hamming ≤ 3 ⇒ ≥1 chunk identical), verify hamming ≤ 3. */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d, forceChunks = None)
+
+  /** Adaptive simhash blocking via multi-index hashing (Norouzi et al.,
+    * "Fast Search in Hamming Space with Multi-Index Hashing"): split the
+    * 64-bit signature into m chunks; a pair within hamming r must share a
+    * chunk within hamming ⌊r/m⌋ (pigeonhole), so candidates come from a
+    * bucketed equi-join, never all pairs.
+    *
+    *  - m = 4 (16-bit chunks, exact-match probes): expected bucket
+    *    occupancy n/2¹⁶ — fine to ~1M docs, 4 probe rows per doc.
+    *  - m = 2 (32-bit chunks, radius-1 probes): occupancy n/2³² — bounded
+    *    at any real corpus size; the cost moves to 2×33 probe keys per
+    *    doc (exact + 32 single-bit flips), the standard MIH trade. The
+    *    r02-style fixed 4×16 scheme had buckets growing linearly with n
+    *    (r03 verdict caveat); the switch keeps occupancy flat.
+    *
+    * The regime flips on the corpus row count read from parquet footers
+    * (no data pass); `forceChunks` pins it for specs/benchmarks. Both
+    * regimes verify candidates with the exact codegen'd hamming filter,
+    * so results are identical — only the blocking changes. */
+  private[graft] def simhashPairs(
+      s: SparkSession, d: String, forceChunks: Option[Int]): DataFrame = {
+    val n = Tables.rowCount(s, s"$d/documents.parquet")
+    val m = forceChunks.getOrElse(if (n <= (1L << 20)) 4 else 2)
+    require(m == 2 || m == 4, s"simhash chunks must be 2 or 4, got $m")
+    val bits = 64 / m
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sigs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), simhashSig(split(col("text"), "\\s+")).as("sim"))
     val chunks = sigs.select(col("doc_id"), col("sim"),
-        explode(sequence(lit(0), lit(3))).as("k"))
+        explode(sequence(lit(0), lit(m - 1))).as("k"))
       .select(col("doc_id"), col("sim"), col("k"),
-        call_function("shiftright", col("sim"), col("k") * 16).bitwiseAND(0xFFFFL).as("chunk"))
-    val cands = chunks.as("x").join(chunks.as("y"),
-        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+        call_function("shiftright", col("sim"), col("k") * bits)
+          .bitwiseAND(lit(mask)).as("chunk"))
+    // probe side: the hamming-⌊3/m⌋ ball around each chunk. m=4 → radius
+    // 0 (the chunk itself); m=2 → radius 1 (chunk + 32 single-bit flips).
+    val probe =
+      if (m == 4) chunks.withColumn("key", col("chunk"))
+      else chunks
+        .select(col("doc_id"), col("sim"), col("k"), col("chunk"),
+          explode(sequence(lit(0), lit(bits))).as("b"))
+        .select(col("doc_id"), col("sim"), col("k"),
+          when(col("b") === bits, col("chunk"))
+            .otherwise(col("chunk").bitwiseXOR(
+              call_function("shiftleft", lit(1L), col("b")))).as("key"))
+    val cands = probe.as("x").join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.key") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))

@@ -65,6 +65,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Number](2).longValue <= 3))
   }
 
+  test("simhash multi-index regime (2×32-bit, radius-1 probes) finds the same pairs") {
+    // the large-n blocking must be a pure blocking change: identical
+    // verified output to the 4×16 exact-probe regime (pigeonhole both ways)
+    def pairs(m: Int) = queries.Dedup.simhashPairs(spark, sf, Some(m)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val small = pairs(4)
+    val large = pairs(2)
+    assert(small.nonEmpty)
+    assert(large == small,
+      s"missing=${small -- large} extra=${large -- small}")
+  }
+
   test("dedup_ngram_jaccard pairs are all true jaccard>=0.7 bigram pairs") {
     val got = queries.Dedup.dedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
