@@ -799,7 +799,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       // only, so the anti-join build side stays parallel at read time)
       val tmp2 = new Path(root, s"_tmp_d2$nonce")
       fs.delete(tmp2, true)
-      val reread = spark.read.parquet(tmp.toString)
+      // explicit part paths: reading the dir would trip the hidden-path
+      // filter on the underscore-named staging dir
+      val reread = spark.read.parquet(parts.map(_.toString): _*)
       val resized = if (nOut < parts.length) reread.coalesce(nOut)
                     else reread.repartition(nOut)
       withMicrosTimestamps { resized.write.mode("overwrite").parquet(tmp2.toString) }

@@ -132,7 +132,22 @@ object Dedup {
     * stragglers; the lang equality is kept as dedup semantics).
     * Verify stays the codegen'd exact merge intersection. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(s, d))
+    val base = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("text"))
+    // EXACT-DUP COLLAPSE first (what a production pipeline does anyway):
+    // identical texts form a group represented by their min doc_id; pair
+    // mining runs on representatives only and pairs expand back at the
+    // end — output-identical (duplicates have the same shingle set, so
+    // member pairs inherit the representative pair's jaccard, and
+    // within-group pairs are jaccard 1.0), but the quadratic-ish mining
+    // cost shrinks with the duplicate rate. The groupBy shuffles (hash,
+    // doc_id) — 40 bytes a row, never the bodies.
+    val groups = base
+      .groupBy(sha2(col("text"), 256).as("h"), col("lang"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("member_ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = base
+      .join(groups.select(col("rep_id")), col("doc_id") === col("rep_id"), "left_semi")
       .select(col("doc_id"), col("lang"),
         shingleIds(split(col("text"), "\\s+"), 2).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -158,11 +173,25 @@ object Dedup {
       .distinct()
     val a = docs.select(col("doc_id").as("a_id"), col("ids").as("ids_a"))
     val b = docs.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
-    cands.join(a, "a_id").join(b, "b_id")
+    val repPairs = cands.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
         round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
       .filter(col("jac") >= 0.7)
-      .orderBy("a_id", "b_id")
+    // expand representative pairs to member pairs + emit within-group
+    // pairs (identical texts, jaccard exactly 1.0)
+    val members = groups.select(col("rep_id"),
+      explode(col("member_ids")).as("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("ma")), "a_id")
+      .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jac"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(1.0).as("jac"))
+    cross.unionByName(within).orderBy("a_id", "b_id")
   }
 
   /** Bits per LSH band, sized so expected bucket occupancy stays ~constant:
