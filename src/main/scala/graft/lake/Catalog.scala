@@ -26,6 +26,10 @@ trait Catalog {
     * at (directory catalogs derive it; a service may assign it). */
   protected def register(name: String): String
 
+  /** register() for sibling-package callers (the DSv2 SQL catalog builds
+    * the table itself after reserving the name). */
+  private[lake] def reserve(name: String): String = register(name)
+
   def create(
       name: String,
       df: DataFrame,

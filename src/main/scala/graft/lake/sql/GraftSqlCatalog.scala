@@ -53,25 +53,45 @@ class GraftSqlCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  /** non-null when `catalog-type = rest`: names resolve through the HTTP
+    * catalog service (the reference's `catalog_type = 'rest', uri = …`
+    * deployment, README.md:33-35) instead of warehouse-path math. */
+  private var rest: graft.lake.RestCatalog = _
   private def spark: SparkSession = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
-      sys.error(s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+    Option(options.get("catalog-type")).getOrElse("dir") match {
+      case "rest" =>
+        val uri = Option(options.get("uri")).getOrElse(
+          sys.error(s"catalog $name with catalog-type=rest needs spark.sql.catalog.$name.uri"))
+        rest = new graft.lake.RestCatalog(spark, uri)
+      case _ =>
+        warehouse = Option(options.get("warehouse")).getOrElse(
+          sys.error(s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+    }
   }
 
   override def name(): String = catalogName
 
-  private def location(ident: Identifier): String =
-    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+  private def flatName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
 
-  private def exists(ident: Identifier): Boolean = {
-    val p = new Path(location(ident), "metadata")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  private def location(ident: Identifier): String =
+    if (rest != null) rest.tableLocation(flatName(ident))
+    else s"$warehouse/${flatName(ident)}"
+
+  private def exists(ident: Identifier): Boolean =
+    if (rest != null) rest.exists(flatName(ident))
+    else {
+      val p = new Path(s"$warehouse/${flatName(ident)}", "metadata")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (rest != null) return rest.list()
+      .filter(n => n.split('/').init.sameElements(namespace))
+      .map(n => Identifier.of(namespace, n.split('/').last)).toArray
     val base = new Path((warehouse +: namespace.toSeq).mkString("/"))
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) Array.empty
@@ -124,7 +144,10 @@ class GraftSqlCatalog extends TableCatalog {
     // dropping them silently would lose user metadata
     import scala.jdk.CollectionConverters._
     val userProps = properties.asScala.toMap -- GraftSqlCatalog.ReservedProps
-    val t = GraftTable.createEmpty(spark, location(ident), schema, partCols, keyCols,
+    // rest mode: reserve the name with the service, which assigns the
+    // location; dir mode derives it from the warehouse path
+    val loc = if (rest != null) rest.reserve(flatName(ident)) else location(ident)
+    val t = GraftTable.createEmpty(spark, loc, schema, partCols, keyCols,
       properties = userProps)
     new GraftSqlTable(t, ident.toString)
   }
@@ -143,11 +166,14 @@ class GraftSqlCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!exists(ident)) return false
+    if (rest != null) return rest.drop(flatName(ident)) // files + entry
     val p = new Path(location(ident))
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (rest != null) throw new UnsupportedOperationException(
+      "rename is not part of the REST catalog protocol")
     if (!exists(from)) throw new NoSuchTableException(from)
     if (exists(to)) throw new TableAlreadyExistsException(to)
     val src = new Path(location(from))

@@ -52,6 +52,35 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("SQL DDL/DML through a REST-backed DSv2 catalog (catalog-type=rest)") {
+    val server = new InMemoryCatalogServer(fresh("rest-sql-wh"))
+    try {
+      spark.conf.set("spark.sql.catalog.graft_rsql",
+        classOf[graft.lake.sql.GraftSqlCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_rsql.catalog-type", "rest")
+      spark.conf.set("spark.sql.catalog.graft_rsql.uri", server.uri)
+      val o = Tables.orders(spark, sf)
+      o.limit(200).createOrReplaceTempView("rest_sql_src")
+      spark.sql("DROP TABLE IF EXISTS graft_rsql.orders_t")
+      spark.sql(
+        """CREATE TABLE graft_rsql.orders_t TBLPROPERTIES('key.columns'='o_orderkey')
+           AS SELECT * FROM rest_sql_src""")
+      assert(spark.sql("SELECT count(*) FROM graft_rsql.orders_t").head().getLong(0) == 200)
+      spark.sql("INSERT INTO graft_rsql.orders_t SELECT * FROM rest_sql_src WHERE o_orderkey % 2 = 0")
+      val even = o.limit(200).filter(col("o_orderkey") % 2 === 0).count()
+      assert(spark.sql("SELECT count(*) FROM graft_rsql.orders_t").head().getLong(0) == 200 + even)
+      // the service owns the registry: the programmatic client sees it
+      val cat = new RestCatalog(spark, server.uri)
+      assert(cat.list() == Seq("orders_t"))
+      assert(spark.sql("SHOW TABLES IN graft_rsql").collect().map(_.getString(1)).toSeq
+        == Seq("orders_t"))
+      assert(spark.sql("SELECT count(*) FROM graft_rsql.orders_t WHERE o_orderstatus = 'F'")
+        .head().getLong(0) > 0)
+      spark.sql("DROP TABLE graft_rsql.orders_t")
+      assert(cat.list().isEmpty, "SQL drop must remove the service entry too")
+    } finally server.stop()
+  }
+
   test("maintain() applies property-driven compact + expire + vacuum") {
     val loc = fresh("maintain-auto")
     val o = Tables.orders(spark, sf)
