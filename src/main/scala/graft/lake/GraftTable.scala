@@ -604,8 +604,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * with table properties, then schedule `maintain()`:
     *
     *  - `maintain.compact.min-files`   — bin-pack when the current
-    *    snapshot holds at least this many data files (or any delete
-    *    files, which compaction folds in)
+    *    snapshot holds at least this many data files, or when delete
+    *    files reach `maintain.compact.min-delete-files` (default 4 —
+    *    compaction folds them in; triggering on ANY delete would
+    *    full-table-rewrite on every cycle of a continuously-deleting
+    *    table, unbounded write amplification)
     *  - `maintain.expire.keep-last`    — trim the snapshot log to the
     *    last N entries
     *  - `maintain.vacuum.min-age-ms`   — GC age guard for unreferenced
@@ -619,10 +622,11 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val p = refresh().props
     var compacted = 0L
     p.get("maintain.compact.min-files").map(_.toInt).foreach { minFiles =>
+      val minDels = p.get("maintain.compact.min-delete-files").map(_.toInt).getOrElse(4)
       val snap = meta.currentSnapshot
       val files = snap.map(_.nDataFiles).getOrElse(0)
       val dels = snap.map(_.nDeleteFiles).getOrElse(0)
-      if (files >= minFiles || dels > 0) { compact(); compacted = 1 }
+      if (files >= minFiles || dels >= minDels) { compact(); compacted = 1 }
     }
     var expired = 0L
     p.get("maintain.expire.keep-last").map(_.toInt).foreach { keep =>

@@ -106,5 +106,15 @@ class RestCatalogSpec extends AnyFunSuite {
     // steady state: run again, nothing left to do
     val again = t.maintain()
     assert(again("compacted") == 0L && again("expired_snapshots") == 0L)
+    // a single small delete does NOT trigger a full-table rewrite (the
+    // delete-file trigger has its own threshold — compacting on ANY
+    // delete would be unbounded write amplification)
+    t.delete(col("o_orderkey") % 97 === 0)
+    assert(t.meta.currentSnapshot.get.nDeleteFiles == 1)
+    assert(t.maintain()("compacted") == 0L,
+      "one delete file must not force a compaction cycle")
+    t.setProperty("maintain.compact.min-delete-files", "1")
+    assert(t.maintain()("compacted") == 1L,
+      "the delete-file threshold is property-driven")
   }
 }
