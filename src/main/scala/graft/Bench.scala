@@ -77,7 +77,9 @@ object Bench {
       s""","exec":${jmap(_._3)},"setup":${jmap(_._2)},"value":${round3(total)}}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/target/bench_full.json"))
-    java.nio.file.Files.createDirectories(outPath.getParent)
+    // a bare filename has no parent — don't NPE away the suite's results
+    Option(outPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","setup_total":${round3(setupTotal)},"queries":${jmap(r => r._2 + r._3)}""" +

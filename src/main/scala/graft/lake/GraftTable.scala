@@ -250,15 +250,21 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   /** MoR UPDATE = equality-delete of the matched keys + append of the
     * rewritten rows, in ONE commit. The new data files carry the commit's
     * own seq, so the delete (which applies only to seq < its own) cannot
-    * swallow the rewritten rows. */
+    * swallow the rewritten rows. Assignment values all evaluate against
+    * the OLD row (one simultaneous select — SQL UPDATE semantics), so
+    * `SET a = b, b = 0` reads the pre-update `b`; a sequential
+    * withColumn fold would feed one assignment's result into the next
+    * in map-iteration order. */
   def update(assignments: Map[String, Column], where: Column): Long = {
     val m = refresh()
     require(m.keyColumns.nonEmpty, "MoR update needs keyColumns")
+    val unknown = assignments.keySet -- schema.fieldNames
+    require(unknown.isEmpty, s"update assigns unknown columns: ${unknown.mkString(", ")}")
     val seq = m.currentSnapshotId + 1 max 1
     val matched = scan(None).filter(where)
-    val rewritten = assignments.foldLeft(matched) { case (d, (name, expr)) =>
-      d.withColumn(name, expr)
-    }
+    val rewritten = matched.select(schema.fieldNames.toIndexedSeq.map { f =>
+      assignments.get(f).map(_.as(f)).getOrElse(quotedCol(f))
+    }: _*)
     // write data first, then the delete keys (both before the commit point)
     val newFiles = writeDataFiles(align(rewritten, schema), seq)
     val delFile = writeDeleteFile(matched.select(m.keyColumns.map(col): _*).distinct(), seq)
@@ -337,6 +343,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     val m = refresh()
     val sch = schema
     val ct = "_change_type"
+    // expired history must fail LOUDLY: a range over expired snapshot ids
+    // would silently deliver an incomplete changelog (a maintain() cycle
+    // racing a lagging consumer) — the consumer must re-seed instead
+    if (m.snapshots.nonEmpty && fromId < toId) {
+      val earliest = m.snapshots.map(_.id).min
+      require(fromId >= earliest - 1,
+        s"cdc($fromId, $toId) crosses expired history (earliest retained " +
+          s"snapshot is $earliest) — increase retention or restart the " +
+          "consumer from a fresh snapshot")
+    }
     val snaps = m.snapshots.filter(s => s.id > fromId && s.id <= toId).sortBy(_.id)
     val frames = ArrayBuffer[DataFrame]()
     val newFiles = snaps.filter(s => Set("append", "upsert", "update")(s.operation))
@@ -346,6 +362,9 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     for (s <- snaps) {
       val dels = s.deleteFiles.filter(_.seq == s.id)
       if (dels.nonEmpty && m.keyColumns.nonEmpty && s.parentId >= 0) {
+        require(m.snapshots.exists(_.id == s.parentId),
+          s"cannot reconstruct CDC deletes of snapshot ${s.id}: parent " +
+            s"${s.parentId} was expired — increase retention for CDC consumers")
         val keys = spark.read
           .parquet(dels.map(d => s"$location/${d.path}"): _*)
           .select(m.keyColumns.map(col): _*)
@@ -603,12 +622,12 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * bounded only if someone remembers to run the steps). Configure once
     * with table properties, then schedule `maintain()`:
     *
-    *  - `maintain.compact.min-files`   — bin-pack when the current
-    *    snapshot holds at least this many data files, or when delete
-    *    files reach `maintain.compact.min-delete-files` (default 4 —
-    *    compaction folds them in; triggering on ANY delete would
-    *    full-table-rewrite on every cycle of a continuously-deleting
-    *    table, unbounded write amplification)
+    *  - `maintain.compact.min-files` / `maintain.compact.min-delete-files`
+    *    — bin-pack when data files reach the first threshold OR delete
+    *    files reach the second; each works alone (the delete threshold
+    *    defaults to 4 when only the file trigger is set — triggering on
+    *    ANY delete would full-table-rewrite every cycle of a
+    *    continuously-deleting table, unbounded write amplification)
     *  - `maintain.expire.keep-last`    — trim the snapshot log to the
     *    last N entries
     *  - `maintain.vacuum.min-age-ms`   — GC age guard for unreferenced
@@ -621,12 +640,19 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   def maintain(): Map[String, Long] = {
     val p = refresh().props
     var compacted = 0L
-    p.get("maintain.compact.min-files").map(_.toInt).foreach { minFiles =>
-      val minDels = p.get("maintain.compact.min-delete-files").map(_.toInt).getOrElse(4)
+    // either trigger works on its own: file-count alone, delete-file
+    // count alone, or both (delete trigger defaults to 4 when only the
+    // file trigger is configured)
+    val minFilesOpt = p.get("maintain.compact.min-files").map(_.toInt)
+    val minDelsOpt = p.get("maintain.compact.min-delete-files").map(_.toInt)
+      .orElse(minFilesOpt.map(_ => 4))
+    if (minFilesOpt.isDefined || minDelsOpt.isDefined) {
       val snap = meta.currentSnapshot
       val files = snap.map(_.nDataFiles).getOrElse(0)
       val dels = snap.map(_.nDeleteFiles).getOrElse(0)
-      if (files >= minFiles || dels >= minDels) { compact(); compacted = 1 }
+      if (minFilesOpt.exists(files >= _) || minDelsOpt.exists(dels >= _)) {
+        compact(); compacted = 1
+      }
     }
     var expired = 0L
     p.get("maintain.expire.keep-last").map(_.toInt).foreach { keep =>
@@ -1059,8 +1085,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     // is a pointer log — O(snapshots) small entries, no file lists — so
     // even a cache miss at 10k commits parses ~1 MB, and the manifests
     // behind it load lazily per snapshot through their own cache.
-    GraftTable.metaCache.get(s"$location/$latest@$mtime:$len")(
-      Meta.fromDoc(Meta.docFromJson(readFully(new Path(dir, latest))), resolver))
+    GraftTable.metaCache.get(s"$location/$latest@$mtime:$len") {
+      val doc = Meta.docFromJson(readFully(new Path(dir, latest)))
+      // v1 = pre-manifest inline-file-list layout: the lenient JSON parse
+      // would "succeed" with null manifest pointers and zero counts —
+      // fail with the real reason instead
+      require(doc.formatVersion == 2,
+        s"unsupported metadata format version ${doc.formatVersion} at $location " +
+          "(this build reads the v2 manifest-list layout)")
+      Meta.fromDoc(doc, resolver)
+    }
   }
 
   private def readFully(p: Path): String = {

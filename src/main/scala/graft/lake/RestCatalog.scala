@@ -34,6 +34,13 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
     m
   }
 
+  /** percent-encodes a table name as one URI path segment (URLEncoder is
+    * form-encoding: '+' for space would corrupt the path; and a raw '?'
+    * or '#' in a name would truncate it into query/fragment — resolving
+    * a DIFFERENT table). */
+  private def seg(name: String): String =
+    java.net.URLEncoder.encode(name, "UTF-8").replace("+", "%20")
+
   private def request(method: String, path: String, body: Option[String] = None)
       : HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
@@ -50,7 +57,7 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
     mapper.readTree(json).get(name).asText()
 
   private def lookup(name: String): Option[String] = {
-    val r = request("GET", s"/tables/$name")
+    val r = request("GET", s"/tables/${seg(name)}")
     r.statusCode() match {
       case 200 => Some(field(r.body(), "location"))
       case 404 => None
@@ -88,7 +95,7 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
       // harmless dangling entry (re-droppable), never orphaned data
       val p = new Path(loc)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      request("DELETE", s"/tables/$name").statusCode() == 204
+      request("DELETE", s"/tables/${seg(name)}").statusCode() == 204
   }
 }
 

@@ -188,6 +188,17 @@ case class GraftMergeCommand(
     val t = GraftTable.load(sparkSession, location)
     val src = PlanDf.ofRows(sparkSession, source)
     val keys = t.meta.keyColumns
+    // SQL MERGE semantics: a target row matched by MORE than one source
+    // row is an error (Spark raises MERGE_CARDINALITY_VIOLATION) — the
+    // upsert commit would otherwise append duplicate live rows per key.
+    // One small agg over the SOURCE only; DeleteMatched distincts anyway.
+    if (shape != DeleteMatched) {
+      val dup = src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"MERGE source has duplicate rows for key (${keys.mkString(",")}) = " +
+          s"${dup.head.toSeq.init.mkString(",")} — cardinality violation")
+    }
     shape match {
       case Upsert => t.upsert(src)
       case UpdateOnly =>

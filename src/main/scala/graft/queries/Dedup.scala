@@ -186,7 +186,13 @@ object Dedup {
       .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("mb")), "b_id")
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("jac"))
-    val within = members.as("x").join(members.as("y"),
+    // identical texts share jaccard 1.0 — EXCEPT sub-bigram docs, whose
+    // empty shingle sets have jaccard 0 by this codebase's definition
+    // (empty union); restrict to representatives with a non-empty set so
+    // the expansion stays output-identical to pair mining on members
+    val expandable = members.join(
+      docs.filter(size(col("ids")) > 0).select(col("doc_id").as("rep_id")), "rep_id")
+    val within = expandable.as("x").join(expandable.as("y"),
         col("x.rep_id") === col("y.rep_id") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

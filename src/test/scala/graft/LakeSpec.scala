@@ -582,6 +582,28 @@ class LakeSpec extends AnyFunSuite {
            WHEN MATCHED THEN DELETE""")
     }
     assert(ex.getMessage.contains("key.columns"), ex.getMessage)
+    // duplicate source keys = SQL cardinality violation, never double rows
+    upd.unionByName(upd).createOrReplaceTempView("merge_dup_rl")
+    val dup = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_rl.t t USING merge_dup_rl s ON t.o_orderkey = s.o_orderkey
+           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(dup.getMessage.contains("cardinality"), dup.getMessage)
+    // UPDATE assignments are SIMULTANEOUS (all read the pre-update row):
+    // swapping through SET a = f(b), b = 0 must see the OLD b
+    val probe = spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM graft_rl.t " +
+        "WHERE o_totalprice > 0 ORDER BY o_orderkey LIMIT 1").head()
+    val (key, oldPrice) = (probe.getLong(0), probe.getDouble(1))
+    spark.sql(
+      s"UPDATE graft_rl.t SET o_custkey = CAST(o_totalprice AS BIGINT), " +
+        s"o_totalprice = 0.0D WHERE o_orderkey = $key")
+    val row = spark.sql(
+      s"SELECT o_custkey, o_totalprice FROM graft_rl.t WHERE o_orderkey = $key").head()
+    assert(row.getLong(0) == oldPrice.toLong,
+      "assignment must read the PRE-update o_totalprice")
+    assert(row.getDouble(1) == 0.0)
   }
 
   private def scanNodeCount(df: org.apache.spark.sql.DataFrame): Int =
