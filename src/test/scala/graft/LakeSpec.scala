@@ -131,18 +131,22 @@ class LakeSpec extends AnyFunSuite {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    // 4 writers × 3 appends, each through its OWN handle, genuinely racing
+    // 4 writers × 5 appends, each through its OWN handle, genuinely
+    // racing — 21 commits total, deliberately CROSSING the manifest-merge
+    // threshold (16) so merges rewrite manifest lists mid-race
     val futures = (1 to 4).map { _ =>
       Future {
         val t = GraftTable.load(spark, loc)
-        (1 to 3).foreach(_ => t.append(o))
+        (1 to 5).foreach(_ => t.append(o))
       }
     }
     Await.result(Future.sequence(futures), 120.seconds)
     val fresh = GraftTable.load(spark, loc)
-    assert(fresh.meta.snapshots.map(_.id).sorted == (1L to 13L),
-      "all 13 commits must land with consecutive snapshot ids")
-    assert(fresh.scan().count() == 13 * 50)
+    assert(fresh.meta.snapshots.map(_.id).sorted == (1L to 21L),
+      "all 21 commits must land with consecutive snapshot ids")
+    assert(fresh.scan().count() == 21 * 50)
+    assert(fresh.meta.currentSnapshot.get.manifestPaths.size <= 16,
+      "manifest merge must bound the pointer list under racing commits")
     // every referenced file must actually exist (relocation left no danglers)
     val hconf = spark.sessionState.newHadoopConf()
     val rootP = new org.apache.hadoop.fs.Path(loc)
