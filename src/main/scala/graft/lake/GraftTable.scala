@@ -145,12 +145,16 @@ class GraftTable private (val spark: SparkSession, val location: String) {
   }
 
   /** Builds the merged DataFrame over `surviving` files of `snap` (delete
-    * application + partition-layout grouping); no row filter applied. */
+    * application + partition-layout grouping); no row filter applied.
+    * `withMeta` additionally carries `__gfile`/`__gpos` (full file URI +
+    * row ordinal from `_metadata`) — the coordinates positional deletes
+    * are written in. */
   private def buildScan(
       m: TableMetadata,
       sch: StructType,
       snap: Snapshot,
-      surviving: Seq[DataFileMeta]): DataFrame = {
+      surviving: Seq[DataFileMeta],
+      withMeta: Boolean = false): DataFrame = {
     if (surviving.isEmpty) emptyDf(sch)
     else {
           // Equality deletes follow Iceberg v2 sequence rules: a delete file
@@ -183,18 +187,36 @@ class GraftTable private (val spark: SparkSession, val location: String) {
               .schema(sch)
               .parquet(files.map(f => s"$location/${f.path}"): _*)
             val dels = snap.deleteFiles.filter(d => delSeqs.drop(di).contains(d.seq))
-            if (dels.nonEmpty && m.keyColumns.nonEmpty) {
+            val (posDels, eqDels) = dels.partition(_.kindOr == "pos")
+            if (withMeta || posDels.nonEmpty) df = df
+              .withColumn(GraftTable.PosFileCol, col("_metadata.file_path"))
+              .withColumn(GraftTable.PosIdxCol, col("_metadata.row_index"))
+            if (posDels.nonEmpty) {
+              // positional anti-join on (file URI, row ordinal) — Iceberg
+              // v2 position deletes; coordinates written by this table's
+              // own scan, so the URI normalization matches by construction
+              val pd = spark.read
+                .parquet(posDels.map(d => s"$location/${d.path}"): _*)
+                .select(col("file_path").as(GraftTable.PosFileCol),
+                  col("pos").as(GraftTable.PosIdxCol))
+              df = df.join(pd, Seq(GraftTable.PosFileCol, GraftTable.PosIdxCol), "left_anti")
+            }
+            if (eqDels.nonEmpty && m.keyColumns.nonEmpty) {
               val keys = spark.read
-                .parquet(dels.map(d => s"$location/${d.path}"): _*)
+                .parquet(eqDels.map(d => s"$location/${d.path}"): _*)
                 .select(m.keyColumns.map(col): _*)
               df = df.join(keys, m.keyColumns, "left_anti")
             }
+            if (!withMeta && posDels.nonEmpty)
+              df = df.drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
             df
           }.reduce(_ unionByName _)
           // normalize to table-schema column ORDER: hive discovery appends
           // partition columns after the data columns (backtick-quoted so
           // dotted column names stay names, not struct paths)
-          .select(sch.fieldNames.toIndexedSeq.map(quotedCol): _*)
+          .select(sch.fieldNames.toIndexedSeq.map(quotedCol) ++
+            (if (withMeta) Seq(col(GraftTable.PosFileCol), col(GraftTable.PosIdxCol))
+             else Nil): _*)
     }
   }
 
@@ -222,17 +244,33 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     commitRetrying(m, "append", seq, newFiles, Nil, MergeAny)
   }
 
-  /** MoR DELETE: writes an equality-delete file with the key columns of the
-    * matching rows; no data file is rewritten (write amplification O(deleted
-    * keys), the point of merge-on-read — the reference lists MoR DELETE as
-    * its own roadmap design, pg_lakehouse_iceberg/README.md:14). */
+  /** MoR DELETE: no data file is rewritten — write amplification
+    * O(deleted rows), the point of merge-on-read (the reference lists MoR
+    * DELETE as its own roadmap design, pg_lakehouse_iceberg/README.md:14).
+    * Tables WITH key columns write an equality delete (key rows of the
+    * matches); tables WITHOUT them write an Iceberg-v2-style POSITIONAL
+    * delete — (full file URI, row ordinal) of each matching row from the
+    * scan's `_metadata` — so keyless tables delete too. Equality deletes
+    * remove every row sharing a matched key; positional deletes remove
+    * exactly the matched rows. */
   def delete(where: Column): Long = {
     val m = refresh()
-    require(m.keyColumns.nonEmpty, "MoR delete needs keyColumns")
     val seq = m.currentSnapshotId + 1 max 1
-    val keys = scan(None).filter(where).select(m.keyColumns.map(col): _*).distinct()
-    val delFile = writeDeleteFile(keys, seq)
-    commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
+    if (m.keyColumns.nonEmpty) {
+      val keys = scan(None).filter(where).select(m.keyColumns.map(col): _*).distinct()
+      val delFile = writeDeleteFile(keys, seq)
+      commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
+    } else m.currentSnapshot match {
+      case None => m.currentSnapshotId
+      case Some(snap) =>
+        val positions = buildScan(m, schema, snap, snap.dataFiles, withMeta = true)
+          .filter(where)
+          .select(col(GraftTable.PosFileCol).as("file_path"),
+            col(GraftTable.PosIdxCol).as("pos"))
+          .distinct()
+        val delFile = writeDeleteFile(positions, seq, kind = "pos")
+        commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
+    }
   }
 
   /** MoR delete of an EXPLICIT key set (the `MERGE … WHEN MATCHED THEN
@@ -361,15 +399,31 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       frames += readFilesGrouped(sch, newFiles).withColumn(ct, lit("insert"))
     for (s <- snaps) {
       val dels = s.deleteFiles.filter(_.seq == s.id)
-      if (dels.nonEmpty && m.keyColumns.nonEmpty && s.parentId >= 0) {
+      val (posDels, eqDels) = dels.partition(_.kindOr == "pos")
+      if (dels.nonEmpty && s.parentId >= 0) {
         require(m.snapshots.exists(_.id == s.parentId),
           s"cannot reconstruct CDC deletes of snapshot ${s.id}: parent " +
             s"${s.parentId} was expired — increase retention for CDC consumers")
+      }
+      if (eqDels.nonEmpty && m.keyColumns.nonEmpty && s.parentId >= 0) {
         val keys = spark.read
-          .parquet(dels.map(d => s"$location/${d.path}"): _*)
+          .parquet(eqDels.map(d => s"$location/${d.path}"): _*)
           .select(m.keyColumns.map(col): _*)
         frames += scan(None, asOf = s.parentId)
           .join(keys, m.keyColumns, "left_semi")
+          .withColumn(ct, lit("delete"))
+      }
+      if (posDels.nonEmpty && s.parentId >= 0) {
+        // positional: the removed rows are the parent-state rows at the
+        // recorded (file URI, ordinal) coordinates
+        val parentSnap = m.snapshot(s.parentId)
+        val pd = spark.read
+          .parquet(posDels.map(d => s"$location/${d.path}"): _*)
+          .select(col("file_path").as(GraftTable.PosFileCol),
+            col("pos").as(GraftTable.PosIdxCol))
+        frames += buildScan(m, sch, parentSnap, parentSnap.dataFiles, withMeta = true)
+          .join(pd, Seq(GraftTable.PosFileCol, GraftTable.PosIdxCol), "left_semi")
+          .drop(GraftTable.PosFileCol, GraftTable.PosIdxCol)
           .withColumn(ct, lit("delete"))
       }
     }
@@ -811,7 +865,8 @@ class GraftTable private (val spark: SparkSession, val location: String) {
     * data IS small in that case) coalesces to ceil(bytes / target), same
     * sizing rule as compact(). The read path applies all shards of a seq
     * together, so shard count never changes semantics. */
-  private def writeDeleteFile(keys: DataFrame, seq: Long): Seq[DeleteFileMeta] = {
+  private def writeDeleteFile(keys: DataFrame, seq: Long,
+      kind: String = "eq"): Seq[DeleteFileMeta] = {
     val target = meta.props.get("write.delete.target-file-size").map(_.toLong)
       .getOrElse(GraftTable.DefaultDeleteTargetBytes)
     val nonce = java.util.UUID.randomUUID.toString.take(8)
@@ -844,7 +899,7 @@ class GraftTable private (val spark: SparkSession, val location: String) {
       val dest = new Path(destDir, f"s$seq-f$nonce-$i%05d.parquet")
       if (!fs.rename(src, dest)) sys.error(s"rename $src -> $dest failed")
       val (rows, _) = ParquetStats.read(hconf, dest)
-      DeleteFileMeta(s"deletes/${dest.getName}", seq, rows)
+      DeleteFileMeta(s"deletes/${dest.getName}", seq, rows, kind)
     }
     fs.delete(tmp, true)
     if (srcDir != tmp) fs.delete(srcDir, true)
@@ -1114,6 +1169,12 @@ object GraftTable {
   /** Default vacuum retention (Iceberg remove_orphan_files parity): files
     * younger than this are never GC'd, protecting in-flight commits. */
   val DefaultVacuumMinAgeMs: Long = 3L * 24 * 3600 * 1000
+
+  /** Internal column names carrying positional-delete coordinates
+    * (`_metadata.file_path` / `_metadata.row_index`) through a
+    * `withMeta` scan. */
+  private[lake] val PosFileCol = "__gfile"
+  private[lake] val PosIdxCol = "__gpos"
 
   /** Target size per equality-delete shard (keys are narrow rows; smaller
     * than the 128 MB data-file target so the anti-join build side splits

@@ -56,10 +56,19 @@ case class DataFileMeta(
     partitionValues: Map[String, String], // hive-style; NULL_PARTITION for null
     stats: Map[String, ColStats])
 
+/** `kind`: "eq" = equality delete (key-column rows; applies by anti-join
+  * on the table's key columns) or "pos" = positional delete (Iceberg
+  * v2's second delete type: full data-file URI + row ordinal, applies by
+  * anti-join on `_metadata.file_path`/`row_index`) — the delete path for
+  * tables WITHOUT key columns. Metadata written before the field existed
+  * deserializes kind=null → treated as "eq". */
 case class DeleteFileMeta(
     path: String,
     seq: Long,
-    rowCount: Long)
+    rowCount: Long,
+    kind: String = "eq") {
+  def kindOr: String = if (kind == null) "eq" else kind
+}
 
 /** One immutable manifest document (metadata/mf-….json). */
 case class Manifest(

@@ -326,6 +326,19 @@ object Lake {
         Money.sum2(col("o_totalprice")).as("total"))
   }
 
+  /** positional MoR delete on a KEYLESS table (Iceberg v2's second delete
+    * type): no key.columns, so delete() records (file URI, row ordinal)
+    * coordinates from the scan's `_metadata` and the read path
+    * anti-joins on them — the reference's MoR-DELETE roadmap without
+    * requiring an equality key. Two stacked deletes prove coordinates
+    * compose across commits. */
+  def lakePosDelete(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "pos_delete", d), Tables.orders(s, d))
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    t.delete(col("o_totalprice") < 1000.0)
+    statusAgg(t.scan())
+  }
+
   /** property-driven maintenance: one `maintain()` call compacts (folding
     * the delete), trims the snapshot log, and GCs unreferenced files per
     * the table's own properties — retention stops being operator
@@ -372,6 +385,7 @@ object Lake {
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_cdc" -> (lakeCdc _),
     "lake_maintain" -> (lakeMaintain _),
+    "lake_pos_delete" -> (lakePosDelete _),
     "lake_rest_catalog" -> (lakeRestCatalog _),
     "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
@@ -397,6 +411,12 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_pos_delete" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders
+         WHERE o_orderpriority <> '1-URGENT' AND o_totalprice >= 1000.0
+         GROUP BY o_orderstatus""",
     "lake_maintain" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

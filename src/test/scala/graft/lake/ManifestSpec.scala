@@ -116,6 +116,34 @@ class ManifestSpec extends AnyFunSuite {
     assert(t.scan().count() == o.filter(col("o_orderkey") % 2 =!= 0).count())
   }
 
+  test("positional deletes: keyless table deletes exact rows across commits") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("pos-delete"), o.repartition(4))
+    assert(t.meta.keyColumns.isEmpty)
+    val before = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet == before,
+      "positional delete must not rewrite data files")
+    assert(t.meta.currentSnapshot.get.deleteFiles.forall(_.kindOr == "pos"))
+    assert(t.scan().count() == o.filter(col("o_orderstatus") =!= "F").count())
+    // second delete stacks: coordinates from the ALREADY-FILTERED view
+    t.delete(col("o_orderkey") % 2 === 0)
+    val want = o.filter(col("o_orderstatus") =!= "F" && col("o_orderkey") % 2 =!= 0)
+    assert(t.scan().count() == want.count())
+    // time travel still sees the pre-delete states
+    assert(t.scan(asOf = 1L).count() == o.count())
+    assert(t.scan(asOf = 2L).count() == o.filter(col("o_orderstatus") =!= "F").count())
+    // CDC reconstructs the positionally-deleted rows
+    val cdcRows = t.cdc(2L, 3L).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdcRows == Map("delete" ->
+      (o.filter(col("o_orderstatus") =!= "F").count() - want.count())))
+    // compaction folds positional deletes away; rows unchanged
+    t.compact()
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    assert(t.scan().count() == want.count())
+  }
+
   test("small MoR delete bin-packs to a single shard under the default target") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("delete-binpack"), o,
