@@ -201,13 +201,13 @@ class GraftSqlTable(val table: GraftTable, ident: String, val asOf: Long = -1L)
   override def name(): String = ident
   override def schema(): StructType = table.schema
 
-  /** `DELETE FROM cat.t WHERE p` → one MoR equality-delete commit (the
-    * reference's own MoR-DELETE roadmap item, executed from SQL). Only
-    * accepted when every conjunct translates — a partial predicate would
-    * delete the wrong rows — and the table has key columns. */
+  /** `DELETE FROM cat.t WHERE p` → one MoR delete commit (the
+    * reference's own MoR-DELETE roadmap item, executed from SQL):
+    * equality delete on keyed tables, positional delete on keyless ones
+    * (GraftTable.delete picks). Only accepted when every conjunct
+    * translates — a partial predicate would delete the wrong rows. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    table.meta.keyColumns.nonEmpty &&
-      filters.forall(f => GraftFilters.toColumnExact(f).isDefined)
+    filters.forall(f => GraftFilters.toColumnExact(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(GraftFilters.toColumnExact)

@@ -142,6 +142,15 @@ class ManifestSpec extends AnyFunSuite {
     t.compact()
     assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
     assert(t.scan().count() == want.count())
+    // SQL DELETE FROM works on the keyless table too (positional commit)
+    spark.conf.set("spark.sql.catalog.graft_pos",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pos.warehouse",
+      "/root/repo/target/graft-lake-test")
+    spark.sql("DELETE FROM graft_pos.`pos-delete` WHERE o_custkey < 100")
+    val fresh = GraftTable.load(spark, t.location)
+    assert(fresh.meta.currentSnapshot.get.deleteFiles.forall(_.kindOr == "pos"))
+    assert(fresh.scan().count() == want.filter(col("o_custkey") >= 100).count())
   }
 
   test("small MoR delete bin-packs to a single shard under the default target") {
