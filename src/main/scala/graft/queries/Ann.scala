@@ -144,11 +144,136 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** Product quantization ANN (FAISS PQ, Jégou et al. 2011): vectors
+    * compress to m=8 codes over k=16 per-subspace centroids (32 bits vs
+    * 256 bytes — the billion-scale memory story), and search is
+    * asymmetric-distance (ADC): each query precomputes its m×k LUT of
+    * exact subvector-to-centroid distances driver-side, and a corpus
+    * vector scores in m table lookups via a native expression — encode
+    * and scoring are both map-only over the corpus; the only shuffle is
+    * the two-phase top-k. Codebook trains on a bounded deterministic
+    * sample (standard FAISS practice — the codebook is a model
+    * artifact). Vectors are pre-normalized, so ascending L2-ADC order is
+    * descending cosine order. [rows] + PipelineSpec recall vs exact. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val (m, k, dim, iters) = (8, 16, 64, 8)
+    val corpus = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), normalized(col("embedding")).as("u"))
+    val sample = corpus.orderBy("vec_id").limit(1024)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+    val cb = Pq.train(sample, m, k, iters)
+    val enc = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), m, k, dim, cb))
+    val codes = corpus.select(col("vec_id"), enc.as("codes"))
+    val qs = queriesOf(s, d).select(col("q_id"), normalized(col("qv")).as("qu"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val sp = s; import sp.implicits._
+    val qdf = qs.map { case (qid, qv) => (qid, Pq.lut(qv, cb, m, k).toSeq, qv.toSeq) }
+      .toSeq.toDF("q_id", "lut", "qu")
+    val adc = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.PqAdcDistance(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("codes")),
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("lut"))))
+    val cands = codes.join(broadcast(qdf.select("q_id", "lut")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", adc)
+    // stage 1: ADC SHORTLIST (two-phase, ascending distance) — table
+    // lookups only, the corpus vectors never load
+    val shortlist = 8 * K
+    val sharded = cands.withColumn("shard", pmod(xxhash64(col("vec_id")), lit(Shards)))
+    val w1 = Window.partitionBy("q_id", "shard")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val short = sharded
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= shortlist)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= shortlist)
+      .select("q_id", "vec_id")
+    // stage 2: exact re-rank of the shortlist (FAISS IndexRefineFlat
+    // shape) — full vectors touch only shortlist·|queries| rows
+    val reranked = short
+      .join(corpus, "vec_id")
+      .join(broadcast(qdf.select("q_id", "qu")), "q_id")
+      .withColumn("cos_sim", dot(col("u"), col("qu")))
+    val wf = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    reranked.withColumn("rank", row_number().over(wf)).filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Driver-side PQ codebook training + query LUTs: per-subspace Lloyd
+    * k-means on a bounded sample, deterministic seed. O(sample·k·iters)
+    * on the driver — a model-fitting step, not a data pass. */
+  private object Pq {
+    def train(sample: Array[Array[Double]], m: Int, k: Int, iters: Int): Array[Double] = {
+      val dim = sample.head.length
+      val sub = dim / m
+      val cb = new Array[Double](m * k * sub)
+      val rnd = new scala.util.Random(42)
+      var s = 0
+      while (s < m) {
+        val xs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+        val cents = rnd.shuffle(xs.toVector).take(k).map(_.clone).toArray
+        (0 until iters).foreach { _ =>
+          val sums = Array.fill(cents.length)(new Array[Double](sub))
+          val counts = new Array[Int](cents.length)
+          for (x <- xs) {
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var dd = 0.0; var j = 0
+              while (j < sub) { val t = x(j) - cents(c)(j); dd += t * t; j += 1 }
+              if (dd < bd) { bd = dd; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            var j = 0
+            while (j < sub) { sums(best)(j) += x(j); j += 1 }
+          }
+          var c = 0
+          while (c < cents.length) {
+            if (counts(c) > 0) {
+              var j = 0
+              while (j < sub) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+            } // empty cluster keeps its previous centroid
+            c += 1
+          }
+        }
+        var c = 0
+        while (c < cents.length) {
+          System.arraycopy(cents(c), 0, cb, (s * k + c) * sub, sub)
+          c += 1
+        }
+        s += 1
+      }
+      cb
+    }
+
+    def lut(q: Array[Double], cb: Array[Double], m: Int, k: Int): Array[Double] = {
+      val sub = q.length / m
+      val out = new Array[Double](m * k)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          var dd = 0.0; var j = 0
+          while (j < sub) { val t = q(s * sub + j) - cb((s * k + c) * sub + j); dd += t * t; j += 1 }
+          out(s * k + c) = dd
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
-    "ann_quantize" -> (annQuantize _))
+    "ann_quantize" -> (annQuantize _),
+    "ann_pq" -> (annPq _))
 
   /** Non-SQL-expressible (array math + LSH) → rows-only gate; AnnSpec
     * checks bruteforce against an in-memory exact computation. */

@@ -124,6 +124,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_pq ADC ranking recalls exact cosine neighbors; deterministic") {
+    def run() = queries.Ann.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val got = run()
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val recalls = byQ.map { case (q, approx) =>
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      (exact & approx).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"PQ mean recall@5 too low: $mean")
+    // seeded codebook → identical output across runs
+    assert(run().toSet == got.toSet, "PQ results must be deterministic")
+  }
+
   test("ann_lsh returns true-cosine candidates with decent recall") {
     val got = queries.Ann.annLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
