@@ -55,8 +55,12 @@ object FilePruner {
     val expr =
       try normalize(predicate)
       catch { case _: Throwable => return files }
-    val partSet = partitionColumns.toSet
-    files.filter(f => mayMatch(f, expr, partSet, schema))
+    // partition specs may be transforms (days/bucket/truncate) — parse
+    // once; unparsable specs disable partition pruning, never correctness
+    val transforms =
+      try PartitionTransforms.parseAll(partitionColumns)
+      catch { case _: Throwable => Nil }
+    files.filter(f => mayMatch(f, expr, transforms, schema))
   }
 
   /** Spark 4's Column ops arrive as UnresolvedFunction("=", "<", "and", ...)
@@ -92,37 +96,54 @@ object FilePruner {
 
   // ---- predicate walk ------------------------------------------------------
 
-  private def mayMatch(f: DataFileMeta, e: Expression, parts: Set[String], schema: StructType): Boolean =
+  private def mayMatch(f: DataFileMeta, e: Expression, transforms: Seq[PTransform], schema: StructType): Boolean =
     e match {
-      case And(l, r) => mayMatch(f, l, parts, schema) && mayMatch(f, r, parts, schema)
-      case Or(l, r)  => mayMatch(f, l, parts, schema) || mayMatch(f, r, parts, schema)
-      case Not(EqualTo(a, b)) => mayMatchNotEq(f, a, b, parts, schema)
-      case cmp: BinaryComparison => mayMatchCmp(f, cmp, parts, schema)
+      case And(l, r) => mayMatch(f, l, transforms, schema) && mayMatch(f, r, transforms, schema)
+      case Or(l, r)  => mayMatch(f, l, transforms, schema) || mayMatch(f, r, transforms, schema)
+      case Not(EqualTo(a, b)) => mayMatchNotEq(f, a, b, transforms, schema)
+      case cmp: BinaryComparison => mayMatchCmp(f, cmp, transforms, schema)
       case In(AttrName(name), list) if list.forall(_.isInstanceOf[Literal]) =>
-        list.exists(l => mayMatchOp(f, name, "=", l.asInstanceOf[Literal], parts, schema))
+        list.exists(l => mayMatchOp(f, name, "=", l.asInstanceOf[Literal], transforms, schema))
       case IsNull(AttrName(name)) =>
-        partValue(f, name, parts) match {
+        val id = identityValue(f, name, transforms) match {
           case Some(pv) => pv == null
-          case None => f.stats.get(name).forall(_.nulls != 0) // unknown → keep
+          case None => true
         }
+        // days/truncate map null→null, so a non-null transform dir proves
+        // the file has NO null source values (bucket hashes null to a
+        // real bucket — no null evidence there)
+        val tr = transforms.forall {
+          case t @ (PDays(`name`) | PTruncate(_, `name`)) =>
+            f.partitionValues.get(t.dirName).forall(_ == Meta.NullPartition)
+          case _ => true
+        }
+        id && tr && f.stats.get(name).forall(_.nulls != 0) // unknown → keep
       case IsNotNull(AttrName(name)) =>
-        partValue(f, name, parts) match {
+        val id = identityValue(f, name, transforms) match {
           case Some(pv) => pv != null
-          case None => f.stats.get(name).forall(s => f.rowCount == 0 || s.nulls < f.rowCount)
+          case None => true
         }
+        val tr = transforms.forall {
+          case t @ (PDays(`name`) | PTruncate(_, `name`)) =>
+            f.partitionValues.get(t.dirName).forall(_ != Meta.NullPartition)
+          case _ => true
+        }
+        id && tr &&
+          f.stats.get(name).forall(s => f.rowCount == 0 || s.nulls < f.rowCount)
       case _ => true // unsupported shape: keep the file
     }
 
-  private def mayMatchNotEq(f: DataFileMeta, a: Expression, b: Expression, parts: Set[String], schema: StructType): Boolean =
+  private def mayMatchNotEq(f: DataFileMeta, a: Expression, b: Expression, transforms: Seq[PTransform], schema: StructType): Boolean =
     (a, b) match {
-      // only partition columns can prove != false (single value per file)
-      case (AttrName(n), l: Literal) => notEqPart(f, n, l, parts, schema)
-      case (l: Literal, AttrName(n)) => notEqPart(f, n, l, parts, schema)
+      // only identity partition columns can prove != false (single value
+      // per file; a transform bucket holds many distinct values)
+      case (AttrName(n), l: Literal) => notEqPart(f, n, l, transforms, schema)
+      case (l: Literal, AttrName(n)) => notEqPart(f, n, l, transforms, schema)
       case _ => true
     }
 
-  private def notEqPart(f: DataFileMeta, name: String, l: Literal, parts: Set[String], schema: StructType): Boolean =
-    partValue(f, name, parts) match {
+  private def notEqPart(f: DataFileMeta, name: String, l: Literal, transforms: Seq[PTransform], schema: StructType): Boolean =
+    identityValue(f, name, transforms) match {
       case Some(pv) =>
         if (pv == null) false // null != x is null → row filtered
         else (typedPartValue(pv, name, schema), litFor(l, name, schema)) match {
@@ -133,14 +154,14 @@ object FilePruner {
     }
 
   /** Normalizes attr-vs-literal comparisons (either operand order). */
-  private def mayMatchCmp(f: DataFileMeta, cmp: BinaryComparison, parts: Set[String], schema: StructType): Boolean = {
+  private def mayMatchCmp(f: DataFileMeta, cmp: BinaryComparison, transforms: Seq[PTransform], schema: StructType): Boolean = {
     val norm: Option[(String, String, Literal)] = (cmp.left, cmp.right) match {
       case (AttrName(n), l: Literal) => Some((n, opOf(cmp), l))
       case (l: Literal, AttrName(n)) => Some((n, flip(opOf(cmp)), l))
       case _ => None
     }
     norm match {
-      case Some((name, op, l)) => mayMatchOp(f, name, op, l, parts, schema)
+      case Some((name, op, l)) => mayMatchOp(f, name, op, l, transforms, schema)
       case None => true
     }
   }
@@ -157,14 +178,36 @@ object FilePruner {
     case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<=" case o => o
   }
 
-  private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, parts: Set[String], schema: StructType): Boolean = {
+  /** `col op literal` vs one file: every evidence source is consulted and
+    * ANDed — identity partition value, each TRANSFORM partition value
+    * (mapped into the transform's domain), and min/max stats. Each check
+    * independently returns false only when it PROVES no row can match, so
+    * the conjunction stays conservative. */
+  private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, transforms: Seq[PTransform], schema: StructType): Boolean = {
     if (op == "?") return true
     if (l.value == null) return false // col <op> NULL matches nothing
+    // bucket check first: it hashes the RAW literal (no domain mapping),
+    // and only when the literal's type equals the column type — hashing a
+    // long literal against an int column's buckets would prune wrong files
+    val colType = schema.find(_.name == name).map(_.dataType)
+    val bucketOk = transforms.forall {
+      case b @ PBucket(n, `name`) if op == "=" && colType.contains(l.dataType) =>
+        f.partitionValues.get(b.dirName) match {
+          case Some(dv) if dv != Meta.NullPartition =>
+            (dv.toIntOption, PartitionTransforms.bucketOfLiteral(l, n)) match {
+              case (Some(d), Some(bk)) => d == bk
+              case _ => true
+            }
+          case _ => true
+        }
+      case _ => true
+    }
+    if (!bucketOk) return false
     val lv = litFor(l, name, schema) match {
       case Some(v) => v
       case None => return true
     }
-    partValue(f, name, parts) match {
+    val idOk = identityValue(f, name, transforms) match {
       case Some(pv) =>
         if (pv == null) false
         else typedPartValue(pv, name, schema) match {
@@ -180,33 +223,89 @@ object FilePruner {
           }
           case None => true
         }
-      case None =>
-        f.stats.get(name) match {
-          case Some(st) => rangeMayMatch(st, op, lv)
-          case None => true
-        }
+      case None => true
+    }
+    if (!idOk) return false
+    if (!transformsMayMatch(f, name, op, lv, transforms, colType)) return false
+    f.stats.get(name) match {
+      case Some(st) => rangeMayMatch(st, op, lv)
+      case None => true
     }
   }
+
+  /** days/truncate dirs each cover a VALUE RANGE of the source column —
+    * map the literal into that range and decide like a min/max check. */
+  private def transformsMayMatch(f: DataFileMeta, name: String, op: String, lv: V,
+      transforms: Seq[PTransform], colType: Option[DataType]): Boolean =
+    transforms.forall {
+      case t @ PDays(`name`) =>
+        f.partitionValues.get(t.dirName) match {
+          case Some(Meta.NullPartition) => false // all-null source: op never true
+          case Some(dv) => (dv.toLongOption, lv, colType) match {
+            case (Some(day), LongV(vMicros), Some(TimestampType | TimestampNTZType)) =>
+              // the day covers micros [day·86400e6, (day+1)·86400e6)
+              val lo = day * PartitionTransforms.MicrosPerDay
+              boundsMayMatch(LongV(lo), LongV(lo + PartitionTransforms.MicrosPerDay - 1),
+                op, LongV(vMicros))
+            case (Some(day), LongV(vDays), Some(DateType)) =>
+              boundsMayMatch(LongV(day), LongV(day), op, LongV(vDays))
+            case _ => true
+          }
+          case None => true
+        }
+      case t @ PTruncate(w, `name`) =>
+        f.partitionValues.get(t.dirName) match {
+          case Some(Meta.NullPartition) => false
+          case Some(dv) => (colType, lv) match {
+            case (Some(StringType), StringV(s)) if isAscii(s) && isAscii(dv) =>
+              // bucket = strings with prefix dv: interval [dv, nextPrefix(dv))
+              PartitionTransforms.nextPrefix(dv) match {
+                case Some(np) => op match {
+                  case "=" => s.take(w) == dv // bucket membership is exact for =
+                  case "<" => dv < s  // min member is dv itself
+                  case "<=" => dv <= s
+                  case ">" => s < np  // members live in [dv, np)
+                  case ">=" => s < np
+                  case _ => true
+                }
+                case None => true // unbounded-above prefix: keep
+              }
+            case (Some(ByteType | ShortType | IntegerType | LongType), LongV(v)) =>
+              dv.toLongOption match {
+                // integral truncate bucket covers [t, t+w)
+                case Some(tLo) => boundsMayMatch(LongV(tLo), LongV(tLo + w - 1), op, LongV(v))
+                case None => true
+              }
+            case _ => true
+          }
+          case None => true
+        }
+      case _ => true
+    }
 
   /** file range [min,max] vs literal — can any row satisfy `col op v`? */
   private def rangeMayMatch(st: ColStats, op: String, v: V): Boolean = {
     val mn = statValue(st, st.min)
     val mx = statValue(st, st.max)
     (mn, mx) match {
-      case (Some(lo), Some(hi)) =>
-        (compare(lo, v), compare(hi, v)) match {
-          case (Some(cl), Some(ch)) => op match {
-            case "=" => cl <= 0 && ch >= 0
-            case "<" => cl < 0   // min < v → some row may be < v
-            case "<=" => cl <= 0
-            case ">" => ch > 0
-            case ">=" => ch >= 0
-          }
-          case _ => true
-        }
+      case (Some(lo), Some(hi)) => boundsMayMatch(lo, hi, op, v)
       case _ => true
     }
   }
+
+  /** value range [lo,hi] (inclusive) vs literal under `op`. */
+  private def boundsMayMatch(lo: V, hi: V, op: String, v: V): Boolean =
+    (compare(lo, v), compare(hi, v)) match {
+      case (Some(cl), Some(ch)) => op match {
+        case "=" => cl <= 0 && ch >= 0
+        case "<" => cl < 0   // min < v → some row may be < v
+        case "<=" => cl <= 0
+        case ">" => ch > 0
+        case ">=" => ch >= 0
+        case _ => true
+      }
+      case _ => true
+    }
 
   // ---- value extraction ----------------------------------------------------
 
@@ -312,10 +411,11 @@ object FilePruner {
     case _ => None
   }
 
-  /** Partition value for `name` if it is a partition column (None otherwise);
+  /** Identity-partition value for `name` (None when `name` is not an
+    * identity partition column or the file predates the spec);
     * Some(null) means the hive NULL partition. */
-  private def partValue(f: DataFileMeta, name: String, parts: Set[String]): Option[String] =
-    if (!parts.contains(name)) None
+  private def identityValue(f: DataFileMeta, name: String, transforms: Seq[PTransform]): Option[String] =
+    if (!transforms.exists { case PIdentity(`name`) => true; case _ => false }) None
     else f.partitionValues.get(name) match {
       case Some(Meta.NullPartition) => Some(null)
       case Some(v) => Some(v)

@@ -90,12 +90,21 @@ case class SnapshotRef(
     id: Long,
     parentId: Long,
     timestampMs: Long,
-    operation: String,      // append | delete | update | upsert | replace | rollback
+    operation: String,      // append | delete | update | upsert | overwrite | replace (row-preserving rewrite) | rollback
     manifestList: String,   // metadata/ml-….json, relative to table location
     addedDataFiles: Int,
     nDataFiles: Int,
     nDeleteFiles: Int,
     totalRows: Long)
+
+/** One schema epoch: the table schema in force for data files written at
+  * sequence >= `fromSeq`, with a stable FIELD ID per column (`ids(i)` is
+  * the id of the i-th DDL field). Field ids are Iceberg's rename/drop
+  * mechanism: a rename is a new epoch with the same ids and a new name, a
+  * drop removes the id, and the read path matches an old file's physical
+  * columns to the current schema BY ID — metadata-only DDL, old files
+  * never rewritten. */
+case class SchemaEpoch(fromSeq: Long, ddl: String, ids: Seq[Int])
 
 /** Persisted form of the table metadata document (vN.json). */
 case class TableMetadataDoc(
@@ -106,7 +115,9 @@ case class TableMetadataDoc(
     keyColumns: Seq[String],
     currentSnapshotId: Long,
     snapshots: Seq[SnapshotRef],
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    schemaLog: Seq[SchemaEpoch] = Nil,          // empty → single epoch = schemaDdl
+    refs: Map[String, Long] = Map.empty)        // named snapshot tags
 
 /** In-memory snapshot: the pointer entry plus LAZY file lists resolved
   * through the manifest cache — `dataFiles`/`deleteFiles` keep the exact
@@ -148,17 +159,51 @@ trait ManifestResolver {
 case class TableMetadata(
     formatVersion: Int,
     version: Long,          // metadata version (vN.json)
-    schemaDdl: String,      // Spark DDL, parsed with StructType.fromDDL
+    schemaDdl: String,      // CURRENT Spark DDL, parsed with StructType.fromDDL
     partitionColumns: Seq[String],
     keyColumns: Seq[String],// equality-delete key (MoR delete/update)
     currentSnapshotId: Long,// -1 if no snapshot yet
     snapshots: Seq[Snapshot],
-    properties: Map[String, String] = Map.empty) { // table properties (Iceberg-style)
+    properties: Map[String, String] = Map.empty, // table properties (Iceberg-style)
+    schemaLog: Seq[SchemaEpoch] = Nil,
+    refs: Map[String, Long] = Map.empty) {
 
   /** null-safe properties (metadata written before the field existed
     * deserializes it as null). */
   def props: Map[String, String] =
     if (properties == null) Map.empty else properties
+
+  /** null-safe named snapshot refs (tags). Values re-box defensively:
+    * Jackson deserializes Map[String, Long] VALUES as Integer when they
+    * fit (generic erasure — unlike case-class Long fields), and an
+    * Integer unboxed as Long throws ClassCastException. */
+  def tags: Map[String, Long] =
+    if (refs == null) Map.empty
+    // upcast FIRST: binding the value as Long would itself unbox (CCE) —
+    // the erased map really holds Integers after a JSON round-trip
+    else (refs: Map[String, Any]).map { case (k, v) =>
+      k -> v.asInstanceOf[Number].longValue()
+    }
+
+  /** Schema epochs, oldest first; tables created before schemaLog existed
+    * (or that never ran rename/drop DDL) read as one epoch covering all
+    * sequence numbers, with positional field ids. */
+  def epochs: Seq[SchemaEpoch] =
+    if (schemaLog == null || schemaLog.isEmpty)
+      Seq(SchemaEpoch(Long.MinValue, schemaDdl,
+        0 until org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).length))
+    else schemaLog
+
+  /** Index into `epochs` of the schema in force for files written at
+    * sequence `seq` (ties broken toward the LATER epoch — two DDLs
+    * between commits share a fromSeq and the second wins). */
+  def epochIndexFor(seq: Long): Int = {
+    val es = epochs
+    var best = 0
+    var i = 1
+    while (i < es.length) { if (es(i).fromSeq <= seq) best = i; i += 1 }
+    best
+  }
 
   def snapshot(id: Long): Snapshot =
     snapshots.find(_.id == id).getOrElse(
@@ -169,7 +214,9 @@ case class TableMetadata(
 
   def toDoc: TableMetadataDoc = TableMetadataDoc(formatVersion, version, schemaDdl,
     partitionColumns, keyColumns, currentSnapshotId, snapshots.map(_.ref),
-    if (properties == null) Map.empty else properties)
+    if (properties == null) Map.empty else properties,
+    if (schemaLog == null) Nil else schemaLog,
+    if (refs == null) Map.empty else refs)
 }
 
 object Meta {
@@ -190,7 +237,9 @@ object Meta {
       (if (d.snapshots == null) Nil else d.snapshots).map(r =>
         new Snapshot(r.id, r.parentId, r.timestampMs, r.operation, r.manifestList,
           r.addedDataFiles, r.nDataFiles, r.nDeleteFiles, r.totalRows, resolver)),
-      if (d.properties == null) Map.empty else d.properties)
+      if (d.properties == null) Map.empty else d.properties,
+      if (d.schemaLog == null) Nil else d.schemaLog,
+      if (d.refs == null) Map.empty else d.refs)
 
   def toJson(m: TableMetadataDoc): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)

@@ -15,14 +15,23 @@ import org.apache.spark.sql.SparkSession
   * location, so the catalog is never on the data path (same posture as an
   * Iceberg REST catalog serving metadata pointers).
   *
+  * The catalog ALSO arbitrates commits: it holds each table's committed
+  * version pointer, and [[GraftTable]] commits by compare-and-swapping it
+  * ([[Catalog.arbiter]]) — the object-store-safe commit point (S3-class
+  * rename cannot arbitrate; the reference's PG incarnation uses PG
+  * transactions for exactly this, commit_ops.c:41-86).
+  *
   * Protocol (JSON over HTTP; [[InMemoryCatalogServer]] is the bundled
   * reference implementation used for local dev and the specs):
   * {{{
-  *   GET    {uri}/tables          → 200 {"tables":["a","b"]}
-  *   GET    {uri}/tables/{name}   → 200 {"name":"a","location":"..."} | 404
-  *   POST   {uri}/tables          ← {"name":"a"}
-  *                                → 201 {"name":"a","location":"..."} | 409 exists
-  *   DELETE {uri}/tables/{name}   → 204 | 404
+  *   GET    {uri}/tables                → 200 {"tables":["a","b"]}
+  *   GET    {uri}/tables/{name}         → 200 {"name":"a","location":"..."} | 404
+  *   POST   {uri}/tables                ← {"name":"a"}
+  *                                      → 201 {"name":"a","location":"..."} | 409 exists
+  *   DELETE {uri}/tables/{name}         → 204 | 404
+  *   GET    {uri}/tables/{name}/version → 200 {"version":N,"metadataFile":"…"} | 404
+  *   POST   {uri}/tables/{name}/version ← {"expectedVersion":N,"newVersion":M,"metadataFile":"…"}
+  *                                      → 200 committed | 409 CAS conflict | 404 no table
   * }}}
   */
 class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
@@ -91,12 +100,45 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
   override def drop(name: String): Boolean = lookup(name) match {
     case None => false
     case Some(loc) =>
-      // files first, then the entry — a crash in between leaves a
-      // harmless dangling entry (re-droppable), never orphaned data
-      val p = new Path(loc)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      request("DELETE", s"/tables/${seg(name)}").statusCode() == 204
+      // entry first, then files: once the DELETE succeeds no resolver can
+      // obtain the location again, so nobody reads data mid-destruction;
+      // a crash after the DELETE leaves orphaned files for storage-level
+      // GC — strictly better than a live catalog entry pointing at
+      // destroyed data (ADVICE r04)
+      val removed = request("DELETE", s"/tables/${seg(name)}").statusCode() == 204
+      if (removed) {
+        val p = new Path(loc)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+      removed
   }
+
+  /** Catalog-side commit arbitration for `name` — see [[CommitArbiter]]. */
+  override def arbiter(name: String): Option[CommitArbiter] = Some(new CommitArbiter {
+    override def currentVersion(): Option[(Long, String)] = {
+      val r = request("GET", s"/tables/${seg(name)}/version")
+      r.statusCode() match {
+        case 200 =>
+          val n = mapper.readTree(r.body())
+          Some((n.get("version").asLong(), n.get("metadataFile").asText()))
+        case 404 => None
+        case c => sys.error(s"catalog GET /tables/$name/version failed: HTTP $c ${r.body()}")
+      }
+    }
+    override def commitVersion(expectedVersion: Long, newVersion: Long,
+        metadataFile: String): Boolean = {
+      val body = mapper.writeValueAsString(java.util.Map.of(
+        "expectedVersion", java.lang.Long.valueOf(expectedVersion),
+        "newVersion", java.lang.Long.valueOf(newVersion),
+        "metadataFile", metadataFile))
+      val r = request("POST", s"/tables/${seg(name)}/version", Some(body))
+      r.statusCode() match {
+        case 200 => true
+        case 409 => false // CAS lost — the committer retries from fresh metadata
+        case c => sys.error(s"catalog POST /tables/$name/version failed: HTTP $c ${r.body()}")
+      }
+    }
+  })
 }
 
 /** Minimal in-process catalog service implementing the [[RestCatalog]]
@@ -109,6 +151,9 @@ class InMemoryCatalogServer(warehouse: String) {
   import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** committed (version, metadataFile) pointer per table — the CAS target */
+  private val versions =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
   private val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -129,29 +174,61 @@ class InMemoryCatalogServer(warehouse: String) {
     mapper.writeValueAsString(java.util.Map.of(
       "name", name, "location", tables.get(name)))
 
+  /** JSON-escaped error body (raw interpolation let exception text break
+    * the JSON framing — ADVICE r04). */
+  private def errJson(msg: String): String =
+    mapper.writeValueAsString(java.util.Map.of("error", String.valueOf(msg)))
+
   server.createContext("/tables", (x: HttpExchange) => {
     try {
       val path = x.getRequestURI.getPath.stripSuffix("/")
-      val name = if (path == "/tables") None else Some(path.stripPrefix("/tables/"))
-      (x.getRequestMethod, name) match {
-        case ("GET", None) =>
+      // /tables | /tables/{name} | /tables/{name}/version — a trailing
+      // "/version" segment addresses the commit pointer of {name}
+      val rest = if (path == "/tables") "" else path.stripPrefix("/tables/")
+      val (name, isVersion) =
+        if (rest.endsWith("/version") && rest.length > "/version".length)
+          (Some(rest.stripSuffix("/version")), true)
+        else (if (rest.isEmpty) None else Some(rest), false)
+      (x.getRequestMethod, name, isVersion) match {
+        case ("GET", None, _) =>
           val names = new java.util.ArrayList[String](tables.keySet())
           java.util.Collections.sort(names)
           send(x, 200, mapper.writeValueAsString(java.util.Map.of("tables", names)))
-        case ("GET", Some(n)) =>
+        case ("GET", Some(n), false) =>
           if (tables.containsKey(n)) send(x, 200, entryJson(n))
-          else send(x, 404, s"""{"error":"no table $n"}""")
-        case ("POST", None) =>
+          else send(x, 404, errJson(s"no table $n"))
+        case ("GET", Some(n), true) =>
+          val v = versions.get(n)
+          if (v == null) send(x, 404, errJson(s"no committed version for $n"))
+          else send(x, 200, mapper.writeValueAsString(java.util.Map.of(
+            "version", java.lang.Long.valueOf(v._1), "metadataFile", v._2)))
+        case ("POST", Some(n), true) =>
+          if (!tables.containsKey(n)) send(x, 404, errJson(s"no table $n"))
+          else {
+            val node = mapper.readTree(x.getRequestBody)
+            val exp = node.get("expectedVersion").asLong()
+            val nv = node.get("newVersion").asLong()
+            val file = node.get("metadataFile").asText()
+            // the CAS: compute() is atomic per key, so exactly one of any
+            // set of racing committers observes current == expected
+            var won = false
+            versions.compute(n, (_, cur) =>
+              if (cur == null || cur._1 == exp) { won = true; (nv, file) } else cur)
+            if (won) send(x, 200, mapper.writeValueAsString(java.util.Map.of(
+              "version", java.lang.Long.valueOf(nv))))
+            else send(x, 409, errJson(s"version conflict: expected $exp is stale"))
+          }
+        case ("POST", None, _) =>
           val n = mapper.readTree(x.getRequestBody).get("name").asText()
           if (tables.putIfAbsent(n, s"$warehouse/$n") == null) send(x, 201, entryJson(n))
-          else send(x, 409, s"""{"error":"table $n exists"}""")
-        case ("DELETE", Some(n)) =>
-          if (tables.remove(n) != null) send(x, 204, "")
-          else send(x, 404, s"""{"error":"no table $n"}""")
-        case _ => send(x, 405, """{"error":"unsupported"}""")
+          else send(x, 409, errJson(s"table $n exists"))
+        case ("DELETE", Some(n), false) =>
+          if (tables.remove(n) != null) { versions.remove(n); send(x, 204, "") }
+          else send(x, 404, errJson(s"no table $n"))
+        case _ => send(x, 405, errJson("unsupported"))
       }
     } catch {
-      case e: Exception => send(x, 500, s"""{"error":"${e.getMessage}"}""")
+      case e: Exception => send(x, 500, errJson(String.valueOf(e.getMessage)))
     }
   })
   server.setExecutor(null) // current thread of the server's dispatcher

@@ -55,7 +55,7 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
           }
           name -> detach(a.value)
         }
-        GraftUpdateCommand(t.table.location, assigns,
+        GraftUpdateCommand(t.table, assigns,
           u.condition.map(detach)): LogicalPlan
       }.getOrElse(u)
 
@@ -101,7 +101,7 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
           "[WHEN NOT MATCHED THEN INSERT *] | WHEN MATCHED THEN DELETE " +
           "(unconditional actions, full-row assignments)")
     }
-    GraftMergeCommand(t.table.location, m.sourceTable, shape)
+    GraftMergeCommand(t.table, m.sourceTable, shape)
   }
 
   /** Is the action an unconditional full-row name-identical UPDATE — i.e.
@@ -165,19 +165,20 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
   * not Expressions, so the analyzer does not traverse into the detached
   * (unresolved-by-design) trees. */
 case class GraftUpdateCommand(
-    location: String,
+    table: GraftTable,
     assignments: Seq[(String, Column)],
     condition: Option[Column]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val t = GraftTable.load(sparkSession, location)
-    t.update(assignments.toMap, condition.getOrElse(lit(true)))
+    // the handle carries the catalog commit arbiter (if any); update()
+    // refreshes metadata at entry, so this still runs on a fresh snapshot
+    table.update(assignments.toMap, condition.getOrElse(lit(true)))
     Nil
   }
 }
 
 /** `MERGE INTO` lowered to one MoR commit on the analyzed source plan. */
 case class GraftMergeCommand(
-    location: String,
+    table: GraftTable,
     source: LogicalPlan,
     shape: GraftMergeCommand.Shape) extends LeafRunnableCommand {
 
@@ -185,18 +186,29 @@ case class GraftMergeCommand(
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import GraftMergeCommand._
-    val t = GraftTable.load(sparkSession, location)
-    val src = PlanDf.ofRows(sparkSession, source)
+    val t = table
     val keys = t.meta.keyColumns
-    // SQL MERGE semantics: a target row matched by MORE than one source
-    // row is an error (Spark raises MERGE_CARDINALITY_VIOLATION) — the
-    // upsert commit would otherwise append duplicate live rows per key.
-    // One small agg over the SOURCE only; DeleteMatched distincts anyway.
-    if (shape != DeleteMatched) {
+    val raw = PlanDf.ofRows(sparkSession, source)
+    // SET * / INSERT * are well-defined when the source carries EXTRA
+    // columns — project onto the table's columns before any commit (a
+    // wider source used to pass the rule and then fail in align();
+    // ADVICE r04). DeleteMatched needs only the key columns.
+    val src =
+      if (shape == DeleteMatched) raw
+      else raw.select(t.schema.fieldNames.toIndexedSeq.map(col): _*)
+    // SQL MERGE cardinality rule: a TARGET row matched by more than one
+    // source row is an error (Spark's MERGE_CARDINALITY_VIOLATION) — the
+    // upsert commit would otherwise keep duplicate live rows per key.
+    // Duplicate NOT MATCHED source rows are legal (both insert), so the
+    // check applies only to update-shaped merges and only to source keys
+    // that actually match a target row (ADVICE r04).
+    if (shape == Upsert || shape == UpdateOnly) {
       val dup = src.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
+        .filter(col("count") > 1)
+        .join(t.scan().select(keys.map(col): _*), keys, "left_semi")
+        .limit(1).collect()
       if (dup.nonEmpty) throw new IllegalStateException(
-        s"MERGE source has duplicate rows for key (${keys.mkString(",")}) = " +
+        s"MERGE matches a target row more than once for key (${keys.mkString(",")}) = " +
           s"${dup.head.toSeq.init.mkString(",")} — cardinality violation")
     }
     shape match {

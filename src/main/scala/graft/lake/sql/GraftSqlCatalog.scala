@@ -81,6 +81,12 @@ class GraftSqlCatalog extends TableCatalog {
     if (rest != null) rest.tableLocation(flatName(ident))
     else s"$warehouse/${flatName(ident)}"
 
+  /** Loads with the catalog's commit arbiter attached (rest mode), so SQL
+    * writes commit through the catalog CAS — object-store safe. */
+  private def loadGraft(ident: Identifier): GraftTable =
+    GraftTable.load(spark, location(ident),
+      if (rest != null) rest.arbiter(flatName(ident)) else None)
+
   private def exists(ident: Identifier): Boolean =
     if (rest != null) rest.exists(flatName(ident))
     else {
@@ -102,16 +108,18 @@ class GraftSqlCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(GraftTable.load(spark, location(ident)), ident.toString)
+    new GraftSqlTable(loadGraft(ident), ident.toString)
   }
 
   /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF <snapshotId>`
-    * (snapshot isolation is the reference's own roadmap item,
-    * pg_lakehouse_iceberg/README.md). */
+    * or `VERSION AS OF '<tag>'` (named snapshot refs; snapshot isolation
+    * is the reference's own roadmap item, pg_lakehouse_iceberg/README.md). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, location(ident))
-    val id = version.toLong
+    val t = loadGraft(ident)
+    val id =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else t.tagged(version) // named ref (tag)
     t.meta.snapshot(id) // validate eagerly → clean error for unknown ids
     new GraftSqlTable(t, ident.toString, asOf = id)
   }
@@ -120,7 +128,7 @@ class GraftSqlCatalog extends TableCatalog {
     * to the snapshot current at that instant. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, location(ident))
+    val t = loadGraft(ident)
     val id = t.snapshotAsOfTime(timestampMicros / 1000L)
     require(id >= 0, s"no snapshot of $ident existed at $timestampMicros")
     new GraftSqlTable(t, ident.toString, asOf = id)
@@ -148,15 +156,20 @@ class GraftSqlCatalog extends TableCatalog {
     // location; dir mode derives it from the warehouse path
     val loc = if (rest != null) rest.reserve(flatName(ident)) else location(ident)
     val t = GraftTable.createEmpty(spark, loc, schema, partCols, keyCols,
-      properties = userProps)
+      properties = userProps,
+      arbiter = if (rest != null) rest.arbiter(flatName(ident)) else None)
     new GraftSqlTable(t, ident.toString)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = GraftTable.load(spark, location(ident))
+    val t = loadGraft(ident)
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t.addColumn(add.fieldNames()(0), add.dataType().sql)
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        t.renameColumn(rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        t.dropColumn(del.fieldNames()(0))
       case set: TableChange.SetProperty =>
         t.setProperty(set.property(), set.value())
       case c => throw new UnsupportedOperationException(s"unsupported table change $c")

@@ -56,14 +56,17 @@ object Lake {
     statusAgg(t.scan())
   }
 
-  /** read an older snapshot after a later append (snapshot isolation). */
+  /** read an older snapshot after a later append (snapshot isolation) —
+    * resolved through a NAMED TAG (snapshot ref), the human-usable form
+    * of time travel; the tag also pins the snapshot against retention. */
   def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val old = o.filter(year(col("o_orderdate")) < 1996)
     val t = GraftTable.create(s, work(s, "time_travel", d), old,
       keyColumns = Seq("o_orderkey"))
+    t.tag("pre-1996-load", 1L)
     t.append(o.filter(year(col("o_orderdate")) >= 1996))
-    statusAgg(t.scan(asOf = 1L))
+    statusAgg(t.scanTag("pre-1996-load"))
   }
 
   /** merge-on-read DELETE via equality-delete file + anti-join apply. */
@@ -84,17 +87,26 @@ object Lake {
     statusAgg(t.scan())
   }
 
-  /** additive column: files written before the DDL read back as NULL. */
+  /** full schema evolution round-trip, metadata-only throughout: ADD a
+    * column (old files null-fill), RENAME a column (field-id mapping —
+    * files written before the rename resolve their old physical name by
+    * id), and DROP a column (old files keep the bytes; readers never
+    * select them). Files exist from BOTH sides of every DDL, and the
+    * oracle checks the merged result. */
   def lakeSchemaEvolution(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val t = GraftTable.create(s, work(s, "schema_evolution", d),
       o.filter(year(col("o_orderdate")) < 1996), keyColumns = Seq("o_orderkey"))
     t.addColumn("o_tier", "STRING")
+    t.renameColumn("o_totalprice", "o_price") // pre-1996 files carry o_totalprice
+    t.dropColumn("o_custkey")                 // pre-1996 files keep the bytes
     t.append(o.filter(year(col("o_orderdate")) >= 1996)
-      .withColumn("o_tier", substring(col("o_orderpriority"), 1, 1)))
+      .withColumn("o_tier", substring(col("o_orderpriority"), 1, 1))
+      .withColumnRenamed("o_totalprice", "o_price")
+      .drop("o_custkey"))
     t.scan().groupBy("o_tier")
       .agg(count(lit(1)).as("n"),
-        Money.sum2(col("o_totalprice")).as("total"))
+        Money.sum2(col("o_price")).as("total"))
   }
 
   /** partition-column filter prunes whole partitions at plan time. */
@@ -371,6 +383,23 @@ object Lake {
     } finally server.stop()
   }
 
+  /** HIDDEN PARTITIONING (Iceberg partition transforms — the reference
+    * roadmap's "partition pruning" in its native form, README.md:17): the
+    * table partitions on `days(ts)`, the QUERY filters on raw `ts`, and
+    * the pruner maps the predicate into the transform domain to skip
+    * whole day partitions (LakeSpec asserts files are actually skipped).
+    * The source column stays in the data files; no materialized date
+    * column anywhere. */
+  def lakeTransformPrune(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, work(s, "transform_prune", d), Tables.events(s, d),
+      partitionBy = Seq("days(ts)"))
+    t.scan(Some(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-17 00:00:00").cast("timestamp")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Money.sum2(col("value"), 1000000L).as("sum_value"))
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -402,6 +431,7 @@ object Lake {
     "lake_update" -> (lakeUpdate _),
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "lake_partition_prune" -> (lakePartitionPrune _),
+    "lake_transform_prune" -> (lakeTransformPrune _),
     "lake_stats_prune" -> (lakeStatsPrune _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_snapshots_meta" -> (lakeSnapshotsMeta _),
@@ -521,6 +551,12 @@ object Lake {
       """SELECT o_orderpriority, count(*) AS n,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+    "lake_transform_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+                round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
+         GROUP BY event_type""",
     "lake_stats_prune" ->
       """SELECT count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderkey < 500""",

@@ -19,7 +19,7 @@ class GraftFsFileSystem extends FileSystem {
 
   private def toLocal(p: Path): Path = new Path(p.toUri.getPath)
   private def fromLocal(p: Path): Path =
-    new Path("graftfs", null, p.toUri.getPath)
+    new Path(getScheme, null, p.toUri.getPath)
   private def swizzle(st: FileStatus): FileStatus = {
     val s2 = new FileStatus(st)
     s2.setPath(fromLocal(st.getPath))
@@ -33,7 +33,7 @@ class GraftFsFileSystem extends FileSystem {
   }
 
   override def getScheme: String = "graftfs"
-  override def getUri: URI = URI.create("graftfs:///")
+  override def getUri: URI = URI.create(s"$getScheme:///")
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream =
     local.open(toLocal(f), bufferSize)
@@ -68,4 +68,18 @@ class GraftFsFileSystem extends FileSystem {
 
   override def setTimes(f: Path, mtime: Long, atime: Long): Unit =
     local.setTimes(toLocal(f), mtime, atime)
+}
+
+/** S3-semantics variant: `rename` SILENTLY REPLACES an existing
+  * destination (S3 "rename" is copy+delete with no atomic
+  * fail-if-exists), so rename can never arbitrate racing committers —
+  * the posture that voids HadoopTableOperations-style commit protocols
+  * on object stores and the reason catalog-arbitrated commits exist
+  * ([[graft.lake.CommitArbiter]]). */
+class S3LikeFileSystem extends GraftFsFileSystem {
+  override def getScheme: String = "grafts3"
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (exists(dst) && getFileStatus(dst).isFile) delete(dst, false)
+    super.rename(src, dst)
+  }
 }

@@ -482,7 +482,7 @@ class LakeSpec extends AnyFunSuite {
       "INSERT OVERWRITE graft_test.t1 SELECT * FROM orders_src_sql WHERE o_orderstatus = 'F'")
     assert(spark.sql("SELECT count(*) FROM graft_test.t1").head().getLong(0) ==
       o.filter(col("o_orderstatus") === "F").count())
-    assert(t.refresh().snapshots.last.operation == "replace")
+    assert(t.refresh().snapshots.last.operation == "overwrite")
     // partitioned CREATE + ALTER ADD COLUMN + catalog listing
     spark.sql("DROP TABLE IF EXISTS graft_test.t2")
     spark.sql(
@@ -641,5 +641,165 @@ class LakeSpec extends AnyFunSuite {
     // compaction folds deletes → back to a single scan node
     t.compact()
     assert(scanNodeCount(t.scan()) == 1, "compacted table must plan a single scan")
+  }
+
+  test("rename + drop evolution: field ids keep files from every epoch readable") {
+    val o = Tables.orders(spark, sf)
+    val wh = freshDir("renamedrop-wh")
+    val t = GraftTable.create(spark, s"$wh/t",
+      o.filter(col("o_orderkey") % 2 === 0), keyColumns = Seq("o_orderkey"))
+    t.renameColumn("o_totalprice", "o_price")
+    t.dropColumn("o_custkey")
+    t.append(o.filter(col("o_orderkey") % 2 === 1)
+      .withColumnRenamed("o_totalprice", "o_price").drop("o_custkey"))
+    val got = t.scan()
+    assert(got.columns.contains("o_price") && !got.columns.contains("o_totalprice")
+      && !got.columns.contains("o_custkey"))
+    assert(got.count() == o.count())
+    // pre-rename files resolve o_totalprice BY FIELD ID into o_price
+    val want = o.agg(sum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(got.agg(sum(col("o_price"))).head().getDouble(0) - want) < 1e-4)
+    // time travel to the pre-DDL snapshot reads through the CURRENT schema
+    assert(t.scan(asOf = 1L).columns.toSeq == got.columns.toSeq)
+    assert(GraftTable.load(spark, t.location).scan().count() == o.count(), "fresh handle")
+    // key column is protected (delete files reference it by name)
+    intercept[IllegalArgumentException] { t.renameColumn("o_orderkey", "id") }
+    intercept[IllegalArgumentException] { t.dropColumn("o_orderkey") }
+    // re-adding a dropped NAME mints a fresh field id — the old column's
+    // bytes must not resurrect under it
+    t.addColumn("o_custkey", "STRING")
+    assert(t.scan().filter(col("o_custkey").isNotNull).count() == 0,
+      "re-added name must not resurrect dropped column data")
+    // MoR delete still applies across epochs (key files by current name)
+    t.delete(col("o_orderstatus") === "F")
+    assert(t.scan().count() == o.filter(col("o_orderstatus") =!= "F").count())
+    // SQL ALTER surface drives the same DDL
+    spark.conf.set("spark.sql.catalog.graft_evo",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_evo.warehouse", wh)
+    spark.sql("ALTER TABLE graft_evo.t RENAME COLUMN o_orderpriority TO priority")
+    spark.sql("ALTER TABLE graft_evo.t DROP COLUMN o_orderdate")
+    val cols = spark.sql("SELECT * FROM graft_evo.t").columns.toSeq
+    assert(cols.contains("priority") && !cols.contains("o_orderpriority")
+      && !cols.contains("o_orderdate"))
+    assert(spark.sql("SELECT count(priority) FROM graft_evo.t").head().getLong(0) > 0,
+      "renamed column must carry pre-rename values")
+  }
+
+  test("snapshot tags: scanTag, retention pinning, SQL VERSION AS OF '<tag>'") {
+    val o = Tables.orders(spark, sf)
+    val wh = freshDir("tags-wh")
+    val t = GraftTable.create(spark, s"$wh/t", o.limit(100),
+      keyColumns = Seq("o_orderkey"))
+    t.tag("v1", 1L)
+    t.append(o.limit(200))
+    t.append(o.limit(50))
+    assert(t.scanTag("v1").count() == 100)
+    intercept[NoSuchElementException] { t.scanTag("nope") }
+    intercept[IllegalArgumentException] { t.tag("dangling", 99L) }
+    // SQL time travel by tag name
+    spark.conf.set("spark.sql.catalog.graft_tags",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tags.warehouse", wh)
+    assert(spark.sql("SELECT count(*) FROM graft_tags.t VERSION AS OF 'v1'")
+      .head().getLong(0) == 100)
+    // retention: expire keeps the tagged snapshot alive
+    t.expireSnapshots(1)
+    assert(t.meta.snapshots.map(_.id).toSet == Set(1L, 3L), "tag pins snapshot 1")
+    assert(t.scanTag("v1").count() == 100)
+    t.dropTag("v1")
+    t.expireSnapshots(1)
+    assert(t.meta.snapshots.map(_.id) == Seq(3L), "untagged snapshot expires")
+  }
+
+  test("cdc folds a 20-delete replay into one parent-scan branch; overwrite fails loudly") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("cdcfold"), o.limit(400),
+      keyColumns = Seq("o_orderkey"))
+    (0 until 20).foreach(i => t.delete(col("o_orderkey") % 40 === i))
+    val df = t.cdc(0L, t.meta.currentSnapshotId)
+    // 1 insert branch (the create's append) + ONE folded delete branch:
+    // each LogicalRelation bounded — NOT one parent scan per delete commit
+    val scans = scanNodeCount(df)
+    assert(scans <= 4, s"20-delete replay must fold parent scans, planned $scans relations")
+    // the folded changelog is still exactly right
+    val inserts = df.filter(col("_change_type") === "insert").count()
+    val deletes = df.filter(col("_change_type") === "delete").count()
+    assert(inserts == 400)
+    assert(deletes == o.limit(400).filter(col("o_orderkey") % 40 < 20).count())
+    // state-replacing commits cannot be represented incrementally
+    t.overwrite(o.limit(10))
+    val ex = intercept[RuntimeException] { t.cdc(0L, t.meta.currentSnapshotId).count() }
+    assert(ex.getMessage.contains("replaces table state"))
+    val ex2 = intercept[RuntimeException] { t.changes(0L, t.meta.currentSnapshotId).count() }
+    assert(ex2.getMessage.contains("replaces table state"))
+    // ranges that STOP before the overwrite still read fine
+    assert(t.cdc(0L, 21L).count() == inserts + deletes)
+  }
+
+  test("days(ts) hidden partitioning prunes day files from a raw-ts predicate") {
+    val ev = Tables.events(spark, sf)
+    val t = GraftTable.create(spark, freshDir("tday"), ev,
+      partitionBy = Seq("days(ts)"))
+    val total = t.planFiles().size
+    assert(total >= 30, s"30 days of events should write >= 30 files, got $total")
+    val pred = col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")
+    val kept = t.planFiles(Some(pred)).size
+    assert(kept < total / 5, s"2 of 30 days must survive pruning: $kept of $total")
+    assert(t.scan(Some(pred)).count() == ev.filter(pred).count(), "pruning loses no rows")
+    // hidden: the scan schema is exactly the source schema — no derived col
+    assert(t.scan().columns.toSeq == ev.columns.toSeq)
+    assert(t.scan().count() == ev.count())
+  }
+
+  test("FilePruner maps predicates into bucket/truncate transform domains") {
+    import graft.lake.{DataFileMeta, FilePruner}
+    import org.apache.spark.sql.types.StructType
+    def f(name: String, pv: Map[String, String]) =
+      DataFileMeta(name, 1, 10, 100, pv, Map.empty) // NO stats: only transforms can prune
+    // bucket(8, k): equality keeps exactly the literal's bucket — and the
+    // kept bucket must be the one the WRITE path computes (pmod(hash, n))
+    val bFiles = (0 until 8).map(i => f(s"b$i", Map("__p_k_bucket" -> i.toString)))
+    val bKept = FilePruner.prune(bFiles, Some(col("k") === lit(42)),
+      Seq("bucket(8,k)"), StructType.fromDDL("k INT"))
+    val expected = spark.sql("SELECT pmod(hash(42), 8)").head().getInt(0)
+    assert(bKept.map(_.path) == Seq(s"b$expected"))
+    // range predicates keep all buckets (hash order proves nothing)
+    assert(FilePruner.prune(bFiles, Some(col("k") < lit(5)),
+      Seq("bucket(8,k)"), StructType.fromDDL("k INT")).size == 8)
+    // truncate(2, s): string prefix buckets prune = and range predicates
+    val sFiles = Seq(f("s1", Map("__p_s_trunc" -> "ab")), f("s2", Map("__p_s_trunc" -> "cd")))
+    val sSchema = StructType.fromDDL("s STRING")
+    assert(FilePruner.prune(sFiles, Some(col("s") === lit("abzz")),
+      Seq("truncate(2,s)"), sSchema).map(_.path) == Seq("s1"))
+    assert(FilePruner.prune(sFiles, Some(col("s") > lit("cc")),
+      Seq("truncate(2,s)"), sSchema).map(_.path) == Seq("s2"))
+    assert(FilePruner.prune(sFiles, Some(col("s") < lit("ac")),
+      Seq("truncate(2,s)"), sSchema).map(_.path) == Seq("s1"))
+    // truncate(100, k): integral step buckets [0,100) and [300,400)
+    val iFiles = Seq(f("i0", Map("__p_k_trunc" -> "0")), f("i3", Map("__p_k_trunc" -> "300")))
+    val iSchema = StructType.fromDDL("k INT")
+    assert(FilePruner.prune(iFiles, Some(col("k") === lit(350)),
+      Seq("truncate(100,k)"), iSchema).map(_.path) == Seq("i3"))
+    assert(FilePruner.prune(iFiles, Some(col("k") < lit(50)),
+      Seq("truncate(100,k)"), iSchema).map(_.path) == Seq("i0"))
+    // a mistyped literal must NOT bucket-prune (long lit vs int column
+    // hashes differently — the guard keeps every file)
+    assert(FilePruner.prune(bFiles, Some(col("k") === lit(42L)),
+      Seq("bucket(8,k)"), StructType.fromDDL("k INT")).size == 8)
+  }
+
+  test("bucket + truncate write path round-trips and prunes end-to-end") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("tbucket"), o,
+      partitionBy = Seq("bucket(4,o_orderpriority)"), keyColumns = Seq("o_orderkey"))
+    assert(t.scan().count() == o.count())
+    assert(t.scan().columns.toSeq == o.columns.toSeq, "derived bucket col stays hidden")
+    val pred = col("o_orderpriority") === "1-URGENT"
+    val total = t.planFiles().size
+    val kept = t.planFiles(Some(pred)).size
+    assert(kept < total, s"bucket pruning must skip files: $kept of $total")
+    assert(t.scan(Some(pred)).count() == o.filter(pred).count())
   }
 }
