@@ -120,28 +120,43 @@ object Dedup {
   }
 
   /** Prefix-filtered n-gram Jaccard (AllPairs/PPJoin shape, Bayardo et
-    * al. 2007): exact word-bigram Jaccard ≥ 0.7 pairs, with candidates
-    * from the PREFIX FILTER instead of all pairs or length blocks —
-    * J(A,B) ≥ t implies A and B share a token among each one's
+    * al. 2007): exact word-bigram Jaccard ≥ 0.7 near-dup detection, with
+    * candidates from the PREFIX FILTER instead of all pairs or length
+    * blocks — J(A,B) ≥ t implies A and B share a token among each one's
     * ⌊(1−t)·n⌋+1 rarest tokens (under any agreed global token order; we
     * order by document frequency, rarest first, so join buckets are the
     * posting lists of RARE tokens). The r03 (lang, length-bucket)
     * blocking was quadratic in block size — 24× at a 10× corpus in the
     * sf1 bench — while the prefix join scales with posting-list sizes
-    * and keeps 100% recall (blocking could also drop cross-bucket
-    * stragglers; the lang equality is kept as dedup semantics).
-    * Verify stays the codegen'd exact merge intersection. */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    * and keeps 100% recall. Verify stays the codegen'd exact merge
+    * intersection.
+    *
+    * OUTPUT CONTRACT (r04 verdict #2): cluster-shaped — one row
+    * `(doc_id, cluster_id, jac)` per detected duplication EDGE, O(docs +
+    * rep pairs) total:
+    *  - identical-text group members point at their group representative
+    *    (min doc_id) with jac 1.0;
+    *  - a representative near-dup to a smaller-id representative points
+    *    at it with the verified jaccard.
+    * Consumers union-find the edges (dedupCluster does exactly this).
+    * The previous contract materialized ALL member pairs, so a crawl
+    * corpus with a 10⁵-copy boilerplate family emitted 5×10⁹ rows for
+    * one family; pair expansion survives only behind `expandPairs =
+    * true`, capped per family and failing LOUDLY over the cap. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    dedupNgramJaccard(s, d, expandPairs = false)
+
+  private[graft] def dedupNgramJaccard(
+      s: SparkSession, d: String,
+      expandPairs: Boolean,
+      maxFamilyPairs: Long = 1L << 20): DataFrame = {
     val base = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("text"))
     // EXACT-DUP COLLAPSE first (what a production pipeline does anyway):
     // identical texts form a group represented by their min doc_id; pair
-    // mining runs on representatives only and pairs expand back at the
-    // end — output-identical (duplicates have the same shingle set, so
-    // member pairs inherit the representative pair's jaccard, and
-    // within-group pairs are jaccard 1.0), but the quadratic-ish mining
-    // cost shrinks with the duplicate rate. The groupBy shuffles (hash,
-    // doc_id) — 40 bytes a row, never the bodies.
+    // mining runs on representatives only — duplicates have the same
+    // shingle set, so member edges inherit the representative's jaccard.
+    // The groupBy shuffles (hash, doc_id) — 40 bytes a row, never bodies.
     val groups = base
       .groupBy(sha2(col("text"), 256).as("h"), col("lang"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("member_ids"))
@@ -177,27 +192,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
       .filter(col("jac") >= 0.7)
-    // expand representative pairs to member pairs + emit within-group
-    // pairs (identical texts, jaccard exactly 1.0)
     val members = groups.select(col("rep_id"),
       explode(col("member_ids")).as("doc_id"))
-    val cross = repPairs
-      .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("ma")), "a_id")
-      .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("mb")), "b_id")
-      .select(least(col("ma"), col("mb")).as("a_id"),
-        greatest(col("ma"), col("mb")).as("b_id"), col("jac"))
     // identical texts share jaccard 1.0 — EXCEPT sub-bigram docs, whose
     // empty shingle sets have jaccard 0 by this codebase's definition
     // (empty union); restrict to representatives with a non-empty set so
-    // the expansion stays output-identical to pair mining on members
+    // emitted edges match what pair mining on the members would verify
     val expandable = members.join(
       docs.filter(size(col("ids")) > 0).select(col("doc_id").as("rep_id")), "rep_id")
-    val within = expandable.as("x").join(expandable.as("y"),
-        col("x.rep_id") === col("y.rep_id") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        lit(1.0).as("jac"))
-    cross.unionByName(within).orderBy("a_id", "b_id")
+    val out =
+      if (!expandPairs) {
+        // O(k) per family: k−1 membership edges + the rep adjacency
+        val membership = expandable.filter(col("doc_id") =!= col("rep_id"))
+          .select(col("doc_id"), col("rep_id").as("cluster_id"), lit(1.0).as("jac"))
+        val adjacency = repPairs
+          .select(col("b_id").as("doc_id"), col("a_id").as("cluster_id"), col("jac"))
+        membership.unionByName(adjacency).orderBy("doc_id", "cluster_id")
+      } else {
+        // legacy pair expansion — O(family²) BY CONSTRUCTION, so it is
+        // opt-in and guarded: the largest family's pair count must stay
+        // under `maxFamilyPairs`, else fail loudly instead of emitting
+        // billions of rows (one 10⁵-copy family = 5×10⁹ pairs)
+        val kmax = groups.select(size(col("member_ids")).as("k"))
+          .agg(max(col("k"))).head().getInt(0).toLong // O(1) driver-side guard
+        require(kmax * (kmax - 1) / 2 <= maxFamilyPairs && kmax * kmax <= maxFamilyPairs,
+          s"pair expansion of a $kmax-member duplicate family exceeds " +
+            s"maxFamilyPairs=$maxFamilyPairs — use the default cluster-shaped " +
+            "output (doc_id, cluster_id, jac) instead")
+        val cross = repPairs
+          .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("ma")), "a_id")
+          .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("mb")), "b_id")
+          .select(least(col("ma"), col("mb")).as("a_id"),
+            greatest(col("ma"), col("mb")).as("b_id"), col("jac"))
+        val within = expandable.as("x").join(expandable.as("y"),
+            col("x.rep_id") === col("y.rep_id") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            lit(1.0).as("jac"))
+        cross.unionByName(within).orderBy("a_id", "b_id")
+      }
+    // materialize, then drop the two persisted frames: the bench/gate
+    // suite runs 81 queries in one session, and leaked storage-level
+    // caches accumulate across them (ADVICE r04)
+    val result = out.localCheckpoint()
+    groups.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+    result
   }
 
   /** Bits per LSH band, sized so expected bucket occupancy stays ~constant:

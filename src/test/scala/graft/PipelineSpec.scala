@@ -77,8 +77,63 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${small -- large} extra=${large -- small}")
   }
 
-  test("dedup_ngram_jaccard pairs are all true jaccard>=0.7 bigram pairs") {
+  test("dedup_ngram_jaccard emits sound, complete cluster edges (doc_id, cluster_id, jac)") {
     val got = queries.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    // soundness: every edge's jac is the true bigram jaccard of its endpoints
+    got.foreach { case (docId, cl, j) =>
+      assert(cl < docId, s"cluster_id must be the smaller id: ($docId,$cl)")
+      val truth = jac(shingles(byId(docId), 2), shingles(byId(cl), 2))
+      assert(math.abs(truth - j) < 1e-3, s"edge ($docId,$cl): got $j truth $truth")
+    }
+    // completeness: every true same-lang pair with jaccard clearly >= 0.7
+    // (and >= 2 words each — sub-bigram docs have empty shingle sets by
+    // the codebase's definition) ends up CONNECTED through the edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    got.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val long = docs.filter(_._2.trim.split("\\s+").count(_.nonEmpty) >= 2)
+    for {
+      (a, ta, la) <- long; (b, tb, lb) <- long
+      if a < b && la == lb
+      j = jac(shingles(ta, 2), shingles(tb, 2)) if j >= 0.701
+    } assert(find(a) == find(b), s"true pair ($a,$b) j=$j not connected")
+  }
+
+  test("dedup_ngram_jaccard: a 1000-member duplicate family emits O(k) rows, not O(k^2)") {
+    val dir = "/root/repo/target/graft-lake-test/ngram-family"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val sp = spark; import sp.implicits._
+    val family = (1L to 1000L).map(i =>
+      (i, "the same boilerplate banner text repeated across the whole crawl", "en"))
+    val unique = (2001L to 2010L).map(i =>
+      (i, s"standalone page $i carrying entirely fresh wording ${i * 7} ${i * 13}", "en"))
+    (family ++ unique).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Dedup.dedupNgramJaccard(spark, dir).collect()
+    // exactly k-1 membership edges to the family representative — the old
+    // contract emitted k(k-1)/2 = 499,500 rows for this corpus
+    assert(out.length == 999, s"expected 999 cluster edges, got ${out.length}")
+    assert(out.forall(r => r.getLong(1) == 1L && r.getDouble(2) == 1.0))
+    // opt-in pair expansion refuses LOUDLY when a family exceeds the cap
+    val ex = intercept[IllegalArgumentException] {
+      queries.Dedup.dedupNgramJaccard(spark, dir,
+        expandPairs = true, maxFamilyPairs = 10000).collect()
+    }
+    assert(ex.getMessage.contains("maxFamilyPairs"))
+  }
+
+  test("dedup_ngram_jaccard pair expansion (flagged, capped) is true jaccard>=0.7 pairs") {
+    val got = queries.Dedup.dedupNgramJaccard(spark, sf, expandPairs = true).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty)
     val byId = docs.map(d => d._1 -> d._2).toMap
@@ -281,12 +336,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_decode_pipeline preserves every record with byte-true metadata") {
+  test("mm_decode_pipeline really decodes PNG/BMP payloads: exact pixel stats") {
     val rows = queries.Multimodal.mmDecodePipeline(spark, sf).collect()
     assert(rows.length == docs.size)
-    val byId = docs.map(d => d._1 -> d._2).toMap
-    rows.take(20).foreach { r =>
-      assert(r.getLong(2) == byId(r.getLong(0)).getBytes("UTF-8").length.toLong)
+    rows.take(40).foreach { r =>
+      val id = r.getLong(0)
+      val (fmt, w, h) = (r.getString(1), r.getInt(3), r.getInt(4))
+      assert(fmt == (if (id % 2 == 0) "image/png" else "image/bmp"), s"doc $id format")
+      assert(w == 8 + (id % 9).toInt && h == 8 + (id % 7).toInt, s"doc $id geometry")
+      assert(r.getLong(2) > 0, s"doc $id payload must be a real encoded image")
+      // PNG/BMP are lossless RGB: decoded channel means must equal the
+      // generation formula exactly (modulo the round(…, 4) display)
+      def mean(kd: Int, kx: Int, ky: Int): Double = {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += queries.Multimodal.pix(id, x, y, kd, kx, ky)
+        s.toDouble / (w * h)
+      }
+      assert(math.abs(r.getAs[Number](5).doubleValue - mean(1, 7, 13)) < 1e-3, s"doc $id R")
+      assert(math.abs(r.getAs[Number](6).doubleValue - mean(3, 11, 5)) < 1e-3, s"doc $id G")
+      assert(math.abs(r.getAs[Number](7).doubleValue - mean(5, 3, 17)) < 1e-3, s"doc $id B")
     }
   }
 
