@@ -81,10 +81,18 @@ object Bench {
     Option(outPath.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
-      s""","setup_total":${round3(setupTotal)},"queries":${jmap(r => r._2 + r._3)}""" +
-      s""","value":${round3(total)}}""")
+    // stop Spark FIRST, then print the compact metric line as the very
+    // LAST stdout of the process and flush — r04's capture held all 81
+    // totals but `parsed` stayed null, so nothing may follow the JSON
+    // line (shutdown chatter included), and the line itself stays small
+    // (per-query totals only; exec/setup splits live in bench_full.json,
+    // pointed at by "bench_full").
     spark.stop()
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
+      s""","setup_total":${round3(setupTotal)},"bench_full":"$outPath"""" +
+      s""","queries":${jmap(r => r._2 + r._3)}""" +
+      s""","value":${round3(total)}}""")
+    System.out.flush()
   }
 
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
