@@ -27,11 +27,18 @@ object Multimodal {
   case class MmFeature(doc_id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, mean_r: Float, mean_g: Float, mean_b: Float)
 
+  /** ImageIO's default stream cache spools every encode/decode through a
+    * TEMP FILE — two file creations per tiny in-memory image made the
+    * real decode ~25× slower than column work. Disable once per executor
+    * JVM (evaluated via lazy val from both hot paths). */
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic synthetic image for `docId`: a small RGB gradient
     * pattern, really encoded as PNG (even ids) or BMP (odd ids) via
     * ImageIO. Both formats are lossless RGB, so decoded pixels equal the
     * generation formula exactly — the spec's ground truth. */
   private[graft] def syntheticImage(docId: Long): (String, Array[Byte]) = {
+    imageIoNoCache
     val w = 8 + (docId % 9).toInt
     val h = 8 + (docId % 7).toInt
     val img = new java.awt.image.BufferedImage(
@@ -59,6 +66,7 @@ object Multimodal {
   /** The real decode: ImageIO reads the compressed bytes; features are
     * geometry + per-channel means over the actual decoded pixels. */
   private def decodeImage(r: MmRecord): MmFeature = {
+    imageIoNoCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"undecodable ${r.format} payload for doc ${r.doc_id}")
     val (w, h) = (img.getWidth, img.getHeight)
