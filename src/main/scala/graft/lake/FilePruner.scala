@@ -30,18 +30,26 @@ object FilePruner {
   private case class StringV(v: String) extends V
   private case class DecimalV(v: BigDecimal) extends V
 
+  /** Per-file stats-key resolution: stats in a file are keyed by the
+    * PHYSICAL column names of its schema epoch, so after a rename the
+    * CURRENT name must map back through the epoch (GraftTable passes the
+    * field-id mapping; identity is the no-evolution default). */
+  type StatName = (DataFileMeta, String) => String
+  val SameName: StatName = (_, n) => n
+
   def prune(
       files: Seq[DataFileMeta],
       filter: Option[Column],
       partitionColumns: Seq[String],
-      schema: StructType): Seq[DataFileMeta] =
+      schema: StructType,
+      statName: StatName = SameName): Seq[DataFileMeta] =
     filter match {
       case None => files
       case Some(c) =>
         val expr =
           try org.apache.spark.sql.graftshim.ColumnExpr.expression(c)
           catch { case _: Throwable => return files }
-        pruneResolved(files, expr, partitionColumns, schema)
+        pruneResolved(files, expr, partitionColumns, schema, statName)
     }
 
   /** Same walk over an already-built Catalyst predicate (resolved trees
@@ -51,7 +59,8 @@ object FilePruner {
       files: Seq[DataFileMeta],
       predicate: Expression,
       partitionColumns: Seq[String],
-      schema: StructType): Seq[DataFileMeta] = {
+      schema: StructType,
+      statName: StatName = SameName): Seq[DataFileMeta] = {
     val expr =
       try normalize(predicate)
       catch { case _: Throwable => return files }
@@ -60,7 +69,7 @@ object FilePruner {
     val transforms =
       try PartitionTransforms.parseAll(partitionColumns)
       catch { case _: Throwable => Nil }
-    files.filter(f => mayMatch(f, expr, transforms, schema))
+    files.filter(f => mayMatch(f, expr, transforms, schema, statName))
   }
 
   /** Spark 4's Column ops arrive as UnresolvedFunction("=", "<", "and", ...)
@@ -96,14 +105,14 @@ object FilePruner {
 
   // ---- predicate walk ------------------------------------------------------
 
-  private def mayMatch(f: DataFileMeta, e: Expression, transforms: Seq[PTransform], schema: StructType): Boolean =
+  private def mayMatch(f: DataFileMeta, e: Expression, transforms: Seq[PTransform], schema: StructType, statName: StatName): Boolean =
     e match {
-      case And(l, r) => mayMatch(f, l, transforms, schema) && mayMatch(f, r, transforms, schema)
-      case Or(l, r)  => mayMatch(f, l, transforms, schema) || mayMatch(f, r, transforms, schema)
+      case And(l, r) => mayMatch(f, l, transforms, schema, statName) && mayMatch(f, r, transforms, schema, statName)
+      case Or(l, r)  => mayMatch(f, l, transforms, schema, statName) || mayMatch(f, r, transforms, schema, statName)
       case Not(EqualTo(a, b)) => mayMatchNotEq(f, a, b, transforms, schema)
-      case cmp: BinaryComparison => mayMatchCmp(f, cmp, transforms, schema)
+      case cmp: BinaryComparison => mayMatchCmp(f, cmp, transforms, schema, statName)
       case In(AttrName(name), list) if list.forall(_.isInstanceOf[Literal]) =>
-        list.exists(l => mayMatchOp(f, name, "=", l.asInstanceOf[Literal], transforms, schema))
+        list.exists(l => mayMatchOp(f, name, "=", l.asInstanceOf[Literal], transforms, schema, statName))
       case IsNull(AttrName(name)) =>
         val id = identityValue(f, name, transforms) match {
           case Some(pv) => pv == null
@@ -117,7 +126,7 @@ object FilePruner {
             f.partitionValues.get(t.dirName).forall(_ == Meta.NullPartition)
           case _ => true
         }
-        id && tr && f.stats.get(name).forall(_.nulls != 0) // unknown → keep
+        id && tr && f.stats.get(statName(f, name)).forall(_.nulls != 0) // unknown → keep
       case IsNotNull(AttrName(name)) =>
         val id = identityValue(f, name, transforms) match {
           case Some(pv) => pv != null
@@ -129,7 +138,7 @@ object FilePruner {
           case _ => true
         }
         id && tr &&
-          f.stats.get(name).forall(s => f.rowCount == 0 || s.nulls < f.rowCount)
+          f.stats.get(statName(f, name)).forall(s => f.rowCount == 0 || s.nulls < f.rowCount)
       case _ => true // unsupported shape: keep the file
     }
 
@@ -154,14 +163,14 @@ object FilePruner {
     }
 
   /** Normalizes attr-vs-literal comparisons (either operand order). */
-  private def mayMatchCmp(f: DataFileMeta, cmp: BinaryComparison, transforms: Seq[PTransform], schema: StructType): Boolean = {
+  private def mayMatchCmp(f: DataFileMeta, cmp: BinaryComparison, transforms: Seq[PTransform], schema: StructType, statName: StatName): Boolean = {
     val norm: Option[(String, String, Literal)] = (cmp.left, cmp.right) match {
       case (AttrName(n), l: Literal) => Some((n, opOf(cmp), l))
       case (l: Literal, AttrName(n)) => Some((n, flip(opOf(cmp)), l))
       case _ => None
     }
     norm match {
-      case Some((name, op, l)) => mayMatchOp(f, name, op, l, transforms, schema)
+      case Some((name, op, l)) => mayMatchOp(f, name, op, l, transforms, schema, statName)
       case None => true
     }
   }
@@ -183,7 +192,7 @@ object FilePruner {
     * (mapped into the transform's domain), and min/max stats. Each check
     * independently returns false only when it PROVES no row can match, so
     * the conjunction stays conservative. */
-  private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, transforms: Seq[PTransform], schema: StructType): Boolean = {
+  private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, transforms: Seq[PTransform], schema: StructType, statName: StatName): Boolean = {
     if (op == "?") return true
     if (l.value == null) return false // col <op> NULL matches nothing
     // bucket check first: it hashes the RAW literal (no domain mapping),
@@ -227,7 +236,7 @@ object FilePruner {
     }
     if (!idOk) return false
     if (!transformsMayMatch(f, name, op, lv, transforms, colType)) return false
-    f.stats.get(name) match {
+    f.stats.get(statName(f, name)) match {
       case Some(st) => rangeMayMatch(st, op, lv)
       case None => true
     }

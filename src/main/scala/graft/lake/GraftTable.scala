@@ -86,8 +86,29 @@ class GraftTable private (
   def planFiles(filter: Option[Column] = None, asOf: Long = -1L): Seq[DataFileMeta] = {
     val m = meta
     val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
-    snap.map(s => FilePruner.prune(s.dataFiles, filter, m.partitionColumns, schema))
+    snap.map(s => FilePruner.prune(s.dataFiles, filter, m.partitionColumns, schema,
+        statNameFor(m)))
       .getOrElse(Nil)
+  }
+
+  /** Stats in a file are keyed by the PHYSICAL column names of its schema
+    * epoch — map a predicate's CURRENT name back through the field id so
+    * min/max pruning stays effective on files written before a rename
+    * (without this, a rename silently degrades pruning to full keeps on
+    * all pre-rename files). Unknown names pass through unchanged (stats
+    * miss → conservative keep). */
+  private def statNameFor(m: TableMetadata): FilePruner.StatName = {
+    val es = m.epochs
+    if (es.length == 1) FilePruner.SameName
+    else {
+      val cur = es.last
+      val curIdByName = StructType.fromDDL(cur.ddl).fieldNames.zip(cur.ids).toMap
+      val perEpoch: IndexedSeq[Map[String, String]] = es.map { ep =>
+        val physById = ep.ids.zip(StructType.fromDDL(ep.ddl).fieldNames).toMap
+        curIdByName.flatMap { case (cn, id) => physById.get(id).map(cn -> _) }
+      }.toIndexedSeq
+      (f, name) => perEpoch(m.epochIndexFor(f.seq)).getOrElse(name, name)
+    }
   }
 
   /** Snapshot id current AS OF `timestampMs` — the latest snapshot
@@ -122,7 +143,8 @@ class GraftTable private (
     val out = snapOpt match {
       case None => emptyDf(sch)
       case Some(snap) =>
-        val surviving = FilePruner.prune(snap.dataFiles, filter, m.partitionColumns, sch)
+        val surviving = FilePruner.prune(snap.dataFiles, filter, m.partitionColumns,
+          sch, statNameFor(m))
         buildScan(m, sch, snap, surviving)
     }
     filter.map(out.filter).getOrElse(out)
@@ -141,7 +163,8 @@ class GraftTable private (
       case None => emptyDf(sch)
       case Some(snap) =>
         val surviving = pruneWith
-          .map(e => FilePruner.pruneResolved(snap.dataFiles, e, m.partitionColumns, sch))
+          .map(e => FilePruner.pruneResolved(snap.dataFiles, e, m.partitionColumns,
+            sch, statNameFor(m)))
           .getOrElse(snap.dataFiles)
         buildScan(m, sch, snap, surviving)
     }
@@ -700,6 +723,34 @@ class GraftTable private (
       s"cannot drop partition source column $name")
     val keep = sch.fields.toSeq.zip(m.epochs.last.ids).filterNot(_._1.name == name)
     commitSchemaEpoch(m, StructType(keep.map(_._1)).toDDL, keep.map(_._2))
+  }
+
+  /** Safe type WIDENING (Iceberg's type-promotion rules): byte/short/int
+    * up the integral ladder, float→double. Metadata-only — a new epoch
+    * with the same field id and the wider type; the epoch read path
+    * already casts each file's physical type to the current one, and old
+    * files' stats stay comparable (integral and floating stats domains
+    * are width-agnostic). Narrowing or cross-domain changes are
+    * rejected: they can silently corrupt values. */
+  def widenColumn(name: String, ddlType: String): Unit = {
+    val m = refresh()
+    val sch = schema
+    val f = sch.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    val target = StructType.fromDDL(s"`x` $ddlType").head.dataType
+    import org.apache.spark.sql.types._
+    val ok = (f.dataType, target) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsafe type change $name: ${f.dataType.simpleString} -> " +
+      s"${target.simpleString} (only widening promotions are metadata-safe)")
+    val newFields = sch.fields.map(x =>
+      if (x.name == name) x.copy(dataType = target) else x)
+    commitSchemaEpoch(m, StructType(newFields).toDDL, m.epochs.last.ids)
   }
 
   /** One metadata commit appending a schema epoch effective for files

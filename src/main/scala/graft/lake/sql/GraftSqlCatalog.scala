@@ -170,6 +170,8 @@ class GraftSqlCatalog extends TableCatalog {
         t.renameColumn(rn.fieldNames()(0), rn.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
+        t.widenColumn(up.fieldNames()(0), up.newDataType().sql)
       case set: TableChange.SetProperty =>
         t.setProperty(set.property(), set.value())
       case c => throw new UnsupportedOperationException(s"unsupported table change $c")

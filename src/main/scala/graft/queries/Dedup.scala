@@ -52,11 +52,17 @@ object Dedup {
     // verify on the same hashed shingle-id sets: codegen'd merge intersection
     val a = docs.select(col("doc_id").as("a_id"), col("ids").as("ids_a"))
     val b = docs.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
-    cands.join(a, "a_id").join(b, "b_id")
+    val out = cands.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
         round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy("a_id", "b_id")
+    // materialize, then release the persisted id frame — the 82-query
+    // gate suite runs in one session and leaked pins accumulate (same
+    // treatment as dedupNgramJaccard; ADVICE r04)
+    val result = out.localCheckpoint()
+    docs.unpersist(blocking = false)
+    result
   }
 
   /** SimHash near-dup pairs: 64-bit signature, pigeonhole on 4×16-bit

@@ -686,6 +686,43 @@ class LakeSpec extends AnyFunSuite {
       "renamed column must carry pre-rename values")
   }
 
+  test("type widening: int -> bigint is metadata-only; SQL ALTER COLUMN TYPE") {
+    val sp = spark; import sp.implicits._
+    val wh = freshDir("widen-wh")
+    val t = GraftTable.create(spark, s"$wh/t",
+      (1 to 100).map(i => (i, i * 2)).toDF("k", "v"))
+    t.widenColumn("v", "BIGINT")
+    t.append((101 to 110).map(i => (i, i * 1000000000L)).toDF("k", "v"))
+    val got = t.scan()
+    assert(got.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val want = (1 to 100).map(_ * 2L).sum + (101 to 110).map(_ * 1000000000L).sum
+    assert(got.agg(sum(col("v"))).head().getLong(0) == want,
+      "old int files and new long files must merge widened")
+    intercept[IllegalArgumentException] { t.widenColumn("v", "INT") } // narrowing
+    intercept[IllegalArgumentException] { t.widenColumn("v", "STRING") } // cross-domain
+    spark.conf.set("spark.sql.catalog.graft_widen",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_widen.warehouse", wh)
+    spark.sql("ALTER TABLE graft_widen.t ALTER COLUMN k TYPE BIGINT")
+    assert(GraftTable.load(spark, s"$wh/t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("stats pruning survives a rename: old files' stats resolve by field id") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("renstats"),
+      o.repartitionByRange(8, col("o_totalprice")), keyColumns = Seq("o_orderkey"))
+    t.renameColumn("o_totalprice", "o_price")
+    val total = t.planFiles().size
+    val maxP = o.agg(max(col("o_totalprice"))).head().getDouble(0)
+    val pred = col("o_price") > lit(maxP * 0.9)
+    val kept = t.planFiles(Some(pred)).size
+    assert(kept < total,
+      s"rename must not disable min/max pruning on pre-rename files: $kept of $total")
+    assert(t.scan(Some(pred)).count() ==
+      o.filter(col("o_totalprice") > maxP * 0.9).count())
+  }
+
   test("snapshot tags: scanTag, retention pinning, SQL VERSION AS OF '<tag>'") {
     val o = Tables.orders(spark, sf)
     val wh = freshDir("tags-wh")
