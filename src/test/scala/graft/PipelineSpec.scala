@@ -230,6 +230,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits > 0, "IVF should recover some exact neighbors")
   }
 
+  test("ann_ivf_index (persisted inverted file) equals ann_ivf and prunes partitions") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = rows(queries.Ann.annIvf(spark, sf))
+    val indexed = rows(queries.Ann.annIvfIndex(spark, sf))
+    assert(indexed == direct,
+      s"missing=${direct -- indexed} extra=${indexed -- direct}")
+    // the materialized index is a real lake table whose centroid
+    // partitions prune: probing a single list touches a strict subset
+    val t = graft.lake.GraftTable.load(spark,
+      "/root/repo/target/graft-lake/ann_ivf_index-sf0.001")
+    val total = t.planFiles().size
+    val firstC = t.scan().select("c_id").head().getLong(0)
+    val one = t.planFiles(Some(col("c_id") === firstC)).size
+    assert(one < total, s"one probed list must touch fewer files: $one of $total")
+  }
+
   test("ann_quantize reconstruction error is within half a code step") {
     val rows = queries.Ann.annQuantize(spark, sf).collect()
     assert(rows.length == vecs.size)
