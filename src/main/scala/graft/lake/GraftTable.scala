@@ -1056,8 +1056,13 @@ class GraftTable private (
     withMicrosTimestamps { w.mode("overwrite").parquet(tmp.toString) }
     val parts = listParquet(tmp).sortBy(_.toString)
     val destBase = new Path(root, "data")
-    val out = ArrayBuffer[DataFileMeta]()
-    parts.zipWithIndex.foreach { case (src, i) =>
+    // per-file finalize (rename + footer-stats read) runs on a DRIVER IO
+    // POOL: these are independent metadata RPCs, and running them
+    // sequentially made commit latency O(files) — a 707-partition index
+    // build spent 350 s here at sf1, and a 100 TB commit writes thousands
+    // of files (same posture as Iceberg's worker-pool manifest writes).
+    // Output order stays deterministic (futures joined in input order).
+    val out = inIoPool(parts.zipWithIndex) { case (src, i) =>
       val rel = relDir(tmp, src) // partition sub-path ("" or "p=F[/q=x]")
       val destDir = if (rel.isEmpty) destBase else new Path(destBase, rel)
       fs.mkdirs(destDir)
@@ -1070,10 +1075,24 @@ class GraftTable private (
       val size = fs.getFileStatus(dest).getLen
       val pvals = parsePartitionValues(rel)
       val relPath = (if (rel.isEmpty) "data/" else s"data/$rel/") + dest.getName
-      out += DataFileMeta(relPath, seq, rows, size, pvals, stats)
+      DataFileMeta(relPath, seq, rows, size, pvals, stats)
     }
     fs.delete(tmp, true)
-    out.toSeq
+    out
+  }
+
+  /** Runs `f` over `xs` on a bounded driver-side IO pool, preserving
+    * input order; the first failure propagates after the pool drains.
+    * Hadoop FileSystem clients are thread-safe for these metadata ops. */
+  private def inIoPool[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.isEmpty) return Nil
+    if (xs.length == 1) return Seq(f(xs.head))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(GraftTable.CommitIoThreads, xs.length))
+    try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(x)
+      })).map(_.get())
+    finally pool.shutdown()
   }
 
   /** Writes the equality-delete key set as SIZE-TARGETED parquet shards.
@@ -1442,6 +1461,13 @@ object GraftTable {
     * than the 128 MB data-file target so the anti-join build side splits
     * well). Table property `write.delete.target-file-size` overrides. */
   val DefaultDeleteTargetBytes: Long = 32L * 1024 * 1024
+
+  /** Driver-side IO pool width for per-file commit finalize (rename +
+    * footer-stats reads). These are metadata RPCs, not compute — the pool
+    * hides per-call latency, which dominates object-store commits with
+    * many files (Iceberg's worker-pool manifest writes use the same
+    * posture). Bounded so a huge commit can't spawn thousands of threads. */
+  val CommitIoThreads: Int = 16
 
   /** Bounded cache of parsed metadata documents, keyed by (location,
     * version file) — sound because committed versions are immutable.
