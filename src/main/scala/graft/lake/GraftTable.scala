@@ -97,7 +97,7 @@ class GraftTable private (
     * (without this, a rename silently degrades pruning to full keeps on
     * all pre-rename files). Unknown names pass through unchanged (stats
     * miss → conservative keep). */
-  private def statNameFor(m: TableMetadata): FilePruner.StatName = {
+  private[lake] def statNameFor(m: TableMetadata): FilePruner.StatName = {
     val es = m.epochs
     if (es.length == 1) FilePruner.SameName
     else {

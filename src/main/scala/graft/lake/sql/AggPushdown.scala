@@ -1,0 +1,401 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
+import graft.lake.{ColStats, DataFileMeta, GraftTable, Meta, PIdentity, PartitionTransforms}
+
+/** Metadata-only aggregate evaluation for the DSv2 scan: answers
+  * `COUNT(*) / COUNT(col) / MIN(col) / MAX(col)` from manifest stats and
+  * partition values alone — zero data files opened (Iceberg's aggregate
+  * pushdown; the reference's planner keeps the same file-level metadata for
+  * its scans, pg_lakehouse_iceberg/src/operations/scan_ops.c:240-276). At
+  * 100 TB this turns a full-table `count(*)` from a thousand-executor scan
+  * into one driver-side manifest walk.
+  *
+  * Everything here is EXACT-or-refuse — unlike `FilePruner`, which may keep
+  * extra files because rows are re-filtered, an aggregate answered from
+  * metadata has no row-level second chance. The refusal rules:
+  *
+  *   - any delete file in the snapshot state → refuse (MoR rows not yet
+  *     applied would inflate counts; `compact()`/`maintain()` restores
+  *     pushdown)
+  *   - filters must be decidable per file from IDENTITY partition values:
+  *     every referenced column an identity partition column, every file
+  *     carrying a value for it (files from before a partition evolution
+  *     don't) — then a file's rows ALL match or NONE do
+  *   - MIN/MAX only on integral / date / timestamp / decimal columns:
+  *     parquet string stats may be truncated (ParquetStats.MaxStatLen) and
+  *     float/double stats ignore NaN, so neither is exact
+  *   - a file missing stats for the column → refuse (an all-null column
+  *     and an unsupported physical type are indistinguishable in ColStats)
+  *
+  * Columns renamed by schema evolution resolve their per-file PHYSICAL
+  * stats key through the table's field-id epoch log, same as pruning.
+  */
+object AggPushdown {
+
+  /** Is `f` EXACTLY decidable from identity partition values for every
+    * data file of the scan's snapshot? (Decidable filters are consumed by
+    * the scan builder — not returned as residual — which is what lets
+    * Spark hand the whole Aggregate to the source.) */
+  def exactPartitionFilter(table: GraftTable, asOf: Long, f: Filter): Boolean = {
+    val m = table.meta
+    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    snap match {
+      case None => true // empty table: nothing to mis-decide
+      case Some(s) =>
+        val idCols = identityCols(m.partitionColumns)
+        val sch = table.schema
+        f.references.forall(r => !r.contains('.') && idCols.contains(r)) &&
+          s.dataFiles.forall(df => eval(f, df, sch).isDefined)
+    }
+  }
+
+  /** One metadata-answerable aggregate function. */
+  sealed trait MetaAgg
+  case object MCountStar extends MetaAgg
+  final case class MCount(col: String) extends MetaAgg
+  final case class MMin(col: String) extends MetaAgg
+  final case class MMax(col: String) extends MetaAgg
+
+  /** Computed value of one MetaAgg: counts are Left(n); min/max are
+    * Right(columnType, domain value — None for the SQL NULL of an empty /
+    * all-null input). */
+  type MetaValue = Either[Long, (DataType, Option[BigDecimal])]
+
+  /** Shared compute core: exact file selection by `filters`, then each
+    * aggregate from manifest stats / partition values. None when ANY part
+    * is not exactly answerable. */
+  def computeAggs(
+      table: GraftTable,
+      asOf: Long,
+      aggs: Seq[MetaAgg],
+      filters: Seq[Filter]): Option[Seq[MetaValue]] = {
+    val m = table.meta
+    val sch = table.schema
+    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    // delete files make manifest row counts upper bounds, not answers
+    if (snap.exists(_.nDeleteFiles > 0)) return None
+    val allFiles = snap.map(_.dataFiles).getOrElse(Nil)
+    val idCols = identityCols(m.partitionColumns)
+
+    // exact per-file filter evaluation: all-or-nothing per file
+    val surviving = new scala.collection.mutable.ArrayBuffer[DataFileMeta]()
+    for (df <- allFiles) {
+      var verdict: Option[Boolean] = Some(true)
+      for (f <- filters if verdict.isDefined) {
+        if (!f.references.forall(r => !r.contains('.') && idCols.contains(r)))
+          return None
+        eval(f, df, sch) match {
+          case None => return None // undecidable → no pushdown at all
+          case Some(v) => verdict = verdict.map(_ && v)
+        }
+      }
+      if (verdict.contains(true)) surviving += df
+    }
+
+    val statName = table.statNameFor(m)
+    val values = new scala.collection.mutable.ArrayBuffer[MetaValue]()
+
+    for (a <- aggs) a match {
+      case MCountStar =>
+        values += Left(surviving.map(_.rowCount).sum)
+
+      case MCount(name) =>
+        values += Left(if (idCols.contains(name)) {
+          // identity partition column: the hive NULL dir holds the nulls
+          var n = 0L
+          for (df <- surviving) df.partitionValues.get(name) match {
+            case Some(Meta.NullPartition) => ()
+            case Some(_) => n += df.rowCount
+            case None => return None
+          }
+          n
+        } else {
+          var n = 0L
+          for (df <- surviving) df.stats.get(statName(df, name)) match {
+            case Some(st) => n += df.rowCount - st.nulls
+            case None => return None
+          }
+          n
+        })
+
+      case mm @ (MMin(_) | MMax(_)) =>
+        val isMin = mm.isInstanceOf[MMin]
+        val name = mm match { case MMin(c) => c; case MMax(c) => c; case _ => "" }
+        val dt = sch.find(_.name == name).map(_.dataType).getOrElse(return None)
+        if (!minMaxSafe(dt)) return None
+        var acc: Option[BigDecimal] = None
+        def fold(v: BigDecimal): Unit = acc = acc match {
+          case Some(x) => Some(if (isMin == (v < x)) v else x)
+          case None => Some(v)
+        }
+        if (idCols.contains(name)) {
+          for (df <- surviving) df.partitionValues.get(name) match {
+            case Some(Meta.NullPartition) => () // MIN/MAX skip nulls
+            case Some(raw) => fold(partValue(raw, dt).getOrElse(return None))
+            case None => return None
+          }
+        } else {
+          for (df <- surviving) df.stats.get(statName(df, name)) match {
+            case Some(st) =>
+              fold(statValue(st, if (isMin) st.min else st.max, dt)
+                .getOrElse(return None))
+            case None => return None
+          }
+        }
+        values += Right((dt, acc))
+    }
+    Some(values.toSeq)
+  }
+
+  /** DSv2 entry (sessions WITHOUT GraftExtensions — with them,
+    * GraftNativeScanRule substitutes a LocalRelation first): answers a
+    * connector `Aggregation` as the scan's (readSchema, single result
+    * row in EXTERNAL types for the V1 bridge). */
+  def tryPush(
+      table: GraftTable,
+      asOf: Long,
+      agg: Aggregation,
+      filters: Array[Filter]): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions().toSeq
+    val metas = funcs.map {
+      case _: CountStar => MCountStar
+      case c: Count if !c.isDistinct =>
+        MCount(simpleName(c.column).getOrElse(return None))
+      case mn: Min => MMin(simpleName(mn.column).getOrElse(return None))
+      case mx: Max => MMax(simpleName(mx.column).getOrElse(return None))
+      case _ => return None // SUM/AVG/distinct/UDAF: not metadata-answerable
+    }
+    computeAggs(table, asOf, metas, filters.toSeq).map { vals =>
+      val fields = funcs.zip(vals).map {
+        case (f, Left(_)) => StructField(f.toString, LongType, nullable = false)
+        case (f, Right((dt, _))) => StructField(f.toString, dt, nullable = true)
+      }
+      val row = vals.map {
+        case Left(n) => n
+        case Right((dt, v)) => v.map(external(_, dt)).orNull
+      }
+      (StructType(fields), row)
+    }
+  }
+
+  // ---- exact per-file filter evaluation -------------------------------------
+
+  private def identityCols(specs: Seq[String]): Set[String] =
+    try PartitionTransforms.parseAll(specs)
+      .collect { case PIdentity(c) => c }.toSet
+    catch { case _: Throwable => Set.empty }
+
+  /** SQL three-valued evaluation of `f` against one file's identity
+    * partition value — sound because every row of the file shares that
+    * value. None = cannot decide exactly (missing value, type we don't
+    * model); Some(v) = every row of the file evaluates to v (UNKNOWN
+    * behaves as false, which is exactly how a WHERE clause treats it —
+    * including under NOT, handled via eval3). */
+  private def eval(f: Filter, df: DataFileMeta, sch: StructType): Option[Boolean] =
+    eval3(f, df, sch).map(_.contains(true))
+
+  /** Some(Some(b)) decided, Some(None) = SQL UNKNOWN, None = undecidable. */
+  private def eval3(f: Filter, df: DataFileMeta, sch: StructType): Option[Option[Boolean]] = {
+    def value(col: String): Option[Option[BigDecimal]] = // None=missing, Some(None)=SQL null
+      df.partitionValues.get(col) match {
+        case Some(Meta.NullPartition) => Some(None)
+        case Some(raw) =>
+          sch.find(_.name == col).map(_.dataType)
+            .flatMap(dt => partValue(raw, dt)).map(v => Some(v))
+        case None => None
+      }
+    def cmp(col: String, lit: Any, op: Int => Boolean): Option[Option[Boolean]] =
+      value(col).flatMap {
+        case None => Some(None) // null <op> x is UNKNOWN
+        case Some(pv) =>
+          sch.find(_.name == col).map(_.dataType)
+            .flatMap(dt => litValue(lit, dt))
+            .map(lv => Some(op(pv.compare(lv))))
+      }
+    f match {
+      case sources.EqualTo(c, v) => cmp(c, v, _ == 0)
+      case sources.GreaterThan(c, v) => cmp(c, v, _ > 0)
+      case sources.GreaterThanOrEqual(c, v) => cmp(c, v, _ >= 0)
+      case sources.LessThan(c, v) => cmp(c, v, _ < 0)
+      case sources.LessThanOrEqual(c, v) => cmp(c, v, _ <= 0)
+      case sources.EqualNullSafe(c, v) =>
+        value(c).flatMap {
+          case None => Some(Some(v == null))
+          case Some(pv) =>
+            if (v == null) Some(Some(false))
+            else sch.find(_.name == c).map(_.dataType)
+              .flatMap(dt => litValue(v, dt)).map(lv => Some(pv.compare(lv) == 0))
+        }
+      case sources.In(c, vs) =>
+        // three-valued IN: true if any member matches; else UNKNOWN if the
+        // value is null (or any member is null); else false
+        value(c).flatMap {
+          case None => Some(None)
+          case Some(pv) =>
+            val dt = sch.find(_.name == c).map(_.dataType).getOrElse(return None)
+            var sawNull = false
+            var hit = false
+            for (v <- vs) {
+              if (v == null) sawNull = true
+              else litValue(v, dt) match {
+                case Some(lv) => if (pv.compare(lv) == 0) hit = true
+                case None => return None
+              }
+            }
+            Some(if (hit) Some(true) else if (sawNull) None else Some(false))
+        }
+      case sources.IsNull(c) => value(c).map(v => Some(v.isEmpty))
+      case sources.IsNotNull(c) => value(c).map(v => Some(v.nonEmpty))
+      case sources.And(l, r) =>
+        for (a <- eval3(l, df, sch); b <- eval3(r, df, sch)) yield (a, b) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case sources.Or(l, r) =>
+        for (a <- eval3(l, df, sch); b <- eval3(r, df, sch)) yield (a, b) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case sources.Not(inner) =>
+        eval3(inner, df, sch).map(_.map(!_))
+      case _: sources.AlwaysTrue => Some(Some(true))
+      case _: sources.AlwaysFalse => Some(Some(false))
+      case _ => None
+    }
+  }
+
+  // ---- typed value domains ---------------------------------------------------
+  // Everything comparable collapses into BigDecimal: exact for integrals,
+  // epoch days (date), epoch micros (timestamp) and decimals — the only
+  // types admitted. Strings ride a stable order-preserving injection.
+
+  private def partValue(raw: String, dt: DataType): Option[BigDecimal] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      raw.toLongOption.map(BigDecimal(_))
+    case DateType =>
+      try Some(BigDecimal(java.time.LocalDate.parse(raw).toEpochDay))
+      catch { case _: Throwable => None }
+    case TimestampType | TimestampNTZType =>
+      tsMicros(raw).map(BigDecimal(_))
+    case _: DecimalType =>
+      try Some(BigDecimal(raw.trim)) catch { case _: Throwable => None }
+    case StringType => Some(strEmbed(raw))
+    case BooleanType => raw.toBooleanOption.map(b => BigDecimal(if (b) 1 else 0))
+    case _ => None
+  }
+
+  /** v1 Filter literal → same domain as `partValue`. */
+  private def litValue(v: Any, dt: DataType): Option[BigDecimal] = (dt, v) match {
+    case (ByteType | ShortType | IntegerType | LongType, n: Number)
+        if !v.isInstanceOf[java.lang.Double] && !v.isInstanceOf[java.lang.Float] =>
+      Some(BigDecimal(n.longValue()))
+    case (DateType, d: java.sql.Date) => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case (DateType, d: java.time.LocalDate) => Some(BigDecimal(d.toEpochDay))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(BigDecimal(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(BigDecimal(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some(BigDecimal(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000))
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(BigDecimal(d))
+    case (_: DecimalType, d: BigDecimal) => Some(d)
+    case (_: DecimalType, n: Number)
+        if !v.isInstanceOf[java.lang.Double] && !v.isInstanceOf[java.lang.Float] =>
+      Some(BigDecimal(n.longValue()))
+    case (StringType, s: String) => Some(strEmbed(s))
+    case (BooleanType, b: java.lang.Boolean) => Some(BigDecimal(if (b) 1 else 0))
+    case _ => None
+  }
+
+  /** Order-preserving embedding of a string into BigDecimal: CODE POINTS
+    * become base-(0x10FFFF+2) digits after the decimal point, each +1 so a
+    * prefix sorts strictly below its extensions. Code-point order equals
+    * Spark's UTF8String unsigned-byte order (UTF-16 char order would NOT —
+    * surrogate pairs sort below U+E000..U+FFFF there). Exact because
+    * BigDecimal is arbitrary precision; partition-value strings are short
+    * by construction (they were path components). */
+  private def strEmbed(s: String): BigDecimal = {
+    var acc = BigDecimal(0)
+    var scale = BigDecimal(1)
+    val base = BigDecimal(0x10FFFF + 2)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      scale = scale / base
+      acc += scale * BigDecimal(cp + 1)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private def tsMicros(raw: String): Option[Long] =
+    try {
+      val ldt = java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+      Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+    } catch { case _: Throwable => None }
+
+  // ---- MIN/MAX stat domains --------------------------------------------------
+
+  /** Types whose parquet footer min/max are EXACT: integrals and
+    * date/timestamp (tag "l"), decimals (tag "c"). Strings can be
+    * truncated, float/double stats ignore NaN — both refused. */
+  private def minMaxSafe(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def statValue(st: ColStats, s: String, dt: DataType): Option[BigDecimal] =
+    (st.tag, dt) match {
+      case ("l", ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType | TimestampNTZType) =>
+        s.toLongOption.map(BigDecimal(_))
+      case ("c", _: DecimalType) =>
+        try Some(BigDecimal(s.trim)) catch { case _: Throwable => None }
+      case _ => None // tag/type mismatch (e.g. pre-widening epoch): refuse
+    }
+
+  /** Domain value → Catalyst INTERNAL value (for a LocalRelation row):
+    * dates are epoch days (Int), timestamps epoch micros (Long), decimals
+    * `types.Decimal`. */
+  def internal(v: BigDecimal, dt: DataType): Any = dt match {
+    case ByteType => v.toLong.toByte
+    case ShortType => v.toLong.toShort
+    case IntegerType | DateType => v.toLong.toInt
+    case LongType | TimestampType | TimestampNTZType => v.toLong
+    case d: DecimalType =>
+      Decimal(v.underlying().setScale(d.scale), d.precision, d.scale)
+    case _ => throw new IllegalStateException(s"unreachable: $dt passed minMaxSafe")
+  }
+
+  /** Domain value → external row value for the V1 bridge
+    * (needConversion=true: java.sql / java.math types). */
+  private def external(v: BigDecimal, dt: DataType): Any = dt match {
+    case ByteType => v.toLong.toByte
+    case ShortType => v.toLong.toShort
+    case IntegerType => v.toLong.toInt
+    case LongType => v.toLong
+    case DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.toInt)
+    case TimestampType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v.toLong)
+    case TimestampNTZType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(v.toLong)
+    case d: DecimalType => v.underlying().setScale(d.scale)
+    case _ => throw new IllegalStateException(s"unreachable: $dt passed minMaxSafe")
+  }
+
+  private def simpleName(e: Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+}

@@ -1,9 +1,12 @@
 package graft.lake.sql
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
 
 /** Vectorized fast path for SQL reads of graft tables: once a plan is
   * fully resolved, every `DataSourceV2Relation` over a [[GraftSqlTable]]
@@ -44,6 +47,7 @@ class GraftNativeScanRule extends Rule[LogicalPlan] {
       // side still works through the V1 path
       case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
       case _ => plan.transformDown {
+        case MetadataAggregate(replaced) => replaced
         case Filter(cond, sa @ SubqueryAlias(_,
             rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _))) =>
           Filter(cond, sa.copy(child = substitute(rel, t, Some(cond))))
@@ -53,6 +57,71 @@ class GraftNativeScanRule extends Rule[LogicalPlan] {
           substitute(rel, t, None)
       }
     }
+
+  /** Metadata-only aggregates: `Aggregate` (no GROUP BY; COUNT / MIN /
+    * MAX only) over a graft relation, with every WHERE conjunct EXACTLY
+    * decidable from identity partition values, collapses into a
+    * `LocalRelation` holding the one driver-computed row — zero data
+    * files opened (see [[AggPushdown]] for the refusal rules; Iceberg's
+    * aggregate pushdown, here at analysis time because this rule replaces
+    * the DSv2 relation before `V2ScanRelationPushDown` could run). */
+  private object MetadataAggregate extends PredicateHelper {
+    def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+        // strip alias/filter wrappers down to the graft relation
+        var filters: Seq[Expression] = Nil
+        var cur = child
+        var continue = true
+        while (continue) cur match {
+          case SubqueryAlias(_, c) => cur = c
+          case Filter(cond, c) => filters = filters ++ splitConjunctivePredicates(cond); cur = c
+          case Project(exprs, c) if exprs.forall(_.isInstanceOf[AttributeReference]) => cur = c
+          case _ => continue = false
+        }
+        cur match {
+          case DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) =>
+            try buildLocal(t, agg, aggExprs, filters)
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      case _ => None
+    }
+
+    private def buildLocal(
+        t: GraftSqlTable,
+        agg: Aggregate,
+        aggExprs: Seq[NamedExpression],
+        filters: Seq[Expression]): Option[LogicalPlan] = {
+      // every result expression: an Alias over one plain aggregate call
+      val metas = aggExprs.map {
+        case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
+          case Count(Seq(Literal(v, _))) =>
+            if (v == null) return None // count(NULL) ≡ 0 — rare; keep simple
+            AggPushdown.MCountStar
+          case Count(Seq(a: AttributeReference)) => AggPushdown.MCount(a.name)
+          case Min(a: AttributeReference) => AggPushdown.MMin(a.name)
+          case Max(a: AttributeReference) => AggPushdown.MMax(a.name)
+          case _ => return None
+        }
+        case _ => return None
+      }
+      val v1Filters = filters.map(f =>
+        org.apache.spark.sql.graftshim.ColumnExpr.toV1Filter(f)
+          .getOrElse(return None))
+      AggPushdown.computeAggs(t.table, t.asOf, metas, v1Filters).map { vals =>
+        val row = InternalRow.fromSeq(vals.map {
+          case Left(n) => n
+          case Right((dt, v)) => v.map(AggPushdown.internal(_, dt)).orNull
+        })
+        // sanity: Aggregate output types must line up with what we computed
+        aggExprs.zip(vals).foreach {
+          case (e, Left(_)) => require(e.dataType == LongType, s"count type ${e.dataType}")
+          case (e, Right((dt, _))) => require(e.dataType == dt, s"${e.dataType} != $dt")
+        }
+        LocalRelation(agg.output, Seq(row))
+      }
+    }
+  }
 
   /** Native scan plan with the relation's output attribute ids. Any
     * failure leaves the relation in place — the V1Scan path still

@@ -8,7 +8,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -267,26 +268,76 @@ class GraftSqlTable(val table: GraftTable, ident: String, val asOf: Long = -1L)
 
 /** Scan builder: pushed filters feed `FilePruner` (manifest min/max +
   * partition-value file skipping BEFORE any task is scheduled — the scan
-  * planner the reference runs in scan_ops.c); every filter is also
-  * returned as residual so Spark re-applies it row-level, keeping pruning
-  * strictly an IO optimization. Column pruning narrows the bridged plan,
-  * which Catalyst then pushes into the parquet reader. */
+  * planner the reference runs in scan_ops.c). Filters EXACTLY decidable
+  * from identity partition values are CONSUMED (not returned as residual;
+  * the bridged `GraftTable.scan` still re-applies them row-level, so
+  * results are unchanged) — consuming them is what lets Spark offer the
+  * whole Aggregate to the source. All other filters stay residual, keeping
+  * pruning strictly an IO optimization. Column pruning narrows the bridged
+  * plan, which Catalyst then pushes into the parquet reader.
+  *
+  * Aggregate pushdown (`SupportsPushDownAggregates`): COUNT/MIN/MAX
+  * answered from manifest stats alone when exact — see [[AggPushdown]].
+  * `supportCompletePushDown` only ever returns true alongside a computed
+  * result, so the produced scan is ONE metadata row and the Aggregate
+  * node disappears from the plan. */
 class GraftScanBuilder(table: GraftTable, asOf: Long = -1L) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var required: StructType = table.schema
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftFilters.toColumn(f).isDefined)
-    filters // all residual: Spark re-applies row-level (pruning is IO-only)
+    // a consumed filter must ALSO be in `pushed` (the bridged scan is what
+    // re-applies it), hence the toColumn guard before exact decidability
+    consumed = pushed.filter(f =>
+      try AggPushdown.exactPartitionFilter(table, asOf, f)
+      catch { case _: Throwable => false })
+    filters.filterNot(consumed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(table, pushed, required, asOf)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushAggregation(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // Spark only offers an Aggregation when no residual Filter remains
+    // above the relation, i.e. every filter in play was consumed — but be
+    // defensive: refuse if any pushed filter escaped the consumed set.
+    if (!pushed.forall(consumed.contains)) return false
+    aggResult =
+      try AggPushdown.tryPush(table, asOf, aggregation, consumed)
+      catch { case _: Throwable => None }
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new GraftAggScan(aggSchema, row)
+    case None => new GraftV1Scan(table, pushed, required, asOf)
+  }
+}
+
+/** The scan produced by a complete aggregate pushdown: ONE driver-computed
+  * row, zero data files opened. */
+class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftAggScan(metadata-only: ${aggSchema.fieldNames.mkString(", ")})"
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def needConversion: Boolean = true
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(Row.fromSeq(values)), 1)
+    }.asInstanceOf[T]
 }
 
 class GraftV1Scan(table: GraftTable, pushed: Array[Filter], required: StructType,

@@ -400,6 +400,30 @@ object Lake {
         Money.sum2(col("value"), 1000000L).as("sum_value"))
   }
 
+  /** METADATA-ONLY aggregates: COUNT/MIN/MAX with an identity-partition
+    * filter answered entirely from manifest stats — GraftNativeScanRule
+    * collapses the Aggregate into a one-row LocalRelation, zero data
+    * files opened (AggPushdownSpec proves it by deleting them). At 100 TB
+    * this is the difference between a manifest walk on the driver and a
+    * thousand-executor full scan. */
+  def lakeAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val wh = work(s, "agg_pushdown", d)
+    val cat = "graft_aggq"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Tables.orders(s, d).createOrReplaceTempView("graft_aggq_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    s.sql(
+      s"""CREATE TABLE $cat.orders_t PARTITIONED BY (o_orderstatus)
+          AS SELECT * FROM graft_aggq_src""")
+    s.sql(
+      s"""SELECT count(*) AS n_open,
+                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                 min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+          FROM $cat.orders_t WHERE o_orderstatus = 'O'""")
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -432,6 +456,7 @@ object Lake {
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "lake_partition_prune" -> (lakePartitionPrune _),
     "lake_transform_prune" -> (lakeTransformPrune _),
+    "lake_agg_pushdown" -> (lakeAggPushdown _),
     "lake_stats_prune" -> (lakeStatsPrune _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_snapshots_meta" -> (lakeSnapshotsMeta _),
@@ -557,6 +582,11 @@ object Lake {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
          GROUP BY event_type""",
+    "lake_agg_pushdown" ->
+      """SELECT count(*) AS n_open,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+         FROM orders WHERE o_orderstatus = 'O'""",
     "lake_stats_prune" ->
       """SELECT count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderkey < 500""",

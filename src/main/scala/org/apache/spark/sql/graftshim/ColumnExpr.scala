@@ -21,4 +21,12 @@ object ColumnExpr {
     * codegen expressions, e.g. graft.expressions.DotProduct). */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Catalyst predicate → v1 `sources.Filter` — Spark's own translation
+    * (`protected[sql]`), re-exported for graft's metadata-only aggregate
+    * pushdown (GraftNativeScanRule needs the exact translation Spark
+    * would apply, never a re-implementation that could drift). */
+  def toV1Filter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }

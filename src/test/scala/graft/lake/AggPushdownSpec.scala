@@ -1,0 +1,195 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Metadata-only aggregate pushdown (AggPushdown + GraftScanBuilder).
+  *
+  * The load-bearing assertions are (a) plan shape — a pushed aggregate has
+  * NO Aggregate node left in the optimized plan (complete pushdown turns it
+  * into a Project over the one-row scan), a refused one keeps it — and
+  * (b) the destruction test: after DELETING every data file, a pushed
+  * aggregate still answers correctly, which proves no data IO happens.
+  */
+class AggPushdownSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val cat = "graft_aggpd"
+  spark.conf.set(s"spark.sql.catalog.$cat",
+    classOf[graft.lake.sql.GraftSqlCatalog].getName)
+  spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+    "/root/repo/target/graft-lake-test/aggpd-wh")
+
+  private def freshTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      keyColumns: Seq[String] = Nil): GraftTable = {
+    val loc = s"/root/repo/target/graft-lake-test/aggpd-wh/$name"
+    val p = new Path(loc)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    GraftTable.create(spark, loc, df, partitionBy = partitionBy, keyColumns = keyColumns)
+  }
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
+
+  test("count/min/max push to metadata: no Aggregate node, exact values") {
+    val o = Tables.orders(spark, sf)
+    freshTable("basic", o, partitionBy = Seq("o_orderstatus"))
+    val got = spark.sql(
+      s"""SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+                min(o_orderdate) AS d0, max(o_orderdate) AS d1
+          FROM $cat.basic WHERE o_orderstatus = 'F'""")
+    assert(!hasAggregate(got), "aggregate should be answered from metadata")
+    val exp = o.filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"),
+        min("o_orderdate"), max("o_orderdate")).head()
+    val g = got.head()
+    assert(g.getLong(0) == exp.getLong(0))
+    assert(g.getLong(1) == exp.getLong(1) && g.getLong(2) == exp.getLong(2))
+    // o_orderdate is TIMESTAMP_NTZ (raw parquet is timestamp[ms], no tz)
+    assert(g.get(3) == exp.get(3))
+    assert(g.get(4) == exp.get(4))
+  }
+
+  test("pushed aggregates survive data-file destruction (zero data IO)") {
+    val o = Tables.orders(spark, sf)
+    val t = freshTable("destroyed", o, partitionBy = Seq("o_orderstatus"))
+    val expN = o.count()
+    val expMn = o.agg(min("o_orderkey")).head().getLong(0)
+    // delete the data directory outright: only manifests remain
+    val dataDir = new Path(t.location, "data")
+    val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(dataDir, true))
+    val got = spark.sql(
+      s"SELECT count(*) AS n, min(o_orderkey) AS mn FROM $cat.destroyed").head()
+    assert(got.getLong(0) == expN && got.getLong(1) == expMn)
+    // and a NON-pushable query over the gutted table must fail loudly,
+    // not return wrong data — proving the pushed one really never read
+    intercept[Throwable] {
+      spark.sql(s"SELECT sum(o_orderkey) FROM $cat.destroyed").head()
+    }
+  }
+
+  test("MoR deletes disable pushdown; result stays correct") {
+    val o = Tables.orders(spark, sf)
+    val t = freshTable("withdel", o, keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderstatus") === "F")
+    val got = spark.sql(s"SELECT count(*) AS n FROM $cat.withdel")
+    assert(hasAggregate(got), "deletes must force the fallback plan")
+    assert(got.head().getLong(0) == o.filter(col("o_orderstatus") =!= "F").count())
+    // compaction folds the deletes -> pushdown comes back
+    t.compact()
+    val after = spark.sql(s"SELECT count(*) AS n FROM $cat.withdel")
+    assert(!hasAggregate(after), "compaction should restore pushdown")
+    assert(after.head().getLong(0) == o.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("min/max on string and double columns fall back (truncation / NaN)") {
+    val o = Tables.orders(spark, sf)
+    freshTable("strmm", o)
+    val s1 = spark.sql(s"SELECT min(o_orderpriority) AS m FROM $cat.strmm")
+    assert(hasAggregate(s1))
+    assert(s1.head().getString(0) == o.agg(min("o_orderpriority")).head().getString(0))
+    val s2 = spark.sql(s"SELECT max(o_totalprice) AS m FROM $cat.strmm")
+    assert(hasAggregate(s2))
+  }
+
+  test("filter on a non-partition column falls back; on identity partition pushes") {
+    val o = Tables.orders(spark, sf)
+    freshTable("filters", o, partitionBy = Seq("o_orderstatus"))
+    val np = spark.sql(s"SELECT count(*) AS n FROM $cat.filters WHERE o_orderkey < 100")
+    assert(hasAggregate(np), "non-partition filter cannot be exact")
+    assert(np.head().getLong(0) == o.filter(col("o_orderkey") < 100).count())
+    val p = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.filters WHERE o_orderstatus IN ('F','O')")
+    assert(!hasAggregate(p))
+    assert(p.head().getLong(0) ==
+      o.filter(col("o_orderstatus").isin("F", "O")).count())
+  }
+
+  test("null partitions: IS NULL filter and count(col) account exactly") {
+    val o = Tables.orders(spark, sf)
+    val withNulls = o.withColumn("status_n",
+      when(col("o_orderkey") % 7 === 0, lit(null: String))
+        .otherwise(col("o_orderstatus")))
+    freshTable("nullpart", withNulls, partitionBy = Seq("status_n"))
+    val isNull = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.nullpart WHERE status_n IS NULL")
+    assert(!hasAggregate(isNull))
+    assert(isNull.head().getLong(0) == withNulls.filter(col("status_n").isNull).count())
+    // count(col) over the whole table: nulls live in the hive NULL dir
+    val cnt = spark.sql(s"SELECT count(status_n) AS n FROM $cat.nullpart")
+    assert(!hasAggregate(cnt))
+    assert(cnt.head().getLong(0) == withNulls.filter(col("status_n").isNotNull).count())
+    // equality never matches the null partition
+    val eq = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.nullpart WHERE status_n = 'F'")
+    assert(!hasAggregate(eq))
+    assert(eq.head().getLong(0) == withNulls.filter(col("status_n") === "F").count())
+  }
+
+  test("count(col) via footer null counts on a non-partition column") {
+    val o = Tables.orders(spark, sf)
+    val withNulls = o.withColumn("key_n",
+      when(col("o_orderkey") % 5 === 0, lit(null: java.lang.Long))
+        .otherwise(col("o_orderkey")))
+    freshTable("nullcnt", withNulls)
+    val got = spark.sql(s"SELECT count(key_n) AS n, count(*) AS all FROM $cat.nullcnt")
+    assert(!hasAggregate(got))
+    val r = got.head()
+    assert(r.getLong(0) == withNulls.filter(col("key_n").isNotNull).count())
+    assert(r.getLong(1) == withNulls.count())
+  }
+
+  test("empty survivor set answers count=0 / min=null") {
+    val o = Tables.orders(spark, sf)
+    freshTable("emptysel", o, partitionBy = Seq("o_orderstatus"))
+    val got = spark.sql(
+      s"""SELECT count(*) AS n, min(o_orderkey) AS mn
+          FROM $cat.emptysel WHERE o_orderstatus = 'ZZZ'""")
+    assert(!hasAggregate(got))
+    val r = got.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("partition evolution: files without the partition value force fallback") {
+    val o = Tables.orders(spark, sf)
+    val t = freshTable("evolved", o.filter(col("o_orderkey") % 2 === 0))
+    t.setPartitioning(Seq("o_orderstatus"))
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.evolved WHERE o_orderstatus = 'F'")
+    assert(hasAggregate(got),
+      "pre-evolution files lack the partition value; filter must stay residual")
+    assert(got.head().getLong(0) == o.filter(col("o_orderstatus") === "F").count())
+    // unfiltered count still pushes (no filter to decide)
+    val all = spark.sql(s"SELECT count(*) AS n FROM $cat.evolved")
+    assert(!hasAggregate(all))
+    assert(all.head().getLong(0) == o.count())
+  }
+
+  test("schema rename keeps min/max pushdown via field-id stats mapping") {
+    val o = Tables.orders(spark, sf)
+    val t = freshTable("renamed", o.filter(col("o_orderkey") % 2 === 0))
+    t.renameColumn("o_orderkey", "okey")
+    t.append(o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_orderkey", "okey"))
+    val got = spark.sql(s"SELECT min(okey) AS mn, max(okey) AS mx FROM $cat.renamed")
+    assert(!hasAggregate(got), "old files' stats resolve by field id")
+    val r = got.head()
+    assert(r.getLong(0) == o.agg(min("o_orderkey")).head().getLong(0))
+    assert(r.getLong(1) == o.agg(max("o_orderkey")).head().getLong(0))
+  }
+
+  test("time travel pushes against the pinned snapshot") {
+    val o = Tables.orders(spark, sf)
+    val t = freshTable("ttagg", o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    val got = spark.sql(s"SELECT count(*) AS n FROM $cat.ttagg VERSION AS OF 1")
+    assert(!hasAggregate(got))
+    assert(got.head().getLong(0) == o.filter(col("o_orderkey") % 2 === 0).count())
+  }
+}
