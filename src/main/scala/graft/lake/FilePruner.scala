@@ -37,19 +37,32 @@ object FilePruner {
   type StatName = (DataFileMeta, String) => String
   val SameName: StatName = (_, n) => n
 
+  /** File-level bloom consult for equality predicates (write.bloom.columns
+    * sidecars). `column` is the file's PHYSICAL name (already resolved
+    * through StatName); the value rides the same domains as stats — Left =
+    * integral/date-days/timestamp-micros, Right = string. Some(false) =
+    * the bloom PROVES the value absent from the file; None = no bloom for
+    * the column (or the impl chose not to load it) → keep. */
+  trait BloomOracle {
+    def mightContain(f: DataFileMeta, column: String, value: Either[Long, String]): Option[Boolean]
+  }
+  /** Default: no bloom evidence. */
+  val NoBloom: BloomOracle = (_, _, _) => None
+
   def prune(
       files: Seq[DataFileMeta],
       filter: Option[Column],
       partitionColumns: Seq[String],
       schema: StructType,
-      statName: StatName = SameName): Seq[DataFileMeta] =
+      statName: StatName = SameName,
+      bloom: BloomOracle = NoBloom): Seq[DataFileMeta] =
     filter match {
       case None => files
       case Some(c) =>
         val expr =
           try org.apache.spark.sql.graftshim.ColumnExpr.expression(c)
           catch { case _: Throwable => return files }
-        pruneResolved(files, expr, partitionColumns, schema, statName)
+        pruneResolved(files, expr, partitionColumns, schema, statName, bloom)
     }
 
   /** Same walk over an already-built Catalyst predicate (resolved trees
@@ -60,7 +73,8 @@ object FilePruner {
       predicate: Expression,
       partitionColumns: Seq[String],
       schema: StructType,
-      statName: StatName = SameName): Seq[DataFileMeta] = {
+      statName: StatName = SameName,
+      bloom: BloomOracle = NoBloom): Seq[DataFileMeta] = {
     val expr =
       try normalize(predicate)
       catch { case _: Throwable => return files }
@@ -69,7 +83,7 @@ object FilePruner {
     val transforms =
       try PartitionTransforms.parseAll(partitionColumns)
       catch { case _: Throwable => Nil }
-    files.filter(f => mayMatch(f, expr, transforms, schema, statName))
+    files.filter(f => mayMatch(f, expr, transforms, schema, statName, bloom))
   }
 
   /** Spark 4's Column ops arrive as UnresolvedFunction("=", "<", "and", ...)
@@ -105,14 +119,14 @@ object FilePruner {
 
   // ---- predicate walk ------------------------------------------------------
 
-  private def mayMatch(f: DataFileMeta, e: Expression, transforms: Seq[PTransform], schema: StructType, statName: StatName): Boolean =
+  private def mayMatch(f: DataFileMeta, e: Expression, transforms: Seq[PTransform], schema: StructType, statName: StatName, bloom: BloomOracle): Boolean =
     e match {
-      case And(l, r) => mayMatch(f, l, transforms, schema, statName) && mayMatch(f, r, transforms, schema, statName)
-      case Or(l, r)  => mayMatch(f, l, transforms, schema, statName) || mayMatch(f, r, transforms, schema, statName)
+      case And(l, r) => mayMatch(f, l, transforms, schema, statName, bloom) && mayMatch(f, r, transforms, schema, statName, bloom)
+      case Or(l, r)  => mayMatch(f, l, transforms, schema, statName, bloom) || mayMatch(f, r, transforms, schema, statName, bloom)
       case Not(EqualTo(a, b)) => mayMatchNotEq(f, a, b, transforms, schema)
-      case cmp: BinaryComparison => mayMatchCmp(f, cmp, transforms, schema, statName)
+      case cmp: BinaryComparison => mayMatchCmp(f, cmp, transforms, schema, statName, bloom)
       case In(AttrName(name), list) if list.forall(_.isInstanceOf[Literal]) =>
-        list.exists(l => mayMatchOp(f, name, "=", l.asInstanceOf[Literal], transforms, schema, statName))
+        list.exists(l => mayMatchOp(f, name, "=", l.asInstanceOf[Literal], transforms, schema, statName, bloom))
       case IsNull(AttrName(name)) =>
         val id = identityValue(f, name, transforms) match {
           case Some(pv) => pv == null
@@ -163,14 +177,14 @@ object FilePruner {
     }
 
   /** Normalizes attr-vs-literal comparisons (either operand order). */
-  private def mayMatchCmp(f: DataFileMeta, cmp: BinaryComparison, transforms: Seq[PTransform], schema: StructType, statName: StatName): Boolean = {
+  private def mayMatchCmp(f: DataFileMeta, cmp: BinaryComparison, transforms: Seq[PTransform], schema: StructType, statName: StatName, bloom: BloomOracle): Boolean = {
     val norm: Option[(String, String, Literal)] = (cmp.left, cmp.right) match {
       case (AttrName(n), l: Literal) => Some((n, opOf(cmp), l))
       case (l: Literal, AttrName(n)) => Some((n, flip(opOf(cmp)), l))
       case _ => None
     }
     norm match {
-      case Some((name, op, l)) => mayMatchOp(f, name, op, l, transforms, schema, statName)
+      case Some((name, op, l)) => mayMatchOp(f, name, op, l, transforms, schema, statName, bloom)
       case None => true
     }
   }
@@ -192,7 +206,7 @@ object FilePruner {
     * (mapped into the transform's domain), and min/max stats. Each check
     * independently returns false only when it PROVES no row can match, so
     * the conjunction stays conservative. */
-  private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, transforms: Seq[PTransform], schema: StructType, statName: StatName): Boolean = {
+  private def mayMatchOp(f: DataFileMeta, name: String, op: String, l: Literal, transforms: Seq[PTransform], schema: StructType, statName: StatName, bloom: BloomOracle): Boolean = {
     if (op == "?") return true
     if (l.value == null) return false // col <op> NULL matches nothing
     // bucket check first: it hashes the RAW literal (no domain mapping),
@@ -236,10 +250,25 @@ object FilePruner {
     }
     if (!idOk) return false
     if (!transformsMayMatch(f, name, op, lv, transforms, colType)) return false
-    f.stats.get(statName(f, name)) match {
+    val statsOk = f.stats.get(statName(f, name)) match {
       case Some(st) => rangeMayMatch(st, op, lv)
       case None => true
     }
+    if (!statsOk) return false
+    // bloom evidence: equality only (IN decomposes to = per member above);
+    // a bloom negative PROVES absence — min/max ranges can't, on an
+    // unclustered high-cardinality column
+    if (op == "=") {
+      val domain = lv match {
+        case LongV(v) => Some(scala.Left(v))
+        case StringV(s) => Some(scala.Right(s))
+        case _ => None // double/decimal: no bloom domain
+      }
+      domain.foreach { d =>
+        if (bloom.mightContain(f, statName(f, name), d).contains(false)) return false
+      }
+    }
+    true
   }
 
   /** days/truncate dirs each cover a VALUE RANGE of the source column —

@@ -87,7 +87,7 @@ class GraftTable private (
     val m = meta
     val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
     snap.map(s => FilePruner.prune(s.dataFiles, filter, m.partitionColumns, schema,
-        statNameFor(m)))
+        statNameFor(m), bloomOracle()))
       .getOrElse(Nil)
   }
 
@@ -144,7 +144,7 @@ class GraftTable private (
       case None => emptyDf(sch)
       case Some(snap) =>
         val surviving = FilePruner.prune(snap.dataFiles, filter, m.partitionColumns,
-          sch, statNameFor(m))
+          sch, statNameFor(m), bloomOracle())
         buildScan(m, sch, snap, surviving)
     }
     filter.map(out.filter).getOrElse(out)
@@ -164,7 +164,7 @@ class GraftTable private (
       case Some(snap) =>
         val surviving = pruneWith
           .map(e => FilePruner.pruneResolved(snap.dataFiles, e, m.partitionColumns,
-            sch, statNameFor(m)))
+            sch, statNameFor(m), bloomOracle()))
           .getOrElse(snap.dataFiles)
         buildScan(m, sch, snap, surviving)
     }
@@ -825,17 +825,18 @@ class GraftTable private (
   def vacuum(minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Int = {
     val m = refresh()
     val referenced: Set[String] =
-      m.snapshots.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      m.snapshots.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.dataFiles.flatMap(_.bloomsOr.values)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0
-    for (sub <- Seq("data", "deletes")) {
+    for ((sub, ext) <- Seq("data" -> ".parquet", "deletes" -> ".parquet", "blooms" -> ".bin")) {
       val base = new Path(root, sub)
       if (fs.exists(base)) {
         val it = fs.listFiles(base, true)
         while (it.hasNext) {
           val st = it.next()
           val f = st.getPath
-          if (f.getName.endsWith(".parquet") && st.getModificationTime <= cutoff) {
+          if (f.getName.endsWith(ext) && st.getModificationTime <= cutoff) {
             val rel = f.toUri.getPath.stripPrefix(root.toUri.getPath.stripSuffix("/") + "/")
             if (!referenced.contains(rel)) {
               if (fs.delete(f, false)) removed += 1
@@ -1078,8 +1079,135 @@ class GraftTable private (
       DataFileMeta(relPath, seq, rows, size, pvals, stats)
     }
     fs.delete(tmp, true)
-    out
+    buildBlooms(out, nonce)
   }
+
+  /** FILE-LEVEL bloom sidecars (`write.bloom.columns`, fpp
+    * `write.bloom.fpp` default 1%): one `blooms/bf-….bin` per (new data
+    * file, column), built DISTRIBUTED in one extra columnar pass over the
+    * commit's own files and written from the executors — the driver only
+    * collects the path mapping. The planner consults them for `=` / `IN`
+    * predicates (FilePruner.BloomOracle): a negative PROVES the value
+    * absent, so point lookups on an UNCLUSTERED high-cardinality column
+    * skip files min/max ranges can't exclude — the file-level complement
+    * of the parquet row-group blooms the write path already enables
+    * (Iceberg puffin / Delta bloom-index analog; the reference's planner
+    * consults per-file metadata the same way, scan_ops.c:240-276).
+    *
+    * Domains match stats/litFor exactly: integral→long, date→epoch days,
+    * timestamp→epoch micros, string→utf8. Identity-partition sources are
+    * skipped (partition pruning already decides those exactly); other
+    * unsupported types are skipped silently. MoR deletes never invalidate
+    * a bloom (false positives stay sound — the anti-join applies at read).
+    */
+  private def buildBlooms(files: Seq[DataFileMeta], nonce: String): Seq[DataFileMeta] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{functions => F}
+    val m = meta
+    val colsProp = m.props.getOrElse("write.bloom.columns", "")
+    if (colsProp.trim.isEmpty || files.isEmpty) return files
+    val fpp = m.props.get("write.bloom.fpp").map(_.toDouble).getOrElse(0.01)
+    val sch = schema
+    val identityParts =
+      try PartitionTransforms.parseAll(m.partitionColumns)
+        .collect { case PIdentity(c) => c }.toSet
+      catch { case _: Throwable => Set.empty[String] }
+    // (name, domain projection, isString)
+    val cols: Seq[(String, Column, Boolean)] = colsProp.split(',')
+      .map(_.trim).filter(_.nonEmpty).filterNot(identityParts.contains).toSeq
+      .flatMap { c =>
+        sch.find(_.name == c).map(_.dataType).collect {
+          case ByteType | ShortType | IntegerType | LongType =>
+            (c, F.col(c).cast("long"), false)
+          case DateType => (c, F.unix_date(F.col(c)).cast("long"), false)
+          case TimestampType => (c, F.unix_micros(F.col(c)), false)
+          case TimestampNTZType => // UTC sessions: NTZ == instant micros
+            (c, F.unix_micros(F.col(c).cast("timestamp")), false)
+          case StringType => (c, F.col(c), true)
+        }
+      }
+    if (cols.isEmpty) return files
+    val paths = files.map(f => new Path(root, f.path).toString)
+    val rowsByName = files.map(f => f.path.split('/').last -> f.rowCount).toMap
+    val data = spark.read.parquet(paths: _*)
+      .select(F.input_file_name().as("__bloom_file") +:
+        cols.map { case (c, e, _) => e.as(c) }: _*)
+    val isString = cols.map(_._3).toArray
+    val nCols = cols.length
+    // per-partition partial blooms (a task usually covers one file chunk),
+    // merged by key — only bloom bitsets shuffle, never column data
+    val partials = data.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap[(String, Int),
+        org.apache.spark.util.sketch.BloomFilter]()
+      for (row <- it) {
+        val file = row.getString(0).split('/').last
+        var i = 0
+        while (i < nCols) {
+          if (!row.isNullAt(i + 1)) {
+            val bf = acc.getOrElseUpdate((file, i),
+              org.apache.spark.util.sketch.BloomFilter.create(
+                math.max(rowsByName.getOrElse(file, 1024L), 1L), fpp))
+            if (isString(i)) bf.putString(row.getString(i + 1))
+            else bf.putLong(row.getLong(i + 1))
+          }
+          i += 1
+        }
+      }
+      acc.iterator.map { case (k, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (k, bos.toByteArray)
+      }
+    }
+    val merged = partials.reduceByKey { (a, b) =>
+      val ba = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
+      ba.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      ba.writeTo(bos)
+      bos.toByteArray
+    }
+    // sidecars written FROM THE EXECUTORS; deterministic names, so a
+    // retried task just overwrites its own output
+    val hcSer = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val rootStr = root.toString
+    val colNames = cols.map(_._1).toArray
+    val mapping: Array[((String, Int), String)] = merged.map { case ((file, ci), bytes) =>
+      val rel = s"blooms/bf-${file.stripSuffix(".parquet")}-${colNames(ci)}.bin"
+      val p = new Path(rootStr, rel)
+      val pfs = p.getFileSystem(hcSer.value)
+      val outS = pfs.create(p, true)
+      try outS.write(bytes) finally outS.close()
+      ((file, ci), rel)
+    }.collect()
+    val byFile = mapping.groupBy(_._1._1)
+    files.map { f =>
+      val name = f.path.split('/').last
+      byFile.get(name) match {
+        case Some(entries) =>
+          f.copy(blooms = entries.map { case ((_, ci), rel) => colNames(ci) -> rel }.toMap)
+        case None => f
+      }
+    }
+  }
+
+  /** Planner-side bloom consult (see buildBlooms): loads sidecars lazily
+    * through a bounded JVM-wide cache — only files that already survived
+    * partition/stats pruning are ever consulted, and repeated point
+    * lookups amortize the load. Any IO/parse failure keeps the file. */
+  private def bloomOracle(): FilePruner.BloomOracle = (f, column, value) =>
+    f.bloomsOr.get(column).flatMap { rel =>
+      try {
+        val bf = GraftTable.bloomCache.get(s"$location/$rel") {
+          val in = fs.open(new Path(root, rel))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        }
+        Some(value match {
+          case Left(l) => bf.mightContainLong(l)
+          case Right(s) => bf.mightContainString(s)
+        })
+      } catch { case _: Throwable => None }
+    }
 
   /** Runs `f` over `xs` on a bounded driver-side IO pool, preserving
     * input order; the first failure propagates after the pool drains.
@@ -1469,6 +1597,13 @@ object GraftTable {
     * posture). Bounded so a huge commit can't spawn thousands of threads. */
   val CommitIoThreads: Int = 16
 
+  /** Bounded JVM-wide cache of bloom sidecars (location/relPath →
+    * deserialized filter). Sound: sidecars are create-only with
+    * deterministic per-file-nonce names. Capped LOW — blooms for 1M-row
+    * files run ~1 MB each; a miss just re-reads one small object. */
+  private[lake] val bloomCache =
+    new BlobCache[org.apache.spark.util.sketch.BloomFilter](maxEntries = 256)
+
   /** Bounded cache of parsed metadata documents, keyed by (location,
     * version file) — sound because committed versions are immutable.
     * Coarse whole-cache eviction at the cap: correctness never depends
@@ -1487,15 +1622,14 @@ object GraftTable {
     * manifest lists), keyed by absolute path. Soundness: blobs are
     * create-only with nonce names, never rewritten. Coarse whole-cache
     * eviction at the cap — a miss just re-reads a small JSON. */
-  private[lake] final class BlobCache[T] {
-    private val MaxEntries = 4096
+  private[lake] final class BlobCache[T](maxEntries: Int = 4096) {
     private val m = new java.util.concurrent.ConcurrentHashMap[String, T]()
     def get(key: String)(load: => T): T = {
-      if (m.size > MaxEntries) m.clear()
+      if (m.size > maxEntries) m.clear()
       m.computeIfAbsent(key, _ => load)
     }
     def put(key: String, v: T): Unit = {
-      if (m.size > MaxEntries) m.clear()
+      if (m.size > maxEntries) m.clear()
       m.put(key, v)
     }
   }

@@ -54,7 +54,15 @@ case class DataFileMeta(
     rowCount: Long,
     sizeBytes: Long,
     partitionValues: Map[String, String], // hive-style; NULL_PARTITION for null
-    stats: Map[String, ColStats])
+    stats: Map[String, ColStats],
+    // per-column bloom-filter sidecars (blooms/bf-….bin, table-relative),
+    // keyed by the column's PHYSICAL name at write time — file-level
+    // point-lookup skipping on columns min/max can't discriminate
+    // (write.bloom.columns; Iceberg puffin / Delta bloom-index analog).
+    // Metadata written before the field existed deserializes null.
+    blooms: Map[String, String] = Map.empty) {
+  def bloomsOr: Map[String, String] = if (blooms == null) Map.empty else blooms
+}
 
 /** `kind`: "eq" = equality delete (key-column rows; applies by anti-join
   * on the table's key columns) or "pos" = positional delete (Iceberg

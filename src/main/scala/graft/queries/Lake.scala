@@ -424,6 +424,23 @@ object Lake {
           FROM $cat.orders_t WHERE o_orderstatus = 'O'""")
   }
 
+  /** FILE-LEVEL BLOOM SIDECARS (write.bloom.columns): point lookups on an
+    * unclustered high-cardinality key skip files whose min/max ranges
+    * can't discriminate — the layout here is hash-random on purpose, so
+    * only bloom evidence prunes (BloomPruneSpec asserts the file counts;
+    * the gate checks the rows). */
+  def lakeBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).repartition(8)
+    val t = GraftTable.createEmpty(s, work(s, "bloom_prune", d), o.schema,
+      partitionBy = Nil, keyColumns = Nil,
+      properties = Map("write.bloom.columns" -> "o_orderkey"))
+    t.append(o)
+    val bounds = Tables.orders(s, d)
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head()
+    t.scan(Some(col("o_orderkey").isin(bounds.getLong(0), bounds.getLong(1))))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -457,6 +474,7 @@ object Lake {
     "lake_partition_prune" -> (lakePartitionPrune _),
     "lake_transform_prune" -> (lakeTransformPrune _),
     "lake_agg_pushdown" -> (lakeAggPushdown _),
+    "lake_bloom_prune" -> (lakeBloomPrune _),
     "lake_stats_prune" -> (lakeStatsPrune _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_snapshots_meta" -> (lakeSnapshotsMeta _),
@@ -587,6 +605,11 @@ object Lake {
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
                 min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
          FROM orders WHERE o_orderstatus = 'O'""",
+    "lake_bloom_prune" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE o_orderkey IN ((SELECT min(o_orderkey) FROM orders),
+                              (SELECT max(o_orderkey) FROM orders))""",
     "lake_stats_prune" ->
       """SELECT count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders WHERE o_orderkey < 500""",
