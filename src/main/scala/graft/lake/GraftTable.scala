@@ -1041,8 +1041,27 @@ class GraftTable private (
     val withDerived = transforms.filterNot(_.isInstanceOf[PIdentity])
       .foldLeft(df)((acc, t) =>
         acc.withColumn(t.dirName, PartitionTransforms.columnFor(t, schema)))
+    // write.distribution-mode (Iceberg parity): without it, a partitioned
+    // write fans out tasks × partitions files — at 1000 executors over
+    // 1000 partitions that is 10⁶ small files PER COMMIT. `hash` clusters
+    // each partition into one task (skewed partitions → one big file:
+    // prefer `rebalance`, which is hash + AQE skew-splitting), `range`
+    // range-clusters (also sorts within partitions, helping stats
+    // pruning), `none`/absent keeps the frame's own layout.
+    val dirCols = transforms.map(t => col(t.dirName))
+    val distributed = m.props.get("write.distribution-mode") match {
+      case Some(mode) if transforms.nonEmpty => mode match {
+        case "hash" => withDerived.repartition(dirCols: _*)
+        case "range" => withDerived.repartitionByRange(dirCols: _*)
+        case "rebalance" => withDerived.hint("rebalance", dirCols: _*)
+        case "none" => withDerived
+        case other => throw new IllegalArgumentException(
+          s"write.distribution-mode '$other' (supported: hash, range, rebalance, none)")
+      }
+      case _ => withDerived
+    }
     val w0 = if (transforms.nonEmpty)
-      withDerived.write.partitionBy(transforms.map(_.dirName): _*)
+      distributed.write.partitionBy(transforms.map(_.dirName): _*)
     else df.write
     // parquet-native bloom filters on the equality-delete key columns:
     // the vectorized reader consults them per row group, so point

@@ -441,6 +441,24 @@ object Lake {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
   }
 
+  /** write.distribution-mode=hash: a partitioned append clusters each
+    * partition into one task before writing — one file per partition
+    * instead of tasks × partitions small files (Iceberg parity; at 1000
+    * executors × 1000 partitions the undistributed fan-out is 10⁶ files
+    * per commit). The entry hard-asserts the file count, the oracle
+    * checks the rows. */
+  def lakeWriteDistribution(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).repartition(8)
+    val t = GraftTable.createEmpty(s, work(s, "write_dist", d), o.schema,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Nil,
+      properties = Map("write.distribution-mode" -> "hash"))
+    t.append(o)
+    val nParts = o.select("o_orderstatus").distinct().count()
+    require(t.meta.currentSnapshot.get.nDataFiles == nParts,
+      s"hash distribution should write $nParts files, wrote ${t.meta.currentSnapshot.get.nDataFiles}")
+    statusAgg(t.scan())
+  }
+
   /** table-level column statistics metadata view — global min/max/nulls
     * folded from the manifest on the driver ([rows] + LakeSpec asserts
     * the bounds contain the data). */
@@ -475,6 +493,7 @@ object Lake {
     "lake_transform_prune" -> (lakeTransformPrune _),
     "lake_agg_pushdown" -> (lakeAggPushdown _),
     "lake_bloom_prune" -> (lakeBloomPrune _),
+    "lake_write_distribution" -> (lakeWriteDistribution _),
     "lake_stats_prune" -> (lakeStatsPrune _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_snapshots_meta" -> (lakeSnapshotsMeta _),
@@ -605,6 +624,10 @@ object Lake {
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
                 min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
          FROM orders WHERE o_orderstatus = 'O'""",
+    "lake_write_distribution" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "lake_bloom_prune" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders

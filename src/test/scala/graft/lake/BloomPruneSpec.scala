@@ -100,6 +100,23 @@ class BloomPruneSpec extends AnyFunSuite {
       o.filter(col("o_orderkey") === k).count())
   }
 
+  test("write.distribution-mode=hash writes one file per partition; rows intact") {
+    val o = Tables.orders(spark, sf).repartition(8) // 8 tasks × 3 statuses
+    val none = fresh("dist-none", o, Map.empty, partitionBy = Seq("o_orderstatus"))
+    val hashed = fresh("dist-hash", o,
+      Map("write.distribution-mode" -> "hash"), partitionBy = Seq("o_orderstatus"))
+    val nParts = o.select("o_orderstatus").distinct().count()
+    val filesNone = none.meta.currentSnapshot.get.nDataFiles
+    val filesHash = hashed.meta.currentSnapshot.get.nDataFiles
+    assert(filesHash == nParts, s"hash mode: expected $nParts files, got $filesHash")
+    assert(filesNone > filesHash, s"undistributed write should fan out ($filesNone)")
+    assert(hashed.scan().count() == o.count())
+    // rebalance mode also lands and keeps rows (AQE decides file count)
+    val reb = fresh("dist-reb", o,
+      Map("write.distribution-mode" -> "rebalance"), partitionBy = Seq("o_orderstatus"))
+    assert(reb.scan().count() == o.count())
+  }
+
   test("rename keeps bloom pruning on old files via field-id mapping") {
     val o = Tables.orders(spark, sf).repartition(8)
     val t = fresh("rename", o, Map("write.bloom.columns" -> "o_orderkey"))
