@@ -748,6 +748,13 @@ class GraftTable private (
     }
     require(ok, s"unsafe type change $name: ${f.dataType.simpleString} -> " +
       s"${target.simpleString} (only widening promotions are metadata-safe)")
+    // same guards as rename/drop: bucket dirs hash the SOURCE TYPE (int
+    // and long hash differently — widening would silently mis-prune old
+    // buckets), and mixed-width delete-key files break the anti-join read
+    require(!m.keyColumns.contains(name),
+      s"cannot widen equality-delete key column $name (delete files hold the old width)")
+    require(!PartitionTransforms.parseAll(m.partitionColumns).map(_.source).contains(name),
+      s"cannot widen partition source column $name (bucket/range dir layouts depend on the type)")
     val newFields = sch.fields.map(x =>
       if (x.name == name) x.copy(dataType = target) else x)
     commitSchemaEpoch(m, StructType(newFields).toDDL, m.epochs.last.ids)
@@ -1428,6 +1435,26 @@ class GraftTable private (
     var dels = newDeletes
     var attempts = 0
     while (true) {
+      // a DDL racing this commit: the data files were written under
+      // base's schema epoch, but the final sequence number would resolve
+      // to the NEW epoch (fromSeq ties break late) — a rename would
+      // silently null-fill the column for every row of this commit, a
+      // widen would break the physical read. Purely ADDITIVE epochs are
+      // safe (missing new column null-fills, which IS add-column
+      // semantics); anything else fails loudly. Delete files are immune:
+      // key columns are rename/drop/widen-guarded.
+      if (data.nonEmpty && m.epochs.last != base.epochs.last) {
+        val e0 = base.epochs.last
+        val eN = m.epochs.last
+        val additive = eN.ids.startsWith(e0.ids) && {
+          val f0 = StructType.fromDDL(e0.ddl).fields
+          val fN = StructType.fromDDL(eN.ddl).fields
+          fN.length >= f0.length && f0.indices.forall(i => fN(i) == f0(i))
+        }
+        if (!additive) sys.error(s"$op wrote files under a schema epoch a " +
+          "concurrent DDL superseded (rename/drop/widen); re-run the operation " +
+          "against the current schema")
+      }
       if (m.currentSnapshotId != base.currentSnapshotId) {
         mode match {
           case ReplaceExact =>

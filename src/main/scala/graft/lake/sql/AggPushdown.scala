@@ -337,11 +337,20 @@ object AggPushdown {
     acc
   }
 
-  private def tsMicros(raw: String): Option[Long] =
+  /** Mirrors FilePruner.parseTimestampMicros (incl. the date-only
+    * fallback — a hive dir can render midnight timestamps date-only);
+    * keep the two in sync. */
+  private def tsMicros(raw: String): Option[Long] = {
+    val t = raw.trim
     try {
-      val ldt = java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+      val ldt = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
       Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
-    } catch { case _: Throwable => None }
+    } catch {
+      case _: Throwable =>
+        try Some(java.time.LocalDate.parse(t).toEpochDay * 86400000000L)
+        catch { case _: Throwable => None }
+    }
+  }
 
   // ---- MIN/MAX stat domains --------------------------------------------------
 

@@ -118,8 +118,11 @@ class GraftSqlCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = loadGraft(ident)
+    // tags resolve FIRST: a tag is explicit user intent, and an all-digit
+    // tag name ('20240110') would otherwise be unreachable forever
     val id =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      if (t.meta.tags.contains(version)) t.tagged(version)
+      else if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
       else t.tagged(version) // named ref (tag)
     t.meta.snapshot(id) // validate eagerly → clean error for unknown ids
     new GraftSqlTable(t, ident.toString, asOf = id)
@@ -289,13 +292,21 @@ class GraftScanBuilder(table: GraftTable, asOf: Long = -1L) extends ScanBuilder
   private var consumed: Array[Filter] = Array.empty
   private var required: StructType = table.schema
   private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggFor: Aggregation = _
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftFilters.toColumn(f).isDefined)
-    // a consumed filter must ALSO be in `pushed` (the bridged scan is what
-    // re-applies it), hence the toColumn guard before exact decidability
+    // CONSUMED (removed from Spark's residual) requires BOTH properties:
+    //  - toColumnExact translates it — so the bridged scan's row-level
+    //    re-application is EQUIVALENT to the original, never weaker (a
+    //    merely toColumn-translatable filter can lose conjuncts inside an
+    //    Or via the one-sided And, and the conservative pruner keeps files
+    //    the exact filter excludes — consuming such a filter leaks rows)
+    //  - it is exactly decidable from identity partition values on every
+    //    file, which is what makes the aggregate file-selection exact
     consumed = pushed.filter(f =>
-      try AggPushdown.exactPartitionFilter(table, asOf, f)
+      try GraftFilters.toColumnExact(f).isDefined &&
+        AggPushdown.exactPartitionFilter(table, asOf, f)
       catch { case _: Throwable => false })
     filters.filterNot(consumed.contains)
   }
@@ -312,9 +323,14 @@ class GraftScanBuilder(table: GraftTable, asOf: Long = -1L) extends ScanBuilder
     // above the relation, i.e. every filter in play was consumed — but be
     // defensive: refuse if any pushed filter escaped the consumed set.
     if (!pushed.forall(consumed.contains)) return false
-    aggResult =
-      try AggPushdown.tryPush(table, asOf, aggregation, consumed)
-      catch { case _: Throwable => None }
+    // Spark calls supportCompletePushDown then pushAggregation with the
+    // same Aggregation — compute once (the file walk is O(files))
+    if (aggFor ne aggregation) {
+      aggFor = aggregation
+      aggResult =
+        try AggPushdown.tryPush(table, asOf, aggregation, consumed)
+        catch { case _: Throwable => None }
+    }
     aggResult.isDefined
   }
 

@@ -219,8 +219,10 @@ object Dedup {
         // opt-in and guarded: the largest family's pair count must stay
         // under `maxFamilyPairs`, else fail loudly instead of emitting
         // billions of rows (one 10⁵-copy family = 5×10⁹ pairs)
-        val kmax = groups.select(size(col("member_ids")).as("k"))
-          .agg(max(col("k"))).head().getInt(0).toLong // O(1) driver-side guard
+        // O(1) driver-side guard; max() is NULL on an empty corpus
+        val kmaxRow = groups.select(size(col("member_ids")).as("k"))
+          .agg(max(col("k"))).head()
+        val kmax = if (kmaxRow.isNullAt(0)) 0L else kmaxRow.getInt(0).toLong
         require(kmax * (kmax - 1) / 2 <= maxFamilyPairs && kmax * kmax <= maxFamilyPairs,
           s"pair expansion of a $kmax-member duplicate family exceeds " +
             s"maxFamilyPairs=$maxFamilyPairs — use the default cluster-shaped " +

@@ -184,6 +184,23 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(1) == o.agg(max("o_orderkey")).head().getLong(0))
   }
 
+  test("lossy-translatable filters are never consumed (Or over null-safe eq)") {
+    // regression: a filter whose toColumn translation is WEAKER than the
+    // original (one-sided And under an Or, <=> has no v1 translation)
+    // must stay residual — consuming it would leak rows from files the
+    // exact predicate excludes
+    val o = Tables.orders(spark, sf)
+      .withColumn("region", when(col("o_orderkey") % 3 === 0, lit("EU"))
+        .otherwise(lit("US")))
+    freshTable("lossy", o, partitionBy = Seq("o_orderstatus", "region"))
+    val q = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.lossy
+          WHERE (o_orderstatus = 'F' AND region <=> 'EU') OR o_orderstatus = 'P'""")
+    val exp = o.filter((col("o_orderstatus") === "F" && col("region") <=> "EU") ||
+      col("o_orderstatus") === "P").count()
+    assert(q.head().getLong(0) == exp)
+  }
+
   test("time travel pushes against the pinned snapshot") {
     val o = Tables.orders(spark, sf)
     val t = freshTable("ttagg", o.filter(col("o_orderkey") % 2 === 0))
