@@ -67,14 +67,26 @@ object AggPushdown {
     * all-null input). */
   type MetaValue = Either[Long, (DataType, Option[BigDecimal])]
 
-  /** Shared compute core: exact file selection by `filters`, then each
-    * aggregate from manifest stats / partition values. None when ANY part
-    * is not exactly answerable. */
+  /** Global (ungrouped) compute: always exactly one result row. */
   def computeAggs(
       table: GraftTable,
       asOf: Long,
       aggs: Seq[MetaAgg],
-      filters: Seq[Filter]): Option[Seq[MetaValue]] = {
+      filters: Seq[Filter]): Option[Seq[MetaValue]] =
+    computeGrouped(table, asOf, Nil, aggs, filters).map(_.head._2)
+
+  /** Shared compute core: exact file selection by `filters`, files
+    * bucketed by their `groupCols` identity-partition values (one global
+    * bucket when empty), then each aggregate from manifest stats /
+    * partition values per bucket. Returned group keys are the RAW
+    * hive-dir strings (null for the hive NULL dir), aligned with
+    * `groupCols`. None when ANY part is not exactly answerable. */
+  def computeGrouped(
+      table: GraftTable,
+      asOf: Long,
+      groupCols: Seq[String],
+      aggs: Seq[MetaAgg],
+      filters: Seq[Filter]): Option[Seq[(Seq[String], Seq[MetaValue])]] = {
     val m = table.meta
     val sch = table.schema
     val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
@@ -82,10 +94,12 @@ object AggPushdown {
     if (snap.exists(_.nDeleteFiles > 0)) return None
     val allFiles = snap.map(_.dataFiles).getOrElse(Nil)
     val idCols = identityCols(m.partitionColumns)
+    if (!groupCols.forall(idCols.contains)) return None
 
     // exact per-file filter evaluation: all-or-nothing per file
     val surviving = new scala.collection.mutable.ArrayBuffer[DataFileMeta]()
     for (df <- allFiles) {
+      if (!groupCols.forall(df.partitionValues.contains)) return None
       var verdict: Option[Boolean] = Some(true)
       for (f <- filters if verdict.isDefined) {
         if (!f.references.forall(r => !r.contains('.') && idCols.contains(r)))
@@ -99,17 +113,38 @@ object AggPushdown {
     }
 
     val statName = table.statNameFor(m)
-    val values = new scala.collection.mutable.ArrayBuffer[MetaValue]()
+    // SQL GROUP BY groups nulls together; the hive NULL dir is one value
+    val buckets: Seq[(Seq[String], Seq[DataFileMeta])] =
+      if (groupCols.isEmpty) Seq((Nil, surviving.toSeq))
+      else surviving.toSeq
+        .groupBy(df => groupCols.map(c => df.partitionValues(c) match {
+          case Meta.NullPartition => null
+          case v => v
+        })).toSeq.sortBy(_._1.map(k => if (k == null) "" else k + "\u0001").mkString)
 
+    val out = buckets.map { case (key, files) =>
+      key -> aggsOf(files, aggs, idCols, statName, sch).getOrElse(return None)
+    }
+    Some(out)
+  }
+
+  /** Aggregates over ONE file bucket. */
+  private def aggsOf(
+      files: Seq[DataFileMeta],
+      aggs: Seq[MetaAgg],
+      idCols: Set[String],
+      statName: graft.lake.FilePruner.StatName,
+      sch: StructType): Option[Seq[MetaValue]] = {
+    val values = new scala.collection.mutable.ArrayBuffer[MetaValue]()
     for (a <- aggs) a match {
       case MCountStar =>
-        values += Left(surviving.map(_.rowCount).sum)
+        values += Left(files.map(_.rowCount).sum)
 
       case MCount(name) =>
         values += Left(if (idCols.contains(name)) {
           // identity partition column: the hive NULL dir holds the nulls
           var n = 0L
-          for (df <- surviving) df.partitionValues.get(name) match {
+          for (df <- files) df.partitionValues.get(name) match {
             case Some(Meta.NullPartition) => ()
             case Some(_) => n += df.rowCount
             case None => return None
@@ -117,7 +152,7 @@ object AggPushdown {
           n
         } else {
           var n = 0L
-          for (df <- surviving) df.stats.get(statName(df, name)) match {
+          for (df <- files) df.stats.get(statName(df, name)) match {
             case Some(st) => n += df.rowCount - st.nulls
             case None => return None
           }
@@ -135,13 +170,13 @@ object AggPushdown {
           case None => Some(v)
         }
         if (idCols.contains(name)) {
-          for (df <- surviving) df.partitionValues.get(name) match {
+          for (df <- files) df.partitionValues.get(name) match {
             case Some(Meta.NullPartition) => () // MIN/MAX skip nulls
             case Some(raw) => fold(partValue(raw, dt).getOrElse(return None))
             case None => return None
           }
         } else {
-          for (df <- surviving) df.stats.get(statName(df, name)) match {
+          for (df <- files) df.stats.get(statName(df, name)) match {
             case Some(st) =>
               fold(statValue(st, if (isMin) st.min else st.max, dt)
                 .getOrElse(return None))
@@ -151,6 +186,33 @@ object AggPushdown {
         values += Right((dt, acc))
     }
     Some(values.toSeq)
+  }
+
+  /** Types whose hive-dir rendering round-trips exactly (GROUP BY key
+    * columns must be one of these). */
+  def groupTypeSupported(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** RAW group value (hive dir string, null = NULL dir) → Catalyst
+    * internal value of the column's type, for LocalRelation rows. Only
+    * types whose dir rendering round-trips exactly. */
+  def internalGroupValue(raw: String, dt: DataType): Option[Any] = {
+    if (raw == null) return Some(null)
+    dt match {
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      case ByteType => raw.toByteOption
+      case ShortType => raw.toShortOption
+      case IntegerType => raw.toIntOption
+      case LongType => raw.toLongOption
+      case BooleanType => raw.toBooleanOption
+      case DateType =>
+        try Some(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        catch { case _: Throwable => None }
+      case _ => None // timestamps/decimals: dir rendering not trusted
+    }
   }
 
   /** DSv2 entry (sessions WITHOUT GraftExtensions — with them,

@@ -417,11 +417,15 @@ object Lake {
     s.sql(
       s"""CREATE TABLE $cat.orders_t PARTITIONED BY (o_orderstatus)
           AS SELECT * FROM graft_aggq_src""")
+    // grouped form: one metadata row PER LIVE PARTITION (plus the global
+    // shape exercised by AggPushdownSpec) — at 100 TB a manifest walk
     s.sql(
-      s"""SELECT count(*) AS n_open,
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
                  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
                  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
-          FROM $cat.orders_t WHERE o_orderstatus = 'O'""")
+          FROM $cat.orders_t
+          WHERE o_orderstatus IN ('O', 'F')
+          GROUP BY o_orderstatus""")
   }
 
   /** FILE-LEVEL BLOOM SIDECARS (write.bloom.columns): point lookups on an
@@ -620,10 +624,12 @@ object Lake {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
          GROUP BY event_type""",
     "lake_agg_pushdown" ->
-      """SELECT count(*) AS n_open,
+      """SELECT o_orderstatus, count(*) AS n_orders,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
                 min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
-         FROM orders WHERE o_orderstatus = 'O'""",
+         FROM orders
+         WHERE o_orderstatus IN ('O', 'F')
+         GROUP BY o_orderstatus""",
     "lake_write_distribution" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

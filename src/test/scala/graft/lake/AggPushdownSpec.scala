@@ -184,6 +184,57 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(1) == o.agg(max("o_orderkey")).head().getLong(0))
   }
 
+  test("GROUP BY identity partition column pushes: one metadata row per partition") {
+    val o = Tables.orders(spark, sf)
+    freshTable("grouped", o, partitionBy = Seq("o_orderstatus"))
+    val got = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+                 min(o_orderkey) AS mn, max(o_orderkey) AS mx
+          FROM $cat.grouped GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    assert(!hasAggregate(got), "grouped aggregate should collapse to metadata rows")
+    val exp = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+      .orderBy("o_orderstatus").collect()
+    val g = got.collect()
+    assert(g.length == exp.length)
+    g.zip(exp).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2) &&
+        a.getLong(3) == b.getLong(3))
+    }
+    // grouped + partition filter composes; empty survivor set → no rows
+    val filtered = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n FROM $cat.grouped
+          WHERE o_orderstatus IN ('F','O') GROUP BY o_orderstatus""")
+    assert(!hasAggregate(filtered))
+    assert(filtered.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      o.filter(col("o_orderstatus").isin("F", "O")).groupBy("o_orderstatus")
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val none = spark.sql(
+      s"SELECT o_orderstatus, count(*) AS n FROM $cat.grouped WHERE o_orderstatus = 'ZZZ' GROUP BY o_orderstatus")
+    assert(!hasAggregate(none) && none.count() == 0)
+    // GROUP BY a NON-partition column must fall back
+    val np = spark.sql(
+      s"SELECT o_orderpriority, count(*) AS n FROM $cat.grouped GROUP BY o_orderpriority")
+    assert(hasAggregate(np))
+    assert(np.count() == o.select("o_orderpriority").distinct().count())
+  }
+
+  test("GROUP BY groups the hive NULL partition as SQL NULL") {
+    val o = Tables.orders(spark, sf)
+    val withNulls = o.withColumn("status_g",
+      when(col("o_orderkey") % 7 === 0, lit(null: String))
+        .otherwise(col("o_orderstatus")))
+    freshTable("groupnull", withNulls, partitionBy = Seq("status_g"))
+    val got = spark.sql(
+      s"SELECT status_g, count(*) AS n FROM $cat.groupnull GROUP BY status_g")
+    assert(!hasAggregate(got))
+    val gm = got.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val em = withNulls.groupBy("status_g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gm == em)
+  }
+
   test("lossy-translatable filters are never consumed (Or over null-safe eq)") {
     // regression: a filter whose toColumn translation is WEAKER than the
     // original (one-sided And under an Or, <=> has no v1 translation)
