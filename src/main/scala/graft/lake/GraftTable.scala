@@ -596,8 +596,23 @@ class GraftTable private (
         "the checkpoint was reset — re-ingest under a new queryId")
     val seq = m.currentSnapshotId + 1 max 1
     val newFiles = writeDataFiles(align(df, schema), seq)
-    commitRetrying(m, "append", seq, newFiles, Nil, MergeAny,
+    val snap = commitRetrying(m, "append", seq, newFiles, Nil, MergeAny,
       propUpdates = Map(key -> batchId.toString))
+    // `maintain.every-batches` = N: run property-driven maintain() every
+    // N batches INSIDE the sink — a one-commit-per-micro-batch stream is
+    // exactly the workload that grows unbounded small files and snapshot
+    // history without operator discipline. The batch is already durably
+    // committed; a maintenance failure (e.g. a racing writer aborting
+    // compact's ReplaceExact) must not kill the stream, so it only warns.
+    meta.props.get("maintain.every-batches").flatMap(_.toLongOption)
+      .filter(_ > 0).foreach { n =>
+        if (batchId % n == n - 1)
+          try maintain()
+          catch { case e: Throwable =>
+            System.err.println(s"[graft] inline maintain() after batch $batchId skipped: ${e.getMessage}")
+          }
+      }
+    snap
   }
 
   /** Partition evolution: later appends use the new partition spec; files

@@ -42,6 +42,31 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(t.property("stream.default.lastBatchId").contains("2"))
   }
 
+  test("maintain.every-batches compacts inside the sink; bounded files and history") {
+    val loc = "/root/repo/target/graft-lake-test/stream-maintain"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val ev = Tables.events(spark, sf).limit(200)
+    val t = lake.GraftTable.createEmpty(spark, loc, ev.schema,
+      keyColumns = Seq("event_id"),
+      properties = Map(
+        "maintain.every-batches" -> "4",
+        "maintain.compact.min-files" -> "3",
+        "maintain.expire.keep-last" -> "5"))
+    // 8 micro-batches of 25 rows: maintain() fires after batches 3 and 7
+    (0 until 8).foreach { b =>
+      t.appendStreamBatch(ev.filter(col("event_id") % 8 === b), b.toLong)
+    }
+    val m = t.refresh()
+    assert(t.scan().count() == ev.count(), "maintenance must not lose rows")
+    assert(m.currentSnapshot.get.nDataFiles < 8,
+      s"inline compaction should bound files, have ${m.currentSnapshot.get.nDataFiles}")
+    assert(m.snapshots.exists(_.operation == "replace"), "a compaction committed")
+    assert(m.snapshots.length <= 5, s"expire.keep-last bounds history, have ${m.snapshots.length}")
+    // exactly-once tracking survives the maintenance commits
+    assert(t.property("stream.default.lastBatchId").contains("7"))
+  }
+
   test("pre-upgrade tables with the table-wide batch key stay exactly-once") {
     val loc = "/root/repo/target/graft-lake-test/legacy-batchid"
     val p = new org.apache.hadoop.fs.Path(loc)
