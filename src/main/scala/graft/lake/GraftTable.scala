@@ -608,8 +608,8 @@ class GraftTable private (
       .filter(_ > 0).foreach { n =>
         if (batchId % n == n - 1)
           try maintain()
-          catch { case e: Throwable =>
-            System.err.println(s"[graft] inline maintain() after batch $batchId skipped: ${e.getMessage}")
+          catch { case scala.util.control.NonFatal(e) => // fatal errors + interrupts propagate
+            System.err.println(s"[graft] inline maintain() after batch $batchId skipped: $e")
           }
       }
     snap

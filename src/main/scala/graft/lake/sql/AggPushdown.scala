@@ -120,7 +120,9 @@ object AggPushdown {
         .groupBy(df => groupCols.map(c => df.partitionValues(c) match {
           case Meta.NullPartition => null
           case v => v
-        })).toSeq.sortBy(_._1.map(k => if (k == null) "" else k + "\u0001").mkString)
+        })).toSeq // per-column framing: null sorts first, no cross-column bleed
+          .sortBy(_._1.map(k =>
+            if (k == null) "\u0000" else "\u0001" + k + "\u0000").mkString)
 
     val out = buckets.map { case (key, files) =>
       key -> aggsOf(files, aggs, idCols, statName, sch).getOrElse(return None)
