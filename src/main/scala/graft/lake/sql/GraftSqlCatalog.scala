@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -357,9 +357,31 @@ class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
 }
 
 class GraftV1Scan(table: GraftTable, pushed: Array[Filter], required: StructType,
-    asOf: Long = -1L) extends V1Scan {
+    asOf: Long = -1L) extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived size/row statistics (post file-pruning by the
+    * pushed filters): without this, the V1 bridge reports Spark's default
+    * size estimate (= "huge"), so a small graft dim table would never be
+    * broadcast in non-extension sessions. Cost: one driver-side manifest
+    * walk, no file IO. */
+  override def estimateStatistics(): Statistics = {
+    val files =
+      try table.planFiles(
+        pushed.flatMap(GraftFilters.toColumn).reduceOption(_ && _), asOf)
+      catch { case _: Throwable => return UnknownStats }
+    val bytes = files.map(_.sizeBytes).sum
+    val rows = files.map(_.rowCount).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+  private object UnknownStats extends Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new BaseRelation with TableScan {

@@ -252,6 +252,24 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(q.head().getLong(0) == exp)
   }
 
+  test("V1 scan reports manifest-derived statistics (broadcast sizing)") {
+    val o = Tables.orders(spark, sf)
+    val t = freshTable("stats", o, partitionBy = Seq("o_orderstatus"))
+    val scan = new graft.lake.sql.GraftScanBuilder(t).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val st = scan.estimateStatistics()
+    val files = t.meta.currentSnapshot.get.dataFiles
+    assert(st.numRows().getAsLong == files.map(_.rowCount).sum)
+    assert(st.sizeInBytes().getAsLong == files.map(_.sizeBytes).sum)
+    // with a pushed partition filter, the estimate shrinks to the pruned set
+    val sb = new graft.lake.sql.GraftScanBuilder(t)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F")))
+    val pruned = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(pruned.sizeInBytes().getAsLong < st.sizeInBytes().getAsLong)
+  }
+
   test("time travel pushes against the pinned snapshot") {
     val o = Tables.orders(spark, sf)
     val t = freshTable("ttagg", o.filter(col("o_orderkey") % 2 === 0))
