@@ -37,6 +37,12 @@ object FilePruner {
   type StatName = (DataFileMeta, String) => String
   val SameName: StatName = (_, n) => n
 
+  /** Sentinel for "this current column's field id does not exist in the
+    * file's schema epoch". Physical column names can never contain NUL, so
+    * every stats/bloom lookup through this key misses → conservative keep
+    * (pruning) / refusal (metadata agg pushdown). See GraftTable.statNameFor. */
+  val AbsentKey: String = 0.toChar + "absent-in-epoch"
+
   /** File-level bloom consult for equality predicates (write.bloom.columns
     * sidecars). `column` is the file's PHYSICAL name (already resolved
     * through StatName); the value rides the same domains as stats — Left =

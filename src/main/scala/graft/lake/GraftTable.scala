@@ -95,8 +95,20 @@ class GraftTable private (
     * epoch — map a predicate's CURRENT name back through the field id so
     * min/max pruning stays effective on files written before a rename
     * (without this, a rename silently degrades pruning to full keeps on
-    * all pre-rename files). Unknown names pass through unchanged (stats
-    * miss → conservative keep). */
+    * all pre-rename files).
+    *
+    * Resolution is strict BY FIELD ID: when the current column's id does
+    * not exist in a file's epoch (column added — or dropped and re-added —
+    * after the file was written), the result is [[FilePruner.AbsentKey]],
+    * which can never be a stats or bloom key, so every lookup misses and
+    * the callers conservatively keep the file / refuse the pushdown.
+    * Falling back to the current NAME here is a silent-wrong-results bug:
+    * after drop('a')+add('a') or rename a→b + add new 'a', the retired
+    * column's stale stats would be consulted for the new column (e.g.
+    * `WHERE a IS NULL` wrongly pruning pre-DDL files whose re-added 'a'
+    * is all-NULL while the stale stat says nulls==0). Names that are not
+    * current columns at all (never produced by a resolved predicate) pass
+    * through unchanged. */
   private[lake] def statNameFor(m: TableMetadata): FilePruner.StatName = {
     val es = m.epochs
     if (es.length == 1) FilePruner.SameName
@@ -107,7 +119,8 @@ class GraftTable private (
         val physById = ep.ids.zip(StructType.fromDDL(ep.ddl).fieldNames).toMap
         curIdByName.flatMap { case (cn, id) => physById.get(id).map(cn -> _) }
       }.toIndexedSeq
-      (f, name) => perEpoch(m.epochIndexFor(f.seq)).getOrElse(name, name)
+      (f, name) => perEpoch(m.epochIndexFor(f.seq)).getOrElse(name,
+        if (curIdByName.contains(name)) FilePruner.AbsentKey else name)
     }
   }
 

@@ -686,6 +686,43 @@ class LakeSpec extends AnyFunSuite {
       "renamed column must carry pre-rename values")
   }
 
+  test("drop+re-add: the retired column's stale stats never serve the new one") {
+    // ADVICE r05 (high): statNameFor used to fall back to the CURRENT name
+    // when a field id was absent from a file's epoch, so after
+    // drop('a')+add('a') the retired column's stats (nulls==0) answered for
+    // the re-added column — `WHERE a IS NULL` wrongly pruned every pre-DDL
+    // file whose re-added 'a' is all-NULL, and metadata COUNT(a) counted
+    // the dead column's values. Now an absent id resolves to AbsentKey and
+    // every stats/bloom lookup conservatively misses.
+    val sp = spark; import sp.implicits._
+    val wh = freshDir("readd-stats-wh")
+    val t = GraftTable.create(spark, s"$wh/t",
+      (1 to 100).map(i => (i, s"v$i", i * 2)).toDF("k", "a", "m"),
+      keyColumns = Seq("k"))
+    t.dropColumn("a")
+    t.addColumn("a", "STRING")
+    val total = t.meta.currentSnapshot.get.dataFiles.size
+    assert(t.planFiles(Some(col("a").isNull)).size == total,
+      "IS NULL must keep pre-DDL files: their re-added column is all-NULL " +
+        "even though the retired column's stat says nulls==0")
+    assert(t.scan(Some(col("a").isNull)).count() == 100)
+    assert(t.scan(Some(col("a") === "v1")).count() == 0)
+    // rename m->n then re-add 'm': pruning through 'n' keeps using the old
+    // physical stats; the NEW 'm' gets no stale evidence
+    t.renameColumn("m", "n")
+    t.addColumn("m", "INT")
+    assert(t.scan(Some(col("n") === 2)).count() == 1, "renamed column still prunable")
+    assert(t.planFiles(Some(col("m").isNull)).size ==
+      t.meta.currentSnapshot.get.dataFiles.size)
+    assert(t.scan(Some(col("m").isNull)).count() == 100)
+    // metadata agg pushdown must refuse stale stats: count(a) is 0, not 100
+    spark.conf.set("spark.sql.catalog.graft_readd",
+      classOf[graft.lake.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_readd.warehouse", wh)
+    assert(spark.sql("SELECT count(a) FROM graft_readd.t").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(k) FROM graft_readd.t").head().getLong(0) == 100L)
+  }
+
   test("type widening: int -> bigint is metadata-only; SQL ALTER COLUMN TYPE") {
     val sp = spark; import sp.implicits._
     val wh = freshDir("widen-wh")
