@@ -123,6 +123,35 @@ object FilePruner {
       }
   }
 
+  /** Manifest-level pruning: may ANY data file of a manifest whose
+    * summary lists these per-column distinct partition values match the
+    * predicate? Evaluated per column independently (sound: if no value of
+    * one column can satisfy the predicate's constraint on it, no file in
+    * the manifest can match) by running each candidate value through the
+    * same conservative file walk with ONLY that column bound — transforms,
+    * typed comparison and NULL semantics all reuse the file-level logic.
+    * Unknown/absent columns never skip. Used by GraftTable.planFiles to
+    * drop whole manifests BEFORE any manifest IO. */
+  def manifestMayMatch(
+      pvals: Map[String, Seq[String]],
+      predicate: Expression,
+      partitionColumns: Seq[String],
+      schema: StructType): Boolean = {
+    if (pvals.isEmpty) return true
+    val expr =
+      try normalize(predicate)
+      catch { case _: Throwable => return true }
+    val transforms =
+      try PartitionTransforms.parseAll(partitionColumns)
+      catch { case _: Throwable => return true }
+    pvals.forall { case (dirName, values) =>
+      values.isEmpty || values.exists { v =>
+        val synth = DataFileMeta("", 0L, 1L, 0L, Map(dirName -> v), Map.empty)
+        mayMatch(synth, expr, transforms, schema, SameName, NoBloom)
+      }
+    }
+  }
+
   // ---- predicate walk ------------------------------------------------------
 
   private def mayMatch(f: DataFileMeta, e: Expression, transforms: Seq[PTransform], schema: StructType, statName: StatName, bloom: BloomOracle): Boolean =

@@ -86,9 +86,38 @@ case class Manifest(
   def deletes: Seq[DeleteFileMeta] = if (deleteFiles == null) Nil else deleteFiles
 }
 
+/** Pointer-sized summary of ONE manifest, carried in the manifest list so
+  * that planning can size bin-packing and skip whole manifests WITHOUT
+  * loading them (Iceberg's manifest-list partition summaries; cf. the
+  * reference's staged scan planning, scan_ops.c:60-120, one level up).
+  *
+  * `partitionValues`: per partition-DIR-name, the sorted distinct hive
+  * values covering EVERY data file in the manifest — a column is present
+  * only when all files carry it and the distinct count is small (≤
+  * [[Meta.SummaryValueCap]]); an absent column means "unknown", never
+  * skip. `bytes` is the serialized manifest size (the bin-pack key). */
+case class ManifestSummary(
+    nData: Int,
+    nDeletes: Int,
+    bytes: Long,
+    partitionValues: Map[String, Seq[String]] = Map.empty) {
+  def pvals: Map[String, Seq[String]] =
+    if (partitionValues == null) Map.empty else partitionValues
+}
+
 /** One snapshot's manifest list (metadata/ml-….json): ordered manifest
-  * paths relative to the table location. */
-case class ManifestList(manifests: Seq[String])
+  * paths relative to the table location, plus (since r06) one
+  * [[ManifestSummary]] per path. Lists written before summaries existed
+  * deserialize `summaries == null` → every consumer falls back to
+  * loading the manifests. */
+case class ManifestList(manifests: Seq[String], summaries: Seq[ManifestSummary] = null) {
+  /** paths zipped with their summaries; None per-entry when the list
+    * predates summaries (or was written with a mismatched count). */
+  def entries: Seq[(String, Option[ManifestSummary])] =
+    if (summaries == null || summaries.length != manifests.length)
+      manifests.map(_ -> None)
+    else manifests.zip(summaries.map(Some(_)))
+}
 
 /** Pointer-sized snapshot entry as persisted in the vN.json log. The
   * summary counts exist so metadata tables and conflict checks never need
@@ -147,20 +176,35 @@ class Snapshot(
   def ref: SnapshotRef = SnapshotRef(id, parentId, timestampMs, operation,
     manifestList, addedDataFiles, nDataFiles, nDeleteFiles, totalRows)
 
-  /** Manifest paths of this snapshot (reads only the manifest list). */
-  lazy val manifestPaths: Seq[String] = resolver.manifestList(manifestList)
+  /** Manifest paths + summaries (reads only the manifest list). */
+  lazy val manifestEntries: Seq[(String, Option[ManifestSummary])] =
+    resolver.manifestList(manifestList).entries
 
-  private lazy val loaded: Seq[Manifest] = manifestPaths.map(resolver.manifest)
+  def manifestPaths: Seq[String] = manifestEntries.map(_._1)
+
+  private lazy val loaded: Seq[Manifest] = resolver.manifests(manifestPaths)
 
   def dataFiles: Seq[DataFileMeta] = loaded.flatMap(_.data)
-  def deleteFiles: Seq[DeleteFileMeta] = loaded.flatMap(_.deletes)
+
+  /** Delete files of the snapshot. With summaries, only the manifests
+    * that actually HOLD deletes are loaded — at a million-file table the
+    * scan's delete-side planning no longer walks the data inventory. */
+  def deleteFiles: Seq[DeleteFileMeta] =
+    if (manifestEntries.forall(_._2.isDefined)) {
+      val holding = manifestEntries.collect {
+        case (p, Some(s)) if s.nDeletes > 0 => p
+      }
+      if (holding.isEmpty) Nil else resolver.manifests(holding).flatMap(_.deletes)
+    } else loaded.flatMap(_.deletes)
 }
 
 /** Reads manifest lists / manifests by table-relative path (impl caches —
   * both are immutable once written). */
 trait ManifestResolver {
-  def manifestList(relPath: String): Seq[String]
+  def manifestList(relPath: String): ManifestList
   def manifest(relPath: String): Manifest
+  /** Bulk load; impls may parallelize on an IO pool. Preserves order. */
+  def manifests(relPaths: Seq[String]): Seq[Manifest] = relPaths.map(manifest)
 }
 
 /** In-memory table metadata: persisted doc fields + resolved snapshots. */
@@ -229,6 +273,37 @@ case class TableMetadata(
 
 object Meta {
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Max distinct partition values recorded per column in a
+    * [[ManifestSummary]] — beyond this the column is dropped from the
+    * summary (unknown → the manifest is always loaded). Bounds summary
+    * size however many files a merged manifest accumulates. */
+  val SummaryValueCap = 100
+
+  /** Builds the pointer-sized summary of a manifest. A partition column
+    * enters the summary only when EVERY data file carries a value for it
+    * (older epochs may predate a partition-spec change) and the distinct
+    * count stays under [[SummaryValueCap]] — the summary must be a sound
+    * over-approximation of the manifest's contents or skipping would
+    * drop rows. */
+  def summarize(mf: Manifest, bytes: Long): ManifestSummary = {
+    val data = mf.data
+    val cols: Seq[String] =
+      data.headOption.map(_.partitionValues.keys.toSeq.sorted).getOrElse(Nil)
+    val pv = cols.flatMap { c =>
+      val vs = scala.collection.mutable.LinkedHashSet[String]()
+      var ok = true
+      val it = data.iterator
+      while (ok && it.hasNext) {
+        it.next().partitionValues.get(c) match {
+          case Some(v) => vs += v; if (vs.size > SummaryValueCap) ok = false
+          case None => ok = false
+        }
+      }
+      if (ok) Some(c -> vs.toSeq.sorted) else None
+    }.toMap
+    ManifestSummary(data.size, mf.deletes.size, bytes, pv)
+  }
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
