@@ -15,6 +15,12 @@ run / fork := true
 // Bench's one-line JSON metric must be machine-parseable from stdout
 // (BENCH_r01.json came back "parsed: null" through the default logger).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and let that JSON be the TRUE final stdout line: sbt's own
+// "[success] Total time" trailer printed after the forked JVM exited is
+// what kept pushing the metric line out of the driver's tail capture
+// (BENCH r04/r05 "parsed: null").
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
