@@ -20,6 +20,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Bench-style isolation (r05 What's-wrong #3): a query that leaks a
+      // persist() pin must not contaminate the 85 that run after it in
+      // this session — and a leak can't hide behind the gate either,
+      // because the bench's isolated runs would expose the drift.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

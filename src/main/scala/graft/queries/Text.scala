@@ -192,10 +192,17 @@ object Text {
       .select(col("doc_id"),
         round(log((col("cb") + 1).cast("double") / (col("cu") + col("v"))) * 1000000)
           .cast("long").as("lp_micro"))
-    perBigram.groupBy("doc_id")
+    val out = perBigram.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp_micro")) / count(lit(1)) / 1000000.0, 4).as("mean_logprob"))
       .orderBy("doc_id")
+    // materialize, then release the tokenized pin: the gate/bench suite
+    // runs 86 queries in one session, and a leaked MEMORY_AND_DISK frame
+    // bleeds into every later query (the Dedup treatment, ADVICE r04;
+    // text_lm_score was the last holdout — r05 What's-wrong #3)
+    val result = out.localCheckpoint()
+    docs.unpersist(blocking = false)
+    result
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
