@@ -52,7 +52,63 @@ trait Catalog {
 
   def table(name: String): GraftTable =
     GraftTable.load(spark, tableLocation(name), arbiter(name))
+
+  /** Atomically advance SEVERAL tables' version pointers: every commit
+    * applies, or none does (one synchronized multi-key CAS server-side).
+    * This is the cross-table half of the reference's "full transactional
+    * support across lakehouse and local tables" (README.md:14-16), which
+    * its PG incarnation inherits from the PG transaction manager wrapping
+    * commit_ops.c — here the CATALOG is the transaction arbiter, so the
+    * guarantee survives object stores. Only catalogs that arbitrate
+    * commits can offer it. */
+  def commitAll(commits: Seq[TableCommit]): Boolean =
+    throw new UnsupportedOperationException(
+      "multi-table transactions need a commit-arbitrating catalog (e.g. RestCatalog)")
+
+  /** Multi-table transaction: `ops` runs against handles whose commits
+    * STAGE instead of publishing; `transact` then CASes every touched
+    * table's pointer in one [[commitAll]] call. If ANY table's pointer
+    * moved underneath (a racing writer), nothing is published and the
+    * whole transaction re-runs against fresh metadata — tables never
+    * advance independently, so a reader can never observe the ingest
+    * without the retire. Data files written by a lost attempt are
+    * unreferenced and reclaimed by `vacuum()` (same posture as a lost
+    * single-table commit retry). */
+  def transact(names: Seq[String], maxAttempts: Int = 5)(
+      ops: Map[String, GraftTable] => Unit): Unit = {
+    require(names.nonEmpty && names.distinct.size == names.size,
+      s"transact needs distinct table names, got $names")
+    require(names.forall(arbiter(_).isDefined),
+      "transact needs a commit-arbitrating catalog (e.g. RestCatalog)")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val handles = names.map { n =>
+        n -> GraftTable.loadStaged(spark, tableLocation(n), arbiter(n),
+          new StagingBuffer)
+      }
+      ops(handles.toMap)
+      val commits = handles.flatMap { case (n, t) =>
+        t.writeStagedBlob().map { case (exp, nv, file) =>
+          TableCommit(n, exp, nv, file)
+        }
+      }
+      if (commits.isEmpty) return // ops staged nothing: vacuous success
+      if (commitAll(commits)) return
+      handles.foreach(_._2.discardStaged())
+      if (attempt >= maxAttempts)
+        sys.error(s"multi-table transaction on $names lost the commit race " +
+          s"$maxAttempts times")
+    }
+  }
 }
+
+/** One table's pointer advance inside a multi-table transaction. */
+case class TableCommit(
+    name: String,
+    expectedVersion: Long,
+    newVersion: Long,
+    metadataFile: String)
 
 /** Atomic version-pointer arbitration for one table — the catalog-side
   * half of an object-store-safe commit protocol. The committer writes its

@@ -113,6 +113,24 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
       removed
   }
 
+  /** Multi-table transaction: one POST carries every table's CAS; the
+    * server applies all of them under one lock or none at all. */
+  override def commitAll(commits: Seq[TableCommit]): Boolean = {
+    val arr = commits.map(c => java.util.Map.of(
+      "name", c.name.asInstanceOf[AnyRef],
+      "expectedVersion", java.lang.Long.valueOf(c.expectedVersion),
+      "newVersion", java.lang.Long.valueOf(c.newVersion),
+      "metadataFile", c.metadataFile))
+    val body = mapper.writeValueAsString(java.util.Map.of(
+      "commits", java.util.List.of(arr: _*)))
+    val r = request("POST", "/transactions", Some(body))
+    r.statusCode() match {
+      case 200 => true
+      case 409 => false // some pointer moved — the transaction retries whole
+      case c => sys.error(s"catalog POST /transactions failed: HTTP $c ${r.body()}")
+    }
+  }
+
   /** Catalog-side commit arbitration for `name` — see [[CommitArbiter]]. */
   override def arbiter(name: String): Option[CommitArbiter] = Some(new CommitArbiter {
     override def currentVersion(): Option[(Long, String)] = {
@@ -154,6 +172,10 @@ class InMemoryCatalogServer(warehouse: String) {
   /** committed (version, metadataFile) pointer per table — the CAS target */
   private val versions =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  /** One lock arbitrates BOTH single-table CAS and multi-table
+    * transactions — a per-key compute() would let a single-table commit
+    * slip between a transaction's check and its writes. */
+  private val casLock = new Object
   private val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -209,11 +231,15 @@ class InMemoryCatalogServer(warehouse: String) {
             val exp = node.get("expectedVersion").asLong()
             val nv = node.get("newVersion").asLong()
             val file = node.get("metadataFile").asText()
-            // the CAS: compute() is atomic per key, so exactly one of any
-            // set of racing committers observes current == expected
-            var won = false
-            versions.compute(n, (_, cur) =>
-              if (cur == null || cur._1 == exp) { won = true; (nv, file) } else cur)
+            // the CAS: under casLock so multi-table transactions and
+            // single-table commits serialize against the same arbiter —
+            // exactly one of any set of racing committers observes
+            // current == expected
+            val won = casLock.synchronized {
+              val cur = versions.get(n)
+              if (cur == null || cur._1 == exp) { versions.put(n, (nv, file)); true }
+              else false
+            }
             if (won) send(x, 200, mapper.writeValueAsString(java.util.Map.of(
               "version", java.lang.Long.valueOf(nv))))
             else send(x, 409, errJson(s"version conflict: expected $exp is stale"))
@@ -226,6 +252,48 @@ class InMemoryCatalogServer(warehouse: String) {
           if (tables.remove(n) != null) { versions.remove(n); send(x, 204, "") }
           else send(x, 404, errJson(s"no table $n"))
         case _ => send(x, 405, errJson("unsupported"))
+      }
+    } catch {
+      case e: Exception => send(x, 500, errJson(String.valueOf(e.getMessage)))
+    }
+  })
+  /** Multi-table atomic commit: every (expected → new) pointer CAS in the
+    * body applies, or none does. One synchronized check-then-write-all
+    * block IS the transaction — the in-memory analog of a transactional
+    * catalog database; the reference gets the equivalent from PG's
+    * transaction manager wrapping commit_ops.c. */
+  server.createContext("/transactions", (x: HttpExchange) => {
+    try {
+      if (x.getRequestMethod != "POST") send(x, 405, errJson("unsupported"))
+      else {
+        val node = mapper.readTree(x.getRequestBody)
+        val commits = {
+          import scala.jdk.CollectionConverters._
+          node.get("commits").elements().asScala.map(c => (
+            c.get("name").asText(),
+            c.get("expectedVersion").asLong(),
+            c.get("newVersion").asLong(),
+            c.get("metadataFile").asText())).toSeq
+        }
+        if (commits.exists(c => !tables.containsKey(c._1)))
+          send(x, 404, errJson("unknown table in transaction"))
+        else if (commits.map(_._1).distinct.length != commits.length)
+          send(x, 400, errJson("duplicate table in transaction"))
+        else {
+          val won = casLock.synchronized {
+            val ok = commits.forall { case (n, exp, _, _) =>
+              val cur = versions.get(n)
+              cur == null || cur._1 == exp
+            }
+            if (ok) commits.foreach { case (n, _, nv, file) =>
+              versions.put(n, (nv, file))
+            }
+            ok
+          }
+          if (won) send(x, 200, mapper.writeValueAsString(java.util.Map.of(
+            "committed", java.lang.Integer.valueOf(commits.length))))
+          else send(x, 409, errJson("version conflict in transaction"))
+        }
       }
     } catch {
       case e: Exception => send(x, 500, errJson(String.valueOf(e.getMessage)))

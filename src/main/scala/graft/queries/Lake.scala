@@ -383,6 +383,34 @@ object Lake {
     } finally server.stop()
   }
 
+  /** CROSS-TABLE TRANSACTION (the reference's "ACID Transactions …
+    * across lakehouse and local tables", README.md:14-16 — its PG
+    * incarnation inherits multi-table atomicity from the PG transaction
+    * manager wrapping commit_ops.c): one `transact()` appends staging's
+    * rows to facts AND retires staging; the catalog CASes both version
+    * pointers in a single atomic operation, so a reader can never observe
+    * the ingest without the retire (TransactionSpec races it). The entry
+    * hard-asserts staging emptied; the oracle checks facts' rows. */
+  def lakeMultiTxn(s: SparkSession, d: String): DataFrame = {
+    val server = new graft.lake.InMemoryCatalogServer(work(s, "multi_txn", d))
+    try {
+      val cat = new graft.lake.RestCatalog(s, server.uri)
+      val o = Tables.orders(s, d)
+      cat.create("facts", o.filter(col("o_orderkey") % 2 === 0),
+        keyColumns = Seq("o_orderkey"))
+      cat.create("staging", o.filter(col("o_orderkey") % 2 === 1),
+        keyColumns = Seq("o_orderkey"))
+      cat.transact(Seq("facts", "staging")) { t =>
+        t("facts").append(t("staging").scan().localCheckpoint())
+        t("staging").delete(lit(true))
+      }
+      require(cat.table("staging").scan().count() == 0, "staging must be retired")
+      require(cat.table("facts").meta.snapshots.length == 2,
+        "the transaction must land as exactly one commit on facts")
+      statusAgg(cat.table("facts").scan())
+    } finally server.stop()
+  }
+
   /** HIDDEN PARTITIONING (Iceberg partition transforms — the reference
     * roadmap's "partition pruning" in its native form, README.md:17): the
     * table partitions on `days(ts)`, the QUERY filters on raw `ts`, and
@@ -479,6 +507,7 @@ object Lake {
     "lake_maintain" -> (lakeMaintain _),
     "lake_pos_delete" -> (lakePosDelete _),
     "lake_rest_catalog" -> (lakeRestCatalog _),
+    "lake_multi_txn" -> (lakeMultiTxn _),
     "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
@@ -519,6 +548,10 @@ object Lake {
          FROM orders WHERE o_orderstatus <> 'P'
          GROUP BY o_orderstatus""",
     "lake_rest_catalog" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders GROUP BY o_orderstatus""",
+    "lake_multi_txn" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_orderstatus""",
