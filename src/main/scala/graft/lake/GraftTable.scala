@@ -56,7 +56,10 @@ class GraftTable private (
     val spark: SparkSession,
     val location: String,
     private[lake] val arbiter: Option[CommitArbiter] = None,
-    private[lake] val staging: Option[StagingBuffer] = None) {
+    private[lake] val staging: Option[StagingBuffer] = None,
+    /** When set, this handle READS AND COMMITS against the named branch
+      * ref instead of the main pointer (write-audit-publish). */
+    val branchName: Option[String] = None) {
   import GraftTable.{ConflictMode, MergeAny, MergeUnlessNewData, ReplaceExact}
 
   private val hconf = spark.sessionState.newHadoopConf()
@@ -88,13 +91,32 @@ class GraftTable private (
   def refresh(): TableMetadata = { cached = loadMeta(); cached }
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
 
+  /** Snapshot id this handle's reads and commit parents resolve to: the
+    * branch head for a branch handle, the main pointer otherwise. */
+  private def headId(m: TableMetadata): Long = branchName match {
+    case Some(b) => m.branchHeads.getOrElse(b, throw new NoSuchElementException(
+      s"no branch '$b' (have: ${m.branchHeads.keys.toSeq.sorted.mkString(", ")})"))
+    case None => m.currentSnapshotId
+  }
+
+  private def headSnapshot(m: TableMetadata): Option[Snapshot] = {
+    val id = headId(m)
+    if (id < 0) None else Some(m.snapshot(id))
+  }
+
+  /** Next snapshot id / sequence number. GLOBAL max over the log, not
+    * main-pointer+1: branch commits also allocate ids, and ids double as
+    * sequence numbers whose total order is commit order. */
+  private def nextId(m: TableMetadata): Long =
+    (m.snapshots.map(_.id) :+ 0L).max + 1
+
   // ---- scan ----------------------------------------------------------------
 
   /** Files the scan would read after manifest + partition + min/max
     * pruning. */
   def planFiles(filter: Option[Column] = None, asOf: Long = -1L): Seq[DataFileMeta] = {
     val m = meta
-    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else headSnapshot(m)
     snap.map(s => pruneFiles(m, schema, s, exprOf(filter))).getOrElse(Nil)
   }
 
@@ -138,7 +160,7 @@ class GraftTable private (
   private[graft] def planManifestCounts(
       filter: Option[Column], asOf: Long = -1L): (Int, Int) = {
     val m = meta
-    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else headSnapshot(m)
     snap match {
       case None => (0, 0)
       case Some(s) =>
@@ -216,7 +238,7 @@ class GraftTable private (
   def scan(filter: Option[Column] = None, asOf: Long = -1L): DataFrame = {
     val m = meta
     val sch = schema
-    val snapOpt = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
+    val snapOpt = if (asOf >= 0) Some(m.snapshot(asOf)) else headSnapshot(m)
     val out = snapOpt match {
       case None => emptyDf(sch)
       case Some(snap) =>
@@ -234,7 +256,7 @@ class GraftTable private (
       asOf: Long = -1L): DataFrame = {
     val m = meta
     val sch = schema
-    (if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot) match {
+    (if (asOf >= 0) Some(m.snapshot(asOf)) else headSnapshot(m)) match {
       case None => emptyDf(sch)
       case Some(snap) =>
         buildScan(m, sch, snap, pruneFiles(m, sch, snap, pruneWith))
@@ -356,7 +378,7 @@ class GraftTable private (
     * incremental readers, an overwrite must fail them loudly (ADVICE r04). */
   def overwrite(df: DataFrame): Long = {
     val m = refresh()
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     val newFiles = writeDataFiles(align(df, schema), seq)
     commitRetrying(m, "overwrite", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
   }
@@ -364,7 +386,7 @@ class GraftTable private (
   /** Commits a new append snapshot; returns its id. */
   def append(df: DataFrame): Long = {
     val m = refresh()
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     val newFiles = writeDataFiles(align(df, schema), seq)
     commitRetrying(m, "append", seq, newFiles, Nil, MergeAny)
   }
@@ -380,13 +402,13 @@ class GraftTable private (
     * exactly the matched rows. */
   def delete(where: Column): Long = {
     val m = refresh()
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     if (m.keyColumns.nonEmpty) {
       val keys = scan(None).filter(where).select(m.keyColumns.map(col): _*).distinct()
       val delFile = writeDeleteFile(keys, seq)
       commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
-    } else m.currentSnapshot match {
-      case None => m.currentSnapshotId
+    } else headSnapshot(m) match {
+      case None => headId(m)
       case Some(snap) =>
         val positions = buildScan(m, schema, snap, snap.dataFiles, withMeta = true)
           .filter(where)
@@ -404,7 +426,7 @@ class GraftTable private (
   def deleteKeys(keys: DataFrame): Long = {
     val m = refresh()
     require(m.keyColumns.nonEmpty, "MoR delete needs keyColumns")
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     val delFile = writeDeleteFile(
       keys.select(m.keyColumns.map(col): _*).distinct(), seq)
     commitRetrying(m, "delete", seq, Nil, delFile, MergeUnlessNewData)
@@ -423,7 +445,7 @@ class GraftTable private (
     require(m.keyColumns.nonEmpty, "MoR update needs keyColumns")
     val unknown = assignments.keySet -- schema.fieldNames
     require(unknown.isEmpty, s"update assigns unknown columns: ${unknown.mkString(", ")}")
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     val matched = scan(None).filter(where)
     val rewritten = matched.select(schema.fieldNames.toIndexedSeq.map { f =>
       assignments.get(f).map(_.as(f)).getOrElse(quotedCol(f))
@@ -444,7 +466,7 @@ class GraftTable private (
   def upsert(source: DataFrame): Long = {
     val m = refresh()
     require(m.keyColumns.nonEmpty, "MoR upsert needs keyColumns")
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     val aligned = align(source, schema)
     val newFiles = writeDataFiles(aligned, seq)
     val delFile = writeDeleteFile(
@@ -604,10 +626,10 @@ class GraftTable private (
     * drops all delete files. Same rows, fewer files, no stale deletes. */
   def compact(targetBytes: Long = 128L * 1024 * 1024): Long = {
     val m = refresh()
-    val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
+    val cur = headSnapshot(m).getOrElse(return headId(m))
     val totalBytes = cur.dataFiles.map(_.sizeBytes).sum max 1L
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val seq = m.currentSnapshotId + 1
+    val seq = nextId(m)
     val merged = scan(None).coalesce(nOut)
     val newFiles = writeDataFiles(merged, seq)
     commitRetrying(m, "replace", seq, newFiles, Nil, ReplaceExact, replaceLists = true)
@@ -623,10 +645,10 @@ class GraftTable private (
   def rewriteSorted(sortCols: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(sortCols.nonEmpty, "need at least one sort column")
     val m = refresh()
-    val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
+    val cur = headSnapshot(m).getOrElse(return headId(m))
     val totalBytes = cur.dataFiles.map(_.sizeBytes).sum max 1L
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val seq = m.currentSnapshotId + 1
+    val seq = nextId(m)
     val clustered = scan(None)
       .repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
@@ -665,7 +687,7 @@ class GraftTable private (
     require(batchId > last,
       s"batchId $batchId < last committed $last for stream query '$queryId': " +
         "the checkpoint was reset — re-ingest under a new queryId")
-    val seq = m.currentSnapshotId + 1 max 1
+    val seq = nextId(m)
     val newFiles = writeDataFiles(align(df, schema), seq)
     val snap = commitRetrying(m, "append", seq, newFiles, Nil, MergeAny,
       propUpdates = Map(key -> batchId.toString))
@@ -715,7 +737,7 @@ class GraftTable private (
   def rewriteZOrdered(cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(cols.length >= 2, "z-order needs >= 2 columns (use rewriteSorted for 1)")
     val m = refresh()
-    val cur = m.currentSnapshot.getOrElse(return m.currentSnapshotId)
+    val cur = headSnapshot(m).getOrElse(return headId(m))
     // total interleaved width capped at 63 bits: position bits*nCols-1 must
     // stay below the sign bit — a 64-bit shift would wrap mod 64 and
     // corrupt the z-key ordering for 4+ columns (ADVICE r02)
@@ -753,7 +775,7 @@ class GraftTable private (
     }
     val totalBytes = cur.dataFiles.map(_.sizeBytes).sum max 1L
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val seq = m.currentSnapshotId + 1
+    val seq = nextId(m)
     val clustered = scan(None)
       .withColumn("__zkey", zkey)
       .repartitionByRange(nOut, col("__zkey"))
@@ -850,7 +872,7 @@ class GraftTable private (
     * written from the NEXT sequence number on. */
   private def commitSchemaEpoch(m: TableMetadata, newDdl: String, ids: Seq[Int]): Unit =
     writeMeta(m.copy(version = m.version + 1, schemaDdl = newDdl,
-      schemaLog = m.epochs :+ SchemaEpoch(m.currentSnapshotId + 1, newDdl, ids)))
+      schemaLog = m.epochs :+ SchemaEpoch(nextId(m), newDdl, ids)))
 
   // ---- snapshot refs (tags) ------------------------------------------------
 
@@ -859,8 +881,17 @@ class GraftTable private (
     * pin: expireSnapshots/maintain() keep tagged snapshots. */
   def tag(name: String, snapshotId: Long): Unit = {
     val m = refresh()
+    requireRefName(name)
     m.snapshot(snapshotId) // validate it exists now — refs never dangle
     writeMeta(m.copy(version = m.version + 1, refs = m.tags + (name -> snapshotId)))
+  }
+
+  /** All-digit ref names are rejected so `VERSION AS OF` stays
+    * unambiguous: a tag or branch named '3' would silently change
+    * existing snapshot-id time travel into ref resolution (ADVICE r05). */
+  private def requireRefName(name: String): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"ref name '$name' is invalid: all-digit names shadow snapshot ids")
   }
 
   def dropTag(name: String): Unit = {
@@ -878,6 +909,73 @@ class GraftTable private (
   def scanTag(name: String, filter: Option[Column] = None): DataFrame =
     scan(filter, asOf = tagged(name))
 
+  // ---- branches (write-audit-publish) --------------------------------------
+
+  /** Creates a WRITABLE branch ref at `snapshotId` (default: the current
+    * head). Unlike a tag, a branch is a commit target: `forBranch(name)`
+    * returns a handle whose reads and commits move the branch head while
+    * main stays untouched — the write-audit-publish workflow (write to
+    * 'audit', validate the branch scan, `fastForward("audit")` to
+    * publish). Branch heads are retention pins like tags. */
+  def branch(name: String, snapshotId: Long = -1L): Unit = {
+    val m = refresh()
+    requireRefName(name)
+    require(!m.branchHeads.contains(name), s"branch '$name' already exists")
+    val at = if (snapshotId >= 0) snapshotId else headId(m)
+    require(at >= 0, "cannot branch an empty table (no snapshot yet)")
+    m.snapshot(at) // refs never dangle
+    writeMeta(m.copy(version = m.version + 1,
+      branches = m.branchHeads + (name -> at)))
+  }
+
+  def dropBranch(name: String): Unit = {
+    val m = refresh()
+    require(m.branchHeads.contains(name), s"no branch '$name'")
+    writeMeta(m.copy(version = m.version + 1, branches = m.branchHeads - name))
+  }
+
+  /** Head snapshot id of a branch. */
+  def branchHead(name: String): Long = meta.branchHeads.getOrElse(name,
+    throw new NoSuchElementException(s"no branch '$name' " +
+      s"(have: ${meta.branchHeads.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Handle onto `name`: same table, but scans read the branch head and
+    * commits advance the branch ref. The handle shares this table's
+    * metadata caches; commit arbitration is unchanged (the version
+    * pointer CAS covers branch commits too — they are metadata versions
+    * like any other). */
+  def forBranch(name: String): GraftTable = {
+    branchHead(name) // fail fast on unknown branch
+    new GraftTable(spark, location, arbiter, staging, Some(name))
+  }
+
+  /** PUBLISH: fast-forwards MAIN to the head of `branch`. Requires main's
+    * current snapshot to be an ancestor of the branch head (the branch
+    * must contain main's state — otherwise publishing would silently drop
+    * main commits; rebase by re-branching instead). Pointer-only commit:
+    * no snapshot is created, no file is touched. */
+  def fastForward(branch: String): Long = {
+    var attempts = 0
+    while (true) {
+      val m = refresh()
+      val head = m.branchHeads.getOrElse(branch,
+        throw new NoSuchElementException(s"no branch '$branch'"))
+      val onLineage = m.currentSnapshotId < 0 ||
+        lineageSince(m, head, -2L).exists(_.id == m.currentSnapshotId) ||
+        head == m.currentSnapshotId
+      require(onLineage, s"cannot fast-forward: main ${m.currentSnapshotId} " +
+        s"is not an ancestor of branch '$branch' head $head")
+      try {
+        writeMeta(m.copy(version = m.version + 1, currentSnapshotId = head))
+        return head
+      } catch {
+        case e: RuntimeException if attempts < 5 && e.getMessage != null &&
+            e.getMessage.contains("concurrent commit") => attempts += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Metadata-only rollback: commits a new snapshot that replicates the
     * file state of `snapshotId` by REUSING its manifest pointers — O(1)
     * metadata written, no file list ever re-serialized. History is
@@ -886,7 +984,7 @@ class GraftTable private (
   def rollback(snapshotId: Long): Long = {
     val m = refresh()
     val target = m.snapshot(snapshotId)
-    commitRetrying(m, "rollback", m.currentSnapshotId + 1 max 1,
+    commitRetrying(m, "rollback", nextId(m),
       Nil, Nil, ReplaceExact, replaceLists = true, reuseFrom = Some(target))
   }
 
@@ -899,7 +997,7 @@ class GraftTable private (
     require(keepLast >= 1, "must keep at least one snapshot")
     val m = refresh()
     val keepIds = (m.snapshots.sortBy(_.id).takeRight(keepLast).map(_.id) ++
-      m.tags.values :+ m.currentSnapshotId).toSet
+      m.tags.values ++ m.branchHeads.values :+ m.currentSnapshotId).toSet
     val keep = m.snapshots.filter(s => keepIds.contains(s.id))
     require(keep.exists(_.id == m.currentSnapshotId),
       "cannot expire the current snapshot")
@@ -1001,7 +1099,7 @@ class GraftTable private (
     val minDelsOpt = p.get("maintain.compact.min-delete-files").map(_.toInt)
       .orElse(minFilesOpt.map(_ => 4))
     if (minFilesOpt.isDefined || minDelsOpt.isDefined) {
-      val snap = meta.currentSnapshot
+      val snap = headSnapshot(meta)
       val files = snap.map(_.nDataFiles).getOrElse(0)
       val dels = snap.map(_.nDeleteFiles).getOrElse(0)
       if (minFilesOpt.exists(files >= _) || minDelsOpt.exists(dels >= _)) {
@@ -1045,7 +1143,7 @@ class GraftTable private (
     * Pure driver-side metadata fold, O(files). */
   def columnStats: DataFrame = {
     val sp = spark; import sp.implicits._
-    val files = meta.currentSnapshot.map(_.dataFiles).getOrElse(Nil)
+    val files = headSnapshot(meta).map(_.dataFiles).getOrElse(Nil)
     val rows = schema.fieldNames.toSeq.map { name =>
       val sts = files.flatMap(_.stats.get(name))
       val nulls = sts.map(_.nulls).sum
@@ -1073,7 +1171,7 @@ class GraftTable private (
   /** Data-file manifest of the current (or asOf) snapshot. */
   def files(asOf: Long = -1L): DataFrame = {
     val sp = spark; import sp.implicits._
-    val snap = if (asOf >= 0) Some(meta.snapshot(asOf)) else meta.currentSnapshot
+    val snap = if (asOf >= 0) Some(meta.snapshot(asOf)) else headSnapshot(meta)
     snap.map(_.dataFiles).getOrElse(Nil).map { f =>
       (f.path, f.seq, f.rowCount, f.sizeBytes,
         f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
@@ -1447,8 +1545,8 @@ class GraftTable private (
       replaceLists: Boolean,
       propUpdates: Map[String, String],
       reuseFrom: Option[Snapshot]): Long = {
-    val id = base.currentSnapshotId + 1 max 1
-    val parent = if (replaceLists) None else base.currentSnapshot
+    val id = nextId(base)
+    val parent = if (replaceLists) None else headSnapshot(base)
     val mlist: String = reuseFrom match {
       // pointer copy: the manifest list itself is immutable and shared
       case Some(src) => src.manifestList
@@ -1476,9 +1574,17 @@ class GraftTable private (
         parent.map(_.totalRows).getOrElse(0L) + newData.map(_.rowCount).sum)
     }
     val added = if (reuseFrom.isDefined) 0 else newData.count(_.seq == id)
-    val snap = new Snapshot(id, base.currentSnapshotId, System.currentTimeMillis(),
+    val snap = new Snapshot(id, headId(base), System.currentTimeMillis(),
       op, mlist, added, nD, nDel, rows, resolver)
-    writeMeta(base.copy(version = base.version + 1, currentSnapshotId = id,
+    // a branch commit advances ITS ref only — main stays untouched until
+    // fastForward publishes the branch (write-audit-publish)
+    writeMeta(base.copy(version = base.version + 1,
+      currentSnapshotId =
+        if (branchName.isEmpty) id else base.currentSnapshotId,
+      branches = branchName match {
+        case Some(b) => base.branchHeads + (b -> id)
+        case None => base.branchHeads
+      },
       snapshots = base.snapshots :+ snap,
       properties = base.props ++ propUpdates))
     id
@@ -1588,21 +1694,24 @@ class GraftTable private (
           "concurrent DDL superseded (rename/drop/widen); re-run the operation " +
           "against the current schema")
       }
-      if (m.currentSnapshotId != base.currentSnapshotId) {
+      if (headId(m) != headId(base)) {
         mode match {
           case ReplaceExact =>
             sys.error(s"$op conflicts with concurrent commit " +
-              s"${m.currentSnapshotId} (table rewrite requires a quiet table); retry the operation")
+              s"${headId(m)} (table rewrite requires a quiet table); retry the operation")
           case MergeUnlessNewData =>
-            // pointer-log summary — no manifest IO in the conflict check
-            val added = m.snapshots.filter(_.id > base.currentSnapshotId)
-              .exists(_.addedDataFiles > 0)
-            if (added) sys.error(s"$op read snapshot ${base.currentSnapshotId} but a " +
+            // pointer-log summary — no manifest IO in the conflict check.
+            // Only commits on THIS handle's lineage conflict: walk the
+            // head's parent chain back to our base head; a concurrent
+            // commit on a DIFFERENT branch is invisible to this one.
+            val sinceBase = lineageSince(m, headId(m), headId(base))
+            val added = sinceBase.exists(_.addedDataFiles > 0)
+            if (added) sys.error(s"$op read snapshot ${headId(base)} but a " +
               "concurrent commit added data files; re-run against the current state")
           case MergeAny => ()
         }
       }
-      val want = m.currentSnapshotId + 1 max 1
+      val want = nextId(m)
       if (want != curSeq) {
         // relocate only the files THIS commit wrote (seq == curSeq), one
         // in-place rename each (s<curSeq>-… → s<want>-… in the same dir).
@@ -1634,6 +1743,22 @@ class GraftTable private (
       }
     }
     -1L // unreachable
+  }
+
+  /** Snapshots on the parent chain from `fromId` (exclusive of `toId`)
+    * back to `toId` — the commits that advanced this lineage since a
+    * base read. Chain walk over the pointer log, no manifest IO. */
+  private def lineageSince(m: TableMetadata, fromId: Long, toId: Long): Seq[Snapshot] = {
+    val byId = m.snapshots.map(s => s.id -> s).toMap
+    val out = ArrayBuffer[Snapshot]()
+    var cur = fromId
+    while (cur >= 0 && cur != toId) {
+      byId.get(cur) match {
+        case Some(s) => out += s; cur = s.parentId
+        case None => cur = -1L
+      }
+    }
+    out.toSeq
   }
 
   /** Atomic commit — two postures, picked by whether the table is

@@ -154,7 +154,8 @@ case class TableMetadataDoc(
     snapshots: Seq[SnapshotRef],
     properties: Map[String, String] = Map.empty,
     schemaLog: Seq[SchemaEpoch] = Nil,          // empty → single epoch = schemaDdl
-    refs: Map[String, Long] = Map.empty)        // named snapshot tags
+    refs: Map[String, Long] = Map.empty,        // named snapshot tags
+    branches: Map[String, Long] = Map.empty)    // writable refs: branch → head id
 
 /** In-memory snapshot: the pointer entry plus LAZY file lists resolved
   * through the manifest cache — `dataFiles`/`deleteFiles` keep the exact
@@ -218,7 +219,8 @@ case class TableMetadata(
     snapshots: Seq[Snapshot],
     properties: Map[String, String] = Map.empty, // table properties (Iceberg-style)
     schemaLog: Seq[SchemaEpoch] = Nil,
-    refs: Map[String, Long] = Map.empty) {
+    refs: Map[String, Long] = Map.empty,
+    branches: Map[String, Long] = Map.empty) {
 
   /** null-safe properties (metadata written before the field existed
     * deserializes it as null). */
@@ -234,6 +236,14 @@ case class TableMetadata(
     // upcast FIRST: binding the value as Long would itself unbox (CCE) —
     // the erased map really holds Integers after a JSON round-trip
     else (refs: Map[String, Any]).map { case (k, v) =>
+      k -> v.asInstanceOf[Number].longValue()
+    }
+
+  /** null-safe writable branch refs (branch name → head snapshot id);
+    * same defensive re-box as [[tags]]. */
+  def branchHeads: Map[String, Long] =
+    if (branches == null) Map.empty
+    else (branches: Map[String, Any]).map { case (k, v) =>
       k -> v.asInstanceOf[Number].longValue()
     }
 
@@ -268,7 +278,8 @@ case class TableMetadata(
     partitionColumns, keyColumns, currentSnapshotId, snapshots.map(_.ref),
     if (properties == null) Map.empty else properties,
     if (schemaLog == null) Nil else schemaLog,
-    if (refs == null) Map.empty else refs)
+    if (refs == null) Map.empty else refs,
+    if (branches == null) Map.empty else branches)
 }
 
 object Meta {
@@ -322,7 +333,8 @@ object Meta {
           r.addedDataFiles, r.nDataFiles, r.nDeleteFiles, r.totalRows, resolver)),
       if (d.properties == null) Map.empty else d.properties,
       if (d.schemaLog == null) Nil else d.schemaLog,
-      if (d.refs == null) Map.empty else d.refs)
+      if (d.refs == null) Map.empty else d.refs,
+      if (d.branches == null) Map.empty else d.branches)
 
   def toJson(m: TableMetadataDoc): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)

@@ -112,18 +112,20 @@ class GraftSqlCatalog extends TableCatalog {
     new GraftSqlTable(loadGraft(ident), ident.toString)
   }
 
-  /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF <snapshotId>`
-    * or `VERSION AS OF '<tag>'` (named snapshot refs; snapshot isolation
-    * is the reference's own roadmap item, pg_lakehouse_iceberg/README.md). */
+  /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF <snapshotId>`,
+    * `VERSION AS OF '<tag>'`, or `VERSION AS OF '<branch>'` (reads the
+    * branch head; snapshot isolation is the reference's own roadmap item,
+    * pg_lakehouse_iceberg/README.md). The numeric namespace is
+    * unambiguous: GraftTable rejects all-digit ref names at creation
+    * (ADVICE r05), so a digit string here is ALWAYS a snapshot id. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = loadGraft(ident)
-    // tags resolve FIRST: a tag is explicit user intent, and an all-digit
-    // tag name ('20240110') would otherwise be unreachable forever
     val id =
       if (t.meta.tags.contains(version)) t.tagged(version)
+      else if (t.meta.branchHeads.contains(version)) t.branchHead(version)
       else if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-      else t.tagged(version) // named ref (tag)
+      else t.tagged(version) // named ref (tag) — error lists known tags
     t.meta.snapshot(id) // validate eagerly → clean error for unknown ids
     new GraftSqlTable(t, ident.toString, asOf = id)
   }

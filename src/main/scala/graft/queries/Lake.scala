@@ -411,6 +411,30 @@ object Lake {
     } finally server.stop()
   }
 
+  /** WRITE-AUDIT-PUBLISH through writable branch refs (the workflow half
+    * of the reference's "snapshot isolation" roadmap line, README.md:15):
+    * the backfill appends and the cleanup delete land on branch 'audit'
+    * while main stays pinned at the pre-backfill state; after branch-side
+    * validation, fastForward publishes with a pointer-only CAS. The entry
+    * hard-asserts main's isolation mid-flight; the oracle checks the
+    * published rows. */
+  def lakeBranchWap(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "branch_wap", d),
+      o.filter(col("o_orderkey") % 2 === 0), keyColumns = Seq("o_orderkey"))
+    val mainBefore = t.scan().count()
+    t.branch("audit")
+    val audit = t.forBranch("audit")
+    audit.append(o.filter(col("o_orderkey") % 2 === 1))
+    audit.delete(col("o_orderpriority") === "1-URGENT")
+    require(t.scan().count() == mainBefore,
+      "branch commits must be invisible on main before publish")
+    require(audit.scan().groupBy("o_orderkey").count()
+      .filter(col("count") > 1).isEmpty, "audit: duplicate keys")
+    t.fastForward("audit")
+    statusAgg(t.scan())
+  }
+
   /** HIDDEN PARTITIONING (Iceberg partition transforms — the reference
     * roadmap's "partition pruning" in its native form, README.md:17): the
     * table partitions on `days(ts)`, the QUERY filters on raw `ts`, and
@@ -508,6 +532,7 @@ object Lake {
     "lake_pos_delete" -> (lakePosDelete _),
     "lake_rest_catalog" -> (lakeRestCatalog _),
     "lake_multi_txn" -> (lakeMultiTxn _),
+    "lake_branch_wap" -> (lakeBranchWap _),
     "lake_column_stats" -> (lakeColumnStats _),
     "lake_zorder" -> (lakeZorder _),
     "lake_partition_evolution" -> (lakePartitionEvolution _),
@@ -555,6 +580,11 @@ object Lake {
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "lake_branch_wap" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders WHERE o_orderpriority <> '1-URGENT'
+         GROUP BY o_orderstatus""",
     "lake_sql_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

@@ -777,12 +777,12 @@ class LakeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graft_tags.warehouse", wh)
     assert(spark.sql("SELECT count(*) FROM graft_tags.t VERSION AS OF 'v1'")
       .head().getLong(0) == 100)
-    // an ALL-DIGIT tag resolves as a tag, not a (missing) snapshot id —
-    // explicit tags win over the implicit numeric parse
-    t.tag("20240110", 2L) // snapshot 2 = 100 + 200 appended rows
-    assert(spark.sql("SELECT count(*) FROM graft_tags.t VERSION AS OF '20240110'")
-      .head().getLong(0) == 300)
-    t.dropTag("20240110")
+    // ALL-DIGIT ref names are rejected at creation (ADVICE r05): a tag
+    // '20240110' would shadow snapshot-id resolution and silently change
+    // the meaning of existing numeric VERSION AS OF queries
+    intercept[IllegalArgumentException] { t.tag("20240110", 2L) }
+    assert(spark.sql("SELECT count(*) FROM graft_tags.t VERSION AS OF 2")
+      .head().getLong(0) == 300, "numeric namespace stays snapshot ids")
     // retention: expire keeps the tagged snapshot alive
     t.expireSnapshots(1)
     assert(t.meta.snapshots.map(_.id).toSet == Set(1L, 3L), "tag pins snapshot 1")

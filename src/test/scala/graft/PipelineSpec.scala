@@ -329,8 +329,12 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     try {
       spark.conf.set(key, "-1")
-      val df = queries.Text.textLmScore(spark, sf)
+      // the PRE-checkpoint plan: textLmScore materializes through
+      // localCheckpoint (to release its pin), which hides the joins
+      // behind an RDD scan — the strategy assertion needs the real plan
+      val (df, docs) = queries.Text.lmScorePlan(spark, sf)
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      docs.unpersist(blocking = false)
       assert(got == baseline, "join strategy must not change the scores")
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
