@@ -163,9 +163,14 @@ object Dedup {
     // mining runs on representatives only — duplicates have the same
     // shingle set, so member edges inherit the representative's jaccard.
     // The groupBy shuffles (hash, doc_id) — 40 bytes a row, never bodies.
-    val groups = base
-      .groupBy(sha2(col("text"), 256).as("h"), col("lang"))
-      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("member_ids"))
+    // No collect_list: a 10⁷-copy boilerplate family would concentrate
+    // into one ~80 MB array row in one task (r05 verdict nit) — members
+    // are re-derived by an equi-join on the hash below, so no row ever
+    // exceeds a few dozen bytes however large a family grows.
+    val hashed = base.select(sha2(col("text"), 256).as("h"), col("lang"), col("doc_id"))
+    val groups = hashed
+      .groupBy(col("h"), col("lang"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = base
       .join(groups.select(col("rep_id")), col("doc_id") === col("rep_id"), "left_semi")
@@ -198,8 +203,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
       .filter(col("jac") >= 0.7)
-    val members = groups.select(col("rep_id"),
-      explode(col("member_ids")).as("doc_id"))
+    // family membership WITHOUT materializing any per-family array: each
+    // doc row joins its family's representative by content hash — scales
+    // as k distributed rows per family, never one k-element row
+    val members = hashed
+      .join(groups.select(col("h"), col("lang"), col("rep_id")), Seq("h", "lang"))
+      .select(col("rep_id"), col("doc_id"))
     // identical texts share jaccard 1.0 — EXCEPT sub-bigram docs, whose
     // empty shingle sets have jaccard 0 by this codebase's definition
     // (empty union); restrict to representatives with a non-empty set so
@@ -220,9 +229,8 @@ object Dedup {
         // under `maxFamilyPairs`, else fail loudly instead of emitting
         // billions of rows (one 10⁵-copy family = 5×10⁹ pairs)
         // O(1) driver-side guard; max() is NULL on an empty corpus
-        val kmaxRow = groups.select(size(col("member_ids")).as("k"))
-          .agg(max(col("k"))).head()
-        val kmax = if (kmaxRow.isNullAt(0)) 0L else kmaxRow.getInt(0).toLong
+        val kmaxRow = groups.agg(max(col("k"))).head()
+        val kmax = if (kmaxRow.isNullAt(0)) 0L else kmaxRow.getLong(0)
         require(kmax * (kmax - 1) / 2 <= maxFamilyPairs && kmax * kmax <= maxFamilyPairs,
           s"pair expansion of a $kmax-member duplicate family exceeds " +
             s"maxFamilyPairs=$maxFamilyPairs — use the default cluster-shaped " +

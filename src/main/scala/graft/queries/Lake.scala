@@ -497,21 +497,36 @@ object Lake {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
   }
 
-  /** write.distribution-mode=hash: a partitioned append clusters each
-    * partition into one task before writing — one file per partition
-    * instead of tasks × partitions small files (Iceberg parity; at 1000
-    * executors × 1000 partitions the undistributed fan-out is 10⁶ files
-    * per commit). The entry hard-asserts the file count, the oracle
-    * checks the rows. */
+  /** write.distribution-mode=hash + write.target-file-size-bytes: a
+    * partitioned append clusters each partition's rows together (not
+    * tasks × partitions small files — at 1000 executors × 1000 partitions
+    * the undistributed fan-out is 10⁶ files per commit) AND rolls a new
+    * file every ~target bytes, so a skewed 100× partition splits into
+    * ceil(bytes/target) files instead of one multi-GB blob from one task
+    * (Iceberg parity, r05 verdict What's-wrong #5). The entry hard-asserts
+    * per-partition file counts against the ceil rule; the oracle checks
+    * the rows. */
   def lakeWriteDistribution(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).repartition(8)
+    val target = 64L * 1024
     val t = GraftTable.createEmpty(s, work(s, "write_dist", d), o.schema,
       partitionBy = Seq("o_orderstatus"), keyColumns = Nil,
-      properties = Map("write.distribution-mode" -> "hash"))
+      properties = Map("write.distribution-mode" -> "hash",
+        "write.target-file-size-bytes" -> target.toString))
     t.append(o)
-    val nParts = o.select("o_orderstatus").distinct().count()
-    require(t.meta.currentSnapshot.get.nDataFiles == nParts,
-      s"hash distribution should write $nParts files, wrote ${t.meta.currentSnapshot.get.nDataFiles}")
+    val byPart = t.meta.currentSnapshot.get.dataFiles
+      .groupBy(_.partitionValues("o_orderstatus"))
+    byPart.foreach { case (status, files) =>
+      val bytes = files.map(_.sizeBytes).sum
+      val want = math.max(1L, math.ceil(bytes.toDouble / target).toLong)
+      require(math.abs(files.length - want) <= 1,
+        s"partition $status: ${files.length} files for $bytes bytes, " +
+          s"want ceil($bytes/$target)=$want")
+      require(files.forall(_.sizeBytes <= target * 3 / 2),
+        s"partition $status: a file exceeds 1.5x the target size")
+    }
+    require(byPart.values.exists(_.length > 1),
+      "the target must actually split a partition into multiple files")
     statusAgg(t.scan())
   }
 

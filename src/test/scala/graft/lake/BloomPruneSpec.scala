@@ -117,6 +117,38 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(reb.scan().count() == o.count())
   }
 
+  test("write.target-file-size-bytes rolls partition files at the target") {
+    // r05 verdict What's-wrong #5: hash mode wrote exactly one file per
+    // partition — a skewed 100× partition became one multi-GB file from
+    // one task. With the target set, a partition splits into
+    // ceil(bytes/target) files, first-write (measure-and-rewrite) and
+    // seeded (table-stats ratio) paths alike.
+    val o = Tables.orders(spark, sf).repartition(8)
+    val target = 8L * 1024
+    val t = fresh("dist-target", o,
+      Map("write.distribution-mode" -> "hash",
+        "write.target-file-size-bytes" -> target.toString),
+      partitionBy = Seq("o_orderstatus"))
+    def checkSeq(seq: Long): Unit = {
+      val byPart = t.meta.currentSnapshot.get.dataFiles.filter(_.seq == seq)
+        .groupBy(_.partitionValues("o_orderstatus"))
+      assert(byPart.nonEmpty)
+      byPart.foreach { case (status, files) =>
+        val bytes = files.map(_.sizeBytes).sum
+        val want = math.max(1L, math.ceil(bytes.toDouble / target).toLong)
+        assert(math.abs(files.length - want) <= 1,
+          s"seq $seq partition $status: ${files.length} files for $bytes bytes, want $want")
+        assert(files.forall(_.sizeBytes <= target * 3 / 2),
+          s"seq $seq partition $status: file over 1.5x target")
+      }
+      assert(byPart.values.exists(_.length > 1), s"seq $seq: nothing split")
+    }
+    checkSeq(1L) // first write: no prior stats — self-corrected
+    t.append(o)  // second write: ratio seeded from the table's own stats
+    checkSeq(2L)
+    assert(t.scan().count() == 2 * o.count())
+  }
+
   test("rename keeps bloom pruning on old files via field-id mapping") {
     val o = Tables.orders(spark, sf).repartition(8)
     val t = fresh("rename", o, Map("write.bloom.columns" -> "o_orderkey"))
