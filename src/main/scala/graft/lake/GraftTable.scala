@@ -487,7 +487,7 @@ class GraftTable private (
     requireIncrementallyReadable(inRange, fromId, toId)
     val newFiles = inRange
       .filter(s => s.operation == "append" || s.operation == "upsert")
-      .flatMap(s => s.dataFiles.filter(_.seq == s.id))
+      .flatMap(s => s.dataFilesAt(s.id))
     if (newFiles.isEmpty) emptyDf(sch)
     else readFilesGrouped(sch, newFiles)
   }
@@ -555,7 +555,7 @@ class GraftTable private (
     requireIncrementallyReadable(snaps, fromId, toId)
     val frames = ArrayBuffer[DataFrame]()
     val newFiles = snaps.filter(s => Set("append", "upsert", "update")(s.operation))
-      .flatMap(s => s.dataFiles.filter(_.seq == s.id))
+      .flatMap(s => s.dataFilesAt(s.id))
     if (newFiles.nonEmpty)
       frames += readFilesGrouped(sch, newFiles).withColumn(ct, lit("insert"))
     // Delete reconstruction is folded over RUNS of consecutive pure-delete
@@ -568,7 +568,7 @@ class GraftTable private (
     // branch). update/upsert commits add data, which breaks the run — they
     // keep per-commit branches (their parent states genuinely differ).
     val runs = ArrayBuffer[ArrayBuffer[Snapshot]]()
-    for (s <- snaps if s.deleteFiles.exists(_.seq == s.id)) {
+    for (s <- snaps if s.deleteFilesAt(s.id).nonEmpty) {
       if (s.parentId >= 0) {
         require(m.snapshots.exists(_.id == s.parentId),
           s"cannot reconstruct CDC deletes of snapshot ${s.id}: parent " +
@@ -584,7 +584,7 @@ class GraftTable private (
     }
     for (run <- runs; base = run.head if base.parentId >= 0) {
       val parentSnap = m.snapshot(base.parentId)
-      val dels = run.flatMap(s => s.deleteFiles.filter(_.seq == s.id)).toSeq
+      val dels = run.flatMap(s => s.deleteFilesAt(s.id)).toSeq
       val (posDels, eqDels) = dels.partition(_.kindOr == "pos")
       if (eqDels.nonEmpty && m.keyColumns.nonEmpty) {
         val keys = spark.read
@@ -2026,6 +2026,9 @@ object GraftTable {
       if (m.size > maxEntries) m.clear()
       m.put(key, v)
     }
+    /** Test hook: force re-reads (e.g. after a destruction test deletes
+      * blobs from disk). Never needed in production — blobs are immutable. */
+    private[lake] def invalidateAll(): Unit = m.clear()
   }
   private[lake] val manifestCache = new BlobCache[Manifest]
   private[lake] val mlistCache = new BlobCache[ManifestList]

@@ -100,9 +100,20 @@ case class ManifestSummary(
     nData: Int,
     nDeletes: Int,
     bytes: Long,
-    partitionValues: Map[String, Seq[String]] = Map.empty) {
+    partitionValues: Map[String, Seq[String]] = Map.empty,
+    // sequence-number range over the manifest's data+delete entries —
+    // lets incremental/CDC reads of one commit skip manifests that
+    // cannot hold its files. Real seqs are >= 1; minSeq < 1 (absent
+    // field deserializes 0) or an inverted range means UNKNOWN → load.
+    minSeq: Long = 0L,
+    maxSeq: Long = -1L) {
   def pvals: Map[String, Seq[String]] =
     if (partitionValues == null) Map.empty else partitionValues
+
+  /** May this manifest hold entries of sequence `seq`? Conservative:
+    * unknown ranges answer true. */
+  def covers(seq: Long): Boolean =
+    minSeq < 1 || maxSeq < minSeq || (minSeq <= seq && seq <= maxSeq)
 }
 
 /** One snapshot's manifest list (metadata/ml-….json): ordered manifest
@@ -197,6 +208,38 @@ class Snapshot(
       }
       if (holding.isEmpty) Nil else resolver.manifests(holding).flatMap(_.deletes)
     } else loaded.flatMap(_.deletes)
+
+  /** Manifests whose summary seq-range covers `seq` (unknown → load). */
+  private def manifestsCovering(seq: Long): Seq[Manifest] = {
+    val paths = manifestEntries.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.covers(seq) => p
+    }
+    if (paths.isEmpty) Nil else resolver.manifests(paths)
+  }
+
+  /** Data files written at exactly sequence `seq` — the incremental/CDC
+    * read of one commit. Loads only seq-covering manifests, so a tailing
+    * consumer of a long-history table pays O(the commit's manifests),
+    * not O(the table's file inventory) per micro-batch. */
+  def dataFilesAt(seq: Long): Seq[DataFileMeta] =
+    manifestsCovering(seq).flatMap(_.data).filter(_.seq == seq)
+
+  /** Delete files written at exactly sequence `seq` (see dataFilesAt). */
+  def deleteFilesAt(seq: Long): Seq[DeleteFileMeta] =
+    manifestsCovering(seq).flatMap(_.deletes).filter(_.seq == seq)
+
+  /** Data files from manifests whose summary passes `keep`; entries
+    * without a summary always load (conservative). Callers prove their
+    * own `keep` sound — a skipped manifest's files must be irrelevant to
+    * the caller's computation. */
+  def dataFilesWhere(keep: ManifestSummary => Boolean): Seq[DataFileMeta] = {
+    val paths = manifestEntries.collect {
+      case (p, None) => p
+      case (p, Some(s)) if keep(s) => p
+    }
+    if (paths.isEmpty) Nil else resolver.manifests(paths).flatMap(_.data)
+  }
 }
 
 /** Reads manifest lists / manifests by table-relative path (impl caches —
@@ -313,7 +356,9 @@ object Meta {
       }
       if (ok) Some(c -> vs.toSeq.sorted) else None
     }.toMap
-    ManifestSummary(data.size, mf.deletes.size, bytes, pv)
+    val seqs = data.map(_.seq) ++ mf.deletes.map(_.seq)
+    val (lo, hi) = if (seqs.isEmpty) (0L, -1L) else (seqs.min, seqs.max)
+    ManifestSummary(data.size, mf.deletes.size, bytes, pv, lo, hi)
   }
 
   private val mapper = {

@@ -92,9 +92,37 @@ object AggPushdown {
     val snap = if (asOf >= 0) Some(m.snapshot(asOf)) else m.currentSnapshot
     // delete files make manifest row counts upper bounds, not answers
     if (snap.exists(_.nDeleteFiles > 0)) return None
-    val allFiles = snap.map(_.dataFiles).getOrElse(Nil)
+    // O(1) fast path: an unfiltered, ungrouped COUNT(*) is the snapshot's
+    // own running row count — zero manifest IO even on a million-file
+    // table (totalRows is exact: replace-list commits recompute it,
+    // append-style commits accumulate, MoR deletes refuse above)
+    if (filters.isEmpty && groupCols.isEmpty && aggs.nonEmpty &&
+        aggs.forall(_ == MCountStar))
+      return Some(Seq(
+        (Nil, aggs.map(_ => Left(snap.map(_.totalRows).getOrElse(0L))))))
     val idCols = identityCols(m.partitionColumns)
     if (!groupCols.forall(idCols.contains)) return None
+    // filter references must be identity partition columns — a
+    // file-independent requirement, checked before any manifest loads
+    if (!filters.forall(_.references.forall(r =>
+      !r.contains('.') && idCols.contains(r)))) return None
+
+    // MANIFEST-level pruning first: a summary lists every file's value
+    // for its columns, and `eval` is exact on identity partition values —
+    // so a manifest where some single-column filter is false for ALL
+    // listed values of its column provably contributes nothing, and the
+    // metadata walk skips it without IO. At a million files this keeps
+    // the partition-filtered COUNT a walk over the MATCHING partitions'
+    // manifests, not the table's whole inventory.
+    def summaryMayPass(s: graft.lake.ManifestSummary): Boolean =
+      s.pvals.forall { case (c, vs) =>
+        vs.isEmpty || vs.exists { v =>
+          val synth = DataFileMeta("", 0L, 1L, 0L, Map(c -> v), Map.empty)
+          filters.filter(_.references.forall(_ == c))
+            .forall(f => !eval(f, synth, sch).contains(false))
+        }
+      }
+    val allFiles = snap.map(_.dataFilesWhere(summaryMayPass)).getOrElse(Nil)
 
     // exact per-file filter evaluation: all-or-nothing per file
     val surviving = new scala.collection.mutable.ArrayBuffer[DataFileMeta]()
@@ -102,8 +130,6 @@ object AggPushdown {
       if (!groupCols.forall(df.partitionValues.contains)) return None
       var verdict: Option[Boolean] = Some(true)
       for (f <- filters if verdict.isDefined) {
-        if (!f.references.forall(r => !r.contains('.') && idCols.contains(r)))
-          return None
         eval(f, df, sch) match {
           case None => return None // undecidable → no pushdown at all
           case Some(v) => verdict = verdict.map(_ && v)

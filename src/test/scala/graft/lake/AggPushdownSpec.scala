@@ -74,6 +74,46 @@ class AggPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-filtered pushdown survives destruction of pruned MANIFESTS") {
+    // the metadata-plane analogue of the data-file destruction test: a
+    // partition-filtered metadata aggregate must consult ONLY the manifests
+    // whose summary can match the filter — deleting every other manifest
+    // from disk (and flushing the JVM blob cache) proves the walk is
+    // O(matching partitions' manifests), not O(table inventory)
+    val sp = spark; import sp.implicits._
+    def part(p: String, from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, p)).toDF("id", "p")
+    val t = freshTable("mfdestroyed", part("a", 0, 40), partitionBy = Seq("p"))
+    t.append(part("b", 100, 40))
+    t.append(part("c", 200, 40))
+    val entries = t.meta.currentSnapshot.get.manifestEntries
+    assert(entries.size == 3 && entries.forall(_._2.isDefined))
+    val fs = new Path(t.location).getFileSystem(spark.sessionState.newHadoopConf())
+    val doomed = entries.collect {
+      case (rel, Some(s)) if !s.pvals("p").contains("b") => rel
+    }
+    assert(doomed.size == 2, s"expected 2 non-b manifests, got ${doomed.size}")
+    doomed.foreach(rel => assert(fs.delete(new Path(t.location, rel), false)))
+    GraftTable.manifestCache.invalidateAll()
+    val got = spark.sql(
+      s"SELECT count(*) AS n, max(id) AS mx FROM $cat.mfdestroyed WHERE p = 'b'")
+    assert(!hasAggregate(got), "aggregate should be answered from metadata")
+    val g = got.head()
+    assert(g.getLong(0) == 40L && g.getLong(1) == 139L)
+    // unfiltered COUNT(*) takes the O(1) snapshot-totalRows path: it
+    // answers with ZERO manifest IO even though two manifests are gone
+    GraftTable.manifestCache.invalidateAll()
+    val all = spark.sql(s"SELECT count(*) AS n FROM $cat.mfdestroyed")
+    assert(!hasAggregate(all))
+    assert(all.head().getLong(0) == 120L)
+    // an unfiltered MIN genuinely needs the destroyed manifests — loud
+    // failure, proving the filtered agg was saved by summary pruning
+    GraftTable.manifestCache.invalidateAll()
+    intercept[Throwable] {
+      spark.sql(s"SELECT min(id) AS m FROM $cat.mfdestroyed").head()
+    }
+  }
+
   test("MoR deletes disable pushdown; result stays correct") {
     val o = Tables.orders(spark, sf)
     val t = freshTable("withdel", o, keyColumns = Seq("o_orderkey"))

@@ -232,6 +232,26 @@ class ManifestSpec extends AnyFunSuite {
       t.scan().filter(col("p") === "b").agg(sum("id")).head().getLong(0))
   }
 
+  test("incremental reads load only seq-covering manifests") {
+    val sp = spark; import sp.implicits._
+    val loc = freshDir("manifest-seqrange")
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, 1L)).toDF("id", "v"), keyColumns = Seq("id"))
+    (2L to 6L).foreach(i => t.append(Seq((i, i)).toDF("id", "v")))
+    val entries = t.meta.currentSnapshot.get.manifestEntries
+    assert(entries.length == 6 && entries.forall(_._2.isDefined))
+    // each per-commit manifest covers exactly its own sequence — a
+    // tailing changes()/cdc() consumer of commit k loads ONE manifest,
+    // not the table's whole inventory
+    (1L to 6L).foreach { seq =>
+      assert(entries.count(_._2.exists(_.covers(seq))) == 1,
+        s"seq $seq should be covered by exactly one manifest")
+    }
+    assert(t.changes(2L, 3L).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // unknown ranges (pre-seq-summary metadata) stay conservative
+    assert(ManifestSummary(1, 0, 10L).covers(5L), "absent range must load")
+  }
+
   test("small MoR delete bin-packs to a single shard under the default target") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("delete-binpack"), o,
