@@ -675,18 +675,11 @@ class GraftTable private (
     * would drop data. foreachBatch calls are serialized per query, so
     * check-then-commit here is race-free. */
   def appendStreamBatch(df: DataFrame, batchId: Long, queryId: String = "default"): Long = {
-    val key = s"stream.$queryId.lastBatchId"
     val m = refresh()
-    val last = m.props.get(key)
-      // migration: tables ingested before per-query tracking kept one
-      // table-wide key — honor it for the default query so a replayed
-      // batch on an upgraded table is still a no-op
-      .orElse(if (queryId == "default") m.props.get("stream.lastBatchId") else None)
-      .map(_.toLong).getOrElse(-1L)
-    if (batchId == last) return m.currentSnapshotId // replay → idempotent skip
-    require(batchId > last,
-      s"batchId $batchId < last committed $last for stream query '$queryId': " +
-        "the checkpoint was reset — re-ingest under a new queryId")
+    val key = streamBatchKey(m, batchId, queryId) match {
+      case None => return m.currentSnapshotId // replay → idempotent skip
+      case Some(k) => k
+    }
     val seq = nextId(m)
     val newFiles = writeDataFiles(align(df, schema), seq)
     val snap = commitRetrying(m, "append", seq, newFiles, Nil, MergeAny,
@@ -697,6 +690,66 @@ class GraftTable private (
     // history without operator discipline. The batch is already durably
     // committed; a maintenance failure (e.g. a racing writer aborting
     // compact's ReplaceExact) must not kill the stream, so it only warns.
+    inlineMaintain(batchId)
+    snap
+  }
+
+  /** Exactly-once streaming-sink UPSERT — the keyed (CDC-style) ingest
+    * topology: each micro-batch's rows replace same-key table rows and
+    * insert otherwise, as ONE MoR upsert commit per batch (equality
+    * delete of the batch's key set + append; write amplification
+    * O(|batch|), never O(table)). Same per-(query, batchId) idempotence
+    * protocol as [[appendStreamBatch]]. "Latest record per key wins"
+    * ACROSS batches because a later commit's delete applies to every
+    * earlier seq; WITHIN a batch, both versions carry the same seq and
+    * both survive — reduce the batch to one row per key first if the
+    * source can repeat keys inside one trigger. */
+  def upsertStreamBatch(df: DataFrame, batchId: Long, queryId: String = "default"): Long = {
+    val m = refresh()
+    val key = streamBatchKey(m, batchId, queryId) match {
+      case None => return m.currentSnapshotId // replay → idempotent skip
+      case Some(k) => k
+    }
+    require(m.keyColumns.nonEmpty, "MoR stream upsert needs keyColumns")
+    val seq = nextId(m)
+    val aligned = align(df, schema)
+    val newFiles = writeDataFiles(aligned, seq)
+    val delFile = writeDeleteFile(
+      aligned.select(m.keyColumns.map(col): _*).distinct(), seq)
+    val snap = commitRetrying(m, "upsert", seq, newFiles, delFile, MergeAny,
+      propUpdates = Map(key -> batchId.toString))
+    inlineMaintain(batchId)
+    snap
+  }
+
+  /** Shared idempotence gate for the streaming sinks: Some(propKey) →
+    * proceed and record `propKey -> batchId` in the commit; None → this
+    * batchId already committed (Structured Streaming replay), skip. */
+  private def streamBatchKey(
+      m: TableMetadata, batchId: Long, queryId: String): Option[String] = {
+    val key = s"stream.$queryId.lastBatchId"
+    val last = m.props.get(key)
+      // migration: tables ingested before per-query tracking kept one
+      // table-wide key — honor it for the default query so a replayed
+      // batch on an upgraded table is still a no-op
+      .orElse(if (queryId == "default") m.props.get("stream.lastBatchId") else None)
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId == last) None
+    else {
+      require(batchId > last,
+        s"batchId $batchId < last committed $last for stream query '$queryId': " +
+          "the checkpoint was reset — re-ingest under a new queryId")
+      Some(key)
+    }
+  }
+
+  /** `maintain.every-batches` = N: run property-driven maintain() every
+    * N batches INSIDE the sink — a one-commit-per-micro-batch stream is
+    * exactly the workload that grows unbounded small files and snapshot
+    * history without operator discipline. The batch is already durably
+    * committed; a maintenance failure (e.g. a racing writer aborting
+    * compact's ReplaceExact) must not kill the stream, so it only warns. */
+  private def inlineMaintain(batchId: Long): Unit =
     meta.props.get("maintain.every-batches").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { n =>
         if (batchId % n == n - 1)
@@ -705,8 +758,6 @@ class GraftTable private (
             System.err.println(s"[graft] inline maintain() after batch $batchId skipped: $e")
           }
       }
-    snap
-  }
 
   /** Partition evolution: later appends use the new partition spec; files
     * already written keep their old layout and stay scannable (partition

@@ -149,6 +149,55 @@ object Stream {
     t.scan().groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming keyed UPSERT into the lake — the CDC-style ingest topology
+    * where later micro-batches REPLACE earlier rows by key ("latest
+    * record per key wins"): batch 0 delivers the full events feed,
+    * batch 1 re-delivers every 5th event with a corrected event_type,
+    * and each batch lands as ONE MoR upsert commit via
+    * `upsertStreamBatch` (equality-delete of the batch's key set +
+    * append — O(|batch|) write amplification, never O(table), with the
+    * same per-(query,batchId) exactly-once protocol as the append sink).
+    * Batch order is pinned by explicit file modification times: the file
+    * source schedules oldest-first under maxFilesPerTrigger=1, and upsert
+    * order matters (append order doesn't). The final table state must
+    * equal "events with the corrections applied" — the oracle. */
+  def streamLakeUpsert(s: SparkSession, d: String): DataFrame = {
+    val sfTag = d.replaceAll(".*/", "")
+    val work = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake")
+    val stage = s"$work/stream-lakeupsert-in-$sfTag"
+    val tableLoc = s"$work/stream-lakeupsert-table-$sfTag"
+    val fs = new Path(work).getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new Path(stage), true)
+    fs.delete(new Path(tableLoc), true)
+    val ev = graft.Tables.events(s, d)
+    def stageBatch(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val tmp = new Path(s"$stage-tmp-$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.mkdirs(new Path(stage))
+      val dst = new Path(stage, f"batch-$n%05d.parquet")
+      require(fs.rename(part, dst), s"staging rename failed for $dst")
+      fs.setTimes(dst, 1000000L * (n + 1), -1) // oldest-first scheduling
+      fs.delete(tmp, true)
+    }
+    stageBatch(ev, 0)
+    stageBatch(ev.filter(col("event_id") % 5 === 0)
+      .withColumn("event_type", lit("corrected")), 1)
+    val t = graft.lake.GraftTable.create(s, tableLoc, ev.limit(0),
+      keyColumns = Seq("event_id"))
+    val q = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => t.upsertStreamBatch(batch, id); () }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    t.scan().groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming exact dedup: dropDuplicates on (lang, sha2(text)) as the
     * documents stream in, then a per-lang distinct-text count. State is one
     * 32-byte digest per distinct key, partitioned by key — the streaming
@@ -312,6 +361,7 @@ object Stream {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_lake_sink" -> (streamLakeSink _),
+    "stream_lake_upsert" -> (streamLakeUpsert _),
     "stream_lake_source" -> (streamLakeSource _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
@@ -348,6 +398,11 @@ object Stream {
          FROM per_sess GROUP BY user_id""",
     "stream_lake_sink" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "stream_lake_upsert" ->
+      """SELECT CASE WHEN event_id % 5 = 0 THEN 'corrected' ELSE event_type END
+                  AS event_type,
+                count(*) AS n
+         FROM events GROUP BY 1""",
     "stream_lake_source" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "stream_lake_cdc" ->

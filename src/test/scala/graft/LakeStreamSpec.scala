@@ -42,6 +42,39 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(t.property("stream.default.lastBatchId").contains("2"))
   }
 
+  test("stream_lake_upsert: later batches replace rows by key, exactly-once") {
+    val agg = streaming.Stream.streamLakeUpsert(spark, sf)
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // oracle shape: the corrected rows moved type, nothing was lost
+    val want = Tables.events(spark, sf)
+      .withColumn("event_type",
+        when(col("event_id") % 5 === 0, lit("corrected")).otherwise(col("event_type")))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val sfTag = sf.replaceAll(".*/", "")
+    val t = lake.GraftTable.load(spark,
+      s"/root/repo/target/graft-lake/stream-lakeupsert-table-$sfTag")
+    // create (empty) + 2 micro-batch upserts, delivered in staged order
+    assert(t.meta.snapshots.map(_.operation) == Seq("append", "upsert", "upsert"))
+    // row count proves replace-not-duplicate: re-delivered keys were
+    // swallowed by their batch's equality delete
+    val total = Tables.events(spark, sf).count()
+    assert(t.scan().count() == total)
+    // exactly-once: a replayed batchId is a no-op for the upsert sink too
+    assert(t.property("stream.default.lastBatchId").contains("1"))
+    val snaps = t.meta.snapshots.length
+    val replayed = t.upsertStreamBatch(
+      Tables.events(spark, sf).limit(10), 1L)
+    assert(replayed == t.meta.currentSnapshotId)
+    assert(t.meta.snapshots.length == snaps, "replayed batch must not commit")
+    assert(t.scan().count() == total)
+    // a reset checkpoint (batchId below last committed) fails loudly
+    intercept[IllegalArgumentException] {
+      t.upsertStreamBatch(Tables.events(spark, sf).limit(10), 0L)
+    }
+  }
+
   test("maintain.every-batches compacts inside the sink; bounded files and history") {
     val loc = "/root/repo/target/graft-lake-test/stream-maintain"
     val p = new org.apache.hadoop.fs.Path(loc)
