@@ -136,19 +136,32 @@ object FilePruner {
       pvals: Map[String, Seq[String]],
       predicate: Expression,
       partitionColumns: Seq[String],
-      schema: StructType): Boolean = {
-    if (pvals.isEmpty) return true
+      schema: StructType,
+      rangeStats: Map[String, ColStats] = Map.empty,
+      rows: Long = -1L): Boolean = {
+    if (pvals.isEmpty && rangeStats.isEmpty) return true
     val expr =
       try normalize(predicate)
       catch { case _: Throwable => return true }
     val transforms =
       try PartitionTransforms.parseAll(partitionColumns)
       catch { case _: Throwable => return true }
-    pvals.forall { case (dirName, values) =>
+    val pvalsOk = pvals.forall { case (dirName, values) =>
       values.isEmpty || values.exists { v =>
         val synth = DataFileMeta("", 0L, 1L, 0L, Map(dirName -> v), Map.empty)
         mayMatch(synth, expr, transforms, schema, SameName, NoBloom)
       }
+    }
+    if (!pvalsOk) return false
+    // column-range evidence: ONE synthetic file carrying the manifest's
+    // folded min/max/null bounds (keyed by CURRENT column name — the
+    // caller resolved field ids) walks the same conservative file-level
+    // logic; a false here proves no file in the manifest can match.
+    // rows <= 0 = unknown total → never prunes on IS NOT NULL.
+    rangeStats.isEmpty || {
+      val synth = DataFileMeta("", 0L,
+        if (rows > 0) rows else Long.MaxValue, 0L, Map.empty, rangeStats)
+      mayMatch(synth, expr, transforms, schema, SameName, NoBloom)
     }
   }
 

@@ -139,10 +139,12 @@ class GraftTable private (
       snap: Snapshot,
       predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
     val entries = snap.manifestEntries
+    val idCols = rangeColsOf(m)
     val toLoad = predicate match {
       case Some(e) => entries.filter {
         case (_, Some(s)) =>
-          FilePruner.manifestMayMatch(s.pvals, e, m.partitionColumns, sch)
+          FilePruner.manifestMayMatch(s.pvals, e, m.partitionColumns, sch,
+            rangeStatsByName(idCols, s), s.rows)
         case (_, None) => true // pre-summary list: no evidence, load
       }
       case None => entries
@@ -165,16 +167,35 @@ class GraftTable private (
       case None => (0, 0)
       case Some(s) =>
         val entries = s.manifestEntries
+        val idCols = rangeColsOf(m)
         val loaded = exprOf(filter) match {
           case Some(e) => entries.count {
             case (_, Some(sum)) =>
-              FilePruner.manifestMayMatch(sum.pvals, e, m.partitionColumns, schema)
+              FilePruner.manifestMayMatch(sum.pvals, e, m.partitionColumns,
+                schema, rangeStatsByName(idCols, sum), sum.rows)
             case (_, None) => true
           }
           case None => entries.length
         }
         (loaded, entries.length)
     }
+  }
+
+  /** (current column name, field id) pairs of the table's CURRENT schema
+    * epoch — the key domain of [[ManifestSummary.columnRanges]]. */
+  private[lake] def rangeColsOf(m: TableMetadata): Seq[(String, Int)] = {
+    val cur = m.epochs.last
+    StructType.fromDDL(cur.ddl).fieldNames.toSeq.zip(cur.ids)
+  }
+
+  /** Resolve a summary's field-id-keyed column ranges to CURRENT column
+    * names for the predicate walk. A current column whose id is absent
+    * from the summary simply has no evidence (conservative keep). */
+  private def rangeStatsByName(
+      idCols: Seq[(String, Int)], s: ManifestSummary): Map[String, ColStats] = {
+    val r = s.ranges
+    if (r.isEmpty) Map.empty
+    else idCols.flatMap { case (n, id) => r.get(id.toString).map(n -> _) }.toMap
   }
 
   /** Stats in a file are keyed by the PHYSICAL column names of its schema
@@ -1651,11 +1672,12 @@ class GraftTable private (
             // after, so the backfill cost is paid a single time per table
             case (path, None) =>
               val mf = resolver.manifest(path)
-              path -> Meta.summarize(mf, Meta.toJson(mf).length.toLong)
+              path -> Meta.summarize(mf, Meta.toJson(mf).length.toLong,
+                rangeColsOf(base), statNameFor(base))
           }).getOrElse(Nil)
         val withNew =
           if (newData.isEmpty && newDeletes.isEmpty) inherited
-          else inherited :+ writeManifestFile(Manifest(newData, newDeletes))
+          else inherited :+ writeManifestFile(base, Manifest(newData, newDeletes))
         val packed = binPackManifests(base, withNew)
         writeManifestListFile(ManifestList(packed.map(_._1), packed.map(_._2)))
     }
@@ -1718,17 +1740,20 @@ class GraftTable private (
       if (bin.length < minCount) bin
       else {
         val mfs = resolver.manifests(bin.map(_._1).toSeq)
-        Seq(writeManifestFile(Manifest(mfs.flatMap(_.data), mfs.flatMap(_.deletes))))
+        Seq(writeManifestFile(base,
+          Manifest(mfs.flatMap(_.data), mfs.flatMap(_.deletes))))
       }
     }.toSeq
   }
 
-  private def writeManifestFile(mf: Manifest): (String, ManifestSummary) = {
+  private def writeManifestFile(
+      m: TableMetadata, mf: Manifest): (String, ManifestSummary) = {
     val rel = s"metadata/mf-${java.util.UUID.randomUUID.toString.take(12)}.json"
     val json = Meta.toJson(mf)
     writeSmallFile(rel, json)
     GraftTable.manifestCache.put(s"$location/$rel", mf)
-    (rel, Meta.summarize(mf, json.length.toLong))
+    (rel, Meta.summarize(mf, json.length.toLong,
+      rangeColsOf(m), statNameFor(m)))
   }
 
   private def writeManifestListFile(ml: ManifestList): String = {

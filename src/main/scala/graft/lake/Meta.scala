@@ -106,9 +106,21 @@ case class ManifestSummary(
     // cannot hold its files. Real seqs are >= 1; minSeq < 1 (absent
     // field deserializes 0) or an inverted range means UNKNOWN → load.
     minSeq: Long = 0L,
-    maxSeq: Long = -1L) {
+    maxSeq: Long = -1L,
+    // folded per-column min/max/null bounds over the manifest's DATA
+    // files, keyed by FIELD ID as a string (rename-proof: a dropped-and-
+    // re-added column's new id misses every old summary → conservative
+    // load; cf. Iceberg's manifest-list lower_bounds/upper_bounds). A
+    // column is present only when EVERY data file carries a comparable
+    // stat for it under its schema epoch. `rows` = total data rows;
+    // <= 0 (absent field deserializes 0) means UNKNOWN.
+    columnRanges: Map[String, ColStats] = Map.empty,
+    rows: Long = -1L) {
   def pvals: Map[String, Seq[String]] =
     if (partitionValues == null) Map.empty else partitionValues
+
+  def ranges: Map[String, ColStats] =
+    if (columnRanges == null) Map.empty else columnRanges
 
   /** May this manifest hold entries of sequence `seq`? Conservative:
     * unknown ranges answer true. */
@@ -340,7 +352,9 @@ object Meta {
     * count stays under [[SummaryValueCap]] — the summary must be a sound
     * over-approximation of the manifest's contents or skipping would
     * drop rows. */
-  def summarize(mf: Manifest, bytes: Long): ManifestSummary = {
+  def summarize(mf: Manifest, bytes: Long,
+      rangeCols: Seq[(String, Int)] = Nil,
+      statKey: (DataFileMeta, String) => String = (_, n) => n): ManifestSummary = {
     val data = mf.data
     val cols: Seq[String] =
       data.headOption.map(_.partitionValues.keys.toSeq.sorted).getOrElse(Nil)
@@ -358,7 +372,75 @@ object Meta {
     }.toMap
     val seqs = data.map(_.seq) ++ mf.deletes.map(_.seq)
     val (lo, hi) = if (seqs.isEmpty) (0L, -1L) else (seqs.min, seqs.max)
-    ManifestSummary(data.size, mf.deletes.size, bytes, pv, lo, hi)
+    val ranges =
+      if (data.isEmpty) Map.empty[String, ColStats]
+      else rangeCols.flatMap { case (name, id) =>
+        foldRange(data, name, statKey).map(id.toString -> _)
+      }.toMap
+    ManifestSummary(data.size, mf.deletes.size, bytes, pv, lo, hi,
+      ranges, data.map(_.rowCount).sum)
+  }
+
+  /** Longest string bound recorded in a manifest range — longer text
+    * bounds are dropped (conservative) instead of bloating the manifest
+    * list (Iceberg truncates bounds to 16 bytes; dropping avoids the
+    * round-up subtlety of truncating an upper bound). */
+  val RangeStringCap = 64
+
+  /** Fold one column's per-file stats into a manifest-wide bound.
+    * None (column omitted from the summary → manifest always loads) when
+    * any data file lacks the stat under its epoch's key, tags disagree
+    * (e.g. a type widen changed the comparison domain), a bound fails to
+    * parse in its own tag domain, or a string bound is non-ASCII (parquet
+    * min/max use unsigned byte order; Java compareTo agrees only on
+    * ASCII) or over [[RangeStringCap]]. Files whose bounds are absent
+    * (all-NULL column chunk) contribute only their null count — sound:
+    * such files can never satisfy a comparison on the column anyway. */
+  private def foldRange(
+      data: Seq[DataFileMeta],
+      name: String,
+      statKey: (DataFileMeta, String) => String): Option[ColStats] = {
+    var tag: String = null
+    var lo: String = null
+    var hi: String = null
+    var nulls = 0L
+    val it = data.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      f.stats.get(statKey(f, name)) match {
+        case None => return None
+        case Some(st) =>
+          if (tag == null) tag = st.tag else if (tag != st.tag) return None
+          nulls += st.nulls
+          if (st.min != null && st.max != null) {
+            if (!rangeComparable(tag, st.min) || !rangeComparable(tag, st.max))
+              return None
+            if (lo == null || statCompare(tag, st.min, lo).exists(_ < 0)) lo = st.min
+            if (hi == null || statCompare(tag, st.max, hi).exists(_ > 0)) hi = st.max
+          }
+      }
+    }
+    if (tag == null || lo == null || hi == null) None
+    else Some(ColStats(tag, lo, hi, nulls))
+  }
+
+  private def rangeComparable(tag: String, v: String): Boolean = tag match {
+    case "l" => v.toLongOption.isDefined
+    case "d" => v.toDoubleOption.isDefined
+    case "c" => try { BigDecimal(v); true } catch { case _: Throwable => false }
+    case "s" => v.length <= RangeStringCap && v.forall(_ <= 127)
+    case _ => false
+  }
+
+  private def statCompare(tag: String, a: String, b: String): Option[Int] = tag match {
+    case "l" => for (x <- a.toLongOption; y <- b.toLongOption)
+      yield java.lang.Long.compare(x, y)
+    case "d" => for (x <- a.toDoubleOption; y <- b.toDoubleOption)
+      yield java.lang.Double.compare(x, y)
+    case "c" => try Some(BigDecimal(a).compare(BigDecimal(b)))
+      catch { case _: Throwable => None }
+    case "s" => Some(a.compareTo(b))
+    case _ => None
   }
 
   private val mapper = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
-import graft.lake.{ColStats, DataFileMeta, GraftTable, Meta, PIdentity, PartitionTransforms}
+import graft.lake.{ColStats, DataFileMeta, GraftTable, ManifestSummary, Meta, PIdentity, PartitionTransforms, Snapshot, TableMetadata}
 
 /** Metadata-only aggregate evaluation for the DSv2 scan: answers
   * `COUNT(*) / COUNT(col) / MIN(col) / MAX(col)` from manifest stats and
@@ -100,6 +100,15 @@ object AggPushdown {
         aggs.forall(_ == MCountStar))
       return Some(Seq(
         (Nil, aggs.map(_ => Left(snap.map(_.totalRows).getOrElse(0L))))))
+    // ZERO-manifest-IO fast path (r06): unfiltered, ungrouped MIN / MAX /
+    // COUNT(col) answered from the manifest-list column-range summaries
+    // alone — min over folded per-manifest mins IS the table min, and
+    // rows − folded null count IS COUNT(col). Falls through to the
+    // manifest walk when any summary or range is missing (old metadata,
+    // epoch mismatch, partition columns absent from data files).
+    if (filters.isEmpty && groupCols.isEmpty && aggs.nonEmpty)
+      snap.flatMap(s => aggsFromSummaries(table, m, s, aggs, sch)).foreach(
+        vs => return Some(Seq((Nil, vs))))
     val idCols = identityCols(m.partitionColumns)
     if (!groupCols.forall(idCols.contains)) return None
     // filter references must be identity partition columns — a
@@ -154,6 +163,61 @@ object AggPushdown {
       key -> aggsOf(files, aggs, idCols, statName, sch).getOrElse(return None)
     }
     Some(out)
+  }
+
+  /** Unfiltered, ungrouped aggregates from manifest-list summaries alone
+    * (zero manifest IO). None → caller falls back to the manifest walk.
+    * Exactness: every manifest must carry a summary; a column agg needs
+    * the column's folded range in every data-holding summary (the fold
+    * itself required every file to have a comparable stat). MIN/MAX read
+    * the folded bounds (all-NULL files contributed no bound — they have
+    * no values to win); COUNT(col) = Σ(rows − nulls), refusing rows ≤ 0
+    * (pre-r06 summaries deserialize rows = 0 — unknown, not empty). */
+  private def aggsFromSummaries(
+      table: GraftTable,
+      m: TableMetadata,
+      snap: Snapshot,
+      aggs: Seq[MetaAgg],
+      sch: StructType): Option[Seq[MetaValue]] = {
+    val sums = new scala.collection.mutable.ArrayBuffer[ManifestSummary]()
+    for ((_, so) <- snap.manifestEntries) so match {
+      case Some(s) => if (s.nData > 0) sums += s
+      case None => return None // pre-summary manifest list
+    }
+    val idByName = table.rangeColsOf(m).toMap
+    def ranges(name: String): Option[Seq[ColStats]] =
+      idByName.get(name).flatMap { id =>
+        val k = id.toString
+        val rs = sums.flatMap(s => s.ranges.get(k))
+        if (rs.length == sums.length) Some(rs.toSeq) else None
+      }
+    val values = new scala.collection.mutable.ArrayBuffer[MetaValue]()
+    for (a <- aggs) a match {
+      case MCountStar =>
+        if (sums.exists(_.rows <= 0)) return None
+        values += Left(sums.map(_.rows).sum)
+      case MCount(name) =>
+        if (sums.exists(_.rows <= 0)) return None
+        val rs = ranges(name).getOrElse(return None)
+        values += Left(sums.map(_.rows).sum - rs.map(_.nulls).sum)
+      case mm @ (MMin(_) | MMax(_)) =>
+        val isMin = mm.isInstanceOf[MMin]
+        val name = mm match { case MMin(c) => c; case MMax(c) => c; case _ => "" }
+        val dt = sch.find(_.name == name).map(_.dataType).getOrElse(return None)
+        if (!minMaxSafe(dt)) return None
+        val rs = ranges(name).getOrElse(return None)
+        var acc: Option[BigDecimal] = None
+        for (st <- rs) {
+          val v = statValue(st, if (isMin) st.min else st.max, dt)
+            .getOrElse(return None)
+          acc = acc match {
+            case Some(x) => Some(if (isMin == (v < x)) v else x)
+            case None => Some(v)
+          }
+        }
+        values += Right((dt, acc))
+    }
+    Some(values.toSeq)
   }
 
   /** Aggregates over ONE file bucket. */

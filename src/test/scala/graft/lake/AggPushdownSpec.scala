@@ -106,11 +106,21 @@ class AggPushdownSpec extends AnyFunSuite {
     val all = spark.sql(s"SELECT count(*) AS n FROM $cat.mfdestroyed")
     assert(!hasAggregate(all))
     assert(all.head().getLong(0) == 120L)
-    // an unfiltered MIN genuinely needs the destroyed manifests — loud
-    // failure, proving the filtered agg was saved by summary pruning
+    // unfiltered MIN/MAX/COUNT(col) answer from the manifest-list COLUMN
+    // RANGE summaries with zero manifest IO (r06) — even with two
+    // manifests destroyed
+    GraftTable.manifestCache.invalidateAll()
+    val mm = spark.sql(
+      s"SELECT min(id) AS mn, max(id) AS mx, count(id) AS n FROM $cat.mfdestroyed")
+    assert(!hasAggregate(mm))
+    val r = mm.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 239L && r.getLong(2) == 120L)
+    // GROUP BY genuinely needs per-file partition values — loud failure,
+    // proving the aggregates above never touched the destroyed manifests
     GraftTable.manifestCache.invalidateAll()
     intercept[Throwable] {
-      spark.sql(s"SELECT min(id) AS m FROM $cat.mfdestroyed").head()
+      spark.sql(
+        s"SELECT p, count(*) AS n FROM $cat.mfdestroyed GROUP BY p").collect()
     }
   }
 

@@ -219,9 +219,11 @@ class ManifestSpec extends AnyFunSuite {
       s"filter p='b' must load 1 manifest via summaries, loaded $loadedB")
     assert(t.planFiles(Some(col("p") === "b")).forall(_.partitionValues("p") == "b"))
     assert(t.scan(Some(col("p") === "b")).count() == 50)
-    // range predicate prunes through the summary's typed comparison
+    // r06: the summaries also fold per-column min/max bounds, so a
+    // NON-partition predicate over these disjoint per-commit id ranges
+    // now provably needs one manifest (was 3 before column ranges)
     val (loadedId, _) = t.planManifestCounts(Some(col("id") >= 200))
-    assert(loadedId == 3, "non-partition predicate must not skip manifests")
+    assert(loadedId == 1, "column-range summary should skip non-matching manifests")
     // deletes still apply when their manifest is data-skipped: the delete
     // commit's manifest holds no b-data, but its equality keys hit b rows
     t.delete(col("id") === 110L)
@@ -250,6 +252,41 @@ class ManifestSpec extends AnyFunSuite {
     assert(t.changes(2L, 3L).collect().map(_.getLong(0)).toSeq == Seq(3L))
     // unknown ranges (pre-seq-summary metadata) stay conservative
     assert(ManifestSummary(1, 0, 10L).covers(5L), "absent range must load")
+  }
+
+  test("column-range summaries prune manifests for stats filters, rename-proof") {
+    val sp = spark; import sp.implicits._
+    def chunk(from: Long, n: Long) =
+      (from until from + n).map(i => (i, s"u$i")).toDF("id", "name")
+    val t = GraftTable.create(spark, freshDir("manifest-colrange"), chunk(0, 100))
+    t.append(chunk(100, 100))
+    t.append(chunk(200, 100))
+    val entries = t.meta.currentSnapshot.get.manifestEntries
+    assert(entries.length == 3 && entries.forall(_._2.isDefined))
+    assert(entries.forall(_._2.exists(_.ranges.nonEmpty)),
+      "summaries must fold per-column bounds")
+    // an UNPARTITIONED table still plans O(matching manifests) when the
+    // filter hits the folded min/max bounds — Iceberg's manifest-list
+    // lower/upper bound pruning
+    assert(t.planManifestCounts(Some(col("id") < 50L)) == (1, 3))
+    assert(t.planManifestCounts(Some(col("id") >= 250L)) == (1, 3))
+    assert(t.planManifestCounts(Some(col("id") === 150L)) == (1, 3))
+    assert(t.planManifestCounts(Some(col("id").isNull)) == (0, 3),
+      "zero null counts prove no manifest can serve IS NULL")
+    // bounds are keyed by FIELD ID: a rename keeps pruning on the new name
+    t.renameColumn("id", "key")
+    assert(t.planManifestCounts(Some(col("key") < 50L)) == (1, 3))
+    // destruction receipt: scanning id<50 never touches the two pruned
+    // manifests — delete them from disk (and flush the blob cache) and
+    // the filtered scan still answers exactly
+    val fs = new Path(t.location).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(1, 2).foreach(i =>
+      assert(fs.delete(new Path(t.location, entries(i)._1), false)))
+    GraftTable.manifestCache.invalidateAll()
+    assert(t.scan(Some(col("key") < 50L)).count() == 50L)
+    // a full scan genuinely needs them — loud failure, not silent rows
+    GraftTable.manifestCache.invalidateAll()
+    intercept[Throwable] { t.scan().count() }
   }
 
   test("small MoR delete bin-packs to a single shard under the default target") {
