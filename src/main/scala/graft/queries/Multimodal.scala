@@ -138,12 +138,100 @@ object Multimodal {
           .as("frame_fingerprint"))
   }
 
+  case class AudioRecord(doc_id: Long, format: String, payload: Array[Byte])
+  case class AudioFeature(doc_id: Long, format: String, n_bytes: Long,
+      sample_rate: Int, channels: Int, n_samples: Long, duration_ms: Double,
+      rms: Double, peak: Int, zero_crossings: Long)
+
+  /** Deterministic synthetic audio for `docId`: 16-bit mono PCM with a
+    * seeded integer waveform, really encoded as a WAV container via the
+    * JDK's javax.sound.sampled writer. WAV PCM is lossless, so decoded
+    * samples equal the generation formula exactly — the spec's ground
+    * truth (same receipt structure as [[syntheticImage]]). */
+  private[graft] def syntheticAudio(docId: Long): (String, Array[Byte]) = {
+    val n = audioSampleCount(docId)
+    val rate = audioSampleRate(docId)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = audioSample(docId, k)
+      pcm(2 * k) = (s & 0xff).toByte // little-endian 16-bit
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    ("audio/wav", bos.toByteArray)
+  }
+
+  /** generation formula — shared with the spec */
+  private[graft] def audioSampleCount(docId: Long): Int = 256 + (docId % 512).toInt
+  private[graft] def audioSampleRate(docId: Long): Int =
+    if (docId % 2 == 0) 16000 else 8000
+  private[graft] def audioSample(docId: Long, k: Int): Short =
+    (((docId * 31 + k.toLong * k.toLong * 17 + k * 1009) % 20011) - 10005).toShort
+
+  /** The real decode: AudioSystem parses the WAV container (format chunk
+    * → rate/channels/width, data chunk → PCM frames); features are
+    * duration + signal stats over the actual decoded samples. */
+  private def decodeAudio(r: AudioRecord): AudioFeature = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+      s"unexpected PCM layout for doc ${r.doc_id}")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / (2 * f.getChannels)
+    var i = 0; var sumSq = 0.0; var peak = 0; var zc = 0L; var prev = 0
+    while (i < n * f.getChannels) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (s < 0) != (prev < 0)) zc += 1
+      prev = s
+      i += 1
+    }
+    AudioFeature(r.doc_id, r.format, r.payload.length.toLong,
+      f.getSampleRate.toInt, f.getChannels, n.toLong,
+      n * 1000.0 / f.getSampleRate,
+      if (n == 0) 0.0 else math.sqrt(sumSq / (n * f.getChannels)), peak, zc)
+  }
+
+  /** binary WAV payload column → batched per-partition JDK audio decode →
+    * feature table (duration, RMS, peak, zero-crossing rate — the
+    * loudness/speech-activity features an audio-corpus filter keys on).
+    * Same zero-shuffle mapPartitions shape as the image pipeline. [rows] */
+  def mmAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withPayload = graft.Tables.fanOut(graft.Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (fmt, bytes) = syntheticAudio(id)
+        AudioRecord(id, fmt, bytes)
+      })
+    val decoded = withPayload.mapPartitions { it =>
+      it.grouped(64).flatMap(_.iterator.map(decodeAudio))
+    }
+    decoded.toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("sample_rate"), col("channels"), col("n_samples"),
+        round(col("duration_ms"), 3).as("duration_ms"),
+        round(col("rms"), 3).as("rms"),
+        col("peak"), col("zero_crossings"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_pipeline" -> (mmDecodePipeline _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_features" -> (mmAudioFeatures _))
 
-  /** decoded geometry/means depend on ImageIO, not SQL; the fingerprint
-    * column is likewise excluded — both entries gate on rows + the spec's
-    * exact pixel-stat assertions. */
+  /** decoded geometry/means depend on ImageIO (and the audio stats on
+    * javax.sound), not SQL; the fingerprint column is likewise excluded —
+    * these entries gate on rows + the specs' exact-stat assertions. */
   val oracles: Map[String, String] = Map.empty
 }

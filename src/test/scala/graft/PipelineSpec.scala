@@ -388,6 +388,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_features really decodes WAV payloads: exact signal stats") {
+    val rows = queries.Multimodal.mmAudioFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(40).foreach { r =>
+      val id = r.getLong(0)
+      val n = queries.Multimodal.audioSampleCount(id)
+      val rate = queries.Multimodal.audioSampleRate(id)
+      assert(r.getString(1) == "audio/wav")
+      assert(r.getLong(2) > 44L, s"doc $id payload must be a real WAV container")
+      assert(r.getInt(3) == rate && r.getInt(4) == 1, s"doc $id format chunk")
+      assert(r.getLong(5) == n.toLong, s"doc $id sample count")
+      // WAV PCM is lossless: decoded signal stats must equal the
+      // generation formula exactly (modulo round(…, 3) display)
+      var sumSq = 0.0; var peak = 0; var zc = 0L; var prev = 0
+      for (k <- 0 until n) {
+        val s = queries.Multimodal.audioSample(id, k).toInt
+        sumSq += s.toDouble * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (k > 0 && (s < 0) != (prev < 0)) zc += 1
+        prev = s
+      }
+      assert(math.abs(r.getDouble(6) - n * 1000.0 / rate) < 1e-2, s"doc $id duration")
+      assert(math.abs(r.getDouble(7) - math.sqrt(sumSq / n)) < 1e-2, s"doc $id rms")
+      assert(r.getInt(8) == peak, s"doc $id peak")
+      assert(r.getLong(9) == zc, s"doc $id zero crossings")
+    }
+  }
+
   test("mm_frame_sample extracts byte-true sampled frames") {
     val rows = queries.Multimodal.mmFrameSample(spark, sf).collect()
     val byId = docs.map(d => d._1 -> d._2.getBytes("UTF-8")).toMap
