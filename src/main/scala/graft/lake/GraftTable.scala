@@ -88,7 +88,15 @@ class GraftTable private (
   @volatile private var cached: TableMetadata = loadMeta()
 
   def meta: TableMetadata = cached
-  def refresh(): TableMetadata = { cached = loadMeta(); cached }
+  def refresh(): TableMetadata = staging.flatMap(_.pending) match {
+    // Transaction view: a mutator's refresh() must NOT reload published
+    // metadata over the staged state, or the second op on a table would
+    // silently base itself on (and publish) a log missing the first op's
+    // snapshot. Later ops in one transaction stack on the staged doc;
+    // the first op still reads published state (pending empty).
+    case Some(p) => cached = p; p
+    case None => cached = loadMeta(); cached
+  }
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
 
   /** Snapshot id this handle's reads and commit parents resolve to: the
@@ -138,17 +146,7 @@ class GraftTable private (
       sch: StructType,
       snap: Snapshot,
       predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[DataFileMeta] = {
-    val entries = snap.manifestEntries
-    val idCols = rangeColsOf(m)
-    val toLoad = predicate match {
-      case Some(e) => entries.filter {
-        case (_, Some(s)) =>
-          FilePruner.manifestMayMatch(s.pvals, e, m.partitionColumns, sch,
-            rangeStatsByName(idCols, s), s.rows)
-        case (_, None) => true // pre-summary list: no evidence, load
-      }
-      case None => entries
-    }
+    val toLoad = survivingManifestEntries(m, sch, snap, predicate)
     val files = resolver.manifests(toLoad.map(_._1)).flatMap(_.data)
     predicate match {
       case Some(e) => FilePruner.pruneResolved(files, e, m.partitionColumns, sch,
@@ -166,20 +164,33 @@ class GraftTable private (
     snap match {
       case None => (0, 0)
       case Some(s) =>
-        val entries = s.manifestEntries
-        val idCols = rangeColsOf(m)
-        val loaded = exprOf(filter) match {
-          case Some(e) => entries.count {
-            case (_, Some(sum)) =>
-              FilePruner.manifestMayMatch(sum.pvals, e, m.partitionColumns,
-                schema, rangeStatsByName(idCols, sum), sum.rows)
-            case (_, None) => true
-          }
-          case None => entries.length
-        }
-        (loaded, entries.length)
+        (survivingManifestEntries(m, schema, s, exprOf(filter)).length,
+          s.manifestEntries.length)
     }
   }
+
+  /** Manifest entries surviving SUMMARY-level pruning for `predicate` —
+    * the one shared definition of "which manifests does a filtered plan
+    * load" (pruneFiles executes it; planManifestCounts is the spec
+    * receipt over it, so the two can never drift). Entries without a
+    * summary always survive: no evidence, load. */
+  private def survivingManifestEntries(
+      m: TableMetadata,
+      sch: StructType,
+      snap: Snapshot,
+      predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, Option[ManifestSummary])] =
+    predicate match {
+      case None => snap.manifestEntries
+      case Some(e) =>
+        val idCols = rangeColsOf(m)
+        snap.manifestEntries.filter {
+          case (_, Some(s)) =>
+            FilePruner.manifestMayMatch(s.pvals, e, m.partitionColumns, sch,
+              rangeStatsByName(idCols, s), s.rows)
+          case (_, None) => true
+        }
+    }
 
   /** (current column name, field id) pairs of the table's CURRENT schema
     * epoch — the key domain of [[ManifestSummary.columnRanges]]. */
@@ -236,12 +247,30 @@ class GraftTable private (
     * time-travel-by-timestamp form). -1 if the table had no snapshot yet. */
   def snapshotAsOfTime(timestampMs: Long): Long = {
     val m = meta
-    m.snapshots.filter(_.timestampMs <= timestampMs) match {
+    // lineage-restricted: an unpublished branch head must not win the
+    // "latest at that instant" pick for a main-handle reader (WAP)
+    val lineage = lineageIds(m)
+    m.snapshots.filter(s => lineage(s.id) && s.timestampMs <= timestampMs) match {
       case Nil => -1L
       // tie-break same-millisecond commits by id: the LATEST snapshot
       // current at that instant wins (ADVICE r02)
       case hits => hits.maxBy(s => (s.timestampMs, s.id)).id
     }
+  }
+
+  /** Snapshot ids on THIS handle's lineage: the parent chain from the
+    * handle's head (branch head for a branch handle, main otherwise).
+    * Readers that select snapshots by id/time must restrict to this set —
+    * branch and main snapshots share one id space. */
+  private def lineageIds(m: TableMetadata): Set[Long] = {
+    val byId = m.snapshots.map(s => s.id -> s).toMap
+    val out = scala.collection.mutable.HashSet[Long]()
+    var cur = headId(m)
+    while (cur >= 0 && byId.contains(cur) && !out(cur)) {
+      out += cur
+      cur = byId(cur).parentId
+    }
+    out.toSet
   }
 
   /** Time travel by wall-clock timestamp: scan the snapshot that was
@@ -504,7 +533,13 @@ class GraftTable private (
   def changes(fromId: Long, toId: Long): DataFrame = {
     val m = refresh()
     val sch = schema
-    val inRange = m.snapshots.filter(s => s.id > fromId && s.id <= toId)
+    // lineage-restricted: branch snapshots share the global id space, so
+    // a bare id-range over the log would deliver UNPUBLISHED branch
+    // commits to a main-handle consumer (and vice versa) — the same WAP
+    // isolation scan()/headSnapshot already enforce
+    val lineage = lineageIds(m)
+    val inRange = m.snapshots.filter(s =>
+      lineage(s.id) && s.id > fromId && s.id <= toId)
     requireIncrementallyReadable(inRange, fromId, toId)
     val newFiles = inRange
       .filter(s => s.operation == "append" || s.operation == "upsert")
@@ -572,7 +607,11 @@ class GraftTable private (
           s"snapshot is $earliest) — increase retention or restart the " +
           "consumer from a fresh snapshot")
     }
-    val snaps = m.snapshots.filter(s => s.id > fromId && s.id <= toId).sortBy(_.id)
+    // lineage-restricted like changes(): never deliver (or walk delete
+    // runs across) another branch's unpublished snapshots
+    val lineage = lineageIds(m)
+    val snaps = m.snapshots.filter(s =>
+      lineage(s.id) && s.id > fromId && s.id <= toId).sortBy(_.id)
     requireIncrementallyReadable(snaps, fromId, toId)
     val frames = ArrayBuffer[DataFrame]()
     val newFiles = snaps.filter(s => Set("append", "upsert", "update")(s.operation))
@@ -698,7 +737,7 @@ class GraftTable private (
   def appendStreamBatch(df: DataFrame, batchId: Long, queryId: String = "default"): Long = {
     val m = refresh()
     val key = streamBatchKey(m, batchId, queryId) match {
-      case None => return m.currentSnapshotId // replay → idempotent skip
+      case None => return headId(m) // replay → idempotent skip (branch-aware)
       case Some(k) => k
     }
     val seq = nextId(m)
@@ -728,7 +767,7 @@ class GraftTable private (
   def upsertStreamBatch(df: DataFrame, batchId: Long, queryId: String = "default"): Long = {
     val m = refresh()
     val key = streamBatchKey(m, batchId, queryId) match {
-      case None => return m.currentSnapshotId // replay → idempotent skip
+      case None => return headId(m) // replay → idempotent skip (branch-aware)
       case Some(k) => k
     }
     require(m.keyColumns.nonEmpty, "MoR stream upsert needs keyColumns")

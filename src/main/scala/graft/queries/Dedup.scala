@@ -167,7 +167,11 @@ object Dedup {
     // into one ~80 MB array row in one task (r05 verdict nit) — members
     // are re-derived by an equi-join on the hash below, so no row ever
     // exceeds a few dozen bytes however large a family grows.
+    // persisted: `hashed` feeds BOTH the group agg and the members join
+    // below — without the pin the members join re-scans the corpus and
+    // re-hashes every text body (a second full base pass at crawl scale)
     val hashed = base.select(sha2(col("text"), 256).as("h"), col("lang"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = hashed
       .groupBy(col("h"), col("lang"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("k"))
@@ -247,10 +251,11 @@ object Dedup {
             lit(1.0).as("jac"))
         cross.unionByName(within).orderBy("a_id", "b_id")
       }
-    // materialize, then drop the two persisted frames: the bench/gate
+    // materialize, then drop the persisted frames: the bench/gate
     // suite runs 81 queries in one session, and leaked storage-level
     // caches accumulate across them (ADVICE r04)
     val result = out.localCheckpoint()
+    hashed.unpersist(blocking = false)
     groups.unpersist(blocking = false)
     docs.unpersist(blocking = false)
     result

@@ -213,9 +213,11 @@ object Multimodal {
         val (fmt, bytes) = syntheticAudio(id)
         AudioRecord(id, fmt, bytes)
       })
-    val decoded = withPayload.mapPartitions { it =>
-      it.grouped(64).flatMap(_.iterator.map(decodeAudio))
-    }
+    // no per-batch decoder setup to amortize here (AudioSystem reader
+    // registry is JVM-global), so a grouped(64) wrapper would be dead
+    // weight — a codec pool would slot in as a grouped stage like the
+    // image path documents
+    val decoded = withPayload.mapPartitions(_.map(decodeAudio))
     decoded.toDF()
       .select(col("doc_id"), col("format"), col("n_bytes"),
         col("sample_rate"), col("channels"), col("n_samples"),

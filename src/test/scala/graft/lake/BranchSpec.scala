@@ -51,6 +51,34 @@ class BranchSpec extends AnyFunSuite {
     assert(t.meta.currentSnapshotId == head)
   }
 
+  test("incremental/CDC/timestamp readers never leak another branch's commits") {
+    val sp = spark; import sp.implicits._
+    val t = GraftTable.create(spark, freshDir("branch-leak"),
+      Seq((1L, "a")).toDF("id", "v"), keyColumns = Seq("id"))
+    t.branch("audit")
+    // snapshot 2 lives ONLY on the branch; snapshot 3 advances main
+    t.forBranch("audit").append(Seq((2L, "branch-only")).toDF("id", "v"))
+    t.append(Seq((3L, "main")).toDF("id", "v"))
+    // changes(): a main tail over (1, head] must deliver main's rows only
+    val got = t.changes(1L, t.refresh().currentSnapshotId)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(3L), s"branch snapshot leaked into changes(): $got")
+    // cdc(): same lineage restriction (regression: the id-range walk
+    // used to include the unpublished branch commit)
+    val cdcIds = t.cdc(1L, t.refresh().currentSnapshotId)
+      .select("id").as[Long].collect().toSeq
+    assert(cdcIds == Seq(3L), s"branch snapshot leaked into cdc(): $cdcIds")
+    // timestamp travel: "latest at now" on a MAIN handle must resolve to
+    // main's head even though the branch head is newer in the log
+    assert(t.snapshotAsOfTime(System.currentTimeMillis() + 60000) ==
+      t.meta.currentSnapshotId)
+    assert(t.scanAsOfTime(System.currentTimeMillis() + 60000)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the branch handle's own readers see the branch lineage
+    assert(t.forBranch("audit").changes(1L, t.branchHead("audit"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("fastForward refuses when main advanced off the branch lineage") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("branch-diverge"),

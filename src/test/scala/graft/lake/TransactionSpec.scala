@@ -42,6 +42,33 @@ class TransactionSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("two ops on ONE table inside a transaction stack — the first is not lost") {
+    val server = new InMemoryCatalogServer(fresh("txn-stack-wh"))
+    try {
+      val cat = new RestCatalog(spark, server.uri)
+      val sp = spark; import sp.implicits._
+      cat.create("t", Seq((1L, "a")).toDF("id", "v"), keyColumns = Seq("id"))
+      // regression: each mutator starts with refresh(); inside a
+      // transaction that must return the STAGED state, or the second op
+      // bases itself on published metadata and silently drops the first
+      // op's snapshot from the log it publishes
+      cat.transact(Seq("t")) { h =>
+        h("t").append(Seq((2L, "b")).toDF("id", "v"))
+        h("t").append(Seq((3L, "c")).toDF("id", "v"))
+      }
+      val t = cat.table("t")
+      assert(t.scan().count() == 3, "both staged appends must survive the CAS")
+      assert(t.meta.snapshots.length == 3) // create + 2 stacked ops
+      // mixed shapes stack too: append then delete sees the append
+      cat.transact(Seq("t")) { h =>
+        h("t").append(Seq((4L, "d")).toDF("id", "v"))
+        h("t").delete(col("id") === 1L)
+      }
+      assert(cat.table("t").scan().select("id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 3L, 4L))
+    } finally server.stop()
+  }
+
   test("a racing writer forces the WHOLE transaction to retry — never a partial commit") {
     val server = new InMemoryCatalogServer(fresh("txn-race-wh"))
     try {
