@@ -81,17 +81,17 @@ object Bench {
     Option(outPath.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
-    // stop Spark FIRST, then print the compact metric line as the very
-    // LAST stdout of the process and flush — r04's capture held all 81
-    // totals but `parsed` stayed null, so nothing may follow the JSON
-    // line (shutdown chatter included), and the line itself stays small
-    // (per-query totals only; exec/setup splits live in bench_full.json,
-    // pointed at by "bench_full").
+    // stop Spark FIRST, then print the metric line as the very LAST
+    // stdout of the process and flush. The driver's capture window is a
+    // ~2000-char TAIL: a 90-query map is ~2.9 KB, so rounds 3-6 all
+    // clipped the head of the line and `parsed` stayed null. The final
+    // line is therefore COMPACT (< 300 bytes at any suite size): totals
+    // and counts only. The full per-query map (totals + exec/setup
+    // splits) lives in bench_full.json, pointed at by "bench_full".
     spark.stop()
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
-      s""","setup_total":${round3(setupTotal)},"bench_full":"$outPath"""" +
-      s""","queries":${jmap(r => r._2 + r._3)}""" +
-      s""","value":${round3(total)}}""")
+      s""","n":${results.size},"setup_total":${round3(setupTotal)}""" +
+      s""","bench_full":"$outPath","value":${round3(total)}}""")
     System.out.flush()
   }
 
