@@ -1,0 +1,477 @@
+package graft.lake.iceberg
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.{ColStats, DataFileMeta, FilePruner}
+
+/** Read-only Apache Iceberg v1/v2 table reader — REAL-format interop, the
+  * reference's headline capability ("Native Apache Iceberg support",
+  * pg_lakehouse_iceberg/README.md:5; iceberg_bridge.cpp opens a table from
+  * its metadata location and scans a snapshot through iceberg-cpp). Graft
+  * parses the published spec directly: `vN.metadata.json` (Jackson),
+  * manifest lists and manifests (Avro, [[IcebergAvro]]), then lowers
+  * planning onto the SAME machinery its own tables use:
+  *
+  *  - manifest entries become [[graft.lake.DataFileMeta]], so file-level
+  *    pruning is [[FilePruner]] unchanged — identity partition values,
+  *    `day`/`truncate` transform mapping, and column min/max bounds all
+  *    reuse the audited walk. `bucket[N]` uses Iceberg's OWN hash
+  *    ([[IcebergTransforms.bucket]]) in a conjunct-equality pre-pass,
+  *    because Iceberg's Murmur3(seed 0) ≠ Spark's hash(seed 42).
+  *  - manifest-list field summaries prune whole manifests before any
+  *    manifest IO (FilePruner.manifestMayMatch over decoded bounds).
+  *  - deletes follow Iceberg v2 sequence rules: equality deletes at seq t
+  *    apply to data files with seq < t, position deletes to seq <= t;
+  *    both apply as anti-joins (broadcast-sized under AQE), exactly like
+  *    GraftTable's MoR path.
+  *  - column resolution is by FIELD ID through the manifest's `schema-id`
+  *    header: files written before a rename resolve their old physical
+  *    names without per-file footer reads (O(manifests) planning).
+  *
+  * At 100 TB: planning is O(manifests) driver-side metadata IO with
+  * summary skip ahead of it (the same scaling Iceberg's own planner has),
+  * file reads are ordinary distributed parquet scans with pushed filters,
+  * and no directory listing ever happens.
+  */
+final class IcebergTable private (
+    spark: SparkSession,
+    val location: String,
+    val meta: IceMeta) {
+
+  private def conf: Configuration = spark.sessionState.newHadoopConf()
+
+  def currentSnapshotId: Long = meta.currentSnapshotId.getOrElse(-1L)
+
+  def schema: StructType = meta.currentSchema.struct
+
+  /** Snapshot current as of `timestampMs` (snapshot-log resolution). */
+  def snapshotAsOfTime(timestampMs: Long): Long = {
+    val hits = meta.snapshotLog.filter(_._1 <= timestampMs)
+    require(hits.nonEmpty,
+      s"iceberg: no snapshot at or before $timestampMs (oldest: ${meta.snapshotLog.headOption})")
+    hits.last._2
+  }
+
+  /** Snapshot id of a named ref (branch or tag). */
+  def refSnapshot(name: String): Long =
+    meta.refs.getOrElse(name, throw new IllegalArgumentException(
+      s"iceberg: no ref '$name' (have ${meta.refs.keys.mkString(",")})")).snapshotId
+
+  // ---- planning ------------------------------------------------------------
+
+  import IcebergTable.{Plan, PlannedFile}
+
+  /** Resolve a path from metadata: absolute URIs pass through, bare
+    * relative paths anchor at the table location. */
+  private def resolve(p: String): Path = {
+    val hasScheme = p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
+    if (hasScheme || p.startsWith("/")) new Path(p) else new Path(location, p)
+  }
+
+  private def exprOf(filter: Option[Column]) = filter.flatMap { c =>
+    try Some(org.apache.spark.sql.graftshim.ColumnExpr.expression(c))
+    catch { case _: Throwable => None }
+  }
+
+  /** Graft partition-spec strings + partition-value map for an entry, for
+    * the transforms FilePruner shares semantics with: identity, day
+    * (graft `days`), truncate. `bucket` is handled by [[bucketSurvives]];
+    * year/month/hour prune only via column bounds (conservative). */
+  private def pruneSpec(spec: IcePartSpec, sch: IceSchema): Seq[(IcePartField, String, String)] =
+    spec.fields.flatMap { pf =>
+      sch.byId.get(pf.sourceId).flatMap { src =>
+        pf.transform match {
+          case "identity" => Some((pf, src.name, src.name))
+          case "day" => Some((pf, s"days(${src.name})", s"__p_${src.name}_day"))
+          case t if t.startsWith("truncate[") =>
+            val w = t.stripPrefix("truncate[").stripSuffix("]")
+            Some((pf, s"truncate($w,${src.name})", s"__p_${src.name}_trunc"))
+          case _ => None
+        }
+      }
+    }
+
+  /** Render a decoded Avro partition value into the string form
+    * FilePruner's typed partition-value parser expects for the dir name's
+    * column type. None = unrenderable → leave unknown (no pruning). */
+  private def renderPartValue(pf: IcePartField, src: IceField, v: Any): Option[String] =
+    v match {
+      case null => Some(graft.lake.Meta.NullPartition)
+      case _ => (pf.transform, src.dataType) match {
+        case ("identity", DateType) => v match {
+          case i: Int => Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+          case _ => None
+        }
+        case ("identity", IntegerType | LongType | StringType | BooleanType) =>
+          Some(v.toString)
+        case ("day", _) => v match { // graft PDays dir value = epoch days long
+          case i: Int => Some(i.toString)
+          case l: Long => Some(l.toString)
+          case _ => None
+        }
+        case (t, IntegerType | LongType | StringType) if t.startsWith("truncate[") =>
+          Some(v.toString)
+        case _ => None
+      }
+    }
+
+  /** Manifest entry → graft DataFileMeta: partition values under the
+    * transform dir-name convention, column bounds as ColStats keyed by the
+    * SNAPSHOT schema's column names. Float/double bounds are kept only
+    * when the file proves zero NaNs (Iceberg bounds exclude NaN, but
+    * Spark orders NaN above every value — a NaN row could match `x > hi`). */
+  private def toDataFileMeta(pf: PlannedFile, sch: IceSchema, spec: IcePartSpec): DataFileMeta = {
+    val e = pf.entry
+    val writeSchema = schemaOrCurrent(pf.schemaId)
+    val pvals = pruneSpec(spec, sch).flatMap { case (field, _, dirName) =>
+      for {
+        src <- sch.byId.get(field.sourceId)
+        raw <- e.partition.get(field.name)
+        rendered <- renderPartValue(field, src, raw)
+      } yield dirName -> rendered
+    }.toMap
+    val stats = sch.fields.flatMap { f =>
+      for {
+        wf <- writeSchema.byId.get(f.id) // column must exist in the file
+        loB <- e.lowerBounds.get(f.id)
+        hiB <- e.upperBounds.get(f.id)
+        (tagLo, lo) <- IcebergMeta.decodeBound(wf.typeStr, loB)
+        (tagHi, hi) <- IcebergMeta.decodeBound(wf.typeStr, hiB)
+        if tagLo == tagHi
+        if tagLo != "d" || e.nanCounts.get(f.id).contains(0L)
+      } yield f.name -> ColStats(tagLo, lo, hi, e.nullCounts.getOrElse(f.id, 0L))
+    }.toMap
+    DataFileMeta(e.filePath, pf.seq, e.recordCount, e.fileSizeBytes, pvals, stats)
+  }
+
+  /** Conjunct-equality bucket pruning with Iceberg's own hash: a file
+    * whose `bucket[n]` partition value differs from the bucket of a
+    * top-level `col = literal` conjunct can hold no matching row. */
+  private def bucketSurvives(
+      pf: PlannedFile, sch: IceSchema, spec: IcePartSpec,
+      eqLits: Map[String, Any]): Boolean = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    spec.fields.forall { field =>
+      if (!field.transform.startsWith("bucket[")) true
+      else {
+        val n = field.transform.stripPrefix("bucket[").stripSuffix("]").toInt
+        (for {
+          src <- sch.byId.get(field.sourceId)
+          lit <- eqLits.get(src.name)
+          fileBucket <- pf.entry.partition.get(field.name).collect { case i: Int => i }
+          litBucket <- IcebergTransforms.bucket(externalize(lit, src.dataType), src.dataType, n)
+        } yield fileBucket == litBucket).getOrElse(true)
+      }
+    }
+  }
+
+  /** Catalyst literal internal value → external JVM value for hashing. */
+  private def externalize(v: Any, dt: DataType): Any = (v, dt) match {
+    case (i: Int, DateType) => java.time.LocalDate.ofEpochDay(i.toLong)
+    case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case _ => v
+  }
+
+  /** Top-level `col = literal` conjuncts of the (normalized) predicate. */
+  private def eqConjuncts(filter: Option[Column]): Map[String, Any] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 => Some(u.nameParts.head)
+      case _ => None
+    }
+    def walk(e: Expression): Map[String, Any] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, Literal(v, _)) if attrName(a).isDefined && v != null =>
+        Map(attrName(a).get -> v)
+      case EqualTo(Literal(v, _), a) if attrName(a).isDefined && v != null =>
+        Map(attrName(a).get -> v)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.map(_.toLowerCase) == Seq("and") && u.arguments.length == 2 =>
+        walk(u.arguments(0)) ++ walk(u.arguments(1))
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if Seq(Seq("="), Seq("==")).contains(u.nameParts) && u.arguments.length == 2 =>
+        walk(EqualTo(u.arguments(0), u.arguments(1)))
+      case _ => Map.empty
+    }
+    exprOf(filter).map(walk).getOrElse(Map.empty)
+  }
+
+  private def schemaOrCurrent(id: Int): IceSchema =
+    meta.schemas.find(_.schemaId == id).getOrElse(meta.currentSchema)
+
+  /** Manifest-list level pruning: decode identity-field summaries into
+    * manifest-wide ColStats bounds and run FilePruner's manifest walk.
+    * Delete manifests are never skipped by the predicate (their rows
+    * REMOVE data rows — dropping one would resurrect deleted rows). */
+  private def manifestSurvives(
+      e: IcebergAvro.ManifestFileEntry,
+      sch: IceSchema,
+      predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
+    if (e.content != 0) return true
+    predicate match {
+      case None => true
+      case Some(p) =>
+        if (e.partitions.isEmpty) true
+        else {
+          val spec = try meta.spec(e.specId) catch { case _: Throwable => return true }
+          val ranges = spec.fields.zip(e.partitions).flatMap { case (pf, fs) =>
+            if (pf.transform != "identity") None
+            else for {
+              src <- sch.byId.get(pf.sourceId)
+              loB <- fs.lowerBound
+              hiB <- fs.upperBound
+              (tagLo, lo) <- IcebergMeta.decodeBound(src.typeStr, loB)
+              (tagHi, hi) <- IcebergMeta.decodeBound(src.typeStr, hiB)
+              if tagLo == tagHi && tagLo != "d"
+            } yield src.name -> ColStats(tagLo, lo, hi, if (fs.containsNull) 1L else 0L)
+          }.toMap
+          if (ranges.isEmpty) true
+          else FilePruner.manifestMayMatch(Map.empty, p, Nil, sch.struct, ranges)
+        }
+    }
+  }
+
+  private def plan(filter: Option[Column], snapshotId: Long): Plan = {
+    val snapId = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    require(snapId >= 0, s"iceberg: table at $location has no snapshot")
+    val snap = meta.snapshot(snapId)
+    val sch = snap.schemaId.map(meta.schema).getOrElse(meta.currentSchema)
+    val listEntries = IcebergAvro.readManifestList(conf, resolve(snap.manifestList))
+    val predicate = exprOf(filter)
+    val surviving = listEntries.filter(manifestSurvives(_, sch, predicate))
+    val eqLits = eqConjuncts(filter)
+
+    val data = scala.collection.mutable.ArrayBuffer[PlannedFile]()
+    val posD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
+    val eqD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
+    var filesTotal = 0L
+    surviving.foreach { le =>
+      val (header, entries) = IcebergAvro.readManifest(conf, resolve(le.path))
+      val schemaId = header.schemaId.getOrElse(sch.schemaId)
+      entries.foreach { en =>
+        if (en.status != 2) { // DELETED entries are not live
+          // v2 inheritance: ADDED entries with null seq inherit the
+          // manifest-list entry's sequence number
+          val seq = en.sequenceNumber.getOrElse(
+            if (en.status == 1) le.sequenceNumber else 0L)
+          val pf = PlannedFile(en, seq, schemaId, le.specId)
+          filesTotal += 1
+          en.content match {
+            case 0 => data += pf
+            case 1 => posD += pf
+            case 2 => eqD += pf
+            case other => throw new IllegalArgumentException(
+              s"iceberg: unknown file content code $other in ${le.path}")
+          }
+        }
+      }
+    }
+
+    // file-level pruning: bucket pre-pass (Iceberg hash), then FilePruner
+    // over identity/day/truncate partition values + column bounds
+    val defaultSpec = meta.spec(meta.defaultSpecId)
+    def specOf(pf: PlannedFile): IcePartSpec =
+      try meta.spec(pf.specId) catch { case _: Throwable => defaultSpec }
+    val specStrings = meta.specs.flatMap(sp => pruneSpec(sp, sch).map(_._2)).distinct
+    val kept = data.toSeq
+      .filter(pf => bucketSurvives(pf, sch, specOf(pf), eqLits))
+      .map(pf => pf -> toDataFileMeta(pf, sch, specOf(pf)))
+    val prunedPaths = FilePruner.prune(
+      kept.map(_._2), filter, specStrings, sch.struct).map(_.path).toSet
+    Plan(sch, kept.collect { case (pf, m) if prunedPaths(m.path) => pf },
+      posD.toSeq, eqD.toSeq, surviving.size, listEntries.size, filesTotal)
+  }
+
+  /** Planned data-file paths after pruning — the spec's receipt hook. */
+  def planFiles(filter: Option[Column] = None, snapshotId: Long = -1L): Seq[String] =
+    plan(filter, snapshotId).dataFiles.map(_.entry.filePath)
+
+  /** (manifests loaded, manifests in list) for a filtered plan. */
+  def planManifestCounts(filter: Option[Column] = None, snapshotId: Long = -1L): (Int, Int) = {
+    val p = plan(filter, snapshotId)
+    (p.manifestsLoaded, p.manifestsTotal)
+  }
+
+  // ---- scan ----------------------------------------------------------------
+
+  def scan(filter: Option[Column] = None, snapshotId: Long = -1L): DataFrame = {
+    val p = plan(filter, snapshotId)
+    val out = buildScan(p)
+    filter.map(out.filter).getOrElse(out)
+  }
+
+  def scanAsOfTime(timestampMs: Long, filter: Option[Column] = None): DataFrame =
+    scan(filter, snapshotAsOfTime(timestampMs))
+
+  def scanRef(name: String, filter: Option[Column] = None): DataFrame =
+    scan(filter, refSnapshot(name))
+
+  /** Strip the URI scheme so position-delete coordinates written as
+    * `file:/…`, `file:///…` or bare `/…` all join (the spec stores the
+    * manifest's file_path verbatim; Spark's `_metadata.file_path` is a
+    * normalized URI — forms differ between writers). */
+  private def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  private val PosFileCol = "__ice_file"
+  private val PosIdxCol = "__ice_pos"
+
+  private def buildScan(p: Plan): DataFrame = {
+    val sch = p.schema
+    val target = sch.struct
+    if (p.dataFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+
+    // group data files by (write schema, applicable delete sets): the
+    // applicable deletes are a seq-ordered suffix, so the index of the
+    // first applying delete identifies the set (same shape as
+    // GraftTable.buildScan — plan size is O(delete boundaries × schemas))
+    val eqSeqs = p.eqDeletes.map(_.seq).distinct.sorted
+    val posSeqs = p.posDeletes.map(_.seq).distinct.sorted
+    def suffixFrom(seqs: Seq[Long], fileSeq: Long, inclusive: Boolean): Int = {
+      var i = seqs.length
+      while (i > 0 && (seqs(i - 1) > fileSeq || (inclusive && seqs(i - 1) == fileSeq))) i -= 1
+      i
+    }
+    val groups = p.dataFiles
+      .groupBy(f => (f.schemaId,
+        suffixFrom(eqSeqs, f.seq, inclusive = false),
+        suffixFrom(posSeqs, f.seq, inclusive = true)))
+      .toSeq.sortBy { case ((sid, ei, pi), _) => (sid, ei, pi) }
+
+    groups.map { case ((schemaId, eqIdx, posIdx), files) =>
+      val writeSchema = schemaOrCurrent(schemaId)
+      val phys = writeSchema.struct
+      val eqApplying = p.eqDeletes.filter(d => eqSeqs.drop(eqIdx).contains(d.seq))
+      val posApplying = p.posDeletes.filter(d => posSeqs.drop(posIdx).contains(d.seq))
+      val needMeta = posApplying.nonEmpty
+
+      var df = spark.read.schema(phys)
+        .parquet(files.map(_.entry.filePath): _*)
+      if (needMeta) df = df
+        .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
+        .withColumn(PosIdxCol, col("_metadata.row_index"))
+
+      if (posApplying.nonEmpty) {
+        val pd = spark.read
+          .parquet(posApplying.map(_.entry.filePath): _*)
+          .select(normPath(col("file_path")).as(PosFileCol), col("pos").as(PosIdxCol))
+        df = df.join(pd, Seq(PosFileCol, PosIdxCol), "left_anti")
+      }
+
+      // equality deletes: group by (write schema, equality id set) so each
+      // delete file's columns resolve under ITS schema; match in the DATA
+      // file's physical column space (null-safe, per spec)
+      eqApplying.groupBy(d => (d.schemaId, d.entry.equalityIds)).foreach {
+        case ((delSchemaId, eqIds), dels) =>
+          require(eqIds.nonEmpty,
+            s"iceberg: equality delete without equality_ids: ${dels.head.entry.filePath}")
+          val delSchema = schemaOrCurrent(delSchemaId)
+          val delNames = eqIds.map(id => delSchema.byId.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"iceberg: equality id $id not in schema ${delSchema.schemaId}")).name)
+          val dataNames = eqIds.map { id =>
+            writeSchema.byId.getOrElse(id, throw new IllegalArgumentException(
+              s"iceberg: equality id $id absent from data schema $schemaId")).name
+          }
+          val keys = spark.read
+            .parquet(dels.map(_.entry.filePath): _*)
+            .select(delNames.zip(dataNames).zip(eqIds).map { case ((dn, an), id) =>
+              col("`" + dn.replace("`", "``") + "`")
+                .cast(writeSchema.byId(id).dataType).as(s"__k$id")
+            }: _*)
+          val cond = eqIds.zip(dataNames).map { case (id, an) =>
+            df(an) <=> keys(s"__k$id")
+          }.reduce(_ && _)
+          df = df.join(keys, cond, "left_anti")
+      }
+
+      // project to the snapshot schema by FIELD ID (rename/add/drop safe)
+      val physByName = writeSchema.byId
+      val cols = sch.fields.map { f =>
+        physByName.get(f.id) match {
+          case Some(wf) => col("`" + wf.name.replace("`", "``") + "`")
+            .cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      df.select(cols: _*)
+    }.reduce(_ unionByName _)
+  }
+}
+
+object IcebergTable {
+
+  /** One planned live file: the manifest entry, its resolved sequence
+    * number, and the schema-id its columns were written under. */
+  private final case class PlannedFile(
+      entry: IcebergAvro.ManifestEntry,
+      seq: Long,
+      schemaId: Int,
+      specId: Int)
+
+  private final case class Plan(
+      schema: IceSchema,
+      dataFiles: Seq[PlannedFile],
+      posDeletes: Seq[PlannedFile],
+      eqDeletes: Seq[PlannedFile],
+      manifestsLoaded: Int,
+      manifestsTotal: Int,
+      filesTotal: Long)
+
+  /** Load from a table location (`<loc>/metadata/version-hint.text` or the
+    * highest-versioned `*.metadata.json`), or from a direct metadata.json
+    * path. */
+  def load(spark: SparkSession, location: String): IcebergTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath =
+      if (location.endsWith(".json")) new Path(location)
+      else findMetadata(conf, new Path(location, "metadata"))
+    val fs = metaPath.getFileSystem(conf)
+    val in = fs.open(metaPath)
+    val json = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+    val meta = IcebergMeta.parse(json)
+    val tableLoc =
+      if (meta.location.nonEmpty) meta.location
+      else if (location.endsWith(".json")) metaPath.getParent.getParent.toString
+      else location
+    new IcebergTable(spark, tableLoc, meta)
+  }
+
+  private def findMetadata(conf: Configuration, metaDir: Path): Path = {
+    val fs = metaDir.getFileSystem(conf)
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val cand = Seq(s"v$v.metadata.json", s"$v.metadata.json")
+        .map(new Path(metaDir, _)).find(fs.exists)
+      cand.getOrElse(throw new IllegalArgumentException(
+        s"iceberg: version-hint says $v but no v$v.metadata.json under $metaDir"))
+    } else {
+      // highest-versioned vN[-uuid].metadata.json wins
+      val VRe = """v?(\d+)(?:-[^.]*)?\.metadata\.json""".r
+      val files = fs.listStatus(metaDir).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case VRe(n) => Some((n.toLong, p))
+          case _ => None
+        })
+      require(files.nonEmpty, s"iceberg: no *.metadata.json under $metaDir")
+      files.maxBy(_._1)._2
+    }
+  }
+}

@@ -1,0 +1,465 @@
+package graft.lake.iceberg
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.ParquetStats
+
+/** Minimal Apache Iceberg v2 WRITER conforming to the published table
+  * spec: parquet data files (with parquet field ids), Avro manifests and
+  * manifest lists (spec field-ids in the Avro schemas, v2 sequence-number
+  * inheritance), and `vN.metadata.json` + `version-hint.text`.
+  *
+  * Exists for two purposes: (a) round-trip receipts for [[IcebergTable]]
+  * — the sandbox has no Iceberg or DuckDB-iceberg artifacts, so the specs
+  * build REAL Iceberg layouts with this writer and read them back; (b) a
+  * metadata-only export seam for graft tables. It is intentionally narrow:
+  * append, equality/position delete, rename (to exercise field-id
+  * resolution), tags. No compaction/maintenance — this is interop surface,
+  * not a second table format.
+  *
+  * Simplification (documented): delete manifests are written under the
+  * table's partition spec with null partition values, i.e. as GLOBAL
+  * deletes; [[IcebergTable]] applies all deletes globally (conservative
+  * and correct per spec — partition-scoped deletes are a planning
+  * optimization, not a semantics change).
+  */
+final class IcebergWriter private (
+    spark: SparkSession,
+    val location: String,
+    schema0: StructType,
+    partition: Seq[(String, String)]) { // (source column, transform)
+
+  private def conf: Configuration = spark.sessionState.newHadoopConf()
+  private val root = new Path(location)
+  private val fs = root.getFileSystem(conf)
+  private val qualifiedRoot = fs.makeQualified(root)
+
+  private var metaVersion = 0
+  private var lastTs = 0L
+  private var currentMeta: IceMeta = {
+    val fields = schema0.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, required = false, f.dataType,
+        IcebergMeta.typeString(f.dataType))
+    }
+    val sch = IceSchema(0, fields)
+    val specFields = partition.zipWithIndex.map { case ((src, transform), i) =>
+      val srcField = fields.find(_.name == src).getOrElse(
+        throw new IllegalArgumentException(s"iceberg: partition source $src not in schema"))
+      val name = transform match {
+        case "identity" => src
+        case t if t.startsWith("bucket[") => s"${src}_bucket"
+        case t if t.startsWith("truncate[") => s"${src}_trunc"
+        case t => s"${src}_$t"
+      }
+      IcePartField(name, transform, srcField.id, 1000 + i)
+    }
+    IceMeta(2, java.util.UUID.randomUUID().toString, qualifiedRoot.toString,
+      0L, fields.map(_.id).maxOption.getOrElse(0), 0, Seq(sch), 0,
+      Seq(IcePartSpec(0, specFields)), 999 + partition.size,
+      Map.empty, None, Nil, Nil, Map.empty)
+  }
+
+  writeMetadata() // v1: table exists before the first snapshot, per spec
+
+  def meta: IceMeta = currentMeta
+  def currentSnapshotId: Long = currentMeta.currentSnapshotId.getOrElse(-1L)
+
+  private def curSchema: IceSchema = currentMeta.currentSchema
+  private def curSpec: IcePartSpec = currentMeta.spec(currentMeta.defaultSpecId)
+
+  // ---- commits -------------------------------------------------------------
+
+  def append(df: DataFrame): Long = {
+    val files = writeDataFiles(df)
+    commit("append", manifestContent = "data", files)
+  }
+
+  /** Equality delete: each row of `keys` deletes every earlier row whose
+    * key columns match (columns of `keys` = the equality ids). */
+  def equalityDelete(keys: DataFrame): Long = {
+    val ids = keys.columns.toSeq.map(n => curSchema.fields.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"iceberg: delete key $n not in schema")).id)
+    val files = writeParquet(keys, "delete-eq").map { case (p, rows, bytes) =>
+      fileEntry(p, content = 2, rows, bytes, Map.empty, Map.empty, Map.empty, ids)
+    }
+    commit("delete", manifestContent = "deletes", files)
+  }
+
+  /** Position delete: `coords` must have columns (file_path: string,
+    * pos: long) naming rows of existing data files. */
+  def positionDelete(coords: DataFrame): Long = {
+    require(coords.columns.toSeq == Seq("file_path", "pos"),
+      s"iceberg: position delete needs (file_path, pos), got ${coords.columns.mkString(",")}")
+    val files = writeParquet(coords, "delete-pos").map { case (p, rows, bytes) =>
+      fileEntry(p, content = 1, rows, bytes, Map.empty, Map.empty, Map.empty, Nil)
+    }
+    commit("delete", manifestContent = "deletes", files)
+  }
+
+  /** Metadata-only rename: a NEW schema-id with the same field ids — data
+    * files written before it resolve by id (the interop case the reader's
+    * schema-id header path exists for). */
+  def renameColumn(from: String, to: String): Unit = {
+    val sch = curSchema
+    require(sch.fields.exists(_.name == from), s"iceberg: no column $from")
+    require(!sch.fields.exists(_.name == to), s"iceberg: column $to already exists")
+    val next = IceSchema(currentMeta.schemas.map(_.schemaId).max + 1,
+      sch.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    currentMeta = currentMeta.copy(
+      schemas = currentMeta.schemas :+ next, currentSchemaId = next.schemaId)
+    writeMetadata()
+  }
+
+  def tag(name: String, snapshotId: Long): Unit = {
+    currentMeta.snapshot(snapshotId) // must exist
+    currentMeta = currentMeta.copy(
+      refs = currentMeta.refs + (name -> IceRef(snapshotId, "tag")))
+    writeMetadata()
+  }
+
+  // ---- data-file writing ---------------------------------------------------
+
+  /** Derived partition Column for a transform (write path). Bucket uses a
+    * udf over Iceberg's own hash — acceptable here: this is the test/export
+    * writer, not a query hot path, and Spark's codegen'd `hash()` computes
+    * a DIFFERENT function (seed 42) that would violate the spec. */
+  private def transformColumn(pf: IcePartField): Column = {
+    val src = curSchema.byId(pf.sourceId)
+    val c = col(src.name)
+    pf.transform match {
+      case "identity" => c
+      case "day" => src.dataType match {
+        case DateType => unix_date(c)
+        case _ => floor(unix_micros(c).cast("double") / lit(86400e6)).cast("int")
+      }
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        src.dataType match {
+          case StringType => substring(c, 1, w)
+          case _ => (c.cast("long") - pmod(c.cast("long"), lit(w.toLong))).cast(src.dataType)
+        }
+      case t if t.startsWith("bucket[") =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        def b(v: Any, dt: DataType): java.lang.Integer =
+          if (v == null) null
+          else IcebergTransforms.bucket(v, dt, n).map(Int.box).orNull
+        val f = src.dataType match {
+          case IntegerType => udf((v: java.lang.Integer) => b(v, IntegerType))
+          case LongType => udf((v: java.lang.Long) => b(v, LongType))
+          case StringType => udf((v: String) => b(v, StringType))
+          case DateType => udf((v: java.sql.Date) => b(v, DateType))
+          case other => throw new IllegalArgumentException(
+            s"iceberg writer: bucket over $other unsupported")
+        }
+        f(c)
+      case other => throw new IllegalArgumentException(
+        s"iceberg writer: unsupported transform $other")
+    }
+  }
+
+  /** Writes `df` as parquet under data/ (hive-derived dirs when
+    * partitioned; data files keep EVERY table column) and returns manifest
+    * entries with footer-derived bounds. */
+  private def writeDataFiles(df: DataFrame): Seq[IcebergAvro.ManifestEntry] = {
+    val sch = curSchema
+    val spec = curSpec
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s"_tmp-$nonce")
+    // parquet field ids make the files resolvable by id for OTHER readers
+    val withIds = df.select(sch.fields.map { f =>
+      val md = new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build()
+      col(f.name).as(f.name, md)
+    }: _*)
+    val derived = spec.fields.zipWithIndex.map { case (pf, i) => (s"__icep_$i", pf) }
+    val staged = derived.foldLeft(withIds) { case (d, (n, pf)) =>
+      d.withColumn(n, transformColumn(pf))
+    }
+    val writer = staged.write.mode("overwrite")
+    (if (derived.nonEmpty) writer.partitionBy(derived.map(_._1): _*) else writer)
+      .parquet(tmp.toString)
+
+    val out = scala.collection.mutable.ArrayBuffer[IcebergAvro.ManifestEntry]()
+    var i = 0
+    listParquet(tmp).foreach { p =>
+      val rel = relDir(tmp, p) // hive dirs of the derived columns
+      val partVals: Map[String, Any] = derived.zip(parseHiveDirs(rel, derived)).map {
+        case ((_, pf), v) => pf.name -> v
+      }.toMap
+      val destDir = if (rel.isEmpty) new Path(root, "data") else new Path(root, s"data/$rel")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, f"$nonce-$i%05d.parquet")
+      require(fs.rename(p, dest), s"iceberg: rename $p -> $dest failed")
+      i += 1
+      val (rows, stats) = ParquetStats.read(conf, dest)
+      val bytes = fs.getFileStatus(dest).getLen
+      val lower = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val upper = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val nulls = scala.collection.mutable.Map[Int, Long]()
+      sch.fields.foreach { f =>
+        stats.get(f.name).foreach { st =>
+          nulls(f.id) = st.nulls
+          for {
+            lo <- IcebergMeta.encodeBound(f.typeStr, st.min)
+            hi <- IcebergMeta.encodeBound(f.typeStr, st.max)
+          } { lower(f.id) = lo; upper(f.id) = hi }
+        }
+      }
+      out += fileEntry(dest, content = 0, rows, bytes,
+        partVals, lower.toMap, upper.toMap, Nil, nulls.toMap)
+    }
+    fs.delete(tmp, true)
+    out.toSeq
+  }
+
+  /** Parse the hive dir fragment of a staged file back into typed
+    * partition values, in `derived` order. */
+  private def parseHiveDirs(rel: String,
+      derived: Seq[(String, IcePartField)]): Seq[Any] = {
+    val dirs = rel.split("/").filter(_.contains("=")).map { seg =>
+      val eq = seg.indexOf('=')
+      seg.substring(0, eq) -> seg.substring(eq + 1)
+    }.toMap
+    derived.map { case (n, pf) =>
+      dirs.get(n) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(raw) =>
+          val src = curSchema.byId(pf.sourceId)
+          IcebergTransforms.resultType(pf.transform, src.dataType) match {
+            case IntegerType => raw.toInt
+            case LongType => raw.toLong
+            case StringType => unescapeHive(raw)
+            case DateType =>
+              // day-transform dirs hold the epoch-day int; identity date
+              // dirs hold yyyy-MM-dd
+              raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+            case other => throw new IllegalArgumentException(
+              s"iceberg writer: cannot parse partition dir for $other")
+          }
+      }
+    }
+  }
+
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Plain parquet write of an auxiliary (delete) file set. Returns
+    * (path, rows, bytes) per produced file. */
+  private def writeParquet(df: DataFrame, kind: String): Seq[(Path, Long, Long)] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s"_tmp-$kind-$nonce")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val out = listParquet(tmp).zipWithIndex.map { case (p, i) =>
+      val destDir = new Path(root, "data")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, f"$kind-$nonce-$i%05d.parquet")
+      require(fs.rename(p, dest), s"iceberg: rename $p -> $dest failed")
+      (dest, ParquetStats.rowCount(conf, dest), fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(tmp, true)
+    out
+  }
+
+  private def fileEntry(p: Path, content: Int, rows: Long, bytes: Long,
+      partVals: Map[String, Any],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      equalityIds: Seq[Int],
+      nulls: Map[Int, Long] = Map.empty): IcebergAvro.ManifestEntry =
+    IcebergAvro.ManifestEntry(
+      status = 1, snapshotId = None,
+      sequenceNumber = None, // null → INHERITED from the manifest-list entry
+      content = content,
+      filePath = fs.makeQualified(p).toString,
+      fileFormat = "PARQUET",
+      partition = partVals,
+      recordCount = rows, fileSizeBytes = bytes,
+      nullCounts = nulls, nanCounts = Map.empty,
+      lowerBounds = lower, upperBounds = upper,
+      equalityIds = equalityIds)
+
+  // carried manifest-list state: every live manifest entry, in order
+  private var listState: Seq[(IcebergAvro.ManifestFileEntry, (Long, Long, Long))] = Nil
+
+  private def commit(operation: String, manifestContent: String,
+      entries: Seq[IcebergAvro.ManifestEntry]): Long = {
+    val seq = currentMeta.lastSequenceNumber + 1
+    val snapId = seq * 31L + 1000L // deliberately != seq: catches id/seq mix-ups
+    val ts = { val now = System.currentTimeMillis(); lastTs = math.max(now, lastTs + 1); lastTs }
+    val sch = curSchema
+    val spec = curSpec
+
+    // manifest avro
+    val partFields = spec.fields.map { pf =>
+      val src = sch.byId(pf.sourceId)
+      val avroType = IcebergTransforms.resultType(pf.transform, src.dataType) match {
+        case IntegerType => "int"
+        case LongType => "long"
+        case StringType => "string"
+        case DateType => "date"
+        case other => throw new IllegalArgumentException(
+          s"iceberg writer: unsupported partition value type $other")
+      }
+      (pf.name, avroType, pf.fieldId)
+    }
+    val mSchema = IcebergAvro.manifestSchema(partFields)
+    val dataFileSchema = mSchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val records = entries.map { e =>
+      val r = new org.apache.avro.generic.GenericData.Record(mSchema)
+      r.put("status", e.status)
+      r.put("snapshot_id", e.snapshotId.map(Long.box).orNull)
+      r.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
+      r.put("file_sequence_number", null)
+      val df = new org.apache.avro.generic.GenericData.Record(dataFileSchema)
+      df.put("content", e.content)
+      df.put("file_path", e.filePath)
+      df.put("file_format", e.fileFormat)
+      val pr = new org.apache.avro.generic.GenericData.Record(partSchema)
+      e.partition.foreach { case (k, v) => pr.put(k, v) }
+      df.put("partition", pr)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.fileSizeBytes)
+      df.put("null_value_counts", kvRecords(mSchema, "null_value_counts", "k121_v122",
+        e.nullCounts.map { case (k, v) => k -> Long.box(v) }))
+      df.put("lower_bounds", kvRecords(mSchema, "lower_bounds", "k126_v127",
+        e.lowerBounds.map { case (k, v) => k -> java.nio.ByteBuffer.wrap(v) }))
+      df.put("upper_bounds", kvRecords(mSchema, "upper_bounds", "k129_v130",
+        e.upperBounds.map { case (k, v) => k -> java.nio.ByteBuffer.wrap(v) }))
+      df.put("equality_ids",
+        if (e.equalityIds.isEmpty) null
+        else { val l = new java.util.ArrayList[Integer](); e.equalityIds.foreach(l.add(_)); l })
+      r.put("data_file", df)
+      r
+    }
+    val mPath = new Path(root, s"metadata/mf-$snapId-m0.avro")
+    val mLen = IcebergAvro.writeAvro(conf, mPath, mSchema, Map(
+      "schema" -> IcebergMeta.renderSchemaJson(sch),
+      "schema-id" -> sch.schemaId.toString,
+      "partition-spec" -> IcebergMeta.renderSpecFieldsJson(spec),
+      "partition-spec-id" -> spec.specId.toString,
+      "format-version" -> "2",
+      "content" -> manifestContent), records)
+
+    // field summaries over this manifest's entries (identity fields only)
+    val summaries = spec.fields.map { pf =>
+      val src = sch.byId(pf.sourceId)
+      val vals = entries.flatMap(_.partition.get(pf.name))
+      val nonNull = vals.filter(_ != null)
+      val bounds: Option[(Array[Byte], Array[Byte])] =
+        if (nonNull.isEmpty) None
+        else {
+          val typeStr = IcebergMeta.typeString(
+            IcebergTransforms.resultType(pf.transform, src.dataType))
+          def enc(v: Any) = IcebergMeta.encodeBound(typeStr, v.toString)
+          val sorted = nonNull.sortWith((a, b) => lt(a, b))
+          for (lo <- enc(sorted.head); hi <- enc(sorted.last)) yield (lo, hi)
+        }
+      IcebergAvro.FieldSummary(
+        containsNull = vals.contains(null) || vals.size < entries.size,
+        containsNan = Some(false),
+        lowerBound = bounds.map(_._1), upperBound = bounds.map(_._2))
+    }
+
+    val newEntry = IcebergAvro.ManifestFileEntry(
+      fs.makeQualified(mPath).toString, mLen, spec.specId,
+      content = if (manifestContent == "deletes") 1 else 0,
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+      addedFiles = entries.size, existingFiles = 0, deletedFiles = 0,
+      partitions = summaries)
+    val rowTotal = entries.map(_.recordCount).sum
+    listState = listState :+ (newEntry, (rowTotal, 0L, 0L))
+
+    val listPath = new Path(root, s"metadata/snap-$snapId.avro")
+    IcebergAvro.writeAvro(conf, listPath, IcebergAvro.ManifestListSchema,
+      Map("format-version" -> "2"),
+      listState.map { case (e, rc) => IcebergAvro.manifestListRecord(e, rc) })
+
+    currentMeta = currentMeta.copy(
+      lastSequenceNumber = seq,
+      currentSnapshotId = Some(snapId),
+      snapshots = currentMeta.snapshots :+ IceSnapshot(
+        snapId, currentMeta.currentSnapshotId, seq, ts,
+        fs.makeQualified(listPath).toString, operation, Some(sch.schemaId)),
+      snapshotLog = currentMeta.snapshotLog :+ (ts, snapId),
+      refs = currentMeta.refs + ("main" -> IceRef(snapId, "branch")))
+    writeMetadata()
+    snapId
+  }
+
+  /** Sort partition values for summary bounds (same-type values only). */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Int, y: Int) => x < y
+    case (x: Long, y: Long) => x < y
+    case (x: String, y: String) => x < y
+    case _ => false
+  }
+
+  private def kvRecords(mSchema: org.apache.avro.Schema, field: String,
+      recName: String, m: Map[Int, AnyRef]): AnyRef = {
+    if (m.isEmpty) return null
+    val dataFile = mSchema.getField("data_file").schema()
+    val arr = dataFile.getField(field).schema().getTypes.get(1) // ["null", array]
+    val item = arr.getElementType
+    val out = new java.util.ArrayList[org.apache.avro.generic.GenericRecord]()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new org.apache.avro.generic.GenericData.Record(item)
+      r.put("key", k); r.put("value", v)
+      out.add(r)
+    }
+    out
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += f
+    }
+    out.sortBy(_.toString).toSeq
+  }
+
+  private def relDir(base: Path, file: Path): String = {
+    val b = fs.makeQualified(base).toString
+    val d = fs.makeQualified(file.getParent).toString
+    if (d == b) "" else d.stripPrefix(b + "/")
+  }
+
+  private def writeMetadata(): Unit = {
+    metaVersion += 1
+    val p = new Path(root, s"metadata/v$metaVersion.metadata.json")
+    val out = fs.create(p, true)
+    try out.write(IcebergMeta.render(currentMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(metaVersion.toString.getBytes("UTF-8"))
+    finally hint.close()
+  }
+}
+
+object IcebergWriter {
+  /** Create a fresh table at `location` (cleared first). `partition`:
+    * (source column, transform) pairs; transforms: identity, day,
+    * bucket[N], truncate[W]. */
+  def create(spark: SparkSession, location: String, schema: StructType,
+      partition: Seq[(String, String)] = Nil): IcebergWriter = {
+    val p = new Path(location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.mkdirs(new Path(p, "metadata"))
+    new IcebergWriter(spark, location, schema, partition)
+  }
+}

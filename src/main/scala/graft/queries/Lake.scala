@@ -560,7 +560,42 @@ object Lake {
     t.columnStats.orderBy("column")
   }
 
+  /** REAL Apache Iceberg interop (the reference's headline — "Native
+    * Apache Iceberg support", pg_lakehouse_iceberg/README.md:5,
+    * iceberg_bridge.cpp): a spec-conforming v2 Iceberg table (Avro
+    * manifests + manifest lists + metadata.json, written by graft's own
+    * hand-rolled writer — no Iceberg library exists in this sandbox) is
+    * read back by [[graft.lake.iceberg.IcebergTable]]: identity-partition
+    * pruning (hard-asserted: the filtered plan keeps fewer files), an
+    * equality delete under v2 sequence rules, and a TAG time-travel read
+    * that predates the delete. The oracle reproduces both reads from the
+    * original parquet. */
+  def lakeIcebergRead(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.{IcebergTable, IcebergWriter}
+    val o = Tables.orders(s, d)
+    val w = IcebergWriter.create(s, work(s, "iceberg_read", d), o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    val s1 = w.append(o.filter(year(col("o_orderdate")) < 1996))
+    w.append(o.filter(year(col("o_orderdate")) >= 1996))
+    w.equalityDelete(o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey"))
+    w.tag("pre-1996", s1)
+    val t = IcebergTable.load(s, w.location)
+    val total = t.planFiles().size
+    val pruned = t.planFiles(Some(col("o_orderstatus") === "F")).size
+    require(pruned < total,
+      s"iceberg partition pruning must skip files ($pruned of $total kept)")
+    def agg(df: DataFrame, src: String): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Money.sum2(col("o_totalprice")).as("total"))
+        .withColumn("src", lit(src))
+    agg(t.scan(Some(col("o_orderstatus") === "F")), "current")
+      .unionByName(agg(t.scanRef("pre-1996"), "pre1996"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_iceberg_read" -> (lakeIcebergRead _),
     "lake_sql_dml" -> (lakeSqlDml _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_cdc" -> (lakeCdc _),
@@ -597,6 +632,20 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_iceberg_read" ->
+      """SELECT o_orderpriority, n_orders, total, src FROM (
+           SELECT o_orderpriority, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'current' AS src
+           FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+           GROUP BY o_orderpriority
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'pre1996'
+           FROM orders WHERE year(o_orderdate) < 1996
+           GROUP BY o_orderpriority
+         )""",
     "lake_pos_delete" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
