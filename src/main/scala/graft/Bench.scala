@@ -48,25 +48,43 @@ object Bench {
       (if (args.isEmpty) SparkEntry.queries
        else SparkEntry.queries.filter { case (n, _) => args.contains(n) })
         .toSeq.sortBy(_._1)
+    // a crashed query must be an explicit error entry, NOT a ~0.1 s "win":
+    // r07's 10 ts-broken queries were silently recorded at exec 0.0 and
+    // poisoned the headline geomean (VERDICT r07 What's-wrong #2). Errored
+    // queries are excluded from every total and listed under "errors".
     val results = selected.map { case (name, fn) =>
       isolate()
+      def msg(e: Throwable) =
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       val t0 = System.nanoTime()
       val planned =
-        try Some(fn(spark, sfDir))
-        catch { case _: Throwable => None }
+        try Right(fn(spark, sfDir))
+        catch { case e: Throwable => Left(msg(e)) }
       val t1 = System.nanoTime()
       // noop sink executes the FULL plan incl. projected columns; a
       // count() would let Catalyst prune every column (ADVICE r01)
-      try planned.foreach(_.write.format("noop").mode("overwrite").save())
-      catch { case _: Throwable => () }
+      val err: Option[String] = planned match {
+        case Left(e) => Some(e)
+        case Right(df) =>
+          try { df.write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(msg(e)) }
+      }
       val t2 = System.nanoTime()
-      (name, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      (name, (t1 - t0) / 1e9, (t2 - t1) / 1e9, err)
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + round3(f(r)) }
+    val ok = results.filter(_._4.isEmpty)
+    val errored = results.collect { case (n, _, _, Some(e)) => (n, e) }
+    def jmap(f: ((String, Double, Double, Option[String])) => Double): String =
+      ok.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + round3(f(r)) }
         .mkString("{", ",", "}")
-    val total = results.map(r => r._2 + r._3).sum
-    val setupTotal = results.map(_._2).sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errored.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = ok.map(r => r._2 + r._3).sum
+    val setupTotal = ok.map(_._2).sum
     // The driver's stdout capture proved tail-truncating in r03 (only the
     // LAST dict of the line survived, losing the totals). Two fixes:
     // per-query exec/setup breakdowns go to a FILE, and the printed line
@@ -74,7 +92,8 @@ object Bench {
     // keeps the metric either way.
     val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","setup_total":${round3(setupTotal)},"queries":${jmap(r => r._2 + r._3)}""" +
-      s""","exec":${jmap(_._3)},"setup":${jmap(_._2)},"value":${round3(total)}}"""
+      s""","exec":${jmap(_._3)},"setup":${jmap(_._2)}""" +
+      s""","errors":$errJson,"n_errors":${errored.size},"value":${round3(total)}}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/target/bench_full.json"))
     // a bare filename has no parent — don't NPE away the suite's results
@@ -90,7 +109,7 @@ object Bench {
     // splits) lives in bench_full.json, pointed at by "bench_full".
     spark.stop()
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
-      s""","n":${results.size},"setup_total":${round3(setupTotal)}""" +
+      s""","n":${ok.size},"n_errors":${errored.size},"setup_total":${round3(setupTotal)}""" +
       s""","bench_full":"$outPath","value":${round3(total)}}""")
     System.out.flush()
   }

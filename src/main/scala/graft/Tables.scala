@@ -26,16 +26,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; the session MUST set spark.sql.legacy.parquet.nanosAsLong
-    * (all graft session builders do — Verify, Bench, TestSpark). The nanos
-    * long is floor-divided to micros TimestampType with integer `div`
-    * (a double division would lose µs precision: nanos epochs exceed the
-    * 53-bit mantissa — ADVICE r01). */
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (physical
+    * int64, surfaced as LongType via spark.sql.legacy.parquet.nanosAsLong,
+    * which all graft session builders still set) and plain timestamp[us]
+    * (the driver regenerated testdata mid-r07 — VERDICT r07 What's-wrong
+    * #1). Hardcoding either unit breaks when the other arrives, so the
+    * loader branches on the LOADED dtype and normalizes to micros
+    * TimestampType. The nanos long is floor-divided with integer `div` (a
+    * double division would lose µs precision: nanos epochs exceed the
+    * 53-bit mantissa — ADVICE r01); NTZ is cast per session tz, which every
+    * graft builder pins to UTC, so the cast is micro-exact. */
   def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(apply(s, d, "events"))
+
+  /** Normalize an events frame's `ts` to micros TimestampType whatever
+    * physical type the parquet carried. Shared by every events reader —
+    * the r07 break came from a second, explicit-schema read path in
+    * streaming that silently divided µs by 1000. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected BIGINT nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

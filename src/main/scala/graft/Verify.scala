@@ -11,25 +11,32 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS): read nanos as long (Tables.events
-      // converts); set once here, not as a loader side effect (ADVICE r01).
+      // if events.parquet ships as TIMESTAMP(NANOS), read nanos as long
+      // (Tables.events branches on the loaded dtype); harmless when the
+      // driver generates timestamp[us] instead (r07 regeneration).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // per-query ok/error, dumped as <outDir>/_status.json — a thrown query
+    // must show up as an explicit crash, not a silent hole in the gate
+    // (r07: 10 entries just vanished and read as "not run").
+    val status = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // Bench-style isolation (r05 What's-wrong #3): a query that leaks a
       // persist() pin must not contaminate the 85 that run after it in
       // this session — and a leak can't hide behind the gate either,
       // because the bench's isolated runs would expose the drift.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        name -> None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        name -> Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +54,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status.sortBy(_._1).map {
+      case (k, None)      => s"${q(k)}: {\"ok\": true}"
+      case (k, Some(err)) => s"${q(k)}: {\"ok\": false, \"error\": ${q(err)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_status.json"), statusJson)
+    val nErr = status.count(_._2.isDefined)
+    if (nErr > 0) System.err.println(s"[verify] $nErr quer(ies) FAILED — see _status.json")
     spark.stop()
   }
 }

@@ -2204,9 +2204,10 @@ object GraftTable {
       df: DataFrame,
       partitionBy: Seq[String] = Nil,
       keyColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty,
       arbiter: Option[CommitArbiter] = None): GraftTable = {
     val t = createEmpty(spark, location, df.schema, partitionBy, keyColumns,
-      arbiter = arbiter)
+      properties, arbiter = arbiter)
     t.append(df)
     t
   }

@@ -101,6 +101,12 @@ object Ann {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 8
     // corpus size from parquet-footer metadata — no extra pass (r02 #3)
+    // SCALE CEILING: the √n centroid set is BROADCAST (√10⁹ ≈ 32 K
+    // centroids × 64 dims × 8 B ≈ 16 MB — fine). Past ~10⁹ vectors the
+    // broadcast outgrows executor memory; the assignment then becomes a
+    // two-level coarse quantizer (broadcast √√n super-centroids, shuffle
+    // corpus by super-cell, join centroids per cell) — shuffle-based, not
+    // broadcast. Not needed at the gate's scale; flagged per r07 audit.
     val n = Tables.rowCount(s, s"$d/embeddings.parquet")
     val step = math.max(1L, (n / math.ceil(math.sqrt(n.toDouble)).toLong) max 1L)
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
@@ -149,8 +155,14 @@ object Ann {
       .groupBy(col("vec_id"))
       .agg(first(col("u")).as("u"),
         max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
+    // hash distribution clusters each inverted list into ONE task → one
+    // file per centroid. Without it the partitioned write fans out
+    // tasks × centroids files (32 × √n ≈ 1400 one-row files at sf0.1 —
+    // the r07 3.2× regression: O(files) finalize at build, O(files)
+    // planning at probe).
     val t = graft.lake.GraftTable.create(s, indexWorkDir(s, d),
-      assigned.select("c_id", "vec_id", "u"), partitionBy = Seq("c_id"))
+      assigned.select("c_id", "vec_id", "u"), partitionBy = Seq("c_id"),
+      properties = Map("write.distribution-mode" -> "hash"))
     // ---- query path: probe selection, then a partition-pruned scan ----
     val queries = queriesOf(s, d).select(col("q_id"), normalized(col("qv")).as("qu"))
     val qc = queries.join(broadcast(centroids))

@@ -32,6 +32,40 @@ object Lake {
     loc
   }
 
+  /** OBJECT-STORE GATE MODE (opt-in): when the `GRAFT_S3_*` env quartet
+    * is set and hadoop-aws is on the classpath, [[lakeCreateScan]]'s work
+    * dir moves to `s3a://$GRAFT_S3_BUCKET/…` so one gated entry runs the
+    * full create→commit→plan→scan path against a REAL S3-compatible store
+    * (MinIO: docker-compose.minio.yml; S3aLifecycleSpec covers the wider
+    * lifecycle). Mirrors the reference wiring S3 credentials into every
+    * table's FileIO (src/io/s3_io.c:21-62); its GUC → S3Options chain maps
+    * onto hadoop-aws conf 1:1 —
+    *   s3.endpoint   → fs.s3a.endpoint          (GRAFT_S3_ENDPOINT)
+    *   s3.access_key → fs.s3a.access.key        (GRAFT_S3_ACCESS_KEY)
+    *   s3.secret_key → fs.s3a.secret.key        (GRAFT_S3_SECRET_KEY)
+    *   s3.url_style  → fs.s3a.path.style.access (forced true for MinIO)
+    * The zero-egress build sandbox has neither env nor jars, so the
+    * default gate stays on file: — same posture as S3aLifecycleSpec. */
+  private def s3aWork(s: SparkSession, name: String, sfDir: String): Option[String] = {
+    val env = Seq("GRAFT_S3_ENDPOINT", "GRAFT_S3_ACCESS_KEY",
+      "GRAFT_S3_SECRET_KEY", "GRAFT_S3_BUCKET").flatMap(sys.env.get)
+    if (env.length != 4) return None
+    if (!(try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+          catch { case _: Throwable => false })) return None
+    val Seq(endpoint, access, secret, bucket) = env
+    val conf = s.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.access.key", access)
+    conf.set("fs.s3a.secret.key", secret)
+    conf.set("fs.s3a.path.style.access", "true")
+    conf.set("fs.s3a.connection.ssl.enabled", endpoint.startsWith("https").toString)
+    val sfTag = sfDir.replaceAll(".*/", "")
+    val loc = s"s3a://$bucket/graft-gate/$name-$sfTag"
+    val p = new Path(loc)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    Some(loc)
+  }
+
   private def statusAgg(df: DataFrame): DataFrame =
     df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
@@ -39,9 +73,11 @@ object Lake {
 
   // ---- §2.2 operators ------------------------------------------------------
 
-  /** create + initial append + full scan. */
+  /** create + initial append + full scan — on s3a:// when the opt-in
+    * object-store gate mode is configured (see [[s3aWork]]). */
   def lakeCreateScan(s: SparkSession, d: String): DataFrame = {
-    val t = GraftTable.create(s, work(s, "create_scan", d), Tables.orders(s, d),
+    val loc = s3aWork(s, "create_scan", d).getOrElse(work(s, "create_scan", d))
+    val t = GraftTable.create(s, loc, Tables.orders(s, d),
       keyColumns = Seq("o_orderkey"))
     statusAgg(t.scan())
   }
@@ -594,7 +630,34 @@ object Lake {
       .unionByName(agg(t.scanRef("pre-1996"), "pre1996"))
   }
 
+  /** Iceberg WRITE interop (reference's write bridge:
+    * pg_lakehouse_iceberg/src/bridge/iceberg_bridge.h:405-449 +
+    * src/operations/commit_ops.c): a graft table — including a MoR
+    * equality delete that must be netted out — is EXPORTED as a
+    * spec-conforming Iceberg v2 table ([[graft.lake.iceberg.IcebergExport]])
+    * and read back through the independent [[graft.lake.iceberg.IcebergTable]]
+    * reader. Receipts: the exported identity layout partition-prunes
+    * (fewer files planned under a partition predicate), and the tag
+    * written by the exporter resolves. The oracle reproduces the
+    * post-delete state from the original parquet. */
+  def lakeIcebergWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.{IcebergExport, IcebergTable}
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "iceberg_write_src", d), o,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"),
+      properties = Map("write.distribution-mode" -> "hash"))
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    val w = IcebergExport.export(s, t, work(s, "iceberg_write_dst", d))
+    val ice = IcebergTable.load(s, w.location)
+    val total = ice.planFiles().size
+    val pruned = ice.planFiles(Some(col("o_orderstatus") === "F")).size
+    require(pruned < total,
+      s"exported iceberg layout must partition-prune ($pruned of $total kept)")
+    statusAgg(ice.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_read" -> (lakeIcebergRead _),
     "lake_sql_dml" -> (lakeSqlDml _),
     "lake_sql_update" -> (lakeSqlUpdate _),
@@ -632,6 +695,11 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_iceberg_write" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders WHERE o_orderpriority <> '1-URGENT'
+         GROUP BY o_orderstatus""",
     "lake_iceberg_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
