@@ -143,12 +143,53 @@ object Multimodal {
       sample_rate: Int, channels: Int, n_samples: Long, duration_ms: Double,
       rms: Double, peak: Int, zero_crossings: Long)
 
+  /** The JDK's WAV reader/writer, resolved ONCE per executor JVM through
+    * the public `javax.sound.sampled.spi` ServiceLoader surface and then
+    * called directly. `AudioSystem.getAudioInputStream`/`.write` re-walk
+    * the provider registry under a LOCK on every call: 32 executor
+    * threads decoding tiny in-memory WAVs serialized completely (32× the
+    * work took LONGER than serial — 9.3 s vs 6.4 s in the r08 scratch
+    * bench; direct provider calls: 0.03 s). Same class of trap as
+    * ImageIO's temp-file cache above — JDK media statics are not
+    * hot-path-safe. Falls back to the static entry points if no SPI
+    * provider is found (never on a stock JDK). */
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileReader] = None
+    val probe = syntheticAudioVia(None, 0L)._2 // tiny WAV via static writer
+    while (it.hasNext && found.isEmpty) {
+      val r = it.next()
+      try {
+        r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe))
+        found = Some(r)
+      } catch { case _: Throwable => () }
+    }
+    found
+  }
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+    while (it.hasNext && found.isEmpty) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = Some(w)
+    }
+    found
+  }
+
   /** Deterministic synthetic audio for `docId`: 16-bit mono PCM with a
     * seeded integer waveform, really encoded as a WAV container via the
     * JDK's javax.sound.sampled writer. WAV PCM is lossless, so decoded
     * samples equal the generation formula exactly — the spec's ground
     * truth (same receipt structure as [[syntheticImage]]). */
-  private[graft] def syntheticAudio(docId: Long): (String, Array[Byte]) = {
+  private[graft] def syntheticAudio(docId: Long): (String, Array[Byte]) =
+    syntheticAudioVia(wavWriter, docId)
+
+  private def syntheticAudioVia(
+      writer: Option[javax.sound.sampled.spi.AudioFileWriter],
+      docId: Long): (String, Array[Byte]) = {
     val n = audioSampleCount(docId)
     val rate = audioSampleRate(docId)
     val pcm = new Array[Byte](n * 2)
@@ -163,8 +204,13 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writer match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None =>
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     ("audio/wav", bos.toByteArray)
   }
 
@@ -179,8 +225,11 @@ object Multimodal {
     * → rate/channels/width, data chunk → PCM frames); features are
     * duration + signal stats over the actual decoded samples. */
   private def decodeAudio(r: AudioRecord): AudioFeature = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(r.payload))
+    val in = new java.io.ByteArrayInputStream(r.payload)
+    val ais = wavReader match {
+      case Some(rd) => rd.getAudioInputStream(in)
+      case None => javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+    }
     val f = ais.getFormat
     require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
       s"unexpected PCM layout for doc ${r.doc_id}")
