@@ -24,13 +24,59 @@ object Stream {
   private val EventsDdl =
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
+  /** The single parquet FILE streaming stagers seed their source dirs
+    * from (by cheap copy), unit-proofed:
+    *  - raw events already µs timestamps (TIMESTAMP / TIMESTAMP_NTZ,
+    *    the post-r07 testdata) → the RAW file IS the staged form; the
+    *    stream's explicit `ts TIMESTAMP` schema reads the INT64 micros
+    *    directly, value-identical under the pinned-UTC sessions. Zero
+    *    staging writes.
+    *  - raw events nanos-as-long → one normalize-and-write per
+    *    (session, sfDir), cached so four stagers don't each pay the
+    *    coalesce(1) write (~2 s × 4 at sf0.1 — r08 bench flag).
+    * Disk state only (no persisted datasets): bench/verify per-query
+    * isolation is untouched. */
+  private val normalizedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def normalizedEventsFile(s: SparkSession, sfDir: String): Path = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = graft.Tables(s, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        new Path(s"$sfDir/events.parquet")
+      case _ =>
+        normalizedEvents.compute(sfDir, { (_, cached) =>
+          val hconf = s.sessionState.newHadoopConf()
+          // revalidate: an external work-dir clean in a long-lived JVM
+          // must trigger a rewrite, not a dangling-path copy failure
+          if (cached != null && cached.getFileSystem(hconf).exists(cached)) cached
+          else {
+            val sfTag = sfDir.replaceAll(".*/", "")
+            val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+              s"/stream-events-norm-$sfTag"
+            graft.Tables.events(s, sfDir).coalesce(1).write.mode("overwrite").parquet(dir)
+            val root = new Path(dir)
+            root.getFileSystem(hconf).listStatus(root).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).head
+          }
+        })
+    }
+  }
+
   /** Stages events as a streaming-source directory of NORMALIZED parquet
     * (one file → one AvailableNow batch), unit-proofed via Tables.events. */
   private def stageInput(s: SparkSession, name: String, sfDir: String): String = {
     val sfTag = sfDir.replaceAll(".*/", "")
     val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
       s"/stream-$name-$sfTag"
-    graft.Tables.events(s, sfDir).coalesce(1).write.mode("overwrite").parquet(dir)
+    val dst = new Path(dir)
+    val hconf = s.sessionState.newHadoopConf()
+    val fs = dst.getFileSystem(hconf)
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    val src = normalizedEventsFile(s, sfDir)
+    FileUtil.copy(fs, src, fs, new Path(dst, "events.parquet"), false, hconf)
     dir
   }
 
@@ -268,15 +314,11 @@ object Stream {
     val fs = dst.getFileSystem(hconf)
     fs.delete(dst, true)
     fs.mkdirs(dst)
-    // stage ONE normalized copy (unit-proofed by Tables.events), then
-    // duplicate the part file so each copy is its own micro-batch
-    val tmp = new Path(s"$dir-tmp")
-    graft.Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).head
+    // two copies of the session's normalized events file (unit-proofed
+    // by Tables.events) — each copy is its own micro-batch
+    val part = normalizedEventsFile(s, d)
     FileUtil.copy(fs, part, fs, new Path(dst, "events_a.parquet"), false, hconf)
     FileUtil.copy(fs, part, fs, new Path(dst, "events_b.parquet"), false, hconf)
-    fs.delete(tmp, true)
     val deduped = s.readStream
       .schema(EventsDdl)
       .option("maxFilesPerTrigger", 1)

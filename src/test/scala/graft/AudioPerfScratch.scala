@@ -103,6 +103,20 @@ object AudioPerfScratch {
     futs4.foreach(_.get())
     t1 = System.nanoTime()
     println(f"32-thread direct-provider synth x32 work: ${(t1 - t0) / 1e9}%.3f s")
+    // same check for the IMAGE path: ImageIO.read static vs direct reader
+    val imgPayloads = (0 until 1000).map(i => Multimodal.syntheticImage(i.toLong)._2)
+    t0 = System.nanoTime()
+    val futs5 = (0 until 32).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = imgPayloads.foreach { bytes =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null)
+        }
+      })
+    }
+    futs5.foreach(_.get())
+    t1 = System.nanoTime()
+    println(f"32-thread ImageIO.read x32 work (1000 imgs): ${(t1 - t0) / 1e9}%.3f s")
     pool.shutdown()
   }
 }
