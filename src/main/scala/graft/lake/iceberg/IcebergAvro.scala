@@ -92,6 +92,14 @@ object IcebergAvro {
       upperBound: Option[Array[Byte]])
 
   def readManifestList(conf: Configuration, path: Path): Seq[ManifestFileEntry] =
+    readManifestListWithRows(conf, path).map(_._1)
+
+  /** Manifest-list entries WITH their (added, existing, deleted) row
+    * counts — the writer's carried list state, so [[IcebergWriter.open]]
+    * can resume committing against an existing table without re-reading
+    * every manifest to recount rows. */
+  def readManifestListWithRows(conf: Configuration,
+      path: Path): Seq[(ManifestFileEntry, (Long, Long, Long))] =
     readRecords(conf, path) { r =>
       val partitions = opt(r, "partitions") match {
         case Some(a: java.util.Collection[_]) => a.asScala.map { e =>
@@ -104,7 +112,7 @@ object IcebergAvro {
         }.toSeq
         case _ => Nil
       }
-      ManifestFileEntry(
+      val entry = ManifestFileEntry(
         str(r.get("manifest_path")),
         optLong(r, "manifest_length").getOrElse(0L),
         optInt(r, "partition_spec_id").getOrElse(0),
@@ -116,6 +124,9 @@ object IcebergAvro {
         optInt(r, "existing_files_count", "existing_data_files_count").getOrElse(0),
         optInt(r, "deleted_files_count", "deleted_data_files_count").getOrElse(0),
         partitions)
+      (entry, (optLong(r, "added_rows_count").getOrElse(0L),
+        optLong(r, "existing_rows_count").getOrElse(0L),
+        optLong(r, "deleted_rows_count").getOrElse(0L)))
     }
 
   // ---- manifest (read) -----------------------------------------------------

@@ -37,6 +37,8 @@ import graft.lake.{GraftTable, PartitionTransforms, PBucket, PDays, PIdentity, P
   */
 object IcebergExport {
 
+  private val TagPrefix = "graft-snapshot-"
+
   /** Exports `t`'s current snapshot to `dest` (cleared first). Returns
     * the writer handle (metadata view + further commits if needed). */
   def export(spark: SparkSession, t: GraftTable, dest: String): IcebergWriter = {
@@ -48,7 +50,59 @@ object IcebergExport {
     }
     val w = IcebergWriter.create(spark, dest, t.schema, partition)
     val snapId = w.append(t.scan())
-    w.tag(s"graft-snapshot-${t.meta.currentSnapshotId}", snapId)
+    w.tag(s"$TagPrefix${t.meta.currentSnapshotId}", snapId)
     w
+  }
+
+  /** INCREMENTAL export — the steady-state mirror path (full re-export
+    * per refresh is O(table); a mirror must be O(changed)). Reopens the
+    * Iceberg table at `dest`, reads the last exported graft snapshot id
+    * from the newest provenance tag, and folds every graft commit since
+    * into at most TWO native Iceberg commits:
+    *
+    *  1. an EQUALITY-DELETE commit of every key the range touched
+    *     (skipped for a pure-append range), then
+    *  2. an APPEND commit of the touched keys' CURRENT rows.
+    *
+    * Folding to final state by key — rather than replaying CDC events
+    * commit-by-commit — is what makes any event sequence safe: an
+    * insert-then-delete inside the range must NOT resurrect (its key is
+    * deleted, no current row appends); an upsert chain lands only its
+    * last version (the eq-delete gets the lower sequence number, so the
+    * re-appended row survives per v2 sequence rules). Work is
+    * O(|touched keys|) distributed rows; the only driver-side values are
+    * the two snapshot ids. Requires key columns (keyless graft tables
+    * delete positionally — positions don't survive the rewrite into
+    * Iceberg files, so they can't mirror incrementally).
+    *
+    * Returns the number of Iceberg commits made (0 = already current). */
+  def exportIncremental(spark: SparkSession, t: GraftTable, dest: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val w = IcebergWriter.open(spark, dest)
+    val from = w.meta.refs.keys
+      .filter(_.startsWith(TagPrefix))
+      .map(_.stripPrefix(TagPrefix).toLong)
+      .maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"$dest has no $TagPrefix* provenance tag — run export() first"))
+    val to = t.meta.currentSnapshotId
+    if (to == from) return 0
+    val keyCols = t.meta.keyColumns
+    require(keyCols.nonEmpty,
+      "incremental export needs key columns (keyless tables delete " +
+        "positionally; positions don't survive the rewrite into Iceberg files)")
+    val changes = t.cdc(from, to)
+    val touched = changes.select(keyCols.map(col): _*).distinct()
+    // pure-append ranges (no delete/update events — an upsert emits
+    // delete(old)+insert(new), so "no delete rows" proves append-only)
+    // skip the eq-delete commit: nothing to supersede
+    val hasDeletes = !changes.filter(col("_change_type") === "delete").isEmpty
+    var commits = 0
+    if (hasDeletes) { w.equalityDelete(touched); commits += 1 }
+    val current = t.scan().join(touched, keyCols, "left_semi")
+    val snapId = w.append(current)
+    commits += 1
+    w.tag(s"$TagPrefix$to", snapId)
+    commits
   }
 }

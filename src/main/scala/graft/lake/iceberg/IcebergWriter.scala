@@ -30,40 +30,21 @@ import graft.lake.ParquetStats
 final class IcebergWriter private (
     spark: SparkSession,
     val location: String,
-    schema0: StructType,
-    partition: Seq[(String, String)]) { // (source column, transform)
+    meta0: IceMeta,
+    version0: Int,
+    listState0: Seq[(IcebergAvro.ManifestFileEntry, (Long, Long, Long))],
+    writeInitial: Boolean) {
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private val root = new Path(location)
   private val fs = root.getFileSystem(conf)
-  private val qualifiedRoot = fs.makeQualified(root)
 
-  private var metaVersion = 0
-  private var lastTs = 0L
-  private var currentMeta: IceMeta = {
-    val fields = schema0.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      IceField(i + 1, f.name, required = false, f.dataType,
-        IcebergMeta.typeString(f.dataType))
-    }
-    val sch = IceSchema(0, fields)
-    val specFields = partition.zipWithIndex.map { case ((src, transform), i) =>
-      val srcField = fields.find(_.name == src).getOrElse(
-        throw new IllegalArgumentException(s"iceberg: partition source $src not in schema"))
-      val name = transform match {
-        case "identity" => src
-        case t if t.startsWith("bucket[") => s"${src}_bucket"
-        case t if t.startsWith("truncate[") => s"${src}_trunc"
-        case t => s"${src}_$t"
-      }
-      IcePartField(name, transform, srcField.id, 1000 + i)
-    }
-    IceMeta(2, java.util.UUID.randomUUID().toString, qualifiedRoot.toString,
-      0L, fields.map(_.id).maxOption.getOrElse(0), 0, Seq(sch), 0,
-      Seq(IcePartSpec(0, specFields)), 999 + partition.size,
-      Map.empty, None, Nil, Nil, Map.empty)
-  }
+  private var metaVersion = version0
+  private[iceberg] var lastTs = 0L
+  private var currentMeta: IceMeta = meta0
 
-  writeMetadata() // v1: table exists before the first snapshot, per spec
+  if (writeInitial)
+    writeMetadata() // v1: table exists before the first snapshot, per spec
 
   def meta: IceMeta = currentMeta
   def currentSnapshotId: Long = currentMeta.currentSnapshotId.getOrElse(-1L)
@@ -291,7 +272,8 @@ final class IcebergWriter private (
       equalityIds = equalityIds)
 
   // carried manifest-list state: every live manifest entry, in order
-  private var listState: Seq[(IcebergAvro.ManifestFileEntry, (Long, Long, Long))] = Nil
+  // (seeded from the current snapshot's manifest list on open())
+  private var listState: Seq[(IcebergAvro.ManifestFileEntry, (Long, Long, Long))] = listState0
 
   private def commit(operation: String, manifestContent: String,
       entries: Seq[IcebergAvro.ManifestEntry]): Long = {
@@ -460,6 +442,75 @@ object IcebergWriter {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
     fs.mkdirs(new Path(p, "metadata"))
-    new IcebergWriter(spark, location, schema, partition)
+    val fields = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, required = false, f.dataType,
+        IcebergMeta.typeString(f.dataType))
+    }
+    val sch = IceSchema(0, fields)
+    val specFields = partition.zipWithIndex.map { case ((src, transform), i) =>
+      val srcField = fields.find(_.name == src).getOrElse(
+        throw new IllegalArgumentException(s"iceberg: partition source $src not in schema"))
+      val name = transform match {
+        case "identity" => src
+        case t if t.startsWith("bucket[") => s"${src}_bucket"
+        case t if t.startsWith("truncate[") => s"${src}_trunc"
+        case t => s"${src}_$t"
+      }
+      IcePartField(name, transform, srcField.id, 1000 + i)
+    }
+    val qualifiedRoot = fs.makeQualified(p)
+    val meta0 = IceMeta(2, java.util.UUID.randomUUID().toString,
+      qualifiedRoot.toString,
+      0L, fields.map(_.id).maxOption.getOrElse(0), 0, Seq(sch), 0,
+      Seq(IcePartSpec(0, specFields)), 999 + partition.size,
+      Map.empty, None, Nil, Nil, Map.empty)
+    new IcebergWriter(spark, location, meta0, 0, Nil, writeInitial = true)
+  }
+
+  /** REOPEN an existing table for further commits — the cross-process
+    * half of the write bridge (a fresh connector/exporter process must
+    * resume committing where the last one stopped). Loads the current
+    * metadata.json (version-hint or highest vN), seeds the carried
+    * manifest-list state from the current snapshot's manifest list
+    * (row counts included — no manifest re-reads), and continues the
+    * version/sequence/timestamp chains. The table must be at its
+    * original location (manifest paths are stored absolute). */
+  def open(spark: SparkSession, location: String): IcebergWriter = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(location, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val hint = new Path(metaDir, "version-hint.text")
+    val VRe = """v?(\d+)(?:-[^.]*)?\.metadata\.json""".r
+    val metaPath =
+      if (fs.exists(hint)) {
+        val in = fs.open(hint)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Seq(s"v$v.metadata.json", s"$v.metadata.json")
+          .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg: version-hint says $v but no v$v.metadata.json under $metaDir"))
+      } else {
+        val cands = fs.listStatus(metaDir).toSeq.map(_.getPath).flatMap(p =>
+          p.getName match { case VRe(n) => Some((n.toLong, p)); case _ => None })
+        require(cands.nonEmpty, s"iceberg: no *.metadata.json under $metaDir")
+        cands.maxBy(_._1)._2
+      }
+    val in = fs.open(metaPath)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val meta = IcebergMeta.parse(json)
+    val version = metaPath.getName match {
+      case VRe(n) => n.toInt
+      case _ => throw new IllegalStateException(s"unversioned $metaPath")
+    }
+    val listState = meta.currentSnapshotId.map { sid =>
+      IcebergAvro.readManifestListWithRows(conf,
+        new Path(meta.snapshot(sid).manifestList))
+    }.getOrElse(Nil)
+    val w = new IcebergWriter(spark, location, meta, version, listState,
+      writeInitial = false)
+    w.lastTs = (0L +: meta.snapshotLog.map(_._1)).max
+    w
   }
 }

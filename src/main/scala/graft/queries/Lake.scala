@@ -636,10 +636,15 @@ object Lake {
     * equality delete that must be netted out — is EXPORTED as a
     * spec-conforming Iceberg v2 table ([[graft.lake.iceberg.IcebergExport]])
     * and read back through the independent [[graft.lake.iceberg.IcebergTable]]
-    * reader. Receipts: the exported identity layout partition-prunes
-    * (fewer files planned under a partition predicate), and the tag
-    * written by the exporter resolves. The oracle reproduces the
-    * post-delete state from the original parquet. */
+    * reader. The table then keeps changing (an append of new keys + a MoR
+    * delete that also kills some of the freshly appended rows — the
+    * insert-then-delete resurrect trap) and the INCREMENTAL export mirrors
+    * just those commits as native Iceberg eq-delete + append commits
+    * through [[graft.lake.iceberg.IcebergWriter.open]] (a fresh writer
+    * handle, as a cross-process mirror would). Receipts: the exported
+    * identity layout partition-prunes, the incremental pass makes exactly
+    * 2 commits, and the advanced provenance tag resolves to the final
+    * state. The oracle reproduces that state from the original parquet. */
   def lakeIcebergWrite(s: SparkSession, d: String): DataFrame = {
     import graft.lake.iceberg.{IcebergExport, IcebergTable}
     val o = Tables.orders(s, d)
@@ -647,8 +652,15 @@ object Lake {
       partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"),
       properties = Map("write.distribution-mode" -> "hash"))
     t.delete(col("o_orderpriority") === "1-URGENT")
-    val w = IcebergExport.export(s, t, work(s, "iceberg_write_dst", d))
-    val ice = IcebergTable.load(s, w.location)
+    val dst = work(s, "iceberg_write_dst", d)
+    IcebergExport.export(s, t, dst)
+    // steady-state: more graft commits, mirrored incrementally
+    t.append(o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey")))
+    t.delete(col("o_orderstatus") === "P")
+    val commits = IcebergExport.exportIncremental(s, t, dst)
+    require(commits == 2, s"incremental export made $commits commits, want 2")
+    val ice = IcebergTable.load(s, dst)
     val total = ice.planFiles().size
     val pruned = ice.planFiles(Some(col("o_orderstatus") === "F")).size
     require(pruned < total,
@@ -698,7 +710,14 @@ object Lake {
     "lake_iceberg_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
-         FROM orders WHERE o_orderpriority <> '1-URGENT'
+         FROM (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderpriority <> '1-URGENT'
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 10 = 0
+         )
+         WHERE o_orderstatus <> 'P'
          GROUP BY o_orderstatus""",
     "lake_iceberg_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (

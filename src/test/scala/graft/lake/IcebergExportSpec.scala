@@ -66,6 +66,43 @@ class IcebergExportSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental export mirrors appends, updates, and deletes by final state") {
+    val o = Tables.orders(spark, sf).limit(400)
+    val t = GraftTable.create(spark, freshDir("inc-src"), o,
+      keyColumns = Seq("o_orderkey"))
+    val dst = freshDir("inc-dst")
+    IcebergExport.export(spark, t, dst)
+    // append new keys, delete some originals, AND delete some of the
+    // new keys in the same range (insert-then-delete must not resurrect)
+    t.append(o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey")))
+    t.delete(col("o_orderpriority") === "1-URGENT") // hits old AND new keys
+    val commits = IcebergExport.exportIncremental(spark, t, dst)
+    assert(commits == 2)
+    // reopened reader sees exactly the graft table's current state
+    val ice = IcebergTable.load(spark, dst)
+    val got = ice.scan().orderBy("o_orderkey").collect().toSeq
+    val want = t.scan().orderBy("o_orderkey").collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // provenance advanced; up-to-date mirror is a no-op
+    assert(ice.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}").count()
+      == want.size)
+    assert(IcebergExport.exportIncremental(spark, t, dst) == 0)
+  }
+
+  test("incremental export of a pure-append range makes one commit") {
+    val n = Tables.nation(spark, sf)
+    val t = GraftTable.create(spark, freshDir("inc2-src"),
+      n.filter(col("n_nationkey") < 13), keyColumns = Seq("n_nationkey"))
+    val dst = freshDir("inc2-dst")
+    IcebergExport.export(spark, t, dst)
+    t.append(n.filter(col("n_nationkey") >= 13))
+    assert(IcebergExport.exportIncremental(spark, t, dst) == 1)
+    val ice = IcebergTable.load(spark, dst)
+    assert(ice.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("bucket partition layout uses the Iceberg spec hash, not Spark's") {
     val n = Tables.nation(spark, sf)
     val t = GraftTable.create(spark, freshDir("bkt-src"), n,
