@@ -40,15 +40,19 @@ object IcebergExport {
   private val TagPrefix = "graft-snapshot-"
 
   /** Exports `t`'s current snapshot to `dest` (cleared first). Returns
-    * the writer handle (metadata view + further commits if needed). */
-  def export(spark: SparkSession, t: GraftTable, dest: String): IcebergWriter = {
+    * the writer handle (metadata view + further commits if needed).
+    * With an `arbiter` (e.g. from [[graft.lake.Catalog.arbiter]]), every
+    * Iceberg metadata publication is a catalog CAS of the version
+    * pointer — the object-store-safe commit point. */
+  def export(spark: SparkSession, t: GraftTable, dest: String,
+      arbiter: Option[graft.lake.CommitArbiter] = None): IcebergWriter = {
     val partition = PartitionTransforms.parseAll(t.meta.partitionColumns).map {
       case PIdentity(c)    => c -> "identity"
       case PDays(c)        => c -> "day"
       case PBucket(n, c)   => c -> s"bucket[$n]"
       case PTruncate(w, c) => c -> s"truncate[$w]"
     }
-    val w = IcebergWriter.create(spark, dest, t.schema, partition)
+    val w = IcebergWriter.create(spark, dest, t.schema, partition, arbiter)
     val snapId = w.append(t.scan())
     w.tag(s"$TagPrefix${t.meta.currentSnapshotId}", snapId)
     w
@@ -76,9 +80,10 @@ object IcebergExport {
     * Iceberg files, so they can't mirror incrementally).
     *
     * Returns the number of Iceberg commits made (0 = already current). */
-  def exportIncremental(spark: SparkSession, t: GraftTable, dest: String): Int = {
+  def exportIncremental(spark: SparkSession, t: GraftTable, dest: String,
+      arbiter: Option[graft.lake.CommitArbiter] = None): Int = {
     import org.apache.spark.sql.functions.col
-    val w = IcebergWriter.open(spark, dest)
+    val w = IcebergWriter.open(spark, dest, arbiter)
     val from = w.meta.refs.keys
       .filter(_.startsWith(TagPrefix))
       .map(_.stripPrefix(TagPrefix).toLong)

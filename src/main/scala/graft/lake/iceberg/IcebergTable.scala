@@ -428,12 +428,21 @@ object IcebergTable {
 
   /** Load from a table location (`<loc>/metadata/version-hint.text` or the
     * highest-versioned `*.metadata.json`), or from a direct metadata.json
-    * path. */
-  def load(spark: SparkSession, location: String): IcebergTable = {
+    * path. With an `arbiter`, the catalog's CAS'd version pointer is
+    * authoritative and a stale hint file is ignored — the read half of
+    * catalog-arbitrated commits (reference: catalog_type='rest'). */
+  def load(spark: SparkSession, location: String): IcebergTable =
+    load(spark, location, None)
+
+  def load(spark: SparkSession, location: String,
+      arbiter: Option[graft.lake.CommitArbiter]): IcebergTable = {
     val conf = spark.sessionState.newHadoopConf()
     val metaPath =
       if (location.endsWith(".json")) new Path(location)
-      else findMetadata(conf, new Path(location, "metadata"))
+      else arbiter.flatMap(_.currentVersion()) match {
+        case Some((_, rel)) => new Path(location, rel)
+        case None => findMetadata(conf, new Path(location, "metadata"))
+      }
     val fs = metaPath.getFileSystem(conf)
     val in = fs.open(metaPath)
     val json = try {
@@ -460,8 +469,11 @@ object IcebergTable {
         finally in.close()
       val cand = Seq(s"v$v.metadata.json", s"$v.metadata.json")
         .map(new Path(metaDir, _)).find(fs.exists)
+        // arbitrated writers stage unique vN-<nonce> names; glob the prefix
+        .orElse(fs.listStatus(metaDir).toSeq.map(_.getPath)
+          .find(_.getName.matches(s"v?$v-[^.]*\\.metadata\\.json")))
       cand.getOrElse(throw new IllegalArgumentException(
-        s"iceberg: version-hint says $v but no v$v.metadata.json under $metaDir"))
+        s"iceberg: version-hint says $v but no v$v*.metadata.json under $metaDir"))
     } else {
       // highest-versioned vN[-uuid].metadata.json wins
       val VRe = """v?(\d+)(?:-[^.]*)?\.metadata\.json""".r

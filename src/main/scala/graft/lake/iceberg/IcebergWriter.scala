@@ -33,7 +33,8 @@ final class IcebergWriter private (
     meta0: IceMeta,
     version0: Int,
     listState0: Seq[(IcebergAvro.ManifestFileEntry, (Long, Long, Long))],
-    writeInitial: Boolean) {
+    writeInitial: Boolean,
+    arbiter: Option[graft.lake.CommitArbiter]) {
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private val root = new Path(location)
@@ -279,6 +280,13 @@ final class IcebergWriter private (
       entries: Seq[IcebergAvro.ManifestEntry]): Long = {
     val seq = currentMeta.lastSequenceNumber + 1
     val snapId = seq * 31L + 1000L // deliberately != seq: catches id/seq mix-ups
+    // per-ATTEMPT nonce in manifest/list names: two racing writers opened
+    // at the same state derive the same snapId, and a deterministic name
+    // would let the CAS LOSER's staged avro overwrite the winner's
+    // committed one (the metadata.json race, one level down — caught by
+    // IcebergExportSpec's arbitration test). Spec imposes no naming
+    // scheme here; files are referenced by absolute path.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val ts = { val now = System.currentTimeMillis(); lastTs = math.max(now, lastTs + 1); lastTs }
     val sch = curSchema
     val spec = curSpec
@@ -326,7 +334,7 @@ final class IcebergWriter private (
       r.put("data_file", df)
       r
     }
-    val mPath = new Path(root, s"metadata/mf-$snapId-m0.avro")
+    val mPath = new Path(root, s"metadata/mf-$snapId-$nonce-m0.avro")
     val mLen = IcebergAvro.writeAvro(conf, mPath, mSchema, Map(
       "schema" -> IcebergMeta.renderSchemaJson(sch),
       "schema-id" -> sch.schemaId.toString,
@@ -364,7 +372,7 @@ final class IcebergWriter private (
     val rowTotal = entries.map(_.recordCount).sum
     listState = listState :+ (newEntry, (rowTotal, 0L, 0L))
 
-    val listPath = new Path(root, s"metadata/snap-$snapId.avro")
+    val listPath = new Path(root, s"metadata/snap-$snapId-$nonce.avro")
     IcebergAvro.writeAvro(conf, listPath, IcebergAvro.ManifestListSchema,
       Map("format-version" -> "2"),
       listState.map { case (e, rc) => IcebergAvro.manifestListRecord(e, rc) })
@@ -422,10 +430,38 @@ final class IcebergWriter private (
 
   private def writeMetadata(): Unit = {
     metaVersion += 1
-    val p = new Path(root, s"metadata/v$metaVersion.metadata.json")
+    // arbitrated commits stage to a UNIQUE vN-<nonce> name (accepted by
+    // every reader's version regex): two racing committers must never
+    // stage to the same deterministic path, or the CAS loser's cleanup
+    // would delete the WINNER's committed file — the pointer, not the
+    // name, decides the commit (catalog-based Iceberg does the same).
+    val rel =
+      if (arbiter.isDefined)
+        s"metadata/v$metaVersion-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
+      else s"metadata/v$metaVersion.metadata.json"
+    val p = new Path(root, rel)
     val out = fs.create(p, true)
     try out.write(IcebergMeta.render(currentMeta).getBytes("UTF-8"))
     finally out.close()
+    // catalog-ARBITRATED commit point (object-store safe — an
+    // overwrite-rename store cannot arbitrate via the hint file): the
+    // version-pointer CAS decides the commit, exactly like GraftTable's
+    // arbitrated commits (reference: catalog_type='rest',
+    // catalog_bridge.h). On CAS loss the staged metadata is removed and
+    // the commit fails loudly; the handle is stale — reopen and retry.
+    arbiter.foreach { a =>
+      if (!a.commitVersion(metaVersion - 1L, metaVersion.toLong, rel)) {
+        fs.delete(p, false)
+        val lost = metaVersion
+        metaVersion -= 1
+        throw new java.util.ConcurrentModificationException(
+          s"iceberg: version $lost was committed by another writer — " +
+            "reopen the table and retry")
+      }
+    }
+    // the hint file stays as a CACHE for catalog-less readers; under an
+    // arbiter the pointer above is authoritative (IcebergTable.load with
+    // the arbiter resolves through it, ignoring a stale hint)
     val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
     try hint.write(metaVersion.toString.getBytes("UTF-8"))
     finally hint.close()
@@ -437,7 +473,8 @@ object IcebergWriter {
     * (source column, transform) pairs; transforms: identity, day,
     * bucket[N], truncate[W]. */
   def create(spark: SparkSession, location: String, schema: StructType,
-      partition: Seq[(String, String)] = Nil): IcebergWriter = {
+      partition: Seq[(String, String)] = Nil,
+      arbiter: Option[graft.lake.CommitArbiter] = None): IcebergWriter = {
     val p = new Path(location)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
@@ -464,7 +501,8 @@ object IcebergWriter {
       0L, fields.map(_.id).maxOption.getOrElse(0), 0, Seq(sch), 0,
       Seq(IcePartSpec(0, specFields)), 999 + partition.size,
       Map.empty, None, Nil, Nil, Map.empty)
-    new IcebergWriter(spark, location, meta0, 0, Nil, writeInitial = true)
+    new IcebergWriter(spark, location, meta0, 0, Nil, writeInitial = true,
+      arbiter)
   }
 
   /** REOPEN an existing table for further commits — the cross-process
@@ -475,21 +513,31 @@ object IcebergWriter {
     * (row counts included — no manifest re-reads), and continues the
     * version/sequence/timestamp chains. The table must be at its
     * original location (manifest paths are stored absolute). */
-  def open(spark: SparkSession, location: String): IcebergWriter = {
+  def open(spark: SparkSession, location: String,
+      arbiter: Option[graft.lake.CommitArbiter] = None): IcebergWriter = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(location, "metadata")
     val fs = metaDir.getFileSystem(conf)
     val hint = new Path(metaDir, "version-hint.text")
     val VRe = """v?(\d+)(?:-[^.]*)?\.metadata\.json""".r
     val metaPath =
-      if (fs.exists(hint)) {
+      // under an arbiter the catalog's version pointer is authoritative
+      // (the hint file is only a cache and may be stale)
+      if (arbiter.flatMap(_.currentVersion()).isDefined) {
+        val (_, rel) = arbiter.get.currentVersion().get
+        new Path(location, rel)
+      } else if (fs.exists(hint)) {
         val in = fs.open(hint)
         val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         Seq(s"v$v.metadata.json", s"$v.metadata.json")
-          .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
-            throw new IllegalArgumentException(
-              s"iceberg: version-hint says $v but no v$v.metadata.json under $metaDir"))
+          .map(new Path(metaDir, _)).find(fs.exists)
+          // arbitrated tables stage unique vN-<nonce> names; a
+          // hint-following reader globs the version prefix
+          .orElse(fs.listStatus(metaDir).toSeq.map(_.getPath)
+            .find(_.getName.matches(s"v?$v-[^.]*\\.metadata\\.json")))
+          .getOrElse(throw new IllegalArgumentException(
+            s"iceberg: version-hint says $v but no v$v*.metadata.json under $metaDir"))
       } else {
         val cands = fs.listStatus(metaDir).toSeq.map(_.getPath).flatMap(p =>
           p.getName match { case VRe(n) => Some((n.toLong, p)); case _ => None })
@@ -509,7 +557,7 @@ object IcebergWriter {
         new Path(meta.snapshot(sid).manifestList))
     }.getOrElse(Nil)
     val w = new IcebergWriter(spark, location, meta, version, listState,
-      writeInitial = false)
+      writeInitial = false, arbiter)
     w.lastTs = (0L +: meta.snapshotLog.map(_._1)).max
     w
   }

@@ -103,6 +103,44 @@ class IcebergExportSpec extends AnyFunSuite {
       n.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("catalog-arbitrated commits: CAS is the commit point, stale writers lose") {
+    import graft.lake.iceberg.{IcebergExport, IcebergWriter}
+    // in-memory arbiter with GraftTable-CAS semantics
+    val ptr = new java.util.concurrent.atomic.AtomicReference[(Long, String)](null)
+    val arb = new CommitArbiter {
+      def commitVersion(expected: Long, v: Long, f: String): Boolean = {
+        val cur = ptr.get()
+        (cur == null || cur._1 == expected) && ptr.compareAndSet(cur, (v, f))
+      }
+      def currentVersion(): Option[(Long, String)] = Option(ptr.get())
+    }
+    val n = Tables.nation(spark, sf)
+    val t = GraftTable.create(spark, freshDir("arb-src"), n,
+      keyColumns = Seq("n_nationkey"))
+    val dst = freshDir("arb-dst")
+    IcebergExport.export(spark, t, dst, Some(arb))
+    val v1 = ptr.get()._1
+    // two writers open the same version; the second to commit must lose
+    val w1 = IcebergWriter.open(spark, dst, Some(arb))
+    val w2 = IcebergWriter.open(spark, dst, Some(arb))
+    w1.append(n.limit(3))
+    intercept[java.util.ConcurrentModificationException] {
+      w2.append(n.limit(2))
+    }
+    assert(ptr.get()._1 > v1)
+    // a STALE hint must not fool an arbitrated reader: point the hint at
+    // v2 (the first-append state) and check load(arbiter) still resolves
+    // the CAS'd head
+    val hintPath = new org.apache.hadoop.fs.Path(dst, "metadata/version-hint.text")
+    val fs = hintPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hintPath, true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    val viaArb = IcebergTable.load(spark, dst, Some(arb)).scan().count()
+    val viaHint = IcebergTable.load(spark, dst).scan().count()
+    assert(viaArb == n.count() + 3, "arbitrated read must see the CAS'd head")
+    assert(viaHint == n.count(), "hint-following read sees the stale version")
+  }
+
   test("bucket partition layout uses the Iceberg spec hash, not Spark's") {
     val n = Tables.nation(spark, sf)
     val t = GraftTable.create(spark, freshDir("bkt-src"), n,
