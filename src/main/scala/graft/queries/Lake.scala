@@ -668,7 +668,43 @@ object Lake {
     statusAgg(ice.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}"))
   }
 
+  /** REAL Delta Lake read interop — the reference lists Delta as future
+    * support (pg_lakehouse_iceberg/README.md:9); graft ships it: a
+    * protocol-conforming Delta table (%020d.json action log, per-file
+    * stats JSON, hive partition dirs, classic checkpoint +
+    * _last_checkpoint — written by graft's own hand-rolled writer, no
+    * Delta artifacts in this sandbox) is read back by
+    * [[graft.lake.delta.DeltaTable]]: checkpoint-seeded log replay,
+    * partition-value injection, partition + stats pruning
+    * (hard-asserted), a copy-on-write DELETE, and a version-time-travel
+    * read predating the delete. Oracle reproduces both reads from the
+    * original parquet. */
+  def lakeDeltaRead(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.delta.{DeltaTable, DeltaWriter}
+    val o = Tables.orders(s, d)
+    val loc = work(s, "delta_read", d)
+    val w = DeltaWriter.create(s, loc, o.schema,
+      partitionColumns = Seq("o_orderstatus"))
+    w.append(o.filter(year(col("o_orderdate")) < 1996))  // v1
+    w.append(o.filter(year(col("o_orderdate")) >= 1996)) // v2
+    w.deleteWhere(col("o_orderpriority") === "1-URGENT") // v3: COW rewrite
+    w.checkpoint()
+    val t = DeltaTable.load(s, loc)
+    val total = t.planFiles().size
+    val pruned = t.planFiles(Some(col("o_orderstatus") === "F")).size
+    require(pruned < total,
+      s"delta partition pruning must skip files ($pruned of $total kept)")
+    def agg(df: DataFrame, src: String): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Money.sum2(col("o_totalprice")).as("total"))
+        .withColumn("src", lit(src))
+    agg(t.scan(Some(col("o_orderstatus") === "F")), "current")
+      .unionByName(agg(DeltaTable.loadVersion(s, loc, 1L).scan(), "v1"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_read" -> (lakeIcebergRead _),
     "lake_sql_dml" -> (lakeSqlDml _),
@@ -707,6 +743,20 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_delta_read" ->
+      """SELECT o_orderpriority, n_orders, total, src FROM (
+           SELECT o_orderpriority, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'current' AS src
+           FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+           GROUP BY o_orderpriority
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'v1'
+           FROM orders WHERE year(o_orderdate) < 1996
+           GROUP BY o_orderpriority
+         )""",
     "lake_iceberg_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
