@@ -1,0 +1,206 @@
+package graft.lake.hudi
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.ParquetStats
+
+/** Minimal Apache Hudi COPY_ON_WRITE writer conforming to the published
+  * table layout: hive-style partition dirs of
+  * `<fileId>_<writeToken>_<instant>.parquet` base files carrying the five
+  * `_hoodie_*` meta columns, a `.hoodie/` timeline of `<instant>.commit`
+  * JSON (partitionToWriteStats), and `hoodie.properties`.
+  *
+  * Same posture as the Iceberg/Delta test writers: the sandbox has no
+  * Hudi artifacts, so the specs build REAL layouts and read them back.
+  * Narrow: create / insert / keyed COW upsert (a matched file group is
+  * rewritten as a NEW SLICE of the same fileId at a later instant —
+  * hudi's actual copy-on-write update shape; unmatched keys open a new
+  * file group). Deterministic instants (zero-padded counter) keep runs
+  * reproducible. */
+final class HudiWriter private (
+    spark: SparkSession,
+    val location: String,
+    schema: StructType,
+    partitionFields: Seq[String],
+    keyField: String) {
+
+  private val mapper = new ObjectMapper()
+  private def conf: Configuration = spark.sessionState.newHadoopConf()
+  private val root = new Path(location)
+  private val fs = root.getFileSystem(conf)
+  private val metaDir = new Path(root, ".hoodie")
+
+  private var instantSeq = 0
+  private var fileSeq = 0
+  private def nextInstant(): String = { instantSeq += 1; f"$instantSeq%017d" }
+  private def nextFileId(): String = { fileSeq += 1; f"g$fileSeq%08d" }
+
+  private def hivePartPath(r: org.apache.spark.sql.Row): String =
+    partitionFields.map { f =>
+      val v = r.getAs[Any](f)
+      s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+    }.mkString("/")
+
+  /** Writes one file group's rows as a base file (one slice). */
+  private def writeSlice(rows: DataFrame, fileId: String, instant: String,
+      partPath: String): (String, Long) = {
+    val fileName = s"${fileId}_0-0-0_$instant.parquet"
+    val rel = if (partPath.isEmpty) fileName else s"$partPath/$fileName"
+    val dest = new Path(root, rel)
+    fs.mkdirs(dest.getParent)
+    val withMeta = rows
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_commit_seqno",
+        concat(lit(instant + "_0_"), monotonically_increasing_id()))
+      .withColumn("_hoodie_record_key", col(keyField).cast("string"))
+      .withColumn("_hoodie_partition_path", lit(partPath))
+      .withColumn("_hoodie_file_name", lit(fileName))
+      .select((HudiTable.MetaColumns ++ schema.fieldNames).map(col).toIndexedSeq: _*)
+    val tmp = new Path(root, s"_tmp-$fileId-$instant")
+    withMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val it = fs.listFiles(tmp, true)
+      var found: Path = null
+      while (it.hasNext && found == null) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) found = f
+      }
+      found
+    }
+    require(fs.rename(part, dest), s"hudi: rename $part -> $dest failed")
+    fs.delete(tmp, true)
+    (rel, ParquetStats.rowCount(conf, dest))
+  }
+
+  private def commit(instant: String,
+      stats: Seq[(String, String, String, Long)]): Unit = { // (part, fileId, path, rows)
+    val n = mapper.createObjectNode()
+    val pw = n.putObject("partitionToWriteStats")
+    stats.groupBy(_._1).foreach { case (part, group) =>
+      val arr = pw.putArray(part)
+      group.foreach { case (_, fileId, path, rows) =>
+        val st = arr.addObject()
+        st.put("fileId", fileId)
+        st.put("path", path)
+        st.put("numWrites", rows)
+      }
+    }
+    n.put("operation", "upsert")
+    val p = new Path(metaDir, s"$instant.commit")
+    val out = fs.create(p, false) // timeline instants never overwrite
+    try out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** INSERT: each partition's rows become one new file group. */
+  def insert(df: DataFrame): String = {
+    val instant = nextInstant()
+    val parts = df.select(partitionFields.map(col).toIndexedSeq: _*)
+      .distinct().collect().toSeq
+    val stats =
+      if (partitionFields.isEmpty) {
+        val fid = nextFileId()
+        val (rel, rows) = writeSlice(df, fid, instant, "")
+        Seq(("", fid, rel, rows))
+      } else parts.map { pr =>
+        val cond = partitionFields.map(f =>
+          if (pr.getAs[Any](f) == null) col(f).isNull
+          else col(f) === lit(pr.getAs[Any](f))).reduce(_ && _)
+        val fid = nextFileId()
+        val pp = hivePartPath(pr)
+        val (rel, rows) = writeSlice(df.filter(cond), fid, instant, pp)
+        (pp, fid, rel, rows)
+      }
+    commit(instant, stats)
+    instant
+  }
+
+  /** Keyed COW UPSERT: file groups holding matched keys are rewritten as
+    * new slices of the SAME fileId at this instant (old rows merged with
+    * the updates); unmatched keys open a new file group per partition. */
+  def upsert(df: DataFrame): String = {
+    val t = HudiTable.load(spark, location)
+    val instant = nextInstant()
+    val updates = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val updKeys = updates.select(col(keyField).cast("string").as("__k"))
+    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    var matchedKeys: DataFrame = null
+    // rewrite every affected file group (slice by slice)
+    t.planFiles(None).foreach { rel =>
+      val cur = spark.read.schema(schema).parquet(new Path(root, rel).toString)
+      val hit = cur.join(updKeys, cur(keyField).cast("string") === updKeys("__k"), "left_semi")
+      if (!hit.isEmpty) {
+        val SliceRe = """(.+)_[^_]+_(\d+)\.parquet""".r
+        val (dir, name) = {
+          val p = new Path(rel)
+          (Option(p.getParent).map(_.toString).filter(_ != "").getOrElse(""), p.getName)
+        }
+        val fileId = name match { case SliceRe(fid, _) => fid
+          case _ => throw new IllegalStateException(s"hudi: unparseable slice name $name") }
+        val keep = cur.join(updKeys,
+          cur(keyField).cast("string") === updKeys("__k"), "left_anti")
+        val groupKeys = cur.select(col(keyField).cast("string").as("__k"))
+        val upd = updates.join(groupKeys,
+          updates(keyField).cast("string") === groupKeys("__k"), "left_semi")
+        val merged = keep.unionByName(upd)
+        val (newRel, rows) = writeSlice(merged, fileId, instant,
+          if (dir == "") "" else dir)
+        stats += ((if (dir == "") "" else dir, fileId, newRel, rows))
+        matchedKeys = if (matchedKeys == null) groupKeys else matchedKeys.unionByName(groupKeys)
+      }
+    }
+    // unmatched keys: new file group(s)
+    val fresh =
+      if (matchedKeys == null) updates
+      else updates.join(matchedKeys,
+        updates(keyField).cast("string") === matchedKeys("__k"), "left_anti")
+    if (!fresh.isEmpty) {
+      if (partitionFields.isEmpty) {
+        val fid = nextFileId()
+        val (rel, rows) = writeSlice(fresh, fid, instant, "")
+        stats += (("", fid, rel, rows))
+      } else {
+        fresh.select(partitionFields.map(col).toIndexedSeq: _*).distinct().collect().foreach { pr =>
+          val cond = partitionFields.map(f =>
+            if (pr.getAs[Any](f) == null) col(f).isNull
+            else col(f) === lit(pr.getAs[Any](f))).reduce(_ && _)
+          val fid = nextFileId()
+          val pp = hivePartPath(pr)
+          val (rel, rows) = writeSlice(fresh.filter(cond), fid, instant, pp)
+          stats += ((pp, fid, rel, rows))
+        }
+      }
+    }
+    commit(instant, stats.toSeq)
+    instant
+  }
+}
+
+object HudiWriter {
+  def create(spark: SparkSession, location: String, schema: StructType,
+      partitionFields: Seq[String] = Nil,
+      keyField: String): HudiWriter = {
+    require(schema.fieldNames.contains(keyField), s"hudi: key $keyField not in schema")
+    val p = new Path(location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.mkdirs(new Path(p, ".hoodie"))
+    val props = new java.util.Properties()
+    props.setProperty("hoodie.table.name", p.getName)
+    props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+    props.setProperty("hoodie.table.version", "6")
+    props.setProperty("hoodie.table.recordkey.fields", keyField)
+    if (partitionFields.nonEmpty)
+      props.setProperty("hoodie.table.partition.fields", partitionFields.mkString(","))
+    props.setProperty("hoodie.datasource.write.hive_style_partitioning", "true")
+    val out = fs.create(new Path(p, ".hoodie/hoodie.properties"), false)
+    try props.store(out, "graft hudi writer")
+    finally out.close()
+    new HudiWriter(spark, location, schema, partitionFields, keyField)
+  }
+}

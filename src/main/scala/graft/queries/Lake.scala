@@ -703,7 +703,42 @@ object Lake {
       .unionByName(agg(DeltaTable.loadVersion(s, loc, 1L).scan(), "v1"))
   }
 
+  /** REAL Apache Hudi COPY_ON_WRITE read interop — with Delta this
+    * completes the reference's "future support" list (README.md:9): a
+    * layout-conforming Hudi table (timeline .commit JSON, fileId_token_
+    * instant base files with the five _hoodie_* meta columns,
+    * hoodie.properties — graft's own hand-rolled writer) is read back by
+    * [[graft.lake.hudi.HudiTable]]: timeline-driven state (no data-dir
+    * listing), latest-file-slice-per-group resolution, a keyed COW
+    * upsert whose rewritten slice supersedes the old one, hive-style
+    * partition pruning (hard-asserted), and an as-of-instant read
+    * predating the upsert. Oracle reproduces both reads. */
+  def lakeHudiRead(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.hudi.{HudiTable, HudiWriter}
+    val o = Tables.orders(s, d)
+    val loc = work(s, "hudi_read", d)
+    val w = HudiWriter.create(s, loc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+    w.insert(o.filter(year(col("o_orderdate")) < 1996))
+    val preUpsert = w.insert(o.filter(year(col("o_orderdate")) >= 1996))
+    w.upsert(o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("corrected")))
+    val t = HudiTable.load(s, loc)
+    val total = t.planFiles().size
+    val pruned = t.planFiles(Some(col("o_orderstatus") === "F")).size
+    require(pruned < total,
+      s"hudi partition pruning must skip file groups ($pruned of $total kept)")
+    def agg(df: DataFrame, src: String): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Money.sum2(col("o_totalprice")).as("total"))
+        .withColumn("src", lit(src))
+    agg(t.scan(), "current")
+      .unionByName(agg(HudiTable.loadAsOf(s, loc, preUpsert).scan(), "pre_upsert"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_hudi_read" -> (lakeHudiRead _),
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_read" -> (lakeIcebergRead _),
@@ -743,6 +778,20 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_hudi_read" ->
+      """SELECT o_orderpriority, n_orders, total, src FROM (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
+                       ELSE o_orderpriority END AS o_orderpriority,
+                  count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'current' AS src
+           FROM orders GROUP BY 1
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'pre_upsert'
+           FROM orders GROUP BY 1
+         )""",
     "lake_delta_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
