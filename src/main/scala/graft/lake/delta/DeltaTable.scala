@@ -30,10 +30,23 @@ import graft.lake.{ColStats, DataFileMeta, FilePruner, Meta}
   *    resolves through commit-file modification times (Delta's own
   *    default resolution).
   *
-  * Protocol guard: tables that REQUIRE reader features beyond the base
-  * protocol (minReaderVersion > 1 — column mapping, deletion vectors,
-  * v2 checkpoints) are REJECTED loudly rather than misread: a silently
-  * wrong scan is worse than an unsupported-table error.
+  * Reader features implemented beyond the base protocol:
+  *
+  *  - DELETION VECTORS (minReaderVersion 3 + `deletionVectors`): add
+  *    actions may carry a DV descriptor ([[DeletionVectors]]); the scan
+  *    drops rows whose `_metadata.row_index` the file's bitmap holds.
+  *    Executors lazily load + cache each bitmap — nothing data-sized
+  *    touches the driver.
+  *  - COLUMN MAPPING (minReaderVersion 2, or 3 + `columnMapping`; name
+  *    AND id modes): files store physical names / field ids; the scan
+  *    reads the physical schema (id matching via Spark's
+  *    parquet.field.id support) and projects back to logical names.
+  *    Log-side stats and partitionValues keys are physical and are
+  *    translated before pruning.
+  *
+  * Anything else that changes what the bytes mean (v2 checkpoints,
+  * type widening, …) is REJECTED loudly rather than misread: a
+  * silently wrong scan is worse than an unsupported-table error.
   *
   * At 100 TB: state reconstruction is O(log actions) driver-side
   * metadata IO (checkpoint-seeded, like Delta's own snapshot code), and
@@ -48,20 +61,38 @@ final class DeltaTable private (
 
   def schema: StructType = meta.schema
   def partitionColumns: Seq[String] = meta.partitionColumns
+  def columnMappingMode: String = meta.columnMappingMode
 
+  /** In-file schema: data columns only, PHYSICAL names, field-id
+    * metadata preserved (id-mode matching rides on Spark's
+    * parquet.field.id support). */
   private def dataSchema: StructType =
-    StructType(meta.schema.fields.filterNot(f => meta.partitionColumns.contains(f.name)))
+    StructType(meta.schema.fields
+      .filterNot(f => meta.partitionColumns.contains(f.name))
+      .map { f =>
+        val mb = new MetadataBuilder()
+        meta.fieldId(f.name).foreach(id => mb.putLong("parquet.field.id", id))
+        StructField(meta.physicalName(f.name), f.dataType, f.nullable, mb.build())
+      })
 
   // ---- planning ------------------------------------------------------------
 
+  /** Log-side keys (partitionValues, stats) are PHYSICAL names under
+    * column mapping; FilePruner compares in logical space. */
   private def toDataFileMeta(a: DeltaTable.AddFile): DataFileMeta = {
     val pvals = meta.partitionColumns.flatMap { c =>
-      a.partitionValues.get(c).map {
+      a.partitionValues.get(meta.physicalName(c)).map {
         case null => c -> Meta.NullPartition
         case v    => c -> v
       }
     }.toMap
-    DataFileMeta(a.path, 0L, a.numRecords.getOrElse(0L), a.size, pvals, a.stats)
+    val logicalStats =
+      if (meta.columnMappingMode == "none") a.stats
+      else {
+        val byPhys = meta.logicalByPhysical
+        a.stats.flatMap { case (k, v) => byPhys.get(k).map(_ -> v) }
+      }
+    DataFileMeta(a.path, 0L, a.numRecords.getOrElse(0L), a.size, pvals, logicalStats)
   }
 
   /** Live data files surviving partition + stats pruning (receipt hook). */
@@ -79,17 +110,53 @@ final class DeltaTable private (
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    if (meta.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    // deletion vectors: executors lazily load + cache each file's bitmap
+    // (never the driver — O(DV'd files) stays off the driver at scale)
+    // and drop rows whose _metadata.row_index the bitmap holds
+    val dvDescs: Map[String, DeletionVectors.Descriptor] = live.flatMap { a =>
+      a.deletionVector.map { d =>
+        DeltaTable.pathKey(
+          DeltaTable.resolve(location, a.path).toString) -> d
+      }
+    }.toMap
+    val keepRow: Option[Column] = if (dvDescs.isEmpty) None else {
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val bcDvs = spark.sparkContext.broadcast(dvDescs)
+      val loc = location
+      val f = udf { (path: String, rowIndex: Long) =>
+        val key = DeltaTable.pathKey(path)
+        bcDvs.value.get(key) match {
+          case Some(d) =>
+            !DeltaTable.DvCache.bitmap(loc, key, d, bcConf.value.value).contains(rowIndex)
+          case None => true
+        }
+      }
+      Some(f(col("_metadata.file_path"), col("_metadata.row_index")))
+    }
+
     // partition columns are injected from partitionValues (authoritative
     // per protocol; files usually omit them) — one read per distinct
-    // partition-value tuple, then project to the table column order
+    // partition-value tuple, then project to the table column order.
+    // Under column mapping the read is by PHYSICAL name (and field id
+    // in id mode); the projection renames back to logical.
+    val logicalDataCols = meta.schema.fieldNames
+      .filterNot(meta.partitionColumns.contains)
     val out = live.groupBy(_.partitionValues).toSeq
       .sortBy(_._2.head.path)
       .map { case (pvals, files) =>
-        val df = spark.read.schema(dataSchema)
+        var df = spark.read.schema(dataSchema)
           .parquet(files.map(f => DeltaTable.resolve(location, f.path).toString): _*)
+        keepRow.foreach(k => df = df.filter(k))
+        df = df.select(logicalDataCols.toIndexedSeq.map(c =>
+          col(meta.physicalName(c)).as(c)): _*)
         val withParts = meta.partitionColumns.foldLeft(df) { (d, c) =>
           val dt = meta.schema(c).dataType
-          val v = pvals.get(c).orNull
+          val v = pvals.get(meta.physicalName(c)).orNull
           d.withColumn(c,
             (if (v == null) lit(null) else lit(v)).cast(dt))
         }
@@ -107,14 +174,43 @@ object DeltaTable {
   final case class DMeta(
       schema: StructType,
       partitionColumns: Seq[String],
-      configuration: Map[String, String])
+      configuration: Map[String, String]) {
+
+    /** "none" | "name" | "id" (delta.columnMapping.mode). */
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+
+    /** Physical (in-file) name of a logical column. Under column
+      * mapping the schemaString field metadata carries
+      * delta.columnMapping.physicalName; stats and partitionValues in
+      * the log are keyed by it. */
+    def physicalName(logical: String): String =
+      if (columnMappingMode == "none") logical
+      else {
+        val f = schema(logical)
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else logical
+      }
+
+    def fieldId(logical: String): Option[Long] = {
+      val f = schema(logical)
+      if (f.metadata.contains("delta.columnMapping.id"))
+        Some(f.metadata.getLong("delta.columnMapping.id"))
+      else None
+    }
+
+    def logicalByPhysical: Map[String, String] =
+      schema.fieldNames.map(n => physicalName(n) -> n).toMap
+  }
 
   final case class AddFile(
       path: String, // table-relative, decoded
       partitionValues: Map[String, String], // null value = null partition
       size: Long,
       numRecords: Option[Long],
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      deletionVector: Option[DeletionVectors.Descriptor] = None)
 
   def load(spark: SparkSession, location: String): DeltaTable =
     loadVersion(spark, location, -1L)
@@ -166,8 +262,12 @@ object DeltaTable {
       val cp = spark.read.parquet(p.toString)
       val cols = cp.columns.toSet
       if (cols.contains("protocol")) cp.select("protocol.*").collect().foreach { r =>
-        if (!r.isNullAt(r.fieldIndex("minReaderVersion")))
+        if (!r.isNullAt(r.fieldIndex("minReaderVersion"))) {
           protoReader = r.getInt(r.fieldIndex("minReaderVersion"))
+          if (r.schema.fieldNames.contains("readerFeatures") &&
+              !r.isNullAt(r.fieldIndex("readerFeatures")))
+            protoFeatures = r.getSeq[String](r.fieldIndex("readerFeatures")).toSeq
+        }
       }
       if (cols.contains("metaData")) cp.filter(col("metaData").isNotNull)
         .select("metaData.*").collect().foreach { r =>
@@ -209,18 +309,21 @@ object DeltaTable {
       }
     }
 
-    // base-protocol guard: column mapping / deletion vectors / v2
-    // checkpoints change what the bytes MEAN — misreading is worse than
-    // rejecting (the unsupported-feature posture the protocol mandates)
-    require(protoReader <= 1 || (protoReader == 3 && protoFeatures.isEmpty),
+    // protocol guard: features that change what the bytes MEAN are only
+    // readable when implemented — misreading is worse than rejecting.
+    // Supported: base (1), column mapping (2 legacy, or the table
+    // feature), deletion vectors, timestampNtz. v2 checkpoints et al.
+    // stay rejected loudly.
+    val supported = Set("deletionVectors", "columnMapping", "timestampNtz")
+    require(protoReader <= 2 ||
+        (protoReader == 3 && protoFeatures.forall(supported.contains)),
       s"delta: minReaderVersion $protoReader" +
         (if (protoFeatures.nonEmpty) s" with readerFeatures $protoFeatures" else "") +
-        " requires features this reader does not implement " +
-        "(column mapping / deletion vectors / v2 checkpoints)")
+        s" requires features this reader does not implement (supported: $supported)")
     val m = metaOpt.getOrElse(
       throw new IllegalStateException(s"delta: no metaData action in log at $location"))
-    require(!m.configuration.get("delta.columnMapping.mode").exists(_ != "none"),
-      s"delta: column mapping ${m.configuration("delta.columnMapping.mode")} unsupported")
+    require(Set("none", "name", "id").contains(m.columnMappingMode),
+      s"delta: column mapping mode ${m.columnMappingMode} unsupported")
 
     new DeltaTable(spark, location, head, m, live.values.toSeq)
   }
@@ -228,6 +331,22 @@ object DeltaTable {
   private[delta] def resolve(location: String, rel: String): Path = {
     val hasScheme = rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
     if (hasScheme || rel.startsWith("/")) new Path(rel) else new Path(location, rel)
+  }
+
+  /** Scheme/authority-insensitive file key: `_metadata.file_path` and
+    * log-resolved paths may disagree on `file:/` vs `file:///`. */
+  private[delta] def pathKey(p: String): String = new Path(p).toUri.getPath
+
+  /** Per-executor deletion-vector cache: one deserialize per (table,
+    * file), shared across tasks. DVs are per-file and small (compressed
+    * by deleted-row count), so process lifetime residency is fine. */
+  private[delta] object DvCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, RoaringBitmapArray]()
+    def bitmap(location: String, key: String, d: DeletionVectors.Descriptor,
+        conf: Configuration): RoaringBitmapArray =
+      cache.computeIfAbsent(s"$location#$key",
+        _ => DeletionVectors.load(conf, location, d))
   }
 
   /** add.path is RFC 2396 URI-encoded per the protocol. */
@@ -266,8 +385,16 @@ object DeltaTable {
   }
 
   private def parseAddNode(n: JsonNode): AddFile = {
-    require(!n.has("deletionVector") || n.get("deletionVector").isNull,
-      "delta: deletion vectors unsupported")
+    val dv = n.path("deletionVector") match {
+      case d if d.isObject =>
+        Some(DeletionVectors.Descriptor(
+          d.path("storageType").asText(),
+          d.path("pathOrInlineDv").asText(),
+          if (d.has("offset") && !d.get("offset").isNull) Some(d.get("offset").asInt) else None,
+          d.path("sizeInBytes").asInt,
+          d.path("cardinality").asLong))
+      case _ => None
+    }
     val pvals = {
       val it = n.path("partitionValues").fields()
       val b = Map.newBuilder[String, String]
@@ -282,7 +409,7 @@ object DeltaTable {
       case _ => (None, Map.empty[String, ColStats])
     }
     AddFile(decodePath(n.path("path").asText()), pvals,
-      n.path("size").asLong(0L), nRec, stats)
+      n.path("size").asLong(0L), nRec, stats, dv)
   }
 
   private def parseAddRow(r: org.apache.spark.sql.Row): AddFile = {
@@ -291,9 +418,19 @@ object DeltaTable {
     val statsJson = idx.get("stats").filterNot(r.isNullAt).map(r.getString)
     val (nRec, stats) = statsJson.map(parseStats).getOrElse(
       (None, Map.empty[String, ColStats]))
+    val dv = idx.get("deletionVector").filterNot(r.isNullAt).map { i =>
+      val d = r.getStruct(i)
+      val di = d.schema.fieldNames.zipWithIndex.toMap
+      DeletionVectors.Descriptor(
+        d.getAs[String]("storageType"),
+        d.getAs[String]("pathOrInlineDv"),
+        di.get("offset").filterNot(d.isNullAt).map(d.getInt),
+        d.getAs[Int]("sizeInBytes"),
+        d.getAs[Long]("cardinality"))
+    }
     AddFile(decodePath(r.getAs[String]("path")),
       if (pvals == null) Map.empty else pvals,
-      r.getAs[Long]("size"), nRec, stats)
+      r.getAs[Long]("size"), nRec, stats, dv)
   }
 
   /** Delta per-file stats JSON → graft ColStats. Only top-level columns

@@ -20,15 +20,20 @@ import graft.lake.ParquetStats
   * (a) round-trip receipts for [[DeltaTable]] — no Delta artifacts exist
   * in this sandbox, so the specs build REAL Delta layouts and read them
   * back; (b) an export seam. Intentionally narrow: create / append /
-  * copy-on-write deleteWhere / checkpoint. Base protocol only
-  * (minReaderVersion 1, minWriterVersion 2) — no column mapping, DVs,
-  * or v2 checkpoints, which is exactly what the reader supports.
+  * copy-on-write deleteWhere / checkpoint — plus the two reader
+  * features [[DeltaTable]] implements, so the round-trip specs cover
+  * them: COLUMN MAPPING (name/id mode tables: physical `col-<n>` names
+  * + field ids in the files, physical keys in partitionValues/stats,
+  * the matching protocol bump) and DELETION VECTORS (`deleteWhereDv`
+  * attaches a DV instead of rewriting — the protocol's
+  * merge-on-read-style delete).
   */
 final class DeltaWriter private (
     spark: SparkSession,
     val location: String,
     schema: StructType,
-    partitionColumns: Seq[String]) {
+    partitionColumns: Seq[String],
+    columnMapping: Option[String]) {
 
   private val mapper = new ObjectMapper()
   private def conf: Configuration = spark.sessionState.newHadoopConf()
@@ -39,9 +44,28 @@ final class DeltaWriter private (
   private var version = -1L
   // live file state mirrored for checkpoint/deleteWhere: path -> (add node)
   private val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+  private var dvEnabled = false
+
+  // logical -> physical column name (identity without column mapping)
+  private val phys: Map[String, String] = columnMapping match {
+    case None => schema.fieldNames.map(n => n -> n).toMap
+    case Some(_) => schema.fieldNames.zipWithIndex.map {
+      case (n, i) => n -> s"col-${i + 1}" }.toMap
+  }
 
   private def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+
+  /** Rename to physical and (id mode) stamp parquet field ids so the
+    * files carry what the mode makes authoritative. */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    if (columnMapping.isEmpty) return df
+    df.select(df.columns.toIndexedSeq.map { c =>
+      val fid = schema.fieldIndex(c) + 1L
+      val md = new MetadataBuilder().putLong("parquet.field.id", fid).build()
+      col(c).as(phys(c), md)
+    }: _*)
+  }
 
   // ---- commits -------------------------------------------------------------
 
@@ -54,12 +78,39 @@ final class DeltaWriter private (
     version
   }
 
+  /** Protocol action for the current feature set. Legacy versions when
+    * they suffice (1,2 base; 2,5 name-mode column mapping), the
+    * table-features form (3,7 + explicit lists) once DVs or id mode
+    * need it. */
   private def protocolAction: ObjectNode = {
     val n = mapper.createObjectNode()
     val pr = n.putObject("protocol")
-    pr.put("minReaderVersion", 1); pr.put("minWriterVersion", 2)
+    val features =
+      (if (columnMapping.isDefined) Seq("columnMapping") else Nil) ++
+        (if (dvEnabled) Seq("deletionVectors") else Nil)
+    if (dvEnabled || columnMapping.contains("id")) {
+      pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
+      val rf = pr.putArray("readerFeatures"); features.foreach(rf.add)
+      val wf = pr.putArray("writerFeatures"); features.foreach(wf.add)
+    } else if (columnMapping.isDefined) {
+      pr.put("minReaderVersion", 2); pr.put("minWriterVersion", 5)
+    } else {
+      pr.put("minReaderVersion", 1); pr.put("minWriterVersion", 2)
+    }
     n
   }
+
+  /** Table schema as written to schemaString: under column mapping each
+    * field carries its physicalName + id in metadata, per the protocol. */
+  private def metaSchema: StructType =
+    if (columnMapping.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      val md = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", schema.fieldIndex(f.name) + 1L)
+        .putString("delta.columnMapping.physicalName", phys(f.name))
+        .build()
+      f.copy(metadata = md)
+    })
 
   private def metaAction: ObjectNode = {
     val n = mapper.createObjectNode()
@@ -67,10 +118,14 @@ final class DeltaWriter private (
     m.put("id", java.util.UUID.randomUUID().toString)
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
-    m.put("schemaString", schema.json)
+    m.put("schemaString", metaSchema.json)
     val pc = m.putArray("partitionColumns")
     partitionColumns.foreach(pc.add)
-    m.putObject("configuration")
+    val cfg = m.putObject("configuration")
+    columnMapping.foreach { mode =>
+      cfg.put("delta.columnMapping.mode", mode)
+      cfg.put("delta.columnMapping.maxColumnId", schema.length.toString)
+    }
     m.put("createdTime", 0L)
     n
   }
@@ -79,11 +134,13 @@ final class DeltaWriter private (
     * partition columns dropped from the files per common writer
     * practice — partitionValues is authoritative) and returns their add
     * actions. */
-  private def writeFiles(df: DataFrame): Seq[ObjectNode] = {
+  private def writeFiles(dfLogical: DataFrame): Seq[ObjectNode] = {
+    val df = toPhysical(dfLogical)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_tmp-$nonce")
     val writer = df.write.mode("overwrite")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+    (if (partitionColumns.nonEmpty)
+       writer.partitionBy(partitionColumns.map(phys): _*)
      else writer).parquet(tmp.toString)
     val out = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     var i = 0
@@ -127,19 +184,22 @@ final class DeltaWriter private (
       val minN = st.putObject("minValues")
       val maxN = st.putObject("maxValues")
       val nullN = st.putObject("nullCount")
+      // stats keys are PHYSICAL names under column mapping (footer names
+      // already are — the files were written physically)
       dataSchema.fields.foreach { f =>
-        stats.get(f.name).foreach { cs =>
-          nullN.put(f.name, cs.nulls)
+        val pn = phys(f.name)
+        stats.get(pn).foreach { cs =>
+          nullN.put(pn, cs.nulls)
           (cs.tag, f.dataType) match {
             case ("l", DateType) => // epoch days → ISO, the spec's form
-              minN.put(f.name, java.time.LocalDate.ofEpochDay(cs.min.toLong).toString)
-              maxN.put(f.name, java.time.LocalDate.ofEpochDay(cs.max.toLong).toString)
+              minN.put(pn, java.time.LocalDate.ofEpochDay(cs.min.toLong).toString)
+              maxN.put(pn, java.time.LocalDate.ofEpochDay(cs.max.toLong).toString)
             case ("l", _) =>
-              minN.put(f.name, cs.min.toLong); maxN.put(f.name, cs.max.toLong)
+              minN.put(pn, cs.min.toLong); maxN.put(pn, cs.max.toLong)
             case ("d", _) =>
-              minN.put(f.name, cs.min.toDouble); maxN.put(f.name, cs.max.toDouble)
+              minN.put(pn, cs.min.toDouble); maxN.put(pn, cs.max.toDouble)
             case ("s", _) =>
-              minN.put(f.name, cs.min); maxN.put(f.name, cs.max)
+              minN.put(pn, cs.min); maxN.put(pn, cs.max)
             case _ => ()
           }
         }
@@ -170,6 +230,14 @@ final class DeltaWriter private (
     commit(addsN)
   }
 
+  /** Data files read back in LOGICAL names (renaming from physical
+    * under column mapping), data columns only. */
+  private def readLogical(paths: Seq[String]): DataFrame = {
+    val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    val df = spark.read.schema(physData).parquet(paths: _*)
+    df.select(dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c)): _*)
+  }
+
   /** COPY-ON-WRITE delete (Delta's base-protocol delete): files that may
     * hold matching rows are rewritten without them; the commit removes
     * the old files and adds the rewrites. Untouched files are untouched
@@ -187,10 +255,11 @@ final class DeltaWriter private (
       val paths = group.map(n =>
         DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
       val pv = group.head.get("add").get("partitionValues")
-      var df = spark.read.schema(dataSchema).parquet(paths: _*)
+      var df = readLogical(paths)
       // partition columns injected so `cond` can reference them
+      // (partitionValues keys are physical under column mapping)
       partitionColumns.foreach { c =>
-        val v = pv.get(c)
+        val v = pv.get(phys(c))
         val dt = schema(c).dataType
         df = df.withColumn(c,
           (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
@@ -214,6 +283,84 @@ final class DeltaWriter private (
     commit(removes ++ newAdds.toSeq)
   }
 
+  /** DELETION-VECTOR delete: instead of rewriting files, attach (or
+    * extend) a per-file bitmap of deleted row indexes — the protocol's
+    * merge-on-read-style delete. O(deleted rows) IO instead of
+    * O(affected files) rewrite. Commit shape per the protocol: the
+    * protocol-upgrade action (first DV only), then remove(old file
+    * state) BEFORE add(same path + new DV) so replay by (path, dv)
+    * identity reconciles. Deleted row indexes pass through the driver
+    * (receipts writer — a production path would build bitmaps
+    * per-partition and only ship the serialized blobs). */
+  def deleteWhereDv(cond: Column): Long = {
+    val t = DeltaTable.load(spark, location)
+    val affected = t.planFiles(Some(cond)).toSet
+    if (affected.isEmpty) return version
+    val firstDv = !dvEnabled
+    dvEnabled = true
+    val actions = scala.collection.mutable.ArrayBuffer[ObjectNode]()
+    if (firstDv) actions += protocolAction
+    affected.toSeq.sorted.foreach { rel =>
+      val node = live(rel)
+      val a = node.get("add")
+      val abs = DeltaTable.resolve(location, rel).toString
+      // row_index captured on the raw file relation (metadata columns
+      // don't survive arbitrary projection), then rename to logical
+      val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+      var df = spark.read.schema(physData).parquet(abs)
+        .withColumn("__ri", col("_metadata.row_index"))
+      df = df.select((col("__ri") +:
+        dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c))): _*)
+      val pv = a.get("partitionValues")
+      partitionColumns.foreach { c =>
+        val v = pv.get(phys(c))
+        df = df.withColumn(c,
+          (if (v == null || v.isNull) lit(null)
+           else lit(v.asText())).cast(schema(c).dataType))
+      }
+      val deleted = df.filter(coalesce(cond, lit(false)))
+        .select(col("__ri")).collect().map(_.getLong(0))
+      if (deleted.nonEmpty) {
+        // a file may already carry a DV: the replacement must include it
+        // (the descriptor REPLACES, so union the old bitmap in)
+        val bitmap = RoaringBitmapArray(deleted)
+        if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+          val d = a.get("deletionVector")
+          val old = DeletionVectors.load(conf, location,
+            DeletionVectors.Descriptor(
+              d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+              if (d.has("offset") && !d.get("offset").isNull)
+                Some(d.get("offset").asInt) else None,
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong))
+          bitmap.union(old)
+        }
+        val desc = DeletionVectors.write(conf, location, bitmap)
+        val rm = mapper.createObjectNode()
+        val r = rm.putObject("remove")
+        r.put("path", a.get("path").asText())
+        r.put("deletionTimestamp", 0L); r.put("dataChange", true)
+        actions += rm
+        val newNode = node.deepCopy()
+        val na = newNode.get("add").asInstanceOf[ObjectNode]
+        val dn = na.putObject("deletionVector")
+        dn.put("storageType", desc.storageType)
+        dn.put("pathOrInlineDv", desc.pathOrInlineDv)
+        desc.offset.foreach(dn.put("offset", _))
+        dn.put("sizeInBytes", desc.sizeInBytes)
+        dn.put("cardinality", desc.cardinality)
+        // stats bounds are no longer tight once rows are masked
+        if (na.has("stats")) {
+          val st = mapper.readTree(na.get("stats").asText()).asInstanceOf[ObjectNode]
+          st.put("tightBounds", false)
+          na.put("stats", mapper.writeValueAsString(st))
+        }
+        actions += newNode
+        live(rel) = newNode
+      }
+    }
+    commit(actions.toSeq)
+  }
+
   /** Classic single-file checkpoint of the CURRENT state + the
     * `_last_checkpoint` pointer — what lets a reader skip the log
     * prefix. */
@@ -221,16 +368,25 @@ final class DeltaWriter private (
     require(version >= 0, "delta: nothing to checkpoint")
     // rows: one protocol, one metaData, one per live add — built under
     // an explicit checkpoint schema (nullable structs per action type)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType, true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvType, true)))
     val protoType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType), true),
+      StructField("writerFeatures", ArrayType(StringType), true)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
@@ -241,10 +397,24 @@ final class DeltaWriter private (
       StructField("metaData", metaType, true),
       StructField("add", addType, true)))
     import org.apache.spark.sql.Row
-    val protoRow = Row(Row(1, 2), null, null)
+    val protoNode = protocolAction.get("protocol")
+    def featureList(key: String): Seq[String] =
+      if (protoNode.has(key)) {
+        val it = protoNode.get(key).elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      } else null
+    val protoRow = Row(Row(protoNode.get("minReaderVersion").asInt(),
+      protoNode.get("minWriterVersion").asInt(),
+      featureList("readerFeatures"), featureList("writerFeatures")), null, null)
+    val cfg: Map[String, String] = columnMapping.map(mode => Map(
+      "delta.columnMapping.mode" -> mode,
+      "delta.columnMapping.maxColumnId" -> schema.length.toString))
+      .getOrElse(Map.empty)
     val metaRow = Row(null,
-      Row(java.util.UUID.randomUUID().toString, schema.json,
-        partitionColumns, Map.empty[String, String]), null)
+      Row(java.util.UUID.randomUUID().toString, metaSchema.json,
+        partitionColumns, cfg), null)
     val addRows = live.values.toSeq.map { n =>
       val a = n.get("add")
       val pvIt = a.get("partitionValues").fields()
@@ -253,9 +423,17 @@ final class DeltaWriter private (
         val e = pvIt.next()
         pv(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText()
       }
+      val dvRow =
+        if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+          val d = a.get("deletionVector")
+          Row(d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+            if (d.has("offset") && !d.get("offset").isNull)
+              d.get("offset").asInt() else null,
+            d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+        } else null
       Row(null, null, Row(a.get("path").asText(), pv.toMap,
         a.get("size").asLong(), a.get("modificationTime").asLong(),
-        true, a.get("stats").asText()))
+        true, a.get("stats").asText(), dvRow))
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1), cpSchema)
@@ -284,14 +462,18 @@ final class DeltaWriter private (
 
 object DeltaWriter {
   /** Fresh table at `location` (cleared first): version 0 carries
-    * protocol + metaData, per the protocol's creation shape. */
+    * protocol + metaData, per the protocol's creation shape.
+    * `columnMapping`: None | Some("name") | Some("id"). */
   def create(spark: SparkSession, location: String, schema: StructType,
-      partitionColumns: Seq[String] = Nil): DeltaWriter = {
+      partitionColumns: Seq[String] = Nil,
+      columnMapping: Option[String] = None): DeltaWriter = {
+    require(columnMapping.forall(Set("name", "id").contains),
+      s"delta: columnMapping mode $columnMapping")
     val p = new Path(location)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
     fs.mkdirs(new Path(p, "_delta_log"))
-    val w = new DeltaWriter(spark, location, schema, partitionColumns)
+    val w = new DeltaWriter(spark, location, schema, partitionColumns, columnMapping)
     w.commit(Seq(w.protocolAction, w.metaAction))
     w
   }
