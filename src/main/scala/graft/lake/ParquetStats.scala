@@ -23,6 +23,24 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetStats {
 
+  /** Runs `body` with parquet timestamps written as INT64 micros. INT96
+    * (Spark's legacy default output type) carries no footer statistics —
+    * disabling min/max pruning on timestamp columns — and is a
+    * spec-conformance bug for every interop format graft writes (the
+    * Iceberg spec REQUIRES int64 micros; Delta/Hudi engines expect the
+    * same). Scoped set/restore so the rest of the session keeps its
+    * configured format. */
+  def withMicrosTimestamps[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Total record count of a parquet file (or every .parquet under a
     * directory) from footers only — no data pages, no Spark job. */
   def rowCount(conf: Configuration, path: Path): Long = {

@@ -338,16 +338,34 @@ object DeltaTable {
   private[delta] def pathKey(p: String): String = new Path(p).toUri.getPath
 
   /** Per-executor deletion-vector cache: one deserialize per (table,
-    * file), shared across tasks. DVs are per-file and small (compressed
-    * by deleted-row count), so process lifetime residency is fine. */
+    * file, DV identity), shared across tasks. The DESCRIPTOR is part of
+    * the key — a data file's DV is replaced wholesale when extended
+    * (second delete, or another writer advancing the table), and a
+    * (table, file)-only key would keep serving the superseded bitmap,
+    * resurrecting newly deleted rows. DV files are UUID-named, so
+    * pathOrInlineDv is a stable unique identity. DVs are per-file and
+    * small (compressed by deleted-row count), so process-lifetime
+    * residency is fine. */
   private[delta] object DvCache {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, RoaringBitmapArray]()
     def bitmap(location: String, key: String, d: DeletionVectors.Descriptor,
         conf: Configuration): RoaringBitmapArray =
-      cache.computeIfAbsent(s"$location#$key",
+      cache.computeIfAbsent(s"$location#$key#${d.pathOrInlineDv}",
         _ => DeletionVectors.load(conf, location, d))
   }
+
+  /** ISO-8601 timestamp (Z / offset / bare local form) → epoch micros
+    * at UTC, matching graft's session timezone. */
+  private def parseIsoTimestampMicros(s: String): Option[Long] =
+    try {
+      val inst =
+        if (s.endsWith("Z") || s.matches(""".*[+-]\d{2}:\d{2}$"""))
+          java.time.OffsetDateTime.parse(s).toInstant
+        else java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+      Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L))
+    } catch { case _: Exception => None }
 
   /** add.path is RFC 2396 URI-encoded per the protocol. */
   private def decodePath(p: String): String =
@@ -446,9 +464,16 @@ object DeltaTable {
       case v if v.isTextual =>
         val s = v.asText()
         // ISO date → epoch-day long (graft's DateType stat domain);
-        // other strings stay strings (ASCII only, like the parquet path)
+        // ISO timestamp → epoch-MICROS long (the protocol stores
+        // timestamp stats as ISO-8601 strings; FilePruner's timestamp
+        // domain is micros). A string COLUMN whose values merely look
+        // like timestamps converts too — sound either way: the pruner
+        // keeps files on any stat/literal domain mismatch.
+        // Other strings stay strings (ASCII only, like the parquet path).
         if (s.matches("""\d{4}-\d{2}-\d{2}"""))
           Some(("l", java.time.LocalDate.parse(s).toEpochDay.toString))
+        else if (s.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:\d{2})?"""))
+          parseIsoTimestampMicros(s).map(us => ("l", us.toString))
         else if (s.forall(_ <= 127)) Some(("s", s))
         else None
       case _ => None

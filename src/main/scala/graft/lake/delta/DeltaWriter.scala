@@ -138,10 +138,14 @@ final class DeltaWriter private (
     val df = toPhysical(dfLogical)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_tmp-$nonce")
-    val writer = df.write.mode("overwrite")
-    (if (partitionColumns.nonEmpty)
-       writer.partitionBy(partitionColumns.map(phys): _*)
-     else writer).parquet(tmp.toString)
+    // INT64 micros, not INT96: external Delta readers expect int64 and
+    // INT96 carries no footer stats (→ no min/max skipping)
+    ParquetStats.withMicrosTimestamps(spark) {
+      val writer = df.write.mode("overwrite")
+      (if (partitionColumns.nonEmpty)
+         writer.partitionBy(partitionColumns.map(phys): _*)
+       else writer).parquet(tmp.toString)
+    }
     val out = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     var i = 0
     val it = fs.listFiles(tmp, true)
@@ -194,6 +198,12 @@ final class DeltaWriter private (
             case ("l", DateType) => // epoch days → ISO, the spec's form
               minN.put(pn, java.time.LocalDate.ofEpochDay(cs.min.toLong).toString)
               maxN.put(pn, java.time.LocalDate.ofEpochDay(cs.max.toLong).toString)
+            case ("l", TimestampType | TimestampNTZType) =>
+              // epoch micros → ISO-8601, the protocol's timestamp stat
+              // form (raw longs would be unparseable to external readers)
+              val z = f.dataType == TimestampType
+              minN.put(pn, DeltaWriter.isoMicros(cs.min.toLong, z))
+              maxN.put(pn, DeltaWriter.isoMicros(cs.max.toLong, z))
             case ("l", _) =>
               minN.put(pn, cs.min.toLong); maxN.put(pn, cs.max.toLong)
             case ("d", _) =>
@@ -289,9 +299,11 @@ final class DeltaWriter private (
     * O(affected files) rewrite. Commit shape per the protocol: the
     * protocol-upgrade action (first DV only), then remove(old file
     * state) BEFORE add(same path + new DV) so replay by (path, dv)
-    * identity reconciles. Deleted row indexes pass through the driver
-    * (receipts writer — a production path would build bitmaps
-    * per-partition and only ship the serialized blobs). */
+    * identity reconciles. Bitmaps are built EXECUTOR-SIDE: each task
+    * folds the matching row indexes it saw into per-file partial
+    * bitmaps and ships only the serialized blobs; the driver unions
+    * partials per file — O(tasks × compressed bitmap) through the
+    * driver, never O(deleted rows). */
   def deleteWhereDv(cond: Column): Long = {
     val t = DeltaTable.load(spark, location)
     val affected = t.planFiles(Some(cond)).toSet
@@ -300,30 +312,62 @@ final class DeltaWriter private (
     dvEnabled = true
     val actions = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     if (firstDv) actions += protocolAction
-    affected.toSeq.sorted.foreach { rel =>
-      val node = live(rel)
-      val a = node.get("add")
-      val abs = DeltaTable.resolve(location, rel).toString
-      // row_index captured on the raw file relation (metadata columns
-      // don't survive arbitrary projection), then rename to logical
+
+    // group affected files by partitionValues so `cond` can reference
+    // partition columns (injected as per-group literals), and scan each
+    // group's files in ONE distributed read with the file/row metadata
+    val affectedNodes = affected.toSeq.sorted.map(rel => rel -> live(rel))
+    val keyToRel: Map[String, String] = affectedNodes.map { case (rel, _) =>
+      DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) -> rel
+    }.toMap
+    val byPart = affectedNodes.groupBy { case (_, n) =>
+      mapper.writeValueAsString(n.get("add").get("partitionValues")) }
+    val deletedByFile = scala.collection.mutable.Map[String, RoaringBitmapArray]()
+    import spark.implicits._
+    byPart.values.toSeq.sortBy(_.head._1).foreach { group =>
+      val paths = group.map { case (rel, _) =>
+        DeltaTable.resolve(location, rel).toString }
+      val pv = group.head._2.get("add").get("partitionValues")
       val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
-      var df = spark.read.schema(physData).parquet(abs)
+      // metadata columns captured on the raw file relation (they don't
+      // survive arbitrary projection), then rename to logical
+      var df = spark.read.schema(physData).parquet(paths: _*)
+        .withColumn("__fp", col("_metadata.file_path"))
         .withColumn("__ri", col("_metadata.row_index"))
-      df = df.select((col("__ri") +:
+      df = df.select((col("__fp") +: col("__ri") +:
         dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c))): _*)
-      val pv = a.get("partitionValues")
       partitionColumns.foreach { c =>
         val v = pv.get(phys(c))
         df = df.withColumn(c,
           (if (v == null || v.isNull) lit(null)
            else lit(v.asText())).cast(schema(c).dataType))
       }
-      val deleted = df.filter(coalesce(cond, lit(false)))
-        .select(col("__ri")).collect().map(_.getLong(0))
-      if (deleted.nonEmpty) {
+      val partials: Array[(String, Array[Byte])] = df
+        .filter(coalesce(cond, lit(false)))
+        .select(col("__fp"), col("__ri")).as[(String, Long)]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.LinkedHashMap[String, RoaringBitmapArray]()
+          it.foreach { case (fp, ri) =>
+            m.getOrElseUpdate(fp, RoaringBitmapArray()).add(ri) }
+          m.iterator.map { case (fp, bm) => (fp, bm.serialize()) }
+        }.collect()
+      partials.foreach { case (fp, blob) =>
+        val key = DeltaTable.pathKey(fp)
+        val bm = RoaringBitmapArray.deserialize(blob)
+        deletedByFile.get(key) match {
+          case Some(acc) => acc.union(bm)
+          case None      => deletedByFile(key) = bm
+        }
+      }
+    }
+
+    deletedByFile.toSeq.map { case (k, bm) => keyToRel(k) -> bm }
+      .sortBy(_._1).foreach { case (rel, bitmap) =>
+      val node = live(rel)
+      val a = node.get("add")
+      locally {
         // a file may already carry a DV: the replacement must include it
         // (the descriptor REPLACES, so union the old bitmap in)
-        val bitmap = RoaringBitmapArray(deleted)
         if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
           val d = a.get("deletionVector")
           val old = DeletionVectors.load(conf, location,
@@ -461,6 +505,19 @@ final class DeltaWriter private (
 }
 
 object DeltaWriter {
+
+  /** Epoch micros → ISO-8601 at UTC (Z-suffixed for TimestampType,
+    * bare local form for NTZ), microsecond precision. */
+  private[delta] def isoMicros(us: Long, utcSuffix: Boolean): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val base = ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS"))
+    if (utcSuffix) base + "Z" else base
+  }
+
   /** Fresh table at `location` (cleared first): version 0 carries
     * protocol + metaData, per the protocol's creation shape.
     * `columnMapping`: None | Some("name") | Some("id"). */

@@ -62,7 +62,11 @@ final class HudiWriter private (
       .withColumn("_hoodie_file_name", lit(fileName))
       .select((HudiTable.MetaColumns ++ schema.fieldNames).map(col).toIndexedSeq: _*)
     val tmp = new Path(root, s"_tmp-$fileId-$instant")
-    withMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // INT64 micros, not INT96: real Hudi writers emit int64 timestamps
+    // and INT96 footers carry no stats
+    graft.lake.ParquetStats.withMicrosTimestamps(spark) {
+      withMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
     val part = {
       val it = fs.listFiles(tmp, true)
       var found: Path = null

@@ -160,9 +160,13 @@ final class IcebergWriter private (
     val staged = derived.foldLeft(withIds) { case (d, (n, pf)) =>
       d.withColumn(n, transformColumn(pf))
     }
-    val writer = staged.write.mode("overwrite")
-    (if (derived.nonEmpty) writer.partitionBy(derived.map(_._1): _*) else writer)
-      .parquet(tmp.toString)
+    // INT64 micros, not INT96: the Iceberg spec REQUIRES int64 micros
+    // for timestamp columns (and INT96 carries no footer stats)
+    ParquetStats.withMicrosTimestamps(spark) {
+      val writer = staged.write.mode("overwrite")
+      (if (derived.nonEmpty) writer.partitionBy(derived.map(_._1): _*) else writer)
+        .parquet(tmp.toString)
+    }
 
     val out = scala.collection.mutable.ArrayBuffer[IcebergAvro.ManifestEntry]()
     var i = 0
@@ -243,7 +247,9 @@ final class IcebergWriter private (
   private def writeParquet(df: DataFrame, kind: String): Seq[(Path, Long, Long)] = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_tmp-$kind-$nonce")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    ParquetStats.withMicrosTimestamps(spark) {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
     val out = listParquet(tmp).zipWithIndex.map { case (p, i) =>
       val destDir = new Path(root, "data")
       fs.mkdirs(destDir)

@@ -110,21 +110,189 @@ class DeltaSpec extends AnyFunSuite {
     assert(fs.exists(new Path(freshDir2("cp"), "_delta_log/_last_checkpoint")))
   }
 
-  test("tables requiring reader features are rejected, not misread") {
+  test("tables requiring unimplemented reader features are rejected, not misread") {
     val n = Tables.nation(spark, sf)
     val dir = freshDir("guard")
     val w = DeltaWriter.create(spark, dir, n.schema)
     w.append(n)
-    // forge a protocol upgrade demanding column mapping
+    // forge a protocol upgrade demanding a feature this reader does NOT
+    // implement (v2 checkpoints change where state lives — misreading
+    // them silently drops commits)
     val logPath = new Path(dir, "_delta_log/00000000000000000002.json")
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(logPath, false)
     try out.write(
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""".getBytes("UTF-8"))
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+        .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[IllegalArgumentException] {
       DeltaTable.load(spark, dir)
     }
-    assert(e.getMessage.contains("minReaderVersion"))
+    assert(e.getMessage.contains("v2Checkpoint"))
+    // ...but minReaderVersion 2 (legacy column mapping) IS implemented
+    // now: the same table pinned before the forged upgrade still loads,
+    // and a fresh version-2 table loads outright
+    assert(DeltaTable.loadVersion(spark, dir, 1L).scan().count() == n.count())
+    val dir2 = freshDir("guard2")
+    val w2 = DeltaWriter.create(spark, dir2, n.schema)
+    w2.append(n)
+    val logPath2 = new Path(dir2, "_delta_log/00000000000000000002.json")
+    val out2 = fs.create(logPath2, false)
+    try out2.write(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""".getBytes("UTF-8"))
+    finally out2.close()
+    assert(DeltaTable.load(spark, dir2).scan().count() == n.count())
+  }
+
+  // ---- deletion vectors ----------------------------------------------------
+
+  test("DV delete masks rows without rewriting any data file") {
+    val n = Tables.nation(spark, sf)
+    val w = DeltaWriter.create(spark, freshDir("dv"), n.schema)
+    w.append(n)
+    val before = DeltaTable.load(spark, freshDir2("dv")).planFiles().toSet
+    w.deleteWhereDv(col("n_nationkey") % 2 === 0)
+    val t = DeltaTable.load(spark, freshDir2("dv"))
+    // merge-on-read: the data file set is IDENTICAL — only a DV attached
+    assert(t.planFiles().toSet == before, "DV delete must not rewrite files")
+    val want = n.filter(col("n_nationkey") % 2 =!= 0)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("second DV delete on the same file unions the old bitmap (fresh cache identity)") {
+    val n = Tables.nation(spark, sf)
+    val w = DeltaWriter.create(spark, freshDir("dv2"), n.schema)
+    w.append(n)
+    w.deleteWhereDv(col("n_nationkey") === 3)
+    // scan NOW so the executor DvCache holds the first descriptor's
+    // bitmap — a cache keyed without DV identity would serve it stale
+    // after the second delete below
+    assert(DeltaTable.load(spark, freshDir2("dv2")).scan().count() == n.count() - 1)
+    w.deleteWhereDv(col("n_nationkey") === 7)
+    val t = DeltaTable.load(spark, freshDir2("dv2"))
+    val got = t.scan().orderBy("n_nationkey").collect().toSeq
+    val want = n.filter(col("n_nationkey") =!= 3 && col("n_nationkey") =!= 7)
+      .orderBy("n_nationkey").collect().toSeq
+    assert(got == want, "second DV must union the first delete set and evict the stale cache entry")
+  }
+
+  test("DV delete honors partition pruning and partition-column predicates") {
+    val n = Tables.nation(spark, sf)
+    val w = DeltaWriter.create(spark, freshDir("dvpart"), n.schema,
+      partitionColumns = Seq("n_regionkey"))
+    w.append(n)
+    w.deleteWhereDv(col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0)
+    val t = DeltaTable.load(spark, freshDir2("dvpart"))
+    val want = n.filter(!(col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0))
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("DVs survive checkpoint and a checkpoint-seeded load") {
+    val n = Tables.nation(spark, sf)
+    val w = DeltaWriter.create(spark, freshDir("dvcp"), n.schema)
+    w.append(n.filter(col("n_nationkey") < 13))
+    w.deleteWhereDv(col("n_nationkey") === 3)
+    w.checkpoint()
+    w.append(n.filter(col("n_nationkey") >= 13)) // after the checkpoint
+    val t = DeltaTable.load(spark, freshDir2("dvcp"))
+    val want = n.filter(col("n_nationkey") =!= 3)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq,
+      "checkpoint must carry the deletionVector descriptor through")
+  }
+
+  // ---- column mapping ------------------------------------------------------
+
+  test("column mapping name mode: physical files, logical scan, pruning intact") {
+    val n = Tables.nation(spark, sf)
+    val dir = freshDir("cmname")
+    val w = DeltaWriter.create(spark, dir, n.schema,
+      partitionColumns = Seq("n_regionkey"), columnMapping = Some("name"))
+    w.append(n)
+    val t = DeltaTable.load(spark, dir)
+    assert(t.columnMappingMode == "name")
+    // data files on disk carry PHYSICAL names, not logical ones
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = {
+      val it = fs.listFiles(new Path(dir), true)
+      var found: Path = null
+      while (it.hasNext && found == null) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.toString.contains("_delta_log"))
+          found = f
+      }
+      found
+    }
+    val physCols = spark.read.parquet(dataFile.toString).columns.toSet
+    assert(physCols.forall(_.startsWith("col-")),
+      s"files must store physical names, got $physCols")
+    // scan comes back in LOGICAL names with partition columns injected
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    // partition pruning works through the physical partitionValues keys
+    assert(t.planFiles(Some(col("n_regionkey") === 2)).size <
+      t.planFiles().size)
+  }
+
+  test("column mapping id mode: field-id matching round-trip with stats pruning") {
+    val o = Tables.orders(spark, sf).repartitionByRange(4, col("o_orderkey"))
+    val dir = freshDir("cmid")
+    val w = DeltaWriter.create(spark, dir, o.schema, columnMapping = Some("id"))
+    w.append(o)
+    val t = DeltaTable.load(spark, dir)
+    assert(t.columnMappingMode == "id")
+    assert(t.scan().orderBy("o_orderkey").collect().toSeq ==
+      o.orderBy("o_orderkey").collect().toSeq)
+    // stats keys are physical in the log; pruning still skips files
+    // because the reader translates them back to logical space
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val kept = t.planFiles(Some(col("o_orderkey") === maxKey))
+    assert(kept.size < t.planFiles().size,
+      s"stats pruning kept ${kept.size} of ${t.planFiles().size}")
+  }
+
+  test("DV delete works on a column-mapped table") {
+    val n = Tables.nation(spark, sf)
+    val dir = freshDir("cmdv")
+    val w = DeltaWriter.create(spark, dir, n.schema, columnMapping = Some("name"))
+    w.append(n)
+    w.deleteWhereDv(col("n_nationkey") % 5 === 0)
+    val t = DeltaTable.load(spark, dir)
+    val want = n.filter(col("n_nationkey") % 5 =!= 0)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  // ---- timestamp stats -----------------------------------------------------
+
+  test("timestamp stats are ISO-8601 in the log and still prune") {
+    val e = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+      .repartitionByRange(4, col("ts"))
+    val dir = freshDir("tsstats")
+    val w = DeltaWriter.create(spark, dir, e.schema)
+    w.append(e)
+    // the protocol stores timestamp stats as ISO-8601 strings — raw
+    // micros longs are unparseable to external Delta readers
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(dir, "_delta_log/00000000000000000001.json"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // stats ride as a JSON string inside the action JSON → unescape first
+    val unescaped = text.replace("\\\"", "\"")
+    val tsStats = """"ts":"([^"]+)"""".r.findAllMatchIn(unescaped).map(_.group(1)).toSeq
+    assert(tsStats.nonEmpty, "expected ts bounds in stats JSON")
+    tsStats.foreach { s =>
+      assert(s.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z"""),
+        s"timestamp stat '$s' is not ISO-8601")
+    }
+    // and the reader converts them back to the micros domain → pruning
+    val t = DeltaTable.load(spark, dir)
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    val kept = t.planFiles(Some(col("ts") === lit(maxTs)))
+    assert(kept.size < t.planFiles().size,
+      s"timestamp stats pruning kept ${kept.size} of ${t.planFiles().size}")
   }
 }
