@@ -101,8 +101,26 @@ object HudiTable {
     val partitionFields = Option(props.getProperty("hoodie.table.partition.fields"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
 
+    val timeline = fs.listStatus(meta).toSeq.map(_.getPath)
+
+    // replay only understands `.commit` instants. Completed instants
+    // that CHANGE which file groups are live — `.replacecommit`
+    // (clustering, insert_overwrite, delete_partition; all legal on
+    // COPY_ON_WRITE tables), `.savepoint`, `.restore` — must be
+    // rejected loudly, mirroring the MERGE_ON_READ posture: silently
+    // ignoring them would keep replaced file groups live and return
+    // stale pre-overwrite data.
+    val UnsupportedRe = """\d+\.(replacecommit|savepoint|restore)""".r
+    val unsupported = timeline.map(_.getName).collect {
+      case n @ UnsupportedRe(kind) => s"$n ($kind)"
+    }
+    require(unsupported.isEmpty,
+      s"hudi: timeline has completed instants this reader does not " +
+        s"replay — ${unsupported.mkString(", ")}; reading through them " +
+        "would return stale/replaced file groups")
+
     val CommitRe = """(\d+)\.commit""".r
-    val commits = fs.listStatus(meta).toSeq.map(_.getPath)
+    val commits = timeline
       .flatMap(p => p.getName match {
         case CommitRe(t) if instant == null || t <= instant => Some((t, p))
         case _ => None

@@ -62,10 +62,10 @@ object IcebergExport {
     * per refresh is O(table); a mirror must be O(changed)). Reopens the
     * Iceberg table at `dest`, reads the last exported graft snapshot id
     * from the newest provenance tag, and folds every graft commit since
-    * into at most TWO native Iceberg commits:
+    * into exactly TWO native Iceberg commits:
     *
     *  1. an EQUALITY-DELETE commit of every key the range touched
-    *     (skipped for a pure-append range), then
+    *     (a no-op for keys the mirror doesn't hold), then
     *  2. an APPEND commit of the touched keys' CURRENT rows.
     *
     * Folding to final state by key — rather than replaying CDC events
@@ -98,12 +98,16 @@ object IcebergExport {
         "positionally; positions don't survive the rewrite into Iceberg files)")
     val changes = t.cdc(from, to)
     val touched = changes.select(keyCols.map(col): _*).distinct()
-    // pure-append ranges (no delete/update events — an upsert emits
-    // delete(old)+insert(new), so "no delete rows" proves append-only)
-    // skip the eq-delete commit: nothing to supersede
-    val hasDeletes = !changes.filter(col("_change_type") === "delete").isEmpty
-    var commits = 0
-    if (hasDeletes) { w.equalityDelete(touched); commits += 1 }
+    // ALWAYS eq-delete the touched keys before re-appending their
+    // current rows. A "pure-append range" (no delete events) does NOT
+    // prove the keys are new to the mirror: graft append is not upsert,
+    // so appending rows whose keys already exist emits only inserts —
+    // skipping the delete would leave the previously exported rows of
+    // those keys in place and the append below would duplicate them.
+    // The eq-delete is a no-op when the keys are absent, so the cost of
+    // always issuing it is one small delete file per refresh.
+    w.equalityDelete(touched)
+    var commits = 1
     val current = t.scan().join(touched, keyCols, "left_semi")
     val snapId = w.append(current)
     commits += 1

@@ -95,4 +95,20 @@ class HudiSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { HudiTable.load(spark, loc) }
     assert(e.getMessage.contains("MERGE_ON_READ"))
   }
+
+  test("timelines with replacecommit/savepoint/restore instants are rejected") {
+    // a completed replacecommit (clustering / insert_overwrite — legal
+    // on COW tables) changes which file groups are live; a reader that
+    // only replays .commit would silently serve the replaced groups
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("replace")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey")
+    w.insert(n)
+    val p = new Path(loc, ".hoodie/20990101000000000.replacecommit")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, false)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] { HudiTable.load(spark, loc) }
+    assert(e.getMessage.contains("replacecommit"))
+  }
 }

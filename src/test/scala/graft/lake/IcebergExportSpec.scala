@@ -90,17 +90,41 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IcebergExport.exportIncremental(spark, t, dst) == 0)
   }
 
-  test("incremental export of a pure-append range makes one commit") {
+  test("incremental export of a pure-append range mirrors exactly") {
     val n = Tables.nation(spark, sf)
     val t = GraftTable.create(spark, freshDir("inc2-src"),
       n.filter(col("n_nationkey") < 13), keyColumns = Seq("n_nationkey"))
     val dst = freshDir("inc2-dst")
     IcebergExport.export(spark, t, dst)
     t.append(n.filter(col("n_nationkey") >= 13))
-    assert(IcebergExport.exportIncremental(spark, t, dst) == 1)
+    // always 2 commits: the eq-delete is issued even for append-only
+    // ranges (it is what makes re-appended existing keys safe; a no-op
+    // here since the appended keys are new to the mirror)
+    assert(IcebergExport.exportIncremental(spark, t, dst) == 2)
     val ice = IcebergTable.load(spark, dst)
     assert(ice.scan().orderBy("n_nationkey").collect().toSeq ==
       n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("append touching EXISTING keys does not duplicate mirror rows") {
+    // graft append is NOT upsert: appending a row whose key already
+    // exists emits only insert events. The mirror must still eq-delete
+    // the touched keys before re-appending their current rows, or the
+    // previously exported rows of those keys duplicate.
+    val n = Tables.nation(spark, sf)
+    val t = GraftTable.create(spark, freshDir("inc3-src"), n,
+      keyColumns = Seq("n_nationkey"))
+    val dst = freshDir("inc3-dst")
+    IcebergExport.export(spark, t, dst)
+    // second copy of 5 existing keys — a pure-append range (no deletes)
+    t.append(n.filter(col("n_nationkey") < 5))
+    IcebergExport.exportIncremental(spark, t, dst)
+    val ice = IcebergTable.load(spark, dst)
+    val got = ice.scan().orderBy("n_nationkey", "n_name").collect().toSeq
+    val want = t.scan().orderBy("n_nationkey", "n_name").collect().toSeq
+    assert(got.size == want.size,
+      s"mirror has ${got.size} rows, table has ${want.size} — duplicates survived")
+    assert(got == want)
   }
 
   test("catalog-arbitrated commits: CAS is the commit point, stale writers lose") {
