@@ -1,0 +1,126 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.lake.delta.{DeltaTable, Z85}
+import graft.lake.hudi.HudiTable
+import graft.lake.iceberg.IcebergTable
+
+/** CROSS-ENGINE GOLDEN FIXTURES (r08 verdict, missing #1): the interop
+  * round-trip specs prove writer/reader self-consistency, which lets a
+  * shared misreading of a spec cancel out invisibly. The fixtures under
+  * `src/test/resources/fixtures/` break that loop: their bytes are
+  * FROZEN in git and were authored by [[graft.lake.fixtures.FixtureGen]]
+  * — fresh transcriptions of the published Delta PROTOCOL.md, Apache
+  * Iceberg spec, and Hudi layout that share zero code with the
+  * production readers and writers (the generator imports none of
+  * graft.lake.delta/iceberg/hudi). These tests assert the production
+  * readers consume the frozen bytes exactly — values, pruning, time
+  * travel, v2 delete semantics — so a reader regression or a
+  * writer-reader folie à deux shows up against fixed bytes.
+  */
+class FixtureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Root = "/root/repo/src/test/resources/fixtures"
+
+  // ---- Delta ---------------------------------------------------------------
+
+  test("delta fixture: log replay, remove, partition injection, DV mask") {
+    val t = DeltaTable.load(spark, s"$Root/delta/basic")
+    assert(t.version == 4L)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "ts", "part"))
+    // f2 was removed at v3; the DV at v4 masks id=1 (row 0 of f1)
+    val got = t.scan().select("id", "name", "part")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((2, "beta", "a"), (10, "delta", "b"), (11, "epsilon", "b")))
+  }
+
+  test("delta fixture: version time travel replays the pinned prefix") {
+    val v2 = DeltaTable.loadVersion(spark, s"$Root/delta/basic", 2L)
+    assert(v2.scan().select("id").orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 3, 10, 11))
+    val v3 = DeltaTable.loadVersion(spark, s"$Root/delta/basic", 3L)
+    assert(v3.scan().select("id").orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 10, 11))
+  }
+
+  test("delta fixture: partition + ISO-timestamp stats pruning") {
+    val t = DeltaTable.loadVersion(spark, s"$Root/delta/basic", 2L)
+    val all = t.planFiles()
+    assert(all.size == 3)
+    assert(t.planFiles(Some(col("part") === "b")).toSeq == Seq("part=b/f3.parquet"))
+    // ISO timestamp stats translate to the micros domain and prune:
+    // only f3 covers February
+    val feb = t.planFiles(Some(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp")))
+    assert(feb.toSeq == Seq("part=b/f3.parquet"),
+      s"timestamp stats pruning kept $feb")
+    // id stats prune too
+    assert(t.planFiles(Some(col("id") === 3)).toSeq == Seq("part=a/f2.parquet"))
+  }
+
+  test("Z85 codec matches the published ZeroMQ test vector") {
+    // spec 32/Z85: 86 4F D2 6F B5 59 F7 5B <-> "HelloWorld"
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(Z85.encode(bytes) == "HelloWorld")
+    assert(Z85.decode("HelloWorld").toSeq == bytes.toSeq)
+  }
+
+  // ---- Hudi ----------------------------------------------------------------
+
+  test("hudi fixture: latest slice per file group, partition pruning") {
+    val t = HudiTable.load(spark, s"$Root/hudi/basic")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "part"))
+    // fid1's instant-2 slice supersedes instant 1: id 2 updated, 3 added
+    val got = t.scan().select("id", "name").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "one"), (2, "TWO"), (3, "three"), (10, "ten")))
+    val kept = t.planFiles(Some(col("part") === "b"))
+    assert(kept.size == 1 && kept.head.contains("fid2"),
+      s"partition pruning kept $kept")
+  }
+
+  test("hudi fixture: as-of-instant time travel reads the first slice") {
+    val t0 = HudiTable.loadAsOf(spark, s"$Root/hudi/basic", "20240101000000000")
+    val got = t0.scan().select("id", "name").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "one"), (2, "two"), (10, "ten")))
+  }
+
+  // ---- Iceberg -------------------------------------------------------------
+
+  test("iceberg fixture: v2 load, sequence inheritance, equality delete") {
+    val t = IcebergTable.load(spark, s"$Root/iceberg/basic")
+    assert(t.currentSnapshotId == 1003L)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "category", "val"))
+    // eq-delete at seq 3 removes id=2 from f1 (seq 1, inherited from the
+    // manifest-list entry — the manifest entries carry NULL seq)
+    val got = t.scan().select("id", "val").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 100L), (3, 300L), (10, 1000L), (11, 1100L)))
+  }
+
+  test("iceberg fixture: snapshot + tag time travel") {
+    val t = IcebergTable.load(spark, s"$Root/iceberg/basic")
+    assert(t.scan(snapshotId = 1001L).select("id").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 10, 11))
+    // the tag predates the delete snapshot
+    assert(t.scanRef("before-deletes").select("id").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 10, 11))
+  }
+
+  test("iceberg fixture: partition and id-bounds pruning") {
+    val t = IcebergTable.load(spark, s"$Root/iceberg/basic")
+    val all = t.planFiles()
+    assert(all.size == 3, s"expected 3 live data files, got $all")
+    val ys = t.planFiles(Some(col("category") === "y"))
+    assert(ys.size == 1 && ys.head.contains("category=y"),
+      s"partition pruning kept $ys")
+    // manifest-entry lower/upper bounds on id (spec single-value bytes)
+    val hi = t.planFiles(Some(col("id") >= 10))
+    assert(hi.size == 1 && hi.head.contains("f3"),
+      s"id-bounds pruning kept $hi")
+  }
+}
