@@ -3,35 +3,54 @@ package graft.lake.hudi
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.lake.{DataFileMeta, FilePruner, Meta}
 
-/** Read-only Apache Hudi COPY_ON_WRITE table reader — the third
-  * real-format interop surface (with Delta, this completes the
-  * reference's "future support" list, pg_lakehouse_iceberg/README.md:9).
-  * Parses the published Hudi table layout directly:
+/** Read-only Apache Hudi table reader — COPY_ON_WRITE and (since r09)
+  * MERGE_ON_READ — the third real-format interop surface (with Delta,
+  * this completes the reference's "future support" list,
+  * pg_lakehouse_iceberg/README.md:9). Parses the published Hudi table
+  * layout directly:
   *
-  *  - `.hoodie/hoodie.properties` (table type / partition fields;
-  *    MERGE_ON_READ is REJECTED loudly — log-file merging is different
-  *    semantics, and misreading base files only would silently drop
-  *    updates).
-  *  - the timeline: `<instant>.commit` files of COMPLETED commits, JSON
-  *    `partitionToWriteStats` naming every written file — state is
-  *    timeline-driven, NO directory listing of data dirs (the same
-  *    O(metadata) posture as the Iceberg/Delta readers; data-dir listing
-  *    is exactly what Hudi's timeline exists to avoid).
+  *  - `.hoodie/hoodie.properties` (table type / partition fields).
+  *  - the timeline: `<instant>.commit` / `<instant>.deltacommit` files
+  *    of COMPLETED commits, JSON `partitionToWriteStats` naming every
+  *    written file — state is timeline-driven, NO directory listing of
+  *    data dirs (the same O(metadata) posture as the Iceberg/Delta
+  *    readers; data-dir listing is exactly what Hudi's timeline exists
+  *    to avoid). Completed `.replacecommit`/`.savepoint`/`.restore`
+  *    instants are REJECTED loudly — they change which file groups are
+  *    live, and replaying only commits would serve stale data.
   *  - FILE SLICES: data files are `<fileId>_<writeToken>_<instant>.parquet`;
-  *    a COW upsert rewrites a file group as a NEW slice of the same
-  *    fileId at a later instant, and the snapshot is the LATEST slice
-  *    per file group. Time travel reads the latest slice ≤ an instant.
+  *    an upsert/compaction rewrites a file group as a NEW slice of the
+  *    same fileId at a later instant, and the snapshot is the LATEST
+  *    slice per file group. Time travel reads the latest slice ≤ an
+  *    instant.
+  *  - MERGE_ON_READ log files
+  *    (`.<fileId>_<baseInstant>.log.<v>_<token>`, [[HudiLog]]): delta
+  *    commits append Avro record blocks to a slice; the snapshot view
+  *    merges them onto the base rows LATEST-PER-KEY (by instant order,
+  *    the documented semantics of the default overwrite-with-latest
+  *    payload), honoring the `_hoodie_is_deleted` soft-delete field.
+  *    Logs bind to their base slice; compaction's new base slice
+  *    orphans them naturally. DELETE/COMMAND log blocks (engine-version
+  *    dependent payloads) are rejected loudly rather than misread.
   *
   * Schema derives from the newest slice's parquet footer minus the five
   * `_hoodie_*` meta columns — self-describing, no Avro schema-registry
   * dependency. Partition pruning lowers hive-style partition dirs onto
-  * [[FilePruner]] identity pruning.
+  * [[FilePruner]] identity pruning (sound for MOR too: a slice's log
+  * records live in its file group's partition).
+  *
+  * Scale: timeline replay is O(commits) driver-side metadata; base
+  * files are ordinary distributed parquet scans; log decode runs one
+  * executor task per log file; the merge is ONE shuffle keyed by record
+  * key over only the file groups being read — the same shape Hudi's
+  * own snapshot query pays.
   */
 final class HudiTable private (
     spark: SparkSession,
@@ -41,6 +60,12 @@ final class HudiTable private (
     slices: Seq[HudiTable.Slice]) { // latest slice per file group
 
   def partitionColumns: Seq[String] = partitionFields
+
+  /** True when any live slice carries log files (MOR with uncompacted
+    * deltas) — the scan then takes the merged view. */
+  def hasLogFiles: Boolean = slices.exists(_.logs.nonEmpty)
+
+  private[hudi] def liveSlices: Seq[HudiTable.Slice] = slices
 
   private def toDataFileMeta(s: HudiTable.Slice): DataFileMeta = {
     val pvals = s.partitionPath.split("/").filter(_.contains("=")).map { seg =>
@@ -52,10 +77,16 @@ final class HudiTable private (
     DataFileMeta(s.path, 0L, s.numWrites, 0L, pvals, Map.empty)
   }
 
-  /** Live file slices surviving partition pruning (receipt hook). */
+  /** Live base files surviving partition pruning (receipt hook). */
   def planFiles(filter: Option[Column] = None): Seq[String] = {
     val metas = slices.map(toDataFileMeta)
     FilePruner.prune(metas, filter, partitionFields, schema).map(_.path)
+  }
+
+  /** Log files of the pruned slices, in merge order (receipt hook). */
+  def planLogFiles(filter: Option[Column] = None): Seq[String] = {
+    val keep = planFiles(filter).toSet
+    slices.filter(s => keep(s.path)).flatMap(_.logs).sortBy(_.ord).map(_.path)
   }
 
   def scan(filter: Option[Column] = None): DataFrame = {
@@ -63,10 +94,79 @@ final class HudiTable private (
     val live = slices.filter(s => keep(s.path))
     if (live.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val out = spark.read.schema(schema)
-      .parquet(live.map(s => new Path(location, s.path).toString): _*)
+        spark.sparkContext.emptyRDD[Row], schema)
+    val out =
+      if (!live.exists(_.logs.nonEmpty)) {
+        // no deltas: plain distributed parquet scan (COW fast path)
+        spark.read.schema(schema)
+          .parquet(live.map(s => new Path(location, s.path).toString): _*)
+      } else mergedScan(live)
     filter.map(out.filter).getOrElse(out)
+  }
+
+  /** MOR snapshot view: base rows ∪ log records → latest per record
+    * key → drop soft-deleted. One shuffle (the per-key max_by). */
+  private def mergedScan(live: Seq[HudiTable.Slice]): DataFrame = {
+    val fullSchema = StructType(
+      HudiTable.MetaColumns.map(StructField(_, StringType)) ++ schema.fields)
+    // merge order: zero-padded "<instant>-<logversion>-<record idx>"
+    // sorts base rows (their commit instant, version 0) before any
+    // later delta, and deltas in append order
+    val base = spark.read.schema(fullSchema)
+      .parquet(live.filter(_.numWrites >= 0)
+        .map(s => new Path(location, s.path).toString): _*)
+      .withColumn("__ord",
+        concat(col("_hoodie_commit_time"), lit("-0000-000000000")))
+      .withColumn("__del", lit(false))
+
+    val logRefs = live.flatMap(s => s.logs).sortBy(_.ord)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val loc = location
+    val dataSchema = fullSchema
+    val logRows = spark.sparkContext
+      .parallelize(logRefs, math.max(1, logRefs.size))
+      .flatMap { ref =>
+        val withDel = StructType(dataSchema.fields :+
+          StructField(HudiLog.IsDeletedField, BooleanType))
+        val blocks = HudiLog.readLogFile(bcConf.value.value,
+          new Path(loc, ref.path))
+        blocks.iterator.flatMap { b =>
+          b.blockType match {
+            case HudiLog.AvroDataBlock =>
+              val writerSchema = new org.apache.avro.Schema.Parser()
+                .parse(b.headers.getOrElse(HudiLog.HeaderSchema,
+                  throw new IllegalStateException(
+                    s"hudi log: data block without SCHEMA header in ${ref.path}")))
+              val reader = new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord](writerSchema)
+              HudiLog.parseAvroDataBlock(b.content).iterator.zipWithIndex.map {
+                case (bytes, i) =>
+                  val r = HudiLog.decodeRow(reader, writerSchema, withDel, bytes, null)
+                  val del = r.get(withDel.length - 1) match {
+                    case b: java.lang.Boolean => b.booleanValue(); case _ => false
+                  }
+                  Row.fromSeq(r.toSeq.dropRight(1) :+
+                    f"${ref.instant}-${ref.version}%04d-$i%09d" :+ del)
+              }
+            case other => throw new IllegalStateException(
+              s"hudi log: block type $other in ${ref.path} not supported " +
+                "(delete/command block payloads are engine-version dependent; " +
+                "deletes must ride _hoodie_is_deleted data records)")
+          }
+        }
+      }
+    val logDf = spark.createDataFrame(logRows, StructType(dataSchema.fields ++ Seq(
+      StructField("__ord", StringType), StructField("__del", BooleanType))))
+
+    val unioned = base.unionByName(logDf)
+    val payload = fullSchema.fieldNames :+ "__del"
+    unioned
+      .groupBy(col("_hoodie_record_key").as("__k"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), col("__ord")).as("r"))
+      .select("r.*")
+      .filter(!col("__del"))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 }
 
@@ -74,8 +174,15 @@ object HudiTable {
 
   private val mapper = new ObjectMapper()
 
+  /** One log file bound to a base slice. `ord` orders deltas for the
+    * merge (instant, then log version). */
+  final case class LogRef(path: String, instant: String, version: Int) {
+    def ord: String = f"$instant-$version%04d"
+  }
+
   final case class Slice(fileId: String, instant: String,
-      partitionPath: String, path: String, numWrites: Long)
+      partitionPath: String, path: String, numWrites: Long,
+      logs: Seq[LogRef] = Nil)
 
   val MetaColumns: Seq[String] = Seq("_hoodie_commit_time",
     "_hoodie_commit_seqno", "_hoodie_record_key",
@@ -95,21 +202,19 @@ object HudiTable {
     val pin = fs.open(new Path(meta, "hoodie.properties"))
     try props.load(pin) finally pin.close()
     val tableType = props.getProperty("hoodie.table.type", "COPY_ON_WRITE")
-    require(tableType == "COPY_ON_WRITE",
-      s"hudi: table type $tableType unsupported (MERGE_ON_READ needs " +
-        "log-file merging; reading base files only would drop updates)")
+    require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
+      s"hudi: table type $tableType unsupported")
     val partitionFields = Option(props.getProperty("hoodie.table.partition.fields"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
 
     val timeline = fs.listStatus(meta).toSeq.map(_.getPath)
 
-    // replay only understands `.commit` instants. Completed instants
-    // that CHANGE which file groups are live — `.replacecommit`
-    // (clustering, insert_overwrite, delete_partition; all legal on
-    // COPY_ON_WRITE tables), `.savepoint`, `.restore` — must be
-    // rejected loudly, mirroring the MERGE_ON_READ posture: silently
+    // replay only understands `.commit`/`.deltacommit` instants.
+    // Completed instants that CHANGE which file groups are live —
+    // `.replacecommit` (clustering, insert_overwrite, delete_partition),
+    // `.savepoint`, `.restore` — must be rejected loudly: silently
     // ignoring them would keep replaced file groups live and return
-    // stale pre-overwrite data.
+    // stale/pre-overwrite data.
     val UnsupportedRe = """\d+\.(replacecommit|savepoint|restore)""".r
     val unsupported = timeline.map(_.getName).collect {
       case n @ UnsupportedRe(kind) => s"$n ($kind)"
@@ -119,18 +224,20 @@ object HudiTable {
         s"replay — ${unsupported.mkString(", ")}; reading through them " +
         "would return stale/replaced file groups")
 
-    val CommitRe = """(\d+)\.commit""".r
+    val CommitRe = """(\d+)\.(commit|deltacommit)""".r
     val commits = timeline
       .flatMap(p => p.getName match {
-        case CommitRe(t) if instant == null || t <= instant => Some((t, p))
+        case CommitRe(t, kind) if instant == null || t <= instant => Some((t, kind, p))
         case _ => None
       }).sortBy(_._1)
     require(commits.nonEmpty, s"hudi: no completed commits under $location" +
       (if (instant != null) s" at or before $instant" else ""))
 
-    // timeline replay: latest slice per file group wins
+    // timeline replay: latest BASE slice per file group wins; log-file
+    // write stats collect separately and bind to their base instant
     val groups = scala.collection.mutable.LinkedHashMap[String, Slice]()
-    commits.foreach { case (t, p) =>
+    val logs = scala.collection.mutable.ArrayBuffer[(String, String, LogRef)]() // (fileId, baseInstant, ref)
+    commits.foreach { case (t, kind, p) =>
       val in = fs.open(p)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -142,14 +249,32 @@ object HudiTable {
         while (it.hasNext) {
           val st = it.next()
           val fileId = st.path("fileId").asText()
-          val s = Slice(fileId, t, e.getKey,
-            st.path("path").asText(), st.path("numWrites").asLong(0L))
-          // commits replay in instant order, so a later slice replaces
-          groups(fileId) = s
+          val path = st.path("path").asText()
+          val name = new Path(path).getName
+          name match {
+            case HudiLog.LogFileRe(fid, baseInstant, v, _) =>
+              require(tableType == "MERGE_ON_READ",
+                s"hudi: log file $name in a COPY_ON_WRITE timeline")
+              require(kind == "deltacommit",
+                s"hudi: log file $name outside a deltacommit")
+              logs += ((if (fileId.nonEmpty) fileId else fid, baseInstant,
+                LogRef(path, t, v.toInt)))
+            case _ =>
+              val s = Slice(fileId, t, e.getKey, path, st.path("numWrites").asLong(0L))
+              // commits replay in instant order, so a later slice replaces
+              groups(fileId) = s
+          }
         }
       }
     }
-    val slices = groups.values.toSeq
+    // bind logs to the SURVIVING slice of their file group; logs whose
+    // base instant predates the latest slice were compacted away
+    val slices = groups.values.toSeq.map { s =>
+      val mine = logs.collect {
+        case (fid, baseInstant, ref) if fid == s.fileId && baseInstant == s.instant => ref
+      }.sortBy(_.ord)
+      s.copy(logs = mine.toSeq)
+    }
 
     // schema: newest slice's footer minus hudi meta columns
     val sample = new Path(location, slices.maxBy(_.instant).path)

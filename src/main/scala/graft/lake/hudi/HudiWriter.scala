@@ -9,25 +9,34 @@ import org.apache.spark.sql.types._
 
 import graft.lake.ParquetStats
 
-/** Minimal Apache Hudi COPY_ON_WRITE writer conforming to the published
-  * table layout: hive-style partition dirs of
-  * `<fileId>_<writeToken>_<instant>.parquet` base files carrying the five
-  * `_hoodie_*` meta columns, a `.hoodie/` timeline of `<instant>.commit`
-  * JSON (partitionToWriteStats), and `hoodie.properties`.
+/** Minimal Apache Hudi writer (COPY_ON_WRITE and MERGE_ON_READ)
+  * conforming to the published table layout: hive-style partition dirs
+  * of `<fileId>_<writeToken>_<instant>.parquet` base files carrying the
+  * five `_hoodie_*` meta columns, a `.hoodie/` timeline of
+  * `<instant>.commit` / `<instant>.deltacommit` JSON
+  * (partitionToWriteStats), and `hoodie.properties`. MERGE_ON_READ
+  * deltas append [[HudiLog]] block files
+  * (`.<fileId>_<baseInstant>.log.<v>_<token>`) with Avro data blocks;
+  * deletes ride the documented `_hoodie_is_deleted` field; `compact()`
+  * folds a slice's logs into a new base slice under a `.commit`.
   *
   * Same posture as the Iceberg/Delta test writers: the sandbox has no
   * Hudi artifacts, so the specs build REAL layouts and read them back.
   * Narrow: create / insert / keyed COW upsert (a matched file group is
   * rewritten as a NEW SLICE of the same fileId at a later instant —
   * hudi's actual copy-on-write update shape; unmatched keys open a new
-  * file group). Deterministic instants (zero-padded counter) keep runs
-  * reproducible. */
+  * file group) / MOR log upsert + soft delete + compaction.
+  * Deterministic instants (zero-padded counter) keep runs reproducible.
+  * Test seam: per-group update sets assemble on the driver here; a
+  * production writer would bin updates to file groups distributed and
+  * append log blocks from executor tasks, as Hudi's own writer does. */
 final class HudiWriter private (
     spark: SparkSession,
     val location: String,
     schema: StructType,
     partitionFields: Seq[String],
-    keyField: String) {
+    keyField: String,
+    tableType: String) {
 
   private val mapper = new ObjectMapper()
   private def conf: Configuration = spark.sessionState.newHadoopConf()
@@ -82,7 +91,8 @@ final class HudiWriter private (
   }
 
   private def commit(instant: String,
-      stats: Seq[(String, String, String, Long)]): Unit = { // (part, fileId, path, rows)
+      stats: Seq[(String, String, String, Long)], // (part, fileId, path, rows)
+      kind: String): Unit = {
     val n = mapper.createObjectNode()
     val pw = n.putObject("partitionToWriteStats")
     stats.groupBy(_._1).foreach { case (part, group) =>
@@ -95,11 +105,16 @@ final class HudiWriter private (
       }
     }
     n.put("operation", "upsert")
-    val p = new Path(metaDir, s"$instant.commit")
+    val p = new Path(metaDir, s"$instant.$kind")
     val out = fs.create(p, false) // timeline instants never overwrite
     try out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** On MOR every ingest is a delta commit; compaction and all COW
+    * writes are full commits. */
+  private def ingestKind: String =
+    if (tableType == "MERGE_ON_READ") "deltacommit" else "commit"
 
   /** INSERT: each partition's rows become one new file group. */
   def insert(df: DataFrame): String = {
@@ -120,7 +135,7 @@ final class HudiWriter private (
         val (rel, rows) = writeSlice(df.filter(cond), fid, instant, pp)
         (pp, fid, rel, rows)
       }
-    commit(instant, stats)
+    commit(instant, stats, ingestKind)
     instant
   }
 
@@ -180,23 +195,168 @@ final class HudiWriter private (
         }
       }
     }
-    commit(instant, stats.toSeq)
+    commit(instant, stats.toSeq, "commit") // COW rewrite = full commit
     instant
+  }
+
+  // ---- MERGE_ON_READ -------------------------------------------------------
+
+  private val logVersions = scala.collection.mutable.Map[String, Int]()
+
+  private def fullLogSchema: StructType = StructType(
+    HudiTable.MetaColumns.map(StructField(_, StringType)) ++
+      schema.fields :+ StructField(HudiLog.IsDeletedField, BooleanType))
+
+  /** One log file appended to a base slice: the rows (full table
+    * schema), meta-stamped, as ONE Avro data block. Returns the
+    * table-relative log path. */
+  private def appendLog(instant: String, fileId: String, baseInstant: String,
+      partPath: String, rows: Seq[org.apache.spark.sql.Row],
+      deleted: Boolean): (String, Long) = {
+    val v = logVersions.getOrElse(fileId, 0) + 1
+    logVersions(fileId) = v
+    val name = s".${fileId}_$baseInstant.log.${v}_0-0-0"
+    val rel = if (partPath.isEmpty) name else s"$partPath/$name"
+    val full = fullLogSchema
+    val schemaJson = HudiLog.avroSchemaJson(full, "hoodie_record")
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val recs = rows.zipWithIndex.map { case (r, i) =>
+      val metaVals: Seq[Any] = Seq(instant, s"${instant}_0_$i",
+        String.valueOf(r.getAs[Any](keyField)), partPath, name)
+      HudiLog.encodeRow(avroSchema, full,
+        org.apache.spark.sql.Row.fromSeq(
+          metaVals ++ schema.fieldNames.map(r.getAs[Any](_)) :+ deleted))
+    }
+    val block = HudiLog.Block(HudiLog.AvroDataBlock,
+      Map(HudiLog.HeaderInstantTime -> instant, HudiLog.HeaderSchema -> schemaJson),
+      HudiLog.avroDataBlockContent(recs))
+    HudiLog.writeLogFile(conf, new Path(root, rel), Seq(block))
+    (rel, rows.size.toLong)
+  }
+
+  /** MOR UPSERT: updates for keys held by a file group append a LOG
+    * FILE to its latest slice; unmatched keys open new base file
+    * groups. One deltacommit. */
+  def upsertLog(df: DataFrame): String = {
+    require(tableType == "MERGE_ON_READ", "hudi: upsertLog needs MERGE_ON_READ")
+    val t = HudiTable.load(spark, location)
+    val instant = nextInstant()
+    val updates = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    val matched = routeToGroups(t, updates) { case (slice, rows) =>
+      val (rel, n) = appendLog(instant, slice.fileId, slice.instant,
+        slice.partitionPath, rows, deleted = false)
+      stats += ((slice.partitionPath, slice.fileId, rel, n))
+    }
+    // unmatched keys: new base file group(s), same deltacommit
+    val fresh =
+      if (matched == null) updates
+      else updates.join(matched,
+        updates(keyField).cast("string") === matched("__k"), "left_anti")
+    if (!fresh.isEmpty) {
+      if (partitionFields.isEmpty) {
+        val fid = nextFileId()
+        val (rel, rows) = writeSlice(fresh, fid, instant, "")
+        stats += (("", fid, rel, rows))
+      } else {
+        fresh.select(partitionFields.map(col).toIndexedSeq: _*).distinct().collect().foreach { pr =>
+          val cond = partitionFields.map(f =>
+            if (pr.getAs[Any](f) == null) col(f).isNull
+            else col(f) === lit(pr.getAs[Any](f))).reduce(_ && _)
+          val fid = nextFileId()
+          val pp = hivePartPath(pr)
+          val (rel, rows) = writeSlice(fresh.filter(cond), fid, instant, pp)
+          stats += ((pp, fid, rel, rows))
+        }
+      }
+    }
+    commit(instant, stats.toSeq, "deltacommit")
+    instant
+  }
+
+  /** MOR DELETE: matching snapshot rows become `_hoodie_is_deleted`
+    * log records on their file groups. One deltacommit. */
+  def deleteLogWhere(cond: org.apache.spark.sql.Column): String = {
+    require(tableType == "MERGE_ON_READ", "hudi: deleteLogWhere needs MERGE_ON_READ")
+    val t = HudiTable.load(spark, location)
+    val instant = nextInstant()
+    val doomed = t.scan(Some(cond))
+    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    routeToGroups(t, doomed) { case (slice, rows) =>
+      val (rel, n) = appendLog(instant, slice.fileId, slice.instant,
+        slice.partitionPath, rows, deleted = true)
+      stats += ((slice.partitionPath, slice.fileId, rel, n))
+    }
+    require(stats.nonEmpty, "hudi: deleteLogWhere matched no rows")
+    commit(instant, stats.toSeq, "deltacommit")
+    instant
+  }
+
+  /** COMPACTION: every slice with logs is rewritten as a merged base
+    * slice at a new instant under a full `.commit`; the old slices'
+    * logs are orphaned by the base-instant binding. */
+  def compact(): String = {
+    require(tableType == "MERGE_ON_READ", "hudi: compact needs MERGE_ON_READ")
+    val t = HudiTable.load(spark, location)
+    if (!t.hasLogFiles) return null
+    val instant = nextInstant()
+    val snapshot = t.scan() // merged view, meta columns re-stamped on write
+    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    t.liveSlices.filter(_.logs.nonEmpty).foreach { slice =>
+      // group membership = base keys: this writer inserts new keys as
+      // base file groups, so logs only ever update/delete existing keys
+      val keys = baseKeys(slice)
+      val merged = snapshot.join(keys,
+        snapshot(keyField).cast("string") === keys("__k"), "left_semi")
+      val (rel, rows) = writeSlice(merged, slice.fileId, instant, slice.partitionPath)
+      stats += ((slice.partitionPath, slice.fileId, rel, rows))
+    }
+    commit(instant, stats.toSeq, "commit")
+    instant
+  }
+
+  private def baseKeys(slice: HudiTable.Slice): DataFrame =
+    spark.read.schema(StructType(
+        HudiTable.MetaColumns.map(StructField(_, StringType)) ++ schema.fields))
+      .parquet(new Path(root, slice.path).toString)
+      .select(col("_hoodie_record_key").as("__k"))
+
+  /** Routes `rows` to the file groups holding their keys (driver-side
+    * per-group assembly — test seam, see class doc) and invokes `f`
+    * per non-empty group. Returns the matched-key frame (or null). */
+  private def routeToGroups(t: HudiTable, rows: DataFrame)(
+      f: (HudiTable.Slice, Seq[org.apache.spark.sql.Row]) => Unit): DataFrame = {
+    var matched: DataFrame = null
+    t.liveSlices.foreach { slice =>
+      val groupKeys = baseKeys(slice)
+      val hit = rows.join(groupKeys,
+        rows(keyField).cast("string") === groupKeys("__k"), "left_semi")
+      val collected = hit.collect().toSeq
+      if (collected.nonEmpty) {
+        f(slice, collected)
+        val hitKeys = hit.select(col(keyField).cast("string").as("__k"))
+        matched = if (matched == null) hitKeys else matched.unionByName(hitKeys)
+      }
+    }
+    matched
   }
 }
 
 object HudiWriter {
   def create(spark: SparkSession, location: String, schema: StructType,
       partitionFields: Seq[String] = Nil,
-      keyField: String): HudiWriter = {
+      keyField: String,
+      tableType: String = "COPY_ON_WRITE"): HudiWriter = {
     require(schema.fieldNames.contains(keyField), s"hudi: key $keyField not in schema")
+    require(Set("COPY_ON_WRITE", "MERGE_ON_READ").contains(tableType),
+      s"hudi: table type $tableType")
     val p = new Path(location)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
     fs.mkdirs(new Path(p, ".hoodie"))
     val props = new java.util.Properties()
     props.setProperty("hoodie.table.name", p.getName)
-    props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+    props.setProperty("hoodie.table.type", tableType)
     props.setProperty("hoodie.table.version", "6")
     props.setProperty("hoodie.table.recordkey.fields", keyField)
     if (partitionFields.nonEmpty)
@@ -205,6 +365,6 @@ object HudiWriter {
     val out = fs.create(new Path(p, ".hoodie/hoodie.properties"), false)
     try props.store(out, "graft hudi writer")
     finally out.close()
-    new HudiWriter(spark, location, schema, partitionFields, keyField)
+    new HudiWriter(spark, location, schema, partitionFields, keyField, tableType)
   }
 }

@@ -80,20 +80,151 @@ class HudiSpec extends AnyFunSuite {
       n.orderBy("n_nationkey").collect().toSeq)
   }
 
-  test("MERGE_ON_READ tables are rejected, not misread") {
+  test("unknown table types are rejected, not misread") {
+    // MERGE_ON_READ is READ now (merged view above); anything else —
+    // future Hudi table types — must still fail loudly
     val n = Tables.nation(spark, sf)
-    val loc = freshDir("mor")
+    val loc = freshDir("unknown-type")
     HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey")
-    // forge the table type
     val p = new Path(loc, ".hoodie/hoodie.properties")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val props = new java.util.Properties()
     val in = fs.open(p); try props.load(in) finally in.close()
-    props.setProperty("hoodie.table.type", "MERGE_ON_READ")
+    props.setProperty("hoodie.table.type", "SOME_FUTURE_TYPE")
     val out = fs.create(p, true)
     try props.store(out, "forged") finally out.close()
     val e = intercept[IllegalArgumentException] { HudiTable.load(spark, loc) }
-    assert(e.getMessage.contains("MERGE_ON_READ"))
+    assert(e.getMessage.contains("SOME_FUTURE_TYPE"))
+  }
+
+  // ---- MERGE_ON_READ -------------------------------------------------------
+
+  test("MOR: log upsert merges onto base slices without rewriting them") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-upsert")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n)
+    val before = HudiTable.load(spark, loc)
+    val baseFiles = before.planFiles().toSet
+    assert(!before.hasLogFiles)
+    // update two keys via a log delta
+    w.upsertLog(n.filter(col("n_nationkey").isin(3, 7))
+      .withColumn("n_name", lit("RENAMED")))
+    val t = HudiTable.load(spark, loc)
+    assert(t.hasLogFiles, "upsertLog must append log files, not rewrite")
+    assert(t.planFiles().toSet == baseFiles, "base slices must be untouched")
+    assert(t.planLogFiles().nonEmpty)
+    val got = t.scan().orderBy("n_nationkey").collect().toSeq
+    val want = n.withColumn("n_name",
+        when(col("n_nationkey").isin(3, 7), "RENAMED").otherwise(col("n_name")))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("MOR: latest log record per key wins; soft delete removes the key") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-latest")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n)
+    w.upsertLog(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("V1")))
+    w.upsertLog(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("V2")))
+    w.deleteLogWhere(col("n_nationkey") === 7)
+    val t = HudiTable.load(spark, loc)
+    val byKey = t.scan().collect().map(r =>
+      r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    assert(byKey(3) == "V2", "latest log record must win")
+    assert(!byKey.contains(7), "_hoodie_is_deleted record must drop the key")
+    assert(t.scan().count() == n.count() - 1)
+  }
+
+  test("MOR: upsert of NEW keys opens base file groups in the same deltacommit") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-new")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n.filter(col("n_nationkey") < 20))
+    w.upsertLog(n.filter(col("n_nationkey") >= 18)) // 18,19 update; 20+ new
+    val t = HudiTable.load(spark, loc)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("MOR: as-of-instant excludes later deltas") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-asof")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    val t0 = w.insert(n)
+    w.upsertLog(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("LATER")))
+    val t = HudiTable.loadAsOf(spark, loc, t0)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq,
+      "as-of the insert instant, the delta is invisible")
+  }
+
+  test("MOR: compaction folds logs into new base slices and orphans them") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-compact")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n)
+    w.upsertLog(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("RENAMED")))
+    w.deleteLogWhere(col("n_nationkey") === 7)
+    val preCompact = HudiTable.load(spark, loc).scan()
+      .orderBy("n_nationkey").collect().toSeq
+    w.compact()
+    val t = HudiTable.load(spark, loc)
+    assert(!t.hasLogFiles, "compaction must orphan the old slices' logs")
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq == preCompact,
+      "compacted view must equal the merged view")
+    // a fresh delta on the NEW base slice still applies
+    w.upsertLog(n.filter(col("n_nationkey") === 9).withColumn("n_name", lit("AFTER")))
+    val t2 = HudiTable.load(spark, loc)
+    assert(t2.scan().filter(col("n_nationkey") === 9).head().getAs[String]("n_name")
+      == "AFTER")
+  }
+
+  test("MOR: merged scan honors partition pruning") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-prune")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n)
+    w.upsertLog(n.filter(col("n_regionkey") === 2).withColumn("n_name", lit("R2")))
+    val t = HudiTable.load(spark, loc)
+    val kept = t.planFiles(Some(col("n_regionkey") === 2))
+    assert(kept.size == 1, s"pruning kept $kept")
+    assert(t.planLogFiles(Some(col("n_regionkey") === 2)).size == 1)
+    assert(t.planLogFiles(Some(col("n_regionkey") === 3)).isEmpty,
+      "untouched partition must not read logs")
+    val got = t.scan(Some(col("n_regionkey") === 2)).orderBy("n_nationkey").collect().toSeq
+    val want = n.filter(col("n_regionkey") === 2).withColumn("n_name", lit("R2"))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("MOR: log block round-trips byte-level through the published framing") {
+    import graft.lake.hudi.HudiLog
+    val schemaJson = HudiLog.avroSchemaJson(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))),
+      "t")
+    val b = HudiLog.Block(HudiLog.AvroDataBlock,
+      Map(HudiLog.HeaderInstantTime -> "001", HudiLog.HeaderSchema -> schemaJson),
+      HudiLog.avroDataBlockContent(Seq(Array[Byte](1, 2, 3))))
+    val bytes = HudiLog.encodeLogFile(Seq(b, b))
+    // magic at byte 0 and the trailing total-size long walks to block 2
+    assert(new String(bytes.take(6), "UTF-8") == "#HUDI#")
+    val back = HudiLog.decodeLogFile(bytes)
+    assert(back.size == 2)
+    assert(back.head.blockType == HudiLog.AvroDataBlock)
+    assert(back.head.headers(HudiLog.HeaderInstantTime) == "001")
+    assert(HudiLog.parseAvroDataBlock(back.head.content).head.toSeq == Seq[Byte](1, 2, 3))
   }
 
   test("timelines with replacecommit/savepoint/restore instants are rejected") {
