@@ -63,15 +63,20 @@ final class DeltaTable private (
   def partitionColumns: Seq[String] = meta.partitionColumns
   def columnMappingMode: String = meta.columnMappingMode
 
-  /** In-file schema: data columns only, PHYSICAL names, field-id
-    * metadata preserved (id-mode matching rides on Spark's
-    * parquet.field.id support). */
+  /** In-file schema: data columns only, PHYSICAL names. Field-id
+    * metadata is attached ONLY in id mode (it rides on Spark's
+    * parquet.field.id support): in name mode the physical NAME is the
+    * match key per the protocol, and real name-mode tables written by
+    * other engines may carry no parquet field ids at all — a read
+    * schema demanding ids would refuse their files (caught by the
+    * spec-authored cm golden fixture). */
   private def dataSchema: StructType =
     StructType(meta.schema.fields
       .filterNot(f => meta.partitionColumns.contains(f.name))
       .map { f =>
         val mb = new MetadataBuilder()
-        meta.fieldId(f.name).foreach(id => mb.putLong("parquet.field.id", id))
+        if (meta.columnMappingMode == "id")
+          meta.fieldId(f.name).foreach(id => mb.putLong("parquet.field.id", id))
         StructField(meta.physicalName(f.name), f.dataType, f.nullable, mb.build())
       })
 
@@ -139,30 +144,47 @@ final class DeltaTable private (
       Some(f(col("_metadata.file_path"), col("_metadata.row_index")))
     }
 
-    // partition columns are injected from partitionValues (authoritative
-    // per protocol; files usually omit them) — one read per distinct
-    // partition-value tuple, then project to the table column order.
-    // Under column mapping the read is by PHYSICAL name (and field id
-    // in id mode); the projection renames back to logical.
+    // ONE scan node for every live file (plan width must not grow with
+    // partition count — a 10k-partition table cannot plan 10k scan
+    // unions). Partition columns are injected from partitionValues
+    // (authoritative per protocol; files omit them) through a BROADCAST
+    // file→partition-values frame keyed by normalized file path —
+    // O(live files) metadata rows, the same state the driver already
+    // holds from the log. Under column mapping the read is by PHYSICAL
+    // name (and field id in id mode); the projection renames back to
+    // logical.
     val logicalDataCols = meta.schema.fieldNames
       .filterNot(meta.partitionColumns.contains)
-    val out = live.groupBy(_.partitionValues).toSeq
-      .sortBy(_._2.head.path)
-      .map { case (pvals, files) =>
-        var df = spark.read.schema(dataSchema)
-          .parquet(files.map(f => DeltaTable.resolve(location, f.path).toString): _*)
-        keepRow.foreach(k => df = df.filter(k))
-        df = df.select(logicalDataCols.toIndexedSeq.map(c =>
+    var df = spark.read.schema(dataSchema)
+      .parquet(live.map(f => DeltaTable.resolve(location, f.path).toString): _*)
+    keepRow.foreach(k => df = df.filter(k))
+    val out =
+      if (meta.partitionColumns.isEmpty) {
+        df.select(logicalDataCols.toIndexedSeq.map(c =>
           col(meta.physicalName(c)).as(c)): _*)
-        val withParts = meta.partitionColumns.foldLeft(df) { (d, c) =>
-          val dt = meta.schema(c).dataType
-          val v = pvals.get(meta.physicalName(c)).orNull
-          d.withColumn(c,
-            (if (v == null) lit(null) else lit(v)).cast(dt))
+      } else {
+        df = df
+          .withColumn("__fp", DeltaTable.normPath(col("_metadata.file_path")))
+          .select((col("__fp") +: logicalDataCols.toIndexedSeq.map(c =>
+            col(meta.physicalName(c)).as(c))): _*)
+        val pvSchema = StructType(
+          StructField("__fp", StringType) +:
+            meta.partitionColumns.map(c => StructField(s"__pv_$c", StringType)))
+        val pvRows = live.map { a =>
+          org.apache.spark.sql.Row.fromSeq(
+            DeltaTable.pathKey(DeltaTable.resolve(location, a.path).toString) +:
+              meta.partitionColumns.map(c =>
+                a.partitionValues.get(meta.physicalName(c)).orNull))
         }
-        withParts.select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema)
+        df.join(broadcast(pvDf), Seq("__fp"))
+          .select(meta.schema.fieldNames.toIndexedSeq.map { c =>
+            if (meta.partitionColumns.contains(c))
+              col(s"__pv_$c").cast(meta.schema(c).dataType).as(c)
+            else col(c)
+          }: _*)
       }
-      .reduce(_ unionByName _)
     filter.map(out.filter).getOrElse(out)
   }
 }
@@ -336,6 +358,11 @@ object DeltaTable {
   /** Scheme/authority-insensitive file key: `_metadata.file_path` and
     * log-resolved paths may disagree on `file:/` vs `file:///`. */
   private[delta] def pathKey(p: String): String = new Path(p).toUri.getPath
+
+  /** Column form of [[pathKey]] (codegen-friendly, no UDF): strip the
+    * URI scheme/authority prefix. */
+  private[delta] def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Per-executor deletion-vector cache: one deserialize per (table,
     * file, DV identity), shared across tasks. The DESCRIPTOR is part of

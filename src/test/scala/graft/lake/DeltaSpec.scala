@@ -266,6 +266,25 @@ class DeltaSpec extends AnyFunSuite {
       want.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("scan plans ONE file-scan node regardless of partition count") {
+    // plan width must not grow with partition count: partition columns
+    // are injected via a broadcast file→partitionValues join, not one
+    // scan union branch per partition tuple
+    val n = Tables.nation(spark, sf)
+    val w = DeltaWriter.create(spark, freshDir("planwidth"), n.schema,
+      partitionColumns = Seq("n_regionkey"))
+    w.append(n) // 5 region partitions
+    val t = DeltaTable.load(spark, freshDir2("planwidth"))
+    val df = t.scan()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 2, // data scan + tiny broadcast side
+      s"expected one data scan (+ metadata broadcast), got ${scans.size}")
+    assert(df.orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
   // ---- timestamp stats -----------------------------------------------------
 
   test("timestamp stats are ISO-8601 in the log and still prune") {

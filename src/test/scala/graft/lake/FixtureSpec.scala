@@ -61,6 +61,29 @@ class FixtureSpec extends AnyFunSuite {
     assert(t.planFiles(Some(col("id") === 3)).toSeq == Seq("part=a/f2.parquet"))
   }
 
+  test("delta column-mapping fixture: physical files read back logical") {
+    val t = DeltaTable.load(spark, s"$Root/delta/cm")
+    assert(t.columnMappingMode == "name")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "region"))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "alpha", "e"), (2, "beta", "e"), (10, "gamma", "w")))
+    // pruning through PHYSICAL partitionValues keys and stats keys
+    assert(t.planFiles(Some(col("region") === "w")).toSeq == Seq("region=w/f2.parquet"))
+    assert(t.planFiles(Some(col("id") === 10)).toSeq == Seq("region=w/f2.parquet"))
+  }
+
+  test("delta checkpoint fixture: loads with the pre-checkpoint log CLEANED") {
+    // versions 0-2 exist only inside the checkpoint parquet; a reader
+    // that replays the JSON log from zero cannot load this table
+    val t = DeltaTable.load(spark, s"$Root/delta/cp")
+    assert(t.version == 3L)
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // checkpoint adds f1+f2; v3 removes f2 and adds f3
+    assert(got == Seq((1, "one"), (2, "two"), (4, "four")))
+  }
+
   test("Z85 codec matches the published ZeroMQ test vector") {
     // spec 32/Z85: 86 4F D2 6F B5 59 F7 5B <-> "HelloWorld"
     val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
@@ -87,6 +110,23 @@ class FixtureSpec extends AnyFunSuite {
     val got = t0.scan().select("id", "name").orderBy("id")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got == Seq((1, "one"), (2, "two"), (10, "ten")))
+  }
+
+  test("hudi MOR fixture: independently-framed log file merges exactly") {
+    // the fixture's log bytes were framed by FixtureGen's own
+    // transcription of the HoodieLogFormat (not HudiLog) — if reader
+    // and writer had agreed on a wrong layout, this would not parse
+    val t = HudiTable.load(spark, s"$Root/hudi/mor")
+    assert(t.hasLogFiles)
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // log updates id=2 to TWO and soft-deletes id=3
+    assert(got == Seq((1, "one"), (2, "TWO")))
+    // as of the first delta commit, the log is invisible
+    val t0 = HudiTable.loadAsOf(spark, s"$Root/hudi/mor", "20240101000000000")
+    assert(t0.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "one"), (2, "two"), (3, "three")))
   }
 
   // ---- Iceberg -------------------------------------------------------------

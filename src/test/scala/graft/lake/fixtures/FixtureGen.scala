@@ -45,7 +45,10 @@ object FixtureGen {
       .getOrCreate()
     rm(new File(Root))
     genDelta(spark)
+    genDeltaColumnMapping(spark)
+    genDeltaCheckpoint(spark)
     genHudi(spark)
+    genHudiMor(spark)
     genIceberg(spark)
     println(s"fixtures written under $Root")
     spark.stop()
@@ -228,6 +231,115 @@ object FixtureGen {
          |""".stripMargin)
   }
 
+  /** Column-mapping (name mode) Delta fixture: files store PHYSICAL
+    * `col-N` names, the schemaString carries the mapping metadata, and
+    * partitionValues/stats are keyed physically — all per the
+    * protocol's Column Mapping section. */
+  private def genDeltaColumnMapping(spark: SparkSession): Unit = {
+    val loc = s"$Root/delta/cm"
+    // physical data columns: col-1 (logical id), col-2 (logical name);
+    // logical partition column region -> physical col-3
+    val physSchema = StructType(Seq(
+      StructField("col-1", IntegerType),
+      StructField("col-2", StringType)))
+    def df(rows: (Int, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), physSchema)
+    val f1 = writeOneParquet(spark, df((1, "alpha"), (2, "beta")), s"$loc/region=e/f1.parquet")
+    val f2 = writeOneParquet(spark, df((10, "gamma")), s"$loc/region=w/f2.parquet")
+
+    // schemaString with the mapping metadata, escaped for embedding
+    val q = "\\\""
+    def fld(name: String, typ: String, id: Int, phys: String): String =
+      s"{${q}name$q:$q$name$q,${q}type$q:$q$typ$q,${q}nullable$q:true," +
+        s"${q}metadata$q:{${q}delta.columnMapping.id$q:$id," +
+        s"${q}delta.columnMapping.physicalName$q:$q$phys$q}}"
+    val schemaString =
+      s"{${q}type$q:${q}struct$q,${q}fields$q:[" +
+        fld("id", "integer", 1, "col-1") + "," +
+        fld("name", "string", 2, "col-2") + "," +
+        fld("region", "string", 3, "col-3") + "]}"
+    def stats(n: Int, lo: Int, hi: Int): String =
+      s"{${q}numRecords$q:$n,${q}minValues$q:{${q}col-1$q:$lo}," +
+        s"${q}maxValues$q:{${q}col-1$q:$hi},${q}nullCount$q:{${q}col-1$q:0}}"
+
+    writeText(s"$loc/_delta_log/00000000000000000000.json",
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"a0000000-0000-0000-0000-000000000002","format":{"provider":"parquet","options":{}},"schemaString":"$schemaString","partitionColumns":["region"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1704067200000}}
+         |""".stripMargin)
+    // partitionValues keyed by the PHYSICAL name col-3
+    writeText(s"$loc/_delta_log/00000000000000000001.json",
+      s"""{"add":{"path":"region=e/f1.parquet","partitionValues":{"col-3":"e"},"size":$f1,"modificationTime":1704067200001,"dataChange":true,"stats":"${stats(2, 1, 2)}"}}
+         |{"add":{"path":"region=w/f2.parquet","partitionValues":{"col-3":"w"},"size":$f2,"modificationTime":1704067200001,"dataChange":true,"stats":"${stats(1, 10, 10)}"}}
+         |""".stripMargin)
+  }
+
+  /** Checkpoint-seeded Delta fixture: the classic single-file
+    * checkpoint parquet + `_last_checkpoint`, with the PRE-checkpoint
+    * commit files log-cleaned away (legal after checkpointing) — a
+    * reader that does not actually seed from the checkpoint cannot
+    * load this table. */
+  private def genDeltaCheckpoint(spark: SparkSession): Unit = {
+    val loc = s"$Root/delta/cp"
+    val dataSchema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("v", StringType)))
+    def df(rows: (Int, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), dataSchema)
+    val f1 = writeOneParquet(spark, df((1, "one"), (2, "two")), s"$loc/f1.parquet")
+    val f2 = writeOneParquet(spark, df((3, "three")), s"$loc/f2.parquet")
+    val f3 = writeOneParquet(spark, df((4, "four")), s"$loc/f3.parquet")
+
+    val schemaString =
+      """{"type":"struct","fields":[""" +
+        """{"name":"id","type":"integer","nullable":true,"metadata":{}},""" +
+        """{"name":"v","type":"string","nullable":true,"metadata":{}}]}"""
+
+    // checkpoint schema per the protocol's classic-checkpoint section
+    // (one nullable struct column per action type, one row per action)
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType, nullable = true),
+      StructField("metaData", metaType, nullable = true),
+      StructField("add", addType, nullable = true)))
+    def addRow(path: String, size: Long, n: Int, lo: Int, hi: Int) =
+      Row(null, null, Row(path, Map.empty[String, String], size, 1704067200002L, true,
+        s"""{"numRecords":$n,"minValues":{"id":$lo},"maxValues":{"id":$hi},"nullCount":{"id":0}}"""))
+    val rows = Seq(
+      Row(Row(1, 2), null, null),
+      Row(null, Row("a0000000-0000-0000-0000-000000000003", schemaString,
+        Seq.empty[String], Map.empty[String, String]), null),
+      addRow("f1.parquet", f1, 2, 1, 2),
+      addRow("f2.parquet", f2, 1, 3, 3))
+    writeOneParquet(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema),
+      s"$loc/_delta_log/00000000000000000002.checkpoint.parquet")
+    writeText(s"$loc/_delta_log/_last_checkpoint", """{"version":2,"size":4}""")
+    // versions 0-2 are log-cleaned; only the post-checkpoint commit remains
+    val q = "\\\"" // backslash + quote as written into the log file
+    val f3stats = s"{${q}numRecords$q:1,${q}minValues$q:{${q}id$q:4}," +
+      s"${q}maxValues$q:{${q}id$q:4},${q}nullCount$q:{${q}id$q:0}}"
+    writeText(s"$loc/_delta_log/00000000000000000003.json",
+      s"""{"remove":{"path":"f2.parquet","deletionTimestamp":1704067200003,"dataChange":true}}
+         |{"add":{"path":"f3.parquet","partitionValues":{},"size":$f3,"modificationTime":1704067200003,"dataChange":true,"stats":"$f3stats"}}
+         |""".stripMargin)
+  }
+
   // ==========================================================================
   // HUDI — fresh transcription of the Hudi COW table layout
   // ==========================================================================
@@ -297,6 +409,124 @@ object FixtureGen {
     writeText(s"$loc/.hoodie/$i1.inflight", "")
     writeText(s"$loc/.hoodie/$i2.commit.requested", "")
     writeText(s"$loc/.hoodie/$i2.inflight", "")
+  }
+
+  /** MERGE_ON_READ Hudi fixture. The log-file BYTES are framed by the
+    * code below — a fresh transcription of the published HoodieLogFormat
+    * (magic, v1 block layout, ordinal-keyed metadata maps, Avro data
+    * block content v3) sharing nothing with graft's HudiLog — so the
+    * production reader's parse of them is an independent check. */
+  private def genHudiMor(spark: SparkSession): Unit = {
+    val loc = s"$Root/hudi/mor"
+    val i1 = "20240101000000000"
+    val i2 = "20240102000000000"
+
+    val schema = StructType(Seq(
+      StructField("_hoodie_commit_time", StringType),
+      StructField("_hoodie_commit_seqno", StringType),
+      StructField("_hoodie_record_key", StringType),
+      StructField("_hoodie_partition_path", StringType),
+      StructField("_hoodie_file_name", StringType),
+      StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val baseName = s"fid1_0-0-0_$i1.parquet"
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(i1, s"${i1}_0_0", "1", "", baseName, 1, "one"),
+        Row(i1, s"${i1}_0_1", "2", "", baseName, 2, "two"),
+        Row(i1, s"${i1}_0_2", "3", "", baseName, 3, "three")), 1), schema)
+    val n1 = writeOneParquet(spark, base, s"$loc/$baseName")
+
+    // Avro writer schema for log records: meta columns + data columns +
+    // the documented _hoodie_is_deleted soft-delete field
+    val logSchemaJson =
+      """{"type":"record","name":"hoodie_record","fields":[""" +
+        """{"name":"_hoodie_commit_time","type":["null","string"],"default":null},""" +
+        """{"name":"_hoodie_commit_seqno","type":["null","string"],"default":null},""" +
+        """{"name":"_hoodie_record_key","type":["null","string"],"default":null},""" +
+        """{"name":"_hoodie_partition_path","type":["null","string"],"default":null},""" +
+        """{"name":"_hoodie_file_name","type":["null","string"],"default":null},""" +
+        """{"name":"id","type":["null","int"],"default":null},""" +
+        """{"name":"name","type":["null","string"],"default":null},""" +
+        """{"name":"_hoodie_is_deleted","type":["null","boolean"],"default":null}]}"""
+    val avroSchema = new Schema.Parser().parse(logSchemaJson)
+    val logName = s".fid1_$i1.log.1_0-0-0"
+    def rec(key: String, id: Int, name: String, deleted: Boolean): Array[Byte] = {
+      val r = new GenericData.Record(avroSchema)
+      r.put("_hoodie_commit_time", i2)
+      r.put("_hoodie_commit_seqno", s"${i2}_0_0")
+      r.put("_hoodie_record_key", key)
+      r.put("_hoodie_partition_path", "")
+      r.put("_hoodie_file_name", logName)
+      r.put("id", Int.box(id))
+      r.put("name", name)
+      r.put("_hoodie_is_deleted", Boolean.box(deleted))
+      val bos = new ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](avroSchema).write(r, enc)
+      enc.flush()
+      bos.toByteArray
+    }
+    // content v3: int version, int record count, per record int len + bytes
+    val contentBos = new ByteArrayOutputStream()
+    val content = new DataOutputStream(contentBos)
+    val recs = Seq(rec("2", 2, "TWO", deleted = false),
+      rec("3", 3, "three", deleted = true))
+    content.writeInt(3)
+    content.writeInt(recs.size)
+    recs.foreach { b => content.writeInt(b.length); content.write(b) }
+    content.flush()
+    // metadata map: int count, then (int key ordinal, int len, utf8)
+    def metaMap(entries: (Int, String)*): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(entries.size)
+      entries.sortBy(_._1).foreach { case (k, v) =>
+        out.writeInt(k)
+        val b = v.getBytes("UTF-8")
+        out.writeInt(b.length)
+        out.write(b)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+    val header = metaMap(0 -> i2, 2 -> logSchemaJson) // INSTANT_TIME, SCHEMA
+    val footer = metaMap()
+    val c = contentBos.toByteArray
+    // block: MAGIC, size-after-this-field (incl trailing total), int
+    // version 1, int type ordinal 3 (avro data), header, long content
+    // length, content, footer, long total (incl magic)
+    val blockBos = new ByteArrayOutputStream()
+    val blk = new DataOutputStream(blockBos)
+    val blockSize = 4L + 4L + header.length + 8L + c.length + footer.length + 8L
+    blk.write("#HUDI#".getBytes("UTF-8"))
+    blk.writeLong(blockSize)
+    blk.writeInt(1)
+    blk.writeInt(3)
+    blk.write(header)
+    blk.writeLong(c.length.toLong)
+    blk.write(c)
+    blk.write(footer)
+    blk.writeLong(6L + 8L + blockSize)
+    blk.flush()
+    writeBytes(s"$loc/$logName", blockBos.toByteArray)
+
+    writeText(s"$loc/.hoodie/hoodie.properties",
+      """#fixture
+        |hoodie.table.name=fixture_mor
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.table.recordkey.fields=id
+        |hoodie.timeline.layout.version=1
+        |""".stripMargin)
+    writeText(s"$loc/.hoodie/$i1.deltacommit",
+      s"""{"partitionToWriteStats":{
+         |  "":[{"fileId":"fid1","path":"$baseName","prevCommit":"null","numWrites":3,"fileSizeInBytes":$n1}]
+         |},"operationType":"UPSERT"}""".stripMargin)
+    writeText(s"$loc/.hoodie/$i2.deltacommit",
+      s"""{"partitionToWriteStats":{
+         |  "":[{"fileId":"fid1","path":"$logName","prevCommit":"$i1","numWrites":2}]
+         |},"operationType":"UPSERT"}""".stripMargin)
   }
 
   // ==========================================================================
