@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational.all ++ graft.queries.Lake.all ++
       graft.queries.Dedup.all ++ graft.queries.Ann.all ++
       graft.queries.Text.all ++ graft.queries.Multimodal.all ++
-      graft.queries.Pipeline.all ++ graft.streaming.Stream.all
+      graft.queries.Pipeline.all ++ graft.queries.Curation.all ++
+      graft.streaming.Stream.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Lake.oracles ++
       graft.queries.Dedup.oracles ++ graft.queries.Ann.oracles ++
       graft.queries.Text.oracles ++ graft.queries.Multimodal.oracles ++
-      graft.queries.Pipeline.oracles ++ graft.streaming.Stream.oracles
+      graft.queries.Pipeline.oracles ++ graft.queries.Curation.oracles ++
+      graft.streaming.Stream.oracles
 }

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — trailing names restrict the
+    // dump to those queries (local iteration aid; the driver passes two)
+    val Array(sfDir, outDir, rest @ _*) = args: @unchecked
+    val selected =
+      if (rest.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => rest.contains(n) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +28,7 @@ object Verify {
     // per-query ok/error, dumped as <outDir>/_status.json — a thrown query
     // must show up as an explicit crash, not a silent hole in the gate
     // (r07: 10 entries just vanished and read as "not run").
-    val status = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val status = selected.toSeq.map { case (name, fn) =>
       // Bench-style isolation (r05 What's-wrong #3): a query that leaks a
       // persist() pin must not contaminate the 85 that run after it in
       // this session — and a leak can't hide behind the gate either,

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators — the dataset-construction stages a
+  * pretraining run performs AFTER cleaning/dedup (which Pipeline/Dedup
+  * cover): benchmark decontamination, stratified sampling, domain-mixture
+  * construction, sequence packing, and repetition-based quality filters
+  * (the Rae et al. 2021 "Gopher rules" family).
+  *
+  * Everything is bit-deterministic across partitionings and cluster
+  * sizes: sampling and ordering decisions key on `md5(doc_id)` — a
+  * content-independent, engine-portable hash (Spark's `md5` and DuckDB's
+  * `md5` agree byte-for-byte on UTF-8 input, so every operator here is
+  * oracle-verified end-to-end, not rows-only).
+  *
+  * Scale shapes (the 100 TB lens, per operator):
+  *  - decontam: the benchmark side is bounded by construction (eval
+  *    suites are MBs, not TBs) → broadcast its n-gram set; the corpus
+  *    side is one map pass + a broadcast-hash semi-join, no shuffle of
+  *    corpus data.
+  *  - stratified sampling: hash-threshold per stratum → pure filter,
+  *    map-only, zero shuffle, no per-stratum sort (a rank-based "exact
+  *    top-k per stratum" would serialize each stratum through one
+  *    partition — strata are few and huge at 100 TB).
+  *  - domain mixture: running-sum budget cap needs a per-domain prefix
+  *    sum; domains are few → the window would serialize. Same two-phase
+  *    prefix-sum trick as packing: bucket by hash prefix WITHIN each
+  *    domain, distributed sort per (domain, bucket), metadata-sized
+  *    bucket-offset join.
+  *  - packing: a global prefix sum over a deterministic order. NOT a
+  *    single-partition global window (the classic scale-killer): a
+  *    two-phase distributed prefix sum — per-bucket windows over a hex
+  *    prefix of the order key + an O(buckets) offset map joined back.
+  *  - repetition: pure per-row column expressions, map-only.
+  */
+object Curation {
+
+  /** Engine-portable deterministic per-doc order/sample key:
+    * lowercase-hex md5 of the decimal doc_id string. */
+  private def hashKey: Column =
+    md5(col("doc_id").cast("string").cast("binary"))
+
+  private val HashKeySql = "md5(CAST(doc_id AS VARCHAR))"
+
+  // ---------------------------------------------------------------------
+  // curate_decontam — benchmark decontamination (8-gram overlap)
+  // ---------------------------------------------------------------------
+
+  /** Docs whose doc_id % 97 == 0 stand in for the held-out benchmark. */
+  private val EvalMod = 97
+  private val NGramN = 8
+
+  /** Space-joined word 8-grams; docs shorter than 8 tokens contribute
+    * none (a sub-n-gram fragment can't witness contamination). */
+  private def ngrams(toks: Column): Column =
+    when(size(toks) >= NGramN,
+      transform(sequence(lit(1), size(toks) - (NGramN - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(NGramN)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination — the step every pretraining pipeline runs
+    * before training: count, per corpus document, the distinct word
+    * 8-grams it shares with the eval set (GPT-3 App. C / PaLM use exactly
+    * this shape: n-gram overlap, n≈8-13). Output one row per NON-eval doc
+    * with its overlap count and a 0/1 contamination flag.
+    *
+    * Plan shape: eval n-grams are deduped and BROADCAST (eval suites are
+    * bounded small by construction — forcing this broadcast is correct,
+    * unlike an open-vocabulary dictionary); the corpus side is one
+    * map pass producing (doc_id, gram) + a broadcast semi-join + one
+    * partial-agg'd count. Corpus bytes are never shuffled. [oracle] */
+  def curateDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), ngrams(tokens(col("text"))).as("grams"))
+    val evalGrams = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+    val hits = docs.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .distinct() // count DISTINCT shared grams per doc
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    Tables.documents(s, d).filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
+  // curate_sample_stratified — hash-threshold sampling per language
+  // ---------------------------------------------------------------------
+
+  /** Per-language sampling fractions, expressed as 6-hex-digit md5-prefix
+    * thresholds (fraction ≈ threshold / 16^6). Literal thresholds keep
+    * Spark and the SQL oracle byte-identical: `substr(md5,1,6) < t` is a
+    * plain string compare in both engines. */
+  private val StratumThresholds: Seq[(String, String)] = Seq(
+    "de" -> "800000", // 0.50
+    "en" -> "199999", // 0.10
+    "es" -> "666666", // 0.40
+    "fr" -> "4ccccc", // 0.30
+    "zh" -> "333333") // 0.20
+
+  /** Deterministic stratified sampling — downweight the over-represented
+    * language, keep more of the rare ones. A doc survives iff the first 6
+    * hex chars of md5(doc_id) fall below its language's threshold: pure
+    * filter, map-only, no shuffle, no per-stratum sort, and the SAME docs
+    * survive at any cluster size. (Rank-based exact-k sampling would
+    * funnel each stratum through one sort — strata are few and huge at
+    * 100 TB; hash thresholds hit the target fraction to ±ε with zero
+    * coordination.) [oracle] */
+  def curateSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val prefix = substring(hashKey, 1, 6)
+    val keep = StratumThresholds.foldRight(lit(false): Column) {
+      case ((lang, thr), other) =>
+        when(col("lang") === lang, prefix < thr).otherwise(other)
+    }
+    Tables.documents(s, d).filter(keep)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // curate_mix_domains — per-domain char-budget mixture
+  // ---------------------------------------------------------------------
+
+  private val DomainBudgetChars = 2500L
+
+  /** Domain-mixture construction: take documents per source domain, in
+    * deterministic md5 order, until the domain's char budget is exceeded
+    * (each domain's first budget-crossing doc is included, so every
+    * domain with data contributes at least one doc). This is the
+    * data-mixture step that turns per-domain weights into an actual
+    * training set.
+    *
+    * The budget cap is a per-domain PREFIX SUM over the hash order — and
+    * domains are few and huge at 100 TB, so a plain window partitioned by
+    * source would serialize each domain through one task. Same two-phase
+    * distributed prefix sum as [[curatePackSequences]], partitioned by
+    * (source, 256 hash-prefix buckets): distributed sort per bucket, one
+    * O(domains × buckets) metadata aggregate for the offsets, broadcast
+    * join back. Docs past the budget are filtered before any further
+    * stage sees them. [oracle] */
+  def curateMixDomains(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), hashKey.as("k"),
+        substring(hashKey, 1, 2).as("bkt"))
+    val w = Window.partitionBy("source", "bkt").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = keyed.withColumn("cum_in_bkt", sum(col("n_chars")).over(w))
+    // offset of each (source, bucket) = total chars of all LOWER buckets
+    // in the same source — O(domains × 256) rows, broadcast back
+    val bucketTotals = keyed.groupBy("source", "bkt")
+      .agg(sum(col("n_chars")).as("bkt_total"))
+    val wOff = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals.withColumn(
+      "bkt_offset", coalesce(sum(col("bkt_total")).over(wOff), lit(0L)))
+      .select("source", "bkt", "bkt_offset")
+    inBucket.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum_before",
+        col("bkt_offset") + col("cum_in_bkt") - col("n_chars"))
+      .filter(col("cum_before") < DomainBudgetChars)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("cum_before"))
+  }
+
+  // ---------------------------------------------------------------------
+  // curate_pack_sequences — concat-and-chunk sequence packing
+  // ---------------------------------------------------------------------
+
+  private val SeqCapacity = 64L
+
+  /** GPT-style sequence packing: concatenate all documents in a
+    * deterministic global order (md5 of doc_id) and cut the token stream
+    * into fixed 64-token training sequences; emit, per document, the
+    * sequence id and offset where its first token lands. Downstream shard
+    * writers use exactly this map to build packed training batches
+    * without padding waste.
+    *
+    * The global prefix sum is computed DISTRIBUTED, not as a
+    * single-partition global window: the order key's first 2 hex chars
+    * split the stream into 256 ordered buckets; each bucket does its own
+    * window cumsum (distributed sort), an O(256)-row aggregate yields
+    * each bucket's global offset, and a broadcast join adds them. Because
+    * bucket prefix order == key order, the result equals the exact global
+    * cumulative sum at any cluster size. (At 100 TB, widen the prefix to
+    * 3-4 hex chars — same plan, 4k/65k buckets.) [oracle] */
+  def curatePackSequences(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("k", hashKey)
+      .withColumn("bkt", substring(col("k"), 1, 2))
+    val w = Window.partitionBy("bkt").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = keyed.withColumn("cum_in_bkt", sum(col("n_tokens")).over(w))
+    val wOff = Window.orderBy("bkt") // O(256) rows — driver-scale window
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bkt").agg(sum(col("n_tokens")).as("bkt_total"))
+      .withColumn("bkt_offset", coalesce(sum(col("bkt_total")).over(wOff), lit(0L)))
+      .select("bkt", "bkt_offset")
+    inBucket.join(broadcast(offsets), "bkt")
+      .withColumn("cum_before",
+        col("bkt_offset") + col("cum_in_bkt") - col("n_tokens"))
+      .select(col("doc_id"),
+        expr(s"cum_before div $SeqCapacity").as("seq_id"),
+        (col("cum_before") % SeqCapacity).as("seq_offset"),
+        col("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
+  // text_repetition — Gopher-rule repetition signals
+  // ---------------------------------------------------------------------
+
+  /** Repetition-based quality signals (Rae et al. 2021 §A1.1: excess
+    * repetition predicts low-quality/boilerplate text): duplicate-word
+    * fraction, duplicate-bigram fraction, and top-word dominance. Pure
+    * per-row column work over one materialized token array — map-only at
+    * any scale. The token array is bound in its own projection so the
+    * interpreted higher-order functions iterate a computed array rather
+    * than re-splitting the document per lambda (TextFunctions perf rule;
+    * CollapseProject keeps the split single because `toks` is referenced
+    * many times). [oracle] */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val n = size(toks).cast("double")
+    val topCnt = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, t => t === w))))
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        round(lit(1.0) - size(array_distinct(toks)) / n, 4)
+          .as("dup_word_frac"),
+        round(when(size(toks) >= 2,
+          lit(1.0) - size(array_distinct(bigrams)) / size(bigrams))
+          .otherwise(0.0), 4).as("dup_2gram_frac"),
+        round(topCnt / n, 4).as("top_word_frac"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_decontam" -> (curateDecontam _),
+    "curate_sample_stratified" -> (curateSampleStratified _),
+    "curate_mix_domains" -> (curateMixDomains _),
+    "curate_pack_sequences" -> (curatePackSequences _),
+    "text_repetition" -> (textRepetition _))
+
+  private val ToksSql =
+    """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  val oracles: Map[String, String] = Map(
+    "curate_decontam" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents),
+          g AS (
+            SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS g
+            FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            WHERE len(toks) >= 8),
+          eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+          hits AS (
+            SELECT g.doc_id, count(DISTINCT g.g) AS n_overlap
+            FROM g JOIN eg USING (g) WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id)
+          SELECT d.doc_id,
+                 coalesce(h.n_overlap, 0) AS n_overlap,
+                 CASE WHEN coalesce(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+                   AS contaminated
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.doc_id % 97 <> 0""",
+    "curate_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE CASE lang
+            ${StratumThresholds.map { case (l, t) =>
+              s"WHEN '$l' THEN substring($HashKeySql, 1, 6) < '$t'" }
+              .mkString("\n            ")}
+            ELSE FALSE END""",
+    "curate_mix_domains" ->
+      s"""WITH c AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(coalesce(sum(n_chars) OVER (
+                     PARTITION BY source ORDER BY $HashKeySql
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM documents)
+          SELECT doc_id, source, n_chars, cum_before
+          FROM c WHERE cum_before < $DomainBudgetChars""",
+    "curate_pack_sequences" ->
+      s"""WITH t AS (
+            SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+                   $HashKeySql AS k
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM t)
+          SELECT doc_id,
+                 cum_before // $SeqCapacity AS seq_id,
+                 cum_before % $SeqCapacity AS seq_offset,
+                 n_tokens
+          FROM c""",
+    "text_repetition" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents),
+          b AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                               i -> array_to_string(toks[i : i + 1], ' '))
+                        ELSE [] END AS bigrams
+            FROM t)
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 round(1.0 - len(list_distinct(toks))
+                       / CAST(len(toks) AS DOUBLE), 4) AS dup_word_frac,
+                 round(CASE WHEN len(toks) >= 2
+                   THEN 1.0 - len(list_distinct(bigrams))
+                        / CAST(len(bigrams) AS DOUBLE)
+                   ELSE 0.0 END, 4) AS dup_2gram_frac,
+                 round(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w))))
+                       / CAST(len(toks) AS DOUBLE), 4) AS top_word_frac
+          FROM b""")
+}

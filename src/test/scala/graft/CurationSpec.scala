@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators cross-checked against brute-force in-memory
+  * computations on sf0.001, plus plan-shape assertions for the scale
+  * postures each operator's scaladoc claims (broadcast where the small
+  * side is bounded, no corpus shuffle where map-only is promised). */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs: Seq[(Long, String, String, String, Long)] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  private def toks(t: String): Seq[String] =
+    t.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---------------------------------------------------------------- decontam
+
+  test("curate_decontam counts distinct shared 8-grams vs in-memory truth") {
+    def grams(t: String): Set[String] = {
+      val w = toks(t)
+      if (w.length < 8) Set.empty else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(_._1 % 97 == 0).flatMap(d => grams(d._2)).toSet
+    assert(evalGrams.nonEmpty)
+    val truth = docs.filter(_._1 % 97 != 0)
+      .map(d => d._1 -> (grams(d._2) & evalGrams).size.toLong).toMap
+    val got = queries.Curation.curateDecontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (id, n) =>
+      assert(got(id)._1 == n, s"doc $id: got ${got(id)._1} want $n")
+      assert(got(id)._2 == (if (n > 0) 1 else 0))
+    }
+    // the corpus must contain contaminated docs for the test to mean anything
+    assert(truth.values.exists(_ > 0), "fixture should plant eval overlaps")
+  }
+
+  test("curate_decontam broadcasts the eval n-gram set (bounded small side)") {
+    val plan = queries.Curation.curateDecontam(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval-gram join should broadcast, got:\n$plan")
+  }
+
+  // ------------------------------------------------------------- stratified
+
+  test("curate_sample_stratified keeps exactly the hash-threshold docs") {
+    val thr = Map("de" -> "800000", "en" -> "199999", "es" -> "666666",
+      "fr" -> "4ccccc", "zh" -> "333333")
+    val truth = docs.filter { case (id, _, lang, _, _) =>
+      thr.get(lang).exists(t => md5hex(id.toString).take(6) < t)
+    }.map(_._1).toSet
+    val got = queries.Curation.curateSampleStratified(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    // sanity: rare strata keep a higher fraction than the dominant one
+    val byLang = docs.groupBy(_._3).view.mapValues(_.map(_._1).toSet)
+    val enFrac = (truth & byLang("en")).size.toDouble / byLang("en").size
+    val deFrac = (truth & byLang("de")).size.toDouble / byLang("de").size
+    assert(deFrac > enFrac, s"de=$deFrac should exceed en=$enFrac")
+  }
+
+  test("curate_sample_stratified is map-only: no shuffle in the plan") {
+    val plan = queries.Curation.curateSampleStratified(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  // ------------------------------------------------------------ mix domains
+
+  test("curate_mix_domains caps each domain at its char budget") {
+    val budget = 2500L
+    val truth = docs.groupBy(_._4).flatMap { case (_, ds) =>
+      val ordered = ds.sortBy(d => md5hex(d._1.toString))
+      val cums = ordered.scanLeft(0L)(_ + _._5)
+      ordered.zip(cums).collect { case (d, before) if before < budget =>
+        d._1 -> before
+      }
+    }
+    val got = queries.Curation.curateMixDomains(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == truth,
+      s"missing=${truth.toSet -- got.toSet} extra=${got.toSet -- truth.toSet}")
+    // every domain contributes at least one doc
+    val sources = queries.Curation.curateMixDomains(spark, sf)
+      .select("source").distinct().count()
+    assert(sources == docs.map(_._4).distinct.size.toLong)
+  }
+
+  // ---------------------------------------------------------------- packing
+
+  test("curate_pack_sequences equals the exact global prefix sum") {
+    val ordered = docs.sortBy(d => md5hex(d._1.toString))
+    val lens = ordered.map(d => toks(d._2).length.toLong)
+    val cumBefore = lens.scanLeft(0L)(_ + _)
+    val truth = ordered.zip(cumBefore).map { case (d, cb) =>
+      d._1 -> ((cb / 64, cb % 64))
+    }.toMap
+    val got = queries.Curation.curatePackSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == truth)
+    // packing is dense: sequence ids cover 0..total/64 without gaps
+    val totalToks = lens.sum
+    val maxSeq = got.values.map(_._1).max
+    assert(maxSeq == (totalToks - lens.min) / 64 ||
+      maxSeq <= totalToks / 64, "seq ids bounded by total token count")
+  }
+
+  test("curate_pack_sequences windows per bucket, not one global partition") {
+    val plan = queries.Curation.curatePackSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the doc-stream window must be hash-partitioned by bucket; a global
+    // single-partition window over the corpus would plan SinglePartition
+    // upstream of the doc columns
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"doc cumsum must partition by bucket:\n$plan")
+  }
+
+  // ------------------------------------------------------------- repetition
+
+  test("text_repetition matches in-memory Gopher signals") {
+    def round4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth = docs.map { case (id, text, _, _, _) =>
+      val w = toks(text)
+      val n = w.length.toDouble
+      val dupW = round4(1.0 - w.distinct.length / n)
+      val bg = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      val dupB = if (bg.isEmpty) 0.0 else round4(1.0 - bg.distinct.length.toDouble / bg.length)
+      val top = round4(w.groupBy(identity).values.map(_.length).max / n)
+      id -> ((w.length.toLong, dupW, dupB, top))
+    }.toMap
+    val got = queries.Curation.textRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1).toLong, r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (id, t) =>
+      assert(got(id) == t, s"doc $id: got ${got(id)} want $t")
+    }
+  }
+}
