@@ -43,10 +43,16 @@ import graft.lake.{ColStats, DataFileMeta, FilePruner, Meta}
   *    parquet.field.id support) and projects back to logical names.
   *    Log-side stats and partitionValues keys are physical and are
   *    translated before pruning.
+  *  - V2 CHECKPOINTS (minReaderVersion 3 + `v2Checkpoint`, r09):
+  *    uuid-named `%020d.checkpoint.<uuid>.{json,parquet}` top-level
+  *    checkpoint files whose file actions may be externalized into
+  *    parquet sidecars under `_delta_log/_sidecars/` (the layout newer
+  *    Delta writers produce); the seed folds inline AND sidecar adds,
+  *    and prefers the v2 flavor when both exist at one version.
   *
-  * Anything else that changes what the bytes mean (v2 checkpoints,
-  * type widening, …) is REJECTED loudly rather than misread: a
-  * silently wrong scan is worse than an unsupported-table error.
+  * Anything else that changes what the bytes mean (type widening, …)
+  * is REJECTED loudly rather than misread: a silently wrong scan is
+  * worse than an unsupported-table error.
   *
   * At 100 TB: state reconstruction is O(log actions) driver-side
   * metadata IO (checkpoint-seeded, like Delta's own snapshot code), and
@@ -254,6 +260,13 @@ object DeltaTable {
 
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
+  // multi-part classic checkpoints: %020d.checkpoint.%010d.%010d.parquet
+  // (part p of t) — the layout large production tables actually have
+  private val MultipartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // V2 checkpoints (reader feature v2Checkpoint): uuid-named top-level
+  // file, json or parquet, whose file actions may live in parquet
+  // sidecars under _delta_log/_sidecars/
+  private val V2CheckpointRe = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
 
   /** Replay the log up to `versionAsOf` (-1 = latest), seeded from the
     * newest usable checkpoint at or below it. */
@@ -270,9 +283,26 @@ object DeltaTable {
     val head = if (versionAsOf >= 0) versionAsOf else commits.map(_._1).max
     require(commits.exists(_._1 == head), s"delta: no commit $head under $location")
 
-    val checkpoints = entries.flatMap(p => p.getName match {
-      case CheckpointRe(v) if v.toLong <= head => Some((v.toLong, p)); case _ => None
-    }).sortBy(_._1)
+    // classic (single- or multi-part) and v2 checkpoints can coexist;
+    // take the newest version at or below head, preferring the v2
+    // flavor on a version tie (every complete checkpoint is a complete
+    // state — the preference just exercises the newer layout).
+    // Multipart groups are usable only when ALL t parts are present
+    // (an interrupted checkpoint write leaves a partial group; seeding
+    // from it would silently drop files).
+    val multipartGroups = entries.flatMap(p => p.getName match {
+      case MultipartRe(v, part, of) if v.toLong <= head =>
+        Some(((v.toLong, of.toInt), (part.toInt, p)))
+      case _ => None
+    }).groupBy(_._1).collect {
+      case ((v, of), parts) if parts.map(_._2._1).toSet == (1 to of).toSet =>
+        (v, 0, parts.map(_._2).sortBy(_._1).map(_._2))
+    }
+    val checkpoints = (entries.flatMap(p => p.getName match {
+      case CheckpointRe(v) if v.toLong <= head => Some((v.toLong, 1, Seq(p)))
+      case V2CheckpointRe(v, _, _) if v.toLong <= head => Some((v.toLong, 2, Seq(p)))
+      case _ => None
+    }) ++ multipartGroups).sortBy(c => (c._1, c._2))
 
     var protoReader = 1
     var protoFeatures: Seq[String] = Nil
@@ -280,8 +310,8 @@ object DeltaTable {
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
 
     // seed from the newest checkpoint ≤ head, if any
-    val cpVersion = checkpoints.lastOption.map { case (v, p) =>
-      val cp = spark.read.parquet(p.toString)
+    def seedFromParquet(paths: Seq[Path]): Unit = {
+      val cp = spark.read.parquet(paths.map(_.toString): _*)
       val cols = cp.columns.toSet
       if (cols.contains("protocol")) cp.select("protocol.*").collect().foreach { r =>
         if (!r.isNullAt(r.fieldIndex("minReaderVersion"))) {
@@ -300,6 +330,52 @@ object DeltaTable {
           val a = parseAddRow(r)
           live(a.path) = a
         }
+      // v2 checkpoints may externalize file actions into parquet
+      // sidecars; the sidecar list itself is O(sidecars) metadata
+      if (cols.contains("sidecar"))
+        cp.filter(col("sidecar").isNotNull).select("sidecar.path")
+          .collect().map(_.getString(0)).foreach(readSidecar)
+    }
+    def readSidecar(rel: String): Unit = {
+      // sidecars live in _delta_log/_sidecars; the action is encouraged
+      // to carry just the file name, but absolute URIs are legal
+      val p =
+        if (rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") || rel.startsWith("/"))
+          new Path(rel)
+        else new Path(new Path(logDir, "_sidecars"), rel)
+      val sc = spark.read.parquet(p.toString)
+      if (sc.columns.contains("add")) sc.filter(col("add").isNotNull)
+        .select("add.*").collect().foreach { r =>
+          val a = parseAddRow(r)
+          live(a.path) = a
+        }
+      // remove rows in a checkpoint are vacuum tombstones, not state
+    }
+    def seedFromJsonV2(path: Path): Unit = {
+      val in = fs.open(path)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) {
+          protoReader = n.get("protocol").path("minReaderVersion").asInt(1)
+          val rf = n.get("protocol").path("readerFeatures")
+          if (rf.isArray) {
+            val it = rf.elements()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().asText()
+            protoFeatures = b.result()
+          }
+        }
+        if (n.has("metaData")) metaOpt = Some(parseMetaNode(n.get("metaData")))
+        if (n.has("add")) { val a = parseAddNode(n.get("add")); live(a.path) = a }
+        if (n.has("sidecar")) readSidecar(n.get("sidecar").path("path").asText())
+      }
+    }
+    val cpVersion = checkpoints.lastOption.map { case (v, kind, paths) =>
+      if (kind == 2 && paths.head.getName.endsWith(".json"))
+        seedFromJsonV2(paths.head)
+      else seedFromParquet(paths)
       v
     }.getOrElse(-1L)
 
@@ -334,9 +410,10 @@ object DeltaTable {
     // protocol guard: features that change what the bytes MEAN are only
     // readable when implemented — misreading is worse than rejecting.
     // Supported: base (1), column mapping (2 legacy, or the table
-    // feature), deletion vectors, timestampNtz. v2 checkpoints et al.
-    // stay rejected loudly.
-    val supported = Set("deletionVectors", "columnMapping", "timestampNtz")
+    // feature), deletion vectors, timestampNtz, v2 checkpoints (r09).
+    // Anything else (type widening, …) stays rejected loudly.
+    val supported =
+      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
     require(protoReader <= 2 ||
         (protoReader == 3 && protoFeatures.forall(supported.contains)),
       s"delta: minReaderVersion $protoReader" +

@@ -45,6 +45,7 @@ final class DeltaWriter private (
   // live file state mirrored for checkpoint/deleteWhere: path -> (add node)
   private val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
   private var dvEnabled = false
+  private var v2CpEnabled = false
 
   // logical -> physical column name (identity without column mapping)
   private val phys: Map[String, String] = columnMapping match {
@@ -87,8 +88,9 @@ final class DeltaWriter private (
     val pr = n.putObject("protocol")
     val features =
       (if (columnMapping.isDefined) Seq("columnMapping") else Nil) ++
-        (if (dvEnabled) Seq("deletionVectors") else Nil)
-    if (dvEnabled || columnMapping.contains("id")) {
+        (if (dvEnabled) Seq("deletionVectors") else Nil) ++
+        (if (v2CpEnabled) Seq("v2Checkpoint") else Nil)
+    if (dvEnabled || v2CpEnabled || columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures"); features.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); features.foreach(wf.add)
@@ -405,42 +407,38 @@ final class DeltaWriter private (
     commit(actions.toSeq)
   }
 
-  /** Classic single-file checkpoint of the CURRENT state + the
-    * `_last_checkpoint` pointer — what lets a reader skip the log
-    * prefix. */
-  def checkpoint(): Unit = {
-    require(version >= 0, "delta: nothing to checkpoint")
-    // rows: one protocol, one metaData, one per live add — built under
-    // an explicit checkpoint schema (nullable structs per action type)
-    val dvType = StructType(Seq(
-      StructField("storageType", StringType),
-      StructField("pathOrInlineDv", StringType),
-      StructField("offset", IntegerType),
-      StructField("sizeInBytes", IntegerType),
-      StructField("cardinality", LongType)))
-    val addType = StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType, true)),
-      StructField("size", LongType),
-      StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType),
-      StructField("stats", StringType),
-      StructField("deletionVector", dvType, true)))
-    val protoType = StructType(Seq(
-      StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType), true),
-      StructField("writerFeatures", ArrayType(StringType), true)))
-    val metaType = StructType(Seq(
-      StructField("id", StringType),
-      StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType, true))))
-    val cpSchema = StructType(Seq(
-      StructField("protocol", protoType, true),
-      StructField("metaData", metaType, true),
-      StructField("add", addType, true)))
-    import org.apache.spark.sql.Row
+  // ---- checkpoints ---------------------------------------------------------
+
+  private val dvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+  private val addType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType, true)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType),
+    StructField("deletionVector", dvType, true)))
+  private val protoType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType), true),
+    StructField("writerFeatures", ArrayType(StringType), true)))
+  private val metaType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType, true))))
+
+  import org.apache.spark.sql.Row
+
+  /** (protocol struct, metaData struct, one add struct per live file) —
+    * shared between the classic and v2 checkpoint writers. */
+  private def checkpointStructs: (Row, Row, Seq[Row]) = {
     val protoNode = protocolAction.get("protocol")
     def featureList(key: String): Seq[String] =
       if (protoNode.has(key)) {
@@ -449,17 +447,16 @@ final class DeltaWriter private (
         while (it.hasNext) b += it.next().asText()
         b.result()
       } else null
-    val protoRow = Row(Row(protoNode.get("minReaderVersion").asInt(),
+    val protoStruct = Row(protoNode.get("minReaderVersion").asInt(),
       protoNode.get("minWriterVersion").asInt(),
-      featureList("readerFeatures"), featureList("writerFeatures")), null, null)
+      featureList("readerFeatures"), featureList("writerFeatures"))
     val cfg: Map[String, String] = columnMapping.map(mode => Map(
       "delta.columnMapping.mode" -> mode,
       "delta.columnMapping.maxColumnId" -> schema.length.toString))
       .getOrElse(Map.empty)
-    val metaRow = Row(null,
-      Row(java.util.UUID.randomUUID().toString, metaSchema.json,
-        partitionColumns, cfg), null)
-    val addRows = live.values.toSeq.map { n =>
+    val metaStruct = Row(java.util.UUID.randomUUID().toString,
+      metaSchema.json, partitionColumns, cfg)
+    val addStructs = live.values.toSeq.map { n =>
       val a = n.get("add")
       val pvIt = a.get("partitionValues").fields()
       val pv = scala.collection.mutable.Map[String, String]()
@@ -475,12 +472,19 @@ final class DeltaWriter private (
               d.get("offset").asInt() else null,
             d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
         } else null
-      Row(null, null, Row(a.get("path").asText(), pv.toMap,
+      Row(a.get("path").asText(), pv.toMap,
         a.get("size").asLong(), a.get("modificationTime").asLong(),
-        true, a.get("stats").asText(), dvRow))
+        true, a.get("stats").asText(), dvRow)
     }
+    (protoStruct, metaStruct, addStructs)
+  }
+
+  /** Single-file parquet write of `rows` under `schema`, renamed to
+    * `dest` (Spark writes a directory; the log wants one file). */
+  private def writeSingleParquet(rows: Seq[Row], rowSchema: StructType,
+      dest: Path): Unit = {
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1), cpSchema)
+      spark.sparkContext.parallelize(rows, 1), rowSchema)
     val tmp = new Path(root, s"_cp-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = {
@@ -492,15 +496,96 @@ final class DeltaWriter private (
       }
       found
     }
-    val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
-    require(fs.rename(part, dest), s"delta: checkpoint rename failed")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(part, dest), s"delta: checkpoint rename failed ($dest)")
     fs.delete(tmp, true)
+  }
+
+  private def writeLastCheckpoint(sizeActions: Long,
+      parts: Option[Int] = None): Unit = {
     val lc = mapper.createObjectNode()
     lc.put("version", version)
-    lc.put("size", live.size.toLong + 2)
+    lc.put("size", sizeActions)
+    parts.foreach(lc.put("parts", _))
     val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try out.write(mapper.writeValueAsString(lc).getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Classic checkpoint of the CURRENT state + the `_last_checkpoint`
+    * pointer — what lets a reader skip the log prefix. `parts > 1`
+    * writes the multi-part layout (`%020d.checkpoint.%010d.%010d
+    * .parquet`, adds round-robined, non-file actions in part 1) that
+    * large production tables have. */
+  def checkpoint(parts: Int = 1): Unit = {
+    require(version >= 0, "delta: nothing to checkpoint")
+    require(parts >= 1, s"delta: checkpoint parts $parts")
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType, true),
+      StructField("metaData", metaType, true),
+      StructField("add", addType, true)))
+    val (proto, meta, adds) = checkpointStructs
+    if (parts == 1) {
+      val rows = Row(proto, null, null) +: Row(null, meta, null) +:
+        adds.map(a => Row(null, null, a))
+      writeSingleParquet(rows, cpSchema,
+        new Path(logDir, f"$version%020d.checkpoint.parquet"))
+    } else {
+      val byPart = adds.zipWithIndex.groupBy(_._2 % parts)
+      (1 to parts).foreach { p =>
+        val partAdds = byPart.getOrElse(p - 1, Nil).map(_._1)
+        val rows =
+          (if (p == 1) Seq(Row(proto, null, null), Row(null, meta, null))
+           else Nil) ++ partAdds.map(a => Row(null, null, a))
+        writeSingleParquet(rows, cpSchema,
+          new Path(logDir, f"$version%020d.checkpoint.$p%010d.$parts%010d.parquet"))
+      }
+    }
+    writeLastCheckpoint(live.size.toLong + 2,
+      if (parts == 1) None else Some(parts))
+  }
+
+  /** V2 checkpoint (reader feature `v2Checkpoint`): uuid-named top-level
+    * `%020d.checkpoint.<uuid>.parquet` holding the non-file actions plus
+    * a `checkpointMetadata` action and `sidecar` pointers; the add
+    * actions themselves go to a parquet sidecar under
+    * `_delta_log/_sidecars/`. Commits the protocol upgrade first (a
+    * table whose checkpoints are v2 must demand the feature, per the
+    * protocol), so a pre-upgrade reader rejects rather than misreads. */
+  def checkpointV2(): Unit = {
+    require(version >= 0, "delta: nothing to checkpoint")
+    if (!v2CpEnabled) { v2CpEnabled = true; commit(Seq(protocolAction)) }
+    val (proto, meta, adds) = checkpointStructs
+    // sidecar: file actions only
+    val sidecarSchema = StructType(Seq(StructField("add", addType, true)))
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val sidecarPath = new Path(new Path(logDir, "_sidecars"), sidecarName)
+    writeSingleParquet(adds.map(Row(_)), sidecarSchema, sidecarPath)
+    val scStatus = fs.getFileStatus(sidecarPath)
+    // top-level: protocol + metaData + checkpointMetadata + sidecar refs
+    val cpMetaType = StructType(Seq(
+      StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType, true), true)))
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType),
+      StructField("tags", MapType(StringType, StringType, true), true)))
+    val topSchema = StructType(Seq(
+      StructField("protocol", protoType, true),
+      StructField("metaData", metaType, true),
+      StructField("checkpointMetadata", cpMetaType, true),
+      StructField("sidecar", sidecarType, true)))
+    val rows = Seq(
+      Row(proto, null, null, null),
+      Row(null, meta, null, null),
+      Row(null, null, Row(version, null), null),
+      Row(null, null, null,
+        Row(sidecarName, scStatus.getLen, scStatus.getModificationTime, null)))
+    val uuid = java.util.UUID.randomUUID().toString
+    writeSingleParquet(rows, topSchema,
+      new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet"))
+    writeLastCheckpoint(live.size.toLong + 3)
   }
 }
 

@@ -110,26 +110,119 @@ class DeltaSpec extends AnyFunSuite {
     assert(fs.exists(new Path(freshDir2("cp"), "_delta_log/_last_checkpoint")))
   }
 
+  test("multi-part checkpoint seeds a load; a partial group is ignored") {
+    val n = Tables.nation(spark, sf)
+    val dir = freshDir("cpmp")
+    val w = DeltaWriter.create(spark, dir, n.schema)
+    w.append(n.filter(col("n_nationkey") < 8))
+    w.append(n.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16))
+    w.append(n.filter(col("n_nationkey") >= 16))
+    w.checkpoint(parts = 3)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val logFiles = fs.listStatus(new Path(dir, "_delta_log")).map(_.getPath.getName)
+    assert(logFiles.count(
+      _.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")) == 3)
+    // metadata now lives only in the checkpoint group
+    (0L to 2L).foreach { v =>
+      assert(fs.delete(new Path(dir, f"_delta_log/$v%020d.json"), false))
+    }
+    // keep a json at head so the log is non-empty (log-cleaned shape)
+    val out = fs.create(new Path(dir, "_delta_log/00000000000000000004.json"), false)
+    try out.write("""{"commitInfo":{"operation":"NOOP"}}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(DeltaTable.load(spark, dir).scan().count() == n.count())
+    // an INCOMPLETE part group must not be used as a seed: delete part 2
+    // of 3 — the reader falls back to nothing and fails loudly on the
+    // missing metaData instead of silently dropping part 2's files
+    assert(fs.delete(new Path(dir,
+      "_delta_log/00000000000000000003.checkpoint.0000000002.0000000003.parquet"), false))
+    val e = intercept[Exception] { DeltaTable.load(spark, dir) }
+    assert(e.getMessage.contains("metaData") || e.getMessage.contains("delta"),
+      s"partial checkpoint group must not seed: ${e.getMessage}")
+  }
+
+  test("v2 checkpoint (uuid-named + parquet sidecar) seeds a load") {
+    val n = Tables.nation(spark, sf)
+    val dir = freshDir("cpv2")
+    val w = DeltaWriter.create(spark, dir, n.schema,
+      partitionColumns = Seq("n_regionkey"))
+    w.append(n.filter(col("n_nationkey") < 13))
+    w.deleteWhere(col("n_nationkey") === 3)
+    w.checkpointV2()
+    w.append(n.filter(col("n_nationkey") >= 13)) // replayed on top
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // the layout is really v2: uuid-named top-level + _sidecars parquet
+    val logFiles = fs.listStatus(new Path(dir, "_delta_log"))
+      .map(_.getPath.getName)
+    assert(logFiles.exists(f =>
+      f.matches("""\d{20}\.checkpoint\.[0-9a-f-]+\.parquet""")),
+      s"expected uuid-named v2 checkpoint in ${logFiles.toSeq}")
+    assert(!logFiles.exists(_.matches("""\d{20}\.checkpoint\.parquet""")))
+    assert(fs.listStatus(new Path(dir, "_delta_log/_sidecars"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    val t = DeltaTable.load(spark, freshDir2("cpv2"))
+    val want = n.filter(col("n_nationkey") =!= 3)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("v2 checkpoint load survives the pre-checkpoint log being cleaned") {
+    val n = Tables.nation(spark, sf)
+    val dir = freshDir("cpv2clean")
+    val w = DeltaWriter.create(spark, dir, n.schema)
+    w.append(n.filter(col("n_nationkey") < 13))
+    w.append(n.filter(col("n_nationkey") >= 13))
+    w.checkpointV2() // upgrade commit (v3) + checkpoint at v3
+    w.deleteWhere(col("n_nationkey") === 7) // v4, replayed on top
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // metadata/protocol now live ONLY in the checkpoint: a reader that
+    // cannot seed from the v2 layout cannot load this table at all
+    (0L to 2L).foreach { v =>
+      assert(fs.delete(new Path(dir, f"_delta_log/$v%020d.json"), false))
+    }
+    val t = DeltaTable.load(spark, freshDir2("cpv2clean"))
+    assert(t.scan().count() == n.count() - 1)
+    assert(t.scan().filter(col("n_nationkey") === 7).count() == 0)
+  }
+
+  test("DVs survive a v2 checkpoint-seeded load") {
+    val n = Tables.nation(spark, sf)
+    val dir = freshDir("cpv2dv")
+    val w = DeltaWriter.create(spark, dir, n.schema)
+    w.append(n)
+    w.deleteWhereDv(col("n_nationkey") % 2 === 0)
+    w.checkpointV2()
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 2L).foreach { v =>
+      assert(fs.delete(new Path(dir, f"_delta_log/$v%020d.json"), false))
+    }
+    val t = DeltaTable.load(spark, freshDir2("cpv2dv"))
+    // the DV descriptor must ride through the sidecar add action
+    val want = n.filter(col("n_nationkey") % 2 =!= 0)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("tables requiring unimplemented reader features are rejected, not misread") {
     val n = Tables.nation(spark, sf)
     val dir = freshDir("guard")
     val w = DeltaWriter.create(spark, dir, n.schema)
     w.append(n)
     // forge a protocol upgrade demanding a feature this reader does NOT
-    // implement (v2 checkpoints change where state lives — misreading
-    // them silently drops commits)
+    // implement (type widening changes what the parquet physical types
+    // mean — misreading silently corrupts values)
     val logPath = new Path(dir, "_delta_log/00000000000000000002.json")
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(logPath, false)
     try out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""")
         .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[IllegalArgumentException] {
       DeltaTable.load(spark, dir)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     // ...but minReaderVersion 2 (legacy column mapping) IS implemented
     // now: the same table pinned before the forged upgrade still loads,
     // and a fresh version-2 table loads outright

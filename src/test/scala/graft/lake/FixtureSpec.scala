@@ -84,6 +84,20 @@ class FixtureSpec extends AnyFunSuite {
     assert(got == Seq((1, "one"), (2, "two"), (4, "four")))
   }
 
+  test("delta v2-checkpoint fixture: json top-level + parquet sidecar") {
+    // the top-level checkpoint here is the JSON flavor — which graft's
+    // own writer never emits — and versions 0-2 exist only inside it;
+    // its add actions live in a parquet sidecar under _sidecars/
+    val t = DeltaTable.load(spark, s"$Root/delta/cpv2")
+    assert(t.version == 3L)
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // sidecar adds f1+f2; v3 removes f2 and adds f3
+    assert(got == Seq((1, "one"), (2, "two"), (4, "four")))
+    // stats from the sidecar still prune
+    assert(t.planFiles(Some(col("id") === 4)).toSeq == Seq("f3.parquet"))
+  }
+
   test("Z85 codec matches the published ZeroMQ test vector") {
     // spec 32/Z85: 86 4F D2 6F B5 59 F7 5B <-> "HelloWorld"
     val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)

@@ -47,6 +47,7 @@ object FixtureGen {
     genDelta(spark)
     genDeltaColumnMapping(spark)
     genDeltaCheckpoint(spark)
+    genDeltaCheckpointV2(spark)
     genHudi(spark)
     genHudiMor(spark)
     genIceberg(spark)
@@ -332,6 +333,72 @@ object FixtureGen {
     writeText(s"$loc/_delta_log/_last_checkpoint", """{"version":2,"size":4}""")
     // versions 0-2 are log-cleaned; only the post-checkpoint commit remains
     val q = "\\\"" // backslash + quote as written into the log file
+    val f3stats = s"{${q}numRecords$q:1,${q}minValues$q:{${q}id$q:4}," +
+      s"${q}maxValues$q:{${q}id$q:4},${q}nullCount$q:{${q}id$q:0}}"
+    writeText(s"$loc/_delta_log/00000000000000000003.json",
+      s"""{"remove":{"path":"f2.parquet","deletionTimestamp":1704067200003,"dataChange":true}}
+         |{"add":{"path":"f3.parquet","partitionValues":{},"size":$f3,"modificationTime":1704067200003,"dataChange":true,"stats":"$f3stats"}}
+         |""".stripMargin)
+  }
+
+  /** V2-checkpoint Delta fixture (reader feature `v2Checkpoint`): a
+    * uuid-named JSON top-level checkpoint — the flavor graft's own
+    * writer never produces, so nothing here can round-trip through
+    * shared code — whose add actions live in a parquet sidecar under
+    * `_delta_log/_sidecars/`, with the pre-checkpoint log cleaned away.
+    * Layout per PROTOCOL.md's V2 Checkpoint section: top-level carries
+    * protocol / metaData / checkpointMetadata / sidecar actions; sidecar
+    * files hold the file actions and live in the `_sidecars` dir,
+    * referenced by file name. */
+  private def genDeltaCheckpointV2(spark: SparkSession): Unit = {
+    val loc = s"$Root/delta/cpv2"
+    val dataSchema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("v", StringType)))
+    def df(rows: (Int, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), dataSchema)
+    val f1 = writeOneParquet(spark, df((1, "one"), (2, "two")), s"$loc/f1.parquet")
+    val f2 = writeOneParquet(spark, df((3, "three")), s"$loc/f2.parquet")
+    val f3 = writeOneParquet(spark, df((4, "four")), s"$loc/f3.parquet")
+
+    // sidecar parquet: file actions only (add struct column)
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val sidecarSchema = StructType(Seq(StructField("add", addType, nullable = true)))
+    def addRow(path: String, size: Long, n: Int, lo: Int, hi: Int) =
+      Row(Row(path, Map.empty[String, String], size, 1704067200002L, true,
+        s"""{"numRecords":$n,"minValues":{"id":$lo},"maxValues":{"id":$hi},"nullCount":{"id":0}}"""))
+    val sidecarName = "b10c0de1-5afe-4db4-9342-000000000001.parquet"
+    val scSize = {
+      writeOneParquet(spark,
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          addRow("f1.parquet", f1, 2, 1, 2),
+          addRow("f2.parquet", f2, 1, 3, 3)), 1), sidecarSchema),
+        s"$loc/_delta_log/_sidecars/$sidecarName")
+    }
+
+    // schemaString rides as a JSON string INSIDE the action line →
+    // its quotes are escaped in the file
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    // top-level JSON v2 checkpoint: one action per line
+    writeText(s"$loc/_delta_log/00000000000000000002.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json",
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+         |{"metaData":{"id":"a0000000-0000-0000-0000-0000000cpv2","format":{"provider":"parquet","options":{}},"schemaString":"$schemaString","partitionColumns":[],"configuration":{}}}
+         |{"checkpointMetadata":{"version":2}}
+         |{"sidecar":{"path":"$sidecarName","sizeInBytes":$scSize,"modificationTime":1704067200002}}
+         |""".stripMargin)
+    writeText(s"$loc/_delta_log/_last_checkpoint", """{"version":2,"size":5}""")
+    // versions 0-2 are log-cleaned; one post-checkpoint commit replays
+    val q = "\\\""
     val f3stats = s"{${q}numRecords$q:1,${q}minValues$q:{${q}id$q:4}," +
       s"${q}maxValues$q:{${q}id$q:4},${q}nullCount$q:{${q}id$q:0}}"
     writeText(s"$loc/_delta_log/00000000000000000003.json",
