@@ -101,6 +101,57 @@ case class ShingleIds(child: Expression, n: Int)
   * output is the n-gram starting at token i, so `element_at` aligns
   * unigram and bigram streams for conditional-probability lookups.
   */
+/** Space-joined word `n`-grams as STRINGS, one native pass — for
+  * operators whose n-grams must be oracle-comparable (an external SQL
+  * engine can rebuild the same strings; it cannot rebuild xxhash64
+  * ids). Empty tokens are skipped like the id variants; a document with
+  * fewer than `n` tokens yields an empty array (a sub-n-gram fragment
+  * can't witness an n-gram match). Exists because the equivalent
+  * `transform(sequence…, slice…)` higher-order pipeline evaluates
+  * interpreted and cost ~6 s at sf0.1 under a Generate
+  * (DecontamPerfScratch receipts: HOF explode 5.8 s, this 0.4 s). */
+case class NGramStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n-gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_ngram_strings needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngram_strings"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) toks.add(t)
+      }
+      i += 1
+    }
+    val k = toks.size()
+    val out = new Array[AnyRef](math.max(0, k - n + 1))
+    var s = 0
+    while (s < out.length) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.get(s + j); j += 1 }
+      out(s) = UTF8String.concatWs(space, parts: _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NGramIds(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "n-gram width must be >= 1")

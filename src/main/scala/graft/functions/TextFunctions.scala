@@ -42,6 +42,16 @@ object TextFunctions {
       graft.expressions.ShingleIds(
         org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n))
 
+  /** Space-joined n-gram STRINGS from raw `split` output — for
+    * operators whose grams must be reproducible by an external SQL
+    * engine (oracle parity); empty array when the doc has fewer than n
+    * tokens. One native pass, same skip-empty-token rule as the id
+    * variants. */
+  def ngramStrings(rawTokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.NGramStrings(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n))
+
   /** Order-preserving non-distinct n-gram ids from raw `split` output —
     * the LM-statistics companion to shingleIds (empty array when the doc
     * has fewer than n tokens). */

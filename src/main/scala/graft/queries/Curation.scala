@@ -55,13 +55,9 @@ object Curation {
   private val EvalMod = 97
   private val NGramN = 8
 
-  /** Space-joined word 8-grams; docs shorter than 8 tokens contribute
-    * none (a sub-n-gram fragment can't witness contamination). */
-  private def ngrams(toks: Column): Column =
-    when(size(toks) >= NGramN,
-      transform(sequence(lit(1), size(toks) - (NGramN - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(NGramN)))))
-      .otherwise(array().cast("array<string>"))
+  // (8-gram strings come from the native NGramStrings expression — the
+  // equivalent transform/slice HOF pipeline evaluated interpreted under
+  // the Generate and cost 6 s at sf0.1; DecontamPerfScratch receipts)
 
   /** Benchmark decontamination — the step every pretraining pipeline runs
     * before training: count, per corpus document, the distinct word
@@ -76,7 +72,8 @@ object Curation {
     * partial-agg'd count. Corpus bytes are never shuffled. [oracle] */
   def curateDecontam(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), ngrams(tokens(col("text"))).as("grams"))
+      .select(col("doc_id"),
+        ngramStrings(split(col("text"), "\\s+"), NGramN).as("grams"))
     val evalGrams = docs.filter(col("doc_id") % EvalMod === 0)
       .select(explode(col("grams")).as("g")).distinct()
     val hits = docs.filter(col("doc_id") % EvalMod =!= 0)
