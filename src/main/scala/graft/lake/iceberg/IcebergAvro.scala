@@ -150,7 +150,12 @@ object IcebergAvro {
       nanCounts: Map[Int, Long],
       lowerBounds: Map[Int, Array[Byte]],
       upperBounds: Map[Int, Array[Byte]],
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int],
+      // v3 deletion-vector fields (null on data files / v2 deletes):
+      // the puffin blob this entry frames, and the data file it masks
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None)
 
   /** Header properties of a manifest file. `schemaId` is the table schema
     * in force when the manifest was written — graft resolves the PHYSICAL
@@ -201,7 +206,10 @@ object IcebergAvro {
               case Some(a: java.util.Collection[_]) =>
                 a.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
               case _ => Nil
-            })
+            },
+            opt(df, "referenced_data_file").map(str),
+            optLong(df, "content_offset"),
+            optLong(df, "content_size_in_bytes"))
         }
         (header, out.toSeq)
       } finally stream.close()
@@ -334,7 +342,10 @@ object IcebergAvro {
          |{"name":"value","type":"bytes","field-id":130}]},
          |"logicalType":"map"}],"default":null,"field-id":128},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int",
-         |"element-id":136}],"default":null,"field-id":135}
+         |"element-id":136}],"default":null,"field-id":135},
+         |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+         |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+         |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
          |]},"field-id":2}
          |]}""".stripMargin)
   }

@@ -86,8 +86,8 @@ object IcebergMeta {
   def parse(json: String): IceMeta = {
     val n = mapper.readTree(json)
     val fv = n.path("format-version").asInt(1)
-    require(fv == 1 || fv == 2,
-      s"iceberg: unsupported format-version $fv (supported: 1, 2)")
+    require(fv == 1 || fv == 2 || fv == 3,
+      s"iceberg: unsupported format-version $fv (supported: 1, 2, 3)")
     val schemas: Seq[IceSchema] =
       if (n.has("schemas")) n.get("schemas").elements().asScala.map(parseSchema).toSeq
       else Seq(parseSchema(n.get("schema"))) // v1 single-schema form

@@ -250,6 +250,7 @@ final class IcebergTable private (
     val data = scala.collection.mutable.ArrayBuffer[PlannedFile]()
     val posD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
     val eqD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
+    val dvD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
     var filesTotal = 0L
     surviving.foreach { le =>
       val (header, entries) = IcebergAvro.readManifest(conf, resolve(le.path))
@@ -264,6 +265,15 @@ final class IcebergTable private (
           filesTotal += 1
           en.content match {
             case 0 => data += pf
+            // v3 deletion vectors are position deletes stored as puffin
+            // blobs, distinguished by format + referenced_data_file
+            case 1 if en.fileFormat.equalsIgnoreCase("puffin") ||
+                en.referencedDataFile.isDefined =>
+              require(en.referencedDataFile.isDefined &&
+                  en.contentOffset.isDefined && en.contentSizeInBytes.isDefined,
+                s"iceberg: puffin delete entry missing referenced_data_file/" +
+                  s"content_offset/content_size_in_bytes: ${en.filePath}")
+              dvD += pf
             case 1 => posD += pf
             case 2 => eqD += pf
             case other => throw new IllegalArgumentException(
@@ -285,12 +295,31 @@ final class IcebergTable private (
     val prunedPaths = FilePruner.prune(
       kept.map(_._2), filter, specStrings, sch.struct).map(_.path).toSet
     Plan(sch, kept.collect { case (pf, m) if prunedPaths(m.path) => pf },
-      posD.toSeq, eqD.toSeq, surviving.size, listEntries.size, filesTotal)
+      posD.toSeq, eqD.toSeq, dvD.toSeq, surviving.size, listEntries.size,
+      filesTotal)
   }
 
   /** Planned data-file paths after pruning — the spec's receipt hook. */
   def planFiles(filter: Option[Column] = None, snapshotId: Long = -1L): Seq[String] =
     plan(filter, snapshotId).dataFiles.map(_.entry.filePath)
+
+  private def dvIndexOf(p: Plan): Map[String, (String, Long, Long, Long)] =
+    p.dvDeletes.groupBy(d => IcebergTable.pathKey(d.entry.referencedDataFile.get))
+      .map { case (k, ds) =>
+        val d = ds.maxBy(_.seq)
+        k -> (d.entry.filePath, d.entry.contentOffset.get,
+          d.entry.contentSizeInBytes.get, d.seq)
+      }
+
+  /** pathKey(data file) → (puffin path, offset, size, seq) of its live
+    * DV at the current snapshot — the writer's replace-must-union hook. */
+  private[iceberg] def dvIndex(snapshotId: Long = -1L): Map[String, (String, Long, Long, Long)] =
+    dvIndexOf(plan(None, snapshotId))
+
+  /** Live parquet position-delete file paths — the writer's
+    * DV-absorbs-position-deletes hook. */
+  private[iceberg] def posDeletePaths(snapshotId: Long = -1L): Seq[String] =
+    plan(None, snapshotId).posDeletes.map(_.entry.filePath)
 
   /** (manifests loaded, manifests in list) for a filtered plan. */
   def planManifestCounts(filter: Option[Column] = None, snapshotId: Long = -1L): (Int, Int) = {
@@ -329,6 +358,30 @@ final class IcebergTable private (
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
 
+    // v3 deletion vectors: one DV per referenced data file (writers must
+    // replace, so on a malformed double entry the max-seq one wins);
+    // executors lazily load + cache each blob's bitmap — nothing
+    // data-sized touches the driver. Where a DV exists, the spec says
+    // position-delete files for that data file MUST be ignored.
+    val dvByFile = dvIndexOf(p)
+    val dvKeep: Option[Column] = if (dvByFile.isEmpty) None else {
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val bcDvs = spark.sparkContext.broadcast(dvByFile)
+      val f = udf { (path: String, rowIndex: Long) =>
+        // path arrives already normPath'd (PosFileCol); pathKey is
+        // idempotent on normalized paths
+        bcDvs.value.get(IcebergTable.pathKey(path)) match {
+          case Some((dvPath, off, len, _)) =>
+            !IcebergTable.DvCache.bitmap(dvPath, off, len, bcConf.value.value)
+              .contains(rowIndex)
+          case None => true
+        }
+      }
+      Some(f(col(PosFileCol), col(PosIdxCol)))
+    }
+
     // group data files by (write schema, applicable delete sets): the
     // applicable deletes are a seq-ordered suffix, so the index of the
     // first applying delete identifies the set (same shape as
@@ -351,7 +404,16 @@ final class IcebergTable private (
       val phys = writeSchema.struct
       val eqApplying = p.eqDeletes.filter(d => eqSeqs.drop(eqIdx).contains(d.seq))
       val posApplying = p.posDeletes.filter(d => posSeqs.drop(posIdx).contains(d.seq))
-      val needMeta = posApplying.nonEmpty
+      // DVs applicable to this group's files: per-file, pos-delete seq
+      // rule (dv seq >= file seq, inclusive)
+      val groupDvFiles: Set[String] = files.flatMap { f =>
+        val k = IcebergTable.pathKey(f.entry.filePath)
+        dvByFile.get(k) match {
+          case Some((_, _, _, dvSeq)) if dvSeq >= f.seq => Some(k)
+          case _ => None
+        }
+      }.toSet
+      val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty
 
       var df = spark.read.schema(phys)
         .parquet(files.map(_.entry.filePath): _*)
@@ -359,10 +421,16 @@ final class IcebergTable private (
         .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
         .withColumn(PosIdxCol, col("_metadata.row_index"))
 
+      if (groupDvFiles.nonEmpty) df = df.filter(dvKeep.get)
+
       if (posApplying.nonEmpty) {
-        val pd = spark.read
+        var pd = spark.read
           .parquet(posApplying.map(_.entry.filePath): _*)
           .select(normPath(col("file_path")).as(PosFileCol), col("pos").as(PosIdxCol))
+        // v3: a data file with a DV must IGNORE parquet position deletes
+        // (its DV superseded them when the writer replaced them)
+        if (groupDvFiles.nonEmpty)
+          pd = pd.filter(!col(PosFileCol).isin(groupDvFiles.toSeq: _*))
         df = df.join(pd, Seq(PosFileCol, PosIdxCol), "left_anti")
       }
 
@@ -422,9 +490,28 @@ object IcebergTable {
       dataFiles: Seq[PlannedFile],
       posDeletes: Seq[PlannedFile],
       eqDeletes: Seq[PlannedFile],
+      dvDeletes: Seq[PlannedFile],
       manifestsLoaded: Int,
       manifestsTotal: Int,
       filesTotal: Long)
+
+  /** Scheme-insensitive path key (Scala-side mirror of the scan's
+    * `normPath` column function) for matching `referenced_data_file`
+    * against `_metadata.file_path`. */
+  private[iceberg] def pathKey(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Executor-side cache of loaded DV bitmaps, keyed by
+    * (puffin path, blob offset) — blob identity, so a rewritten DV for
+    * the same data file never serves a stale bitmap. */
+  private[iceberg] object DvCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, graft.lake.delta.RoaringBitmapArray]()
+    def bitmap(path: String, offset: Long, length: Long,
+        conf: Configuration): graft.lake.delta.RoaringBitmapArray =
+      cache.computeIfAbsent(s"$path#$offset",
+        _ => Puffin.readDv(conf, new Path(path), offset, length))
+  }
 
   /** Load from a table location (`<loc>/metadata/version-hint.text` or the
     * highest-versioned `*.metadata.json`), or from a direct metadata.json

@@ -82,6 +82,105 @@ final class IcebergWriter private (
     commit("delete", manifestContent = "deletes", files)
   }
 
+  /** V3 deletion-vector delete (format-version 3): rows matching `cond`
+    * are masked by per-file roaring bitmaps stored as
+    * `deletion-vector-v1` blobs in ONE puffin file — no data file is
+    * rewritten. Bitmaps are built EXECUTOR-side (tasks fold matching
+    * `_metadata.row_index` values per file in mapPartitions and ship
+    * serialized blobs; the driver unions O(affected files) partials —
+    * same shape as the Delta writer's DV path). A data file that
+    * already carries a DV gets the union (the new DV REPLACES the old
+    * one, per the one-DV-per-file rule), and the table's
+    * format-version is bumped to 3 on first use. */
+  def deleteWhereDv(cond: Column): Long = {
+    import graft.lake.delta.RoaringBitmapArray
+    val t = IcebergTable.load(spark, location)
+    val affected = t.planFiles(Some(cond))
+    require(affected.nonEmpty, "iceberg: deleteWhereDv matched no files")
+    val existingDvs = t.dvIndex()
+
+    import spark.implicits._
+    val partials: Array[(String, Array[Byte])] =
+      spark.read.parquet(affected: _*)
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .filter(coalesce(cond, lit(false)))
+        .select(col("__fp"), col("__ri")).as[(String, Long)]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.LinkedHashMap[String, RoaringBitmapArray]()
+          it.foreach { case (fp, ri) =>
+            m.getOrElseUpdate(fp, RoaringBitmapArray()).add(ri) }
+          m.iterator.map { case (fp, bm) => (fp, bm.serialize()) }
+        }.collect()
+
+    val byFile = scala.collection.mutable.LinkedHashMap[String, RoaringBitmapArray]()
+    partials.foreach { case (fp, blob) =>
+      val k = IcebergTable.pathKey(fp)
+      val bm = RoaringBitmapArray.deserialize(blob)
+      byFile.get(k) match {
+        case Some(acc) => acc.union(bm)
+        case None => byFile(k) = bm
+      }
+    }
+    require(byFile.nonEmpty, "iceberg: deleteWhereDv matched no rows")
+    // replace-must-union: fold in the file's existing DV
+    byFile.foreach { case (k, bm) =>
+      existingDvs.get(k).foreach { case (dvPath, off, len, _) =>
+        bm.union(Puffin.readDv(conf, new Path(dvPath), off, len))
+      }
+    }
+    // …and ABSORB the file's parquet position deletes (v3: one DV per
+    // file replaces them all — the reader ignores pos-delete files once
+    // a DV exists, so rows they named must ride in the DV). Folded
+    // executor-side into partial bitmaps, same as the main pass.
+    val posPaths = t.posDeletePaths()
+    if (posPaths.nonEmpty) {
+      val bcKeys = spark.sparkContext.broadcast(byFile.keySet.toSet)
+      val posPartials: Array[(String, Array[Byte])] =
+        spark.read.parquet(posPaths: _*)
+          .select(col("file_path"), col("pos")).as[(String, Long)]
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.LinkedHashMap[String, RoaringBitmapArray]()
+            it.foreach { case (fp, pos) =>
+              val k = IcebergTable.pathKey(fp)
+              if (bcKeys.value.contains(k))
+                m.getOrElseUpdate(k, RoaringBitmapArray()).add(pos)
+            }
+            m.iterator.map { case (k, bm) => (k, bm.serialize()) }
+          }.collect()
+      posPartials.foreach { case (k, blob) =>
+        byFile(k).union(RoaringBitmapArray.deserialize(blob))
+      }
+    }
+    // the manifest references data files by their manifest file_path
+    val keyToManifestPath = affected.map(p => IcebergTable.pathKey(p) -> p).toMap
+
+    if (currentMeta.formatVersion < 3)
+      currentMeta = currentMeta.copy(formatVersion = 3)
+    val seq = currentMeta.lastSequenceNumber + 1
+    val snapId = seq * 31L + 1000L // matches commit()'s derivation
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val puffinPath = new Path(root, s"data/dv-$nonce.puffin")
+    val ordered = byFile.toSeq.sortBy(_._1)
+    val blobMetas = Puffin.write(conf, puffinPath,
+      ordered.map { case (k, bm) =>
+        (Puffin.DvBlobType, Seq.empty[Int], snapId, seq,
+          Map("referenced-data-file" -> keyToManifestPath.getOrElse(k, k),
+            "cardinality" -> bm.cardinality.toString),
+          Puffin.dvBlobBytes(bm))
+      })
+    val puffinLen = fs.getFileStatus(puffinPath).getLen
+    val entries = ordered.zip(blobMetas).map { case ((k, bm), meta) =>
+      fileEntry(puffinPath, content = 1, bm.cardinality, puffinLen,
+        Map.empty, Map.empty, Map.empty, Nil)
+        .copy(fileFormat = "PUFFIN",
+          referencedDataFile = Some(keyToManifestPath.getOrElse(k, k)),
+          contentOffset = Some(meta.offset),
+          contentSizeInBytes = Some(meta.length))
+    }
+    commit("delete", manifestContent = "deletes", entries)
+  }
+
   /** Metadata-only rename: a NEW schema-id with the same field ids — data
     * files written before it resolve by id (the interop case the reader's
     * schema-id header path exists for). */
@@ -337,6 +436,9 @@ final class IcebergWriter private (
       df.put("equality_ids",
         if (e.equalityIds.isEmpty) null
         else { val l = new java.util.ArrayList[Integer](); e.equalityIds.foreach(l.add(_)); l })
+      df.put("referenced_data_file", e.referencedDataFile.orNull)
+      df.put("content_offset", e.contentOffset.map(Long.box).orNull)
+      df.put("content_size_in_bytes", e.contentSizeInBytes.map(Long.box).orNull)
       r.put("data_file", df)
       r
     }
@@ -346,7 +448,7 @@ final class IcebergWriter private (
       "schema-id" -> sch.schemaId.toString,
       "partition-spec" -> IcebergMeta.renderSpecFieldsJson(spec),
       "partition-spec-id" -> spec.specId.toString,
-      "format-version" -> "2",
+      "format-version" -> currentMeta.formatVersion.toString,
       "content" -> manifestContent), records)
 
     // field summaries over this manifest's entries (identity fields only)
@@ -380,7 +482,7 @@ final class IcebergWriter private (
 
     val listPath = new Path(root, s"metadata/snap-$snapId-$nonce.avro")
     IcebergAvro.writeAvro(conf, listPath, IcebergAvro.ManifestListSchema,
-      Map("format-version" -> "2"),
+      Map("format-version" -> currentMeta.formatVersion.toString),
       listState.map { case (e, rc) => IcebergAvro.manifestListRecord(e, rc) })
 
     currentMeta = currentMeta.copy(

@@ -630,6 +630,36 @@ object Lake {
       .unionByName(agg(t.scanRef("pre-1996"), "pre1996"))
   }
 
+  /** Iceberg FORMAT-VERSION 3 interop: DELETION VECTORS stored as
+    * `deletion-vector-v1` blobs in puffin files ([[graft.lake.iceberg.
+    * Puffin]]) — the v3 replacement for parquet position-delete files
+    * that modern Iceberg writers produce. Two DV deletes exercise the
+    * one-DV-per-file replace-with-union rule; the receipts assert no
+    * data file was rewritten (merge-on-read by construction) and the
+    * table really carries format-version 3. The reader masks rows by
+    * `_metadata.row_index` against executor-cached roaring bitmaps —
+    * nothing data-sized touches the driver, and the bitmap codec is the
+    * SAME portable-roaring framing the Delta DV path pins to spec test
+    * vectors. */
+  def lakeIcebergV3(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.{IcebergTable, IcebergWriter}
+    val o = Tables.orders(s, d)
+    val w = IcebergWriter.create(s, work(s, "iceberg_v3", d), o.schema)
+    w.append(o)
+    val before = IcebergTable.load(s, w.location).planFiles().toSet
+    w.deleteWhereDv(col("o_orderpriority") === "1-URGENT")
+    w.deleteWhereDv(col("o_orderkey") % 7 === 0) // second DV: union path
+    val t = IcebergTable.load(s, w.location)
+    require(t.meta.formatVersion == 3,
+      s"iceberg: DV delete must bump to format-version 3, got ${t.meta.formatVersion}")
+    require(t.planFiles().toSet == before,
+      "iceberg: DV delete must not rewrite data files")
+    t.scan()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Money.sum2(col("o_totalprice")).as("total"))
+  }
+
   /** Iceberg WRITE interop (reference's write bridge:
     * pg_lakehouse_iceberg/src/bridge/iceberg_bridge.h:405-449 +
     * src/operations/commit_ops.c): a graft table — including a MoR
@@ -790,6 +820,7 @@ object Lake {
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_read" -> (lakeIcebergRead _),
+    "lake_iceberg_v3" -> (lakeIcebergV3 _),
     "lake_sql_dml" -> (lakeSqlDml _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_cdc" -> (lakeCdc _),
@@ -888,6 +919,12 @@ object Lake {
            WHERE o_orderkey % 10 = 0
          )
          WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus""",
+    "lake_iceberg_v3" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders
+         WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 7 <> 0
          GROUP BY o_orderstatus""",
     "lake_iceberg_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (

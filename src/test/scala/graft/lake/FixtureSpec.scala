@@ -105,6 +105,17 @@ class FixtureSpec extends AnyFunSuite {
     assert(Z85.decode("HelloWorld").toSeq == bytes.toSeq)
   }
 
+  test("iceberg v3 fixture: puffin deletion vector masks its row") {
+    val t = IcebergTable.load(spark, s"$Root/iceberg/v3")
+    assert(t.meta.formatVersion == 3)
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // the hand-framed puffin DV masks row index 1 (id=2)
+    assert(got == Seq((1, "one"), (3, "three")))
+    // pre-DV snapshot reads all three rows
+    assert(t.scan(snapshotId = 2001L).count() == 3)
+  }
+
   // ---- Hudi ----------------------------------------------------------------
 
   test("hudi fixture: latest slice per file group, partition pruning") {

@@ -219,4 +219,69 @@ class IcebergSpec extends AnyFunSuite {
     assert(t.meta.formatVersion == 1)
     assert(t.scan().count() == 25)
   }
+
+  // ---- v3 deletion vectors (puffin) ---------------------------------------
+
+  test("v3 DV delete masks rows without rewriting any data file") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("dv"), n.schema)
+    w.append(n)
+    val before = IcebergTable.load(spark, w.location).planFiles().toSet
+    w.deleteWhereDv(col("n_nationkey") % 2 === 0)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.meta.formatVersion == 3)
+    assert(t.planFiles().toSet == before, "DV delete must not rewrite files")
+    val want = n.filter(col("n_nationkey") % 2 =!= 0)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      want.orderBy("n_nationkey").collect().toSeq)
+    // the puffin file really exists under data/
+    val fs = new Path(w.location).getFileSystem(spark.sessionState.newHadoopConf())
+    val puffins = fs.listStatus(new Path(w.location, "data"))
+      .filter(_.getPath.getName.endsWith(".puffin"))
+    assert(puffins.nonEmpty)
+  }
+
+  test("second v3 DV delete on the same file unions the earlier bitmap") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("dv2"), n.schema)
+    w.append(n)
+    w.deleteWhereDv(col("n_nationkey") === 0)
+    w.deleteWhereDv(col("n_nationkey") === 1)
+    val t = IcebergTable.load(spark, w.location)
+    val got = t.scan().select("n_nationkey").orderBy("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == (2 to 24), s"both deletes must apply, got $got")
+  }
+
+  test("v3 DV absorbs the file's earlier parquet position deletes") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("dv3"), n.schema)
+    w.append(n)
+    // parquet position delete for row 0, then a DV delete for key 1.
+    // Per v3, the writer MUST merge the file's existing position
+    // deletes into the DV (one DV per file replaces them all), and the
+    // reader MUST ignore pos-delete files once the file has a DV — so
+    // BOTH rows stay deleted, via the DV alone.
+    val dataFile = IcebergTable.load(spark, w.location).planFiles().head
+    import spark.implicits._
+    w.positionDelete(Seq((dataFile, 0L)).toDF("file_path", "pos"))
+    assert(IcebergTable.load(spark, w.location).scan().count() == 24)
+    w.deleteWhereDv(col("n_nationkey") === 1)
+    val t = IcebergTable.load(spark, w.location)
+    val got = t.scan().select("n_nationkey").orderBy("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == (2 to 24),
+      s"DV must absorb prior position deletes (row 0) and mask key 1, got $got")
+  }
+
+  test("v3 DV honors time travel: pre-DV snapshot reads all rows") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("dvtt"), n.schema)
+    w.append(n)
+    val preDv = w.currentSnapshotId
+    w.deleteWhereDv(col("n_nationkey") < 5)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().count() == 20)
+    assert(t.scan(snapshotId = preDv).count() == 25)
+  }
 }

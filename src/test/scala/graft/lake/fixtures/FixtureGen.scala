@@ -51,6 +51,7 @@ object FixtureGen {
     genHudi(spark)
     genHudiMor(spark)
     genIceberg(spark)
+    genIcebergV3(spark)
     println(s"fixtures written under $Root")
     spark.stop()
   }
@@ -660,6 +661,205 @@ object FixtureGen {
       |      "element-id":136}],"default":null,"field-id":135}
       |  ]},"field-id":2}
       |]}""".stripMargin)
+
+  /** Iceberg FORMAT-VERSION 3 fixture: a deletion vector stored as a
+    * `deletion-vector-v1` blob in a hand-framed PUFFIN file (header
+    * magic, blob bytes, JSON footer + LE size/flags trailer — all
+    * transcribed from the puffin spec), referenced from a delete
+    * manifest via the v3 `referenced_data_file` / `content_offset` /
+    * `content_size_in_bytes` fields (spec ids 143-145). The DV blob
+    * framing is the spec's: i32 BE length, magic D1 D3 39 64, portable
+    * 64-bit roaring vector, i32 BE CRC of magic+vector. */
+  private def genIcebergV3(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val loc = s"$Root/iceberg/v3"
+    val dataSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "one"), Row(2, "two"), Row(3, "three")), 1), dataSchema)
+      .select(
+        col("id").as("id", new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+        col("name").as("name", new MetadataBuilder().putLong("parquet.field.id", 2).build()))
+    val f1 = writeOneParquet(spark, raw, s"$loc/data/f1.parquet")
+
+    // DV payload: magic 1681511377 LE + portable-64 roaring masking
+    // row index 1 (the spec's vector serialization)
+    val rb = new org.roaringbitmap.RoaringBitmap()
+    rb.add(1)
+    val rbBytes = {
+      val bb = ByteBuffer.allocate(rb.serializedSizeInBytes()).order(ByteOrder.LITTLE_ENDIAN)
+      rb.serialize(bb)
+      bb.array()
+    }
+    val payload = ByteBuffer.allocate(4 + 8 + 4 + rbBytes.length).order(ByteOrder.LITTLE_ENDIAN)
+    payload.putInt(1681511377)
+    payload.putLong(1L) // one 32-bit bitmap
+    payload.putInt(0)   // its key
+    payload.put(rbBytes)
+    val pBytes = payload.array()
+    // blob frame: i32 BE length + payload + i32 BE CRC
+    val blob = {
+      val bos = new ByteArrayOutputStream()
+      val dos = new DataOutputStream(bos)
+      dos.writeInt(pBytes.length)
+      dos.write(pBytes)
+      val c = new CRC32(); c.update(pBytes)
+      dos.writeInt(c.getValue.toInt)
+      dos.flush(); bos.toByteArray
+    }
+    // puffin container: magic, blob, magic + footer json + size/flags LE, magic
+    val magic = "PFA1".getBytes("UTF-8")
+    val blobOffset = 4L
+    val footerJson =
+      (s"""{"blobs":[{"type":"deletion-vector-v1","fields":[],""" +
+        s""""snapshot-id":2002,"sequence-number":2,""" +
+        s""""offset":$blobOffset,"length":${blob.length},""" +
+        s""""properties":{"referenced-data-file":"$loc/data/f1.parquet","cardinality":"1"}}],""" +
+        s""""properties":{}}""").getBytes("UTF-8")
+    val puffin = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(magic)
+      bos.write(blob)
+      bos.write(magic)
+      bos.write(footerJson)
+      val t = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      t.putInt(footerJson.length); t.putInt(0)
+      bos.write(t.array())
+      bos.write(magic)
+      bos.toByteArray
+    }
+    writeBytes(s"$loc/data/dv-1.puffin", puffin)
+
+    // v3 manifest-entry schema: empty partition struct + fields 143-145
+    val v3EntryAvro: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int","field-id":0},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |  {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int","field-id":134},
+        |    {"name":"file_path","type":"string","field-id":100},
+        |    {"name":"file_format","type":"string","field-id":101},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+        |    {"name":"record_count","type":"long","field-id":103},
+        |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+        |    {"name":"lower_bounds","type":["null",{"type":"array","items":{
+        |      "type":"record","name":"k126_v127","fields":[
+        |        {"name":"key","type":"int","field-id":126},
+        |        {"name":"value","type":"bytes","field-id":127}
+        |      ]},"logicalType":"map"}],"default":null,"field-id":125},
+        |    {"name":"upper_bounds","type":["null",{"type":"array","items":{
+        |      "type":"record","name":"k129_v130","fields":[
+        |        {"name":"key","type":"int","field-id":129},
+        |        {"name":"value","type":"bytes","field-id":130}
+        |      ]},"logicalType":"map"}],"default":null,"field-id":128},
+        |    {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |    {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |    {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+        |  ]},"field-id":2}
+        |]}""".stripMargin)
+    def v3entry(snapId: Long, content: Int, path: String, fmt: String,
+        records: Long, size: Long, refFile: Option[String],
+        off: Option[Long], len: Option[Long]): GenericRecord = {
+      val r = new GenericData.Record(v3EntryAvro)
+      r.put("status", 1)
+      r.put("snapshot_id", snapId)
+      r.put("sequence_number", null) // inherit from list entry
+      r.put("file_sequence_number", null)
+      val dfSchema = v3EntryAvro.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", content)
+      d.put("file_path", path)
+      d.put("file_format", fmt)
+      d.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", records)
+      d.put("file_size_in_bytes", size)
+      refFile.foreach(v => d.put("referenced_data_file", v))
+      off.foreach(v => d.put("content_offset", Long.box(v)))
+      len.foreach(v => d.put("content_size_in_bytes", Long.box(v)))
+      r.put("data_file", d)
+      r
+    }
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[""" +
+        """{"id":1,"name":"id","required":true,"type":"int"},""" +
+        """{"id":2,"name":"name","required":false,"type":"string"}]}"""
+    def manifestMeta(content: String) = Map(
+      "schema" -> schemaJson, "schema-id" -> "0",
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "3", "content" -> content)
+    val m1 = writeAvro(s"$loc/metadata/m1.avro", v3EntryAvro,
+      manifestMeta("data"), Seq(
+        v3entry(2001L, 0, s"$loc/data/f1.parquet", "PARQUET", 3, f1, None, None, None)))
+    val md1 = writeAvro(s"$loc/metadata/md1.avro", v3EntryAvro,
+      manifestMeta("deletes"), Seq(
+        v3entry(2002L, 1, s"$loc/data/dv-1.puffin", "PUFFIN", 1, puffin.length.toLong,
+          Some(s"$loc/data/f1.parquet"), Some(blobOffset), Some(blob.length.toLong))))
+
+    def listEntry(path: String, length: Long, content: Int, seq: Long,
+        snapId: Long, rows: Long): GenericRecord = {
+      val r = new GenericData.Record(ManifestListAvro)
+      r.put("manifest_path", path)
+      r.put("manifest_length", length)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r.put("partitions", new java.util.ArrayList[GenericRecord]())
+      r
+    }
+    def m1Entry = listEntry(s"$loc/metadata/m1.avro", m1, 0, 1L, 2001L, 3L)
+    writeAvro(s"$loc/metadata/snap-2001.avro", ManifestListAvro, Map.empty,
+      Seq(m1Entry))
+    writeAvro(s"$loc/metadata/snap-2002.avro", ManifestListAvro, Map.empty,
+      Seq(listEntry(s"$loc/metadata/md1.avro", md1, 1, 2L, 2002L, 1L), m1Entry))
+
+    writeText(s"$loc/metadata/v2.metadata.json",
+      s"""{
+         |  "format-version": 3,
+         |  "table-uuid": "b0000000-0000-0000-0000-000000000003",
+         |  "location": "$loc",
+         |  "last-sequence-number": 2,
+         |  "last-updated-ms": 1704067202000,
+         |  "last-column-id": 2,
+         |  "current-schema-id": 0,
+         |  "schemas": [$schemaJson],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "last-partition-id": 999,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "properties": {"write.format.default": "parquet"},
+         |  "current-snapshot-id": 2002,
+         |  "snapshots": [
+         |    {"snapshot-id": 2001, "sequence-number": 1, "timestamp-ms": 1704067201000,
+         |     "manifest-list": "$loc/metadata/snap-2001.avro",
+         |     "summary": {"operation": "append"}, "schema-id": 0},
+         |    {"snapshot-id": 2002, "parent-snapshot-id": 2001, "sequence-number": 2,
+         |     "timestamp-ms": 1704067202000,
+         |     "manifest-list": "$loc/metadata/snap-2002.avro",
+         |     "summary": {"operation": "delete"}, "schema-id": 0}
+         |  ],
+         |  "snapshot-log": [
+         |    {"timestamp-ms": 1704067201000, "snapshot-id": 2001},
+         |    {"timestamp-ms": 1704067202000, "snapshot-id": 2002}
+         |  ],
+         |  "metadata-log": [],
+         |  "refs": {"main": {"snapshot-id": 2002, "type": "branch"}}
+         |}
+         |""".stripMargin)
+    writeText(s"$loc/metadata/version-hint.text", "2")
+  }
 
   private def intLE(v: Int): Array[Byte] =
     ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
