@@ -18,8 +18,12 @@ import scala.jdk.CollectionConverters._
   * snapshot). Everything here follows the public spec document; no Iceberg
   * library is used.
   */
+/** `initialDefault`: the v3 default returned for this field when
+  * reading data files written before the field existed (decoded from
+  * the spec's JSON single-value serialization; None = return null). */
 final case class IceField(id: Int, name: String, required: Boolean,
-    dataType: DataType, typeStr: String)
+    dataType: DataType, typeStr: String,
+    initialDefault: Option[Any] = None)
 
 final case class IceSchema(schemaId: Int, fields: Seq[IceField]) {
   lazy val byId: Map[Int, IceField] = fields.map(f => f.id -> f).toMap
@@ -146,14 +150,37 @@ object IcebergMeta {
       "iceberg: top-level schema must be a struct")
     val fields = n.get("fields").elements().asScala.map { f =>
       val t = f.get("type")
+      val dflt = f.get("initial-default") match {
+        case null => None
+        case d if d.isNull => None
+        case d => Some(decodeDefault(
+          if (t.isTextual) t.asText else t.toString, d))
+      }
       IceField(
         f.get("id").asInt,
         f.get("name").asText,
         f.path("required").asBoolean(false),
         parseType(t),
-        if (t.isTextual) t.asText else t.toString)
+        if (t.isTextual) t.asText else t.toString,
+        dflt)
     }.toSeq
     IceSchema(n.path("schema-id").asInt(0), fields)
+  }
+
+  /** Iceberg JSON single-value serialization → JVM literal (v3
+    * `initial-default`). Only primitive defaults are implemented;
+    * anything else is rejected loudly — silently projecting null where
+    * the spec demands a default would misread every pre-evolution file. */
+  private def decodeDefault(typeStr: String, d: JsonNode): Any = typeStr match {
+    case "int" => d.asInt
+    case "long" => d.asLong
+    case "float" => d.asDouble.toFloat
+    case "double" => d.asDouble
+    case "boolean" => d.asBoolean
+    case "string" => d.asText
+    case "date" => java.sql.Date.valueOf(d.asText)
+    case other => throw new IllegalArgumentException(
+      s"iceberg: initial-default for type $other not supported")
   }
 
   private def parseSpec(n: JsonNode): IcePartSpec =

@@ -241,7 +241,13 @@ final class IcebergTable private (
     val snapId = if (snapshotId >= 0) snapshotId else currentSnapshotId
     require(snapId >= 0, s"iceberg: table at $location has no snapshot")
     val snap = meta.snapshot(snapId)
-    val sch = snap.schemaId.map(meta.schema).getOrElse(meta.currentSchema)
+    // the CURRENT snapshot reads the CURRENT schema (metadata-only
+    // evolution — add/rename/drop — creates no snapshot, so the
+    // snapshot's recorded schema-id is the one in force when data was
+    // last written, not now); a pinned older snapshot keeps its own
+    val sch =
+      if (snapId == currentSnapshotId) meta.currentSchema
+      else snap.schemaId.map(meta.schema).getOrElse(meta.currentSchema)
     val listEntries = IcebergAvro.readManifestList(conf, resolve(snap.manifestList))
     val predicate = exprOf(filter)
     val surviving = listEntries.filter(manifestSurvives(_, sch, predicate))
@@ -461,13 +467,18 @@ final class IcebergTable private (
           df = df.join(keys, cond, "left_anti")
       }
 
-      // project to the snapshot schema by FIELD ID (rename/add/drop safe)
+      // project to the snapshot schema by FIELD ID (rename/add/drop
+      // safe); a field absent from the write schema yields its v3
+      // initial-default (files written before the column existed), or
+      // null when none is declared
       val physByName = writeSchema.byId
       val cols = sch.fields.map { f =>
         physByName.get(f.id) match {
           case Some(wf) => col("`" + wf.name.replace("`", "``") + "`")
             .cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          case None => f.initialDefault
+            .map(v => lit(v).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
         }
       }
       df.select(cols: _*)

@@ -220,6 +220,42 @@ class IcebergSpec extends AnyFunSuite {
     assert(t.scan().count() == 25)
   }
 
+  test("v3 initial-default fills columns added after a file was written") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("dflt"), n.schema)
+    w.append(n)
+    // metadata surgery: evolve to a schema with a new column carrying a
+    // v3 initial-default; the existing file's manifest still points at
+    // schema-id 0, so its rows must surface the DEFAULT, not null
+    val loc = w.location
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(loc).getFileSystem(conf)
+    val hint = new Path(loc, "metadata/version-hint.text")
+    val in = fs.open(hint)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val mp = new Path(loc, s"metadata/v$v.metadata.json")
+    val mIn = fs.open(mp)
+    val json = try scala.io.Source.fromInputStream(mIn, "UTF-8").mkString finally mIn.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("format-version", 3)
+    val sch0 = node.get("schemas").get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val sch1 = sch0.deepCopy()
+    sch1.put("schema-id", 1)
+    val nf = sch1.withArray("fields").addObject()
+    nf.put("id", 99); nf.put("name", "tier"); nf.put("required", false)
+    nf.put("type", "string"); nf.put("initial-default", "standard")
+    node.withArray("schemas").add(sch1)
+    node.put("current-schema-id", 1)
+    val out = fs.create(mp, true)
+    try out.write(m.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
+    val t = IcebergTable.load(spark, loc)
+    assert(t.schema.fieldNames.contains("tier"))
+    val tiers = t.scan().select("tier").distinct().collect().map(_.getString(0)).toSeq
+    assert(tiers == Seq("standard"),
+      s"pre-evolution rows must surface the initial-default, got $tiers")
+  }
+
   // ---- v3 deletion vectors (puffin) ---------------------------------------
 
   test("v3 DV delete masks rows without rewriting any data file") {
