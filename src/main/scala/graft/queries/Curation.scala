@@ -113,15 +113,28 @@ object Curation {
     * funnel each stratum through one sort — strata are few and huge at
     * 100 TB; hash thresholds hit the target fraction to ±ε with zero
     * coordination.) [oracle] */
-  def curateSampleStratified(s: SparkSession, d: String): DataFrame = {
+  /** The stratified keep-filter as a reusable Column (shared with the
+    * streaming curation entry — identical survivors batch or
+    * streaming). */
+  private[graft] def stratumKeep: Column = {
     val prefix = substring(hashKey, 1, 6)
-    val keep = StratumThresholds.foldRight(lit(false): Column) {
+    StratumThresholds.foldRight(lit(false): Column) {
       case ((lang, thr), other) =>
         when(col("lang") === lang, prefix < thr).otherwise(other)
     }
-    Tables.documents(s, d).filter(keep)
-      .select(col("doc_id"), col("lang"), col("source"))
   }
+
+  /** DuckDB mirror of [[stratumKeep]] for oracle SQL. */
+  private[graft] def stratumKeepSql: String =
+    s"""CASE lang
+       ${StratumThresholds.map { case (l, t) =>
+         s"WHEN '$l' THEN substring($HashKeySql, 1, 6) < '$t'" }
+         .mkString("\n       ")}
+       ELSE FALSE END"""
+
+  def curateSampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(stratumKeep)
+      .select(col("doc_id"), col("lang"), col("source"))
 
   // ---------------------------------------------------------------------
   // curate_mix_domains — per-domain char-budget mixture
@@ -277,11 +290,7 @@ object Curation {
           WHERE d.doc_id % 97 <> 0""",
     "curate_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
-          WHERE CASE lang
-            ${StratumThresholds.map { case (l, t) =>
-              s"WHEN '$l' THEN substring($HashKeySql, 1, 6) < '$t'" }
-              .mkString("\n            ")}
-            ELSE FALSE END""",
+          WHERE $stratumKeepSql""",
     "curate_mix_domains" ->
       s"""WITH c AS (
             SELECT doc_id, source, n_chars,

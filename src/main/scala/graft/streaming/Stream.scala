@@ -269,6 +269,39 @@ object Stream {
       .select("lang", "n_distinct")
   }
 
+  /** Streaming CORPUS CURATION — the continuous-ingestion shape of the
+    * batch curate_* family: documents arrive as a stream and pass the
+    * SAME per-row gates (stratified md5-threshold sampling + quality
+    * score, both pure column expressions shared with
+    * [[graft.queries.Curation]] / [[graft.queries.Text]]) and a
+    * streaming exact dedup, then aggregate per language. Because the
+    * gates are deterministic column work, the finished stream equals
+    * the batch curation over the same corpus — hence [oracle]. At
+    * scale the per-row gates are stateless (map-only on each
+    * micro-batch); only the dedup carries state, same posture as
+    * stream_dedup (stream_dedup_watermark shows the bounded variant). */
+  def streamCurate(s: SparkSession, d: String): DataFrame = {
+    val sfTag = d.replaceAll(".*/", "")
+    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+      s"/stream-curate-$sfTag"
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
+      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
+    val curated = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(dir)
+      .filter(graft.queries.Curation.stratumKeep &&
+        graft.queries.Text.qualityScoreCol(col("text")) >= 0.3)
+      .withColumn("h", sha2(col("text"), 256))
+      .dropDuplicates("lang", "h")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    runToTable(curated, "graft_stream_curate", "complete")
+      .select("lang", "n_docs")
+  }
+
   /** Streaming SOURCE from the lake (the read half of the ingest
     * topology; streamLakeSink is the write half): `readStream.format
     * ("graft-table")` tails a GraftTable by snapshot id — each
@@ -407,6 +440,7 @@ object Stream {
     "stream_lake_sink" -> (streamLakeSink _),
     "stream_lake_upsert" -> (streamLakeUpsert _),
     "stream_lake_source" -> (streamLakeSource _),
+    "stream_curate" -> (streamCurate _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join" -> (streamJoin _),
@@ -456,6 +490,14 @@ object Stream {
            UNION ALL
            SELECT 'delete', event_type FROM events WHERE user_id % 5 = 0
          ) GROUP BY change_type, event_type""",
+    "stream_curate" ->
+      s"""SELECT lang, count(DISTINCT text) AS n_docs
+          FROM documents
+          WHERE ${graft.queries.Curation.stratumKeepSql}
+            AND round(least(1.0, len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) / 100.0)
+                      * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                               / CAST(length(text) AS DOUBLE)), 4) >= 0.3
+          GROUP BY lang""",
     "stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct
          FROM documents GROUP BY lang""",
