@@ -69,7 +69,10 @@ object GraftExtensions {
         WinnowFingerprint(args(0), intArg(args(1), "n"), intArg(args(2), "w"))),
     ("graft_quantize8",
       "graft_quantize8(vec) - int8 quantization stats struct(n_dims, vmin, vmax, max_abs_err)",
-      (args: Seq[Expression]) => Quantize8Stats(args(0)))
+      (args: Seq[Expression]) => Quantize8Stats(args(0))),
+    ("graft_ngram_strings",
+      "graft_ngram_strings(tokens, n) - space-joined word n-gram strings (decontam gram source)",
+      (args: Seq[Expression]) => NGramStrings(args(0), intArg(args(1), "n")))
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.expressions", null, name, usage, ""),

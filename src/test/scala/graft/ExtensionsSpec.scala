@@ -29,6 +29,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
   }
 
+  test("graft_ngram_strings builds space-joined grams from SQL") {
+    val r = spark.sql(
+      "SELECT graft_ngram_strings(split('a b  c d', ' '), 3) AS g, " +
+        "graft_ngram_strings(split('a b', ' '), 3) AS short").head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d")) // empty token skipped
+    assert(r.getSeq[String](1) == Seq.empty) // sub-n doc yields no grams
+  }
+
   test("signature functions are deterministic across invocations") {
     val q = "SELECT graft_simhash(split('the quick brown fox', ' ')) AS s, " +
       "graft_minhash_band_keys(graft_shingle_ids(split('the quick brown fox', ' '), 2), 64, 16) AS mk, " +
