@@ -14,7 +14,7 @@ object SparkEntry {
       graft.queries.Dedup.all ++ graft.queries.Ann.all ++
       graft.queries.Text.all ++ graft.queries.Multimodal.all ++
       graft.queries.Pipeline.all ++ graft.queries.Curation.all ++
-      graft.streaming.Stream.all
+      graft.queries.BpeTokenizer.all ++ graft.streaming.Stream.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++ graft.queries.Ann.oracles ++
       graft.queries.Text.oracles ++ graft.queries.Multimodal.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.Curation.oracles ++
-      graft.streaming.Stream.oracles
+      graft.queries.BpeTokenizer.oracles ++ graft.streaming.Stream.oracles
 }

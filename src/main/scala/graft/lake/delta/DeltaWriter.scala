@@ -33,7 +33,8 @@ final class DeltaWriter private (
     val location: String,
     schema: StructType,
     partitionColumns: Seq[String],
-    columnMapping: Option[String]) {
+    columnMapping: Option[String],
+    enableCdf: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private def conf: Configuration = spark.sessionState.newHadoopConf()
@@ -86,18 +87,25 @@ final class DeltaWriter private (
   private def protocolAction: ObjectNode = {
     val n = mapper.createObjectNode()
     val pr = n.putObject("protocol")
-    val features =
+    // changeDataFeed is a WRITER-ONLY feature per the protocol (any
+    // reader can scan the table; cdc actions are not file actions)
+    val readerFeats =
       (if (columnMapping.isDefined) Seq("columnMapping") else Nil) ++
         (if (dvEnabled) Seq("deletionVectors") else Nil) ++
         (if (v2CpEnabled) Seq("v2Checkpoint") else Nil)
+    val writerFeats = readerFeats ++
+      (if (enableCdf) Seq("changeDataFeed") else Nil)
     if (dvEnabled || v2CpEnabled || columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
-      val rf = pr.putArray("readerFeatures"); features.foreach(rf.add)
-      val wf = pr.putArray("writerFeatures"); features.foreach(wf.add)
+      val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
+      val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)
     } else if (columnMapping.isDefined) {
-      pr.put("minReaderVersion", 2); pr.put("minWriterVersion", 5)
+      pr.put("minReaderVersion", 2)
+      pr.put("minWriterVersion", if (enableCdf) 6 else 5)
     } else {
-      pr.put("minReaderVersion", 1); pr.put("minWriterVersion", 2)
+      pr.put("minReaderVersion", 1)
+      // legacy writer version 4 = CDF + generated columns tier
+      pr.put("minWriterVersion", if (enableCdf) 4 else 2)
     }
     n
   }
@@ -124,6 +132,7 @@ final class DeltaWriter private (
     val pc = m.putArray("partitionColumns")
     partitionColumns.foreach(pc.add)
     val cfg = m.putObject("configuration")
+    if (enableCdf) cfg.put("delta.enableChangeDataFeed", "true")
     columnMapping.foreach { mode =>
       cfg.put("delta.columnMapping.mode", mode)
       cfg.put("delta.columnMapping.maxColumnId", schema.length.toString)

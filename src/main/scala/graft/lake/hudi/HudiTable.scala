@@ -89,26 +89,97 @@ final class HudiTable private (
     slices.filter(s => keep(s.path)).flatMap(_.logs).sortBy(_.ord).map(_.path)
   }
 
-  def scan(filter: Option[Column] = None): DataFrame = {
+  /** Base files an incremental pull from `begin` (exclusive) must read —
+    * only file groups TOUCHED after `begin` (rewritten slice, or log
+    * deltas past it): the O(changed) receipt hook. */
+  def planIncrementalFiles(begin: String,
+      filter: Option[Column] = None): Seq[String] = {
     val keep = planFiles(filter).toSet
-    val live = slices.filter(s => keep(s.path))
-    if (live.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
-    val out =
-      if (!live.exists(_.logs.nonEmpty)) {
-        // no deltas: plain distributed parquet scan (COW fast path)
-        spark.read.schema(schema)
-          .parquet(live.map(s => new Path(location, s.path).toString): _*)
-      } else mergedScan(live)
+    slices.filter(s => keep(s.path) &&
+      (s.instant > begin || s.logs.exists(_.instant > begin))).map(_.path)
+  }
+
+  def scan(filter: Option[Column] = None): DataFrame =
+    scanInternal(filter, withCommitTime = false)
+
+  /** Snapshot with each record's LAST-UPDATE instant as a leading
+    * `_hoodie_commit_time` column (the writer preserves carried-over
+    * rows' original instants, per Hudi's own COW/compaction semantics —
+    * that is what makes incremental pulls exact). */
+  private[hudi] def scanWithCommitTime(filter: Option[Column] = None): DataFrame =
+    scanInternal(filter, withCommitTime = true)
+
+  /** INCREMENTAL QUERY (hudi's incremental pull, the third of its three
+    * query types): the latest state of every record whose last update
+    * landed at an instant STRICTLY AFTER `begin` (and at or before this
+    * snapshot's load instant — load with [[HudiTable.loadAsOf]] to cap
+    * the range). Output: `commit_instant` (the record's last-update
+    * instant) + the data columns; soft-deleted records are dropped, as
+    * in the snapshot view.
+    *
+    * Scale shape: file groups untouched since `begin` are skipped
+    * ENTIRELY from driver metadata (timeline-driven, no data IO —
+    * [[planIncrementalFiles]]); a pure-COW range is then MAP-ONLY (the
+    * rewritten slices are already one-row-per-key merged states, so
+    * filtering `_hoodie_commit_time > begin` needs no shuffle); only
+    * ranges with log deltas pay the per-key merge shuffle, over the
+    * touched groups only. */
+  def incrementalFrom(begin: String, filter: Option[Column] = None): DataFrame = {
+    val keepPaths = planIncrementalFiles(begin, filter).toSet
+    val affected = slices.filter(s => keepPaths(s.path))
+    val outSchema = StructType(
+      StructField("commit_instant", StringType) +: schema.fields)
+    if (affected.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val withMeta =
+      if (!affected.exists(_.logs.nonEmpty)) {
+        // COW fast path: no shuffle — read rewritten slices, filter rows
+        spark.read.schema(fullSchema)
+          .parquet(affected.map(s => new Path(location, s.path).toString): _*)
+      } else mergedRows(affected) // MOR: per-key merge over touched groups
+    val out = withMeta
+      .filter(col("_hoodie_commit_time") > begin)
+      .select((col("_hoodie_commit_time").as("commit_instant") +:
+        schema.fieldNames.map(col).toSeq).toIndexedSeq: _*)
     filter.map(out.filter).getOrElse(out)
   }
 
+  private def scanInternal(filter: Option[Column],
+      withCommitTime: Boolean): DataFrame = {
+    val keep = planFiles(filter).toSet
+    val live = slices.filter(s => keep(s.path))
+    val outCols = (if (withCommitTime) Seq("_hoodie_commit_time") else Nil) ++
+      schema.fieldNames
+    val outSchema =
+      if (withCommitTime) StructType(
+        StructField("_hoodie_commit_time", StringType) +: schema.fields)
+      else schema
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val out =
+      if (!live.exists(_.logs.nonEmpty)) {
+        // no deltas: plain distributed parquet scan (COW fast path)
+        spark.read.schema(if (withCommitTime) fullSchema else outSchema)
+          .parquet(live.map(s => new Path(location, s.path).toString): _*)
+          .select(outCols.map(col).toIndexedSeq: _*)
+      } else mergedScan(live, outCols)
+    filter.map(out.filter).getOrElse(out)
+  }
+
+  private lazy val fullSchema = StructType(
+    HudiTable.MetaColumns.map(StructField(_, StringType)) ++ schema.fields)
+
   /** MOR snapshot view: base rows ∪ log records → latest per record
     * key → drop soft-deleted. One shuffle (the per-key max_by). */
-  private def mergedScan(live: Seq[HudiTable.Slice]): DataFrame = {
-    val fullSchema = StructType(
-      HudiTable.MetaColumns.map(StructField(_, StringType)) ++ schema.fields)
+  private def mergedScan(live: Seq[HudiTable.Slice],
+      outCols: Seq[String]): DataFrame =
+    mergedRows(live)
+      .select(outCols.map(col).toIndexedSeq: _*)
+
+  /** Latest surviving version per record key over `live` slices' base +
+    * log rows, full meta schema retained. */
+  private def mergedRows(live: Seq[HudiTable.Slice]): DataFrame = {
     // merge order: zero-padded "<instant>-<logversion>-<record idx>"
     // sorts base rows (their commit instant, version 0) before any
     // later delta, and deltas in append order
@@ -166,7 +237,7 @@ final class HudiTable private (
       .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), col("__ord")).as("r"))
       .select("r.*")
       .filter(!col("__del"))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 }
 

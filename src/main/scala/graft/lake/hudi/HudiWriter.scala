@@ -55,15 +55,23 @@ final class HudiWriter private (
       s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
     }.mkString("/")
 
-  /** Writes one file group's rows as a base file (one slice). */
+  /** Writes one file group's rows as a base file (one slice). Rows may
+    * arrive with a `_hoodie_commit_time` column already set — carried-over
+    * records of a COW rewrite / compaction keep their ORIGINAL last-update
+    * instant (Hudi's own semantics; incremental pulls depend on it) —
+    * nulls and missing columns stamp the writing instant. */
   private def writeSlice(rows: DataFrame, fileId: String, instant: String,
       partPath: String): (String, Long) = {
     val fileName = s"${fileId}_0-0-0_$instant.parquet"
     val rel = if (partPath.isEmpty) fileName else s"$partPath/$fileName"
     val dest = new Path(root, rel)
     fs.mkdirs(dest.getParent)
-    val withMeta = rows
-      .withColumn("_hoodie_commit_time", lit(instant))
+    val stamped =
+      if (rows.columns.contains("_hoodie_commit_time"))
+        rows.withColumn("_hoodie_commit_time",
+          coalesce(col("_hoodie_commit_time"), lit(instant)))
+      else rows.withColumn("_hoodie_commit_time", lit(instant))
+    val withMeta = stamped
       .withColumn("_hoodie_commit_seqno",
         concat(lit(instant + "_0_"), monotonically_increasing_id()))
       .withColumn("_hoodie_record_key", col(keyField).cast("string"))
@@ -149,9 +157,13 @@ final class HudiWriter private (
     val updKeys = updates.select(col(keyField).cast("string").as("__k"))
     val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
     var matchedKeys: DataFrame = null
+    // carried-over rows keep their original last-update instant (see
+    // writeSlice) — read it alongside the data columns
+    val keepSchema = StructType(
+      StructField("_hoodie_commit_time", StringType) +: schema.fields)
     // rewrite every affected file group (slice by slice)
     t.planFiles(None).foreach { rel =>
-      val cur = spark.read.schema(schema).parquet(new Path(root, rel).toString)
+      val cur = spark.read.schema(keepSchema).parquet(new Path(root, rel).toString)
       val hit = cur.join(updKeys, cur(keyField).cast("string") === updKeys("__k"), "left_semi")
       if (!hit.isEmpty) {
         val SliceRe = """(.+)_[^_]+_(\d+)\.parquet""".r
@@ -166,7 +178,8 @@ final class HudiWriter private (
         val groupKeys = cur.select(col(keyField).cast("string").as("__k"))
         val upd = updates.join(groupKeys,
           updates(keyField).cast("string") === groupKeys("__k"), "left_semi")
-        val merged = keep.unionByName(upd)
+        // updated rows get NULL commit time → stamped with this instant
+        val merged = keep.unionByName(upd, allowMissingColumns = true)
         val (newRel, rows) = writeSlice(merged, fileId, instant,
           if (dir == "") "" else dir)
         stats += ((if (dir == "") "" else dir, fileId, newRel, rows))
@@ -300,7 +313,10 @@ final class HudiWriter private (
     val t = HudiTable.load(spark, location)
     if (!t.hasLogFiles) return null
     val instant = nextInstant()
-    val snapshot = t.scan() // merged view, meta columns re-stamped on write
+    // merged view WITH each record's last-update instant, so compaction
+    // preserves commit times (incremental pulls across a compaction stay
+    // exact; other meta columns re-stamp on write)
+    val snapshot = t.scanWithCommitTime()
     val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
     t.liveSlices.filter(_.logs.nonEmpty).foreach { slice =>
       // group membership = base keys: this writer inserts new keys as

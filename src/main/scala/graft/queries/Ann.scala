@@ -272,7 +272,7 @@ object Ann {
   /** Driver-side PQ codebook training + query LUTs: per-subspace Lloyd
     * k-means on a bounded sample, deterministic seed. O(sample·k·iters)
     * on the driver — a model-fitting step, not a data pass. */
-  private object Pq {
+  private[graft] object Pq {
     def train(sample: Array[Array[Double]], m: Int, k: Int, iters: Int): Array[Double] = {
       val dim = sample.head.length
       val sub = dim / m

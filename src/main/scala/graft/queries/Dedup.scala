@@ -337,8 +337,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embedding space, then exact-cosine dedup WITHIN each cluster — the
+    * embedding-space complement to LSH near-dup removal, catching
+    * paraphrase-level duplicates LSH's random hyperplanes can miss at
+    * moderate cosine. Output: (vec_id, cluster_id, is_kept) — a vector
+    * is dropped iff a smaller-id vector in its cluster is ≥ τ cosine
+    * (the same keep-min-id rule as dedup_exact).
+    *
+    * Scale shape:
+    *  - Centroids train driver-side on a bounded deterministic sample
+    *    (Lloyd k-means — the PQ-codebook precedent: FAISS trains coarse
+    *    quantizers on samples; the centroid set is a model artifact).
+    *  - Assignment is MAP-ONLY: the reused PqEncode expression with m=1
+    *    is exactly nearest-centroid argmin (ties → lowest id), centroids
+    *    shipped in the task closure — zero shuffle over the corpus.
+    *  - The only shuffle is the within-cluster self-join, and cluster
+    *    sizes are CONTROLLED: k = n / targetClusterSize keeps expected
+    *    pair work at n · targetSize (linear in n), the knob SemDeDup
+    *    itself turns — a skewed cluster is split by AQE. Past k ≈ 10⁵
+    *    the closure-shipped centroid table outgrows its welcome and
+    *    assignment becomes two-level (broadcast √k super-centroids,
+    *    per-cell refinement) — the ann_ivf ceiling note applies. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.4 // same near-dup threshold as dedup_embedding
+    val n = Tables.rowCount(s, s"$d/embeddings.parquet")
+    val k = math.max(4, math.min(1024, math.ceil(n / 256.0).toInt))
+    val dim = 64
+    val corpus = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), normalized(col("embedding").cast("array<double>")).as("u"))
+    val sample = corpus.orderBy("vec_id").limit(math.max(4096, 8 * k))
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+    val cb = Ann.Pq.train(sample, 1, k, 10) // full-dim k-means (m=1)
+    val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
+    val assigned = corpus
+      .withColumn("cluster_id", element_at(assignExpr, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = assigned.select(col("cluster_id"), col("vec_id").as("a_id"), col("u").as("ua"))
+    val y = assigned.select(col("cluster_id"), col("vec_id").as("b_id"), col("u").as("ub"))
+    val removed = x.join(y, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dot(col("ua"), col("ub")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    val out = assigned
+      .join(removed.withColumn("rm", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("rm").isNull, 1).otherwise(0).as("is_kept"))
+      .orderBy("vec_id")
+    val result = out.localCheckpoint()
+    assigned.unpersist(blocking = false)
+    result
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),

@@ -790,6 +790,47 @@ object Lake {
       .unionByName(agg(HudiTable.loadAsOf(s, loc, preDelta).scan(), "pre_delta"))
   }
 
+  /** Hudi INCREMENTAL QUERY (r09; the third of Hudi's three query types,
+    * after snapshot and read-optimized): pull the latest state of every
+    * record changed after a given instant. Receipts: (a) records touched
+    * by BOTH upserts surface once, in their final state (latest-per-key,
+    * not an event log); (b) the pull from the second instant plans ONLY
+    * the file groups rewritten after it — O(changed) base files straight
+    * from timeline metadata ([[graft.lake.hudi.HudiTable.planIncrementalFiles]]),
+    * map-only on COW (no per-key shuffle); (c) carried-over rows keep
+    * their original `_hoodie_commit_time` through the rewrite (Hudi's own
+    * COW semantics — without it a rewritten group would re-emit every
+    * untouched record). Oracle reproduces both pulls from the original
+    * parquet. */
+  def lakeHudiIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.hudi.{HudiTable, HudiWriter}
+    val o = Tables.orders(s, d)
+    val loc = work(s, "hudi_incr", d)
+    val w = HudiWriter.create(s, loc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+    val base = w.insert(o)
+    // first change: every 7th key, all partitions
+    val first = w.upsert(o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("touched-all")))
+    // second change: every 7th key of ONE partition only
+    w.upsert(o.filter(col("o_orderkey") % 7 === 0 && col("o_orderstatus") === "F")
+      .withColumn("o_orderpriority", lit("touched-all"))
+      .withColumn("o_clerk", lit("clerk-inc")))
+    val t = HudiTable.load(s, loc)
+    val total = t.planFiles().size
+    val planned = t.planIncrementalFiles(first).size
+    require(planned < total,
+      s"hudi incremental: pull since $first must plan only rewritten " +
+        s"groups ($planned of $total)")
+    def agg(df: DataFrame, src: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Money.sum2(col("o_totalprice")).as("total"))
+        .withColumn("src", lit(src))
+    agg(t.incrementalFrom(base), "since_base")
+      .unionByName(agg(t.incrementalFrom(first), "since_first"))
+  }
+
   def lakeHudiRead(s: SparkSession, d: String): DataFrame = {
     import graft.lake.hudi.{HudiTable, HudiWriter}
     val o = Tables.orders(s, d)
@@ -816,6 +857,7 @@ object Lake {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_hudi_mor" -> (lakeHudiMor _),
+    "lake_hudi_incremental" -> (lakeHudiIncremental _),
     "lake_hudi_read" -> (lakeHudiRead _),
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
@@ -857,6 +899,19 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_hudi_incremental" ->
+      """SELECT o_orderstatus, n_orders, total, src FROM (
+           SELECT o_orderstatus, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'since_base' AS src
+           FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1
+           UNION ALL
+           SELECT o_orderstatus, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'since_first'
+           FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'
+           GROUP BY 1
+         )""",
     "lake_hudi_mor" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT P AS o_orderpriority, count(*) AS n_orders,

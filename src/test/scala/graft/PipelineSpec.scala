@@ -162,6 +162,27 @@ class PipelineSpec extends AnyFunSuite {
     if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
+  test("dedup_semantic: removals witnessed, kept set pairwise-clean per cluster") {
+    val got = queries.Dedup.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(_._1).toSet == vecs.keySet, "every vector gets a verdict")
+    val byCluster = got.groupBy(_._2)
+    assert(got.exists(_._3 == 0), "planted near-dups should cause removals")
+    byCluster.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, kept) =>
+        val smallerNeighbors = ids.filter(_ < id)
+          .filter(o => cos(vecs(o), vecs(id)) >= 0.4 - 1e-9)
+        if (kept == 0)
+          assert(smallerNeighbors.nonEmpty,
+            s"removed $id has no in-cluster smaller-id witness >= 0.4")
+        else
+          assert(smallerNeighbors.isEmpty,
+            s"kept $id should have been removed (witness ${smallerNeighbors.headOption})")
+      }
+    }
+  }
+
   test("dedup_embedding pairs are true cosine>=0.4 pairs") {
     val got = queries.Dedup.dedupEmbedding(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

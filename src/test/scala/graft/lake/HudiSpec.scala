@@ -227,6 +227,66 @@ class HudiSpec extends AnyFunSuite {
     assert(HudiLog.parseAvroDataBlock(back.head.content).head.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("COW incremental: latest-per-key, O(changed) planning, carried rows keep instants") {
+    val n = Tables.nation(spark, sf)
+    val w = HudiWriter.create(spark, freshDir("incr"), n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey")
+    val c1 = w.insert(n)
+    val c2 = w.upsert(n.filter(col("n_nationkey") % 5 === 0)
+      .withColumn("n_name", lit("FIRST")))
+    w.upsert(n.filter(col("n_nationkey") % 10 === 0)
+      .withColumn("n_name", lit("SECOND")))
+    val t = HudiTable.load(spark, dir("incr"))
+    // groups rewritten after c2 ⊂ all groups (only %10 regions touched)
+    assert(t.planIncrementalFiles(c2).size < t.planFiles().size)
+    val sinceBase = t.incrementalFrom(c1).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val expect = n.collect().map(_.getAs[Int]("n_nationkey"))
+      .filter(_ % 5 == 0).toSet
+    assert(sinceBase.keySet == expect, "exactly the changed keys, once each")
+    sinceBase.foreach { case (k, name) =>
+      assert(name == (if (k % 10 == 0) "SECOND" else "FIRST"),
+        s"key $k must surface in its FINAL state")
+    }
+    // pull from c2 sees only the second upsert's keys
+    assert(t.incrementalFrom(c2).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet == expect.filter(_ % 10 == 0))
+    // carried-over rows kept their original instants through the rewrites:
+    // an untouched key must NOT appear in any incremental pull
+    assert(!sinceBase.keySet.exists(_ % 5 != 0))
+  }
+
+  test("MOR incremental: log deltas pull by instant; merge stays per-key-latest") {
+    val n = Tables.nation(spark, sf)
+    val w = HudiWriter.create(spark, freshDir("incr-mor"), n.schema,
+      keyField = "n_nationkey", tableType = "MERGE_ON_READ")
+    val c1 = w.insert(n)
+    val c2 = w.upsertLog(n.filter(col("n_nationkey") % 5 === 0)
+      .withColumn("n_name", lit("FIRST")))
+    w.upsertLog(n.filter(col("n_nationkey") % 10 === 0)
+      .withColumn("n_name", lit("SECOND")))
+    w.deleteLogWhere(col("n_nationkey") === 5)
+    val t = HudiTable.load(spark, dir("incr-mor"))
+    val got = t.incrementalFrom(c1).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val expect = n.collect().map(_.getAs[Int]("n_nationkey"))
+      .filter(k => k % 5 == 0 && k != 5).toSet
+    assert(got.keySet == expect, "changed keys minus the soft-deleted one")
+    got.foreach { case (k, name) =>
+      assert(name == (if (k % 10 == 0) "SECOND" else "FIRST"))
+    }
+    // from c2: only keys re-touched after the first delta
+    val since2 = t.incrementalFrom(c2).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    assert(since2 == expect.filter(_ % 10 == 0))
+    // incremental pull across a compaction stays exact (commit times
+    // preserved through the fold)
+    w.compact()
+    val tc = HudiTable.load(spark, dir("incr-mor"))
+    assert(tc.incrementalFrom(c2).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet == expect.filter(_ % 10 == 0))
+  }
+
   test("timelines with replacecommit/savepoint/restore instants are rejected") {
     // a completed replacecommit (clustering / insert_overwrite — legal
     // on COW tables) changes which file groups are live; a reader that
