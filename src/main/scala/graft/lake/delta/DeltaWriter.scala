@@ -232,6 +232,71 @@ final class DeltaWriter private (
     out.toSeq
   }
 
+  /** Writes CHANGE-DATA files under `_change_data/` and returns their
+    * `cdc` actions (dataChange=false — cdc files are not table data).
+    * Input: logical data + partition columns + `_change_type`. Files
+    * store physical column names like data files; partitionValues keys
+    * are physical; the `_change_type` column is stored verbatim (it is
+    * protocol-defined, outside column mapping). */
+  private def writeCdcFiles(dfLogical: DataFrame): Seq[ObjectNode] = {
+    val cols = dfLogical.columns.toIndexedSeq.map { c =>
+      if (c == "_change_type" || columnMapping.isEmpty) col(c)
+      else {
+        val fid = schema.fieldIndex(c) + 1L
+        val md = new MetadataBuilder().putLong("parquet.field.id", fid).build()
+        col(c).as(phys(c), md)
+      }
+    }
+    val df = dfLogical.select(cols: _*)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s"_tmp-cdc-$nonce")
+    ParquetStats.withMicrosTimestamps(spark) {
+      val writer = df.write.mode("overwrite")
+      (if (partitionColumns.nonEmpty)
+         writer.partitionBy(partitionColumns.map(phys): _*)
+       else writer).parquet(tmp.toString)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[ObjectNode]()
+    val it = fs.listFiles(tmp, true)
+    val files = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) files += f
+    }
+    var i = 0
+    files.sortBy(_.toString).foreach { src =>
+      val tmpQ = fs.makeQualified(tmp).toString
+      val dirQ = fs.makeQualified(src.getParent).toString
+      val rel = if (dirQ == tmpQ) "" else dirQ.stripPrefix(tmpQ + "/")
+      val pvals: Seq[(String, String)] = rel.split("/").filter(_.contains("=")).toSeq.map { seg =>
+        val eq = seg.indexOf('=')
+        val k = seg.substring(0, eq)
+        val v = seg.substring(eq + 1)
+        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapeHive(v))
+      }
+      val destDir = new Path(root,
+        if (rel.isEmpty) "_change_data" else s"_change_data/$rel")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, f"cdc-$nonce-$i%05d.parquet")
+      require(fs.rename(src, dest), s"delta: rename $src -> $dest failed")
+      i += 1
+      val relPath = (if (rel.isEmpty) "_change_data" else s"_change_data/$rel") +
+        s"/${dest.getName}"
+      val n = mapper.createObjectNode()
+      val a = n.putObject("cdc")
+      a.put("path", relPath)
+      val pv = a.putObject("partitionValues")
+      pvals.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      a.put("size", fs.getFileStatus(dest).getLen)
+      a.put("dataChange", false)
+      out += n
+    }
+    fs.delete(tmp, true)
+    out.toSeq
+  }
+
   private def unescapeHive(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -272,6 +337,7 @@ final class DeltaWriter private (
     val byPart = affectedAdds.groupBy(n =>
       mapper.writeValueAsString(n.get("add").get("partitionValues")))
     val newAdds = scala.collection.mutable.ArrayBuffer[ObjectNode]()
+    val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     byPart.values.foreach { group =>
       val paths = group.map(n =>
         DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
@@ -290,18 +356,84 @@ final class DeltaWriter private (
       val remaining = df.filter(!coalesce(cond, lit(false)))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       if (!remaining.isEmpty) newAdds ++= writeFiles(remaining)
+      if (enableCdf)
+        cdcFrames += df.filter(coalesce(cond, lit(false)))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
     }
-    val removes = affectedAdds.map { n =>
-      val r = mapper.createObjectNode()
-      val rm = r.putObject("remove")
-      rm.put("path", n.get("add").get("path").asText())
-      rm.put("deletionTimestamp", 0L)
-      rm.put("dataChange", true)
-      r
-    }
+    val cdcActs =
+      if (cdcFrames.isEmpty) Nil
+      else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
+    val removes = affectedAdds.map(n => removeAction(n))
     affectedAdds.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
-    commit(removes ++ newAdds.toSeq)
+    commit(cdcActs ++ removes ++ newAdds.toSeq)
+  }
+
+  /** remove action with EXTENDED file metadata (partitionValues, size —
+    * the protocol's recommended shape): remove-only commits stay
+    * CDF-reconstructible without cdc files (full-file deletes). */
+  private def removeAction(addNode: ObjectNode): ObjectNode = {
+    val a = addNode.get("add")
+    val r = mapper.createObjectNode()
+    val rm = r.putObject("remove")
+    rm.put("path", a.get("path").asText())
+    rm.put("deletionTimestamp", 0L)
+    rm.put("dataChange", true)
+    rm.set[ObjectNode]("partitionValues", a.get("partitionValues").deepCopy())
+    if (a.has("size")) rm.put("size", a.get("size").asLong())
+    r
+  }
+
+  /** COPY-ON-WRITE UPDATE: affected files rewritten with `set`
+    * assignments applied to matching rows; on a CDF table the commit
+    * also carries update_preimage/update_postimage change rows — the
+    * full four-value `_change_type` surface. */
+  def updateWhere(cond: Column, set: Map[String, Column]): Long = {
+    require(set.keySet.subsetOf(schema.fieldNames.toSet),
+      s"delta: unknown update columns ${set.keySet -- schema.fieldNames}")
+    require(!set.keySet.exists(partitionColumns.contains),
+      "delta: partition-column updates not supported")
+    val t = DeltaTable.load(spark, location)
+    val affected = t.planFiles(Some(cond)).toSet
+    if (affected.isEmpty) return version
+    val affectedAdds = live.view.filterKeys(affected).values.toSeq
+    val byPart = affectedAdds.groupBy(n =>
+      mapper.writeValueAsString(n.get("add").get("partitionValues")))
+    val newAdds = scala.collection.mutable.ArrayBuffer[ObjectNode]()
+    val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    byPart.values.foreach { group =>
+      val paths = group.map(n =>
+        DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
+      val pv = group.head.get("add").get("partitionValues")
+      var df = readLogical(paths)
+      partitionColumns.foreach { c =>
+        val v = pv.get(phys(c))
+        val dt = schema(c).dataType
+        df = df.withColumn(c,
+          (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
+      }
+      val hit = df.filter(coalesce(cond, lit(false)))
+      val miss = df.filter(!coalesce(cond, lit(false)))
+      val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+      val merged = miss.unionByName(updated)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      if (!merged.isEmpty) newAdds ++= writeFiles(merged)
+      if (enableCdf) {
+        val sel = schema.fieldNames.map(col).toIndexedSeq
+        cdcFrames += hit.select(sel: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        cdcFrames += updated.select(sel: _*)
+          .withColumn("_change_type", lit("update_postimage"))
+      }
+    }
+    val cdcActs =
+      if (cdcFrames.isEmpty) Nil
+      else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
+    val removes = affectedAdds.map(n => removeAction(n))
+    affectedAdds.foreach(n => live.remove(n.get("add").get("path").asText()))
+    newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
+    commit(cdcActs ++ removes ++ newAdds.toSeq)
   }
 
   /** DELETION-VECTOR delete: instead of rewriting files, attach (or
@@ -316,6 +448,9 @@ final class DeltaWriter private (
     * partials per file — O(tasks × compressed bitmap) through the
     * driver, never O(deleted rows). */
   def deleteWhereDv(cond: Column): Long = {
+    require(!enableCdf,
+      "delta: deleteWhereDv on a CDF-enabled table is not implemented " +
+        "(the cdc rows for DV'd deletes are not written) — use deleteWhere")
     val t = DeltaTable.load(spark, location)
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
@@ -617,14 +752,16 @@ object DeltaWriter {
     * `columnMapping`: None | Some("name") | Some("id"). */
   def create(spark: SparkSession, location: String, schema: StructType,
       partitionColumns: Seq[String] = Nil,
-      columnMapping: Option[String] = None): DeltaWriter = {
+      columnMapping: Option[String] = None,
+      enableCdf: Boolean = false): DeltaWriter = {
     require(columnMapping.forall(Set("name", "id").contains),
       s"delta: columnMapping mode $columnMapping")
     val p = new Path(location)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
     fs.mkdirs(new Path(p, "_delta_log"))
-    val w = new DeltaWriter(spark, location, schema, partitionColumns, columnMapping)
+    val w = new DeltaWriter(spark, location, schema, partitionColumns,
+      columnMapping, enableCdf)
     w.commit(Seq(w.protocolAction, w.metaAction))
     w
   }

@@ -709,6 +709,30 @@ object Lake {
     * (hard-asserted), a copy-on-write DELETE, and a version-time-travel
     * read predating the delete. Oracle reproduces both reads from the
     * original parquet. */
+  /** Delta CHANGE DATA FEED (r09; the protocol's changeDataFeed writer
+    * feature): a CDF-enabled table takes an append, a COW UPDATE and a
+    * COW DELETE; `DeltaTable.changes(from, to)` reconstructs every
+    * row-level change — inserts synthesized from the blind append's add
+    * actions, update_preimage/update_postimage and delete rows read
+    * from the `_change_data/` cdc files the writer committed. The
+    * oracle reproduces all four `_change_type` classes per commit
+    * version from the original parquet. */
+  def lakeDeltaCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.delta.{DeltaTable, DeltaWriter}
+    val o = Tables.orders(s, d)
+    val loc = work(s, "delta_cdf", d)
+    val w = DeltaWriter.create(s, loc, o.schema,
+      partitionColumns = Seq("o_orderstatus"), enableCdf = true)
+    w.append(o) // v1: blind append → inserts
+    w.updateWhere(col("o_orderkey") % 10 === 0,
+      Map("o_orderpriority" -> lit("corrected"))) // v2: pre+post images
+    w.deleteWhere(col("o_orderpriority") === "1-URGENT") // v3: deletes
+    DeltaTable.changes(s, loc, 1L, 3L)
+      .groupBy("_change_type", "_commit_version")
+      .agg(count(lit(1)).as("n_rows"),
+        Money.sum2(col("o_totalprice")).as("total"))
+  }
+
   def lakeDeltaRead(s: SparkSession, d: String): DataFrame = {
     import graft.lake.delta.{DeltaTable, DeltaWriter}
     val o = Tables.orders(s, d)
@@ -859,6 +883,7 @@ object Lake {
     "lake_hudi_mor" -> (lakeHudiMor _),
     "lake_hudi_incremental" -> (lakeHudiIncremental _),
     "lake_hudi_read" -> (lakeHudiRead _),
+    "lake_delta_cdf" -> (lakeDeltaCdf _),
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_read" -> (lakeIcebergRead _),
@@ -948,6 +973,25 @@ object Lake {
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'pre_upsert'
            FROM orders GROUP BY 1
+         )""",
+    "lake_delta_cdf" ->
+      """SELECT _change_type, _commit_version, n_rows, total FROM (
+           SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+                  count(*) AS n_rows,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+           FROM orders
+           UNION ALL
+           SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT 'delete', CAST(3 AS BIGINT), count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 <> 0
          )""",
     "lake_delta_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (

@@ -407,4 +407,104 @@ class DeltaSpec extends AnyFunSuite {
     assert(kept.size < t.planFiles().size,
       s"timestamp stats pruning kept ${kept.size} of ${t.planFiles().size}")
   }
+
+  // ---- change data feed ----------------------------------------------------
+
+  test("CDF: append/update/delete reconstruct all four change types") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf")
+    val w = DeltaWriter.create(spark, loc, n.schema, enableCdf = true)
+    w.append(n) // v1
+    w.updateWhere(col("n_nationkey") % 5 === 0,
+      Map("n_name" -> lit("UPDATED"))) // v2
+    w.deleteWhere(col("n_nationkey") === 7) // v3
+    val ch = DeltaTable.changes(spark, loc, 1L, 3L).collect()
+      .map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"),
+        r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name")))
+    val keys = n.collect().map(_.getAs[Int]("n_nationkey")).toSet
+    assert(ch.filter(c => c._1 == "insert" && c._2 == 1L)
+      .map(_._3).toSet == keys, "v1 blind append → every row an insert")
+    val pre = ch.filter(c => c._1 == "update_preimage" && c._2 == 2L)
+    val post = ch.filter(c => c._1 == "update_postimage" && c._2 == 2L)
+    assert(pre.map(_._3).toSet == keys.filter(_ % 5 == 0))
+    assert(post.map(_._3).toSet == keys.filter(_ % 5 == 0))
+    assert(pre.forall(_._4 != "UPDATED") && post.forall(_._4 == "UPDATED"))
+    assert(ch.filter(c => c._1 == "delete" && c._2 == 3L)
+      .map(_._3).toSeq == Seq(7))
+    // the v3 delete row carries the POST-update state it was deleted in
+    assert(ch.find(c => c._1 == "delete").exists(_._4 != null))
+    // cdc files live under _change_data/ and are NOT part of the snapshot
+    val t = DeltaTable.load(spark, loc)
+    assert(t.scan().count() == n.count() - 1)
+  }
+
+  test("CDF: remove-only commits synthesize deletes from extended remove metadata") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf-synth")
+    // CDF NOT enabled: synthesis rules still reconstruct blind appends
+    // and full-file deletes
+    val w = DeltaWriter.create(spark, loc, n.schema,
+      partitionColumns = Seq("n_regionkey"))
+    w.append(n) // v1
+    w.deleteWhere(col("n_regionkey") === 2) // v2: whole partition file → remove-only
+    val ch = DeltaTable.changes(spark, loc, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"), r.getAs[Int]("n_nationkey"),
+        r.getAs[Int]("n_regionkey")))
+    val r2 = n.filter(col("n_regionkey") === 2).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    assert(ch.filter(_._1 == "insert").map(_._3).toSet ==
+      n.collect().map(_.getAs[Int]("n_nationkey")).toSet)
+    val dels = ch.filter(_._1 == "delete")
+    assert(dels.map(_._3).toSet == r2)
+    assert(dels.forall(_._4 == 2), "partition value injected from remove metadata")
+    assert(dels.forall(_._2 == 2L))
+  }
+
+  test("CDF: pre-CDF rewrite commits are rejected, not misread") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf-reject")
+    val w = DeltaWriter.create(spark, loc, n.schema)
+    w.append(n) // v1
+    w.deleteWhere(col("n_nationkey") === 7) // v2: partial rewrite, no cdc
+    val e = intercept[IllegalStateException] {
+      DeltaTable.changes(spark, loc, 1L, 2L)
+    }
+    assert(e.getMessage.contains("without cdc"))
+  }
+
+  test("CDF on a column-mapped partitioned table round-trips") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf-cm")
+    val w = DeltaWriter.create(spark, loc, n.schema,
+      partitionColumns = Seq("n_regionkey"),
+      columnMapping = Some("name"), enableCdf = true)
+    w.append(n) // v1
+    w.updateWhere(col("n_nationkey") % 4 === 1,
+      Map("n_name" -> lit("CM-UPDATED"))) // v2
+    val ch = DeltaTable.changes(spark, loc, 2L, 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name"),
+        r.getAs[Int]("n_regionkey")))
+    val expect = n.collect()
+      .map(r => (r.getAs[Int]("n_nationkey"), r.getAs[Int]("n_regionkey")))
+      .filter(_._1 % 4 == 1)
+    assert(ch.filter(_._1 == "update_postimage")
+      .map(c => (c._2, c._4)).toSet == expect.toSet,
+      "logical columns + partition values under column mapping")
+    assert(ch.filter(_._1 == "update_postimage").forall(_._3 == "CM-UPDATED"))
+    // CDF protocol: changeDataFeed is advertised as a WRITER feature only
+    val logText = {
+      val p = new Path(loc, "_delta_log/00000000000000000000.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // name mapping + CDF = legacy tier (reader 2, writer 6) — CDF never
+    // demands a reader capability
+    assert(logText.contains("\"minReaderVersion\":2"))
+    assert(logText.contains("\"minWriterVersion\":6"))
+    assert(!logText.contains("readerFeatures"))
+  }
 }
