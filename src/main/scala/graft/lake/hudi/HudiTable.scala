@@ -102,6 +102,23 @@ final class HudiTable private (
   def scan(filter: Option[Column] = None): DataFrame =
     scanInternal(filter, withCommitTime = false)
 
+  /** READ-OPTIMIZED QUERY (hudi's second query type): base file slices
+    * only, log deltas ignored — columnar-scan speed at the cost of
+    * freshness bounded by the last compaction. On a COW table (or a
+    * compacted MOR table) this equals the snapshot view; on a MOR table
+    * with uncompacted deltas it serves the pre-delta base state, which
+    * is exactly the documented trade. Map-only: plain parquet scan of
+    * the pruned base files, never a merge shuffle. */
+  def scanReadOptimized(filter: Option[Column] = None): DataFrame = {
+    val keep = planFiles(filter).toSet
+    val live = slices.filter(s => keep(s.path))
+    if (live.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val out = spark.read.schema(schema)
+      .parquet(live.map(s => new Path(location, s.path).toString): _*)
+    filter.map(out.filter).getOrElse(out)
+  }
+
   /** Snapshot with each record's LAST-UPDATE instant as a leading
     * `_hoodie_commit_time` column (the writer preserves carried-over
     * rows' original instants, per Hudi's own COW/compaction semantics —

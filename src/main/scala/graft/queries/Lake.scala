@@ -806,12 +806,17 @@ object Lake {
           Money.sum2(col("o_totalprice")).as("total"))
         .withColumn("src", lit(src))
     val current = agg(t.scan(), "current")
+    // READ-OPTIMIZED (hudi's second query type): base slices only — on
+    // this uncompacted MOR table that is the pre-delta insert state,
+    // with no merge shuffle in the plan (the documented freshness trade)
+    val readOptimized = agg(t.scanReadOptimized(), "read_optimized")
     w.compact()
     val tc = HudiTable.load(s, loc)
     require(!tc.hasLogFiles, "hudi mor: compaction must orphan the logs")
     current
       .unionByName(agg(tc.scan(), "compacted"))
       .unionByName(agg(HudiTable.loadAsOf(s, loc, preDelta).scan(), "pre_delta"))
+      .unionByName(readOptimized)
   }
 
   /** Hudi INCREMENTAL QUERY (r09; the third of Hudi's three query types,
@@ -958,6 +963,11 @@ object Lake {
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'pre_delta'
+           FROM orders GROUP BY 1
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'read_optimized'
            FROM orders GROUP BY 1
          )""",
     "lake_hudi_read" ->

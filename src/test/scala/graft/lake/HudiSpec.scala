@@ -227,6 +227,25 @@ class HudiSpec extends AnyFunSuite {
     assert(HudiLog.parseAvroDataBlock(back.head.content).head.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("MOR read-optimized: base slices only; equals snapshot after compaction") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("mor-ro")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n)
+    w.upsertLog(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("DELTA")))
+    val t = HudiTable.load(spark, loc)
+    // uncompacted: read-optimized serves the pre-delta base state
+    assert(t.scanReadOptimized().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    assert(t.scan(Some(col("n_name") === "DELTA")).count() == 1)
+    w.compact()
+    val tc = HudiTable.load(spark, loc)
+    assert(tc.scanReadOptimized().orderBy("n_nationkey").collect().toSeq ==
+      tc.scan().orderBy("n_nationkey").collect().toSeq,
+      "after compaction read-optimized == snapshot")
+  }
+
   test("COW incremental: latest-per-key, O(changed) planning, carried rows keep instants") {
     val n = Tables.nation(spark, sf)
     val w = HudiWriter.create(spark, freshDir("incr"), n.schema,
