@@ -73,6 +73,31 @@ class FixtureSpec extends AnyFunSuite {
     assert(t.planFiles(Some(col("id") === 10)).toSeq == Seq("region=w/f2.parquet"))
   }
 
+  test("delta CDF fixture: spec-authored change feed reconstructs exactly") {
+    // v1 blind append → synthesized inserts; v2 UPDATE → the cdc files
+    // are authoritative (the rewrite's add/remove in the same commit
+    // must NOT leak into the feed); v3 remove-only → synthesized delete
+    // located by extended remove metadata
+    val ch = DeltaTable.changes(spark, s"$Root/delta/cdf", 1L, 3L)
+      .collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
+        r.getAs[String]("part"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+      .sortBy(c => (c._5, c._4, c._1))
+    assert(ch.toSeq == Seq(
+      (1, "alpha", "a", "insert", 1L),
+      (2, "beta", "a", "insert", 1L),
+      (10, "kappa", "b", "insert", 1L),
+      (2, "BETA", "a", "update_postimage", 2L),
+      (2, "beta", "a", "update_preimage", 2L),
+      (10, "kappa", "b", "delete", 3L)))
+    // the snapshot still reflects the rewrite + delete
+    val snap = DeltaTable.load(spark, s"$Root/delta/cdf").scan()
+      .select("id", "name").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(snap == Seq((1, "alpha"), (2, "BETA")))
+  }
+
   test("delta checkpoint fixture: loads with the pre-checkpoint log CLEANED") {
     // versions 0-2 exist only inside the checkpoint parquet; a reader
     // that replays the JSON log from zero cannot load this table

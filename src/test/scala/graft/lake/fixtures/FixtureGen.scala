@@ -43,15 +43,30 @@ object FixtureGen {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    rm(new File(Root))
-    genDelta(spark)
-    genDeltaColumnMapping(spark)
-    genDeltaCheckpoint(spark)
-    genDeltaCheckpointV2(spark)
-    genHudi(spark)
-    genHudiMor(spark)
-    genIceberg(spark)
-    genIcebergV3(spark)
+    val gens: Seq[(String, SparkSession => Unit)] = Seq(
+      "delta/basic" -> genDelta,
+      "delta/cm" -> genDeltaColumnMapping,
+      "delta/cp" -> genDeltaCheckpoint,
+      "delta/cpv2" -> genDeltaCheckpointV2,
+      "delta/cdf" -> genDeltaCdf,
+      "hudi/cow" -> genHudi,
+      "hudi/mor" -> genHudiMor,
+      "iceberg/v2" -> genIceberg,
+      "iceberg/v3" -> genIcebergV3)
+    if (args.isEmpty) {
+      // full regeneration: every committed fixture is replaced
+      rm(new File(Root))
+      gens.foreach(_._2(spark))
+    } else {
+      // selective: regenerate only the named fixtures (frozen bytes of
+      // the others stay untouched in git)
+      args.foreach { name =>
+        val g = gens.find(_._1 == name).getOrElse(
+          sys.error(s"unknown fixture $name — known: ${gens.map(_._1).mkString(", ")}"))
+        rm(new File(s"$Root/$name"))
+        g._2(spark)
+      }
+    }
     println(s"fixtures written under $Root")
     spark.stop()
   }
@@ -230,6 +245,71 @@ object FixtureGen {
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
          |{"remove":{"path":"part=a/f1.parquet","deletionTimestamp":1704067200004,"dataChange":true}}
          |{"add":{"path":"part=a/f1.parquet","partitionValues":{"part":"a"},"size":$f1,"modificationTime":1704067200001,"dataChange":true,"stats":"${stats(2, 1, 2, "alpha", "beta", "2024-01-01T00:00:00.000000Z", "2024-01-02T00:00:00.000000Z")}","deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85","offset":1,"sizeInBytes":${pBytes.length},"cardinality":1}}}
+         |""".stripMargin)
+  }
+
+  /** CHANGE-DATA-FEED Delta fixture, authored straight from the
+    * protocol's Change Data Feed section: a CDF-enabled table
+    * (configuration delta.enableChangeDataFeed, legacy writer tier 4)
+    * whose log exercises all three reconstruction rules — a blind
+    * append (inserts synthesized from dataChange adds), an update
+    * commit whose `cdc` actions point at `_change_data/` files carrying
+    * `_change_type` update_preimage/update_postimage (file actions in
+    * the same commit MUST be ignored for CDF), and a remove-only
+    * delete whose extended remove metadata locates the file. */
+  private def genDeltaCdf(spark: SparkSession): Unit = {
+    val loc = s"$Root/delta/cdf"
+    val dataSchema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType)))
+    def df(rows: (Int, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), dataSchema)
+    val cdcSchema = StructType(dataSchema.fields :+
+      StructField("_change_type", StringType))
+    def cdcDf(rows: (Int, String, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1), cdcSchema)
+
+    val f1 = writeOneParquet(spark, df((1, "alpha"), (2, "beta")),
+      s"$loc/part=a/f1.parquet")
+    val f2 = writeOneParquet(spark, df((10, "kappa")),
+      s"$loc/part=b/f2.parquet")
+    // the v2 rewrite of f1 (post-update state) — CDF must IGNORE it
+    val f1b = writeOneParquet(spark, df((1, "alpha"), (2, "BETA")),
+      s"$loc/part=a/f1b.parquet")
+    val cdcU = writeOneParquet(spark,
+      cdcDf((2, "beta", "update_preimage"), (2, "BETA", "update_postimage")),
+      s"$loc/_change_data/part=a/cdc-u1.parquet")
+
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"name\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"part\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+
+    writeText(s"$loc/_delta_log/00000000000000000000.json",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}
+         |{"metaData":{"id":"c0000000-0000-0000-0000-0000000000cd","format":{"provider":"parquet","options":{}},"schemaString":"$schemaString","partitionColumns":["part"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1704067200000}}
+         |""".stripMargin)
+    // v1: blind append → CDF synthesizes inserts
+    writeText(s"$loc/_delta_log/00000000000000000001.json",
+      s"""{"commitInfo":{"operation":"WRITE"}}
+         |{"add":{"path":"part=a/f1.parquet","partitionValues":{"part":"a"},"size":$f1,"modificationTime":1704067200001,"dataChange":true}}
+         |{"add":{"path":"part=b/f2.parquet","partitionValues":{"part":"b"},"size":$f2,"modificationTime":1704067200001,"dataChange":true}}
+         |""".stripMargin)
+    // v2: UPDATE — cdc files authoritative; the rewrite's add/remove
+    // must not leak into the change feed
+    writeText(s"$loc/_delta_log/00000000000000000002.json",
+      s"""{"commitInfo":{"operation":"UPDATE"}}
+         |{"cdc":{"path":"_change_data/part=a/cdc-u1.parquet","partitionValues":{"part":"a"},"size":$cdcU,"dataChange":false}}
+         |{"remove":{"path":"part=a/f1.parquet","deletionTimestamp":1704067200002,"dataChange":true,"partitionValues":{"part":"a"},"size":$f1}}
+         |{"add":{"path":"part=a/f1b.parquet","partitionValues":{"part":"a"},"size":$f1b,"modificationTime":1704067200002,"dataChange":true}}
+         |""".stripMargin)
+    // v3: full-file DELETE — remove-only, extended metadata locates it
+    writeText(s"$loc/_delta_log/00000000000000000003.json",
+      s"""{"commitInfo":{"operation":"DELETE"}}
+         |{"remove":{"path":"part=b/f2.parquet","deletionTimestamp":1704067200003,"dataChange":true,"partitionValues":{"part":"b"},"size":$f2}}
          |""".stripMargin)
   }
 
