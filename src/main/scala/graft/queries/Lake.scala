@@ -606,6 +606,30 @@ object Lake {
     * equality delete under v2 sequence rules, and a TAG time-travel read
     * that predates the delete. The oracle reproduces both reads from the
     * original parquet. */
+  /** Iceberg INCREMENTAL APPEND SCAN (r09; Iceberg's own incremental
+    * read, `newIncrementalAppendScan` — with Delta CDF and the Hudi
+    * incremental pull, ALL THREE interop formats now serve change
+    * reads): rows appended in `(from, to]`, tagged `_snapshot_id`;
+    * planning reads O(snapshots-in-range) metadata and the scan touches
+    * ONLY the added files. Delete/overwrite snapshots in range are
+    * rejected loudly (IcebergSpec); the oracle reproduces both append
+    * slices from the original parquet. */
+  def lakeIcebergIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.{IcebergTable, IcebergWriter}
+    val o = Tables.orders(s, d)
+    val w = IcebergWriter.create(s, work(s, "iceberg_incr", d), o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    val s1 = w.append(o.filter(year(col("o_orderdate")) < 1995))
+    val s2 = w.append(o.filter(year(col("o_orderdate")) === 1995))
+    val s3 = w.append(o.filter(year(col("o_orderdate")) > 1995))
+    val t = IcebergTable.load(s, w.location)
+    val inc = t.incrementalAppends(s1)
+    inc.groupBy(when(col("_snapshot_id") === s2, "second")
+        .otherwise(when(col("_snapshot_id") === s3, "third")).as("src"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.sum2(col("o_totalprice")).as("total"))
+  }
+
   def lakeIcebergRead(s: SparkSession, d: String): DataFrame = {
     import graft.lake.iceberg.{IcebergTable, IcebergWriter}
     val o = Tables.orders(s, d)
@@ -891,6 +915,7 @@ object Lake {
     "lake_delta_cdf" -> (lakeDeltaCdf _),
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
+    "lake_iceberg_incremental" -> (lakeIcebergIncremental _),
     "lake_iceberg_read" -> (lakeIcebergRead _),
     "lake_iceberg_v3" -> (lakeIcebergV3 _),
     "lake_sql_dml" -> (lakeSqlDml _),
@@ -1035,6 +1060,16 @@ object Lake {
          FROM orders
          WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 7 <> 0
          GROUP BY o_orderstatus""",
+    "lake_iceberg_incremental" ->
+      """SELECT src, n_orders, total FROM (
+           SELECT 'second' AS src, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+           FROM orders WHERE year(o_orderdate) = 1995
+           UNION ALL
+           SELECT 'third', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE year(o_orderdate) > 1995
+         )""",
     "lake_iceberg_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,

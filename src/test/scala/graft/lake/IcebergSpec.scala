@@ -320,4 +320,39 @@ class IcebergSpec extends AnyFunSuite {
     assert(t.scan().count() == 20)
     assert(t.scan(snapshotId = preDv).count() == 25)
   }
+
+  test("incremental append scan: added rows only, tagged by snapshot") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("incr"), n.schema)
+    val s1 = w.append(n.filter(col("n_nationkey") < 10))
+    val s2 = w.append(n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+    val s3 = w.append(n.filter(col("n_nationkey") >= 20))
+    val t = IcebergTable.load(spark, w.location)
+    val got = t.incrementalAppends(s1).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Long]("_snapshot_id"))
+    assert(got.map(_._1).sorted.toSeq ==
+      n.collect().map(_.getAs[Int]("n_nationkey")).filter(_ >= 10).sorted.toSeq)
+    got.foreach { case (k, sid) =>
+      assert(sid == (if (k < 20) s2 else s3), s"key $k tagged $sid")
+    }
+    // from == to → empty, with the right schema
+    assert(t.incrementalAppends(s3).count() == 0)
+    // filter pushes into the planning
+    assert(t.incrementalAppends(s1, filter = Some(col("n_nationkey") >= 20))
+      .collect().forall(_.getAs[Long]("_snapshot_id") == s3))
+  }
+
+  test("incremental append scan rejects delete snapshots in range") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("incr-rej"), n.schema)
+    val s1 = w.append(n.filter(col("n_nationkey") < 20))
+    w.equalityDelete(n.filter(col("n_nationkey") === 3).select("n_nationkey"))
+    w.append(n.filter(col("n_nationkey") >= 20))
+    val t = IcebergTable.load(spark, w.location)
+    val e = intercept[IllegalArgumentException] { t.incrementalAppends(s1) }
+    assert(e.getMessage.contains("operation"))
+    // a non-ancestor `from` is rejected too
+    val e2 = intercept[Exception] { t.incrementalAppends(999999L) }
+    assert(e2.getMessage.contains("ancestor") || e2.getMessage.contains("not in metadata"))
+  }
 }
