@@ -433,7 +433,37 @@ object Stream {
       .select("change_type", "event_type", "n")
   }
 
+  /** STREAMING read of a Delta table's CHANGE DATA FEED (r09): the
+    * `delta-cdf` source tails a CDF-enabled Delta table by VERSION
+    * offsets — each micro-batch is `DeltaTable.changes(start+1, end]`
+    * with all four `_change_type` values, so graft can continuously
+    * mirror another engine's Delta table including its updates and
+    * deletes (the interop counterpart of stream_lake_cdc). The gate
+    * builds the same CDF table as lake_delta_cdf (append → COW update →
+    * COW delete), tails it AvailableNow, and aggregates per change
+    * type/version — same DuckDB oracle shape. */
+  def streamDeltaCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.delta.DeltaWriter
+    val sfTag = d.replaceAll(".*/", "")
+    val work = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake")
+    val loc = s"$work/stream-deltacdf-$sfTag"
+    val o = graft.Tables.orders(s, d)
+    val w = DeltaWriter.create(s, loc, o.schema,
+      partitionColumns = Seq("o_orderstatus"), enableCdf = true)
+    w.append(o) // v1
+    w.updateWhere(col("o_orderkey") % 10 === 0,
+      Map("o_orderpriority" -> lit("corrected"))) // v2
+    w.deleteWhere(col("o_orderpriority") === "1-URGENT") // v3
+    val agg = s.readStream.format("delta-cdf").load(loc)
+      .groupBy("_change_type", "_commit_version")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.queries.Money.sum2(col("o_totalprice")).as("total"))
+    runToTable(agg, "graft_stream_delta_cdf", "complete")
+      .select("_change_type", "_commit_version", "n_rows", "total")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_delta_cdf" -> (streamDeltaCdf _),
     "stream_lake_cdc" -> (streamLakeCdc _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
@@ -451,6 +481,25 @@ object Stream {
     * normalizes whatever unit the parquet carries; DuckDB reads it
     * natively), so epoch_us agrees on both sides. */
   val oracles: Map[String, String] = Map(
+    "stream_delta_cdf" ->
+      """SELECT _change_type, _commit_version, n_rows, total FROM (
+           SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+                  count(*) AS n_rows,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+           FROM orders
+           UNION ALL
+           SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT 'delete', CAST(3 AS BIGINT), count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 <> 0
+         )""",
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value

@@ -154,6 +154,46 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(runOnce() == 0, "no new commits, no rows")
   }
 
+  test("delta-cdf stream tails change versions incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    val base = "/root/repo/target/graft-lake-test/deltacdf"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val loc = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val n = Tables.nation(spark, sf)
+    val w = graft.lake.delta.DeltaWriter.create(spark, loc, n.schema,
+      enableCdf = true)
+    w.append(n) // v1
+    def runOnce(): Map[String, Long] = {
+      val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val q = spark.readStream.format("delta-cdf").load(loc)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy("_change_type").count().collect().foreach(r =>
+            seen.merge(r.getString(0), r.getLong(1), (a, c) => a + c)); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toMap
+    }
+    assert(runOnce() == Map("insert" -> n.count()),
+      "first run delivers the initial append as inserts")
+    // an update + a delete land; the restarted stream delivers ONLY them
+    w.updateWhere(col("n_nationkey") % 5 === 0, Map("n_name" -> lit("U")))
+    w.deleteWhere(col("n_nationkey") === 7)
+    val k = n.collect().map(_.getAs[Int]("n_nationkey")).count(_ % 5 == 0)
+    assert(runOnce() == Map(
+      "update_preimage" -> k.toLong, "update_postimage" -> k.toLong,
+      "delete" -> 1L), "restart delivers exactly the new versions' changes")
+    assert(runOnce() == Map.empty[String, Long], "no new versions, no rows")
+  }
+
   test("cdc stream observes delete commits as _change_type=delete rows") {
     import org.apache.spark.sql.streaming.Trigger
     val base = "/root/repo/target/graft-lake-test/lakesource-cdc"
