@@ -337,6 +337,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING duplication audit (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * criterion): a token position is duplicated when the k-token gram
+    * starting there occurs more than once in the CORPUS (the paper uses
+    * suffix arrays; the distributed shape is gram-hash grouping — same
+    * criterion, shuffle-friendly). Output per document: total tokens,
+    * number of duplicated gram positions, and the number of tokens
+    * covered by the union of duplicated spans (the bytes ExactSubstr
+    * would cut).
+    *
+    * Scale shape: one map pass emits (doc, pos, gram); the duplicated
+    * gram set comes from a partial-agg'd count (the shuffle carries one
+    * row per distinct gram per partition); the span-union length needs
+    * NO interval merging — for sorted duplicated positions p with
+    * successor q, the newly covered tokens are min(q-p, k) (k for the
+    * last), so one per-doc window computes it. A 10⁵-copy boilerplate
+    * family costs one counter, never a pair explosion. The gate groups
+    * STRING grams for DuckDB parity; at corpus scale the same plan runs
+    * on the xxhash64 gram ids (ngramIds) — longs in the shuffle, not
+    * text. [oracle] */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val grams = docs.select(col("doc_id"),
+      posexplode(ngramStrings(split(col("text"), "\\s+"), k)).as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val covered = grams.join(dupGrams, "g")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("cov", when(col("nxt").isNull, k)
+        .otherwise(least(col("nxt") - col("pos"), lit(k))))
+    val perDoc = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("cov")).as("dup_tokens"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embedding space, then exact-cosine dedup WITHIN each cluster — the
     * embedding-space complement to LSH near-dup removal, catching
@@ -394,6 +437,7 @@ object Dedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -404,5 +448,26 @@ object Dedup {
     * rows-checked + spec-tested against brute force on sf0.001. */
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
-      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text")
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "dedup_substring" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+           FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+           WHERE len(toks) >= 8),
+         dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+         cov AS (
+           SELECT doc_id, pos,
+                  coalesce(least(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8), 8) AS cov
+           FROM g JOIN dup USING (g)),
+         agg AS (
+           SELECT doc_id, count(*) AS n_dup_grams, CAST(sum(cov) AS BIGINT) AS dup_tokens
+           FROM cov GROUP BY doc_id)
+         SELECT t.doc_id, len(t.toks) AS n_tokens,
+                coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+                coalesce(a.dup_tokens, 0) AS dup_tokens
+         FROM t LEFT JOIN agg a USING (doc_id)""")
 }

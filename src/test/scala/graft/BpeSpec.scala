@@ -42,6 +42,17 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.head == "lo" && enc.last == "est</w>")
   }
 
+  test("encode pass is map-only: no data-keyed shuffle in the plan") {
+    val plan = queries.BpeTokenizer.textBpe(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only Exchange allowed is fanOut's round-robin parallelism
+    // spread — nothing keyed on data (no hash/range partitioning)
+    assert(!plan.contains("hashpartitioning"),
+      s"encode must not shuffle by key:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"encode must not sort-shuffle:\n$plan")
+  }
+
   test("text_bpe entry: count invariants + determinism on sf0.001") {
     val a = queries.BpeTokenizer.textBpe(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))

@@ -162,6 +162,32 @@ class PipelineSpec extends AnyFunSuite {
     if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
+  test("dedup_substring matches in-memory ExactSubstr span accounting") {
+    val k = 8
+    val gramsOf = docs.map { case (id, t, _) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      id -> (if (w.length < k) Seq.empty[(Int, String)]
+             else w.sliding(k).zipWithIndex.map { case (g, i) => (i, g.mkString(" ")) }.toSeq)
+    }.toMap
+    val global = gramsOf.values.flatten.groupBy(_._2).view.mapValues(_.size).toMap
+    val truth = docs.map { case (id, t, _) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      val dupPos = gramsOf(id).filter { case (_, g) => global(g) > 1 }.map(_._1).sorted
+      val covered = dupPos.zipAll(dupPos.drop(1).map(Some(_)), -1, None).map {
+        case (p, Some(q)) => math.min(q - p, k)
+        case (p, None) if p >= 0 => k
+        case _ => 0
+      }.sum
+      id -> ((w.length, dupPos.size, covered))
+    }.toMap
+    val got = queries.Dedup.dedupSubstring(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2).toInt, r.getLong(3).toInt)))
+      .toMap
+    assert(got.keySet == truth.keySet)
+    assert(truth.values.exists(_._2 > 0), "corpus should contain duplicated substrings")
+    got.foreach { case (id, v) => assert(v == truth(id), s"doc $id: $v vs ${truth(id)}") }
+  }
+
   test("dedup_semantic: removals witnessed, kept set pairwise-clean per cluster") {
     val got = queries.Dedup.dedupSemantic(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
