@@ -448,9 +448,6 @@ final class DeltaWriter private (
     * partials per file — O(tasks × compressed bitmap) through the
     * driver, never O(deleted rows). */
   def deleteWhereDv(cond: Column): Long = {
-    require(!enableCdf,
-      "delta: deleteWhereDv on a CDF-enabled table is not implemented " +
-        "(the cdc rows for DV'd deletes are not written) — use deleteWhere")
     val t = DeltaTable.load(spark, location)
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
@@ -469,6 +466,39 @@ final class DeltaWriter private (
     val byPart = affectedNodes.groupBy { case (_, n) =>
       mapper.writeValueAsString(n.get("add").get("partitionValues")) }
     val deletedByFile = scala.collection.mutable.Map[String, RoaringBitmapArray]()
+    // files that already carry a DV: their masked rows are ALREADY
+    // deleted — they must not re-enter the new delta's row set (the
+    // mask-union keeps the bitmap correct either way, but a CDF table
+    // would re-emit a delete for an already-deleted row)
+    val oldDvs: Map[String, DeletionVectors.Descriptor] = affectedNodes.flatMap {
+      case (rel, n) =>
+        val a = n.get("add")
+        if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+          val d = a.get("deletionVector")
+          Some(DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) ->
+            DeletionVectors.Descriptor(
+              d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+              if (d.has("offset") && !d.get("offset").isNull)
+                Some(d.get("offset").asInt) else None,
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong))
+        } else None
+    }.toMap
+    val notAlreadyDeleted: Column = if (oldDvs.isEmpty) lit(true) else {
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      val bcDvs = spark.sparkContext.broadcast(oldDvs)
+      val loc = location
+      val f = org.apache.spark.sql.functions.udf { (fp: String, ri: Long) =>
+        bcDvs.value.get(DeltaTable.pathKey(fp)) match {
+          case Some(d) =>
+            !DeltaTable.DvCache.bitmap(loc, DeltaTable.pathKey(fp), d,
+              bcConf.value.value).contains(ri)
+          case None => true
+        }
+      }
+      f(col("__fp"), col("__ri"))
+    }
+    val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     import spark.implicits._
     byPart.values.toSeq.sortBy(_.head._1).foreach { group =>
       val paths = group.map { case (rel, _) =>
@@ -488,8 +518,9 @@ final class DeltaWriter private (
           (if (v == null || v.isNull) lit(null)
            else lit(v.asText())).cast(schema(c).dataType))
       }
-      val partials: Array[(String, Array[Byte])] = df
-        .filter(coalesce(cond, lit(false)))
+      val newlyDeleted = df
+        .filter(notAlreadyDeleted && coalesce(cond, lit(false)))
+      val partials: Array[(String, Array[Byte])] = newlyDeleted
         .select(col("__fp"), col("__ri")).as[(String, Long)]
         .mapPartitions { it =>
           val m = scala.collection.mutable.LinkedHashMap[String, RoaringBitmapArray]()
@@ -497,6 +528,10 @@ final class DeltaWriter private (
             m.getOrElseUpdate(fp, RoaringBitmapArray()).add(ri) }
           m.iterator.map { case (fp, bm) => (fp, bm.serialize()) }
         }.collect()
+      if (enableCdf)
+        cdcFrames += newlyDeleted
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
       partials.foreach { case (fp, blob) =>
         val key = DeltaTable.pathKey(fp)
         val bm = RoaringBitmapArray.deserialize(blob)
@@ -548,7 +583,13 @@ final class DeltaWriter private (
         live(rel) = newNode
       }
     }
-    commit(actions.toSeq)
+    // on a CDF table the DV commit also carries its delete change rows
+    // (cdc actions are authoritative for CDF readers, so the DV'd adds
+    // in this commit are correctly ignored by the feed)
+    val cdcActs =
+      if (cdcFrames.isEmpty) Nil
+      else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
+    commit(cdcActs ++ actions.toSeq)
   }
 
   // ---- checkpoints ---------------------------------------------------------

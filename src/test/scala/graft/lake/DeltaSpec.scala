@@ -474,6 +474,28 @@ class DeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without cdc"))
   }
 
+  test("CDF with DV deletes: cdc rows emitted; re-deletes not re-emitted") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf-dv")
+    val w = DeltaWriter.create(spark, loc, n.schema, enableCdf = true)
+    w.append(n) // v1
+    w.deleteWhereDv(col("n_nationkey") < 5) // v2 (includes protocol bump)
+    // overlapping second DV delete: keys 0-4 are ALREADY deleted and
+    // must not re-enter the feed; only 5-9 are new deletions
+    w.deleteWhereDv(col("n_nationkey") < 10) // v3
+    val ch = DeltaTable.changes(spark, loc, 2L, 3L).collect()
+      .map(r => (r.getAs[Long]("_commit_version"), r.getAs[Int]("n_nationkey")))
+    assert(ch.filter(_._1 == 2L).map(_._2).toSet == (0 until 5).toSet)
+    assert(ch.filter(_._1 == 3L).map(_._2).toSet == (5 until 10).toSet,
+      "already-DV-deleted rows must not re-emit")
+    assert(ch.forall(_ => true)) // shape sanity
+    // snapshot masks all ten
+    assert(DeltaTable.load(spark, loc).scan().count() == n.count() - 10)
+    // no data file was rewritten (still merge-on-read)
+    val files = DeltaTable.load(spark, loc).planFiles().toSet
+    assert(files.size == 1)
+  }
+
   test("CDF on a column-mapped partitioned table round-trips") {
     val n = Tables.nation(spark, sf)
     val loc = freshDir("cdf-cm")
