@@ -145,6 +145,71 @@ object Bpe {
   }
 }
 
+/** `graft_repetition_stats(tokens)` → struct(n_words, n_distinct,
+  * n_bigrams, n_distinct_bigrams, top_count): the count inputs of the
+  * Gopher repetition signals (Rae et al. 2021 §A1.1) in ONE pass over
+  * the token array. The HOF formulation (array_distinct + a
+  * transform/filter quadratic top-word scan) evaluates interpreted and
+  * was the heaviest per-row op in the sf1 scale run (6.5× at 10×);
+  * this is a hash-set walk — O(tokens) per row, map-only. Empty tokens
+  * skipped, same rule as the signature expressions; counts only — the
+  * fraction arithmetic stays in (codegen'd) column space so the oracle
+  * rounding semantics are untouched. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_repetition_stats needs array<string>, got $t")
+  }
+  override def dataType: DataType = new org.apache.spark.sql.types.StructType()
+    .add("n_words", org.apache.spark.sql.types.IntegerType, nullable = false)
+    .add("n_distinct", org.apache.spark.sql.types.IntegerType, nullable = false)
+    .add("n_bigrams", org.apache.spark.sql.types.IntegerType, nullable = false)
+    .add("n_distinct_bigrams", org.apache.spark.sql.types.IntegerType, nullable = false)
+    .add("top_count", org.apache.spark.sql.types.IntegerType, nullable = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new java.util.ArrayList[String](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) toks.add(t.toString)
+      }
+      i += 1
+    }
+    val n = toks.size()
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var top = 0
+    i = 0
+    while (i < n) {
+      val prev = counts.get(toks.get(i))
+      val c = if (prev == null) 1 else prev.intValue + 1
+      counts.put(toks.get(i), Integer.valueOf(c))
+      if (c > top) top = c
+      i += 1
+    }
+    val nDistinct = counts.size()
+    val bigrams = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i < n - 1) {
+      bigrams.add(toks.get(i) + " " + toks.get(i + 1))
+      i += 1
+    }
+    val nBigrams = math.max(0, n - 1)
+    org.apache.spark.sql.catalyst.InternalRow(
+      n, nDistinct, nBigrams, bigrams.size(), top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_bpe_stats(tokens)` → struct(n_bpe_tokens: long, head: string):
   * total BPE token count of a whitespace-tokenized document under the
   * learned `merges`, plus the space-joined encoding of its first word (a

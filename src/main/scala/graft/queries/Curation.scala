@@ -230,33 +230,29 @@ object Curation {
 
   /** Repetition-based quality signals (Rae et al. 2021 §A1.1: excess
     * repetition predicts low-quality/boilerplate text): duplicate-word
-    * fraction, duplicate-bigram fraction, and top-word dominance. Pure
-    * per-row column work over one materialized token array — map-only at
-    * any scale. The token array is bound in its own projection so the
-    * interpreted higher-order functions iterate a computed array rather
-    * than re-splitting the document per lambda (TextFunctions perf rule;
-    * CollapseProject keeps the split single because `toks` is referenced
-    * many times). [oracle] */
+    * fraction, duplicate-bigram fraction, and top-word dominance.
+    * Map-only at any scale; the count inputs come from ONE native pass
+    * per row (RepetitionStats — the earlier HOF formulation evaluated
+    * interpreted with a quadratic top-word scan and was the heaviest
+    * per-row op in the sf1 run, 3.2 s exec; the fraction arithmetic
+    * stays in codegen'd column space so oracle rounding is
+    * unchanged). [oracle] */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    val toks = col("toks")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    val n = size(toks).cast("double")
-    val topCnt = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, t => t === w))))
+    val stats = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.RepetitionStats(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(
+          split(col("text"), "\\s+"))))
+    val n = col("r.n_words").cast("double")
     Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), stats.as("r"))
       .select(
         col("doc_id"),
-        size(toks).as("n_words"),
-        round(lit(1.0) - size(array_distinct(toks)) / n, 4)
-          .as("dup_word_frac"),
-        round(when(size(toks) >= 2,
-          lit(1.0) - size(array_distinct(bigrams)) / size(bigrams))
+        col("r.n_words").as("n_words"),
+        round(lit(1.0) - col("r.n_distinct") / n, 4).as("dup_word_frac"),
+        round(when(col("r.n_words") >= 2,
+          lit(1.0) - col("r.n_distinct_bigrams") / col("r.n_bigrams").cast("double"))
           .otherwise(0.0), 4).as("dup_2gram_frac"),
-        round(topCnt / n, 4).as("top_word_frac"))
+        round(col("r.top_count") / n, 4).as("top_word_frac"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
