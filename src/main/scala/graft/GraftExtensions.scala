@@ -72,7 +72,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => Quantize8Stats(args(0))),
     ("graft_ngram_strings",
       "graft_ngram_strings(tokens, n) - space-joined word n-gram strings (decontam gram source)",
-      (args: Seq[Expression]) => NGramStrings(args(0), intArg(args(1), "n")))
+      (args: Seq[Expression]) => NGramStrings(args(0), intArg(args(1), "n"))),
+    ("graft_repetition_stats",
+      "graft_repetition_stats(tokens) - Gopher repetition count inputs " +
+        "struct(n_words, n_distinct, n_bigrams, n_distinct_bigrams, top_count)",
+      (args: Seq[Expression]) => RepetitionStats(args(0)))
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.expressions", null, name, usage, ""),

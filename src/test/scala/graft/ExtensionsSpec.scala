@@ -37,6 +37,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) == Seq.empty) // sub-n doc yields no grams
   }
 
+  test("graft_repetition_stats counts words, bigrams, and dominance from SQL") {
+    val r = spark.sql(
+      "SELECT graft_repetition_stats(split('a b a  b a', ' ')) AS r").head()
+      .getStruct(0)
+    // tokens: a b a b a (empty skipped): 5 words, 2 distinct;
+    // bigrams: "a b","b a","a b","b a" → 4, 2 distinct; top = a×3
+    assert(r.toSeq == Seq(5, 2, 4, 2, 3))
+  }
+
   test("signature functions are deterministic across invocations") {
     val q = "SELECT graft_simhash(split('the quick brown fox', ' ')) AS s, " +
       "graft_minhash_band_keys(graft_shingle_ids(split('the quick brown fox', ' '), 2), 64, 16) AS mk, " +
