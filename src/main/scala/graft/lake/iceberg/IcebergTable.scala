@@ -61,6 +61,56 @@ final class IcebergTable private (
     meta.refs.getOrElse(name, throw new IllegalArgumentException(
       s"iceberg: no ref '$name' (have ${meta.refs.keys.mkString(",")})")).snapshotId
 
+  /** `snapshots` METADATA TABLE (Iceberg's `<table>.snapshots` shape):
+    * one row per snapshot from table metadata alone — committed_at,
+    * snapshot_id, parent_id, sequence_number, operation, manifest_list.
+    * Driver-side O(snapshots) rows; no file IO. */
+  def snapshotsDf: DataFrame = {
+    val rows = meta.snapshots.sortBy(_.id).map { s =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(s.timestampMs), s.id,
+        s.parentId.map(Long.box).orNull, s.sequenceNumber, s.operation,
+        s.manifestList)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("committed_at", TimestampType),
+        StructField("snapshot_id", LongType),
+        StructField("parent_id", LongType),
+        StructField("sequence_number", LongType),
+        StructField("operation", StringType),
+        StructField("manifest_list", StringType))))
+  }
+
+  /** `files` METADATA TABLE (Iceberg's `<table>.files` shape): one row
+    * per live content file of a snapshot — content code, path, format,
+    * record count, size, partition values (as a string map), sequence
+    * number. O(manifest entries) driver metadata; no data-file IO. */
+  def filesDf(snapshotId: Long = -1L): DataFrame = {
+    val p = plan(None, snapshotId)
+    val all =
+      p.dataFiles.map(pf => (0, pf)) ++ p.posDeletes.map(pf => (1, pf)) ++
+        p.eqDeletes.map(pf => (2, pf)) ++ p.dvDeletes.map(pf => (1, pf))
+    val rows = all.sortBy(_._2.entry.filePath).map { case (content, pf) =>
+      val pvals = pf.entry.partition.map { case (k, v) =>
+        k -> String.valueOf(v) }
+      org.apache.spark.sql.Row(content, pf.entry.filePath,
+        pf.entry.fileFormat, pf.entry.recordCount, pf.entry.fileSizeBytes,
+        pvals, pf.seq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("content", IntegerType),
+        StructField("file_path", StringType),
+        StructField("file_format", StringType),
+        StructField("record_count", LongType),
+        StructField("file_size_in_bytes", LongType),
+        StructField("partition", MapType(StringType, StringType)),
+        StructField("sequence_number", LongType))))
+  }
+
   // ---- planning ------------------------------------------------------------
 
   import IcebergTable.{Plan, PlannedFile}

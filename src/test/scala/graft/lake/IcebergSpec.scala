@@ -321,6 +321,34 @@ class IcebergSpec extends AnyFunSuite {
     assert(t.scan(snapshotId = preDv).count() == 25)
   }
 
+  test("snapshots/files metadata tables answer from metadata alone") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("metatab"), n.schema,
+      partition = Seq("n_regionkey" -> "identity"))
+    val s1 = w.append(n.filter(col("n_regionkey") < 3))
+    val s2 = w.append(n.filter(col("n_regionkey") >= 3))
+    w.equalityDelete(n.filter(col("n_nationkey") === 3).select("n_nationkey"))
+    val t = IcebergTable.load(spark, w.location)
+    val snaps = t.snapshotsDf.collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getAs[Long]("snapshot_id")).toSet.contains(s1))
+    val byId = snaps.map(r => r.getAs[Long]("snapshot_id") -> r).toMap
+    assert(byId(s2).getAs[Long]("parent_id") == s1)
+    assert(byId(s1).isNullAt(byId(s1).fieldIndex("parent_id")))
+    assert(snaps.forall(_.getAs[String]("operation").nonEmpty))
+    val files = t.filesDf().collect()
+    // 5 region partitions of data + 1 equality-delete file
+    assert(files.count(_.getAs[Int]("content") == 0) == 5)
+    assert(files.count(_.getAs[Int]("content") == 2) == 1)
+    assert(files.filter(_.getAs[Int]("content") == 0)
+      .map(_.getAs[Map[String, String]]("partition").values.head).sorted.toSeq ==
+      Seq("0", "1", "2", "3", "4"))
+    assert(files.forall(_.getAs[Long]("record_count") > 0))
+    // time travel: the files table of snapshot 1 has 3 data files, no deletes
+    val f1 = t.filesDf(s1).collect()
+    assert(f1.length == 3 && f1.forall(_.getAs[Int]("content") == 0))
+  }
+
   test("incremental append scan: added rows only, tagged by snapshot") {
     val n = Tables.nation(spark, sf)
     val w = IcebergWriter.create(spark, freshDir("incr"), n.schema)
