@@ -449,7 +449,28 @@ final class DeltaWriter private (
     * driver, never O(deleted rows). */
   def deleteWhereDv(cond: Column): Long = {
     val t = DeltaTable.load(spark, location)
-    val affected = t.planFiles(Some(cond)).toSet
+    dvDeleteCore(t.planFiles(Some(cond)).toSet,
+      df => df.filter(coalesce(cond, lit(false))))
+  }
+
+  /** KEYED DV delete: rows whose `keyCol` appears in `keys` gain DV
+    * masks — the mirror-sync primitive (a key-set predicate cannot ride
+    * a Column, and a COW rewrite would amplify writes). Every live file
+    * is scanned to locate matching row positions — the true cost of a
+    * keyed delete on Delta, which has no equality-delete file concept;
+    * the WRITES stay O(matched rows) (bitmaps), never a rewrite. */
+  def deleteMatchingDv(keys: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "delta: deleteMatchingDv needs key columns")
+    val t = DeltaTable.load(spark, location)
+    val k = keys.select(keyCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("string").as(s"__dk$i") }.toIndexedSeq: _*).distinct()
+    dvDeleteCore(t.planFiles(None).toSet, df =>
+      df.join(k, keyCols.zipWithIndex.map { case (c, i) =>
+        df(c).cast("string") === k(s"__dk$i") }.reduce(_ && _), "left_semi"))
+  }
+
+  private def dvDeleteCore(affected: Set[String],
+      rowMatcher: DataFrame => DataFrame): Long = {
     if (affected.isEmpty) return version
     val firstDv = !dvEnabled
     dvEnabled = true
@@ -518,8 +539,7 @@ final class DeltaWriter private (
           (if (v == null || v.isNull) lit(null)
            else lit(v.asText())).cast(schema(c).dataType))
       }
-      val newlyDeleted = df
-        .filter(notAlreadyDeleted && coalesce(cond, lit(false)))
+      val newlyDeleted = rowMatcher(df).filter(notAlreadyDeleted)
       val partials: Array[(String, Array[Byte])] = newlyDeleted
         .select(col("__fp"), col("__ri")).as[(String, Long)]
         .mapPartitions { it =>
@@ -791,6 +811,83 @@ object DeltaWriter {
   /** Fresh table at `location` (cleared first): version 0 carries
     * protocol + metaData, per the protocol's creation shape.
     * `columnMapping`: None | Some("name") | Some("id"). */
+  /** Reopens an existing Delta table for FURTHER commits (the mirror
+    * steady state — create() starts from scratch). Replays the raw JSON
+    * log: live add actions, current metaData (schema / partition
+    * columns / CDF flag), protocol features. Requires the full commit
+    * log from version 0 (loud otherwise — a cleaned log would silently
+    * forget live files) and no column mapping (physical-name state is
+    * not reconstructed). */
+  def open(spark: SparkSession, location: String): DeltaWriter = {
+    val mapper = new ObjectMapper()
+    val logDir = new Path(location, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(logDir), s"delta: no _delta_log under $location")
+    val CommitRe = """(\d{20})\.json""".r
+    val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .flatMap(p => p.getName match {
+        case CommitRe(v) => Some((v.toLong, p)); case _ => None
+      }).sortBy(_._1)
+    require(commits.nonEmpty, s"delta: empty log under $location")
+    require(commits.map(_._1) == (0L until commits.size.toLong),
+      s"delta: open() needs the full log from version 0 " +
+        s"(have ${commits.map(_._1).mkString(",")})")
+    var schemaStr: String = null
+    var partitionCols: Seq[String] = Nil
+    var cdf = false
+    var dvFeature = false
+    var v2cp = false
+    val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("metaData")) {
+          val m = n.get("metaData")
+          schemaStr = m.get("schemaString").asText()
+          val pcs = Seq.newBuilder[String]
+          val it = m.path("partitionColumns").elements()
+          while (it.hasNext) pcs += it.next().asText()
+          partitionCols = pcs.result()
+          cdf = m.path("configuration")
+            .path("delta.enableChangeDataFeed").asText("") == "true"
+          require(m.path("configuration").path("delta.columnMapping.mode")
+            .asText("none") == "none",
+            "delta: open() does not reconstruct column-mapping state")
+        }
+        if (n.has("protocol")) {
+          val fts = n.get("protocol").path("writerFeatures")
+          if (fts.isArray) {
+            val it = fts.elements()
+            while (it.hasNext) it.next().asText() match {
+              case "deletionVectors" => dvFeature = true
+              case "v2Checkpoint" => v2cp = true
+              case _ => ()
+            }
+          }
+        }
+        if (n.has("add")) {
+          val node = mapper.createObjectNode()
+          node.set[ObjectNode]("add", n.get("add").deepCopy())
+          live(n.get("add").get("path").asText()) = node
+        }
+        if (n.has("remove"))
+          live.remove(n.get("remove").path("path").asText())
+      }
+    }
+    require(schemaStr != null, s"delta: no metaData action under $location")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+      .asInstanceOf[StructType]
+    val w = new DeltaWriter(spark, location, schema, partitionCols, None, cdf)
+    w.version = commits.map(_._1).max
+    live.foreach { case (rel, node) => w.live(rel) = node }
+    w.dvEnabled = dvFeature
+    w.v2CpEnabled = v2cp
+    w
+  }
+
   def create(spark: SparkSession, location: String, schema: StructType,
       partitionColumns: Seq[String] = Nil,
       columnMapping: Option[String] = None,

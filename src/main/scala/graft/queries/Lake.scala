@@ -722,6 +722,45 @@ object Lake {
     statusAgg(ice.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}"))
   }
 
+  /** Delta WRITE interop (r09; the Delta counterpart of
+    * lake_iceberg_write — with the read interop, BOTH directions on a
+    * second format): [[graft.lake.delta.DeltaExport]] commits a graft
+    * table's current snapshot as a protocol-conforming Delta table
+    * (identity partitions carried as hive dirs, stats JSON, int64
+    * timestamps), then the steady-state INCREMENTAL mirror folds
+    * further graft commits into exactly two Delta commits — a
+    * DELETION-VECTOR delete of the touched keys (no file rewrite,
+    * receipt-asserted) + an append of their current rows. Read back
+    * through the independent DeltaTable reader with partition pruning;
+    * same source mutations as lake_iceberg_write, same oracle. */
+  def lakeDeltaWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.delta.{DeltaExport, DeltaTable}
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "delta_write_src", d), o,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"),
+      properties = Map("write.distribution-mode" -> "hash"))
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    val dst = work(s, "delta_write_dst", d)
+    DeltaExport.export(s, t, dst)
+    val filesAfterExport = DeltaTable.load(s, dst).planFiles().toSet
+    // steady-state: more graft commits, mirrored incrementally
+    t.append(o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey")))
+    t.delete(col("o_orderstatus") === "P")
+    val commits = DeltaExport.exportIncremental(s, t, dst)
+    require(commits == 2, s"incremental export made $commits commits, want 2")
+    val dt = DeltaTable.load(s, dst)
+    // the sync's delete rode deletion vectors: every original file is
+    // still live (masked, not rewritten)
+    require(filesAfterExport.subsetOf(dt.planFiles().toSet),
+      "incremental sync must not rewrite exported files (DV delete)")
+    val total = dt.planFiles().size
+    val pruned = dt.planFiles(Some(col("o_orderstatus") === "F")).size
+    require(pruned < total,
+      s"exported delta layout must partition-prune ($pruned of $total kept)")
+    statusAgg(dt.scan())
+  }
+
   /** REAL Delta Lake read interop — the reference lists Delta as future
     * support (pg_lakehouse_iceberg/README.md:9); graft ships it: a
     * protocol-conforming Delta table (%020d.json action log, per-file
@@ -913,6 +952,7 @@ object Lake {
     "lake_hudi_incremental" -> (lakeHudiIncremental _),
     "lake_hudi_read" -> (lakeHudiRead _),
     "lake_delta_cdf" -> (lakeDeltaCdf _),
+    "lake_delta_write" -> (lakeDeltaWrite _),
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_incremental" -> (lakeIcebergIncremental _),
@@ -1043,6 +1083,18 @@ object Lake {
            GROUP BY o_orderpriority
          )""",
     "lake_iceberg_write" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderpriority <> '1-URGENT'
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 10 = 0
+         )
+         WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus""",
+    "lake_delta_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM (

@@ -408,6 +408,50 @@ class DeltaSpec extends AnyFunSuite {
       s"timestamp stats pruning kept ${kept.size} of ${t.planFiles().size}")
   }
 
+  test("open() reopens a table for further commits with full state") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("reopen")
+    val w = DeltaWriter.create(spark, loc, n.schema,
+      partitionColumns = Seq("n_regionkey"))
+    w.append(n.filter(col("n_nationkey") < 10))
+    w.deleteWhereDv(col("n_nationkey") === 3)
+    val w2 = DeltaWriter.open(spark, loc)
+    w2.append(n.filter(col("n_nationkey") >= 10))
+    val t = DeltaTable.load(spark, loc)
+    assert(t.version == 3L, "reopened writer continues the version chain")
+    assert(t.scan().count() == n.count() - 1, "DV state survived the reopen")
+    assert(t.scan(Some(col("n_nationkey") === 3)).count() == 0)
+  }
+
+  test("graft -> Delta export mirrors incrementally as a CDF relay") {
+    import graft.lake.GraftTable
+    import graft.lake.delta.DeltaExport
+    val base = freshDir("export")
+    val n = Tables.nation(spark, sf)
+    val t = GraftTable.create(spark, s"$base/src", n,
+      keyColumns = Seq("n_nationkey"))
+    val dst = s"$base/dst"
+    DeltaExport.export(spark, t, dst, enableCdf = true)
+    assert(DeltaTable.load(spark, dst).scan().count() == n.count())
+    // source moves on: an upsert (key 3) and a delete (key 7)
+    t.upsert(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("SYNCED")))
+    t.delete(col("n_nationkey") === 7)
+    val v0 = DeltaTable.load(spark, dst).version
+    assert(DeltaExport.exportIncremental(spark, t, dst) == 2)
+    val dt = DeltaTable.load(spark, dst)
+    assert(dt.scan().count() == n.count() - 1)
+    assert(dt.scan(Some(col("n_name") === "SYNCED")).count() == 1)
+    // idempotent when current
+    assert(DeltaExport.exportIncremental(spark, t, dst) == 0)
+    // the MIRROR's change feed shows the sync as deletes + inserts
+    val ch = DeltaTable.changes(spark, dst, v0 + 1, dt.version).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Int]("n_nationkey")))
+    assert(ch.filter(_._1 == "delete").map(_._2).toSet == Set(3, 7),
+      "touched keys' old rows deleted")
+    assert(ch.filter(_._1 == "insert").map(_._2).toSet == Set(3),
+      "only surviving touched keys re-insert")
+  }
+
   // ---- change data feed ----------------------------------------------------
 
   test("CDF: append/update/delete reconstruct all four change types") {
