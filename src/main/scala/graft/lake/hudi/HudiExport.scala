@@ -1,0 +1,105 @@
+package graft.lake.hudi
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
+
+/** Export a graft table AS a layout-conforming Apache Hudi MERGE_ON_READ
+  * table — the third leg of the write-interop triangle (with
+  * [[graft.lake.iceberg.IcebergExport]] and
+  * [[graft.lake.delta.DeltaExport]], graft mirrors OUT to every format
+  * it reads). [[HudiTable]] (and any Hudi reader) consumes the result:
+  * `.hoodie` timeline, `fileId_token_instant` base files with the five
+  * `_hoodie_*` meta columns, hive partition dirs, HoodieLogFormat delta
+  * blocks.
+  *
+  * MERGE_ON_READ is the deliberate choice for a mirror: each
+  * incremental sync lands as LOG-FILE APPENDS on the touched file
+  * groups (Hudi's own steady-state ingest shape) — base files are never
+  * rewritten by a sync, and a standard `compact()` folds deltas when
+  * the read amplification warrants it.
+  *
+  * Identity partitions carry over as hive dirs; transform partitions
+  * (`days`/`bucket`/`truncate`) are not expressible in Hudi's
+  * hive-style layout and export with identity columns only (documented,
+  * same posture as DeltaExport). Provenance rides the same
+  * `_graft_export.json` sidecar.
+  *
+  * Each sync folds the range's graft commits FINAL-STATE-BY-KEY into
+  * ≤2 deltacommits:
+  *  1. `upsertLog` of the touched keys' current rows (log records on
+  *     existing groups; new base groups for new keys), then
+  *  2. `deleteMatchingLog` of touched keys with NO current row
+  *     (`_hoodie_is_deleted` log records; skipped when none).
+  * Insert-then-delete inside the range cannot resurrect (no current
+  * row to upsert; the delete record masks any mirror state); an upsert
+  * chain lands only its last version (latest-per-key merge order).
+  */
+object HudiExport {
+
+  private val ProvName = "_graft_export.json"
+
+  private def writeProv(spark: SparkSession, dest: String, snapshot: Long): Unit = {
+    val p = new Path(dest, ProvName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"graft_snapshot": $snapshot}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readProv(spark: SparkSession, dest: String): Long = {
+    val p = new Path(dest, ProvName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$dest has no $ProvName provenance sidecar — run export() first")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text).get("graft_snapshot").asLong()
+  }
+
+  /** Exports `t`'s current snapshot to `dest` (cleared first). Requires
+    * a SINGLE key column (Hudi's record key; composite keys would need
+    * the key-generator machinery this writer doesn't model). */
+  def export(spark: SparkSession, t: GraftTable, dest: String): HudiWriter = {
+    val keyCols = t.meta.keyColumns
+    require(keyCols.size == 1,
+      s"hudi export needs exactly one key column, got $keyCols")
+    val identityParts = PartitionTransforms.parseAll(t.meta.partitionColumns)
+      .collect { case PIdentity(c) => c }
+    val w = HudiWriter.create(spark, dest, t.schema,
+      partitionFields = identityParts, keyField = keyCols.head,
+      tableType = "MERGE_ON_READ")
+    w.insert(t.scan())
+    writeProv(spark, dest, t.meta.currentSnapshotId)
+    w
+  }
+
+  /** Folds graft commits since the last export into ≤2 deltacommits
+    * (upsertLog current rows of touched keys + soft-delete the gone
+    * ones). Returns the number of Hudi commits made (0 = current). */
+  def exportIncremental(spark: SparkSession, t: GraftTable, dest: String): Int = {
+    val from = readProv(spark, dest)
+    val to = t.meta.currentSnapshotId
+    if (to == from) return 0
+    val keyCols = t.meta.keyColumns
+    require(keyCols.size == 1,
+      s"hudi export needs exactly one key column, got $keyCols")
+    val key = keyCols.head
+    val w = HudiWriter.open(spark, dest)
+    val touched = t.cdc(from, to).select(col(key)).distinct()
+    val current = t.scan().join(touched, Seq(key), "left_semi")
+    var commits = 0
+    if (!current.isEmpty) { w.upsertLog(current); commits += 1 }
+    // touched keys with no current row are deletions
+    val gone = touched.join(t.scan().select(col(key)), Seq(key), "left_anti")
+    if (!gone.isEmpty) {
+      if (w.deleteMatchingLog(gone, key) != null) commits += 1
+    }
+    writeProv(spark, dest, to)
+    commits
+  }
+}

@@ -290,17 +290,34 @@ final class HudiWriter private (
   /** MOR DELETE: matching snapshot rows become `_hoodie_is_deleted`
     * log records on their file groups. One deltacommit. */
   def deleteLogWhere(cond: org.apache.spark.sql.Column): String = {
-    require(tableType == "MERGE_ON_READ", "hudi: deleteLogWhere needs MERGE_ON_READ")
     val t = HudiTable.load(spark, location)
+    deleteRowsLog(t, t.scan(Some(cond)), requireMatch = true)
+  }
+
+  /** KEYED MOR delete: the mirror-sync primitive — current rows whose
+    * `keyCol` appears in `keys` become `_hoodie_is_deleted` log
+    * records. No-op (null) when nothing matches. */
+  def deleteMatchingLog(keys: DataFrame, keyCol: String): String = {
+    val t = HudiTable.load(spark, location)
+    val k = keys.select(col(keyCol).cast("string").as("__mk")).distinct()
+    val doomed = t.scan().join(k,
+      col(keyCol).cast("string") === k("__mk"), "left_semi")
+    deleteRowsLog(t, doomed, requireMatch = false)
+  }
+
+  private def deleteRowsLog(t: HudiTable, doomed: DataFrame,
+      requireMatch: Boolean): String = {
+    require(tableType == "MERGE_ON_READ", "hudi: log deletes need MERGE_ON_READ")
     val instant = nextInstant()
-    val doomed = t.scan(Some(cond))
     val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
     routeToGroups(t, doomed) { case (slice, rows) =>
       val (rel, n) = appendLog(instant, slice.fileId, slice.instant,
         slice.partitionPath, rows, deleted = true)
       stats += ((slice.partitionPath, slice.fileId, rel, n))
     }
-    require(stats.nonEmpty, "hudi: deleteLogWhere matched no rows")
+    if (requireMatch)
+      require(stats.nonEmpty, "hudi: deleteLogWhere matched no rows")
+    if (stats.isEmpty) return null
     commit(instant, stats.toSeq, "deltacommit")
     instant
   }
@@ -359,6 +376,44 @@ final class HudiWriter private (
 }
 
 object HudiWriter {
+
+  /** Reopens an existing table this writer's layout understands for
+    * FURTHER commits (the mirror steady state): table shape from
+    * `hoodie.properties` + the newest base-file footer, counters
+    * (instant ordinal, file-group ordinal, per-group log versions)
+    * replayed from the timeline. */
+  def open(spark: SparkSession, location: String): HudiWriter = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = new Path(location, ".hoodie")
+    val fs = meta.getFileSystem(conf)
+    require(fs.exists(meta), s"hudi: no .hoodie under $location")
+    val props = new java.util.Properties()
+    val in = fs.open(new Path(meta, "hoodie.properties"))
+    try props.load(in) finally in.close()
+    val tableType = props.getProperty("hoodie.table.type", "COPY_ON_WRITE")
+    val keyField = props.getProperty("hoodie.table.recordkey.fields")
+    require(keyField != null && !keyField.contains(","),
+      s"hudi: open() needs a single record-key field, got $keyField")
+    val partitionFields = Option(props.getProperty("hoodie.table.partition.fields"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val t = HudiTable.load(spark, location)
+    val w = new HudiWriter(spark, location, t.schema, partitionFields,
+      keyField, tableType)
+    val InstantRe = """(\d+)\.(commit|deltacommit)""".r
+    w.instantSeq = fs.listStatus(meta).toSeq.map(_.getPath.getName).collect {
+      case InstantRe(i, _) => i.toLong.toInt
+    }.maxOption.getOrElse(0)
+    val FileIdRe = """g(\d+)""".r
+    w.fileSeq = t.liveSlices.map(_.fileId).collect {
+      case FileIdRe(n) => n.toInt
+    }.maxOption.getOrElse(0)
+    t.liveSlices.foreach { s =>
+      val vMax = s.logs.map(_.version).maxOption.getOrElse(0)
+      if (vMax > 0) w.logVersions(s.fileId) = vMax
+    }
+    w
+  }
+
   def create(spark: SparkSession, location: String, schema: StructType,
       partitionFields: Seq[String] = Nil,
       keyField: String,

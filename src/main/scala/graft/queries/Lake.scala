@@ -722,6 +722,41 @@ object Lake {
     statusAgg(ice.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}"))
   }
 
+  /** Hudi WRITE interop (r09; third leg of the write triangle — graft
+    * mirrors OUT to every format it reads): [[graft.lake.hudi.HudiExport]]
+    * commits a graft snapshot as a layout-conforming MERGE_ON_READ Hudi
+    * table, then the incremental mirror folds further graft commits
+    * into ≤2 deltacommits — upsertLog of touched keys' current rows +
+    * `_hoodie_is_deleted` log records for gone keys. Receipts: the
+    * sync lands as LOG FILES (exported base slices provably untouched),
+    * partition pruning on the mirror; same source mutations and oracle
+    * as lake_iceberg_write / lake_delta_write. */
+  def lakeHudiWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.hudi.{HudiExport, HudiTable}
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, work(s, "hudi_write_src", d), o,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"),
+      properties = Map("write.distribution-mode" -> "hash"))
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    val dst = work(s, "hudi_write_dst", d)
+    HudiExport.export(s, t, dst)
+    val baseAfterExport = HudiTable.load(s, dst).planFiles().toSet
+    t.append(o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey")))
+    t.delete(col("o_orderstatus") === "P")
+    val commits = HudiExport.exportIncremental(s, t, dst)
+    require(commits == 2, s"incremental export made $commits commits, want 2")
+    val ht = HudiTable.load(s, dst)
+    require(baseAfterExport.subsetOf(ht.planFiles().toSet),
+      "sync must land as log files / new groups — exported base slices untouched")
+    require(ht.hasLogFiles, "deletions must ride _hoodie_is_deleted log records")
+    val total = ht.planFiles().size
+    val pruned = ht.planFiles(Some(col("o_orderstatus") === "F")).size
+    require(pruned < total,
+      s"exported hudi layout must partition-prune ($pruned of $total kept)")
+    statusAgg(ht.scan())
+  }
+
   /** Delta WRITE interop (r09; the Delta counterpart of
     * lake_iceberg_write — with the read interop, BOTH directions on a
     * second format): [[graft.lake.delta.DeltaExport]] commits a graft
@@ -953,6 +988,7 @@ object Lake {
     "lake_hudi_read" -> (lakeHudiRead _),
     "lake_delta_cdf" -> (lakeDeltaCdf _),
     "lake_delta_write" -> (lakeDeltaWrite _),
+    "lake_hudi_write" -> (lakeHudiWrite _),
     "lake_delta_read" -> (lakeDeltaRead _),
     "lake_iceberg_write" -> (lakeIcebergWrite _),
     "lake_iceberg_incremental" -> (lakeIcebergIncremental _),
@@ -1083,6 +1119,18 @@ object Lake {
            GROUP BY o_orderpriority
          )""",
     "lake_iceberg_write" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderpriority <> '1-URGENT'
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 10 = 0
+         )
+         WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus""",
+    "lake_hudi_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{Tables, TestSpark}
-import graft.lake.hudi.{HudiTable, HudiWriter}
+import graft.lake.hudi.{HudiExport, HudiTable, HudiWriter}
 
 /** Round-trip receipts for the Hudi COPY_ON_WRITE reader: the sandbox
   * has no Hudi artifacts, so [[HudiWriter]] builds REAL layouts
@@ -304,6 +304,43 @@ class HudiSpec extends AnyFunSuite {
     val tc = HudiTable.load(spark, dir("incr-mor"))
     assert(tc.incrementalFrom(c2).collect()
       .map(_.getAs[Int]("n_nationkey")).toSet == expect.filter(_ % 10 == 0))
+  }
+
+  test("graft -> Hudi MOR export mirrors incrementally via log files") {
+    import graft.lake.GraftTable
+    val base = freshDir("export")
+    val n = Tables.nation(spark, sf)
+    val t = GraftTable.create(spark, s"$base/src", n,
+      keyColumns = Seq("n_nationkey"))
+    val dst = s"$base/dst"
+    HudiExport.export(spark, t, dst)
+    assert(HudiTable.load(spark, dst).scan().orderBy("n_nationkey")
+      .collect().toSeq == n.orderBy("n_nationkey").collect().toSeq)
+    val baseFiles = HudiTable.load(spark, dst).planFiles().toSet
+    // source moves on: update key 3, insert key 99, delete key 7
+    import spark.implicits._
+    t.upsert(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("SYNCED"))
+      .unionByName(Seq((99, "ATLANTIS", 2)).toDF(
+        "n_nationkey", "n_name", "n_regionkey")
+        .select(n.columns.map(col).toIndexedSeq: _*)))
+    t.delete(col("n_nationkey") === 7)
+    assert(HudiExport.exportIncremental(spark, t, dst) == 2)
+    val ht = HudiTable.load(spark, dst)
+    // the sync rode log files + one new group; old bases untouched
+    assert(baseFiles.subsetOf(ht.planFiles().toSet))
+    assert(ht.hasLogFiles)
+    val got = ht.scan().collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    assert(got(3) == "SYNCED" && got(99) == "ATLANTIS" && !got.contains(7))
+    assert(got.size == n.count() + 1 - 1)
+    // idempotent when current
+    assert(HudiExport.exportIncremental(spark, t, dst) == 0)
+    // compaction folds the sync deltas; state unchanged
+    HudiWriter.open(spark, dst).compact()
+    val hc = HudiTable.load(spark, dst)
+    assert(!hc.hasLogFiles)
+    assert(hc.scan().collect().map(r =>
+      r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap == got)
   }
 
   test("timelines with replacecommit/savepoint/restore instants are rejected") {
