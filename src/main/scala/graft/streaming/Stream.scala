@@ -462,8 +462,43 @@ object Stream {
       .select("_change_type", "_commit_version", "n_rows", "total")
   }
 
+  /** STREAMING Hudi incremental pull (r09): the `hudi-incremental`
+    * source tails a Hudi table by COMMIT-INSTANT offsets — each
+    * micro-batch is the latest state of records changed in the window
+    * (Hudi's own incremental-query semantics; deletes drop rather than
+    * deliver — the change-feed shape is the delta-cdf source's job).
+    * The gate builds the same COW table as lake_hudi_incremental and
+    * tails it from after the initial load: only the touched keys
+    * arrive, in final state — same oracle as that entry's since_base
+    * arm restricted shape. */
+  def streamHudiIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.hudi.HudiWriter
+    val sfTag = d.replaceAll(".*/", "")
+    val work = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake")
+    val loc = s"$work/stream-hudiincr-$sfTag"
+    val fs = new Path(work).getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new Path(loc), true)
+    val o = graft.Tables.orders(s, d)
+    val w = HudiWriter.create(s, loc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+    val base = w.insert(o)
+    w.upsert(o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("touched-all")))
+    w.upsert(o.filter(col("o_orderkey") % 7 === 0 && col("o_orderstatus") === "F")
+      .withColumn("o_orderpriority", lit("touched-all"))
+      .withColumn("o_clerk", lit("clerk-inc")))
+    val agg = s.readStream.format("hudi-incremental")
+      .option("startingInstant", base.toLong.toString).load(loc)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.queries.Money.sum2(col("o_totalprice")).as("total"))
+    runToTable(agg, "graft_stream_hudi_incremental", "complete")
+      .select("o_orderstatus", "n_orders", "total")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_delta_cdf" -> (streamDeltaCdf _),
+    "stream_hudi_incremental" -> (streamHudiIncremental _),
     "stream_lake_cdc" -> (streamLakeCdc _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
@@ -481,6 +516,10 @@ object Stream {
     * normalizes whatever unit the parquet carries; DuckDB reads it
     * natively), so epoch_us agrees on both sides. */
   val oracles: Map[String, String] = Map(
+    "stream_hudi_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1""",
     "stream_delta_cdf" ->
       """SELECT _change_type, _commit_version, n_rows, total FROM (
            SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,

@@ -1,0 +1,107 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.lake.hudi.HudiTable
+
+/** Streaming SOURCE over a Hudi table's INCREMENTAL QUERY — tails a
+  * COW/MOR Hudi table written by any engine:
+  *
+  * {{{
+  *   spark.readStream.format("hudi-incremental").load(tableLocation)
+  * }}}
+  *
+  * Offsets are COMMIT INSTANTS (numeric, per Hudi's timeline ordering):
+  * a micro-batch (start, end] is `loadAsOf(end).incrementalFrom(start)`
+  * — the LATEST STATE of every record whose last update landed in the
+  * window, tagged `commit_instant`. Exactly Hudi's own incremental-pull
+  * semantics, including its documented property that records deleted
+  * inside the window are dropped rather than delivered (a delete
+  * STREAM needs a change feed — that's the delta-cdf source's job; the
+  * incremental pull is the ingest-new-and-updated-rows shape).
+  * `getOffset` lists only the timeline; recovery replays from the
+  * checkpointed instant, exactly-once per commit.
+  * `option("startingInstant", i)` starts the tail after instant `i`
+  * (default 0 = from table creation). */
+class HudiIncrementalSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "hudi-incremental"
+
+  private def location(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "hudi-incremental source needs .load(<hudi table location>)"))
+
+  private def incSchema(sqlContext: SQLContext, loc: String): StructType = {
+    val t = HudiTable.load(sqlContext.sparkSession, loc)
+    StructType(StructField("commit_instant", StringType) +: t.schema.fields)
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("hudi-incremental",
+      schema.getOrElse(incSchema(sqlContext, location(parameters))))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val loc = location(parameters)
+    val expected = incSchema(sqlContext, loc)
+    schema.filter(_ != expected).foreach { s =>
+      throw new IllegalArgumentException(
+        s"hudi-incremental source produces $expected; drop .schema(...) " +
+          s"or pass it verbatim (got $s)")
+    }
+    new HudiIncrementalStreamSource(sqlContext, loc,
+      parameters.get("startingInstant").map(_.toLong).getOrElse(0L))
+  }
+}
+
+class HudiIncrementalStreamSource(
+    sqlContext: SQLContext,
+    location: String,
+    startingInstant: Long) extends Source {
+
+  override val schema: StructType = {
+    val t = HudiTable.load(sqlContext.sparkSession, location)
+    StructType(StructField("commit_instant", StringType) +: t.schema.fields)
+  }
+
+  /** Newest completed commit instant, from the timeline listing alone. */
+  private def latestInstant: Long = {
+    val meta = new Path(location, ".hoodie")
+    val fs = meta.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    val InstantRe = """(\d+)\.(commit|deltacommit)""".r
+    fs.listStatus(meta).toSeq.map(_.getPath.getName).collect {
+      case InstantRe(i, _) => i.toLong
+    }.maxOption.getOrElse(0L)
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = latestInstant
+    if (v <= startingInstant) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(_.json.trim.toLong).getOrElse(startingInstant)
+    val to = end.json.trim.toLong
+    val t = HudiTable.loadAsOf(sqlContext.sparkSession, location, f"$to%017d")
+    val batch = t.incrementalFrom(if (from == 0L) "" else f"$from%017d")
+    sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(batch.queryExecution.toRdd, batch.schema,
+        isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -194,6 +194,43 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(runOnce() == Map.empty[String, Long], "no new versions, no rows")
   }
 
+  test("hudi-incremental stream tails commit instants incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    val base = "/root/repo/target/graft-lake-test/hudiincr"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val loc = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val n = Tables.nation(spark, sf)
+    val w = graft.lake.hudi.HudiWriter.create(spark, loc, n.schema,
+      keyField = "n_nationkey")
+    w.insert(n) // instant 1
+    def runOnce(): Set[Int] = {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val q = spark.readStream.format("hudi-incremental").load(loc)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("n_nationkey").collect().foreach(r => seen.add(r.getInt(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    val allKeys = n.collect().map(_.getAs[Int]("n_nationkey")).toSet
+    assert(runOnce() == allKeys, "first run delivers the initial insert")
+    // a COW upsert lands; restart delivers ONLY its keys, final state
+    w.upsert(n.filter(col("n_nationkey") % 6 === 0)
+      .withColumn("n_name", lit("INC")))
+    assert(runOnce() == allKeys.filter(_ % 6 == 0),
+      "restart delivers exactly the upserted keys")
+    assert(runOnce() == Set.empty[Int], "no new instants, no rows")
+  }
+
   test("cdc stream observes delete commits as _change_type=delete rows") {
     import org.apache.spark.sql.streaming.Trigger
     val base = "/root/repo/target/graft-lake-test/lakesource-cdc"
