@@ -496,9 +496,39 @@ object Stream {
       .select("o_orderstatus", "n_orders", "total")
   }
 
+  /** STREAMING Iceberg incremental append scan (r09): the
+    * `iceberg-incremental` source tails an Iceberg table by SEQUENCE-
+    * NUMBER offsets (snapshot ids are random longs — not orderable) —
+    * cold start delivers the table's content as of the first offset,
+    * every later micro-batch is `incrementalAppends` between the
+    * checkpointed boundary snapshots; delete/overwrite snapshots fail
+    * loudly (Iceberg's own appends-only streaming contract). The gate
+    * streams three appends and aggregates — batch-SQL oracle. */
+  def streamIcebergIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.IcebergWriter
+    val sfTag = d.replaceAll(".*/", "")
+    val work = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake")
+    val loc = s"$work/stream-iceincr-$sfTag"
+    val fs = new Path(work).getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new Path(loc), true)
+    val o = graft.Tables.orders(s, d)
+    val w = IcebergWriter.create(s, loc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    w.append(o.filter(year(col("o_orderdate")) < 1995))
+    w.append(o.filter(year(col("o_orderdate")) === 1995))
+    w.append(o.filter(year(col("o_orderdate")) > 1995))
+    val agg = s.readStream.format("iceberg-incremental").load(loc)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.queries.Money.sum2(col("o_totalprice")).as("total"))
+    runToTable(agg, "graft_stream_iceberg_incremental", "complete")
+      .select("o_orderstatus", "n_orders", "total")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_delta_cdf" -> (streamDeltaCdf _),
     "stream_hudi_incremental" -> (streamHudiIncremental _),
+    "stream_iceberg_incremental" -> (streamIcebergIncremental _),
     "stream_lake_cdc" -> (streamLakeCdc _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
@@ -516,6 +546,10 @@ object Stream {
     * normalizes whatever unit the parquet carries; DuckDB reads it
     * natively), so epoch_us agrees on both sides. */
   val oracles: Map[String, String] = Map(
+    "stream_iceberg_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM orders GROUP BY 1""",
     "stream_hudi_incremental" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total

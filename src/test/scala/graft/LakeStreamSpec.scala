@@ -231,6 +231,45 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(runOnce() == Set.empty[Int], "no new instants, no rows")
   }
 
+  test("iceberg-incremental stream tails appends across restarts; rejects deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    val base = "/root/repo/target/graft-lake-test/iceincr"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val loc = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val n = Tables.nation(spark, sf)
+    val w = graft.lake.iceberg.IcebergWriter.create(spark, loc, n.schema)
+    w.append(n.filter(col("n_nationkey") < 10))
+    def runOnce(): Set[Int] = {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val q = spark.readStream.format("iceberg-incremental").load(loc)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("n_nationkey").collect().foreach(r => seen.add(r.getInt(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(runOnce() == (0 until 10).toSet, "cold start delivers the content")
+    w.append(n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+    assert(runOnce() == (10 until 20).toSet, "restart delivers only the append")
+    assert(runOnce() == Set.empty[Int])
+    // an eq-delete snapshot fails the stream loudly, never silently skips
+    w.equalityDelete(n.filter(col("n_nationkey") === 3).select("n_nationkey"))
+    w.append(n.filter(col("n_nationkey") >= 20))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(String.valueOf(e.getCause.getMessage).contains("operation"))
+  }
+
   test("cdc stream observes delete commits as _change_type=delete rows") {
     import org.apache.spark.sql.streaming.Trigger
     val base = "/root/repo/target/graft-lake-test/lakesource-cdc"
