@@ -155,6 +155,23 @@ class FixtureSpec extends AnyFunSuite {
       s"partition pruning kept $kept")
   }
 
+  test("hudi fixture: incremental pull honors per-row carried commit times") {
+    // the frozen bytes encode Hudi's COW semantics: the i2 rewrite of
+    // fid1 CARRIES id=1 with its original i1 instant — an incremental
+    // pull from i1 must deliver only the genuinely changed records
+    val t = HudiTable.load(spark, s"$Root/hudi/basic")
+    val got = t.incrementalFrom("20240101000000000").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
+        r.getAs[String]("commit_instant")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2, "TWO", "20240102000000000"),
+      (3, "three", "20240102000000000")),
+      "carried rows must not re-deliver; updated+inserted rows must")
+    // O(changed) planning: only the rewritten group's slice is read
+    assert(t.planIncrementalFiles("20240101000000000").size == 1)
+  }
+
   test("hudi fixture: as-of-instant time travel reads the first slice") {
     val t0 = HudiTable.loadAsOf(spark, s"$Root/hudi/basic", "20240101000000000")
     val got = t0.scan().select("id", "name").orderBy("id")

@@ -49,9 +49,9 @@ object FixtureGen {
       "delta/cp" -> genDeltaCheckpoint,
       "delta/cpv2" -> genDeltaCheckpointV2,
       "delta/cdf" -> genDeltaCdf,
-      "hudi/cow" -> genHudi,
+      "hudi/basic" -> genHudi,
       "hudi/mor" -> genHudiMor,
-      "iceberg/v2" -> genIceberg,
+      "iceberg/basic" -> genIceberg,
       "iceberg/v3" -> genIcebergV3)
     if (args.isEmpty) {
       // full regeneration: every committed fixture is replaced
@@ -508,11 +508,15 @@ object FixtureGen {
       StructField("id", IntegerType),
       StructField("name", StringType),
       StructField("part", StringType)))
-    def base(instant: String, partPath: String, fileName: String,
-        rows: (Int, String)*): DataFrame =
+    // per-row commit instants: a COW rewrite COPIES untouched records
+    // with their ORIGINAL _hoodie_commit_time (Hudi's semantics — the
+    // incremental query depends on it); only changed/new rows carry the
+    // rewriting instant
+    def base(partPath: String, fileName: String,
+        rows: (Int, String, String)*): DataFrame = // (id, name, commitTime)
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.zipWithIndex.map { case ((id, nm), i) =>
-          Row(instant, s"${instant}_0_$i", id.toString, partPath, fileName,
+        spark.sparkContext.parallelize(rows.zipWithIndex.map { case ((id, nm, ct), i) =>
+          Row(ct, s"${ct}_0_$i", id.toString, partPath, fileName,
             id, nm, partPath.split("=")(1))
         }, 1), schema)
 
@@ -520,12 +524,13 @@ object FixtureGen {
     val f2v1 = s"fid2_0-0-0_$i1.parquet"
     val f1v2 = s"fid1_0-1-0_$i2.parquet"
     val n1 = writeOneParquet(spark,
-      base(i1, "part=a", f1v1, (1, "one"), (2, "two")), s"$loc/part=a/$f1v1")
+      base("part=a", f1v1, (1, "one", i1), (2, "two", i1)), s"$loc/part=a/$f1v1")
     val n2 = writeOneParquet(spark,
-      base(i1, "part=b", f2v1, (10, "ten")), s"$loc/part=b/$f2v1")
-    // instant 2: COW upsert rewrites file group fid1 as a NEW slice
+      base("part=b", f2v1, (10, "ten", i1)), s"$loc/part=b/$f2v1")
+    // instant 2: COW upsert rewrites file group fid1 as a NEW slice —
+    // id=1 is CARRIED (keeps i1), id=2 updated and id=3 inserted (i2)
     val n3 = writeOneParquet(spark,
-      base(i2, "part=a", f1v2, (1, "one"), (2, "TWO"), (3, "three")),
+      base("part=a", f1v2, (1, "one", i1), (2, "TWO", i2), (3, "three", i2)),
       s"$loc/part=a/$f1v2")
     require(n1 > 0 && n2 > 0 && n3 > 0)
 
