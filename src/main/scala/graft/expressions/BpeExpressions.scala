@@ -103,8 +103,11 @@ object Bpe {
   /** Greedy encode of one word under learned merge ranks: repeatedly apply
     * the LOWEST-rank merge present (the standard BPE inference rule —
     * replays training order, so encoding a training word reproduces its
-    * final training segmentation). */
-  def encodeWord(word: String, ranks: java.util.HashMap[(String, String), Int]): Array[String] = {
+    * final training segmentation). `rev` is the rank→pair array (the
+    * merge table in training order). */
+  def encodeWord(word: String,
+      ranks: java.util.HashMap[(String, String), Int],
+      rev: Array[(String, String)]): Array[String] = {
     var syms = toSymbols(word)
     var go = syms.length > 1
     while (go) {
@@ -117,7 +120,7 @@ object Bpe {
       }
       if (bestRank == Int.MaxValue) go = false
       else {
-        val pair = rankPair(ranks, bestRank)
+        val pair = rev(bestRank)
         syms = mergeOnce(syms, pair._1, pair._2)
         go = syms.length > 1
       }
@@ -125,18 +128,9 @@ object Bpe {
     syms
   }
 
-  // rank → pair reverse lookup, built once per ranks map identity
-  private val rev = new java.util.concurrent.ConcurrentHashMap[
-    java.util.HashMap[(String, String), Int], Array[(String, String)]]()
-  private def rankPair(ranks: java.util.HashMap[(String, String), Int],
-                       rank: Int): (String, String) = {
-    val arr = rev.computeIfAbsent(ranks, { m =>
-      val a = new Array[(String, String)](m.size())
-      m.forEach { (p, r) => a(r) = p }
-      a
-    })
-    arr(rank)
-  }
+  /** Convenience for tests/driver code: encode under a merge list. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Array[String] =
+    encodeWord(word, ranksOf(merges), merges.toArray)
 
   def ranksOf(merges: Seq[(String, String)]): java.util.HashMap[(String, String), Int] = {
     val m = new java.util.HashMap[(String, String), Int](merges.size * 2)
@@ -230,6 +224,7 @@ case class BpeEncodeStats(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "graft_bpe_stats"
 
   @transient private lazy val ranks = Bpe.ranksOf(merges)
+  @transient private lazy val rev = merges.toArray
   // per-task (deserialized-instance) word→(len, headEncoding) memo; capped
   // so an adversarial all-unique corpus can't grow it unboundedly
   @transient private lazy val memo = new java.util.HashMap[String, (Int, String)]()
@@ -239,7 +234,7 @@ case class BpeEncodeStats(child: Expression, merges: Seq[(String, String)])
     val hit = memo.get(w)
     if (hit != null) hit
     else {
-      val syms = Bpe.encodeWord(w, ranks)
+      val syms = Bpe.encodeWord(w, ranks, rev)
       val v = (syms.length, syms.mkString(" "))
       if (memo.size < MemoCap) memo.put(w, v)
       v

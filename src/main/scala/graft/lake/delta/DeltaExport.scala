@@ -51,28 +51,6 @@ import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
   */
 object DeltaExport {
 
-  private val ProvName = "_graft_export.json"
-
-  private def writeProv(spark: SparkSession, dest: String, snapshot: Long): Unit = {
-    val p = new Path(dest, ProvName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"graft_snapshot": $snapshot}""".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readProv(spark: SparkSession, dest: String): Long = {
-    val p = new Path(dest, ProvName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"$dest has no $ProvName provenance sidecar — run export() first")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(text).get("graft_snapshot").asLong()
-  }
-
   /** Exports `t`'s current snapshot to `dest` (cleared first). */
   def export(spark: SparkSession, t: GraftTable, dest: String,
       enableCdf: Boolean = false): DeltaWriter = {
@@ -81,7 +59,7 @@ object DeltaExport {
     val w = DeltaWriter.create(spark, dest, t.schema,
       partitionColumns = identityParts, enableCdf = enableCdf)
     w.append(t.scan())
-    writeProv(spark, dest, t.meta.currentSnapshotId)
+    graft.lake.ExportProvenance.write(spark, dest, t.meta.currentSnapshotId)
     w
   }
 
@@ -89,7 +67,7 @@ object DeltaExport {
     * (DV-delete touched keys + append their current rows). Returns the
     * number of Delta commits made (0 = already current). */
   def exportIncremental(spark: SparkSession, t: GraftTable, dest: String): Int = {
-    val from = readProv(spark, dest)
+    val from = graft.lake.ExportProvenance.read(spark, dest)
     val to = t.meta.currentSnapshotId
     if (to == from) return 0
     val keyCols = t.meta.keyColumns
@@ -107,7 +85,7 @@ object DeltaExport {
     val current = t.scan().join(touched, keyCols, "left_semi")
     w.append(current)
     commits += 1
-    writeProv(spark, dest, to)
+    graft.lake.ExportProvenance.write(spark, dest, to)
     commits
   }
 }

@@ -100,8 +100,11 @@ final class DeltaWriter private (
       val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)
     } else if (columnMapping.isDefined) {
+      // legacy writer versions are CUMULATIVE: 5 (column mapping)
+      // already implies 4's CDF — 6 would wrongly demand
+      // identity-column support from external writers
       pr.put("minReaderVersion", 2)
-      pr.put("minWriterVersion", if (enableCdf) 6 else 5)
+      pr.put("minWriterVersion", 5)
     } else {
       pr.put("minReaderVersion", 1)
       // legacy writer version 4 = CDF + generated columns tier
@@ -318,9 +321,48 @@ final class DeltaWriter private (
 
   /** Data files read back in LOGICAL names (renaming from physical
     * under column mapping), data columns only. */
-  private def readLogical(paths: Seq[String]): DataFrame = {
+  private def dvDescOf(a: com.fasterxml.jackson.databind.JsonNode)
+      : Option[DeletionVectors.Descriptor] =
+    if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+      val d = a.get("deletionVector")
+      Some(DeletionVectors.Descriptor(
+        d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+        if (d.has("offset") && !d.get("offset").isNull)
+          Some(d.get("offset").asInt) else None,
+        d.get("sizeInBytes").asInt, d.get("cardinality").asLong))
+    } else None
+
+  /** Data files read back in LOGICAL names (renaming from physical
+    * under column mapping), data columns only. Rows masked by a file's
+    * DELETION VECTOR are EXCLUDED — a COW rewrite of a DV-bearing file
+    * replaces the file (and thereby drops its DV), so reading the raw
+    * bytes would resurrect the deleted rows in the rewrite. */
+  private def readLogical(group: Seq[ObjectNode]): DataFrame = {
+    val paths = group.map(n =>
+      DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
     val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
-    val df = spark.read.schema(physData).parquet(paths: _*)
+    var df = spark.read.schema(physData).parquet(paths: _*)
+    val dvs: Map[String, DeletionVectors.Descriptor] = group.flatMap { n =>
+      dvDescOf(n.get("add")).map { d =>
+        DeltaTable.pathKey(DeltaTable.resolve(location,
+          n.get("add").get("path").asText()).toString) -> d
+      }
+    }.toMap
+    if (dvs.nonEmpty) {
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      val bcDvs = spark.sparkContext.broadcast(dvs)
+      val loc = location
+      val keep = org.apache.spark.sql.functions.udf { (fp: String, ri: Long) =>
+        bcDvs.value.get(DeltaTable.pathKey(fp)) match {
+          case Some(d) =>
+            !DeltaTable.DvCache.bitmap(loc, DeltaTable.pathKey(fp), d,
+              bcConf.value.value).contains(ri)
+          case None => true
+        }
+      }
+      df = df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+    }
     df.select(dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c)): _*)
   }
 
@@ -333,16 +375,19 @@ final class DeltaWriter private (
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
     val affectedAdds = live.view.filterKeys(affected).values.toSeq
-    // rewrite each affected partition group without the matching rows
+    // rewrite each affected partition group without the matching rows.
+    // A group where the predicate matches NOTHING (stats
+    // over-approximation) is left completely untouched — no pointless
+    // rewrite, and (on CDF tables) no add+remove commit without cdc
+    // files, which changes() would rightly reject as unreconstructible.
     val byPart = affectedAdds.groupBy(n =>
       mapper.writeValueAsString(n.get("add").get("partitionValues")))
     val newAdds = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val touched = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     byPart.values.foreach { group =>
-      val paths = group.map(n =>
-        DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
       val pv = group.head.get("add").get("partitionValues")
-      var df = readLogical(paths)
+      var df = readLogical(group)
       // partition columns injected so `cond` can reference them
       // (partitionValues keys are physical under column mapping)
       partitionColumns.foreach { c =>
@@ -351,21 +396,26 @@ final class DeltaWriter private (
         df = df.withColumn(c,
           (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
       }
-      // DELETE keeps rows where the predicate is NULL (tri-state SQL):
-      // bare `!cond` would evaluate null and drop them
-      val remaining = df.filter(!coalesce(cond, lit(false)))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      if (!remaining.isEmpty) newAdds ++= writeFiles(remaining)
-      if (enableCdf)
-        cdcFrames += df.filter(coalesce(cond, lit(false)))
+      val hit = df.filter(coalesce(cond, lit(false)))
+      if (!hit.isEmpty) {
+        touched ++= group
+        // DELETE keeps rows where the predicate is NULL (tri-state SQL):
+        // bare `!cond` would evaluate null and drop them
+        val remaining = df.filter(!coalesce(cond, lit(false)))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-          .withColumn("_change_type", lit("delete"))
+        if (!remaining.isEmpty) newAdds ++= writeFiles(remaining)
+        if (enableCdf)
+          cdcFrames += hit
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn("_change_type", lit("delete"))
+      }
     }
+    if (touched.isEmpty) return version
     val cdcActs =
       if (cdcFrames.isEmpty) Nil
       else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
-    val removes = affectedAdds.map(n => removeAction(n))
-    affectedAdds.foreach(n => live.remove(n.get("add").get("path").asText()))
+    val removes = touched.toSeq.map(n => removeAction(n))
+    touched.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
     commit(cdcActs ++ removes ++ newAdds.toSeq)
   }
@@ -402,11 +452,10 @@ final class DeltaWriter private (
       mapper.writeValueAsString(n.get("add").get("partitionValues")))
     val newAdds = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val touched = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     byPart.values.foreach { group =>
-      val paths = group.map(n =>
-        DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
       val pv = group.head.get("add").get("partitionValues")
-      var df = readLogical(paths)
+      var df = readLogical(group)
       partitionColumns.foreach { c =>
         val v = pv.get(phys(c))
         val dt = schema(c).dataType
@@ -414,24 +463,29 @@ final class DeltaWriter private (
           (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
       }
       val hit = df.filter(coalesce(cond, lit(false)))
-      val miss = df.filter(!coalesce(cond, lit(false)))
-      val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
-      val merged = miss.unionByName(updated)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      if (!merged.isEmpty) newAdds ++= writeFiles(merged)
-      if (enableCdf) {
-        val sel = schema.fieldNames.map(col).toIndexedSeq
-        cdcFrames += hit.select(sel: _*)
-          .withColumn("_change_type", lit("update_preimage"))
-        cdcFrames += updated.select(sel: _*)
-          .withColumn("_change_type", lit("update_postimage"))
+      // zero-match group (stats over-approximation): leave untouched
+      if (!hit.isEmpty) {
+        touched ++= group
+        val miss = df.filter(!coalesce(cond, lit(false)))
+        val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+        val merged = miss.unionByName(updated)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        if (!merged.isEmpty) newAdds ++= writeFiles(merged)
+        if (enableCdf) {
+          val sel = schema.fieldNames.map(col).toIndexedSeq
+          cdcFrames += hit.select(sel: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          cdcFrames += updated.select(sel: _*)
+            .withColumn("_change_type", lit("update_postimage"))
+        }
       }
     }
+    if (touched.isEmpty) return version
     val cdcActs =
       if (cdcFrames.isEmpty) Nil
       else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
-    val removes = affectedAdds.map(n => removeAction(n))
-    affectedAdds.foreach(n => live.remove(n.get("add").get("path").asText()))
+    val removes = touched.toSeq.map(n => removeAction(n))
+    touched.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
     commit(cdcActs ++ removes ++ newAdds.toSeq)
   }
@@ -492,17 +546,8 @@ final class DeltaWriter private (
     // mask-union keeps the bitmap correct either way, but a CDF table
     // would re-emit a delete for an already-deleted row)
     val oldDvs: Map[String, DeletionVectors.Descriptor] = affectedNodes.flatMap {
-      case (rel, n) =>
-        val a = n.get("add")
-        if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
-          val d = a.get("deletionVector")
-          Some(DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) ->
-            DeletionVectors.Descriptor(
-              d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
-              if (d.has("offset") && !d.get("offset").isNull)
-                Some(d.get("offset").asInt) else None,
-              d.get("sizeInBytes").asInt, d.get("cardinality").asLong))
-        } else None
+      case (rel, n) => dvDescOf(n.get("add")).map(d =>
+        DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) -> d)
     }.toMap
     val notAlreadyDeleted: Column = if (oldDvs.isEmpty) lit(true) else {
       val bcConf = spark.sparkContext.broadcast(
@@ -569,16 +614,8 @@ final class DeltaWriter private (
       locally {
         // a file may already carry a DV: the replacement must include it
         // (the descriptor REPLACES, so union the old bitmap in)
-        if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
-          val d = a.get("deletionVector")
-          val old = DeletionVectors.load(conf, location,
-            DeletionVectors.Descriptor(
-              d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
-              if (d.has("offset") && !d.get("offset").isNull)
-                Some(d.get("offset").asInt) else None,
-              d.get("sizeInBytes").asInt, d.get("cardinality").asLong))
-          bitmap.union(old)
-        }
+        dvDescOf(a).foreach(d =>
+          bitmap.union(DeletionVectors.load(conf, location, d)))
         val desc = DeletionVectors.write(conf, location, bitmap)
         val rm = mapper.createObjectNode()
         val r = rm.putObject("remove")
@@ -655,10 +692,16 @@ final class DeltaWriter private (
     val protoStruct = Row(protoNode.get("minReaderVersion").asInt(),
       protoNode.get("minWriterVersion").asInt(),
       featureList("readerFeatures"), featureList("writerFeatures"))
-    val cfg: Map[String, String] = columnMapping.map(mode => Map(
-      "delta.columnMapping.mode" -> mode,
-      "delta.columnMapping.maxColumnId" -> schema.length.toString))
-      .getOrElse(Map.empty)
+    // the checkpoint's metaData must carry the SAME configuration the
+    // log's metaData action does — dropping delta.enableChangeDataFeed
+    // here would make checkpoint-seeded readers see a non-CDF table
+    val cfg: Map[String, String] =
+      (if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
+       else Map.empty[String, String]) ++
+        columnMapping.map(mode => Map(
+          "delta.columnMapping.mode" -> mode,
+          "delta.columnMapping.maxColumnId" -> schema.length.toString))
+          .getOrElse(Map.empty[String, String])
     val metaStruct = Row(java.util.UUID.randomUUID().toString,
       metaSchema.json, partitionColumns, cfg)
     val addStructs = live.values.toSeq.map { n =>

@@ -25,7 +25,7 @@ import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
   * (`days`/`bucket`/`truncate`) are not expressible in Hudi's
   * hive-style layout and export with identity columns only (documented,
   * same posture as DeltaExport). Provenance rides the same
-  * `_graft_export.json` sidecar.
+  * `_graft_export.json` sidecar ([[graft.lake.ExportProvenance]]).
   *
   * Each sync folds the range's graft commits FINAL-STATE-BY-KEY into
   * ≤2 deltacommits:
@@ -38,28 +38,6 @@ import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
   * chain lands only its last version (latest-per-key merge order).
   */
 object HudiExport {
-
-  private val ProvName = "_graft_export.json"
-
-  private def writeProv(spark: SparkSession, dest: String, snapshot: Long): Unit = {
-    val p = new Path(dest, ProvName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"graft_snapshot": $snapshot}""".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readProv(spark: SparkSession, dest: String): Long = {
-    val p = new Path(dest, ProvName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"$dest has no $ProvName provenance sidecar — run export() first")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(text).get("graft_snapshot").asLong()
-  }
 
   /** Exports `t`'s current snapshot to `dest` (cleared first). Requires
     * a SINGLE key column (Hudi's record key; composite keys would need
@@ -74,7 +52,7 @@ object HudiExport {
       partitionFields = identityParts, keyField = keyCols.head,
       tableType = "MERGE_ON_READ")
     w.insert(t.scan())
-    writeProv(spark, dest, t.meta.currentSnapshotId)
+    graft.lake.ExportProvenance.write(spark, dest, t.meta.currentSnapshotId)
     w
   }
 
@@ -82,7 +60,7 @@ object HudiExport {
     * (upsertLog current rows of touched keys + soft-delete the gone
     * ones). Returns the number of Hudi commits made (0 = current). */
   def exportIncremental(spark: SparkSession, t: GraftTable, dest: String): Int = {
-    val from = readProv(spark, dest)
+    val from = graft.lake.ExportProvenance.read(spark, dest)
     val to = t.meta.currentSnapshotId
     if (to == from) return 0
     val keyCols = t.meta.keyColumns
@@ -99,7 +77,7 @@ object HudiExport {
     if (!gone.isEmpty) {
       if (w.deleteMatchingLog(gone, key) != null) commits += 1
     }
-    writeProv(spark, dest, to)
+    graft.lake.ExportProvenance.write(spark, dest, to)
     commits
   }
 }

@@ -44,7 +44,10 @@ final class HudiWriter private (
   private val fs = root.getFileSystem(conf)
   private val metaDir = new Path(root, ".hoodie")
 
-  private var instantSeq = 0
+  // Long, not Int: real Hudi instants are 17-digit timestamps — open()
+  // must continue ABOVE them, and an Int truncation would emit instants
+  // that string-sort BEFORE the existing timeline
+  private var instantSeq = 0L
   private var fileSeq = 0
   private def nextInstant(): String = { instantSeq += 1; f"$instantSeq%017d" }
   private def nextFileId(): String = { fileSeq += 1; f"g$fileSeq%08d" }
@@ -401,8 +404,8 @@ object HudiWriter {
       keyField, tableType)
     val InstantRe = """(\d+)\.(commit|deltacommit)""".r
     w.instantSeq = fs.listStatus(meta).toSeq.map(_.getPath.getName).collect {
-      case InstantRe(i, _) => i.toLong.toInt
-    }.maxOption.getOrElse(0)
+      case InstantRe(i, _) => i.toLong
+    }.maxOption.getOrElse(0L)
     val FileIdRe = """g(\d+)""".r
     w.fileSeq = t.liveSlices.map(_.fileId).collect {
       case FileIdRe(n) => n.toInt

@@ -445,7 +445,12 @@ final class IcebergTable private (
         StructField("_snapshot_id", LongType))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    } else parts.reduce(_ unionByName _)
+    } else {
+      // row-level re-application of the filter (pruning is file-level
+      // and conservative — scan() does the same)
+      val out = parts.reduce(_ unionByName _)
+      filter.map(out.filter).getOrElse(out)
+    }
   }
 
   def scanAsOfTime(timestampMs: Long, filter: Option[Column] = None): DataFrame =

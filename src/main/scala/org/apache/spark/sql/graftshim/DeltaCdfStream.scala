@@ -22,7 +22,9 @@ import graft.lake.delta.DeltaTable
   * protocol's CDF rules. `getOffset` re-reads only the log head;
   * recovery replays from the checkpointed version, so delivery is
   * exactly-once per version. `option("startingVersion", v)` starts the
-  * tail after version `v` (default 0 = from table creation). A version
+  * tail AFTER version `v` (default -1 = from table creation, version 0
+  * included — engines that create+write in one commit put data adds in
+  * version 0). A version
   * in range whose changes are not reconstructible (pre-CDF rewrite, DV
   * attachment without cdc) fails the stream LOUDLY — a change feed that
   * silently skips changes is worse than one that stops.
@@ -66,7 +68,7 @@ class DeltaCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
           s"it verbatim (got $s)")
     }
     new DeltaCdfStreamSource(sqlContext, loc,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
   }
 }
 

@@ -30,15 +30,15 @@ class BpeSpec extends AnyFunSuite {
 
   test("encode replays training segmentation for training words") {
     // 10 merges converge every training word to a single symbol
-    val ranks = Bpe.ranksOf(Bpe.train(paperFreq, 10))
-    assert(Bpe.encodeWord("newest", ranks).toSeq == Seq("newest</w>"))
-    assert(Bpe.encodeWord("widest", ranks).toSeq == Seq("widest</w>"))
+    val m10 = Bpe.train(paperFreq, 10)
+    assert(Bpe.encodeWord("newest", m10).toSeq == Seq("newest</w>"))
+    assert(Bpe.encodeWord("widest", m10).toSeq == Seq("widest</w>"))
     // greedy-lowest-rank replay on the 5-merge model, hand-traced:
-    val r5 = Bpe.ranksOf(Bpe.train(paperFreq, 5))
-    assert(Bpe.encodeWord("newest", r5).toSeq == Seq("n", "ewest</w>"))
-    assert(Bpe.encodeWord("low", r5).toSeq == Seq("lo", "w</w>"))
+    val m5 = Bpe.train(paperFreq, 5)
+    assert(Bpe.encodeWord("newest", m5).toSeq == Seq("n", "ewest</w>"))
+    assert(Bpe.encodeWord("low", m5).toSeq == Seq("lo", "w</w>"))
     // unseen word degrades gracefully to learned subwords + chars
-    val enc = Bpe.encodeWord("lowest", r5)
+    val enc = Bpe.encodeWord("lowest", m5)
     assert(enc.head == "lo" && enc.last == "est</w>")
   }
 

@@ -408,6 +408,41 @@ class DeltaSpec extends AnyFunSuite {
       s"timestamp stats pruning kept ${kept.size} of ${t.planFiles().size}")
   }
 
+  test("COW ops on DV-bearing files do not resurrect masked rows") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("dv-cow")
+    val w = DeltaWriter.create(spark, loc, n.schema)
+    w.append(n)
+    w.deleteWhereDv(col("n_nationkey") < 5)
+    // the COW update rewrites the file and DROPS its DV — the rewrite
+    // must exclude the DV-masked rows, not resurrect them
+    w.updateWhere(col("n_nationkey") === 7, Map("n_name" -> lit("U")))
+    val t = DeltaTable.load(spark, loc)
+    assert(t.scan().count() == n.count() - 5)
+    assert(t.scan(Some(col("n_nationkey") < 5)).count() == 0,
+      "DV-deleted rows must not survive a COW rewrite")
+    assert(t.scan(Some(col("n_name") === "U")).count() == 1)
+  }
+
+  test("zero-match COW ops touch nothing and keep CDF reconstructible") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf-zero")
+    val w = DeltaWriter.create(spark, loc, n.schema,
+      partitionColumns = Seq("n_regionkey"), enableCdf = true)
+    w.append(n) // v1
+    // stats can't decide contains() → every file planned, zero rows match:
+    // no rewrite, no commit, and no add+remove-without-cdc poison pill
+    val vBefore = DeltaTable.load(spark, loc).version
+    w.deleteWhere(col("n_name").contains("NO-SUCH-NATION"))
+    w.updateWhere(col("n_name").contains("NO-SUCH-NATION"),
+      Map("n_name" -> lit("X")))
+    val t = DeltaTable.load(spark, loc)
+    assert(t.version == vBefore, "zero-match ops must not commit")
+    // the feed over the full range stays readable
+    val ch = DeltaTable.changes(spark, loc, 0L, t.version)
+    assert(ch.filter(col("_change_type") === "insert").count() == n.count())
+  }
+
   test("open() reopens a table for further commits with full state") {
     val n = Tables.nation(spark, sf)
     val loc = freshDir("reopen")
@@ -567,10 +602,12 @@ class DeltaSpec extends AnyFunSuite {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    // name mapping + CDF = legacy tier (reader 2, writer 6) — CDF never
-    // demands a reader capability
+    // name mapping + CDF = legacy tier (reader 2, writer 5: legacy
+    // writer versions are cumulative, so 5 already implies 4's CDF —
+    // 6 would wrongly demand identity columns); CDF never demands a
+    // reader capability
     assert(logText.contains("\"minReaderVersion\":2"))
-    assert(logText.contains("\"minWriterVersion\":6"))
+    assert(logText.contains("\"minWriterVersion\":5"))
     assert(!logText.contains("readerFeatures"))
   }
 }
