@@ -458,6 +458,21 @@ class DeltaSpec extends AnyFunSuite {
     assert(t.scan(Some(col("n_nationkey") === 3)).count() == 0)
   }
 
+  test("open() refuses a cleaned log rather than forgetting live files") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("reopen-cleaned")
+    val w = DeltaWriter.create(spark, loc, n.schema)
+    w.append(n)
+    w.checkpoint()
+    // simulate log cleanup: version 0 removed (checkpoint covers it —
+    // but open() replays raw JSON and must refuse, not silently forget)
+    val p = new Path(loc, "_delta_log/00000000000000000000.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(p, false))
+    val e = intercept[IllegalArgumentException] { DeltaWriter.open(spark, loc) }
+    assert(e.getMessage.contains("full log"))
+  }
+
   test("graft -> Delta export mirrors incrementally as a CDF relay") {
     import graft.lake.GraftTable
     import graft.lake.delta.DeltaExport

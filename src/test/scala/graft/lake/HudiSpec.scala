@@ -343,6 +343,29 @@ class HudiSpec extends AnyFunSuite {
       r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap == got)
   }
 
+  test("open() continues ABOVE timestamp instants (no Int truncation)") {
+    // real Hudi instants are 17-digit timestamps; a reopened writer's
+    // next instant must sort AFTER them or incremental reads/streams
+    // would silently miss the new commits
+    val src = new java.io.File("src/test/resources/fixtures/hudi/basic")
+    val dstDir = freshDir("reopen-ts")
+    def copy(f: java.io.File, to: java.io.File): Unit = {
+      if (f.isDirectory) { to.mkdirs(); f.listFiles().foreach(c => copy(c, new java.io.File(to, c.getName))) }
+      else java.nio.file.Files.copy(f.toPath, to.toPath)
+    }
+    copy(src, new java.io.File(dstDir))
+    val w = HudiWriter.open(spark, dstDir)
+    import spark.implicits._
+    val newInstant = w.insert(Seq((50, "fifty", "a")).toDF("id", "name", "part"))
+    assert(newInstant > "20240102000000000",
+      s"reopened writer's instant $newInstant must sort after the timeline")
+    val t = HudiTable.load(spark, dstDir)
+    assert(t.scan(Some(col("id") === 50)).count() == 1)
+    assert(t.incrementalFrom("20240102000000000").collect()
+      .map(_.getAs[Int]("id")).toSeq == Seq(50),
+      "the new commit must be visible to incremental pulls")
+  }
+
   test("timelines with replacecommit/savepoint/restore instants are rejected") {
     // a completed replacecommit (clustering / insert_overwrite — legal
     // on COW tables) changes which file groups are live; a reader that
