@@ -27,9 +27,12 @@ import graft.lake.ParquetStats
   * hudi's actual copy-on-write update shape; unmatched keys open a new
   * file group) / MOR log upsert + soft delete + compaction.
   * Deterministic instants (zero-padded counter) keep runs reproducible.
-  * Test seam: per-group update sets assemble on the driver here; a
-  * production writer would bin updates to file groups distributed and
-  * append log blocks from executor tasks, as Hudi's own writer does. */
+  * MOR log routing is DISTRIBUTED: rows join a pruned base-key index
+  * (record key → fileId from the base files' own meta columns), are
+  * hash-repartitioned by fileId, and each group's log file is encoded
+  * and written from its executor task — one Spark job per ingest, no
+  * data rows on the driver (only commit-stats metadata returns), the
+  * same shape Hudi's own writer uses. */
 final class HudiWriter private (
     spark: SparkSession,
     val location: String,
@@ -223,33 +226,6 @@ final class HudiWriter private (
     HudiTable.MetaColumns.map(StructField(_, StringType)) ++
       schema.fields :+ StructField(HudiLog.IsDeletedField, BooleanType))
 
-  /** One log file appended to a base slice: the rows (full table
-    * schema), meta-stamped, as ONE Avro data block. Returns the
-    * table-relative log path. */
-  private def appendLog(instant: String, fileId: String, baseInstant: String,
-      partPath: String, rows: Seq[org.apache.spark.sql.Row],
-      deleted: Boolean): (String, Long) = {
-    val v = logVersions.getOrElse(fileId, 0) + 1
-    logVersions(fileId) = v
-    val name = s".${fileId}_$baseInstant.log.${v}_0-0-0"
-    val rel = if (partPath.isEmpty) name else s"$partPath/$name"
-    val full = fullLogSchema
-    val schemaJson = HudiLog.avroSchemaJson(full, "hoodie_record")
-    val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-    val recs = rows.zipWithIndex.map { case (r, i) =>
-      val metaVals: Seq[Any] = Seq(instant, s"${instant}_0_$i",
-        String.valueOf(r.getAs[Any](keyField)), partPath, name)
-      HudiLog.encodeRow(avroSchema, full,
-        org.apache.spark.sql.Row.fromSeq(
-          metaVals ++ schema.fieldNames.map(r.getAs[Any](_)) :+ deleted))
-    }
-    val block = HudiLog.Block(HudiLog.AvroDataBlock,
-      Map(HudiLog.HeaderInstantTime -> instant, HudiLog.HeaderSchema -> schemaJson),
-      HudiLog.avroDataBlockContent(recs))
-    HudiLog.writeLogFile(conf, new Path(root, rel), Seq(block))
-    (rel, rows.size.toLong)
-  }
-
   /** MOR UPSERT: updates for keys held by a file group append a LOG
     * FILE to its latest slice; unmatched keys open new base file
     * groups. One deltacommit. */
@@ -259,11 +235,8 @@ final class HudiWriter private (
     val instant = nextInstant()
     val updates = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
-    val matched = routeToGroups(t, updates) { case (slice, rows) =>
-      val (rel, n) = appendLog(instant, slice.fileId, slice.instant,
-        slice.partitionPath, rows, deleted = false)
-      stats += ((slice.partitionPath, slice.fileId, rel, n))
-    }
+    val (written, matched) = routeToGroups(t, updates, instant, deleted = false)
+    stats ++= written
     // unmatched keys: new base file group(s), same deltacommit
     val fresh =
       if (matched == null) updates
@@ -312,16 +285,11 @@ final class HudiWriter private (
       requireMatch: Boolean): String = {
     require(tableType == "MERGE_ON_READ", "hudi: log deletes need MERGE_ON_READ")
     val instant = nextInstant()
-    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
-    routeToGroups(t, doomed) { case (slice, rows) =>
-      val (rel, n) = appendLog(instant, slice.fileId, slice.instant,
-        slice.partitionPath, rows, deleted = true)
-      stats += ((slice.partitionPath, slice.fileId, rel, n))
-    }
+    val (stats, _) = routeToGroups(t, doomed, instant, deleted = true)
     if (requireMatch)
       require(stats.nonEmpty, "hudi: deleteLogWhere matched no rows")
     if (stats.isEmpty) return null
-    commit(instant, stats.toSeq, "deltacommit")
+    commit(instant, stats, "deltacommit")
     instant
   }
 
@@ -357,24 +325,80 @@ final class HudiWriter private (
       .parquet(new Path(root, slice.path).toString)
       .select(col("_hoodie_record_key").as("__k"))
 
-  /** Routes `rows` to the file groups holding their keys (driver-side
-    * per-group assembly — test seam, see class doc) and invokes `f`
-    * per non-empty group. Returns the matched-key frame (or null). */
-  private def routeToGroups(t: HudiTable, rows: DataFrame)(
-      f: (HudiTable.Slice, Seq[org.apache.spark.sql.Row]) => Unit): DataFrame = {
-    var matched: DataFrame = null
-    t.liveSlices.foreach { slice =>
-      val groupKeys = baseKeys(slice)
-      val hit = rows.join(groupKeys,
-        rows(keyField).cast("string") === groupKeys("__k"), "left_semi")
-      val collected = hit.collect().toSeq
-      if (collected.nonEmpty) {
-        f(slice, collected)
-        val hitKeys = hit.select(col(keyField).cast("string").as("__k"))
-        matched = if (matched == null) hitKeys else matched.unionByName(hitKeys)
-      }
-    }
-    matched
+  /** Routes `rows` to the file groups holding their keys and writes one
+    * Avro log file per matched group FROM ITS EXECUTOR TASK, in a single
+    * distributed pass: rows join a 2-column pruned base-key index
+    * (record key → fileId, parsed from the base files' own
+    * `_hoodie_file_name` meta column — group membership = base keys:
+    * this writer inserts new keys as base file groups, so logs only ever
+    * touch keys that live in exactly one group), hash-repartition by
+    * fileId, and each task encodes+writes the log files of the groups it
+    * holds (one Avro data block per group — the rows of a group fit one
+    * task by the same bound that makes a log block writable at all).
+    * Only commit-stats metadata (partition, fileId, relPath, rowCount)
+    * returns to the driver; data rows never do. The per-group slice
+    * metadata (base instant, partition path, next log version) is
+    * O(#file groups) and ships as a broadcast. Log-file names are
+    * deterministic per (fileId, version) and created with
+    * overwrite=false, so a retried task fails loudly rather than
+    * double-appending. Returns (commit stats, matched-key frame|null). */
+  private def routeToGroups(t: HudiTable, rows: DataFrame, instant: String,
+      deleted: Boolean): (Seq[(String, String, String, Long)], DataFrame) = {
+    val slices = t.liveSlices
+    if (slices.isEmpty) return (Nil, null)
+    import spark.implicits._
+    val infoMap: Map[String, (String, String, Int)] = slices.map { s =>
+      s.fileId -> ((s.instant, s.partitionPath,
+        logVersions.getOrElse(s.fileId, 0) + 1))
+    }.toMap
+    val bcInfo = spark.sparkContext.broadcast(infoMap)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val rootStr = root.toString
+    val dataFields = schema.fieldNames.toIndexedSeq
+    val keyName = keyField
+    val full = fullLogSchema
+    val schemaJson = HudiLog.avroSchemaJson(full, "hoodie_record")
+    val keyIdx = spark.read
+      .schema(StructType(Seq(
+        StructField("_hoodie_record_key", StringType),
+        StructField("_hoodie_file_name", StringType))))
+      .parquet(slices.map(s => new Path(root, s.path).toString): _*)
+      .select(col("_hoodie_record_key").as("__k"),
+        regexp_extract(col("_hoodie_file_name"),
+          "^(.+)_[^_]+_\\d+\\.parquet$", 1).as("__fid"))
+    val keyed = rows.withColumn("__k", col(keyName).cast("string"))
+    val routed = keyed.join(keyIdx, Seq("__k"), "inner")
+    val stats: Array[(String, String, String, Long)] =
+      routed.select((col("__fid") +: dataFields.map(col)): _*)
+        .repartition(col("__fid"))
+        .mapPartitions { it =>
+          val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          it.toSeq.groupBy(_.getString(0)).iterator.map { case (fid, rs) =>
+            val (baseInstant, partPath, version) = bcInfo.value(fid)
+            val name = s".${fid}_$baseInstant.log.${version}_0-0-0"
+            val rel = if (partPath.isEmpty) name else s"$partPath/$name"
+            val recs = rs.zipWithIndex.map { case (r, i) =>
+              val metaVals: Seq[Any] = Seq(instant, s"${instant}_0_$i",
+                String.valueOf(r.getAs[Any](keyName)), partPath, name)
+              HudiLog.encodeRow(avroSchema, full,
+                org.apache.spark.sql.Row.fromSeq(
+                  metaVals ++ dataFields.map(r.getAs[Any](_)) :+ deleted))
+            }
+            val block = HudiLog.Block(HudiLog.AvroDataBlock,
+              Map(HudiLog.HeaderInstantTime -> instant,
+                HudiLog.HeaderSchema -> schemaJson),
+              HudiLog.avroDataBlockContent(recs))
+            HudiLog.writeLogFile(bcConf.value.value,
+              new Path(new Path(rootStr), rel), Seq(block))
+            (partPath, fid, rel, rs.size.toLong)
+          }
+        }.collect()
+    stats.foreach { case (_, fid, _, _) => logVersions(fid) = infoMap(fid)._3 }
+    // the "matched" frame the caller anti-joins is the base-key index
+    // itself (any update key in it was routed) — NOT the routed plan,
+    // which would re-run the routing join+shuffle on evaluation
+    (stats.toIndexedSeq, keyIdx.select(col("__k")))
   }
 }
 
