@@ -511,13 +511,25 @@ final class IcebergTable private (
       while (i > 0 && (seqs(i - 1) > fileSeq || (inclusive && seqs(i - 1) == fileSeq))) i -= 1
       i
     }
+    // delete files are read as parquet below — reject other formats
+    // loudly (real engines write parquet deletes; a v3 DV is a puffin
+    // blob handled separately and never reaches these reads)
+    (p.eqDeletes ++ p.posDeletes).foreach { d =>
+      require(d.entry.fileFormat.equalsIgnoreCase("parquet"),
+        s"iceberg: delete file ${d.entry.filePath} has format " +
+          s"${d.entry.fileFormat}; this reader reads parquet delete files only")
+    }
+
+    // data-file format is part of the group key: each group reads with
+    // its own source (reference enumerates PARQUET/ORC/AVRO per entry,
+    // iceberg_bridge.h:229-249 — never assume one format table-wide)
     val groups = p.dataFiles
-      .groupBy(f => (f.schemaId,
+      .groupBy(f => (f.schemaId, f.entry.fileFormat.toUpperCase,
         suffixFrom(eqSeqs, f.seq, inclusive = false),
         suffixFrom(posSeqs, f.seq, inclusive = true)))
-      .toSeq.sortBy { case ((sid, ei, pi), _) => (sid, ei, pi) }
+      .toSeq.sortBy { case ((sid, fmt, ei, pi), _) => (sid, fmt, ei, pi) }
 
-    groups.map { case ((schemaId, eqIdx, posIdx), files) =>
+    groups.map { case ((schemaId, fileFmt, eqIdx, posIdx), files) =>
       val writeSchema = schemaOrCurrent(schemaId)
       val phys = writeSchema.struct
       val eqApplying = p.eqDeletes.filter(d => eqSeqs.drop(eqIdx).contains(d.seq))
@@ -533,8 +545,23 @@ final class IcebergTable private (
       }.toSet
       val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty
 
-      var df = spark.read.schema(phys)
-        .parquet(files.map(_.entry.filePath): _*)
+      var df = fileFmt match {
+        case "PARQUET" => spark.read.schema(phys)
+          .parquet(files.map(_.entry.filePath): _*)
+        case "ORC" =>
+          // positional machinery needs _metadata.row_index, which
+          // Spark's ORC source does not expose (parquet-only) — reject
+          // rather than silently mis-join positions
+          require(!needMeta,
+            "iceberg: positional deletes / deletion vectors apply to ORC " +
+              s"data files (${files.head.entry.filePath}, ...); this reader " +
+              "supports positional deletes over parquet data files only")
+          spark.read.schema(phys).orc(files.map(_.entry.filePath): _*)
+        case other => throw new IllegalArgumentException(
+          s"iceberg: data file format $other " +
+            s"(${files.head.entry.filePath}, ...) is not readable here — " +
+            "supported data file formats: PARQUET, ORC")
+      }
       if (needMeta) df = df
         .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
         .withColumn(PosIdxCol, col("_metadata.row_index"))

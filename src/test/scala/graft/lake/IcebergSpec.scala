@@ -383,4 +383,109 @@ class IcebergSpec extends AnyFunSuite {
     val e2 = intercept[Exception] { t.incrementalAppends(999999L) }
     assert(e2.getMessage.contains("ancestor") || e2.getMessage.contains("not in metadata"))
   }
+
+  // ---- data-file format routing (reference: iceberg_bridge.h:229-249
+  // enumerates PARQUET/ORC/AVRO per entry) ----------------------------------
+
+  /** Rewrites every manifest's records in place through `mutate`,
+    * preserving the avro schema and header metadata — the test-side
+    * stand-in for tables written by engines that emit non-parquet data
+    * files (no such writer exists in the sandbox). */
+  private def patchManifests(loc: String)(
+      mutate: org.apache.avro.generic.GenericRecord => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(loc, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    fs.listStatus(metaDir).filter { s =>
+      s.getPath.getName.startsWith("mf-") && s.getPath.getName.endsWith(".avro")
+    }.foreach { st =>
+      val in = fs.open(st.getPath)
+      val stream = new org.apache.avro.file.DataFileStream[
+        org.apache.avro.generic.GenericRecord](in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val schema = stream.getSchema
+      import scala.jdk.CollectionConverters._
+      val metaKeys = stream.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro.")) // reserved keys re-set by the writer
+        .map(k => k -> stream.getMetaString(k)).toMap
+      val recs = scala.collection.mutable.ArrayBuffer[
+        org.apache.avro.generic.GenericRecord]()
+      while (stream.hasNext) recs += stream.next()
+      stream.close()
+      recs.foreach(mutate)
+      graft.lake.iceberg.IcebergAvro.writeAvro(
+        conf, st.getPath, schema, metaKeys, recs.toSeq)
+    }
+  }
+
+  /** Converts a table's parquet data files to real ORC files and points
+    * the manifests at them with file_format=ORC. */
+  private def convertDataFilesToOrc(loc: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    patchManifests(loc) { r =>
+      val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      if (df.get("content").toString.toInt == 0) {
+        val p = df.get("file_path").toString
+        val orcPath = p.stripSuffix(".parquet") + ".orc"
+        val stageDir = orcPath + ".stage"
+        spark.read.parquet(p).coalesce(1)
+          .write.mode("overwrite").orc(stageDir)
+        val fs = new Path(stageDir).getFileSystem(conf)
+        val part = fs.listStatus(new Path(stageDir))
+          .map(_.getPath).find(_.getName.endsWith(".orc")).get
+        require(fs.rename(part, new Path(orcPath)))
+        fs.delete(new Path(stageDir), true)
+        df.put("file_path", orcPath)
+        df.put("file_format", "ORC")
+      }
+    }
+  }
+
+  test("ORC data files route through the ORC source and read back exactly") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("orcread"), n.schema)
+    w.append(n.filter(col("n_nationkey") < 13))
+    w.append(n.filter(col("n_nationkey") >= 13))
+    convertDataFilesToOrc(w.location)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    // equality deletes are value-based — they apply to ORC groups too
+    val w2 = IcebergWriter.open(spark, w.location)
+    w2.equalityDelete(n.filter(col("n_nationkey") === 3).select("n_nationkey"))
+    assert(IcebergTable.load(spark, w.location).scan().count() == n.count() - 1)
+  }
+
+  test("AVRO data files are rejected loudly by format name, never misread") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("avrorej"), n.schema)
+    w.append(n)
+    patchManifests(w.location) { r =>
+      val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      if (df.get("content").toString.toInt == 0) df.put("file_format", "AVRO")
+    }
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.load(spark, w.location).scan().collect()
+    }
+    assert(e.getMessage.contains("AVRO"),
+      s"error must name the unreadable format: ${e.getMessage}")
+  }
+
+  test("positional deletes over ORC data files are rejected, not mis-joined") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("orcposdel"), n.schema)
+    w.append(n.orderBy("n_nationkey").coalesce(1))
+    convertDataFilesToOrc(w.location)
+    val t1 = IcebergTable.load(spark, w.location)
+    val dataFile = t1.planFiles().head
+    import spark.implicits._
+    val w2 = IcebergWriter.open(spark, w.location)
+    w2.positionDelete(Seq((dataFile, 0L)).toDF("file_path", "pos"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.load(spark, w.location).scan().collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("positional"),
+      s"error must explain the positional-delete-over-ORC limit: ${e.getMessage}")
+  }
 }
