@@ -397,26 +397,41 @@ object Dedup {
     *    shipped in the task closure — zero shuffle over the corpus.
     *  - The only shuffle is the within-cluster self-join, and cluster
     *    sizes are CONTROLLED: k = n / targetClusterSize keeps expected
-    *    pair work at n · targetSize (linear in n), the knob SemDeDup
-    *    itself turns — a skewed cluster is split by AQE. Past k ≈ 10⁵
-    *    the closure-shipped centroid table outgrows its welcome and
-    *    assignment becomes two-level (broadcast √k super-centroids,
-    *    per-cell refinement) — the ann_ivf ceiling note applies. */
-  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    *    pair work at n · targetSize (linear in n) at ANY n, the knob
+    *    SemDeDup itself turns — a skewed cluster is split by AQE. k is
+    *    UNCAPPED: past `singleLevelMaxK` the centroid artifact outgrows
+    *    a task closure and assignment goes two-level (√k closure-shipped
+    *    super-centroids for a map-only coarse pass, then per-cell
+    *    refinement against a fine-centroid TABLE — see
+    *    [[twoLevelAssign]]), so cluster sizes stay at targetClusterSize
+    *    instead of degrading to n/1024. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    dedupSemanticImpl(s, d, singleLevelMaxK = 1024)
+
+  /** `singleLevelMaxK`: largest k whose full centroid set still ships in
+    * a task closure (1024 × 64 doubles ≈ 512 KB). Parameterized so specs
+    * can force the two-level path on a small corpus. */
+  private[graft] def dedupSemanticImpl(s: SparkSession, d: String,
+      singleLevelMaxK: Int): DataFrame = {
     val tau = 0.4 // same near-dup threshold as dedup_embedding
     val n = Tables.rowCount(s, s"$d/embeddings.parquet")
-    val k = math.max(4, math.min(1024, math.ceil(n / 256.0).toInt))
+    val k = math.max(4, math.ceil(n / 256.0).toInt)
     val dim = 64
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), normalized(col("embedding").cast("array<double>")).as("u"))
-    val sample = corpus.orderBy("vec_id").limit(math.max(4096, 8 * k))
+    // bounded deterministic training sample (the PQ-codebook posture:
+    // coarse quantizers train on samples, not the corpus)
+    val sampleSize = math.max(4096, math.min(8L * k, 1L << 20).toInt)
+    val sample = corpus.orderBy("vec_id").limit(sampleSize)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
-    val cb = Ann.Pq.train(sample, 1, k, 10) // full-dim k-means (m=1)
-    val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
-      graft.expressions.PqEncode(
-        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
-    val assigned = corpus
-      .withColumn("cluster_id", element_at(assignExpr, 1))
+    val assigned =
+      (if (k <= singleLevelMaxK) {
+        val cb = Ann.Pq.train(sample, 1, k, 10) // full-dim k-means (m=1)
+        val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.expressions.PqEncode(
+            org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
+        corpus.withColumn("cluster_id", element_at(assignExpr, 1))
+      } else twoLevelAssign(s, corpus, sample, k, dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("cluster_id"), col("vec_id").as("a_id"), col("u").as("ua"))
     val y = assigned.select(col("cluster_id"), col("vec_id").as("b_id"), col("u").as("ub"))
@@ -432,6 +447,66 @@ object Dedup {
     val result = out.localCheckpoint()
     assigned.unpersist(blocking = false)
     result
+  }
+
+  /** Two-level nearest-centroid assignment for k past the closure
+    * ceiling. Coarse pass: ~√k super-centroids ship in the task closure
+    * (same budget as the single-level path) for a map-only PqEncode
+    * argmin. Refinement: the k fine centroids — too big for any closure —
+    * live in a (cell, cluster_id, centroid) TABLE joined on the coarse
+    * cell (Catalyst broadcasts it while it fits, shuffle-joins beyond),
+    * and the per-vector argmin folds under min(struct(score, id)) with
+    * map-side partial aggregation, ties to the lowest cluster id. Fine
+    * centroids train per cell on the cell's own sample points, bounding
+    * every driver-side Lloyd run at O(sample · √k · dim). On unit
+    * vectors |u−c|² = 1 − 2·u·c + |c|², so ranking uses |c|² − 2·u·c with
+    * |c|² precomputed per centroid and the dot as the native codegen
+    * graft_dot. */
+  private def twoLevelAssign(s: SparkSession, corpus: DataFrame,
+      sample: Array[Array[Double]], k: Int, dim: Int): DataFrame = {
+    val c = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val perCell = math.max(1, math.ceil(k.toDouble / c).toInt)
+    val superCb = Ann.Pq.train(sample, 1, c, 10)
+    def nearestSuper(x: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < c) {
+        var dd = 0.0; var j = 0
+        while (j < dim) { val t = x(j) - superCb(ci * dim + j); dd += t * t; j += 1 }
+        if (dd < bd) { bd = dd; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val byCell: Map[Int, Array[Array[Double]]] = sample.groupBy(nearestSuper)
+    import s.implicits._
+    val fineRows: Seq[(Int, Long, Double, Seq[Double])] =
+      (0 until c).flatMap { cell =>
+        val xs = byCell.getOrElse(cell, Array.empty[Array[Double]])
+        if (xs.isEmpty) {
+          // empty cell: its super-centroid doubles as its only fine
+          // centroid, so a vector landing here still gets an assignment
+          val cent = superCb.slice(cell * dim, (cell + 1) * dim)
+          Seq((cell, cell.toLong * perCell, cent.map(v => v * v).sum, cent.toSeq))
+        } else {
+          val kc = math.min(perCell, xs.length)
+          val cb = Ann.Pq.train(xs, 1, kc, 10)
+          (0 until kc).map { j =>
+            val cent = cb.slice(j * dim, (j + 1) * dim)
+            (cell, cell.toLong * perCell + j, cent.map(v => v * v).sum, cent.toSeq)
+          }
+        }
+      }
+    val fineDf = fineRows.toDF("cell", "cluster_id", "c2", "centroid")
+    val superExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, c, dim, superCb))
+    corpus.withColumn("cell", element_at(superExpr, 1).cast("int"))
+      .join(fineDf, Seq("cell"))
+      .withColumn("score", col("c2") - lit(2.0) * dot(col("u"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("score"), col("cluster_id"))).as("best"),
+        first(col("u")).as("u"))
+      .select(col("vec_id"), col("u"), col("best.cluster_id").as("cluster_id"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

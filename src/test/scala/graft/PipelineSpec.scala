@@ -188,9 +188,7 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { case (id, v) => assert(v == truth(id), s"doc $id: $v vs ${truth(id)}") }
   }
 
-  test("dedup_semantic: removals witnessed, kept set pairwise-clean per cluster") {
-    val got = queries.Dedup.dedupSemantic(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+  private def checkSemanticInvariant(got: Array[(Long, Long, Int)]): Unit = {
     assert(got.map(_._1).toSet == vecs.keySet, "every vector gets a verdict")
     val byCluster = got.groupBy(_._2)
     assert(got.exists(_._3 == 0), "planted near-dups should cause removals")
@@ -207,6 +205,47 @@ class PipelineSpec extends AnyFunSuite {
             s"kept $id should have been removed (witness ${smallerNeighbors.headOption})")
       }
     }
+  }
+
+  test("dedup_semantic: removals witnessed, kept set pairwise-clean per cluster") {
+    checkSemanticInvariant(queries.Dedup.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
+  }
+
+  test("dedup_semantic two-level assignment keeps the exact same invariant") {
+    // singleLevelMaxK=1 forces the coarse+refine path on the gate corpus
+    checkSemanticInvariant(
+      queries.Dedup.dedupSemanticImpl(spark, sf, singleLevelMaxK = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
+  }
+
+  test("dedup_semantic two-level: per-cluster pair work stays flat at 10x corpus") {
+    // the r09 verdict's scale defect: with k capped at 1024, cluster
+    // sizes grew as n/1024 and the within-cluster self-join went
+    // quadratic past ~256K vectors. Receipt: pair work per vector
+    // (Σ size² / n) must NOT grow with the corpus now that k tracks n.
+    def synth(name: String, n: Int): String = {
+      val d = s"/root/repo/target/graft-semdedup-scale/$name"
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      spark.range(n.toLong).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(63)),
+          j => sin(col("id") * (j + lit(1))).cast("float")).as("embedding"))
+        .write.parquet(s"$d/embeddings.parquet")
+      d
+    }
+    def pairWorkPerVec(dir: String, n: Int): Double = {
+      val sizes = queries.Dedup.dedupSemanticImpl(spark, dir, singleLevelMaxK = 1)
+        .groupBy("cluster_id").count().collect().map(_.getLong(1))
+      assert(sizes.sum == n)
+      sizes.map(s => s.toDouble * s).sum / n
+    }
+    val w1 = pairWorkPerVec(synth("x1", 16000), 16000)
+    val w10 = pairWorkPerVec(synth("x10", 160000), 160000)
+    info(s"pair work per vector: 16k -> $w1, 160k -> $w10")
+    assert(w10 < 4 * w1,
+      s"per-vector pair work must stay flat at 10x the corpus: $w1 -> $w10")
   }
 
   test("dedup_embedding pairs are true cosine>=0.4 pairs") {
