@@ -204,10 +204,11 @@ final class IcebergWriter private (
 
   // ---- data-file writing ---------------------------------------------------
 
-  /** Derived partition Column for a transform (write path). Bucket uses a
-    * udf over Iceberg's own hash — acceptable here: this is the test/export
-    * writer, not a query hot path, and Spark's codegen'd `hash()` computes
-    * a DIFFERENT function (seed 42) that would violate the spec. */
+  /** Derived partition Column for a transform (write path). Bucket is
+    * graft's native codegen [[graft.expressions.IcebergBucket]] — the
+    * spec's murmur3 seed-0 hash (Spark's `hash()` computes a DIFFERENT
+    * function, seed 42) without the per-row boxing a Scala UDF would put
+    * on the data-write hot path. */
   private def transformColumn(pf: IcePartField): Column = {
     val src = curSchema.byId(pf.sourceId)
     val c = col(src.name)
@@ -225,18 +226,14 @@ final class IcebergWriter private (
         }
       case t if t.startsWith("bucket[") =>
         val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
-        def b(v: Any, dt: DataType): java.lang.Integer =
-          if (v == null) null
-          else IcebergTransforms.bucket(v, dt, n).map(Int.box).orNull
-        val f = src.dataType match {
-          case IntegerType => udf((v: java.lang.Integer) => b(v, IntegerType))
-          case LongType => udf((v: java.lang.Long) => b(v, LongType))
-          case StringType => udf((v: String) => b(v, StringType))
-          case DateType => udf((v: java.sql.Date) => b(v, DateType))
+        src.dataType match {
+          case IntegerType | LongType | StringType | DateType =>
+            org.apache.spark.sql.graftshim.ColumnExpr.column(
+              graft.expressions.IcebergBucket(
+                org.apache.spark.sql.graftshim.ColumnExpr.expression(c), n))
           case other => throw new IllegalArgumentException(
             s"iceberg writer: bucket over $other unsupported")
         }
-        f(c)
       case other => throw new IllegalArgumentException(
         s"iceberg writer: unsupported transform $other")
     }

@@ -38,6 +38,27 @@ class IcebergSpec extends AnyFunSuite {
       .contains((-653330422 & Integer.MAX_VALUE) % 100))
   }
 
+  test("native iceberg_bucket expression matches spec vectors; no UDF in plan") {
+    import spark.implicits._
+    def bucketCol(c: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.expressions.IcebergBucket(
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(c), n))
+    val df = Seq((34, 34L, "iceberg", java.sql.Date.valueOf("2017-11-16")))
+      .toDF("i", "l", "s", "d")
+      .select(bucketCol(col("i"), 16).as("bi"), bucketCol(col("l"), 16).as("bl"),
+        bucketCol(col("s"), 16).as("bs"), bucketCol(col("d"), 100).as("bd"))
+    val r = df.head()
+    assert(r.getInt(0) == 2017239379 % 16)
+    assert(r.getInt(1) == 2017239379 % 16)
+    assert(r.getInt(2) == 1210000089 % 16)
+    assert(r.getInt(3) == (-653330422 & Integer.MAX_VALUE) % 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    val nr = Seq(Option.empty[Int]).toDF("i").select(bucketCol(col("i"), 16)).head()
+    assert(nr.isNullAt(0), "null input must stay null")
+  }
+
   test("unpartitioned round-trip: two appends read back exactly") {
     val n = Tables.nation(spark, sf)
     val w = IcebergWriter.create(spark, freshDir("roundtrip"), n.schema)
