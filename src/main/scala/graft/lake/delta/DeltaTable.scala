@@ -69,6 +69,8 @@ final class DeltaTable private (
   def partitionColumns: Seq[String] = meta.partitionColumns
   def columnMappingMode: String = meta.columnMappingMode
   private[delta] def dmeta: DeltaTable.DMeta = meta
+  private[delta] lazy val addByPath: Map[String, DeltaTable.AddFile] =
+    adds.map(a => a.path -> a).toMap
 
   /** In-file schema: data columns only, PHYSICAL names. Field-id
     * metadata is attached ONLY in id mode (it rides on Spark's
@@ -292,6 +294,12 @@ object DeltaTable {
     val cdcFiles = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
     val insertFiles = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
     val deleteFiles = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
+    // rows a removed file's DV had ALREADY masked must not re-emit as
+    // deletes when the remove-only commit is synthesized: keyed by
+    // resolved path, filled from the remove action's own deletionVector
+    // or, when the writer didn't copy it onto the remove (graft's own
+    // doesn't), from the file's live add as of the PRIOR version
+    val deleteDvs = scala.collection.mutable.Map[String, DeletionVectors.Descriptor]()
     def pvOf(n: JsonNode): Map[String, String] = {
       val it = n.path("partitionValues").fields()
       val b = Map.newBuilder[String, String]
@@ -311,7 +319,8 @@ object DeltaTable {
         finally in.close()
       val cdcs = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
       val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
-      val removes = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Boolean)]()
+      val removes = scala.collection.mutable.ArrayBuffer[(String, Map[String, String],
+        Boolean, Option[DeletionVectors.Descriptor])]()
       var dvAdd = false
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
@@ -323,7 +332,8 @@ object DeltaTable {
         }
         if (n.has("remove") && n.get("remove").path("dataChange").asBoolean(true))
           removes += ((decodePath(n.get("remove").path("path").asText()),
-            pvOf(n.get("remove")), n.get("remove").has("partitionValues")))
+            pvOf(n.get("remove")), n.get("remove").has("partitionValues"),
+            parseDvNode(n.get("remove"))))
       }
       if (cdcs.nonEmpty) {
         cdcFiles ++= cdcs.map { case (path, pv) => (path, pv, v) }
@@ -334,12 +344,20 @@ object DeltaTable {
       } else if (removes.isEmpty) {
         insertFiles ++= adds.map { case (path, pv) => (path, pv, v) }
       } else if (adds.isEmpty) {
-        removes.foreach { case (path, pv, hasPv) =>
+        // one prior-version snapshot per remove-only commit, resolved
+        // lazily (only when a remove carries no DV of its own)
+        lazy val prior: DeltaTable =
+          loadVersion(spark, location, v - 1)
+        removes.foreach { case (path, pv, hasPv, removeDv) =>
           require(hasPv || meta.partitionColumns.isEmpty,
             s"delta cdf: version $v removed $path without extended " +
               "partitionValues metadata — the file cannot be located for " +
               "change synthesis")
           deleteFiles += ((path, pv, v))
+          removeDv.orElse(prior.addByPath.get(path).flatMap(_.deletionVector))
+            .foreach { d =>
+              deleteDvs(pathKey(resolve(location, path).toString)) = d
+            }
         }
       } else {
         throw new IllegalStateException(
@@ -351,7 +369,8 @@ object DeltaTable {
     val groups = Seq(
       readChangeGroup(spark, location, meta, cdcFiles.toSeq, None),
       readChangeGroup(spark, location, meta, insertFiles.toSeq, Some("insert")),
-      readChangeGroup(spark, location, meta, deleteFiles.toSeq, Some("delete"))).flatten
+      readChangeGroup(spark, location, meta, deleteFiles.toSeq, Some("delete"),
+        dvByFile = deleteDvs.toMap)).flatten
     if (groups.isEmpty) {
       val outSchema = StructType(meta.schema.fields ++ Seq(
         StructField("_change_type", StringType),
@@ -368,7 +387,9 @@ object DeltaTable {
     * protocol's `_change_type` column from the files (cdc class). */
   private def readChangeGroup(spark: SparkSession, location: String,
       meta: DMeta, files: Seq[(String, Map[String, String], Long)],
-      ctLit: Option[String]): Option[DataFrame] = {
+      ctLit: Option[String],
+      dvByFile: Map[String, DeletionVectors.Descriptor] = Map.empty)
+      : Option[DataFrame] = {
     if (files.isEmpty) return None
     if (meta.columnMappingMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -384,9 +405,28 @@ object DeltaTable {
       if (ctLit.isEmpty) StructType(physData.fields :+
         StructField("_change_type", StringType))
       else physData
-    val df = spark.read.schema(readSchema)
+    var df = spark.read.schema(readSchema)
       .parquet(files.map(f => resolve(location, f._1).toString): _*)
       .withColumn("__fp", normPath(col("_metadata.file_path")))
+    if (dvByFile.nonEmpty) {
+      // subtract already-masked rows (same executor-side lazy bitmap
+      // shape as scan()): a DV'd row was deleted in an EARLIER version,
+      // so the remove-only commit must not re-emit it
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val bcDvs = spark.sparkContext.broadcast(dvByFile)
+      val loc = location
+      val keep = udf { (path: String, rowIndex: Long) =>
+        val key = pathKey(path)
+        bcDvs.value.get(key) match {
+          case Some(d) =>
+            !DvCache.bitmap(loc, key, d, bcConf.value.value).contains(rowIndex)
+          case None => true
+        }
+      }
+      df = df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+    }
     val pvSchema = StructType(
       StructField("__fp", StringType) +:
         (meta.partitionColumns.map(c => StructField(s"__pv_$c", StringType)) :+
@@ -657,8 +697,8 @@ object DeltaTable {
     DMeta(schema, parts, confMap)
   }
 
-  private def parseAddNode(n: JsonNode): AddFile = {
-    val dv = n.path("deletionVector") match {
+  private def parseDvNode(n: JsonNode): Option[DeletionVectors.Descriptor] =
+    n.path("deletionVector") match {
       case d if d.isObject =>
         Some(DeletionVectors.Descriptor(
           d.path("storageType").asText(),
@@ -668,6 +708,9 @@ object DeltaTable {
           d.path("cardinality").asLong))
       case _ => None
     }
+
+  private def parseAddNode(n: JsonNode): AddFile = {
+    val dv = parseDvNode(n)
     val pvals = {
       val it = n.path("partitionValues").fields()
       val b = Map.newBuilder[String, String]

@@ -462,12 +462,28 @@ final class DeltaWriter private (
         df = df.withColumn(c,
           (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
       }
-      val hit = df.filter(coalesce(cond, lit(false)))
+      // nondeterministic cond/set expressions (rand(), current_timestamp)
+      // would re-evaluate per consuming job — the hit/miss split could
+      // drop or duplicate rows, and a CDF postimage could disagree with
+      // the rows actually written. Pin ONE evaluation via localCheckpoint
+      // before fan-out; deterministic expressions skip the cost.
+      val exprsDeterministic =
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic &&
+          set.values.forall(c =>
+            org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic)
+      val dfx = {
+        val d = df.withColumn("__hit", coalesce(cond, lit(false)))
+        if (exprsDeterministic) d else d.localCheckpoint()
+      }
+      val hit = dfx.filter(col("__hit")).drop("__hit")
       // zero-match group (stats over-approximation): leave untouched
       if (!hit.isEmpty) {
         touched ++= group
-        val miss = df.filter(!coalesce(cond, lit(false)))
-        val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+        val miss = dfx.filter(!col("__hit")).drop("__hit")
+        val updated = {
+          val u = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+          if (exprsDeterministic) u else u.localCheckpoint()
+        }
         val merged = miss.unionByName(updated)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         if (!merged.isEmpty) newAdds ++= writeFiles(merged)
@@ -526,20 +542,16 @@ final class DeltaWriter private (
   private def dvDeleteCore(affected: Set[String],
       rowMatcher: DataFrame => DataFrame): Long = {
     if (affected.isEmpty) return version
-    val firstDv = !dvEnabled
-    dvEnabled = true
-    val actions = scala.collection.mutable.ArrayBuffer[ObjectNode]()
-    if (firstDv) actions += protocolAction
 
-    // group affected files by partitionValues so `cond` can reference
-    // partition columns (injected as per-group literals), and scan each
-    // group's files in ONE distributed read with the file/row metadata
+    // ONE distributed read over every affected file, however many
+    // partition groups: `cond` can reference partition columns, which
+    // are injected through a broadcast file→partition-values frame
+    // (scan()'s shape) instead of per-group literal loops — one Spark
+    // job per DV delete, not one per partition (r09 verdict #4 minor)
     val affectedNodes = affected.toSeq.sorted.map(rel => rel -> live(rel))
     val keyToRel: Map[String, String] = affectedNodes.map { case (rel, _) =>
       DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) -> rel
     }.toMap
-    val byPart = affectedNodes.groupBy { case (_, n) =>
-      mapper.writeValueAsString(n.get("add").get("partitionValues")) }
     val deletedByFile = scala.collection.mutable.Map[String, RoaringBitmapArray]()
     // files that already carry a DV: their masked rows are ALREADY
     // deleted — they must not re-enter the new delta's row set (the
@@ -566,10 +578,9 @@ final class DeltaWriter private (
     }
     val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     import spark.implicits._
-    byPart.values.toSeq.sortBy(_.head._1).foreach { group =>
-      val paths = group.map { case (rel, _) =>
+    locally {
+      val paths = affectedNodes.map { case (rel, _) =>
         DeltaTable.resolve(location, rel).toString }
-      val pv = group.head._2.get("add").get("partitionValues")
       val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
       // metadata columns captured on the raw file relation (they don't
       // survive arbitrary projection), then rename to logical
@@ -578,11 +589,26 @@ final class DeltaWriter private (
         .withColumn("__ri", col("_metadata.row_index"))
       df = df.select((col("__fp") +: col("__ri") +:
         dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c))): _*)
-      partitionColumns.foreach { c =>
-        val v = pv.get(phys(c))
-        df = df.withColumn(c,
-          (if (v == null || v.isNull) lit(null)
-           else lit(v.asText())).cast(schema(c).dataType))
+      if (partitionColumns.nonEmpty) {
+        val pvSchema = StructType(StructField("__fpk", StringType) +:
+          partitionColumns.map(c => StructField(s"__pv_$c", StringType)))
+        val pvRows = affectedNodes.map { case (rel, n) =>
+          val pv = n.get("add").get("partitionValues")
+          org.apache.spark.sql.Row.fromSeq(
+            DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) +:
+              partitionColumns.map { c =>
+                val v = pv.get(phys(c))
+                if (v == null || v.isNull) null else v.asText()
+              })
+        }
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema)
+        df = df.join(broadcast(pvDf),
+          DeltaTable.normPath(col("__fp")) === col("__fpk"))
+        partitionColumns.foreach { c =>
+          df = df.withColumn(c, col(s"__pv_$c").cast(schema(c).dataType))
+        }
+        df = df.drop("__fpk" +: partitionColumns.map(c => s"__pv_$c"): _*)
       }
       val newlyDeleted = rowMatcher(df).filter(notAlreadyDeleted)
       val partials: Array[(String, Array[Byte])] = newlyDeleted
@@ -606,6 +632,16 @@ final class DeltaWriter private (
         }
       }
     }
+
+    // zero-match (e.g. a pure-append mirror sync range where every
+    // touched key is new): commit NOTHING — no zero-action commit file,
+    // no table-features protocol flip (mirrors the zero-match guard in
+    // deleteWhere/updateWhere)
+    if (deletedByFile.isEmpty) return version
+    val firstDv = !dvEnabled
+    dvEnabled = true
+    val actions = scala.collection.mutable.ArrayBuffer[ObjectNode]()
+    if (firstDv) actions += protocolAction
 
     deletedByFile.toSeq.map { case (k, bm) => keyToRel(k) -> bm }
       .sortBy(_._1).foreach { case (rel, bitmap) =>

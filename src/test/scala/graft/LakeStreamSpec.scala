@@ -231,6 +231,37 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(runOnce() == Set.empty[Int], "no new instants, no rows")
   }
 
+  test("hudi-incremental stream rejects replacecommit timelines loudly") {
+    // advice r09: a completed replacecommit (clustering/insert_overwrite)
+    // must fail the stream by name, not stall the offset below its data
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/root/repo/target/graft-lake-test/hudireplace"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val loc = s"$base/table"
+    val n = Tables.nation(spark, sf)
+    val w = graft.lake.hudi.HudiWriter.create(spark, loc, n.schema,
+      keyField = "n_nationkey")
+    w.insert(n)
+    val rp = new org.apache.hadoop.fs.Path(loc,
+      ".hoodie/20990101000000000.replacecommit")
+    val out = fs.create(rp, false)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("hudi-incremental").load(loc)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("replacecommit"), s"must name the instant kind: $msgs")
+  }
+
   test("iceberg-incremental stream tails appends across restarts; rejects deletes") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions._

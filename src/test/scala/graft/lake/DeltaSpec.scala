@@ -299,6 +299,31 @@ class DeltaSpec extends AnyFunSuite {
 
   // ---- column mapping ------------------------------------------------------
 
+  test("zero-match keyed DV delete commits nothing and skips the protocol flip") {
+    // advice r09: a pure-append mirror sync range (every touched key new)
+    // must not write a zero-action commit file nor flip the table to the
+    // table-features DV protocol form
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("dv-zero")
+    val w = DeltaWriter.create(spark, loc, n.schema)
+    w.append(n) // v1
+    import spark.implicits._
+    val v = w.deleteMatchingDv(Seq(999, 1000).toDF("n_nationkey"), Seq("n_nationkey"))
+    assert(v == 1L, "version unchanged on zero-match")
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(loc, "_delta_log/00000000000000000002.json")),
+      "no zero-action commit file may be written")
+    // a later REAL DV delete still performs the first-use protocol flip
+    w.deleteWhereDv(col("n_nationkey") === 1) // v2
+    val v2 = {
+      val in = fs.open(new Path(loc, "_delta_log/00000000000000000002.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(v2.contains("deletionVectors"),
+      "first real DV delete carries the protocol upgrade")
+    assert(DeltaTable.load(spark, loc).scan().count() == n.count() - 1)
+  }
+
   test("column mapping name mode: physical files, logical scan, pruning intact") {
     val n = Tables.nation(spark, sf)
     val dir = freshDir("cmname")
@@ -554,6 +579,27 @@ class DeltaSpec extends AnyFunSuite {
     assert(dels.map(_._3).toSet == r2)
     assert(dels.forall(_._4 == 2), "partition value injected from remove metadata")
     assert(dels.forall(_._2 == 2L))
+  }
+
+  test("CDF: remove-only commit of a DV-bearing file subtracts the DV's rows") {
+    // advice r09: rows already masked by an earlier DV delete must not
+    // re-emit as deletes when the file is later fully removed. graft's
+    // own writer reaches this: deleteWhereDv on a non-CDF table, then a
+    // deleteWhere matching every remaining live row of that file yields
+    // a remove-only commit of a DV-bearing file.
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cdf-rm-dv")
+    val w = DeltaWriter.create(spark, loc, n.schema)
+    w.append(n) // v1
+    w.deleteWhereDv(col("n_nationkey") < 5) // v2: DV masks 0-4
+    w.deleteWhere(col("n_nationkey") >= 0) // v3: all live rows → remove-only
+    assert(DeltaTable.load(spark, loc).scan().count() == 0)
+    val dels = DeltaTable.changes(spark, loc, 3L, 3L).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Int]("n_nationkey")))
+    assert(dels.forall(_._1 == "delete"))
+    assert(dels.map(_._2).toSet ==
+      n.collect().map(_.getAs[Int]("n_nationkey")).toSet.filter(_ >= 5),
+      "DV-masked rows 0-4 were deleted at v2 and must not re-emit at v3")
   }
 
   test("CDF: pre-CDF rewrite commits are rejected, not misread") {
