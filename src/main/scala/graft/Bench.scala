@@ -90,9 +90,32 @@ object Bench {
     // per-query exec/setup breakdowns go to a FILE, and the printed line
     // is compact (3-dp) and ordered so the totals sit at the END — a tail
     // keeps the metric either way.
+    // drift-protocol controls (BASELINE.md): untouched-since-r01 queries
+    // whose blessed sf0.1 exec values anchor an ambient-drift estimate.
+    // Every run carries its control ratios so a verdict can separate
+    // ambient host drift (controls move identically) from a real
+    // regression (suspect moves, controls don't) without a separate
+    // isolated trio run. Re-bless these constants only with BASELINE.md.
+    val controlBlessed = Map(
+      "dedup_exact" -> 0.22, "q02_agg_groupby" -> 0.55, "text_tokens" -> 0.20)
+    // blessed constants are sf0.1 figures — at other scales the ratios
+    // would read as phantom drift, so the block stays empty there
+    val controlRatios: Seq[(String, Double)] =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Nil
+      else ok.flatMap {
+        case (n, _, exec, _) => controlBlessed.get(n).map(b => n -> exec / b) }
+    val controlsJson =
+      if (controlRatios.isEmpty) "{}"
+      else {
+        val geo = math.exp(controlRatios
+          .map(r => math.log(math.max(r._2, 1e-9))).sum / controlRatios.size)
+        (controlRatios.map { case (n, r) => s""""$n":${round3(r)}""" } :+
+          s""""ambient_geomean":${round3(geo)}""").mkString("{", ",", "}")
+      }
     val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","setup_total":${round3(setupTotal)},"queries":${jmap(r => r._2 + r._3)}""" +
       s""","exec":${jmap(_._3)},"setup":${jmap(_._2)}""" +
+      s""","controls":$controlsJson""" +
       s""","errors":$errJson,"n_errors":${errored.size},"value":${round3(total)}}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/target/bench_full.json"))
@@ -110,6 +133,7 @@ object Bench {
     spark.stop()
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","n":${ok.size},"n_errors":${errored.size},"setup_total":${round3(setupTotal)}""" +
+      s""","controls":$controlsJson""" +
       s""","bench_full":"$outPath","value":${round3(total)}}""")
     System.out.flush()
   }
