@@ -22,6 +22,16 @@ trait Catalog {
   /** Drops the table: its files AND its catalog entry. */
   def drop(name: String): Boolean
 
+  /** Renames `from` to `to` — a user-visible lifecycle op the reference
+    * exposes as pg_catalog_rename_table (catalog_bridge.h:115-120). On a
+    * location-assigning catalog (REST) this is a pure registry change —
+    * the data/metadata location does NOT move, the new name simply
+    * resolves to it (how real lakehouse catalogs rename); the directory
+    * catalog, whose names ARE locations, moves the directory. Fails
+    * loudly when `from` is missing or `to` exists; the decision is
+    * atomic against racing renames/creates of `to`. */
+  def rename(from: String, to: String): Unit
+
   /** Commit arbiter for `name`: when defined, [[GraftTable]] routes its
     * COMMIT POINT through the catalog's atomic compare-and-swap of the
     * version pointer instead of a filesystem rename. Required on object

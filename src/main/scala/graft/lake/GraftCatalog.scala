@@ -24,6 +24,17 @@ class GraftCatalog(val spark: SparkSession, warehouse: String) extends Catalog {
 
   override def drop(name: String): Boolean = fs.delete(new Path(root, name), true)
 
+  /** Name IS location here, so rename moves the directory — atomic on
+    * HDFS-class stores (the same atomicity class this catalog's
+    * FS-rename commit point already assumes; object stores use
+    * [[RestCatalog]], whose rename is a registry CAS). */
+  override def rename(from: String, to: String): Unit = {
+    require(exists(from), s"catalog: no table '$from'")
+    require(!fs.exists(new Path(root, to)), s"catalog: table '$to' already exists")
+    require(fs.rename(new Path(root, from), new Path(root, to)),
+      s"catalog: rename '$from' -> '$to' failed")
+  }
+
   override def list(): Seq[String] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)

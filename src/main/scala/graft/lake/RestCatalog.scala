@@ -32,6 +32,8 @@ import org.apache.spark.sql.SparkSession
   *   GET    {uri}/tables/{name}/version → 200 {"version":N,"metadataFile":"…"} | 404
   *   POST   {uri}/tables/{name}/version ← {"expectedVersion":N,"newVersion":M,"metadataFile":"…"}
   *                                      → 200 committed | 409 CAS conflict | 404 no table
+  *   POST   {uri}/tables/{name}/rename  ← {"to":"b"}
+  *                                      → 200 {"name":"b","location":"…"} | 404 no table | 409 dest exists
   * }}}
   */
 class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
@@ -94,6 +96,21 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
       case 201 | 200 => field(r.body(), "location")
       case 409 => sys.error(s"table '$name' already exists in catalog $base")
       case c => sys.error(s"catalog POST /tables failed: HTTP $c ${r.body()}")
+    }
+  }
+
+  /** Registry-only rename: the location (and its committed version
+    * pointer) carries over to the new name server-side, atomically
+    * against racing renames/creates — data and metadata never move. */
+  override def rename(from: String, to: String): Unit = {
+    val r = request("POST", s"/tables/${seg(from)}/rename",
+      Some(mapper.writeValueAsString(java.util.Map.of("to", to))))
+    r.statusCode() match {
+      case 200 => ()
+      case 404 => throw new NoSuchElementException(
+        s"no table '$from' in catalog $base")
+      case 409 => sys.error(s"table '$to' already exists in catalog $base")
+      case c => sys.error(s"catalog POST /tables/$from/rename failed: HTTP $c ${r.body()}")
     }
   }
 
@@ -204,27 +221,52 @@ class InMemoryCatalogServer(warehouse: String) {
   server.createContext("/tables", (x: HttpExchange) => {
     try {
       val path = x.getRequestURI.getPath.stripSuffix("/")
-      // /tables | /tables/{name} | /tables/{name}/version — a trailing
-      // "/version" segment addresses the commit pointer of {name}
+      // /tables | /tables/{name} | /tables/{name}/version|rename — a
+      // trailing op segment addresses the commit pointer / registry
+      // entry of {name}
       val rest = if (path == "/tables") "" else path.stripPrefix("/tables/")
-      val (name, isVersion) =
+      val (name, op) =
         if (rest.endsWith("/version") && rest.length > "/version".length)
-          (Some(rest.stripSuffix("/version")), true)
-        else (if (rest.isEmpty) None else Some(rest), false)
-      (x.getRequestMethod, name, isVersion) match {
+          (Some(rest.stripSuffix("/version")), "version")
+        else if (rest.endsWith("/rename") && rest.length > "/rename".length)
+          (Some(rest.stripSuffix("/rename")), "rename")
+        else (if (rest.isEmpty) None else Some(rest), "")
+      (x.getRequestMethod, name, op) match {
         case ("GET", None, _) =>
           val names = new java.util.ArrayList[String](tables.keySet())
           java.util.Collections.sort(names)
           send(x, 200, mapper.writeValueAsString(java.util.Map.of("tables", names)))
-        case ("GET", Some(n), false) =>
+        case ("GET", Some(n), "") =>
           if (tables.containsKey(n)) send(x, 200, entryJson(n))
           else send(x, 404, errJson(s"no table $n"))
-        case ("GET", Some(n), true) =>
+        case ("GET", Some(n), "version") =>
           val v = versions.get(n)
           if (v == null) send(x, 404, errJson(s"no committed version for $n"))
           else send(x, 200, mapper.writeValueAsString(java.util.Map.of(
             "version", java.lang.Long.valueOf(v._1), "metadataFile", v._2)))
-        case ("POST", Some(n), true) =>
+        case ("POST", Some(n), "rename") =>
+          val to = mapper.readTree(x.getRequestBody).get("to").asText()
+          // under casLock: the rename serializes against commit CAS and
+          // transactions, and the entry + version pointer move together —
+          // a racing committer on the old name gets a clean 404, never a
+          // split registry
+          val outcome = casLock.synchronized {
+            if (!tables.containsKey(n)) 404
+            else if (tables.containsKey(to)) 409
+            else {
+              val loc = tables.remove(n)
+              tables.put(to, loc) // location unchanged: data does not move
+              val v = versions.remove(n)
+              if (v != null) versions.put(to, v)
+              200
+            }
+          }
+          outcome match {
+            case 200 => send(x, 200, entryJson(to))
+            case 404 => send(x, 404, errJson(s"no table $n"))
+            case _ => send(x, 409, errJson(s"table $to exists"))
+          }
+        case ("POST", Some(n), "version") =>
           if (!tables.containsKey(n)) send(x, 404, errJson(s"no table $n"))
           else {
             val node = mapper.readTree(x.getRequestBody)
@@ -248,7 +290,7 @@ class InMemoryCatalogServer(warehouse: String) {
           val n = mapper.readTree(x.getRequestBody).get("name").asText()
           if (tables.putIfAbsent(n, s"$warehouse/$n") == null) send(x, 201, entryJson(n))
           else send(x, 409, errJson(s"table $n exists"))
-        case ("DELETE", Some(n), false) =>
+        case ("DELETE", Some(n), "") =>
           if (tables.remove(n) != null) { versions.remove(n); send(x, 204, "") }
           else send(x, 404, errJson(s"no table $n"))
         case _ => send(x, 405, errJson("unsupported"))

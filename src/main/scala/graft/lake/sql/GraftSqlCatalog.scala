@@ -193,10 +193,14 @@ class GraftSqlCatalog extends TableCatalog {
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    if (rest != null) throw new UnsupportedOperationException(
-      "rename is not part of the REST catalog protocol")
     if (!exists(from)) throw new NoSuchTableException(from)
     if (exists(to)) throw new TableAlreadyExistsException(to)
+    if (rest != null) {
+      // registry-only rename, atomic server-side (the pre-checks above
+      // give the DSv2-typed errors; a lost race still fails loudly)
+      rest.rename(flatName(from), flatName(to))
+      return
+    }
     val src = new Path(location(from))
     val dst = new Path(location(to))
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())

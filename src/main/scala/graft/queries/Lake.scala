@@ -415,7 +415,12 @@ object Lake {
       cat.create("orders_t", o.filter(col("o_orderkey") % 2 === 0),
         keyColumns = Seq("o_orderkey"))
       cat.table("orders_t").append(o.filter(col("o_orderkey") % 2 === 1))
-      statusAgg(cat.table("orders_t").scan())
+      // lifecycle rename (pg_catalog_rename_table, catalog_bridge.h:115):
+      // registry-only — the renamed handle resolves the same data and
+      // keeps committing through the arbiter
+      cat.rename("orders_t", "orders_renamed")
+      require(!cat.exists("orders_t") && cat.exists("orders_renamed"))
+      statusAgg(cat.table("orders_renamed").scan())
     } finally server.stop()
   }
 

@@ -124,6 +124,20 @@ class LakeSpec extends AnyFunSuite {
     assert(!cat.exists("orders_t"))
   }
 
+  test("directory-catalog rename moves the table directory; guards both ends") {
+    val wh = freshDir("warehouse-ren")
+    val cat = new GraftCatalog(spark, wh)
+    cat.create("src_t", Tables.orders(spark, sf).limit(60),
+      keyColumns = Seq("o_orderkey"))
+    cat.rename("src_t", "dst_t")
+    assert(!cat.exists("src_t") && cat.exists("dst_t"))
+    assert(cat.table("dst_t").scan().count() == 60)
+    intercept[IllegalArgumentException] { cat.rename("src_t", "x") }
+    cat.create("other_t", Tables.orders(spark, sf).limit(5),
+      keyColumns = Seq("o_orderkey"))
+    intercept[IllegalArgumentException] { cat.rename("dst_t", "other_t") }
+  }
+
   test("concurrent appends from racing threads all commit via optimistic retry") {
     val o = Tables.orders(spark, sf).limit(50)
     val loc = freshDir("concurrent")

@@ -81,6 +81,66 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("rename: registry-only, data in place, version pointer carried; races arbitrated") {
+    val server = new InMemoryCatalogServer(fresh("rest-ren-wh"))
+    try {
+      val cat = new RestCatalog(spark, server.uri)
+      val o = Tables.orders(spark, sf)
+      cat.create("orders_a", o.limit(100), keyColumns = Seq("o_orderkey"))
+      cat.table("orders_a").append(o.limit(50)) // arbitrated commit → pointer
+      val locBefore = cat.tableLocation("orders_a")
+      cat.rename("orders_a", "orders_b")
+      assert(!cat.exists("orders_a") && cat.exists("orders_b"))
+      assert(cat.tableLocation("orders_b") == locBefore,
+        "rename must not move data: the new name resolves to the old location")
+      assert(cat.table("orders_b").scan().count() == 150,
+        "committed version pointer must carry over")
+      // the renamed table still commits through the arbiter under its new name
+      cat.table("orders_b").append(o.limit(25))
+      assert(cat.table("orders_b").scan().count() == 175)
+      // missing source / existing destination fail loudly
+      intercept[NoSuchElementException] { cat.rename("orders_a", "x") }
+      cat.create("orders_c", o.limit(10), keyColumns = Seq("o_orderkey"))
+      intercept[RuntimeException] { cat.rename("orders_b", "orders_c") }
+      // race: two renames of the same source — exactly one wins
+      cat.rename("orders_c", "contender_src") // fresh source for the race
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = Seq("dst1", "dst2").map { dst =>
+        new Thread(() => {
+          try { cat.rename("contender_src", dst); results.add(true) }
+          catch { case _: Exception => results.add(false) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.count(identity) == 1,
+        s"exactly one racing rename may win, got $results")
+      assert(Seq("dst1", "dst2").count(cat.exists) == 1)
+      assert(!cat.exists("contender_src"))
+    } finally server.stop()
+  }
+
+  test("SQL ALTER TABLE RENAME through the REST-backed DSv2 catalog") {
+    val server = new InMemoryCatalogServer(fresh("rest-ren-sql"))
+    try {
+      spark.conf.set("spark.sql.catalog.graft_rren",
+        classOf[graft.lake.sql.GraftSqlCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_rren.catalog-type", "rest")
+      spark.conf.set("spark.sql.catalog.graft_rren.uri", server.uri)
+      val o = Tables.orders(spark, sf)
+      o.limit(80).createOrReplaceTempView("rest_ren_src")
+      spark.sql(
+        """CREATE TABLE graft_rren.t1 TBLPROPERTIES('key.columns'='o_orderkey')
+           AS SELECT * FROM rest_ren_src""")
+      spark.sql("ALTER TABLE graft_rren.t1 RENAME TO t2")
+      assert(spark.sql("SELECT count(*) FROM graft_rren.t2").head().getLong(0) == 80)
+      val e = intercept[Exception] { spark.sql("SELECT * FROM graft_rren.t1") }
+      assert(e.getMessage.contains("t1"))
+      val cat = new RestCatalog(spark, server.uri)
+      assert(cat.list() == Seq("t2"))
+    } finally server.stop()
+  }
+
   test("maintain() applies property-driven compact + expire + vacuum") {
     val loc = fresh("maintain-auto")
     val o = Tables.orders(spark, sf)
