@@ -345,5 +345,28 @@ object Ann {
 
   /** Non-SQL-expressible (array math + LSH) → rows-only gate; AnnSpec
     * checks bruteforce against an in-memory exact computation. */
-  val oracles: Map[String, String] = Map.empty
+  /** ann_bruteforce is EXACT top-k (the recall baseline the approximate
+    * variants are specced against), so DuckDB can reproduce it outright:
+    * same query set (vec_id % 100), same (cos desc, id asc) ranking, same
+    * 4-dp rounding. Both sides compute the cosine in double (Spark
+    * normalizes then dots; DuckDB's list_cosine_similarity divides by the
+    * norms — algebraically equal, FP-different only below the rounding).
+    * The LSH/IVF/PQ entries stay rows+spec: their outputs depend on
+    * probe/bucket membership, which SQL cannot reproduce and which is
+    * exactly what PipelineSpec's recall cross-checks pin. */
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+           FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, c,
+                  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS r
+           FROM scored)
+         SELECT q_id, vec_id, round(c, 4) AS cos_sim, CAST(r AS INT) AS rank
+         FROM ranked WHERE r <= 5 ORDER BY q_id, rank""")
 }
