@@ -201,8 +201,19 @@ object Curation {
     * each bucket's global offset, and a broadcast join adds them. Because
     * bucket prefix order == key order, the result equals the exact global
     * cumulative sum at any cluster size. (At 100 TB, widen the prefix to
-    * 3-4 hex chars — same plan, 4k/65k buckets.) [oracle] */
-  def curatePackSequences(s: SparkSession, d: String): DataFrame = {
+    * 3-4 hex chars — same plan, 4k/65k buckets.) [oracle]
+    *
+    * The gate runs 64-token sequences (documents span sequences, the
+    * harder direction for the oracle); production packing runs 2-8 K
+    * (sequences span documents AND bucket boundaries) — [[packSequences]]
+    * takes the capacity, and CurationSpec's scale receipt checks the
+    * distributed prefix sum against an exact in-memory cumsum at 2 K/8 K
+    * capacities on a 10x corpus. */
+  def curatePackSequences(s: SparkSession, d: String): DataFrame =
+    packSequences(s, d, SeqCapacity)
+
+  private[graft] def packSequences(s: SparkSession, d: String,
+      capacity: Long): DataFrame = {
     val keyed = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("k", hashKey)
@@ -219,8 +230,8 @@ object Curation {
       .withColumn("cum_before",
         col("bkt_offset") + col("cum_in_bkt") - col("n_tokens"))
       .select(col("doc_id"),
-        expr(s"cum_before div $SeqCapacity").as("seq_id"),
-        (col("cum_before") % SeqCapacity).as("seq_offset"),
+        expr(s"cum_before div $capacity").as("seq_id"),
+        (col("cum_before") % capacity).as("seq_offset"),
         col("n_tokens"))
   }
 

@@ -126,6 +126,43 @@ class CurationSpec extends AnyFunSuite {
       s"doc cumsum must partition by bucket:\n$plan")
   }
 
+  test("pack_sequences at 2K/8K capacity stays exact on a 10x corpus (scale receipt)") {
+    // the gate packs 64-token sequences; production packs 2-8K, where
+    // sequences span documents and bucket boundaries far more often —
+    // the two-phase prefix sum must stay equal to the exact global
+    // cumsum regardless of capacity or corpus size
+    import org.apache.spark.sql.functions._
+    def synth(name: String, n: Long): String = {
+      val d = s"/root/repo/target/graft-pack-scale/$name"
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(
+          sequence(lit(1), pmod(col("id"), lit(200)).cast("int") + lit(1)),
+          _ => lit("w"))).as("text"))
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    def check(dir: String, n: Long, capacity: Long): Unit = {
+      val ordered = (0L until n).map(i => (i, i % 200 + 1))
+        .sortBy(x => md5hex(x._1.toString))
+      var cum = 0L
+      val truth = ordered.map { case (id, len) =>
+        val cb = cum; cum += len; id -> ((cb / capacity, cb % capacity))
+      }.toMap
+      val got = queries.Curation.packSequences(spark, dir, capacity).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.size == n)
+      assert(got == truth,
+        s"distributed prefix sum diverged at n=$n capacity=$capacity")
+    }
+    val d1 = synth("x1", 20000L)
+    val d10 = synth("x10", 200000L)
+    check(d1, 20000L, 2048L)
+    check(d10, 200000L, 2048L)
+    check(d10, 200000L, 8192L)
+  }
+
   // ------------------------------------------------------------- repetition
 
   test("text_repetition matches in-memory Gopher signals") {
