@@ -276,9 +276,80 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class ResizedFeature(doc_id: Long, width: Int, height: Int,
+      r_width: Int, r_height: Int, mean_r: Float, mean_g: Float, mean_b: Float)
+
+  /** Bilinear resample of a decoded image to (tw, th): per-channel means
+    * over the resampled pixels, channels interpolated in double (no
+    * per-pixel re-quantization — the mean is the feature, not the image).
+    * Standard half-pixel-center mapping with edge clamp. Exposed for the
+    * spec, which recomputes it INDEPENDENTLY from the generation formula
+    * (no ImageIO/AWT on the truth side). */
+  private[graft] def bilinearMeans(px: (Int, Int) => Int, w: Int, h: Int,
+      tw: Int, th: Int): (Double, Double, Double) = {
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var ty = 0
+    while (ty < th) {
+      val sy = math.min(math.max((ty + 0.5) * h / th - 0.5, 0.0), h - 1.0)
+      val y0 = sy.toInt; val y1 = math.min(y0 + 1, h - 1); val fy = sy - y0
+      var tx = 0
+      while (tx < tw) {
+        val sx = math.min(math.max((tx + 0.5) * w / tw - 0.5, 0.0), w - 1.0)
+        val x0 = sx.toInt; val x1 = math.min(x0 + 1, w - 1); val fx = sx - x0
+        val (p00, p10, p01, p11) = (px(x0, y0), px(x1, y0), px(x0, y1), px(x1, y1))
+        def ch(shift: Int): Double = {
+          def c(p: Int) = ((p >> shift) & 0xff).toDouble
+          (c(p00) * (1 - fx) + c(p10) * fx) * (1 - fy) +
+            (c(p01) * (1 - fx) + c(p11) * fx) * fy
+        }
+        sr += ch(16); sg += ch(8); sb += ch(0)
+        tx += 1
+      }
+      ty += 1
+    }
+    val n = (tw * th).toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
+  /** RESIZE: decode → bilinear resample to a fixed training geometry
+    * (16×12 here) → per-channel means of the resampled image — the
+    * normalize-geometry step a vision pipeline runs between decode and
+    * feature extraction / embedding. Same 100 TB shape as the decode
+    * stage: batched per-partition map work, zero shuffle. [rows] */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tw, th) = (16, 12)
+    val withPayload = graft.Tables.fanOut(graft.Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (fmt, bytes) = syntheticImage(id)
+        MmRecord(id, fmt, bytes)
+      })
+    val resized = withPayload.mapPartitions { it =>
+      it.grouped(64).flatMap(_.iterator.map { r =>
+        imageIoNoCache
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable ${r.format} payload for doc ${r.doc_id}")
+        val (mr, mg, mb) = bilinearMeans(
+          (x, y) => img.getRGB(x, y), img.getWidth, img.getHeight, tw, th)
+        ResizedFeature(r.doc_id, img.getWidth, img.getHeight, tw, th,
+          mr.toFloat, mg.toFloat, mb.toFloat)
+      })
+    }
+    resized.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("r_width"), col("r_height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_pipeline" -> (mmDecodePipeline _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _),
     "mm_audio_features" -> (mmAudioFeatures _))
 
   /** decoded geometry/means depend on ImageIO (and the audio stats on

@@ -474,6 +474,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_resize: bilinear means over decoded pixels equal the formula's") {
+    val rows = queries.Multimodal.mmResize(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.take(40).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $id source geometry")
+      assert(r.getInt(3) == 16 && r.getInt(4) == 12, s"doc $id target geometry")
+      // truth from the generation formula (lossless PNG/BMP decode), not
+      // from ImageIO — the resample must land on the same means
+      def p(x: Int, y: Int): Int =
+        (queries.Multimodal.pix(id, x, y, 1, 7, 13) << 16) |
+          (queries.Multimodal.pix(id, x, y, 3, 11, 5) << 8) |
+          queries.Multimodal.pix(id, x, y, 5, 3, 17)
+      val (mr, mg, mb) = queries.Multimodal.bilinearMeans(p, w, h, 16, 12)
+      assert(math.abs(r.getAs[Number](5).doubleValue - mr) < 1e-3, s"doc $id R")
+      assert(math.abs(r.getAs[Number](6).doubleValue - mg) < 1e-3, s"doc $id G")
+      assert(math.abs(r.getAs[Number](7).doubleValue - mb) < 1e-3, s"doc $id B")
+    }
+  }
+
   test("mm_audio_features really decodes WAV payloads: exact signal stats") {
     val rows = queries.Multimodal.mmAudioFeatures(spark, sf).collect()
     assert(rows.nonEmpty)
