@@ -104,6 +104,111 @@ final class HudiWriter private (
     (rel, ParquetStats.rowCount(conf, dest))
   }
 
+  /** Writes ONE new base slice per distinct `__fid` in `rows` — however
+    * many slices, ONE distributed write job: rows hash-repartition by
+    * fileId (each fid lands in exactly one task, so the hive
+    * `partitionBy("__fid")` split yields exactly one part file per fid),
+    * then the driver finishes with O(slices) metadata renames to the
+    * `<fileId>_0-0-0_<instant>.parquet` slice names — renames are cheap
+    * catalog ops where the old per-slice writeSlice loop paid one Spark
+    * JOB per slice (the 10⁵-file-group COW rewrite would have been 10⁵
+    * sequential jobs). `rows`: data columns (+ optional
+    * `_hoodie_commit_time` for carried records — nulls stamp `instant`)
+    * + `__fid`. `partPathOf` maps every expected fid → hive partition
+    * path ("" unpartitioned); fids ending up with zero rows still get an
+    * (empty) slice, preserving writeSlice's fully-emptied-group shape. */
+  private def writeSlices(rows: DataFrame, instant: String,
+      partPathOf: Map[String, String]): Seq[(String, String, String, Long)] = {
+    if (partPathOf.isEmpty) return Nil
+    val stamped =
+      if (rows.columns.contains("_hoodie_commit_time"))
+        rows.withColumn("_hoodie_commit_time",
+          coalesce(col("_hoodie_commit_time"), lit(instant)))
+      else rows.withColumn("_hoodie_commit_time", lit(instant))
+    val fidMeta = spark.createDataFrame(
+      spark.sparkContext.parallelize(partPathOf.toSeq.map { case (fid, pp) =>
+        org.apache.spark.sql.Row(fid, pp)
+      }.toIndexedSeq, 1),
+      StructType(Seq(StructField("__fid", StringType), StructField("__pp", StringType))))
+    val withMeta = stamped.join(broadcast(fidMeta), Seq("__fid"))
+      .withColumn("_hoodie_commit_seqno",
+        concat(lit(instant + "_0_"), monotonically_increasing_id()))
+      .withColumn("_hoodie_record_key", col(keyField).cast("string"))
+      .withColumn("_hoodie_partition_path", col("__pp"))
+      .withColumn("_hoodie_file_name",
+        concat(col("__fid"), lit(s"_0-0-0_$instant.parquet")))
+      .select((col("__fid") +:
+        (HudiTable.MetaColumns ++ schema.fieldNames).map(col)).toIndexedSeq: _*)
+    val tmp = new Path(root, s"_tmp-slices-$instant")
+    // INT64 micros, not INT96: real Hudi writers emit int64 timestamps
+    // and INT96 footers carry no stats
+    graft.lake.ParquetStats.withMicrosTimestamps(spark) {
+      withMeta.repartition(col("__fid"))
+        .write.partitionBy("__fid").mode("overwrite").parquet(tmp.toString)
+    }
+    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+    val written = scala.collection.mutable.Set[String]()
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
+      val dirName = st.getPath.getName
+      if (dirName.startsWith("__fid=")) {
+        val fid = dirName.stripPrefix("__fid=")
+        val parts = fs.listStatus(st.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"hudi: expected one part file for slice $fid, got ${parts.length}")
+        val pp = partPathOf(fid)
+        val fileName = s"${fid}_0-0-0_$instant.parquet"
+        val rel = if (pp.isEmpty) fileName else s"$pp/$fileName"
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(parts.head, dest), s"hudi: rename ${parts.head} -> $dest failed")
+        stats += ((pp, fid, rel, ParquetStats.rowCount(conf, dest)))
+        written += fid
+      }
+    }
+    fs.delete(tmp, true)
+    // a fully-emptied group writes an empty slice (rare; per-fid fallback)
+    (partPathOf.keySet -- written).toSeq.sorted.foreach { fid =>
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(StructField("_hoodie_commit_time", StringType) +: schema.fields))
+      val (rel, n) = writeSlice(empty, fid, instant, partPathOf(fid))
+      stats += ((partPathOf(fid), fid, rel, n))
+    }
+    stats.toSeq
+  }
+
+  /** NEW file group(s) for `rows`: one group per partition value, minted
+    * from a metadata-scale distinct-partitions collect, routed through a
+    * broadcast (partition → fid) join — one write job however many
+    * partitions (the old loop filtered + wrote per partition). */
+  private def writeFreshGroups(rows: DataFrame,
+      instant: String): Seq[(String, String, String, Long)] = {
+    if (partitionFields.isEmpty) {
+      val fid = nextFileId()
+      writeSlices(rows.withColumn("__fid", lit(fid)), instant, Map(fid -> ""))
+    } else {
+      val parts = rows.select(partitionFields.map(col).toIndexedSeq: _*)
+        .distinct().collect().toSeq
+      if (parts.isEmpty) return Nil
+      val fidByPart = parts.map(pr => pr -> nextFileId())
+      val partPathOf = fidByPart.map { case (pr, fid) => fid -> hivePartPath(pr) }.toMap
+      val fidSchema = StructType(
+        partitionFields.map(f => schema(schema.fieldIndex(f)).copy(name = s"__pf_$f")) :+
+          StructField("__fid", StringType))
+      val fidFrame = spark.createDataFrame(
+        spark.sparkContext.parallelize(fidByPart.map { case (pr, fid) =>
+          org.apache.spark.sql.Row.fromSeq(
+            partitionFields.map(pr.getAs[Any](_)) :+ fid)
+        }.toIndexedSeq, 1), fidSchema)
+      val cond = partitionFields
+        .map(f => rows(f) <=> fidFrame(s"__pf_$f")).reduce(_ && _)
+      val joined = rows.join(broadcast(fidFrame), cond)
+        .drop(partitionFields.map(f => s"__pf_$f"): _*)
+      writeSlices(joined, instant, partPathOf)
+    }
+  }
+
   private def commit(instant: String,
       stats: Seq[(String, String, String, Long)], // (part, fileId, path, rows)
       kind: String): Unit = {
@@ -130,93 +235,80 @@ final class HudiWriter private (
   private def ingestKind: String =
     if (tableType == "MERGE_ON_READ") "deltacommit" else "commit"
 
-  /** INSERT: each partition's rows become one new file group. */
+  /** INSERT: each partition's rows become one new file group (one
+    * distributed write job however many partitions). */
   def insert(df: DataFrame): String = {
     val instant = nextInstant()
-    val parts = df.select(partitionFields.map(col).toIndexedSeq: _*)
-      .distinct().collect().toSeq
-    val stats =
-      if (partitionFields.isEmpty) {
-        val fid = nextFileId()
-        val (rel, rows) = writeSlice(df, fid, instant, "")
-        Seq(("", fid, rel, rows))
-      } else parts.map { pr =>
-        val cond = partitionFields.map(f =>
-          if (pr.getAs[Any](f) == null) col(f).isNull
-          else col(f) === lit(pr.getAs[Any](f))).reduce(_ && _)
-        val fid = nextFileId()
-        val pp = hivePartPath(pr)
-        val (rel, rows) = writeSlice(df.filter(cond), fid, instant, pp)
-        (pp, fid, rel, rows)
-      }
-    commit(instant, stats, ingestKind)
+    commit(instant,
+      writeFreshGroups(df.select(schema.fieldNames.map(col).toIndexedSeq: _*), instant),
+      ingestKind)
     instant
   }
 
   /** Keyed COW UPSERT: file groups holding matched keys are rewritten as
     * new slices of the SAME fileId at this instant (old rows merged with
-    * the updates); unmatched keys open a new file group per partition. */
+    * the updates); unmatched keys open a new file group per partition.
+    * Distributed end to end: updates route to their groups through the
+    * base-key index (as in the MOR log path), affected groups' survivors
+    * come from ONE scan of the affected base files (fid parsed from the
+    * rows' own `_hoodie_file_name`), and all rewritten slices emerge from
+    * one [[writeSlices]] job — jobs don't scale with file-group count. */
   def upsert(df: DataFrame): String = {
     val t = HudiTable.load(spark, location)
     val instant = nextInstant()
     val updates = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val updKeys = updates.select(col(keyField).cast("string").as("__k"))
+    val slices = t.liveSlices
     val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
-    var matchedKeys: DataFrame = null
-    // carried-over rows keep their original last-update instant (see
-    // writeSlice) — read it alongside the data columns
-    val keepSchema = StructType(
-      StructField("_hoodie_commit_time", StringType) +: schema.fields)
-    // rewrite every affected file group (slice by slice)
-    t.planFiles(None).foreach { rel =>
-      val cur = spark.read.schema(keepSchema).parquet(new Path(root, rel).toString)
-      val hit = cur.join(updKeys, cur(keyField).cast("string") === updKeys("__k"), "left_semi")
-      if (!hit.isEmpty) {
-        val SliceRe = """(.+)_[^_]+_(\d+)\.parquet""".r
-        val (dir, name) = {
-          val p = new Path(rel)
-          (Option(p.getParent).map(_.toString).filter(_ != "").getOrElse(""), p.getName)
-        }
-        val fileId = name match { case SliceRe(fid, _) => fid
-          case _ => throw new IllegalStateException(s"hudi: unparseable slice name $name") }
+    var fresh = updates
+    if (slices.nonEmpty) {
+      val keyIdx = baseKeyIndex(slices)
+      val updKeyed = updates.withColumn("__k", col(keyField).cast("string"))
+      val matchedFids = updKeyed.join(keyIdx, Seq("__k"))
+        .select("__fid").distinct().collect().map(_.getString(0)).toSet
+      if (matchedFids.nonEmpty) {
+        val affected = slices.filter(s => matchedFids(s.fileId))
+        val partPathOf = affected.map(s => s.fileId -> s.partitionPath).toMap
+        // carried-over rows keep their original last-update instant (see
+        // writeSlices) — read it alongside the data columns + file name
+        val keepSchema = StructType(
+          StructField("_hoodie_commit_time", StringType) +:
+            StructField("_hoodie_file_name", StringType) +: schema.fields)
+        val cur = spark.read.schema(keepSchema)
+          .parquet(affected.map(s => new Path(root, s.path).toString): _*)
+          .withColumn("__fid", regexp_extract(col("_hoodie_file_name"),
+            "^(.+)_[^_]+_\\d+\\.parquet$", 1))
+        val updKeys = updates.select(col(keyField).cast("string").as("__k"))
+        val outCols = (col("__fid") +: col("_hoodie_commit_time") +:
+          schema.fieldNames.toIndexedSeq.map(col))
         val keep = cur.join(updKeys,
           cur(keyField).cast("string") === updKeys("__k"), "left_anti")
-        val groupKeys = cur.select(col(keyField).cast("string").as("__k"))
-        val upd = updates.join(groupKeys,
-          updates(keyField).cast("string") === groupKeys("__k"), "left_semi")
+          .select(outCols: _*)
         // updated rows get NULL commit time → stamped with this instant
-        val merged = keep.unionByName(upd, allowMissingColumns = true)
-        val (newRel, rows) = writeSlice(merged, fileId, instant,
-          if (dir == "") "" else dir)
-        stats += ((if (dir == "") "" else dir, fileId, newRel, rows))
-        matchedKeys = if (matchedKeys == null) groupKeys else matchedKeys.unionByName(groupKeys)
+        val upd = updKeyed.join(keyIdx, Seq("__k"))
+          .withColumn("_hoodie_commit_time", lit(null).cast(StringType))
+          .select(outCols: _*)
+        stats ++= writeSlices(keep.unionByName(upd), instant, partPathOf)
       }
+      fresh = updates.join(keyIdx.select(col("__k")),
+        updates(keyField).cast("string") === col("__k"), "left_anti")
     }
-    // unmatched keys: new file group(s)
-    val fresh =
-      if (matchedKeys == null) updates
-      else updates.join(matchedKeys,
-        updates(keyField).cast("string") === matchedKeys("__k"), "left_anti")
-    if (!fresh.isEmpty) {
-      if (partitionFields.isEmpty) {
-        val fid = nextFileId()
-        val (rel, rows) = writeSlice(fresh, fid, instant, "")
-        stats += (("", fid, rel, rows))
-      } else {
-        fresh.select(partitionFields.map(col).toIndexedSeq: _*).distinct().collect().foreach { pr =>
-          val cond = partitionFields.map(f =>
-            if (pr.getAs[Any](f) == null) col(f).isNull
-            else col(f) === lit(pr.getAs[Any](f))).reduce(_ && _)
-          val fid = nextFileId()
-          val pp = hivePartPath(pr)
-          val (rel, rows) = writeSlice(fresh.filter(cond), fid, instant, pp)
-          stats += ((pp, fid, rel, rows))
-        }
-      }
-    }
+    if (!fresh.isEmpty) stats ++= writeFreshGroups(fresh, instant)
     commit(instant, stats.toSeq, "commit") // COW rewrite = full commit
     instant
   }
+
+  /** (record key → fileId) read from the base files' own meta columns —
+    * a 2-column pruned scan; group membership = base keys (this writer
+    * inserts new keys as base file groups). */
+  private def baseKeyIndex(slices: Seq[HudiTable.Slice]): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("_hoodie_record_key", StringType),
+        StructField("_hoodie_file_name", StringType))))
+      .parquet(slices.map(s => new Path(root, s.path).toString): _*)
+      .select(col("_hoodie_record_key").as("__k"),
+        regexp_extract(col("_hoodie_file_name"),
+          "^(.+)_[^_]+_\\d+\\.parquet$", 1).as("__fid"))
 
   // ---- MERGE_ON_READ -------------------------------------------------------
 
@@ -242,23 +334,7 @@ final class HudiWriter private (
       if (matched == null) updates
       else updates.join(matched,
         updates(keyField).cast("string") === matched("__k"), "left_anti")
-    if (!fresh.isEmpty) {
-      if (partitionFields.isEmpty) {
-        val fid = nextFileId()
-        val (rel, rows) = writeSlice(fresh, fid, instant, "")
-        stats += (("", fid, rel, rows))
-      } else {
-        fresh.select(partitionFields.map(col).toIndexedSeq: _*).distinct().collect().foreach { pr =>
-          val cond = partitionFields.map(f =>
-            if (pr.getAs[Any](f) == null) col(f).isNull
-            else col(f) === lit(pr.getAs[Any](f))).reduce(_ && _)
-          val fid = nextFileId()
-          val pp = hivePartPath(pr)
-          val (rel, rows) = writeSlice(fresh.filter(cond), fid, instant, pp)
-          stats += ((pp, fid, rel, rows))
-        }
-      }
-    }
+    if (!fresh.isEmpty) stats ++= writeFreshGroups(fresh, instant)
     commit(instant, stats.toSeq, "deltacommit")
     instant
   }
@@ -305,25 +381,20 @@ final class HudiWriter private (
     // preserves commit times (incremental pulls across a compaction stay
     // exact; other meta columns re-stamp on write)
     val snapshot = t.scanWithCommitTime()
-    val stats = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
-    t.liveSlices.filter(_.logs.nonEmpty).foreach { slice =>
-      // group membership = base keys: this writer inserts new keys as
-      // base file groups, so logs only ever update/delete existing keys
-      val keys = baseKeys(slice)
-      val merged = snapshot.join(keys,
-        snapshot(keyField).cast("string") === keys("__k"), "left_semi")
-      val (rel, rows) = writeSlice(merged, slice.fileId, instant, slice.partitionPath)
-      stats += ((slice.partitionPath, slice.fileId, rel, rows))
-    }
-    commit(instant, stats.toSeq, "commit")
+    // group membership = base keys: this writer inserts new keys as base
+    // file groups, so logs only ever update/delete existing keys — one
+    // key-index join routes every merged row to its group, one
+    // writeSlices job rewrites every log-bearing slice (the old loop ran
+    // a join + write job PER slice)
+    val logged = t.liveSlices.filter(_.logs.nonEmpty)
+    val partPathOf = logged.map(s => s.fileId -> s.partitionPath).toMap
+    val merged = snapshot
+      .withColumn("__k", col(keyField).cast("string"))
+      .join(baseKeyIndex(logged), Seq("__k"))
+      .drop("__k")
+    commit(instant, writeSlices(merged, instant, partPathOf), "commit")
     instant
   }
-
-  private def baseKeys(slice: HudiTable.Slice): DataFrame =
-    spark.read.schema(StructType(
-        HudiTable.MetaColumns.map(StructField(_, StringType)) ++ schema.fields))
-      .parquet(new Path(root, slice.path).toString)
-      .select(col("_hoodie_record_key").as("__k"))
 
   /** Routes `rows` to the file groups holding their keys and writes one
     * Avro log file per matched group FROM ITS EXECUTOR TASK, in a single
@@ -359,14 +430,7 @@ final class HudiWriter private (
     val keyName = keyField
     val full = fullLogSchema
     val schemaJson = HudiLog.avroSchemaJson(full, "hoodie_record")
-    val keyIdx = spark.read
-      .schema(StructType(Seq(
-        StructField("_hoodie_record_key", StringType),
-        StructField("_hoodie_file_name", StringType))))
-      .parquet(slices.map(s => new Path(root, s.path).toString): _*)
-      .select(col("_hoodie_record_key").as("__k"),
-        regexp_extract(col("_hoodie_file_name"),
-          "^(.+)_[^_]+_\\d+\\.parquet$", 1).as("__fid"))
+    val keyIdx = baseKeyIndex(slices)
     val keyed = rows.withColumn("__k", col(keyName).cast("string"))
     val routed = keyed.join(keyIdx, Seq("__k"), "inner")
     val stats: Array[(String, String, String, Long)] =

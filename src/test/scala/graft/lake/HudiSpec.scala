@@ -408,6 +408,54 @@ class HudiSpec extends AnyFunSuite {
     assert(t.scan().filter(col("n_name") === "TOUCHED").count() == n.count())
   }
 
+  private def jobsDuring(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.graftshim.ListenerBusHook.waitUntilEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    counter.get()
+  }
+
+  test("COW upsert and compaction are one-pass too: jobs don't scale with groups") {
+    val n = Tables.nation(spark, sf)
+    def build(loc: String, groups: Int, tableType: String): HudiWriter = {
+      val w = HudiWriter.create(spark, loc, n.schema,
+        keyField = "n_nationkey", tableType = tableType)
+      (0 until groups).foreach { g =>
+        w.insert(n.filter(col("n_nationkey") % groups === g))
+      }
+      w
+    }
+    def cowJobs(groups: Int): Int = {
+      val w = build(freshDir(s"cowjob$groups"), groups, "COPY_ON_WRITE")
+      jobsDuring { w.upsert(n.withColumn("n_name", lit("COWX"))) }
+    }
+    def compactJobs(groups: Int): Int = {
+      val w = build(freshDir(s"cmpjob$groups"), groups, "MERGE_ON_READ")
+      w.upsertLog(n.withColumn("n_name", lit("LOGX")))
+      jobsDuring { w.compact() }
+    }
+    val (c2, c6) = (cowJobs(2), cowJobs(6))
+    assert(c6 == c2, s"COW upsert jobs must not scale with groups: $c2 vs $c6")
+    val (k2, k6) = (compactJobs(2), compactJobs(6))
+    assert(k6 == k2, s"compaction jobs must not scale with groups: $k2 vs $k6")
+    // and the rewrites are right: same fileIds, updated values, no logs
+    val t = HudiTable.load(spark, dir("cowjob6"))
+    assert(t.scan().filter(col("n_name") === "COWX").count() == n.count())
+    assert(t.planFiles().size == 6, "COW rewrite keeps the 6 file groups")
+    val tc = HudiTable.load(spark, dir("cmpjob6"))
+    assert(!tc.hasLogFiles, "compaction folds all logs")
+    assert(tc.scan().filter(col("n_name") === "LOGX").count() == n.count())
+  }
+
   test("timelines with replacecommit/savepoint/restore instants are rejected") {
     // a completed replacecommit (clustering / insert_overwrite — legal
     // on COW tables) changes which file groups are live; a reader that
