@@ -366,58 +366,114 @@ final class DeltaWriter private (
     df.select(dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c)): _*)
   }
 
-  /** COPY-ON-WRITE delete (Delta's base-protocol delete): files that may
+  /** One distributed read over any affected-file set — the shared front
+    * end of the one-pass COW rewrite ops: logical data columns, DV masks
+    * applied, partition columns injected through a broadcast
+    * file→partition-values frame (so `cond` can reference them at any
+    * partition count), plus the normalized source file key `__fp`. */
+  private def readForRewrite(adds: Seq[ObjectNode]): DataFrame = {
+    val paths = adds.map(n =>
+      DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
+    val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    var df = spark.read.schema(physData).parquet(paths: _*)
+    val dvs: Map[String, DeletionVectors.Descriptor] = adds.flatMap { n =>
+      dvDescOf(n.get("add")).map { d =>
+        DeltaTable.pathKey(DeltaTable.resolve(location,
+          n.get("add").get("path").asText()).toString) -> d
+      }
+    }.toMap
+    if (dvs.nonEmpty) {
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      val bcDvs = spark.sparkContext.broadcast(dvs)
+      val loc = location
+      val keep = org.apache.spark.sql.functions.udf { (fp: String, ri: Long) =>
+        bcDvs.value.get(DeltaTable.pathKey(fp)) match {
+          case Some(d) =>
+            !DeltaTable.DvCache.bitmap(loc, DeltaTable.pathKey(fp), d,
+              bcConf.value.value).contains(ri)
+          case None => true
+        }
+      }
+      df = df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+    }
+    var out = df
+      .withColumn("__fp", DeltaTable.normPath(col("_metadata.file_path")))
+      .select((col("__fp") +:
+        dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c))): _*)
+    if (partitionColumns.nonEmpty) {
+      val pvSchema = StructType(StructField("__fp", StringType) +:
+        partitionColumns.map(c => StructField(s"__pv_$c", StringType)))
+      val pvRows = adds.map { n =>
+        val pv = n.get("add").get("partitionValues")
+        org.apache.spark.sql.Row.fromSeq(
+          DeltaTable.pathKey(DeltaTable.resolve(location,
+            n.get("add").get("path").asText()).toString) +:
+            partitionColumns.map { c =>
+              val v = pv.get(phys(c))
+              if (v == null || v.isNull) null else v.asText()
+            })
+      }
+      val pvDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema)
+      out = out.join(broadcast(pvDf), Seq("__fp"))
+      partitionColumns.foreach { c =>
+        out = out.withColumn(c, col(s"__pv_$c").cast(schema(c).dataType))
+      }
+      out = out.drop(partitionColumns.map(c => s"__pv_$c"): _*)
+    }
+    out
+  }
+
+  /** The files among `adds` actually holding rows where `hitCol` is true
+    * — one distributed probe returning O(files) paths, the exactness fix
+    * for stats over-approximation (files whose stats admitted the
+    * predicate but whose rows don't match are left untouched). */
+  private def matchedFiles(adds: Seq[ObjectNode], df: DataFrame,
+      hitCol: Column): Seq[ObjectNode] = {
+    val fps = df.filter(hitCol).select("__fp").distinct()
+      .collect().map(_.getString(0)).toSet
+    adds.filter { n =>
+      fps(DeltaTable.pathKey(DeltaTable.resolve(location,
+        n.get("add").get("path").asText()).toString))
+    }
+  }
+
+  /** COPY-ON-WRITE delete (Delta's base-protocol delete): files that
     * hold matching rows are rewritten without them; the commit removes
     * the old files and adds the rewrites. Untouched files are untouched
-    * — O(affected files), not O(table). */
+    * — O(affected files), not O(table) — and the whole rewrite is ONE
+    * distributed read + ONE partition-aware write, however many
+    * partitions the affected set spans (the old shape looped a
+    * probe-and-rewrite job pair per partition group). */
   def deleteWhere(cond: Column): Long = {
     val t = DeltaTable.load(spark, location)
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
     val affectedAdds = live.view.filterKeys(affected).values.toSeq
-    // rewrite each affected partition group without the matching rows.
-    // A group where the predicate matches NOTHING (stats
-    // over-approximation) is left completely untouched — no pointless
-    // rewrite, and (on CDF tables) no add+remove commit without cdc
-    // files, which changes() would rightly reject as unreconstructible.
-    val byPart = affectedAdds.groupBy(n =>
-      mapper.writeValueAsString(n.get("add").get("partitionValues")))
-    val newAdds = scala.collection.mutable.ArrayBuffer[ObjectNode]()
-    val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val touched = scala.collection.mutable.ArrayBuffer[ObjectNode]()
-    byPart.values.foreach { group =>
-      val pv = group.head.get("add").get("partitionValues")
-      var df = readLogical(group)
-      // partition columns injected so `cond` can reference them
-      // (partitionValues keys are physical under column mapping)
-      partitionColumns.foreach { c =>
-        val v = pv.get(phys(c))
-        val dt = schema(c).dataType
-        df = df.withColumn(c,
-          (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
-      }
-      val hit = df.filter(coalesce(cond, lit(false)))
-      if (!hit.isEmpty) {
-        touched ++= group
-        // DELETE keeps rows where the predicate is NULL (tri-state SQL):
-        // bare `!cond` would evaluate null and drop them
-        val remaining = df.filter(!coalesce(cond, lit(false)))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        if (!remaining.isEmpty) newAdds ++= writeFiles(remaining)
-        if (enableCdf)
-          cdcFrames += hit
-            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-            .withColumn("_change_type", lit("delete"))
-      }
-    }
+    val probe = readForRewrite(affectedAdds)
+    // per-FILE zero-match pruning (stats over-approximation): a file
+    // where the predicate matches nothing is left completely untouched —
+    // no pointless rewrite, and (on CDF tables) no add+remove commit
+    // without cdc files, which changes() would rightly reject
+    val touched = matchedFiles(affectedAdds, probe, coalesce(cond, lit(false)))
     if (touched.isEmpty) return version
+    val tdf = readForRewrite(touched)
+    // DELETE keeps rows where the predicate is NULL (tri-state SQL):
+    // bare `!cond` would evaluate null and drop them
+    val remaining = tdf.filter(!coalesce(cond, lit(false)))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newAdds: Seq[ObjectNode] =
+      if (remaining.isEmpty) Nil else writeFiles(remaining)
     val cdcActs =
-      if (cdcFrames.isEmpty) Nil
-      else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
-    val removes = touched.toSeq.map(n => removeAction(n))
+      if (!enableCdf) Nil
+      else writeCdcFiles(tdf.filter(coalesce(cond, lit(false)))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit("delete")))
+    val removes = touched.map(n => removeAction(n))
     touched.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
-    commit(cdcActs ++ removes ++ newAdds.toSeq)
+    commit(cdcActs ++ removes ++ newAdds)
   }
 
   /** remove action with EXTENDED file metadata (partitionValues, size —
@@ -448,62 +504,49 @@ final class DeltaWriter private (
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
     val affectedAdds = live.view.filterKeys(affected).values.toSeq
-    val byPart = affectedAdds.groupBy(n =>
-      mapper.writeValueAsString(n.get("add").get("partitionValues")))
-    val newAdds = scala.collection.mutable.ArrayBuffer[ObjectNode]()
-    val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val touched = scala.collection.mutable.ArrayBuffer[ObjectNode]()
-    byPart.values.foreach { group =>
-      val pv = group.head.get("add").get("partitionValues")
-      var df = readLogical(group)
-      partitionColumns.foreach { c =>
-        val v = pv.get(phys(c))
-        val dt = schema(c).dataType
-        df = df.withColumn(c,
-          (if (v == null || v.isNull) lit(null) else lit(v.asText())).cast(dt))
-      }
-      // nondeterministic cond/set expressions (rand(), current_timestamp)
-      // would re-evaluate per consuming job — the hit/miss split could
-      // drop or duplicate rows, and a CDF postimage could disagree with
-      // the rows actually written. Pin ONE evaluation via localCheckpoint
-      // before fan-out; deterministic expressions skip the cost.
-      val exprsDeterministic =
-        org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic &&
-          set.values.forall(c =>
-            org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic)
-      val dfx = {
-        val d = df.withColumn("__hit", coalesce(cond, lit(false)))
-        if (exprsDeterministic) d else d.localCheckpoint()
-      }
-      val hit = dfx.filter(col("__hit")).drop("__hit")
-      // zero-match group (stats over-approximation): leave untouched
-      if (!hit.isEmpty) {
-        touched ++= group
-        val miss = dfx.filter(!col("__hit")).drop("__hit")
-        val updated = {
-          val u = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
-          if (exprsDeterministic) u else u.localCheckpoint()
-        }
-        val merged = miss.unionByName(updated)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        if (!merged.isEmpty) newAdds ++= writeFiles(merged)
-        if (enableCdf) {
-          val sel = schema.fieldNames.map(col).toIndexedSeq
-          cdcFrames += hit.select(sel: _*)
-            .withColumn("_change_type", lit("update_preimage"))
-          cdcFrames += updated.select(sel: _*)
-            .withColumn("_change_type", lit("update_postimage"))
-        }
-      }
-    }
+    // per-FILE zero-match pruning, then ONE distributed read + ONE
+    // partition-aware write for every touched file (the old shape looped
+    // per partition group; see deleteWhere)
+    val touched = matchedFiles(affectedAdds, readForRewrite(affectedAdds),
+      coalesce(cond, lit(false)))
     if (touched.isEmpty) return version
+    // nondeterministic cond/set expressions (rand(), current_timestamp)
+    // would re-evaluate per consuming job — the hit/miss split could
+    // drop or duplicate rows, and a CDF postimage could disagree with
+    // the rows actually written. Pin ONE evaluation via localCheckpoint
+    // before fan-out; deterministic expressions skip the cost.
+    val exprsDeterministic =
+      org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic &&
+        set.values.forall(c =>
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic)
+    val tdf = {
+      val d = readForRewrite(touched)
+        .withColumn("__hit", coalesce(cond, lit(false)))
+      if (exprsDeterministic) d else d.localCheckpoint()
+    }
+    val hit = tdf.filter(col("__hit")).drop("__hit")
+    val miss = tdf.filter(!col("__hit")).drop("__hit")
+    val updated = {
+      val u = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+      if (exprsDeterministic) u else u.localCheckpoint()
+    }
+    val merged = miss.unionByName(updated)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newAdds: Seq[ObjectNode] =
+      if (merged.isEmpty) Nil else writeFiles(merged)
     val cdcActs =
-      if (cdcFrames.isEmpty) Nil
-      else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
-    val removes = touched.toSeq.map(n => removeAction(n))
+      if (!enableCdf) Nil
+      else {
+        val sel = schema.fieldNames.map(col).toIndexedSeq
+        writeCdcFiles(
+          hit.select(sel: _*).withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updated.select(sel: _*)
+              .withColumn("_change_type", lit("update_postimage"))))
+      }
+    val removes = touched.map(n => removeAction(n))
     touched.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
-    commit(cdcActs ++ removes ++ newAdds.toSeq)
+    commit(cdcActs ++ removes ++ newAdds)
   }
 
   /** DELETION-VECTOR delete: instead of rewriting files, attach (or
