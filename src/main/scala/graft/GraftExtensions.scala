@@ -76,7 +76,11 @@ object GraftExtensions {
     ("graft_repetition_stats",
       "graft_repetition_stats(tokens) - Gopher repetition count inputs " +
         "struct(n_words, n_distinct, n_bigrams, n_distinct_bigrams, top_count)",
-      (args: Seq[Expression]) => RepetitionStats(args(0)))
+      (args: Seq[Expression]) => RepetitionStats(args(0))),
+    ("graft_iceberg_bucket",
+      "graft_iceberg_bucket(value, n) - Iceberg bucket[n] transform " +
+        "(murmur3 x86-32 seed 0 per the table spec, NOT Spark's hash)",
+      (args: Seq[Expression]) => IcebergBucket(args(0), intArg(args(1), "n")))
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.expressions", null, name, usage, ""),

@@ -2,7 +2,7 @@ package graft.lake.hudi
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
 
 import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
 
@@ -39,6 +39,26 @@ import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
   */
 object HudiExport {
 
+  /** A keyed Hudi table stores ONE row per record key; a graft source
+    * holding several current rows under one key (blind appends allow it)
+    * cannot be mirrored faithfully — the merge would silently collapse
+    * them (caught by the r10 sf0.1 gate: an appended duplicate of key 0
+    * lost a row). Refuse loudly, naming a witness key. One aggregate job
+    * over the rows being written (count vs distinct-key count). */
+  private def requireUniqueKeys(df: org.apache.spark.sql.DataFrame,
+      key: String, what: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(key)).as("k")).head()
+    if (r.getLong(0) != r.getLong(1)) {
+      val witness = df.groupBy(col(key)).count()
+        .filter(col("count") > 1).select(col(key)).head().get(0)
+      throw new IllegalStateException(
+        s"hudi export: $what has ${r.getLong(0) - r.getLong(1)} duplicate-key " +
+          s"rows (e.g. $key=$witness) — a keyed Hudi table cannot represent " +
+          "them; deduplicate the source or mirror to a row-based format")
+    }
+  }
+
   /** Exports `t`'s current snapshot to `dest` (cleared first). Requires
     * a SINGLE key column (Hudi's record key; composite keys would need
     * the key-generator machinery this writer doesn't model). */
@@ -51,6 +71,7 @@ object HudiExport {
     val w = HudiWriter.create(spark, dest, t.schema,
       partitionFields = identityParts, keyField = keyCols.head,
       tableType = "MERGE_ON_READ")
+    requireUniqueKeys(t.scan(), keyCols.head, "source snapshot")
     w.insert(t.scan())
     graft.lake.ExportProvenance.write(spark, dest, t.meta.currentSnapshotId)
     w
@@ -71,7 +92,11 @@ object HudiExport {
     val touched = t.cdc(from, to).select(col(key)).distinct()
     val current = t.scan().join(touched, Seq(key), "left_semi")
     var commits = 0
-    if (!current.isEmpty) { w.upsertLog(current); commits += 1 }
+    if (!current.isEmpty) {
+      requireUniqueKeys(current, key, "sync range's current rows")
+      w.upsertLog(current)
+      commits += 1
+    }
     // touched keys with no current row are deletions
     val gone = touched.join(t.scan().select(col(key)), Seq(key), "left_anti")
     if (!gone.isEmpty) {

@@ -717,7 +717,7 @@ object Lake {
     IcebergExport.export(s, t, dst)
     // steady-state: more graft commits, mirrored incrementally
     t.append(o.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_orderkey", -col("o_orderkey")))
+      .withColumn("o_orderkey", -col("o_orderkey") - 1))
     t.delete(col("o_orderstatus") === "P")
     val commits = IcebergExport.exportIncremental(s, t, dst)
     require(commits == 2, s"incremental export made $commits commits, want 2")
@@ -749,7 +749,7 @@ object Lake {
     HudiExport.export(s, t, dst)
     val baseAfterExport = HudiTable.load(s, dst).planFiles().toSet
     t.append(o.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_orderkey", -col("o_orderkey")))
+      .withColumn("o_orderkey", -col("o_orderkey") - 1))
     t.delete(col("o_orderstatus") === "P")
     val commits = HudiExport.exportIncremental(s, t, dst)
     require(commits == 2, s"incremental export made $commits commits, want 2")
@@ -787,7 +787,7 @@ object Lake {
     val filesAfterExport = DeltaTable.load(s, dst).planFiles().toSet
     // steady-state: more graft commits, mirrored incrementally
     t.append(o.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_orderkey", -col("o_orderkey")))
+      .withColumn("o_orderkey", -col("o_orderkey") - 1))
     t.delete(col("o_orderstatus") === "P")
     val commits = DeltaExport.exportIncremental(s, t, dst)
     require(commits == 2, s"incremental export made $commits commits, want 2")

@@ -46,6 +46,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(5, 2, 4, 2, 3))
   }
 
+  test("graft_iceberg_bucket from SQL matches the spec vectors") {
+    val r = spark.sql(
+      "SELECT graft_iceberg_bucket(34, 16) AS bi, " +
+        "graft_iceberg_bucket(CAST(34 AS BIGINT), 16) AS bl, " +
+        "graft_iceberg_bucket('iceberg', 16) AS bs, " +
+        "graft_iceberg_bucket(DATE'2017-11-16', 100) AS bd, " +
+        "graft_iceberg_bucket(CAST(NULL AS INT), 16) AS bn").head()
+    assert(r.getInt(0) == 2017239379 % 16)
+    assert(r.getInt(1) == 2017239379 % 16)
+    assert(r.getInt(2) == 1210000089 % 16)
+    assert(r.getInt(3) == (-653330422 & Integer.MAX_VALUE) % 100)
+    assert(r.isNullAt(4))
+  }
+
   test("signature functions are deterministic across invocations") {
     val q = "SELECT graft_simhash(split('the quick brown fox', ' ')) AS s, " +
       "graft_minhash_band_keys(graft_shingle_ids(split('the quick brown fox', ' '), 2), 64, 16) AS mk, " +
