@@ -3,7 +3,7 @@ package graft.lake.hudi
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -275,8 +275,7 @@ final class HudiWriter private (
             StructField("_hoodie_file_name", StringType) +: schema.fields)
         val cur = spark.read.schema(keepSchema)
           .parquet(affected.map(s => new Path(root, s.path).toString): _*)
-          .withColumn("__fid", regexp_extract(col("_hoodie_file_name"),
-            "^(.+)_[^_]+_\\d+\\.parquet$", 1))
+          .withColumn("__fid", fidOf(col("_hoodie_file_name")))
         val updKeys = updates.select(col(keyField).cast("string").as("__k"))
         val outCols = (col("__fid") +: col("_hoodie_commit_time") +:
           schema.fieldNames.toIndexedSeq.map(col))
@@ -307,8 +306,17 @@ final class HudiWriter private (
         StructField("_hoodie_file_name", StringType))))
       .parquet(slices.map(s => new Path(root, s.path).toString): _*)
       .select(col("_hoodie_record_key").as("__k"),
-        regexp_extract(col("_hoodie_file_name"),
-          "^(.+)_[^_]+_\\d+\\.parquet$", 1).as("__fid"))
+        fidOf(col("_hoodie_file_name")).as("__fid"))
+
+  /** fileId parsed from a slice file name. An unparseable name would
+    * otherwise yield "" and make rows vanish through the inner routing
+    * joins — fail the TASK loudly instead. */
+  private def fidOf(fileName: Column): Column = {
+    val fid = regexp_extract(fileName, "^(.+)_[^_]+_\\d+\\.parquet$", 1)
+    when(fid === "", org.apache.spark.sql.functions.raise_error(
+      concat(lit("hudi: unparseable slice file name "), fileName)))
+      .otherwise(fid)
+  }
 
   // ---- MERGE_ON_READ -------------------------------------------------------
 
