@@ -22,9 +22,11 @@ import graft.lake.{DataFileMeta, FilePruner, Meta}
   *    written file — state is timeline-driven, NO directory listing of
   *    data dirs (the same O(metadata) posture as the Iceberg/Delta
   *    readers; data-dir listing is exactly what Hudi's timeline exists
-  *    to avoid). Completed `.replacecommit`/`.savepoint`/`.restore`
-  *    instants are REJECTED loudly — they change which file groups are
-  *    live, and replaying only commits would serve stale data.
+  *    to avoid). `.replacecommit` instants (clustering /
+  *    insert_overwrite) replay too: their partitionToReplaceFileIds
+  *    retires the listed file groups while their write stats add the
+  *    replacements (r10). `.savepoint`/`.restore` are REJECTED loudly —
+  *    they rewind state this replay does not model.
   *  - FILE SLICES: data files are `<fileId>_<writeToken>_<instant>.parquet`;
   *    an upsert/compaction rewrites a file group as a NEW slice of the
   *    same fileId at a later instant, and the snapshot is the LATEST
@@ -297,22 +299,23 @@ object HudiTable {
 
     val timeline = fs.listStatus(meta).toSeq.map(_.getPath)
 
-    // replay only understands `.commit`/`.deltacommit` instants.
-    // Completed instants that CHANGE which file groups are live —
-    // `.replacecommit` (clustering, insert_overwrite, delete_partition),
-    // `.savepoint`, `.restore` — must be rejected loudly: silently
-    // ignoring them would keep replaced file groups live and return
-    // stale/pre-overwrite data.
-    val UnsupportedRe = """\d+\.(replacecommit|savepoint|restore)""".r
+    // replay understands `.commit`/`.deltacommit`/`.replacecommit`
+    // instants (r10 adds replacecommit — clustering / insert_overwrite:
+    // its partitionToReplaceFileIds RETIRES the listed file groups while
+    // its write stats add the replacement slices). `.savepoint` /
+    // `.restore` remain rejected loudly: they rewind table state in ways
+    // this replay does not model, and ignoring them would serve rolled-
+    // back data.
+    val UnsupportedRe = """\d+\.(savepoint|restore)""".r
     val unsupported = timeline.map(_.getName).collect {
       case n @ UnsupportedRe(kind) => s"$n ($kind)"
     }
     require(unsupported.isEmpty,
       s"hudi: timeline has completed instants this reader does not " +
         s"replay — ${unsupported.mkString(", ")}; reading through them " +
-        "would return stale/replaced file groups")
+        "would return rolled-back state")
 
-    val CommitRe = """(\d+)\.(commit|deltacommit)""".r
+    val CommitRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
     val commits = timeline
       .flatMap(p => p.getName match {
         case CommitRe(t, kind) if instant == null || t <= instant => Some((t, kind, p))
@@ -352,6 +355,16 @@ object HudiTable {
               // commits replay in instant order, so a later slice replaces
               groups(fileId) = s
           }
+        }
+      }
+      // replacecommit: the listed file groups are RETIRED as of this
+      // instant (clustering / insert_overwrite) — group ids never
+      // revive; their logs orphan out with the slice binding below
+      if (kind == "replacecommit") {
+        val rp = n.path("partitionToReplaceFileIds").fields()
+        while (rp.hasNext) {
+          val ids = rp.next().getValue.elements()
+          while (ids.hasNext) groups.remove(ids.next().asText())
         }
       }
     }

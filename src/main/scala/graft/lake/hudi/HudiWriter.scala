@@ -211,7 +211,9 @@ final class HudiWriter private (
 
   private def commit(instant: String,
       stats: Seq[(String, String, String, Long)], // (part, fileId, path, rows)
-      kind: String): Unit = {
+      kind: String,
+      replacedFileIds: Map[String, Seq[String]] = Map.empty,
+      operation: String = "upsert"): Unit = {
     val n = mapper.createObjectNode()
     val pw = n.putObject("partitionToWriteStats")
     stats.groupBy(_._1).foreach { case (part, group) =>
@@ -223,7 +225,16 @@ final class HudiWriter private (
         st.put("numWrites", rows)
       }
     }
-    n.put("operation", "upsert")
+    if (replacedFileIds.nonEmpty) {
+      require(kind == "replacecommit",
+        "hudi: partitionToReplaceFileIds belongs to a replacecommit")
+      val rp = n.putObject("partitionToReplaceFileIds")
+      replacedFileIds.toSeq.sortBy(_._1).foreach { case (part, ids) =>
+        val arr = rp.putArray(part)
+        ids.sorted.foreach(arr.add)
+      }
+    }
+    n.put("operation", operation)
     val p = new Path(metaDir, s"$instant.$kind")
     val out = fs.create(p, false) // timeline instants never overwrite
     try out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
@@ -293,6 +304,46 @@ final class HudiWriter private (
     }
     if (!fresh.isEmpty) stats ++= writeFreshGroups(fresh, instant)
     commit(instant, stats.toSeq, "commit") // COW rewrite = full commit
+    instant
+  }
+
+  /** CLUSTERING (Hudi's `replacecommit`): rewrites every live file
+    * group into ONE new group per partition, retiring the old groups
+    * through partitionToReplaceFileIds — the layout-maintenance op real
+    * Hudi runs as clustering / insert_overwrite, and the small-file
+    * consolidation a long-lived mirror needs. Carried rows keep their
+    * original commit instants (same rule as compaction), so incremental
+    * pulls across a clustering stay exact and a clustering delivers no
+    * rows to change streams. One distributed [[writeSlices]] job. MOR
+    * tables must [[compact]] first (log deltas would otherwise drop —
+    * Hudi's own clustering has the same ordering constraint). */
+  def cluster(): String = {
+    val t = HudiTable.load(spark, location)
+    require(!t.hasLogFiles,
+      "hudi: compact() before cluster() — uncompacted log deltas would be dropped")
+    val live = t.liveSlices
+    if (live.size <= 1) return null
+    val instant = nextInstant()
+    val byPart = live.groupBy(_.partitionPath)
+    val fidOfPart: Map[String, String] =
+      byPart.keys.toSeq.sorted.map(pp => pp -> nextFileId()).toMap
+    val keepSchema = StructType(
+      StructField("_hoodie_commit_time", StringType) +:
+        StructField("_hoodie_partition_path", StringType) +: schema.fields)
+    val ppFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(fidOfPart.toSeq.map { case (pp, fid) =>
+        org.apache.spark.sql.Row(pp, fid)
+      }.toIndexedSeq, 1),
+      StructType(Seq(StructField("_hoodie_partition_path", StringType),
+        StructField("__fid", StringType))))
+    val rows = spark.read.schema(keepSchema)
+      .parquet(live.map(s => new Path(root, s.path).toString): _*)
+      .join(broadcast(ppFrame), Seq("_hoodie_partition_path"))
+    val stats = writeSlices(rows, instant,
+      fidOfPart.map { case (pp, fid) => fid -> pp })
+    commit(instant, stats, "replacecommit",
+      replacedFileIds = byPart.map { case (pp, ss) => pp -> ss.map(_.fileId) },
+      operation = "cluster")
     instant
   }
 
@@ -498,7 +549,7 @@ object HudiWriter {
     val t = HudiTable.load(spark, location)
     val w = new HudiWriter(spark, location, t.schema, partitionFields,
       keyField, tableType)
-    val InstantRe = """(\d+)\.(commit|deltacommit)""".r
+    val InstantRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
     w.instantSeq = fs.listStatus(meta).toSeq.map(_.getPath.getName).collect {
       case InstantRe(i, _) => i.toLong
     }.maxOption.getOrElse(0L)

@@ -78,23 +78,23 @@ class HudiIncrementalStreamSource(
   }
 
   /** Newest completed commit instant, from the timeline listing alone.
-    * Completed instants this source cannot replay (`replacecommit` from
-    * clustering/insert_overwrite, `savepoint`, `restore`) fail LOUDLY
-    * here — ignoring them would stall the offset below their data (a
-    * replacecommit-only advance would never produce a batch) while
-    * `getBatch`'s table load rejects them anyway. Same posture as
-    * HudiTable.loadAsOf. */
+    * `replacecommit` counts (r10): clustering adds no logical rows —
+    * carried records keep their commit instants, so the batch across it
+    * is empty — but the offset must still advance past it or the stream
+    * would stall below later data. `savepoint`/`restore` fail LOUDLY
+    * here (same posture as HudiTable.loadAsOf; getBatch's table load
+    * would reject them anyway, this just fails at the poll). */
   private def latestInstant: Long = {
     val meta = new Path(location, ".hoodie")
     val fs = meta.getFileSystem(
       sqlContext.sparkSession.sessionState.newHadoopConf())
     val names = fs.listStatus(meta).toSeq.map(_.getPath.getName)
-    val UnsupportedRe = """\d+\.(replacecommit|savepoint|restore)""".r
+    val UnsupportedRe = """\d+\.(savepoint|restore)""".r
     val unsupported = names.collect { case n @ UnsupportedRe(kind) => s"$n ($kind)" }
     require(unsupported.isEmpty,
       s"hudi incremental stream: timeline has completed instants this " +
         s"source does not replay — ${unsupported.mkString(", ")}")
-    val InstantRe = """(\d+)\.(commit|deltacommit)""".r
+    val InstantRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
     names.collect {
       case InstantRe(i, _) => i.toLong
     }.maxOption.getOrElse(0L)

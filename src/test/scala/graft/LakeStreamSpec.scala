@@ -231,9 +231,10 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(runOnce() == Set.empty[Int], "no new instants, no rows")
   }
 
-  test("hudi-incremental stream rejects replacecommit timelines loudly") {
-    // advice r09: a completed replacecommit (clustering/insert_overwrite)
-    // must fail the stream by name, not stall the offset below its data
+  test("hudi-incremental stream advances through a replacecommit, no phantom rows") {
+    // a clustering adds no logical rows: the batch across it must be
+    // EMPTY but the offset must advance past it (a stalled offset would
+    // hide later commits); subsequent commits deliver normally
     import org.apache.spark.sql.streaming.Trigger
     val base = "/root/repo/target/graft-lake-test/hudireplace"
     val fs = new org.apache.hadoop.fs.Path(base)
@@ -243,23 +244,31 @@ class LakeStreamSpec extends AnyFunSuite {
     val n = Tables.nation(spark, sf)
     val w = graft.lake.hudi.HudiWriter.create(spark, loc, n.schema,
       keyField = "n_nationkey")
-    w.insert(n)
-    val rp = new org.apache.hadoop.fs.Path(loc,
-      ".hoodie/20990101000000000.replacecommit")
-    val out = fs.create(rp, false)
-    try out.write("{}".getBytes("UTF-8")) finally out.close()
-    val e = intercept[Exception] {
+    w.insert(n.filter(col("n_nationkey") < 13))
+    w.insert(n.filter(col("n_nationkey") >= 13))
+    def runOnce(): Set[Int] = {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val q = spark.readStream.format("hudi-incremental").load(loc)
         .writeStream
-        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("n_nationkey").collect().foreach(r => seen.add(r.getInt(0))); ()
+        }
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("replacecommit"), s"must name the instant kind: $msgs")
+    val allKeys = n.collect().map(_.getAs[Int]("n_nationkey")).toSet
+    assert(runOnce() == allKeys, "initial content delivered")
+    assert(w.cluster() != null)
+    assert(runOnce() == Set.empty[Int],
+      "a clustering delivers no rows (carried records keep their instants)")
+    w.upsert(n.filter(col("n_nationkey") % 7 === 0)
+      .withColumn("n_name", lit("POSTCLUSTER")))
+    assert(runOnce() == allKeys.filter(_ % 7 == 0),
+      "the offset advanced past the replacecommit: later commits deliver")
   }
 
   test("iceberg-incremental stream tails appends across restarts; rejects deletes") {

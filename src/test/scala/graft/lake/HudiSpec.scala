@@ -456,19 +456,69 @@ class HudiSpec extends AnyFunSuite {
     assert(tc.scan().filter(col("n_name") === "LOGX").count() == n.count())
   }
 
-  test("timelines with replacecommit/savepoint/restore instants are rejected") {
-    // a completed replacecommit (clustering / insert_overwrite — legal
-    // on COW tables) changes which file groups are live; a reader that
-    // only replays .commit would silently serve the replaced groups
+  test("timelines with savepoint/restore instants are rejected") {
+    // savepoint/restore rewind table state in ways the replay does not
+    // model — serving through them would return rolled-back data
     val n = Tables.nation(spark, sf)
-    val loc = freshDir("replace")
+    val loc = freshDir("savepoint")
     val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey")
     w.insert(n)
-    val p = new Path(loc, ".hoodie/20990101000000000.replacecommit")
+    val p = new Path(loc, ".hoodie/20990101000000000.savepoint")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, false)
     try out.write("{}".getBytes("UTF-8")) finally out.close()
     val e = intercept[IllegalArgumentException] { HudiTable.load(spark, loc) }
-    assert(e.getMessage.contains("replacecommit"))
+    assert(e.getMessage.contains("savepoint"))
+  }
+
+  test("clustering (replacecommit): groups retired, snapshot and incrementals exact") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cluster")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey")
+    val i1 = w.insert(n.filter(col("n_nationkey") < 13))  // 5 groups
+    w.insert(n.filter(col("n_nationkey") >= 13))          // 5 more groups
+    val before = HudiTable.load(spark, loc)
+    assert(before.planFiles().size == 10)
+    val ci = w.cluster()
+    assert(ci != null)
+    val after = HudiTable.load(spark, loc)
+    // one group per partition now; replaced groups gone from planning
+    assert(after.planFiles().size == 5,
+      s"clustering must leave one group per partition, got ${after.planFiles()}")
+    assert(after.planFiles().toSet.intersect(before.planFiles().toSet).isEmpty)
+    // snapshot rows identical through the clustering
+    assert(after.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    // partition pruning still works on the clustered layout
+    assert(after.scan(Some(col("n_regionkey") === 2)).count() ==
+      n.filter(col("n_regionkey") === 2).count())
+    // time travel BEFORE the clustering sees the old groups
+    val asOf = HudiTable.loadAsOf(spark, loc, i1)
+    assert(asOf.scan().count() == n.filter(col("n_nationkey") < 13).count())
+    // clustering adds no logical rows: incremental pull across it is
+    // empty (carried rows keep their original instants)...
+    assert(after.incrementalFrom(f"${ci.toLong - 1}%017d").count() == 0)
+    // ...and a later upsert is still delivered exactly
+    w.upsert(n.filter(col("n_nationkey") === 3).withColumn("n_name", lit("POST")))
+    val t2 = HudiTable.load(spark, loc)
+    assert(t2.incrementalFrom(ci).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSeq == Seq(3))
+    assert(t2.scan().count() == n.count())
+  }
+
+  test("open() continues above a replacecommit instant") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("cluster-reopen")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey")
+    w.insert(n.filter(col("n_nationkey") < 10))
+    w.insert(n.filter(col("n_nationkey") >= 10))
+    val ci = w.cluster()
+    val w2 = HudiWriter.open(spark, loc)
+    val next = w2.upsert(n.filter(col("n_nationkey") === 5)
+      .withColumn("n_name", lit("REOPENED")))
+    assert(next > ci, s"reopened instant $next must sort after $ci")
+    assert(HudiTable.load(spark, loc).scan()
+      .filter(col("n_name") === "REOPENED").count() == 1)
   }
 }
