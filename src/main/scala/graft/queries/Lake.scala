@@ -889,7 +889,10 @@ object Lake {
     val w = HudiWriter.create(s, loc, o.schema,
       partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey",
       tableType = "MERGE_ON_READ")
-    val preDelta = w.insert(o)
+    // two inserts → two file groups per partition, so the clustering arm
+    // below has small groups to consolidate
+    w.insert(o.filter(col("o_orderkey") % 2 === 0))
+    val preDelta = w.insert(o.filter(col("o_orderkey") % 2 === 1))
     val baseBefore = HudiTable.load(s, loc).planFiles().toSet
     w.upsertLog(o.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_orderpriority", lit("corrected")))
@@ -918,10 +921,20 @@ object Lake {
     w.compact()
     val tc = HudiTable.load(s, loc)
     require(!tc.hasLogFiles, "hudi mor: compaction must orphan the logs")
+    // CLUSTERING (replacecommit, r10): consolidate the compacted layout
+    // to one group per partition — content must be invariant (the
+    // "clustered" arm shares the "compacted"/"current" oracle rows)
+    w.cluster()
+    val tl = HudiTable.load(s, loc)
+    require(tl.planFiles().size < tc.planFiles().size,
+      "hudi mor: clustering must consolidate file groups")
+    require(tl.planFiles().toSet.intersect(tc.planFiles().toSet).isEmpty,
+      "hudi mor: clustering must retire the replaced groups")
     current
       .unionByName(agg(tc.scan(), "compacted"))
       .unionByName(agg(HudiTable.loadAsOf(s, loc, preDelta).scan(), "pre_delta"))
       .unionByName(readOptimized)
+      .unionByName(agg(tl.scan(), "clustered"))
   }
 
   /** Hudi INCREMENTAL QUERY (r09; the third of Hudi's three query types,
@@ -1077,6 +1090,14 @@ object Lake {
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'read_optimized'
            FROM orders GROUP BY 1
+           UNION ALL
+           SELECT P, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'clustered'
+           FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
+                             ELSE o_orderpriority END AS P, o_totalprice
+                 FROM orders)
+           WHERE P <> '1-URGENT' GROUP BY 1
          )""",
     "lake_hudi_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
