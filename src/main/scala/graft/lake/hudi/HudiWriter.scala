@@ -307,6 +307,31 @@ final class HudiWriter private (
     instant
   }
 
+  /** INSERT OVERWRITE (Hudi's other `replacecommit` producer): replaces
+    * the contents of every partition `df` TOUCHES with `df`'s rows —
+    * the touched partitions' existing file groups retire through
+    * partitionToReplaceFileIds and the new rows land as fresh groups
+    * (one distributed write job); untouched partitions are untouched.
+    * On an unpartitioned table this replaces the whole table. New rows
+    * stamp THIS instant, so incremental pulls deliver them (rows the
+    * overwrite removed do not emit deletes — Hudi's own
+    * incremental-query semantics; a change feed needs the cdc-shaped
+    * sources). */
+  def insertOverwrite(df: DataFrame): String = {
+    val t = HudiTable.load(spark, location)
+    val instant = nextInstant()
+    val rows = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val stats = writeFreshGroups(rows, instant)
+    require(stats.nonEmpty, "hudi: insertOverwrite with no rows")
+    val touchedParts = stats.map(_._1).toSet
+    val replaced = t.liveSlices.filter(s => touchedParts(s.partitionPath))
+      .groupBy(_.partitionPath)
+      .map { case (pp, ss) => pp -> ss.map(_.fileId) }
+    commit(instant, stats, "replacecommit",
+      replacedFileIds = replaced, operation = "insert_overwrite")
+    instant
+  }
+
   /** CLUSTERING (Hudi's `replacecommit`): rewrites every live file
     * group into ONE new group per partition, retiring the old groups
     * through partitionToReplaceFileIds — the layout-maintenance op real

@@ -507,6 +507,39 @@ class HudiSpec extends AnyFunSuite {
     assert(t2.scan().count() == n.count())
   }
 
+  test("insert overwrite (replacecommit): touched partitions replaced, others kept") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("insover")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey")
+    val i1 = w.insert(n)
+    // overwrite region 2 with a reduced, renamed row set
+    val ov = n.filter(col("n_regionkey") === 2 && col("n_nationkey") < 20)
+      .withColumn("n_name", lit("OVERWRITTEN"))
+    val oi = w.insertOverwrite(ov)
+    val t = HudiTable.load(spark, loc)
+    val got = t.scan().collect().map(r =>
+      (r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name"))).toMap
+    val untouched = n.filter(col("n_regionkey") =!= 2).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    val overwritten = ov.collect().map(_.getAs[Int]("n_nationkey")).toSet
+    assert(got.keySet == untouched ++ overwritten,
+      "region 2 fully replaced; other regions untouched")
+    assert(overwritten.forall(k => got(k) == "OVERWRITTEN"))
+    // dropped rows of region 2 are gone
+    val dropped = n.filter(col("n_regionkey") === 2 && col("n_nationkey") >= 20)
+      .count()
+    if (dropped > 0) assert(!got.keySet.exists(k =>
+      n.filter(col("n_nationkey") === k && col("n_regionkey") === 2
+        && col("n_nationkey") >= 20).count() > 0))
+    // time travel before the overwrite sees the original content
+    assert(HudiTable.loadAsOf(spark, loc, i1).scan().count() == n.count())
+    // incremental: the overwrite's new rows carry ITS instant
+    assert(t.incrementalFrom(i1).collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet == overwritten)
+    assert(oi > i1)
+  }
+
   test("open() continues above a replacecommit instant") {
     val n = Tables.nation(spark, sf)
     val loc = freshDir("cluster-reopen")
