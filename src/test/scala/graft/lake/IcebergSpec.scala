@@ -478,6 +478,22 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, w.location).scan().count() == n.count() - 1)
   }
 
+  test("ORC data files on a partitioned table: pruning and values intact") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("orcpart"), n.schema,
+      partition = Seq("n_regionkey" -> "identity"))
+    w.append(n)
+    convertDataFilesToOrc(w.location)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    val all = t.planFiles().size
+    val kept = t.planFiles(Some(col("n_regionkey") === 2)).size
+    assert(kept < all, s"pruning kept $kept of $all")
+    assert(t.scan(Some(col("n_regionkey") === 2)).count() ==
+      n.filter(col("n_regionkey") === 2).count())
+  }
+
   test("AVRO data files are rejected loudly by format name, never misread") {
     val n = Tables.nation(spark, sf)
     val w = IcebergWriter.create(spark, freshDir("avrorej"), n.schema)
