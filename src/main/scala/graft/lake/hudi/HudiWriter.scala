@@ -366,6 +366,12 @@ final class HudiWriter private (
       .join(broadcast(ppFrame), Seq("_hoodie_partition_path"))
     val stats = writeSlices(rows, instant,
       fidOfPart.map { case (pp, fid) => fid -> pp })
+    // row conservation, from timeline metadata alone (no extra job): a
+    // _hoodie_partition_path mismatch in the routing join would
+    // otherwise drop rows silently
+    require(stats.map(_._4).sum == live.map(_.numWrites).sum,
+      s"hudi cluster: wrote ${stats.map(_._4).sum} rows but the replaced " +
+        s"slices held ${live.map(_.numWrites).sum} — partition-path routing drift")
     commit(instant, stats, "replacecommit",
       replacedFileIds = byPart.map { case (pp, ss) => pp -> ss.map(_.fileId) },
       operation = "cluster")
