@@ -332,6 +332,28 @@ final class HudiWriter private (
     instant
   }
 
+  /** DELETE PARTITION (the third `replacecommit` flavor): retires every
+    * file group whose partition path matches `partValues` — no new
+    * files, just partitionToReplaceFileIds. A metadata-only commit:
+    * nothing is read or written but the timeline instant. */
+  def deletePartition(partValues: Map[String, Any]): String = {
+    require(partitionFields.nonEmpty, "hudi: deletePartition needs a partitioned table")
+    require(partValues.keySet == partitionFields.toSet,
+      s"hudi: deletePartition needs values for $partitionFields, got ${partValues.keySet}")
+    val pp = partitionFields.map { f =>
+      val v = partValues(f)
+      s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+    }.mkString("/")
+    val t = HudiTable.load(spark, location)
+    val doomed = t.liveSlices.filter(_.partitionPath == pp)
+    require(doomed.nonEmpty, s"hudi: no live file groups under partition $pp")
+    val instant = nextInstant()
+    commit(instant, Nil, "replacecommit",
+      replacedFileIds = Map(pp -> doomed.map(_.fileId)),
+      operation = "delete_partition")
+    instant
+  }
+
   /** CLUSTERING (Hudi's `replacecommit`): rewrites every live file
     * group into ONE new group per partition, retiring the old groups
     * through partitionToReplaceFileIds — the layout-maintenance op real

@@ -540,6 +540,33 @@ class HudiSpec extends AnyFunSuite {
     assert(oi > i1)
   }
 
+  test("delete partition (replacecommit): groups retired by metadata alone") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("delpart")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey")
+    val i1 = w.insert(n)
+    w.deletePartition(Map("n_regionkey" -> 2))
+    val t = HudiTable.load(spark, loc)
+    assert(t.scan().count() == n.filter(col("n_regionkey") =!= 2).count())
+    assert(t.scan(Some(col("n_regionkey") === 2)).count() == 0)
+    assert(t.planFiles().size == 4, "region 2's file group must be retired")
+    // time travel before the delete sees the partition
+    assert(HudiTable.loadAsOf(spark, loc, i1)
+      .scan(Some(col("n_regionkey") === 2)).count() ==
+      n.filter(col("n_regionkey") === 2).count())
+    // guards: unknown partition, unpartitioned table
+    intercept[IllegalArgumentException] {
+      w.deletePartition(Map("n_regionkey" -> 99))
+    }
+    val w2 = HudiWriter.create(spark, freshDir("delpart-flat"), n.schema,
+      keyField = "n_nationkey")
+    w2.insert(n)
+    intercept[IllegalArgumentException] {
+      w2.deletePartition(Map("n_regionkey" -> 1))
+    }
+  }
+
   test("open() continues above a replacecommit instant") {
     val n = Tables.nation(spark, sf)
     val loc = freshDir("cluster-reopen")
