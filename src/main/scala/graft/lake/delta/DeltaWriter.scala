@@ -549,6 +549,74 @@ final class DeltaWriter private (
     commit(cdcActs ++ removes ++ newAdds)
   }
 
+  /** Live add-file state as of `versionAsOf`, replayed from the raw log
+    * (deep copies — callers may commit them verbatim). Loud when any
+    * commit file ≤ versionAsOf is gone (log cleanup) or the table's
+    * schema changed since (schema restore is not modeled). */
+  private def replayLive(versionAsOf: Long): Map[String, ObjectNode] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+    var schemaStr: String = null
+    (0L to versionAsOf).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"delta: commit file for version $v is gone (log cleanup?) — " +
+          s"state at $versionAsOf cannot be reconstructed")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("metaData"))
+          schemaStr = n.get("metaData").get("schemaString").asText()
+        if (n.has("add")) {
+          val node = mapper.createObjectNode()
+          node.set[ObjectNode]("add", n.get("add").deepCopy())
+          out(n.get("add").get("path").asText()) = node
+        }
+        if (n.has("remove")) out.remove(n.get("remove").path("path").asText())
+      }
+    }
+    require(schemaStr == null ||
+      org.apache.spark.sql.types.DataType.fromJson(schemaStr) == schema,
+      s"delta: schema changed since version $versionAsOf — restore does " +
+        "not model schema rollback")
+    out.toMap
+  }
+
+  /** RESTORE (Delta's `RESTORE TABLE … VERSION AS OF`): rolls the table
+    * back to `versionAsOf` as a NEW commit — files added since are
+    * removed, files removed (or DV-mutated) since are re-added with
+    * their as-of state; their BYTES must still exist (vacuumed files
+    * fail loudly, naming the first missing one — Delta's own RESTORE
+    * has the same constraint). History is preserved: time travel still
+    * reads the undone versions. The commit carries plain dataChange
+    * add/remove actions and no cdc, so a CDF reader's changes() rightly
+    * rejects the restore range (real RESTORE emits no change feed for
+    * the rewind either). Metadata-scale work: a log replay plus
+    * existence probes — no data IO. */
+  def restore(versionAsOf: Long): Long = {
+    require(versionAsOf >= 0 && versionAsOf <= version,
+      s"delta: restore needs a version in [0, $version], got $versionAsOf")
+    val target = replayLive(versionAsOf)
+    val cur = live.toMap
+    val removes = cur.keys.filterNot(target.contains).toSeq.sorted
+    val readds = target.filter { case (p, node) =>
+      !cur.contains(p) || cur(p).toString != node.toString
+    }.toSeq.sortBy(_._1)
+    if (removes.isEmpty && readds.isEmpty) return version // already there
+    readds.foreach { case (rel, _) =>
+      val p = DeltaTable.resolve(location, rel)
+      require(fs.exists(p),
+        s"delta: restore to $versionAsOf needs $rel, which no longer " +
+          "exists (vacuumed) — the version is not restorable")
+    }
+    val actions = removes.map(p => removeAction(cur(p))) ++
+      readds.map(_._2.deepCopy())
+    removes.foreach(live.remove)
+    readds.foreach { case (p, n) => live(p) = n.deepCopy() }
+    commit(actions)
+  }
+
   /** DELETION-VECTOR delete: instead of rewriting files, attach (or
     * extend) a per-file bitmap of deleted row indexes — the protocol's
     * merge-on-read-style delete. O(deleted rows) IO instead of

@@ -299,6 +299,41 @@ class DeltaSpec extends AnyFunSuite {
 
   // ---- column mapping ------------------------------------------------------
 
+  test("restore rolls back to a version as a new commit; history preserved") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("restore")
+    val w = DeltaWriter.create(spark, loc, n.schema)
+    w.append(n) // v1
+    w.deleteWhere(col("n_nationkey") < 5) // v2 (rewrites the file)
+    w.append(n.filter(col("n_nationkey") === 0)
+      .withColumn("n_name", lit("EXTRA"))) // v3
+    val v4 = w.restore(1L)
+    assert(v4 == 4L, "restore is a NEW commit")
+    val t = DeltaTable.load(spark, loc)
+    assert(t.version == 4L)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq,
+      "state equals version 1 exactly")
+    // the undone versions remain time-travelable
+    assert(DeltaTable.loadVersion(spark, loc, 2L).scan().count() == n.count() - 5)
+    assert(DeltaTable.loadVersion(spark, loc, 3L).scan().count() == n.count() - 4)
+    // the writer keeps working after a restore
+    w.append(n.filter(col("n_nationkey") === 7)
+      .withColumn("n_name", lit("POST"))) // v5
+    assert(DeltaTable.load(spark, loc).scan().count() == n.count() + 1)
+    // restoring to the current state is a no-op (no empty commit)
+    assert(w.restore(5L) == 5L)
+    // a restore needing a vacuumed file fails loudly
+    val t1files = DeltaTable.loadVersion(spark, loc, 1L).planFiles()
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    // delete v1's data file AND roll forward so it's not needed anymore
+    w.deleteWhere(col("n_nationkey") >= 0) // v6: removes current files
+    t1files.foreach(rel => fs.delete(new Path(loc, rel), false))
+    val e = intercept[IllegalArgumentException] { w.restore(1L) }
+    assert(e.getMessage.contains("vacuumed") || e.getMessage.contains("no longer"),
+      e.getMessage)
+  }
+
   test("zero-match keyed DV delete commits nothing and skips the protocol flip") {
     // advice r09: a pure-append mirror sync range (every touched key new)
     // must not write a zero-action commit file nor flip the table to the
