@@ -195,6 +195,40 @@ final class IcebergWriter private (
     writeMetadata()
   }
 
+  /** ROLLBACK (Iceberg's `rollback_to_snapshot`): points the table back
+    * at an ancestor snapshot as a NEW metadata version — the snapshot
+    * list, data files, and history all stay (undone snapshots remain
+    * time-travelable); only current-snapshot-id and the main branch ref
+    * move, with a snapshot-log entry recording the rewind. The target
+    * must be an ancestor of the current snapshot (Iceberg's own rule —
+    * rolling "back" to a side branch would silently fork state).
+    * Metadata-only: no data IO. */
+  def rollbackTo(snapshotId: Long): Unit = {
+    require(currentMeta.snapshots.exists(_.id == snapshotId),
+      s"iceberg: snapshot $snapshotId not in metadata")
+    var cur = currentMeta.snapshots.find(_.id == currentSnapshotId)
+    var isAncestor = false
+    while (cur.isDefined && !isAncestor) {
+      if (cur.get.id == snapshotId) isAncestor = true
+      else cur = cur.get.parentId
+        .flatMap(pid => currentMeta.snapshots.find(_.id == pid))
+    }
+    require(isAncestor,
+      s"iceberg: snapshot $snapshotId is not an ancestor of " +
+        s"$currentSnapshotId — rollback cannot fork onto a side branch")
+    val ts = { val now = System.currentTimeMillis(); lastTs = math.max(now, lastTs + 1); lastTs }
+    currentMeta = currentMeta.copy(
+      currentSnapshotId = Some(snapshotId),
+      snapshotLog = currentMeta.snapshotLog :+ ((ts, snapshotId)),
+      refs = currentMeta.refs + ("main" -> IceRef(snapshotId, "branch")))
+    // the writer's accumulated manifest-list state rewinds too — the
+    // next commit must build on the TARGET's manifests, not the undone
+    // snapshot's
+    listState = IcebergAvro.readManifestListWithRows(conf,
+      new Path(currentMeta.snapshot(snapshotId).manifestList))
+    writeMetadata()
+  }
+
   def tag(name: String, snapshotId: Long): Unit = {
     currentMeta.snapshot(snapshotId) // must exist
     currentMeta = currentMeta.copy(

@@ -405,6 +405,30 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ancestor") || e2.getMessage.contains("not in metadata"))
   }
 
+  test("rollback_to_snapshot: metadata-only rewind, history kept, writes fork forward") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("rollback"), n.schema)
+    val a = n.filter(col("n_nationkey") < 10)
+    val b = n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+    val c = n.filter(col("n_nationkey") >= 20)
+    val s1 = w.append(a)
+    val s2 = w.append(b)
+    w.rollbackTo(s1)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().count() == a.count(), "current state equals the target snapshot")
+    // the undone snapshot stays time-travelable
+    assert(t.scan(None, s2).count() == a.count() + b.count())
+    // writing continues FROM the rollback point
+    val s3 = w.append(c)
+    val t2 = IcebergTable.load(spark, w.location)
+    assert(t2.scan().collect().map(_.getAs[Int]("n_nationkey")).toSet ==
+      (a.collect() ++ c.collect()).map(_.getAs[Int]("n_nationkey")).toSet)
+    // s2 is now a side branch, not an ancestor — rollback to it must fail
+    val e = intercept[IllegalArgumentException] { w.rollbackTo(s2) }
+    assert(e.getMessage.contains("ancestor"))
+    assert(s3 != s1)
+  }
+
   // ---- data-file format routing (reference: iceberg_bridge.h:229-249
   // enumerates PARQUET/ORC/AVRO per entry) ----------------------------------
 
