@@ -116,6 +116,16 @@ final class DeltaTable private (
       meta.partitionColumns, meta.schema).map(_.path)
   }
 
+  /** (bytes, rows) of the pruned live files, from log actions alone (no
+    * data IO) — feeds the DSv2 bridge's `estimateStatistics`. Rows are an
+    * estimate: files without `numRecords` stats contribute 0, and DV'd
+    * rows still count (upper bound — the right direction for planning). */
+  def scanStats(filter: Option[Column] = None): (Long, Long) = {
+    val keep = planFiles(filter).toSet
+    val live = adds.filter(a => keep(a.path))
+    (live.map(_.size).sum, live.map(_.numRecords.getOrElse(0L)).sum)
+  }
+
   // ---- scan ----------------------------------------------------------------
 
   def scan(filter: Option[Column] = None): DataFrame = {

@@ -104,6 +104,18 @@ final class HudiTable private (
   def scan(filter: Option[Column] = None): DataFrame =
     scanInternal(filter, withCommitTime = false)
 
+  /** (bytes, rows) of the pruned live base slices, from commit stats
+    * alone (HoodieWriteStat's numWrites/fileSizeInBytes) — feeds the
+    * DSv2 bridge's `estimateStatistics`. Bytes is -1 (unknown) when any
+    * live slice's commit predates size recording; rows excludes
+    * uncompacted log deltas (estimate). */
+  def scanStats(filter: Option[Column] = None): (Long, Long) = {
+    val keep = planFiles(filter).toSet
+    val live = slices.filter(s => keep(s.path))
+    val bytes = if (live.forall(_.sizeBytes >= 0)) live.map(_.sizeBytes).sum else -1L
+    (bytes, live.filter(_.numWrites >= 0).map(_.numWrites).sum)
+  }
+
   /** READ-OPTIMIZED QUERY (hudi's second query type): base file slices
     * only, log deltas ignored — columnar-scan speed at the cost of
     * freshness bounded by the last compaction. On a COW table (or a
@@ -272,7 +284,7 @@ object HudiTable {
 
   final case class Slice(fileId: String, instant: String,
       partitionPath: String, path: String, numWrites: Long,
-      logs: Seq[LogRef] = Nil)
+      logs: Seq[LogRef] = Nil, sizeBytes: Long = -1L)
 
   val MetaColumns: Seq[String] = Seq("_hoodie_commit_time",
     "_hoodie_commit_seqno", "_hoodie_record_key",
@@ -351,7 +363,8 @@ object HudiTable {
               logs += ((if (fileId.nonEmpty) fileId else fid, baseInstant,
                 LogRef(path, t, v.toInt)))
             case _ =>
-              val s = Slice(fileId, t, e.getKey, path, st.path("numWrites").asLong(0L))
+              val s = Slice(fileId, t, e.getKey, path, st.path("numWrites").asLong(0L),
+                sizeBytes = st.path("fileSizeInBytes").asLong(-1L))
               // commits replay in instant order, so a later slice replaces
               groups(fileId) = s
           }

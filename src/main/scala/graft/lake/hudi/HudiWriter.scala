@@ -223,6 +223,14 @@ final class HudiWriter private (
         st.put("fileId", fileId)
         st.put("path", path)
         st.put("numWrites", rows)
+        // HoodieWriteStat.fileSizeInBytes — feeds the reader's scanStats
+        // (DSv2 broadcast estimation). The slice is already renamed into
+        // place, so this is one getFileStatus per written file: the same
+        // O(slices) metadata order the rename pass just paid.
+        if (path.nonEmpty) {
+          val fp = new Path(root, path)
+          if (fs.exists(fp)) st.put("fileSizeInBytes", fs.getFileStatus(fp).getLen)
+        }
       }
     }
     if (replacedFileIds.nonEmpty) {

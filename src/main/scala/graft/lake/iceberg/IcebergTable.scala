@@ -359,6 +359,14 @@ final class IcebergTable private (
   def planFiles(filter: Option[Column] = None, snapshotId: Long = -1L): Seq[String] =
     plan(filter, snapshotId).dataFiles.map(_.entry.filePath)
 
+  /** (bytes, rows) of the filtered plan's data files, from manifest stats
+    * alone (no data IO) — feeds the DSv2 bridge's `estimateStatistics`,
+    * so a small Iceberg dim table broadcasts instead of shuffling. */
+  def scanStats(filter: Option[Column] = None, snapshotId: Long = -1L): (Long, Long) = {
+    val files = plan(filter, snapshotId).dataFiles
+    (files.map(_.entry.fileSizeBytes).sum, files.map(_.entry.recordCount).sum)
+  }
+
   private def dvIndexOf(p: Plan): Map[String, (String, Long, Long, Long)] =
     p.dvDeletes.groupBy(d => IcebergTable.pathKey(d.entry.referencedDataFile.get))
       .map { case (k, ds) =>

@@ -1002,7 +1002,112 @@ object Lake {
       .unionByName(agg(HudiTable.loadAsOf(s, loc, preUpsert).scan(), "pre_upsert"))
   }
 
+  /** SQL / DataFrame-reader surface over a REAL Iceberg table (r11; the
+    * reference's HEADLINE usage — pg_lakehouse_iceberg/README.md:40-58 is
+    * `CREATE TABLE … USING iceberg_am` then plain `SELECT * FROM orders
+    * WHERE …` — which until now graft served only through the Scala
+    * `IcebergTable.load(...).scan(...)` API). The entry reads through
+    * BOTH new surfaces: direct SQL over the path
+    * (`` FROM `graft-iceberg`.`loc` ``) with a hard-asserted
+    * PushedFilters receipt (the WHERE reaches the DSv2 scan and prunes
+    * partitions at plan time), and the DataFrame reader with a
+    * time-travel option (`ref` = tag) — both over a table carrying an
+    * equality delete, so full MoR semantics ride through the connector. */
+  def lakeIcebergSql(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.IcebergWriter
+    val o = Tables.orders(s, d)
+    val loc = work(s, "iceberg_sql", d)
+    val w = IcebergWriter.create(s, loc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    val s1 = w.append(o.filter(year(col("o_orderdate")) < 1996))
+    w.append(o.filter(year(col("o_orderdate")) >= 1996))
+    w.equalityDelete(o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey"))
+    w.tag("pre-1996", s1)
+    val cur = s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+                 ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
+          FROM `graft-iceberg`.`$loc`
+          WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority""")
+    val plan = cur.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
+      s"iceberg SQL read must push the WHERE into the scan, plan:\n$plan")
+    val pre = s.read.format("graft-iceberg").option("ref", "pre-1996").load(loc)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Money.sum2(col("o_totalprice")).as("total"))
+      .withColumn("src", lit("pre1996"))
+    cur.unionByName(pre)
+  }
+
+  /** SQL / DataFrame-reader surface over a REAL Delta table (r11 — see
+    * [[lakeIcebergSql]]): direct SQL over the path with the PushedFilters
+    * receipt, plus `versionAsOf` time travel through reader options. The
+    * table carries a COW delete so tombstone semantics ride through. */
+  def lakeDeltaSql(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.delta.DeltaWriter
+    val o = Tables.orders(s, d)
+    val loc = work(s, "delta_sql", d)
+    val w = DeltaWriter.create(s, loc, o.schema,
+      partitionColumns = Seq("o_orderstatus"))
+    w.append(o.filter(year(col("o_orderdate")) < 1996))  // v1
+    w.append(o.filter(year(col("o_orderdate")) >= 1996)) // v2
+    w.deleteWhere(col("o_orderpriority") === "1-URGENT") // v3: COW rewrite
+    val cur = s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+                 ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
+          FROM `graft-delta`.`$loc`
+          WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority""")
+    val plan = cur.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
+      s"delta SQL read must push the WHERE into the scan, plan:\n$plan")
+    val v1 = s.read.format("graft-delta").option("versionAsOf", "1").load(loc)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Money.sum2(col("o_totalprice")).as("total"))
+      .withColumn("src", lit("v1"))
+    cur.unionByName(v1)
+  }
+
+  /** SQL / DataFrame-reader surface over a REAL Hudi table (r11 — see
+    * [[lakeIcebergSql]]): direct SQL over the path with the PushedFilters
+    * receipt, plus `as.of.instant` time travel through reader options.
+    * The table carries a keyed COW upsert so latest-slice resolution
+    * rides through the connector. */
+  def lakeHudiSql(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.hudi.HudiWriter
+    val o = Tables.orders(s, d)
+    val loc = work(s, "hudi_sql", d)
+    val w = HudiWriter.create(s, loc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+    w.insert(o.filter(year(col("o_orderdate")) < 1996))
+    val preUpsert = w.insert(o.filter(year(col("o_orderdate")) >= 1996))
+    w.upsert(o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("corrected")))
+    val cur = s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+                 ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
+          FROM `graft-hudi`.`$loc`
+          WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority""")
+    val plan = cur.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
+      s"hudi SQL read must push the WHERE into the scan, plan:\n$plan")
+    val pre = s.read.format("graft-hudi").option("as.of.instant", preUpsert)
+      .load(loc)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Money.sum2(col("o_totalprice")).as("total"))
+      .withColumn("src", lit("pre_upsert"))
+    cur.unionByName(pre)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_iceberg_sql" -> (lakeIcebergSql _),
+    "lake_delta_sql" -> (lakeDeltaSql _),
+    "lake_hudi_sql" -> (lakeHudiSql _),
     "lake_hudi_mor" -> (lakeHudiMor _),
     "lake_hudi_incremental" -> (lakeHudiIncremental _),
     "lake_hudi_read" -> (lakeHudiRead _),
@@ -1050,6 +1155,52 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_iceberg_sql" ->
+      """SELECT o_orderpriority, n_orders, total, src FROM (
+           SELECT o_orderpriority, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'current' AS src
+           FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+           GROUP BY o_orderpriority
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'pre1996'
+           FROM orders WHERE year(o_orderdate) < 1996
+           GROUP BY o_orderpriority
+         )""",
+    "lake_delta_sql" ->
+      """SELECT o_orderpriority, n_orders, total, src FROM (
+           SELECT o_orderpriority, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'current' AS src
+           FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+           GROUP BY o_orderpriority
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'v1'
+           FROM orders WHERE year(o_orderdate) < 1996
+           GROUP BY o_orderpriority
+         )""",
+    "lake_hudi_sql" ->
+      """SELECT o_orderpriority, n_orders, total, src FROM (
+           SELECT o_orderpriority, count(*) AS n_orders,
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  'current' AS src
+           FROM (
+             SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
+                         ELSE o_orderpriority END AS o_orderpriority,
+                    o_totalprice
+             FROM orders WHERE o_orderstatus = 'F')
+           GROUP BY o_orderpriority
+           UNION ALL
+           SELECT o_orderpriority, count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'pre_upsert'
+           FROM orders
+           GROUP BY o_orderpriority
+         )""",
     "lake_hudi_incremental" ->
       """SELECT o_orderstatus, n_orders, total, src FROM (
            SELECT o_orderstatus, count(*) AS n_orders,
