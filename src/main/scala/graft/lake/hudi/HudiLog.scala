@@ -126,12 +126,25 @@ object HudiLog {
     bos.toByteArray
   }
 
-  def writeLogFile(conf: Configuration, path: Path, blocks: Seq[Block]): Long = {
+  def writeLogFile(conf: Configuration, path: Path, blocks: Seq[Block]): Long =
+    writeLogFileStreaming(conf, path, blocks.iterator)
+
+  /** Streams blocks to the file as they are produced — task memory is
+    * bounded by ONE block (the producing iterator rolls blocks at
+    * `hoodie.logfile.data.block.max.size`-style caps), never the whole
+    * log file. Real multi-block HoodieLogFormat files come from exactly
+    * this shape. */
+  def writeLogFileStreaming(conf: Configuration, path: Path,
+      blocks: Iterator[Block]): Long = {
     val fs = path.getFileSystem(conf)
     val out = fs.create(path, false)
-    val bytes = encodeLogFile(blocks)
-    try out.write(bytes) finally out.close()
-    bytes.length.toLong
+    var written = 0L
+    try blocks.foreach { b =>
+      val bytes = encodeLogFile(Seq(b))
+      out.write(bytes)
+      written += bytes.length
+    } finally out.close()
+    written
   }
 
   def decodeLogFile(bytes: Array[Byte]): Seq[Block] = {

@@ -67,7 +67,7 @@ final class HudiTable private (
     * deltas) — the scan then takes the merged view. */
   def hasLogFiles: Boolean = slices.exists(_.logs.nonEmpty)
 
-  private[hudi] def liveSlices: Seq[HudiTable.Slice] = slices
+  private[lake] def liveSlices: Seq[HudiTable.Slice] = slices
 
   private def toDataFileMeta(s: HudiTable.Slice): DataFileMeta = {
     val pvals = s.partitionPath.split("/").filter(_.contains("=")).map { seg =>

@@ -567,6 +567,114 @@ class HudiSpec extends AnyFunSuite {
     }
   }
 
+  test("MOR log ingest past the block cap rolls MULTI-BLOCK log files (r11)") {
+    // r10 verdict What's-wrong #2: one unbounded Avro block per group.
+    // Shrink the cap so a tiny ingest crosses it; the log FILE must carry
+    // multiple data blocks and the merged scan must still be exact.
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("logroll")
+    val w = HudiWriter.create(spark, loc, o.schema,
+      keyField = "o_orderkey", tableType = "MERGE_ON_READ")
+    w.insert(o)
+    w.logBlockMaxBytes = 2048L // force rolling on ~1500 rows
+    w.upsertLog(o.withColumn("o_orderpriority", lit("ROLLED")))
+    val t = HudiTable.load(spark, loc)
+    val logs = t.liveSlices.flatMap(_.logs)
+    assert(logs.nonEmpty, "ingest must land as log files")
+    val blockCounts = logs.map { l =>
+      graft.lake.hudi.HudiLog.readLogFile(
+        spark.sessionState.newHadoopConf(),
+        new Path(new Path(loc), l.path)).size
+    }
+    assert(blockCounts.exists(_ > 1),
+      s"log files must roll blocks at the cap, got $blockCounts blocks per file")
+    // merged read: every row carries the update, count conserved
+    val scanned = t.scan()
+    assert(scanned.count() == o.count())
+    assert(scanned.filter(col("o_orderpriority") =!= "ROLLED").count() == 0)
+  }
+
+  test("insert/insertOverwrite/cluster roll file groups at the target size (r11)") {
+    // r10 verdict What's-wrong #3: one group per partition regardless of
+    // size. With a tiny target, an oversized partition must split into
+    // multiple groups on all three paths — content invariant.
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("sizeroll")
+    val w = HudiWriter.create(spark, loc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+    w.targetFileBytes = 16L * 1024
+    w.insert(o)
+    val t1 = HudiTable.load(spark, loc)
+    val groupsPerPart1 = t1.liveSlices.groupBy(_.partitionPath).map(_._2.size)
+    assert(groupsPerPart1.exists(_ > 1),
+      s"insert must mint >1 group for oversized partitions, got $groupsPerPart1")
+    assert(t1.scan().count() == o.count())
+    // second insert: record-size estimate now comes from commit stats
+    w.insertOverwrite(o)
+    val t2 = HudiTable.load(spark, loc)
+    val groupsPerPart2 = t2.liveSlices.groupBy(_.partitionPath).map(_._2.size)
+    assert(groupsPerPart2.exists(_ > 1),
+      s"insertOverwrite must roll groups too, got $groupsPerPart2")
+    assert(t2.scan().orderBy("o_orderkey").collect().toSeq ==
+      o.orderBy("o_orderkey").collect().toSeq)
+    // cluster: sizes come from commit-stat bytes (no estimate needed)
+    w.cluster()
+    val t3 = HudiTable.load(spark, loc)
+    val groupsPerPart3 = t3.liveSlices.groupBy(_.partitionPath).map(_._2.size)
+    assert(groupsPerPart3.exists(_ > 1),
+      s"cluster must keep oversized partitions split, got $groupsPerPart3")
+    assert(t3.scan().orderBy("o_orderkey").collect().toSeq ==
+      o.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("composite record keys (ComplexKeyGenerator format) round-trip (r11)") {
+    val l = Tables.lineitem(spark, sf)
+      .dropDuplicates("l_orderkey", "l_linenumber").limit(500).cache()
+    val loc = freshDir("compkey")
+    val w = HudiWriter.create(spark, loc, l.schema,
+      keyField = "l_orderkey,l_linenumber")
+    w.insert(l)
+    val t = HudiTable.load(spark, loc)
+    assert(t.scan().count() == l.count())
+    // record key follows Hudi's ComplexKeyGenerator: f1:v1,f2:v2
+    val keys = spark.read.parquet(
+      t.planFiles().map(p => new Path(new Path(loc), p).toString): _*)
+      .select("_hoodie_record_key").limit(5).collect().map(_.getString(0))
+    assert(keys.forall(_.matches("""l_orderkey:\d+,l_linenumber:\d+""")),
+      s"composite key format drifted: ${keys.toSeq}")
+    // keyed upsert routes by the composite key: update ONE line item
+    val one = l.orderBy("l_orderkey", "l_linenumber").limit(1)
+      .withColumn("l_returnflag", lit("X"))
+    w.upsert(one)
+    val after = HudiTable.load(spark, loc).scan()
+    assert(after.count() == l.count(), "upsert must not duplicate composite keys")
+    assert(after.filter(col("l_returnflag") === "X").count() == 1)
+    // reopen parses the comma'd recordkey.fields
+    val w2 = HudiWriter.open(spark, loc)
+    w2.upsert(one.withColumn("l_returnflag", lit("Y")))
+    assert(HudiTable.load(spark, loc).scan()
+      .filter(col("l_returnflag") === "Y").count() == 1)
+    l.unpersist()
+  }
+
+  test("composite keys on MOR: log routing honors the composite key (r11)") {
+    val l = Tables.lineitem(spark, sf)
+      .dropDuplicates("l_orderkey", "l_linenumber").limit(300).cache()
+    val loc = freshDir("compkey-mor")
+    val w = HudiWriter.create(spark, loc, l.schema,
+      keyField = "l_orderkey,l_linenumber", tableType = "MERGE_ON_READ")
+    w.insert(l)
+    val one = l.orderBy(desc("l_orderkey"), desc("l_linenumber")).limit(1)
+      .withColumn("l_returnflag", lit("Z"))
+    w.upsertLog(one)
+    val t = HudiTable.load(spark, loc)
+    assert(t.hasLogFiles, "MOR update must land as a log file")
+    val merged = t.scan()
+    assert(merged.count() == l.count())
+    assert(merged.filter(col("l_returnflag") === "Z").count() == 1)
+    l.unpersist()
+  }
+
   test("open() continues above a replacecommit instant") {
     val n = Tables.nation(spark, sf)
     val loc = freshDir("cluster-reopen")
