@@ -146,22 +146,10 @@ final class DeltaTable private (
           DeltaTable.resolve(location, a.path).toString) -> d
       }
     }.toMap
-    val keepRow: Option[Column] = if (dvDescs.isEmpty) None else {
-      val bcConf = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(
-          spark.sessionState.newHadoopConf()))
-      val bcDvs = spark.sparkContext.broadcast(dvDescs)
-      val loc = location
-      val f = udf { (path: String, rowIndex: Long) =>
-        val key = DeltaTable.pathKey(path)
-        bcDvs.value.get(key) match {
-          case Some(d) =>
-            !DeltaTable.DvCache.bitmap(loc, key, d, bcConf.value.value).contains(rowIndex)
-          case None => true
-        }
-      }
-      Some(f(col("_metadata.file_path"), col("_metadata.row_index")))
-    }
+    val keepRow: Option[Column] = if (dvDescs.isEmpty) None else
+      Some(DeltaTable.dvKeepColumn(spark, location,
+        spark.sessionState.newHadoopConf(), dvDescs,
+        col("_metadata.file_path"), col("_metadata.row_index")))
 
     // ONE scan node for every live file (plan width must not grow with
     // partition count — a 10k-partition table cannot plan 10k scan
@@ -422,20 +410,9 @@ object DeltaTable {
       // subtract already-masked rows (same executor-side lazy bitmap
       // shape as scan()): a DV'd row was deleted in an EARLIER version,
       // so the remove-only commit must not re-emit it
-      val bcConf = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(
-          spark.sessionState.newHadoopConf()))
-      val bcDvs = spark.sparkContext.broadcast(dvByFile)
-      val loc = location
-      val keep = udf { (path: String, rowIndex: Long) =>
-        val key = pathKey(path)
-        bcDvs.value.get(key) match {
-          case Some(d) =>
-            !DvCache.bitmap(loc, key, d, bcConf.value.value).contains(rowIndex)
-          case None => true
-        }
-      }
-      df = df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      df = df.filter(dvKeepColumn(spark, location,
+        spark.sessionState.newHadoopConf(), dvByFile,
+        col("_metadata.file_path"), col("_metadata.row_index")))
     }
     val pvSchema = StructType(
       StructField("__fp", StringType) +:
@@ -658,6 +635,28 @@ object DeltaTable {
         conf: Configuration): RoaringBitmapArray =
       cache.computeIfAbsent(s"$location#$key#${d.pathOrInlineDv}",
         _ => DeletionVectors.load(conf, location, d))
+  }
+
+  /** Shared DV row mask (r11, replaces five per-row-UDF copies): a
+    * native codegen [[graft.expressions.DvKeep]] over a broadcast
+    * descriptor map + the executor bitmap cache — true iff the row's
+    * file has no DV or the bitmap excludes its row index. Per-row cost
+    * inside whole-stage codegen: one UTF8String compare + Roaring
+    * `contains` (bitmap resolution memoized per file per task). */
+  private[delta] def dvKeepColumn(spark: SparkSession, location: String,
+      conf: Configuration, dvs: Map[String, DeletionVectors.Descriptor],
+      pathCol: Column, idxCol: Column): Column = {
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val bcDvs = spark.sparkContext.broadcast(dvs)
+    val loc = location
+    graft.expressions.DvKeep.column(pathCol, idxCol, raw => {
+      val key = pathKey(raw)
+      bcDvs.value.get(key) match {
+        case Some(d) => DvCache.bitmap(loc, key, d, bcConf.value.value)
+        case None => null
+      }
+    })
   }
 
   /** ISO-8601 timestamp (Z / offset / bare local form) → epoch micros

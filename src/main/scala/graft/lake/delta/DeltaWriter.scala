@@ -349,19 +349,8 @@ final class DeltaWriter private (
       }
     }.toMap
     if (dvs.nonEmpty) {
-      val bcConf = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(conf))
-      val bcDvs = spark.sparkContext.broadcast(dvs)
-      val loc = location
-      val keep = org.apache.spark.sql.functions.udf { (fp: String, ri: Long) =>
-        bcDvs.value.get(DeltaTable.pathKey(fp)) match {
-          case Some(d) =>
-            !DeltaTable.DvCache.bitmap(loc, DeltaTable.pathKey(fp), d,
-              bcConf.value.value).contains(ri)
-          case None => true
-        }
-      }
-      df = df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      df = df.filter(DeltaTable.dvKeepColumn(spark, location, conf, dvs,
+        col("_metadata.file_path"), col("_metadata.row_index")))
     }
     df.select(dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c)): _*)
   }
@@ -383,19 +372,8 @@ final class DeltaWriter private (
       }
     }.toMap
     if (dvs.nonEmpty) {
-      val bcConf = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(conf))
-      val bcDvs = spark.sparkContext.broadcast(dvs)
-      val loc = location
-      val keep = org.apache.spark.sql.functions.udf { (fp: String, ri: Long) =>
-        bcDvs.value.get(DeltaTable.pathKey(fp)) match {
-          case Some(d) =>
-            !DeltaTable.DvCache.bitmap(loc, DeltaTable.pathKey(fp), d,
-              bcConf.value.value).contains(ri)
-          case None => true
-        }
-      }
-      df = df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      df = df.filter(DeltaTable.dvKeepColumn(spark, location, conf, dvs,
+        col("_metadata.file_path"), col("_metadata.row_index")))
     }
     var out = df
       .withColumn("__fp", DeltaTable.normPath(col("_metadata.file_path")))
@@ -672,21 +650,9 @@ final class DeltaWriter private (
       case (rel, n) => dvDescOf(n.get("add")).map(d =>
         DeltaTable.pathKey(DeltaTable.resolve(location, rel).toString) -> d)
     }.toMap
-    val notAlreadyDeleted: Column = if (oldDvs.isEmpty) lit(true) else {
-      val bcConf = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(conf))
-      val bcDvs = spark.sparkContext.broadcast(oldDvs)
-      val loc = location
-      val f = org.apache.spark.sql.functions.udf { (fp: String, ri: Long) =>
-        bcDvs.value.get(DeltaTable.pathKey(fp)) match {
-          case Some(d) =>
-            !DeltaTable.DvCache.bitmap(loc, DeltaTable.pathKey(fp), d,
-              bcConf.value.value).contains(ri)
-          case None => true
-        }
-      }
-      f(col("__fp"), col("__ri"))
-    }
+    val notAlreadyDeleted: Column = if (oldDvs.isEmpty) lit(true) else
+      DeltaTable.dvKeepColumn(spark, location, conf, oldDvs,
+        col("__fp"), col("__ri"))
     val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     import spark.implicits._
     locally {

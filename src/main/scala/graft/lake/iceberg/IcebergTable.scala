@@ -495,17 +495,16 @@ final class IcebergTable private (
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf()))
       val bcDvs = spark.sparkContext.broadcast(dvByFile)
-      val f = udf { (path: String, rowIndex: Long) =>
-        // path arrives already normPath'd (PosFileCol); pathKey is
-        // idempotent on normalized paths
-        bcDvs.value.get(IcebergTable.pathKey(path)) match {
-          case Some((dvPath, off, len, _)) =>
-            !IcebergTable.DvCache.bitmap(dvPath, off, len, bcConf.value.value)
-              .contains(rowIndex)
-          case None => true
-        }
-      }
-      Some(f(col(PosFileCol), col(PosIdxCol)))
+      // native codegen DvKeep (r11 — shared with Delta's five sites):
+      // path arrives already normPath'd (PosFileCol); pathKey is
+      // idempotent on normalized paths
+      Some(graft.expressions.DvKeep.column(
+        col(PosFileCol), col(PosIdxCol), raw =>
+          bcDvs.value.get(IcebergTable.pathKey(raw)) match {
+            case Some((dvPath, off, len, _)) =>
+              IcebergTable.DvCache.bitmap(dvPath, off, len, bcConf.value.value)
+            case None => null
+          }))
     }
 
     // group data files by (write schema, applicable delete sets): the
