@@ -564,10 +564,18 @@ final class IcebergTable private (
               s"data files (${files.head.entry.filePath}, ...); this reader " +
               "supports positional deletes over parquet data files only")
           spark.read.schema(phys).orc(files.map(_.entry.filePath): _*)
+        case "AVRO" =>
+          // same positional limitation: no _metadata.row_index source
+          require(!needMeta,
+            "iceberg: positional deletes / deletion vectors apply to AVRO " +
+              s"data files (${files.head.entry.filePath}, ...); this reader " +
+              "supports positional deletes over parquet data files only")
+          IcebergAvroData.read(spark, writeSchema,
+            files.map(_.entry.filePath))
         case other => throw new IllegalArgumentException(
           s"iceberg: data file format $other " +
             s"(${files.head.entry.filePath}, ...) is not readable here — " +
-            "supported data file formats: PARQUET, ORC")
+            "supported data file formats: PARQUET, ORC, AVRO")
       }
       if (needMeta) df = df
         .withColumn(PosFileCol, normPath(col("_metadata.file_path")))

@@ -518,19 +518,97 @@ class IcebergSpec extends AnyFunSuite {
       n.filter(col("n_regionkey") === 2).count())
   }
 
-  test("AVRO data files are rejected loudly by format name, never misread") {
+  /** Converts a table's parquet data files to real Avro OCF files (with
+    * spec `field-id` props) and points the manifests at them with
+    * file_format=AVRO — the stand-in for engines that write avro data. */
+  private def convertDataFilesToAvro(loc: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val t = graft.lake.iceberg.IcebergTable.load(spark, loc)
+    val ice = t.meta.currentSchema
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      graft.lake.iceberg.IcebergAvroData.avroSchemaJson(ice))
+    patchManifests(loc) { r =>
+      val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      if (df.get("content").toString.toInt == 0) {
+        val p = df.get("file_path").toString
+        val avroPath = p.stripSuffix(".parquet") + ".avro"
+        val rows = spark.read.schema(ice.struct).parquet(p).collect()
+        graft.lake.iceberg.IcebergAvro.writeAvro(conf, new Path(avroPath),
+          avroSchema, Map.empty,
+          rows.toSeq.map(row =>
+            graft.lake.iceberg.IcebergAvroData.toRecord(avroSchema, ice, row)))
+        df.put("file_path", avroPath)
+        df.put("file_format", "AVRO")
+      }
+    }
+  }
+
+  test("AVRO data files route through the avro-core reader and read back exactly (r11)") {
     val n = Tables.nation(spark, sf)
-    val w = IcebergWriter.create(spark, freshDir("avrorej"), n.schema)
+    val w = IcebergWriter.create(spark, freshDir("avroread"), n.schema)
+    w.append(n.filter(col("n_nationkey") < 13))
+    w.append(n.filter(col("n_nationkey") >= 13))
+    convertDataFilesToAvro(w.location)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    // equality deletes are value-based — they apply to AVRO groups too
+    val w2 = IcebergWriter.open(spark, w.location)
+    w2.equalityDelete(n.filter(col("n_nationkey") === 3).select("n_nationkey"))
+    assert(IcebergTable.load(spark, w.location).scan().count() == n.count() - 1)
+  }
+
+  test("AVRO data files on a partitioned table: pruning and values intact (r11)") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("avropart"), n.schema,
+      partition = Seq("n_regionkey" -> "identity"))
     w.append(n)
+    convertDataFilesToAvro(w.location)
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+    val all = t.planFiles().size
+    val kept = t.planFiles(Some(col("n_regionkey") === 2)).size
+    assert(kept < all, s"pruning kept $kept of $all")
+    assert(t.scan(Some(col("n_regionkey") === 2)).count() ==
+      n.filter(col("n_regionkey") === 2).count())
+  }
+
+  test("AVRO data files: field-id resolution survives a column rename (r11)") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("avrorename"), n.schema)
+    w.append(n)
+    convertDataFilesToAvro(w.location)
+    val w2 = IcebergWriter.open(spark, w.location)
+    w2.renameColumn("n_name", "nation_name")
+    val t = IcebergTable.load(spark, w.location)
+    // files hold the OLD avro field name; resolution must go by field-id
+    assert(t.schema.fieldNames.contains("nation_name"))
+    assert(t.scan().select("nation_name").orderBy("nation_name").collect().toSeq ==
+      n.select(col("n_name").as("nation_name")).orderBy("nation_name").collect().toSeq)
+  }
+
+  test("positional deletes / DVs over AVRO data files are rejected, not mis-joined") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("avroposdel"), n.schema)
+    w.append(n.orderBy("n_nationkey").coalesce(1))
+    // DV lands on the parquet file FIRST (writing a DV reads the data);
+    // the conversion then rewires data path + referenced_data_file, so
+    // the table models an avro-writing engine whose files carry DVs
+    w.deleteWhereDv(col("n_nationkey") === 3)
+    convertDataFilesToAvro(w.location)
     patchManifests(w.location) { r =>
       val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-      if (df.get("content").toString.toInt == 0) df.put("file_format", "AVRO")
+      val ref = df.getSchema.getField("referenced_data_file")
+      if (ref != null && df.get("referenced_data_file") != null)
+        df.put("referenced_data_file",
+          df.get("referenced_data_file").toString.stripSuffix(".parquet") + ".avro")
     }
     val e = intercept[IllegalArgumentException] {
       IcebergTable.load(spark, w.location).scan().collect()
     }
     assert(e.getMessage.contains("AVRO"),
-      s"error must name the unreadable format: ${e.getMessage}")
+      s"error must name the unreadable combination: ${e.getMessage}")
   }
 
   test("positional deletes over ORC data files are rejected, not mis-joined") {
