@@ -27,12 +27,27 @@ class GraftCatalog(val spark: SparkSession, warehouse: String) extends Catalog {
   /** Name IS location here, so rename moves the directory — atomic on
     * HDFS-class stores (the same atomicity class this catalog's
     * FS-rename commit point already assumes; object stores use
-    * [[RestCatalog]], whose rename is a registry CAS). */
+    * [[RestCatalog]], whose rename is a registry CAS). The move itself
+    * uses `FileContext.rename` with `Options.Rename.NONE`, which FAILS
+    * when the destination exists — a plain check-then-`fs.rename` would,
+    * on a racing create of `to`, move `from` INTO the new directory as a
+    * nested table instead of failing (ADVICE r10). The pre-checks stay
+    * for clean error messages; the rename is the atomic arbiter. */
   override def rename(from: String, to: String): Unit = {
     require(exists(from), s"catalog: no table '$from'")
     require(!fs.exists(new Path(root, to)), s"catalog: table '$to' already exists")
-    require(fs.rename(new Path(root, from), new Path(root, to)),
-      s"catalog: rename '$from' -> '$to' failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sessionState.newHadoopConf())
+    try fc.rename(fc.makeQualified(new Path(root, from)),
+      fc.makeQualified(new Path(root, to)))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"catalog: table '$to' already exists (lost a racing rename)", e)
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"catalog: rename '$from' -> '$to' failed: ${e.getMessage}", e)
+    }
   }
 
   override def list(): Seq[String] =

@@ -297,7 +297,11 @@ object DeltaTable {
     // resolved path, filled from the remove action's own deletionVector
     // or, when the writer didn't copy it onto the remove (graft's own
     // doesn't), from the file's live add as of the PRIOR version
-    val deleteDvs = scala.collection.mutable.Map[String, DeletionVectors.Descriptor]()
+    // keyed by (VERSION, path): the same path removed in two remove-only
+    // commits inside the range (possible on foreign tables that re-add
+    // paths) must apply each version's DV only to that version's delete
+    // synthesis (ADVICE r10)
+    val deleteDvs = scala.collection.mutable.Map[(Long, String), DeletionVectors.Descriptor]()
     def pvOf(n: JsonNode): Map[String, String] = {
       val it = n.path("partitionValues").fields()
       val b = Map.newBuilder[String, String]
@@ -322,6 +326,12 @@ object DeltaTable {
       var dvAdd = false
       text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
+        // a RESTORE rewind is not a data change: one-sided restore
+        // commits would otherwise synthesize as inserts/deletes
+        if (n.path("commitInfo").path("operation").asText("") == "RESTORE")
+          throw new IllegalStateException(
+            s"delta cdf: version $v is a RESTORE commit — the rewind is " +
+              "not a change feed; read changes up to the version before it")
         if (n.has("cdc"))
           cdcs += ((decodePath(n.get("cdc").path("path").asText()), pvOf(n.get("cdc"))))
         if (n.has("add") && n.get("add").path("dataChange").asBoolean(true)) {
@@ -354,7 +364,7 @@ object DeltaTable {
           deleteFiles += ((path, pv, v))
           removeDv.orElse(prior.addByPath.get(path).flatMap(_.deletionVector))
             .foreach { d =>
-              deleteDvs(pathKey(resolve(location, path).toString)) = d
+              deleteDvs((v, pathKey(resolve(location, path).toString))) = d
             }
         }
       } else {
@@ -364,11 +374,21 @@ object DeltaTable {
             "changes are not reconstructible")
       }
     }
-    val groups = Seq(
+    // deletes split per version ONLY when DVs are in play, so each
+    // version's DV masks exactly its own synthesized delete read; the
+    // common DV-free case stays one scan node for the whole range
+    val deleteGroups =
+      if (deleteDvs.isEmpty)
+        Seq(readChangeGroup(spark, location, meta, deleteFiles.toSeq, Some("delete")))
+      else deleteFiles.groupBy(_._3).toSeq.sortBy(_._1).map { case (dv, fls) =>
+        readChangeGroup(spark, location, meta, fls.toSeq, Some("delete"),
+          dvByFile = deleteDvs.collect {
+            case ((ver, k), d) if ver == dv => k -> d }.toMap)
+      }
+    val groups = (Seq(
       readChangeGroup(spark, location, meta, cdcFiles.toSeq, None),
-      readChangeGroup(spark, location, meta, insertFiles.toSeq, Some("insert")),
-      readChangeGroup(spark, location, meta, deleteFiles.toSeq, Some("delete"),
-        dvByFile = deleteDvs.toMap)).flatten
+      readChangeGroup(spark, location, meta, insertFiles.toSeq, Some("insert"))) ++
+      deleteGroups).flatten
     if (groups.isEmpty) {
       val outSchema = StructType(meta.schema.fields ++ Seq(
         StructField("_change_type", StringType),

@@ -429,23 +429,42 @@ final class DeltaWriter private (
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
     val affectedAdds = live.view.filterKeys(affected).values.toSeq
-    val probe = readForRewrite(affectedAdds)
+    // nondeterministic cond (rand(), current_timestamp) would re-evaluate
+    // per consuming job — kept/dropped sets could diverge between the
+    // probe, the rewrite and the CDC frame (ADVICE r10). Pin ONE
+    // evaluation of a `__hit` column via localCheckpoint and derive ALL
+    // THREE from it; deterministic predicates skip the cost (their
+    // re-evaluations agree by definition).
+    // DELETE keeps rows where the predicate is NULL (tri-state SQL):
+    // bare `!cond` would evaluate null and drop them — hence coalesce.
+    val exprsDeterministic =
+      org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic
+    val probe = {
+      val d = readForRewrite(affectedAdds)
+        .withColumn("__hit", coalesce(cond, lit(false)))
+      if (exprsDeterministic) d else d.localCheckpoint()
+    }
     // per-FILE zero-match pruning (stats over-approximation): a file
     // where the predicate matches nothing is left completely untouched —
     // no pointless rewrite, and (on CDF tables) no add+remove commit
     // without cdc files, which changes() would rightly reject
-    val touched = matchedFiles(affectedAdds, probe, coalesce(cond, lit(false)))
+    val touched = matchedFiles(affectedAdds, probe, col("__hit"))
     if (touched.isEmpty) return version
-    val tdf = readForRewrite(touched)
-    // DELETE keeps rows where the predicate is NULL (tri-state SQL):
-    // bare `!cond` would evaluate null and drop them
-    val remaining = tdf.filter(!coalesce(cond, lit(false)))
+    val tdf =
+      if (exprsDeterministic)
+        readForRewrite(touched).withColumn("__hit", coalesce(cond, lit(false)))
+      else { // reuse the pinned frame — a re-read would re-roll the dice
+        val touchedKeys = touched.map(n => DeltaTable.pathKey(DeltaTable
+          .resolve(location, n.get("add").get("path").asText()).toString))
+        probe.filter(col("__fp").isin(touchedKeys: _*))
+      }
+    val remaining = tdf.filter(!col("__hit"))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val newAdds: Seq[ObjectNode] =
       if (remaining.isEmpty) Nil else writeFiles(remaining)
     val cdcActs =
       if (!enableCdf) Nil
-      else writeCdcFiles(tdf.filter(coalesce(cond, lit(false)))
+      else writeCdcFiles(tdf.filter(col("__hit"))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .withColumn("_change_type", lit("delete")))
     val removes = touched.map(n => removeAction(n))
@@ -567,10 +586,12 @@ final class DeltaWriter private (
     * their as-of state; their BYTES must still exist (vacuumed files
     * fail loudly, naming the first missing one — Delta's own RESTORE
     * has the same constraint). History is preserved: time travel still
-    * reads the undone versions. The commit carries plain dataChange
-    * add/remove actions and no cdc, so a CDF reader's changes() rightly
-    * rejects the restore range (real RESTORE emits no change feed for
-    * the rewind either). Metadata-scale work: a log replay plus
+    * reads the undone versions. The commit is TAGGED with
+    * `commitInfo.operation = RESTORE`, and a CDF reader's changes()
+    * rejects ANY in-range commit bearing that tag — one-sided restore
+    * commits (only removes, or only re-adds) would otherwise be
+    * silently synthesized as deletes/inserts, replaying the rewind as
+    * data changes (ADVICE r10). Metadata-scale work: a log replay plus
     * existence probes — no data IO. */
   def restore(versionAsOf: Long): Long = {
     require(versionAsOf >= 0 && versionAsOf <= version,
@@ -588,8 +609,10 @@ final class DeltaWriter private (
         s"delta: restore to $versionAsOf needs $rel, which no longer " +
           "exists (vacuumed) — the version is not restorable")
     }
-    val actions = removes.map(p => removeAction(cur(p))) ++
-      readds.map(_._2.deepCopy())
+    val info = mapper.createObjectNode()
+    info.putObject("commitInfo").put("operation", "RESTORE")
+    val actions = info +: (removes.map(p => removeAction(cur(p))) ++
+      readds.map(_._2.deepCopy()))
     removes.foreach(live.remove)
     readds.foreach { case (p, n) => live(p) = n.deepCopy() }
     commit(actions)

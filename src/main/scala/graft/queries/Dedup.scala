@@ -305,24 +305,34 @@ object Dedup {
     * any corpus size (a production job would loop until a converged-count
     * aggregate fixes, same plan per round). No driver-side graph. */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (eager) after the pair generation and after every
-    // propagation round: iterative DataFrame algorithms otherwise double
-    // their lineage per round and re-run the whole LSH pipeline 2^rounds
-    // times. A cluster job with strict fault-tolerance needs would use
-    // reliable checkpoints to a checkpoint dir instead — same plan shape.
+    // localCheckpoint (eager) after the pair generation: iterative
+    // DataFrame algorithms otherwise double their lineage per round and
+    // re-run the whole LSH pipeline 2^rounds times.
     val pairs = dedupMinhashLsh(s, d).select(col("a_id"), col("b_id"))
       .localCheckpoint()
+    minLabelPropagate(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to a FIXED POINT over an undirected pair
+    * list: label(v) starts as v; each round label(v) = min(label(v),
+    * min over neighbors' labels); the loop ends when NO label changed
+    * (converged-count check — a guarantee, not an iteration-count
+    * guess; a 2^k-diameter chain needs ~k+1 rounds and still converges,
+    * receipt in PipelineSpec). Each round is one join + one
+    * map-side-combined min aggregate with a localCheckpoint to cut
+    * lineage growth; near-dup clusters are near-cliques, so real
+    * corpora converge in ~3 rounds. No driver-side graph — only the
+    * converged flag (one boolean) leaves the cluster per round. */
+  private[graft] def minLabelPropagate(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    // label(v) starts as v; each round: label(v) = min(label(v), min over
-    // neighbors' labels). Loop to a FIXED POINT (no label changed) — near-
-    // dup clusters are near-cliques so this is ~3 rounds, and the check
-    // makes convergence a guarantee instead of an iteration-count guess.
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var converged = false
-    var rounds = 0
-    while (!converged && rounds < 32) {
+    while (!converged) {
       val viaNeighbors = edges.join(labels, edges("b_id") === labels("id"))
         .select(edges("a_id").as("id"), col("label"))
       val next = labels.unionByName(viaNeighbors)
@@ -330,11 +340,8 @@ object Dedup {
         .localCheckpoint()
       converged = next.join(labels, Seq("id", "label"), "left_anti").isEmpty
       labels = next
-      rounds += 1
     }
-    labels.filter(col("id") =!= col("label"))
-      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** EXACT-SUBSTRING duplication audit (Lee et al. 2021, "Deduplicating

@@ -59,6 +59,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth.toSet -- got.toSet} extra=${got.toSet -- truth.toSet}")
   }
 
+  test("label propagation converges on a long-diameter chain graph (r11)") {
+    // a 25-hop path needs ~25 propagation rounds — far past any fixed
+    // iteration count; the fixpoint loop must still converge every
+    // vertex to the chain minimum (min-label moves one hop per round)
+    import spark.implicits._
+    val n = 26L
+    val chain = (0L until n - 1).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val labels = queries.Dedup.minLabelPropagate(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L),
+      s"every chain vertex must reach label 0, got ${labels.toSeq.sorted.take(10)}")
+  }
+
   test("dedup_simhash returns verified low-hamming pairs incl. planted dups") {
     val rows = queries.Dedup.dedupSimhash(spark, sf).collect()
     assert(rows.nonEmpty)

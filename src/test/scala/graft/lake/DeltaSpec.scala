@@ -334,6 +334,43 @@ class DeltaSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("nondeterministic deleteWhere: kept + CDC-deleted rows partition the table (r11)") {
+    // ADVICE r10: cond re-evaluated per job could disagree between the
+    // probe, the rewrite and the CDC frame. With rand() in the predicate
+    // the pinned __hit evaluation must make the three agree exactly.
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("nondet-delete")
+    val w = DeltaWriter.create(spark, loc, n.schema, enableCdf = true)
+    w.append(n) // v1
+    w.deleteWhere(rand(7) < 0.5) // v2 — nondeterministic on purpose
+    val t = DeltaTable.load(spark, loc)
+    val kept = t.scan().select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val deleted = DeltaTable.changes(spark, loc, 2L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    assert((kept & deleted).isEmpty,
+      s"a row can't be both kept and CDC-deleted: ${kept & deleted}")
+    assert(kept ++ deleted == n.collect().map(_.getAs[Int]("n_nationkey")).toSet,
+      "kept + deleted must cover the table exactly")
+  }
+
+  test("changes() rejects a range containing a RESTORE commit (r11)") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("restore-cdf")
+    val w = DeltaWriter.create(spark, loc, n.schema, enableCdf = true)
+    w.append(n.filter(col("n_nationkey") < 10)) // v1
+    w.append(n.filter(col("n_nationkey") >= 10)) // v2
+    val v3 = w.restore(1L) // one-sided (removes only) — the silent case
+    assert(v3 == 3L)
+    // up to the version before the restore: fine
+    assert(DeltaTable.changes(spark, loc, 1L, 2L).count() == n.count())
+    // any range covering the restore: loud reject, not synthesized deletes
+    val e = intercept[IllegalStateException] {
+      DeltaTable.changes(spark, loc, 1L, 3L).count()
+    }
+    assert(e.getMessage.contains("RESTORE"), e.getMessage)
+  }
+
   test("zero-match keyed DV delete commits nothing and skips the protocol flip") {
     // advice r09: a pure-append mirror sync range (every touched key new)
     // must not write a zero-action commit file nor flip the table to the
