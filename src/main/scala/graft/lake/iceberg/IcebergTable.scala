@@ -367,6 +367,30 @@ final class IcebergTable private (
     (files.map(_.entry.fileSizeBytes).sum, files.map(_.entry.recordCount).sum)
   }
 
+  /** Aggregate-pushdown planning surface (r11): every live DATA file as
+    * (pruner DataFileMeta, raw manifest entry, writer field-id lookup),
+    * plus the schema and the identity partition column set — or None
+    * when ANY delete content (position / equality / DV) is live, which
+    * makes manifest row counts upper bounds instead of answers. Feeds
+    * the DSv2 connector's metadata-only COUNT/MIN/MAX (see
+    * [[graft.lake.sql.IcebergInteropAgg]]); Iceberg's own aggregate
+    * pushdown has the same delete-refusal rule. */
+  private[lake] def aggPlan(snapshotId: Long = -1L): Option[(IceSchema,
+      Seq[(DataFileMeta, IcebergAvro.ManifestEntry, IceSchema)], Set[String])] = {
+    val p = plan(None, snapshotId)
+    if (p.posDeletes.nonEmpty || p.eqDeletes.nonEmpty || p.dvDeletes.nonEmpty)
+      return None
+    val sch = p.schema
+    val defaultSpec = meta.spec(meta.defaultSpecId)
+    def specOf(pf: PlannedFile): IcePartSpec =
+      try meta.spec(pf.specId) catch { case _: Throwable => defaultSpec }
+    val files = p.dataFiles.map(pf =>
+      (toDataFileMeta(pf, sch, specOf(pf)), pf.entry, schemaOrCurrent(pf.schemaId)))
+    val idCols = meta.specs.flatMap(_.fields.filter(_.transform == "identity")
+      .flatMap(f => sch.byId.get(f.sourceId).map(_.name))).toSet
+    Some((sch, files, idCols))
+  }
+
   private def dvIndexOf(p: Plan): Map[String, (String, Long, Long, Long)] =
     p.dvDeletes.groupBy(d => IcebergTable.pathKey(d.entry.referencedDataFile.get))
       .map { case (k, ds) =>

@@ -352,7 +352,7 @@ object AggPushdown {
     * model); Some(v) = every row of the file evaluates to v (UNKNOWN
     * behaves as false, which is exactly how a WHERE clause treats it —
     * including under NOT, handled via eval3). */
-  private def eval(f: Filter, df: DataFileMeta, sch: StructType): Option[Boolean] =
+  private[sql] def eval(f: Filter, df: DataFileMeta, sch: StructType): Option[Boolean] =
     eval3(f, df, sch).map(_.contains(true))
 
   /** Some(Some(b)) decided, Some(None) = SQL UNKNOWN, None = undecidable. */
@@ -542,7 +542,7 @@ object AggPushdown {
 
   /** Domain value → external row value for the V1 bridge
     * (needConversion=true: java.sql / java.math types). */
-  private def external(v: BigDecimal, dt: DataType): Any = dt match {
+  private[sql] def external(v: BigDecimal, dt: DataType): Any = dt match {
     case ByteType => v.toLong.toByte
     case ShortType => v.toLong.toShort
     case IntegerType => v.toLong.toInt
@@ -557,7 +557,7 @@ object AggPushdown {
     case _ => throw new IllegalStateException(s"unreachable: $dt passed minMaxSafe")
   }
 
-  private def simpleName(e: Expression): Option[String] = e match {
+  private[sql] def simpleName(e: Expression): Option[String] = e match {
     case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
     case _ => None
   }

@@ -6,10 +6,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.delta.DeltaTable
@@ -59,7 +60,23 @@ final case class InteropRead(
     schema: StructType,
     scan: Option[Column] => DataFrame,
     /** (bytes, rows) post-pruning, from metadata only; bytes < 0 = unknown. */
-    stats: Option[Column] => (Long, Long))
+    stats: Option[Column] => (Long, Long),
+    /** Metadata-only aggregate answering (formats whose manifests carry
+      * exact stats — Iceberg); None = no aggregate pushdown. */
+    aggSupport: Option[InteropAggSupport] = None)
+
+/** Aggregate pushdown hooks a format hands the shared scan builder. */
+trait InteropAggSupport {
+  /** Is `f` EXACTLY decidable per data file (so consuming it from the
+    * residual keeps the aggregate's file selection exact)? The bridged
+    * scan still re-applies consumed filters row-level, so this must
+    * only be true for filters whose re-application is equivalent. */
+  def consumable(f: Filter): Boolean
+  /** Compute the aggregation from metadata; `filters` = consumed set.
+    * None = not exactly answerable → ordinary scan. */
+  def tryPush(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[Any])]
+}
 
 abstract class InteropReadProvider extends TableProvider with DataSourceRegister {
 
@@ -93,7 +110,102 @@ class GraftIcebergSource extends InteropReadProvider {
         .orElse(Option(options.get("ref")).map(t.refSnapshot))
         .getOrElse(-1L)
     InteropRead(s"graft-iceberg `$loc`", t.schema,
-      f => t.scan(f, snap), f => t.scanStats(f, snap))
+      f => t.scan(f, snap), f => t.scanStats(f, snap),
+      aggSupport = Some(new IcebergInteropAgg(t, snap)))
+  }
+}
+
+/** Metadata-only COUNT/MIN/MAX for the `graft-iceberg` connector —
+  * manifest stats make a full-table `count(*)` over 100 TB one driver
+  * walk with ZERO data files opened (Iceberg's own aggregate pushdown;
+  * the reference keeps the same per-file metadata for its scans,
+  * scan_ops.c:240-276). Exact-or-refuse, mirroring [[AggPushdown]]:
+  *
+  *  - any live delete content (position / equality / DV) → refuse
+  *    (manifest row counts become upper bounds)
+  *  - consumed filters must be exactly decidable per file from IDENTITY
+  *    partition values (all-or-nothing per file) AND exactly
+  *    re-applicable by the bridged scan
+  *  - MIN/MAX only on int/long/date/timestamp/decimal (string bounds
+  *    may be writer-truncated; float/double bounds exclude NaN) — and
+  *    every contributing file must carry the bound; files where the
+  *    column is absent (added later) or all-null contribute nothing
+  *  - COUNT(col) = Σ(record_count − null_value_count), refused when any
+  *    file with the column lacks a null count (unknown ≠ zero) */
+final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSupport {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private lazy val ctx = t.aggPlan(snap)
+
+  override def consumable(f: Filter): Boolean = ctx.exists {
+    case (sch, files, idCols) =>
+      f.references.forall(r => !r.contains('.') && idCols.contains(r)) &&
+        files.forall { case (dfm, _, _) =>
+          AggPushdown.eval(f, dfm, sch.struct).isDefined }
+  }
+
+  /** typeStrs whose bounds decode exactly (ColStats "l"/"c" domains). */
+  private def minMaxSafe(typeStr: String): Boolean = typeStr match {
+    case "int" | "long" | "date" | "timestamp" | "timestamptz" => true
+    case s if s.startsWith("decimal(") => true
+    case _ => false
+  }
+
+  override def tryPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val (sch, files, _) = ctx.getOrElse(return None)
+    val struct = sch.struct
+    val surviving = files.filter { case (dfm, _, _) =>
+      filters.forall(f => AggPushdown.eval(f, dfm, struct).contains(true)) }
+
+    def fieldOf(name: String) = sch.fields.find(_.name == name)
+
+    val funcs = agg.aggregateExpressions().toSeq
+    val out = funcs.map {
+      case _: CountStar =>
+        (LongType: DataType, false,
+          Long.box(surviving.map(_._2.recordCount).sum): Any)
+      case c: Count if !c.isDistinct =>
+        val name = AggPushdown.simpleName(c.column).getOrElse(return None)
+        val f = fieldOf(name).getOrElse(return None)
+        var n = 0L
+        surviving.foreach { case (_, e, writeSchema) =>
+          if (writeSchema.byId.contains(f.id) && e.recordCount > 0)
+            e.nullCounts.get(f.id) match {
+              case Some(nc) => n += e.recordCount - nc
+              case None => return None // unknown ≠ zero nulls
+            }
+          // column absent from the file (added later): all rows null → +0
+        }
+        (LongType: DataType, false, Long.box(n): Any)
+      case m @ (_: Min | _: Max) =>
+        val (colExpr, isMin) = m match {
+          case mn: Min => (mn.column, true)
+          case mx: Max => (mx.column, false)
+        }
+        val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
+        val f = fieldOf(name).getOrElse(return None)
+        if (!minMaxSafe(f.typeStr)) return None
+        var best: Option[BigDecimal] = None
+        surviving.foreach { case (dfm, e, writeSchema) =>
+          val present = writeSchema.byId.contains(f.id)
+          val allNull = e.nullCounts.get(f.id).contains(e.recordCount)
+          if (present && e.recordCount > 0 && !allNull) {
+            val cs = dfm.stats.getOrElse(name, return None)
+            val v = BigDecimal(if (isMin) cs.min else cs.max)
+            best = Some(best.fold(v)(b =>
+              if (isMin) b.min(v) else b.max(v)))
+          }
+        }
+        (f.dataType, true,
+          best.map(v => AggPushdown.external(v, f.dataType)).orNull: Any)
+      case _ => return None // SUM/AVG/distinct/UDAF: not metadata-answerable
+    }
+    val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
+      StructField(fn.toString, dt, nullable) }
+    Some((StructType(fields), out.map(_._3)))
   }
 }
 
@@ -184,24 +296,64 @@ class InteropReadTable(read: InteropRead) extends Table with SupportsRead {
 }
 
 /** Pushed filters drive metadata file-skipping inside the bridged scan;
-  * every filter stays residual (sound under partial translation). Column
-  * pruning narrows the bridged plan so the projection reaches parquet. */
+  * filters stay residual (sound under partial translation) EXCEPT, on
+  * formats with [[InteropAggSupport]], filters exactly decidable per
+  * file — those are CONSUMED (the bridged scan still re-applies them
+  * row-level via the exact translation, so results are unchanged), which
+  * is what lets Spark offer the whole Aggregate to the source
+  * ([[GraftScanBuilder]]'s rule). Column pruning narrows the bridged
+  * plan so the projection reaches parquet. */
 class InteropScanBuilder(read: InteropRead) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var required: StructType = read.schema
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggFor: Aggregation = _
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftFilters.toColumn(f).isDefined)
-    filters
+    consumed = read.aggSupport match {
+      case Some(a) => pushed.filter(f =>
+        try GraftFilters.toColumnExact(f).isDefined && a.consumable(f)
+        catch { case _: Throwable => false })
+      case None => Array.empty
+    }
+    filters.filterNot(consumed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new InteropV1Scan(read, pushed, required)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushAggregation(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    read.aggSupport match {
+      case None => false
+      case Some(a) =>
+        // every in-play filter must be in the consumed (exact) set —
+        // a residual filter above the relation means Spark won't offer
+        // the aggregate anyway; be defensive about escapees
+        if (!pushed.forall(consumed.contains)) false
+        else {
+          if (aggFor ne aggregation) {
+            aggFor = aggregation
+            aggResult =
+              try a.tryPush(aggregation, consumed.toSeq)
+              catch { case _: Throwable => None }
+          }
+          aggResult.isDefined
+        }
+    }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new GraftAggScan(aggSchema, row)
+    case None => new InteropV1Scan(read, pushed, required)
+  }
 }
 
 class InteropV1Scan(read: InteropRead, pushed: Array[Filter],

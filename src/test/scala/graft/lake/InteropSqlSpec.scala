@@ -119,6 +119,54 @@ class InteropSqlSpec extends AnyFunSuite {
       s"manifest stats must make the 25-row iceberg dim broadcast:\n$plan")
   }
 
+  test("iceberg aggregate pushdown: COUNT/MIN/MAX answered from manifests alone (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("ice-agg")
+    val w = IcebergWriter.create(spark, loc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    w.append(o)
+    val df = spark.read.format("graft-iceberg").load(loc)
+    df.createOrReplaceTempView("ice_agg")
+    val q = spark.sql(
+      """SELECT count(*) AS n, count(o_custkey) AS nc,
+                min(o_orderkey) AS mn, max(o_orderkey) AS mx
+         FROM ice_agg WHERE o_orderstatus = 'F'""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"),
+      s"aggregate must collapse to the metadata scan:\n$plan")
+    val want = o.filter(col("o_orderstatus") === "F")
+    val row = q.head()
+    assert(row.getLong(0) == want.count())
+    assert(row.getLong(1) == want.filter(col("o_custkey").isNotNull).count())
+    assert(row.getLong(2) == want.agg(min("o_orderkey")).head().getLong(0))
+    assert(row.getLong(3) == want.agg(max("o_orderkey")).head().getLong(0))
+    // ZERO data IO, proven the AggPushdownSpec way: delete every data
+    // file — the metadata answer must still come back identical
+    val t = graft.lake.iceberg.IcebergTable.load(spark, loc)
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    t.planFiles().foreach(p => fs.delete(new Path(p), false))
+    val again = spark.sql(
+      "SELECT count(*) AS n FROM ice_agg WHERE o_orderstatus = 'F'").head()
+    assert(again.getLong(0) == want.count(),
+      "metadata-only count must not touch data files")
+  }
+
+  test("iceberg aggregate pushdown refuses when deletes are live (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("ice-agg-dv")
+    val w = IcebergWriter.create(spark, loc, o.schema)
+    w.append(o)
+    w.equalityDelete(o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey"))
+    val q = spark.read.format("graft-iceberg").load(loc)
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftAggScan"),
+      s"deletes make manifest counts upper bounds — must fall back:\n$plan")
+    assert(q.head().getLong(0) ==
+      o.filter(col("o_orderpriority") =!= "1-URGENT").count())
+  }
+
   test("column pruning narrows the inner parquet ReadSchema") {
     val loc = freshDir("ice-prune")
     val w = IcebergWriter.create(spark, loc, orders.schema)
