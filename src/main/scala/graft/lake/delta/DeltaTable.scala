@@ -126,6 +126,28 @@ final class DeltaTable private (
     (live.map(_.size).sum, live.map(_.numRecords.getOrElse(0L)).sum)
   }
 
+  /** Aggregate-pushdown planning surface (r11, the Delta counterpart of
+    * IcebergTable.aggPlan): every live file as (pruner DataFileMeta,
+    * exact row count, LOGICAL-name nullCount entries), plus the
+    * partition column set — or None when ANY deletion vector is live
+    * (log row counts become upper bounds) or any file lacks `numRecords`
+    * (stats are optional in the protocol; unknown is not zero). Feeds
+    * the DSv2 connector's metadata-only COUNT/MIN/MAX
+    * ([[graft.lake.sql.DeltaInteropAgg]]). */
+  private[lake] def aggPlan: Option[(StructType,
+      Seq[(DataFileMeta, Long, Map[String, Long])], Set[String])] = {
+    if (adds.exists(_.deletionVector.isDefined)) return None
+    val byPhys = meta.logicalByPhysical
+    val files = adds.map { a =>
+      val n = a.numRecords.getOrElse(return None)
+      val logicalNulls =
+        if (meta.columnMappingMode == "none") a.nullCounts
+        else a.nullCounts.flatMap { case (k, v) => byPhys.get(k).map(_ -> v) }
+      (toDataFileMeta(a), n, logicalNulls)
+    }
+    Some((meta.schema, files, meta.partitionColumns.toSet))
+  }
+
   // ---- scan ----------------------------------------------------------------
 
   def scan(filter: Option[Column] = None): DataFrame = {
@@ -239,7 +261,13 @@ object DeltaTable {
       size: Long,
       numRecords: Option[Long],
       stats: Map[String, ColStats],
-      deletionVector: Option[DeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeletionVectors.Descriptor] = None,
+      /** Raw per-column nullCount entries (PHYSICAL names), kept apart
+        * from ColStats because ColStats only exists when both bounds do
+        * (an all-null column has a nullCount but no bounds) and its
+        * `nulls` field defaults a MISSING count to 0 (fine for pruning,
+        * fatal for exact COUNT pushdown — unknown is not zero). */
+      nullCounts: Map[String, Long] = Map.empty)
 
   def load(spark: SparkSession, location: String): DeltaTable =
     loadVersion(spark, location, -1L)
@@ -749,20 +777,20 @@ object DeltaTable {
       }
       b.result()
     }
-    val (nRec, stats) = n.path("stats") match {
+    val (nRec, stats, nulls) = n.path("stats") match {
       case s if s.isTextual && s.asText().nonEmpty => parseStats(s.asText())
-      case _ => (None, Map.empty[String, ColStats])
+      case _ => (None, Map.empty[String, ColStats], Map.empty[String, Long])
     }
     AddFile(decodePath(n.path("path").asText()), pvals,
-      n.path("size").asLong(0L), nRec, stats, dv)
+      n.path("size").asLong(0L), nRec, stats, dv, nulls)
   }
 
   private def parseAddRow(r: org.apache.spark.sql.Row): AddFile = {
     val idx = r.schema.fieldNames.zipWithIndex.toMap
     val pvals = r.getAs[Map[String, String]]("partitionValues")
     val statsJson = idx.get("stats").filterNot(r.isNullAt).map(r.getString)
-    val (nRec, stats) = statsJson.map(parseStats).getOrElse(
-      (None, Map.empty[String, ColStats]))
+    val (nRec, stats, nullCounts) = statsJson.map(parseStats).getOrElse(
+      (None, Map.empty[String, ColStats], Map.empty[String, Long]))
     val dv = idx.get("deletionVector").filterNot(r.isNullAt).map { i =>
       val d = r.getStruct(i)
       val di = d.schema.fieldNames.zipWithIndex.toMap
@@ -775,15 +803,17 @@ object DeltaTable {
     }
     AddFile(decodePath(r.getAs[String]("path")),
       if (pvals == null) Map.empty else pvals,
-      r.getAs[Long]("size"), nRec, stats, dv)
+      r.getAs[Long]("size"), nRec, stats, dv, nullCounts)
   }
 
   /** Delta per-file stats JSON → graft ColStats. Only top-level columns
     * with both bounds present; tag by JSON value shape (the same l/d/s
     * domain FilePruner compares in). Date strings become epoch days —
     * the form graft stores for DateType stats. */
-  private[delta] def parseStats(json: String): (Option[Long], Map[String, ColStats]) = {
-    val n = try mapper.readTree(json) catch { case _: Throwable => return (None, Map.empty) }
+  private[delta] def parseStats(
+      json: String): (Option[Long], Map[String, ColStats], Map[String, Long]) = {
+    val n = try mapper.readTree(json)
+      catch { case _: Throwable => return (None, Map.empty, Map.empty) }
     val nRec = if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
     def bound(node: JsonNode): Option[(String, String)] = node match {
       case v if v.isIntegralNumber => Some(("l", v.asLong().toString))
@@ -826,6 +856,6 @@ object DeltaTable {
         if tagLo == tagHi
       } out(e.getKey) = ColStats(tagLo, lo, hi, nulls.getOrElse(e.getKey, 0L))
     }
-    (nRec, out.toMap)
+    (nRec, out.toMap, nulls.toMap)
   }
 }

@@ -432,7 +432,7 @@ object AggPushdown {
   // epoch days (date), epoch micros (timestamp) and decimals — the only
   // types admitted. Strings ride a stable order-preserving injection.
 
-  private def partValue(raw: String, dt: DataType): Option[BigDecimal] = dt match {
+  private[sql] def partValue(raw: String, dt: DataType): Option[BigDecimal] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       raw.toLongOption.map(BigDecimal(_))
     case DateType =>
@@ -511,13 +511,13 @@ object AggPushdown {
   /** Types whose parquet footer min/max are EXACT: integrals and
     * date/timestamp (tag "l"), decimals (tag "c"). Strings can be
     * truncated, float/double stats ignore NaN — both refused. */
-  private def minMaxSafe(dt: DataType): Boolean = dt match {
+  private[sql] def minMaxSafe(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | _: DecimalType => true
     case _ => false
   }
 
-  private def statValue(st: ColStats, s: String, dt: DataType): Option[BigDecimal] =
+  private[sql] def statValue(st: ColStats, s: String, dt: DataType): Option[BigDecimal] =
     (st.tag, dt) match {
       case ("l", ByteType | ShortType | IntegerType | LongType | DateType |
                  TimestampType | TimestampNTZType) =>

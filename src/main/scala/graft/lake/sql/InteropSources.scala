@@ -226,7 +226,99 @@ class GraftDeltaSource extends InteropReadProvider {
         case None => DeltaTable.load(spark, loc)
       }
     }
-    InteropRead(s"graft-delta `$loc`", t.schema, t.scan(_), t.scanStats(_))
+    InteropRead(s"graft-delta `$loc`", t.schema, t.scan(_), t.scanStats(_),
+      aggSupport = Some(new DeltaInteropAgg(t)))
+  }
+}
+
+/** Metadata-only COUNT/MIN/MAX for the `graft-delta` connector — the
+  * Delta counterpart of [[IcebergInteropAgg]], answered from log-action
+  * stats JSON alone. Same exact-or-refuse discipline, with Delta's own
+  * hazards refused:
+  *
+  *  - any live DELETION VECTOR → refuse (numRecords counts masked rows)
+  *  - any file missing `numRecords` → refuse (stats optional in the
+  *    protocol; unknown ≠ zero)
+  *  - COUNT(col) needs an explicit nullCount entry in every file that
+  *    has the column ([[graft.lake.delta.DeltaTable.AddFile.nullCounts]]
+  *    — ColStats' defaulted 0 is for pruning, not exact answers);
+  *    partition columns count via their hive partition value instead
+  *  - MIN/MAX go through [[AggPushdown.statValue]]'s tag⊗type check, so
+  *    Delta DECIMAL stats auto-refuse (the stats JSON parse lands them
+  *    in the lossy double domain) along with strings (writer-truncated
+  *    bounds) and float/double (NaN-blind bounds) */
+final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private lazy val ctx = t.aggPlan
+
+  override def consumable(f: Filter): Boolean = ctx.exists {
+    case (sch, files, partCols) =>
+      f.references.forall(r => !r.contains('.') && partCols.contains(r)) &&
+        files.forall { case (dfm, _, _) =>
+          AggPushdown.eval(f, dfm, sch).isDefined }
+  }
+
+  override def tryPush(agg: Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val (sch, files, partCols) = ctx.getOrElse(return None)
+    val surviving = files.filter { case (dfm, _, _) =>
+      filters.forall(f => AggPushdown.eval(f, dfm, sch).contains(true)) }
+
+    val funcs = agg.aggregateExpressions().toSeq
+    val out = funcs.map {
+      case _: CountStar =>
+        (LongType: DataType, false, Long.box(surviving.map(_._2).sum): Any)
+      case c: Count if !c.isDistinct =>
+        val name = AggPushdown.simpleName(c.column).getOrElse(return None)
+        if (!sch.fieldNames.contains(name)) return None
+        var n = 0L
+        surviving.foreach { case (dfm, rows, nulls) =>
+          if (partCols.contains(name))
+            dfm.partitionValues.get(name) match {
+              case Some(graft.lake.Meta.NullPartition) => ()
+              case Some(_) => n += rows
+              case None => return None
+            }
+          else nulls.get(name) match {
+            case Some(nc) => n += rows - nc
+            case None => return None
+          }
+        }
+        (LongType: DataType, false, Long.box(n): Any)
+      case m @ (_: Min | _: Max) =>
+        val (colExpr, isMin) = m match {
+          case mn: Min => (mn.column, true)
+          case mx: Max => (mx.column, false)
+        }
+        val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
+        val f = sch.fields.find(_.name == name).getOrElse(return None)
+        if (!AggPushdown.minMaxSafe(f.dataType)) return None
+        var best: Option[BigDecimal] = None
+        def fold(v: BigDecimal): Unit = best = Some(best.fold(v)(b =>
+          if (isMin) b.min(v) else b.max(v)))
+        surviving.foreach { case (dfm, rows, nulls) =>
+          if (partCols.contains(name))
+            dfm.partitionValues.get(name) match {
+              case Some(graft.lake.Meta.NullPartition) => () // MIN/MAX skip nulls
+              case Some(raw) =>
+                fold(AggPushdown.partValue(raw, f.dataType).getOrElse(return None))
+              case None => return None
+            }
+          else if (rows > 0 && !nulls.get(name).contains(rows)) {
+            val cs = dfm.stats.getOrElse(name, return None)
+            fold(AggPushdown.statValue(cs, if (isMin) cs.min else cs.max, f.dataType)
+              .getOrElse(return None))
+          } // all-null or empty file: contributes no bound
+        }
+        (f.dataType, true,
+          best.map(v => AggPushdown.external(v, f.dataType)).orNull: Any)
+      case _ => return None // SUM/AVG/distinct/UDAF: not metadata-answerable
+    }
+    val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
+      StructField(fn.toString, dt, nullable) }
+    Some((StructType(fields), out.map(_._3)))
   }
 }
 

@@ -167,6 +167,58 @@ class InteropSqlSpec extends AnyFunSuite {
       o.filter(col("o_orderpriority") =!= "1-URGENT").count())
   }
 
+  test("delta aggregate pushdown: COUNT/MIN/MAX answered from the log alone (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("delta-agg")
+    val w = DeltaWriter.create(spark, loc, o.schema,
+      partitionColumns = Seq("o_orderstatus"))
+    w.append(o)
+    val df = spark.read.format("graft-delta").load(loc)
+    df.createOrReplaceTempView("delta_agg")
+    val q = spark.sql(
+      """SELECT count(*) AS n, count(o_custkey) AS nc,
+                min(o_orderkey) AS mn, max(o_orderdate) AS mx
+         FROM delta_agg WHERE o_orderstatus = 'F'""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"),
+      s"aggregate must collapse to the metadata scan:\n$plan")
+    val want = o.filter(col("o_orderstatus") === "F")
+    val row = q.head()
+    assert(row.getLong(0) == want.count())
+    assert(row.getLong(1) == want.filter(col("o_custkey").isNotNull).count())
+    assert(row.getLong(2) == want.agg(min("o_orderkey")).head().getLong(0))
+    assert(row.get(3) == want.agg(max("o_orderdate")).head().get(0))
+    // MIN over a DOUBLE column must refuse (NaN-blind parquet bounds)
+    val dq = spark.sql("SELECT min(o_totalprice) AS mp FROM delta_agg")
+    assert(!dq.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "double min/max must fall back to a real scan")
+    assert(dq.head().getDouble(0) ==
+      o.agg(min("o_totalprice")).head().getDouble(0))
+    // ZERO data IO: delete every data file — the answer must not change
+    val t = graft.lake.delta.DeltaTable.load(spark, loc)
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    t.planFiles().foreach(p => fs.delete(new Path(loc, p), false))
+    val again = spark.sql(
+      "SELECT count(*) AS n FROM delta_agg WHERE o_orderstatus = 'F'").head()
+    assert(again.getLong(0) == want.count(),
+      "metadata-only count must not touch data files")
+  }
+
+  test("delta aggregate pushdown refuses when deletion vectors are live (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("delta-agg-dv")
+    val w = DeltaWriter.create(spark, loc, o.schema)
+    w.append(o)
+    w.deleteWhereDv(col("o_orderpriority") === "1-URGENT")
+    val q = spark.read.format("graft-delta").load(loc)
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftAggScan"),
+      s"DVs make log counts upper bounds — must fall back:\n$plan")
+    assert(q.head().getLong(0) ==
+      o.filter(col("o_orderpriority") =!= "1-URGENT").count())
+  }
+
   test("column pruning narrows the inner parquet ReadSchema") {
     val loc = freshDir("ice-prune")
     val w = IcebergWriter.create(spark, loc, orders.schema)
