@@ -63,7 +63,11 @@ final case class InteropRead(
     stats: Option[Column] => (Long, Long),
     /** Metadata-only aggregate answering (formats whose manifests carry
       * exact stats — Iceberg); None = no aggregate pushdown. */
-    aggSupport: Option[InteropAggSupport] = None)
+    aggSupport: Option[InteropAggSupport] = None,
+    /** Append a DataFrame (already resolved to the table schema) as one
+      * native commit of the format. None = read-only resolution (e.g. a
+      * time-travel read — you can't insert into the past). */
+    append: Option[DataFrame => Unit] = None)
 
 /** Aggregate pushdown hooks a format hands the shared scan builder. */
 trait InteropAggSupport {
@@ -111,7 +115,10 @@ class GraftIcebergSource extends InteropReadProvider {
         .getOrElse(-1L)
     InteropRead(s"graft-iceberg `$loc`", t.schema,
       f => t.scan(f, snap), f => t.scanStats(f, snap),
-      aggSupport = Some(new IcebergInteropAgg(t, snap)))
+      aggSupport = Some(new IcebergInteropAgg(t, snap)),
+      append =
+        if (snap >= 0) None // time-travel resolution: read-only
+        else Some(df => graft.lake.iceberg.IcebergWriter.open(spark, loc).append(df)))
   }
 }
 
@@ -226,8 +233,13 @@ class GraftDeltaSource extends InteropReadProvider {
         case None => DeltaTable.load(spark, loc)
       }
     }
+    val timeTravel = options.containsKey("versionAsOf") ||
+      options.containsKey("timestampAsOf")
     InteropRead(s"graft-delta `$loc`", t.schema, t.scan(_), t.scanStats(_),
-      aggSupport = Some(new DeltaInteropAgg(t)))
+      aggSupport = Some(new DeltaInteropAgg(t)),
+      append =
+        if (timeTravel) None // time-travel resolution: read-only
+        else Some(df => graft.lake.delta.DeltaWriter.open(spark, loc).append(df)))
   }
 }
 
@@ -337,7 +349,13 @@ class GraftHudiSource extends InteropReadProvider {
         case other => throw new IllegalArgumentException(
           s"graft-hudi query.type must be snapshot|read_optimized, got '$other'")
       }
-    InteropRead(s"graft-hudi `$loc`", t.schema, scan, t.scanStats(_))
+    InteropRead(s"graft-hudi `$loc`", t.schema, scan, t.scanStats(_),
+      append =
+        if (options.get("as.of.instant") != null) None // read-only
+        // Hudi's own INSERT operation: fresh file groups, no key dedup
+        // (an upsert is a different operation with merge semantics —
+        // served by HudiWriter.upsert, not a SQL INSERT)
+        else Some(df => graft.lake.hudi.HudiWriter.open(spark, loc).insert(df)))
   }
 }
 
@@ -363,28 +381,85 @@ class GraftInteropPathRule extends org.apache.spark.sql.catalyst.rules.Rule[
     "graft-delta" -> (() => new GraftDeltaSource),
     "graft-hudi" -> (() => new GraftHudiSource))
 
+  private def isOurs(p: LogicalPlan): Boolean = p match {
+    case u: UnresolvedRelation => u.multipartIdentifier.length == 2 &&
+      providers.contains(u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
+    case _ => false
+  }
+
+  private def rewrite(u: UnresolvedRelation): LogicalPlan = {
+    val fmt = u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
+    val loc = u.multipartIdentifier(1)
+    val provider = providers(fmt)()
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", loc))
+    val table = provider.getTable(
+      provider.inferSchema(opts), Array.empty, opts)
+    DataSourceV2Relation.create(table, None, None, opts)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-        providers.contains(u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
-      val fmt = u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
-      val loc = u.multipartIdentifier(1)
-      val provider = providers(fmt)()
-      val opts = new CaseInsensitiveStringMap(
-        java.util.Collections.singletonMap("path", loc))
-      val table = provider.getTable(
-        provider.inferSchema(opts), Array.empty, opts)
-      DataSourceV2Relation.create(table, None, None, opts)
+    // `INSERT INTO \`graft-*\`.\`path\` …`: the target table is a FIELD of
+    // InsertIntoStatement, not a child, so tree traversal never visits it
+    // (Spark's own ResolveSQLOnFile special-cases it the same way)
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+        if isOurs(i.table) =>
+      i.copy(table = rewrite(
+        i.table.asInstanceOf[UnresolvedRelation]))
+    case u: UnresolvedRelation if isOurs(u) => rewrite(u)
   }
 }
 
-/** The shared read-only DSv2 table over a resolved [[InteropRead]]. */
-class InteropReadTable(read: InteropRead) extends Table with SupportsRead {
+/** The shared DSv2 table over a resolved [[InteropRead]]: batch read
+  * always; batch APPEND when the format resolution supplied a writer
+  * hook — which serves the reference's other headline statement,
+  * `INSERT INTO orders VALUES (…)` over an iceberg_am table
+  * (pg_lakehouse_iceberg/README.md:36-40), through both
+  * `spark.sql("INSERT INTO \`graft-iceberg\`.\`loc\` …")` and
+  * `df.write.format("graft-iceberg").mode("append").save(loc)`.
+  * Each INSERT is one native commit of the format (snapshot / Delta
+  * commit / Hudi instant), produced by the existing interop writers —
+  * so the table stays readable by the format's own engines and the
+  * distribution/file-sizing rules those writers already enforce apply
+  * (e.g. the r11 Hudi ceil(bytes/target) group minting). Overwrite
+  * modes are refused loudly (no TRUNCATE capability): graft's
+  * insertOverwrite/deleteWhere surfaces carry replace semantics with
+  * per-format contracts a blanket SQL overwrite would blur. */
+class InteropReadTable(read: InteropRead) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+
   override def name(): String = read.name
   override def schema(): StructType = read.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (read.append.isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InteropScanBuilder(read)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val doAppend = read.append.getOrElse(throw new UnsupportedOperationException(
+      s"${read.name}: read-only resolution (time-travel reads cannot be written)"))
+    // INSERT resolves by position against schema() with casts, so the
+    // incoming frame already carries the table schema; writers re-check.
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"${read.name}: only APPEND writes are supported through the " +
+                  "connector; use the format writer's insertOverwrite/deleteWhere")
+              doAppend(data)
+            }
+          }
+      }
+    }
+  }
 }
 
 /** Pushed filters drive metadata file-skipping inside the bridged scan;

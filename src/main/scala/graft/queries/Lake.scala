@@ -1024,6 +1024,17 @@ object Lake {
     w.equalityDelete(o.filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey"))
     w.tag("pre-1996", s1)
+    // r11 WRITE arm — the reference's OTHER headline statement
+    // (README.md:36-40 `INSERT INTO orders VALUES …`): SQL INSERT over
+    // the path lands a native Iceberg snapshot (negated keys dodge the
+    // eq-deleted key space; a fresh priority makes the arm self-evident
+    // in the aggregate below)
+    o.filter(col("o_orderkey") % 97 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), col("o_custkey"),
+        lit("F").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), lit("sql-inserted").as("o_orderpriority"))
+      .createOrReplaceTempView("iceberg_sql_insert_src")
+    s.sql(s"INSERT INTO `graft-iceberg`.`$loc` SELECT * FROM iceberg_sql_insert_src")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1054,6 +1065,13 @@ object Lake {
     w.append(o.filter(year(col("o_orderdate")) < 1996))  // v1
     w.append(o.filter(year(col("o_orderdate")) >= 1996)) // v2
     w.deleteWhere(col("o_orderpriority") === "1-URGENT") // v3: COW rewrite
+    // r11 WRITE arm: DataFrame-writer append through the connector lands
+    // a native Delta commit (v4); versionAsOf=1 below predates it
+    o.filter(col("o_orderkey") % 97 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), col("o_custkey"),
+        lit("F").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), lit("df-appended").as("o_orderpriority"))
+      .write.format("graft-delta").mode("append").save(loc)
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1086,6 +1104,15 @@ object Lake {
     val preUpsert = w.insert(o.filter(year(col("o_orderdate")) >= 1996))
     w.upsert(o.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_orderpriority", lit("corrected")))
+    // r11 WRITE arm: SQL INSERT over the path lands a native commit on
+    // the keyed table (Hudi's INSERT operation — fresh file groups, no
+    // key dedup; negated keys keep the key space collision-free)
+    o.filter(col("o_orderkey") % 97 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), col("o_custkey"),
+        lit("F").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), lit("sql-inserted").as("o_orderpriority"))
+      .createOrReplaceTempView("hudi_sql_insert_src")
+    s.sql(s"INSERT INTO `graft-hudi`.`$loc` SELECT * FROM hudi_sql_insert_src")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1163,6 +1190,11 @@ object Lake {
            FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
            GROUP BY o_orderpriority
            UNION ALL
+           SELECT 'sql-inserted', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'current'
+           FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'pre1996'
@@ -1176,6 +1208,11 @@ object Lake {
                   'current' AS src
            FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
            GROUP BY o_orderpriority
+           UNION ALL
+           SELECT 'df-appended', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'current'
+           FROM orders WHERE o_orderkey % 97 = 0
            UNION ALL
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
@@ -1194,6 +1231,11 @@ object Lake {
                     o_totalprice
              FROM orders WHERE o_orderstatus = 'F')
            GROUP BY o_orderpriority
+           UNION ALL
+           SELECT 'sql-inserted', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'current'
+           FROM orders WHERE o_orderkey % 97 = 0
            UNION ALL
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),

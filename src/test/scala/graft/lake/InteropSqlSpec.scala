@@ -219,6 +219,50 @@ class InteropSqlSpec extends AnyFunSuite {
       o.filter(col("o_orderpriority") =!= "1-URGENT").count())
   }
 
+  test("SQL INSERT INTO / df.write append land native commits on all three formats (r11)") {
+    val o = Tables.orders(spark, sf)
+    val base = o.filter(col("o_orderkey") % 3 === 0)
+    val extra = o.filter(col("o_orderkey") % 3 === 1).limit(50)
+      .select(o.columns.map(c =>
+        if (c == "o_orderkey") (-col(c) - 1).as(c) else col(c)).toIndexedSeq: _*)
+    extra.createOrReplaceTempView("interop_insert_src")
+    val wantRows = base.count() + extra.count()
+
+    // iceberg: SQL INSERT INTO over the path (the reference's README INSERT)
+    val iloc = freshDir("ice-insert")
+    IcebergWriter.create(spark, iloc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(base)
+    spark.sql(s"INSERT INTO `graft-iceberg`.`$iloc` SELECT * FROM interop_insert_src")
+    val it = graft.lake.iceberg.IcebergTable.load(spark, iloc)
+    assert(it.scan(None).count() == wantRows, "iceberg INSERT must be a native snapshot")
+    assert(spark.read.format("graft-iceberg").load(iloc).count() == wantRows)
+
+    // delta: DataFrame-writer append
+    val dloc = freshDir("delta-insert")
+    DeltaWriter.create(spark, dloc, o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(base)
+    extra.write.format("graft-delta").mode("append").save(dloc)
+    assert(graft.lake.delta.DeltaTable.load(spark, dloc).scan(None).count() == wantRows,
+      "delta df.write append must be a native commit")
+
+    // hudi: SQL INSERT INTO (keyed table; INSERT = fresh groups, no dedup)
+    val hloc = freshDir("hudi-insert")
+    HudiWriter.create(spark, hloc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey").insert(base)
+    spark.sql(s"INSERT INTO `graft-hudi`.`$hloc` SELECT * FROM interop_insert_src")
+    assert(graft.lake.hudi.HudiTable.load(spark, hloc).scan(None).count() == wantRows,
+      "hudi INSERT must be a native deltacommit/commit")
+
+    // overwrite refuses loudly; time-travel resolutions are read-only
+    intercept[Throwable] {
+      extra.write.format("graft-delta").mode("overwrite").save(dloc)
+    }
+    intercept[Throwable] {
+      extra.write.format("graft-delta").option("versionAsOf", "0")
+        .mode("append").save(dloc)
+    }
+  }
+
   test("column pruning narrows the inner parquet ReadSchema") {
     val loc = freshDir("ice-prune")
     val w = IcebergWriter.create(spark, loc, orders.schema)
