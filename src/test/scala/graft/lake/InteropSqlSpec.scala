@@ -263,6 +263,49 @@ class InteropSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE … USING graft-* LOCATION: the reference's full DDL UX (r11)") {
+    // pg_lakehouse_iceberg/README.md:22-44: CREATE TABLE orders USING
+    // iceberg_am WITH (location=…) then INSERT / SELECT / JOIN against
+    // local tables — the same statements against the session catalog,
+    // resolved through the TableProvider (V2SessionCatalog path).
+    val o = Tables.orders(spark, sf)
+    val locs = Map(
+      "graft-iceberg" -> freshDir("ddl-ice"),
+      "graft-delta" -> freshDir("ddl-delta"),
+      "graft-hudi" -> freshDir("ddl-hudi"))
+    IcebergWriter.create(spark, locs("graft-iceberg"), o.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(o)
+    DeltaWriter.create(spark, locs("graft-delta"), o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(o)
+    HudiWriter.create(spark, locs("graft-hudi"), o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey").insert(o)
+
+    o.filter(col("o_orderkey") % 101 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .createOrReplaceTempView("ddl_insert_src")
+    val nExtra = spark.table("ddl_insert_src").count()
+    assert(nExtra > 0)
+
+    for ((fmt, loc) <- locs) {
+      val t = "ddl_" + fmt.replace("-", "_")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING `$fmt` LOCATION '$loc'")
+      assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == o.count(),
+        s"$fmt: catalog-registered SELECT")
+      spark.sql(s"INSERT INTO $t SELECT * FROM ddl_insert_src")
+      assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) ==
+        o.count() + nExtra, s"$fmt: INSERT INTO by name must land")
+      // the README's local-table join
+      val j = spark.sql(
+        s"""SELECT count(*) FROM $t o JOIN ddl_insert_src s
+            ON o.o_orderkey = s.o_orderkey""").head().getLong(0)
+      assert(j == nExtra, s"$fmt: join with a local table")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("column pruning narrows the inner parquet ReadSchema") {
     val loc = freshDir("ice-prune")
     val w = IcebergWriter.create(spark, loc, orders.schema)
