@@ -63,7 +63,14 @@ final class DeltaTable private (
     val location: String,
     val version: Long,
     meta: DeltaTable.DMeta,
-    adds: Seq[DeltaTable.AddFile]) {
+    adds: Seq[DeltaTable.AddFile],
+    /** Latest SetTransaction (`txn` action) version per appId at this
+      * table version — the protocol's streaming-sink idempotence record
+      * (newest wins; checkpoints retain one per appId). */
+    val txnVersions: Map[String, Long] = Map.empty) {
+
+  /** Last committed version for a streaming appId; -1 = never. */
+  def txnVersion(appId: String): Long = txnVersions.getOrElse(appId, -1L)
 
   def schema: StructType = meta.schema
   def partitionColumns: Seq[String] = meta.partitionColumns
@@ -534,6 +541,7 @@ object DeltaTable {
     var protoFeatures: Seq[String] = Nil
     var metaOpt: Option[DMeta] = None
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val txnSeen = scala.collection.mutable.Map[String, Long]()
 
     // seed from the newest checkpoint ≤ head, if any
     def seedFromParquet(paths: Seq[Path]): Unit = {
@@ -555,6 +563,10 @@ object DeltaTable {
         .select("add.*").collect().foreach { r =>
           val a = parseAddRow(r)
           live(a.path) = a
+        }
+      if (cols.contains("txn")) cp.filter(col("txn").isNotNull)
+        .select("txn.*").collect().foreach { r =>
+          txnSeen(r.getAs[String]("appId")) = r.getAs[Long]("version")
         }
       // v2 checkpoints may externalize file actions into parquet
       // sidecars; the sidecar list itself is O(sidecars) metadata
@@ -596,6 +608,9 @@ object DeltaTable {
         if (n.has("metaData")) metaOpt = Some(parseMetaNode(n.get("metaData")))
         if (n.has("add")) { val a = parseAddNode(n.get("add")); live(a.path) = a }
         if (n.has("sidecar")) readSidecar(n.get("sidecar").path("path").asText())
+        if (n.has("txn"))
+          txnSeen(n.get("txn").get("appId").asText()) =
+            n.get("txn").get("version").asLong()
       }
     }
     val cpVersion = checkpoints.lastOption.map { case (v, kind, paths) =>
@@ -630,6 +645,9 @@ object DeltaTable {
         if (n.has("remove")) {
           live.remove(decodePath(n.get("remove").path("path").asText()))
         }
+        if (n.has("txn"))
+          txnSeen(n.get("txn").get("appId").asText()) =
+            n.get("txn").get("version").asLong()
       }
     }
 
@@ -650,7 +668,7 @@ object DeltaTable {
     require(Set("none", "name", "id").contains(m.columnMappingMode),
       s"delta: column mapping mode ${m.columnMappingMode} unsupported")
 
-    new DeltaTable(spark, location, head, m, live.values.toSeq)
+    new DeltaTable(spark, location, head, m, live.values.toSeq, txnSeen.toMap)
   }
 
   private[delta] def resolve(location: String, rel: String): Path = {

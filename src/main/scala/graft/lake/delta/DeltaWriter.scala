@@ -319,6 +319,38 @@ final class DeltaWriter private (
     commit(addsN)
   }
 
+  /** Latest committed SetTransaction version per appId (the protocol's
+    * `txn` action — Delta's native streaming-sink idempotence record,
+    * exactly what OSS Delta's streaming writer emits). Replayed from the
+    * log on open(), carried into checkpoints. */
+  private[delta] val txns = scala.collection.mutable.Map[String, (Long, Long)]() // appId -> (version, lastUpdated)
+
+  def txnVersion(appId: String): Long = txns.get(appId).map(_._1).getOrElse(-1L)
+
+  /** Exactly-once streaming-sink APPEND: one Delta commit per
+    * micro-batch, idempotent under Structured Streaming's batch replay
+    * via the protocol's OWN mechanism — a `txn` action
+    * `{appId, version=batchId}` rides in the same atomic commit as the
+    * adds, so any Delta reader (not just graft) can see which batches
+    * landed. A replayed batchId is a no-op; a skipped-backwards batchId
+    * is a loud error (matches GraftTable.appendStreamBatch's contract). */
+  def appendStreamBatch(df: DataFrame, batchId: Long,
+      queryId: String = "default"): Long = {
+    val last = txnVersion(queryId)
+    if (batchId == last) return version // replay → idempotent skip
+    require(batchId > last,
+      s"delta: batchId $batchId < last committed $last for stream query '$queryId'")
+    val addsN = writeFiles(df.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    addsN.foreach(n => live(n.get("add").get("path").asText()) = n)
+    val ts = System.currentTimeMillis()
+    val txn = mapper.createObjectNode()
+    val t = txn.putObject("txn")
+    t.put("appId", queryId); t.put("version", batchId); t.put("lastUpdated", ts)
+    val v = commit(addsN :+ txn)
+    txns(queryId) = (batchId, ts)
+    v
+  }
+
   /** Data files read back in LOGICAL names (renaming from physical
     * under column mapping), data columns only. */
   private def dvDescOf(a: com.fasterxml.jackson.databind.JsonNode)
@@ -806,6 +838,16 @@ final class DeltaWriter private (
     StructField("minWriterVersion", IntegerType),
     StructField("readerFeatures", ArrayType(StringType), true),
     StructField("writerFeatures", ArrayType(StringType), true)))
+  // the protocol REQUIRES checkpoints to preserve the newest txn action
+  // per appId — dropping them would reset streaming-sink idempotence for
+  // checkpoint-seeded readers
+  private val txnType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType),
+    StructField("lastUpdated", LongType, true)))
+  private def txnStructs: Seq[org.apache.spark.sql.Row] =
+    txns.toSeq.sortBy(_._1).map { case (app, (v, ts)) =>
+      org.apache.spark.sql.Row(app, v, ts) }
   private val metaType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),
@@ -907,11 +949,13 @@ final class DeltaWriter private (
     val cpSchema = StructType(Seq(
       StructField("protocol", protoType, true),
       StructField("metaData", metaType, true),
-      StructField("add", addType, true)))
+      StructField("add", addType, true),
+      StructField("txn", txnType, true)))
     val (proto, meta, adds) = checkpointStructs
+    val txnRows = txnStructs.map(t => Row(null, null, null, t))
     if (parts == 1) {
-      val rows = Row(proto, null, null) +: Row(null, meta, null) +:
-        adds.map(a => Row(null, null, a))
+      val rows = Row(proto, null, null, null) +: Row(null, meta, null, null) +:
+        (txnRows ++ adds.map(a => Row(null, null, a, null)))
       writeSingleParquet(rows, cpSchema,
         new Path(logDir, f"$version%020d.checkpoint.parquet"))
     } else {
@@ -919,13 +963,14 @@ final class DeltaWriter private (
       (1 to parts).foreach { p =>
         val partAdds = byPart.getOrElse(p - 1, Nil).map(_._1)
         val rows =
-          (if (p == 1) Seq(Row(proto, null, null), Row(null, meta, null))
-           else Nil) ++ partAdds.map(a => Row(null, null, a))
+          (if (p == 1) Seq(Row(proto, null, null, null),
+            Row(null, meta, null, null)) ++ txnRows
+           else Nil) ++ partAdds.map(a => Row(null, null, a, null))
         writeSingleParquet(rows, cpSchema,
           new Path(logDir, f"$version%020d.checkpoint.$p%010d.$parts%010d.parquet"))
       }
     }
-    writeLastCheckpoint(live.size.toLong + 2,
+    writeLastCheckpoint(live.size.toLong + 2 + txns.size,
       if (parts == 1) None else Some(parts))
   }
 
@@ -959,17 +1004,19 @@ final class DeltaWriter private (
       StructField("protocol", protoType, true),
       StructField("metaData", metaType, true),
       StructField("checkpointMetadata", cpMetaType, true),
-      StructField("sidecar", sidecarType, true)))
+      StructField("sidecar", sidecarType, true),
+      StructField("txn", txnType, true)))
     val rows = Seq(
-      Row(proto, null, null, null),
-      Row(null, meta, null, null),
-      Row(null, null, Row(version, null), null),
+      Row(proto, null, null, null, null),
+      Row(null, meta, null, null, null),
+      Row(null, null, Row(version, null), null, null),
       Row(null, null, null,
-        Row(sidecarName, scStatus.getLen, scStatus.getModificationTime, null)))
+        Row(sidecarName, scStatus.getLen, scStatus.getModificationTime, null),
+        null)) ++ txnStructs.map(t => Row(null, null, null, null, t))
     val uuid = java.util.UUID.randomUUID().toString
     writeSingleParquet(rows, topSchema,
       new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet"))
-    writeLastCheckpoint(live.size.toLong + 3)
+    writeLastCheckpoint(live.size.toLong + 3 + txns.size)
   }
 }
 
@@ -1017,6 +1064,7 @@ object DeltaWriter {
     var dvFeature = false
     var v2cp = false
     val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+    val txnSeen = scala.collection.mutable.Map[String, (Long, Long)]()
     commits.foreach { case (_, p) =>
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1054,6 +1102,11 @@ object DeltaWriter {
         }
         if (n.has("remove"))
           live.remove(n.get("remove").path("path").asText())
+        if (n.has("txn")) {
+          val t = n.get("txn")
+          txnSeen(t.get("appId").asText()) =
+            (t.get("version").asLong(), t.path("lastUpdated").asLong(0L))
+        }
       }
     }
     require(schemaStr != null, s"delta: no metaData action under $location")
@@ -1062,6 +1115,7 @@ object DeltaWriter {
     val w = new DeltaWriter(spark, location, schema, partitionCols, None, cdf)
     w.version = commits.map(_._1).max
     live.foreach { case (rel, node) => w.live(rel) = node }
+    txnSeen.foreach { case (app, v) => w.txns(app) = v }
     w.dvEnabled = dvFeature
     w.v2CpEnabled = v2cp
     w

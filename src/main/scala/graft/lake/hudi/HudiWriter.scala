@@ -277,8 +277,15 @@ final class HudiWriter private (
       stats: Seq[(String, String, String, Long)], // (part, fileId, path, rows)
       kind: String,
       replacedFileIds: Map[String, Seq[String]] = Map.empty,
-      operation: String = "upsert"): Unit = {
+      operation: String = "upsert",
+      extraMetadata: Map[String, String] = Map.empty): Unit = {
     val n = mapper.createObjectNode()
+    if (extraMetadata.nonEmpty) {
+      // HoodieCommitMetadata.extraMetadata — where Hudi's own ingest
+      // tools (DeltaStreamer checkpoint key) record engine state
+      val em = n.putObject("extraMetadata")
+      extraMetadata.toSeq.sortBy(_._1).foreach { case (k, v) => em.put(k, v) }
+    }
     val pw = n.putObject("partitionToWriteStats")
     stats.groupBy(_._1).foreach { case (part, group) =>
       val arr = pw.putArray(part)
@@ -325,6 +332,47 @@ final class HudiWriter private (
     commit(instant,
       writeFreshGroups(df.select(schema.fieldNames.map(col).toIndexedSeq: _*), instant),
       ingestKind)
+    instant
+  }
+
+  /** Last committed streaming batch id for `queryId` from the timeline's
+    * commit metadata (newest completed instant that carries the marker),
+    * the way Hudi's own ingest recovers its DeltaStreamer checkpoint;
+    * -1 = never. O(timeline) — bounded by retention/archival. */
+  def lastStreamBatch(queryId: String): Long = {
+    val InstantRe = """(\d+)\.(commit|deltacommit)""".r
+    val instants = fs.listStatus(metaDir).toSeq.map(_.getPath).flatMap(p =>
+      p.getName match {
+        case InstantRe(i, _) => Some((i.toLong, p))
+        case _ => None
+      }).sortBy(-_._1)
+    for ((_, p) <- instants) {
+      val in = fs.open(p)
+      val n = try mapper.readTree(in) finally in.close()
+      val em = n.path("extraMetadata")
+      if (em.path(HudiWriter.StreamQueryKey).asText("") == queryId)
+        return em.path(HudiWriter.StreamBatchKey).asText("-1").toLong
+    }
+    -1L
+  }
+
+  /** Exactly-once streaming-sink APPEND: one native Hudi commit
+    * (deltacommit on MOR) per micro-batch, idempotent under batch replay
+    * via commit extraMetadata — the same recovery convention as Hudi's
+    * own streaming ingest. Replayed batchId → no-op; backwards → loud. */
+  def appendStreamBatch(df: DataFrame, batchId: Long,
+      queryId: String = "default"): String = {
+    val last = lastStreamBatch(queryId)
+    if (batchId == last) return "" // replay → idempotent skip
+    require(batchId > last,
+      s"hudi: batchId $batchId < last committed $last for stream query '$queryId'")
+    val instant = nextInstant()
+    commit(instant,
+      writeFreshGroups(df.select(schema.fieldNames.map(col).toIndexedSeq: _*), instant),
+      ingestKind,
+      extraMetadata = Map(
+        HudiWriter.StreamQueryKey -> queryId,
+        HudiWriter.StreamBatchKey -> batchId.toString))
     instant
   }
 
@@ -692,6 +740,10 @@ final class HudiWriter private (
 }
 
 object HudiWriter {
+
+  /** extraMetadata keys for the streaming sink's idempotence record. */
+  val StreamQueryKey = "graft.stream.query-id"
+  val StreamBatchKey = "graft.stream.batch-id"
 
   /** Reopens an existing table this writer's layout understands for
     * FURTHER commits (the mirror steady state): table shape from

@@ -45,7 +45,12 @@ final case class IceSnapshot(
     timestampMs: Long,
     manifestList: String,
     operation: String,
-    schemaId: Option[Int])
+    schemaId: Option[Int],
+    /** Snapshot summary entries BESIDES the required `operation` —
+      * Iceberg's own engines stash engine state here (Flink's
+      * checkpoint id, Spark's app id); graft's streaming sink records
+      * its per-query batch id the same way. */
+    summaryExtras: Map[String, String] = Map.empty)
 
 final case class IceRef(snapshotId: Long, refType: String) // branch | tag
 
@@ -113,7 +118,11 @@ object IcebergMeta {
           s.get("timestamp-ms").asLong,
           s.get("manifest-list").asText,
           s.path("summary").path("operation").asText("append"),
-          if (s.has("schema-id")) Some(s.get("schema-id").asInt) else None)
+          if (s.has("schema-id")) Some(s.get("schema-id").asInt) else None,
+          summaryExtras =
+            (if (s.has("summary")) s.get("summary").properties().asScala else Nil)
+              .filter(_.getKey != "operation")
+              .map(e => e.getKey -> e.getValue.asText).toMap)
       }.toSeq
     val log = (if (n.has("snapshot-log")) n.get("snapshot-log").elements().asScala else Iterator.empty)
       .map(e => (e.get("timestamp-ms").asLong, e.get("snapshot-id").asLong)).toSeq
@@ -338,6 +347,7 @@ object IcebergMeta {
       o.put("timestamp-ms", s.timestampMs)
       o.put("manifest-list", s.manifestList)
       val sum = o.putObject("summary"); sum.put("operation", s.operation)
+      s.summaryExtras.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
       s.schemaId.foreach(o.put("schema-id", _))
     }
     val log = root.putArray("snapshot-log")

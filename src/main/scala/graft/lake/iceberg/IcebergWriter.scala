@@ -60,6 +60,39 @@ final class IcebergWriter private (
     commit("append", manifestContent = "data", files)
   }
 
+  /** Last committed streaming batch id for `queryId`, from the snapshot
+    * summaries on the CURRENT ancestry (a rolled-back branch must not
+    * resurrect markers from undone snapshots); -1 = never. */
+  def lastStreamBatch(queryId: String): Long = {
+    val byId = currentMeta.snapshots.map(s => s.id -> s).toMap
+    var cur = currentMeta.currentSnapshotId
+    while (cur.isDefined) {
+      val s = byId.getOrElse(cur.get, return -1L)
+      if (s.summaryExtras.get(IcebergWriter.StreamQueryKey).contains(queryId))
+        return s.summaryExtras.get(IcebergWriter.StreamBatchKey)
+          .map(_.toLong).getOrElse(-1L)
+      cur = s.parentId
+    }
+    -1L
+  }
+
+  /** Exactly-once streaming-sink APPEND: one native Iceberg snapshot per
+    * micro-batch, idempotent under batch replay via the snapshot SUMMARY
+    * (where Iceberg's own engines record engine state — e.g. Flink's
+    * checkpoint id); any Iceberg reader can audit which batches landed.
+    * Replayed batchId → no-op; going backwards → loud error. */
+  def appendStreamBatch(df: DataFrame, batchId: Long,
+      queryId: String = "default"): Long = {
+    val last = lastStreamBatch(queryId)
+    if (batchId == last) return currentMeta.currentSnapshotId.getOrElse(-1L)
+    require(batchId > last,
+      s"iceberg: batchId $batchId < last committed $last for stream query '$queryId'")
+    val files = writeDataFiles(df)
+    commit("append", manifestContent = "data", files, summaryExtras = Map(
+      IcebergWriter.StreamQueryKey -> queryId,
+      IcebergWriter.StreamBatchKey -> batchId.toString))
+  }
+
   /** Equality delete: each row of `keys` deletes every earlier row whose
     * key columns match (columns of `keys` = the equality ids). */
   def equalityDelete(keys: DataFrame): Long = {
@@ -413,7 +446,8 @@ final class IcebergWriter private (
   private var listState: Seq[(IcebergAvro.ManifestFileEntry, (Long, Long, Long))] = listState0
 
   private def commit(operation: String, manifestContent: String,
-      entries: Seq[IcebergAvro.ManifestEntry]): Long = {
+      entries: Seq[IcebergAvro.ManifestEntry],
+      summaryExtras: Map[String, String] = Map.empty): Long = {
     val seq = currentMeta.lastSequenceNumber + 1
     val snapId = seq * 31L + 1000L // deliberately != seq: catches id/seq mix-ups
     // per-ATTEMPT nonce in manifest/list names: two racing writers opened
@@ -521,7 +555,8 @@ final class IcebergWriter private (
       currentSnapshotId = Some(snapId),
       snapshots = currentMeta.snapshots :+ IceSnapshot(
         snapId, currentMeta.currentSnapshotId, seq, ts,
-        fs.makeQualified(listPath).toString, operation, Some(sch.schemaId)),
+        fs.makeQualified(listPath).toString, operation, Some(sch.schemaId),
+        summaryExtras = summaryExtras),
       snapshotLog = currentMeta.snapshotLog :+ (ts, snapId),
       refs = currentMeta.refs + ("main" -> IceRef(snapId, "branch")))
     writeMetadata()
@@ -608,6 +643,10 @@ final class IcebergWriter private (
 }
 
 object IcebergWriter {
+
+  /** Snapshot-summary keys for the streaming sink's idempotence record. */
+  val StreamQueryKey = "graft.stream.query-id"
+  val StreamBatchKey = "graft.stream.batch-id"
   /** Create a fresh table at `location` (cleared first). `partition`:
     * (source column, transform) pairs; transforms: identity, day,
     * bucket[N], truncate[W]. */
