@@ -585,9 +585,11 @@ final class HudiWriter private (
 
   /** MOR DELETE: matching snapshot rows become `_hoodie_is_deleted`
     * log records on their file groups. One deltacommit. */
-  def deleteLogWhere(cond: org.apache.spark.sql.Column): String = {
+  def deleteLogWhere(cond: org.apache.spark.sql.Column,
+      requireMatch: Boolean = true): String = {
     val t = HudiTable.load(spark, location)
-    deleteRowsLog(t, t.scan(Some(cond)), requireMatch = true)
+    // requireMatch=false → SQL DELETE semantics (zero matches = no-op)
+    deleteRowsLog(t, t.scan(Some(cond)), requireMatch)
   }
 
   /** KEYED MOR delete: the mirror-sync primitive — current rows whose

@@ -125,10 +125,13 @@ final class IcebergWriter private (
     * already carries a DV gets the union (the new DV REPLACES the old
     * one, per the one-DV-per-file rule), and the table's
     * format-version is bumped to 3 on first use. */
-  def deleteWhereDv(cond: Column): Long = {
+  def deleteWhereDv(cond: Column, requireMatch: Boolean = true): Long = {
     import graft.lake.delta.RoaringBitmapArray
     val t = IcebergTable.load(spark, location)
     val affected = t.planFiles(Some(cond))
+    // requireMatch=false → SQL DELETE semantics (zero matches = no-op)
+    if (affected.isEmpty && !requireMatch)
+      return currentMeta.currentSnapshotId.getOrElse(-1L)
     require(affected.nonEmpty, "iceberg: deleteWhereDv matched no files")
     val existingDvs = t.dvIndex()
 

@@ -67,7 +67,10 @@ final case class InteropRead(
     /** Append a DataFrame (already resolved to the table schema) as one
       * native commit of the format. None = read-only resolution (e.g. a
       * time-travel read — you can't insert into the past). */
-    append: Option[DataFrame => Unit] = None)
+    append: Option[DataFrame => Unit] = None,
+    /** Row-level DELETE as one native commit; the Column is the exact
+      * WHERE translation. None = read-only resolution. */
+    deleteWhere: Option[Column => Unit] = None)
 
 /** Aggregate pushdown hooks a format hands the shared scan builder. */
 trait InteropAggSupport {
@@ -118,7 +121,14 @@ class GraftIcebergSource extends InteropReadProvider {
       aggSupport = Some(new IcebergInteropAgg(t, snap)),
       append =
         if (snap >= 0) None // time-travel resolution: read-only
-        else Some(df => graft.lake.iceberg.IcebergWriter.open(spark, loc).append(df)))
+        else Some(df => graft.lake.iceberg.IcebergWriter.open(spark, loc).append(df)),
+      // v3 deletion-vector delete — Iceberg's preferred MoR delete
+      // encoding: O(matched) puffin bitmaps, no data-file rewrite
+      // (bumps format-version to 3, as any v3 DV writer does)
+      deleteWhere =
+        if (snap >= 0) None
+        else Some(c => graft.lake.iceberg.IcebergWriter.open(spark, loc)
+          .deleteWhereDv(c, requireMatch = false)))
   }
 }
 
@@ -239,7 +249,10 @@ class GraftDeltaSource extends InteropReadProvider {
       aggSupport = Some(new DeltaInteropAgg(t)),
       append =
         if (timeTravel) None // time-travel resolution: read-only
-        else Some(df => graft.lake.delta.DeltaWriter.open(spark, loc).append(df)))
+        else Some(df => graft.lake.delta.DeltaWriter.open(spark, loc).append(df)),
+      deleteWhere = // protocol-standard COW delete (remove + rewrite)
+        if (timeTravel) None
+        else Some(c => graft.lake.delta.DeltaWriter.open(spark, loc).deleteWhere(c)))
   }
 }
 
@@ -355,7 +368,14 @@ class GraftHudiSource extends InteropReadProvider {
         // Hudi's own INSERT operation: fresh file groups, no key dedup
         // (an upsert is a different operation with merge semantics —
         // served by HudiWriter.upsert, not a SQL INSERT)
-        else Some(df => graft.lake.hudi.HudiWriter.open(spark, loc).insert(df)))
+        else Some(df => graft.lake.hudi.HudiWriter.open(spark, loc).insert(df)),
+      deleteWhere = // MOR log delete (_hoodie_is_deleted records,
+        // O(matched)); the writer loud-rejects COW tables — rewriting
+        // every touched group for a SQL DELETE is an operator decision,
+        // not a default
+        if (options.get("as.of.instant") != null) None
+        else Some(c => graft.lake.hudi.HudiWriter.open(spark, loc)
+          .deleteLogWhere(c, requireMatch = false)))
   }
 }
 
@@ -427,7 +447,8 @@ class GraftInteropPathRule extends org.apache.spark.sql.catalyst.rules.Rule[
   * per-format contracts a blanket SQL overwrite would blur. */
 class InteropReadTable(read: InteropRead) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
   import org.apache.spark.sql.sources.InsertableRelation
 
@@ -438,6 +459,29 @@ class InteropReadTable(read: InteropRead) extends Table
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** SQL `DELETE FROM \`graft-*\`.\`path\` WHERE …` — one native
+    * row-level delete commit per statement, produced by the format's
+    * writer (Delta: protocol COW delete; Iceberg: v3 deletion vectors;
+    * Hudi: MOR soft-delete log records, COW loud-rejects). Spark only
+    * offers the delete when the WHOLE condition reaches canDeleteWhere,
+    * and graft only accepts the EXACT filter translations — a partial
+    * or inexact WHERE fails the statement instead of deleting the
+    * wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    read.deleteWhere.isDefined &&
+      filters.forall(f =>
+        try GraftFilters.toColumnExact(f).isDefined
+        catch { case _: Throwable => false })
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val hook = read.deleteWhere.getOrElse(throw new UnsupportedOperationException(
+      s"${read.name}: read-only resolution (time travel) cannot be deleted from"))
+    val cond = filters.flatMap(GraftFilters.toColumnExact)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // unconditional DELETE
+    hook(cond)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InteropScanBuilder(read)
 

@@ -1035,6 +1035,10 @@ object Lake {
         col("o_orderdate"), lit("sql-inserted").as("o_orderpriority"))
       .createOrReplaceTempView("iceberg_sql_insert_src")
     s.sql(s"INSERT INTO `graft-iceberg`.`$loc` SELECT * FROM iceberg_sql_insert_src")
+    // r11 DELETE arm: SQL row-level delete lands a native v3
+    // deletion-vector commit (no data-file rewrite) — drops the
+    // 3-MEDIUM group from the aggregate below
+    s.sql(s"DELETE FROM `graft-iceberg`.`$loc` WHERE o_orderpriority = '3-MEDIUM'")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1072,6 +1076,9 @@ object Lake {
         lit("F").as("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), lit("df-appended").as("o_orderpriority"))
       .write.format("graft-delta").mode("append").save(loc)
+    // r11 DELETE arm: SQL row-level delete lands a native protocol COW
+    // delete commit (v5) — drops the 3-MEDIUM group below
+    s.sql(s"DELETE FROM `graft-delta`.`$loc` WHERE o_orderpriority = '3-MEDIUM'")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1188,6 +1195,7 @@ object Lake {
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
                   'current' AS src
            FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+             AND o_orderpriority <> '3-MEDIUM'
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'sql-inserted', count(*),
@@ -1207,6 +1215,7 @@ object Lake {
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
                   'current' AS src
            FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+             AND o_orderpriority <> '3-MEDIUM'
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'df-appended', count(*),

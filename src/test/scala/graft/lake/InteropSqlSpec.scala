@@ -306,6 +306,53 @@ class InteropSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DELETE FROM lands native row-level delete commits on all three formats (r11)") {
+    val o = Tables.orders(spark, sf)
+    val keep = o.filter(col("o_orderpriority") =!= "1-URGENT")
+
+    // delta: protocol COW delete
+    val dloc = freshDir("delta-del")
+    DeltaWriter.create(spark, dloc, o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(o)
+    spark.sql(s"DELETE FROM `graft-delta`.`$dloc` WHERE o_orderpriority = '1-URGENT'")
+    assert(graft.lake.delta.DeltaTable.load(spark, dloc).scan(None).count()
+      == keep.count(), "delta SQL DELETE")
+    // zero-match DELETE is a no-op, not an error
+    spark.sql(s"DELETE FROM `graft-delta`.`$dloc` WHERE o_orderpriority = 'nope'")
+
+    // iceberg: v3 deletion-vector delete (no data-file rewrite)
+    val iloc = freshDir("ice-del")
+    IcebergWriter.create(spark, iloc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(o)
+    val beforeFiles = graft.lake.iceberg.IcebergTable.load(spark, iloc)
+      .planFiles().toSet
+    spark.sql(s"DELETE FROM `graft-iceberg`.`$iloc` WHERE o_orderpriority = '1-URGENT'")
+    val it = graft.lake.iceberg.IcebergTable.load(spark, iloc)
+    assert(it.scan(None).count() == keep.count(), "iceberg SQL DELETE")
+    assert(it.planFiles().toSet == beforeFiles,
+      "DV delete must not rewrite data files")
+    spark.sql(s"DELETE FROM `graft-iceberg`.`$iloc` WHERE o_orderpriority = 'nope'")
+
+    // hudi MOR: soft-delete log records
+    val hloc = freshDir("hudi-del")
+    HudiWriter.create(spark, hloc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey",
+      tableType = "MERGE_ON_READ").insert(o)
+    spark.sql(s"DELETE FROM `graft-hudi`.`$hloc` WHERE o_orderpriority = '1-URGENT'")
+    assert(graft.lake.hudi.HudiTable.load(spark, hloc).scan(None).count()
+      == keep.count(), "hudi SQL DELETE")
+    spark.sql(s"DELETE FROM `graft-hudi`.`$hloc` WHERE o_orderpriority = 'nope'")
+
+    // a COW hudi table loud-rejects (rewrite-for-DELETE is an operator
+    // decision, not a connector default)
+    val cloc = freshDir("hudi-del-cow")
+    HudiWriter.create(spark, cloc, o.schema,
+      partitionFields = Nil, keyField = "o_orderkey").insert(o)
+    intercept[Throwable] {
+      spark.sql(s"DELETE FROM `graft-hudi`.`$cloc` WHERE o_orderpriority = '1-URGENT'")
+    }
+  }
+
   test("column pruning narrows the inner parquet ReadSchema") {
     val loc = freshDir("ice-prune")
     val w = IcebergWriter.create(spark, loc, orders.schema)
