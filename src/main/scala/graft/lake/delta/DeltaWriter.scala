@@ -684,8 +684,25 @@ final class DeltaWriter private (
   }
 
   private def dvDeleteCore(affected: Set[String],
-      rowMatcher: DataFrame => DataFrame): Long = {
-    if (affected.isEmpty) return version
+      rowMatcher: DataFrame => DataFrame): Long =
+    dvDeleteActions(affected, rowMatcher) match {
+      case None => version
+      case Some((actions, cdcFrames)) =>
+        val cdcActs =
+          if (cdcFrames.isEmpty) Nil
+          else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
+        commit(cdcActs ++ actions)
+    }
+
+  /** The action list of a DV delete WITHOUT committing — remove + DV'd
+    * re-add per touched file (plus the protocol flip on first use) and
+    * the CDF delete frames. Shared by [[dvDeleteCore]] (commits it as a
+    * delete) and [[upsertKeys]] (lands it in the same commit as the
+    * merge's adds). None = nothing matched. */
+  private def dvDeleteActions(affected: Set[String],
+      rowMatcher: DataFrame => DataFrame)
+      : Option[(Seq[ObjectNode], Seq[DataFrame])] = {
+    if (affected.isEmpty) return None
 
     // ONE distributed read over every affected file, however many
     // partition groups: `cond` can reference partition columns, which
@@ -769,7 +786,7 @@ final class DeltaWriter private (
     // touched key is new): commit NOTHING — no zero-action commit file,
     // no table-features protocol flip (mirrors the zero-match guard in
     // deleteWhere/updateWhere)
-    if (deletedByFile.isEmpty) return version
+    if (deletedByFile.isEmpty) return None
     val firstDv = !dvEnabled
     dvEnabled = true
     val actions = scala.collection.mutable.ArrayBuffer[ObjectNode]()
@@ -811,10 +828,41 @@ final class DeltaWriter private (
     // on a CDF table the DV commit also carries its delete change rows
     // (cdc actions are authoritative for CDF readers, so the DV'd adds
     // in this commit are correctly ignored by the feed)
+    Some((actions.toSeq, cdcFrames.toSeq))
+  }
+
+  /** SQL MERGE's keyed upsert as ONE Delta commit: deletion-vector
+    * masks retiring the source keys' current rows + add actions for the
+    * source's rows, riding one atomic log entry — the single-commit
+    * shape OSS Delta's MERGE produces (O(matched) bitmap writes, no
+    * data-file rewrite, exported files untouched). On a CDF table the
+    * commit carries authoritative cdc actions for both the delete
+    * pre-images and the inserted rows, so a feed reader replays the
+    * merge exactly. Callers must pass a PINNED source (evaluated once —
+    * the key probe and the file write both consume it). */
+  def upsertKeys(source: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "delta: upsertKeys needs key columns")
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val t = DeltaTable.load(spark, location)
+    val k = src.select(keyCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("string").as(s"__dk$i") }.toIndexedSeq: _*).distinct()
+    val (dvActs, dvCdc) =
+      dvDeleteActions(t.planFiles(None).toSet, df =>
+        df.join(k, keyCols.zipWithIndex.map { case (c, i) =>
+          df(c).cast("string") === k(s"__dk$i") }.reduce(_ && _), "left_semi"))
+        .getOrElse((Nil, Nil))
+    val addsN = writeFiles(src)
+    addsN.foreach(n => live(n.get("add").get("path").asText()) = n)
+    // a pure-insert merge (no matched keys) is a blind append — CDF
+    // synthesis covers it; a mixed commit needs authoritative cdc rows
     val cdcActs =
-      if (cdcFrames.isEmpty) Nil
-      else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
-    commit(cdcActs ++ actions.toSeq)
+      if (!enableCdf || dvActs.isEmpty) Nil
+      else {
+        val sel = schema.fieldNames.map(col).toIndexedSeq
+        val inserts = src.select(sel: _*).withColumn("_change_type", lit("insert"))
+        writeCdcFiles((dvCdc :+ inserts).reduce(_ unionByName _))
+      }
+    commit(cdcActs ++ dvActs ++ addsN)
   }
 
   // ---- checkpoints ---------------------------------------------------------

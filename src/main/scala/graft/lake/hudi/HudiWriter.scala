@@ -426,6 +426,38 @@ final class HudiWriter private (
     instant
   }
 
+  /** SQL UPDATE as ONE native commit: the current snapshot rows matching
+    * `cond` are rewritten with `set` applied and land as a keyed upsert —
+    * log records on their file groups for MERGE_ON_READ (one
+    * deltacommit, O(matched) log bytes), a slice rewrite of the touched
+    * groups for COPY_ON_WRITE (one commit, Hudi's own update shape).
+    * Record-key and partition fields cannot be SET (a key update is an
+    * identity change; a partition update would strand the row in its old
+    * file group — real Hudi needs a global index for that). Zero matches
+    * → no-op (null), per SQL semantics. */
+  def updateWhere(cond: Column, set: Map[String, Column]): String = {
+    val colNames = schema.fieldNames.toSet
+    require(set.keySet.subsetOf(colNames),
+      s"hudi: unknown update columns ${set.keySet -- colNames}")
+    require(!set.keySet.exists(keyFields.contains),
+      s"hudi: record-key fields ${keyFields.mkString(",")} cannot be updated")
+    require(!set.keySet.exists(partitionFields.contains),
+      s"hudi: partition fields ${partitionFields.mkString(",")} cannot be updated")
+    val deterministic =
+      org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic &&
+        set.values.forall(c =>
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic)
+    require(deterministic,
+      "hudi: updateWhere needs deterministic condition and SET expressions " +
+        "(the upsert routing traverses the rewritten rows more than once)")
+    val t = HudiTable.load(spark, location)
+    val hit = t.scan(Some(cond))
+    if (hit.isEmpty) return null // zero matches: SQL no-op
+    val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (tableType == "MERGE_ON_READ") upsertLog(updated) else upsert(updated)
+  }
+
   /** INSERT OVERWRITE (Hudi's other `replacecommit` producer): replaces
     * the contents of every partition `df` TOUCHES with `df`'s rows —
     * the touched partitions' existing file groups retire through
@@ -581,6 +613,33 @@ final class HudiWriter private (
     if (!fresh.isEmpty) stats ++= writeFreshGroups(fresh, instant)
     commit(instant, stats.toSeq, "deltacommit")
     instant
+  }
+
+  /** SQL MERGE's keyed upsert: validates the statement's key columns
+    * against the table's record key (the only join identity Hudi's
+    * upsert honors — anything else would silently merge on the wrong
+    * rows), then routes MOR → [[upsertLog]] / COW → [[upsert]]. One
+    * native commit either way. */
+  def upsertKeys(source: DataFrame, keyCols: Seq[String]): String = {
+    require(keyCols.toSet == keyFields.toSet,
+      s"hudi: MERGE keys (${keyCols.mkString(",")}) must equal the table's " +
+        s"record key (${keyFields.mkString(",")})")
+    if (tableType == "MERGE_ON_READ") upsertLog(source) else upsert(source)
+  }
+
+  /** SQL MERGE's WHEN MATCHED DELETE: current rows whose record key
+    * appears in `keys` become `_hoodie_is_deleted` log records — same
+    * key validation as [[upsertKeys]]; MOR only (a COW rewrite-for-
+    * delete is an operator decision, matching deleteLogWhere's
+    * posture). No-op (null) when nothing matches. */
+  def deleteMatchingKeys(keys: DataFrame, keyCols: Seq[String]): String = {
+    require(keyCols.toSet == keyFields.toSet,
+      s"hudi: MERGE keys (${keyCols.mkString(",")}) must equal the table's " +
+        s"record key (${keyFields.mkString(",")})")
+    val t = HudiTable.load(spark, location)
+    val k = keys.select(keyCol.as("__mk")).distinct()
+    val doomed = t.scan().join(k, keyCol === k("__mk"), "left_semi")
+    deleteRowsLog(t, doomed, requireMatch = false)
   }
 
   /** MOR DELETE: matching snapshot rows become `_hoodie_is_deleted`

@@ -126,12 +126,23 @@ final class IcebergWriter private (
     * one, per the one-DV-per-file rule), and the table's
     * format-version is bumped to 3 on first use. */
   def deleteWhereDv(cond: Column, requireMatch: Boolean = true): Long = {
+    val entries = dvDeleteEntries(cond, requireMatch)
+    if (entries.isEmpty) return currentMeta.currentSnapshotId.getOrElse(-1L)
+    commit("delete", manifestContent = "deletes", entries)
+  }
+
+  /** Builds the per-file DV manifest entries for rows matching `cond` —
+    * the shared back end of [[deleteWhereDv]] and [[updateWhere]] (which
+    * lands the same entries PLUS the rewritten rows in one snapshot).
+    * Returns Nil when nothing matches and requireMatch=false (SQL
+    * no-op semantics); bumps the table to format-version 3 on use. */
+  private def dvDeleteEntries(cond: Column,
+      requireMatch: Boolean): Seq[IcebergAvro.ManifestEntry] = {
     import graft.lake.delta.RoaringBitmapArray
     val t = IcebergTable.load(spark, location)
     val affected = t.planFiles(Some(cond))
     // requireMatch=false → SQL DELETE semantics (zero matches = no-op)
-    if (affected.isEmpty && !requireMatch)
-      return currentMeta.currentSnapshotId.getOrElse(-1L)
+    if (affected.isEmpty && !requireMatch) return Nil
     require(affected.nonEmpty, "iceberg: deleteWhereDv matched no files")
     val existingDvs = t.dvIndex()
 
@@ -158,6 +169,9 @@ final class IcebergWriter private (
         case None => byFile(k) = bm
       }
     }
+    // stats pruning is conservative: admitted files may hold zero
+    // matching rows — still a SQL no-op, not an error
+    if (byFile.isEmpty && !requireMatch) return Nil
     require(byFile.nonEmpty, "iceberg: deleteWhereDv matched no rows")
     // replace-must-union: fold in the file's existing DV
     byFile.foreach { case (k, bm) =>
@@ -206,7 +220,7 @@ final class IcebergWriter private (
           Puffin.dvBlobBytes(bm))
       })
     val puffinLen = fs.getFileStatus(puffinPath).getLen
-    val entries = ordered.zip(blobMetas).map { case ((k, bm), meta) =>
+    ordered.zip(blobMetas).map { case ((k, bm), meta) =>
       fileEntry(puffinPath, content = 1, bm.cardinality, puffinLen,
         Map.empty, Map.empty, Map.empty, Nil)
         .copy(fileFormat = "PUFFIN",
@@ -214,7 +228,60 @@ final class IcebergWriter private (
           contentOffset = Some(meta.offset),
           contentSizeInBytes = Some(meta.length))
     }
-    commit("delete", manifestContent = "deletes", entries)
+  }
+
+  /** SQL UPDATE lowered to ONE MoR snapshot: deletion-vector masks for
+    * the matched rows (no data-file rewrite) + new data files holding
+    * their rewritten images — delete and data manifests under a single
+    * `overwrite` commit, Iceberg's own row-delta shape. Write
+    * amplification is O(matched rows). Nondeterministic expressions are
+    * rejected loudly: the DV build and the rewrite run as separate reads
+    * and could disagree on the matched row set. */
+  def updateWhere(cond: Column, set: Map[String, Column]): Long = {
+    val sch = curSchema
+    val colNames = sch.fields.map(_.name).toSet
+    require(set.keySet.subsetOf(colNames),
+      s"iceberg: unknown update columns ${set.keySet -- colNames}")
+    val deterministic =
+      org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic &&
+        set.values.forall(c =>
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic)
+    require(deterministic,
+      "iceberg: updateWhere needs deterministic condition and SET expressions " +
+        "(the DV mask and the rewrite are built from separate reads)")
+    val t = IcebergTable.load(spark, location)
+    val dvEntries = dvDeleteEntries(cond, requireMatch = false)
+    if (dvEntries.isEmpty) // zero matches: SQL no-op
+      return currentMeta.currentSnapshotId.getOrElse(-1L)
+    val hit = t.scan(Some(cond)) // live rows only — prior deletes honored
+    val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+      .select(sch.fields.map(f => col(f.name)): _*)
+    commitManifests("overwrite",
+      Seq("deletes" -> dvEntries, "data" -> writeDataFiles(updated)))
+  }
+
+  /** SQL MERGE's keyed upsert as ONE native snapshot: an equality-delete
+    * file retiring the source's keys + data files adding its current
+    * rows. Same-sequence data files are exempt from the equality delete
+    * (v2 sequence rules apply deletes strictly below their sequence), so
+    * the single `overwrite` commit is atomic and self-consistent — the
+    * row-delta shape Iceberg's own MERGE engines produce. */
+  def upsertKeys(source: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "iceberg: upsertKeys needs key columns")
+    val sch = curSchema
+    val ids = keyCols.map(n => sch.fields.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg: merge key $n not in schema")).id)
+    val src = source.select(sch.fields.map(f => col(f.name)): _*)
+    val delEntries = writeParquet(
+        src.select(keyCols.map(col): _*).distinct(), "delete-eq")
+      .map { case (p, rows, bytes) =>
+        fileEntry(p, content = 2, rows, bytes, Map.empty, Map.empty, Map.empty, ids) }
+    val dataEntries = writeDataFiles(src)
+    if (delEntries.isEmpty && dataEntries.isEmpty) // empty source: no-op
+      return currentMeta.currentSnapshotId.getOrElse(-1L)
+    commitManifests("overwrite",
+      Seq("deletes" -> delEntries, "data" -> dataEntries))
   }
 
   /** Metadata-only rename: a NEW schema-id with the same field ids — data
@@ -450,6 +517,19 @@ final class IcebergWriter private (
 
   private def commit(operation: String, manifestContent: String,
       entries: Seq[IcebergAvro.ManifestEntry],
+      summaryExtras: Map[String, String] = Map.empty): Long =
+    commitManifests(operation, Seq(manifestContent -> entries), summaryExtras)
+
+  /** One native snapshot carrying one manifest PER (content, entries)
+    * group — what lets a row-level statement (SQL UPDATE / MERGE) land
+    * its delete files AND its data files atomically in a single commit,
+    * the same row-delta shape Iceberg's own engines produce (delete
+    * manifests and data manifests share the commit's sequence number;
+    * v2 rules make same-sequence data files invisible to the equality
+    * deletes, so the commit is self-consistent). Empty groups write no
+    * manifest. */
+  private def commitManifests(operation: String,
+      groups: Seq[(String, Seq[IcebergAvro.ManifestEntry])],
       summaryExtras: Map[String, String] = Map.empty): Long = {
     val seq = currentMeta.lastSequenceNumber + 1
     val snapId = seq * 31L + 1000L // deliberately != seq: catches id/seq mix-ups
@@ -480,6 +560,7 @@ final class IcebergWriter private (
     val mSchema = IcebergAvro.manifestSchema(partFields)
     val dataFileSchema = mSchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
+    for (((manifestContent, entries), gi) <- groups.zipWithIndex if entries.nonEmpty) {
     val records = entries.map { e =>
       val r = new org.apache.avro.generic.GenericData.Record(mSchema)
       r.put("status", e.status)
@@ -510,7 +591,7 @@ final class IcebergWriter private (
       r.put("data_file", df)
       r
     }
-    val mPath = new Path(root, s"metadata/mf-$snapId-$nonce-m0.avro")
+    val mPath = new Path(root, s"metadata/mf-$snapId-$nonce-m$gi.avro")
     val mLen = IcebergAvro.writeAvro(conf, mPath, mSchema, Map(
       "schema" -> IcebergMeta.renderSchemaJson(sch),
       "schema-id" -> sch.schemaId.toString,
@@ -547,6 +628,7 @@ final class IcebergWriter private (
       partitions = summaries)
     val rowTotal = entries.map(_.recordCount).sum
     listState = listState :+ (newEntry, (rowTotal, 0L, 0L))
+    } // per-group manifest loop
 
     val listPath = new Path(root, s"metadata/snap-$snapId-$nonce.avro")
     IcebergAvro.writeAvro(conf, listPath, IcebergAvro.ManifestListSchema,

@@ -47,34 +47,61 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u: UpdateTable if u.resolved =>
       graftTarget(u.table).map { t =>
-        val assigns = u.assignments.map { a =>
-          val name = a.key match {
-            case ar: AttributeReference => ar.name
-            case other => throw new UnsupportedOperationException(
-              s"graft UPDATE supports top-level columns only, got $other")
-          }
-          name -> detach(a.value)
-        }
-        GraftUpdateCommand(t.table, assigns,
+        GraftUpdateCommand(t.table, updateAssignments(u),
           u.condition.map(detach)): LogicalPlan
-      }.getOrElse(u)
+      }.orElse(interopTarget(u.table).map { t =>
+        InteropUpdateCommand(t.read, updateAssignments(u),
+          u.condition.map(detach)): LogicalPlan
+      }).getOrElse(u)
 
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map { t =>
         lowerMerge(m, t): LogicalPlan
-      }.getOrElse(m)
+      }.orElse(interopTarget(m.targetTable).map { t =>
+        lowerInteropMerge(m, t): LogicalPlan
+      }).getOrElse(m)
 
     case _ => plan
   }
+
+  private def updateAssignments(u: UpdateTable): Seq[(String, Column)] =
+    u.assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => throw new UnsupportedOperationException(
+          s"graft UPDATE supports top-level columns only, got $other")
+      }
+      name -> detach(a.value)
+    }
 
   private def lowerMerge(m: MergeIntoTable, t: GraftSqlTable): GraftMergeCommand = {
     val keyCols = t.table.meta.keyColumns
     if (keyCols.isEmpty) throw new UnsupportedOperationException(
       s"MERGE INTO a graft table needs key.columns (equality-delete key) on ${t.name()}")
+    val eqNames = mergeEqKeys(m)
+    if (eqNames.toSet != keyCols.toSet) throw new UnsupportedOperationException(
+      s"graft MERGE condition must cover exactly key.columns ${keyCols.mkString(",")}, " +
+        s"got ${eqNames.mkString(",")}")
+    GraftMergeCommand(t.table, m.sourceTable,
+      mergeShape(m, t.table.schema.fieldNames.toSeq))
+  }
+
+  /** MERGE over an interop connector table: the statement's key-equality
+    * columns ARE the merge key — Iceberg/Delta carry no table-declared
+    * key (the condition defines the join identity, as in their own
+    * engines), and the Hudi hook validates them against the table's
+    * record key. */
+  private def lowerInteropMerge(m: MergeIntoTable,
+      t: InteropReadTable): InteropMergeCommand =
+    InteropMergeCommand(t.read, m.sourceTable,
+      mergeShape(m, t.read.schema.fieldNames.toSeq), mergeEqKeys(m))
+
+  /** The merge condition's key columns — must be a conjunction of
+    * `target.k = source.k` equalities (the only join the keyed commit
+    * paths can honor); anything else fails loudly. */
+  private def mergeEqKeys(m: MergeIntoTable): Seq[String] = {
     if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
       "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
-    // condition must be key-equality between target and source, covering
-    // exactly the key columns
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     val eqNames = splitConjunctivePredicates(m.mergeCondition).map {
@@ -86,11 +113,14 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
         "graft MERGE condition must be target.k = source.k equalities over " +
           s"the key columns, got $other")
     }
-    if (eqNames.toSet != keyCols.toSet) throw new UnsupportedOperationException(
-      s"graft MERGE condition must cover exactly key.columns ${keyCols.mkString(",")}, " +
-        s"got ${eqNames.mkString(",")}")
-    val tableCols = t.table.schema.fieldNames.toSeq
-    val shape = (m.matchedActions, m.notMatchedActions) match {
+    if (eqNames.isEmpty) throw new UnsupportedOperationException(
+      "graft MERGE needs at least one key equality in the ON condition")
+    eqNames
+  }
+
+  private def mergeShape(m: MergeIntoTable,
+      tableCols: Seq[String]): GraftMergeCommand.Shape =
+    (m.matchedActions, m.notMatchedActions) match {
       case (Seq(u) , Seq(i)) if starUpdate(u, tableCols) && starInsert(i, tableCols) =>
         GraftMergeCommand.Upsert
       case (Seq(u), Seq()) if starUpdate(u, tableCols) => GraftMergeCommand.UpdateOnly
@@ -101,8 +131,6 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
           "[WHEN NOT MATCHED THEN INSERT *] | WHEN MATCHED THEN DELETE " +
           "(unconditional actions, full-row assignments)")
     }
-    GraftMergeCommand(t.table, m.sourceTable, shape)
-  }
 
   /** Is the action an unconditional full-row name-identical UPDATE — i.e.
     * `UPDATE SET *`, either still a star or already expanded by the
@@ -142,6 +170,16 @@ class GraftRowLevelSqlRule extends Rule[LogicalPlan] with PredicateHelper {
   private def graftTarget(plan: LogicalPlan): Option[GraftSqlTable] = plan match {
     case SubqueryAlias(_, child) => graftTarget(child)
     case DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) => Some(t)
+    case _ => None
+  }
+
+  /** The interop connector table (`graft-iceberg`/`-delta`/`-hudi`)
+    * under the target relation — resolved by [[GraftInteropPathRule]]
+    * for path statements, or by the session catalog for `CREATE TABLE …
+    * USING graft-*` names. */
+  private def interopTarget(plan: LogicalPlan): Option[InteropReadTable] = plan match {
+    case SubqueryAlias(_, child) => interopTarget(child)
+    case DataSourceV2Relation(t: InteropReadTable, _, _, _, _, _) => Some(t)
     case _ => None
   }
 
@@ -233,4 +271,77 @@ object GraftMergeCommand {
   case object UpdateOnly extends Shape
   case object InsertOnly extends Shape
   case object DeleteMatched extends Shape
+}
+
+/** SQL `UPDATE` over an interop connector table, lowered onto the
+  * format's single-commit row-level update (Delta: protocol COW update;
+  * Iceberg: DV masks + rewritten rows in one row-delta snapshot; Hudi:
+  * keyed upsert of the rewritten rows). Read-only resolutions (time
+  * travel) reject loudly. */
+case class InteropUpdateCommand(
+    read: InteropRead,
+    assignments: Seq[(String, Column)],
+    condition: Option[Column]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val hook = read.updateWhere.getOrElse(throw new UnsupportedOperationException(
+      s"${read.name}: UPDATE not supported on this resolution " +
+        "(time-travel reads are read-only)"))
+    hook(condition.getOrElse(lit(true)), assignments.toMap)
+    Nil
+  }
+}
+
+/** SQL `MERGE INTO` over an interop connector table — each shape lands
+  * as ONE native commit through the format's keyed primitives. The
+  * source is PINNED (localCheckpoint) before any probe: the cardinality
+  * check, the shape restriction joins and the commit itself all consume
+  * the same evaluated frame, so nondeterministic sources cannot split. */
+case class InteropMergeCommand(
+    read: InteropRead,
+    source: LogicalPlan,
+    shape: GraftMergeCommand.Shape,
+    keys: Seq[String]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import GraftMergeCommand._
+    val raw = PlanDf.ofRows(sparkSession, source)
+    // SET * / INSERT * are well-defined when the source carries extra
+    // columns — project onto the table's columns first (DeleteMatched
+    // needs only the keys)
+    val src = (
+      if (shape == DeleteMatched) raw.select(keys.map(col): _*)
+      else raw.select(read.schema.fieldNames.toIndexedSeq.map(col): _*)
+    ).localCheckpoint()
+    def targetKeys = read.scan(None).select(keys.map(col): _*)
+    // SQL MERGE cardinality rule: a target row matched by >1 source row
+    // is an error (the keyed upsert would otherwise keep duplicate live
+    // rows per key). Duplicate NOT MATCHED rows are legal inserts.
+    if (shape == Upsert || shape == UpdateOnly) {
+      val dup = src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1)
+        .join(targetKeys, keys, "left_semi")
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"MERGE matches a target row more than once for key (${keys.mkString(",")}) = " +
+          s"${dup.head.toSeq.init.mkString(",")} — cardinality violation")
+    }
+    def noHook(what: String) = new UnsupportedOperationException(
+      s"${read.name}: MERGE $what not supported on this resolution " +
+        "(time-travel reads are read-only)")
+    shape match {
+      case Upsert =>
+        read.mergeUpsert.getOrElse(throw noHook("upsert"))(src, keys)
+      case UpdateOnly =>
+        read.mergeUpsert.getOrElse(throw noHook("update"))(
+          src.join(targetKeys, keys, "left_semi"), keys)
+      case InsertOnly =>
+        read.append.getOrElse(throw noHook("insert"))(
+          src.join(targetKeys, keys, "left_anti"))
+      case DeleteMatched =>
+        read.mergeDeleteMatched.getOrElse(throw noHook("delete"))(src, keys)
+    }
+    Nil
+  }
 }

@@ -70,7 +70,16 @@ final case class InteropRead(
     append: Option[DataFrame => Unit] = None,
     /** Row-level DELETE as one native commit; the Column is the exact
       * WHERE translation. None = read-only resolution. */
-    deleteWhere: Option[Column => Unit] = None)
+    deleteWhere: Option[Column => Unit] = None,
+    /** SQL UPDATE (cond, SET map) as ONE native commit; None =
+      * read-only resolution. */
+    updateWhere: Option[(Column, Map[String, Column]) => Unit] = None,
+    /** SQL MERGE's keyed upsert (pinned source frame, statement key
+      * columns) as ONE native commit; None = read-only resolution. */
+    mergeUpsert: Option[(DataFrame, Seq[String]) => Unit] = None,
+    /** SQL MERGE's WHEN MATCHED DELETE (key frame, key columns) as one
+      * native commit; None = read-only resolution. */
+    mergeDeleteMatched: Option[(DataFrame, Seq[String]) => Unit] = None)
 
 /** Aggregate pushdown hooks a format hands the shared scan builder. */
 trait InteropAggSupport {
@@ -128,7 +137,21 @@ class GraftIcebergSource extends InteropReadProvider {
       deleteWhere =
         if (snap >= 0) None
         else Some(c => graft.lake.iceberg.IcebergWriter.open(spark, loc)
-          .deleteWhereDv(c, requireMatch = false)))
+          .deleteWhereDv(c, requireMatch = false)),
+      // SQL UPDATE / MERGE: single-snapshot row-delta commits (DV or
+      // equality-delete manifests + data manifests under one snapshot)
+      updateWhere =
+        if (snap >= 0) None
+        else Some((c, set) => graft.lake.iceberg.IcebergWriter.open(spark, loc)
+          .updateWhere(c, set)),
+      mergeUpsert =
+        if (snap >= 0) None
+        else Some((src, keys) => graft.lake.iceberg.IcebergWriter.open(spark, loc)
+          .upsertKeys(src, keys)),
+      mergeDeleteMatched =
+        if (snap >= 0) None
+        else Some((keys, keyCols) => graft.lake.iceberg.IcebergWriter.open(spark, loc)
+          .equalityDelete(keys.select(keyCols.map(col): _*).distinct())))
   }
 }
 
@@ -252,7 +275,19 @@ class GraftDeltaSource extends InteropReadProvider {
         else Some(df => graft.lake.delta.DeltaWriter.open(spark, loc).append(df)),
       deleteWhere = // protocol-standard COW delete (remove + rewrite)
         if (timeTravel) None
-        else Some(c => graft.lake.delta.DeltaWriter.open(spark, loc).deleteWhere(c)))
+        else Some(c => graft.lake.delta.DeltaWriter.open(spark, loc).deleteWhere(c)),
+      updateWhere = // protocol-standard COW update (CDC-aware)
+        if (timeTravel) None
+        else Some((c, set) => graft.lake.delta.DeltaWriter.open(spark, loc)
+          .updateWhere(c, set)),
+      mergeUpsert = // one commit: DV-delete of matched keys + adds
+        if (timeTravel) None
+        else Some((src, keys) => graft.lake.delta.DeltaWriter.open(spark, loc)
+          .upsertKeys(src, keys)),
+      mergeDeleteMatched =
+        if (timeTravel) None
+        else Some((keys, keyCols) => graft.lake.delta.DeltaWriter.open(spark, loc)
+          .deleteMatchingDv(keys, keyCols)))
   }
 }
 
@@ -375,7 +410,21 @@ class GraftHudiSource extends InteropReadProvider {
         // not a default
         if (options.get("as.of.instant") != null) None
         else Some(c => graft.lake.hudi.HudiWriter.open(spark, loc)
-          .deleteLogWhere(c, requireMatch = false)))
+          .deleteLogWhere(c, requireMatch = false)),
+      updateWhere = // keyed upsert of the rewritten rows: MOR log
+        // records / COW slice rewrite — Hudi's own update shapes
+        if (options.get("as.of.instant") != null) None
+        else Some((c, set) => graft.lake.hudi.HudiWriter.open(spark, loc)
+          .updateWhere(c, set)),
+      mergeUpsert = // MERGE keys must equal the table's record key —
+        // the only join identity Hudi's upsert honors
+        if (options.get("as.of.instant") != null) None
+        else Some((src, keys) => graft.lake.hudi.HudiWriter.open(spark, loc)
+          .upsertKeys(src, keys)),
+      mergeDeleteMatched =
+        if (options.get("as.of.instant") != null) None
+        else Some((keys, keyCols) => graft.lake.hudi.HudiWriter.open(spark, loc)
+          .deleteMatchingKeys(keys, keyCols)))
   }
 }
 
@@ -407,15 +456,69 @@ class GraftInteropPathRule extends org.apache.spark.sql.catalyst.rules.Rule[
     case _ => false
   }
 
-  private def rewrite(u: UnresolvedRelation): LogicalPlan = {
+  private def rewrite(u: UnresolvedRelation,
+      ttOpts: Map[String, String] = Map.empty): LogicalPlan = {
     val fmt = u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
     val loc = u.multipartIdentifier(1)
     val provider = providers(fmt)()
-    val opts = new CaseInsensitiveStringMap(
-      java.util.Collections.singletonMap("path", loc))
+    val m = new java.util.HashMap[String, String]()
+    m.put("path", loc)
+    ttOpts.foreach { case (k, v) => m.put(k, v) }
+    val opts = new CaseInsensitiveStringMap(m)
     val table = provider.getTable(
       provider.inferSchema(opts), Array.empty, opts)
     DataSourceV2Relation.create(table, None, None, opts)
+  }
+
+  /** SQL time travel — `` … FROM `graft-*`.`path` VERSION AS OF x `` /
+    * `TIMESTAMP AS OF ts` — mapped onto each format's own reader
+    * convention: Iceberg takes a snapshot id (all digits) or a ref name
+    * and epoch-ms timestamps; Delta a version number and timestamps;
+    * Hudi travels by timeline INSTANT (`VERSION AS OF '<instant>'` —
+    * instants are ordering tokens, not wall-clock times, so a
+    * TIMESTAMP AS OF would silently lie; rejected loudly). */
+  private def timeTravelOptions(fmt: String,
+      version: Option[String],
+      timestamp: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Map[String, String] = (version, timestamp) match {
+    case (Some(v), _) => fmt match {
+      case "graft-iceberg" =>
+        if (v.nonEmpty && v.forall(_.isDigit)) Map("snapshot-id" -> v)
+        else Map("ref" -> v)
+      case "graft-delta" =>
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"graft-delta VERSION AS OF needs a version number, got '$v'")
+        Map("versionAsOf" -> v)
+      case _ => Map("as.of.instant" -> v)
+    }
+    case (None, Some(tsExpr)) =>
+      val ms = evalTimestampMs(tsExpr)
+      fmt match {
+        case "graft-iceberg" => Map("as-of-timestamp" -> ms.toString)
+        case "graft-delta" => Map("timestampAsOf" -> ms.toString)
+        case _ => throw new UnsupportedOperationException(
+          "graft-hudi time travel is by timeline instant — " +
+            "use VERSION AS OF '<instant>'")
+      }
+    case (None, None) => Map.empty
+  }
+
+  /** Evaluate a constant TIMESTAMP AS OF expression to epoch millis —
+    * the rule runs ahead of function resolution, so only literal forms
+    * (string / timestamp literals and foldable casts) are accepted. */
+  private def evalTimestampMs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.TimestampType
+    val cast = Cast(e, TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    require(e.resolved && cast.foldable,
+      s"TIMESTAMP AS OF over a graft-* path must be a constant, got $e")
+    cast.eval(null) match {
+      case micros: java.lang.Long => micros / 1000L
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF '$e' did not evaluate to a timestamp (got $other)")
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
@@ -426,6 +529,13 @@ class GraftInteropPathRule extends org.apache.spark.sql.catalyst.rules.Rule[
         if isOurs(i.table) =>
       i.copy(table = rewrite(
         i.table.asInstanceOf[UnresolvedRelation]))
+    // `FROM \`graft-*\`.\`path\` VERSION|TIMESTAMP AS OF …`: the relation
+    // is a FIELD of the (leaf) RelationTimeTravel node, same deal
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+        if isOurs(tt.relation) =>
+      val u = tt.relation.asInstanceOf[UnresolvedRelation]
+      val fmt = u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
+      rewrite(u, timeTravelOptions(fmt, tt.version, tt.timestamp))
     case u: UnresolvedRelation if isOurs(u) => rewrite(u)
   }
 }
@@ -445,7 +555,7 @@ class GraftInteropPathRule extends org.apache.spark.sql.catalyst.rules.Rule[
   * modes are refused loudly (no TRUNCATE capability): graft's
   * insertOverwrite/deleteWhere surfaces carry replace semantics with
   * per-format contracts a blanket SQL overwrite would blur. */
-class InteropReadTable(read: InteropRead) extends Table
+class InteropReadTable(val read: InteropRead) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {

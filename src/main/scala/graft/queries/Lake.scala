@@ -1039,6 +1039,24 @@ object Lake {
     // deletion-vector commit (no data-file rewrite) — drops the
     // 3-MEDIUM group from the aggregate below
     s.sql(s"DELETE FROM `graft-iceberg`.`$loc` WHERE o_orderpriority = '3-MEDIUM'")
+    // r11 UPDATE arm: ONE row-delta snapshot — DV masks + the rewritten
+    // rows' data files under a single overwrite commit
+    s.sql(s"UPDATE `graft-iceberg`.`$loc` SET o_orderpriority = 'sql-updated' " +
+      "WHERE o_orderpriority = '2-HIGH'")
+    // r11 MERGE arm: keyed upsert in ONE overwrite snapshot (equality-
+    // delete manifest + data manifest). Matched keys land as 'merged' —
+    // previously DELETEd keys among them re-INSERT, per SQL MERGE
+    // semantics; far-negative keys exercise the NOT MATCHED insert
+    o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderpriority", lit("merged"))
+      .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 10000000000L)
+        .withColumn("o_orderpriority", lit("merged-new")))
+      .createOrReplaceTempView("iceberg_sql_merge_src")
+    s.sql(s"""MERGE INTO `graft-iceberg`.`$loc` t USING iceberg_sql_merge_src s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1079,6 +1097,22 @@ object Lake {
     // r11 DELETE arm: SQL row-level delete lands a native protocol COW
     // delete commit (v5) — drops the 3-MEDIUM group below
     s.sql(s"DELETE FROM `graft-delta`.`$loc` WHERE o_orderpriority = '3-MEDIUM'")
+    // r11 UPDATE arm: one protocol COW update commit (v6)
+    s.sql(s"UPDATE `graft-delta`.`$loc` SET o_orderpriority = 'sql-updated' " +
+      "WHERE o_orderpriority = '2-HIGH'")
+    // r11 MERGE arm: ONE commit carrying the DV removes of matched keys
+    // + the adds (v7) — deleted keys among the matches re-insert, per
+    // SQL MERGE semantics; far-negative keys exercise NOT MATCHED
+    o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderpriority", lit("merged"))
+      .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 10000000000L)
+        .withColumn("o_orderpriority", lit("merged-new")))
+      .createOrReplaceTempView("delta_sql_merge_src")
+    s.sql(s"""MERGE INTO `graft-delta`.`$loc` t USING delta_sql_merge_src s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1120,6 +1154,22 @@ object Lake {
         col("o_orderdate"), lit("sql-inserted").as("o_orderpriority"))
       .createOrReplaceTempView("hudi_sql_insert_src")
     s.sql(s"INSERT INTO `graft-hudi`.`$loc` SELECT * FROM hudi_sql_insert_src")
+    // r11 UPDATE arm: keyed upsert of the rewritten rows — one native
+    // commit (COW slice rewrite here; a MOR table logs a deltacommit)
+    s.sql(s"UPDATE `graft-hudi`.`$loc` SET o_orderpriority = 'sql-updated' " +
+      "WHERE o_orderpriority = '2-HIGH'")
+    // r11 MERGE arm: SQL MERGE keys must equal the record key; lands as
+    // one native upsert commit (matched keys replaced, fresh inserted)
+    o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderpriority", lit("merged"))
+      .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 10000000000L)
+        .withColumn("o_orderpriority", lit("merged-new")))
+      .createOrReplaceTempView("hudi_sql_merge_src")
+    s.sql(s"""MERGE INTO `graft-hudi`.`$loc` t USING hudi_sql_merge_src s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
     val cur = s.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
                  ${Money.sqlSum2("o_totalprice")} AS total, 'current' AS src
@@ -1194,14 +1244,26 @@ object Lake {
            SELECT o_orderpriority, count(*) AS n_orders,
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
                   'current' AS src
-           FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
-             AND o_orderpriority <> '3-MEDIUM'
+           FROM (
+             SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'merged'
+                         WHEN o_orderpriority = '2-HIGH' THEN 'sql-updated'
+                         ELSE o_orderpriority END AS o_orderpriority,
+                    o_totalprice
+             FROM orders
+             WHERE o_orderstatus = 'F'
+               AND (o_orderkey % 13 = 0
+                    OR (o_orderpriority <> '1-URGENT' AND o_orderpriority <> '3-MEDIUM')))
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'sql-inserted', count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'current'
            FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT 'merged-new', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'current'
+           FROM orders WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F'
            UNION ALL
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
@@ -1214,14 +1276,26 @@ object Lake {
            SELECT o_orderpriority, count(*) AS n_orders,
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
                   'current' AS src
-           FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
-             AND o_orderpriority <> '3-MEDIUM'
+           FROM (
+             SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'merged'
+                         WHEN o_orderpriority = '2-HIGH' THEN 'sql-updated'
+                         ELSE o_orderpriority END AS o_orderpriority,
+                    o_totalprice
+             FROM orders
+             WHERE o_orderstatus = 'F'
+               AND (o_orderkey % 13 = 0
+                    OR (o_orderpriority <> '1-URGENT' AND o_orderpriority <> '3-MEDIUM')))
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'df-appended', count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'current'
            FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT 'merged-new', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'current'
+           FROM orders WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F'
            UNION ALL
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
@@ -1235,7 +1309,9 @@ object Lake {
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
                   'current' AS src
            FROM (
-             SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
+             SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'merged'
+                         WHEN o_orderkey % 10 = 0 THEN 'corrected'
+                         WHEN o_orderpriority = '2-HIGH' THEN 'sql-updated'
                          ELSE o_orderpriority END AS o_orderpriority,
                     o_totalprice
              FROM orders WHERE o_orderstatus = 'F')
@@ -1245,6 +1321,11 @@ object Lake {
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
                   'current'
            FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT 'merged-new', count(*),
+                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  'current'
+           FROM orders WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F'
            UNION ALL
            SELECT o_orderpriority, count(*),
                   round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),

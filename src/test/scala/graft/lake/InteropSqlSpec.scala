@@ -364,4 +364,220 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(two.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
     assert(two.count() == orders.count())
   }
+
+  // ---- r11 wave 4: UPDATE / MERGE / SQL time travel ------------------------
+
+  private def hudiInstants(loc: String): Int = {
+    val p = new Path(loc, ".hoodie")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+      .count { s =>
+        val n = s.getPath.getName
+        n.endsWith(".commit") || n.endsWith(".deltacommit") ||
+          n.endsWith(".replacecommit")
+      }
+  }
+
+  test("SQL UPDATE lands ONE native commit per format; zero-match is a no-op (r11)") {
+    import graft.lake.iceberg.IcebergTable
+    import graft.lake.delta.DeltaTable
+    val updated = orders.count()
+    val expect3 = orders.filter(col("o_orderkey") % 3 === 0).count()
+
+    // iceberg: single row-delta snapshot — DV masks + rewritten rows,
+    // the pre-update data files provably NOT rewritten
+    val iceLoc = freshDir("ice-upd")
+    val wi = IcebergWriter.create(spark, iceLoc, orders.schema)
+    wi.append(orders)
+    val t0 = IcebergTable.load(spark, iceLoc)
+    val snapsBefore = t0.meta.snapshots.length
+    val filesBefore = t0.planFiles(None).toSet
+    spark.sql(s"UPDATE `graft-iceberg`.`$iceLoc` SET o_orderpriority = 'sql-updated' " +
+      "WHERE o_orderkey % 3 = 0")
+    val t1 = IcebergTable.load(spark, iceLoc)
+    assert(t1.meta.snapshots.length == snapsBefore + 1,
+      "iceberg UPDATE must be ONE snapshot (deletes + data in one row-delta commit)")
+    assert(filesBefore.subsetOf(t1.planFiles(None).toSet),
+      "iceberg UPDATE must not rewrite data files (DV masks)")
+    val ice = t1.scan()
+    assert(ice.count() == updated)
+    assert(ice.filter(col("o_orderpriority") === "sql-updated").count() == expect3)
+    assert(ice.filter(col("o_orderkey") % 3 === 0 &&
+      col("o_orderpriority") =!= "sql-updated").count() == 0)
+    // zero-match: SQL no-op, no commit
+    spark.sql(s"UPDATE `graft-iceberg`.`$iceLoc` SET o_orderpriority = 'x' " +
+      "WHERE o_orderkey < -1000000")
+    assert(IcebergTable.load(spark, iceLoc).meta.snapshots.length ==
+      snapsBefore + 1, "zero-match UPDATE must not commit")
+
+    // delta: one protocol COW update commit
+    val dLoc = freshDir("delta-upd")
+    val wd = DeltaWriter.create(spark, dLoc, orders.schema)
+    wd.append(orders)
+    val vBefore = DeltaTable.load(spark, dLoc).version
+    spark.sql(s"UPDATE `graft-delta`.`$dLoc` SET o_orderpriority = 'sql-updated' " +
+      "WHERE o_orderkey % 3 = 0")
+    val td = DeltaTable.load(spark, dLoc)
+    assert(td.version == vBefore + 1, "delta UPDATE must be one commit")
+    assert(td.scan().filter(col("o_orderpriority") === "sql-updated").count() == expect3)
+    assert(td.scan().count() == updated)
+
+    // hudi MOR: one deltacommit (keyed upsert of the rewritten rows)
+    val hLoc = freshDir("hudi-upd")
+    val wh = HudiWriter.create(spark, hLoc, orders.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey",
+      tableType = "MERGE_ON_READ")
+    wh.insert(orders)
+    val instBefore = hudiInstants(hLoc)
+    spark.sql(s"UPDATE `graft-hudi`.`$hLoc` SET o_orderpriority = 'sql-updated' " +
+      "WHERE o_orderkey % 3 = 0")
+    assert(hudiInstants(hLoc) == instBefore + 1, "hudi UPDATE must be one deltacommit")
+    val th = graft.lake.hudi.HudiTable.load(spark, hLoc)
+    assert(th.scan().filter(col("o_orderpriority") === "sql-updated").count() == expect3)
+    assert(th.scan().count() == updated)
+    // record-key / partition-field updates reject loudly
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE `graft-hudi`.`$hLoc` SET o_orderkey = 0 WHERE o_orderkey = 1")
+    }
+    assert(e.getMessage.contains("record-key"), s"got: ${e.getMessage}")
+  }
+
+  test("SQL MERGE INTO upserts through ONE native commit per format (r11)") {
+    import graft.lake.iceberg.IcebergTable
+    import graft.lake.delta.DeltaTable
+    val matched = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("merged"))
+    val fresh = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - 1)
+      .withColumn("o_orderpriority", lit("merged-new"))
+    matched.unionByName(fresh).createOrReplaceTempView("interop_merge_src")
+    val expectTotal = orders.count() + fresh.count()
+    val expectMerged = matched.count()
+
+    def checkRows(df: org.apache.spark.sql.DataFrame): Unit = {
+      assert(df.count() == expectTotal)
+      assert(df.filter(col("o_orderpriority") === "merged").count() == expectMerged)
+      assert(df.filter(col("o_orderpriority") === "merged-new").count() == fresh.count())
+      assert(df.filter(col("o_orderkey") >= 0 && col("o_orderkey") % 10 === 0 &&
+        col("o_orderpriority") =!= "merged").count() == 0)
+    }
+    def mergeSql(fmt: String, loc: String): String =
+      s"""MERGE INTO `$fmt`.`$loc` t USING interop_merge_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *"""
+
+    // iceberg: one overwrite snapshot (equality-delete + data manifests)
+    val iceLoc = freshDir("ice-merge")
+    IcebergWriter.create(spark, iceLoc, orders.schema).append(orders)
+    val snapsBefore = IcebergTable.load(spark, iceLoc).meta.snapshots.length
+    spark.sql(mergeSql("graft-iceberg", iceLoc))
+    val t1 = IcebergTable.load(spark, iceLoc)
+    assert(t1.meta.snapshots.length == snapsBefore + 1,
+      "iceberg MERGE must be ONE snapshot")
+    checkRows(t1.scan())
+
+    // delta: one commit carrying DV removes + adds
+    val dLoc = freshDir("delta-merge")
+    DeltaWriter.create(spark, dLoc, orders.schema).append(orders)
+    val vBefore = DeltaTable.load(spark, dLoc).version
+    spark.sql(mergeSql("graft-delta", dLoc))
+    val td = DeltaTable.load(spark, dLoc)
+    assert(td.version == vBefore + 1, "delta MERGE must be one commit")
+    checkRows(td.scan())
+
+    // hudi MOR: one deltacommit; MERGE key must equal the record key
+    val hLoc = freshDir("hudi-merge")
+    val wh = HudiWriter.create(spark, hLoc, orders.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey",
+      tableType = "MERGE_ON_READ")
+    wh.insert(orders)
+    val instBefore = hudiInstants(hLoc)
+    spark.sql(mergeSql("graft-hudi", hLoc))
+    assert(hudiInstants(hLoc) == instBefore + 1, "hudi MERGE must be one deltacommit")
+    checkRows(graft.lake.hudi.HudiTable.load(spark, hLoc).scan())
+    orders.dropDuplicates("o_custkey")
+      .createOrReplaceTempView("interop_merge_bykey_src")
+    val wrongKey = intercept[Exception] {
+      spark.sql(s"""MERGE INTO `graft-hudi`.`$hLoc` t USING interop_merge_bykey_src s
+        ON t.o_custkey = s.o_custkey
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(wrongKey.getMessage.contains("record key"), s"got: ${wrongKey.getMessage}")
+  }
+
+  test("SQL MERGE delete shape + cardinality violation (r11)") {
+    import graft.lake.delta.DeltaTable
+    val dLoc = freshDir("delta-merge-del")
+    DeltaWriter.create(spark, dLoc, orders.schema).append(orders)
+    orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      .createOrReplaceTempView("interop_merge_del_src")
+    val vBefore = DeltaTable.load(spark, dLoc).version
+    spark.sql(s"""MERGE INTO `graft-delta`.`$dLoc` t USING interop_merge_del_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN DELETE""")
+    val td = DeltaTable.load(spark, dLoc)
+    assert(td.version == vBefore + 1)
+    assert(td.scan().filter(col("o_orderkey") % 5 === 0).count() == 0)
+    assert(td.scan().count() == orders.filter(col("o_orderkey") % 5 =!= 0).count())
+
+    // a source matching one target row twice must fail, not double-merge
+    orders.filter(col("o_orderkey") === 1).withColumn("o_orderpriority", lit("a"))
+      .unionByName(orders.filter(col("o_orderkey") === 1)
+        .withColumn("o_orderpriority", lit("b")))
+      .createOrReplaceTempView("interop_merge_dup_src")
+    val dup = intercept[Exception] {
+      spark.sql(s"""MERGE INTO `graft-delta`.`$dLoc` t USING interop_merge_dup_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(dup.getMessage.contains("cardinality"), s"got: ${dup.getMessage}")
+  }
+
+  test("SQL VERSION/TIMESTAMP AS OF time travel over interop paths (r11)") {
+    import graft.lake.iceberg.IcebergTable
+    val half = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val total = orders.count()
+
+    val iceLoc = freshDir("ice-tt")
+    val wi = IcebergWriter.create(spark, iceLoc, orders.schema)
+    val s1 = wi.append(orders.filter(col("o_orderkey") % 2 === 0))
+    wi.tag("halfway", s1)
+    Thread.sleep(5) // distinct wall-clock for TIMESTAMP AS OF
+    wi.append(orders.filter(col("o_orderkey") % 2 === 1))
+
+    assert(spark.sql(s"SELECT count(*) FROM `graft-iceberg`.`$iceLoc` VERSION AS OF $s1")
+      .head().getLong(0) == half)
+    assert(spark.sql(s"SELECT count(*) FROM `graft-iceberg`.`$iceLoc` VERSION AS OF 'halfway'")
+      .head().getLong(0) == half)
+    val s1ts = IcebergTable.load(spark, iceLoc).meta.snapshots
+      .find(_.id == s1).get.timestampMs
+    val tsStr = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(s1ts), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM `graft-iceberg`.`$iceLoc` TIMESTAMP AS OF '$tsStr'")
+      .head().getLong(0) == half)
+    assert(spark.sql(s"SELECT count(*) FROM `graft-iceberg`.`$iceLoc`")
+      .head().getLong(0) == total)
+
+    val dLoc = freshDir("delta-tt")
+    val wd = DeltaWriter.create(spark, dLoc, orders.schema)
+    wd.append(orders.filter(col("o_orderkey") % 2 === 0)) // v1
+    wd.append(orders.filter(col("o_orderkey") % 2 === 1)) // v2
+    assert(spark.sql(s"SELECT count(*) FROM `graft-delta`.`$dLoc` VERSION AS OF 1")
+      .head().getLong(0) == half)
+
+    val hLoc = freshDir("hudi-tt")
+    val wh = HudiWriter.create(spark, hLoc, orders.schema,
+      partitionFields = Seq.empty, keyField = "o_orderkey")
+    val i1 = wh.insert(orders.filter(col("o_orderkey") % 2 === 0))
+    wh.insert(orders.filter(col("o_orderkey") % 2 === 1))
+    assert(spark.sql(s"SELECT count(*) FROM `graft-hudi`.`$hLoc` VERSION AS OF '$i1'")
+      .head().getLong(0) == half)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM `graft-hudi`.`$hLoc` TIMESTAMP AS OF '2026-01-01'")
+        .collect()
+    }
+    assert(e.getMessage.contains("timeline instant"), s"got: ${e.getMessage}")
+  }
 }
