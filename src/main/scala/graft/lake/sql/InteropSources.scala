@@ -99,21 +99,103 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
   /** Resolve options (path + format-specific time travel) to a read. */
   protected def open(spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead
 
+  /** Does a physical table already live at `loc`? Gates CREATE-on-write. */
+  protected def exists(spark: SparkSession, loc: String): Boolean
+
+  /** Create an empty table at `loc` with `schema` (+ identity partition
+    * columns and provider options) and land `df` as its first native
+    * commit — the write half of `CREATE TABLE … USING graft-*`. */
+  protected def createAndAppend(spark: SparkSession, loc: String,
+      schema: StructType, partCols: Seq[String],
+      options: CaseInsensitiveStringMap, df: DataFrame): Unit
+
   protected def path(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       s"${shortName()} needs .load(<table location>)"))
+
+  /** Lets the session catalog hand us the CREATE TABLE column list (the
+    * stored schema) instead of forcing inference — what makes `CREATE
+    * TABLE t (cols…) USING graft-* LOCATION '<fresh>'` + INSERT (and
+    * CTAS) work like the reference's own first statement
+    * (pg_lakehouse_iceberg/README.md:22-35 creates a NEW table). */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     open(SparkSession.active, options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new InteropReadTable(
-      open(SparkSession.active, new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
+    val loc = path(opts)
+    if (exists(spark, loc)) new InteropReadTable(open(spark, opts))
+    else {
+      // CREATE-on-first-write: a declared schema + a fresh location is
+      // a table that exists in the catalog but not yet on disk — SELECT
+      // sees it empty, the first INSERT / CTAS write materializes it as
+      // a native table of the format (PG's CREATE-then-INSERT shape)
+      require(schema != null && schema.fields.nonEmpty,
+        s"${shortName()}: no table at $loc — CREATE TABLE needs a column " +
+          "list (or point LOCATION at an existing table)")
+      new InteropReadTable(
+        uncreatedRead(spark, loc, schema,
+          partitionColumnsOf(partitioning, opts, schema), opts))
+    }
+  }
+
+  /** Identity partition columns of the CREATE statement: PARTITIONED BY
+    * transforms when Spark forwards them, else the `partition.columns`
+    * option (comma-separated — the reliable path through the session
+    * catalog's V1 property bridge). Non-identity transforms reject. */
+  private def partitionColumnsOf(partitioning: Array[Transform],
+      opts: CaseInsensitiveStringMap, schema: StructType): Seq[String] = {
+    val fromTransforms = partitioning.toSeq.map { t =>
+      org.apache.spark.sql.graftshim.TransformShim.identityColumn(t)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"${shortName()}: only identity PARTITIONED BY columns are " +
+            s"supported at CREATE, got $t"))
+    }
+    val cols =
+      if (fromTransforms.nonEmpty) fromTransforms
+      else Option(opts.get("partition.columns")).toSeq
+        .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"${shortName()}: partition column $c not in the declared schema"))
+    cols
+  }
+
+  private def uncreatedRead(spark: SparkSession, loc: String,
+      schema: StructType, partCols: Seq[String],
+      opts: CaseInsensitiveStringMap): InteropRead =
+    InteropRead(s"${shortName()} `$loc` (uncreated)", schema,
+      scan = _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema),
+      stats = _ => (0L, 0L),
+      append = Some(df => createAndAppend(spark, loc, schema, partCols, opts, df)),
+      // SQL semantics over the not-yet-materialized (empty) table:
+      // DELETE / UPDATE match nothing; a MERGE is all NOT MATCHED
+      deleteWhere = Some(_ => ()),
+      updateWhere = Some((_, _) => ()),
+      mergeUpsert = Some((df, _) =>
+        createAndAppend(spark, loc, schema, partCols, opts, df)),
+      mergeDeleteMatched = Some((_, _) => ()))
 }
 
 class GraftIcebergSource extends InteropReadProvider {
   override def shortName(): String = "graft-iceberg"
+
+  override protected def exists(spark: SparkSession, loc: String): Boolean = {
+    val md = new org.apache.hadoop.fs.Path(loc, "metadata")
+    val fs = md.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(md) &&
+      fs.listStatus(md).exists(_.getPath.getName.endsWith(".metadata.json"))
+  }
+
+  override protected def createAndAppend(spark: SparkSession, loc: String,
+      schema: StructType, partCols: Seq[String],
+      options: CaseInsensitiveStringMap, df: DataFrame): Unit =
+    graft.lake.iceberg.IcebergWriter.create(spark, loc, schema,
+      partition = partCols.map(_ -> "identity")).append(df)
 
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
@@ -252,6 +334,21 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
 class GraftDeltaSource extends InteropReadProvider {
   override def shortName(): String = "graft-delta"
 
+  override protected def exists(spark: SparkSession, loc: String): Boolean = {
+    val log = new org.apache.hadoop.fs.Path(loc, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(log) && fs.listStatus(log).exists { s =>
+      val n = s.getPath.getName
+      n.endsWith(".json") || n.endsWith(".checkpoint.parquet")
+    }
+  }
+
+  override protected def createAndAppend(spark: SparkSession, loc: String,
+      schema: StructType, partCols: Seq[String],
+      options: CaseInsensitiveStringMap, df: DataFrame): Unit =
+    graft.lake.delta.DeltaWriter.create(spark, loc, schema,
+      partitionColumns = partCols).append(df)
+
   private def parseTs(s: String): Long =
     if (s.forall(c => c.isDigit || c == '-')) s.toLong
     else java.sql.Timestamp.valueOf(s).getTime
@@ -384,6 +481,30 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
 
 class GraftHudiSource extends InteropReadProvider {
   override def shortName(): String = "graft-hudi"
+
+  override protected def exists(spark: SparkSession, loc: String): Boolean = {
+    val props = new org.apache.hadoop.fs.Path(loc, ".hoodie/hoodie.properties")
+    props.getFileSystem(spark.sessionState.newHadoopConf()).exists(props)
+  }
+
+  override protected def createAndAppend(spark: SparkSession, loc: String,
+      schema: StructType, partCols: Seq[String],
+      options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
+    // a Hudi table is keyed by construction — CREATE needs the record
+    // key, accepted under the option names Hudi's own writers use
+    val key = Seq("recordkey.field", "hoodie.datasource.write.recordkey.field",
+        "hoodie.table.recordkey.fields")
+      .flatMap(k => Option(options.get(k))).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-hudi: CREATE TABLE needs a record key — add OPTIONS " +
+          "('recordkey.field'='<col>[,<col>…]')"))
+    val tableType = Seq("table.type", "hoodie.datasource.write.table.type")
+      .flatMap(k => Option(options.get(k))).headOption
+      .getOrElse("COPY_ON_WRITE")
+    graft.lake.hudi.HudiWriter.create(spark, loc, schema,
+      partitionFields = partCols, keyField = key,
+      tableType = tableType).insert(df)
+  }
 
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {

@@ -365,6 +365,82 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(two.count() == orders.count())
   }
 
+  test("CREATE TABLE over a FRESH location + INSERT + CTAS materialize native tables (r11)") {
+    orders.createOrReplaceTempView("create_src_orders")
+    val orderCols = """o_orderkey BIGINT, o_custkey BIGINT,
+      o_orderstatus STRING, o_totalprice DOUBLE,
+      o_orderdate TIMESTAMP, o_orderpriority STRING"""
+
+    // iceberg: declared columns + partition option; the catalog table
+    // exists before the physical table does — SELECT sees it empty,
+    // the first INSERT materializes a REAL partitioned Iceberg table
+    val iceLoc = freshDir("create-ice")
+    spark.sql("DROP TABLE IF EXISTS fresh_ice")
+    spark.sql(s"""CREATE TABLE fresh_ice ($orderCols)
+      USING `graft-iceberg`
+      OPTIONS ('partition.columns'='o_orderstatus')
+      LOCATION '$iceLoc'""")
+    assert(spark.sql("SELECT count(*) FROM fresh_ice").head().getLong(0) == 0,
+      "uncreated table must read as empty")
+    spark.sql("INSERT INTO fresh_ice SELECT * FROM create_src_orders")
+    assert(spark.sql("SELECT count(*) FROM fresh_ice").head().getLong(0) ==
+      orders.count())
+    val it = graft.lake.iceberg.IcebergTable.load(spark, iceLoc)
+    assert(it.scan().count() == orders.count(),
+      "the independent iceberg reader must see the created table")
+    val pruned = it.planFiles(Some(col("o_orderstatus") === "F")).size
+    assert(pruned < it.planFiles(None).size,
+      "partition.columns must land as a real identity partition spec")
+    spark.sql("DROP TABLE fresh_ice")
+
+    // delta: CTAS — create + first commit in one statement, partitioned
+    // via the standard PARTITIONED BY clause
+    val dLoc = freshDir("create-delta")
+    spark.sql("DROP TABLE IF EXISTS ctas_delta")
+    spark.sql(s"""CREATE TABLE ctas_delta USING `graft-delta`
+      PARTITIONED BY (o_orderstatus) LOCATION '$dLoc'
+      AS SELECT * FROM create_src_orders""")
+    assert(new Path(dLoc, "o_orderstatus=F").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      .exists(new Path(dLoc, "o_orderstatus=F")),
+      "PARTITIONED BY must land as hive partition dirs in the delta layout")
+    assert(spark.sql("SELECT count(*) FROM ctas_delta").head().getLong(0) ==
+      orders.count())
+    assert(graft.lake.delta.DeltaTable.load(spark, dLoc).scan().count() ==
+      orders.count(), "the independent delta reader must see the CTAS table")
+    spark.sql("DROP TABLE ctas_delta")
+
+    // hudi: record key via OPTIONS (Hudi tables are keyed by
+    // construction); the created table upserts like any native one
+    val hLoc = freshDir("create-hudi")
+    spark.sql("DROP TABLE IF EXISTS fresh_hudi")
+    spark.sql(s"""CREATE TABLE fresh_hudi ($orderCols)
+      USING `graft-hudi`
+      OPTIONS ('recordkey.field'='o_orderkey', 'partition.columns'='o_orderstatus')
+      LOCATION '$hLoc'""")
+    spark.sql("INSERT INTO fresh_hudi SELECT * FROM create_src_orders")
+    assert(spark.sql("SELECT count(*) FROM fresh_hudi").head().getLong(0) ==
+      orders.count())
+    val ht = graft.lake.hudi.HudiTable.load(spark, hLoc)
+    assert(ht.scan().count() == orders.count())
+    graft.lake.hudi.HudiWriter.open(spark, hLoc)
+      .upsert(orders.limit(10).withColumn("o_orderpriority", lit("upserted")))
+    assert(graft.lake.hudi.HudiTable.load(spark, hLoc).scan().count() ==
+      orders.count(), "created hudi table must upsert by key, not duplicate")
+    spark.sql("DROP TABLE fresh_hudi")
+
+    // missing record key rejects loudly at materialization
+    val h2 = freshDir("create-hudi-nokey")
+    spark.sql("DROP TABLE IF EXISTS fresh_hudi_nokey")
+    spark.sql(s"CREATE TABLE fresh_hudi_nokey (k BIGINT, v STRING) " +
+      s"USING `graft-hudi` LOCATION '$h2'")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO fresh_hudi_nokey VALUES (1, 'a')")
+    }
+    assert(e.getMessage.contains("record key"), s"got: ${e.getMessage}")
+    spark.sql("DROP TABLE fresh_hudi_nokey")
+  }
+
   // ---- r11 wave 4: UPDATE / MERGE / SQL time travel ------------------------
 
   private def hudiInstants(loc: String): Int = {
