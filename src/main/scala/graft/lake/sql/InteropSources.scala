@@ -137,6 +137,9 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
       require(schema != null && schema.fields.nonEmpty,
         s"${shortName()}: no table at $loc — CREATE TABLE needs a column " +
           "list (or point LOCATION at an existing table)")
+      require(opts.get("metadata") == null,
+        s"${shortName()}: no table at $loc — metadata tables need an " +
+          "existing table")
       new InteropReadTable(
         uncreatedRead(spark, loc, schema,
           partitionColumnsOf(partitioning, opts, schema), opts))
@@ -207,6 +210,20 @@ class GraftIcebergSource extends InteropReadProvider {
           .map(ms => t.snapshotAsOfTime(ms.toLong)))
         .orElse(Option(options.get("ref")).map(t.refSnapshot))
         .getOrElse(-1L)
+    // METADATA TABLES — Iceberg's own `<table>.snapshots` / `.files` SQL
+    // UX, served as `option("metadata", …)` or the `` `path#snapshots` ``
+    // path fragment. Read-only, answered from table metadata alone (no
+    // data IO); `files` respects a time-travel resolution.
+    Option(options.get("metadata")).foreach { which =>
+      val df = which match {
+        case "snapshots" => t.snapshotsDf
+        case "files" => t.filesDf(snap)
+        case other => throw new IllegalArgumentException(
+          s"graft-iceberg: unknown metadata table '$other' (snapshots|files)")
+      }
+      return InteropRead(s"graft-iceberg `$loc#$which`", df.schema,
+        _ => df, _ => (-1L, -1L))
+    }
     InteropRead(s"graft-iceberg `$loc`", t.schema,
       f => t.scan(f, snap), f => t.scanStats(f, snap),
       aggSupport = Some(new IcebergInteropAgg(t, snap)),
@@ -356,6 +373,10 @@ class GraftDeltaSource extends InteropReadProvider {
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
     val loc = path(options)
+    Option(options.get("metadata")).foreach(w =>
+      throw new IllegalArgumentException(
+        s"graft-delta: no metadata table '$w' — the #fragment surface " +
+          "is served for graft-iceberg (snapshots|files)"))
     val t = Option(options.get("versionAsOf")) match {
       case Some(v) => DeltaTable.loadVersion(spark, loc, v.toLong)
       case None => Option(options.get("timestampAsOf")) match {
@@ -509,6 +530,10 @@ class GraftHudiSource extends InteropReadProvider {
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
     val loc = path(options)
+    Option(options.get("metadata")).foreach(w =>
+      throw new IllegalArgumentException(
+        s"graft-hudi: no metadata table '$w' — the #fragment surface " +
+          "is served for graft-iceberg (snapshots|files)"))
     val t = HudiTable.loadAsOf(spark, loc,
       options.get("as.of.instant")) // null = latest (loadAsOf's contract)
     val scan: Option[Column] => DataFrame =
@@ -580,10 +605,17 @@ class GraftInteropPathRule extends org.apache.spark.sql.catalyst.rules.Rule[
   private def rewrite(u: UnresolvedRelation,
       ttOpts: Map[String, String] = Map.empty): LogicalPlan = {
     val fmt = u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
-    val loc = u.multipartIdentifier(1)
+    val raw = u.multipartIdentifier(1)
+    // `` `graft-iceberg`.`/path#snapshots` `` — the metadata-table
+    // fragment convention (Iceberg's `tbl.snapshots` UX for path SQL)
+    val (loc, frag) = raw.lastIndexOf('#') match {
+      case -1 => (raw, None)
+      case i => (raw.substring(0, i), Some(raw.substring(i + 1)))
+    }
     val provider = providers(fmt)()
     val m = new java.util.HashMap[String, String]()
     m.put("path", loc)
+    frag.foreach(m.put("metadata", _))
     ttOpts.foreach { case (k, v) => m.put(k, v) }
     val opts = new CaseInsensitiveStringMap(m)
     val table = provider.getTable(

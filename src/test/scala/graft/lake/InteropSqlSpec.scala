@@ -441,6 +441,40 @@ class InteropSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE fresh_hudi_nokey")
   }
 
+  test("iceberg metadata tables via the connector: #snapshots / #files (r11)") {
+    val loc = freshDir("ice-metatbl")
+    val w = IcebergWriter.create(spark, loc, orders.schema)
+    val s1 = w.append(orders.filter(col("o_orderkey") % 2 === 0))
+    w.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val t = graft.lake.iceberg.IcebergTable.load(spark, loc)
+
+    // path-fragment SQL — the `tbl.snapshots` UX over a path
+    val snaps = spark.sql(s"SELECT * FROM `graft-iceberg`.`$loc#snapshots`")
+    assert(snaps.columns.contains("snapshot_id") &&
+      snaps.columns.contains("operation"))
+    assert(snaps.count() == 2)
+    assert(spark.sql(
+      s"SELECT count(*) FROM `graft-iceberg`.`$loc#snapshots` " +
+        "WHERE operation = 'append'").head().getLong(0) == 2)
+
+    // reader-option form; `files` respects time travel
+    val files = spark.read.format("graft-iceberg")
+      .option("metadata", "files").load(loc)
+    assert(files.count() == t.planFiles(None).size)
+    val filesAt = spark.read.format("graft-iceberg")
+      .option("metadata", "files").option("snapshot-id", s1.toString).load(loc)
+    assert(filesAt.count() == t.planFiles(None, s1).size)
+    assert(filesAt.count() < files.count())
+
+    // unknown fragments / non-iceberg fragments reject loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM `graft-iceberg`.`$loc#bogus`").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM `graft-delta`.`$loc#snapshots`").collect()
+    }
+  }
+
   // ---- r11 wave 4: UPDATE / MERGE / SQL time travel ------------------------
 
   private def hudiInstants(loc: String): Int = {
