@@ -117,6 +117,40 @@ final class DeltaTable private (
   }
 
   /** Live data files surviving partition + stats pruning (receipt hook). */
+  /** `DESCRIBE HISTORY` shape — one row per commit from the log listing
+    * alone: version, timestamp (commit-file mtime, the protocol's own
+    * default timestamp resolution), operation (from `commitInfo` when
+    * the commit carries one — this writer tags RESTORE, OSS engines tag
+    * every commit; null otherwise). O(versions) driver metadata, no
+    * data IO. Served over SQL as `` `graft-delta`.`path#history` ``. */
+  def historyDf: DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(location, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val rows = fs.listStatus(logDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case DeltaTable.CommitRe(v) => Some((v.toLong, st))
+        case _ => None
+      }).sortBy(_._1).map { case (v, st) =>
+        val in = fs.open(st.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val op = text.split('\n').filter(_.trim.nonEmpty).iterator
+          .map(DeltaTable.mapper.readTree)
+          .collectFirst { case n if n.has("commitInfo") &&
+              n.get("commitInfo").has("operation") =>
+            n.get("commitInfo").get("operation").asText() }
+        org.apache.spark.sql.Row(v,
+          new java.sql.Timestamp(st.getModificationTime), op.orNull)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType),
+        StructField("timestamp", TimestampType),
+        StructField("operation", StringType))))
+  }
+
   def planFiles(filter: Option[Column] = None): Seq[String] = {
     val metas = adds.map(a => a.path -> toDataFileMeta(a)).toMap
     FilePruner.prune(metas.values.toSeq, filter,

@@ -80,6 +80,33 @@ final class HudiTable private (
   }
 
   /** Live base files surviving partition pruning (receipt hook). */
+  /** TIMELINE metadata view — one row per completed instant on the
+    * `.hoodie` timeline: instant, action (commit | deltacommit |
+    * replacecommit | savepoint | restore). Pure directory listing,
+    * O(instants), no data IO. Served over SQL as
+    * `` `graft-hudi`.`path#timeline` ``. */
+  def timelineDf: DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = new Path(location, ".hoodie")
+    val fs = meta.getFileSystem(conf)
+    val actions = Set("commit", "deltacommit", "replacecommit",
+      "savepoint", "restore")
+    val rows = fs.listStatus(meta).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        n.split('.') match {
+          case Array(instant, action) if actions(action) =>
+            Some((instant, action))
+          case _ => None
+        }
+      }.sortBy(_._1).map { case (i, a) => Row(i, a) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("instant", StringType),
+        StructField("action", StringType))))
+  }
+
   def planFiles(filter: Option[Column] = None): Seq[String] = {
     val metas = slices.map(toDataFileMeta)
     FilePruner.prune(metas, filter, partitionFields, schema).map(_.path)

@@ -373,10 +373,15 @@ class GraftDeltaSource extends InteropReadProvider {
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
     val loc = path(options)
-    Option(options.get("metadata")).foreach(w =>
-      throw new IllegalArgumentException(
-        s"graft-delta: no metadata table '$w' — the #fragment surface " +
-          "is served for graft-iceberg (snapshots|files)"))
+    // `` `graft-delta`.`path#history` `` — the DESCRIBE HISTORY shape,
+    // from the log listing alone (commitInfo operations when present)
+    Option(options.get("metadata")).foreach { which =>
+      require(which == "history", s"graft-delta: unknown metadata table " +
+        s"'$which' (history)")
+      val df = DeltaTable.load(spark, loc).historyDf
+      return InteropRead(s"graft-delta `$loc#$which`", df.schema,
+        _ => df, _ => (-1L, -1L))
+    }
     val t = Option(options.get("versionAsOf")) match {
       case Some(v) => DeltaTable.loadVersion(spark, loc, v.toLong)
       case None => Option(options.get("timestampAsOf")) match {
@@ -530,10 +535,15 @@ class GraftHudiSource extends InteropReadProvider {
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
     val loc = path(options)
-    Option(options.get("metadata")).foreach(w =>
-      throw new IllegalArgumentException(
-        s"graft-hudi: no metadata table '$w' — the #fragment surface " +
-          "is served for graft-iceberg (snapshots|files)"))
+    // `` `graft-hudi`.`path#timeline` `` — the completed-instant
+    // timeline as a queryable view
+    Option(options.get("metadata")).foreach { which =>
+      require(which == "timeline", s"graft-hudi: unknown metadata table " +
+        s"'$which' (timeline)")
+      val df = HudiTable.load(spark, loc).timelineDf
+      return InteropRead(s"graft-hudi `$loc#$which`", df.schema,
+        _ => df, _ => (-1L, -1L))
+    }
     val t = HudiTable.loadAsOf(spark, loc,
       options.get("as.of.instant")) // null = latest (loadAsOf's contract)
     val scan: Option[Column] => DataFrame =

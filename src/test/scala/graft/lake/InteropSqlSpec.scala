@@ -466,13 +466,34 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(filesAt.count() == t.planFiles(None, s1).size)
     assert(filesAt.count() < files.count())
 
-    // unknown fragments / non-iceberg fragments reject loudly
+    // unknown fragments / wrong-format fragments reject loudly
     intercept[Exception] {
       spark.sql(s"SELECT * FROM `graft-iceberg`.`$loc#bogus`").collect()
     }
     intercept[Exception] {
       spark.sql(s"SELECT * FROM `graft-delta`.`$loc#snapshots`").collect()
     }
+
+    // delta #history: DESCRIBE HISTORY shape from the log listing
+    val dLoc = freshDir("delta-metatbl")
+    val wd = DeltaWriter.create(spark, dLoc, orders.schema)
+    wd.append(orders.limit(100))                   // v1
+    wd.deleteWhere(col("o_orderkey") % 2 === 0)    // v2
+    val hist = spark.sql(s"SELECT * FROM `graft-delta`.`$dLoc#history`")
+    assert(hist.columns.toSeq == Seq("version", "timestamp", "operation"))
+    assert(hist.count() == 3) // v0 create + append + delete
+
+    // hudi #timeline: completed instants as a view
+    val hLoc = freshDir("hudi-metatbl")
+    val wh = HudiWriter.create(spark, hLoc, orders.schema,
+      partitionFields = Seq.empty, keyField = "o_orderkey",
+      tableType = "MERGE_ON_READ")
+    wh.insert(orders.limit(100))
+    wh.deleteLogWhere(col("o_orderkey") % 2 === 0)
+    val tl = spark.sql(s"SELECT * FROM `graft-hudi`.`$hLoc#timeline`")
+    assert(tl.columns.toSeq == Seq("instant", "action"))
+    assert(tl.count() == 2)
+    assert(tl.filter(col("action") === "deltacommit").count() >= 1)
   }
 
   // ---- r11 wave 4: UPDATE / MERGE / SQL time travel ------------------------
