@@ -71,11 +71,25 @@ final class DeltaWriter private (
 
   // ---- commits -------------------------------------------------------------
 
-  private def commit(actions: Seq[ObjectNode]): Long = {
+  /** `operation` (when given) rides as a `commitInfo` action — the
+    * freeform audit record OSS Delta writes on every commit; it is what
+    * makes the `#history` metadata view informative. RESTORE builds its
+    * own tagged commitInfo (the one operation changes() keys on). */
+  private def commit(actions: Seq[ObjectNode],
+      operation: String = null): Long = {
+    val all =
+      if (operation == null) actions
+      else {
+        val info = mapper.createObjectNode()
+        val ci = info.putObject("commitInfo")
+        ci.put("operation", operation)
+        ci.put("timestamp", System.currentTimeMillis())
+        info +: actions
+      }
     version += 1
     val p = new Path(logDir, f"$version%020d.json")
     val out = fs.create(p, false) // commits never overwrite, per protocol
-    try out.write(actions.map(mapper.writeValueAsString).mkString("\n").getBytes("UTF-8"))
+    try out.write(all.map(mapper.writeValueAsString).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     version
   }
@@ -316,7 +330,7 @@ final class DeltaWriter private (
   def append(df: DataFrame): Long = {
     val addsN = writeFiles(df.select(schema.fieldNames.map(col).toIndexedSeq: _*))
     addsN.foreach(n => live(n.get("add").get("path").asText()) = n)
-    commit(addsN)
+    commit(addsN, operation = "WRITE")
   }
 
   /** Latest committed SetTransaction version per appId (the protocol's
@@ -346,7 +360,7 @@ final class DeltaWriter private (
     val txn = mapper.createObjectNode()
     val t = txn.putObject("txn")
     t.put("appId", queryId); t.put("version", batchId); t.put("lastUpdated", ts)
-    val v = commit(addsN :+ txn)
+    val v = commit(addsN :+ txn, operation = "STREAMING UPDATE")
     txns(queryId) = (batchId, ts)
     v
   }
@@ -502,7 +516,7 @@ final class DeltaWriter private (
     val removes = touched.map(n => removeAction(n))
     touched.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
-    commit(cdcActs ++ removes ++ newAdds)
+    commit(cdcActs ++ removes ++ newAdds, operation = "DELETE")
   }
 
   /** remove action with EXTENDED file metadata (partitionValues, size —
@@ -575,7 +589,7 @@ final class DeltaWriter private (
     val removes = touched.map(n => removeAction(n))
     touched.foreach(n => live.remove(n.get("add").get("path").asText()))
     newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
-    commit(cdcActs ++ removes ++ newAdds)
+    commit(cdcActs ++ removes ++ newAdds, operation = "UPDATE")
   }
 
   /** Live add-file state as of `versionAsOf`, replayed from the raw log
@@ -691,7 +705,7 @@ final class DeltaWriter private (
         val cdcActs =
           if (cdcFrames.isEmpty) Nil
           else writeCdcFiles(cdcFrames.reduce(_ unionByName _))
-        commit(cdcActs ++ actions)
+        commit(cdcActs ++ actions, operation = "DELETE")
     }
 
   /** The action list of a DV delete WITHOUT committing — remove + DV'd
@@ -862,7 +876,7 @@ final class DeltaWriter private (
         val inserts = src.select(sel: _*).withColumn("_change_type", lit("insert"))
         writeCdcFiles((dvCdc :+ inserts).reduce(_ unionByName _))
       }
-    commit(cdcActs ++ dvActs ++ addsN)
+    commit(cdcActs ++ dvActs ++ addsN, operation = "MERGE")
   }
 
   // ---- checkpoints ---------------------------------------------------------

@@ -482,6 +482,9 @@ class InteropSqlSpec extends AnyFunSuite {
     val hist = spark.sql(s"SELECT * FROM `graft-delta`.`$dLoc#history`")
     assert(hist.columns.toSeq == Seq("version", "timestamp", "operation"))
     assert(hist.count() == 3) // v0 create + append + delete
+    // commits carry commitInfo operations (OSS Delta's audit record)
+    assert(hist.filter(col("operation") === "WRITE").count() == 1)
+    assert(hist.filter(col("operation") === "DELETE").count() == 1)
 
     // hudi #timeline: completed instants as a view
     val hLoc = freshDir("hudi-metatbl")
