@@ -534,6 +534,80 @@ final class DeltaWriter private (
     r
   }
 
+  /** OPTIMIZE — bin-packing compaction, the protocol's convention:
+    * live files below `smallBytes` are rewritten, per partition, into
+    * fewer files; the commit's removes AND adds both carry
+    * `dataChange = false`, so CDF readers and incremental consumers
+    * correctly see no row-level change (changes() filters on the
+    * flag). Files carrying a DELETION VECTOR fold their mask — the
+    * rewrite drops the masked rows along with the DV. No-op unless a
+    * partition has at least two candidates. */
+  def optimize(smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val byPartition = live.values.toSeq
+      .filter(_.get("add").path("size").asLong(Long.MaxValue) < smallBytes)
+      .groupBy(_.get("add").get("partitionValues").toString)
+      .filter(_._2.size >= 2)
+    if (byPartition.isEmpty) return version
+    val group = byPartition.values.flatten.toSeq
+    // bin-pack: shrink the write to ceil(bytes/target) tasks so the
+    // rewrite actually merges files instead of echoing the input split
+    val totalBytes = group.map(_.get("add").path("size").asLong(0L)).sum
+    val parts = math.max(1,
+      math.ceil(totalBytes.toDouble / math.max(1L, targetBytes)).toInt)
+    val rows = readForRewrite(group)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .coalesce(parts)
+    val newAdds = writeFiles(rows)
+    newAdds.foreach(
+      _.get("add").asInstanceOf[ObjectNode].put("dataChange", false))
+    val removes = group.map { n =>
+      val r = removeAction(n)
+      r.get("remove").asInstanceOf[ObjectNode].put("dataChange", false)
+      r
+    }
+    group.foreach(n => live.remove(n.get("add").get("path").asText()))
+    newAdds.foreach(n => live(n.get("add").get("path").asText()) = n)
+    commit(removes ++ newAdds, operation = "OPTIMIZE")
+  }
+
+  /** VACUUM — delete content files under the table root that the
+    * CURRENT version no longer references (rewritten/removed data
+    * files, orphaned DV binaries) and whose mtime is older than
+    * `retainMs` (the protocol's mtime-retention guidance; time travel
+    * to versions that needed them stops working, which is VACUUM's
+    * documented trade). Never touches `_delta_log`. Returns the number
+    * of files deleted. */
+  def vacuum(retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - retainMs
+    val referenced: Set[String] = live.values.flatMap { n =>
+      val a = n.get("add")
+      val data = fs.makeQualified(
+        DeltaTable.resolve(location, a.get("path").asText())).toString
+      val dv =
+        if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+          dvDescOf(a).flatMap(_.filePath(location))
+            .map(p => fs.makeQualified(p).toString)
+        else None
+      Seq(data) ++ dv
+    }.toSet
+    var deleted = 0
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val q = fs.makeQualified(st.getPath).toString
+      val name = st.getPath.getName
+      val inLog = q.contains("/_delta_log/")
+      val content = name.endsWith(".parquet") || name.endsWith(".bin")
+      if (!inLog && content && !referenced(q) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** COPY-ON-WRITE UPDATE: affected files rewritten with `set`
     * assignments applied to matching rows; on a CDF table the commit
     * also carries update_preimage/update_postimage change rows — the

@@ -332,6 +332,69 @@ final class IcebergWriter private (
     writeMetadata()
   }
 
+  /** COMPACTION as a `replace` snapshot (Iceberg's rewrite_data_files
+    * shape, deletes folded): the live table — position/equality/DV
+    * deletes applied — is rewritten as fresh size-managed data files,
+    * and the new snapshot's manifest list carries ONLY them, so scans
+    * stop paying every delete application. Content is unchanged by
+    * construction; incremental append scans SKIP `replace` snapshots
+    * per Iceberg's own semantics, so change consumers see nothing. */
+  def compact(): Long = {
+    if (currentMeta.currentSnapshotId.isEmpty) return -1L // nothing to rewrite
+    val t = IcebergTable.load(spark, location)
+    val entries = writeDataFiles(t.scan())
+    listState = Nil // the replace snapshot references only the rewrite
+    commitManifests("replace", Seq("data" -> entries))
+  }
+
+  /** EXPIRE SNAPSHOTS + file GC (Iceberg's expire_snapshots): keeps
+    * the newest `keepLast` snapshots on the CURRENT ancestry plus every
+    * ref/tag target, drops the rest from metadata, then deletes files
+    * referenced ONLY by dropped snapshots — manifest lists, manifests
+    * and content files alike. Time travel to kept snapshots is
+    * untouched; expired ids fail loudly at read, which is the point.
+    * Returns (snapshots dropped, files deleted). */
+  def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "iceberg: expireSnapshots needs keepLast >= 1")
+    val all = currentMeta.snapshots
+    val byId = all.map(s => s.id -> s).toMap
+    val ancestry = scala.collection.mutable.ArrayBuffer[Long]()
+    var cur = currentMeta.currentSnapshotId
+    while (cur.isDefined) {
+      ancestry += cur.get
+      cur = byId.get(cur.get).flatMap(_.parentId)
+    }
+    val keepIds = (ancestry.take(keepLast) ++
+      currentMeta.refs.values.map(_.snapshotId)).toSet
+    val dropped = all.filterNot(s => keepIds(s.id))
+    if (dropped.isEmpty) return (0, 0)
+
+    def resolve(p: String): Path = {
+      val hasScheme = p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
+      if (hasScheme || p.startsWith("/")) new Path(p) else new Path(root, p)
+    }
+    def referenced(s: IceSnapshot): Set[String] = {
+      val lst = resolve(s.manifestList)
+      val les = IcebergAvro.readManifestList(conf, lst)
+      (Seq(fs.makeQualified(lst).toString) ++
+        les.flatMap { le =>
+          val mp = resolve(le.path)
+          fs.makeQualified(mp).toString +:
+            IcebergAvro.readManifest(conf, mp)._2.map(en =>
+              fs.makeQualified(resolve(en.filePath)).toString)
+        }).toSet
+    }
+    val kept = all.filter(s => keepIds(s.id)).flatMap(referenced).toSet
+    val doomed = dropped.flatMap(referenced).toSet -- kept
+    doomed.foreach(p => fs.delete(new Path(p), false))
+    currentMeta = currentMeta.copy(
+      snapshots = all.filter(s => keepIds(s.id)),
+      snapshotLog = currentMeta.snapshotLog.filter {
+        case (_, id) => keepIds(id) })
+    writeMetadata()
+    (dropped.size, doomed.size)
+  }
+
   def tag(name: String, snapshotId: Long): Unit = {
     currentMeta.snapshot(snapshotId) // must exist
     currentMeta = currentMeta.copy(

@@ -726,7 +726,19 @@ object Lake {
     val pruned = ice.planFiles(Some(col("o_orderstatus") === "F")).size
     require(pruned < total,
       s"exported iceberg layout must partition-prune ($pruned of $total kept)")
-    statusAgg(ice.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}"))
+    // r11 maintenance arm: compact() folds the mirror's delete files
+    // into a `replace` snapshot, expireSnapshots drops pre-compaction
+    // history and GCs what only dropped snapshots referenced — the tag
+    // read below is provably unchanged (refs are retention pins)
+    val wm = graft.lake.iceberg.IcebergWriter.open(s, dst)
+    wm.compact()
+    val (droppedSnaps, gcFiles) = wm.expireSnapshots(keepLast = 1)
+    require(droppedSnaps > 0 && gcFiles > 0,
+      s"expire must drop history and GC files ($droppedSnaps/$gcFiles)")
+    val after = IcebergTable.load(s, dst)
+    require(after.filesDf().filter(col("content") =!= 0).count() == 0,
+      "compaction must fold every delete file away")
+    statusAgg(after.scanRef(s"graft-snapshot-${t.meta.currentSnapshotId}"))
   }
 
   /** Hudi WRITE interop (r09; third leg of the write triangle — graft
@@ -800,7 +812,17 @@ object Lake {
     val pruned = dt.planFiles(Some(col("o_orderstatus") === "F")).size
     require(pruned < total,
       s"exported delta layout must partition-prune ($pruned of $total kept)")
-    statusAgg(dt.scan())
+    // r11 maintenance arm: OPTIMIZE bin-packs the mirror under a
+    // dataChange=false commit (CDF-invisible, DVs folded) and VACUUM
+    // GCs the superseded files — content provably unchanged (oracle)
+    val wm = graft.lake.delta.DeltaWriter.open(s, dst)
+    wm.optimize(smallBytes = Long.MaxValue)
+    val optimized = graft.lake.delta.DeltaTable.load(s, dst)
+    require(optimized.planFiles().size < total,
+      s"OPTIMIZE must shrink the live file count (was $total)")
+    require(wm.vacuum(retainMs = 0L) > 0,
+      "VACUUM must GC the superseded files")
+    statusAgg(optimized.scan())
   }
 
   /** REAL Delta Lake read interop — the reference lists Delta as future

@@ -743,4 +743,44 @@ class DeltaSpec extends AnyFunSuite {
     assert(logText.contains("\"minWriterVersion\":5"))
     assert(!logText.contains("readerFeatures"))
   }
+
+  test("OPTIMIZE compacts with dataChange=false (CDF-invisible); VACUUM GCs (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("optimize")
+    val w = DeltaWriter.create(spark, loc, o.schema, enableCdf = true)
+    (0 until 4).foreach(i =>
+      w.append(o.filter(col("o_orderkey") % 4 === i)))           // v1..v4
+    w.deleteWhereDv(col("o_orderkey") % 9 === 2)                 // v5: DV
+    val expect = o.filter(col("o_orderkey") % 9 =!= 2).count()
+    val before = DeltaTable.load(spark, loc)
+    assert(before.scan().count() == expect)
+    val oldFiles = before.planFiles(None)
+    assert(oldFiles.size >= 4)
+
+    val v = w.optimize(smallBytes = Long.MaxValue)               // v6
+    val t = DeltaTable.load(spark, loc)
+    assert(t.version == v)
+    assert(t.scan().count() == expect, "OPTIMIZE must not change content")
+    assert(t.planFiles(None).size < oldFiles.size, "fewer, larger files")
+    // the DV folded into the rewrite: no live deletionVector remains
+    assert(!scala.io.Source.fromFile(
+      s"$loc/_delta_log/${"%020d".format(v)}.json").mkString
+      .contains("deletionVector"))
+    // CDF: the OPTIMIZE version contributes NO change rows
+    assert(DeltaTable.changes(spark, loc, v, v).count() == 0)
+    // ...while real changes in range still reconstruct
+    assert(DeltaTable.changes(spark, loc, 5, v)
+      .filter(col("_change_type") === "delete").count() ==
+      o.filter(col("o_orderkey") % 9 === 2).count())
+    // history carries the operation tags
+    assert(t.historyDf.filter(col("operation") === "OPTIMIZE").count() == 1)
+
+    val deleted = w.vacuum(retainMs = 0)
+    assert(deleted > 0)
+    val after = DeltaTable.load(spark, loc)
+    assert(after.scan().count() == expect, "VACUUM must not change content")
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    oldFiles.foreach(p => assert(!fs.exists(new Path(loc, p)),
+      s"pre-OPTIMIZE file must be GC'd: $p"))
+  }
 }

@@ -627,4 +627,40 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("positional"),
       s"error must explain the positional-delete-over-ORC limit: ${e.getMessage}")
   }
+
+  test("compact() folds deletes into a replace snapshot; expireSnapshots GCs (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("maintain")
+    val w = IcebergWriter.create(spark, loc, o.schema)
+    w.append(o.filter(col("o_orderkey") % 2 === 0))
+    w.append(o.filter(col("o_orderkey") % 2 === 1))
+    w.equalityDelete(o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+    w.deleteWhereDv(col("o_orderkey") % 7 === 3)
+    val expect = o.filter(col("o_orderkey") % 5 =!= 0 &&
+      col("o_orderkey") % 7 =!= 3).count()
+    val before = IcebergTable.load(spark, loc)
+    assert(before.scan().count() == expect)
+    val oldDataFiles = before.planFiles(None)
+
+    val compactSnap = w.compact()
+    val t = IcebergTable.load(spark, loc)
+    assert(t.meta.snapshot(compactSnap).operation == "replace")
+    assert(t.scan().count() == expect, "compaction must not change content")
+    assert(t.filesDf().filter(col("content") =!= 0).count() == 0,
+      "the rewrite folds every delete away — no delete content files remain")
+    // incremental append scans skip replace snapshots — a consumer
+    // tailing across the compaction sees NOTHING new
+    assert(t.incrementalAppends(t.meta.snapshot(compactSnap).parentId.get)
+      .count() == 0)
+
+    val (droppedSnaps, deletedFiles) = w.expireSnapshots(keepLast = 1)
+    assert(droppedSnaps == 4, s"expire should drop the 4 pre-compaction snapshots, got $droppedSnaps")
+    assert(deletedFiles > 0)
+    val after = IcebergTable.load(spark, loc)
+    assert(after.meta.snapshots.length == 1)
+    assert(after.scan().count() == expect, "expire must not change content")
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    oldDataFiles.foreach(p => assert(!fs.exists(new Path(p)),
+      s"pre-compaction data file must be GC'd: $p"))
+  }
 }
