@@ -90,7 +90,7 @@ final class HudiTable private (
     val meta = new Path(location, ".hoodie")
     val fs = meta.getFileSystem(conf)
     val actions = Set("commit", "deltacommit", "replacecommit",
-      "savepoint", "restore")
+      "clean", "savepoint", "restore")
     val rows = fs.listStatus(meta).toSeq
       .flatMap { st =>
         val n = st.getPath.getName
@@ -354,6 +354,23 @@ object HudiTable {
         s"replay — ${unsupported.mkString(", ")}; reading through them " +
         "would return rolled-back state")
 
+    // time travel BEHIND the cleaner's retention would plan slices whose
+    // files the cleaner deleted — reject loudly up front instead of
+    // failing file-not-found mid-scan (the cleaner's documented trade)
+    if (instant != null) {
+      val CleanRe = """(\d+)\.clean""".r
+      timeline.filter(p => CleanRe.matches(p.getName))
+        .sortBy(_.getName).lastOption.foreach { p =>
+          val in = fs.open(p)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val keep = mapper.readTree(json)
+            .path("earliestCommitToRetain").asText("")
+          require(keep.isEmpty || instant >= keep,
+            s"hudi: as-of instant $instant predates the cleaner's " +
+              s"earliestCommitToRetain $keep — those file slices are gone")
+        }
+    }
     val CommitRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
     val commits = timeline
       .flatMap(p => p.getName match {

@@ -701,6 +701,99 @@ final class HudiWriter private (
     instant
   }
 
+  /** CLEANING (Hudi's cleaner service, KEEP_LATEST_FILE_VERSIONS
+    * policy): deletes file slices the snapshot view can no longer
+    * reach — per live file group, every base file (and its bound log
+    * files) older than the newest `retainVersions` slices; for file
+    * groups RETIRED by a replacecommit (clustering / insert_overwrite),
+    * every slice, since the replacement carries their data. Writes a
+    * completed `<instant>.clean` timeline instant in
+    * HoodieCleanMetadata's shape (earliestCommitToRetain +
+    * per-partition successDeleteFiles). Snapshot and incremental reads
+    * of the retained window are untouched; time travel to cleaned
+    * instants fails at scan — the cleaner's documented trade, the Hudi
+    * counterpart of Delta VACUUM / Iceberg expireSnapshots. Needs a
+    * full-history timeline replay (the reader keeps only each group's
+    * LATEST slice; the cleaner must see the superseded ones) — pure
+    * O(instants) driver metadata, no data IO beyond the deletes.
+    * Returns the number of files deleted. */
+  def clean(retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "hudi: clean needs retainVersions >= 1")
+    val CommitRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
+    val commits = fs.listStatus(metaDir).toSeq.map(_.getPath)
+      .flatMap(p => p.getName match {
+        case CommitRe(t, kind) => Some((t, kind, p))
+        case _ => None
+      }).sortBy(_._1)
+    // (fileId -> base slices in commit order); logs bind to their base
+    // instant's slice, exactly as the reader's replay does
+    case class H(part: String, instant: String, path: String,
+        logs: scala.collection.mutable.ArrayBuffer[String])
+    val hist = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[H]]()
+    val retired = scala.collection.mutable.Set[String]()
+    commits.foreach { case (t, kind, p) =>
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val n = mapper.readTree(json)
+      val parts = n.path("partitionToWriteStats").fields()
+      while (parts.hasNext) {
+        val e = parts.next()
+        val it = e.getValue.elements()
+        while (it.hasNext) {
+          val st = it.next()
+          val path = st.path("path").asText()
+          new Path(path).getName match {
+            case HudiLog.LogFileRe(fid, baseInstant, _, _) =>
+              val fileId = { val f = st.path("fileId").asText()
+                if (f.nonEmpty) f else fid }
+              hist.get(fileId).flatMap(_.findLast(_.instant == baseInstant))
+                .foreach(_.logs += path)
+            case _ =>
+              hist.getOrElseUpdate(st.path("fileId").asText(),
+                scala.collection.mutable.ArrayBuffer[H]()) +=
+                H(e.getKey, t, path,
+                  scala.collection.mutable.ArrayBuffer[String]())
+          }
+        }
+      }
+      if (kind == "replacecommit") {
+        val rp = n.path("partitionToReplaceFileIds").fields()
+        while (rp.hasNext) {
+          val ids = rp.next().getValue.elements()
+          while (ids.hasNext) retired += ids.next().asText()
+        }
+      }
+    }
+    val doomed = hist.toSeq.flatMap { case (fid, slices) =>
+      if (retired(fid)) slices.toSeq
+      else slices.toSeq.dropRight(retainVersions)
+    }
+    if (doomed.isEmpty) return 0
+    val deleted = doomed.flatMap(h => h.path +: h.logs.toSeq)
+      .filter(rel => fs.delete(new Path(root, rel), false))
+    val keptInstants = hist.toSeq.flatMap { case (fid, slices) =>
+      if (retired(fid)) Nil else slices.toSeq.takeRight(retainVersions)
+    }.map(_.instant)
+    val instant = nextInstant()
+    val n = mapper.createObjectNode()
+    n.put("operation", "clean")
+    n.put("startCleanTime", instant)
+    n.put("earliestCommitToRetain",
+      keptInstants.minOption.getOrElse(instant))
+    n.put("totalFilesDeleted", deleted.size)
+    val pm = n.putObject("partitionMetadata")
+    doomed.groupBy(_.part).toSeq.sortBy(_._1).foreach { case (part, hs) =>
+      val arr = pm.putObject(part).putArray("successDeleteFiles")
+      hs.flatMap(h => h.path +: h.logs.toSeq).sorted.foreach(arr.add)
+    }
+    val out = fs.create(new Path(metaDir, s"$instant.clean"), false)
+    try out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
+    finally out.close()
+    deleted.size
+  }
+
   /** Routes `rows` to the file groups holding their keys and writes one
     * Avro log file per matched group FROM ITS EXECUTOR TASK, in a single
     * distributed pass: rows join a 2-column pruned base-key index
@@ -828,7 +921,9 @@ object HudiWriter {
     val t = HudiTable.load(spark, location)
     val w = new HudiWriter(spark, location, t.schema, partitionFields,
       keyField, tableType)
-    val InstantRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
+    // clean counts too: a reopened writer must mint instants ABOVE the
+    // cleaner's, or the timeline gets duplicate instant ordinals
+    val InstantRe = """(\d+)\.(commit|deltacommit|replacecommit|clean)""".r
     w.instantSeq = fs.listStatus(meta).toSeq.map(_.getPath.getName).collect {
       case InstantRe(i, _) => i.toLong
     }.maxOption.getOrElse(0L)

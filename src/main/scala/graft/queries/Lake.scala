@@ -773,7 +773,17 @@ object Lake {
     val pruned = ht.planFiles(Some(col("o_orderstatus") === "F")).size
     require(pruned < total,
       s"exported hudi layout must partition-prune ($pruned of $total kept)")
-    statusAgg(ht.scan())
+    // r11 maintenance arm: compaction folds the sync's log files into
+    // fresh base slices, then clean() GCs the superseded slices the
+    // snapshot view can no longer reach — content provably unchanged
+    // (oracle); completes maintenance symmetry with the Delta
+    // OPTIMIZE/VACUUM and Iceberg compact/expire arms
+    val wm = graft.lake.hudi.HudiWriter.open(s, dst)
+    require(wm.compact() != null, "the sync's log files must compact")
+    require(wm.clean() > 0, "clean must GC the superseded file slices")
+    val after = HudiTable.load(s, dst)
+    require(!after.hasLogFiles, "compaction must fold every log file")
+    statusAgg(after.scan())
   }
 
   /** Delta WRITE interop (r09; the Delta counterpart of

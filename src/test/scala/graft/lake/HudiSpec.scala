@@ -689,4 +689,84 @@ class HudiSpec extends AnyFunSuite {
     assert(HudiTable.load(spark, loc).scan()
       .filter(col("n_name") === "REOPENED").count() == 1)
   }
+
+  test("clean(): superseded COW slices GC'd; retention guards time travel (r11)") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("clean-cow")
+    val w = HudiWriter.create(spark, loc, n.schema, keyField = "n_nationkey")
+    val i1 = w.insert(n)
+    w.upsert(n.withColumn("n_name", lit("V2")))    // supersedes every slice
+    val i3 = w.upsert(n.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("V3")))            // a third slice for one group
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val liveBefore = HudiTable.load(spark, loc).planFiles()
+    val allParquet = { val it = fs.listFiles(new Path(loc), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) b += s.getPath.toString }
+      b.result() }
+    assert(allParquet.size > liveBefore.size, "history slices must exist pre-clean")
+
+    val deleted = w.clean()
+    assert(deleted == allParquet.size - liveBefore.size,
+      s"clean must GC exactly the superseded slices ($deleted)")
+    val t = HudiTable.load(spark, loc)
+    assert(t.scan().filter(col("n_nationkey") < 5)
+      .select("n_name").distinct().collect().map(_.getString(0)).toSeq == Seq("V3"))
+    assert(t.scan().count() == n.count(), "clean must not change the snapshot")
+    assert(t.planFiles().toSet == liveBefore.toSet)
+    // retained slices survive: as-of the latest instant still reads
+    assert(HudiTable.loadAsOf(spark, loc, i3).scan().count() == n.count())
+    // time travel BEHIND retention is rejected loudly, not file-not-found
+    val e = intercept[IllegalArgumentException](HudiTable.loadAsOf(spark, loc, i1))
+    assert(e.getMessage.contains("earliestCommitToRetain"))
+    // the timeline metadata view lists the clean instant
+    assert(t.timelineDf.filter(col("action") === "clean").count() == 1)
+    // a reopened writer mints instants ABOVE the clean's
+    val w2 = HudiWriter.open(spark, loc)
+    val i5 = w2.upsert(n.filter(col("n_nationkey") === 9)
+      .withColumn("n_name", lit("POSTCLEAN")))
+    assert(HudiTable.load(spark, loc).scan()
+      .filter(col("n_name") === "POSTCLEAN").count() == 1)
+    assert(i5.toLong > i3.toLong + 1, "clean consumed an instant ordinal")
+    // idempotent once nothing is superseded beyond retention
+    assert(w2.clean() == 1, "second clean GCs only the slice i5 superseded")
+  }
+
+  test("clean() on MOR: compacted-away bases+logs and retired groups GC'd (r11)") {
+    val n = Tables.nation(spark, sf)
+    val loc = freshDir("clean-mor")
+    val w = HudiWriter.create(spark, loc, n.schema,
+      partitionFields = Seq("n_regionkey"), keyField = "n_nationkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(n)
+    w.upsertLog(n.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_name", lit("LOGGED")))
+    assert(w.compact() != null)
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    def logCount: Int = { val it = fs.listFiles(new Path(loc), true)
+      var c = 0
+      while (it.hasNext) { if (it.next().getPath.getName.contains(".log.")) c += 1 }
+      c }
+    assert(logCount > 0, "pre-clean: compacted-away logs still on disk")
+    assert(w.clean() > 0)
+    assert(logCount == 0, "clean must GC the compacted-away log files")
+    val t = HudiTable.load(spark, loc)
+    assert(t.scan().count() == n.count())
+    assert(t.scan().filter(col("n_name") === "LOGGED").count() ==
+      n.filter(col("n_nationkey") % 3 === 0).count())
+    // retired groups (replacecommit) lose every slice
+    w.cluster()
+    val clusteredLive = HudiTable.load(spark, loc).planFiles().toSet
+    assert(w.clean() > 0, "clean must GC the groups clustering retired")
+    val remaining = { val it = fs.listFiles(new Path(loc), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) b += s.getPath.toString }
+      b.result() }
+    assert(remaining.map(p => p.substring(p.indexOf(loc) + loc.length + 1)) ==
+      clusteredLive.map(_.replaceAll("^/", "")),
+      "after clean only the live clustered slices remain on disk")
+    assert(HudiTable.load(spark, loc).scan().count() == n.count())
+  }
 }
