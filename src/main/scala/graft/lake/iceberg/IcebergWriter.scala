@@ -347,6 +347,50 @@ final class IcebergWriter private (
     commitManifests("replace", Seq("data" -> entries))
   }
 
+  /** REWRITE MANIFESTS (Iceberg's rewrite_manifests) — METADATA-ONLY
+    * maintenance: every commit appends one manifest to the list, so a
+    * steady-state mirror's planning walk grows O(commits); this
+    * consolidates the live manifests into ceil(entries/target) fresh
+    * ones without touching a single data or delete file. Entries are
+    * carried as EXISTING (status 0) with their INHERITED snapshot id
+    * and sequence number made EXPLICIT — mandatory, since inheritance
+    * only flows from the manifest that ADDED an entry (the reader
+    * defaults a null-seq EXISTING entry to 0, per spec), and the v2
+    * delete-applicability rules compare those per-entry seqs. Commits
+    * a `replace` snapshot: content bit-identical, incremental append
+    * consumers skip it. Returns the new snapshot id, or -1 when there
+    * is nothing to consolidate. */
+  def rewriteManifests(targetEntries: Int = 100000): Long = {
+    if (currentMeta.currentSnapshotId.isEmpty || listState.size <= 1) return -1L
+    def resolve(p: String): Path = {
+      val hasScheme = p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
+      if (hasScheme || p.startsWith("/")) new Path(p) else new Path(root, p)
+    }
+    // partition-evolved tables: manifests are spec-scoped (their entries'
+    // partition tuples follow THEIR spec), so only current-spec manifests
+    // consolidate — older-spec ones carry through untouched, exactly as
+    // Iceberg's rewrite_manifests groups by spec
+    val (rewritable, keep) = listState.partition(_._1.specId == curSpec.specId)
+    if (rewritable.size <= 1) return -1L
+    val carried = rewritable.map(_._1).flatMap { le =>
+      IcebergAvro.readManifest(conf, resolve(le.path))._2
+        .filter(_.status != 2) // DELETED entries are not live
+        .map { e =>
+          (e.copy(status = 0,
+            snapshotId = Some(e.snapshotId.getOrElse(le.addedSnapshotId)),
+            sequenceNumber = Some(e.sequenceNumber.getOrElse(
+              if (e.status == 1) le.sequenceNumber else 0L))),
+            le.content == 1)
+        }
+    }
+    val (del, data) = carried.partition(_._2)
+    listState = keep
+    val groups =
+      data.map(_._1).grouped(math.max(1, targetEntries)).map("data" -> _).toSeq ++
+        del.map(_._1).grouped(math.max(1, targetEntries)).map("deletes" -> _).toSeq
+    commitManifests("replace", groups)
+  }
+
   /** EXPIRE SNAPSHOTS + file GC (Iceberg's expire_snapshots): keeps
     * the newest `keepLast` snapshots on the CURRENT ancestry plus every
     * ref/tag target, drops the rest from metadata, then deletes files
@@ -683,14 +727,23 @@ final class IcebergWriter private (
         lowerBound = bounds.map(_._1), upperBound = bounds.map(_._2))
     }
 
+    // status-aware list counts: appends mint ADDED (status 1) entries;
+    // rewriteManifests carries EXISTING (status 0) ones — and its
+    // entries' explicit inherited seqs must pull min_sequence_number
+    // DOWN, or a conformant reader could prune old delete manifests
+    // out of applicability
     val newEntry = IcebergAvro.ManifestFileEntry(
       fs.makeQualified(mPath).toString, mLen, spec.specId,
       content = if (manifestContent == "deletes") 1 else 0,
-      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
-      addedFiles = entries.size, existingFiles = 0, deletedFiles = 0,
+      sequenceNumber = seq,
+      minSequenceNumber = (entries.flatMap(_.sequenceNumber) :+ seq).min,
+      addedSnapshotId = snapId,
+      addedFiles = entries.count(_.status == 1),
+      existingFiles = entries.count(_.status == 0), deletedFiles = 0,
       partitions = summaries)
-    val rowTotal = entries.map(_.recordCount).sum
-    listState = listState :+ (newEntry, (rowTotal, 0L, 0L))
+    val rows = (s: Int) =>
+      entries.filter(_.status == s).map(_.recordCount).sum
+    listState = listState :+ (newEntry, (rows(1), rows(0), 0L))
     } // per-group manifest loop
 
     val listPath = new Path(root, s"metadata/snap-$snapId-$nonce.avro")

@@ -731,6 +731,11 @@ object Lake {
     // history and GCs what only dropped snapshots referenced — the tag
     // read below is provably unchanged (refs are retention pins)
     val wm = graft.lake.iceberg.IcebergWriter.open(s, dst)
+    // metadata-only manifest consolidation first (steady-state mirrors
+    // grow one manifest per sync commit — the O(commits) planning-walk
+    // fix), then the data rewrite
+    require(wm.rewriteManifests() != -1L,
+      "the synced mirror must have manifests to consolidate")
     wm.compact()
     val (droppedSnaps, gcFiles) = wm.expireSnapshots(keepLast = 1)
     require(droppedSnaps > 0 && gcFiles > 0,

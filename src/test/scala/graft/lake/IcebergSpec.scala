@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{Tables, TestSpark}
-import graft.lake.iceberg.{IcebergTable, IcebergTransforms, IcebergWriter}
+import graft.lake.iceberg.{IcebergAvro, IcebergTable, IcebergTransforms, IcebergWriter}
 
 /** Real Apache Iceberg format interop: the writer builds spec-conforming
   * v2 layouts (Avro manifests + manifest lists, metadata.json), the reader
@@ -626,6 +626,60 @@ class IcebergSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("positional"),
       s"error must explain the positional-delete-over-ORC limit: ${e.getMessage}")
+  }
+
+  test("rewriteManifests: metadata-only consolidation, deletes still apply (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("rewrite-manifests")
+    val w = IcebergWriter.create(spark, loc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    w.append(o.filter(col("o_orderkey") % 3 === 0))
+    w.append(o.filter(col("o_orderkey") % 3 === 1))
+    w.append(o.filter(col("o_orderkey") % 3 === 2))
+    w.equalityDelete(o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+    w.deleteWhereDv(col("o_orderkey") % 7 === 3)
+    val expect = o.filter(col("o_orderkey") % 5 =!= 0 &&
+      col("o_orderkey") % 7 =!= 3).count()
+    val before = IcebergTable.load(spark, loc)
+    val snapBefore = before.meta.currentSnapshotId.get
+    val filesBefore = before.planFiles(None).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    def manifestCount(t: IcebergTable): Int = IcebergAvro.readManifestList(conf,
+      new Path(t.meta.snapshot(t.meta.currentSnapshotId.get).manifestList)).size
+    assert(manifestCount(before) >= 5, "five commits -> five manifests")
+
+    val rid = w.rewriteManifests()
+    assert(rid != -1L)
+    val t = IcebergTable.load(spark, loc)
+    assert(t.meta.snapshot(rid).operation == "replace")
+    assert(manifestCount(t) == 2, "one data + one delete manifest after rewrite")
+    // METADATA-only: the planned data files are the very same ones
+    assert(t.planFiles(None).toSet == filesBefore)
+    // content identical — the carried EXISTING entries' explicit seqs
+    // keep the v2 delete-applicability rules exact
+    assert(t.scan().count() == expect)
+    // partition pruning still works off the rewritten manifests' summaries
+    assert(t.planFiles(Some(col("o_orderstatus") === "F")).size <
+      t.planFiles(None).size)
+    // incremental consumers see NOTHING across the rewrite...
+    assert(t.incrementalAppends(snapBefore).count() == 0)
+    // ...and a later append is still delivered exactly
+    val added = o.filter(col("o_orderkey") % 11 === 4)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    w.append(added)
+    assert(IcebergTable.load(spark, loc).incrementalAppends(rid).count() ==
+      added.count())
+    // time travel to the pre-rewrite snapshot still reads
+    assert(IcebergTable.load(spark, loc)
+      .scan(snapshotId = snapBefore).count() == expect)
+    // grouping: targetEntries=1 rolls one manifest per entry
+    val w2 = IcebergWriter.open(spark, loc)
+    val rid2 = w2.rewriteManifests(targetEntries = 1)
+    assert(rid2 != -1L)
+    val t2 = IcebergTable.load(spark, loc)
+    assert(manifestCount(t2) == t2.planFiles(None).size +
+      t2.filesDf().filter(col("content") =!= 0).count().toInt)
+    assert(t2.scan().count() == expect + added.count())
   }
 
   test("compact() folds deletes into a replace snapshot; expireSnapshots GCs (r11)") {
