@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => new graft.lake.sql.GraftNativeScanRule)
     // SQL UPDATE / MERGE INTO lowered onto the MoR commit path
     ext.injectResolutionRule(_ => new graft.lake.sql.GraftRowLevelSqlRule)
+    // interop (graft-iceberg/delta/hudi) reads substituted with the format
+    // readers' native plans — optimizer-time so DataFrame-chain filters
+    // are already collapsed onto the relation (see the rule doc)
+    ext.injectOptimizerRule(_ => new graft.lake.sql.InteropNativeScanRule)
     // `SELECT … FROM \`graft-iceberg\`.\`/path\`` — direct SQL over the
     // interop formats; must run in the HINTS batch, ahead of Spark's
     // ResolveSQLOnFile (which rejects non-file providers loudly)

@@ -1100,9 +1100,27 @@ object Lake {
           FROM `graft-iceberg`.`$loc`
           WHERE o_orderstatus = 'F'
           GROUP BY o_orderpriority""")
-    val plan = cur.queryExecution.executedPlan.toString
-    require(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
-      s"iceberg SQL read must push the WHERE into the scan, plan:\n$plan")
+    // receipt: the WHERE prunes data files at PLAN time. Under the
+    // native-scan substitution the identity partition column is served
+    // from injected manifest constants, so it can vanish from the plan
+    // TEXT entirely (consumed into the broadcast metadata frame) — the
+    // old PushedFilters string receipt was shape-dependent. Assert the
+    // real property instead: fewer data files planned WITH the WHERE.
+    def dataFilesPlanned(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    val unfiltered = s.sql(s"SELECT o_totalprice FROM `graft-iceberg`.`$loc`")
+    val (fCur, fAll) = (dataFilesPlanned(cur), dataFilesPlanned(unfiltered))
+    require(
+      if (fAll > 0) fCur < fAll // native substitution: real file counts
+      else cur.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      s"iceberg SQL read must prune files from the WHERE ($fCur of $fAll planned)")
     val pre = s.read.format("graft-iceberg").option("ref", "pre-1996").load(loc)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),

@@ -46,10 +46,29 @@ class InteropSqlSpec extends AnyFunSuite {
     val df = spark.read.format("graft-iceberg").load(loc)
     assert(df.count() == orders.count())
 
+    // the filter must prune FILES at plan time. Under the native-scan
+    // substitution the identity partition column is served from injected
+    // manifest constants and can vanish from the plan text, so assert
+    // the property itself: fewer data files planned with the filter.
+    def filesPlanned(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
     val q = df.filter(col("o_orderstatus") === "F").select("o_orderkey")
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
-      s"filter must reach the DSv2 scan:\n$plan")
+    val qAll = df.select("o_orderkey")
+    if (filesPlanned(qAll) > 0) // native substitution path
+      assert(filesPlanned(q) < filesPlanned(qAll),
+        s"filter must prune planned files (${filesPlanned(q)} of ${filesPlanned(qAll)})")
+    else { // V1 fallback: the filter shows in the DSv2 scan description
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
+        s"filter must reach the DSv2 scan:\n$plan")
+    }
 
     val tagged = spark.read.format("graft-iceberg")
       .option("ref", "halfway").load(loc)
@@ -132,7 +151,9 @@ class InteropSqlSpec extends AnyFunSuite {
                 min(o_orderkey) AS mn, max(o_orderkey) AS mx
          FROM ice_agg WHERE o_orderstatus = 'F'""")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("GraftAggScan"),
+    // V1 path answers via GraftAggScan; the native-scan rule collapses
+    // the whole aggregate to a LocalTableScan — both are metadata-only
+    assert(plan.contains("GraftAggScan") || plan.contains("LocalTableScan"),
       s"aggregate must collapse to the metadata scan:\n$plan")
     val want = o.filter(col("o_orderstatus") === "F")
     val row = q.head()
@@ -180,7 +201,8 @@ class InteropSqlSpec extends AnyFunSuite {
                 min(o_orderkey) AS mn, max(o_orderdate) AS mx
          FROM delta_agg WHERE o_orderstatus = 'F'""")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("GraftAggScan"),
+    // V1 GraftAggScan or the native rule's LocalTableScan — both metadata-only
+    assert(plan.contains("GraftAggScan") || plan.contains("LocalTableScan"),
       s"aggregate must collapse to the metadata scan:\n$plan")
     val want = o.filter(col("o_orderstatus") === "F")
     val row = q.head()
@@ -190,8 +212,9 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(row.get(3) == want.agg(max("o_orderdate")).head().get(0))
     // MIN over a DOUBLE column must refuse (NaN-blind parquet bounds)
     val dq = spark.sql("SELECT min(o_totalprice) AS mp FROM delta_agg")
-    assert(!dq.queryExecution.executedPlan.toString.contains("GraftAggScan"),
-      "double min/max must fall back to a real scan")
+    val dplan = dq.queryExecution.executedPlan.toString
+    assert(!dplan.contains("GraftAggScan") && dplan.contains("FileScan"),
+      s"double min/max must fall back to a real scan:\n$dplan")
     assert(dq.head().getDouble(0) ==
       o.agg(min("o_totalprice")).head().getDouble(0))
     // ZERO data IO: delete every data file — the answer must not change
