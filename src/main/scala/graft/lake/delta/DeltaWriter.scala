@@ -186,67 +186,101 @@ final class DeltaWriter private (
       val tmpQ = fs.makeQualified(tmp).toString
       val dirQ = fs.makeQualified(src.getParent).toString
       val rel = if (dirQ == tmpQ) "" else dirQ.stripPrefix(tmpQ + "/")
-      val pvals: Seq[(String, String)] = rel.split("/").filter(_.contains("=")).toSeq.map { seg =>
-        val eq = seg.indexOf('=')
-        val k = seg.substring(0, eq)
-        val v = seg.substring(eq + 1)
-        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapeHive(v))
-      }
       val destDir = if (rel.isEmpty) root else new Path(root, rel)
       fs.mkdirs(destDir)
       val dest = new Path(destDir, f"part-$nonce-$i%05d.parquet")
       require(fs.rename(src, dest), s"delta: rename $src -> $dest failed")
       i += 1
-      val relPath = (if (rel.isEmpty) "" else s"$rel/") + dest.getName
-      val (rows, stats) = ParquetStats.read(conf, dest)
-      val n = mapper.createObjectNode()
-      val a = n.putObject("add")
-      a.put("path", relPath)
-      val pv = a.putObject("partitionValues")
-      pvals.foreach { case (k, v) =>
-        if (v == null) pv.putNull(k) else pv.put(k, v)
-      }
-      a.put("size", fs.getFileStatus(dest).getLen)
-      a.put("modificationTime", fs.getFileStatus(dest).getModificationTime)
-      a.put("dataChange", true)
-      // per-file stats JSON from the parquet footer (numRecords +
-      // top-level min/max/nullCount, the columns FilePruner skips on)
-      val st = mapper.createObjectNode()
-      st.put("numRecords", rows)
-      val minN = st.putObject("minValues")
-      val maxN = st.putObject("maxValues")
-      val nullN = st.putObject("nullCount")
-      // stats keys are PHYSICAL names under column mapping (footer names
-      // already are — the files were written physically)
-      dataSchema.fields.foreach { f =>
-        val pn = phys(f.name)
-        stats.get(pn).foreach { cs =>
-          nullN.put(pn, cs.nulls)
-          (cs.tag, f.dataType) match {
-            case ("l", DateType) => // epoch days → ISO, the spec's form
-              minN.put(pn, java.time.LocalDate.ofEpochDay(cs.min.toLong).toString)
-              maxN.put(pn, java.time.LocalDate.ofEpochDay(cs.max.toLong).toString)
-            case ("l", TimestampType | TimestampNTZType) =>
-              // epoch micros → ISO-8601, the protocol's timestamp stat
-              // form (raw longs would be unparseable to external readers)
-              val z = f.dataType == TimestampType
-              minN.put(pn, DeltaWriter.isoMicros(cs.min.toLong, z))
-              maxN.put(pn, DeltaWriter.isoMicros(cs.max.toLong, z))
-            case ("l", _) =>
-              minN.put(pn, cs.min.toLong); maxN.put(pn, cs.max.toLong)
-            case ("d", _) =>
-              minN.put(pn, cs.min.toDouble); maxN.put(pn, cs.max.toDouble)
-            case ("s", _) =>
-              minN.put(pn, cs.min); maxN.put(pn, cs.max)
-            case _ => ()
-          }
-        }
-      }
-      a.put("stats", mapper.writeValueAsString(st))
-      out += n
+      out += addActionFor(dest, rel)
     }
     fs.delete(tmp, true)
     out.toSeq
+  }
+
+  /** Hive `k=v` dir segments of a relative path → partitionValues. */
+  private def hiveVals(rel: String): Seq[(String, String)] =
+    rel.split("/").filter(_.contains("=")).toSeq.map { seg =>
+      val eq = seg.indexOf('=')
+      val k = seg.substring(0, eq)
+      val v = seg.substring(eq + 1)
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapeHive(v))
+    }
+
+  /** Add action for the data file at `dest` (= root/`rel`/name, hive
+    * dirs carrying partitionValues), with per-file stats JSON from the
+    * parquet FOOTER (numRecords + top-level min/max/nullCount — the
+    * columns FilePruner skips on). Shared by writeFiles (fresh files)
+    * and convert (existing files adopted in place). */
+  private def addActionFor(dest: Path, rel: String): ObjectNode = {
+    val relPath = (if (rel.isEmpty) "" else s"$rel/") + dest.getName
+    val (rows, stats) = ParquetStats.read(conf, dest)
+    val n = mapper.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", relPath)
+    val pv = a.putObject("partitionValues")
+    hiveVals(rel).foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    a.put("size", fs.getFileStatus(dest).getLen)
+    a.put("modificationTime", fs.getFileStatus(dest).getModificationTime)
+    a.put("dataChange", true)
+    val st = mapper.createObjectNode()
+    st.put("numRecords", rows)
+    val minN = st.putObject("minValues")
+    val maxN = st.putObject("maxValues")
+    val nullN = st.putObject("nullCount")
+    // stats keys are PHYSICAL names under column mapping (footer names
+    // already are — the files were written physically)
+    dataSchema.fields.foreach { f =>
+      val pn = phys(f.name)
+      stats.get(pn).foreach { cs =>
+        nullN.put(pn, cs.nulls)
+        (cs.tag, f.dataType) match {
+          case ("l", DateType) => // epoch days → ISO, the spec's form
+            minN.put(pn, java.time.LocalDate.ofEpochDay(cs.min.toLong).toString)
+            maxN.put(pn, java.time.LocalDate.ofEpochDay(cs.max.toLong).toString)
+          case ("l", TimestampType | TimestampNTZType) =>
+            // epoch micros → ISO-8601, the protocol's timestamp stat
+            // form (raw longs would be unparseable to external readers)
+            val z = f.dataType == TimestampType
+            minN.put(pn, DeltaWriter.isoMicros(cs.min.toLong, z))
+            maxN.put(pn, DeltaWriter.isoMicros(cs.max.toLong, z))
+          case ("l", _) =>
+            minN.put(pn, cs.min.toLong); maxN.put(pn, cs.max.toLong)
+          case ("d", _) =>
+            minN.put(pn, cs.min.toDouble); maxN.put(pn, cs.max.toDouble)
+          case ("s", _) =>
+            minN.put(pn, cs.min); maxN.put(pn, cs.max)
+          case _ => ()
+        }
+      }
+    }
+    a.put("stats", mapper.writeValueAsString(st))
+    n
+  }
+
+  /** Registers every parquet file already under the table root as an
+    * add action of commit 0 — the data half of [[DeltaWriter.convert]]. */
+  private def convertExisting(): Unit = {
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = fs.makeQualified(f.getParent).toString
+        .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+      if (f.getName.endsWith(".parquet") &&
+          !rel.split("/").headOption.exists(d =>
+            d == "_delta_log" || d.startsWith("_") || d.startsWith(".")))
+        files += f
+    }
+    require(files.nonEmpty, s"delta convert: no parquet files under $root")
+    val adds = files.sortBy(_.toString).map { f =>
+      val rel = fs.makeQualified(f.getParent).toString
+        .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+      addActionFor(f, rel)
+    }.toSeq
+    adds.foreach(n => live(n.get("add").get("path").asText()) = n)
+    commit(Seq(protocolAction, metaAction) ++ adds, operation = "CONVERT")
   }
 
   /** Writes CHANGE-DATA files under `_change_data/` and returns their
@@ -285,12 +319,7 @@ final class DeltaWriter private (
       val tmpQ = fs.makeQualified(tmp).toString
       val dirQ = fs.makeQualified(src.getParent).toString
       val rel = if (dirQ == tmpQ) "" else dirQ.stripPrefix(tmpQ + "/")
-      val pvals: Seq[(String, String)] = rel.split("/").filter(_.contains("=")).toSeq.map { seg =>
-        val eq = seg.indexOf('=')
-        val k = seg.substring(0, eq)
-        val v = seg.substring(eq + 1)
-        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapeHive(v))
-      }
+      val pvals = hiveVals(rel)
       val destDir = new Path(root,
         if (rel.isEmpty) "_change_data" else s"_change_data/$rel")
       fs.mkdirs(destDir)
@@ -1254,6 +1283,33 @@ object DeltaWriter {
     txnSeen.foreach { case (app, v) => w.txns(app) = v }
     w.dvEnabled = dvFeature
     w.v2CpEnabled = v2cp
+    w
+  }
+
+  /** CONVERT TO DELTA, in place — the protocol's adoption path (OSS
+    * Delta's `CONVERT TO DELTA parquet.&#96;/path&#96;`): every parquet file
+    * already under `location` becomes an add action of commit 0, with
+    * partitionValues parsed from the hive `col=value` layout and
+    * per-file stats JSON lifted from the parquet FOOTERS — so min/max
+    * file skipping works from the first read. No data file is read past
+    * its footer, moved, or rewritten; at 100 TB conversion is O(files)
+    * driver footer reads and one log write. The returned writer is live:
+    * subsequent appends/deletes/updates land as normal commits. */
+  def convert(spark: SparkSession, location: String,
+      partitionColumns: Seq[String] = Nil): DeltaWriter = {
+    val p = new Path(location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(p, "_delta_log")),
+      s"delta convert: $location already has a _delta_log")
+    // hive partition discovery types the partition columns; data columns
+    // come from the footers — exactly what CONVERT TO DELTA infers
+    val schema = spark.read.parquet(location).schema
+    partitionColumns.foreach(c => require(schema.fieldNames.contains(c),
+      s"delta convert: partition column $c not found " +
+        s"(have ${schema.fieldNames.mkString(", ")})"))
+    fs.mkdirs(new Path(p, "_delta_log"))
+    val w = new DeltaWriter(spark, location, schema, partitionColumns, None)
+    w.convertExisting()
     w
   }
 

@@ -553,16 +553,35 @@ final class IcebergTable private (
 
     // data-file format is part of the group key: each group reads with
     // its own source (reference enumerates PARQUET/ORC/AVRO per entry,
-    // iceberg_bridge.h:229-249 — never assume one format table-wide)
+    // iceberg_bridge.h:229-249 — never assume one format table-wide);
+    // spec id too, because identity partition injection below is
+    // per-spec (partition evolution can leave files without it)
     val groups = p.dataFiles
-      .groupBy(f => (f.schemaId, f.entry.fileFormat.toUpperCase,
+      .groupBy(f => (f.schemaId, f.specId, f.entry.fileFormat.toUpperCase,
         suffixFrom(eqSeqs, f.seq, inclusive = false),
         suffixFrom(posSeqs, f.seq, inclusive = true)))
-      .toSeq.sortBy { case ((sid, fmt, ei, pi), _) => (sid, fmt, ei, pi) }
+      .toSeq.sortBy { case ((sid, spid, fmt, ei, pi), _) => (sid, spid, fmt, ei, pi) }
 
-    groups.map { case ((schemaId, fileFmt, eqIdx, posIdx), files) =>
+    groups.map { case ((schemaId, specId, fileFmt, eqIdx, posIdx), files) =>
       val writeSchema = schemaOrCurrent(schemaId)
       val phys = writeSchema.struct
+
+      // IDENTITY PARTITION VALUE INJECTION (Iceberg's constants rule:
+      // for identity-transformed spec fields the manifest partition
+      // tuple is AUTHORITATIVE). Migrated / add_files tables hold
+      // hive-layout files that do not contain these columns at all —
+      // reading them from the file would serve silent nulls. The
+      // columns are dropped from the physical read (saves IO) and
+      // joined back per file from a broadcast of the manifest values:
+      // O(files) metadata rows, the Delta reader's injection pattern.
+      // AVRO groups keep reading from the file (custom decoder, no
+      // _metadata source; real avro iceberg files carry their columns).
+      val idFields: Seq[(IcePartField, IceField)] =
+        if (fileFmt == "AVRO") Nil
+        else meta.spec(specId).fields.filter(_.transform == "identity")
+          .flatMap(pf => writeSchema.byId.get(pf.sourceId).map(pf -> _))
+      val readPhys = StructType(phys.fields.filterNot(f =>
+        idFields.exists(_._2.name == f.name)))
       val eqApplying = p.eqDeletes.filter(d => eqSeqs.drop(eqIdx).contains(d.seq))
       val posApplying = p.posDeletes.filter(d => posSeqs.drop(posIdx).contains(d.seq))
       // DVs applicable to this group's files: per-file, pos-delete seq
@@ -577,7 +596,7 @@ final class IcebergTable private (
       val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty
 
       var df = fileFmt match {
-        case "PARQUET" => spark.read.schema(phys)
+        case "PARQUET" => spark.read.schema(readPhys)
           .parquet(files.map(_.entry.filePath): _*)
         case "ORC" =>
           // positional machinery needs _metadata.row_index, which
@@ -587,7 +606,7 @@ final class IcebergTable private (
             "iceberg: positional deletes / deletion vectors apply to ORC " +
               s"data files (${files.head.entry.filePath}, ...); this reader " +
               "supports positional deletes over parquet data files only")
-          spark.read.schema(phys).orc(files.map(_.entry.filePath): _*)
+          spark.read.schema(readPhys).orc(files.map(_.entry.filePath): _*)
         case "AVRO" =>
           // same positional limitation: no _metadata.row_index source
           require(!needMeta,
@@ -604,6 +623,26 @@ final class IcebergTable private (
       if (needMeta) df = df
         .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
         .withColumn(PosIdxCol, col("_metadata.row_index"))
+      if (idFields.nonEmpty) {
+        // the _metadata struct must be consumed on the raw file scan —
+        // hidden metadata columns do not survive the join below
+        val key = "__ice_pv_fp"
+        df = df.withColumn(key,
+          if (needMeta) col(PosFileCol) else normPath(col("_metadata.file_path")))
+        val rowSchema = StructType(StructField(key, StringType, false) +:
+          idFields.map { case (_, sf) => StructField(sf.name, sf.dataType) })
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(files.map { f =>
+            org.apache.spark.sql.Row.fromSeq(
+              IcebergTable.pathKey(f.entry.filePath) +:
+                idFields.map { case (pf, sf) =>
+                  IcebergTable.externalPartitionValue(
+                    f.entry.partition.getOrElse(pf.name, null), sf.dataType, pf.name)
+                })
+          }: _*)
+        val pv = spark.createDataFrame(rows, rowSchema)
+        df = df.join(org.apache.spark.sql.functions.broadcast(pv), key).drop(key)
+      }
 
       if (groupDvFiles.nonEmpty) df = df.filter(dvKeep.get)
 
@@ -689,6 +728,33 @@ object IcebergTable {
     * against `_metadata.file_path`. */
   private[iceberg] def pathKey(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Manifest identity-partition value → Spark EXTERNAL row value of the
+    * source column's type (feeds the per-file injection frame). The raw
+    * domain is what the manifest Avro decode yields: Int / Long /
+    * String / Boolean, with dates as epoch-day ints and timestamps as
+    * epoch-micros longs per the spec's partition-data encoding. */
+  private[iceberg] def externalPartitionValue(
+      v: Any, dt: org.apache.spark.sql.types.DataType, field: String): Any = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    (v, dt) match {
+      case (null, _) => null
+      case (i: Int, IntegerType) => i
+      case (i: Int, LongType) => i.toLong
+      case (i: Int, DateType) => DateTimeUtils.toJavaDate(i)
+      case (l: Long, LongType) => l
+      case (l: Long, TimestampType) => DateTimeUtils.toJavaTimestamp(l)
+      case (l: Long, TimestampNTZType) => DateTimeUtils.microsToLocalDateTime(l)
+      case (s: String, StringType) => s
+      case (b: Boolean, BooleanType) => b
+      case (d: Double, DoubleType) => d
+      case (f: Float, FloatType) => f
+      case (other, t) => throw new IllegalArgumentException(
+        s"iceberg: cannot inject identity partition value $other " +
+          s"(${other.getClass.getSimpleName}) as $t for field $field")
+    }
+  }
 
   /** Executor-side cache of loaded DV bitmaps, keyed by
     * (puffin path, blob offset) — blob identity, so a rewritten DV for

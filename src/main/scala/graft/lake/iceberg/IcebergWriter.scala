@@ -391,6 +391,60 @@ final class IcebergWriter private (
     commitManifests("replace", groups)
   }
 
+  /** ADOPT the plain parquet files already under the table root as the
+    * first snapshot — the data-file half of [[IcebergWriter.adopt]]
+    * (see the companion doc): identity partition values parsed from the
+    * hive `col=value` dirs, per-file bounds lifted from parquet footers,
+    * files referenced IN PLACE (absolute paths; nothing moves). */
+  private def adoptDataFiles(): Long = {
+    val sch = curSchema
+    val spec = curSpec
+    val files = listParquet(root).filterNot(p =>
+      relDir(root, p).split("/").headOption.contains("metadata"))
+    require(files.nonEmpty, s"iceberg adopt: no parquet files under $root")
+    val entries = files.sortBy(_.toString).map { p =>
+      val rel = relDir(root, p)
+      val dirs: Map[String, String] =
+        rel.split("/").filter(_.contains("=")).map { seg =>
+          val eq = seg.indexOf('=')
+          seg.substring(0, eq) -> seg.substring(eq + 1)
+        }.toMap
+      val partVals: Map[String, Any] = spec.fields.map { pf =>
+        val src = sch.byId(pf.sourceId)
+        val raw = dirs.getOrElse(pf.name, throw new IllegalArgumentException(
+          s"iceberg adopt: $p lacks a hive dir for partition column ${pf.name}"))
+        val v: Any =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else src.dataType match {
+            case IntegerType => raw.toInt
+            case LongType => raw.toLong
+            case StringType => unescapeHive(raw)
+            case BooleanType => raw.toBoolean
+            case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+            case other => throw new IllegalArgumentException(
+              s"iceberg adopt: unsupported partition column type $other for ${pf.name}")
+          }
+        pf.name -> v
+      }.toMap
+      val (rows, stats) = ParquetStats.read(conf, p)
+      val lower = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val upper = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val nulls = scala.collection.mutable.Map[Int, Long]()
+      sch.fields.foreach { f =>
+        stats.get(f.name).foreach { st =>
+          nulls(f.id) = st.nulls
+          for {
+            lo <- IcebergMeta.encodeBound(f.typeStr, st.min)
+            hi <- IcebergMeta.encodeBound(f.typeStr, st.max)
+          } { lower(f.id) = lo; upper(f.id) = hi }
+        }
+      }
+      fileEntry(p, content = 0, rows, fs.getFileStatus(p).getLen,
+        partVals, lower.toMap, upper.toMap, Nil, nulls.toMap)
+    }
+    commitManifests("append", Seq("data" -> entries))
+  }
+
   /** EXPIRE SNAPSHOTS + file GC (Iceberg's expire_snapshots): keeps
     * the newest `keepLast` snapshots on the CURRENT ancestry plus every
     * ref/tag target, drops the rest from metadata, then deletes files
@@ -882,6 +936,60 @@ object IcebergWriter {
       Map.empty, None, Nil, Nil, Map.empty)
     new IcebergWriter(spark, location, meta0, 0, Nil, writeInitial = true,
       arbiter)
+  }
+
+  /** ADOPT an existing plain-parquet directory as an Iceberg table IN
+    * PLACE — Iceberg's own migrate / add_files adoption path (the spec's
+    * procedures; the reference's catalog likewise registers EXISTING
+    * locations, catalog_bridge.h). No data file is read past its FOOTER
+    * and none is moved or rewritten: table metadata is built over the
+    * files where they stand — identity partitioning parsed from the hive
+    * `col=value` layout, per-file column bounds lifted from parquet
+    * footers so min/max skipping works from the first read. Files
+    * predating the table carry no parquet field ids, so the metadata
+    * records `schema.name-mapping.default` (the spec's fallback column
+    * resolution for id-less files), and reads inject identity partition
+    * values from the manifests (the constants rule) because hive-layout
+    * files do not contain those columns. At 100 TB this is the adoption
+    * path: O(files) driver footer reads, zero data movement. */
+  def adopt(spark: SparkSession, location: String,
+      partitionColumns: Seq[String] = Nil): IcebergWriter = {
+    val p = new Path(location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(p, "metadata")),
+      s"iceberg adopt: $location already has a metadata directory — " +
+        "adopt() is for plain parquet layouts")
+    val inferred = spark.read.parquet(location).schema
+    partitionColumns.foreach(c => require(inferred.fieldNames.contains(c),
+      s"iceberg adopt: partition column $c not found " +
+        s"(have ${inferred.fieldNames.mkString(", ")})"))
+    val fields = inferred.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, required = false, f.dataType,
+        IcebergMeta.typeString(f.dataType))
+    }
+    val sch = IceSchema(0, fields)
+    val specFields = partitionColumns.zipWithIndex.map { case (c, i) =>
+      IcePartField(c, "identity", fields.find(_.name == c).get.id, 1000 + i)
+    }
+    // the spec's name-mapping property: field-id resolution for files
+    // that carry no parquet field ids (every adopted file)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    fields.foreach { f =>
+      val o = arr.addObject()
+      o.put("field-id", f.id); o.putArray("names").add(f.name)
+    }
+    fs.mkdirs(new Path(p, "metadata"))
+    val meta0 = IceMeta(2, java.util.UUID.randomUUID().toString,
+      fs.makeQualified(p).toString, 0L,
+      fields.map(_.id).maxOption.getOrElse(0), 0, Seq(sch), 0,
+      Seq(IcePartSpec(0, specFields)), 999 + partitionColumns.size,
+      Map("schema.name-mapping.default" -> om.writeValueAsString(arr)),
+      None, Nil, Nil, Map.empty)
+    val w = new IcebergWriter(spark, location, meta0, 0, Nil,
+      writeInitial = true, None)
+    w.adoptDataFiles()
+    w
   }
 
   /** REOPEN an existing table for further commits — the cross-process

@@ -177,6 +177,62 @@ object Lake {
     statusAgg(t.scan())
   }
 
+  /** IN-PLACE MIGRATION of an existing plain-parquet estate (r11) — the
+    * lakehouse ADOPTION path both target formats ship natively (Delta's
+    * `CONVERT TO DELTA`, Iceberg's migrate/add_files procedures; the
+    * reference's catalog likewise registers EXISTING locations,
+    * catalog_bridge.h): a hive-partitioned parquet directory becomes a
+    * Delta table ([[graft.lake.delta.DeltaWriter.convert]]) and an
+    * Iceberg v2 table ([[graft.lake.iceberg.IcebergWriter.adopt]]) with
+    * ZERO data movement — O(files) footer reads build the log / the
+    * manifests, per-file stats included so min/max skipping works from
+    * the first read. Receipts: the exact pre-migration file sets survive
+    * byte-for-byte (paths + mtimes), both tables partition-prune, and
+    * the reads flow through the SQL connectors — the Iceberg side's
+    * partition column exists ONLY via manifest-constant injection
+    * (hive-layout files don't contain it). Oracle reproduces both
+    * aggregates from the raw parquet. */
+  def lakeMigrate(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val dLoc = work(s, "migrate_delta", d)
+    val iLoc = work(s, "migrate_iceberg", d)
+    o.write.partitionBy("o_orderstatus").parquet(dLoc)
+    o.write.partitionBy("o_orderstatus").parquet(iLoc)
+    def files(loc: String, skipDir: String): Map[String, Long] = {
+      val p = new Path(loc)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.toString.contains(s"/$skipDir/"))
+          out(f.getPath.toString) = f.getModificationTime
+      }
+      out.toMap
+    }
+    val dBefore = files(dLoc, "_delta_log")
+    val iBefore = files(iLoc, "metadata")
+    graft.lake.delta.DeltaWriter.convert(s, dLoc, Seq("o_orderstatus"))
+    graft.lake.iceberg.IcebergWriter.adopt(s, iLoc, Seq("o_orderstatus"))
+    require(files(dLoc, "_delta_log") == dBefore &&
+      files(iLoc, "metadata") == iBefore,
+      "migration must be metadata-only — zero data files moved or rewritten")
+    val dt = graft.lake.delta.DeltaTable.load(s, dLoc)
+    require(dt.planFiles(Some(col("o_orderstatus") === "F")).size <
+      dt.planFiles().size, "converted delta table must partition-prune")
+    val it2 = graft.lake.iceberg.IcebergTable.load(s, iLoc)
+    require(it2.planFiles(Some(col("o_orderstatus") === "F")).size <
+      it2.planFiles().size, "adopted iceberg table must partition-prune")
+    def agg(fmt: String, loc: String, src: String): DataFrame = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 ${Money.sqlSum2("o_totalprice")} AS total, '$src' AS src
+          FROM `$fmt`.`$loc`
+          GROUP BY o_orderstatus""")
+    agg("graft-delta", dLoc, "delta")
+      .unionByName(agg("graft-iceberg", iLoc, "iceberg"))
+  }
+
   /** snapshot-log metadata table ([rows] check; timestamps excluded). */
   def lakeSnapshotsMeta(s: SparkSession, d: String): DataFrame = {
     val t = GraftTable.create(s, work(s, "snapshots_meta", d), Tables.orders(s, d),
@@ -1288,12 +1344,23 @@ object Lake {
     "lake_stats_prune" -> (lakeStatsPrune _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_snapshots_meta" -> (lakeSnapshotsMeta _),
-    "lake_files_meta" -> (lakeFilesMeta _))
+    "lake_files_meta" -> (lakeFilesMeta _),
+    "lake_migrate" -> (lakeMigrate _))
 
   /** DuckDB equivalents over the ORIGINAL parquet tables — the lake path
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_migrate" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                'delta' AS src
+         FROM orders GROUP BY o_orderstatus
+         UNION ALL
+         SELECT o_orderstatus, count(*),
+                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                'iceberg'
+         FROM orders GROUP BY o_orderstatus""",
     "lake_iceberg_sql" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
