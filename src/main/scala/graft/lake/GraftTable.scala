@@ -530,6 +530,17 @@ class GraftTable private (
     * snapshots are touched (file seq == snapshot id), so a downstream
     * consumer pays O(new data), never a full-table diff. `replace`
     * snapshots (compaction rewrites) are skipped — they add no rows. */
+  /** Lineage snapshot ids strictly after `fromId`, ascending — the
+    * streaming source's admission-control hook (maxCommitsPerTrigger
+    * selects the k-th next commit boundary; branch snapshots share the
+    * global id space, so a bare id-range would admit unpublished
+    * commits — same WAP isolation changes() enforces). */
+  def snapshotsAfter(fromId: Long): Seq[Long] = {
+    val m = refresh()
+    val lineage = lineageIds(m)
+    m.snapshots.map(_.id).filter(id => lineage(id) && id > fromId).sorted
+  }
+
   def changes(fromId: Long, toId: Long): DataFrame = {
     val m = refresh()
     val sch = schema

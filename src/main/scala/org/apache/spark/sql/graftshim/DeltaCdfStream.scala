@@ -67,15 +67,17 @@ class DeltaCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
         s"delta-cdf source produces $expected; drop .schema(...) or pass " +
           s"it verbatim (got $s)")
     }
-    new DeltaCdfStreamSource(sqlContext, loc,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
+    val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L)
+    new DeltaCdfStreamSource(sqlContext, loc, starting,
+      AdmissionControl(parameters, metadataPath, sqlContext, starting))
   }
 }
 
 class DeltaCdfStreamSource(
     sqlContext: SQLContext,
     location: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    ac: AdmissionControl = new AdmissionControl(None, false, 0L)) extends Source {
 
   override val schema: StructType = {
     val t = DeltaTable.load(sqlContext.sparkSession, location)
@@ -86,12 +88,14 @@ class DeltaCdfStreamSource(
 
   override def getOffset: Option[OffsetV1] = {
     val v = DeltaTable.load(sqlContext.sparkSession, location).version
-    if (v <= startingVersion) None else Some(LongOffset(v))
+    if (v <= startingVersion) None
+    else Some(LongOffset(ac.admit(v, b => (b + 1) to v))) // versions are dense
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(_.json.trim.toLong).getOrElse(startingVersion)
     val to = end.json.trim.toLong
+    ac.noteBatchEnd(to)
     val batch = DeltaTable.changes(
       sqlContext.sparkSession, location, from + 1, to)
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -75,9 +75,10 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
         s"graft-table source reads the table schema $expected; " +
           s"drop .schema(...) or pass it verbatim (got $s)")
     }
-    new GraftTableStreamSource(sqlContext, loc,
-      parameters.get("startingSnapshot").map(_.toLong).getOrElse(0L),
-      cdc = isCdc(parameters))
+    val starting = parameters.get("startingSnapshot").map(_.toLong).getOrElse(0L)
+    new GraftTableStreamSource(sqlContext, loc, starting,
+      cdc = isCdc(parameters),
+      ac = AdmissionControl(parameters, metadataPath, sqlContext, starting))
   }
 }
 
@@ -89,7 +90,8 @@ class GraftTableStreamSource(
     sqlContext: SQLContext,
     location: String,
     startingSnapshot: Long,
-    cdc: Boolean = false) extends Source {
+    cdc: Boolean = false,
+    ac: AdmissionControl = new AdmissionControl(None, false, 0L)) extends Source {
 
   private val table = GraftTable.load(sqlContext.sparkSession, location)
 
@@ -101,12 +103,14 @@ class GraftTableStreamSource(
 
   override def getOffset: Option[OffsetV1] = {
     val id = table.refresh().currentSnapshotId
-    if (id <= startingSnapshot) None else Some(LongOffset(id))
+    if (id <= startingSnapshot) None
+    else Some(LongOffset(ac.admit(id, table.snapshotsAfter)))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(_.json.trim.toLong).getOrElse(startingSnapshot)
     val to = end.json.trim.toLong
+    ac.noteBatchEnd(to)
     val batch = if (cdc) table.cdc(from, to) else table.changes(from, to)
     // V1 contract: the returned frame must carry isStreaming=true; rows
     // still evaluate lazily per micro-batch through the batch plan's RDD

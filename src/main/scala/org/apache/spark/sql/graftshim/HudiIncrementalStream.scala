@@ -62,29 +62,32 @@ class HudiIncrementalSourceProvider extends StreamSourceProvider with DataSource
         s"hudi-incremental source produces $expected; drop .schema(...) " +
           s"or pass it verbatim (got $s)")
     }
-    new HudiIncrementalStreamSource(sqlContext, loc,
-      parameters.get("startingInstant").map(_.toLong).getOrElse(0L))
+    val starting = parameters.get("startingInstant").map(_.toLong).getOrElse(0L)
+    new HudiIncrementalStreamSource(sqlContext, loc, starting,
+      AdmissionControl(parameters, metadataPath, sqlContext, starting))
   }
 }
 
 class HudiIncrementalStreamSource(
     sqlContext: SQLContext,
     location: String,
-    startingInstant: Long) extends Source {
+    startingInstant: Long,
+    ac: AdmissionControl = new AdmissionControl(None, false, 0L)) extends Source {
 
   override val schema: StructType = {
     val t = HudiTable.load(sqlContext.sparkSession, location)
     StructType(StructField("commit_instant", StringType) +: t.schema.fields)
   }
 
-  /** Newest completed commit instant, from the timeline listing alone.
-    * `replacecommit` counts (r10): clustering adds no logical rows —
-    * carried records keep their commit instants, so the batch across it
-    * is empty — but the offset must still advance past it or the stream
-    * would stall below later data. `savepoint`/`restore` fail LOUDLY
-    * here (same posture as HudiTable.loadAsOf; getBatch's table load
-    * would reject them anyway, this just fails at the poll). */
-  private def latestInstant: Long = {
+  /** Completed commit instants (ascending), from the timeline listing
+    * alone — the last is the poll offset, the list feeds admission
+    * control. `replacecommit` counts (r10): clustering adds no logical
+    * rows — carried records keep their commit instants, so the batch
+    * across it is empty — but the offset must still advance past it or
+    * the stream would stall below later data. `savepoint`/`restore` fail
+    * LOUDLY here (same posture as HudiTable.loadAsOf; getBatch's table
+    * load would reject them anyway, this just fails at the poll). */
+  private def completedInstants: Seq[Long] = {
     val meta = new Path(location, ".hoodie")
     val fs = meta.getFileSystem(
       sqlContext.sparkSession.sessionState.newHadoopConf())
@@ -97,17 +100,20 @@ class HudiIncrementalStreamSource(
     val InstantRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
     names.collect {
       case InstantRe(i, _) => i.toLong
-    }.maxOption.getOrElse(0L)
+    }.sorted
   }
 
   override def getOffset: Option[OffsetV1] = {
-    val v = latestInstant
-    if (v <= startingInstant) None else Some(LongOffset(v))
+    val instants = completedInstants
+    val v = instants.lastOption.getOrElse(0L)
+    if (v <= startingInstant) None
+    else Some(LongOffset(ac.admit(v, b => instants.filter(_ > b))))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(_.json.trim.toLong).getOrElse(startingInstant)
     val to = end.json.trim.toLong
+    ac.noteBatchEnd(to)
     val t = HudiTable.loadAsOf(sqlContext.sparkSession, location, f"$to%017d")
     val batch = t.incrementalFrom(if (from == 0L) "" else f"$from%017d")
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -61,13 +61,15 @@ class IcebergIncrementalSourceProvider extends StreamSourceProvider with DataSou
         s"iceberg-incremental source produces $expected; drop .schema(...) " +
           s"or pass it verbatim (got $s)")
     }
-    new IcebergIncrementalStreamSource(sqlContext, loc)
+    new IcebergIncrementalStreamSource(sqlContext, loc,
+      AdmissionControl(parameters, metadataPath, sqlContext, starting = 0L))
   }
 }
 
 class IcebergIncrementalStreamSource(
     sqlContext: SQLContext,
-    location: String) extends Source {
+    location: String,
+    ac: AdmissionControl = new AdmissionControl(None, false, 0L)) extends Source {
 
   override val schema: StructType = {
     val t = IcebergTable.load(sqlContext.sparkSession, location)
@@ -76,8 +78,21 @@ class IcebergIncrementalStreamSource(
 
   override def getOffset: Option[OffsetV1] = {
     val m = IcebergTable.load(sqlContext.sparkSession, location).meta
-    if (m.currentSnapshotId.isEmpty) None
-    else Some(LongOffset(m.snapshot(m.currentSnapshotId.get).sequenceNumber))
+    if (m.currentSnapshotId.isEmpty) return None
+    val latest = m.snapshot(m.currentSnapshotId.get).sequenceNumber
+    // ancestry-chain sequence numbers after the base, ascending — the
+    // admission-control ordinals (sequence numbers are the log's
+    // monotonic ordinal; snapshot ids are random longs)
+    def seqsAfter(b: Long): Seq[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = m.currentSnapshotId.map(m.snapshot)
+      while (cur.exists(_.sequenceNumber > b)) {
+        buf += cur.get.sequenceNumber
+        cur = cur.get.parentId.map(m.snapshot)
+      }
+      buf.reverse.toSeq
+    }
+    Some(LongOffset(ac.admit(latest, seqsAfter)))
   }
 
   /** Newest ancestry-chain snapshot with sequenceNumber <= seq. */
@@ -91,6 +106,7 @@ class IcebergIncrementalStreamSource(
     val spark = sqlContext.sparkSession
     val t = IcebergTable.load(spark, location)
     val toSeq = end.json.trim.toLong
+    ac.noteBatchEnd(toSeq)
     val toSnap = snapAtSeq(t, toSeq).getOrElse(
       throw new IllegalStateException(
         s"iceberg-incremental: no snapshot at or below sequence $toSeq"))
