@@ -69,3 +69,69 @@ object DvKeep {
       DvKeep(org.apache.spark.sql.graftshim.ColumnExpr.expression(path),
         org.apache.spark.sql.graftshim.ColumnExpr.expression(rowIndex), lookup))
 }
+
+/** Per-file CONSTANT column served from table metadata —
+  * `file_constant(file_path)` maps each row's file path to a
+  * manifest-derived value (Iceberg's identity-partition constants rule:
+  * the manifest partition tuple is authoritative, and migrated
+  * hive-layout files don't contain the column at all). A projection,
+  * not a join: the broadcast-join injection this replaces paid a fixed
+  * BroadcastExchange latency per scan group, which doubled small
+  * incremental reads. Same memoization as [[DvKeep]] (parquet rows
+  * arrive file-contiguous): per row the cost is one UTF8String
+  * equality; `lookup` (path decode + broadcast-map probe) runs once per
+  * file per task and must return the INTERNAL Catalyst value of
+  * `dataType` (or null for a null partition). */
+case class FileConstant(child: Expression, dataType: DataType,
+    lookup: String => Any)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "file_constant"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"file_constant needs a string path, got $other")
+  }
+
+  @transient private var lastPath: UTF8String = _
+  @transient private var lastValue: Any = _
+
+  def valueFor(p: UTF8String): Any = {
+    if (lastPath == null || !lastPath.equals(p)) {
+      lastPath = p.clone()
+      lastValue = lookup(p.toString)
+    }
+    lastValue
+  }
+
+  override protected def nullSafeEval(p: Any): Any =
+    valueFor(p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val ref = ctx.addReferenceObj("fileConst", this, classOf[FileConstant].getName)
+    val boxed = CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, p => {
+      val v = ctx.freshName("fcVal")
+      s"""
+         |Object $v = $ref.valueFor($p);
+         |${ev.isNull} = ($v == null);
+         |if (!${ev.isNull}) ${ev.value} = ($boxed) $v;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FileConstant {
+  def column(path: org.apache.spark.sql.Column, dataType: DataType,
+      lookup: String => Any): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      FileConstant(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(path),
+        dataType, lookup))
+}

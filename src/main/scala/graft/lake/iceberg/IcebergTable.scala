@@ -624,24 +624,35 @@ final class IcebergTable private (
         .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
         .withColumn(PosIdxCol, col("_metadata.row_index"))
       if (idFields.nonEmpty) {
-        // the _metadata struct must be consumed on the raw file scan —
-        // hidden metadata columns do not survive the join below
-        val key = "__ice_pv_fp"
-        df = df.withColumn(key,
-          if (needMeta) col(PosFileCol) else normPath(col("_metadata.file_path")))
-        val rowSchema = StructType(StructField(key, StringType, false) +:
-          idFields.map { case (_, sf) => StructField(sf.name, sf.dataType) })
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          java.util.Arrays.asList(files.map { f =>
-            org.apache.spark.sql.Row.fromSeq(
-              IcebergTable.pathKey(f.entry.filePath) +:
-                idFields.map { case (pf, sf) =>
-                  IcebergTable.externalPartitionValue(
-                    f.entry.partition.getOrElse(pf.name, null), sf.dataType, pf.name)
-                })
-          }: _*)
-        val pv = spark.createDataFrame(rows, rowSchema)
-        df = df.join(org.apache.spark.sql.functions.broadcast(pv), key).drop(key)
+        // a PROJECTION, not a join: per-file constants via a memoized
+        // codegen expression over the file path (the broadcast-join
+        // variant paid a fixed BroadcastExchange latency per group,
+        // doubling small incremental reads). Values are broadcast as
+        // INTERNAL Catalyst values keyed by normalized path.
+        val internal: Map[String, Array[Any]] = files.map { f =>
+          IcebergTable.pathKey(f.entry.filePath) ->
+            idFields.map { case (pf, sf) =>
+              val ext = IcebergTable.externalPartitionValue(
+                f.entry.partition.getOrElse(pf.name, null), sf.dataType, pf.name)
+              if (ext == null) null
+              else org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .createToCatalystConverter(sf.dataType)(ext)
+            }.toArray
+        }.toMap
+        val bcVals = spark.sparkContext.broadcast(internal)
+        val pathC =
+          if (needMeta) col(PosFileCol)
+          else normPath(col("_metadata.file_path"))
+        idFields.zipWithIndex.foreach { case ((_, sf), i) =>
+          df = df.withColumn(sf.name,
+            graft.expressions.FileConstant.column(pathC, sf.dataType, raw =>
+              bcVals.value.get(IcebergTable.pathKey(raw)) match {
+                case Some(vals) => vals(i)
+                case None => throw new IllegalStateException(
+                  s"iceberg: file $raw missing from the planned partition " +
+                    "constants (planner invariant)")
+              }))
+        }
       }
 
       if (groupDvFiles.nonEmpty) df = df.filter(dvKeep.get)

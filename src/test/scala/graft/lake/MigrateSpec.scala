@@ -94,6 +94,13 @@ class MigrateSpec extends AnyFunSuite {
         .orderBy("o_orderkey").collect().toSeq)
     assert(t.scan().filter(col("o_orderstatus").isNull).count() == 0,
       "injected partition values must never be null")
+    // the constants are a PROJECTION (memoized file_constant expression),
+    // never a join — a plain scan must carry no join and no exchange
+    val scanPlan = t.scan().queryExecution.executedPlan.toString
+    assert(!scanPlan.contains("Join") && !scanPlan.contains("Exchange"),
+      s"identity constants must not add a join/exchange:\n$scanPlan")
+    assert(scanPlan.contains("file_constant"),
+      s"constants must come from the file_constant expression:\n$scanPlan")
     // partition pruning + footer-bound skipping from snapshot 1
     assert(t.planFiles(Some(col("o_orderstatus") === "F")).size <
       t.planFiles().size, "partition pruning")
