@@ -50,9 +50,12 @@ import graft.lake.{ColStats, DataFileMeta, FilePruner, Meta}
   *    Delta writers produce); the seed folds inline AND sidecar adds,
   *    and prefers the v2 flavor when both exist at one version.
   *
-  * Anything else that changes what the bytes mean (type widening, …)
-  * is REJECTED loudly rather than misread: a silently wrong scan is
-  * worse than an unsupported-table error.
+  * TYPE WIDENING (r11) is read natively: files written before an ALTER
+  * COLUMN TYPE keep their narrower physical type and upcast through
+  * Spark's parquet promotion support. Anything else that changes what
+  * the bytes mean (variant values, …) is REJECTED loudly rather than
+  * misread: a silently wrong scan is worse than an unsupported-table
+  * error.
   *
   * At 100 TB: state reconstruction is O(log actions) driver-side
   * metadata IO (checkpoint-seeded, like Delta's own snapshot code), and
@@ -688,10 +691,14 @@ object DeltaTable {
     // protocol guard: features that change what the bytes MEAN are only
     // readable when implemented — misreading is worse than rejecting.
     // Supported: base (1), column mapping (2 legacy, or the table
-    // feature), deletion vectors, timestampNtz, v2 checkpoints (r09).
-    // Anything else (type widening, …) stays rejected loudly.
-    val supported =
-      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
+    // feature), deletion vectors, timestampNtz, v2 checkpoints (r09),
+    // TYPE WIDENING (r11: files written before an ALTER COLUMN TYPE keep
+    // their narrower physical type; Spark's vectorized parquet reader
+    // performs the protocol's promotions when asked for the wide logical
+    // schema — both the GA and the preview feature name). Anything else
+    // stays rejected loudly.
+    val supported = Set("deletionVectors", "columnMapping", "timestampNtz",
+      "v2Checkpoint", "typeWidening", "typeWidening-preview")
     require(protoReader <= 2 ||
         (protoReader == 3 && protoFeatures.forall(supported.contains)),
       s"delta: minReaderVersion $protoReader" +

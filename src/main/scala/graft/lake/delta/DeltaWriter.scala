@@ -47,6 +47,7 @@ final class DeltaWriter private (
   private val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
   private var dvEnabled = false
   private var v2CpEnabled = false
+  private var twEnabled = false
 
   // logical -> physical column name (identity without column mapping)
   private val phys: Map[String, String] = columnMapping match {
@@ -106,10 +107,11 @@ final class DeltaWriter private (
     val readerFeats =
       (if (columnMapping.isDefined) Seq("columnMapping") else Nil) ++
         (if (dvEnabled) Seq("deletionVectors") else Nil) ++
-        (if (v2CpEnabled) Seq("v2Checkpoint") else Nil)
+        (if (v2CpEnabled) Seq("v2Checkpoint") else Nil) ++
+        (if (twEnabled) Seq("typeWidening") else Nil)
     val writerFeats = readerFeats ++
       (if (enableCdf) Seq("changeDataFeed") else Nil)
-    if (dvEnabled || v2CpEnabled || columnMapping.contains("id")) {
+    if (dvEnabled || v2CpEnabled || twEnabled || columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)
@@ -139,13 +141,15 @@ final class DeltaWriter private (
       f.copy(metadata = md)
     })
 
-  private def metaAction: ObjectNode = {
+  private def metaAction: ObjectNode = metaActionFor(metaSchema)
+
+  private def metaActionFor(s: StructType): ObjectNode = {
     val n = mapper.createObjectNode()
     val m = n.putObject("metaData")
     m.put("id", java.util.UUID.randomUUID().toString)
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
-    m.put("schemaString", metaSchema.json)
+    m.put("schemaString", s.json)
     val pc = m.putArray("partitionColumns")
     partitionColumns.foreach(pc.add)
     val cfg = m.putObject("configuration")
@@ -156,6 +160,56 @@ final class DeltaWriter private (
     }
     m.put("createdTime", 0L)
     n
+  }
+
+  /** TYPE WIDENING (the protocol's `typeWidening` reader feature):
+    * widens column `name` to `to` as a METADATA-ONLY commit — existing
+    * data files keep their narrower physical type and readers upcast
+    * per the protocol's promotion table (Spark's vectorized parquet
+    * reader performs the promotions natively). Commits the protocol
+    * upgrade (table features + typeWidening) and a metaData action
+    * whose field carries `delta.typeChanges` provenance, exactly the
+    * shape OSS Delta's ALTER COLUMN TYPE writes. The promotion set is
+    * the integral chain byte→short→int→long plus float→double and
+    * integral→double (the lossless subset; decimal/date widenings are
+    * not implemented and reject loudly). Returns a REOPENED writer —
+    * this instance's schema state is pre-widen, so further writes must
+    * go through the returned handle. */
+  def widenColumn(name: String, to: DataType): DeltaWriter = {
+    require(columnMapping.isEmpty,
+      "delta: widenColumn over column mapping is not supported here")
+    val f = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"delta: no column $name"))
+    val rank = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val ok = (f.dataType, to) match {
+      case (a, b) if rank.contains(a) && rank.contains(b) =>
+        rank.indexOf(a) < rank.indexOf(b)
+      case (FloatType, DoubleType) => true
+      case (a, DoubleType) if rank.take(3).contains(a) => true
+      case _ => false
+    }
+    require(ok, s"delta: cannot widen ${f.dataType} to $to " +
+      "(supported: byte→short→int→long, float→double, byte/short/int→double)")
+    def deltaName(dt: DataType): String = dt match {
+      case ByteType => "byte"; case ShortType => "short"
+      case IntegerType => "integer"; case LongType => "long"
+      case FloatType => "float"; case DoubleType => "double"
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    twEnabled = true
+    // the protocol's per-field provenance record (delta.typeChanges in
+    // the field metadata of schemaString): which version widened what —
+    // readers use it to know which files may be physically narrow
+    val md = new MetadataBuilder().withMetadata(f.metadata)
+      .putMetadataArray("delta.typeChanges", Array(new MetadataBuilder()
+        .putString("fromType", deltaName(f.dataType))
+        .putString("toType", deltaName(to))
+        .putLong("tableVersion", version + 1).build())).build()
+    val widened = StructType(schema.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to, metadata = md) else x))
+    commit(Seq(protocolAction, metaActionFor(widened)),
+      operation = "CHANGE COLUMN")
+    DeltaWriter.open(spark, location)
   }
 
   /** Writes `df`'s rows as data files (hive dirs when partitioned,
@@ -1228,6 +1282,7 @@ object DeltaWriter {
     var cdf = false
     var dvFeature = false
     var v2cp = false
+    var tw = false
     val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
     val txnSeen = scala.collection.mutable.Map[String, (Long, Long)]()
     commits.foreach { case (_, p) =>
@@ -1256,6 +1311,7 @@ object DeltaWriter {
             while (it.hasNext) it.next().asText() match {
               case "deletionVectors" => dvFeature = true
               case "v2Checkpoint" => v2cp = true
+              case "typeWidening" => tw = true
               case _ => ()
             }
           }
@@ -1283,6 +1339,7 @@ object DeltaWriter {
     txnSeen.foreach { case (app, v) => w.txns(app) = v }
     w.dvEnabled = dvFeature
     w.v2CpEnabled = v2cp
+    w.twEnabled = tw
     w
   }
 

@@ -209,20 +209,21 @@ class DeltaSpec extends AnyFunSuite {
     val w = DeltaWriter.create(spark, dir, n.schema)
     w.append(n)
     // forge a protocol upgrade demanding a feature this reader does NOT
-    // implement (type widening changes what the parquet physical types
-    // mean — misreading silently corrupts values)
+    // implement (variant values change what the binary bytes mean —
+    // misreading silently corrupts values; typeWidening moved to the
+    // supported set in r11)
     val logPath = new Path(dir, "_delta_log/00000000000000000002.json")
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(logPath, false)
     try out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""")
+        """"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""")
         .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[IllegalArgumentException] {
       DeltaTable.load(spark, dir)
     }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("variantType"))
     // ...but minReaderVersion 2 (legacy column mapping) IS implemented
     // now: the same table pinned before the forged upgrade still loads,
     // and a fresh version-2 table loads outright
@@ -782,5 +783,51 @@ class DeltaSpec extends AnyFunSuite {
     val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
     oldFiles.foreach(p => assert(!fs.exists(new Path(loc, p)),
       s"pre-OPTIMIZE file must be GC'd: $p"))
+  }
+
+  test("type widening: ALTER COLUMN TYPE is metadata-only; narrow files upcast (r11)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val loc = freshDir("widen")
+    val narrow = (1 to 100).map(i => (i, i.toFloat / 2, s"r$i"))
+      .toDF("id", "v", "s")
+    val w = DeltaWriter.create(spark, loc, narrow.schema)
+    w.append(narrow)
+    val fsW = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val before = fsW.listStatus(new Path(loc)).filter(_.getPath.getName
+      .endsWith(".parquet")).map(f => f.getPath.getName -> f.getModificationTime).toMap
+
+    val w2 = w.widenColumn("id", LongType).widenColumn("v", DoubleType)
+    // metadata-only: the narrow file is untouched
+    assert(fsW.listStatus(new Path(loc)).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> f.getModificationTime).toMap == before,
+      "widening must not rewrite data files")
+    // a post-widen append lands values beyond the narrow domain
+    val wide = Seq((Int.MaxValue.toLong + 7L, 1e200, "big")).toDF("id", "v", "s")
+    w2.append(wide)
+
+    val t = DeltaTable.load(spark, loc)
+    assert(t.schema("id").dataType == LongType &&
+      t.schema("v").dataType == DoubleType)
+    // narrow physical files upcast; values exact across both provenances
+    val got = t.scan().orderBy("id").collect()
+    assert(got.length == 101)
+    assert(got.head.getLong(0) == 1L && got.head.getDouble(1) == 0.5)
+    assert(got.last.getLong(0) == Int.MaxValue.toLong + 7L &&
+      got.last.getDouble(1) == 1e200)
+    // stats written pre-widen still prune in the wide domain
+    assert(t.planFiles(Some(col("id") > Int.MaxValue.toLong)).size == 1,
+      "narrow-file stats must prune under the widened type")
+    // provenance recorded the protocol's way
+    assert(t.schema("id").metadata.json.contains("delta.typeChanges"))
+    // non-widening changes reject
+    intercept[IllegalArgumentException] { w2.widenColumn("s", LongType) }
+    intercept[IllegalArgumentException] { w2.widenColumn("id", IntegerType) }
+    // a reopened writer keeps the typeWidening protocol feature: its next
+    // protocol emission (v2 checkpoint upgrade) must not drop it
+    val w3 = DeltaWriter.open(spark, loc)
+    w3.checkpointV2()
+    val t2 = DeltaTable.load(spark, loc)
+    assert(t2.scan().count() == 101, "checkpointed widened table reads back")
   }
 }
