@@ -524,12 +524,6 @@ class GraftTable private (
     commitRetrying(m, "upsert", seq, newFiles, delFile, MergeAny)
   }
 
-  /** Incremental append scan: rows ADDED by append/upsert snapshots with
-    * id in (fromId, toId] — the CDC-consumption read (cf. Iceberg's
-    * incremental append scan). Only files first referenced by those
-    * snapshots are touched (file seq == snapshot id), so a downstream
-    * consumer pays O(new data), never a full-table diff. `replace`
-    * snapshots (compaction rewrites) are skipped — they add no rows. */
   /** Lineage snapshot ids strictly after `fromId`, ascending — the
     * streaming source's admission-control hook (maxCommitsPerTrigger
     * selects the k-th next commit boundary; branch snapshots share the
@@ -541,6 +535,12 @@ class GraftTable private (
     m.snapshots.map(_.id).filter(id => lineage(id) && id > fromId).sorted
   }
 
+  /** Incremental append scan: rows ADDED by append/upsert snapshots with
+    * id in (fromId, toId] — the CDC-consumption read (cf. Iceberg's
+    * incremental append scan). Only files first referenced by those
+    * snapshots are touched (file seq == snapshot id), so a downstream
+    * consumer pays O(new data), never a full-table diff. `replace`
+    * snapshots (compaction rewrites) are skipped — they add no rows. */
   def changes(fromId: Long, toId: Long): DataFrame = {
     val m = refresh()
     val sch = schema

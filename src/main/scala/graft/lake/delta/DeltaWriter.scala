@@ -198,13 +198,19 @@ final class DeltaWriter private (
     }
     twEnabled = true
     // the protocol's per-field provenance record (delta.typeChanges in
-    // the field metadata of schemaString): which version widened what —
-    // readers use it to know which files may be physically narrow
+    // the field metadata of schemaString): ONE ENTRY PER CHANGE,
+    // accumulated — readers consult the oldest fromType to know the
+    // narrowest physical encoding still on disk, so a second widen must
+    // append, never replace
+    val prior =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty[org.apache.spark.sql.types.Metadata]
     val md = new MetadataBuilder().withMetadata(f.metadata)
-      .putMetadataArray("delta.typeChanges", Array(new MetadataBuilder()
+      .putMetadataArray("delta.typeChanges", prior :+ new MetadataBuilder()
         .putString("fromType", deltaName(f.dataType))
         .putString("toType", deltaName(to))
-        .putLong("tableVersion", version + 1).build())).build()
+        .putLong("tableVersion", version + 1).build()).build()
     val widened = StructType(schema.fields.map(x =>
       if (x.name == name) x.copy(dataType = to, metadata = md) else x))
     commit(Seq(protocolAction, metaActionFor(widened)),
@@ -331,6 +337,13 @@ final class DeltaWriter private (
     val adds = files.sortBy(_.toString).map { f =>
       val rel = fs.makeQualified(f.getParent).toString
         .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+      // every declared partition column must come from a hive dir — a
+      // stray file outside the layout would otherwise read NULL for the
+      // column while pruning treats it as unconstrained (silent wrong
+      // data; the iceberg adopt path rejects identically)
+      val dirs = hiveVals(rel).map(_._1).toSet
+      partitionColumns.foreach(c => require(dirs.contains(c),
+        s"delta convert: $f lacks a hive dir for partition column $c"))
       addActionFor(f, rel)
     }.toSeq
     adds.foreach(n => live(n.get("add").get("path").asText()) = n)

@@ -576,10 +576,19 @@ final class IcebergTable private (
       // O(files) metadata rows, the Delta reader's injection pattern.
       // AVRO groups keep reading from the file (custom decoder, no
       // _metadata source; real avro iceberg files carry their columns).
+      // only types whose manifest partition values convert exactly are
+      // injected; anything else (decimal/uuid/fixed/binary identity
+      // partitions on external tables) keeps the pre-r11 read-from-file
+      // path — real-engine files always contain their columns, and
+      // adopt() never creates such partitions (it rejects those types)
+      val injectable: Set[DataType] = Set(IntegerType, LongType, StringType,
+        BooleanType, DateType, TimestampType, TimestampNTZType, DoubleType,
+        FloatType)
       val idFields: Seq[(IcePartField, IceField)] =
         if (fileFmt == "AVRO") Nil
         else meta.spec(specId).fields.filter(_.transform == "identity")
           .flatMap(pf => writeSchema.byId.get(pf.sourceId).map(pf -> _))
+          .filter { case (_, sf) => injectable.contains(sf.dataType) }
       val readPhys = StructType(phys.fields.filterNot(f =>
         idFields.exists(_._2.name == f.name)))
       val eqApplying = p.eqDeletes.filter(d => eqSeqs.drop(eqIdx).contains(d.seq))

@@ -369,11 +369,21 @@ final class IcebergWriter private (
     // partition-evolved tables: manifests are spec-scoped (their entries'
     // partition tuples follow THEIR spec), so only current-spec manifests
     // consolidate — older-spec ones carry through untouched, exactly as
-    // Iceberg's rewrite_manifests groups by spec
-    val (rewritable, keep) = listState.partition(_._1.specId == curSpec.specId)
+    // Iceberg's rewrite_manifests groups by spec. SCHEMA-scoped too: the
+    // consolidated manifest is headed with the CURRENT schema id, and the
+    // reader resolves each entry's parquet columns by its manifest's
+    // write-schema NAMES (the rename path) — folding an older-schema
+    // manifest under the current header would silently null renamed
+    // columns, so those manifests also carry through untouched.
+    val loaded = listState.map { case (le, rows) =>
+      (le, rows, IcebergAvro.readManifest(conf, resolve(le.path)))
+    }
+    val (rewritable, keepL) = loaded.partition { case (le, _, (hdr, _)) =>
+      le.specId == curSpec.specId && hdr.schemaId.forall(_ == curSchema.schemaId)
+    }
     if (rewritable.size <= 1) return -1L
-    val carried = rewritable.map(_._1).flatMap { le =>
-      IcebergAvro.readManifest(conf, resolve(le.path))._2
+    val carried = rewritable.flatMap { case (le, _, (_, entries)) =>
+      entries
         .filter(_.status != 2) // DELETED entries are not live
         .map { e =>
           (e.copy(status = 0,
@@ -384,7 +394,7 @@ final class IcebergWriter private (
         }
     }
     val (del, data) = carried.partition(_._2)
-    listState = keep
+    listState = keepL.map { case (le, rows, _) => (le, rows) }
     val groups =
       data.map(_._1).grouped(math.max(1, targetEntries)).map("data" -> _).toSeq ++
         del.map(_._1).grouped(math.max(1, targetEntries)).map("deletes" -> _).toSeq

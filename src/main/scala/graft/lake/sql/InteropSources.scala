@@ -94,6 +94,22 @@ trait InteropAggSupport {
       filters: Seq[Filter]): Option[(StructType, Seq[Any])]
 }
 
+/** Receipt helper: planned data-file count of a frame's OPTIMIZED plan.
+  * File-pruning assertions (gate entries + specs) count real planned
+  * inputs instead of matching plan text, so they survive plan-shape
+  * changes (the native-scan substitution consumed one such receipt). */
+object PlanFiles {
+  def planned(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+}
+
 abstract class InteropReadProvider extends TableProvider with DataSourceRegister {
 
   /** Resolve options (path + format-specific time travel) to a read. */

@@ -1163,14 +1163,7 @@ object Lake {
     // old PushedFilters string receipt was shape-dependent. Assert the
     // real property instead: fewer data files planned WITH the WHERE.
     def dataFilesPlanned(df: DataFrame): Int =
-      df.queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          l.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.inputFiles.length
-            case _ => 0
-          }
-      }.sum
+      graft.lake.sql.PlanFiles.planned(df)
     val unfiltered = s.sql(s"SELECT o_totalprice FROM `graft-iceberg`.`$loc`")
     val (fCur, fAll) = (dataFilesPlanned(cur), dataFilesPlanned(unfiltered))
     require(

@@ -102,9 +102,11 @@ class GraftTableStreamSource(
         org.apache.spark.sql.types.StringType, nullable = false))
 
   override def getOffset: Option[OffsetV1] = {
-    val id = table.refresh().currentSnapshotId
-    if (id <= startingSnapshot) None
-    else Some(LongOffset(ac.admit(id, table.snapshotsAfter)))
+    // ONE metadata refresh per poll: snapshotsAfter refreshes internally
+    // and yields both the latest lineage id and the cap ordinals
+    val ids = table.snapshotsAfter(startingSnapshot)
+    ids.lastOption.map(latest =>
+      LongOffset(ac.admit(latest, b => ids.filter(_ > b))))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

@@ -82,23 +82,31 @@ class IcebergIncrementalStreamSource(
     val latest = m.snapshot(m.currentSnapshotId.get).sequenceNumber
     // ancestry-chain sequence numbers after the base, ascending — the
     // admission-control ordinals (sequence numbers are the log's
-    // monotonic ordinal; snapshot ids are random longs)
+    // monotonic ordinal; snapshot ids are random longs). The walk must
+    // survive EXPIRED history: expireSnapshots drops ancestors, leaving
+    // the oldest retained snapshot with a dangling parentId — stop there
+    // (ordinals below retained history are not servable anyway) instead
+    // of throwing on every poll.
     def seqsAfter(b: Long): Seq[Long] = {
       val buf = scala.collection.mutable.ArrayBuffer[Long]()
-      var cur = m.currentSnapshotId.map(m.snapshot)
+      var cur = m.currentSnapshotId.flatMap(IcebergIncrementalStreamSource.find(m, _))
       while (cur.exists(_.sequenceNumber > b)) {
         buf += cur.get.sequenceNumber
-        cur = cur.get.parentId.map(m.snapshot)
+        cur = cur.get.parentId.flatMap(IcebergIncrementalStreamSource.find(m, _))
       }
       buf.reverse.toSeq
     }
     Some(LongOffset(ac.admit(latest, seqsAfter)))
   }
 
-  /** Newest ancestry-chain snapshot with sequenceNumber <= seq. */
+  /** Newest ancestry-chain snapshot with sequenceNumber <= seq —
+    * expired-ancestor-safe like seqsAfter; falling off the retained
+    * chain means the checkpointed boundary predates retention. */
   private def snapAtSeq(t: IcebergTable, seq: Long): Option[Long] = {
-    var cur = t.meta.currentSnapshotId.map(t.meta.snapshot)
-    while (cur.exists(_.sequenceNumber > seq)) cur = cur.get.parentId.map(t.meta.snapshot)
+    val m = t.meta
+    var cur = m.currentSnapshotId.flatMap(IcebergIncrementalStreamSource.find(m, _))
+    while (cur.exists(_.sequenceNumber > seq))
+      cur = cur.get.parentId.flatMap(IcebergIncrementalStreamSource.find(m, _))
     cur.map(_.id)
   }
 
@@ -126,4 +134,12 @@ class IcebergIncrementalStreamSource(
   }
 
   override def stop(): Unit = ()
+}
+
+object IcebergIncrementalStreamSource {
+  /** Lookup that tolerates ids expired out of metadata (IceMeta.snapshot
+    * throws — wrong posture for an ancestry walk that may legitimately
+    * reach beyond retained history). */
+  private[graftshim] def find(m: graft.lake.iceberg.IceMeta, id: Long) =
+    m.snapshots.find(_.id == id)
 }

@@ -103,6 +103,27 @@ class AdmissionControlSpec extends AnyFunSuite {
     assert(iCounts == Seq(1L, 2L, 3L), s"one iceberg snapshot per batch: $iCounts")
   }
 
+  test("capped iceberg stream survives expired history (dangling parent)") {
+    val base = "/root/repo/target/graft-admission-test/expired"
+    fresh(base)
+    val n = Tables.nation(spark, sf)
+    val iw = graft.lake.iceberg.IcebergWriter.create(spark, s"$base/ice",
+      n.schema)
+    (1 to 3).foreach(i => iw.append(n.limit(5 + i)
+      .withColumn("n_nationkey", col("n_nationkey") + lit(i * 100))))
+    // drop all but the newest snapshot: the survivor keeps a DANGLING
+    // parentId — the capped poll's ancestry walk must stop there, not
+    // throw on every trigger
+    val (dropped, _) = iw.expireSnapshots(keepLast = 1)
+    assert(dropped > 0)
+    val counts = batchCounts(
+      spark.readStream.format("iceberg-incremental")
+        .option("maxCommitsPerTrigger", "1").load(s"$base/ice"),
+      s"$base/ickpt")
+    assert(counts.sum == 6 + 7 + 8,
+      s"cold start over retained history delivers everything: $counts")
+  }
+
   test("invalid maxCommitsPerTrigger rejects loudly; absent = unthrottled") {
     val base = "/root/repo/target/graft-admission-test/invalid"
     fresh(base)

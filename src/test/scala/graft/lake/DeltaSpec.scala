@@ -823,6 +823,21 @@ class DeltaSpec extends AnyFunSuite {
     // non-widening changes reject
     intercept[IllegalArgumentException] { w2.widenColumn("s", LongType) }
     intercept[IllegalArgumentException] { w2.widenColumn("id", IntegerType) }
+    // a SECOND widen of the same column APPENDS provenance (the protocol
+    // accumulates one typeChanges entry per change — the oldest fromType
+    // tells readers the narrowest physical encoding still on disk)
+    val loc2 = freshDir("widen-twice")
+    val nw = Seq((1.toShort, "a")).toDF("k", "s")
+    val wt = DeltaWriter.create(spark, loc2, nw.schema)
+    wt.append(nw)
+    val wt2 = wt.widenColumn("k", IntegerType).widenColumn("k", LongType)
+    wt2.append(Seq((Long.MaxValue - 1, "b")).toDF("k", "s"))
+    val tt = DeltaTable.load(spark, loc2)
+    val tc = tt.schema("k").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 2 &&
+      tc.head.getString("fromType") == "short" &&
+      tc.last.getString("toType") == "long", tc.mkString(","))
+    assert(tt.scan().count() == 2)
     // a reopened writer keeps the typeWidening protocol feature: its next
     // protocol emission (v2 checkpoint upgrade) must not drop it
     val w3 = DeltaWriter.open(spark, loc)

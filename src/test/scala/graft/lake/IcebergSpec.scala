@@ -682,6 +682,30 @@ class IcebergSpec extends AnyFunSuite {
     assert(t2.scan().count() == expect + added.count())
   }
 
+  test("rewriteManifests is schema-scoped: pre-rename manifests carry through (r11)") {
+    val o = Tables.orders(spark, sf)
+    val loc = freshDir("rewrite-rename")
+    val w = IcebergWriter.create(spark, loc, o.schema)
+    w.append(o.filter(col("o_orderkey") % 2 === 0)) // schema 0 manifest
+    // new schema id, same field ids — old files resolve by their
+    // write-schema NAME through the manifest's schema-id header
+    w.renameColumn("o_totalprice", "o_price")
+    w.append(o.filter(col("o_orderkey") % 2 === 1)
+      .withColumnRenamed("o_totalprice", "o_price")) // schema 1 manifest ×1
+    w.append(o.limit(0).withColumnRenamed("o_totalprice", "o_price"))
+    val rid = w.rewriteManifests()
+    assert(rid != -1L, "the two current-schema manifests consolidate")
+    val t = IcebergTable.load(spark, loc)
+    // a consolidated manifest headed with the CURRENT schema id must not
+    // absorb the pre-rename manifest, or its files would read o_price
+    // (absent from them) as silent NULLs
+    val priceSum = t.scan().agg(sum(col("o_price"))).head().getDouble(0)
+    val want = o.agg(sum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(priceSum - want) < 1e-6,
+      s"renamed column must read from pre-rename files ($priceSum vs $want)")
+    assert(t.scan().filter(col("o_price").isNull).count() == 0)
+  }
+
   test("compact() folds deletes into a replace snapshot; expireSnapshots GCs (r11)") {
     val o = Tables.orders(spark, sf)
     val loc = freshDir("maintain")

@@ -51,14 +51,7 @@ class InteropSqlSpec extends AnyFunSuite {
     // manifest constants and can vanish from the plan text, so assert
     // the property itself: fewer data files planned with the filter.
     def filesPlanned(d: org.apache.spark.sql.DataFrame): Int =
-      d.queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          l.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.inputFiles.length
-            case _ => 0
-          }
-      }.sum
+      graft.lake.sql.PlanFiles.planned(d)
     val q = df.filter(col("o_orderstatus") === "F").select("o_orderkey")
     val qAll = df.select("o_orderkey")
     if (filesPlanned(qAll) > 0) // native substitution path

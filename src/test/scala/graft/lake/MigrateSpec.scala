@@ -75,6 +75,27 @@ class MigrateSpec extends AnyFunSuite {
     }
   }
 
+  test("convert rejects files outside the declared hive layout") {
+    val loc = freshDir("delta-convert-stray")
+    orders.limit(100).write.partitionBy("o_orderstatus").parquet(loc)
+    // a stray file at the ROOT: its rows would read the partition column
+    // as NULL while pruning treats the file as unconstrained — must fail
+    orders.limit(5).drop("o_orderstatus")
+      .coalesce(1).write.parquet(s"$loc/__stray_tmp")
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val stray = fs.listStatus(new Path(s"$loc/__stray_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(stray, new Path(loc, "stray.parquet"))
+    fs.delete(new Path(s"$loc/__stray_tmp"), true)
+    // loud failure either way: Spark's own conflicting-layout error at
+    // schema inference, or the convert guard naming the missing hive dir
+    val e = intercept[Exception] {
+      DeltaWriter.convert(spark, loc, Seq("o_orderstatus"))
+    }
+    assert(e.getMessage.contains("hive dir") ||
+      e.getMessage.toLowerCase.contains("conflicting"), e.getMessage)
+  }
+
   test("iceberg adopt in place: zero rewrite, injected partition values, pruning") {
     val loc = freshDir("ice-adopt")
     orders.write.partitionBy("o_orderstatus").parquet(loc)
