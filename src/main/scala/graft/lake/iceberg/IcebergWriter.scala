@@ -401,19 +401,42 @@ final class IcebergWriter private (
     commitManifests("replace", groups)
   }
 
-  /** ADOPT the plain parquet files already under the table root as the
-    * first snapshot — the data-file half of [[IcebergWriter.adopt]]
-    * (see the companion doc): identity partition values parsed from the
-    * hive `col=value` dirs, per-file bounds lifted from parquet footers,
+  /** ADD FILES (Iceberg's add_files procedure): registers the plain
+    * parquet files under `srcDir` — hive `col=value` layout for the
+    * current spec's identity partitions — into THIS table as one append
+    * snapshot, referencing them IN PLACE (absolute paths; nothing moves
+    * or rewrites; O(files) footer reads lift per-file bounds). The
+    * incremental estate-onboarding path: adopt() bootstraps a table over
+    * one directory, addFiles() keeps absorbing further directories.
+    * Already-referenced files reject loudly (the procedure's
+    * check_duplicate_files posture — double-registering a file would
+    * double its rows). */
+  def addFiles(srcDir: String): Long = {
+    val src = new Path(srcDir)
+    require(fs.exists(src), s"iceberg add_files: no such directory $srcDir")
+    val referenced = IcebergTable.load(spark, location).planFiles()
+      .map(IcebergTable.pathKey).toSet
+    val dup = listParquet(src).map(p =>
+      IcebergTable.pathKey(fs.makeQualified(p).toString)).filter(referenced)
+    require(dup.isEmpty,
+      s"iceberg add_files: ${dup.size} file(s) already referenced by the " +
+        s"table (first: ${dup.head}) — double-registering duplicates rows")
+    adoptDataFiles(src)
+  }
+
+  /** ADOPT the plain parquet files under `srcRoot` as one append
+    * snapshot — the data-file half of [[IcebergWriter.adopt]] and
+    * [[addFiles]]: identity partition values parsed from the hive
+    * `col=value` dirs, per-file bounds lifted from parquet footers,
     * files referenced IN PLACE (absolute paths; nothing moves). */
-  private def adoptDataFiles(): Long = {
+  private def adoptDataFiles(srcRoot: Path = root): Long = {
     val sch = curSchema
     val spec = curSpec
-    val files = listParquet(root).filterNot(p =>
-      relDir(root, p).split("/").headOption.contains("metadata"))
-    require(files.nonEmpty, s"iceberg adopt: no parquet files under $root")
+    val files = listParquet(srcRoot).filterNot(p =>
+      relDir(srcRoot, p).split("/").headOption.contains("metadata"))
+    require(files.nonEmpty, s"iceberg adopt: no parquet files under $srcRoot")
     val entries = files.sortBy(_.toString).map { p =>
-      val rel = relDir(root, p)
+      val rel = relDir(srcRoot, p)
       val dirs: Map[String, String] =
         rel.split("/").filter(_.contains("=")).map { seg =>
           val eq = seg.indexOf('=')

@@ -144,6 +144,34 @@ class MigrateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { IcebergWriter.adopt(spark, loc) }
   }
 
+  test("add_files absorbs an EXTERNAL parquet directory into a live table") {
+    val loc = freshDir("ice-addfiles")
+    val ext = freshDir("ice-addfiles-ext")
+    val half1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val half2 = orders.filter(col("o_orderkey") % 2 === 1)
+    half1.write.partitionBy("o_orderstatus").parquet(loc)
+    half2.write.partitionBy("o_orderstatus").parquet(ext)
+    val w = IcebergWriter.adopt(spark, loc, Seq("o_orderstatus"))
+    val extBefore = fileState(ext, Set.empty)
+    w.addFiles(ext)
+    // external files registered in place — outside the table root
+    assert(fileState(ext, Set.empty) == extBefore,
+      "add_files must not move or rewrite external files")
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() == orders.count())
+    assert(t.scan().filter(col("o_orderstatus").isNull).count() == 0)
+    assert(t.planFiles(Some(col("o_orderstatus") === "F")).size <
+      t.planFiles().size, "pruning spans adopted + added files")
+    // double-registering the same directory rejects loudly
+    val e = intercept[IllegalArgumentException] { w.addFiles(ext) }
+    assert(e.getMessage.contains("already referenced"), e.getMessage)
+    // a MoR delete lands across both provenances
+    w.equalityDelete(orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey"))
+    assert(IcebergTable.load(spark, loc).scan().count() ==
+      orders.filter(col("o_orderpriority") =!= "1-URGENT").count())
+  }
+
   test("adopt with a date identity partition round-trips typed dir values") {
     val loc = freshDir("ice-adopt-date")
     val src = orders.select(col("o_orderkey"), col("o_totalprice"),
