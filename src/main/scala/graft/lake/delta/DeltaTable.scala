@@ -119,7 +119,27 @@ final class DeltaTable private (
     DataFileMeta(a.path, 0L, a.numRecords.getOrElse(0L), a.size, pvals, logicalStats)
   }
 
-  /** Live data files surviving partition + stats pruning (receipt hook). */
+  /** Live data-file listing — the `#files` metadata view (the DESCRIBE
+    * DETAIL companion; symmetric with Iceberg's `<table>.files`):
+    * one row per live add action from reconstructed log state alone —
+    * zero data IO. DV'd files report their masked-row cardinality. */
+  def filesDf: DataFrame = {
+    val rows = adds.sortBy(_.path).map { a =>
+      org.apache.spark.sql.Row(a.path, a.size, a.numRecords.map(Long.box).orNull,
+        a.partitionValues.map { case (k, v) =>
+          s"$k=${if (v == null) Meta.NullPartition else v}" }.toSeq.sorted.mkString("/"),
+        a.deletionVector.map(d => Long.box(d.cardinality)).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("path", StringType),
+        StructField("size_bytes", LongType),
+        StructField("num_records", LongType),
+        StructField("partition", StringType),
+        StructField("dv_cardinality", LongType))))
+  }
+
   /** `DESCRIBE HISTORY` shape — one row per commit from the log listing
     * alone: version, timestamp (commit-file mtime, the protocol's own
     * default timestamp resolution), operation (from `commitInfo` when

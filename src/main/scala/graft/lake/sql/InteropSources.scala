@@ -389,12 +389,16 @@ class GraftDeltaSource extends InteropReadProvider {
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
     val loc = path(options)
-    // `` `graft-delta`.`path#history` `` — the DESCRIBE HISTORY shape,
-    // from the log listing alone (commitInfo operations when present)
+    // `` `graft-delta`.`path#history` `` (DESCRIBE HISTORY shape, from
+    // the log listing alone) and `` #files `` (live add actions —
+    // DESCRIBE DETAIL's file listing; Iceberg's `.files` symmetry)
     Option(options.get("metadata")).foreach { which =>
-      require(which == "history", s"graft-delta: unknown metadata table " +
-        s"'$which' (history)")
-      val df = DeltaTable.load(spark, loc).historyDf
+      val df = which match {
+        case "history" => DeltaTable.load(spark, loc).historyDf
+        case "files" => DeltaTable.load(spark, loc).filesDf
+        case other => throw new IllegalArgumentException(
+          s"graft-delta: unknown metadata table '$other' (history|files)")
+      }
       return InteropRead(s"graft-delta `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
     }

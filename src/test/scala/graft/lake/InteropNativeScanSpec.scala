@@ -160,9 +160,17 @@ class InteropNativeScanSpec extends AnyFunSuite {
     val v1 = spark.read.format("graft-delta").option("versionAsOf", "1").load(loc)
     assert(v1Nodes(v1.queryExecution.executedPlan).isEmpty)
     assert(v1.count() == orders.filter(col("o_orderkey") % 2 === 0).count())
-    // metadata view reads through the same substitution path
+    // metadata views read through the same substitution path
     val hist = spark.sql(s"SELECT * FROM `graft-delta`.`$loc#history`")
     assert(hist.count() == 3) // create + two appends
+    // #files: live add actions, zero data IO (r11 — Iceberg's `.files`
+    // symmetry); totals reconcile with the table's own counts
+    val files = spark.sql(s"SELECT * FROM `graft-delta`.`$loc#files`")
+    assert(files.count() > 0)
+    assert(files.agg(sum("num_records")).head().getLong(0) == orders.count())
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM `graft-delta`.`$loc#nope`").collect()
+    }
   }
 
   test("row-level SQL commands keep their DSv2 relations (command guard)") {
