@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.delta.DeltaTable
@@ -36,7 +36,19 @@ import graft.lake.iceberg.IcebergTable
   *  - `graft-delta`: `versionAsOf` | `timestampAsOf` (epoch ms or
   *    `yyyy-mm-dd hh:mm:ss[.f…]`)
   *  - `graft-hudi`: `as.of.instant` (timeline instant), `query.type`
-  *    (`snapshot` default | `read_optimized`)
+  *    (`snapshot` default | `read_optimized` | `incremental`)
+  *
+  * CHANGE QUERIES follow each format's own batch reader conventions too
+  * (read-only resolutions; each has a streaming twin source):
+  *  - `graft-iceberg`: `start-snapshot-id` (exclusive) +
+  *    `end-snapshot-id` (default current) → appended rows, `_snapshot_id`
+  *  - `graft-delta`: `readChangeFeed=true` + `startingVersion`
+  *    (inclusive) + `endingVersion` (default current) → CDF rows typed
+  *    `_change_type` with `_commit_version`
+  *  - `graft-hudi`: `query.type=incremental` + `begin.instanttime`
+  *    (exclusive) + `end.instanttime` (default latest) → latest state of
+  *    changed keys, `commit_instant` (the long `hoodie.datasource.*`
+  *    option names are accepted as aliases)
   *
   * Architecture: each provider resolves its options to an [[InteropRead]]
   * — schema + scan/stats closures over the existing table readers — and
@@ -136,15 +148,34 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
     * (pg_lakehouse_iceberg/README.md:22-35 creates a NEW table). */
   override def supportsExternalMetadata(): Boolean = true
 
+  /** One resolution per read: Spark instantiates a fresh provider per
+    * query and calls `inferSchema` then `getTable` with the SAME options
+    * — without a memo every connector read walks the table's metadata
+    * (log replay / manifest list / timeline) twice. Keyed by the full
+    * option map; a provider instance never outlives one read, so the
+    * memo cannot serve a stale snapshot across queries. */
+  @volatile private var lastOpen: (util.Map[String, String], InteropRead) = _
+  private def openCached(spark: SparkSession,
+      options: CaseInsensitiveStringMap): InteropRead = {
+    val key = options.asCaseSensitiveMap()
+    val c = lastOpen
+    if (c != null && c._1 == key) c._2
+    else {
+      val r = open(spark, options)
+      lastOpen = (key, r)
+      r
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    open(SparkSession.active, options).schema
+    openCached(SparkSession.active, options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val spark = SparkSession.active
     val loc = path(opts)
-    if (exists(spark, loc)) new InteropReadTable(open(spark, opts))
+    if (exists(spark, loc)) new InteropReadTable(openCached(spark, opts))
     else {
       // CREATE-on-first-write: a declared schema + a fresh location is
       // a table that exists in the catalog but not yet on disk — SELECT
@@ -240,6 +271,28 @@ class GraftIcebergSource extends InteropReadProvider {
       return InteropRead(s"graft-iceberg `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
     }
+    // INCREMENTAL APPEND READ — Iceberg's own batch reader options
+    // (`start-snapshot-id` EXCLUSIVE, `end-snapshot-id` default current;
+    // the names Iceberg's Spark connector uses): rows appended in
+    // `(start, end]` tagged `_snapshot_id`, served by
+    // [[IcebergTable.incrementalAppends]] — planning is
+    // O(snapshots-in-range) metadata, the scan touches only the added
+    // files, and pushed filters still reach file pruning. Read-only
+    // (a change query is not an insert target); the streaming twin is
+    // the `iceberg-incremental` source.
+    Option(options.get("start-snapshot-id")).map(_.toLong).foreach { from =>
+      require(snap < 0, "graft-iceberg: start-snapshot-id cannot combine " +
+        "with snapshot-id/as-of-timestamp/ref time travel — bound the " +
+        "range with end-snapshot-id instead")
+      val to = Option(options.get("end-snapshot-id")).map(_.toLong).getOrElse(-1L)
+      val schema = StructType(
+        t.schema.fields :+ StructField("_snapshot_id", LongType))
+      return InteropRead(
+        s"graft-iceberg `$loc` incremental ($from, ${if (to >= 0L) to else "current"}]",
+        schema, f => t.incrementalAppends(from, to, f), _ => (-1L, -1L))
+    }
+    require(options.get("end-snapshot-id") == null,
+      "graft-iceberg: end-snapshot-id needs start-snapshot-id")
     InteropRead(s"graft-iceberg `$loc`", t.schema,
       f => t.scan(f, snap), f => t.scanStats(f, snap),
       aggSupport = Some(new IcebergInteropAgg(t, snap)),
@@ -402,6 +455,31 @@ class GraftDeltaSource extends InteropReadProvider {
       return InteropRead(s"graft-delta `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
     }
+    // CHANGE DATA FEED READ — Delta's own batch reader options
+    // (`readChangeFeed`, `startingVersion` INCLUSIVE, `endingVersion`
+    // default current; the protocol's `table_changes(...)` UX): every
+    // row-level change in `[from, to]` typed by `_change_type` with its
+    // `_commit_version`, served by [[DeltaTable.changes]] — an
+    // O(commits-in-range) driver action walk, change-file scans only.
+    // Read-only (a change query is not an insert target); the streaming
+    // twin is the `delta-cdf` source.
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      require(!options.containsKey("versionAsOf") &&
+        !options.containsKey("timestampAsOf"),
+        "graft-delta: readChangeFeed cannot combine with versionAsOf/" +
+          "timestampAsOf — bound the range with endingVersion instead")
+      val from = Option(options.get("startingVersion")).map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-delta: readChangeFeed needs startingVersion"))
+      val to = Option(options.get("endingVersion")).map(_.toLong)
+        .getOrElse(DeltaTable.load(spark, loc).version)
+      val df = DeltaTable.changes(spark, loc, from, to)
+      return InteropRead(s"graft-delta `$loc` changes [$from, $to]",
+        df.schema, _ => df, _ => (-1L, -1L))
+    }
+    require(!options.containsKey("startingVersion") &&
+      !options.containsKey("endingVersion"),
+      "graft-delta: startingVersion/endingVersion need readChangeFeed=true")
     val t = Option(options.get("versionAsOf")) match {
       case Some(v) => DeltaTable.loadVersion(spark, loc, v.toLong)
       case None => Option(options.get("timestampAsOf")) match {
@@ -564,14 +642,46 @@ class GraftHudiSource extends InteropReadProvider {
       return InteropRead(s"graft-hudi `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
     }
+    def opt(names: String*): Option[String] =
+      names.flatMap(n => Option(options.get(n))).headOption
+    val queryType = opt("query.type", "hoodie.datasource.query.type")
+      .getOrElse("snapshot")
+    // INCREMENTAL READ — Hudi's own query type
+    // (`query.type=incremental`, `begin.instanttime` EXCLUSIVE,
+    // `end.instanttime` optional, default latest; the long
+    // `hoodie.datasource.*` names are accepted too): rows changed in
+    // `(begin, end]` tagged `commit_instant`, served by
+    // [[HudiTable.incrementalFrom]] over a table bounded at `end` —
+    // untouched file groups are skipped from timeline metadata alone.
+    // Read-only; the streaming twin is the `hudi-incremental` source.
+    if (queryType == "incremental") {
+      require(options.get("as.of.instant") == null,
+        "graft-hudi: incremental cannot combine with as.of.instant — " +
+          "bound the range with end.instanttime instead")
+      val begin = opt("begin.instanttime",
+        "hoodie.datasource.read.begin.instanttime").getOrElse("")
+      val end = opt("end.instanttime",
+        "hoodie.datasource.read.end.instanttime").orNull
+      val ti = HudiTable.loadAsOf(spark, loc, end) // null = latest
+      val schema = StructType(
+        StructField("commit_instant", StringType) +: ti.schema.fields)
+      return InteropRead(
+        s"graft-hudi `$loc` incremental ($begin, ${Option(end).getOrElse("latest")}]",
+        schema, f => ti.incrementalFrom(begin, f), _ => (-1L, -1L))
+    }
+    require(opt("begin.instanttime",
+        "hoodie.datasource.read.begin.instanttime",
+        "end.instanttime", "hoodie.datasource.read.end.instanttime").isEmpty,
+      "graft-hudi: begin/end.instanttime need query.type=incremental")
     val t = HudiTable.loadAsOf(spark, loc,
       options.get("as.of.instant")) // null = latest (loadAsOf's contract)
     val scan: Option[Column] => DataFrame =
-      Option(options.get("query.type")).getOrElse("snapshot") match {
+      queryType match {
         case "snapshot" => t.scan(_)
         case "read_optimized" => t.scanReadOptimized(_)
         case other => throw new IllegalArgumentException(
-          s"graft-hudi query.type must be snapshot|read_optimized, got '$other'")
+          s"graft-hudi query.type must be snapshot|read_optimized|" +
+            s"incremental, got '$other'")
       }
     InteropRead(s"graft-hudi `$loc`", t.schema, scan, t.scanStats(_),
       append =

@@ -685,8 +685,12 @@ object Lake {
     val s1 = w.append(o.filter(year(col("o_orderdate")) < 1995))
     val s2 = w.append(o.filter(year(col("o_orderdate")) === 1995))
     val s3 = w.append(o.filter(year(col("o_orderdate")) > 1995))
-    val t = IcebergTable.load(s, w.location)
-    val inc = t.incrementalAppends(s1)
+    // read the range through the BATCH CONNECTOR's own options
+    // (start-snapshot-id, exclusive — Iceberg's incremental-scan UX;
+    // r11): same frame incrementalAppends serves, parity pinned by
+    // InteropChangeReadSpec
+    val inc = s.read.format("graft-iceberg")
+      .option("start-snapshot-id", s1).load(w.location)
     inc.groupBy(when(col("_snapshot_id") === s2, "second")
         .otherwise(when(col("_snapshot_id") === s3, "third")).as("src"))
       .agg(count(lit(1)).as("n_orders"),
@@ -925,7 +929,12 @@ object Lake {
     w.updateWhere(col("o_orderkey") % 10 === 0,
       Map("o_orderpriority" -> lit("corrected"))) // v2: pre+post images
     w.deleteWhere(col("o_orderpriority") === "1-URGENT") // v3: deletes
-    DeltaTable.changes(s, loc, 1L, 3L)
+    // read the range through the BATCH CONNECTOR's own CDF options
+    // (readChangeFeed/startingVersion/endingVersion — Delta's
+    // table_changes UX; r11): same frame DeltaTable.changes serves,
+    // parity pinned by InteropChangeReadSpec
+    s.read.format("graft-delta").option("readChangeFeed", "true")
+      .option("startingVersion", 1L).option("endingVersion", 3L).load(loc)
       .groupBy("_change_type", "_commit_version")
       .agg(count(lit(1)).as("n_rows"),
         Money.sum2(col("o_totalprice")).as("total"))
@@ -1067,8 +1076,16 @@ object Lake {
         .agg(count(lit(1)).as("n_orders"),
           Money.sum2(col("o_totalprice")).as("total"))
         .withColumn("src", lit(src))
+    // the since_first arm reads through the BATCH CONNECTOR's own
+    // incremental options (query.type/begin.instanttime — Hudi's
+    // incremental-query UX; r11): same frame incrementalFrom serves,
+    // parity pinned by InteropChangeReadSpec
+    val sinceFirst = s.read.format("graft-hudi")
+      .option("query.type", "incremental")
+      .option("begin.instanttime", first).load(loc)
+      .drop("commit_instant")
     agg(t.incrementalFrom(base), "since_base")
-      .unionByName(agg(t.incrementalFrom(first), "since_first"))
+      .unionByName(agg(sinceFirst, "since_first"))
   }
 
   def lakeHudiRead(s: SparkSession, d: String): DataFrame = {
