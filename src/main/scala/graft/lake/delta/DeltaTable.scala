@@ -140,6 +140,37 @@ final class DeltaTable private (
         StructField("dv_cardinality", LongType))))
   }
 
+  /** Per-partition live state — the `#partitions` metadata view
+    * (Iceberg's `<table>.partitions` symmetry): add actions aggregated
+    * by partition from reconstructed log state alone — zero data IO.
+    * `num_records` sums add-stats counts (null if ANY file in the
+    * partition lacks stats: unknown ≠ zero); `dv_masked_records` sums
+    * live deletion-vector cardinalities, so `num_records -
+    * dv_masked_records` is the partition's scan-visible row count. */
+  def partitionsDf: DataFrame = {
+    val groups = adds.groupBy(a =>
+      a.partitionValues.map { case (k, v) =>
+        s"$k=${if (v == null) Meta.NullPartition else v}" }.toSeq.sorted
+        .mkString("/"))
+    val rows = groups.toSeq.sortBy(_._1).map { case (part, files) =>
+      val recs =
+        if (files.forall(_.numRecords.isDefined))
+          Long.box(files.map(_.numRecords.get).sum)
+        else null
+      org.apache.spark.sql.Row(part, files.size.toLong,
+        files.map(_.size).sum, recs,
+        files.flatMap(_.deletionVector).map(_.cardinality).sum)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("partition", StringType),
+        StructField("file_count", LongType),
+        StructField("size_bytes", LongType),
+        StructField("num_records", LongType),
+        StructField("dv_masked_records", LongType))))
+  }
+
   /** `DESCRIBE HISTORY` shape — one row per commit from the log listing
     * alone: version, timestamp (commit-file mtime, the protocol's own
     * default timestamp resolution), operation (from `commitInfo` when

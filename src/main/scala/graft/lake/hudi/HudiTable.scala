@@ -112,6 +112,31 @@ final class HudiTable private (
     FilePruner.prune(metas, filter, partitionFields, schema).map(_.path)
   }
 
+  /** Per-partition live state — the `#partitions` metadata view
+    * (Iceberg's `<table>.partitions` symmetry): latest file slices
+    * aggregated by partition path, from timeline state alone — zero data
+    * IO. `num_writes` sums base-slice commit-stat row counts (log deltas
+    * not folded in — an estimate on MOR, exact on COW); `size_bytes` is
+    * -1 when any slice's commit predates size recording (unknown ≠ 0). */
+  def partitionsDf: DataFrame = {
+    val rows = slices.groupBy(_.partitionPath).toSeq.sortBy(_._1)
+      .map { case (part, ss) =>
+        val bytes =
+          if (ss.forall(_.sizeBytes >= 0)) ss.map(_.sizeBytes).sum else -1L
+        Row(part, ss.size.toLong,
+          ss.filter(_.numWrites >= 0).map(_.numWrites).sum,
+          bytes, ss.map(_.logs.size.toLong).sum)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("partition", StringType),
+        StructField("file_group_count", LongType),
+        StructField("num_writes", LongType),
+        StructField("size_bytes", LongType),
+        StructField("log_file_count", LongType))))
+  }
+
   /** Log files of the pruned slices, in merge order (receipt hook). */
   def planLogFiles(filter: Option[Column] = None): Seq[String] = {
     val keep = planFiles(filter).toSet

@@ -111,6 +111,43 @@ final class IcebergTable private (
         StructField("sequence_number", LongType))))
   }
 
+  /** The `partitions` metadata table (Iceberg's `<table>.partitions`
+    * shape): one row per live partition tuple, aggregated from planned
+    * manifest entries alone — zero data IO. `record_count` sums data-file
+    * entry counts (an upper bound when delete content applies, as in
+    * Iceberg's own view); delete-file counts surface alongside so a
+    * reader can see which partitions carry MoR state. */
+  def partitionsDf(snapshotId: Long = -1L): DataFrame = {
+    val p = plan(None, snapshotId)
+    def key(pf: IcebergTable.PlannedFile): Seq[(String, String)] =
+      pf.entry.partition.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> String.valueOf(v) }
+    val data = p.dataFiles.groupBy(key)
+    val pos = (p.posDeletes ++ p.dvDeletes).groupBy(key)
+    val eq = p.eqDeletes.groupBy(key)
+    // union of tuples: GLOBAL delete files (unpartitioned spec — empty
+    // tuple) and delete-only partitions still get a row, as in Iceberg's
+    // own view, instead of silently vanishing
+    val keys = (data.keySet ++ pos.keySet ++ eq.keySet).toSeq
+      .sortBy(_.mkString(","))
+    val rows = keys.map { k =>
+      val files = data.getOrElse(k, Nil)
+      org.apache.spark.sql.Row(k.toMap, files.map(_.entry.recordCount).sum,
+        files.size.toLong, files.map(_.entry.fileSizeBytes).sum,
+        pos.get(k).map(_.size.toLong).getOrElse(0L),
+        eq.get(k).map(_.size.toLong).getOrElse(0L))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("partition", MapType(StringType, StringType)),
+        StructField("record_count", LongType),
+        StructField("file_count", LongType),
+        StructField("total_data_file_size_in_bytes", LongType),
+        StructField("position_delete_file_count", LongType),
+        StructField("equality_delete_file_count", LongType))))
+  }
+
   // ---- planning ------------------------------------------------------------
 
   import IcebergTable.{Plan, PlannedFile}

@@ -265,8 +265,10 @@ class GraftIcebergSource extends InteropReadProvider {
       val df = which match {
         case "snapshots" => t.snapshotsDf
         case "files" => t.filesDf(snap)
+        case "partitions" => t.partitionsDf(snap)
         case other => throw new IllegalArgumentException(
-          s"graft-iceberg: unknown metadata table '$other' (snapshots|files)")
+          s"graft-iceberg: unknown metadata table '$other' " +
+            "(snapshots|files|partitions)")
       }
       return InteropRead(s"graft-iceberg `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
@@ -449,8 +451,10 @@ class GraftDeltaSource extends InteropReadProvider {
       val df = which match {
         case "history" => DeltaTable.load(spark, loc).historyDf
         case "files" => DeltaTable.load(spark, loc).filesDf
+        case "partitions" => DeltaTable.load(spark, loc).partitionsDf
         case other => throw new IllegalArgumentException(
-          s"graft-delta: unknown metadata table '$other' (history|files)")
+          s"graft-delta: unknown metadata table '$other' " +
+            "(history|files|partitions)")
       }
       return InteropRead(s"graft-delta `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
@@ -636,9 +640,13 @@ class GraftHudiSource extends InteropReadProvider {
     // `` `graft-hudi`.`path#timeline` `` — the completed-instant
     // timeline as a queryable view
     Option(options.get("metadata")).foreach { which =>
-      require(which == "timeline", s"graft-hudi: unknown metadata table " +
-        s"'$which' (timeline)")
-      val df = HudiTable.load(spark, loc).timelineDf
+      val df = which match {
+        case "timeline" => HudiTable.load(spark, loc).timelineDf
+        case "partitions" => HudiTable.load(spark, loc).partitionsDf
+        case other => throw new IllegalArgumentException(
+          s"graft-hudi: unknown metadata table '$other' " +
+            "(timeline|partitions)")
+      }
       return InteropRead(s"graft-hudi `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))
     }

@@ -28,6 +28,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
+  /** NORMALIZED exact dedup — the C4/RefinedWeb "near-exact" stage:
+    * lowercase, fold every non-alphanumeric to a space, collapse runs,
+    * trim, THEN dedup on the canonical form, so documents differing only
+    * in case / punctuation / whitespace fold together (boilerplate
+    * re-crawls, formatting variants). Same 100 TB shape as [[dedupExact]]:
+    * the normalization is map-only codegen'd string work and the shuffle
+    * carries a 32-byte sha2 digest of the canonical text, never the
+    * corpus. Normalization stays in the ASCII [a-z0-9 ] domain on both
+    * the Spark and oracle sides so the two regex engines (Java / RE2)
+    * provably agree. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        // native single-pass normalization (byte scan; regex-free) —
+        // semantically identical to
+        // trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), the
+        // form the oracle evaluates; see NormalizeAscii
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.expressions.NormalizeAscii(
+            org.apache.spark.sql.graftshim.ColumnExpr.expression(col("text"))))
+          .as("norm"))
+      .groupBy(sha2(col("norm"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
+
   /** MinHash + LSH near-dup pairs: 3-word shingles → 64 minhashes →
     * 16 bands × 4 rows → band-bucket self-join → exact Jaccard ≥ 0.8
     * verify. Probability a 0.9-similar pair shares ≥1 band ≈ 1-(1-.9⁴)¹⁶
@@ -521,6 +546,7 @@ object Dedup {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_normalized" -> (dedupNormalized _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -531,6 +557,13 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+         FROM (SELECT doc_id,
+                      trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')) AS norm
+               FROM documents)
+         GROUP BY norm""",
     "dedup_substring" ->
       """WITH t AS (
            SELECT doc_id,

@@ -27,6 +27,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == docs.map(_._2).distinct.size)
   }
 
+  test("dedup_normalized folds case/punct/whitespace variants (in-memory parity)") {
+    def norm(t: String): String =
+      t.toLowerCase.map(c =>
+        if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')) c else ' ')
+        .mkString.replaceAll(" +", " ").trim
+    val expect = docs.groupBy(d => norm(d._2))
+      .map { case (_, g) => (g.map(_._1).min, g.size.toLong) }.toSet
+    val got = queries.Dedup.dedupNormalized(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // a planted variant set differing only in case/punct/spacing folds
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "Hello, World!  This is FINE."),
+      (2L, "hello world this is fine"),
+      (3L, "HELLO WORLD — this is fine???"),
+      (4L, "a different document")).toDF("doc_id", "text")
+    val survivors = planted
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      .groupBy("norm").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L))
+    // the native NormalizeAscii expression must equal the regex form it
+    // replaces — incl. the non-ASCII edges where byte-stripping would
+    // diverge (KELVIN SIGN lowercases into 'k'; İ expands to i+U+0307;
+    // é is a separator after lowering; tabs/newlines collapse)
+    val edges = Seq("Hello,\tWorld!\n42", "Kelvin scale", "İstanbul",
+      "café résumé", "  lead and trail  ", "", "...", "ASCII only 123")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = edges.select(
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.expressions.NormalizeAscii(
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(col("text"))))
+        .as("native"),
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("regex"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native '${r.getString(0)}' != regex '${r.getString(1)}'"))
+  }
+
   test("dedup_minhash_lsh finds exactly the brute-force jaccard>=0.8 pairs") {
     val truth = (for {
       (a, ta, _) <- docs; (b, tb, _) <- docs if a < b

@@ -173,6 +173,53 @@ class InteropNativeScanSpec extends AnyFunSuite {
     }
   }
 
+  test("#partitions metadata view reconciles per-partition state (all three formats)") {
+    // iceberg: record_count/file_count per identity partition from
+    // manifests alone; an equality delete surfaces as a delete-file count
+    val iloc = freshDir("ice-parts")
+    val iw = IcebergWriter.create(spark, iloc, orders.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    iw.append(orders)
+    iw.equalityDelete(orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey"))
+    val iparts = spark.sql(s"SELECT * FROM `graft-iceberg`.`$iloc#partitions`")
+    val wantParts = orders.select("o_orderstatus").distinct().count()
+    // global (unpartitioned-spec) delete files may add a delete-only row
+    assert(iparts.filter(col("file_count") > 0).count() == wantParts)
+    assert(iparts.agg(sum("record_count")).head().getLong(0) == orders.count())
+    assert(iparts.agg(sum("equality_delete_file_count")).head().getLong(0) > 0)
+
+    // delta: num_records from stats; a DV delete reports masked rows so
+    // records - masked = scan-visible count
+    val dloc = freshDir("delta-parts")
+    val dw = DeltaWriter.create(spark, dloc, orders.schema,
+      partitionColumns = Seq("o_orderstatus"))
+    dw.append(orders)
+    val gone = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    dw.deleteWhereDv(col("o_orderpriority") === "1-URGENT")
+    val dparts = spark.sql(s"SELECT * FROM `graft-delta`.`$dloc#partitions`")
+    assert(dparts.count() == wantParts)
+    val d = dparts.agg(sum("num_records"), sum("dv_masked_records")).head()
+    assert(d.getLong(0) == orders.count())
+    assert(d.getLong(0) - d.getLong(1) ==
+      spark.read.format("graft-delta").load(dloc).count())
+    assert(d.getLong(1) == gone)
+
+    // hudi: file groups + commit-stat row counts per partition path
+    val hloc = freshDir("hudi-parts")
+    val hw = HudiWriter.create(spark, hloc, orders.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+    hw.insert(orders)
+    val hparts = spark.sql(s"SELECT * FROM `graft-hudi`.`$hloc#partitions`")
+    assert(hparts.count() == wantParts)
+    assert(hparts.agg(sum("num_writes")).head().getLong(0) == orders.count())
+    assert(hparts.filter(col("size_bytes") <= 0).count() == 0)
+
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM `graft-hudi`.`$hloc#nope`").collect()
+    }
+  }
+
   test("row-level SQL commands keep their DSv2 relations (command guard)") {
     val loc = freshDir("ice-dml")
     val w = IcebergWriter.create(spark, loc, orders.schema)
