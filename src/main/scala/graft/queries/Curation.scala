@@ -266,7 +266,61 @@ object Curation {
         round(col("r.top_count") / n, 4).as("top_word_frac"))
   }
 
+  /** MODEL-BASED QUALITY CLASSIFIER — the CCNet / FineWeb distillation
+    * pattern: an expensive TEACHER (here the composite heuristic
+    * [[Text.qualityScoreCol]]; in production an LLM judge or a
+    * wiki-vs-crawl contrast set) labels a training split, and a cheap
+    * linear STUDENT (whitespace tokens → HashingTF(4096) term counts →
+    * binary logistic regression, spark.ml) learns to reproduce it so the
+    * full corpus can be scored at a fraction of the teacher's cost.
+    * Confident-band training (teacher's top/bottom 40% by train-split
+    * quantiles; the ambiguous middle is excluded) — the standard
+    * distillation trick for a threshold teacher.
+    *
+    * Deterministic: the 1-in-5 holdout keys on xxhash64(doc_id), the
+    * band thresholds are train-split approxQuantiles (bounded driver
+    * artifact), and the output is the (holdout, teacher_label,
+    * pred_label) confusion matrix so the entry carries its own
+    * evaluation; CurationSpec pins holdout agreement.
+    *
+    * 100 TB shape: featurization is map-only; each L-BFGS iteration is
+    * one treeAggregate over the confident train split (no shuffle of
+    * document bodies); the model is a bounded artifact (4096 doubles)
+    * broadcast for scoring — the corpus is the expensive object, never
+    * the model. [rows] */
+  def curateQualityClassify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        Text.qualityScoreCol(col("text")).as("q"))
+      .withColumn("holdout", pmod(xxhash64(col("doc_id")), lit(5)) === 0)
+    val train = docs.filter(!col("holdout"))
+    val Array(lo, hi) =
+      train.stat.approxQuantile("q", Array(0.4, 0.6), 0.001)
+    val confident = train.filter(col("q") <= lo || col("q") >= hi)
+      .withColumn("label", when(col("q") >= hi, 1.0).otherwise(0.0))
+    val model = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks")
+        .setPattern("\\s+"),
+      new HashingTF().setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(1 << 12),
+      new LogisticRegression().setMaxIter(30).setRegParam(1e-3)))
+      .fit(confident)
+    // score EVERYTHING (the point of the student); evaluate against the
+    // teacher's label on the same confident bands
+    val scored = model.transform(
+      docs.withColumn("teacher_label",
+        when(col("q") >= hi, 1L).when(col("q") <= lo, 0L).otherwise(-1L)))
+    scored.filter(col("teacher_label") >= 0)
+      .groupBy(col("holdout"), col("teacher_label"),
+        col("prediction").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_quality_classify" -> (curateQualityClassify _),
     "curate_decontam" -> (curateDecontam _),
     "curate_sample_stratified" -> (curateSampleStratified _),
     "curate_mix_domains" -> (curateMixDomains _),

@@ -165,6 +165,26 @@ class CurationSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- repetition
 
+  test("curate_quality_classify: student reproduces the teacher on held-out docs") {
+    val conf = queries.Curation.curateQualityClassify(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // both classes present in training (the confident bands are real)
+    val trainByLabel = conf.filter(!_._1).groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(trainByLabel.getOrElse(0L, 0L) > 0 && trainByLabel.getOrElse(1L, 0L) > 0,
+      "confident bands must contain both classes")
+    // held-out agreement with the teacher: the distillation must work
+    val ho = conf.filter(_._1)
+    val agree = ho.filter(r => r._2 == r._3).map(_._4).sum.toDouble
+    val total = ho.map(_._4).sum.toDouble
+    assert(total > 0, "holdout split must be non-empty")
+    assert(agree / total >= 0.9,
+      s"holdout teacher agreement ${agree / total} below 0.9")
+    // determinism: a second run yields the identical confusion matrix
+    val again = queries.Curation.curateQualityClassify(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(conf.toSet == again.toSet, "classifier run must be deterministic")
+  }
+
   test("text_repetition matches in-memory Gopher signals") {
     def round4(d: Double): Double =
       BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
