@@ -319,8 +319,58 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** SEMANTIC DIVERSITY SAMPLING — the cluster-balanced companion to
+    * SemDeDup (the D4/SSL-prototypes curation family): k-means-cluster
+    * the embedding space (the same bounded-codebook machinery
+    * [[Dedup.dedupSemantic]] trains; assignment is the map-only PqEncode
+    * argmin), then sample each cluster down to a ~fixed budget so
+    * over-represented semantic regions stop dominating the mixture.
+    * Every cluster keeps its min-id vector unconditionally (guaranteed
+    * representation) and the rest survive a deterministic
+    * md5(vec_id)-threshold at rate target/size — the same
+    * engine-portable hash-sampling posture as
+    * [[curateSampleStratified]], now with LEARNED strata.
+    *
+    * 100 TB shape: centroids are a bounded driver artifact; assignment
+    * is map-only (codebook in the task closure); the only aggregate is
+    * k rows (cluster sizes + anchors, broadcast back); the keep
+    * decision is a pure filter. The corpus is NEVER shuffled — strictly
+    * cheaper than the dedup it complements. [rows] */
+  def curateSampleSemantic(s: SparkSession, d: String): DataFrame = {
+    val target = 64.0
+    val n = Tables.rowCount(s, s"$d/embeddings.parquet")
+    val k = math.max(4, math.ceil(n / 256.0).toInt)
+    val dim = 64
+    val corpus = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.normalized(
+          col("embedding").cast("array<double>")).as("u"))
+    // bounded deterministic training sample (the PQ-codebook posture)
+    val sampleSize = math.max(4096, math.min(8L * k, 1L << 20).toInt)
+    val sample = corpus.orderBy("vec_id").limit(sampleSize)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+    val cb = Ann.Pq.train(sample, 1, k, 10)
+    val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
+    val assigned = corpus
+      .withColumn("cluster_id", element_at(assignExpr, 1)).drop("u")
+    val stats = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"), min("vec_id").as("anchor"))
+    // first 8 md5 hex chars as a uniform [0,1) fraction — deterministic
+    // across partitionings, engines and cluster sizes
+    val frac = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    assigned.join(broadcast(stats), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("anchor") ||
+          frac < least(lit(1.0), lit(target) / col("cluster_size")))
+          .as("is_kept"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_quality_classify" -> (curateQualityClassify _),
+    "curate_sample_semantic" -> (curateSampleSemantic _),
     "curate_decontam" -> (curateDecontam _),
     "curate_sample_stratified" -> (curateSampleStratified _),
     "curate_mix_domains" -> (curateMixDomains _),

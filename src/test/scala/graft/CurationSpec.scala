@@ -185,6 +185,35 @@ class CurationSpec extends AnyFunSuite {
     assert(conf.toSet == again.toSet, "classifier run must be deterministic")
   }
 
+  test("curate_sample_semantic: cluster-balanced, anchored, deterministic") {
+    val rows = queries.Curation.curateSampleSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.size >= 4, "must form multiple clusters")
+    byCluster.foreach { case (c, vs) =>
+      val size = vs.head._3
+      assert(vs.length.toLong == size, s"cluster_size must equal members in $c")
+      val kept = vs.count(_._4)
+      assert(kept >= 1, s"cluster $c must keep its anchor")
+      assert(kept <= vs.length, s"cluster $c kept more than its members")
+      // hash-threshold sampling concentrates near the 64-doc budget
+      if (size >= 64) assert(kept >= 16 && kept <= 192,
+        s"cluster $c kept $kept of $size — far from the 64 budget")
+      // the min-id anchor is always kept
+      assert(vs.filter(_._1 == vs.map(_._1).min).forall(_._4),
+        s"cluster $c anchor not kept")
+    }
+    // balance: full-budget clusters keep within 4x of each other
+    val full = byCluster.values.filter(_.head._3 >= 64).map(_.count(_._4))
+    if (full.size >= 2)
+      assert(full.max <= 4 * full.min,
+        s"kept counts unbalanced: ${full.mkString(",")}")
+    // determinism across runs
+    val again = queries.Curation.curateSampleSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSet == again.toSet, "sampler must be deterministic")
+  }
+
   test("text_repetition matches in-memory Gopher signals") {
     def round4(d: Double): Double =
       BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
