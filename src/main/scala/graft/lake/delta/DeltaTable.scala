@@ -367,6 +367,22 @@ object DeltaTable {
   def load(spark: SparkSession, location: String): DeltaTable =
     loadVersion(spark, location, -1L)
 
+  /** Latest committed version from the log LISTING alone — no state
+    * reconstruction (the cheap "current version" probe the CDF
+    * connector's default endingVersion needs; a full load() replays the
+    * whole action log just to read this number). */
+  def latestVersion(spark: SparkSession, location: String): Long = {
+    val logDir = new Path(location, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(logDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong)
+        case _ => None
+      })
+    require(versions.nonEmpty, s"delta: no commit log at $location")
+    versions.max
+  }
+
   /** Time travel by commit-file modification time (Delta's default
     * timestamp resolution): latest version whose commit mtime <= ts. */
   def loadAsOfTime(spark: SparkSession, location: String, timestampMs: Long): DeltaTable = {

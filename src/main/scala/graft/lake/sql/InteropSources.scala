@@ -157,7 +157,11 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
   @volatile private var lastOpen: (util.Map[String, String], InteropRead) = _
   private def openCached(spark: SparkSession,
       options: CaseInsensitiveStringMap): InteropRead = {
-    val key = options.asCaseSensitiveMap()
+    // key on the case-INSENSITIVE view (lowercased keys): the SQL path
+    // rule hands getTable a map whose copy lowercases keys, while the
+    // DataFrameReader path preserves the caller's casing — an
+    // original-case key would miss between the two calls of one read
+    val key: util.Map[String, String] = new util.HashMap[String, String](options)
     val c = lastOpen
     if (c != null && c._1 == key) c._2
     else {
@@ -476,7 +480,7 @@ class GraftDeltaSource extends InteropReadProvider {
         .getOrElse(throw new IllegalArgumentException(
           "graft-delta: readChangeFeed needs startingVersion"))
       val to = Option(options.get("endingVersion")).map(_.toLong)
-        .getOrElse(DeltaTable.load(spark, loc).version)
+        .getOrElse(DeltaTable.latestVersion(spark, loc)) // listing-only
       val df = DeltaTable.changes(spark, loc, from, to)
       return InteropRead(s"graft-delta `$loc` changes [$from, $to]",
         df.schema, _ => df, _ => (-1L, -1L))
@@ -666,8 +670,13 @@ class GraftHudiSource extends InteropReadProvider {
       require(options.get("as.of.instant") == null,
         "graft-hudi: incremental cannot combine with as.of.instant — " +
           "bound the range with end.instanttime instead")
+      // real Hudi requires the begin instant; defaulting to "" would
+      // silently serve a FULL-TABLE read as a change pull
       val begin = opt("begin.instanttime",
-        "hoodie.datasource.read.begin.instanttime").getOrElse("")
+        "hoodie.datasource.read.begin.instanttime").getOrElse(
+        throw new IllegalArgumentException(
+          "graft-hudi: query.type=incremental needs begin.instanttime " +
+            "(exclusive start instant)"))
       val end = opt("end.instanttime",
         "hoodie.datasource.read.end.instanttime").orNull
       val ti = HudiTable.loadAsOf(spark, loc, end) // null = latest

@@ -338,34 +338,25 @@ object Curation {
     * cheaper than the dedup it complements. [rows] */
   def curateSampleSemantic(s: SparkSession, d: String): DataFrame = {
     val target = 64.0
-    val n = Tables.rowCount(s, s"$d/embeddings.parquet")
-    val k = math.max(4, math.ceil(n / 256.0).toInt)
-    val dim = 64
-    val corpus = Tables.fanOut(Tables.embeddings(s, d))
-      .select(col("vec_id"),
-        graft.functions.VectorFunctions.normalized(
-          col("embedding").cast("array<double>")).as("u"))
-    // bounded deterministic training sample (the PQ-codebook posture)
-    val sampleSize = math.max(4096, math.min(8L * k, 1L << 20).toInt)
-    val sample = corpus.orderBy("vec_id").limit(sampleSize)
-      .select("u").collect().map(_.getSeq[Double](0).toArray)
-    val cb = Ann.Pq.train(sample, 1, k, 10)
-    val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
-      graft.expressions.PqEncode(
-        org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
-    val assigned = corpus
-      .withColumn("cluster_id", element_at(assignExpr, 1)).drop("u")
+    // shared clustering front end (two-level guard included) — see
+    // Dedup.clusterEmbeddings; persisted because the assignment pass
+    // feeds both the stats aggregate and the keep-decision join
+    val assigned = Dedup.clusterEmbeddings(s, d).drop("u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = assigned.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"), min("vec_id").as("anchor"))
     // first 8 md5 hex chars as a uniform [0,1) fraction — deterministic
     // across partitionings, engines and cluster sizes
     val frac = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
       16, 10).cast("double") / 4294967296.0
-    assigned.join(broadcast(stats), "cluster_id")
+    val out = assigned.join(broadcast(stats), "cluster_id")
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("vec_id") === col("anchor") ||
           frac < least(lit(1.0), lit(target) / col("cluster_size")))
           .as("is_kept"))
+    val result = out.localCheckpoint()
+    assigned.unpersist(blocking = false)
+    result
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

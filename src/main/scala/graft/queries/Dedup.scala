@@ -443,9 +443,15 @@ object Dedup {
   /** `singleLevelMaxK`: largest k whose full centroid set still ships in
     * a task closure (1024 × 64 doubles ≈ 512 KB). Parameterized so specs
     * can force the two-level path on a small corpus. */
-  private[graft] def dedupSemanticImpl(s: SparkSession, d: String,
-      singleLevelMaxK: Int): DataFrame = {
-    val tau = 0.4 // same near-dup threshold as dedup_embedding
+  /** Cluster the embedding space: (vec_id, u, cluster_id), UNPERSISTED —
+    * the shared front half of [[dedupSemanticImpl]] and
+    * [[Curation.curateSampleSemantic]] (extracted so the two-level
+    * guard and codebook sizing can never drift between them). k scales
+    * with the corpus (n/256 keeps expected cluster size at the SemDeDup
+    * target); past `singleLevelMaxK` the centroid artifact outgrows a
+    * task closure and assignment goes two-level. Callers persist. */
+  private[graft] def clusterEmbeddings(s: SparkSession, d: String,
+      singleLevelMaxK: Int = 1024): DataFrame = {
     val n = Tables.rowCount(s, s"$d/embeddings.parquet")
     val k = math.max(4, math.ceil(n / 256.0).toInt)
     val dim = 64
@@ -456,14 +462,19 @@ object Dedup {
     val sampleSize = math.max(4096, math.min(8L * k, 1L << 20).toInt)
     val sample = corpus.orderBy("vec_id").limit(sampleSize)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
-    val assigned =
-      (if (k <= singleLevelMaxK) {
-        val cb = Ann.Pq.train(sample, 1, k, 10) // full-dim k-means (m=1)
-        val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
-          graft.expressions.PqEncode(
-            org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
-        corpus.withColumn("cluster_id", element_at(assignExpr, 1))
-      } else twoLevelAssign(s, corpus, sample, k, dim))
+    if (k <= singleLevelMaxK) {
+      val cb = Ann.Pq.train(sample, 1, k, 10) // full-dim k-means (m=1)
+      val assignExpr = org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.expressions.PqEncode(
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")), 1, k, dim, cb))
+      corpus.withColumn("cluster_id", element_at(assignExpr, 1))
+    } else twoLevelAssign(s, corpus, sample, k, dim)
+  }
+
+  private[graft] def dedupSemanticImpl(s: SparkSession, d: String,
+      singleLevelMaxK: Int): DataFrame = {
+    val tau = 0.4 // same near-dup threshold as dedup_embedding
+    val assigned = clusterEmbeddings(s, d, singleLevelMaxK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("cluster_id"), col("vec_id").as("a_id"), col("u").as("ua"))
     val y = assigned.select(col("cluster_id"), col("vec_id").as("b_id"), col("u").as("ub"))

@@ -210,5 +210,10 @@ class InteropChangeReadSpec extends AnyFunSuite {
       spark.read.format("graft-hudi").option("begin.instanttime", i1)
         .load(loc).collect()
     }
+    intercept[IllegalArgumentException] { // missing begin: a full-table
+      // read must never be silently served as a change pull
+      spark.read.format("graft-hudi").option("query.type", "incremental")
+        .load(loc).collect()
+    }
   }
 }
