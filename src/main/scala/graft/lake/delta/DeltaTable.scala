@@ -189,13 +189,16 @@ final class DeltaTable private (
         val in = fs.open(st.getPath)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        val op = text.split('\n').filter(_.trim.nonEmpty).iterator
+        val ci = text.split('\n').filter(_.trim.nonEmpty).iterator
           .map(DeltaTable.mapper.readTree)
-          .collectFirst { case n if n.has("commitInfo") &&
-              n.get("commitInfo").has("operation") =>
-            n.get("commitInfo").get("operation").asText() }
-        org.apache.spark.sql.Row(v,
-          new java.sql.Timestamp(st.getModificationTime), op.orNull)
+          .collectFirst { case n if n.has("commitInfo") =>
+            n.get("commitInfo") }
+        val op = ci.filter(_.has("operation")).map(_.get("operation").asText())
+        // inCommitTimestamp (writer feature): the commit's own monotone
+        // clock is authoritative over the file mtime when present
+        val ts = ci.map(_.path("inCommitTimestamp").asLong(0L))
+          .filter(_ > 0L).getOrElse(st.getModificationTime)
+        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op.orNull)
       }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -383,17 +386,41 @@ object DeltaTable {
     versions.max
   }
 
-  /** Time travel by commit-file modification time (Delta's default
-    * timestamp resolution): latest version whose commit mtime <= ts. */
+  /** Time travel by timestamp. Default resolution is commit-file
+    * modification time (the protocol's fallback); tables with the
+    * `inCommitTimestamp` writer feature resolve by the commit's OWN
+    * monotone clock instead — a log copied, restored or mtime-scrambled
+    * still time-travels correctly. ICT detection reads the LATEST
+    * commit's commitInfo (one small file); when ICT is live, versions
+    * are probed newest→oldest and the walk falls back to mtime for any
+    * pre-enablement prefix (commits without the field), per the
+    * protocol's enablement rules. */
   def loadAsOfTime(spark: SparkSession, location: String, timestampMs: Long): DeltaTable = {
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(location, "_delta_log")
     val fs = logDir.getFileSystem(conf)
-    val versions = fs.listStatus(logDir).toSeq
+    val all = fs.listStatus(logDir).toSeq
       .flatMap(st => st.getPath.getName match {
-        case CommitRe(v) if st.getModificationTime <= timestampMs => Some(v.toLong)
+        case CommitRe(v) => Some((v.toLong, st))
         case _ => None
-      })
+      }).sortBy(_._1)
+    require(all.nonEmpty, s"delta: no commit log at $location")
+    def ictOf(st: org.apache.hadoop.fs.FileStatus): Option[Long] = {
+      val in = fs.open(st.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').filter(_.trim.nonEmpty).iterator
+        .map(mapper.readTree)
+        .collectFirst { case n if n.has("commitInfo") &&
+            n.get("commitInfo").has("inCommitTimestamp") =>
+          n.get("commitInfo").get("inCommitTimestamp").asLong() }
+    }
+    val ictLive = ictOf(all.last._2).isDefined
+    val versions =
+      if (!ictLive)
+        all.collect { case (v, st) if st.getModificationTime <= timestampMs => v }
+      else all.collect { case (v, st)
+          if ictOf(st).getOrElse(st.getModificationTime) <= timestampMs => v }
     require(versions.nonEmpty, s"delta: no commit at or before $timestampMs")
     loadVersion(spark, location, versions.max)
   }

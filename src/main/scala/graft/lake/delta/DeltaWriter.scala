@@ -34,7 +34,8 @@ final class DeltaWriter private (
     schema: StructType,
     partitionColumns: Seq[String],
     columnMapping: Option[String],
-    enableCdf: Boolean = false) {
+    enableCdf: Boolean = false,
+    enableIct: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private def conf: Configuration = spark.sessionState.newHadoopConf()
@@ -48,6 +49,11 @@ final class DeltaWriter private (
   private var dvEnabled = false
   private var v2CpEnabled = false
   private var twEnabled = false
+  // IN-COMMIT TIMESTAMPS (writer feature `inCommitTimestamp`): the
+  // protocol's clock-skew-proof commit time — monotonically increasing,
+  // carried INSIDE the commit (commitInfo.inCommitTimestamp) instead of
+  // read off file mtimes a copy/restore can scramble. Restored by open().
+  private var lastIct = 0L
 
   // logical -> physical column name (identity without column mapping)
   private val phys: Map[String, String] = columnMapping match {
@@ -79,12 +85,18 @@ final class DeltaWriter private (
   private def commit(actions: Seq[ObjectNode],
       operation: String = null): Long = {
     val all =
-      if (operation == null) actions
+      if (operation == null && !enableIct) actions
       else {
         val info = mapper.createObjectNode()
         val ci = info.putObject("commitInfo")
-        ci.put("operation", operation)
+        if (operation != null) ci.put("operation", operation)
         ci.put("timestamp", System.currentTimeMillis())
+        if (enableIct) {
+          // per the protocol: strictly monotone, first action of the
+          // commit, authoritative over file mtime for time travel
+          lastIct = math.max(lastIct + 1, System.currentTimeMillis())
+          ci.put("inCommitTimestamp", lastIct)
+        }
         info +: actions
       }
     version += 1
@@ -110,8 +122,10 @@ final class DeltaWriter private (
         (if (v2CpEnabled) Seq("v2Checkpoint") else Nil) ++
         (if (twEnabled) Seq("typeWidening") else Nil)
     val writerFeats = readerFeats ++
-      (if (enableCdf) Seq("changeDataFeed") else Nil)
-    if (dvEnabled || v2CpEnabled || twEnabled || columnMapping.contains("id")) {
+      (if (enableCdf) Seq("changeDataFeed") else Nil) ++
+      (if (enableIct) Seq("inCommitTimestamp") else Nil)
+    if (dvEnabled || v2CpEnabled || twEnabled || enableIct ||
+        columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)
@@ -154,6 +168,9 @@ final class DeltaWriter private (
     partitionColumns.foreach(pc.add)
     val cfg = m.putObject("configuration")
     if (enableCdf) cfg.put("delta.enableChangeDataFeed", "true")
+    // absent enablement-version properties = enabled since creation,
+    // per the protocol's inCommitTimestamp rules
+    if (enableIct) cfg.put("delta.enableInCommitTimestamps", "true")
     columnMapping.foreach { mode =>
       cfg.put("delta.columnMapping.mode", mode)
       cfg.put("delta.columnMapping.maxColumnId", schema.length.toString)
@@ -825,13 +842,13 @@ final class DeltaWriter private (
         s"delta: restore to $versionAsOf needs $rel, which no longer " +
           "exists (vacuumed) — the version is not restorable")
     }
-    val info = mapper.createObjectNode()
-    info.putObject("commitInfo").put("operation", "RESTORE")
-    val actions = info +: (removes.map(p => removeAction(cur(p))) ++
-      readds.map(_._2.deepCopy()))
+    val actions = removes.map(p => removeAction(cur(p))) ++
+      readds.map(_._2.deepCopy())
     removes.foreach(live.remove)
     readds.foreach { case (p, n) => live(p) = n.deepCopy() }
-    commit(actions)
+    // tag through commit() so an ICT table gets ONE commitInfo carrying
+    // both the RESTORE operation and the in-commit timestamp
+    commit(actions, operation = "RESTORE")
   }
 
   /** DELETION-VECTOR delete: instead of rewriting files, attach (or
@@ -1108,6 +1125,8 @@ final class DeltaWriter private (
     val cfg: Map[String, String] =
       (if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
        else Map.empty[String, String]) ++
+        (if (enableIct) Map("delta.enableInCommitTimestamps" -> "true")
+         else Map.empty[String, String]) ++
         columnMapping.map(mode => Map(
           "delta.columnMapping.mode" -> mode,
           "delta.columnMapping.maxColumnId" -> schema.length.toString))
@@ -1296,6 +1315,8 @@ object DeltaWriter {
     var dvFeature = false
     var v2cp = false
     var tw = false
+    var ict = false
+    var maxIct = 0L
     val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
     val txnSeen = scala.collection.mutable.Map[String, (Long, Long)]()
     commits.foreach { case (_, p) =>
@@ -1325,6 +1346,7 @@ object DeltaWriter {
               case "deletionVectors" => dvFeature = true
               case "v2Checkpoint" => v2cp = true
               case "typeWidening" => tw = true
+              case "inCommitTimestamp" => ict = true
               case _ => ()
             }
           }
@@ -1341,18 +1363,23 @@ object DeltaWriter {
           txnSeen(t.get("appId").asText()) =
             (t.get("version").asLong(), t.path("lastUpdated").asLong(0L))
         }
+        if (n.has("commitInfo"))
+          maxIct = math.max(maxIct,
+            n.get("commitInfo").path("inCommitTimestamp").asLong(0L))
       }
     }
     require(schemaStr != null, s"delta: no metaData action under $location")
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
       .asInstanceOf[StructType]
-    val w = new DeltaWriter(spark, location, schema, partitionCols, None, cdf)
+    val w = new DeltaWriter(spark, location, schema, partitionCols, None,
+      cdf, enableIct = ict)
     w.version = commits.map(_._1).max
     live.foreach { case (rel, node) => w.live(rel) = node }
     txnSeen.foreach { case (app, v) => w.txns(app) = v }
     w.dvEnabled = dvFeature
     w.v2CpEnabled = v2cp
     w.twEnabled = tw
+    w.lastIct = maxIct // the monotone chain continues across processes
     w
   }
 
@@ -1386,7 +1413,8 @@ object DeltaWriter {
   def create(spark: SparkSession, location: String, schema: StructType,
       partitionColumns: Seq[String] = Nil,
       columnMapping: Option[String] = None,
-      enableCdf: Boolean = false): DeltaWriter = {
+      enableCdf: Boolean = false,
+      enableIct: Boolean = false): DeltaWriter = {
     require(columnMapping.forall(Set("name", "id").contains),
       s"delta: columnMapping mode $columnMapping")
     val p = new Path(location)
@@ -1394,7 +1422,7 @@ object DeltaWriter {
     fs.delete(p, true)
     fs.mkdirs(new Path(p, "_delta_log"))
     val w = new DeltaWriter(spark, location, schema, partitionColumns,
-      columnMapping, enableCdf)
+      columnMapping, enableCdf, enableIct)
     w.commit(Seq(w.protocolAction, w.metaAction))
     w
   }

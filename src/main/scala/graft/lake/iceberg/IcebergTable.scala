@@ -83,6 +83,33 @@ final class IcebergTable private (
         StructField("manifest_list", StringType))))
   }
 
+  /** `history` METADATA TABLE (Iceberg's `<table>.history` shape): one
+    * row per snapshot in commit order — made_current_at, snapshot_id,
+    * parent_id, is_current_ancestor (whether time travel to it reads a
+    * state the CURRENT table lineage passed through; snapshots left
+    * aside by a rollback report false). Metadata-only. */
+  def historyDf: DataFrame = {
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val ancestors = scala.collection.mutable.Set[Long]()
+    var cur = meta.currentSnapshotId
+    while (cur.isDefined && byId.contains(cur.get)) {
+      ancestors += cur.get
+      cur = byId(cur.get).parentId
+    }
+    val rows = meta.snapshots.sortBy(s => (s.timestampMs, s.id)).map { s =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(s.timestampMs), s.id,
+        s.parentId.map(Long.box).orNull, ancestors.contains(s.id))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("made_current_at", TimestampType),
+        StructField("snapshot_id", LongType),
+        StructField("parent_id", LongType),
+        StructField("is_current_ancestor", BooleanType))))
+  }
+
   /** `files` METADATA TABLE (Iceberg's `<table>.files` shape): one row
     * per live content file of a snapshot — content code, path, format,
     * record count, size, partition values (as a string map), sequence

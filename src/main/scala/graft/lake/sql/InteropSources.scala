@@ -270,9 +270,10 @@ class GraftIcebergSource extends InteropReadProvider {
         case "snapshots" => t.snapshotsDf
         case "files" => t.filesDf(snap)
         case "partitions" => t.partitionsDf(snap)
+        case "history" => t.historyDf
         case other => throw new IllegalArgumentException(
           s"graft-iceberg: unknown metadata table '$other' " +
-            "(snapshots|files|partitions)")
+            "(snapshots|files|partitions|history)")
       }
       return InteropRead(s"graft-iceberg `$loc#$which`", df.schema,
         _ => df, _ => (-1L, -1L))

@@ -845,4 +845,49 @@ class DeltaSpec extends AnyFunSuite {
     val t2 = DeltaTable.load(spark, loc)
     assert(t2.scan().count() == 101, "checkpointed widened table reads back")
   }
+
+  test("in-commit timestamps: monotone, mtime-proof time travel, reopen chain") {
+    import spark.implicits._
+    val loc = freshDir("ict")
+    val d = spark.range(10).select(col("id"), lit("x").as("v"))
+    val w = DeltaWriter.create(spark, loc, d.schema, enableIct = true)
+    w.append(d)                                   // v1
+    w.append(d.withColumn("v", lit("y")))         // v2
+    // history timestamps come from the commit's own clock and are
+    // strictly monotone
+    val hist = DeltaTable.load(spark, loc).historyDf
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(hist.map(_._2).sliding(2).forall(p => p(0) < p(1)),
+      s"ICT history must be strictly monotone: ${hist.mkString(",")}")
+    val ictOfV1 = hist.find(_._1 == 1L).get._2
+    // SCRAMBLE every commit file's mtime — a restored/copied log; mtime
+    // resolution would now answer nonsense, ICT must not care
+    val logDir = new Path(loc, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(logDir).foreach(st =>
+      fs.setTimes(st.getPath, 1000L, -1L)) // epoch+1s for every commit
+    val asOfV1 = DeltaTable.loadAsOfTime(spark, loc, ictOfV1)
+    assert(asOfV1.version == 1L,
+      s"ICT time travel must resolve v1, got ${asOfV1.version}")
+    assert(asOfV1.scan().select("v").as[String].collect().toSet == Set("x"))
+    // protocol carries the writer feature
+    val proto = scala.io.Source.fromInputStream(
+      fs.open(new Path(logDir, f"${0L}%020d.json")), "UTF-8").mkString
+    assert(proto.contains("inCommitTimestamp"), "protocol must list the feature")
+    // a reopened writer continues the monotone chain past the old max
+    val w2 = DeltaWriter.open(spark, loc)
+    w2.append(d.withColumn("v", lit("z")))        // v3
+    val hist2 = DeltaTable.load(spark, loc).historyDf
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(hist2.map(_._2).sliding(2).forall(p => p(0) < p(1)),
+      "reopened writer must continue the monotone ICT chain")
+    // non-ICT tables keep mtime resolution (regression guard)
+    val loc2 = freshDir("ict-off")
+    val w3 = DeltaWriter.create(spark, loc2, d.schema)
+    w3.append(d)
+    assert(DeltaTable.loadAsOfTime(spark, loc2,
+      System.currentTimeMillis() + 60000).version == 1L)
+  }
 }

@@ -220,6 +220,20 @@ class InteropNativeScanSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg #history: ancestry flags survive a rollback") {
+    val loc = freshDir("ice-hist")
+    val w = IcebergWriter.create(spark, loc, orders.schema)
+    val s1 = w.append(orders.filter(col("o_orderkey") % 3 === 0))
+    val s2 = w.append(orders.filter(col("o_orderkey") % 3 === 1))
+    w.rollbackTo(s1)
+    val s3 = w.append(orders.filter(col("o_orderkey") % 3 === 2))
+    val hist = spark.sql(s"SELECT * FROM `graft-iceberg`.`$loc#history`")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(hist(s1) && hist(s3), "current lineage must flag ancestors")
+    assert(!hist(s2), "a rolled-back snapshot is not a current ancestor")
+    assert(hist.size == 3)
+  }
+
   test("row-level SQL commands keep their DSv2 relations (command guard)") {
     val loc = freshDir("ice-dml")
     val w = IcebergWriter.create(spark, loc, orders.schema)
