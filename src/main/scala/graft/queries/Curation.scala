@@ -288,15 +288,19 @@ object Curation {
     * document bodies); the model is a bounded artifact (4096 doubles)
     * broadcast for scoring — the corpus is the expensive object, never
     * the model. [rows] */
-  def curateQualityClassify(s: SparkSession, d: String): DataFrame = {
+  /** Train the linear student on `d`'s documents: returns (fitted
+    * pipeline, band thresholds). Shared by the batch entry and the
+    * STREAMING scorer — the trained model is a bounded artifact any
+    * surface (batch scan, micro-batch, foreachBatch) can apply. */
+  private[graft] def qualityStudent(s: SparkSession, d: String)
+      : (org.apache.spark.ml.PipelineModel, Double, Double) = {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
-    val docs = Tables.documents(s, d)
+    val train = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         Text.qualityScoreCol(col("text")).as("q"))
-      .withColumn("holdout", pmod(xxhash64(col("doc_id")), lit(5)) === 0)
-    val train = docs.filter(!col("holdout"))
+      .filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
     val Array(lo, hi) =
       train.stat.approxQuantile("q", Array(0.4, 0.6), 0.001)
     val confident = train.filter(col("q") <= lo || col("q") >= hi)
@@ -308,6 +312,15 @@ object Curation {
         .setNumFeatures(1 << 12),
       new LogisticRegression().setMaxIter(30).setRegParam(1e-3)))
       .fit(confident)
+    (model, lo, hi)
+  }
+
+  def curateQualityClassify(s: SparkSession, d: String): DataFrame = {
+    val (model, lo, hi) = qualityStudent(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        Text.qualityScoreCol(col("text")).as("q"))
+      .withColumn("holdout", pmod(xxhash64(col("doc_id")), lit(5)) === 0)
     // score EVERYTHING (the point of the student); evaluate against the
     // teacher's label on the same confident bands
     val scored = model.transform(

@@ -302,6 +302,42 @@ object Stream {
       .select("lang", "n_docs")
   }
 
+  /** STREAMING MODEL SCORING — the trained quality student
+    * ([[graft.queries.Curation.qualityStudent]], spark.ml) applied to a
+    * document STREAM: the model is a bounded artifact fitted batch-side
+    * once, then `model.transform` runs on the streaming frame (every
+    * stage — tokenizer, HashingTF, LR — is row-wise, so it composes
+    * with micro-batching with no state). The production inference
+    * topology: train offline, score the firehose. Output = the same
+    * (teacher_label, pred_label) confusion the batch entry emits, and
+    * StreamSpec pins streamed == batch EXACTLY (same model, same rows —
+    * micro-batching must not change a single prediction). [rows] */
+  def streamClassify(s: SparkSession, d: String): DataFrame = {
+    val sfTag = d.replaceAll(".*/", "")
+    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+      s"/stream-classify-$sfTag"
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
+      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
+    val (model, lo, hi) = graft.queries.Curation.qualityStudent(s, d)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(dir)
+      .withColumn("q", graft.queries.Text.qualityScoreCol(col("text")))
+      .withColumn("teacher_label",
+        when(col("q") >= hi, 1L).when(col("q") <= lo, 0L).otherwise(-1L))
+    val scored = model.transform(stream)
+      .filter(col("teacher_label") >= 0)
+      .groupBy(col("teacher_label"),
+        col("prediction").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n_docs"))
+    runToTable(scored, "graft_stream_classify", "complete")
+      .select("teacher_label", "pred_label", "n_docs")
+  }
+
   /** Streaming SOURCE from the lake (the read half of the ingest
     * topology; streamLakeSink is the write half): `readStream.format
     * ("graft-table")` tails a GraftTable by snapshot id — each
@@ -623,6 +659,7 @@ object Stream {
     "stream_lake_upsert" -> (streamLakeUpsert _),
     "stream_lake_source" -> (streamLakeSource _),
     "stream_curate" -> (streamCurate _),
+    "stream_classify" -> (streamClassify _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join" -> (streamJoin _),

@@ -352,4 +352,19 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(got("insert") == src.count(), "upsert emits every source row as insert")
     assert(got("delete") == matched, "upsert emits prior versions as delete")
   }
+
+  test("stream_classify: streamed model scoring equals the batch confusion") {
+    // the batch entry's holdout split is irrelevant here — the stream
+    // scores EVERY confident-band doc, so aggregate the batch confusion
+    // over both splits before comparing
+    val batch = graft.queries.Curation.curateQualityClassify(spark, sf)
+      .groupBy("teacher_label", "pred_label")
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = graft.streaming.Stream.streamClassify(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"micro-batched scoring must equal batch: $streamed vs $batch")
+    assert(streamed.values.sum > 0)
+  }
 }
