@@ -364,7 +364,57 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q26: FUNNEL ANALYSIS — the classic product-analytics query a PG
+    * user runs over an AM events table: users who did view →
+    * (later) click → (later) purchase, counted per stage. Three chained
+    * min-ts aggregations on the SAME key: the user-id shuffle happens
+    * once and the follow-up joins/aggs are co-partitioned (no
+    * broadcast of per-user frames — at 100 TB the per-user state is
+    * corpus-sized; only the final 3-row stage table leaves the
+    * cluster). */
+  def q26Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      // ONE user-key shuffle: every stage's agg and join below reuses
+      // this partitioning instead of re-shuffling the event stream
+      .repartition(col("user_id"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    stage(t1, "1_view")
+      .unionByName(stage(t2, "2_click"))
+      .unionByName(stage(t3, "3_purchase"))
+  }
+
+  /** q27: COHORT RETENTION — users bucketed by their first-activity day,
+    * distinct actives counted per (cohort, weeks-since-cohort). One
+    * user-key aggregate for the cohort frame, a co-partitioned join
+    * back (per-user state never broadcasts), then the small
+    * (cohort × offset) aggregate. Integer week offsets via floor
+    * division so both engines bucket identically. */
+  def q27Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_day")) / 7.0))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_funnel" -> (q26Funnel _),
+    "q27_retention" -> (q27Retention _),
     "q25_approx_quantile" -> (q25ApproxQuantile _),
     "q23_asof_join" -> (q23AsofJoin _),
     "q24_range_join" -> (q24RangeJoin _),
@@ -539,5 +589,31 @@ object Relational {
       """SELECT event_type, date_trunc('hour', ts) AS hour,
                 count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value,
                 count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "q26_funnel" ->
+      """WITH base AS (
+           SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         t1 AS (SELECT user_id, min(ts) AS t1 FROM base
+                WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT b.user_id, min(b.ts) AS t2 FROM base b
+                JOIN t1 USING (user_id)
+                WHERE b.event_type = 'click' AND b.ts > t1.t1 GROUP BY 1),
+         t3 AS (SELECT b.user_id, min(b.ts) AS t3 FROM base b
+                JOIN t2 USING (user_id)
+                WHERE b.event_type = 'purchase' AND b.ts > t2.t2 GROUP BY 1)
+         SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+         UNION ALL
+         SELECT '2_click' AS stage, count(*) AS n_users FROM t2
+         UNION ALL
+         SELECT '3_purchase' AS stage, count(*) AS n_users FROM t3""",
+    "q27_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT cohort_day,
+                CAST(floor(date_diff('day', cohort_day, day) / 7.0) AS BIGINT)
+                  AS week_offset,
+                count(DISTINCT ev.user_id) AS n_active
+         FROM ev JOIN cohort USING (user_id)
+         GROUP BY 1, 2""")
 }

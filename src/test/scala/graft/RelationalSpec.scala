@@ -40,6 +40,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("count_order")).sum <= 6000)
   }
 
+  test("q26 funnel stages are monotone non-increasing") {
+    val stages = queries.Relational.q26Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(stages.length == 3)
+    assert(stages(0) >= stages(1) && stages(1) >= stages(2),
+      s"funnel must narrow: ${stages.mkString(" -> ")}")
+    assert(stages(2) > 0, "fixture should have full-funnel users")
+  }
+
+  test("q27 retention covers every user at week offset 0") {
+    val rows = queries.Relational.q27Retention(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == users,
+      "every user is active in their own cohort week")
+    assert(rows.forall(_._2 >= 0L), "offsets are non-negative")
+  }
+
   test("q09 keeps at most 3 rows per status") {
     val rows = queries.Relational.q09WindowTopK(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, g) => assert(g.length <= 3) }
