@@ -412,9 +412,50 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** q28: BATCH SESSIONIZATION — the gap rule (a >30-minute silence
+    * starts a new session), the batch twin of stream_sessionize: lag
+    * over (user, ts) flags session starts, a running sum numbers them,
+    * then per-user session stats. Window partitioning is by USER — at
+    * 100 TB each user's history sorts within its partition, no global
+    * sort, and AQE splits a skewed power-user partition. */
+  def q28Sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+    sess.groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+  }
+
+  /** q29: JSON PROPERTY EXTRACTION — semi-structured payload analytics
+    * (PG users query jsonb columns; the AM surfaces them as text):
+    * `props` carries `{"k": N}`, extracted with each engine's JSON path
+    * function and aggregated per event type. Map-only extraction inside
+    * codegen + one small aggregate. */
+  def q29JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k")), 2).as("avg_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_funnel" -> (q26Funnel _),
     "q27_retention" -> (q27Retention _),
+    "q28_sessionize" -> (q28Sessionize _),
+    "q29_json_extract" -> (q29JsonExtract _),
     "q25_approx_quantile" -> (q25ApproxQuantile _),
     "q23_asof_join" -> (q23AsofJoin _),
     "q24_range_join" -> (q24RangeJoin _),
@@ -607,6 +648,34 @@ object Relational {
          SELECT '2_click' AS stage, count(*) AS n_users FROM t2
          UNION ALL
          SELECT '3_purchase' AS stage, count(*) AS n_users FROM t3""",
+    "q28_sessionize" ->
+      """WITH w AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR date_diff('second',
+                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                              ts) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         x AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+           FROM w),
+         g AS (SELECT user_id, sess_id, count(*) AS n FROM x GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                max(n) AS max_session_events
+         FROM g GROUP BY 1""",
+    "q29_json_extract" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n_events,
+                round(avg(k), 2) AS avg_k, max(k) AS max_k,
+                CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_high
+         FROM e GROUP BY 1""",
     "q27_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
          cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

@@ -58,6 +58,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(_._2 >= 0L), "offsets are non-negative")
   }
 
+  test("q28 session stats reconcile with raw event counts") {
+    val rows = queries.Relational.q28Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == total, "session events must cover all events")
+    rows.foreach { case (u, nSess, nEv, maxEv) =>
+      assert(nSess >= 1 && nEv >= nSess && maxEv <= nEv,
+        s"user $u: inconsistent session stats ($nSess, $nEv, $maxEv)")
+    }
+  }
+
+  test("q29 json extraction: high-k counts bounded by event counts") {
+    val rows = queries.Relational.q29JsonExtract(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, nHigh) = (r.getLong(1), r.getLong(4))
+      assert(nHigh <= n && r.getLong(3) <= 100L,
+        s"${r.getString(0)}: n_high $nHigh > n $n or k out of range")
+    }
+  }
+
   test("q09 keeps at most 3 rows per status") {
     val rows = queries.Relational.q09WindowTopK(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, g) => assert(g.length <= 3) }
