@@ -438,9 +438,23 @@ class GraftDeltaSource extends InteropReadProvider {
 
   override protected def createAndAppend(spark: SparkSession, loc: String,
       schema: StructType, partCols: Seq[String],
-      options: CaseInsensitiveStringMap, df: DataFrame): Unit =
+      options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
+    // table properties a SQL CREATE can carry — silently dropping a
+    // delta.* option would create a table with different semantics than
+    // the user declared, so unrecognized ones reject loudly
+    val known = Set("delta.enablechangedatafeed", "delta.enableincommittimestamps")
+    val stray = options.keySet().toArray.map(String.valueOf)
+      .filter(k => k.startsWith("delta.") && !known(k.toLowerCase))
+    require(stray.isEmpty,
+      s"graft-delta: unsupported table option(s) ${stray.mkString(", ")} " +
+        s"(supported: delta.enableChangeDataFeed, delta.enableInCommitTimestamps)")
     graft.lake.delta.DeltaWriter.create(spark, loc, schema,
-      partitionColumns = partCols).append(df)
+      partitionColumns = partCols,
+      enableCdf = Option(options.get("delta.enableChangeDataFeed"))
+        .exists(_.toBoolean),
+      enableIct = Option(options.get("delta.enableInCommitTimestamps"))
+        .exists(_.toBoolean)).append(df)
+  }
 
   private def parseTs(s: String): Long =
     if (s.forall(c => c.isDigit || c == '-')) s.toLong

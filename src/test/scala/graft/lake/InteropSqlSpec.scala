@@ -426,6 +426,32 @@ class InteropSqlSpec extends AnyFunSuite {
       orders.count(), "the independent delta reader must see the CTAS table")
     spark.sql("DROP TABLE ctas_delta")
 
+    // delta table OPTIONS: CDF + in-commit timestamps land on the
+    // created table; unknown delta.* options reject instead of being
+    // silently dropped
+    val oLoc = freshDir("create-delta-opts")
+    spark.sql("DROP TABLE IF EXISTS ctas_delta_opts")
+    spark.sql(s"""CREATE TABLE ctas_delta_opts USING `graft-delta`
+      OPTIONS ('delta.enableChangeDataFeed'='true',
+               'delta.enableInCommitTimestamps'='true')
+      LOCATION '$oLoc' AS SELECT * FROM create_src_orders""")
+    val changes = graft.lake.delta.DeltaTable.changes(spark, oLoc, 1L, 1L)
+    assert(changes.filter(col("_change_type") === "insert").count() ==
+      orders.count(), "CDF option must make the CTAS commit change-readable")
+    val logP = new Path(oLoc, "_delta_log/00000000000000000001.json")
+    val logTxt = scala.io.Source.fromInputStream(logP.getFileSystem(
+      spark.sessionState.newHadoopConf()).open(logP), "UTF-8").mkString
+    assert(logTxt.contains("inCommitTimestamp"),
+      "ICT option must stamp the CTAS commit")
+    spark.sql("DROP TABLE ctas_delta_opts")
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE ctas_delta_bad USING `graft-delta`
+        OPTIONS ('delta.appendOnly'='true')
+        LOCATION '${freshDir("create-delta-bad")}'
+        AS SELECT * FROM create_src_orders""")
+    }
+    spark.sql("DROP TABLE IF EXISTS ctas_delta_bad")
+
     // hudi: record key via OPTIONS (Hudi tables are keyed by
     // construction); the created table upserts like any native one
     val hLoc = freshDir("create-hudi")
