@@ -405,24 +405,33 @@ object DeltaTable {
         case _ => None
       }).sortBy(_._1)
     require(all.nonEmpty, s"delta: no commit log at $location")
+    // read only the commit's FIRST line: the protocol requires ICT
+    // writers to put commitInfo first, so a first line without it means
+    // a pre-enablement (or non-ICT) commit — never parse the whole file
     def ictOf(st: org.apache.hadoop.fs.FileStatus): Option[Long] = {
-      val in = fs.open(st.getPath)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.split('\n').filter(_.trim.nonEmpty).iterator
-        .map(mapper.readTree)
-        .collectFirst { case n if n.has("commitInfo") &&
-            n.get("commitInfo").has("inCommitTimestamp") =>
-          n.get("commitInfo").get("inCommitTimestamp").asLong() }
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
+      val first = try in.readLine() finally in.close()
+      Option(first).map(mapper.readTree)
+        .filter(n => n.has("commitInfo") &&
+          n.get("commitInfo").has("inCommitTimestamp"))
+        .map(_.get("commitInfo").get("inCommitTimestamp").asLong())
     }
     val ictLive = ictOf(all.last._2).isDefined
-    val versions =
-      if (!ictLive)
+    if (!ictLive) {
+      val versions =
         all.collect { case (v, st) if st.getModificationTime <= timestampMs => v }
-      else all.collect { case (v, st)
-          if ictOf(st).getOrElse(st.getModificationTime) <= timestampMs => v }
-    require(versions.nonEmpty, s"delta: no commit at or before $timestampMs")
-    loadVersion(spark, location, versions.max)
+      require(versions.nonEmpty, s"delta: no commit at or before $timestampMs")
+      loadVersion(spark, location, versions.max)
+    } else {
+      // ICT is strictly monotone: walk newest -> oldest and stop at the
+      // FIRST commit at-or-before ts — O(commits-after-ts) small reads,
+      // not O(total log bytes)
+      val hit = all.reverseIterator.find { case (_, st) =>
+        ictOf(st).getOrElse(st.getModificationTime) <= timestampMs }
+      require(hit.isDefined, s"delta: no commit at or before $timestampMs")
+      loadVersion(spark, location, hit.get._1)
+    }
   }
 
   /** CHANGE DATA FEED read (the protocol's changeDataFeed writer

@@ -124,11 +124,22 @@ final class DeltaWriter private (
     val writerFeats = readerFeats ++
       (if (enableCdf) Seq("changeDataFeed") else Nil) ++
       (if (enableIct) Seq("inCommitTimestamp") else Nil)
-    if (dvEnabled || v2CpEnabled || twEnabled || enableIct ||
-        columnMapping.contains("id")) {
+    if (dvEnabled || v2CpEnabled || twEnabled || columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)
+    } else if (enableIct) {
+      // inCommitTimestamp is WRITER-ONLY: writer table features (7 +
+      // explicit list) without raising the reader bar — a reader-v1/v2
+      // engine reads an ICT table fine (real Delta writers do the same;
+      // forcing minReaderVersion 3 here would lock those readers out
+      // for no reason). Legacy-implied writer features must be listed
+      // explicitly once version 7 is in force.
+      pr.put("minReaderVersion", if (columnMapping.isDefined) 2 else 1)
+      pr.put("minWriterVersion", 7)
+      val wf = pr.putArray("writerFeatures")
+      (writerFeats ++ (if (columnMapping.isDefined) Seq("columnMapping") else Nil))
+        .distinct.foreach(wf.add)
     } else if (columnMapping.isDefined) {
       // legacy writer versions are CUMULATIVE: 5 (column mapping)
       // already implies 4's CDF — 6 would wrongly demand

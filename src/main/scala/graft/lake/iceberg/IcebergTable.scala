@@ -92,7 +92,10 @@ final class IcebergTable private (
     val byId = meta.snapshots.map(s => s.id -> s).toMap
     val ancestors = scala.collection.mutable.Set[Long]()
     var cur = meta.currentSnapshotId
-    while (cur.isDefined && byId.contains(cur.get)) {
+    // cycle guard: foreign/corrupt metadata with a parent-id loop must
+    // error-or-terminate, never hang the driver
+    while (cur.isDefined && byId.contains(cur.get) &&
+        !ancestors.contains(cur.get)) {
       ancestors += cur.get
       cur = byId(cur.get).parentId
     }

@@ -137,6 +137,10 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
       schema: StructType, partCols: Seq[String],
       options: CaseInsensitiveStringMap, df: DataFrame): Unit
 
+  /** Provider hook: reject unsupported CREATE options at CREATE time
+    * (before the first write materializes the table). Default: accept. */
+  protected def validateCreateOptions(options: CaseInsensitiveStringMap): Unit = ()
+
   protected def path(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       s"${shortName()} needs .load(<table location>)"))
@@ -191,6 +195,9 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
       require(opts.get("metadata") == null,
         s"${shortName()}: no table at $loc — metadata tables need an " +
           "existing table")
+      validateCreateOptions(opts) // reject bad options AT CREATE time,
+      // not at the first deferred INSERT (where the failing statement
+      // wouldn't even name the option)
       new InteropReadTable(
         uncreatedRead(spark, loc, schema,
           partitionColumnsOf(partitioning, opts, schema), opts))
@@ -436,18 +443,24 @@ class GraftDeltaSource extends InteropReadProvider {
     }
   }
 
-  override protected def createAndAppend(spark: SparkSession, loc: String,
-      schema: StructType, partCols: Seq[String],
-      options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
-    // table properties a SQL CREATE can carry — silently dropping a
-    // delta.* option would create a table with different semantics than
-    // the user declared, so unrecognized ones reject loudly
+  // table properties a SQL CREATE can carry — silently dropping a
+  // delta.* option would create a table with different semantics than
+  // the user declared, so unrecognized ones reject loudly, and AT
+  // CREATE time (validateCreateOptions), not at the first deferred write
+  override protected def validateCreateOptions(
+      options: CaseInsensitiveStringMap): Unit = {
     val known = Set("delta.enablechangedatafeed", "delta.enableincommittimestamps")
     val stray = options.keySet().toArray.map(String.valueOf)
       .filter(k => k.startsWith("delta.") && !known(k.toLowerCase))
     require(stray.isEmpty,
       s"graft-delta: unsupported table option(s) ${stray.mkString(", ")} " +
         s"(supported: delta.enableChangeDataFeed, delta.enableInCommitTimestamps)")
+  }
+
+  override protected def createAndAppend(spark: SparkSession, loc: String,
+      schema: StructType, partCols: Seq[String],
+      options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
+    validateCreateOptions(options)
     graft.lake.delta.DeltaWriter.create(spark, loc, schema,
       partitionColumns = partCols,
       enableCdf = Option(options.get("delta.enableChangeDataFeed"))

@@ -249,19 +249,28 @@ object Stream {
     * duplicate texts, and hash-only survivor choice would be arrival-order
     * nondeterministic.) At production scale the same query runs with a
     * watermark on ingest time to bound state to a dedup horizon. */
-  def streamDedup(s: SparkSession, d: String): DataFrame = {
+  /** Stage documents.parquet into a fresh per-entry source dir and
+    * return a streaming reader over it — shared by every documents
+    * stream so the staged schema lives in ONE place (a stale copy would
+    * silently null renamed columns: parquet reads by name). */
+  private val DocsDdl =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  private def stagedDocsStream(s: SparkSession, name: String, d: String): DataFrame = {
     val sfTag = d.replaceAll(".*/", "")
     val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
-      s"/stream-dedup-$sfTag"
+      s"/stream-$name-$sfTag"
     val dst = new Path(dir)
     val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(dst, true)
     fs.mkdirs(dst)
     FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
       new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
-    val deduped = s.readStream
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .parquet(dir)
+    s.readStream.schema(DocsDdl).parquet(dir)
+  }
+
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = stagedDocsStream(s, "dedup", d)
       .withColumn("h", sha2(col("text"), 256))
       .dropDuplicates("lang", "h")
       .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
@@ -281,18 +290,7 @@ object Stream {
     * micro-batch); only the dedup carries state, same posture as
     * stream_dedup (stream_dedup_watermark shows the bounded variant). */
   def streamCurate(s: SparkSession, d: String): DataFrame = {
-    val sfTag = d.replaceAll(".*/", "")
-    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
-      s"/stream-curate-$sfTag"
-    val dst = new Path(dir)
-    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(dst, true)
-    fs.mkdirs(dst)
-    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
-      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
-    val curated = s.readStream
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .parquet(dir)
+    val curated = stagedDocsStream(s, "curate", d)
       .filter(graft.queries.Curation.stratumKeep &&
         graft.queries.Text.qualityScoreCol(col("text")) >= 0.3)
       .withColumn("h", sha2(col("text"), 256))
@@ -313,19 +311,8 @@ object Stream {
     * StreamSpec pins streamed == batch EXACTLY (same model, same rows —
     * micro-batching must not change a single prediction). [rows] */
   def streamClassify(s: SparkSession, d: String): DataFrame = {
-    val sfTag = d.replaceAll(".*/", "")
-    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
-      s"/stream-classify-$sfTag"
-    val dst = new Path(dir)
-    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(dst, true)
-    fs.mkdirs(dst)
-    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
-      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
     val (model, lo, hi) = graft.queries.Curation.qualityStudent(s, d)
-    val stream = s.readStream
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .parquet(dir)
+    val stream = stagedDocsStream(s, "classify", d)
       .withColumn("q", graft.queries.Text.qualityScoreCol(col("text")))
       .withColumn("teacher_label",
         when(col("q") >= hi, 1L).when(col("q") <= lo, 0L).otherwise(-1L))
