@@ -647,9 +647,26 @@ class GraftHudiSource extends InteropReadProvider {
     props.getFileSystem(spark.sessionState.newHadoopConf()).exists(props)
   }
 
+  // same posture as graft-delta: an unrecognized hoodie.* option would
+  // create a table with different semantics than declared — reject at
+  // CREATE time instead of silently ignoring
+  override protected def validateCreateOptions(
+      options: CaseInsensitiveStringMap): Unit = {
+    val known = Set("hoodie.datasource.write.recordkey.field",
+      "hoodie.table.recordkey.fields", "hoodie.datasource.write.table.type")
+    val stray = options.keySet().toArray.map(String.valueOf)
+      .filter(k => k.toLowerCase.startsWith("hoodie.") && !known(k.toLowerCase))
+    require(stray.isEmpty,
+      s"graft-hudi: unsupported table option(s) ${stray.mkString(", ")} " +
+        "(supported: recordkey.field / hoodie.datasource.write.recordkey.field" +
+        " / hoodie.table.recordkey.fields, table.type / " +
+        "hoodie.datasource.write.table.type)")
+  }
+
   override protected def createAndAppend(spark: SparkSession, loc: String,
       schema: StructType, partCols: Seq[String],
       options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
+    validateCreateOptions(options)
     // a Hudi table is keyed by construction — CREATE needs the record
     // key, accepted under the option names Hudi's own writers use
     val key = Seq("recordkey.field", "hoodie.datasource.write.recordkey.field",

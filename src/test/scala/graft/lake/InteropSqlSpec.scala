@@ -451,6 +451,14 @@ class InteropSqlSpec extends AnyFunSuite {
         AS SELECT * FROM create_src_orders""")
     }
     spark.sql("DROP TABLE IF EXISTS ctas_delta_bad")
+    intercept[Exception] { // hudi: same stray-option posture
+      spark.sql(s"""CREATE TABLE ctas_hudi_bad USING `graft-hudi`
+        OPTIONS ('recordkey.field'='o_orderkey',
+                 'hoodie.index.type'='BLOOM')
+        LOCATION '${freshDir("create-hudi-bad")}'
+        AS SELECT * FROM create_src_orders""")
+    }
+    spark.sql("DROP TABLE IF EXISTS ctas_hudi_bad")
 
     // hudi: record key via OPTIONS (Hudi tables are keyed by
     // construction); the created table upserts like any native one
