@@ -405,17 +405,33 @@ object DeltaTable {
         case _ => None
       }).sortBy(_._1)
     require(all.nonEmpty, s"delta: no commit log at $location")
-    // read only the commit's FIRST line: the protocol requires ICT
-    // writers to put commitInfo first, so a first line without it means
-    // a pre-enablement (or non-ICT) commit — never parse the whole file
+    // fast path: the protocol requires ICT writers to put commitInfo
+    // FIRST, so compliant tables pay one small line read per probed
+    // commit. Tolerance path: if the first line is some OTHER action (a
+    // non-compliant foreign writer), fall back to scanning that file's
+    // lines — silently resolving such a table by mtime would be the
+    // wrong-version class of bug.
     def ictOf(st: org.apache.hadoop.fs.FileStatus): Option[Long] = {
+      def ict(n: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+        if (n.has("commitInfo") && n.get("commitInfo").has("inCommitTimestamp"))
+          Some(n.get("commitInfo").get("inCommitTimestamp").asLong())
+        else None
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
-      val first = try in.readLine() finally in.close()
-      Option(first).map(mapper.readTree)
-        .filter(n => n.has("commitInfo") &&
-          n.get("commitInfo").has("inCommitTimestamp"))
-        .map(_.get("commitInfo").get("inCommitTimestamp").asLong())
+      try {
+        val first = in.readLine()
+        if (first == null) None
+        else {
+          val n = mapper.readTree(first)
+          if (n.has("commitInfo")) ict(n) // commitInfo first, per protocol
+          else { // non-compliant writer: scan the rest of this file
+            Iterator.continually(in.readLine()).takeWhile(_ != null)
+              .filter(_.trim.nonEmpty)
+              .map(l => ict(mapper.readTree(l)))
+              .collectFirst { case Some(v) => v }
+          }
+        }
+      } finally in.close()
     }
     val ictLive = ictOf(all.last._2).isDefined
     if (!ictLive) {

@@ -137,9 +137,10 @@ final class DeltaWriter private (
       // explicitly once version 7 is in force.
       pr.put("minReaderVersion", if (columnMapping.isDefined) 2 else 1)
       pr.put("minWriterVersion", 7)
+      // writerFeats already carries columnMapping (via readerFeats)
+      // whenever name-mode mapping is on — version 7 lists everything
       val wf = pr.putArray("writerFeatures")
-      (writerFeats ++ (if (columnMapping.isDefined) Seq("columnMapping") else Nil))
-        .distinct.foreach(wf.add)
+      writerFeats.foreach(wf.add)
     } else if (columnMapping.isDefined) {
       // legacy writer versions are CUMULATIVE: 5 (column mapping)
       // already implies 4's CDF — 6 would wrongly demand

@@ -460,7 +460,7 @@ class GraftDeltaSource extends InteropReadProvider {
   override protected def createAndAppend(spark: SparkSession, loc: String,
       schema: StructType, partCols: Seq[String],
       options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
-    validateCreateOptions(options)
+    // options were validated at CREATE time (getTable's uncreated branch)
     graft.lake.delta.DeltaWriter.create(spark, loc, schema,
       partitionColumns = partCols,
       enableCdf = Option(options.get("delta.enableChangeDataFeed"))
@@ -652,8 +652,14 @@ class GraftHudiSource extends InteropReadProvider {
   // CREATE time instead of silently ignoring
   override protected def validateCreateOptions(
       options: CaseInsensitiveStringMap): Unit = {
+    // the read-option names pass through: getTable's uncreated branch
+    // also serves a schema-declared READ of a missing location, and a
+    // read option must not surface as a CREATE error there
     val known = Set("hoodie.datasource.write.recordkey.field",
-      "hoodie.table.recordkey.fields", "hoodie.datasource.write.table.type")
+      "hoodie.table.recordkey.fields", "hoodie.datasource.write.table.type",
+      "hoodie.datasource.query.type",
+      "hoodie.datasource.read.begin.instanttime",
+      "hoodie.datasource.read.end.instanttime")
     val stray = options.keySet().toArray.map(String.valueOf)
       .filter(k => k.toLowerCase.startsWith("hoodie.") && !known(k.toLowerCase))
     require(stray.isEmpty,
@@ -666,7 +672,7 @@ class GraftHudiSource extends InteropReadProvider {
   override protected def createAndAppend(spark: SparkSession, loc: String,
       schema: StructType, partCols: Seq[String],
       options: CaseInsensitiveStringMap, df: DataFrame): Unit = {
-    validateCreateOptions(options)
+    // options were validated at CREATE time (getTable's uncreated branch)
     // a Hudi table is keyed by construction — CREATE needs the record
     // key, accepted under the option names Hudi's own writers use
     val key = Seq("recordkey.field", "hoodie.datasource.write.recordkey.field",

@@ -64,9 +64,11 @@ object Stream {
     }
   }
 
-  /** Stages events as a streaming-source directory of NORMALIZED parquet
-    * (one file → one AvailableNow batch), unit-proofed via Tables.events. */
-  private def stageInput(s: SparkSession, name: String, sfDir: String): String = {
+  /** The one staging routine every stream source uses: fresh per-entry
+    * dir under the work root, single source file copied in (one file →
+    * one AvailableNow batch). */
+  private def stageDir(s: SparkSession, name: String, sfDir: String,
+      src: Path, destName: String): String = {
     val sfTag = sfDir.replaceAll(".*/", "")
     val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
       s"/stream-$name-$sfTag"
@@ -75,10 +77,14 @@ object Stream {
     val fs = dst.getFileSystem(hconf)
     fs.delete(dst, true)
     fs.mkdirs(dst)
-    val src = normalizedEventsFile(s, sfDir)
-    FileUtil.copy(fs, src, fs, new Path(dst, "events.parquet"), false, hconf)
+    FileUtil.copy(fs, src, fs, new Path(dst, destName), false, hconf)
     dir
   }
+
+  /** Stages events as a streaming-source directory of NORMALIZED parquet
+    * (one file → one AvailableNow batch), unit-proofed via Tables.events. */
+  private def stageInput(s: SparkSession, name: String, sfDir: String): String =
+    stageDir(s, name, sfDir, normalizedEventsFile(s, sfDir), "events.parquet")
 
   private def readEvents(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(EventsDdl).parquet(dir)
@@ -241,6 +247,17 @@ object Stream {
     t.scan().groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Stage documents.parquet into a fresh per-entry source dir and
+    * return a streaming reader over it — shared by every documents
+    * stream so the staged schema lives in ONE place (a stale copy would
+    * silently null renamed columns: parquet reads by name). */
+  private val DocsDdl =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  private def stagedDocsStream(s: SparkSession, name: String, d: String): DataFrame =
+    s.readStream.schema(DocsDdl).parquet(
+      stageDir(s, name, d, new Path(s"$d/documents.parquet"), "documents.parquet"))
+
   /** Streaming exact dedup: dropDuplicates on (lang, sha2(text)) as the
     * documents stream in, then a per-lang distinct-text count. State is one
     * 32-byte digest per distinct key, partitioned by key — the streaming
@@ -249,26 +266,6 @@ object Stream {
     * duplicate texts, and hash-only survivor choice would be arrival-order
     * nondeterministic.) At production scale the same query runs with a
     * watermark on ingest time to bound state to a dedup horizon. */
-  /** Stage documents.parquet into a fresh per-entry source dir and
-    * return a streaming reader over it — shared by every documents
-    * stream so the staged schema lives in ONE place (a stale copy would
-    * silently null renamed columns: parquet reads by name). */
-  private val DocsDdl =
-    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-
-  private def stagedDocsStream(s: SparkSession, name: String, d: String): DataFrame = {
-    val sfTag = d.replaceAll(".*/", "")
-    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
-      s"/stream-$name-$sfTag"
-    val dst = new Path(dir)
-    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(dst, true)
-    fs.mkdirs(dst)
-    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
-      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
-    s.readStream.schema(DocsDdl).parquet(dir)
-  }
-
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val deduped = stagedDocsStream(s, "dedup", d)
       .withColumn("h", sha2(col("text"), 256))
@@ -412,19 +409,8 @@ object Stream {
     * one signature row per document ([rows]; PipelineSpec asserts equality
     * with the batch computation). */
   def streamSignatures(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions._
-    val sfTag = d.replaceAll(".*/", "")
-    val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
-      s"/stream-sigs-$sfTag"
-    val dst = new Path(dir)
-    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(dst, true)
-    fs.mkdirs(dst)
-    FileUtil.copy(fs, new Path(s"$d/documents.parquet"), fs,
-      new Path(dst, "documents.parquet"), false, s.sessionState.newHadoopConf())
-    val sigs = s.readStream
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .parquet(dir)
+    import graft.functions.TextFunctions.{shingleIds, simhashSig}
+    val sigs = stagedDocsStream(s, "sigs", d)
       .select(col("doc_id"),
         simhashSig(split(col("text"), "\\s+")).as("simhash"),
         size(shingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))

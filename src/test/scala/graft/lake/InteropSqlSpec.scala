@@ -459,6 +459,19 @@ class InteropSqlSpec extends AnyFunSuite {
         AS SELECT * FROM create_src_orders""")
     }
     spark.sql("DROP TABLE IF EXISTS ctas_hudi_bad")
+    // DEFERRED create (column list, no AS SELECT): the rejection must
+    // fire AT the CREATE/first-resolution, not at the first INSERT —
+    // the CREATE-time validation path, distinct from CTAS's write path
+    spark.sql("DROP TABLE IF EXISTS fresh_delta_bad")
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE fresh_delta_bad (id BIGINT, v STRING)
+        USING `graft-delta` OPTIONS ('delta.appendOnly'='true')
+        LOCATION '${freshDir("create-delta-bad2")}'""")
+      // some catalog paths defer provider resolution past CREATE — a
+      // SELECT forces it; either statement may throw, INSERT never runs
+      spark.sql("SELECT * FROM fresh_delta_bad").collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS fresh_delta_bad")
 
     // hudi: record key via OPTIONS (Hudi tables are keyed by
     // construction); the created table upserts like any native one
