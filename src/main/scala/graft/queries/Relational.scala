@@ -451,7 +451,27 @@ object Relational {
         max(col("k")).as("max_k"),
         sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
 
+  /** q30: MOVING AVERAGE with an explicit ROWS frame — the one window
+    * semantics class the surface lacked (q10's running sum uses the
+    * default RANGE frame): 7-row trailing mean over the daily revenue
+    * series per event type. The window partitions by type and the
+    * per-type series is DAYS-sized (bounded by the calendar, not the
+    * corpus), so the sort under each window is tiny at any SF — the
+    * heavy lifting is the day-level pre-aggregation, one ordinary
+    * hash aggregate. */
+  def q30MovingAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Money.sum2(col("value"), 1000000L).as("revenue"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily.select(col("event_type"), col("day"), col("revenue"),
+      round(avg(col("revenue")).over(w), 2).as("ma7"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_moving_avg" -> (q30MovingAvg _),
     "q26_funnel" -> (q26Funnel _),
     "q27_retention" -> (q27Retention _),
     "q28_sessionize" -> (q28Sessionize _),
@@ -631,6 +651,15 @@ object Relational {
                 count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+    "q30_moving_avg" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS revenue
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, revenue,
+                round(avg(revenue) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+         FROM daily""",
     "q26_funnel" ->
       """WITH base AS (
            SELECT user_id, event_type, ts FROM events
