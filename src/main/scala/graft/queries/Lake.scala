@@ -226,7 +226,7 @@ object Lake {
       it2.planFiles().size, "adopted iceberg table must partition-prune")
     def agg(fmt: String, loc: String, src: String): DataFrame = s.sql(
       s"""SELECT o_orderstatus, count(*) AS n_orders,
-                 ${Money.sqlSum2("o_totalprice")} AS total, '$src' AS src
+                 ${Money.sqlSumUnits("o_totalprice")} AS total_cents, '$src' AS src
           FROM `$fmt`.`$loc`
           GROUP BY o_orderstatus""")
     agg("graft-delta", dLoc, "delta")
@@ -1363,18 +1363,18 @@ object Lake {
   val oracles: Map[String, String] = Map(
     "lake_migrate" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                 'delta' AS src
          FROM orders GROUP BY o_orderstatus
          UNION ALL
          SELECT o_orderstatus, count(*),
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT),
                 'iceberg'
          FROM orders GROUP BY o_orderstatus""",
     "lake_iceberg_sql" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM (
              SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'merged'
@@ -1388,17 +1388,17 @@ object Lake {
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'sql-inserted', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'current'
            FROM orders WHERE o_orderkey % 97 = 0
            UNION ALL
            SELECT 'merged-new', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'current'
            FROM orders WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F'
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'pre1996'
            FROM orders WHERE year(o_orderdate) < 1996
            GROUP BY o_orderpriority
@@ -1406,7 +1406,7 @@ object Lake {
     "lake_delta_sql" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM (
              SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'merged'
@@ -1420,17 +1420,17 @@ object Lake {
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'df-appended', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'current'
            FROM orders WHERE o_orderkey % 97 = 0
            UNION ALL
            SELECT 'merged-new', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'current'
            FROM orders WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F'
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'v1'
            FROM orders WHERE year(o_orderdate) < 1996
            GROUP BY o_orderpriority
@@ -1438,7 +1438,7 @@ object Lake {
     "lake_hudi_sql" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM (
              SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'merged'
@@ -1450,17 +1450,17 @@ object Lake {
            GROUP BY o_orderpriority
            UNION ALL
            SELECT 'sql-inserted', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'current'
            FROM orders WHERE o_orderkey % 97 = 0
            UNION ALL
            SELECT 'merged-new', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'current'
            FROM orders WHERE o_orderkey % 89 = 0 AND o_orderstatus = 'F'
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'pre_upsert'
            FROM orders
            GROUP BY o_orderpriority
@@ -1468,12 +1468,12 @@ object Lake {
     "lake_hudi_incremental" ->
       """SELECT o_orderstatus, n_orders, total, src FROM (
            SELECT o_orderstatus, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'since_base' AS src
            FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1
            UNION ALL
            SELECT o_orderstatus, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'since_first'
            FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'
            GROUP BY 1
@@ -1481,7 +1481,7 @@ object Lake {
     "lake_hudi_mor" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT P AS o_orderpriority, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
                              ELSE o_orderpriority END AS P, o_totalprice
@@ -1489,7 +1489,7 @@ object Lake {
            WHERE P <> '1-URGENT' GROUP BY 1
            UNION ALL
            SELECT P, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'compacted'
            FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
                              ELSE o_orderpriority END AS P, o_totalprice
@@ -1497,17 +1497,17 @@ object Lake {
            WHERE P <> '1-URGENT' GROUP BY 1
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'pre_delta'
            FROM orders GROUP BY 1
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'read_optimized'
            FROM orders GROUP BY 1
            UNION ALL
            SELECT P, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'clustered'
            FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
                              ELSE o_orderpriority END AS P, o_totalprice
@@ -1519,12 +1519,12 @@ object Lake {
            SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrected'
                        ELSE o_orderpriority END AS o_orderpriority,
                   count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM orders GROUP BY 1
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'pre_upsert'
            FROM orders GROUP BY 1
          )""",
@@ -1532,38 +1532,38 @@ object Lake {
       """SELECT _change_type, _commit_version, n_rows, total FROM (
            SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
                   count(*) AS n_rows,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
            FROM orders
            UNION ALL
            SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE o_orderkey % 10 = 0
            UNION ALL
            SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE o_orderkey % 10 = 0
            UNION ALL
            SELECT 'delete', CAST(3 AS BIGINT), count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 <> 0
          )""",
     "lake_delta_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
            GROUP BY o_orderpriority
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'v1'
            FROM orders WHERE year(o_orderdate) < 1996
            GROUP BY o_orderpriority
          )""",
     "lake_iceberg_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM (
            SELECT o_orderstatus, o_totalprice FROM orders
            WHERE o_orderpriority <> '1-URGENT'
@@ -1575,7 +1575,7 @@ object Lake {
          GROUP BY o_orderstatus""",
     "lake_hudi_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM (
            SELECT o_orderstatus, o_totalprice FROM orders
            WHERE o_orderpriority <> '1-URGENT'
@@ -1587,7 +1587,7 @@ object Lake {
          GROUP BY o_orderstatus""",
     "lake_delta_write" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM (
            SELECT o_orderstatus, o_totalprice FROM orders
            WHERE o_orderpriority <> '1-URGENT'
@@ -1599,61 +1599,61 @@ object Lake {
          GROUP BY o_orderstatus""",
     "lake_iceberg_v3" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders
          WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 7 <> 0
          GROUP BY o_orderstatus""",
     "lake_iceberg_incremental" ->
       """SELECT src, n_orders, total FROM (
            SELECT 'second' AS src, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
            FROM orders WHERE year(o_orderdate) = 1995
            UNION ALL
            SELECT 'third', count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE year(o_orderdate) > 1995
          )""",
     "lake_iceberg_read" ->
       """SELECT o_orderpriority, n_orders, total, src FROM (
            SELECT o_orderpriority, count(*) AS n_orders,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
                   'current' AS src
            FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
            GROUP BY o_orderpriority
            UNION ALL
            SELECT o_orderpriority, count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2),
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0,
                   'pre1996'
            FROM orders WHERE year(o_orderdate) < 1996
            GROUP BY o_orderpriority
          )""",
     "lake_pos_delete" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders
          WHERE o_orderpriority <> '1-URGENT' AND o_totalprice >= 1000.0
          GROUP BY o_orderstatus""",
     "lake_maintain" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderstatus <> 'P'
          GROUP BY o_orderstatus""",
     "lake_rest_catalog" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_multi_txn" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_branch_wap" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderpriority <> '1-URGENT'
          GROUP BY o_orderstatus""",
     "lake_sql_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM (
            SELECT o_orderstatus,
                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
@@ -1664,7 +1664,7 @@ object Lake {
          ) GROUP BY o_orderstatus""",
     "lake_cdc" ->
       """SELECT change_type, o_orderstatus, count(*) AS n_rows,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM (
            SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
            FROM orders WHERE o_orderkey % 2 = 1
@@ -1674,27 +1674,27 @@ object Lake {
          ) GROUP BY change_type, o_orderstatus""",
     "lake_sql_dml" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderdate >= DATE '1995-01-01'
          GROUP BY o_orderstatus""",
     "lake_zorder" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_custkey < 400
          GROUP BY o_orderstatus""",
     "lake_partition_evolution" ->
       """SELECT o_orderpriority, count(*) AS n,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderpriority""",
     "lake_cluster" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders
          WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
          GROUP BY o_orderstatus""",
     "lake_merge" ->
-      """SELECT o_orderstatus, count(*) AS n_orders, round(CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+      """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(round((p) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM (
            SELECT o_orderstatus, o_totalprice AS p FROM orders
             WHERE o_orderpriority <> '1-URGENT'
@@ -1707,48 +1707,48 @@ object Lake {
          ) GROUP BY o_orderstatus""",
     "lake_incremental" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE year(o_orderdate) >= 1995
          GROUP BY o_orderstatus""",
     "lake_rollback" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_create_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_append_commit" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE year(o_orderdate) < 1996 GROUP BY o_orderstatus""",
     "lake_mor_delete" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderpriority <> '1-URGENT'
          GROUP BY o_orderstatus""",
     "lake_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'
+                CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'
                                THEN o_totalprice * 2
-                               ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                               ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_schema_evolution" ->
       """SELECT CASE WHEN year(o_orderdate) >= 1996
                      THEN substring(o_orderpriority, 1, 1) END AS o_tier,
-                count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                count(*) AS n, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY 1""",
     "lake_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
     "lake_transform_prune" ->
       """SELECT event_type, count(*) AS n_events,
-                round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value
+                CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
          GROUP BY event_type""",
@@ -1761,7 +1761,7 @@ object Lake {
          GROUP BY o_orderstatus""",
     "lake_write_distribution" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_orderstatus""",
     "lake_bloom_prune" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -1769,14 +1769,14 @@ object Lake {
          WHERE o_orderkey IN ((SELECT min(o_orderkey) FROM orders),
                               (SELECT max(o_orderkey) FROM orders))""",
     "lake_stats_prune" ->
-      """SELECT count(*) AS n, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+      """SELECT count(*) AS n, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderkey < 500""",
     "lake_compaction" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""",
     "lake_vacuum" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""")
 }

@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   * IEEE double), sum the longs (associative, exact), and divide once at
   * the end (fixed operands → identical IEEE result everywhere).
   *
+  * NO final decimal re-round (r12): `round(double, 2)` is the one step
+  * whose result is ENGINE-dependent — Spark rounds the exact binary
+  * expansion via BigDecimal HALF_UP, DuckDB scales-and-nearbyints the
+  * double — and on data whose unit sum lands on a half-cent
+  * representation the two legitimately diverge (the r11 driver red on
+  * lake_migrate). IEEE-754 fully specifies long→double conversion
+  * (exact below 2^53) and double division (correctly rounded), so
+  * `sum_units / scale` with fixed operands is bit-identical on every
+  * engine; a trailing 2-dp re-round of that value adds zero information
+  * and one cross-engine tie hazard. Entries that must be defensible on
+  * ANY dataset (driver hash compare) keep the quotient unrounded; truly
+  * exact money totals use [[sumUnits]] (integer units end-to-end).
+  *
   * The SQL builders emit the equivalent DuckDB text, with the same
   * operation ORDER, so the driver's hash compare is bit-stable.
   */
@@ -22,15 +35,23 @@ object Money {
   /** exact 2-dp sum; `scale` = units per 1.0 (100 ⇒ cents; use 10000 for
     * per-row products like price×(1−discount) that carry 4 decimals). */
   def sum2(c: Column, scale: Long = 100L): Column =
-    round(sum(round(c * scale).cast("long")) / scale.toDouble, 2)
+    sum(round(c * scale).cast("long")) / scale.toDouble
 
   def sqlSum2(e: String, scale: Long = 100L): String =
-    s"round(CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT) / $scale.0, 2)"
+    s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT) / $scale.0"
+
+  /** exact integer-unit sum (BIGINT both engines) — zero floating point
+    * anywhere past the per-row scaling, bit-exact on any dataset. */
+  def sumUnits(c: Column, scale: Long = 100L): Column =
+    sum(round(c * scale).cast("long"))
+
+  def sqlSumUnits(e: String, scale: Long = 100L): String =
+    s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
 
   /** exact 4-dp average (sum in integer units, divide by count last). */
   def avg4(c: Column, scale: Long = 10000L): Column =
-    round(sum(round(c * scale).cast("long")) / count(lit(1)) / scale.toDouble, 4)
+    sum(round(c * scale).cast("long")) / count(lit(1)) / scale.toDouble
 
   def sqlAvg4(e: String, scale: Long = 10000L): String =
-    s"round(CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT) / count(*) / $scale.0, 4)"
+    s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT) / count(*) / $scale.0"
 }

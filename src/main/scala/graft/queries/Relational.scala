@@ -108,7 +108,7 @@ object Relational {
       .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"),
         coalesce(col("__n"), lit(0L)).as("n_orders"),
-        round(coalesce(col("__cents"), lit(0L)) / 100.0, 2).as("total_spent"))
+        (coalesce(col("__cents"), lit(0L)) / 100.0).as("total_spent"))
   }
 
   /** q08: distinct aggregation (expand + two-phase agg under the hood). */
@@ -257,8 +257,8 @@ object Relational {
       // spend > 2 × nation average, entirely in integer space
       .filter(col("cents") * col("n_cust") > col("nation_cents") * 2)
       .select(col("c_custkey"),
-        round(col("cents") / 100.0, 2).as("spend"),
-        round(col("nation_cents") / col("n_cust") / 100.0, 2).as("nation_avg"))
+        (col("cents") / 100.0).as("spend"),
+        (col("nation_cents") / col("n_cust") / 100.0).as("nation_avg"))
       .orderBy("c_custkey")
   }
 
@@ -536,8 +536,8 @@ object Relational {
                   count(*) AS n_cust
            FROM per_cust GROUP BY c_nationkey)
          SELECT p.c_custkey,
-                round(p.cents / 100.0, 2) AS spend,
-                round(n.nation_cents / n.n_cust / 100.0, 2) AS nation_avg
+                p.cents / 100.0 AS spend,
+                n.nation_cents / n.n_cust / 100.0 AS nation_avg
          FROM per_cust p JOIN per_nation n ON p.c_nationkey = n.c_nationkey
          WHERE p.cents * n.n_cust > n.nation_cents * 2""",
     "q01_scan_filter_project" ->
@@ -547,21 +547,21 @@ object Relational {
     "q02_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
-                round(CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
-                round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS sum_disc_price,
+                CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+                CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
                 round(avg(l_quantity), 4) AS avg_qty,
-                round(CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0, 4) AS avg_disc,
+                CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q03_join_broadcast" ->
-      """SELECT c_mktsegment, round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS segment_total,
+      """SELECT c_mktsegment, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS segment_total,
                 count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q04_join_multiway" ->
       """SELECT n_name,
-                round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue
+                CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -581,7 +581,7 @@ object Relational {
                              AND o_orderpriority = '1-URGENT')""",
     "q07_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-                round(coalesce(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT), 0) / 100.0, 2) AS total_spent
+                coalesce(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT), 0) / 100.0 AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
     "q08_agg_distinct" ->
@@ -618,8 +618,8 @@ object Relational {
          LIMIT 20""",
     "q14_conditional_agg" ->
       """SELECT l_returnflag,
-                round(CAST(sum(CAST(round((CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS hi_disc_revenue,
-                round(CAST(sum(CAST(round((CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS lo_disc_revenue,
+                CAST(sum(CAST(round((CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS hi_disc_revenue,
+                CAST(sum(CAST(round((CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS lo_disc_revenue,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q15_string_funcs" ->
@@ -632,7 +632,7 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
                 CAST(month(o_orderdate) AS INTEGER) AS order_month,
                 count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS month_total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS month_total
          FROM orders GROUP BY 1, 2""",
     "q17_set_ops" ->
       """SELECT c_nationkey AS nationkey FROM customer
@@ -640,7 +640,7 @@ object Relational {
          SELECT s_nationkey AS nationkey FROM supplier""",
     "q18_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY o_custkey HAVING count(*) > 5""",
     "q19_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -648,13 +648,13 @@ object Relational {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q20_skew_agg" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour,
-                count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value,
+                count(*) AS n_events, CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
     "q30_moving_avg" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
-                  round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS revenue
+                  CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
            FROM events GROUP BY 1, 2)
          SELECT event_type, day, revenue,
                 round(avg(revenue) OVER (PARTITION BY event_type ORDER BY day

@@ -645,34 +645,34 @@ object Stream {
   val oracles: Map[String, String] = Map(
     "stream_iceberg_incremental" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders GROUP BY 1""",
     "stream_hudi_incremental" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-                round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
          FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1""",
     "stream_delta_cdf" ->
       """SELECT _change_type, _commit_version, n_rows, total FROM (
            SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
                   count(*) AS n_rows,
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
            FROM orders
            UNION ALL
            SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE o_orderkey % 10 = 0
            UNION ALL
            SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE o_orderkey % 10 = 0
            UNION ALL
            SELECT 'delete', CAST(3 AS BIGINT), count(*),
-                  round(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+                  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0
            FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 <> 0
          )""",
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-                count(*) AS n_events, round(CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 2) AS sum_value
+                count(*) AS n_events, CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
          FROM events GROUP BY 1, 2""",
     "stream_sessionize" ->
       """WITH t AS (
