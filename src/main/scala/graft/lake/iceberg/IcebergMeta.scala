@@ -110,20 +110,7 @@ object IcebergMeta {
         Seq(IcePartSpec(0, parseSpecFields(n.get("partition-spec"))))
       else Seq(IcePartSpec(0, Nil))
     val snaps = (if (n.has("snapshots")) n.get("snapshots").elements().asScala else Iterator.empty)
-      .map { s =>
-        IceSnapshot(
-          s.get("snapshot-id").asLong,
-          if (s.has("parent-snapshot-id")) Some(s.get("parent-snapshot-id").asLong) else None,
-          s.path("sequence-number").asLong(0L),
-          s.get("timestamp-ms").asLong,
-          s.get("manifest-list").asText,
-          s.path("summary").path("operation").asText("append"),
-          if (s.has("schema-id")) Some(s.get("schema-id").asInt) else None,
-          summaryExtras =
-            (if (s.has("summary")) s.get("summary").properties().asScala else Nil)
-              .filter(_.getKey != "operation")
-              .map(e => e.getKey -> e.getValue.asText).toMap)
-      }.toSeq
+      .map(parseSnapshot).toSeq
     val log = (if (n.has("snapshot-log")) n.get("snapshot-log").elements().asScala else Iterator.empty)
       .map(e => (e.get("timestamp-ms").asLong, e.get("snapshot-id").asLong)).toSeq
     val refs = (if (n.has("refs")) n.get("refs").properties().asScala else Nil)
@@ -153,6 +140,33 @@ object IcebergMeta {
       log,
       refs)
   }
+
+  /** One snapshot object of `metadata.json` / an `add-snapshot` REST
+    * update (same spec serialization both places). */
+  def parseSnapshot(s: JsonNode): IceSnapshot =
+    IceSnapshot(
+      s.get("snapshot-id").asLong,
+      if (s.has("parent-snapshot-id")) Some(s.get("parent-snapshot-id").asLong) else None,
+      s.path("sequence-number").asLong(0L),
+      s.get("timestamp-ms").asLong,
+      s.get("manifest-list").asText,
+      s.path("summary").path("operation").asText("append"),
+      if (s.has("schema-id")) Some(s.get("schema-id").asInt) else None,
+      summaryExtras =
+        (if (s.has("summary")) s.get("summary").properties().asScala else Nil)
+          .filter(_.getKey != "operation")
+          .map(e => e.getKey -> e.getValue.asText).toMap)
+
+  /** Schema object (the `{"type":"struct","fields":[…]}` spec form) —
+    * the REST CreateTableRequest / add-schema update carry this shape. */
+  def parseSchemaJson(json: String): IceSchema =
+    parseSchema(mapper.readTree(json))
+
+  def parseSchemaNode(n: JsonNode): IceSchema = parseSchema(n)
+
+  /** Bare partition-field list (the REST CreateTableRequest's
+    * partition-spec.fields / a manifest header's "partition-spec"). */
+  def parseSpecFieldsNode(n: JsonNode): Seq[IcePartField] = parseSpecFields(n)
 
   private def parseSchema(n: JsonNode): IceSchema = {
     require(n.path("type").asText("struct") == "struct",
@@ -339,17 +353,7 @@ object IcebergMeta {
     m.properties.foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
     val snaps = root.putArray("snapshots")
-    m.snapshots.foreach { s =>
-      val o = snaps.addObject()
-      o.put("snapshot-id", s.id)
-      s.parentId.foreach(o.put("parent-snapshot-id", _))
-      o.put("sequence-number", s.sequenceNumber)
-      o.put("timestamp-ms", s.timestampMs)
-      o.put("manifest-list", s.manifestList)
-      val sum = o.putObject("summary"); sum.put("operation", s.operation)
-      s.summaryExtras.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
-      s.schemaId.foreach(o.put("schema-id", _))
-    }
+    m.snapshots.foreach(s => snaps.add(renderSnapshot(s)))
     val log = root.putArray("snapshot-log")
     m.snapshotLog.foreach { case (ts, id) =>
       val o = log.addObject(); o.put("timestamp-ms", ts); o.put("snapshot-id", id)
@@ -362,6 +366,24 @@ object IcebergMeta {
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
+
+  /** Snapshot JSON — metadata.json entries and REST add-snapshot updates
+    * share this serialization. */
+  def renderSnapshot(s: IceSnapshot): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("snapshot-id", s.id)
+    s.parentId.foreach(o.put("parent-snapshot-id", _))
+    o.put("sequence-number", s.sequenceNumber)
+    o.put("timestamp-ms", s.timestampMs)
+    o.put("manifest-list", s.manifestList)
+    val sum = o.putObject("summary"); sum.put("operation", s.operation)
+    s.summaryExtras.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
+    s.schemaId.foreach(o.put("schema-id", _))
+    o
+  }
+
+  /** Schema node for metadata.json / REST add-schema updates. */
+  def renderSchemaNode(s: IceSchema): ObjectNode = renderSchema(s)
 
   /** Schema JSON for a manifest header's "schema" property. */
   def renderSchemaJson(s: IceSchema): String =

@@ -1,0 +1,217 @@
+package graft.lake.iceberg.rest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.lake.iceberg.{IceMeta, IcebergMeta}
+
+/** Client for the PUBLISHED Apache Iceberg REST catalog protocol — the
+  * reference's headline deployment shape (`catalog_type = 'rest',
+  * uri = 'http://catalog:8181'`, pg_lakehouse_iceberg/README.md:29-32;
+  * `iceberg_bridge_table_open(location, catalog_type, catalog_uri)`,
+  * src/bridge/iceberg_bridge.h:117-133). Unlike [[graft.lake.RestCatalog]]
+  * (graft's own name→location protocol for graft-native tables), this
+  * speaks the open-spec API every standard catalog service implements
+  * (Polaris / Gravitino / Tabular / Glue-REST / Lakekeeper), so real
+  * Apache Iceberg tables REGISTERED IN SUCH A CATALOG resolve by name and
+  * commit through the catalog's optimistic-concurrency arbitration:
+  *
+  * {{{
+  *   GET    /v1/config                                → {defaults, overrides[, prefix]}
+  *   GET    /v1/{p}/namespaces                        → {namespaces: [[..]]}
+  *   POST   /v1/{p}/namespaces                        ← {namespace: [..]}
+  *   GET    /v1/{p}/namespaces/{ns}/tables            → {identifiers: [..]}
+  *   POST   /v1/{p}/namespaces/{ns}/tables            ← CreateTableRequest
+  *   POST   /v1/{p}/namespaces/{ns}/register          ← {name, metadata-location}
+  *   GET    /v1/{p}/namespaces/{ns}/tables/{t}        → LoadTableResult
+  *   POST   /v1/{p}/namespaces/{ns}/tables/{t}        ← CommitTableRequest
+  *                                                      {requirements, updates}
+  *   DELETE /v1/{p}/namespaces/{ns}/tables/{t}        → 204
+  * }}}
+  *
+  * The catalog owns ONLY `metadata.json` arbitration: data files,
+  * manifests and manifest lists are written straight to storage by the
+  * engine (this client never moves a data byte), and a commit is the
+  * catalog validating `requirements` against the CURRENT table state and
+  * applying `updates` — the CAS. Two racing committers POST from the same
+  * base; exactly one's `assert-ref-snapshot-id` still holds.
+  *
+  * Multi-level namespaces join with the spec's `%1F` unit separator in
+  * URL paths.
+  */
+final class IcebergRestCatalog(uri: String) {
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+  private val base = uri.stripSuffix("/")
+
+  /** `GET /v1/config` once per client: a service may route all further
+    * calls under an account-specific `prefix` (overrides win over the
+    * client's none). */
+  private lazy val prefix: String = {
+    val r = send("GET", s"$base/v1/config")
+    require(r.statusCode() == 200,
+      s"iceberg-rest: GET /v1/config failed: HTTP ${r.statusCode()} ${r.body()}")
+    val n = mapper.readTree(r.body())
+    val p = n.path("overrides").path("prefix").asText("")
+    if (p.isEmpty) "" else s"/${p.stripPrefix("/").stripSuffix("/")}"
+  }
+
+  private def send(method: String, url: String, body: Option[String] = None)
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+    }).build()
+    http.send(req, HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** one URI path segment, percent-encoded (form-encoding's '+' would
+    * corrupt a space; a raw '#'/'?' would truncate the path). */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** spec rule: namespace levels join with the 0x1F unit separator. */
+  private def nsSeg(ns: Seq[String]): String = seg(ns.mkString("\u001F"))
+
+  private def v1(path: String): String = s"$base/v1$prefix$path"
+
+  private def errorOf(r: HttpResponse[String]): String = {
+    val m = try mapper.readTree(r.body()).path("error").path("message").asText("")
+    catch { case _: Exception => "" }
+    if (m.nonEmpty) m else r.body()
+  }
+
+  // ---- namespaces -----------------------------------------------------------
+
+  def createNamespace(ns: Seq[String]): Unit = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("namespace"); ns.foreach(arr.add)
+    val r = send("POST", v1("/namespaces"), Some(mapper.writeValueAsString(body)))
+    require(r.statusCode() == 200 || r.statusCode() == 409, // 409 = exists, idempotent-ok
+      s"iceberg-rest: create namespace $ns failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+  }
+
+  def listNamespaces(): Seq[Seq[String]] = {
+    val r = send("GET", v1("/namespaces"))
+    require(r.statusCode() == 200,
+      s"iceberg-rest: list namespaces failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(r.body()).path("namespaces").elements().asScala
+      .map(_.elements().asScala.map(_.asText()).toSeq).toSeq
+  }
+
+  // ---- tables ---------------------------------------------------------------
+
+  def listTables(ns: Seq[String]): Seq[String] = {
+    val r = send("GET", v1(s"/namespaces/${nsSeg(ns)}/tables"))
+    require(r.statusCode() == 200,
+      s"iceberg-rest: list tables in $ns failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(r.body()).path("identifiers").elements().asScala
+      .map(_.path("name").asText()).toSeq.sorted
+  }
+
+  def tableExists(ns: Seq[String], name: String): Boolean =
+    send("HEAD", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}"))
+      .statusCode() == 204
+
+  import IcebergRestCatalog.LoadResult
+
+  def loadTable(ns: Seq[String], name: String): LoadResult = {
+    val r = send("GET", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}"))
+    r.statusCode() match {
+      case 200 => parseLoadResult(r.body())
+      case 404 => throw new NoSuchElementException(
+        s"iceberg-rest: no table ${ns.mkString(".")}.$name in catalog $base: ${errorOf(r)}")
+      case c => sys.error(s"iceberg-rest: load table $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  /** CREATE through the catalog: the service builds + stores metadata v0
+    * and assigns the location (under its warehouse) unless one is given. */
+  def createTable(ns: Seq[String], name: String, schemaJson: String,
+      specFieldsJson: Option[String] = None,
+      location: Option[String] = None,
+      properties: Map[String, String] = Map.empty): LoadResult = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    location.foreach(body.put("location", _))
+    body.set[ObjectNode]("schema", mapper.readTree(schemaJson))
+    specFieldsJson.foreach { sj =>
+      val spec = body.putObject("partition-spec")
+      spec.put("spec-id", 0)
+      spec.set[ObjectNode]("fields", mapper.readTree(sj))
+    }
+    if (properties.nonEmpty) {
+      val p = body.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/tables"),
+      Some(mapper.writeValueAsString(body)))
+    r.statusCode() match {
+      case 200 => parseLoadResult(r.body())
+      case 409 => sys.error(
+        s"iceberg-rest: table ${ns.mkString(".")}.$name already exists: ${errorOf(r)}")
+      case c => sys.error(s"iceberg-rest: create table $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  /** REGISTER an existing table (its current metadata.json) under a name
+    * — the spec's adoption endpoint; zero data or metadata movement. */
+  def registerTable(ns: Seq[String], name: String,
+      metadataLocation: String): LoadResult = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.put("metadata-location", metadataLocation)
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/register"),
+      Some(mapper.writeValueAsString(body)))
+    require(r.statusCode() == 200,
+      s"iceberg-rest: register $name failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+    parseLoadResult(r.body())
+  }
+
+  def dropTable(ns: Seq[String], name: String): Boolean =
+    send("DELETE", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}"))
+      .statusCode() == 204
+
+  /** THE COMMIT: POST requirements + updates; the service validates the
+    * requirements against its current state under its commit lock and
+    * applies the updates — 409 means another committer moved the table
+    * first (reopen, rebase, retry: the standard optimistic loop). */
+  def commitTable(ns: Seq[String], name: String,
+      requirements: ArrayNode, updates: ArrayNode): LoadResult = {
+    val body = mapper.createObjectNode()
+    val ident = body.putObject("identifier")
+    val nsArr = ident.putArray("namespace"); ns.foreach(nsArr.add)
+    ident.put("name", name)
+    body.set[ObjectNode]("requirements", requirements)
+    body.set[ObjectNode]("updates", updates)
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}"),
+      Some(mapper.writeValueAsString(body)))
+    r.statusCode() match {
+      case 200 => parseLoadResult(r.body())
+      case 409 => throw new java.util.ConcurrentModificationException(
+        s"iceberg-rest: commit of ${ns.mkString(".")}.$name lost the race: ${errorOf(r)}")
+      case c => sys.error(s"iceberg-rest: commit $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  private def parseLoadResult(json: String): LoadResult = {
+    val n = mapper.readTree(json)
+    val loc = n.path("metadata-location").asText("")
+    require(loc.nonEmpty, s"iceberg-rest: LoadTableResult without metadata-location")
+    LoadResult(loc, IcebergMeta.parse(mapper.writeValueAsString(n.get("metadata"))))
+  }
+}
+
+object IcebergRestCatalog {
+  /** LoadTableResult: the authoritative metadata pointer + parsed body. */
+  final case class LoadResult(metadataLocation: String, metadata: IceMeta)
+}

@@ -156,34 +156,39 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
     * query and calls `inferSchema` then `getTable` with the SAME options
     * — without a memo every connector read walks the table's metadata
     * (log replay / manifest list / timeline) twice. Keyed by the full
-    * option map; a provider instance never outlives one read, so the
-    * memo cannot serve a stale snapshot across queries. */
+    * option map, and ONE-SHOT: getTable consumes the memo (r12, ADVICE),
+    * so even if a catalog path or a future Spark version reuses a
+    * provider instance across reads, a read after a write can never be
+    * served a stale table snapshot — the memo spans exactly the
+    * inferSchema→getTable pair of a single resolution. */
   @volatile private var lastOpen: (util.Map[String, String], InteropRead) = _
   private def openCached(spark: SparkSession,
-      options: CaseInsensitiveStringMap): InteropRead = {
+      options: CaseInsensitiveStringMap, consume: Boolean): InteropRead = {
     // key on the case-INSENSITIVE view (lowercased keys): the SQL path
     // rule hands getTable a map whose copy lowercases keys, while the
     // DataFrameReader path preserves the caller's casing — an
     // original-case key would miss between the two calls of one read
     val key: util.Map[String, String] = new util.HashMap[String, String](options)
     val c = lastOpen
-    if (c != null && c._1 == key) c._2
-    else {
+    if (c != null && c._1 == key) {
+      if (consume) lastOpen = null
+      c._2
+    } else {
       val r = open(spark, options)
-      lastOpen = (key, r)
+      lastOpen = if (consume) null else (key, r)
       r
     }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    openCached(SparkSession.active, options).schema
+    openCached(SparkSession.active, options, consume = false).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val spark = SparkSession.active
     val loc = path(opts)
-    if (exists(spark, loc)) new InteropReadTable(openCached(spark, opts))
+    if (exists(spark, loc)) new InteropReadTable(openCached(spark, opts, consume = true))
     else {
       // CREATE-on-first-write: a declared schema + a fresh location is
       // a table that exists in the catalog but not yet on disk — SELECT
@@ -245,6 +250,34 @@ abstract class InteropReadProvider extends TableProvider with DataSourceRegister
 class GraftIcebergSource extends InteropReadProvider {
   override def shortName(): String = "graft-iceberg"
 
+  /** STANDARD REST CATALOG resolution — `option("catalog-uri", …)` +
+    * `option("table", "ns.name")` load a real Iceberg table BY NAME
+    * through the published REST catalog API, and writes commit through
+    * the catalog's requirements/updates CAS (the reference's
+    * `catalog_type='rest'` deployment; location-based `.load(path)`
+    * stays the `catalog_type='hadoop'`-style direct path). */
+  private def restOf(options: CaseInsensitiveStringMap)
+      : Option[(graft.lake.iceberg.rest.IcebergRestCatalog, Seq[String], String)] =
+    Option(options.get("catalog-uri")).map { uri =>
+      val ident = Option(options.get("table")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-iceberg: catalog-uri needs option(\"table\", \"<namespace>.<name>\")"))
+      val parts = ident.split('.').toSeq
+      require(parts.length >= 2,
+        s"graft-iceberg: table must be <namespace>.<name>, got '$ident'")
+      (new graft.lake.iceberg.rest.IcebergRestCatalog(uri), parts.init, parts.last)
+    }
+
+  /** With a REST catalog in play the 'path' is the catalog-resolved
+    * table location (exists/CREATE gating still sees the physical
+    * layout); a missing name fails loudly here — catalog tables are
+    * created through the catalog, not by CREATE-on-first-write. */
+  override protected def path(options: CaseInsensitiveStringMap): String =
+    restOf(options) match {
+      case Some((cat, ns, name)) => cat.loadTable(ns, name).metadata.location
+      case None => super.path(options)
+    }
+
   override protected def exists(spark: SparkSession, loc: String): Boolean = {
     val md = new org.apache.hadoop.fs.Path(loc, "metadata")
     val fs = md.getFileSystem(spark.sessionState.newHadoopConf())
@@ -260,8 +293,20 @@ class GraftIcebergSource extends InteropReadProvider {
 
   override protected def open(
       spark: SparkSession, options: CaseInsensitiveStringMap): InteropRead = {
-    val loc = path(options)
-    val t = IcebergTable.load(spark, loc)
+    val rest = restOf(options)
+    // REST: read from the catalog's authoritative metadata-location (one
+    // load serves both), write through catalog CAS; otherwise direct.
+    val (loc, t, writer) = rest match {
+      case Some((cat, ns, name)) =>
+        val lr = cat.loadTable(ns, name)
+        (lr.metadata.location,
+          IcebergTable.load(spark, lr.metadataLocation),
+          () => graft.lake.iceberg.IcebergWriter.openRest(spark, cat, ns, name))
+      case None =>
+        val l = path(options)
+        (l, IcebergTable.load(spark, l),
+          () => graft.lake.iceberg.IcebergWriter.open(spark, l))
+    }
     val snap: Long =
       Option(options.get("snapshot-id")).map(_.toLong)
         .orElse(Option(options.get("as-of-timestamp"))
@@ -312,27 +357,24 @@ class GraftIcebergSource extends InteropReadProvider {
       aggSupport = Some(new IcebergInteropAgg(t, snap)),
       append =
         if (snap >= 0) None // time-travel resolution: read-only
-        else Some(df => graft.lake.iceberg.IcebergWriter.open(spark, loc).append(df)),
+        else Some(df => writer().append(df)),
       // v3 deletion-vector delete — Iceberg's preferred MoR delete
       // encoding: O(matched) puffin bitmaps, no data-file rewrite
       // (bumps format-version to 3, as any v3 DV writer does)
       deleteWhere =
         if (snap >= 0) None
-        else Some(c => graft.lake.iceberg.IcebergWriter.open(spark, loc)
-          .deleteWhereDv(c, requireMatch = false)),
+        else Some(c => writer().deleteWhereDv(c, requireMatch = false)),
       // SQL UPDATE / MERGE: single-snapshot row-delta commits (DV or
       // equality-delete manifests + data manifests under one snapshot)
       updateWhere =
         if (snap >= 0) None
-        else Some((c, set) => graft.lake.iceberg.IcebergWriter.open(spark, loc)
-          .updateWhere(c, set)),
+        else Some((c, set) => writer().updateWhere(c, set)),
       mergeUpsert =
         if (snap >= 0) None
-        else Some((src, keys) => graft.lake.iceberg.IcebergWriter.open(spark, loc)
-          .upsertKeys(src, keys)),
+        else Some((src, keys) => writer().upsertKeys(src, keys)),
       mergeDeleteMatched =
         if (snap >= 0) None
-        else Some((keys, keyCols) => graft.lake.iceberg.IcebergWriter.open(spark, loc)
+        else Some((keys, keyCols) => writer()
           .equalityDelete(keys.select(keyCols.map(col): _*).distinct())))
   }
 }

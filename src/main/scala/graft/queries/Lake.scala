@@ -1309,7 +1309,66 @@ object Lake {
     cur.unionByName(pre)
   }
 
+  /** STANDARD ICEBERG REST CATALOG (r12) — the reference's headline
+    * deployment resolves tables through `catalog_type = 'rest',
+    * uri = 'http://catalog:8181'` (pg_lakehouse_iceberg/README.md:29-32;
+    * `iceberg_bridge_table_open(location, catalog_type, catalog_uri)`,
+    * src/bridge/iceberg_bridge.h:117-133). Until r12 graft's REST story
+    * was its OWN protocol (lake_rest_catalog) and real Iceberg tables
+    * loaded by location only; this entry runs the PUBLISHED Apache
+    * Iceberg REST catalog API end to end against the bundled in-process
+    * service ([[graft.lake.iceberg.rest.IcebergRestServer]]): CREATE by
+    * name (CreateTableRequest with schema + identity spec), two
+    * catalog-arbitrated append commits (requirements/updates; the
+    * catalog — not the engine — materializes metadata.json), a STALE
+    * handle's commit losing the CAS loudly (assert-ref-snapshot-id →
+    * 409 → ConcurrentModificationException, with no torn state visible:
+    * its staged files are never referenced), rebase-and-retry, then the
+    * read BY NAME through the SQL connector (`catalog-uri` +
+    * `table=ns.name` reader options). Oracle reproduces the aggregate
+    * from the raw parquet. */
+  def lakeIcebergRest(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.iceberg.{IceField, IcePartField, IcePartSpec, IceSchema, IcebergMeta, IcebergWriter}
+    val o = Tables.orders(s, d)
+    val server = new graft.lake.iceberg.rest.IcebergRestServer(
+      work(s, "iceberg_rest_wh", d), s.sessionState.newHadoopConf())
+    try {
+      val cat = new graft.lake.iceberg.rest.IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("lake"))
+      val fields = o.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        IceField(i + 1, f.name, required = false, f.dataType,
+          IcebergMeta.typeString(f.dataType))
+      }
+      val statusId = fields.find(_.name == "o_orderstatus").get.id
+      cat.createTable(Seq("lake"), "orders",
+        IcebergMeta.renderSchemaJson(IceSchema(0, fields)),
+        Some(IcebergMeta.renderSpecFieldsJson(IcePartSpec(0,
+          Seq(IcePartField("o_orderstatus", "identity", statusId, 1000))))))
+      require(cat.listTables(Seq("lake")) == Seq("orders"),
+        "catalog must list the created table")
+      val w1 = IcebergWriter.openRest(s, cat, Seq("lake"), "orders")
+      val w2 = IcebergWriter.openRest(s, cat, Seq("lake"), "orders") // same base
+      w1.append(o.filter(year(col("o_orderdate")) < 1996))
+      // RACING COMMITTERS: w2 built on the pre-append base, so its
+      // assert-ref-snapshot-id no longer holds — the catalog 409s
+      val lost =
+        try { w2.append(o.limit(1)); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      require(lost, "a stale REST handle's commit must lose the catalog CAS")
+      IcebergWriter.openRest(s, cat, Seq("lake"), "orders") // rebase + retry
+        .append(o.filter(year(col("o_orderdate")) >= 1996))
+      val df = s.read.format("graft-iceberg")
+        .option("catalog-uri", server.uri)
+        .option("table", "lake.orders").load()
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Money.sumUnits(col("o_totalprice")).as("total_cents"))
+    } finally server.stop() // resolution is eager; the returned plan
+    // reads storage only — execution never touches the catalog again
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_iceberg_rest" -> (lakeIcebergRest _),
     "lake_iceberg_sql" -> (lakeIcebergSql _),
     "lake_delta_sql" -> (lakeDeltaSql _),
     "lake_hudi_sql" -> (lakeHudiSql _),
@@ -1361,6 +1420,10 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_iceberg_rest" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY o_orderstatus""",
     "lake_migrate" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents,

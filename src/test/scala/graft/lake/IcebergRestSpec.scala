@@ -1,0 +1,166 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.lake.iceberg.{IceField, IcePartField, IcePartSpec, IceSchema, IcebergMeta, IcebergTable, IcebergWriter}
+import graft.lake.iceberg.rest.{IcebergRestCatalog, IcebergRestServer}
+
+/** The PUBLISHED Apache Iceberg REST catalog protocol end to end against
+  * the bundled in-process service: create / load / register / list /
+  * drop by NAME, commits through the requirements/updates CAS (two
+  * racing committers — exactly one winner, the loser rebases and
+  * retries), metadata materialized by the SERVICE (the engine writes
+  * only data files + manifests), schema evolution through add-schema
+  * updates, and location-only readers staying compatible with the
+  * catalog-written metadata files. */
+class IcebergRestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fresh(name: String): String = {
+    val d = s"/root/repo/target/graft-lake-test/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  private def iceSchemaOf(df: org.apache.spark.sql.DataFrame): IceSchema =
+    IceSchema(0, df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, required = false, f.dataType,
+        IcebergMeta.typeString(f.dataType))
+    })
+
+  test("create / commit / load / read by name; CAS race has one winner") {
+    val server = new IcebergRestServer(fresh("icerest-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      assert(cat.listNamespaces().contains(Seq("ns")))
+      val o = Tables.orders(spark, sf)
+      val sch = iceSchemaOf(o)
+      val statusId = sch.fields.find(_.name == "o_orderstatus").get.id
+      cat.createTable(Seq("ns"), "orders",
+        IcebergMeta.renderSchemaJson(sch),
+        Some(IcebergMeta.renderSpecFieldsJson(IcePartSpec(0,
+          Seq(IcePartField("o_orderstatus", "identity", statusId, 1000))))))
+      assert(cat.tableExists(Seq("ns"), "orders"))
+      assert(cat.listTables(Seq("ns")) == Seq("orders"))
+
+      // two handles from the SAME base: exactly one commit wins
+      val w1 = IcebergWriter.openRest(spark, cat, Seq("ns"), "orders")
+      val w2 = IcebergWriter.openRest(spark, cat, Seq("ns"), "orders")
+      w1.append(o.limit(100))
+      intercept[java.util.ConcurrentModificationException] {
+        w2.append(o.limit(50))
+      }
+      // loser rebases (reopen) and retries — the standard optimistic loop
+      IcebergWriter.openRest(spark, cat, Seq("ns"), "orders").append(o.limit(50))
+
+      val lr = cat.loadTable(Seq("ns"), "orders")
+      assert(lr.metadata.snapshots.length == 2,
+        "exactly the two WINNING commits are in the table history")
+      // the catalog materialized metadata; the engine never wrote one
+      assert(new org.apache.hadoop.fs.Path(lr.metadataLocation).getName
+        .matches("\\d{5}-[0-9a-f-]+\\.metadata\\.json"))
+
+      // read through the catalog pointer AND location-only (hadoop-style)
+      val byPointer = IcebergTable.load(spark, lr.metadataLocation)
+      assert(byPointer.scan().count() == 150)
+      val byLocation = IcebergTable.load(spark, lr.metadata.location)
+      assert(byLocation.scan().count() == 150)
+      // partition pruning works on the catalog-created identity spec
+      assert(byPointer.planFiles(Some(col("o_orderstatus") === "F")).size <
+        byPointer.planFiles().size)
+
+      // connector read by name
+      val viaSql = spark.read.format("graft-iceberg")
+        .option("catalog-uri", server.uri)
+        .option("table", "ns.orders").load()
+      assert(viaSql.count() == 150)
+
+      // connector WRITE commits through the catalog CAS
+      val before = cat.loadTable(Seq("ns"), "orders").metadata.snapshots.length
+      o.limit(25).write.format("graft-iceberg")
+        .option("catalog-uri", server.uri).option("table", "ns.orders")
+        .mode("append").save()
+      val after = cat.loadTable(Seq("ns"), "orders")
+      assert(after.metadata.snapshots.length == before + 1)
+      assert(IcebergTable.load(spark, after.metadataLocation).scan().count() == 175)
+
+      // drop: gone by name, data left in place (spec default, no purge)
+      assert(cat.dropTable(Seq("ns"), "orders"))
+      assert(!cat.tableExists(Seq("ns"), "orders"))
+      intercept[NoSuchElementException] { cat.loadTable(Seq("ns"), "orders") }
+    } finally server.stop()
+  }
+
+  test("register adopts an existing location-built table by name") {
+    val server = new IcebergRestServer(fresh("icerest-reg-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      val loc = fresh("icerest-reg-tbl")
+      val w = IcebergWriter.create(spark, loc, o.schema)
+      w.append(o.limit(120))
+      // current metadata file of the location-based table
+      val metaDir = new org.apache.hadoop.fs.Path(loc, "metadata")
+      val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val metaFile = fs.listStatus(metaDir).map(_.getPath)
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName.stripPrefix("v").takeWhile(_.isDigit).toInt)
+      val lr = cat.registerTable(Seq("ns"), "adopted", metaFile.toString)
+      assert(lr.metadata.snapshots.length == 1)
+      assert(cat.listTables(Seq("ns")) == Seq("adopted"))
+      // loaded by name, committed through the catalog from here on
+      IcebergWriter.openRest(spark, cat, Seq("ns"), "adopted").append(o.limit(30))
+      val cur = cat.loadTable(Seq("ns"), "adopted")
+      assert(IcebergTable.load(spark, cur.metadataLocation).scan().count() == 150)
+    } finally server.stop()
+  }
+
+  test("schema evolution + properties travel as REST updates") {
+    val server = new IcebergRestServer(fresh("icerest-evo-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      val w = IcebergWriter.openRest(spark, cat, Seq("ns"), "t")
+      w.append(o.limit(10))
+      // rename lands as add-schema + set-current-schema updates applied
+      // BY THE CATALOG — reload by name and the new schema is current
+      w.renameColumn("o_orderpriority", "o_priority")
+      val lr = cat.loadTable(Seq("ns"), "t")
+      assert(lr.metadata.currentSchema.fields.exists(_.name == "o_priority"))
+      assert(!lr.metadata.currentSchema.fields.exists(_.name == "o_orderpriority"))
+      // field-id resolution: data written pre-rename reads under the
+      // new name through the catalog pointer
+      val t = IcebergTable.load(spark, lr.metadataLocation)
+      assert(t.scan().select("o_priority").count() == 10)
+    } finally server.stop()
+  }
+
+  test("multi-level namespaces route with the 0x1F separator") {
+    val server = new IcebergRestServer(fresh("icerest-ml-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("a", "b"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("a", "b"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      assert(cat.listNamespaces().contains(Seq("a", "b")))
+      assert(cat.listTables(Seq("a", "b")) == Seq("t"))
+      IcebergWriter.openRest(spark, cat, Seq("a", "b"), "t").append(o.limit(5))
+      assert(IcebergTable.load(spark,
+        cat.loadTable(Seq("a", "b"), "t").metadataLocation).scan().count() == 5)
+      // sibling single-level namespace "ab" must NOT alias ["a","b"]
+      cat.createNamespace(Seq("ab"))
+      assert(cat.listTables(Seq("ab")).isEmpty)
+    } finally server.stop()
+  }
+}
