@@ -59,6 +59,47 @@ object ParquetStats {
     }.sum
   }
 
+  /** One file's adoption payload: everything a metadata-only convert /
+    * adopt / commit needs — footer row count + column stats, plus the
+    * FileStatus fields — gathered in the same pass. */
+  final case class FileFooter(rows: Long, stats: Map[String, ColStats],
+      size: Long, mtime: Long)
+
+  /** Footer payloads for MANY files, keyed by `_.toString` of the input
+    * paths. Above `threshold` files the reads run as a SPARK JOB
+    * (mapPartitions over the path list, collect only the O(files) stat
+    * rows) — the shape real CONVERT TO DELTA / Iceberg add_files use. A
+    * sequential driver walk over a 100 TB estate (10⁵–10⁶ files) is
+    * hours of object-store round-trips on one node; distributed it is
+    * seconds on the cluster (r12, VERDICT #2). Small batches stay on
+    * the driver: a job's scheduling latency would dominate. */
+  def readFooters(spark: org.apache.spark.sql.SparkSession, paths: Seq[Path],
+      threshold: Int = 64): Map[String, FileFooter] = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (paths.lengthCompare(threshold) <= 0)
+      paths.map { p =>
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        val (rows, stats) = read(conf, p)
+        p.toString -> FileFooter(rows, stats, st.getLen, st.getModificationTime)
+      }.toMap
+    else {
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      val slices = math.min(paths.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(paths.map(_.toString), slices)
+        .mapPartitions { it =>
+          val c = bcConf.value.value
+          it.map { s =>
+            val p = new Path(s)
+            val st = p.getFileSystem(c).getFileStatus(p)
+            val (rows, stats) = ParquetStats.read(c, p)
+            s -> FileFooter(rows, stats, st.getLen, st.getModificationTime)
+          }
+        }.collect().toMap
+    }
+  }
+
   /** @return (rowCount, per-column stats) */
   def read(conf: Configuration, file: Path): (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))

@@ -263,7 +263,6 @@ final class DeltaWriter private (
          writer.partitionBy(partitionColumns.map(phys): _*)
        else writer).parquet(tmp.toString)
     }
-    val out = scala.collection.mutable.ArrayBuffer[ObjectNode]()
     var i = 0
     val it = fs.listFiles(tmp, true)
     val files = scala.collection.mutable.ArrayBuffer[Path]()
@@ -271,7 +270,7 @@ final class DeltaWriter private (
       val f = it.next().getPath
       if (f.getName.endsWith(".parquet")) files += f
     }
-    files.sortBy(_.toString).foreach { src =>
+    val placed = files.sortBy(_.toString).map { src =>
       val tmpQ = fs.makeQualified(tmp).toString
       val dirQ = fs.makeQualified(src.getParent).toString
       val rel = if (dirQ == tmpQ) "" else dirQ.stripPrefix(tmpQ + "/")
@@ -280,10 +279,14 @@ final class DeltaWriter private (
       val dest = new Path(destDir, f"part-$nonce-$i%05d.parquet")
       require(fs.rename(src, dest), s"delta: rename $src -> $dest failed")
       i += 1
-      out += addActionFor(dest, rel)
-    }
+      (dest, rel)
+    }.toSeq
+    // footer stats for ALL fresh files in one (distributed) batch
+    val footers = ParquetStats.readFooters(spark, placed.map(_._1))
+    val out = placed.map { case (dest, rel) =>
+      addActionFor(dest, rel, footers(dest.toString)) }
     fs.delete(tmp, true)
-    out.toSeq
+    out
   }
 
   /** Hive `k=v` dir segments of a relative path → partitionValues. */
@@ -299,10 +302,14 @@ final class DeltaWriter private (
     * dirs carrying partitionValues), with per-file stats JSON from the
     * parquet FOOTER (numRecords + top-level min/max/nullCount — the
     * columns FilePruner skips on). Shared by writeFiles (fresh files)
-    * and convert (existing files adopted in place). */
-  private def addActionFor(dest: Path, rel: String): ObjectNode = {
+    * and convert (existing files adopted in place); the footer payload
+    * arrives precomputed so both callers can batch the footer reads as
+    * one distributed job ([[ParquetStats.readFooters]]) instead of a
+    * sequential per-file driver walk. */
+  private def addActionFor(dest: Path, rel: String,
+      footer: ParquetStats.FileFooter): ObjectNode = {
     val relPath = (if (rel.isEmpty) "" else s"$rel/") + dest.getName
-    val (rows, stats) = ParquetStats.read(conf, dest)
+    val (rows, stats) = (footer.rows, footer.stats)
     val n = mapper.createObjectNode()
     val a = n.putObject("add")
     a.put("path", relPath)
@@ -310,8 +317,8 @@ final class DeltaWriter private (
     hiveVals(rel).foreach { case (k, v) =>
       if (v == null) pv.putNull(k) else pv.put(k, v)
     }
-    a.put("size", fs.getFileStatus(dest).getLen)
-    a.put("modificationTime", fs.getFileStatus(dest).getModificationTime)
+    a.put("size", footer.size)
+    a.put("modificationTime", footer.mtime)
     a.put("dataChange", true)
     val st = mapper.createObjectNode()
     st.put("numRecords", rows)
@@ -363,6 +370,10 @@ final class DeltaWriter private (
         files += f
     }
     require(files.nonEmpty, s"delta convert: no parquet files under $root")
+    // the adoption hot path: one DISTRIBUTED footer job over the whole
+    // estate (real CONVERT TO DELTA does the same) — a sequential
+    // driver-side footer read per file is hours at 10⁵–10⁶ files
+    val footers = ParquetStats.readFooters(spark, files.toSeq)
     val adds = files.sortBy(_.toString).map { f =>
       val rel = fs.makeQualified(f.getParent).toString
         .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
@@ -373,7 +384,7 @@ final class DeltaWriter private (
       val dirs = hiveVals(rel).map(_._1).toSet
       partitionColumns.foreach(c => require(dirs.contains(c),
         s"delta convert: $f lacks a hive dir for partition column $c"))
-      addActionFor(f, rel)
+      addActionFor(f, rel, footers(f.toString))
     }.toSeq
     adds.foreach(n => live(n.get("add").get("path").asText()) = n)
     commit(Seq(protocolAction, metaAction) ++ adds, operation = "CONVERT")
@@ -1401,9 +1412,12 @@ object DeltaWriter {
     * partitionValues parsed from the hive `col=value` layout and
     * per-file stats JSON lifted from the parquet FOOTERS — so min/max
     * file skipping works from the first read. No data file is read past
-    * its footer, moved, or rewritten; at 100 TB conversion is O(files)
-    * driver footer reads and one log write. The returned writer is live:
-    * subsequent appends/deletes/updates land as normal commits. */
+    * its footer, moved, or rewritten; at 100 TB conversion is ONE
+    * distributed footer job over the file list (executor-side
+    * [[graft.lake.ParquetStats.readFooters]]; only the O(files) stat
+    * rows come back to the driver) and one log write. The returned
+    * writer is live: subsequent appends/deletes/updates land as normal
+    * commits. */
   def convert(spark: SparkSession, location: String,
       partitionColumns: Seq[String] = Nil): DeltaWriter = {
     val p = new Path(location)

@@ -444,6 +444,10 @@ final class IcebergWriter private (
     val files = listParquet(srcRoot).filterNot(p =>
       relDir(srcRoot, p).split("/").headOption.contains("metadata"))
     require(files.nonEmpty, s"iceberg adopt: no parquet files under $srcRoot")
+    // one DISTRIBUTED footer job over the estate (Iceberg's own
+    // add_files runs the stat collection as a Spark job too) — never a
+    // sequential per-file driver walk
+    val footers = ParquetStats.readFooters(spark, files)
     val entries = files.sortBy(_.toString).map { p =>
       val rel = relDir(srcRoot, p)
       val dirs: Map[String, String] =
@@ -468,12 +472,12 @@ final class IcebergWriter private (
           }
         pf.name -> v
       }.toMap
-      val (rows, stats) = ParquetStats.read(conf, p)
+      val footer = footers(p.toString)
       val lower = scala.collection.mutable.Map[Int, Array[Byte]]()
       val upper = scala.collection.mutable.Map[Int, Array[Byte]]()
       val nulls = scala.collection.mutable.Map[Int, Long]()
       sch.fields.foreach { f =>
-        stats.get(f.name).foreach { st =>
+        footer.stats.get(f.name).foreach { st =>
           nulls(f.id) = st.nulls
           for {
             lo <- IcebergMeta.encodeBound(f.typeStr, st.min)
@@ -481,7 +485,7 @@ final class IcebergWriter private (
           } { lower(f.id) = lo; upper(f.id) = hi }
         }
       }
-      fileEntry(p, content = 0, rows, fs.getFileStatus(p).getLen,
+      fileEntry(p, content = 0, footer.rows, footer.size,
         partVals, lower.toMap, upper.toMap, Nil, nulls.toMap)
     }
     commitManifests("append", Seq("data" -> entries))

@@ -204,4 +204,43 @@ class MigrateSpec extends AnyFunSuite {
         "WHERE o_orderstatus = 'F'").head().getLong(0)
     assert(m == orders.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("footer collection is a distributed job on multi-thousand-file estates") {
+    // distributed-vs-sequential EQUIVALENCE first: same payloads per file
+    val eqLoc = freshDir("footers-eq")
+    orders.limit(500).repartition(20).write.parquet(eqLoc)
+    val fs = new Path(eqLoc).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquets(loc: String): Seq[Path] = {
+      val out = scala.collection.mutable.ArrayBuffer[Path]()
+      val it = fs.listFiles(new Path(loc), true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) out += f
+      }
+      out.toSeq
+    }
+    val eqFiles = parquets(eqLoc)
+    val seqMap = ParquetStats.readFooters(spark, eqFiles, threshold = Int.MaxValue)
+    val distMap = ParquetStats.readFooters(spark, eqFiles, threshold = 0)
+    assert(seqMap == distMap, "executor-side footer payloads must equal driver-side")
+
+    // the SCALE receipt: a multi-thousand-file estate adopts through the
+    // distributed path (a Spark job actually runs during convert), rows
+    // and stats intact — the shape that holds at 10⁵–10⁶ files
+    val big = freshDir("footers-estate")
+    orders.repartition(1200).write.parquet(big) // 1200-file estate
+    val nFiles = parquets(big).size
+    assert(nFiles >= 1000, s"estate should be multi-thousand-ish, got $nFiles")
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val t0 = System.nanoTime()
+    val w = DeltaWriter.convert(spark, big)
+    val convertSecs = (System.nanoTime() - t0) / 1e9
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter > jobsBefore,
+      "convert over a large estate must run its footer collection as a Spark job")
+    val t = DeltaTable.load(spark, big)
+    assert(t.planFiles().size == nFiles)
+    assert(t.scan().count() == orders.count())
+    info(f"converted $nFiles-file estate in $convertSecs%.1f s (footers executor-side)")
+  }
 }
