@@ -390,11 +390,17 @@ object DeltaTable {
     * modification time (the protocol's fallback); tables with the
     * `inCommitTimestamp` writer feature resolve by the commit's OWN
     * monotone clock instead — a log copied, restored or mtime-scrambled
-    * still time-travels correctly. ICT detection reads the LATEST
-    * commit's commitInfo (one small file); when ICT is live, versions
-    * are probed newest→oldest and the walk falls back to mtime for any
-    * pre-enablement prefix (commits without the field), per the
-    * protocol's enablement rules. */
+    * still time-travels correctly. Enablement is resolved from the
+    * reconstructed metaData CONFIGURATION
+    * (`delta.enableInCommitTimestamps` — the protocol's source of
+    * truth; r12, ADVICE: probing the latest commit let one trailing
+    * non-ICT foreign commit silently downgrade the whole table to mtime
+    * resolution, the exact wrong-version class ICT prevents). On an
+    * ICT-enabled table, versions probe newest→oldest; commits BEFORE
+    * the recorded enablement version
+    * (`delta.inCommitTimestampEnablementVersion`, 0 when enabled at
+    * creation) legitimately resolve by mtime, and a missing ICT at or
+    * after it is a loud error, never a downgrade. */
   def loadAsOfTime(spark: SparkSession, location: String, timestampMs: Long): DeltaTable = {
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(location, "_delta_log")
@@ -433,18 +439,30 @@ object DeltaTable {
         }
       } finally in.close()
     }
-    val ictLive = ictOf(all.last._2).isDefined
-    if (!ictLive) {
+    val cfg = loadVersion(spark, location, all.last._1).dmeta.configuration
+    val ictEnabled =
+      cfg.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+    if (!ictEnabled) {
       val versions =
         all.collect { case (v, st) if st.getModificationTime <= timestampMs => v }
       require(versions.nonEmpty, s"delta: no commit at or before $timestampMs")
       loadVersion(spark, location, versions.max)
     } else {
+      val enableV = cfg.get("delta.inCommitTimestampEnablementVersion")
+        .map(_.toLong).getOrElse(0L)
       // ICT is strictly monotone: walk newest -> oldest and stop at the
       // FIRST commit at-or-before ts — O(commits-after-ts) small reads,
       // not O(total log bytes)
-      val hit = all.reverseIterator.find { case (_, st) =>
-        ictOf(st).getOrElse(st.getModificationTime) <= timestampMs }
+      val hit = all.reverseIterator.find { case (v, st) =>
+        val ts =
+          if (v >= enableV) ictOf(st).getOrElse(throw new IllegalStateException(
+            s"delta: delta.enableInCommitTimestamps is set (enablement " +
+              s"version $enableV) but commit $v carries no " +
+              "commitInfo.inCommitTimestamp — refusing the silent mtime " +
+              "downgrade (wrong-version hazard)"))
+          else st.getModificationTime // pre-enablement prefix: mtime, per protocol
+        ts <= timestampMs
+      }
       require(hit.isDefined, s"delta: no commit at or before $timestampMs")
       loadVersion(spark, location, hit.get._1)
     }
@@ -475,11 +493,27 @@ object DeltaTable {
     * not grow with commit count. */
   def changes(spark: SparkSession, location: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    val t = loadVersion(spark, location, toVersion)
-    val meta = t.dmeta
+    // loud-option posture (r12, ADVICE): a reversed or out-of-range pair
+    // must fail NAMING the options, not resolve into an empty frame or
+    // an unrelated loadVersion error
+    require(fromVersion <= toVersion,
+      s"delta CDF: startingVersion $fromVersion > endingVersion $toVersion")
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(location, "_delta_log")
     val fs = logDir.getFileSystem(conf)
+    val committed = fs.listStatus(logDir).toSeq
+      .flatMap(_.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong)
+        case _ => None
+      }).toSet
+    Seq("startingVersion" -> fromVersion, "endingVersion" -> toVersion)
+      .foreach { case (opt, v) =>
+        require(committed.contains(v),
+          s"delta CDF: $opt $v is not a committed version of $location " +
+            s"(have ${if (committed.isEmpty) "none" else s"${committed.min}..${committed.max}"})")
+      }
+    val t = loadVersion(spark, location, toVersion)
+    val meta = t.dmeta
     val cdcFiles = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
     val insertFiles = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
     val deleteFiles = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()

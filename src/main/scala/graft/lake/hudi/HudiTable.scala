@@ -116,15 +116,18 @@ final class HudiTable private (
     * (Iceberg's `<table>.partitions` symmetry): latest file slices
     * aggregated by partition path, from timeline state alone — zero data
     * IO. `num_writes` sums base-slice commit-stat row counts (log deltas
-    * not folded in — an estimate on MOR, exact on COW); `size_bytes` is
-    * -1 when any slice's commit predates size recording (unknown ≠ 0). */
+    * not folded in — an estimate on MOR, exact on COW); both `num_writes`
+    * and `size_bytes` report -1 when ANY slice's commit stats predate the
+    * recording (unknown ≠ 0 — a partial sum would silently undercount;
+    * one posture for the whole row, r12 ADVICE). */
   def partitionsDf: DataFrame = {
     val rows = slices.groupBy(_.partitionPath).toSeq.sortBy(_._1)
       .map { case (part, ss) =>
         val bytes =
           if (ss.forall(_.sizeBytes >= 0)) ss.map(_.sizeBytes).sum else -1L
-        Row(part, ss.size.toLong,
-          ss.filter(_.numWrites >= 0).map(_.numWrites).sum,
+        val writes =
+          if (ss.forall(_.numWrites >= 0)) ss.map(_.numWrites).sum else -1L
+        Row(part, ss.size.toLong, writes,
           bytes, ss.map(_.logs.size.toLong).sum)
       }
     spark.createDataFrame(

@@ -890,4 +890,54 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaTable.loadAsOfTime(spark, loc2,
       System.currentTimeMillis() + 60000).version == 1L)
   }
+
+  test("ICT enablement is the metadata property; a non-ICT commit errors loudly (r12)") {
+    import spark.implicits._
+    val loc = freshDir("ict-meta")
+    val d = spark.range(10).select(col("id"), lit("x").as("v"))
+    val w = DeltaWriter.create(spark, loc, d.schema, enableIct = true)
+    w.append(d) // v1
+    // forge a TRAILING commit from a non-compliant foreign writer: no
+    // commitInfo.inCommitTimestamp. Before r12, ICT detection sniffed
+    // the LATEST commit — this file silently downgraded the whole table
+    // to mtime resolution; now enablement comes from the metaData
+    // configuration and the bad commit is a loud error instead.
+    val logDir = new Path(loc, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(logDir, f"${2L}%020d.json"), false)
+    out.write("""{"remove":{"path":"nope.parquet","dataChange":true,"deletionTimestamp":1}}""".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      DeltaTable.loadAsOfTime(spark, loc, System.currentTimeMillis() + 60000)
+    }
+    assert(e.getMessage.contains("inCommitTimestamp") &&
+      e.getMessage.contains("commit 2"),
+      s"error must name the downgrade hazard and the commit: ${e.getMessage}")
+  }
+
+  test("CDF rejects reversed / out-of-range version options by name (r12)") {
+    import spark.implicits._
+    val loc = freshDir("cdf-opts")
+    val d = spark.range(10).select(col("id"), lit("x").as("v"))
+    val w = DeltaWriter.create(spark, loc, d.schema, enableCdf = true)
+    w.append(d) // v1
+    val rev = intercept[IllegalArgumentException] {
+      DeltaTable.changes(spark, loc, 1L, 0L)
+    }
+    assert(rev.getMessage.contains("startingVersion 1") &&
+      rev.getMessage.contains("endingVersion 0"))
+    val oob = intercept[IllegalArgumentException] {
+      DeltaTable.changes(spark, loc, 0L, 7L)
+    }
+    assert(oob.getMessage.contains("endingVersion 7") &&
+      oob.getMessage.contains("0..1"))
+    // connector surfaces the same named errors
+    val conn = intercept[Exception] {
+      spark.read.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "5")
+        .load(loc).collect()
+    }
+    assert(conn.getMessage.contains("startingVersion 5"))
+  }
 }
