@@ -233,22 +233,39 @@ object Lake {
       .unionByName(agg("graft-iceberg", iLoc, "iceberg"))
   }
 
-  /** snapshot-log metadata table ([rows] check; timestamps excluded). */
+  /** Snapshot-log metadata table, ORACLE-hardened (r12, VERDICT #7):
+    * the projected shape is a deterministic function of the build —
+    * sequential snapshot ids (1,2,3; parent −1 at the root), the
+    * operation log (append/append/delete), and total data rows, which
+    * under MoR stay count(orders) across the delete (the delete commit
+    * adds a DELETE file; data rows are masked, not removed — exactly
+    * what the recomputed-expectation oracle pins). File-count columns
+    * (n_data_files / n_delete_files) stay spec-pinned in LakeSpec:
+    * they depend on write parallelism, which DuckDB cannot recompute. */
   def lakeSnapshotsMeta(s: SparkSession, d: String): DataFrame = {
     val t = GraftTable.create(s, work(s, "snapshots_meta", d), Tables.orders(s, d),
       keyColumns = Seq("o_orderkey"))
     t.append(Tables.orders(s, d).limit(0)) // empty append still commits
     t.delete(col("o_orderpriority") === "1-URGENT")
-    t.snapshots.select("snapshot_id", "parent_id", "operation",
-      "n_data_files", "n_delete_files", "total_rows")
+    t.snapshots.select("snapshot_id", "parent_id", "operation", "total_rows")
       .orderBy("snapshot_id")
   }
 
-  /** data-file manifest metadata table ([rows] check). */
+  /** Data-file manifest metadata table, ORACLE-hardened (r12, VERDICT
+    * #7): the input is repartitioned BY the partition column, so the
+    * layout is one file per partition BY CONSTRUCTION and the
+    * per-partition rollup of `files()` (file count, manifest row
+    * counts, commit seq) is recomputable from the raw parquet. The raw
+    * per-file view (nonce'd paths) stays spec-pinned in LakeSpec. */
   def lakeFilesMeta(s: SparkSession, d: String): DataFrame = {
-    val t = GraftTable.create(s, work(s, "files_meta", d), Tables.orders(s, d),
+    val t = GraftTable.create(s, work(s, "files_meta", d),
+      Tables.orders(s, d).repartition(col("o_orderstatus")),
       partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"))
-    t.files().select("path", "seq", "row_count", "partition").orderBy("path")
+    t.files().groupBy("partition")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("row_count")).as("total_rows"),
+        max(col("seq")).as("max_seq"))
+      .orderBy("partition")
   }
 
   /** metadata-only rollback undoes a MoR delete; the scan must equal the
@@ -1420,6 +1437,21 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_snapshots_meta" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
+                'append' AS operation, (SELECT count(*) FROM orders) AS total_rows
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append',
+                (SELECT count(*) FROM orders)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'delete',
+                (SELECT count(*) FROM orders)""",
+    "lake_files_meta" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+                CAST(1 AS BIGINT) AS n_files,
+                count(*) AS total_rows,
+                CAST(1 AS BIGINT) AS max_seq
+         FROM orders GROUP BY o_orderstatus""",
     "lake_iceberg_rest" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents

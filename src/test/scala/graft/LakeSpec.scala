@@ -367,6 +367,33 @@ class LakeSpec extends AnyFunSuite {
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
   }
 
+  test("metadata views: file-count columns + raw file rows (spec-pinned halves)") {
+    // the gate projections of lake_snapshots_meta / lake_files_meta are
+    // oracle-checked (r12); the parallelism-dependent columns they drop
+    // are pinned HERE: delete adds delete files without touching data
+    // files, and files() rows carry nonce'd relative paths + commit seq
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, freshDir("meta-views"), o,
+      partitionBy = Seq("o_orderstatus"), keyColumns = Seq("o_orderkey"))
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    val snaps = t.snapshots.orderBy("snapshot_id").collect()
+    val (d1, x1) = (snaps(0).getAs[Long]("n_data_files"),
+      snaps(0).getAs[Long]("n_delete_files"))
+    val (d2, x2) = (snaps(1).getAs[Long]("n_data_files"),
+      snaps(1).getAs[Long]("n_delete_files"))
+    assert(d1 > 0 && x1 == 0, "create snapshot: data files only")
+    assert(d2 == d1, "MoR delete must not add or remove data files")
+    assert(x2 > 0, "MoR delete must add delete files")
+    val files = t.files().collect()
+    assert(files.nonEmpty)
+    assert(files.forall(r => r.getAs[String]("path").startsWith("data/") &&
+      r.getAs[String]("path").endsWith(".parquet")))
+    assert(files.forall(_.getAs[Long]("seq") == 1L),
+      "all files belong to the create commit")
+    assert(files.map(_.getAs[Long]("row_count")).sum == o.count())
+    assert(files.forall(_.getAs[String]("partition").startsWith("o_orderstatus=")))
+  }
+
   test("data files carry parquet bloom filters for the key columns") {
     val o = Tables.orders(spark, sf)
     val t = GraftTable.create(spark, freshDir("bloom"), o, keyColumns = Seq("o_orderkey"))
