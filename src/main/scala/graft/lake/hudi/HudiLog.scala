@@ -228,6 +228,8 @@ object HudiLog {
       case TimestampType | TimestampNTZType =>
         """{"type":"long","logicalType":"timestamp-micros"}"""
       case DateType => """{"type":"int","logicalType":"date"}"""
+      case d: DecimalType => // avro decimal: unscaled big-endian bytes
+        s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
       case other => throw new IllegalArgumentException(
         s"hudi log: unsupported column type $other")
     }
@@ -262,6 +264,9 @@ object HudiLog {
             s"hudi log: date value ${other.getClass}")
         })
         case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+        case d: DecimalType => java.nio.ByteBuffer.wrap(
+          row.getAs[java.math.BigDecimal](i)
+            .setScale(d.scale).unscaledValue().toByteArray)
         case _ => row.get(i).asInstanceOf[AnyRef]
       }
       rec.put(f.name, v)
@@ -291,6 +296,10 @@ object HudiLog {
         case BinaryType =>
           val bb = v.asInstanceOf[java.nio.ByteBuffer]
           val d = new Array[Byte](bb.remaining()); bb.duplicate().get(d); d
+        case dt: DecimalType =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer]
+          val raw = new Array[Byte](bb.remaining()); bb.duplicate().get(raw)
+          new java.math.BigDecimal(new java.math.BigInteger(raw), dt.scale)
         case TimestampType =>
           val us = v.asInstanceOf[Number].longValue()
           val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)

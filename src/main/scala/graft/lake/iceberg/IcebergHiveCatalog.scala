@@ -1,0 +1,146 @@
+package graft.lake.iceberg
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.hive.conf.HiveConf
+import org.apache.hadoop.hive.metastore.HiveMetaStoreClient
+import org.apache.hadoop.hive.metastore.api.{AlreadyExistsException, Database, FieldSchema, NoSuchObjectException, SerDeInfo, StorageDescriptor, Table => HmsTable}
+
+/** `catalog_type = 'hive'` — the second catalog type the reference's
+  * bridge enumerates (`iceberg_bridge_table_open(location, catalog_type,
+  * catalog_uri)`, pg_lakehouse_iceberg/src/bridge/iceberg_bridge.h:117-133;
+  * types rest|hive|hadoop at :121). A Hive Metastore serves as the
+  * name→table resolver for Iceberg tables using the layout Iceberg's own
+  * HiveCatalog writes: an EXTERNAL_TABLE entry whose parameters carry
+  * `table_type=ICEBERG` and the authoritative `metadata_location`
+  * pointer — so graft resolves (and registers) tables interchangeably
+  * with other engines on the same metastore.
+  *
+  * Scope (documented in SURVEY §2.2): this covers the reference's
+  * capability — the bridge consults the catalog to OPEN a table by name;
+  * scans and commits then run against the resolved metadata/storage.
+  * `updateMetadataLocation` provides the check-and-swap pointer update
+  * (re-read + compare + alter), but cross-process commit ARBITRATION on
+  * HMS requires the metastore's transactional lock manager, which is a
+  * deployment property of the metastore service, not the client — for
+  * catalog-arbitrated concurrent commits graft points at the REST
+  * catalog ([[graft.lake.iceberg.rest.IcebergRestCatalog]]), the shape
+  * modern deployments use.
+  *
+  * [[IcebergHiveCatalog.embedded]] runs the whole metastore IN PROCESS
+  * (Derby-backed, the standard embedded HMS mode) for local dev and the
+  * spec; production points `remote(uris)` at thrift://host:9083. */
+final class IcebergHiveCatalog(hiveConf: HiveConf) extends AutoCloseable {
+
+  private val client = new HiveMetaStoreClient(hiveConf)
+
+  def createDatabase(db: String, locationUri: String): Unit = {
+    val d = new Database(db, "graft", locationUri,
+      new java.util.HashMap[String, String]())
+    try client.createDatabase(d)
+    catch { case _: AlreadyExistsException => () } // idempotent-ok
+  }
+
+  def listDatabases(): Seq[String] = client.getAllDatabases.asScala.toSeq.sorted
+
+  def listTables(db: String): Seq[String] =
+    client.getAllTables(db).asScala.toSeq.sorted
+
+  def exists(db: String, name: String): Boolean = client.tableExists(db, name)
+
+  /** Registers an Iceberg table under a name — Iceberg HiveCatalog's own
+    * entry shape (EXTERNAL_TABLE + table_type=ICEBERG +
+    * metadata_location). Zero data or metadata movement. */
+  def registerTable(db: String, name: String, tableLocation: String,
+      metadataLocation: String): Unit = {
+    val sd = new StorageDescriptor()
+    sd.setLocation(tableLocation)
+    sd.setCols(java.util.Collections.emptyList[FieldSchema]())
+    sd.setInputFormat("org.apache.hadoop.mapred.FileInputFormat")
+    sd.setOutputFormat("org.apache.hadoop.mapred.FileOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    serde.setParameters(new java.util.HashMap[String, String]())
+    sd.setSerdeInfo(serde)
+    val t = new HmsTable()
+    t.setDbName(db)
+    t.setTableName(name)
+    t.setTableType("EXTERNAL_TABLE")
+    t.setOwner(System.getProperty("user.name", "graft"))
+    t.setCreateTime((System.currentTimeMillis() / 1000).toInt)
+    t.setSd(sd)
+    val params = new java.util.HashMap[String, String]()
+    params.put("EXTERNAL", "TRUE")
+    params.put("table_type", "ICEBERG")
+    params.put("metadata_location", metadataLocation)
+    t.setParameters(params)
+    client.createTable(t)
+  }
+
+  /** The resolution the reference's `table_open(catalog_type='hive')`
+    * performs: name → authoritative metadata_location pointer. */
+  def metadataLocation(db: String, name: String): String = {
+    val t =
+      try client.getTable(db, name)
+      catch {
+        case _: NoSuchObjectException => throw new NoSuchElementException(
+          s"hive: no table $db.$name in metastore")
+      }
+    val tt = String.valueOf(t.getParameters.get("table_type"))
+    require(tt.equalsIgnoreCase("ICEBERG"),
+      s"hive: $db.$name is not an Iceberg table (table_type=$tt)")
+    Option(t.getParameters.get("metadata_location")).getOrElse(
+      throw new IllegalStateException(
+        s"hive: Iceberg table $db.$name has no metadata_location parameter"))
+  }
+
+  /** Check-and-swap of the pointer (re-read, compare, alter; records
+    * previous_metadata_location like Iceberg's HiveCatalog). Returns
+    * false — commit lost — when the pointer moved since `expected`. */
+  def updateMetadataLocation(db: String, name: String,
+      expected: String, newLocation: String): Boolean = {
+    val t = client.getTable(db, name)
+    if (t.getParameters.get("metadata_location") != expected) false
+    else {
+      t.getParameters.put("previous_metadata_location", expected)
+      t.getParameters.put("metadata_location", newLocation)
+      client.alter_table(db, name, t)
+      true
+    }
+  }
+
+  def dropTable(db: String, name: String): Boolean =
+    try { client.dropTable(db, name, false, false); true }
+    catch { case _: NoSuchObjectException => false }
+
+  override def close(): Unit = client.close()
+}
+
+object IcebergHiveCatalog {
+
+  /** Client for a running metastore service (thrift://host:9083). */
+  def remote(uris: String): IcebergHiveCatalog = {
+    val c = new HiveConf()
+    c.set("hive.metastore.uris", uris)
+    new IcebergHiveCatalog(c)
+  }
+
+  /** Fully in-process metastore: empty `hive.metastore.uris` puts the
+    * HMS handler in the client JVM over an embedded Derby store under
+    * `dir` — the standard embedded mode, used by the spec and local
+    * dev (no service to deploy). */
+  def embedded(dir: String): IcebergHiveCatalog = {
+    System.setProperty("derby.system.home", dir)
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val c = new HiveConf()
+    c.set("hive.metastore.uris", "")
+    c.set("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+    c.set("javax.jdo.option.ConnectionDriverName",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    c.set("hive.metastore.schema.verification", "false")
+    c.set("datanucleus.schema.autoCreateAll", "true")
+    c.set("hive.metastore.warehouse.dir", s"$dir/warehouse")
+    new IcebergHiveCatalog(c)
+  }
+}
