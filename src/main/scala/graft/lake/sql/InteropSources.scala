@@ -352,30 +352,49 @@ class GraftIcebergSource extends InteropReadProvider {
     }
     require(options.get("end-snapshot-id") == null,
       "graft-iceberg: end-snapshot-id needs start-snapshot-id")
+    // the standard optimistic-commit loop (what Iceberg's own clients
+    // run): a catalog-CAS loss means another committer moved the table
+    // first — the failed attempt committed NOTHING and referenced
+    // nothing, so the statement re-stages from a freshly-opened base
+    // and retries; bounded so a hot table still fails loudly rather
+    // than spinning. Location-based (non-catalog) writers never throw
+    // the conflict, so the wrapper is a no-op there.
+    def retried[T](op: graft.lake.iceberg.IcebergWriter => T): T = {
+      var attempt = 0
+      while (true) {
+        try return op(writer())
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 3) throw e
+        }
+      }
+      sys.error("unreachable")
+    }
     InteropRead(s"graft-iceberg `$loc`", t.schema,
       f => t.scan(f, snap), f => t.scanStats(f, snap),
       aggSupport = Some(new IcebergInteropAgg(t, snap)),
       append =
         if (snap >= 0) None // time-travel resolution: read-only
-        else Some(df => writer().append(df)),
+        else Some(df => retried(_.append(df))),
       // v3 deletion-vector delete — Iceberg's preferred MoR delete
       // encoding: O(matched) puffin bitmaps, no data-file rewrite
       // (bumps format-version to 3, as any v3 DV writer does)
       deleteWhere =
         if (snap >= 0) None
-        else Some(c => writer().deleteWhereDv(c, requireMatch = false)),
+        else Some(c => retried(_.deleteWhereDv(c, requireMatch = false))),
       // SQL UPDATE / MERGE: single-snapshot row-delta commits (DV or
       // equality-delete manifests + data manifests under one snapshot)
       updateWhere =
         if (snap >= 0) None
-        else Some((c, set) => writer().updateWhere(c, set)),
+        else Some((c, set) => retried(_.updateWhere(c, set))),
       mergeUpsert =
         if (snap >= 0) None
-        else Some((src, keys) => writer().upsertKeys(src, keys)),
+        else Some((src, keys) => retried(_.upsertKeys(src, keys))),
       mergeDeleteMatched =
         if (snap >= 0) None
-        else Some((keys, keyCols) => writer()
-          .equalityDelete(keys.select(keyCols.map(col): _*).distinct())))
+        else Some((keys, keyCols) => retried(
+          _.equalityDelete(keys.select(keyCols.map(col): _*).distinct()))))
   }
 }
 

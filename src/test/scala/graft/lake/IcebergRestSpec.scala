@@ -89,6 +89,22 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(after.metadata.snapshots.length == before + 1)
       assert(IcebergTable.load(spark, after.metadataLocation).scan().count() == 175)
 
+      // RACING CONNECTOR WRITES: two concurrent df.write appends — the
+      // CAS loser re-stages from a fresh base and retries (the standard
+      // optimistic loop); BOTH statements land, nothing is lost
+      val t1 = new Thread(() =>
+        o.limit(10).write.format("graft-iceberg")
+          .option("catalog-uri", server.uri).option("table", "ns.orders")
+          .mode("append").save())
+      val t2 = new Thread(() =>
+        o.limit(15).write.format("graft-iceberg")
+          .option("catalog-uri", server.uri).option("table", "ns.orders")
+          .mode("append").save())
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(IcebergTable.load(spark,
+        cat.loadTable(Seq("ns"), "orders").metadataLocation)
+        .scan().count() == 200, "both racing connector appends must land")
+
       // drop: gone by name, data left in place (spec default, no purge)
       assert(cat.dropTable(Seq("ns"), "orders"))
       assert(!cat.tableExists(Seq("ns"), "orders"))
