@@ -439,7 +439,7 @@ object DeltaTable {
         }
       } finally in.close()
     }
-    val cfg = loadVersion(spark, location, all.last._1).dmeta.configuration
+    val cfg = latestConfiguration(spark, fs, logDir, all)
     val ictEnabled =
       cfg.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
     if (!ictEnabled) {
@@ -691,6 +691,78 @@ object DeltaTable {
   // sidecars under _delta_log/_sidecars/
   private val V2CheckpointRe = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
 
+  /** Usable checkpoints at or below `head`, oldest→newest: classic
+    * (single- or multi-part) and v2 flavors can coexist; on a version
+    * tie the v2 flavor sorts last (every complete checkpoint is a
+    * complete state — the preference just exercises the newer layout).
+    * Multipart groups count only when ALL t parts are present (an
+    * interrupted checkpoint write leaves a partial group; seeding from
+    * it would silently drop files). Tuples are (version, kind, paths)
+    * with kind 0=multipart, 1=classic, 2=v2. */
+  private def usableCheckpoints(entries: Seq[Path], head: Long)
+      : Seq[(Long, Int, Seq[Path])] = {
+    val multipartGroups = entries.flatMap(p => p.getName match {
+      case MultipartRe(v, part, of) if v.toLong <= head =>
+        Some(((v.toLong, of.toInt), (part.toInt, p)))
+      case _ => None
+    }).groupBy(_._1).collect {
+      case ((v, of), parts) if parts.map(_._2._1).toSet == (1 to of).toSet =>
+        (v, 0, parts.map(_._2).sortBy(_._1).map(_._2))
+    }
+    (entries.flatMap(p => p.getName match {
+      case CheckpointRe(v) if v.toLong <= head => Some((v.toLong, 1, Seq(p)))
+      case V2CheckpointRe(v, _, _) if v.toLong <= head => Some((v.toLong, 2, Seq(p)))
+      case _ => None
+    }) ++ multipartGroups).sortBy(c => (c._1, c._2))
+  }
+
+  /** The LATEST metaData configuration without a full state replay:
+    * metaData is last-writer-wins, so scan the retained commit files
+    * newest-first and stop at the first one carrying a metaData action;
+    * only when none does (table created before the oldest retained
+    * commit, no schema/property change since) fall back to the newest
+    * checkpoint's column-pruned metaData row. Never touches add actions
+    * or sidecars — [[loadAsOfTime]] needs ONE property (ICT enablement),
+    * and reconstructing full table state for it would cost O(total log
+    * bytes) + a checkpoint file scan per call. */
+  private def latestConfiguration(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      commits: Seq[(Long, org.apache.hadoop.fs.FileStatus)]): Map[String, String] = {
+    val fromCommits = commits.reverseIterator.map { case (_, st) =>
+      val in = fs.open(st.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // last metaData line of the file wins (one commit, one final word)
+      text.split('\n').filter(_.trim.nonEmpty).reverseIterator
+        .map(mapper.readTree)
+        .find(_.has("metaData"))
+        .map(n => parseMetaNode(n.get("metaData")))
+    }.collectFirst { case Some(m) => m }
+    val m = fromCommits.orElse {
+      val head = commits.map(_._1).max
+      val entries = fs.listStatus(logDir).toSeq.map(_.getPath)
+      usableCheckpoints(entries, head).lastOption.flatMap {
+        case (_, kind, paths) =>
+          if (kind == 2 && paths.head.getName.endsWith(".json")) {
+            val in = fs.open(paths.head)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            text.split('\n').filter(_.trim.nonEmpty).reverseIterator
+              .map(mapper.readTree)
+              .find(_.has("metaData"))
+              .map(n => parseMetaNode(n.get("metaData")))
+          } else {
+            val cp = spark.read.parquet(paths.map(_.toString): _*)
+            if (!cp.columns.contains("metaData")) None
+            else cp.filter(col("metaData").isNotNull).select("metaData.*")
+              .collect().lastOption.map(parseMetaRow)
+          }
+      }
+    }
+    m.getOrElse(throw new IllegalStateException(
+      s"delta: no metaData action in log at $logDir")).configuration
+  }
+
   /** Replay the log up to `versionAsOf` (-1 = latest), seeded from the
     * newest usable checkpoint at or below it. */
   def loadVersion(spark: SparkSession, location: String, versionAsOf: Long): DeltaTable = {
@@ -706,26 +778,7 @@ object DeltaTable {
     val head = if (versionAsOf >= 0) versionAsOf else commits.map(_._1).max
     require(commits.exists(_._1 == head), s"delta: no commit $head under $location")
 
-    // classic (single- or multi-part) and v2 checkpoints can coexist;
-    // take the newest version at or below head, preferring the v2
-    // flavor on a version tie (every complete checkpoint is a complete
-    // state — the preference just exercises the newer layout).
-    // Multipart groups are usable only when ALL t parts are present
-    // (an interrupted checkpoint write leaves a partial group; seeding
-    // from it would silently drop files).
-    val multipartGroups = entries.flatMap(p => p.getName match {
-      case MultipartRe(v, part, of) if v.toLong <= head =>
-        Some(((v.toLong, of.toInt), (part.toInt, p)))
-      case _ => None
-    }).groupBy(_._1).collect {
-      case ((v, of), parts) if parts.map(_._2._1).toSet == (1 to of).toSet =>
-        (v, 0, parts.map(_._2).sortBy(_._1).map(_._2))
-    }
-    val checkpoints = (entries.flatMap(p => p.getName match {
-      case CheckpointRe(v) if v.toLong <= head => Some((v.toLong, 1, Seq(p)))
-      case V2CheckpointRe(v, _, _) if v.toLong <= head => Some((v.toLong, 2, Seq(p)))
-      case _ => None
-    }) ++ multipartGroups).sortBy(c => (c._1, c._2))
+    val checkpoints = usableCheckpoints(entries, head)
 
     var protoReader = 1
     var protoFeatures: Seq[String] = Nil

@@ -94,20 +94,36 @@ final class IcebergHiveCatalog(hiveConf: HiveConf) extends AutoCloseable {
         s"hive: Iceberg table $db.$name has no metadata_location parameter"))
   }
 
-  /** Check-and-swap of the pointer (re-read, compare, alter; records
-    * previous_metadata_location like Iceberg's HiveCatalog). Returns
-    * false — commit lost — when the pointer moved since `expected`. */
+  /** Check-and-swap of the pointer (records previous_metadata_location
+    * like Iceberg's HiveCatalog). Returns false — commit lost — when the
+    * pointer moved since `expected`.
+    *
+    * Atomicity tiers (Iceberg's own HiveTableOperations has the same
+    * ladder): the read-compare-alter is serialized under an in-JVM
+    * per-table lock, so committers sharing this process (local[32], one
+    * driver) get a true CAS; for committers in OTHER processes the alter
+    * carries Iceberg no-lock mode's `expected_parameter_key/value`
+    * EnvironmentContext, which a metastore with HIVE-26882 (HMS 4+)
+    * validates atomically server-side — on an older HMS (the bundled
+    * 2.3 client's era) cross-process arbitration is the metastore lock
+    * manager's job, the deployment scope line SURVEY §2.2 documents
+    * (graft points concurrent multi-process committers at the REST
+    * catalog). */
   def updateMetadataLocation(db: String, name: String,
-      expected: String, newLocation: String): Boolean = {
-    val t = client.getTable(db, name)
-    if (t.getParameters.get("metadata_location") != expected) false
-    else {
-      t.getParameters.put("previous_metadata_location", expected)
-      t.getParameters.put("metadata_location", newLocation)
-      client.alter_table(db, name, t)
-      true
+      expected: String, newLocation: String): Boolean =
+    IcebergHiveCatalog.tableLock(s"$db.$name").synchronized {
+      val t = client.getTable(db, name)
+      if (t.getParameters.get("metadata_location") != expected) false
+      else {
+        t.getParameters.put("previous_metadata_location", expected)
+        t.getParameters.put("metadata_location", newLocation)
+        val ctx = new org.apache.hadoop.hive.metastore.api.EnvironmentContext()
+        ctx.putToProperties("expected_parameter_key", "metadata_location")
+        ctx.putToProperties("expected_parameter_value", expected)
+        client.alter_table_with_environmentContext(db, name, t, ctx)
+        true
+      }
     }
-  }
 
   def dropTable(db: String, name: String): Boolean =
     try { client.dropTable(db, name, false, false); true }
@@ -117,6 +133,15 @@ final class IcebergHiveCatalog(hiveConf: HiveConf) extends AutoCloseable {
 }
 
 object IcebergHiveCatalog {
+
+  /** One lock object per db.table across ALL catalog instances in this
+    * JVM — what makes [[updateMetadataLocation]] a real CAS for
+    * same-process committers (the cross-process story is the
+    * EnvironmentContext / lock-manager tier documented there). */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def tableLock(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
 
   /** Client for a running metastore service (thrift://host:9083). */
   def remote(uris: String): IcebergHiveCatalog = {

@@ -335,16 +335,7 @@ object IcebergMeta {
     m.schemas.foreach(s => schemas.add(renderSchema(s)))
     root.put("default-spec-id", m.defaultSpecId)
     val specs = root.putArray("partition-specs")
-    m.specs.foreach { sp =>
-      val o = specs.addObject()
-      o.put("spec-id", sp.specId)
-      val fs = o.putArray("fields")
-      sp.fields.foreach { f =>
-        val fo = fs.addObject()
-        fo.put("name", f.name); fo.put("transform", f.transform)
-        fo.put("source-id", f.sourceId); fo.put("field-id", f.fieldId)
-      }
-    }
+    m.specs.foreach(sp => specs.add(renderSpecNode(sp)))
     root.put("last-partition-id", m.lastPartitionId)
     root.put("default-sort-order-id", 0)
     val orders = root.putArray("sort-orders")
@@ -388,6 +379,23 @@ object IcebergMeta {
   /** Schema JSON for a manifest header's "schema" property. */
   def renderSchemaJson(s: IceSchema): String =
     mapper.writeValueAsString(renderSchema(s))
+
+  /** Full partition-spec node (spec-id + fields) — metadata.json
+    * entries and REST add-spec updates share this serialization. */
+  def renderSpecNode(sp: IcePartSpec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("spec-id", sp.specId)
+    val fs = o.putArray("fields")
+    sp.fields.foreach { f =>
+      val fo = fs.addObject()
+      fo.put("name", f.name); fo.put("transform", f.transform)
+      fo.put("source-id", f.sourceId); fo.put("field-id", f.fieldId)
+    }
+    o
+  }
+
+  /** Parse a full partition-spec node (REST add-spec updates). */
+  def parseSpecNode(n: JsonNode): IcePartSpec = parseSpec(n)
 
   /** Partition-field JSON for a manifest header's "partition-spec"
     * property (the bare field list form Iceberg writes there). */

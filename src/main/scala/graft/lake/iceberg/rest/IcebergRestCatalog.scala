@@ -214,4 +214,16 @@ final class IcebergRestCatalog(uri: String) {
 object IcebergRestCatalog {
   /** LoadTableResult: the authoritative metadata pointer + parsed body. */
   final case class LoadResult(metadataLocation: String, metadata: IceMeta)
+
+  /** One client (HTTP connection pool + memoized `/v1/config` prefix)
+    * per catalog URI per JVM: a single connector read needs the catalog
+    * at several resolution steps, and constructing a client per step
+    * re-fetches config each time. Sharing is safe — the client is
+    * stateless beyond the memoized prefix, and table state is NEVER
+    * cached here (`loadTable` always hits the service; that call is the
+    * freshness guarantee). */
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[String, IcebergRestCatalog]()
+  def cached(uri: String): IcebergRestCatalog =
+    clients.computeIfAbsent(uri.stripSuffix("/"), u => new IcebergRestCatalog(u))
 }

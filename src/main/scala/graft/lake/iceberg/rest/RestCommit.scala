@@ -39,6 +39,24 @@ object RestCommit {
       .map(id => "main" -> IceRef(id, "branch")).toMap
 
   def updates(base: IceMeta, cur: IceMeta): ArrayNode = {
+    // LOUD completeness guard: this diff models schemas / partition
+    // specs / snapshots / refs / properties / format-version (+
+    // snapshot-log reconstruction server-side). Any writer mutation
+    // OUTSIDE that set would otherwise vanish silently at the catalog —
+    // and invisibly, because the writer adopts the catalog's committed
+    // metadata as its new truth. Refuse instead, naming the change.
+    def unchanged(what: String, b: Any, c: Any): Unit =
+      require(b == c, s"iceberg-rest: $what changed ($b -> $c) — this " +
+        "metadata change has no REST update action translation; commit " +
+        "it through a location-based writer or extend RestCommit.updates")
+    unchanged("table uuid", base.uuid, cur.uuid)
+    unchanged("table location", base.location, cur.location)
+    if (cur.specs == base.specs)
+      unchanged("last-partition-id (without an add-spec to carry it)",
+        base.lastPartitionId, cur.lastPartitionId)
+    if (cur.schemas == base.schemas)
+      unchanged("last-column-id (without an add-schema to carry it)",
+        base.lastColumnId, cur.lastColumnId)
     val arr = mapper.createArrayNode()
     def add(action: String): ObjectNode = {
       val o = arr.addObject(); o.put("action", action); o
@@ -54,6 +72,14 @@ object RestCommit {
       }
     if (cur.currentSchemaId != base.currentSchemaId)
       add("set-current-schema").put("schema-id", cur.currentSchemaId)
+    // partition evolution: new spec ids + default pointer (the spec's
+    // add-spec / set-default-spec actions; the service recomputes
+    // last-partition-id from the added fields)
+    cur.specs.filterNot(sp => base.specs.exists(_.specId == sp.specId))
+      .foreach(sp =>
+        add("add-spec").set[ObjectNode]("spec", IcebergMeta.renderSpecNode(sp)))
+    if (cur.defaultSpecId != base.defaultSpecId)
+      add("set-default-spec").put("spec-id", cur.defaultSpecId)
     // snapshots: additions before ref moves (a ref can only target a
     // known snapshot), removals last (a removal may orphan old targets)
     val baseIds = base.snapshots.map(_.id).toSet

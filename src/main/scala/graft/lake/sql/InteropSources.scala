@@ -265,7 +265,12 @@ class GraftIcebergSource extends InteropReadProvider {
       val parts = ident.split('.').toSeq
       require(parts.length >= 2,
         s"graft-iceberg: table must be <namespace>.<name>, got '$ident'")
-      (new graft.lake.iceberg.rest.IcebergRestCatalog(uri), parts.init, parts.last)
+      // per-URI cached client: one read touches the catalog at several
+      // resolution steps (inferSchema, getTable's path, the write's
+      // retry loop) — the connection pool and /v1/config prefix are
+      // shared, while every loadTable still hits the service fresh
+      (graft.lake.iceberg.rest.IcebergRestCatalog.cached(uri),
+        parts.init, parts.last)
     }
 
   /** With a REST catalog in play the 'path' is the catalog-resolved

@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object Money {
 
-  /** exact 2-dp sum; `scale` = units per 1.0 (100 ⇒ cents; use 10000 for
-    * per-row products like price×(1−discount) that carry 4 decimals). */
+  /** exact unit sum divided once (UNROUNDED quotient — see the r12 note
+    * above; do NOT re-round either side); `scale` = units per 1.0 (100 ⇒
+    * cents; 10000 for per-row products like price×(1−discount) that
+    * carry 4 decimals). */
   def sum2(c: Column, scale: Long = 100L): Column =
     sum(round(c * scale).cast("long")) / scale.toDouble
 
@@ -48,7 +50,8 @@ object Money {
   def sqlSumUnits(e: String, scale: Long = 100L): String =
     s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
 
-  /** exact 4-dp average (sum in integer units, divide by count last). */
+  /** unit-exact mean (sum in integer units, two fixed-order divisions,
+    * UNROUNDED quotient — same cross-engine posture as [[sum2]]). */
   def avg4(c: Column, scale: Long = 10000L): Column =
     sum(round(c * scale).cast("long")) / count(lit(1)) / scale.toDouble
 

@@ -461,13 +461,20 @@ object Relational {
     * hash aggregate. */
   def q30MovingAvg(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ma7 is built from the INTEGER-unit daily sums, not the double
+    // revenue: a windowed avg of doubles is engine-dependent twice over
+    // (summation order inside the frame, then the 2-dp rounding tie the
+    // r11 lake_migrate red exposed). Long window sums are exact in any
+    // order; the two divisions are fixed-operand IEEE ops the oracle
+    // mirrors in the same order — bit-identical on any dataset.
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(Money.sum2(col("value"), 1000000L).as("revenue"))
+      .agg(Money.sumUnits(col("value"), 1000000L).as("units"))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, Window.currentRow)
-    daily.select(col("event_type"), col("day"), col("revenue"),
-      round(avg(col("revenue")).over(w), 2).as("ma7"))
+    daily.select(col("event_type"), col("day"),
+      (col("units") / 1000000.0).as("revenue"),
+      (sum(col("units")).over(w) / count(lit(1)).over(w) / 1000000.0).as("ma7"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -654,12 +661,14 @@ object Relational {
     "q30_moving_avg" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
-                  CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
+                  CAST(sum(CAST(round((value) * 1000000) AS BIGINT)) AS BIGINT) AS units
            FROM events GROUP BY 1, 2)
-         SELECT event_type, day, revenue,
-                round(avg(revenue) OVER (PARTITION BY event_type ORDER BY day
-                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
-         FROM daily""",
+         SELECT event_type, day, units / 1000000.0 AS revenue,
+                CAST(sum(units) OVER w AS BIGINT)
+                  / CAST(count(*) OVER w AS BIGINT) / 1000000.0 AS ma7
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "q26_funnel" ->
       """WITH base AS (
            SELECT user_id, event_type, ts FROM events

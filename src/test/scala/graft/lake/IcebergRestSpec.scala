@@ -135,6 +135,81 @@ class IcebergRestSpec extends AnyFunSuite {
       IcebergWriter.openRest(spark, cat, Seq("ns"), "adopted").append(o.limit(30))
       val cur = cat.loadTable(Seq("ns"), "adopted")
       assert(IcebergTable.load(spark, cur.metadataLocation).scan().count() == 150)
+      // the catalog commit CONTINUES the registered engine-written vN
+      // version chain (not a restart at 00000 below it), and
+      // location-only readers — hint-first AND max-version — resolve the
+      // catalog-committed state, not the stale pre-register one
+      val registeredV = metaFile.getName.stripPrefix("v").takeWhile(_.isDigit).toInt
+      val committedV = new org.apache.hadoop.fs.Path(cur.metadataLocation)
+        .getName.takeWhile(_.isDigit).toInt
+      assert(committedV == registeredV + 1,
+        s"catalog commit must continue the version chain " +
+          s"($registeredV -> $committedV)")
+      assert(IcebergTable.load(spark, loc).scan().count() == 150,
+        "location-only read must see the catalog-committed state")
+    } finally server.stop()
+  }
+
+  test("REST rollback keeps snapshot-log monotonic; as-of-time history intact") {
+    val server = new IcebergRestServer(fresh("icerest-rb-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      val w = IcebergWriter.openRest(spark, cat, Seq("ns"), "t")
+      w.append(o.limit(10))
+      val s1 = cat.loadTable(Seq("ns"), "t").metadata.currentSnapshotId.get
+      w.append(o.limit(20))
+      val m2 = cat.loadTable(Seq("ns"), "t").metadata
+      val s2 = m2.currentSnapshotId.get
+      val t2 = m2.snapshotLog.last._1
+      w.rollbackTo(s1) // travels as a bare set-snapshot-ref(main) update
+      val m3 = cat.loadTable(Seq("ns"), "t").metadata
+      assert(m3.currentSnapshotId.contains(s1))
+      // the log must stay time-monotonic — the rollback entry is stamped
+      // at COMMIT time, not with the old snapshot's stamp (which would
+      // make as-of reads between the two commits resolve to the target)
+      assert(m3.snapshotLog.map(_._1) == m3.snapshotLog.map(_._1).sorted,
+        s"snapshot-log must be monotonic, got ${m3.snapshotLog}")
+      assert(m3.snapshotLog.last._2 == s1)
+      val t = IcebergTable.load(spark,
+        cat.loadTable(Seq("ns"), "t").metadataLocation)
+      assert(t.snapshotAsOfTime(t2) == s2,
+        "a pre-rollback as-of time still resolves to the state current THEN")
+      assert(t.scan().count() == 10)
+    } finally server.stop()
+  }
+
+  test("partition evolution travels as the published add-spec/set-default-spec") {
+    val server = new IcebergRestServer(fresh("icerest-spec-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      val sch = iceSchemaOf(o)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(sch))
+      val base = cat.loadTable(Seq("ns"), "t").metadata
+      // post the spec's own update actions (what any standard engine
+      // sends for ALTER TABLE ... ADD PARTITION FIELD)
+      val statusId = sch.fields.find(_.name == "o_orderstatus").get.id
+      val newSpec = IcePartSpec(1,
+        Seq(IcePartField("o_orderstatus", "identity", statusId, 1000)))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val updates = mapper.createArrayNode()
+      val a1 = updates.addObject(); a1.put("action", "add-spec")
+      a1.set[com.fasterxml.jackson.databind.node.ObjectNode]("spec",
+        IcebergMeta.renderSpecNode(newSpec))
+      val a2 = updates.addObject(); a2.put("action", "set-default-spec")
+      a2.put("spec-id", -1) // spec shorthand: the spec just added
+      val committed = cat.commitTable(Seq("ns"), "t",
+        graft.lake.iceberg.rest.RestCommit.requirements(base), updates).metadata
+      assert(committed.defaultSpecId == 1)
+      assert(committed.specs.map(_.specId) == Seq(0, 1))
+      assert(committed.lastPartitionId == 1000,
+        "the service recomputes last-partition-id from the added fields")
     } finally server.stop()
   }
 

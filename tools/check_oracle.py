@@ -36,12 +36,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         else:
             df[c] = df[c].astype(str)
     # sort by ROUNDED float keys (stable order even when engines differ in
-    # the last ulp) but return the UNROUNDED values for the bitexact probe
+    # the last ulp) but return the UNROUNDED values for the bitexact probe.
+    # Each rounded float key is tie-broken by its UNROUNDED value: rows that
+    # tie on every rounded key would otherwise keep each engine's own emit
+    # order (stable mergesort), misaligning row i between the two frames and
+    # reporting a spurious close-not-bitexact warning.
     key = df.copy()
+    cols = []
     for c in key.columns:
+        cols.append(c)
         if pd.api.types.is_float_dtype(key[c]):
+            raw = c + "\0raw"
+            key[raw] = df[c]
             key[c] = key[c].round(6)
-    order = key.sort_values(by=list(key.columns), kind="mergesort").index
+            cols.append(raw)
+    order = key.sort_values(by=cols, kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
 def col_match(a: pd.Series, b: pd.Series):
