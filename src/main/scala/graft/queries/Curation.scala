@@ -372,7 +372,51 @@ object Curation {
     result
   }
 
+  // ---------------------------------------------------------------------
+  // curate_shard_shuffle — deterministic training-shard permutation
+  // ---------------------------------------------------------------------
+
+  private val NumShards = 8L
+
+  /** Deterministic corpus shard-shuffle — the step between curation and
+    * the shard writer: every document gets a pseudo-random but
+    * REPRODUCIBLE shard assignment and a position in its shard's read
+    * order, which is what makes a training run's data order replayable
+    * from the corpus alone (no RNG state to persist). The permutation
+    * key is a Knuth multiplicative hash of doc_id,
+    * `(doc_id * 2654435761) % 2^32` — plain integer arithmetic both
+    * engines evaluate identically, so the whole permutation is
+    * oracle-verified; shard = key mod 8.
+    *
+    * The within-shard rank is a per-shard global row_number — which at
+    * 100 TB must NOT run as one window task per shard (8 tasks would
+    * each serialize 1/8th of the corpus). Same two-phase distributed
+    * prefix shape as [[curatePackSequences]]: the key's high 8 bits
+    * split each shard into 256 ORDERED sub-buckets (sub-bucket order ==
+    * key order by construction), each (shard, sub-bucket) ranks its rows
+    * with a distributed window, and an O(shards × 256)-row broadcast
+    * offset map lifts local ranks to shard-global positions. One
+    * shuffle, bounded window partitions, exact result. [oracle] */
+  def curateShardShuffle(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L) as "k")
+      .withColumn("shard", col("k") % NumShards)
+      .withColumn("bkt", expr("k div 16777216")) // high 8 bits of k
+    val w = Window.partitionBy("shard", "bkt").orderBy("k", "doc_id")
+    val inBucket = keyed.withColumn("rn", row_number().over(w).cast("long"))
+    val wOff = Window.partitionBy("shard").orderBy("bkt") // 8×256 rows
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("shard", "bkt").agg(count(lit(1)).as("n"))
+      .withColumn("bkt_offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("shard", "bkt", "bkt_offset")
+    inBucket.join(broadcast(offsets), Seq("shard", "bkt"))
+      .select(col("doc_id"), col("shard"),
+        (col("bkt_offset") + col("rn") - 1L).as("pos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_shard_shuffle" -> (curateShardShuffle _),
     "curate_quality_classify" -> (curateQualityClassify _),
     "curate_sample_semantic" -> (curateSampleSemantic _),
     "curate_decontam" -> (curateDecontam _),
@@ -385,6 +429,16 @@ object Curation {
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    // the oracle ranks with ONE plain window per shard — proving the
+    // distributed two-phase prefix equals the naive global semantics
+    "curate_shard_shuffle" ->
+      s"""WITH k AS (
+            SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS k
+            FROM documents)
+          SELECT doc_id, CAST(k % $NumShards AS BIGINT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY k % $NumShards
+                   ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+          FROM k""",
     "curate_decontam" ->
       s"""WITH t AS (
             SELECT doc_id, $ToksSql AS toks FROM documents),

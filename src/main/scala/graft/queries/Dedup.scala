@@ -28,6 +28,56 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
+  /** INCREMENTAL (cross-snapshot) dedup — the production shape of exact
+    * dedup at 100 TB: a re-crawled batch is deduplicated against the
+    * PRIOR corpus snapshot without ever shuffling the batch against the
+    * corpus. Three phases:
+    *
+    *  1. Build a Bloom filter over the prior snapshot's content hashes —
+    *     one map-only pass with tree-reduced partial merges (Spark's own
+    *     `BloomFilterAggregate`, the runtime-filter sketch), yielding a
+    *     bounded driver artifact (same posture as the PQ codebooks).
+    *  2. Probe it MAP-ONLY over the batch: a negative is definitely
+    *     novel (a Bloom filter has no false negatives) and exits without
+    *     touching any join — at a realistic novelty rate this is most of
+    *     the truly-new data taking the zero-shuffle path.
+    *  3. Anti-join only the might-contain survivors (true cross-snapshot
+    *     dups + the small false-positive tail) against the prior hashes
+    *     — the single shuffle, carrying 32-byte digests of a fraction of
+    *     the batch, never the corpus.
+    *
+    * The result is EXACT despite the sketch (PipelineSpec pins it equal
+    * to the plain anti-join). Gate split: prior snapshot = doc_id % 10
+    * < 8; the "batch" is the full re-crawl, so ~80% of it are true
+    * cross-snapshot dups — the realistic re-crawl ratio, stressing both
+    * the probe and the verify. Returns the novel doc_ids. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    incrementalNovel(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Core of [[dedupIncremental]] over any (doc_id, text) frame —
+    * PipelineSpec feeds it planted cross-snapshot duplicates. */
+  private[graft] def incrementalNovel(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnExpr.{column, expression}
+    val docs = input.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val prior = docs.filter(col("doc_id") % 10 < 8).select(col("h"))
+    val est = math.max(prior.count(), 1L)
+    val bloomBytes = prior.select(column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(expression(xxhash64(col("h"))), est)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    require(bloomBytes != null, "dedup_incremental: empty prior snapshot")
+    def might = column(new org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col("h")))))
+    val definitelyNovel = docs.filter(!might).select("doc_id")
+    val verifiedNovel = docs.filter(might)
+      .join(prior, Seq("h"), "left_anti").select("doc_id")
+    definitelyNovel.unionAll(verifiedNovel)
+  }
+
   /** NORMALIZED exact dedup — the C4/RefinedWeb "near-exact" stage:
     * lowercase, fold every non-alphanumeric to a space, collapse runs,
     * trim, THEN dedup on the canonical form, so documents differing only
@@ -557,6 +607,7 @@ object Dedup {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_normalized" -> (dedupNormalized _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -568,6 +619,12 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    // the Bloom filter is an IO optimization, not a semantics change:
+    // the oracle is the plain cross-snapshot anti-join
+    "dedup_incremental" ->
+      """SELECT d.doc_id FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents p
+                           WHERE p.doc_id % 10 < 8 AND p.text = d.text)""",
     "dedup_normalized" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM (SELECT doc_id,

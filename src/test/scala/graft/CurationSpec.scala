@@ -126,6 +126,32 @@ class CurationSpec extends AnyFunSuite {
       s"doc cumsum must partition by bucket:\n$plan")
   }
 
+  test("curate_shard_shuffle equals the naive per-shard global rank") {
+    val keyed = docs.map(d => (d._1, (d._1 * 2654435761L) % 4294967296L))
+    val truth = keyed.groupBy(_._2 % 8).flatMap { case (shard, xs) =>
+      xs.sortBy(x => (x._2, x._1)).zipWithIndex.map {
+        case ((id, _), i) => id -> ((shard, i.toLong))
+      }
+    }.toMap
+    val got = queries.Curation.curateShardShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == truth)
+    // per shard, positions are a dense 0..n-1 read order
+    got.values.groupBy(_._1).foreach { case (shard, ps) =>
+      assert(ps.map(_._2).toSeq.sorted == (0L until ps.size).toSeq,
+        s"shard $shard positions not dense")
+    }
+  }
+
+  test("curate_shard_shuffle windows per sub-bucket, not one task per shard") {
+    val plan = queries.Curation.curateShardShuffle(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized rank window must partition by (shard, sub-bucket);
+    // a per-shard-only window would serialize 1/8th of the corpus per task
+    assert(plan.contains("hashpartitioning(shard") && plan.contains("bkt"),
+      s"rank window must partition by (shard, bkt):\n$plan")
+  }
+
   test("pack_sequences at 2K/8K capacity stays exact on a 10x corpus (scale receipt)") {
     // the gate packs 64-token sequences; production packs 2-8K, where
     // sequences span documents and bucket boundaries far more often —

@@ -27,6 +27,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == docs.map(_._2).distinct.size)
   }
 
+  test("dedup_incremental equals the plain cross-snapshot anti-join (bloom is IO-only)") {
+    val priorTexts = docs.filter(_._1 % 10 < 8).map(_._2).toSet
+    val expect = docs.filterNot(d => priorTexts.contains(d._2)).map(_._1).toSet
+    val got = queries.Dedup.dedupIncremental(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // the bloom probe is IN the plan (the map-only prefilter phase) —
+    // without it every batch row would reach the anti-join shuffle
+    val plan = queries.Dedup.dedupIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+  }
+
+  test("dedup_incremental: planted cross-snapshot duplicates are never novel") {
+    import spark.implicits._
+    // batch ids (x % 10 >= 8) 98/108: copies of prior texts; 118: novel
+    val frame = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (7L, "epsilon zeta"),
+      (98L, "alpha beta"), (108L, "epsilon zeta"), (118L, "fresh text never seen")
+    ).toDF("doc_id", "text")
+    val novel = queries.Dedup.incrementalNovel(frame)
+      .collect().map(_.getLong(0)).toSet
+    assert(novel == Set(118L),
+      s"planted dups must be caught, the fresh doc kept: $novel")
+  }
+
   test("dedup_normalized folds case/punct/whitespace variants (in-memory parity)") {
     def norm(t: String): String =
       t.toLowerCase.map(c =>
