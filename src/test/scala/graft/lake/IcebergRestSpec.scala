@@ -236,6 +236,65 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("every writer mutation is equivalent REST-committed and location-committed") {
+    // the REST path commits a metadata DIFF (RestCommit.updates) that the
+    // service re-applies, while the location path persists the writer's
+    // own metadata verbatim — this drives the writer's ENTIRE mutation
+    // surface through both and pins the observable state equal after
+    // every step, so no mutation can silently lose semantics in the diff
+    val server = new IcebergRestServer(fresh("icerest-eq-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf).localCheckpoint()
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      val locDir = fresh("icerest-eq-loc")
+      IcebergWriter.create(spark, locDir, o.schema)
+
+      def restW() = IcebergWriter.openRest(spark, cat, Seq("ns"), "t")
+      def locW() = IcebergWriter.open(spark, locDir)
+      def restT() = IcebergTable.load(spark,
+        cat.loadTable(Seq("ns"), "t").metadataLocation)
+      def locT() = IcebergTable.load(spark, locDir)
+
+      val steps: Seq[(String, IcebergWriter => Unit)] = Seq(
+        "append A" -> (_.append(o.limit(60))),
+        "append B" -> (_.append(o.orderBy(col("o_orderkey").desc).limit(40))),
+        "dv delete" -> (_.deleteWhereDv(
+          col("o_orderkey") % 7 === 0, requireMatch = false)),
+        "update" -> (_.updateWhere(col("o_orderkey") % 5 === 0,
+          Map("o_totalprice" -> org.apache.spark.sql.functions.lit(9.99)))),
+        "upsert" -> (_.upsertKeys(o.limit(20)
+          .withColumn("o_comment", org.apache.spark.sql.functions.lit("up")),
+          Seq("o_orderkey"))),
+        "tag" -> (w => w.tag("checkpoint", w.currentSnapshotId)),
+        "rollback 2 back" -> (w =>
+          w.rollbackTo(w.meta.snapshots(w.meta.snapshots.length - 3).id)),
+        "append after rollback" -> (_.append(o.limit(5))),
+        "rename column" -> (_.renameColumn("o_orderpriority", "o_priority")),
+        "compact" -> (w => { w.compact(); () }),
+        "expire" -> (w => { w.expireSnapshots(keepLast = 3); () }))
+
+      steps.foreach { case (name, step) =>
+        step(restW()); step(locW())
+        val r = restT(); val l = locT()
+        val rRows = r.scan().collect().map(_.toSeq).toSet
+        val lRows = l.scan().collect().map(_.toSeq).toSet
+        assert(rRows == lRows, s"step '$name': scans diverge " +
+          s"(rest ${rRows.size} rows, location ${lRows.size} rows)")
+        assert(r.schema == l.schema, s"step '$name': schemas diverge")
+        assert(r.meta.snapshots.length == l.meta.snapshots.length,
+          s"step '$name': snapshot counts diverge")
+        assert(r.meta.refs.keySet == l.meta.refs.keySet ||
+          (r.meta.refs.keySet - "main") == (l.meta.refs.keySet - "main"),
+          s"step '$name': ref names diverge")
+        assert(r.meta.formatVersion == l.meta.formatVersion,
+          s"step '$name': format versions diverge")
+      }
+    } finally server.stop()
+  }
+
   test("multi-level namespaces route with the 0x1F separator") {
     val server = new IcebergRestServer(fresh("icerest-ml-wh"),
       spark.sessionState.newHadoopConf())
