@@ -925,12 +925,19 @@ object DeltaTable {
 
   /** Scheme/authority-insensitive file key: `_metadata.file_path` and
     * log-resolved paths may disagree on `file:/` vs `file:///`. */
-  private[delta] def pathKey(p: String): String = new Path(p).toUri.getPath
+  private[lake] def pathKey(p: String): String = new Path(p).toUri.getPath
 
   /** Column form of [[pathKey]] (codegen-friendly, no UDF): strip the
-    * URI scheme/authority prefix. */
-  private[delta] def normPath(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    * URI scheme AND authority, exactly like `URI.getPath` — the two are
+    * join keys for the same file and MUST normalize identically. The old
+    * single-pattern form collapsed `s3a://bucket/x` to `/bucket/x` while
+    * pathKey yields `/x`, silently no-op-ing every COW op on a
+    * filesystem with an authority. First pattern: `scheme://authority`;
+    * second: authority-less `scheme:/`. */
+  private[lake] def normPath(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
 
   /** Per-executor deletion-vector cache: one deserialize per (table,
     * file, DV identity), shared across tasks. The DESCRIPTOR is part of

@@ -46,6 +46,14 @@ final class DeltaWriter private (
   private var version = -1L
   // live file state mirrored for checkpoint/deleteWhere: path -> (add node)
   private val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+  /** Unexpired REMOVE tombstones committed by this writer — checkpoints
+    * must carry them (the protocol's vacuum contract: a checkpoint-seeded
+    * reader learns which removed files still await retention from the
+    * checkpoint, not from replaying the cleaned log prefix). Best-effort
+    * across reopen: a fresh writer starts empty, so its checkpoints omit
+    * tombstones older than itself — conservative (external VACUUMs skip
+    * them; files linger, nothing breaks). */
+  private val tombstones = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
   private var dvEnabled = false
   private var v2CpEnabled = false
   private var twEnabled = false
@@ -104,6 +112,13 @@ final class DeltaWriter private (
     val out = fs.create(p, false) // commits never overwrite, per protocol
     try out.write(all.map(mapper.writeValueAsString).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // tombstone ledger: removes enter, a re-add of the same path (DV
+    // replacement) supersedes its pending tombstone
+    actions.foreach { n =>
+      if (n.has("remove"))
+        tombstones(n.get("remove").get("path").asText()) = n.get("remove").deepCopy()
+      if (n.has("add")) tombstones.remove(n.get("add").get("path").asText())
+    }
     version
   }
 
@@ -501,8 +516,7 @@ final class DeltaWriter private (
     v
   }
 
-  /** Data files read back in LOGICAL names (renaming from physical
-    * under column mapping), data columns only. */
+  /** Parsed deletion-vector descriptor of an add action, if any. */
   private def dvDescOf(a: com.fasterxml.jackson.databind.JsonNode)
       : Option[DeletionVectors.Descriptor] =
     if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
@@ -513,29 +527,6 @@ final class DeltaWriter private (
           Some(d.get("offset").asInt) else None,
         d.get("sizeInBytes").asInt, d.get("cardinality").asLong))
     } else None
-
-  /** Data files read back in LOGICAL names (renaming from physical
-    * under column mapping), data columns only. Rows masked by a file's
-    * DELETION VECTOR are EXCLUDED — a COW rewrite of a DV-bearing file
-    * replaces the file (and thereby drops its DV), so reading the raw
-    * bytes would resurrect the deleted rows in the rewrite. */
-  private def readLogical(group: Seq[ObjectNode]): DataFrame = {
-    val paths = group.map(n =>
-      DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
-    val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
-    var df = spark.read.schema(physData).parquet(paths: _*)
-    val dvs: Map[String, DeletionVectors.Descriptor] = group.flatMap { n =>
-      dvDescOf(n.get("add")).map { d =>
-        DeltaTable.pathKey(DeltaTable.resolve(location,
-          n.get("add").get("path").asText()).toString) -> d
-      }
-    }.toMap
-    if (dvs.nonEmpty) {
-      df = df.filter(DeltaTable.dvKeepColumn(spark, location, conf, dvs,
-        col("_metadata.file_path"), col("_metadata.row_index")))
-    }
-    df.select(dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c)): _*)
-  }
 
   /** One distributed read over any affected-file set — the shared front
     * end of the one-pass COW rewrite ops: logical data columns, DV masks
@@ -663,7 +654,10 @@ final class DeltaWriter private (
     val r = mapper.createObjectNode()
     val rm = r.putObject("remove")
     rm.put("path", a.get("path").asText())
-    rm.put("deletionTimestamp", 0L)
+    // real wall time, per protocol — VACUUM retention and checkpoint
+    // tombstone expiry are measured from this stamp (0L read as
+    // "expired at epoch", losing the tombstone everywhere)
+    rm.put("deletionTimestamp", System.currentTimeMillis())
     rm.put("dataChange", true)
     rm.set[ObjectNode]("partitionValues", a.get("partitionValues").deepCopy())
     if (a.has("size")) rm.put("size", a.get("size").asLong())
@@ -695,6 +689,27 @@ final class DeltaWriter private (
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .coalesce(parts)
     val newAdds = writeFiles(rows)
+    // row-conservation guard: OPTIMIZE must be a pure re-layout. A read
+    // path that fails to resolve the input files (e.g. a path-key
+    // normalization bug) would otherwise commit removes with no adds —
+    // silent committed data loss. Stats are footer-exact on both sides.
+    def recs(ns: Seq[ObjectNode]): Option[Long] = {
+      val counts = ns.map(n => Option(n.get("add").get("stats"))
+        .filterNot(_.isNull)
+        .map(s => mapper.readTree(s.asText()).path("numRecords").asLong(-1L))
+        .getOrElse(-1L))
+      if (counts.exists(_ < 0)) None else Some(counts.sum)
+    }
+    (recs(group), recs(newAdds)) match {
+      case (Some(inRecs), Some(outRecs)) =>
+        // DV-masked inputs legitimately shrink (the rewrite folds the
+        // deletes); stat-less files skip the check rather than guess
+        require(outRecs == inRecs ||
+            group.exists(n => dvDescOf(n.get("add")).isDefined),
+          s"delta OPTIMIZE: rewrite produced $outRecs rows from $inRecs " +
+            "— refusing to commit a lossy compaction")
+      case _ => ()
+    }
     newAdds.foreach(
       _.get("add").asInstanceOf[ObjectNode].put("dataChange", false))
     val removes = group.map { n =>
@@ -757,12 +772,6 @@ final class DeltaWriter private (
     val affected = t.planFiles(Some(cond)).toSet
     if (affected.isEmpty) return version
     val affectedAdds = live.view.filterKeys(affected).values.toSeq
-    // per-FILE zero-match pruning, then ONE distributed read + ONE
-    // partition-aware write for every touched file (the old shape looped
-    // per partition group; see deleteWhere)
-    val touched = matchedFiles(affectedAdds, readForRewrite(affectedAdds),
-      coalesce(cond, lit(false)))
-    if (touched.isEmpty) return version
     // nondeterministic cond/set expressions (rand(), current_timestamp)
     // would re-evaluate per consuming job — the hit/miss split could
     // drop or duplicate rows, and a CDF postimage could disagree with
@@ -772,11 +781,31 @@ final class DeltaWriter private (
       org.apache.spark.sql.graftshim.ColumnExpr.expression(cond).deterministic &&
         set.values.forall(c =>
           org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic)
-    val tdf = {
-      val d = readForRewrite(touched)
-        .withColumn("__hit", coalesce(cond, lit(false)))
-      if (exprsDeterministic) d else d.localCheckpoint()
-    }
+    // per-FILE zero-match pruning, then ONE distributed read + ONE
+    // partition-aware write for every touched file (the old shape looped
+    // per partition group; see deleteWhere). For a nondeterministic cond
+    // the SAME pinned evaluation must decide both the touched-file set
+    // and the hit/miss split — a separate probe evaluation can disagree
+    // with the pinned rewrite (a file rewritten with zero cdc rows, or a
+    // pinned hit in a file the probe skipped).
+    val (touched, tdf) =
+      if (exprsDeterministic) {
+        val tch = matchedFiles(affectedAdds, readForRewrite(affectedAdds),
+          coalesce(cond, lit(false)))
+        (tch, readForRewrite(tch)
+          .withColumn("__hit", coalesce(cond, lit(false))))
+      } else {
+        val pinned = readForRewrite(affectedAdds)
+          .withColumn("__hit", coalesce(cond, lit(false)))
+          .localCheckpoint()
+        val fps = pinned.filter(col("__hit")).select("__fp")
+          .distinct().collect().map(_.getString(0)).toSet
+        val tch = affectedAdds.filter(n =>
+          fps(DeltaTable.pathKey(DeltaTable.resolve(location,
+            n.get("add").get("path").asText()).toString)))
+        (tch, pinned.filter(col("__fp").isInCollection(fps)))
+      }
+    if (touched.isEmpty) return version
     val hit = tdf.filter(col("__hit")).drop("__hit")
     val miss = tdf.filter(!col("__hit")).drop("__hit")
     val updated = {
@@ -1029,7 +1058,8 @@ final class DeltaWriter private (
         val rm = mapper.createObjectNode()
         val r = rm.putObject("remove")
         r.put("path", a.get("path").asText())
-        r.put("deletionTimestamp", 0L); r.put("dataChange", true)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
         actions += rm
         val newNode = node.deepCopy()
         val na = newNode.get("add").asInstanceOf[ObjectNode]
@@ -1125,6 +1155,12 @@ final class DeltaWriter private (
     StructField("schemaString", StringType),
     StructField("partitionColumns", ArrayType(StringType)),
     StructField("configuration", MapType(StringType, StringType, true))))
+  private val removeType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionTimestamp", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("partitionValues", MapType(StringType, StringType, true), true),
+    StructField("size", LongType, true)))
 
   import org.apache.spark.sql.Row
 
@@ -1172,11 +1208,37 @@ final class DeltaWriter private (
               d.get("offset").asInt() else null,
             d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
         } else null
+      // dataChange is FALSE in checkpoints, per protocol: checkpoint
+      // actions reconstruct STATE; a checkpoint-seeded CDF/incremental
+      // reader must not mistake an OPTIMIZE'd file for a row change
       Row(a.get("path").asText(), pv.toMap,
         a.get("size").asLong(), a.get("modificationTime").asLong(),
-        true, a.get("stats").asText(), dvRow)
+        false, a.get("stats").asText(), dvRow)
     }
     (protoStruct, metaStruct, addStructs)
+  }
+
+  /** Unexpired remove-tombstone structs for checkpoints (protocol vacuum
+    * contract; expiry follows the 7-day default retention). */
+  private def tombstoneStructs: Seq[Row] = {
+    val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    tombstones.values.toSeq
+      .filter(_.path("deletionTimestamp").asLong(0L) >= cutoff)
+      .map { r =>
+        val pv =
+          if (r.has("partitionValues") && !r.get("partitionValues").isNull) {
+            val it = r.get("partitionValues").fields()
+            val m = scala.collection.mutable.Map[String, String]()
+            while (it.hasNext) {
+              val e = it.next()
+              m(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText()
+            }
+            m.toMap
+          } else null
+        Row(r.get("path").asText(), r.get("deletionTimestamp").asLong(),
+          false, pv,
+          if (r.has("size")) Long.box(r.get("size").asLong()) else null)
+      }
   }
 
   /** Single-file parquet write of `rows` under `schema`, renamed to
@@ -1224,12 +1286,15 @@ final class DeltaWriter private (
       StructField("protocol", protoType, true),
       StructField("metaData", metaType, true),
       StructField("add", addType, true),
+      StructField("remove", removeType, true),
       StructField("txn", txnType, true)))
     val (proto, meta, adds) = checkpointStructs
-    val txnRows = txnStructs.map(t => Row(null, null, null, t))
+    val txnRows = txnStructs.map(t => Row(null, null, null, null, t))
+    val rmRows = tombstoneStructs.map(r => Row(null, null, null, r, null))
     if (parts == 1) {
-      val rows = Row(proto, null, null, null) +: Row(null, meta, null, null) +:
-        (txnRows ++ adds.map(a => Row(null, null, a, null)))
+      val rows = Row(proto, null, null, null, null) +:
+        Row(null, meta, null, null, null) +:
+        (txnRows ++ adds.map(a => Row(null, null, a, null, null)) ++ rmRows)
       writeSingleParquet(rows, cpSchema,
         new Path(logDir, f"$version%020d.checkpoint.parquet"))
     } else {
@@ -1237,14 +1302,14 @@ final class DeltaWriter private (
       (1 to parts).foreach { p =>
         val partAdds = byPart.getOrElse(p - 1, Nil).map(_._1)
         val rows =
-          (if (p == 1) Seq(Row(proto, null, null, null),
-            Row(null, meta, null, null)) ++ txnRows
-           else Nil) ++ partAdds.map(a => Row(null, null, a, null))
+          (if (p == 1) Seq(Row(proto, null, null, null, null),
+            Row(null, meta, null, null, null)) ++ txnRows ++ rmRows
+           else Nil) ++ partAdds.map(a => Row(null, null, a, null, null))
         writeSingleParquet(rows, cpSchema,
           new Path(logDir, f"$version%020d.checkpoint.$p%010d.$parts%010d.parquet"))
       }
     }
-    writeLastCheckpoint(live.size.toLong + 2 + txns.size,
+    writeLastCheckpoint(live.size.toLong + 2 + txns.size + rmRows.size,
       if (parts == 1) None else Some(parts))
   }
 
@@ -1259,11 +1324,15 @@ final class DeltaWriter private (
     require(version >= 0, "delta: nothing to checkpoint")
     if (!v2CpEnabled) { v2CpEnabled = true; commit(Seq(protocolAction)) }
     val (proto, meta, adds) = checkpointStructs
-    // sidecar: file actions only
-    val sidecarSchema = StructType(Seq(StructField("add", addType, true)))
+    // sidecar: file actions only (adds + unexpired remove tombstones)
+    val sidecarSchema = StructType(Seq(
+      StructField("add", addType, true),
+      StructField("remove", removeType, true)))
     val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
     val sidecarPath = new Path(new Path(logDir, "_sidecars"), sidecarName)
-    writeSingleParquet(adds.map(Row(_)), sidecarSchema, sidecarPath)
+    writeSingleParquet(
+      adds.map(Row(_, null)) ++ tombstoneStructs.map(Row(null, _)),
+      sidecarSchema, sidecarPath)
     val scStatus = fs.getFileStatus(sidecarPath)
     // top-level: protocol + metaData + checkpointMetadata + sidecar refs
     val cpMetaType = StructType(Seq(

@@ -147,37 +147,58 @@ object HudiLog {
     written
   }
 
+  private def readBlock(in: DataInputStream): Block = {
+    val magic = new Array[Byte](Magic.length)
+    in.readFully(magic)
+    require(java.util.Arrays.equals(magic, Magic),
+      s"hudi log: bad magic ${new String(magic, "UTF-8")}")
+    in.readLong() // block size (redundant with the parsed fields)
+    val version = in.readInt()
+    require(version == LogFormatVersion,
+      s"hudi log: format version $version unsupported (have $LogFormatVersion)")
+    val blockType = in.readInt()
+    val headers = readMetadata(in)
+    val contentLen = in.readLong()
+    require(contentLen >= 0 && contentLen <= Int.MaxValue - 8,
+      s"hudi log: block content of $contentLen bytes exceeds the " +
+        "single-block ceiling (blocks roll at the writer's cap)")
+    val content = new Array[Byte](contentLen.toInt)
+    in.readFully(content)
+    readMetadata(in) // footers
+    in.readLong()    // total block size
+    Block(blockType, headers, content)
+  }
+
   def decodeLogFile(bytes: Array[Byte]): Seq[Block] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val out = scala.collection.mutable.ArrayBuffer[Block]()
-    while (in.available() > 0) {
-      val magic = new Array[Byte](Magic.length)
-      in.readFully(magic)
-      require(java.util.Arrays.equals(magic, Magic),
-        s"hudi log: bad magic ${new String(magic, "UTF-8")}")
-      in.readLong() // block size (redundant with the parsed fields)
-      val version = in.readInt()
-      require(version == LogFormatVersion,
-        s"hudi log: format version $version unsupported (have $LogFormatVersion)")
-      val blockType = in.readInt()
-      val headers = readMetadata(in)
-      val contentLen = in.readLong()
-      val content = new Array[Byte](contentLen.toInt)
-      in.readFully(content)
-      readMetadata(in) // footers
-      in.readLong()    // total block size
-      out += Block(blockType, headers, content)
-    }
+    while (in.available() > 0) out += readBlock(in)
     out.toSeq
   }
 
+  /** Streams the log file BLOCK by BLOCK: blocks roll at ~256 MB but one
+    * group's whole ingest appends to ONE file, so a log file can legally
+    * exceed 2 GB — materializing it whole would overflow the Int array
+    * size (and OOM the task well before that). Memory is bounded by one
+    * block's content, the writer's own posture. */
   def readLogFile(conf: Configuration, path: Path): Seq[Block] = {
     val fs = path.getFileSystem(conf)
     val len = fs.getFileStatus(path).getLen
-    val in = fs.open(path)
-    val bytes = new Array[Byte](len.toInt)
-    try in.readFully(0L, bytes) finally in.close()
-    decodeLogFile(bytes)
+    var consumed = 0L
+    val counting = new java.io.FilterInputStream(
+        new java.io.BufferedInputStream(fs.open(path), 1 << 16)) {
+      override def read(): Int = {
+        val r = super.read(); if (r >= 0) consumed += 1; r
+      }
+      override def read(b: Array[Byte], off: Int, l: Int): Int = {
+        val r = super.read(b, off, l); if (r > 0) consumed += r; r
+      }
+    }
+    val in = new DataInputStream(counting)
+    val out = scala.collection.mutable.ArrayBuffer[Block]()
+    try while (consumed < len) out += readBlock(in)
+    finally in.close()
+    out.toSeq
   }
 
   // ---- avro data block content (block version 3) ---------------------------
@@ -267,6 +288,10 @@ object HudiLog {
         case d: DecimalType => java.nio.ByteBuffer.wrap(
           row.getAs[java.math.BigDecimal](i)
             .setScale(d.scale).unscaledValue().toByteArray)
+        // short/byte map to Avro int — box as Integer, or the datum
+        // writer ClassCastExceptions on the raw Short/Byte
+        case ShortType | ByteType =>
+          Int.box(row.get(i).asInstanceOf[Number].intValue())
         case _ => row.get(i).asInstanceOf[AnyRef]
       }
       rec.put(f.name, v)
@@ -289,6 +314,8 @@ object HudiLog {
       if (v == null) null else f.dataType match {
         case StringType => v.toString
         case IntegerType => Int.box(v.asInstanceOf[Number].intValue())
+        case ShortType => Short.box(v.asInstanceOf[Number].shortValue())
+        case ByteType => Byte.box(v.asInstanceOf[Number].byteValue())
         case LongType => Long.box(v.asInstanceOf[Number].longValue())
         case DoubleType => Double.box(v.asInstanceOf[Number].doubleValue())
         case FloatType => Float.box(v.asInstanceOf[Number].floatValue())

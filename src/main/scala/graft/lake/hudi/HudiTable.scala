@@ -59,7 +59,13 @@ final class HudiTable private (
     val location: String,
     val schema: StructType,
     partitionFields: Seq[String],
-    slices: Seq[HudiTable.Slice]) { // latest slice per file group
+    slices: Seq[HudiTable.Slice], // latest slice per file group
+    /** Highest g-number ever MINTED in this timeline, live or retired —
+      * a reopened writer must seed its file-id counter above this:
+      * replacecommit retirement is permanent (clean() dooms every slice
+      * of a retired id forever), so re-minting a retired id would let a
+      * later clean delete the new group's live files. */
+    private[hudi] val maxSeenFileSeq: Int) {
 
   def partitionColumns: Seq[String] = partitionFields
 
@@ -74,7 +80,7 @@ final class HudiTable private (
       val eq = seg.indexOf('=')
       seg.substring(0, eq) ->
         (if (seg.substring(eq + 1) == "__HIVE_DEFAULT_PARTITION__") Meta.NullPartition
-         else seg.substring(eq + 1))
+         else HudiTable.unescapeHive(seg.substring(eq + 1)))
     }.toMap
     DataFileMeta(s.path, 0L, s.numWrites, 0L, pvals, Map.empty)
   }
@@ -329,6 +335,23 @@ final class HudiTable private (
 
 object HudiTable {
 
+  /** Inverse of the writer's Hive %XX partition-value escaping
+    * (HudiWriter.escapeHive) — same codec as the Delta/Iceberg/Graft
+    * partition readers. */
+  private[hudi] def unescapeHive(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private val mapper = new ObjectMapper()
 
   /** One log file bound to a base slice. `ord` orders deltas for the
@@ -412,6 +435,16 @@ object HudiTable {
     // write stats collect separately and bind to their base instant
     val groups = scala.collection.mutable.LinkedHashMap[String, Slice]()
     val logs = scala.collection.mutable.ArrayBuffer[(String, String, LogRef)]() // (fileId, baseInstant, ref)
+    val FileIdNumRe = """g(\d+)""".r
+    var maxSeenFileSeq = 0
+    def sawFileId(fid: String): Unit = fid match {
+      case FileIdNumRe(n) =>
+        maxSeenFileSeq = math.max(maxSeenFileSeq, n.toInt)
+      case _ => ()
+    }
+    // every base path ever committed, in commit order — the schema
+    // fallback when retirement leaves zero live groups
+    val seenBasePaths = scala.collection.mutable.ArrayBuffer[String]()
     commits.foreach { case (t, kind, p) =>
       val in = fs.open(p)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -439,6 +472,8 @@ object HudiTable {
                 sizeBytes = st.path("fileSizeInBytes").asLong(-1L))
               // commits replay in instant order, so a later slice replaces
               groups(fileId) = s
+              sawFileId(fileId)
+              seenBasePaths += path
           }
         }
       }
@@ -449,7 +484,11 @@ object HudiTable {
         val rp = n.path("partitionToReplaceFileIds").fields()
         while (rp.hasNext) {
           val ids = rp.next().getValue.elements()
-          while (ids.hasNext) groups.remove(ids.next().asText())
+          while (ids.hasNext) {
+            val fid = ids.next().asText()
+            groups.remove(fid)
+            sawFileId(fid)
+          }
         }
       }
     }
@@ -462,11 +501,22 @@ object HudiTable {
       s.copy(logs = mine.toSeq)
     }
 
-    // schema: newest slice's footer minus hudi meta columns
-    val sample = new Path(location, slices.maxBy(_.instant).path)
+    // schema: newest live slice's footer minus hudi meta columns. When
+    // retirement (insert_overwrite / deletePartition) leaves ZERO live
+    // groups the table is legitimately empty, not corrupt — fall back to
+    // the newest committed base file that still exists on disk (retired
+    // but not yet cleaned) so the table stays loadable and the writer
+    // reopenable; only a table with no surviving file at all rejects.
+    val sample = slices.sortBy(_.instant).lastOption
+      .map(s => new Path(location, s.path))
+      .orElse(seenBasePaths.reverseIterator
+        .map(rel => new Path(location, rel)).find(fs.exists))
+      .getOrElse(throw new IllegalStateException(
+        s"hudi: no live file groups and no surviving base files under " +
+          s"$location — schema cannot be inferred"))
     val full = spark.read.parquet(sample.toString).schema
     val schema = StructType(full.fields.filterNot(f => MetaColumns.contains(f.name)))
 
-    new HudiTable(spark, location, schema, partitionFields, slices)
+    new HudiTable(spark, location, schema, partitionFields, slices, maxSeenFileSeq)
   }
 }

@@ -87,10 +87,27 @@ final class HudiWriter private (
   private def nextInstant(): String = { instantSeq += 1; f"$instantSeq%017d" }
   private def nextFileId(): String = { fileSeq += 1; f"g$fileSeq%08d" }
 
+  /** Hive's escapePathName set (%XX): without it a value containing '/'
+    * or '=' corrupts the partition layout — the reader splits the path
+    * on those — and pruning silently returns wrong rows. The reader
+    * unescapes (HudiTable.toDataFileMeta), matching the Delta/Iceberg/
+    * Graft partition codecs. */
+  private def escapeHive(s: String): String = {
+    val specials = "\"#%'*/:=?\\^[]{}"
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c < ' ' || c.toInt == 0x7F || specials.indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
   private def hivePartPath(r: org.apache.spark.sql.Row): String =
     partitionFields.map { f =>
       val v = r.getAs[Any](f)
-      s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+      s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__"
+             else escapeHive(v.toString)}"
     }.mkString("/")
 
   /** Writes one file group's rows as a base file (one slice). Rows may
@@ -385,6 +402,13 @@ final class HudiWriter private (
     * rows' own `_hoodie_file_name`), and all rewritten slices emerge from
     * one [[writeSlices]] job — jobs don't scale with file-group count. */
   def upsert(df: DataFrame): String = {
+    // MOR routes to the log path: this COW rewrite reads BASE files only,
+    // so on a table with uncompacted log files it would mint a later
+    // slice that orphans the logs — silently reverting logged updates
+    // and resurrecting soft-deleted rows. upsertLog has the same user
+    // semantics (update matched keys, insert fresh ones) as one
+    // deltacommit.
+    if (tableType == "MERGE_ON_READ") return upsertLog(df)
     val t = HudiTable.load(spark, location)
     val instant = nextInstant()
     val updates = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -493,7 +517,8 @@ final class HudiWriter private (
       s"hudi: deletePartition needs values for $partitionFields, got ${partValues.keySet}")
     val pp = partitionFields.map { f =>
       val v = partValues(f)
-      s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+      s"$f=${if (v == null) "__HIVE_DEFAULT_PARTITION__"
+             else escapeHive(v.toString)}" // same codec as the written layout
     }.mkString("/")
     val t = HudiTable.load(spark, location)
     val doomed = t.liveSlices.filter(_.partitionPath == pp)
@@ -927,10 +952,11 @@ object HudiWriter {
     w.instantSeq = fs.listStatus(meta).toSeq.map(_.getPath.getName).collect {
       case InstantRe(i, _) => i.toLong
     }.maxOption.getOrElse(0L)
-    val FileIdRe = """g(\d+)""".r
-    w.fileSeq = t.liveSlices.map(_.fileId).collect {
-      case FileIdRe(n) => n.toInt
-    }.maxOption.getOrElse(0)
+    // seed ABOVE every id the timeline has EVER minted, not just the
+    // live ones: replacecommit retirement is permanent (clean() dooms
+    // every slice of a retired id), so re-minting a retired id after
+    // reopen would let a later clean delete the new group's live files
+    w.fileSeq = t.maxSeenFileSeq
     t.liveSlices.foreach { s =>
       val vMax = s.logs.map(_.version).maxOption.getOrElse(0)
       if (vMax > 0) w.logVersions(s.fileId) = vMax

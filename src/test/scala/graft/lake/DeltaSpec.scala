@@ -915,6 +915,57 @@ class DeltaSpec extends AnyFunSuite {
       s"error must name the downgrade hazard and the commit: ${e.getMessage}")
   }
 
+  test("normPath and pathKey agree on every URI shape (authority stripped)") {
+    import graft.lake.delta.DeltaTable
+    val cases = Seq(
+      "s3a://bucket/tbl/part-0.parquet",
+      "hdfs://namenode:8020/tbl/part-0.parquet",
+      "file:///tmp/tbl/part-0.parquet",
+      "file:/tmp/tbl/part-0.parquet",
+      "/tmp/tbl/part-0.parquet")
+    import spark.implicits._
+    val normed = cases.toDF("p")
+      .select(DeltaTable.normPath(col("p")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val keyed = cases.map(DeltaTable.pathKey)
+    // the two are JOIN KEYS for the same file: any divergence silently
+    // no-ops COW ops (and makes OPTIMIZE lossy) on that filesystem
+    assert(normed == keyed, s"normPath $normed != pathKey $keyed")
+  }
+
+  test("checkpoints carry dataChange=false adds and unexpired remove tombstones") {
+    val n = Tables.nation(spark, sf)
+    val d = freshDir("cp-tombstones")
+    val w = DeltaWriter.create(spark, d, n.schema)
+    w.append(n.limit(10))
+    w.append(n.filter(col("n_nationkey") >= 10))
+    val removedBefore = DeltaTable.load(spark, d)
+      .planFiles().size
+    w.deleteWhere(col("n_nationkey") < 10) // full-file COW remove
+    w.checkpoint()
+    val logDir = new Path(s"$d/_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cpFile = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".checkpoint.parquet")).maxBy(_.getName)
+    val cp = spark.read.parquet(cpFile.toString)
+    // protocol: checkpoint actions reconstruct STATE — adds must not
+    // read as row changes, and removed-but-unexpired files must appear
+    // as tombstones for external VACUUM implementations
+    val adds = cp.filter(col("add").isNotNull).select("add.dataChange")
+      .collect().map(_.getBoolean(0))
+    assert(adds.nonEmpty && adds.forall(_ == false),
+      "checkpoint adds must carry dataChange=false")
+    val removes = cp.filter(col("remove").isNotNull)
+      .select("remove.path", "remove.deletionTimestamp")
+    assert(removes.count() >= 1, "unexpired tombstones must be checkpointed")
+    assert(removes.collect().forall(_.getLong(1) > 0L),
+      "tombstones carry a real deletionTimestamp (0 = expired at epoch)")
+    // our own reader still reconstructs the same state from it
+    assert(DeltaTable.load(spark, d).scan().count() ==
+      n.filter(col("n_nationkey") >= 10).count())
+    assert(removedBefore >= 1)
+  }
+
   test("CDF rejects reversed / out-of-range version options by name (r12)") {
     import spark.implicits._
     val loc = freshDir("cdf-opts")

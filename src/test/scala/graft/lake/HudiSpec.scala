@@ -24,6 +24,65 @@ class HudiSpec extends AnyFunSuite {
     dir(name)
   }
 
+  test("partition values with '/' and '=' escape on write, unescape for pruning") {
+    import spark.implicits._
+    val df = Seq((1L, "a/b=c", 10.0), (2L, "plain", 20.0)).toDF("id", "p", "v")
+    val w = HudiWriter.create(spark, freshDir("escape"), df.schema,
+      partitionFields = Seq("p"), keyField = "id")
+    w.insert(df)
+    val t = HudiTable.load(spark, dir("escape"))
+    // one path segment per partition field — an unescaped '/' would nest
+    assert(t.liveSlices.forall(_.partitionPath.count(_ == '/') == 0),
+      t.liveSlices.map(_.partitionPath).toString)
+    // pruning decodes the escaped layout back to the raw value
+    assert(t.planFiles(Some(col("p") === "a/b=c")).size == 1)
+    val hit = t.scan(Some(col("p") === "a/b=c"))
+    assert(hit.count() == 1 && hit.select("id").head.getLong(0) == 1L)
+    // deletePartition addresses the partition by its RAW value too
+    w.deletePartition(Map("p" -> "a/b=c"))
+    assert(HudiTable.load(spark, dir("escape")).scan().count() == 1)
+  }
+
+  test("reopen after deletePartition never re-mints the retired file id") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "p", "v")
+    val d = freshDir("remint")
+    val w = HudiWriter.create(spark, d, df.schema,
+      partitionFields = Seq("p"), keyField = "id")
+    w.insert(df)
+    val retiredId = HudiTable.load(spark, d).liveSlices
+      .find(_.partitionPath == "p=B").get.fileId
+    w.deletePartition(Map("p" -> "B"))
+    // a fresh writer (new process) must seed its id counter above EVERY
+    // id the timeline ever minted — retirement is permanent, and clean()
+    // dooms all slices of a retired id forever
+    val w2 = HudiWriter.open(spark, d)
+    w2.insert(Seq((3L, "B", 3.0)).toDF("id", "p", "v"))
+    val newId = HudiTable.load(spark, d).liveSlices
+      .find(_.partitionPath == "p=B").get.fileId
+    assert(newId != retiredId,
+      s"retired id $retiredId was re-minted — clean() would delete it")
+    w2.clean()
+    assert(HudiTable.load(spark, d).scan().count() == 2,
+      "clean after reopen must not eat live data")
+  }
+
+  test("a table whose every group is retired stays loadable and reopenable") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 1.0)).toDF("id", "p", "v")
+    val d = freshDir("allretired")
+    val w = HudiWriter.create(spark, d, df.schema,
+      partitionFields = Seq("p"), keyField = "id")
+    w.insert(df)
+    w.deletePartition(Map("p" -> "A"))
+    // zero live groups is an EMPTY table, not a crash (schema falls back
+    // to the newest not-yet-cleaned base file)
+    assert(HudiTable.load(spark, d).scan().count() == 0)
+    val w2 = HudiWriter.open(spark, d)
+    w2.insert(Seq((2L, "A", 2.0)).toDF("id", "p", "v"))
+    assert(HudiTable.load(spark, d).scan().count() == 1)
+  }
+
   test("insert round-trip; schema drops the hudi meta columns") {
     val n = Tables.nation(spark, sf)
     val w = HudiWriter.create(spark, freshDir("roundtrip"), n.schema,
