@@ -495,6 +495,16 @@ class GraftTable private (
     require(m.keyColumns.nonEmpty, "MoR update needs keyColumns")
     val unknown = assignments.keySet -- schema.fieldNames
     require(unknown.isEmpty, s"update assigns unknown columns: ${unknown.mkString(", ")}")
+    // the rewrite job and the delete-key job each re-evaluate the matched
+    // set — a nondeterministic predicate/assignment would match DIFFERENT
+    // rows in the two actions, silently losing or duplicating keys.
+    // Reject loudly (same posture as IcebergWriter.updateWhere).
+    require(
+      org.apache.spark.sql.graftshim.ColumnExpr.expression(where).deterministic &&
+        assignments.values.forall(c =>
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(c).deterministic),
+      "update needs deterministic WHERE and assignment expressions (the " +
+        "rewrite and the delete keys are built from separate evaluations)")
     val seq = nextId(m)
     val matched = scan(None).filter(where)
     val rewritten = matched.select(schema.fieldNames.toIndexedSeq.map { f =>
@@ -548,6 +558,18 @@ class GraftTable private (
     // a bare id-range over the log would deliver UNPUBLISHED branch
     // commits to a main-handle consumer (and vice versa) — the same WAP
     // isolation scan()/headSnapshot already enforce
+    // expired history must fail LOUDLY, exactly like cdc(): a range over
+    // expired snapshot ids would silently SKIP their appended rows (the
+    // snapshots are simply absent from the filter below) — a maintain()
+    // cycle racing a lagging incremental/streaming consumer would lose
+    // data without a trace
+    if (m.snapshots.nonEmpty && fromId < toId) {
+      val earliest = m.snapshots.map(_.id).min
+      require(fromId >= earliest - 1,
+        s"changes($fromId, $toId) crosses expired history (earliest " +
+          s"retained snapshot is $earliest) — increase retention or " +
+          "restart the consumer from a fresh snapshot")
+    }
     val lineage = lineageIds(m)
     val inRange = m.snapshots.filter(s =>
       lineage(s.id) && s.id > fromId && s.id <= toId)

@@ -375,8 +375,26 @@ final class IcebergTable private (
     val eqD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
     val dvD = scala.collection.mutable.ArrayBuffer[PlannedFile]()
     var filesTotal = 0L
-    surviving.foreach { le =>
-      val (header, entries) = IcebergAvro.readManifest(conf, resolve(le.path))
+    // manifest fan-out on a bounded IO pool, results cached JVM-wide
+    // (manifests are create-only with unique names — immutable): a
+    // 1000-manifest table otherwise pays ~1000 SERIAL object-store GETs
+    // per plan, and deleteWhereDv plans three times per statement
+    // (planFiles + dvIndex + posDeletePaths) re-reading every manifest
+    val readManifests: Seq[(IcebergAvro.ManifestFileEntry,
+        (IcebergAvro.ManifestHeader, Seq[IcebergAvro.ManifestEntry]))] = {
+      val hConf = conf
+      val futures = surviving.map { le =>
+        val p = resolve(le.path)
+        IcebergTable.metadataIoPool.submit(
+          new java.util.concurrent.Callable[
+              (IcebergAvro.ManifestHeader, Seq[IcebergAvro.ManifestEntry])] {
+            def call() = IcebergTable.manifestCache
+              .get(p.toString)(IcebergAvro.readManifest(hConf, p))
+          })
+      }
+      surviving.zip(futures.map(_.get()))
+    }
+    readManifests.foreach { case (le, (header, entries)) =>
       val schemaId = header.schemaId.getOrElse(sch.schemaId)
       entries.foreach { en =>
         if (en.status != 2) { // DELETED entries are not live
@@ -529,6 +547,14 @@ final class IcebergTable private (
           s"with operation '${s.operation}' — row-level deletes/overwrites " +
           "are not expressible as appends")
     }
+    // every part is projected to the RANGE-END snapshot's schema BY FIELD
+    // ID before the union: each snapshot scans under its own historical
+    // schema, so a rename/widen inside the range would otherwise make
+    // unionByName throw mid-stream (or deliver a batch schema differing
+    // from the declared stream schema). Fields added later read null for
+    // the older snapshots — Iceberg's own whole-range projection rule.
+    val endSchema =
+      meta.snapshot(toId).schemaId.map(meta.schema).getOrElse(meta.currentSchema)
     val parts = inRange.filter(_.operation == "append").flatMap { s =>
       val p = plan(filter, s.id)
       val parentFiles = s.parentId
@@ -537,10 +563,23 @@ final class IcebergTable private (
         dataFiles = p.dataFiles.filterNot(pf => parentFiles(pf.entry.filePath)),
         posDeletes = Nil, eqDeletes = Nil, dvDeletes = Nil)
       if (restricted.dataFiles.isEmpty) None
-      else Some(buildScan(restricted).withColumn("_snapshot_id", lit(s.id)))
+      else {
+        val scanned = buildScan(restricted)
+        val partSchema =
+          s.schemaId.map(meta.schema).getOrElse(meta.currentSchema)
+        val projected =
+          if (partSchema.schemaId == endSchema.schemaId) scanned
+          else scanned.select(endSchema.fields.map { f =>
+            partSchema.fields.find(_.id == f.id)
+              .map(old => col(old.name).cast(f.dataType).as(f.name))
+              .getOrElse(f.initialDefault.map(v => lit(v))
+                .getOrElse(lit(null)).cast(f.dataType).as(f.name))
+          }: _*)
+        Some(projected.withColumn("_snapshot_id", lit(s.id)))
+      }
     }
     if (parts.isEmpty) {
-      val outSchema = StructType(meta.currentSchema.struct.fields :+
+      val outSchema = StructType(endSchema.struct.fields :+
         StructField("_snapshot_id", LongType))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -792,6 +831,27 @@ final class IcebergTable private (
 
 object IcebergTable {
 
+  /** Bounded daemon IO pool for planning's manifest fan-out: a
+    * 1000-manifest table on an object store pays tens of seconds of
+    * SERIAL small GETs otherwise — the same problem GraftTable's
+    * resolver pool solves for graft manifests. */
+  private[iceberg] lazy val metadataIoPool = {
+    val n = math.min(16, math.max(2, Runtime.getRuntime.availableProcessors()))
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, "iceberg-metadata-io")
+        t.setDaemon(true); t
+      })
+  }
+
+  /** Bounded JVM-wide manifest cache (path → parsed header+entries) —
+    * sound because Iceberg manifests are create-only with unique names,
+    * never rewritten; deleteWhereDv's three plans per statement (and any
+    * repeated query) stop re-reading every manifest. */
+  private[lake] val manifestCache =
+    new graft.lake.GraftTable.BlobCache[
+      (IcebergAvro.ManifestHeader, Seq[IcebergAvro.ManifestEntry])]
+
   /** One planned live file: the manifest entry, its resolved sequence
     * number, and the schema-id its columns were written under. */
   private final case class PlannedFile(
@@ -847,12 +907,20 @@ object IcebergTable {
     * (puffin path, blob offset) — blob identity, so a rewritten DV for
     * the same data file never serves a stale bitmap. */
   private[iceberg] object DvCache {
+    // BOUNDED, like GraftTable.bloomCache: a streaming delete workload
+    // writes a NEW puffin blob (new path#offset key) every micro-batch
+    // and superseded bitmaps are never re-keyed, so an unbounded map
+    // accumulates every historical DV on long-lived executors until OOM.
+    // Coarse whole-cache eviction at the cap — a miss re-reads one blob.
+    private val MaxEntries = 256
     private val cache = new java.util.concurrent.ConcurrentHashMap[
       String, graft.lake.delta.RoaringBitmapArray]()
     def bitmap(path: String, offset: Long, length: Long,
-        conf: Configuration): graft.lake.delta.RoaringBitmapArray =
+        conf: Configuration): graft.lake.delta.RoaringBitmapArray = {
+      if (cache.size > MaxEntries) cache.clear()
       cache.computeIfAbsent(s"$path#$offset",
         _ => Puffin.readDv(conf, new Path(path), offset, length))
+    }
   }
 
   /** Load from a table location (`<loc>/metadata/version-hint.text` or the

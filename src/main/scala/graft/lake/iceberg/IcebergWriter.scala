@@ -263,8 +263,13 @@ final class IcebergWriter private (
     if (dvEntries.isEmpty) // zero matches: SQL no-op
       return currentMeta.currentSnapshotId.getOrElse(-1L)
     val hit = t.scan(Some(cond)) // live rows only — prior deletes honored
-    val updated = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
-      .select(sch.fields.map(f => col(f.name)): _*)
+    // ONE simultaneous select — SQL UPDATE semantics: every assignment
+    // reads the OLD row, so `SET a = b, b = 0` gets the pre-update b. A
+    // sequential withColumn fold would feed one assignment's result into
+    // the next in Map-iteration order (GraftTable.update documents the
+    // same hazard).
+    val updated = hit.select(sch.fields.map(f =>
+      set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))): _*)
     commitManifests("overwrite",
       Seq("deletes" -> dvEntries, "data" -> writeDataFiles(updated)))
   }
@@ -530,12 +535,19 @@ final class IcebergWriter private (
     }
     val kept = all.filter(s => keepIds(s.id)).flatMap(referenced).toSet
     val doomed = dropped.flatMap(referenced).toSet -- kept
-    doomed.foreach(p => fs.delete(new Path(p), false))
+    // COMMIT FIRST, delete after (Iceberg's own expire order): deleting
+    // before the commit point means a crash — or a lost catalog CAS on
+    // an arbitrated/REST table — leaves the still-current metadata
+    // advertising snapshots whose manifest lists are gone. After a
+    // successful commit the dropped files are unreferenced by ANY
+    // retained metadata, so a crash mid-delete only strands orphans
+    // (cleaned by the next expire/vacuum), never breaks a reader.
     currentMeta = currentMeta.copy(
       snapshots = all.filter(s => keepIds(s.id)),
       snapshotLog = currentMeta.snapshotLog.filter {
         case (_, id) => keepIds(id) })
     writeMetadata()
+    doomed.foreach(p => fs.delete(new Path(p), false))
     (dropped.size, doomed.size)
   }
 
@@ -658,6 +670,7 @@ final class IcebergWriter private (
             case IntegerType => raw.toInt
             case LongType => raw.toLong
             case StringType => unescapeHive(raw)
+            case BooleanType => raw.toBoolean
             case DateType =>
               // day-transform dirs hold the epoch-day int; identity date
               // dirs hold yyyy-MM-dd
@@ -758,6 +771,7 @@ final class IcebergWriter private (
         case IntegerType => "int"
         case LongType => "long"
         case StringType => "string"
+        case BooleanType => "boolean"
         case DateType => "date"
         case other => throw new IllegalArgumentException(
           s"iceberg writer: unsupported partition value type $other")
@@ -924,7 +938,19 @@ final class IcebergWriter private (
         s"metadata/v$metaVersion-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
       else s"metadata/v$metaVersion.metadata.json"
     val p = new Path(root, rel)
-    val out = fs.create(p, true)
+    // EXCLUSIVE create: two writers that opened the same path-addressed
+    // table both compute the same next vN — with overwrite the last
+    // writer's bytes silently clobber the first writer's committed
+    // snapshot. Exclusive create makes the loser fail loudly instead
+    // (reopen and retry); arbitrated tables never reach this collision
+    // (unique vN-nonce names + the pointer CAS decide).
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException => throw new java.util.ConcurrentModificationException(
+          s"iceberg: metadata $rel already exists — another writer " +
+            "committed this version first; reopen the table and retry", e)
+      }
     try out.write(IcebergMeta.render(currentMeta).getBytes("UTF-8"))
     finally out.close()
     // catalog-ARBITRATED commit point (object-store safe — an

@@ -87,7 +87,14 @@ class HudiIncrementalStreamSource(
     * the stream would stall below later data. `savepoint`/`restore` fail
     * LOUDLY here (same posture as HudiTable.loadAsOf; getBatch's table
     * load would reject them anyway, this just fails at the poll). */
-  private def completedInstants: Seq[Long] = {
+  /** (numeric value, ORIGINAL timeline string) per completed instant,
+    * ascending. The string travels back into loadAsOf/incrementalFrom
+    * verbatim: those compare instants LEXICOGRAPHICALLY against the
+    * timeline's own strings, so re-rendering the checkpointed Long with
+    * a fixed 17-digit pad would mis-window any table whose instants are
+    * a different width (real Hudi stamps 14- or 17-digit timestamps
+    * with no leading zeros). */
+  private def completedInstants: Seq[(Long, String)] = {
     val meta = new Path(location, ".hoodie")
     val fs = meta.getFileSystem(
       sqlContext.sparkSession.sessionState.newHadoopConf())
@@ -99,12 +106,12 @@ class HudiIncrementalStreamSource(
         s"source does not replay — ${unsupported.mkString(", ")}")
     val InstantRe = """(\d+)\.(commit|deltacommit|replacecommit)""".r
     names.collect {
-      case InstantRe(i, _) => i.toLong
-    }.sorted
+      case InstantRe(i, _) => (i.toLong, i)
+    }.sortBy(_._1)
   }
 
   override def getOffset: Option[OffsetV1] = {
-    val instants = completedInstants
+    val instants = completedInstants.map(_._1)
     val v = instants.lastOption.getOrElse(0L)
     if (v <= startingInstant) None
     else Some(LongOffset(ac.admit(v, b => instants.filter(_ > b))))
@@ -114,8 +121,11 @@ class HudiIncrementalStreamSource(
     val from = start.map(_.json.trim.toLong).getOrElse(startingInstant)
     val to = end.json.trim.toLong
     ac.noteBatchEnd(to)
-    val t = HudiTable.loadAsOf(sqlContext.sparkSession, location, f"$to%017d")
-    val batch = t.incrementalFrom(if (from == 0L) "" else f"$from%017d")
+    val insts = completedInstants
+    def instantStr(v: Long): String =
+      insts.takeWhile(_._1 <= v).lastOption.map(_._2).getOrElse(f"$v%017d")
+    val t = HudiTable.loadAsOf(sqlContext.sparkSession, location, instantStr(to))
+    val batch = t.incrementalFrom(if (from == 0L) "" else instantStr(from))
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(batch.queryExecution.toRdd, batch.schema,
         isStreaming = true)

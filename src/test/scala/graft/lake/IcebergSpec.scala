@@ -462,6 +462,10 @@ class IcebergSpec extends AnyFunSuite {
       graft.lake.iceberg.IcebergAvro.writeAvro(
         conf, st.getPath, schema, metaKeys, recs.toSeq)
     }
+    // in-place manifest rewrite is a TEST-ONLY device (real Iceberg
+    // manifests are create-only) — drop the JVM-wide manifest cache so
+    // the next plan reads the patched bytes
+    IcebergTable.manifestCache.invalidateAll()
   }
 
   /** Converts a table's parquet data files to real ORC files and points
