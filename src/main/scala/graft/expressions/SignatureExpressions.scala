@@ -327,7 +327,12 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, m
       var i = 0
       while (i < maxDim) {
         val u = splitmix64(p.toLong * 1000003L + i)
-        a(p * maxDim + i) = (u >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
+        // (u >>> 11) has 53 random bits → [0, 2^53); the 2^-53 scale puts
+        // it on [0,1) so the affine map lands on the DOCUMENTED [-1,1).
+        // (A 2^-52 scale — [0,2) — made every component mean +1: all
+        // planes pointed near the all-ones direction, band keys
+        // collapsed, and the LSH band join degenerated toward cross.)
+        a(p * maxDim + i) = (u >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
         i += 1
       }
       p += 1

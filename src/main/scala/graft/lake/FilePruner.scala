@@ -413,7 +413,19 @@ object FilePruner {
     * mapping is a correctness bug: a date literal (epoch days) against
     * timestamp stats (micros) both look like longs and would prune
     * essentially every file. */
+  /** litFor is pure in (literal, column, schema) but runs inside the
+    * per-FILE pruning loop — on a 10^5-file estate one predicate would
+    * re-parse the same date/decimal literal 10^5 times on the driver
+    * planning path. Small bounded memo; whole-cache eviction at the cap. */
+  private val litMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Literal, String, StructType), Option[V]]()
   private def litFor(l: Literal, name: String, schema: StructType): Option[V] = {
+    if (litMemo.size > 1024) litMemo.clear()
+    litMemo.computeIfAbsent((l, name, schema),
+      _ => litForUncached(l, name, schema))
+  }
+
+  private def litForUncached(l: Literal, name: String, schema: StructType): Option[V] = {
     val colType = schema.find(_.name == name).map(_.dataType).getOrElse(return None)
     val v = l.value
     if (v == null) return None

@@ -145,6 +145,23 @@ object ParquetStats {
     }
     def dec(unscaled: java.math.BigInteger, scale: Int): String =
       new java.math.BigDecimal(unscaled, scale).toPlainString
+    // int64 timestamps normalize to MICROS — the stats domain every
+    // consumer assumes (isoMicros renderers, pruning literals). Foreign
+    // files legally store MILLIS or NANOS; recording their raw values
+    // would compare ~1000x-off bounds and silently prune live files.
+    // min floors / max ceils on the lossy NANOS path (bounds must stay
+    // conservative).
+    val tsUnit: Option[LogicalTypeAnnotation.TimeUnit] = logical match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        Some(t.getUnit)
+      case _ => None
+    }
+    def tsMicros(v: Long, roundUp: Boolean): Long = tsUnit.get match {
+      case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+      case LogicalTypeAnnotation.TimeUnit.MICROS => v
+      case LogicalTypeAnnotation.TimeUnit.NANOS =>
+        if (roundUp) -Math.floorDiv(-v, 1000L) else Math.floorDiv(v, 1000L)
+    }
     (st, decScale) match {
       case (s: IntStatistics, Some(sc)) =>
         Some(("c", dec(java.math.BigInteger.valueOf(s.getMin.toLong), sc),
@@ -156,6 +173,9 @@ object ParquetStats {
         Some(("c", dec(new java.math.BigInteger(s.genericGetMin.getBytes), sc),
           dec(new java.math.BigInteger(s.genericGetMax.getBytes), sc), nulls))
       case (s: IntStatistics, None) => Some(("l", s.getMin.toLong.toString, s.getMax.toLong.toString, nulls))
+      case (s: LongStatistics, None) if tsUnit.isDefined =>
+        Some(("l", tsMicros(s.getMin, roundUp = false).toString,
+          tsMicros(s.getMax, roundUp = true).toString, nulls))
       case (s: LongStatistics, None) => Some(("l", s.getMin.toString, s.getMax.toString, nulls))
       case (s: FloatStatistics, None) => Some(("d", s.getMin.toDouble.toString, s.getMax.toDouble.toString, nulls))
       case (s: DoubleStatistics, None) => Some(("d", s.getMin.toString, s.getMax.toString, nulls))

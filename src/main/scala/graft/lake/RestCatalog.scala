@@ -38,7 +38,11 @@ import org.apache.spark.sql.SparkSession
   */
 class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
   private val base = uri.stripSuffix("/")
-  private val http = HttpClient.newHttpClient()
+  // bounded timeouts: a wedged catalog (half-open connection, GC'd
+  // service) must fail fast so the commit retry loop can act — an
+  // untimed send() blocks table resolution and commits forever
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
@@ -55,6 +59,7 @@ class RestCatalog(val spark: SparkSession, uri: String) extends Catalog {
   private def request(method: String, path: String, body: Option[String] = None)
       : HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .timeout(java.time.Duration.ofSeconds(30))
       .header("Content-Type", "application/json")
     val req = (method match {
       case "GET" => b.GET()
@@ -267,31 +272,53 @@ class InMemoryCatalogServer(warehouse: String) {
             case _ => send(x, 409, errJson(s"table $to exists"))
           }
         case ("POST", Some(n), "version") =>
-          if (!tables.containsKey(n)) send(x, 404, errJson(s"no table $n"))
-          else {
-            val node = mapper.readTree(x.getRequestBody)
-            val exp = node.get("expectedVersion").asLong()
-            val nv = node.get("newVersion").asLong()
-            val file = node.get("metadataFile").asText()
-            // the CAS: under casLock so multi-table transactions and
-            // single-table commits serialize against the same arbiter —
-            // exactly one of any set of racing committers observes
-            // current == expected
-            val won = casLock.synchronized {
+          val node = mapper.readTree(x.getRequestBody)
+          val exp = node.get("expectedVersion").asLong()
+          val nv = node.get("newVersion").asLong()
+          val file = node.get("metadataFile").asText()
+          // the CAS: existence check AND pointer decision under ONE
+          // casLock hold — checking outside would let a racing DROP or
+          // RENAME empty the pointer between check and swap, and the
+          // `cur == null` first-commit branch would then acknowledge a
+          // commit onto a dropped/renamed table (resurrecting a stale
+          // pointer for any later re-create)
+          val outcome = casLock.synchronized {
+            if (!tables.containsKey(n)) 404
+            else {
               val cur = versions.get(n)
-              if (cur == null || cur._1 == exp) { versions.put(n, (nv, file)); true }
-              else false
+              if (cur == null || cur._1 == exp) { versions.put(n, (nv, file)); 200 }
+              else 409
             }
-            if (won) send(x, 200, mapper.writeValueAsString(java.util.Map.of(
+          }
+          outcome match {
+            case 200 => send(x, 200, mapper.writeValueAsString(java.util.Map.of(
               "version", java.lang.Long.valueOf(nv))))
-            else send(x, 409, errJson(s"version conflict: expected $exp is stale"))
+            case 404 => send(x, 404, errJson(s"no table $n"))
+            case _ => send(x, 409, errJson(s"version conflict: expected $exp is stale"))
           }
         case ("POST", None, _) =>
           val n = mapper.readTree(x.getRequestBody).get("name").asText()
-          if (tables.putIfAbsent(n, s"$warehouse/$n") == null) send(x, 201, entryJson(n))
+          // unique nonce'd location: a re-created table must NEVER reuse
+          // a dropped table's directory (a slow client-side drop could
+          // otherwise destroy the re-created table's live data — real
+          // catalogs suffix locations for the same reason). Under
+          // casLock so a create cannot slip between a rename's
+          // destination check and its put.
+          val created = casLock.synchronized {
+            if (tables.containsKey(n)) false
+            else {
+              tables.put(n,
+                s"$warehouse/$n-${java.util.UUID.randomUUID().toString.take(8)}")
+              true
+            }
+          }
+          if (created) send(x, 201, entryJson(n))
           else send(x, 409, errJson(s"table $n exists"))
         case ("DELETE", Some(n), "") =>
-          if (tables.remove(n) != null) { versions.remove(n); send(x, 204, "") }
+          val removed = casLock.synchronized {
+            if (tables.remove(n) != null) { versions.remove(n); true } else false
+          }
+          if (removed) send(x, 204, "")
           else send(x, 404, errJson(s"no table $n"))
         case _ => send(x, 405, errJson("unsupported"))
       }
@@ -317,24 +344,33 @@ class InMemoryCatalogServer(warehouse: String) {
             c.get("newVersion").asLong(),
             c.get("metadataFile").asText())).toSeq
         }
-        if (commits.exists(c => !tables.containsKey(c._1)))
-          send(x, 404, errJson("unknown table in transaction"))
-        else if (commits.map(_._1).distinct.length != commits.length)
+        if (commits.map(_._1).distinct.length != commits.length)
           send(x, 400, errJson("duplicate table in transaction"))
         else {
-          val won = casLock.synchronized {
-            val ok = commits.forall { case (n, exp, _, _) =>
-              val cur = versions.get(n)
-              cur == null || cur._1 == exp
+          // existence + CAS checks + writes all under ONE lock hold —
+          // the transaction boundary (a drop racing the pre-check would
+          // otherwise let the write-all land on a vanished table)
+          val outcome = casLock.synchronized {
+            if (commits.exists(c => !tables.containsKey(c._1))) 404
+            else {
+              val ok = commits.forall { case (n, exp, _, _) =>
+                val cur = versions.get(n)
+                cur == null || cur._1 == exp
+              }
+              if (ok) {
+                commits.foreach { case (n, _, nv, file) =>
+                  versions.put(n, (nv, file))
+                }
+                200
+              } else 409
             }
-            if (ok) commits.foreach { case (n, _, nv, file) =>
-              versions.put(n, (nv, file))
-            }
-            ok
           }
-          if (won) send(x, 200, mapper.writeValueAsString(java.util.Map.of(
-            "committed", java.lang.Integer.valueOf(commits.length))))
-          else send(x, 409, errJson("version conflict in transaction"))
+          outcome match {
+            case 200 => send(x, 200, mapper.writeValueAsString(java.util.Map.of(
+              "committed", java.lang.Integer.valueOf(commits.length))))
+            case 404 => send(x, 404, errJson("unknown table in transaction"))
+            case _ => send(x, 409, errJson("version conflict in transaction"))
+          }
         }
       }
     } catch {

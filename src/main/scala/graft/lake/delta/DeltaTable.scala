@@ -1126,7 +1126,10 @@ object DeltaTable {
         (tagHi, hi) <- bound(e.getValue)
         (tagLo, lo) <- mins.get(e.getKey)
         if tagLo == tagHi
-      } out(e.getKey) = ColStats(tagLo, lo, hi, nulls.getOrElse(e.getKey, 0L))
+      } // protocol: nullCount is OPTIONAL — a missing count is UNKNOWN, not
+      // zero (0 would let IS NULL pruning drop files that hold nulls).
+      // -1 sentinel: FilePruner keeps on it, aggregates refuse it.
+      out(e.getKey) = ColStats(tagLo, lo, hi, nulls.getOrElse(e.getKey, -1L))
     }
     (nRec, out.toMap, nulls.toMap)
   }

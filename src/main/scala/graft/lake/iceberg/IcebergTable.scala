@@ -260,7 +260,8 @@ final class IcebergTable private (
         (tagHi, hi) <- IcebergMeta.decodeBound(wf.typeStr, hiB)
         if tagLo == tagHi
         if tagLo != "d" || e.nanCounts.get(f.id).contains(0L)
-      } yield f.name -> ColStats(tagLo, lo, hi, e.nullCounts.getOrElse(f.id, 0L))
+      // missing null count = UNKNOWN (-1: pruner keeps, aggs refuse), never 0
+      } yield f.name -> ColStats(tagLo, lo, hi, e.nullCounts.getOrElse(f.id, -1L))
     }.toMap
     DataFileMeta(e.filePath, pf.seq, e.recordCount, e.fileSizeBytes, pvals, stats)
   }

@@ -44,7 +44,10 @@ import graft.lake.iceberg.{IceMeta, IcebergMeta}
   */
 final class IcebergRestCatalog(uri: String) {
   private val mapper = new ObjectMapper()
-  private val http = HttpClient.newHttpClient()
+  // bounded timeouts — a wedged service must fail fast, not hang every
+  // resolution and the whole optimistic-commit retry loop
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
   private val base = uri.stripSuffix("/")
 
   /** `GET /v1/config` once per client: a service may route all further
@@ -62,6 +65,7 @@ final class IcebergRestCatalog(uri: String) {
   private def send(method: String, url: String, body: Option[String] = None)
       : HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30))
       .header("Content-Type", "application/json")
     val req = (method match {
       case "GET" => b.GET()

@@ -199,6 +199,7 @@ object AggPushdown {
       case MCount(name) =>
         if (sums.exists(_.rows <= 0)) return None
         val rs = ranges(name).getOrElse(return None)
+        if (rs.exists(_.nulls < 0)) return None // unknown null count
         values += Left(sums.map(_.rows).sum - rs.map(_.nulls).sum)
       case mm @ (MMin(_) | MMax(_)) =>
         val isMin = mm.isInstanceOf[MMin]
@@ -245,8 +246,8 @@ object AggPushdown {
         } else {
           var n = 0L
           for (df <- files) df.stats.get(statName(df, name)) match {
-            case Some(st) => n += df.rowCount - st.nulls
-            case None => return None
+            case Some(st) if st.nulls >= 0 => n += df.rowCount - st.nulls
+            case _ => return None // absent or UNKNOWN (-1) null count
           }
           n
         })
