@@ -75,14 +75,13 @@ object Tables {
     * keeps it from adding a shuffle when parallelism already exists). */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // cheap logical-plan gate first: fewer source files than target cores
-    // can never give enough read splits, so repartition without planning
-    // the frame. Only when the file count LOOKS sufficient do we pay one
-    // physical planning (df.rdd) to learn the real partition count —
-    // Spark packs small files, so 8 files can still be 1 read partition
-    // and file count alone would skip a needed repartition.
-    if (df.inputFiles.length < target) df.repartition(target)
-    else if (df.rdd.getNumPartitions >= target) df
+    // one physical planning (df.rdd) learns the REAL read-split count —
+    // file count alone is wrong in BOTH directions: Spark packs many
+    // small files into one partition (count overstates parallelism) and
+    // splits one large file at maxPartitionBytes (count understates it —
+    // a file-count gate would force a full corpus shuffle on a dataset
+    // of few big splittable files that already reads wide)
+    if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
 }

@@ -31,10 +31,14 @@ object Ann {
     * #queries × Shards tasks; phase 2 touches a trivial row count. */
   private def topK(cands: DataFrame): DataFrame = {
     val sharded = cands.withColumn("shard", pmod(xxhash64(col("vec_id")), lit(Shards)))
+    // rank on the ROUNDED similarity (the displayed value): ranking on
+    // the raw double would let two near-tie candidates swap ranks with
+    // the oracle whenever the engines' cosines differ in the last ulp —
+    // the rounded key + vec_id tiebreak is deterministic cross-engine
     val w1 = Window.partitionBy("q_id", "shard")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .orderBy(round(col("cos_sim"), 4).desc, col("vec_id").asc)
     val w2 = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .orderBy(round(col("cos_sim"), 4).desc, col("vec_id").asc)
     sharded
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
@@ -65,11 +69,11 @@ object Ann {
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // band width scales with log2(corpus) so buckets stay small at any n
-    // (fixed-width keys go quadratic — see Dedup.adaptiveBandBits); n comes
-    // from parquet-footer metadata, not an extra count() pass (r02 #3)
-    val bandBits = math.max(4,
-      math.ceil(math.log(math.max(1.0,
-        Tables.rowCount(s, s"$d/embeddings.parquet") / 64.0)) / math.log(2)).toInt)
+    // — the SAME blocking math as the dedup LSH family (one formula, one
+    // retuning point); n comes from parquet-footer metadata, not an
+    // extra count() pass (r02 #3)
+    val bandBits =
+      Dedup.adaptiveBandBits(Tables.rowCount(s, s"$d/embeddings.parquet"))
     // signatures are a map-only projection (native expression) — the
     // corpus side is scan → project → explode with NO shuffle before the
     // broadcast band join
@@ -181,16 +185,10 @@ object Ann {
     topK(cands)
   }
 
-  /** Fresh work-dir for the materialized IVF index (same convention as
-    * the Lake queries' work dirs: rebuilt per call, gate-idempotent). */
-  private def indexWorkDir(s: SparkSession, sfDir: String): String = {
-    val sfTag = sfDir.replaceAll(".*/", "")
-    val loc = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
-      s"/ann_ivf_index-$sfTag"
-    val p = new org.apache.hadoop.fs.Path(loc)
-    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-    loc
-  }
+  /** Fresh work-dir for the materialized IVF index — Lake's work-dir
+    * convention verbatim (one place to change the layout/cleanup). */
+  private def indexWorkDir(s: SparkSession, sfDir: String): String =
+    Lake.work(s, "ann_ivf_index", sfDir)
 
   /** int8 scalar quantization pass over the embedding store (FAISS SQ8
     * shape): one native expression per vector computes the quantization
@@ -365,7 +363,8 @@ object Ann {
            FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
          ranked AS (
            SELECT q_id, vec_id, c,
-                  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS r
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(c, 4) DESC, vec_id ASC) AS r
            FROM scored)
          SELECT q_id, vec_id, round(c, 4) AS cos_sim, CAST(r AS INT) AS rank
          FROM ranked WHERE r <= 5 ORDER BY q_id, rank""")

@@ -280,8 +280,15 @@ object Dedup {
     val b = docs.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
     val repPairs = cands.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
-      .filter(col("jac") >= 0.7)
+        jaccardHashed(col("ids_a"), col("ids_b")).as("__jac_raw"))
+      // verify on the UNROUNDED jaccard: the prefix filter's recall
+      // theorem guarantees candidates only for true J >= 0.7, so
+      // accepting rounded boundary pairs (true J in [0.69995, 0.7))
+      // would surface them nondeterministically — only when a rare
+      // shared token happens to land them in the candidate set
+      .filter(col("__jac_raw") >= 0.7)
+      .select(col("a_id"), col("b_id"),
+        round(col("__jac_raw"), 4).as("jac"))
     // family membership WITHOUT materializing any per-family array: each
     // doc row joins its family's representative by content hash — scales
     // as k distributed rows per family, never one k-element row
@@ -343,7 +350,7 @@ object Dedup {
     * count (16 bands × bits) grows logarithmically while buckets stay
     * small; recall concentrates on high-similarity pairs, which is what
     * near-dup detection needs at scale. */
-  private def adaptiveBandBits(n: Long): Int =
+  private[queries] def adaptiveBandBits(n: Long): Int =
     math.max(4, math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt)
 
   /** Embedding near-dup pairs: 16 bands of adaptive-width hyperplane sign
@@ -383,8 +390,10 @@ object Dedup {
     // localCheckpoint (eager) after the pair generation: iterative
     // DataFrame algorithms otherwise double their lineage per round and
     // re-run the whole LSH pipeline 2^rounds times.
+    // dedupMinhashLsh already returns a localCheckpoint'd frame; the
+    // select over it has trivial lineage, so a second checkpoint would
+    // only pin one more full copy of the pair set in block storage
     val pairs = dedupMinhashLsh(s, d).select(col("a_id"), col("b_id"))
-      .localCheckpoint()
     minLabelPropagate(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), col("label").as("canonical_id"))

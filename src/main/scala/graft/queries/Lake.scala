@@ -23,7 +23,7 @@ object Lake {
   /** Work-dir root. Tables are rebuilt from scratch on every call so the
     * gate is idempotent; kept under target/ (git-ignored, inside the repo
     * sandbox). */
-  private def work(s: SparkSession, name: String, sfDir: String): String = {
+  private[queries] def work(s: SparkSession, name: String, sfDir: String): String = {
     val sfTag = sfDir.replaceAll(".*/", "")
     val loc = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
       s"/$name-$sfTag"
@@ -385,7 +385,7 @@ object Lake {
     // would flip the output type vs the oracle)
     s.sql(
       s"""SELECT o_orderstatus, count(*) AS n_orders,
-                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2) AS total
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS total
           FROM $cat.orders_t
           WHERE o_orderdate >= DATE '1995-01-01'
           GROUP BY o_orderstatus""")
@@ -427,7 +427,7 @@ object Lake {
           WHEN NOT MATCHED THEN INSERT *""")
     s.sql(
       s"""SELECT o_orderstatus, count(*) AS n_orders,
-                 round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2) AS total
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS total
           FROM $cat.orders_t
           GROUP BY o_orderstatus""")
   }

@@ -128,7 +128,13 @@ object Multimodal {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
     withPayload
       .select(col("doc_id"), col("payload"), nFrames.as("n_frames"),
-        posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+        // an empty payload has ZERO frames and samples none — an
+        // unguarded clamp to frame 0 would emit a phantom frame row
+        // (frame_idx 0, 0 bytes) that downstream decoders would treat
+        // as a real frame
+        posexplode(when(nFrames > 0,
+            sequence(lit(0), nFrames - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))
           .as(Seq("sample_idx", "frame_idx")))
       .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"),

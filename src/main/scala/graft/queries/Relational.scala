@@ -45,7 +45,7 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         Money.sum2(col("l_extendedprice")).as("sum_base_price"),
         Money.sum2(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        avg(col("l_quantity")).as("avg_qty"), // exact int sum / count — unrounded (Money posture)
         Money.avg4(col("l_discount"), 100).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
@@ -144,7 +144,11 @@ object Relational {
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
-      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      // integer-cents window sum (exact in any accumulation order) /
+      // one fixed division — a windowed double sum + round(,2) is
+      // engine-dependent twice over (the q30/lake_migrate class)
+      .withColumn("running_total",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
       .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
   }
 
@@ -447,7 +451,7 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("k")), 2).as("avg_k"),
+        avg(col("k")).as("avg_k"), // exact long sum / count — unrounded
         max(col("k")).as("max_k"),
         sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
 
@@ -556,7 +560,7 @@ object Relational {
                 round(sum(l_quantity), 2) AS sum_qty,
                 CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
                 CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
-                round(avg(l_quantity), 4) AS avg_qty,
+                avg(l_quantity) AS avg_qty,
                 CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -604,10 +608,11 @@ object Relational {
          WHERE rn <= 3""",
     "q10_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate ASC, o_orderkey ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                  AS running_total
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate ASC, o_orderkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) / 100.0 AS running_total
          FROM orders""",
     "q11_subquery_scalar" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
@@ -710,7 +715,7 @@ object Relational {
                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events)
          SELECT event_type, count(*) AS n_events,
-                round(avg(k), 2) AS avg_k, max(k) AS max_k,
+                avg(k) AS avg_k, max(k) AS max_k,
                 CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_high
          FROM e GROUP BY 1""",

@@ -109,9 +109,14 @@ object Text {
     * shuffle at all — at 100 TB this is a single map pass. [oracle] */
   def textChunk(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val chunks = transform(
-      sequence(lit(0), floor((size(toks) - 1) / 48).cast("int")),
-      i => concat_ws(" ", slice(toks, i * 48 + 1, lit(64))))
+    // zero-token docs chunk to an EMPTY array, matching the oracle's
+    // empty range: an unguarded sequence(0, -1) counts DOWN (Spark's
+    // default step) and would emit two phantom chunk rows per empty doc
+    val chunks = when(size(toks) > 0,
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / 48).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 48 + 1, lit(64)))))
+      .otherwise(array().cast("array<string>"))
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"), col("chunk_text"))
