@@ -73,6 +73,12 @@ object Z85 {
         v = v * 85 + d
         j += 1
       }
+      // a 5-char group encodes one uint32: values past 2^32-1 are invalid
+      // per Z85 — truncating to the low 4 bytes would silently decode a
+      // corrupted descriptor into a WRONG uuid/bitmap and fail far away
+      // with a misleading error
+      require(v <= 0xffffffffL,
+        s"z85: group '${text.substring(i, i + 5)}' exceeds the uint32 range")
       var k = 3
       while (k >= 0) { out(o + k) = (v & 0xff).toByte; v >>= 8; k -= 1 }
       i += 5

@@ -2,7 +2,7 @@ package graft.lake.hudi
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, when}
 
 import graft.lake.{GraftTable, PartitionTransforms, PIdentity}
 
@@ -47,8 +47,17 @@ object HudiExport {
     * over the rows being written (count vs distinct-key count). */
   private def requireUniqueKeys(df: org.apache.spark.sql.DataFrame,
       key: String, what: String): Unit = {
+    // count nulls explicitly: countDistinct IGNORES nulls, so a single
+    // null-key row would trip the mismatch branch yet leave the
+    // duplicate-witness query empty (head() on nothing) — report the
+    // null key as its own named refusal instead of an unrelated crash
     val r = df.agg(count(lit(1)).as("n"),
-      countDistinct(col(key)).as("k")).head()
+      countDistinct(col(key)).as("k"),
+      count(when(col(key).isNull, 1)).as("nulls")).head()
+    if (r.getLong(2) > 0)
+      throw new IllegalStateException(
+        s"hudi export: $what has ${r.getLong(2)} rows with a NULL record " +
+          s"key ($key) — a keyed Hudi table cannot address them")
     if (r.getLong(0) != r.getLong(1)) {
       val witness = df.groupBy(col(key)).count()
         .filter(col("count") > 1).select(col(key)).head().get(0)
@@ -68,10 +77,12 @@ object HudiExport {
       s"hudi export needs exactly one key column, got $keyCols")
     val identityParts = PartitionTransforms.parseAll(t.meta.partitionColumns)
       .collect { case PIdentity(c) => c }
+    // validate BEFORE create: HudiWriter.create clears dest, so a refused
+    // export must not have destroyed the previous good mirror first
+    requireUniqueKeys(t.scan(), keyCols.head, "source snapshot")
     val w = HudiWriter.create(spark, dest, t.schema,
       partitionFields = identityParts, keyField = keyCols.head,
       tableType = "MERGE_ON_READ")
-    requireUniqueKeys(t.scan(), keyCols.head, "source snapshot")
     w.insert(t.scan())
     graft.lake.ExportProvenance.write(spark, dest, t.meta.currentSnapshotId)
     w

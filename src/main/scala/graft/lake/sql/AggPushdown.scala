@@ -50,8 +50,56 @@ object AggPushdown {
       case Some(s) =>
         val idCols = identityCols(m.partitionColumns)
         val sch = table.schema
-        f.references.forall(r => !r.contains('.') && idCols.contains(r)) &&
-          s.dataFiles.forall(df => eval(f, df, sch).isDefined)
+        if (!f.references.forall(r => !r.contains('.') && idCols.contains(r)))
+          return false
+        // SUMMARY fast path — decide from the manifest list alone: a
+        // column enters a summary's pvals only when EVERY data file in
+        // that manifest carries a (bounded-cardinality) value for it, so
+        // presence in all summaries + convertibility of every recorded
+        // value proves per-file decidability with ZERO manifest IO.
+        // This runs in pushFilters on every filtered DSv2 query — the
+        // per-file walk below is O(all files) and stays only as the
+        // conservative fallback (no summaries / capped-out column).
+        val refs = f.references.toSeq
+        val entries = s.manifestEntries
+        val bySummary = shapeDecidable(f, sch) &&
+          entries.nonEmpty && entries.forall {
+            case (_, Some(sum)) =>
+              refs.forall { c =>
+                val dt = sch.find(_.name == c).map(_.dataType)
+                sum.pvals.get(c).exists(_.forall(raw =>
+                  raw == Meta.NullPartition ||
+                    dt.exists(d => partValue(raw, d).isDefined)))
+              }
+            case (_, None) => false
+          }
+        bySummary || s.dataFiles.forall(df => eval(f, df, sch).isDefined)
+    }
+  }
+
+  /** Can [[eval]] decide `f` for ANY file whose referenced partition
+    * values are present and convertible? Mirrors eval3's shape + literal
+    * handling with no file in hand — the summary fast path supplies the
+    * per-file part. */
+  private def shapeDecidable(f: Filter, sch: StructType): Boolean = {
+    def lit(c: String, v: Any): Boolean =
+      v != null && sch.find(_.name == c).map(_.dataType)
+        .exists(dt => litValue(v, dt).isDefined)
+    f match {
+      case sources.EqualTo(c, v) => lit(c, v)
+      case sources.GreaterThan(c, v) => lit(c, v)
+      case sources.GreaterThanOrEqual(c, v) => lit(c, v)
+      case sources.LessThan(c, v) => lit(c, v)
+      case sources.LessThanOrEqual(c, v) => lit(c, v)
+      case sources.EqualNullSafe(c, v) => lit(c, v)
+      case sources.In(c, vs) =>
+        vs != null && vs.forall(v => v == null || lit(c, v))
+      case sources.IsNull(_) | sources.IsNotNull(_) => true
+      case sources.And(l, r) => shapeDecidable(l, sch) && shapeDecidable(r, sch)
+      case sources.Or(l, r) => shapeDecidable(l, sch) && shapeDecidable(r, sch)
+      case sources.Not(inner) => shapeDecidable(inner, sch)
+      case _: sources.AlwaysTrue | _: sources.AlwaysFalse => true
+      case _ => false
     }
   }
 
@@ -472,24 +520,34 @@ object AggPushdown {
   }
 
   /** Order-preserving embedding of a string into BigDecimal: CODE POINTS
-    * become base-(0x10FFFF+2) digits after the decimal point, each +1 so a
+    * become fixed-base digits after the decimal point, each +1 so a
     * prefix sorts strictly below its extensions. Code-point order equals
     * Spark's UTF8String unsigned-byte order (UTF-16 char order would NOT —
-    * surrogate pairs sort below U+E000..U+FFFF there). Exact because
-    * BigDecimal is arbitrary precision; partition-value strings are short
-    * by construction (they were path components). */
+    * surrogate pairs sort below U+E000..U+FFFF there).
+    *
+    * EXACTNESS is load-bearing and subtle: scala.math.BigDecimal's
+    * default MathContext silently ROUNDS +, * and / at 34 digits, which
+    * collapsed any two strings sharing a ~6-char prefix to EQUAL
+    * embeddings — metadata-only aggregates then counted OTHER
+    * partitions' rows ('2024-01-01' compared equal to '2024-01-02').
+    * So: java.math.BigDecimal with unlimited precision, and the digit
+    * base is 2^21 (≥ 0x10FFFF+2) — a power of two, whose reciprocal
+    * TERMINATES in decimal, making every divide() exact (a non-power
+    * base would throw ArithmeticException on the unlimited divide). */
   private def strEmbed(s: String): BigDecimal = {
-    var acc = BigDecimal(0)
-    var scale = BigDecimal(1)
-    val base = BigDecimal(0x10FFFF + 2)
+    val base = new java.math.BigDecimal(1 << 21)
+    var acc = java.math.BigDecimal.ZERO
+    var scale = java.math.BigDecimal.ONE
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      scale = scale / base
-      acc += scale * BigDecimal(cp + 1)
+      scale = scale.divide(base) // exact: terminating expansion
+      acc = acc.add(scale.multiply(new java.math.BigDecimal(cp + 1)))
       i += Character.charCount(cp)
     }
-    acc
+    // consumers only COMPARE embeddings (compare is exact regardless of
+    // MathContext); UNLIMITED guards any future arithmetic use
+    new BigDecimal(acc, java.math.MathContext.UNLIMITED)
   }
 
   /** Mirrors FilePruner.parseTimestampMicros (incl. the date-only

@@ -175,7 +175,15 @@ class GraftNativeScanRule extends Rule[LogicalPlan] {
       // the data columns, so positional zip would misalign them
       val byName = native.output.map(a => a.name -> a).toMap
       val remapped: Seq[NamedExpression] = rel.output.map { to =>
-        Alias(byName(to.name), to.name)(exprId = to.exprId)
+        val from = byName(to.name)
+        // type equality is the substitution's soundness condition:
+        // silently rebinding the exprId to a different runtime type
+        // would corrupt downstream operators resolved against the
+        // relation's type — throw inside the try so the V1 path stays
+        // (same guard as InteropNativeScanRule.substitute)
+        require(from.dataType == to.dataType,
+          s"native scan type mismatch on ${to.name}: ${from.dataType} != ${to.dataType}")
+        Alias(from, to.name)(exprId = to.exprId)
       }
       Project(remapped, native)
     } catch { case _: Throwable => rel }

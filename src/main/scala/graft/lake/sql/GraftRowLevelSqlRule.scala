@@ -231,9 +231,15 @@ case class GraftMergeCommand(
     // columns — project onto the table's columns before any commit (a
     // wider source used to pass the rule and then fail in align();
     // ADVICE r04). DeleteMatched needs only the key columns.
+    // PIN the source (same reason InteropMergeCommand localCheckpoints):
+    // the cardinality probe and the commit each re-evaluate the source
+    // plan; a nondeterministic or concurrently-moving source could pass
+    // the probe and then commit DIFFERENT rows — duplicate live rows per
+    // key, the exact corruption the check exists to prevent.
     val src =
-      if (shape == DeleteMatched) raw
-      else raw.select(t.schema.fieldNames.toIndexedSeq.map(col): _*)
+      (if (shape == DeleteMatched) raw
+       else raw.select(t.schema.fieldNames.toIndexedSeq.map(col): _*))
+        .localCheckpoint()
     // SQL MERGE cardinality rule: a TARGET row matched by more than one
     // source row is an error (Spark's MERGE_CARDINALITY_VIOLATION) — the
     // upsert commit would otherwise keep duplicate live rows per key.

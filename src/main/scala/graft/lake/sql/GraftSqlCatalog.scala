@@ -161,14 +161,49 @@ class GraftSqlCatalog extends TableCatalog {
     // rest mode: reserve the name with the service, which assigns the
     // location; dir mode derives it from the warehouse path
     val loc = if (rest != null) rest.reserve(flatName(ident)) else location(ident)
-    val t = GraftTable.createEmpty(spark, loc, schema, partCols, keyCols,
-      properties = userProps,
-      arbiter = if (rest != null) rest.arbiter(flatName(ident)) else None)
+    val t =
+      try GraftTable.createEmpty(spark, loc, schema, partCols, keyCols,
+        properties = userProps,
+        arbiter = if (rest != null) rest.arbiter(flatName(ident)) else None)
+      catch {
+        case e: Throwable =>
+          // roll the reservation back: a leaked registry entry would
+          // permanently brick the name (exists() true, loadTable broken)
+          // after e.g. a rejected key column — the retry with fixed DDL
+          // must find a clean slate
+          if (rest != null)
+            try rest.drop(flatName(ident)) catch { case _: Throwable => () }
+          throw e
+      }
     new GraftSqlTable(t, ident.toString)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadGraft(ident)
+    // validate EVERY change before applying ANY: each change below is its
+    // own metadata commit, so an unsupported/failing later change would
+    // otherwise leave the statement half-applied (DSv2 expects ALTER to
+    // be all-or-nothing). Shape validation is cheap and total; a
+    // per-change semantic failure (e.g. duplicate column) can still
+    // surface mid-statement, but the common statement-level foot-gun —
+    // one unsupported change after applied ones — now rejects up front.
+    changes.foreach { c =>
+      val depth = c match {
+        case a: TableChange.AddColumn => Some(a.fieldNames().length)
+        case r: TableChange.RenameColumn => Some(r.fieldNames().length)
+        case d: TableChange.DeleteColumn => Some(d.fieldNames().length)
+        case u: TableChange.UpdateColumnType => Some(u.fieldNames().length)
+        case _: TableChange.SetProperty => Some(1)
+        case _ => None
+      }
+      depth match {
+        case Some(1) => ()
+        case Some(_) => throw new UnsupportedOperationException(
+          s"graft supports top-level (non-nested) column changes only, got $c")
+        case None => throw new UnsupportedOperationException(
+          s"unsupported table change $c")
+      }
+    }
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t.addColumn(add.fieldNames()(0), add.dataType().sql)

@@ -55,6 +55,27 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(g.get(4) == exp.get(4))
   }
 
+  test("long-shared-prefix string partitions stay DISTINCT in pushed filters") {
+    // regression: the string→BigDecimal embedding used scala BigDecimal
+    // arithmetic, whose default MathContext rounds at 34 digits —
+    // '2024-01-01' and '2024-01-02' (6+ shared prefix chars) embedded
+    // EQUAL, so a metadata COUNT with an equality filter counted OTHER
+    // partitions' rows
+    val sp = spark; import sp.implicits._
+    val df = (Seq.fill(7)("2024-01-01") ++ Seq.fill(11)("2024-01-02") ++
+      Seq.fill(3)("2024-01-03")).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toDF("id", "day")
+    freshTable("strpart", df, partitionBy = Seq("day"))
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.strpart WHERE day = '2024-01-02'")
+    assert(!hasAggregate(got), "filtered count must push to metadata")
+    assert(got.head.getLong(0) == 11,
+      "prefix-sharing partitions must not collapse to one embedding")
+    val range = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.strpart WHERE day > '2024-01-01'")
+    assert(range.head.getLong(0) == 14)
+  }
+
   test("pushed aggregates survive data-file destruction (zero data IO)") {
     val o = Tables.orders(spark, sf)
     val t = freshTable("destroyed", o, partitionBy = Seq("o_orderstatus"))
