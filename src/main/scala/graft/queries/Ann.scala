@@ -36,13 +36,14 @@ object Ann {
     // the oracle whenever the engines' cosines differ in the last ulp —
     // the rounded key + vec_id tiebreak is deterministic cross-engine
     val w1 = Window.partitionBy("q_id", "shard")
-      .orderBy(round(col("cos_sim"), 4).desc, col("vec_id").asc)
+      .orderBy(Money.qround(col("cos_sim"), 4).desc, col("vec_id").asc)
     val w2 = Window.partitionBy("q_id")
-      .orderBy(round(col("cos_sim"), 4).desc, col("vec_id").asc)
+      .orderBy(Money.qround(col("cos_sim"), 4).desc, col("vec_id").asc)
     sharded
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+      .select(col("q_id"), col("vec_id"),
+        Money.qround(col("cos_sim"), 4).as("cos_sim"), col("rank"))
       .orderBy("q_id", "rank")
   }
 
@@ -263,7 +264,8 @@ object Ann {
       .withColumn("cos_sim", dot(col("u"), col("qu")))
     val wf = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
     reranked.withColumn("rank", row_number().over(wf)).filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+      .select(col("q_id"), col("vec_id"),
+        Money.qround(col("cos_sim"), 4).as("cos_sim"), col("rank"))
       .orderBy("q_id", "rank")
   }
 
@@ -364,8 +366,8 @@ object Ann {
          ranked AS (
            SELECT q_id, vec_id, c,
                   row_number() OVER (PARTITION BY q_id
-                    ORDER BY round(c, 4) DESC, vec_id ASC) AS r
+                    ORDER BY floor(c * 10000.0 + 0.5) / 10000.0 DESC, vec_id ASC) AS r
            FROM scored)
-         SELECT q_id, vec_id, round(c, 4) AS cos_sim, CAST(r AS INT) AS rank
+         SELECT q_id, vec_id, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim, CAST(r AS INT) AS rank
          FROM ranked WHERE r <= 5 ORDER BY q_id, rank""")
 }

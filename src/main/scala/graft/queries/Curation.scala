@@ -259,11 +259,11 @@ object Curation {
       .select(
         col("doc_id"),
         col("r.n_words").as("n_words"),
-        round(lit(1.0) - col("r.n_distinct") / n, 4).as("dup_word_frac"),
-        round(when(col("r.n_words") >= 2,
+        Money.qround(lit(1.0) - col("r.n_distinct") / n, 4).as("dup_word_frac"),
+        Money.qround(when(col("r.n_words") >= 2,
           lit(1.0) - col("r.n_distinct_bigrams") / col("r.n_bigrams").cast("double"))
           .otherwise(0.0), 4).as("dup_2gram_frac"),
-        round(col("r.top_count") / n, 4).as("top_word_frac"))
+        Money.qround(col("r.top_count") / n, 4).as("top_word_frac"))
   }
 
   /** MODEL-BASED QUALITY CLASSIFIER — the CCNet / FineWeb distillation
@@ -498,14 +498,14 @@ object Curation {
             FROM t)
           SELECT doc_id,
                  len(toks) AS n_words,
-                 round(1.0 - len(list_distinct(toks))
-                       / CAST(len(toks) AS DOUBLE), 4) AS dup_word_frac,
-                 round(CASE WHEN len(toks) >= 2
+                 floor((1.0 - len(list_distinct(toks))
+                       / CAST(len(toks) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+                 floor((CASE WHEN len(toks) >= 2
                    THEN 1.0 - len(list_distinct(bigrams))
                         / CAST(len(bigrams) AS DOUBLE)
-                   ELSE 0.0 END, 4) AS dup_2gram_frac,
-                 round(list_max(list_transform(list_distinct(toks),
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS dup_2gram_frac,
+                 floor((list_max(list_transform(list_distinct(toks),
                      w -> len(list_filter(toks, x -> x = w))))
-                       / CAST(len(toks) AS DOUBLE), 4) AS top_word_frac
+                       / CAST(len(toks) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_word_frac
           FROM b""")
 }

@@ -42,6 +42,26 @@ object Money {
   def sqlSum2(e: String, scale: Long = 100L): String =
     s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT) / $scale.0"
 
+  /** Engine-DETERMINISTIC n-digit quantization of a per-row double:
+    * `floor(x*s + 0.5) / s`. Multiply, add, floor, divide are each fully
+    * IEEE-specified, so both engines compute the identical double when
+    * the SQL side ([[sqlQround]]) mirrors the op order. Native `round()`
+    * is the one op with engine freedom — Spark rounds the exact decimal
+    * expansion HALF_UP, DuckDB scales in floating point and nearbyints —
+    * and the two legitimately diverge near representation boundaries
+    * (the r11 lake_migrate red). Convention: exact halves go toward
+    * +inf. Spark's floor returns BIGINT (DuckDB's a DOUBLE); the final
+    * division lands both on the same double. */
+  def qround(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    floor(c * s + 0.5) / s
+  }
+
+  def sqlQround(e: String, digits: Int): String = {
+    val s = math.pow(10, digits).toLong
+    s"floor(($e) * $s.0 + 0.5) / $s.0"
+  }
+
   /** exact integer-unit sum (BIGINT both engines) — zero floating point
     * anywhere past the per-row scaling, bit-exact on any dataset. */
   def sumUnits(c: Column, scale: Long = 100L): Column =

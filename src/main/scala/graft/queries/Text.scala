@@ -32,7 +32,7 @@ object Text {
     val nWords = size(tokens(text)).cast("double")
     val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
     val nChars = length(text).cast("double")
-    round(least(lit(1.0), nWords / 100.0) * (lit(1.0) - punct / nChars), 4)
+    Money.qround(least(lit(1.0), nWords / 100.0) * (lit(1.0) - punct / nChars), 4)
   }
 
   /** length / stopword / punctuation quality signals + a composite score —
@@ -48,8 +48,8 @@ object Text {
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(toks).as("n_words"),
-      round(stopHits / nWords, 4).as("stop_ratio"),
-      round(punct / nChars, 4).as("punct_ratio"),
+      Money.qround(stopHits / nWords, 4).as("stop_ratio"),
+      Money.qround(punct / nChars, 4).as("punct_ratio"),
       qualityScoreCol(col("text")).as("quality_score"))
   }
 
@@ -250,14 +250,14 @@ object Text {
       """SELECT doc_id,
                 length(text) AS n_chars,
                 len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_words,
-                round(len(list_filter(string_split_regex(text, '\s+'),
+                floor((len(list_filter(string_split_regex(text, '\s+'),
                           t -> t IN ('the','a','of','and','to')))
-                      / CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE), 4) AS stop_ratio,
-                round(len(regexp_extract_all(text, '[^a-z0-9 ]'))
-                      / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-                round(least(1.0, len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0)
+                      / CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                floor((len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                      / CAST(length(text) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                floor((least(1.0, len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0)
                       * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))
-                               / CAST(length(text) AS DOUBLE)), 4) AS quality_score
+                               / CAST(length(text) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS quality_score
          FROM documents""",
     "text_chunk" ->
       """WITH t AS (
