@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * because the caller re-applies the same predicate to the scanned rows;
   * pruning only shrinks IO — which at 100 TB is the whole game.
   */
-object FilePruner {
+// Serializable so closures built by [[keeper]] (which capture the module
+// through method references) ship to executors; the module is stateless.
+object FilePruner extends Serializable {
 
   /** Comparison domain for a stats/literal value (see ColStats.tag). */
   private sealed trait V
@@ -70,6 +72,35 @@ object FilePruner {
           catch { case _: Throwable => return files }
         pruneResolved(files, expr, partitionColumns, schema, statName, bloom)
     }
+
+  /** Serializable per-file keep predicate for EXECUTOR-side pruning —
+    * the distributed log-replay path (a 10⁶-file Delta checkpoint must
+    * not funnel every add action through one driver collect just so the
+    * driver can throw most of them away; see
+    * [[graft.lake.delta.DeltaTable]]). The predicate is normalized and
+    * the transforms parsed ONCE here on the driver; the returned closure
+    * captures only serializable case-class state (the Catalyst tree, the
+    * parsed transforms, the schema) and runs the same conservative
+    * [[mayMatch]] walk per file inside tasks. Semantics are identical to
+    * [[prune]]: any normalization failure degrades to keep-everything,
+    * never to dropping a file. */
+  def keeper(
+      filter: Option[Column],
+      partitionColumns: Seq[String],
+      schema: StructType): DataFileMeta => Boolean = {
+    val keepAll: DataFileMeta => Boolean = _ => true
+    filter match {
+      case None => keepAll
+      case Some(c) =>
+        val norm =
+          try normalize(org.apache.spark.sql.graftshim.ColumnExpr.expression(c))
+          catch { case _: Throwable => return keepAll }
+        val transforms =
+          try PartitionTransforms.parseAll(partitionColumns)
+          catch { case _: Throwable => Nil }
+        f => mayMatch(f, norm, transforms, schema, SameName, NoBloom)
+    }
+  }
 
   /** Same walk over an already-built Catalyst predicate (resolved trees
     * pass through `normalize` unchanged — the walk matches

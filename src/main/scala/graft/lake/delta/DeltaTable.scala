@@ -57,20 +57,87 @@ import graft.lake.{ColStats, DataFileMeta, FilePruner, Meta}
   * misread: a silently wrong scan is worse than an unsupported-table
   * error.
   *
-  * At 100 TB: state reconstruction is O(log actions) driver-side
-  * metadata IO (checkpoint-seeded, like Delta's own snapshot code), and
-  * the scan is ordinary distributed parquet reads with pushed filters.
+  * At 100 TB: state reconstruction is checkpoint-seeded, and past a
+  * byte threshold (`spark.graft.delta.stateCollectThresholdBytes`) the
+  * checkpoint's add payload is never funneled through the driver —
+  * snapshot state stays in the checkpoint/sidecar parquet and every
+  * scan replays it as a DISTRIBUTED job with the query's predicate
+  * pushed into the replay ([[FilePruner.keeper]] runs inside tasks), so
+  * the driver materializes only the surviving files of a 10⁶-file
+  * estate (r13; OSS Delta reconstructs snapshots distributed for the
+  * same reason). The scan itself is ordinary distributed parquet reads
+  * with pushed filters.
   */
 final class DeltaTable private (
     spark: SparkSession,
     val location: String,
     val version: Long,
     meta: DeltaTable.DMeta,
-    adds: Seq[DeltaTable.AddFile],
+    state: DeltaTable.State,
     /** Latest SetTransaction (`txn` action) version per appId at this
       * table version — the protocol's streaming-sink idempotence record
       * (newest wins; checkpoints retain one per appId). */
     val txnVersions: Map[String, Long] = Map.empty) {
+
+  /** FULL live add set. In [[DeltaTable.Lazy]] (big-checkpoint) mode this
+    * is a distributed replay that still collects EVERY entry — only the
+    * metadata-aggregate path ([[aggPlan]], which genuinely needs per-file
+    * stats for every live file) and [[addByPath]] (DV stream reads) pay
+    * it; the scan/plan paths go through [[prunedAdds]] and collect only
+    * predicate survivors. */
+  private lazy val adds: Seq[DeltaTable.AddFile] = state match {
+    case DeltaTable.Eager(a) => a
+    case l: DeltaTable.Lazy => distReplay(l, None)
+  }
+
+  /** Live adds surviving the filter. Eager mode prunes on the driver
+    * exactly as before; Lazy mode pushes [[FilePruner]]'s conservative
+    * walk INTO the distributed checkpoint/sidecar read, so the driver
+    * only ever materializes files the scan will actually open — the
+    * checkpoint replay is a Spark job, not a driver loop (the same
+    * discipline as [[graft.lake.ParquetStats.readFooters]]; OSS Delta
+    * reconstructs snapshot state distributed for the same reason). */
+  private def prunedAdds(filter: Option[Column]): Seq[DeltaTable.AddFile] =
+    state match {
+      case DeltaTable.Eager(a) =>
+        val metas = a.map(f => f.path -> toDataFileMeta(f)).toMap
+        val keep = FilePruner.prune(metas.values.toSeq, filter,
+          meta.partitionColumns, meta.schema).map(_.path).toSet
+        a.filter(f => keep(f.path))
+      case l: DeltaTable.Lazy => distReplay(l, filter)
+    }
+
+  /** Distributed checkpoint replay: parse add actions INSIDE tasks,
+    * drop entries superseded by post-checkpoint commits (the bounded
+    * tail — at most one checkpoint interval of removes/re-adds, shipped
+    * as a broadcast set), apply the pruning predicate executor-side, and
+    * collect only the survivors. The post-checkpoint tail adds are
+    * pruned on the driver (they are O(commits since checkpoint)). */
+  private def distReplay(l: DeltaTable.Lazy,
+      filter: Option[Column]): Seq[DeltaTable.AddFile] = {
+    val m = meta
+    val keep = FilePruner.keeper(filter, m.partitionColumns, m.schema)
+    val excluded = spark.sparkContext.broadcast(l.excluded)
+    def survivors(paths: Seq[String]): Seq[DeltaTable.AddFile] =
+      if (paths.isEmpty) Nil
+      else {
+        val df = spark.read.parquet(paths: _*)
+        if (!df.columns.contains("add")) Nil
+        else df.filter(col("add").isNotNull).select("add.*")
+          .rdd.mapPartitions { it =>
+            it.map(DeltaTable.parseAddRow)
+              .filter(a => !excluded.value.contains(a.path))
+              .filter(a => keep(DeltaTable.toDataFileMeta(a, m)))
+          }.collect().toSeq
+      }
+    val tail = l.tailAdds.filter(a => keep(DeltaTable.toDataFileMeta(a, m)))
+    // last-wins dedup by path over the (small) survivor set, mirroring
+    // the eager seed's LinkedHashMap; tail paths are disjoint from the
+    // checkpoint side by construction (excluded covers re-adds)
+    val dedup = scala.collection.mutable.LinkedHashMap[String, DeltaTable.AddFile]()
+    (survivors(l.cpPaths) ++ survivors(l.sidecarPaths)).foreach(a => dedup(a.path) = a)
+    dedup.values.toSeq ++ tail
+  }
 
   /** Last committed version for a streaming appId; -1 = never. */
   def txnVersion(appId: String): Long = txnVersions.getOrElse(appId, -1L)
@@ -103,41 +170,51 @@ final class DeltaTable private (
 
   /** Log-side keys (partitionValues, stats) are PHYSICAL names under
     * column mapping; FilePruner compares in logical space. */
-  private def toDataFileMeta(a: DeltaTable.AddFile): DataFileMeta = {
-    val pvals = meta.partitionColumns.flatMap { c =>
-      a.partitionValues.get(meta.physicalName(c)).map {
-        case null => c -> Meta.NullPartition
-        case v    => c -> v
-      }
-    }.toMap
-    val logicalStats =
-      if (meta.columnMappingMode == "none") a.stats
-      else {
-        val byPhys = meta.logicalByPhysical
-        a.stats.flatMap { case (k, v) => byPhys.get(k).map(_ -> v) }
-      }
-    DataFileMeta(a.path, 0L, a.numRecords.getOrElse(0L), a.size, pvals, logicalStats)
-  }
+  private def toDataFileMeta(a: DeltaTable.AddFile): DataFileMeta =
+    DeltaTable.toDataFileMeta(a, meta)
 
   /** Live data-file listing — the `#files` metadata view (the DESCRIBE
     * DETAIL companion; symmetric with Iceberg's `<table>.files`):
     * one row per live add action from reconstructed log state alone —
     * zero data IO. DV'd files report their masked-row cardinality. */
-  def filesDf: DataFrame = {
-    val rows = adds.sortBy(_.path).map { a =>
-      org.apache.spark.sql.Row(a.path, a.size, a.numRecords.map(Long.box).orNull,
-        a.partitionValues.map { case (k, v) =>
-          s"$k=${if (v == null) Meta.NullPartition else v}" }.toSeq.sorted.mkString("/"),
-        a.deletionVector.map(d => Long.box(d.cardinality)).orNull)
+  def filesDf: DataFrame = addRowsDf.orderBy("path")
+
+  /** One (path, size, num_records, partition, dv_cardinality) row per
+    * live add — the shared source of both metadata views. Eager mode
+    * materializes from the driver state it already holds; Lazy mode
+    * builds the frame FROM the distributed checkpoint replay without
+    * ever collecting adds (the views aggregate/project executor-side). */
+  private def addRowsDf: DataFrame = {
+    val viewSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("size_bytes", LongType),
+      StructField("num_records", LongType),
+      StructField("partition", StringType),
+      StructField("dv_cardinality", LongType)))
+    state match {
+      case DeltaTable.Eager(a) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(a.map(DeltaTable.viewRow), 1), viewSchema)
+      case l: DeltaTable.Lazy =>
+        val excluded = spark.sparkContext.broadcast(l.excluded)
+        def rddOf(paths: Seq[String]) =
+          if (paths.isEmpty) spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+          else {
+            val df = spark.read.parquet(paths: _*)
+            if (!df.columns.contains("add"))
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+            else df.filter(col("add").isNotNull).select("add.*")
+              .rdd.mapPartitions { it =>
+                it.map(DeltaTable.parseAddRow)
+                  .filter(a => !excluded.value.contains(a.path))
+                  .map(DeltaTable.viewRow)
+              }
+          }
+        val tail =
+          spark.sparkContext.parallelize(l.tailAdds.map(DeltaTable.viewRow), 1)
+        spark.createDataFrame(
+          rddOf(l.cpPaths).union(rddOf(l.sidecarPaths)).union(tail), viewSchema)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("path", StringType),
-        StructField("size_bytes", LongType),
-        StructField("num_records", LongType),
-        StructField("partition", StringType),
-        StructField("dv_cardinality", LongType))))
   }
 
   /** Per-partition live state — the `#partitions` metadata view
@@ -147,29 +224,16 @@ final class DeltaTable private (
     * partition lacks stats: unknown ≠ zero); `dv_masked_records` sums
     * live deletion-vector cardinalities, so `num_records -
     * dv_masked_records` is the partition's scan-visible row count. */
-  def partitionsDf: DataFrame = {
-    val groups = adds.groupBy(a =>
-      a.partitionValues.map { case (k, v) =>
-        s"$k=${if (v == null) Meta.NullPartition else v}" }.toSeq.sorted
-        .mkString("/"))
-    val rows = groups.toSeq.sortBy(_._1).map { case (part, files) =>
-      val recs =
-        if (files.forall(_.numRecords.isDefined))
-          Long.box(files.map(_.numRecords.get).sum)
-        else null
-      org.apache.spark.sql.Row(part, files.size.toLong,
-        files.map(_.size).sum, recs,
-        files.flatMap(_.deletionVector).map(_.cardinality).sum)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("partition", StringType),
-        StructField("file_count", LongType),
-        StructField("size_bytes", LongType),
-        StructField("num_records", LongType),
-        StructField("dv_masked_records", LongType))))
-  }
+  def partitionsDf: DataFrame =
+    addRowsDf.groupBy(col("partition")).agg(
+      count(lit(1)).as("file_count"),
+      sum(col("size_bytes")).as("size_bytes"),
+      // unknown ≠ zero: null when ANY file in the partition lacks stats
+      when(count(when(col("num_records").isNull, lit(1))) > 0, lit(null))
+        .otherwise(sum(col("num_records"))).cast(LongType).as("num_records"),
+      coalesce(sum(col("dv_cardinality")), lit(0L)).cast(LongType)
+        .as("dv_masked_records")
+    ).orderBy("partition")
 
   /** `DESCRIBE HISTORY` shape — one row per commit from the log listing
     * alone: version, timestamp (commit-file mtime, the protocol's own
@@ -208,19 +272,15 @@ final class DeltaTable private (
         StructField("operation", StringType))))
   }
 
-  def planFiles(filter: Option[Column] = None): Seq[String] = {
-    val metas = adds.map(a => a.path -> toDataFileMeta(a)).toMap
-    FilePruner.prune(metas.values.toSeq, filter,
-      meta.partitionColumns, meta.schema).map(_.path)
-  }
+  def planFiles(filter: Option[Column] = None): Seq[String] =
+    prunedAdds(filter).map(_.path)
 
   /** (bytes, rows) of the pruned live files, from log actions alone (no
     * data IO) — feeds the DSv2 bridge's `estimateStatistics`. Rows are an
     * estimate: files without `numRecords` stats contribute 0, and DV'd
     * rows still count (upper bound — the right direction for planning). */
   def scanStats(filter: Option[Column] = None): (Long, Long) = {
-    val keep = planFiles(filter).toSet
-    val live = adds.filter(a => keep(a.path))
+    val live = prunedAdds(filter)
     (live.map(_.size).sum, live.map(_.numRecords.getOrElse(0L)).sum)
   }
 
@@ -249,8 +309,7 @@ final class DeltaTable private (
   // ---- scan ----------------------------------------------------------------
 
   def scan(filter: Option[Column] = None): DataFrame = {
-    val keep = planFiles(filter).toSet
-    val live = adds.filter(a => keep(a.path))
+    val live = prunedAdds(filter)
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
@@ -366,6 +425,61 @@ object DeltaTable {
         * `nulls` field defaults a MISSING count to 0 (fine for pruning,
         * fatal for exact COUNT pushdown — unknown is not zero). */
       nullCounts: Map[String, Long] = Map.empty)
+
+  /** Reconstructed-state representation. [[Eager]] is the small-table
+    * fast path: every add action materialized on the driver (identical
+    * to the pre-r13 behavior — zero extra jobs, zero plan change for the
+    * common case). [[Lazy]] keeps the heavy checkpoint/sidecar add
+    * payload WHERE IT ALREADY IS — in parquet — and records only the
+    * bounded post-checkpoint tail on the driver; scans replay it as a
+    * distributed job with the predicate pushed in (see
+    * [[DeltaTable.distReplay]]). Selection is by total checkpoint parquet
+    * bytes vs `spark.graft.delta.stateCollectThresholdBytes` (default
+    * 32 MiB ≈ tens of thousands of add actions). */
+  private[delta] sealed trait State
+  private[delta] final case class Eager(adds: Seq[AddFile]) extends State
+  private[delta] final case class Lazy(
+      /** Checkpoint parquet parts (classic, multipart, or v2 top-level). */
+      cpPaths: Seq[String],
+      /** V2-checkpoint sidecar parquet files (absolute paths). */
+      sidecarPaths: Seq[String],
+      /** Live adds from AFTER the checkpoint (post-checkpoint commits,
+        * plus v2-json inline adds), last-wins already applied — bounded
+        * by one checkpoint interval of commits. */
+      tailAdds: Seq[AddFile],
+      /** Checkpoint paths superseded by the tail (removed or re-added):
+        * excluded from the distributed replay via broadcast. */
+      excluded: Set[String]) extends State
+
+  /** Metadata-view row for one live add (see [[DeltaTable.addRowsDf]]);
+    * companion-level so executor closures can use it without capturing
+    * the (unserializable) table instance. */
+  private def viewRow(a: AddFile): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(a.path, a.size, a.numRecords.map(Long.box).orNull,
+      a.partitionValues.map { case (k, v) =>
+        s"$k=${if (v == null) Meta.NullPartition else v}" }.toSeq.sorted
+        .mkString("/"),
+      a.deletionVector.map(d => Long.box(d.cardinality)).orNull)
+
+  /** Log-side keys (partitionValues, stats) are PHYSICAL names under
+    * column mapping; FilePruner compares in logical space. Companion-
+    * level (over an explicit DMeta) so the executor-side replay can
+    * build prunable metas inside tasks. */
+  private def toDataFileMeta(a: AddFile, meta: DMeta): DataFileMeta = {
+    val pvals = meta.partitionColumns.flatMap { c =>
+      a.partitionValues.get(meta.physicalName(c)).map {
+        case null => c -> Meta.NullPartition
+        case v    => c -> v
+      }
+    }.toMap
+    val logicalStats =
+      if (meta.columnMappingMode == "none") a.stats
+      else {
+        val byPhys = meta.logicalByPhysical
+        a.stats.flatMap { case (k, v) => byPhys.get(k).map(_ -> v) }
+      }
+    DataFileMeta(a.path, 0L, a.numRecords.getOrElse(0L), a.size, pvals, logicalStats)
+  }
 
   def load(spark: SparkSession, location: String): DeltaTable =
     loadVersion(spark, location, -1L)
@@ -784,9 +898,46 @@ object DeltaTable {
     var protoFeatures: Seq[String] = Nil
     var metaOpt: Option[DMeta] = None
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val removedTail = scala.collection.mutable.Set[String]()
     val txnSeen = scala.collection.mutable.Map[String, Long]()
+    // checkpoint parquet geography, filled while seeding: top-level
+    // parts that carry add actions, plus v2 sidecar files
+    val cpParquet = scala.collection.mutable.ArrayBuffer[String]()
+    val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+    var lazyMode = false
+    // Above this many bytes of checkpoint parquet, add actions are NOT
+    // funneled through a driver collect at load time; state stays in
+    // parquet and every consumer replays it as a distributed job with
+    // its predicate pushed in (see [[State]]). 32 MiB ≈ tens of
+    // thousands of add actions — below it the driver path is both
+    // cheaper and simpler. Overridable for tests / tighter drivers.
+    val collectThreshold = spark.conf.get(
+      "spark.graft.delta.stateCollectThresholdBytes",
+      (32L * 1024 * 1024).toString).toLong
 
-    // seed from the newest checkpoint ≤ head, if any
+    def resolveSidecar(rel: String): Path =
+      // sidecars live in _delta_log/_sidecars; the action is encouraged
+      // to carry just the file name, but absolute URIs are legal
+      if (rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") || rel.startsWith("/"))
+        new Path(rel)
+      else new Path(new Path(logDir, "_sidecars"), rel)
+    def bytesOf(paths: Seq[String]): Long =
+      paths.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    def readSidecarAdds(p: String): Unit = {
+      val sc = spark.read.parquet(p)
+      if (sc.columns.contains("add")) sc.filter(col("add").isNotNull)
+        .select("add.*").collect().foreach { r =>
+          val a = parseAddRow(r)
+          live(a.path) = a
+        }
+      // remove rows in a checkpoint are vacuum tombstones, not state
+    }
+
+    // seed from the newest checkpoint ≤ head, if any. The SMALL
+    // singleton actions (protocol / metaData / txn / the sidecar list)
+    // are always read eagerly — they are O(1)/O(appIds)/O(sidecars)
+    // rows through column-pruned scans. The add payload is collected
+    // only below the byte threshold; above it the table stays Lazy.
     def seedFromParquet(paths: Seq[Path]): Unit = {
       val cp = spark.read.parquet(paths.map(_.toString): _*)
       val cols = cp.columns.toSet
@@ -802,11 +953,6 @@ object DeltaTable {
         .select("metaData.*").collect().foreach { r =>
           metaOpt = Some(parseMetaRow(r))
         }
-      if (cols.contains("add")) cp.filter(col("add").isNotNull)
-        .select("add.*").collect().foreach { r =>
-          val a = parseAddRow(r)
-          live(a.path) = a
-        }
       if (cols.contains("txn")) cp.filter(col("txn").isNotNull)
         .select("txn.*").collect().foreach { r =>
           txnSeen(r.getAs[String]("appId")) = r.getAs[Long]("version")
@@ -814,25 +960,25 @@ object DeltaTable {
       // v2 checkpoints may externalize file actions into parquet
       // sidecars; the sidecar list itself is O(sidecars) metadata
       if (cols.contains("sidecar"))
-        cp.filter(col("sidecar").isNotNull).select("sidecar.path")
-          .collect().map(_.getString(0)).foreach(readSidecar)
-    }
-    def readSidecar(rel: String): Unit = {
-      // sidecars live in _delta_log/_sidecars; the action is encouraged
-      // to carry just the file name, but absolute URIs are legal
-      val p =
-        if (rel.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") || rel.startsWith("/"))
-          new Path(rel)
-        else new Path(new Path(logDir, "_sidecars"), rel)
-      val sc = spark.read.parquet(p.toString)
-      if (sc.columns.contains("add")) sc.filter(col("add").isNotNull)
-        .select("add.*").collect().foreach { r =>
-          val a = parseAddRow(r)
-          live(a.path) = a
-        }
-      // remove rows in a checkpoint are vacuum tombstones, not state
+        sidecars ++= cp.filter(col("sidecar").isNotNull).select("sidecar.path")
+          .collect().map(r => resolveSidecar(r.getString(0)).toString)
+      if (cols.contains("add")) cpParquet ++= paths.map(_.toString)
+      lazyMode = bytesOf(cpParquet.toSeq ++ sidecars.toSeq) > collectThreshold
+      if (!lazyMode) {
+        if (cols.contains("add")) cp.filter(col("add").isNotNull)
+          .select("add.*").collect().foreach { r =>
+            val a = parseAddRow(r)
+            live(a.path) = a
+          }
+        sidecars.foreach(readSidecarAdds)
+      }
     }
     def seedFromJsonV2(path: Path): Unit = {
+      // the v2 top-level json is small by design (heavy file actions
+      // belong in sidecars); inline adds land in `live`, which in lazy
+      // mode doubles as the tail map — correct because inline adds are
+      // not present in any replayed parquet (no double count) and tail
+      // removes still supersede them
       val in = fs.open(path)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -850,11 +996,14 @@ object DeltaTable {
         }
         if (n.has("metaData")) metaOpt = Some(parseMetaNode(n.get("metaData")))
         if (n.has("add")) { val a = parseAddNode(n.get("add")); live(a.path) = a }
-        if (n.has("sidecar")) readSidecar(n.get("sidecar").path("path").asText())
+        if (n.has("sidecar"))
+          sidecars += resolveSidecar(n.get("sidecar").path("path").asText()).toString
         if (n.has("txn"))
           txnSeen(n.get("txn").get("appId").asText()) =
             n.get("txn").get("version").asLong()
       }
+      lazyMode = bytesOf(sidecars.toSeq) > collectThreshold
+      if (!lazyMode) sidecars.foreach(readSidecarAdds)
     }
     val cpVersion = checkpoints.lastOption.map { case (v, kind, paths) =>
       if (kind == 2 && paths.head.getName.endsWith(".json"))
@@ -886,7 +1035,9 @@ object DeltaTable {
           live(a.path) = a
         }
         if (n.has("remove")) {
-          live.remove(decodePath(n.get("remove").path("path").asText()))
+          val p = decodePath(n.get("remove").path("path").asText())
+          live.remove(p)
+          removedTail += p
         }
         if (n.has("txn"))
           txnSeen(n.get("txn").get("appId").asText()) =
@@ -915,7 +1066,15 @@ object DeltaTable {
     require(Set("none", "name", "id").contains(m.columnMappingMode),
       s"delta: column mapping mode ${m.columnMappingMode} unsupported")
 
-    new DeltaTable(spark, location, head, m, live.values.toSeq, txnSeen.toMap)
+    val state =
+      if (lazyMode)
+        // `live` now holds ONLY inline-v2 + post-checkpoint adds (the
+        // bounded tail); checkpoint adds stay in parquet. Exclude both
+        // removed paths and tail re-adds from the distributed replay.
+        Lazy(cpParquet.toSeq, sidecars.toSeq, live.values.toSeq,
+          (removedTail ++ live.keys).toSet)
+      else Eager(live.values.toSeq)
+    new DeltaTable(spark, location, head, m, state, txnSeen.toMap)
   }
 
   private[delta] def resolve(location: String, rel: String): Path = {
