@@ -41,14 +41,74 @@ import graft.lake.iceberg.{IceMeta, IcebergMeta}
   *
   * Multi-level namespaces join with the spec's `%1F` unit separator in
   * URL paths.
+  *
+  * AUTH (r13): managed deployments of this protocol (Polaris, Tabular,
+  * Glue, Lakekeeper) sit behind the spec's OAuth2 client-credentials
+  * flow — pass `credential = Some("client_id:client_secret")` and the
+  * client obtains a bearer token from `POST /v1/oauth/tokens`
+  * (form-encoded grant, per the spec's token endpoint), attaches
+  * `Authorization: Bearer …` to every call, refreshes proactively
+  * before the advertised `expires_in`, and on a 401 (token revoked /
+  * expired server-side early) force-refreshes and retries ONCE — a
+  * second 401 is a real credential problem and fails loudly. Bad
+  * credentials reject at the token endpoint, never silently downgrade
+  * to anonymous.
+  *
+  * PAGINATION (r13): the spec's list endpoints are paginated
+  * (`pageSize`/`pageToken`, `next-page-token` in responses); both list
+  * calls here request `listPageSize` per page and loop the opaque
+  * token until the service stops returning one, so a 10⁵-table
+  * namespace never demands a single giant response.
   */
-final class IcebergRestCatalog(uri: String) {
+final class IcebergRestCatalog(uri: String,
+    credential: Option[String] = None,
+    listPageSize: Int = 100) {
   private val mapper = new ObjectMapper()
   // bounded timeouts — a wedged service must fail fast, not hang every
   // resolution and the whole optimistic-commit retry loop
   private val http = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
   private val base = uri.stripSuffix("/")
+
+  // ---- oauth ----------------------------------------------------------------
+
+  /** (access_token, refresh-after-millis). */
+  @volatile private var bearer: Option[(String, Long)] = None
+
+  private def invalidateToken(): Unit = synchronized { bearer = None }
+
+  /** Current valid token, fetching/refreshing under a lock (one token
+    * request per expiry, not one per racing caller). */
+  private def freshToken(): String = synchronized {
+    bearer.filter(_._2 > System.currentTimeMillis()) match {
+      case Some((t, _)) => t
+      case None =>
+        val cred = credential.get
+        val i = cred.indexOf(':')
+        require(i > 0, "iceberg-rest: credential must be client_id:client_secret")
+        def form(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        val body = "grant_type=client_credentials" +
+          s"&client_id=${form(cred.substring(0, i))}" +
+          s"&client_secret=${form(cred.substring(i + 1))}" +
+          "&scope=catalog"
+        val req = HttpRequest.newBuilder(URI.create(s"$base/v1/oauth/tokens"))
+          .timeout(java.time.Duration.ofSeconds(30))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200,
+          s"iceberg-rest: token request rejected: HTTP ${r.statusCode()} ${r.body()}")
+        val n = mapper.readTree(r.body())
+        val t = n.path("access_token").asText("")
+        require(t.nonEmpty, s"iceberg-rest: token response without access_token")
+        val ttlMs = math.max(n.path("expires_in").asLong(3600), 1L) * 1000L
+        // refresh 30s early (or at half-life for very short tokens) so a
+        // token never expires mid-request
+        bearer = Some((t, System.currentTimeMillis() +
+          math.max(ttlMs - 30000L, ttlMs / 2)))
+        t
+    }
+  }
 
   /** `GET /v1/config` once per client: a service may route all further
     * calls under an account-specific `prefix` (overrides win over the
@@ -64,16 +124,50 @@ final class IcebergRestCatalog(uri: String) {
 
   private def send(method: String, url: String, body: Option[String] = None)
       : HttpResponse[String] = {
-    val b = HttpRequest.newBuilder(URI.create(url))
-      .timeout(java.time.Duration.ofSeconds(30))
-      .header("Content-Type", "application/json")
-    val req = (method match {
-      case "GET" => b.GET()
-      case "DELETE" => b.DELETE()
-      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
-      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
-    }).build()
-    http.send(req, HttpResponse.BodyHandlers.ofString())
+    def once(): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("Content-Type", "application/json")
+      credential.foreach(_ => b.header("Authorization", s"Bearer ${freshToken()}"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "DELETE" => b.DELETE()
+        case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+      }).build()
+      http.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    val r = once()
+    if (r.statusCode() == 401 && credential.isDefined) {
+      // token expired/revoked server-side before our proactive refresh:
+      // force a new token and retry ONCE; a second 401 surfaces to the
+      // caller as the real auth failure it is
+      invalidateToken()
+      once()
+    } else r
+  }
+
+  /** GET a paginated list endpoint, looping `pageToken` until the
+    * service stops returning `next-page-token`; yields every element of
+    * `field` across pages. */
+  private def pagedList(url: String, field: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val out = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    var next: Option[String] = None
+    var done = false
+    while (!done) {
+      val qs = s"pageSize=$listPageSize" +
+        next.map(t => s"&pageToken=${seg(t)}").getOrElse("")
+      val r = send("GET", s"$url?$qs")
+      require(r.statusCode() == 200,
+        s"iceberg-rest: GET $url failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+      val n = mapper.readTree(r.body())
+      n.path(field).elements().asScala.foreach(out += _)
+      next = Option(n.get("next-page-token"))
+        .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+      done = next.isEmpty
+    }
+    out.result()
   }
 
   /** one URI path segment, percent-encoded (form-encoding's '+' would
@@ -103,24 +197,16 @@ final class IcebergRestCatalog(uri: String) {
   }
 
   def listNamespaces(): Seq[Seq[String]] = {
-    val r = send("GET", v1("/namespaces"))
-    require(r.statusCode() == 200,
-      s"iceberg-rest: list namespaces failed: HTTP ${r.statusCode()} ${errorOf(r)}")
     import scala.jdk.CollectionConverters._
-    mapper.readTree(r.body()).path("namespaces").elements().asScala
-      .map(_.elements().asScala.map(_.asText()).toSeq).toSeq
+    pagedList(v1("/namespaces"), "namespaces")
+      .map(_.elements().asScala.map(_.asText()).toSeq)
   }
 
   // ---- tables ---------------------------------------------------------------
 
-  def listTables(ns: Seq[String]): Seq[String] = {
-    val r = send("GET", v1(s"/namespaces/${nsSeg(ns)}/tables"))
-    require(r.statusCode() == 200,
-      s"iceberg-rest: list tables in $ns failed: HTTP ${r.statusCode()} ${errorOf(r)}")
-    import scala.jdk.CollectionConverters._
-    mapper.readTree(r.body()).path("identifiers").elements().asScala
-      .map(_.path("name").asText()).toSeq.sorted
-  }
+  def listTables(ns: Seq[String]): Seq[String] =
+    pagedList(v1(s"/namespaces/${nsSeg(ns)}/tables"), "identifiers")
+      .map(_.path("name").asText()).sorted
 
   def tableExists(ns: Seq[String], name: String): Boolean =
     send("HEAD", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}"))
@@ -227,7 +313,8 @@ object IcebergRestCatalog {
     * cached here (`loadTable` always hits the service; that call is the
     * freshness guarantee). */
   private val clients =
-    new java.util.concurrent.ConcurrentHashMap[String, IcebergRestCatalog]()
-  def cached(uri: String): IcebergRestCatalog =
-    clients.computeIfAbsent(uri.stripSuffix("/"), u => new IcebergRestCatalog(u))
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[String]), IcebergRestCatalog]()
+  def cached(uri: String, credential: Option[String] = None): IcebergRestCatalog =
+    clients.computeIfAbsent((uri.stripSuffix("/"), credential),
+      k => new IcebergRestCatalog(k._1, k._2))
 }

@@ -28,9 +28,21 @@ import graft.lake.iceberg.{IceMeta, IcePartSpec, IceRef, IcebergMeta}
   * Location-only readers keep working: the written file names match the
   * `vN`/`N-uuid` patterns [[graft.lake.iceberg.IcebergTable]] discovers.
   */
-final class IcebergRestServer(warehouse: String, conf: Configuration) {
+final class IcebergRestServer(warehouse: String, conf: Configuration,
+    /** OAuth2 client-credentials registry (client_id → client_secret);
+      * empty = anonymous service (the pre-r13 behavior). Non-empty
+      * engages the spec's auth: `POST /v1/oauth/tokens` issues bearer
+      * tokens, and EVERY other /v1 route (config included) rejects a
+      * missing/unknown/expired token with 401. */
+    credentials: Map[String, String] = Map.empty,
+    /** Issued-token lifetime; short in specs to exercise the client's
+      * expiry-refresh path. */
+    tokenTtlMillis: Long = 3600000L) {
 
   private val mapper = new ObjectMapper()
+  /** issued bearer token → expiry epoch-millis */
+  private val issuedTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
   /** table full name (ns \u0000 name) → current metadata-location */
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val namespaces =
@@ -241,10 +253,92 @@ final class IcebergRestServer(warehouse: String, conf: Configuration) {
     }
   })
 
+  // ---- oauth ----------------------------------------------------------------
+
+  /** `POST /v1/oauth/tokens` (client-credentials grant, form-encoded).
+    * Wrong/unknown credentials are a 401 `invalid_client` per RFC 6749
+    * — never an anonymous downgrade. */
+  private def issueToken(x: HttpExchange): Unit = {
+    val form = scala.io.Source.fromInputStream(x.getRequestBody, "UTF-8").mkString
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val ok = form.get("grant_type").contains("client_credentials") &&
+      form.get("client_id").exists(id =>
+        credentials.get(id).exists(sec => form.get("client_secret").contains(sec)))
+    if (!ok) {
+      val o = mapper.createObjectNode()
+      o.put("error", "invalid_client")
+      o.put("error_description", "unknown client or bad secret")
+      send(x, 401, mapper.writeValueAsString(o))
+    } else {
+      val t = java.util.UUID.randomUUID().toString
+      issuedTokens.put(t, System.currentTimeMillis() + tokenTtlMillis)
+      val o = mapper.createObjectNode()
+      o.put("access_token", t)
+      o.put("token_type", "bearer")
+      o.put("expires_in", math.max(tokenTtlMillis / 1000, 1L))
+      send(x, 200, mapper.writeValueAsString(o))
+    }
+  }
+
+  /** Bearer check for every non-token route when auth is on; expired
+    * tokens are evicted (the client is expected to re-POST the grant). */
+  private def authorized(x: HttpExchange): Boolean =
+    credentials.isEmpty || {
+      Option(x.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer "))
+        .map(_.stripPrefix("Bearer ").trim)
+        .exists { t =>
+          val exp = issuedTokens.getOrDefault(t, 0L)
+          if (exp < System.currentTimeMillis()) { issuedTokens.remove(t); false }
+          else true
+        }
+    }
+
+  /** Query-string params (pageSize, pageToken, ...). */
+  private def query(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  /** Spec pagination over a sorted key list: a `pageSize` request gets
+    * at most that many entries plus an OPAQUE `next-page-token` (base64
+    * of the last key served — a cursor, so concurrent inserts never
+    * skip or repeat a page boundary); no `pageSize` = the whole list
+    * (pagination engages when the client asks for it). */
+  private def page(x: HttpExchange, all: Seq[String]): (Seq[String], Option[String]) = {
+    val q = query(x)
+    q.get("pageSize").flatMap(s => scala.util.Try(s.toInt).toOption) match {
+      case None => (all, None)
+      case Some(sz) =>
+        val after = q.get("pageToken").filter(_.nonEmpty).map(t =>
+          new String(java.util.Base64.getUrlDecoder.decode(t), "UTF-8"))
+        val remaining = after.map(a => all.dropWhile(_ <= a)).getOrElse(all)
+        val slice = remaining.take(math.max(sz, 1))
+        val next =
+          if (remaining.lengthCompare(slice.length) > 0 && slice.nonEmpty)
+            Some(java.util.Base64.getUrlEncoder.withoutPadding()
+              .encodeToString(slice.last.getBytes("UTF-8")))
+          else None
+        (slice, next)
+    }
+  }
+
   private def route(x: HttpExchange): Unit = {
     val segs = x.getRequestURI.getPath.stripPrefix("/v1").stripPrefix("/")
       .split("/").toSeq.filter(_.nonEmpty)
     val method = x.getRequestMethod
+    if ((method, segs) == (("POST", Seq("oauth", "tokens")))) { issueToken(x); return }
+    if (!authorized(x)) {
+      err(x, 401, "NotAuthorizedException",
+        "missing, unknown or expired bearer token"); return
+    }
     (method, segs) match {
       case ("GET", Seq("config")) =>
         val o = mapper.createObjectNode()
@@ -252,11 +346,13 @@ final class IcebergRestServer(warehouse: String, conf: Configuration) {
         send(x, 200, mapper.writeValueAsString(o))
 
       case ("GET", Seq("namespaces")) =>
+        val (slice, next) = page(x, namespaces.asScala.toSeq.sorted)
         val o = mapper.createObjectNode()
         val arr = o.putArray("namespaces")
-        namespaces.asScala.toSeq.sorted.foreach { ns =>
+        slice.foreach { ns =>
           val a = arr.addArray(); ns.split("\u001F").foreach(a.add)
         }
+        next.foreach(o.put("next-page-token", _))
         send(x, 200, mapper.writeValueAsString(o))
 
       case ("POST", Seq("namespaces")) =>
@@ -281,16 +377,17 @@ final class IcebergRestServer(warehouse: String, conf: Configuration) {
 
       case ("GET", Seq("namespaces", ns, "tables")) =>
         val nsSeq = ns.split("\u001F").toSeq
+        val inNs = tables.keySet().asScala.toSeq.sorted
+          .filter(_.split("\u0000").toSeq.init == nsSeq)
+        val (slice, next) = page(x, inNs)
         val o = mapper.createObjectNode()
         val arr = o.putArray("identifiers")
-        tables.keySet().asScala.toSeq.sorted
-          .map(_.split("\u0000").toSeq)
-          .filter(_.init == nsSeq)
-          .foreach { parts =>
-            val ident = arr.addObject()
-            val a = ident.putArray("namespace"); parts.init.foreach(a.add)
-            ident.put("name", parts.last)
-          }
+        slice.map(_.split("\u0000").toSeq).foreach { parts =>
+          val ident = arr.addObject()
+          val a = ident.putArray("namespace"); parts.init.foreach(a.add)
+          ident.put("name", parts.last)
+        }
+        next.foreach(o.put("next-page-token", _))
         send(x, 200, mapper.writeValueAsString(o))
 
       case ("POST", Seq("namespaces", ns, "tables")) => createTable(x, ns)

@@ -267,9 +267,12 @@ class GraftIcebergSource extends InteropReadProvider {
         s"graft-iceberg: table must be <namespace>.<name>, got '$ident'")
       // per-URI cached client: one read touches the catalog at several
       // resolution steps (inferSchema, getTable's path, the write's
-      // retry loop) — the connection pool and /v1/config prefix are
-      // shared, while every loadTable still hits the service fresh
-      (graft.lake.iceberg.rest.IcebergRestCatalog.cached(uri),
+      // retry loop) — the connection pool, /v1/config prefix and OAuth2
+      // bearer token are shared, while every loadTable still hits the
+      // service fresh. option("credential", "id:secret") engages the
+      // spec's client-credentials flow for managed catalogs.
+      (graft.lake.iceberg.rest.IcebergRestCatalog.cached(uri,
+        Option(options.get("credential"))),
         parts.init, parts.last)
     }
 

@@ -1347,10 +1347,15 @@ object Lake {
   def lakeIcebergRest(s: SparkSession, d: String): DataFrame = {
     import graft.lake.iceberg.{IceField, IcePartField, IcePartSpec, IceSchema, IcebergMeta, IcebergWriter}
     val o = Tables.orders(s, d)
+    // AUTHED service (r13): the managed-catalog deployment shape — the
+    // whole flow below (create/list/commit-CAS/read-by-name) runs
+    // through the spec's OAuth2 client-credentials bearer flow
     val server = new graft.lake.iceberg.rest.IcebergRestServer(
-      work(s, "iceberg_rest_wh", d), s.sessionState.newHadoopConf())
+      work(s, "iceberg_rest_wh", d), s.sessionState.newHadoopConf(),
+      credentials = Map("graft" -> "graft-secret"))
     try {
-      val cat = new graft.lake.iceberg.rest.IcebergRestCatalog(server.uri)
+      val cat = new graft.lake.iceberg.rest.IcebergRestCatalog(server.uri,
+        Some("graft:graft-secret"))
       cat.createNamespace(Seq("lake"))
       val fields = o.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
         IceField(i + 1, f.name, required = false, f.dataType,
@@ -1376,6 +1381,7 @@ object Lake {
         .append(o.filter(year(col("o_orderdate")) >= 1996))
       val df = s.read.format("graft-iceberg")
         .option("catalog-uri", server.uri)
+        .option("credential", "graft:graft-secret")
         .option("table", "lake.orders").load()
       df.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),

@@ -313,4 +313,70 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(cat.listTables(Seq("ab")).isEmpty)
     } finally server.stop()
   }
+
+  test("OAuth2: bearer flow, 401 without/with bad credentials, expired-token refresh") {
+    val server = new IcebergRestServer(fresh("icerest-auth-wh"),
+      spark.sessionState.newHadoopConf(),
+      credentials = Map("svc" -> "s3cret"),
+      tokenTtlMillis = 1500L) // short: exercises the refresh path below
+    try {
+      // anonymous client: EVERY route (config included) rejects with 401
+      val anon = new IcebergRestCatalog(server.uri)
+      val e1 = intercept[IllegalArgumentException] { anon.listNamespaces() }
+      assert(e1.getMessage.contains("401"), s"expected 401, got: ${e1.getMessage}")
+
+      // wrong secret: the token endpoint itself rejects — loud, never a
+      // silent anonymous downgrade
+      val bad = new IcebergRestCatalog(server.uri, Some("svc:wrong"))
+      val e2 = intercept[IllegalArgumentException] { bad.listNamespaces() }
+      assert(e2.getMessage.contains("token request rejected"),
+        s"expected token rejection, got: ${e2.getMessage}")
+      assert(e2.getMessage.contains("invalid_client"))
+
+      // valid credentials: the full catalog surface works through bearer
+      val cat = new IcebergRestCatalog(server.uri, Some("svc:s3cret"))
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      IcebergWriter.openRest(spark, cat, Seq("ns"), "t").append(o.limit(7))
+      assert(IcebergTable.load(spark,
+        cat.loadTable(Seq("ns"), "t").metadataLocation).scan().count() == 7)
+
+      // expiry: outlive the 1.5s ttl (the client's proactive half-life
+      // refresh AND the server-side eviction both engage), then keep
+      // working — a fresh grant must be negotiated transparently
+      Thread.sleep(2200L)
+      assert(cat.listTables(Seq("ns")) == Seq("t"))
+      assert(cat.tableExists(Seq("ns"), "t"))
+    } finally server.stop()
+  }
+
+  test("list pagination: pageSize/pageToken loop reassembles the full table list") {
+    val server = new IcebergRestServer(fresh("icerest-page-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      // page size 3 against 8 tables: the client must walk 3 pages
+      val cat = new IcebergRestCatalog(server.uri, listPageSize = 3)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      val names = (1 to 8).map(i => f"t$i%02d")
+      names.foreach(n =>
+        cat.createTable(Seq("ns"), n, IcebergMeta.renderSchemaJson(iceSchemaOf(o))))
+      assert(cat.listTables(Seq("ns")) == names)
+      // namespaces paginate through the same loop
+      (1 to 7).foreach(i => cat.createNamespace(Seq(f"extra$i%02d")))
+      val nss = cat.listNamespaces()
+      assert(nss.count(_.head.startsWith("extra")) == 7)
+      assert(nss.contains(Seq("ns")))
+      // a raw single page carries next-page-token and exactly pageSize rows
+      val http = java.net.http.HttpClient.newHttpClient()
+      val r = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${server.uri}/v1/namespaces/ns/tables?pageSize=3"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(n.get("identifiers").size() == 3)
+      assert(n.hasNonNull("next-page-token"))
+    } finally server.stop()
+  }
 }
