@@ -54,6 +54,54 @@ class PipelineSpec extends AnyFunSuite {
       s"planted dups must be caught, the fresh doc kept: $novel")
   }
 
+  test("dedup_incremental: explicit bloom sizing contract + exactness at saturation") {
+    // sizing: ~7.3 bits/item for the 3% target, 64-bit floor, 2^30 ceiling
+    val perItem = -math.log(0.03) / (math.log(2) * math.log(2))
+    assert(queries.Dedup.bloomBits(1L) == 64L)
+    assert(queries.Dedup.bloomBits(1000000L) ==
+      math.ceil(1000000L * perItem).toLong)
+    // the r12 failure class: est past Spark's silent 4M-item runtime-filter
+    // cap must now size HONESTLY (100M items ≈ 730M bits, way past the old
+    // silent 8 MiB = 67.1M-bit cap) until the documented ceiling binds
+    assert(queries.Dedup.bloomBits(100000000L) > 67108864L)
+    assert(queries.Dedup.bloomBits(100000000L) ==
+      math.ceil(1e8 * perItem).toLong)
+    assert(queries.Dedup.bloomBits(1000000000L) == (1L << 30),
+      "the 128 MiB ceiling must bind at 1B items")
+
+    // exactness AT the knee: force a saturated filter (64 bits for the
+    // whole prior => fpp ~ 1, every row funnels to the verify anti-join)
+    // and pin the result equal to the honest-filter run — the sketch can
+    // only ever cost shuffle volume, never correctness
+    import spark.implicits._
+    val frame = (0L until 400L).map(i =>
+      (i, if (i % 10 >= 8) s"text ${i % 50}" else s"text $i"))
+      .toDF("doc_id", "text")
+    val honest = queries.Dedup.incrementalNovel(frame)
+      .collect().map(_.getLong(0)).toSet
+    val saturated = queries.Dedup.incrementalNovel(frame, maxBits = 64L)
+      .collect().map(_.getLong(0)).toSet
+    assert(saturated == honest, "saturation must degrade throughput, not answers")
+  }
+
+  test("cluster training sample is byte-budgeted: wide embeddings cannot flood the driver") {
+    val budget = queries.Dedup.SampleByteBudget
+    // the hard invariant: rows × dim × 8 ≤ budget for ANY (k, dim)
+    for (k <- Seq(4, 1000, 100000, 10000000); dim <- Seq(64, 768, 4096, 16384)) {
+      val rows = queries.Dedup.trainSampleRows(k, dim)
+      assert(rows.toLong * dim * 8 <= budget,
+        s"k=$k dim=$dim: ${rows.toLong * dim * 8} bytes exceeds the $budget budget")
+      assert(rows >= 1)
+    }
+    // the current dim=64 shapes are unchanged (dedup_semantic /
+    // curate_sample_semantic plans identical): 8k rows within budget
+    assert(queries.Dedup.trainSampleRows(1000, 64) == 8000)
+    assert(queries.Dedup.trainSampleRows(100, 64) == 4096) // floor
+    // the r12 failure class: dim=4096 at huge k would have been 2^20 rows
+    // = 32 GiB; now the budget wins (2048 rows, floor overridden)
+    assert(queries.Dedup.trainSampleRows(10000000, 4096) == 2048)
+  }
+
   test("dedup_normalized folds case/punct/whitespace variants (in-memory parity)") {
     def norm(t: String): String =
       t.toLowerCase.map(c =>
