@@ -127,14 +127,36 @@ object IcebergAvroData {
   /** Distributed scan of AVRO data files under `writeSchema` (the
     * manifest group's schema — field ids drive resolution). */
   def read(spark: SparkSession, writeSchema: IceSchema,
-      paths: Seq[String]): DataFrame = {
-    val target = writeSchema.struct
+      paths: Seq[String]): DataFrame =
+    readImpl(spark, writeSchema, paths, None)
+
+  /** [[read]] plus POSITION columns (r13; closes the VERDICT r12 #4
+    * loud-reject): the decode is ONE TASK PER FILE streaming records in
+    * file order, so the per-file row ordinal — exactly the `pos` that
+    * position deletes and DV bitmaps address — is a counter on the emit
+    * path, the same way the parquet source derives `_metadata.row_index`.
+    * `fileCol` carries the file path AS PLANNED (the manifest's
+    * file_path string, what delete files reference); the caller
+    * normalizes both sides with the same function before joining. */
+  def readWithPos(spark: SparkSession, writeSchema: IceSchema,
+      paths: Seq[String], fileCol: String, posCol: String): DataFrame =
+    readImpl(spark, writeSchema, paths, Some((fileCol, posCol)))
+
+  private def readImpl(spark: SparkSession, writeSchema: IceSchema,
+      paths: Seq[String], pos: Option[(String, String)]): DataFrame = {
+    val target = pos match {
+      case None => writeSchema.struct
+      case Some((f, c)) => StructType(writeSchema.struct.fields :+
+        StructField(f, StringType, nullable = false) :+
+        StructField(c, LongType, nullable = false))
+    }
     if (paths.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], target)
     val bcConf = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val fieldMeta: Seq[(Int, String, DataType)] =
       writeSchema.fields.map(f => (f.id, f.name, f.dataType))
+    val withPos = pos.isDefined
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
@@ -151,14 +173,17 @@ object IcebergAvroData {
           sourceFieldName(writer, id, name)
         }.toArray
         new Iterator[Row] {
+          private var ordinal = -1L
           override def hasNext: Boolean = stream.hasNext
           override def next(): Row = {
             val rec = stream.next()
-            Row.fromSeq(fieldMeta.indices.map { i =>
+            val base = fieldMeta.indices.map { i =>
               val src = srcNames(i)
               if (src == null) null
               else convert(rec.get(src), fieldMeta(i)._3)
-            })
+            }
+            if (withPos) { ordinal += 1; Row.fromSeq(base :+ p :+ ordinal) }
+            else Row.fromSeq(base)
           }
         }
       }

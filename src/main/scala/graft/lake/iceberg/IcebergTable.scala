@@ -724,21 +724,28 @@ final class IcebergTable private (
               "supports positional deletes over parquet data files only")
           spark.read.schema(readPhys).orc(files.map(_.entry.filePath): _*)
         case "AVRO" =>
-          // same positional limitation: no _metadata.row_index source
-          require(!needMeta,
-            "iceberg: positional deletes / deletion vectors apply to AVRO " +
-              s"data files (${files.head.entry.filePath}, ...); this reader " +
-              "supports positional deletes over parquet data files only")
-          IcebergAvroData.read(spark, writeSchema,
+          // positional machinery over AVRO (r13): the custom decoder has
+          // no _metadata source, but it streams one task per file IN
+          // FILE ORDER — the per-file ordinal it emits IS the position
+          // that delete files / DV bitmaps address
+          if (needMeta)
+            IcebergAvroData.readWithPos(spark, writeSchema,
+              files.map(_.entry.filePath), PosFileCol, PosIdxCol)
+          else IcebergAvroData.read(spark, writeSchema,
             files.map(_.entry.filePath))
         case other => throw new IllegalArgumentException(
           s"iceberg: data file format $other " +
             s"(${files.head.entry.filePath}, ...) is not readable here — " +
             "supported data file formats: PARQUET, ORC, AVRO")
       }
-      if (needMeta) df = df
-        .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
-        .withColumn(PosIdxCol, col("_metadata.row_index"))
+      if (needMeta) df =
+        if (fileFmt == "AVRO")
+          // the decoder emitted the planned path raw; normalize it the
+          // same way the delete/DV side is normalized before joining
+          df.withColumn(PosFileCol, normPath(col(PosFileCol)))
+        else df
+          .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
+          .withColumn(PosIdxCol, col("_metadata.row_index"))
       if (idFields.nonEmpty) {
         // a PROJECTION, not a join: per-file constants via a memoized
         // codegen expression over the file path (the broadcast-join

@@ -592,13 +592,14 @@ class IcebergSpec extends AnyFunSuite {
       n.select(col("n_name").as("nation_name")).orderBy("nation_name").collect().toSeq)
   }
 
-  test("positional deletes / DVs over AVRO data files are rejected, not mis-joined") {
+  test("deletion vectors over AVRO data files apply by streamed ordinal (r13)") {
     val n = Tables.nation(spark, sf)
     val w = IcebergWriter.create(spark, freshDir("avroposdel"), n.schema)
     w.append(n.orderBy("n_nationkey").coalesce(1))
     // DV lands on the parquet file FIRST (writing a DV reads the data);
-    // the conversion then rewires data path + referenced_data_file, so
-    // the table models an avro-writing engine whose files carry DVs
+    // the conversion then rewires data path + referenced_data_file while
+    // PRESERVING row order, so the table models an avro-writing engine
+    // whose files carry DVs addressing the same ordinals
     w.deleteWhereDv(col("n_nationkey") === 3)
     convertDataFilesToAvro(w.location)
     patchManifests(w.location) { r =>
@@ -608,11 +609,31 @@ class IcebergSpec extends AnyFunSuite {
         df.put("referenced_data_file",
           df.get("referenced_data_file").toString.stripSuffix(".parquet") + ".avro")
     }
-    val e = intercept[IllegalArgumentException] {
-      IcebergTable.load(spark, w.location).scan().collect()
-    }
-    assert(e.getMessage.contains("AVRO"),
-      s"error must name the unreadable combination: ${e.getMessage}")
+    // r12 loud-rejected this; now the avro decode emits the per-file
+    // ordinal (one streaming task per file) and the DV bitmap masks it
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.filter(col("n_nationkey") =!= 3)
+        .orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("positional delete files over AVRO data apply by streamed ordinal (r13)") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("avroposfile"), n.schema)
+    w.append(n.orderBy("n_nationkey").coalesce(1)) // one file, known order
+    convertDataFilesToAvro(w.location)
+    val avroFile = IcebergTable.load(spark, w.location).planFiles().head
+    assert(avroFile.endsWith(".avro"))
+    import spark.implicits._
+    // delete ordinals 0 and 5 = nationkeys 0 and 5 (file is key-ordered)
+    IcebergWriter.open(spark, w.location)
+      .positionDelete(Seq((avroFile, 0L), (avroFile, 5L)).toDF("file_path", "pos"))
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.filter(col("n_nationkey") =!= 0 && col("n_nationkey") =!= 5)
+        .orderBy("n_nationkey").collect().toSeq)
+    // and metadata row counts still refuse (upper bounds under deletes)
+    assert(t.scan().count() == n.count() - 2)
   }
 
   test("positional deletes over ORC data files are rejected, not mis-joined") {
