@@ -52,10 +52,12 @@ import graft.lake.{ColStats, DataFileMeta, FilePruner, Meta}
   *
   * TYPE WIDENING (r11) is read natively: files written before an ALTER
   * COLUMN TYPE keep their narrower physical type and upcast through
-  * Spark's parquet promotion support. Anything else that changes what
-  * the bytes mean (variant values, …) is REJECTED loudly rather than
-  * misread: a silently wrong scan is worse than an unsupported-table
-  * error.
+  * Spark's parquet promotion support. VARIANT (r13, `variantType`
+  * feature): schemaString's `"variant"` parses to Spark 4's
+  * VariantType and the parquet source reads the spec's binary
+  * (metadata, value) pair natively. Anything else that changes what
+  * the bytes mean is REJECTED loudly rather than misread: a silently
+  * wrong scan is worse than an unsupported-table error.
   *
   * At 100 TB: state reconstruction is checkpoint-seeded, and past a
   * byte threshold (`spark.graft.delta.stateCollectThresholdBytes`) the
@@ -1054,8 +1056,13 @@ object DeltaTable {
     // performs the protocol's promotions when asked for the wide logical
     // schema — both the GA and the preview feature name). Anything else
     // stays rejected loudly.
+    // variantType (r13): schemaString's "variant" parses to Spark 4's
+    // VariantType and the parquet source reads the spec's binary
+    // (metadata, value) pair natively — nothing else in the protocol
+    // changes meaning, so the read path is the ordinary scan
     val supported = Set("deletionVectors", "columnMapping", "timestampNtz",
-      "v2Checkpoint", "typeWidening", "typeWidening-preview")
+      "v2Checkpoint", "typeWidening", "typeWidening-preview",
+      "variantType", "variantType-preview")
     require(protoReader <= 2 ||
         (protoReader == 3 && protoFeatures.forall(supported.contains)),
       s"delta: minReaderVersion $protoReader" +

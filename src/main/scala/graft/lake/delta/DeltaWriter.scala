@@ -38,6 +38,13 @@ final class DeltaWriter private (
     enableIct: Boolean = false) {
 
   private val mapper = new ObjectMapper()
+  /** VARIANT columns (r13): the protocol's `variantType` reader+writer
+    * feature — files store the spec's binary (metadata, value) pair,
+    * which Spark 4's parquet source writes/reads natively for
+    * VariantType; stats are never emitted for variant columns (no
+    * ordering), so pruning simply skips them. */
+  private def hasVariant: Boolean =
+    schema.exists(_.dataType == org.apache.spark.sql.types.VariantType)
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private val root = new Path(location)
   private val fs = root.getFileSystem(conf)
@@ -135,11 +142,13 @@ final class DeltaWriter private (
       (if (columnMapping.isDefined) Seq("columnMapping") else Nil) ++
         (if (dvEnabled) Seq("deletionVectors") else Nil) ++
         (if (v2CpEnabled) Seq("v2Checkpoint") else Nil) ++
-        (if (twEnabled) Seq("typeWidening") else Nil)
+        (if (twEnabled) Seq("typeWidening") else Nil) ++
+        (if (hasVariant) Seq("variantType") else Nil)
     val writerFeats = readerFeats ++
       (if (enableCdf) Seq("changeDataFeed") else Nil) ++
       (if (enableIct) Seq("inCommitTimestamp") else Nil)
-    if (dvEnabled || v2CpEnabled || twEnabled || columnMapping.contains("id")) {
+    if (dvEnabled || v2CpEnabled || twEnabled || hasVariant ||
+        columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)

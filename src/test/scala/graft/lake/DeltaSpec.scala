@@ -991,4 +991,57 @@ class DeltaSpec extends AnyFunSuite {
     }
     assert(conn.getMessage.contains("startingVersion 5"))
   }
+
+  test("variant columns: variantType feature round-trips; values intact (r13)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
+    val loc = freshDir("variant")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", VariantType)))
+    val d = spark.range(6).selectExpr("id",
+      "parse_json(concat('{\"k\":', id, ',\"s\":\"x', id, '\"}')) as v")
+    val w = DeltaWriter.create(spark, loc, schema)
+    w.append(d.filter(col("id") < 3))
+    w.append(d.filter(col("id") >= 3))
+
+    // the protocol carries the variantType table feature (3/7 form)
+    val logTxt = scala.io.Source.fromFile(
+      s"$loc/_delta_log/00000000000000000000.json").mkString
+    assert(logTxt.contains("\"variantType\""), s"protocol must declare variantType: $logTxt")
+    assert(logTxt.contains("\"minReaderVersion\":3"))
+
+    // read back: values intact through the binary (metadata, value) pair
+    val t = DeltaTable.load(spark, loc)
+    assert(t.schema("v").dataType == VariantType)
+    val got = t.scan().selectExpr("id", "to_json(v) as j")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = d.selectExpr("id", "to_json(v) as j")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want)
+    // typed extraction runs on the scan output (the read is a REAL
+    // variant column, not an opaque struct)
+    assert(t.scan().selectExpr("variant_get(v, '$.k', 'long') as k")
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) == 15L)
+
+    // checkpoint survival: the feature + schema ride the checkpoint seed
+    w.checkpoint()
+    w.append(d.limit(1)) // tail commit after the checkpoint
+    assert(DeltaTable.load(spark, loc).scan().count() == 7)
+
+    // sibling non-variant columns still prune (variant itself carries no
+    // stats — unknown, never wrong)
+    assert(t.planFiles(Some(col("id") < 3)).size < t.planFiles().size)
+
+    // an UNKNOWN reader feature still rejects loudly (variant did not
+    // soften the guard)
+    val log = new java.io.File(s"$loc/_delta_log")
+    val commits = log.listFiles().filter(_.getName.endsWith(".json"))
+      .filterNot(_.getName.contains("checkpoint")).sortBy(_.getName)
+    val nextV = commits.map(_.getName.stripSuffix(".json").toLong).max + 1
+    val evil = new java.io.File(log, f"$nextV%020d.json")
+    val pw = new java.io.PrintWriter(evil, "UTF-8")
+    pw.println("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType","futureMagic"],"writerFeatures":["variantType","futureMagic"]}}""")
+    pw.close()
+    val e = intercept[IllegalArgumentException] { DeltaTable.load(spark, loc) }
+    assert(e.getMessage.contains("futureMagic"))
+  }
 }
