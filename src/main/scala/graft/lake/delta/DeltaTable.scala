@@ -84,9 +84,9 @@ final class DeltaTable private (
   /** FULL live add set. In [[DeltaTable.Lazy]] (big-checkpoint) mode this
     * is a distributed replay that still collects EVERY entry — only the
     * metadata-aggregate path ([[aggPlan]], which genuinely needs per-file
-    * stats for every live file) and [[addByPath]] (DV stream reads) pay
-    * it; the scan/plan paths go through [[prunedAdds]] and collect only
-    * predicate survivors. */
+    * stats for every live file) pays it; the scan/plan paths go through
+    * [[prunedAdds]] (predicate survivors only) and the CDF remove
+    * resolver through [[addsFor]] (named paths only). */
   private lazy val adds: Seq[DeltaTable.AddFile] = state match {
     case DeltaTable.Eager(a) => a
     case l: DeltaTable.Lazy => distReplay(l, None)
@@ -148,8 +148,34 @@ final class DeltaTable private (
   def partitionColumns: Seq[String] = meta.partitionColumns
   def columnMappingMode: String = meta.columnMappingMode
   private[delta] def dmeta: DeltaTable.DMeta = meta
-  private[delta] lazy val addByPath: Map[String, DeltaTable.AddFile] =
-    adds.map(a => a.path -> a).toMap
+  /** Live adds for SPECIFIC paths — the bounded probe the CDF remove
+    * resolver needs (only the files ONE commit touched). Eager: driver
+    * map lookups. Lazy: the distributed replay with the wanted-path set
+    * broadcast into the tasks, so the collect is O(|paths|) — a CDF read
+    * over a 10⁶-file estate never materializes the estate to resolve a
+    * handful of removes. */
+  private[lake] def addsFor(paths: Set[String]): Map[String, DeltaTable.AddFile] =
+    state match {
+      case DeltaTable.Eager(a) =>
+        a.iterator.filter(f => paths(f.path)).map(f => f.path -> f).toMap
+      case l: DeltaTable.Lazy =>
+        val tail = l.tailAdds.filter(a => paths(a.path))
+        val remaining = paths -- tail.map(_.path) -- l.excluded
+        val bc = spark.sparkContext.broadcast(remaining)
+        def surv(ps: Seq[String]): Seq[DeltaTable.AddFile] =
+          if (ps.isEmpty || remaining.isEmpty) Nil
+          else {
+            val df = spark.read.parquet(ps: _*)
+            if (!df.columns.contains("add")) Nil
+            else df.filter(col("add").isNotNull).select("add.*")
+              .rdd.mapPartitions { it =>
+                it.map(DeltaTable.parseAddRow)
+                  .filter(a => bc.value.contains(a.path))
+              }.collect().toSeq
+          }
+        (surv(l.cpPaths) ++ surv(l.sidecarPaths) ++ tail)
+          .map(a => a.path -> a).toMap
+    }
 
   /** In-file schema: data columns only, PHYSICAL names. Field-id
     * metadata is attached ONLY in id mode (it rides on Spark's
@@ -694,16 +720,19 @@ object DeltaTable {
         insertFiles ++= adds.map { case (path, pv) => (path, pv, v) }
       } else if (adds.isEmpty) {
         // one prior-version snapshot per remove-only commit, resolved
-        // lazily (only when a remove carries no DV of its own)
-        lazy val prior: DeltaTable =
-          loadVersion(spark, location, v - 1)
+        // lazily (only when a remove carries no DV of its own) and
+        // probed for ONLY this commit's removed paths — bounded even
+        // when the prior snapshot is checkpoint-lazy
+        lazy val priorAdds: Map[String, DeltaTable.AddFile] =
+          loadVersion(spark, location, v - 1).addsFor(
+            removes.collect { case (path, _, _, None) => path }.toSet)
         removes.foreach { case (path, pv, hasPv, removeDv) =>
           require(hasPv || meta.partitionColumns.isEmpty,
             s"delta cdf: version $v removed $path without extended " +
               "partitionValues metadata — the file cannot be located for " +
               "change synthesis")
           deleteFiles += ((path, pv, v))
-          removeDv.orElse(prior.addByPath.get(path).flatMap(_.deletionVector))
+          removeDv.orElse(priorAdds.get(path).flatMap(_.deletionVector))
             .foreach { d =>
               deleteDvs((v, pathKey(resolve(location, path).toString))) = d
             }

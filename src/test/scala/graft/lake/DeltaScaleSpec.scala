@@ -85,6 +85,15 @@ class DeltaScaleSpec extends AnyFunSuite {
     assert(eager.scan(pred).collect().toSet == lz.scan(pred).collect().toSet)
     assert(eager.filesDf.collect().toSeq == lz.filesDf.collect().toSeq)
     assert(eager.partitionsDf.collect().toSeq == lz.partitionsDf.collect().toSeq)
+
+    // the CDF remove-resolver probe: named-path lookups agree across
+    // modes and return ONLY the named live paths (lazy mode ships the
+    // wanted set to the replay instead of materializing the estate)
+    val live2 = eager.planFiles().take(2).toSet
+    val probe = live2 + "not/a/file.parquet"
+    assert(lz.addsFor(probe).keySet == live2)
+    assert(lz.addsFor(probe).view.mapValues(_.size).toMap ==
+      eager.addsFor(probe).view.mapValues(_.size).toMap)
   }
 
   test("multi-10k-file checkpoint: replay is a distributed job collecting only predicate survivors") {
