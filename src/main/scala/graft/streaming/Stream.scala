@@ -42,9 +42,19 @@ object Stream {
   private def normalizedEventsFile(s: SparkSession, sfDir: String): Path = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val raw = graft.Tables(s, sfDir, "events")
+    // zero-staging fast path ONLY when events.parquet is a single FILE
+    // (the driver's testdata layout). A Spark-written corpus (e.g. the
+    // ScaleData sf1 sweep) has a DIRECTORY here — copying that under the
+    // staged dir nests a subdirectory the streaming file source never
+    // lists, and every stream read silently 0-rows (caught by the r13
+    // sf1 gate sweep). Directories fall through to the
+    // normalize-and-rewrite branch, which coalesces to one real file.
+    val rawPath = new Path(s"$sfDir/events.parquet")
+    val rawIsFile = rawPath.getFileSystem(s.sessionState.newHadoopConf())
+      .getFileStatus(rawPath).isFile
     raw.schema("ts").dataType match {
-      case TimestampType | TimestampNTZType =>
-        new Path(s"$sfDir/events.parquet")
+      case TimestampType | TimestampNTZType if rawIsFile =>
+        rawPath
       case _ =>
         normalizedEvents.compute(sfDir, { (_, cached) =>
           val hconf = s.sessionState.newHadoopConf()
@@ -75,6 +85,10 @@ object Stream {
     val dst = new Path(dir)
     val hconf = s.sessionState.newHadoopConf()
     val fs = dst.getFileSystem(hconf)
+    // a directory copied here would nest below the source dir where the
+    // streaming file source never lists it — fail loudly, never 0-row
+    require(fs.getFileStatus(src).isFile,
+      s"stream staging: source $src must be a single parquet file")
     fs.delete(dst, true)
     fs.mkdirs(dst)
     FileUtil.copy(fs, src, fs, new Path(dst, destName), false, hconf)
@@ -256,7 +270,33 @@ object Stream {
 
   private def stagedDocsStream(s: SparkSession, name: String, d: String): DataFrame =
     s.readStream.schema(DocsDdl).parquet(
-      stageDir(s, name, d, new Path(s"$d/documents.parquet"), "documents.parquet"))
+      stageDir(s, name, d, singleFileOf(s, d, "documents"), "documents.parquet"))
+
+  /** Single-FILE form of a corpus table for stream staging: the driver's
+    * testdata is one file per table, but a Spark-written corpus (the
+    * ScaleData sf1 sweep) is a DIRECTORY, which staging must not copy
+    * (nested dirs are invisible to the streaming file source — the r13
+    * sf1 sweep caught six silent 0-row streams). Directory corpora are
+    * rewritten ONCE per (session, dir, table) to one real file. */
+  private val singleFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private def singleFileOf(s: SparkSession, sfDir: String, table: String): Path = {
+    val raw = new Path(s"$sfDir/$table.parquet")
+    val hconf = s.sessionState.newHadoopConf()
+    if (raw.getFileSystem(hconf).getFileStatus(raw).isFile) raw
+    else singleFileCache.compute(s"$sfDir/$table", { (_, cached) =>
+      if (cached != null && cached.getFileSystem(hconf).exists(cached)) cached
+      else {
+        val sfTag = sfDir.replaceAll(".*/", "")
+        val dir = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graft-lake") +
+          s"/stream-$table-file-$sfTag"
+        s.read.parquet(raw.toString).coalesce(1).write.mode("overwrite").parquet(dir)
+        val root = new Path(dir)
+        root.getFileSystem(hconf).listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+      }
+    })
+  }
 
   /** Streaming exact dedup: dropDuplicates on (lang, sha2(text)) as the
     * documents stream in, then a per-lang distinct-text count. State is one
