@@ -209,21 +209,21 @@ class DeltaSpec extends AnyFunSuite {
     val w = DeltaWriter.create(spark, dir, n.schema)
     w.append(n)
     // forge a protocol upgrade demanding a feature this reader does NOT
-    // implement (variant values change what the binary bytes mean —
-    // misreading silently corrupts values; typeWidening moved to the
-    // supported set in r11)
+    // implement (collated comparisons change row equality semantics —
+    // misreading silently corrupts results; typeWidening moved to the
+    // supported set in r11, variantType in r13)
     val logPath = new Path(dir, "_delta_log/00000000000000000002.json")
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(logPath, false)
     try out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""")
+        """"readerFeatures":["collations-preview"],"writerFeatures":["collations-preview"]}}""")
         .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[IllegalArgumentException] {
       DeltaTable.load(spark, dir)
     }
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("collations-preview"))
     // ...but minReaderVersion 2 (legacy column mapping) IS implemented
     // now: the same table pinned before the forged upgrade still loads,
     // and a fresh version-2 table loads outright
