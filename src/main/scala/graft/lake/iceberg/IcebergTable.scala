@@ -715,14 +715,15 @@ final class IcebergTable private (
         case "PARQUET" => spark.read.schema(readPhys)
           .parquet(files.map(_.entry.filePath): _*)
         case "ORC" =>
-          // positional machinery needs _metadata.row_index, which
-          // Spark's ORC source does not expose (parquet-only) — reject
-          // rather than silently mis-join positions
-          require(!needMeta,
-            "iceberg: positional deletes / deletion vectors apply to ORC " +
-              s"data files (${files.head.entry.filePath}, ...); this reader " +
-              "supports positional deletes over parquet data files only")
-          spark.read.schema(readPhys).orc(files.map(_.entry.filePath): _*)
+          // positional machinery needs a row index, which Spark's ORC
+          // source does not expose (_metadata.row_index is parquet-only)
+          // — those groups route through the orc-core streaming reader
+          // (r13), which emits the per-file ordinal in file order; plain
+          // groups keep Spark's vectorized source
+          if (needMeta)
+            IcebergOrcData.readWithPos(spark, writeSchema,
+              files.map(_.entry.filePath), PosFileCol, PosIdxCol)
+          else spark.read.schema(readPhys).orc(files.map(_.entry.filePath): _*)
         case "AVRO" =>
           // positional machinery over AVRO (r13): the custom decoder has
           // no _metadata source, but it streams one task per file IN
@@ -739,9 +740,9 @@ final class IcebergTable private (
             "supported data file formats: PARQUET, ORC, AVRO")
       }
       if (needMeta) df =
-        if (fileFmt == "AVRO")
-          // the decoder emitted the planned path raw; normalize it the
-          // same way the delete/DV side is normalized before joining
+        if (fileFmt == "AVRO" || fileFmt == "ORC")
+          // the custom decoders emitted the planned path raw; normalize
+          // it the same way the delete/DV side is before joining
           df.withColumn(PosFileCol, normPath(col(PosFileCol)))
         else df
           .withColumn(PosFileCol, normPath(col("_metadata.file_path")))

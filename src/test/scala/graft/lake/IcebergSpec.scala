@@ -636,21 +636,43 @@ class IcebergSpec extends AnyFunSuite {
     assert(t.scan().count() == n.count() - 2)
   }
 
-  test("positional deletes over ORC data files are rejected, not mis-joined") {
+  test("positional delete files over ORC data apply by streamed ordinal (r13)") {
     val n = Tables.nation(spark, sf)
     val w = IcebergWriter.create(spark, freshDir("orcposdel"), n.schema)
-    w.append(n.orderBy("n_nationkey").coalesce(1))
+    w.append(n.orderBy("n_nationkey").coalesce(1)) // one file, known order
     convertDataFilesToOrc(w.location)
     val t1 = IcebergTable.load(spark, w.location)
     val dataFile = t1.planFiles().head
     import spark.implicits._
-    val w2 = IcebergWriter.open(spark, w.location)
-    w2.positionDelete(Seq((dataFile, 0L)).toDF("file_path", "pos"))
-    val e = intercept[IllegalArgumentException] {
-      IcebergTable.load(spark, w.location).scan().collect()
+    // r12 loud-rejected this; the orc-core streaming reader (one task
+    // per file, batch decode in file order) now emits the ordinal
+    IcebergWriter.open(spark, w.location)
+      .positionDelete(Seq((dataFile, 0L), (dataFile, 7L)).toDF("file_path", "pos"))
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.filter(col("n_nationkey") =!= 0 && col("n_nationkey") =!= 7)
+        .orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("deletion vectors over ORC data files apply by streamed ordinal (r13)") {
+    val n = Tables.nation(spark, sf)
+    val w = IcebergWriter.create(spark, freshDir("orcdv"), n.schema)
+    w.append(n.orderBy("n_nationkey").coalesce(1))
+    // DV computed against the parquet file; conversion preserves row
+    // order, then rewires data path + referenced_data_file to the orc
+    w.deleteWhereDv(col("n_nationkey") === 4)
+    convertDataFilesToOrc(w.location)
+    patchManifests(w.location) { r =>
+      val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val ref = df.getSchema.getField("referenced_data_file")
+      if (ref != null && df.get("referenced_data_file") != null)
+        df.put("referenced_data_file",
+          df.get("referenced_data_file").toString.stripSuffix(".parquet") + ".orc")
     }
-    assert(e.getMessage.toLowerCase.contains("positional"),
-      s"error must explain the positional-delete-over-ORC limit: ${e.getMessage}")
+    val t = IcebergTable.load(spark, w.location)
+    assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
+      n.filter(col("n_nationkey") =!= 4)
+        .orderBy("n_nationkey").collect().toSeq)
   }
 
   test("rewriteManifests: metadata-only consolidation, deletes still apply (r11)") {
