@@ -267,9 +267,33 @@ final class IcebergRestCatalog(uri: String,
     parseLoadResult(r.body())
   }
 
-  def dropTable(ns: Seq[String], name: String): Boolean =
-    send("DELETE", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}"))
+  /** DROP through the catalog; `purge = true` asks the service to also
+    * delete the table's storage (the spec's `purgeRequested` flag — the
+    * reference's `pg_catalog_drop_table(purge)`,
+    * catalog_bridge.h:96-100). */
+  def dropTable(ns: Seq[String], name: String, purge: Boolean = false): Boolean =
+    send("DELETE", v1(s"/namespaces/${nsSeg(ns)}/tables/${seg(name)}") +
+      (if (purge) "?purgeRequested=true" else ""))
       .statusCode() == 204
+
+  /** RENAME through the catalog (the spec's `POST /v1/{p}/tables/rename`;
+    * the reference's `pg_catalog_rename_table`,
+    * catalog_bridge.h:115-120) — a metadata pointer move, zero data or
+    * metadata-file movement; the table keeps its uuid and history. */
+  def renameTable(fromNs: Seq[String], fromName: String,
+      toNs: Seq[String], toName: String): Unit = {
+    val body = mapper.createObjectNode()
+    val src = body.putObject("source")
+    val sa = src.putArray("namespace"); fromNs.foreach(sa.add)
+    src.put("name", fromName)
+    val dst = body.putObject("destination")
+    val da = dst.putArray("namespace"); toNs.foreach(da.add)
+    dst.put("name", toName)
+    val r = send("POST", v1("/tables/rename"), Some(mapper.writeValueAsString(body)))
+    require(r.statusCode() == 200 || r.statusCode() == 204,
+      s"iceberg-rest: rename ${fromNs.mkString(".")}.$fromName -> " +
+        s"${toNs.mkString(".")}.$toName failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+  }
 
   /** THE COMMIT: POST requirements + updates; the service validates the
     * requirements against its current state under its commit lock and

@@ -345,6 +345,32 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         o.putObject("defaults"); o.putObject("overrides")
         send(x, 200, mapper.writeValueAsString(o))
 
+      case ("POST", Seq("tables", "rename")) =>
+        val b = readBody(x)
+        def ident(n: JsonNode): (Seq[String], String) = {
+          val it = n.path("namespace").elements()
+          val ns = Seq.newBuilder[String]
+          while (it.hasNext) ns += it.next().asText()
+          (ns.result(), n.path("name").asText())
+        }
+        val (sNs, sName) = ident(b.get("source"))
+        val (dNs, dName) = ident(b.get("destination"))
+        val sk = key(sNs, sName); val dk = key(dNs, dName)
+        val outcome: Either[(Int, String, String), Unit] = lock.synchronized {
+          if (!namespaces.contains(dNs.mkString("\u001F")))
+            Left((404, "NoSuchNamespaceException",
+              s"no namespace ${dNs.mkString(".")}"))
+          else if (!tables.containsKey(sk))
+            Left((404, "NoSuchTableException", s"no table $sName"))
+          else if (tables.containsKey(dk))
+            Left((409, "AlreadyExistsException", s"table $dName exists"))
+          else { tables.put(dk, tables.remove(sk)); Right(()) }
+        }
+        outcome match {
+          case Left((code, tpe, msg)) => err(x, code, tpe, msg)
+          case Right(_) => send(x, 204, "")
+        }
+
       case ("GET", Seq("namespaces")) =>
         val (slice, next) = page(x, namespaces.asScala.toSeq.sorted)
         val o = mapper.createObjectNode()
@@ -404,8 +430,21 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
               case Some(loc) => send(x, 200, loadResult(loc, readMeta(loc)))
             }
           case "DELETE" =>
-            if (lock.synchronized(tables.remove(k) != null)) send(x, 204, "")
-            else err(x, 404, "NoSuchTableException", s"no table $t")
+            val purge = query(x).get("purgeRequested").contains("true")
+            val removed = lock.synchronized(Option(tables.remove(k)))
+            removed match {
+              case None => err(x, 404, "NoSuchTableException", s"no table $t")
+              case Some(loc) =>
+                // purgeRequested (the reference's drop_table(purge)):
+                // the service also deletes the table's storage; a plain
+                // drop leaves files for an external vacuum
+                if (purge) {
+                  val tblRoot = new Path(readMeta(loc).location)
+                  try tblRoot.getFileSystem(conf).delete(tblRoot, true)
+                  catch { case _: java.io.IOException => () } // best-effort
+                }
+                send(x, 204, "")
+            }
           case "POST" => commitTable(x, k, t)
           case _ => err(x, 405, "BadRequestException", "unsupported method")
         }

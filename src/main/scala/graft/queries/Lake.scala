@@ -1390,7 +1390,38 @@ object Lake {
     // reads storage only — execution never touches the catalog again
   }
 
+  /** VARIANT columns through the Delta `variantType` table feature
+    * (r13): semi-structured order metadata is parsed once
+    * (`parse_json`) into a real VariantType column, written to a Delta
+    * table (binary metadata/value pair per the protocol; the writer
+    * declares the 3/7 feature), read back through the log, and queried
+    * with TYPED extraction (`variant_get`) — the modern
+    * JSON-column-without-reparsing shape. The oracle reproduces the
+    * aggregate from the raw parquet columns the variants were built
+    * from, so a corrupted round-trip (wrong bytes, wrong extraction)
+    * hash-mismatches. At 100 TB: variants are columnar binary, scans
+    * stay vectorized, sibling columns keep stats pruning. */
+  def lakeDeltaVariant(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
+    val loc = work(s, "delta_variant", d)
+    val src = Tables.orders(s, d).selectExpr("o_orderkey",
+      "parse_json(concat('{\"prio\":\"', o_orderpriority, " +
+        "'\",\"status\":\"', o_orderstatus, '\"}')) as v")
+    val w = graft.lake.delta.DeltaWriter.create(s, loc, StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("v", VariantType))))
+    w.append(src)
+    val t = graft.lake.delta.DeltaTable.load(s, loc)
+    t.scan()
+      .selectExpr(
+        "variant_get(v, '$.status', 'string') as status",
+        "variant_get(v, '$.prio', 'string') as prio")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("prio")).as("n_prios"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_delta_variant" -> (lakeDeltaVariant _),
     "lake_iceberg_rest" -> (lakeIcebergRest _),
     "lake_iceberg_sql" -> (lakeIcebergSql _),
     "lake_delta_sql" -> (lakeDeltaSql _),
@@ -1443,6 +1474,11 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_delta_variant" ->
+      """SELECT o_orderstatus AS status,
+                count(*) AS n_orders,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+         FROM orders GROUP BY o_orderstatus""",
     "lake_snapshots_meta" ->
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
                 'append' AS operation, (SELECT count(*) FROM orders) AS total_rows

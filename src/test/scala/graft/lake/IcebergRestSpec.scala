@@ -314,6 +314,48 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("rename moves the pointer only; purge drop deletes storage, plain drop keeps it") {
+    val server = new IcebergRestServer(fresh("icerest-ren-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("a"))
+      cat.createNamespace(Seq("b"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("a"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      IcebergWriter.openRest(spark, cat, Seq("a"), "t").append(o.limit(9))
+      val locBefore = cat.loadTable(Seq("a"), "t").metadataLocation
+
+      // rename across namespaces: pointer move, same metadata file, same
+      // uuid/history; old name 404s, CAS commits keep working after
+      cat.renameTable(Seq("a"), "t", Seq("b"), "t2")
+      assert(!cat.tableExists(Seq("a"), "t"))
+      val loaded = cat.loadTable(Seq("b"), "t2")
+      assert(loaded.metadataLocation == locBefore,
+        "rename must not rewrite metadata")
+      IcebergWriter.openRest(spark, cat, Seq("b"), "t2").append(o.limit(4))
+      assert(IcebergTable.load(spark,
+        cat.loadTable(Seq("b"), "t2").metadataLocation).scan().count() == 13)
+      // destination collision rejects
+      cat.createTable(Seq("a"), "t3", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      intercept[IllegalArgumentException] {
+        cat.renameTable(Seq("a"), "t3", Seq("b"), "t2")
+      }
+
+      // plain drop: files remain (external vacuum's job)
+      val keepLoc = cat.loadTable(Seq("a"), "t3").metadata.location
+      assert(cat.dropTable(Seq("a"), "t3"))
+      val fs = new org.apache.hadoop.fs.Path(keepLoc)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(keepLoc)))
+      // purge drop: storage gone too (the reference's drop_table(purge))
+      val dataLoc = cat.loadTable(Seq("b"), "t2").metadata.location
+      assert(cat.dropTable(Seq("b"), "t2", purge = true))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dataLoc)),
+        "purgeRequested must delete the table's storage")
+    } finally server.stop()
+  }
+
   test("OAuth2: bearer flow, 401 without/with bad credentials, expired-token refresh") {
     val server = new IcebergRestServer(fresh("icerest-auth-wh"),
       spark.sessionState.newHadoopConf(),
