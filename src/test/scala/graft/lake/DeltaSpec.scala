@@ -1031,6 +1031,17 @@ class DeltaSpec extends AnyFunSuite {
     // stats — unknown, never wrong)
     assert(t.planFiles(Some(col("id") < 3)).size < t.planFiles().size)
 
+    // the DSv2 connector and the SQL catalog serve the same variant
+    // column (a reference user reads through SQL, not the table API)
+    val conn = spark.read.format("graft-delta").load(loc)
+    assert(conn.schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    assert(conn.selectExpr("variant_get(v, '$.k', 'long') as k")
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) == 15L)
+    assert(spark.sql(
+      s"SELECT variant_get(v, '$$.k', 'long') AS k FROM `graft-delta`.`$loc`")
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) == 15L)
+
     // an UNKNOWN reader feature still rejects loudly (variant did not
     // soften the guard)
     val log = new java.io.File(s"$loc/_delta_log")
