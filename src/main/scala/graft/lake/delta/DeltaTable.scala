@@ -83,10 +83,16 @@ final class DeltaTable private (
 
   /** FULL live add set. In [[DeltaTable.Lazy]] (big-checkpoint) mode this
     * is a distributed replay that still collects EVERY entry — only the
-    * metadata-aggregate path ([[aggPlan]], which genuinely needs per-file
-    * stats for every live file) pays it; the scan/plan paths go through
-    * [[prunedAdds]] (predicate survivors only) and the CDF remove
-    * resolver through [[addsFor]] (named paths only). */
+    * metadata-aggregate path ([[aggPlan]]) pays it; the scan/plan paths
+    * go through [[prunedAdds]] (predicate survivors only) and the CDF
+    * remove resolver through [[addsFor]] (named paths only). The aggPlan
+    * trade is deliberate: exact metadata COUNT/MIN/MAX genuinely needs
+    * every live file's (rows, nullCounts, stats) — collecting O(files)
+    * METADATA (GBs at a 10⁶-file estate) to answer from stats is still
+    * ~1000× cheaper than the alternative it replaces (scanning O(data) —
+    * TBs — through the executors), and the pushdown only triggers for
+    * whole-table aggregates. Folding the aggregation itself into the
+    * replay job is the next refinement if that collect ever measures. */
   private lazy val adds: Seq[DeltaTable.AddFile] = state match {
     case DeltaTable.Eager(a) => a
     case l: DeltaTable.Lazy => distReplay(l, None)

@@ -367,4 +367,34 @@ class LakeStreamSpec extends AnyFunSuite {
       s"micro-batched scoring must equal batch: $streamed vs $batch")
     assert(streamed.values.sum > 0)
   }
+
+  test("stream staging survives a directory-layout corpus (r13 sf1 regression)") {
+    // The r13 sf1 sweep caught six SILENT 0-row streams: a Spark-written
+    // corpus has events.parquet/documents.parquet as DIRECTORIES, and
+    // copying a directory under the staged source dir nests it where the
+    // streaming file source never lists. Rebuild that corpus shape and
+    // pin nonzero, batch-equal results.
+    val dir = "/root/repo/target/graft-lake-test/dircorpus"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(root, true)
+    // directory-layout copies of the two streamed tables (2 part files
+    // each — also pins multi-part reassembly, not just dir handling)
+    graft.Tables.events(spark, sf).repartition(2)
+      .write.parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$sf/documents.parquet").repartition(2)
+      .write.parquet(s"$dir/documents.parquet")
+
+    val winDir = graft.streaming.Stream.streamWindowAgg(spark, dir)
+    val winFile = graft.streaming.Stream.streamWindowAgg(spark, sf)
+    assert(winDir.count() > 0, "directory corpus must not stage to an empty stream")
+    assert(winDir.collect().toSet == winFile.collect().toSet,
+      "directory and single-file corpora must stream identically")
+
+    val dedupDir = graft.streaming.Stream.streamDedup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val dedupFile = graft.streaming.Stream.streamDedup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dedupDir == dedupFile && dedupDir.nonEmpty)
+  }
 }
