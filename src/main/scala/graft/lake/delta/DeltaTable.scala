@@ -81,22 +81,11 @@ final class DeltaTable private (
       * (newest wins; checkpoints retain one per appId). */
     val txnVersions: Map[String, Long] = Map.empty) {
 
-  /** FULL live add set. In [[DeltaTable.Lazy]] (big-checkpoint) mode this
-    * is a distributed replay that still collects EVERY entry — only the
-    * metadata-aggregate path ([[aggPlan]]) pays it; the scan/plan paths
-    * go through [[prunedAdds]] (predicate survivors only) and the CDF
-    * remove resolver through [[addsFor]] (named paths only). The aggPlan
-    * trade is deliberate: exact metadata COUNT/MIN/MAX genuinely needs
-    * every live file's (rows, nullCounts, stats) — collecting O(files)
-    * METADATA (GBs at a 10⁶-file estate) to answer from stats is still
-    * ~1000× cheaper than the alternative it replaces (scanning O(data) —
-    * TBs — through the executors), and the pushdown only triggers for
-    * whole-table aggregates. Folding the aggregation itself into the
-    * replay job is the next refinement if that collect ever measures. */
-  private lazy val adds: Seq[DeltaTable.AddFile] = state match {
-    case DeltaTable.Eager(a) => a
-    case l: DeltaTable.Lazy => distReplay(l, None)
-  }
+  // NOTHING in this class materializes the full live add set in Lazy
+  // mode: scans go through [[prunedAdds]] (predicate survivors only),
+  // the CDF remove resolver through [[addsFor]] (named paths only),
+  // metadata views through [[addRowsDf]] (distributed projection), and
+  // metadata aggregates through [[foldAggEntries]] (distributed fold).
 
   /** Live adds surviving the filter. Eager mode prunes on the driver
     * exactly as before; Lazy mode pushes [[FilePruner]]'s conservative
@@ -318,27 +307,54 @@ final class DeltaTable private (
     (live.map(_.size).sum, live.map(_.numRecords.getOrElse(0L)).sum)
   }
 
-  /** Aggregate-pushdown planning surface (r11, the Delta counterpart of
-    * IcebergTable.aggPlan): every live file as (pruner DataFileMeta,
-    * exact row count, LOGICAL-name nullCount entries), plus the
-    * partition column set — or None when ANY deletion vector is live
-    * (log row counts become upper bounds) or any file lacks `numRecords`
-    * (stats are optional in the protocol; unknown is not zero). Feeds
-    * the DSv2 connector's metadata-only COUNT/MIN/MAX
-    * ([[graft.lake.sql.DeltaInteropAgg]]). */
-  private[lake] def aggPlan: Option[(StructType,
-      Seq[(DataFileMeta, Long, Map[String, Long])], Set[String])] = {
-    if (adds.exists(_.deletionVector.isDefined)) return None
-    val byPhys = meta.logicalByPhysical
-    val files = adds.map { a =>
-      val n = a.numRecords.getOrElse(return None)
-      val logicalNulls =
-        if (meta.columnMappingMode == "none") a.nullCounts
-        else a.nullCounts.flatMap { case (k, v) => byPhys.get(k).map(_ -> v) }
-      (toDataFileMeta(a), n, logicalNulls)
+  /** Aggregate-pushdown surface (r11; FOLD form since r13): the DSv2
+    * connector's metadata-only COUNT/MIN/MAX
+    * ([[graft.lake.sql.DeltaInteropAgg]]) runs as an associative fold
+    * over every live file's (pruner DataFileMeta, exact row count,
+    * LOGICAL-name nullCount entries). Returns None — refuse — when ANY
+    * deletion vector is live (log row counts become upper bounds) or
+    * any file lacks `numRecords` (stats are optional in the protocol;
+    * unknown is not zero). Eager mode folds on the driver; Lazy mode
+    * runs the fold INSIDE the distributed checkpoint replay
+    * (treeAggregate), so a whole-estate metadata aggregate never
+    * materializes the estate anywhere — the r13 refinement that removed
+    * the last O(files) driver collect from the lazy path. */
+  private[lake] def foldAggEntries[B](zero: B)(
+      seq: (B, (DataFileMeta, Long, Map[String, Long])) => B,
+      comb: (B, B) => B): Option[B] = {
+    val m = meta
+    val seqO: (Option[B], DeltaTable.AddFile) => Option[B] = (b, a) =>
+      b.flatMap(bb => DeltaTable.aggEntryOf(a, m).map(e => seq(bb, e)))
+    val combO: (Option[B], Option[B]) => Option[B] = (x, y) =>
+      for { xx <- x; yy <- y } yield comb(xx, yy)
+    state match {
+      case DeltaTable.Eager(a) => a.foldLeft(Option(zero))(seqO)
+      case l: DeltaTable.Lazy =>
+        val tailB = l.tailAdds.foldLeft(Option(zero))(seqO)
+        val excluded = spark.sparkContext.broadcast(l.excluded)
+        def rddOf(paths: Seq[String]) =
+          if (paths.isEmpty)
+            spark.sparkContext.emptyRDD[DeltaTable.AddFile]
+          else {
+            val df = spark.read.parquet(paths: _*)
+            if (!df.columns.contains("add"))
+              spark.sparkContext.emptyRDD[DeltaTable.AddFile]
+            else df.filter(col("add").isNotNull).select("add.*")
+              .rdd.mapPartitions { it =>
+                it.map(DeltaTable.parseAddRow)
+                  .filter(a => !excluded.value.contains(a.path))
+              }
+          }
+        implicit val tag: scala.reflect.ClassTag[Option[B]] =
+          scala.reflect.ClassTag(classOf[Option[B]])
+        val cpB = rddOf(l.cpPaths).union(rddOf(l.sidecarPaths))
+          .treeAggregate(Option(zero))(seqO, combO)
+        combO(cpB, tailB)
     }
-    Some((meta.schema, files, meta.partitionColumns.toSet))
   }
+
+  private[lake] def partitionColumnSet: Set[String] =
+    meta.partitionColumns.toSet
 
   // ---- scan ----------------------------------------------------------------
 
@@ -484,6 +500,25 @@ object DeltaTable {
       /** Checkpoint paths superseded by the tail (removed or re-added):
         * excluded from the distributed replay via broadcast. */
       excluded: Set[String]) extends State
+
+  /** Aggregate-fold entry for one live add — (pruner meta, exact rows,
+    * LOGICAL-name nullCounts) — or None when the file disqualifies the
+    * whole metadata aggregate (live DV: counts become upper bounds;
+    * missing numRecords: unknown is not zero). Companion-level so the
+    * distributed fold's task closures capture only the (serializable)
+    * DMeta. */
+  private def aggEntryOf(a: AddFile, m: DMeta)
+      : Option[(DataFileMeta, Long, Map[String, Long])] =
+    if (a.deletionVector.isDefined) None
+    else a.numRecords.map { n =>
+      val logicalNulls =
+        if (m.columnMappingMode == "none") a.nullCounts
+        else {
+          val byPhys = m.logicalByPhysical
+          a.nullCounts.flatMap { case (k, v) => byPhys.get(k).map(_ -> v) }
+        }
+      (toDataFileMeta(a, m), n, logicalNulls)
+    }
 
   /** Metadata-view row for one live add (see [[DeltaTable.addRowsDf]]);
     * companion-level so executor closures can use it without capturing

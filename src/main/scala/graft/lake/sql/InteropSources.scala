@@ -635,44 +635,40 @@ class GraftDeltaSource extends InteropReadProvider {
   *    bounds) and float/double (NaN-blind bounds) */
 final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
   import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  import DeltaInteropAgg._
 
-  private lazy val ctx = t.aggPlan
+  // r13: both surfaces run as ASSOCIATIVE FOLDS through
+  // DeltaTable.foldAggEntries — on the driver for small (Eager) tables,
+  // INSIDE the distributed checkpoint replay (treeAggregate) for
+  // big (Lazy) ones — so a whole-estate metadata COUNT/MIN/MAX never
+  // materializes the file list anywhere. Refusal semantics are
+  // unchanged from the r11 loop: any disqualifying file poisons the
+  // fold to None and the aggregate falls back to a real scan.
 
-  override def consumable(f: Filter): Boolean = ctx.exists {
-    case (sch, files, partCols) =>
-      f.references.forall(r => !r.contains('.') && partCols.contains(r)) &&
-        files.forall { case (dfm, _, _) =>
-          AggPushdown.eval(f, dfm, sch).isDefined }
+  override def consumable(f: Filter): Boolean = {
+    val sch = t.schema
+    val partCols = t.partitionColumnSet
+    if (!f.references.forall(r => !r.contains('.') && partCols.contains(r)))
+      return false
+    t.foldAggEntries(true)(
+      (ok, e) => ok && AggPushdown.eval(f, e._1, sch).isDefined,
+      _ && _).getOrElse(false)
   }
 
   override def tryPush(agg: Aggregation,
       filters: Seq[Filter]): Option[(StructType, Seq[Any])] = {
     if (agg.groupByExpressions.nonEmpty) return None
-    val (sch, files, partCols) = ctx.getOrElse(return None)
-    val surviving = files.filter { case (dfm, _, _) =>
-      filters.forall(f => AggPushdown.eval(f, dfm, sch).contains(true)) }
-
+    val sch = t.schema
+    val partCols = t.partitionColumnSet
     val funcs = agg.aggregateExpressions().toSeq
-    val out = funcs.map {
-      case _: CountStar =>
-        (LongType: DataType, false, Long.box(surviving.map(_._2).sum): Any)
+    // driver-side planning: per-func shape + the static refusals
+    // (unresolvable column, unsafe bound type, unsupported function)
+    val plans: Seq[FPlan] = funcs.map {
+      case _: CountStar => PCountStar
       case c: Count if !c.isDistinct =>
         val name = AggPushdown.simpleName(c.column).getOrElse(return None)
         if (!sch.fieldNames.contains(name)) return None
-        var n = 0L
-        surviving.foreach { case (dfm, rows, nulls) =>
-          if (partCols.contains(name))
-            dfm.partitionValues.get(name) match {
-              case Some(graft.lake.Meta.NullPartition) => ()
-              case Some(_) => n += rows
-              case None => return None
-            }
-          else nulls.get(name) match {
-            case Some(nc) => n += rows - nc
-            case None => return None
-          }
-        }
-        (LongType: DataType, false, Long.box(n): Any)
+        PCountCol(name, partCols.contains(name))
       case m @ (_: Min | _: Max) =>
         val (colExpr, isMin) = m match {
           case mn: Min => (mn.column, true)
@@ -681,26 +677,21 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
         val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
         val f = sch.fields.find(_.name == name).getOrElse(return None)
         if (!AggPushdown.minMaxSafe(f.dataType)) return None
-        var best: Option[BigDecimal] = None
-        def fold(v: BigDecimal): Unit = best = Some(best.fold(v)(b =>
-          if (isMin) b.min(v) else b.max(v)))
-        surviving.foreach { case (dfm, rows, nulls) =>
-          if (partCols.contains(name))
-            dfm.partitionValues.get(name) match {
-              case Some(graft.lake.Meta.NullPartition) => () // MIN/MAX skip nulls
-              case Some(raw) =>
-                fold(AggPushdown.partValue(raw, f.dataType).getOrElse(return None))
-              case None => return None
-            }
-          else if (rows > 0 && !nulls.get(name).contains(rows)) {
-            val cs = dfm.stats.getOrElse(name, return None)
-            fold(AggPushdown.statValue(cs, if (isMin) cs.min else cs.max, f.dataType)
-              .getOrElse(return None))
-          } // all-null or empty file: contributes no bound
-        }
-        (f.dataType, true,
-          best.map(v => AggPushdown.external(v, f.dataType)).orNull: Any)
+        PBound(name, partCols.contains(name), isMin, f.dataType)
       case _ => return None // SUM/AVG/distinct/UDAF: not metadata-answerable
+    }
+    val zero: Option[Seq[Cell]] = Some(plans.map(identityCell))
+    val folded = t.foldAggEntries(zero)(
+      (acc, e) => for { a <- acc; c <- contribution(plans, filters, sch, e) }
+        yield merge(plans, a, c),
+      (x, y) => for { a <- x; b <- y } yield merge(plans, a, b))
+    val cells = folded.flatten.getOrElse(return None)
+    val out: Seq[(DataType, Boolean, Any)] = plans.zip(cells).map {
+      case (PCountStar, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
+      case (_: PCountCol, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
+      case (p: PBound, CBnd(best)) =>
+        (p.dt, true, best.map(v => AggPushdown.external(v, p.dt)).orNull: Any)
+      case _ => return None // unreachable: cells mirror plans by construction
     }
     val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
       StructField(fn.toString, dt, nullable) }
@@ -708,6 +699,76 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
   }
 }
 
+object DeltaInteropAgg {
+  /** Per-function fold plan, resolved on the driver; shipped into the
+    * distributed fold's tasks (pure case-class state). */
+  private sealed trait FPlan extends Serializable
+  private case object PCountStar extends FPlan
+  private final case class PCountCol(name: String, isPart: Boolean) extends FPlan
+  private final case class PBound(name: String, isPart: Boolean, isMin: Boolean,
+      dt: DataType) extends FPlan
+
+  private sealed trait Cell extends Serializable
+  private final case class CCnt(n: Long) extends Cell
+  private final case class CBnd(v: Option[BigDecimal]) extends Cell
+
+  private def identityCell(p: FPlan): Cell = p match {
+    case _: PBound => CBnd(None)
+    case _ => CCnt(0L)
+  }
+
+  /** One file's contribution to every requested aggregate — None when
+    * the file cannot answer exactly (the r11 refusal rules, now applied
+    * inside the fold); a file failing the pushed filters contributes the
+    * identity (it is not read, so it cannot refuse). */
+  private def contribution(plans: Seq[FPlan], filters: Seq[Filter],
+      sch: StructType,
+      e: (graft.lake.DataFileMeta, Long, Map[String, Long])): Option[Seq[Cell]] = {
+    val (dfm, rows, nulls) = e
+    if (!filters.forall(f => AggPushdown.eval(f, dfm, sch).contains(true)))
+      return Some(plans.map(identityCell))
+    val cells = plans.map {
+      case PCountStar => CCnt(rows)
+      case PCountCol(name, isPart) =>
+        if (isPart) dfm.partitionValues.get(name) match {
+          case Some(graft.lake.Meta.NullPartition) => CCnt(0L)
+          case Some(_) => CCnt(rows)
+          case None => return None
+        }
+        else nulls.get(name) match {
+          case Some(nc) => CCnt(rows - nc)
+          case None => return None // unknown != zero nulls
+        }
+      case PBound(name, isPart, isMin, dt) =>
+        if (isPart) dfm.partitionValues.get(name) match {
+          case Some(graft.lake.Meta.NullPartition) => CBnd(None) // MIN/MAX skip nulls
+          case Some(raw) =>
+            CBnd(Some(AggPushdown.partValue(raw, dt).getOrElse(return None)))
+          case None => return None
+        }
+        else if (rows > 0 && !nulls.get(name).contains(rows)) {
+          val cs = dfm.stats.getOrElse(name, return None)
+          CBnd(Some(AggPushdown.statValue(cs, if (isMin) cs.min else cs.max, dt)
+            .getOrElse(return None)))
+        } else CBnd(None) // all-null or empty file: contributes no bound
+    }
+    Some(cells)
+  }
+
+  private def merge(plans: Seq[FPlan], a: Seq[Cell], b: Seq[Cell]): Seq[Cell] =
+    plans.lazyZip(a).lazyZip(b).map { (p, x, y) =>
+      (p, x, y) match {
+        case (_, CCnt(u), CCnt(w)) => CCnt(u + w)
+        case (pb: PBound, CBnd(u), CBnd(w)) =>
+          CBnd((u, w) match {
+            case (None, v) => v
+            case (v, None) => v
+            case (Some(l), Some(r)) => Some(if (pb.isMin) l.min(r) else l.max(r))
+          })
+        case _ => throw new IllegalStateException("cell/plan shape mismatch")
+      }
+    }.toSeq
+}
 class GraftHudiSource extends InteropReadProvider {
   override def shortName(): String = "graft-hudi"
 

@@ -94,6 +94,22 @@ class DeltaScaleSpec extends AnyFunSuite {
     assert(lz.addsFor(probe).keySet == live2)
     assert(lz.addsFor(probe).view.mapValues(_.size).toMap ==
       eager.addsFor(probe).view.mapValues(_.size).toMap)
+
+    // metadata-only aggregates: the r13 distributed fold answers
+    // COUNT/MIN/MAX from log stats alone in BOTH modes — prove zero
+    // data IO by destroying the data files first (the DecimalInteropSpec
+    // technique), then pin lazy == eager == the pre-deletion answer
+    val aggSql = s"SELECT count(*) AS n, count(v) AS nv, " +
+      s"min(id) AS mn, max(id) AS mx FROM `graft-delta`.`$loc`"
+    val expectAgg = spark.sql(aggSql).collect().toSeq
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(loc)).filter(_.getPath.getName.startsWith("p="))
+      .foreach(st => fs.delete(st.getPath, true))
+    val eagerAgg = withThreshold(Long.MaxValue >> 1)(
+      spark.sql(aggSql).collect().toSeq)
+    val lazyAgg = withThreshold(0L)(spark.sql(aggSql).collect().toSeq)
+    assert(eagerAgg == expectAgg, "eager metadata agg must answer without data")
+    assert(lazyAgg == expectAgg, "lazy fold must answer without data")
   }
 
   test("multi-10k-file checkpoint: replay is a distributed job collecting only predicate survivors") {
