@@ -196,6 +196,47 @@ final class IcebergRestCatalog(uri: String,
       s"iceberg-rest: create namespace $ns failed: HTTP ${r.statusCode()} ${errorOf(r)}")
   }
 
+  /** DROP a namespace (spec: must be empty — a 409 surfaces loudly). */
+  def dropNamespace(ns: Seq[String]): Boolean = {
+    val r = send("DELETE", v1(s"/namespaces/${nsSeg(ns)}"))
+    r.statusCode() match {
+      case 204 => true
+      case 404 => false
+      case c => sys.error(
+        s"iceberg-rest: drop namespace $ns failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  /** Namespace properties (GetNamespaceResponse.properties). */
+  def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    val r = send("GET", v1(s"/namespaces/${nsSeg(ns)}"))
+    require(r.statusCode() == 200,
+      s"iceberg-rest: get namespace $ns failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(r.body()).path("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** UpdateNamespacePropertiesRequest — returns (updated, removed,
+    * missing) per the spec's response shape. */
+  def updateNamespaceProperties(ns: Seq[String],
+      updates: Map[String, String] = Map.empty,
+      removals: Seq[String] = Nil): (Seq[String], Seq[String], Seq[String]) = {
+    val body = mapper.createObjectNode()
+    val rm = body.putArray("removals"); removals.foreach(rm.add)
+    val up = body.putObject("updates")
+    updates.foreach { case (k, v) => up.put(k, v) }
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/properties"),
+      Some(mapper.writeValueAsString(body)))
+    require(r.statusCode() == 200,
+      s"iceberg-rest: update namespace $ns properties failed: " +
+        s"HTTP ${r.statusCode()} ${errorOf(r)}")
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(r.body())
+    def arr(f: String) = n.path(f).elements().asScala.map(_.asText()).toSeq
+    (arr("updated"), arr("removed"), arr("missing"))
+  }
+
   def listNamespaces(): Seq[Seq[String]] = {
     import scala.jdk.CollectionConverters._
     pagedList(v1("/namespaces"), "namespaces")

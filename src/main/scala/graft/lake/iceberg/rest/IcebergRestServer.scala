@@ -47,6 +47,9 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val namespaces =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** namespace key -> properties (the spec's namespace metadata). */
+  private val nsProps =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
   /** one lock arbitrates create/register/commit/drop — the catalog's
     * transaction boundary (a per-table lock would be enough for CAS but
     * not for create-vs-create races on one name). */
@@ -382,12 +385,20 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         send(x, 200, mapper.writeValueAsString(o))
 
       case ("POST", Seq("namespaces")) =>
-        val ns = readBody(x).get("namespace").elements().asScala
+        val body = readBody(x)
+        val ns = body.get("namespace").elements().asScala
           .map(_.asText()).mkString("\u001F")
         if (namespaces.add(ns)) {
+          val props =
+            (if (body.hasNonNull("properties"))
+               body.get("properties").properties().asScala
+                 .map(e => e.getKey -> e.getValue.asText()).toMap
+             else Map.empty[String, String])
+          if (props.nonEmpty) nsProps.put(ns, props)
           val o = mapper.createObjectNode()
           val a = o.putArray("namespace"); ns.split("\u001F").foreach(a.add)
-          o.putObject("properties")
+          val pn = o.putObject("properties")
+          props.foreach { case (k, v) => pn.put(k, v) }
           send(x, 200, mapper.writeValueAsString(o))
         } else err(x, 409, "AlreadyExistsException", s"namespace exists")
 
@@ -397,7 +408,55 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         else {
           val o = mapper.createObjectNode()
           val a = o.putArray("namespace"); ns.split("\u001F").foreach(a.add)
-          o.putObject("properties")
+          val pn = o.putObject("properties")
+          nsProps.getOrDefault(ns, Map.empty)
+            .foreach { case (k, v) => pn.put(k, v) }
+          send(x, 200, mapper.writeValueAsString(o))
+        }
+
+      case ("DELETE", Seq("namespaces", ns)) =>
+        // the spec: a namespace must be EMPTY to drop (409 otherwise)
+        val outcome = lock.synchronized {
+          if (!namespaces.contains(ns)) Left((404, "NoSuchNamespaceException"))
+          else if (tables.keySet().asScala
+              .exists(_.split("\u0000").toSeq.init.mkString("\u001F") == ns))
+            Left((409, "NamespaceNotEmptyException"))
+          else { namespaces.remove(ns); nsProps.remove(ns); Right(()) }
+        }
+        outcome match {
+          case Left((code, tpe)) => err(x, code, tpe, s"namespace $ns")
+          case Right(_) => send(x, 204, "")
+        }
+
+      case ("POST", Seq("namespaces", ns, "properties")) =>
+        // UpdateNamespacePropertiesRequest: {removals:[..], updates:{..}}
+        if (!namespaces.contains(ns)) {
+          err(x, 404, "NoSuchNamespaceException", s"no namespace $ns")
+        } else {
+          val b = readBody(x)
+          val removals =
+            (if (b.hasNonNull("removals"))
+               b.get("removals").elements().asScala.map(_.asText()).toSeq
+             else Nil)
+          val updates =
+            (if (b.hasNonNull("updates"))
+               b.get("updates").properties().asScala
+                 .map(e => e.getKey -> e.getValue.asText()).toSeq
+             else Nil)
+          require(removals.toSet.intersect(updates.map(_._1).toSet).isEmpty,
+            "a property cannot be both removed and updated in one request")
+          var removed = Seq.empty[String]
+          var missing = Seq.empty[String]
+          nsProps.compute(ns, { (_, cur0) =>
+            val cur = Option(cur0).getOrElse(Map.empty)
+            removed = removals.filter(cur.contains)
+            missing = removals.filterNot(cur.contains)
+            (cur -- removals) ++ updates
+          })
+          val o = mapper.createObjectNode()
+          val up = o.putArray("updated"); updates.map(_._1).sorted.foreach(up.add)
+          val rm = o.putArray("removed"); removed.sorted.foreach(rm.add)
+          val ms = o.putArray("missing"); missing.sorted.foreach(ms.add)
           send(x, 200, mapper.writeValueAsString(o))
         }
 

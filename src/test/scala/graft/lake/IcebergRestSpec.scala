@@ -356,6 +356,38 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("namespace lifecycle: properties round-trip, empty-only drop") {
+    val server = new IcebergRestServer(fresh("icerest-ns-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      assert(cat.namespaceProperties(Seq("ns")).isEmpty)
+      // UpdateNamespacePropertiesRequest: updates + removals in one call,
+      // missing removals reported (never an error, per spec)
+      val (up1, rm1, ms1) = cat.updateNamespaceProperties(Seq("ns"),
+        updates = Map("owner" -> "graft", "comment" -> "lake"))
+      assert(up1.toSet == Set("owner", "comment") && rm1.isEmpty && ms1.isEmpty)
+      assert(cat.namespaceProperties(Seq("ns")) ==
+        Map("owner" -> "graft", "comment" -> "lake"))
+      val (up2, rm2, ms2) = cat.updateNamespaceProperties(Seq("ns"),
+        updates = Map("owner" -> "graft2"),
+        removals = Seq("comment", "nonexistent"))
+      assert(up2 == Seq("owner") && rm2 == Seq("comment") && ms2 == Seq("nonexistent"))
+      assert(cat.namespaceProperties(Seq("ns")) == Map("owner" -> "graft2"))
+
+      // drop: refused while non-empty (409 loud), clean once empty
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      val e = intercept[RuntimeException] { cat.dropNamespace(Seq("ns")) }
+      assert(e.getMessage.contains("409"), s"non-empty drop must 409: ${e.getMessage}")
+      assert(cat.dropTable(Seq("ns"), "t"))
+      assert(cat.dropNamespace(Seq("ns")))
+      assert(!cat.listNamespaces().contains(Seq("ns")))
+      assert(!cat.dropNamespace(Seq("ns")), "second drop reports absence")
+    } finally server.stop()
+  }
+
   test("OAuth2: bearer flow, 401 without/with bad credentials, expired-token refresh") {
     val server = new IcebergRestServer(fresh("icerest-auth-wh"),
       spark.sessionState.newHadoopConf(),
