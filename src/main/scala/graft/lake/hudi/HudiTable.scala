@@ -65,7 +65,12 @@ final class HudiTable private (
       * replacecommit retirement is permanent (clean() dooms every slice
       * of a retired id forever), so re-minting a retired id would let a
       * later clean delete the new group's live files. */
-    private[hudi] val maxSeenFileSeq: Int) {
+    private[hudi] val maxSeenFileSeq: Int,
+    /** The ONE base file whose parquet footer supplied the schema (the
+      * table is self-describing — no schema registry). Exposed so
+      * zero-data-IO receipts can account for the single O(1) footer
+      * read a reload performs. */
+    val schemaProbePath: String) {
 
   def partitionColumns: Seq[String] = partitionFields
 
@@ -177,6 +182,29 @@ final class HudiTable private (
     (bytes, live.filter(_.numWrites >= 0).map(_.numWrites).sum)
   }
 
+  /** Aggregate-pushdown fold surface (r14; the triangle's third leg —
+    * see DeltaTable.foldAggEntries / IcebergTable.foldAggEntries): every
+    * live BASE slice as (pruner DataFileMeta, exact base-row count from
+    * its commit's HoodieWriteStat) — or None (refuse) when the counts
+    * cannot be exact: any uncompacted log delta while `refuseOnLogs`
+    * (the snapshot view's per-key merge collapses upserts and drops
+    * soft-deleted rows, making base counts upper bounds; the
+    * read_optimized view serves base slices by contract and passes
+    * false), or a slice whose commit stats predate numWrites recording
+    * (unknown ≠ zero). Snapshot state is already O(file groups) driver
+    * metadata (timeline replay — the format's own granularity), so this
+    * fold is a driver loop; nothing data-sized ever moves. */
+  private[lake] def foldAggSlices[B](zero: B, refuseOnLogs: Boolean)(
+      seq: (B, (DataFileMeta, Long)) => B): Option[B] = {
+    var acc = zero
+    for (s <- slices) {
+      if (refuseOnLogs && s.logs.nonEmpty) return None
+      if (s.numWrites < 0) return None // unknown row count
+      acc = seq(acc, (toDataFileMeta(s), s.numWrites))
+    }
+    Some(acc)
+  }
+
   /** READ-OPTIMIZED QUERY (hudi's second query type): base file slices
     * only, log deltas ignored — columnar-scan speed at the cost of
     * freshness bounded by the last compaction. On a COW table (or a
@@ -275,9 +303,11 @@ final class HudiTable private (
     // merge order: zero-padded "<instant>-<logversion>-<record idx>"
     // sorts base rows (their commit instant, version 0) before any
     // later delta, and deltas in append order
+    // every live slice has a real base path — a slice whose commit stats
+    // predate numWrites recording (-1, unknown) still READS; only the
+    // metadata-aggregate path refuses on it
     val base = spark.read.schema(fullSchema)
-      .parquet(live.filter(_.numWrites >= 0)
-        .map(s => new Path(location, s.path).toString): _*)
+      .parquet(live.map(s => new Path(location, s.path).toString): _*)
       .withColumn("__ord",
         concat(col("_hoodie_commit_time"), lit("-0000-000000000")))
       .withColumn("__del", lit(false))
@@ -389,6 +419,37 @@ object HudiTable {
 
     val timeline = fs.listStatus(meta).toSeq.map(_.getPath)
 
+    // TIMELINE ARCHIVAL guard: graft's table state is the ACTIVE-timeline
+    // replay (commit write stats name every file slice — the same
+    // metadata-first posture as the Delta/Iceberg readers, and what makes
+    // planning O(commits) with zero data-dir listing). Hudi's archival
+    // process MOVES old instants to `.hoodie/archived`, so slices written
+    // only by archived commits would silently vanish from a replay —
+    // reject loudly instead of serving a partial table. (Real Hudi
+    // recovers listings from storage or the `.hoodie/metadata` files
+    // index; see the metadata-table scope note below.) The `archived`
+    // dir itself commonly exists EMPTY from table creation — only actual
+    // archive files reject.
+    val archivedDir = new Path(meta, "archived")
+    if (fs.exists(archivedDir)) {
+      val archived = fs.listStatus(archivedDir)
+        .filter(st => st.isFile && st.getLen > 0)
+      require(archived.isEmpty,
+        s"hudi: timeline has ${archived.length} archived instant file(s) " +
+          s"under $archivedDir — this reader reconstructs state from the " +
+          "ACTIVE timeline only, and reading through an archived timeline " +
+          "would silently drop file slices committed before the archival " +
+          "boundary. Disable archival or keep the full timeline active.")
+    }
+    // METADATA TABLE scope (r14, documented): `.hoodie/metadata` — Hudi's
+    // internal MOR table of partition→file listings (HFile base files) —
+    // exists to avoid O(objects) storage listing on object stores. Graft
+    // never lists data directories in the first place (state is
+    // timeline-authoritative above), so the files index adds nothing at
+    // this reader's scope and its presence is simply ignored; the
+    // archived-timeline guard above rejects the one layout where the
+    // active timeline alone would under-report state.
+
     // replay understands `.commit`/`.deltacommit`/`.replacecommit`
     // instants (r10 adds replacecommit — clustering / insert_overwrite:
     // its partitionToReplaceFileIds RETIRES the listed file groups while
@@ -468,7 +529,12 @@ object HudiTable {
               logs += ((if (fileId.nonEmpty) fileId else fid, baseInstant,
                 LogRef(path, t, v.toInt)))
             case _ =>
-              val s = Slice(fileId, t, e.getKey, path, st.path("numWrites").asLong(0L),
+              // numWrites absent from the write stat = UNKNOWN (-1), not
+              // an empty file: metadata aggregates must refuse on it
+              // (unknown ≠ 0 — the shared exact-or-refuse doctrine)
+              val s = Slice(fileId, t, e.getKey, path,
+                if (st.hasNonNull("numWrites")) st.get("numWrites").asLong
+                else -1L,
                 sizeBytes = st.path("fileSizeInBytes").asLong(-1L))
               // commits replay in instant order, so a later slice replaces
               groups(fileId) = s
@@ -517,6 +583,7 @@ object HudiTable {
     val full = spark.read.parquet(sample.toString).schema
     val schema = StructType(full.fields.filterNot(f => MetaColumns.contains(f.name)))
 
-    new HudiTable(spark, location, schema, partitionFields, slices, maxSeenFileSeq)
+    new HudiTable(spark, location, schema, partitionFields, slices,
+      maxSeenFileSeq, sample.toString)
   }
 }

@@ -194,77 +194,14 @@ final class IcebergTable private (
     catch { case _: Throwable => None }
   }
 
-  /** Graft partition-spec strings + partition-value map for an entry, for
-    * the transforms FilePruner shares semantics with: identity, day
-    * (graft `days`), truncate. `bucket` is handled by [[bucketSurvives]];
-    * year/month/hour prune only via column bounds (conservative). */
+  /** See [[IcebergTable.pruneSpec]] (static since r14 — the distributed
+    * aggregate fold runs it inside tasks). */
   private def pruneSpec(spec: IcePartSpec, sch: IceSchema): Seq[(IcePartField, String, String)] =
-    spec.fields.flatMap { pf =>
-      sch.byId.get(pf.sourceId).flatMap { src =>
-        pf.transform match {
-          case "identity" => Some((pf, src.name, src.name))
-          case "day" => Some((pf, s"days(${src.name})", s"__p_${src.name}_day"))
-          case t if t.startsWith("truncate[") =>
-            val w = t.stripPrefix("truncate[").stripSuffix("]")
-            Some((pf, s"truncate($w,${src.name})", s"__p_${src.name}_trunc"))
-          case _ => None
-        }
-      }
-    }
+    IcebergTable.pruneSpec(spec, sch)
 
-  /** Render a decoded Avro partition value into the string form
-    * FilePruner's typed partition-value parser expects for the dir name's
-    * column type. None = unrenderable → leave unknown (no pruning). */
-  private def renderPartValue(pf: IcePartField, src: IceField, v: Any): Option[String] =
-    v match {
-      case null => Some(graft.lake.Meta.NullPartition)
-      case _ => (pf.transform, src.dataType) match {
-        case ("identity", DateType) => v match {
-          case i: Int => Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
-          case _ => None
-        }
-        case ("identity", IntegerType | LongType | StringType | BooleanType) =>
-          Some(v.toString)
-        case ("day", _) => v match { // graft PDays dir value = epoch days long
-          case i: Int => Some(i.toString)
-          case l: Long => Some(l.toString)
-          case _ => None
-        }
-        case (t, IntegerType | LongType | StringType) if t.startsWith("truncate[") =>
-          Some(v.toString)
-        case _ => None
-      }
-    }
-
-  /** Manifest entry → graft DataFileMeta: partition values under the
-    * transform dir-name convention, column bounds as ColStats keyed by the
-    * SNAPSHOT schema's column names. Float/double bounds are kept only
-    * when the file proves zero NaNs (Iceberg bounds exclude NaN, but
-    * Spark orders NaN above every value — a NaN row could match `x > hi`). */
-  private def toDataFileMeta(pf: PlannedFile, sch: IceSchema, spec: IcePartSpec): DataFileMeta = {
-    val e = pf.entry
-    val writeSchema = schemaOrCurrent(pf.schemaId)
-    val pvals = pruneSpec(spec, sch).flatMap { case (field, _, dirName) =>
-      for {
-        src <- sch.byId.get(field.sourceId)
-        raw <- e.partition.get(field.name)
-        rendered <- renderPartValue(field, src, raw)
-      } yield dirName -> rendered
-    }.toMap
-    val stats = sch.fields.flatMap { f =>
-      for {
-        wf <- writeSchema.byId.get(f.id) // column must exist in the file
-        loB <- e.lowerBounds.get(f.id)
-        hiB <- e.upperBounds.get(f.id)
-        (tagLo, lo) <- IcebergMeta.decodeBound(wf.typeStr, loB)
-        (tagHi, hi) <- IcebergMeta.decodeBound(wf.typeStr, hiB)
-        if tagLo == tagHi
-        if tagLo != "d" || e.nanCounts.get(f.id).contains(0L)
-      // missing null count = UNKNOWN (-1: pruner keeps, aggs refuse), never 0
-      } yield f.name -> ColStats(tagLo, lo, hi, e.nullCounts.getOrElse(f.id, -1L))
-    }.toMap
-    DataFileMeta(e.filePath, pf.seq, e.recordCount, e.fileSizeBytes, pvals, stats)
-  }
+  private def toDataFileMeta(pf: PlannedFile, sch: IceSchema, spec: IcePartSpec): DataFileMeta =
+    IcebergTable.toDataFileMeta(pf.entry, pf.seq, sch, spec,
+      schemaOrCurrent(pf.schemaId))
 
   /** Conjunct-equality bucket pruning with Iceberg's own hash: a file
     * whose `bucket[n]` partition value differs from the bucket of a
@@ -475,6 +412,97 @@ final class IcebergTable private (
     val idCols = meta.specs.flatMap(_.fields.filter(_.transform == "identity")
       .flatMap(f => sch.byId.get(f.sourceId).map(_.name))).toSet
     Some((sch, files, idCols))
+  }
+
+  /** Identity partition columns under the snapshot schema (static
+    * refusal input for the fold-form aggregate — no manifest IO). */
+  private[lake] def aggIdentityCols(snapshotId: Long = -1L): Set[String] = {
+    val snapId = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    val sch =
+      if (snapId < 0 || snapId == currentSnapshotId) meta.currentSchema
+      else meta.snapshot(snapId).schemaId.map(meta.schema)
+        .getOrElse(meta.currentSchema)
+    meta.specs.flatMap(_.fields.filter(_.transform == "identity")
+      .flatMap(f => sch.byId.get(f.sourceId).map(_.name))).toSet
+  }
+
+  /** Snapshot schema the aggregate fold evaluates under. */
+  private[lake] def aggIceSchema(snapshotId: Long = -1L): IceSchema = {
+    val snapId = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    if (snapId < 0 || snapId == currentSnapshotId) meta.currentSchema
+    else meta.snapshot(snapId).schemaId.map(meta.schema)
+      .getOrElse(meta.currentSchema)
+  }
+
+  /** Aggregate-pushdown surface in FOLD form (r14; the Delta
+    * `foldAggEntries` discipline applied to manifests): an associative
+    * fold over every live DATA file's (pruner DataFileMeta, raw manifest
+    * entry, writer schema) — or None when any delete content is live
+    * (manifest row counts become upper bounds) or any entry cannot
+    * contribute. Below `spark.graft.iceberg.aggFoldThresholdBytes` of
+    * manifest bytes (default 32 MiB ≈ 150k files) the fold runs on the
+    * driver over the cached plan — plan-identical to the r11 walk. Above
+    * it, manifests are read INSIDE a distributed job (one task per
+    * manifest, treeAggregate), so a whole-estate metadata COUNT/MIN/MAX
+    * on a multi-million-file table never materializes the file list
+    * anywhere — matching Iceberg's own move of metadata work off the
+    * planner for large estates. The distributed path refuses on ANY
+    * delete manifest in the list (content != 0) without opening it:
+    * conservative (a fully-retired delete manifest refuses too), but a
+    * refusal only costs a real scan, never a wrong answer. */
+  private[lake] def foldAggEntries[B](snapshotId: Long = -1L)(zero: B)(
+      seq: (B, (DataFileMeta, IcebergAvro.ManifestEntry, IceSchema)) => B,
+      comb: (B, B) => B): Option[B] = {
+    val snapId = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    if (snapId < 0) return Some(zero) // empty table: fold of nothing
+    val snap = meta.snapshot(snapId)
+    val listEntries = IcebergAvro.readManifestList(conf, resolve(snap.manifestList))
+    val threshold = spark.conf.getOption(
+      "spark.graft.iceberg.aggFoldThresholdBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    if (listEntries.map(_.length).sum <= threshold)
+      return aggPlan(snapshotId).map(_._2.foldLeft(zero)(seq))
+    if (listEntries.exists(_.content != 0)) return None
+    val sch =
+      if (snapId == currentSnapshotId) meta.currentSchema
+      else snap.schemaId.map(meta.schema).getOrElse(meta.currentSchema)
+    val ctx = IcebergTable.FoldCtx(sch, meta.schemas, meta.specs,
+      meta.defaultSpecId)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    // (resolved manifest path, list-entry sequence number for v2
+    // inheritance of ADDED entries with null seq)
+    val work = listEntries.map(le => (resolve(le.path).toString, le.sequenceNumber))
+    val seqO: (Option[B], (String, Long)) => Option[B] = (b, pe) =>
+      b.flatMap { bb =>
+        val (header, entries) = IcebergTable.manifestCache
+          .get(pe._1)(IcebergAvro.readManifest(
+            bcConf.value.value, new Path(pe._1)))
+        val schemaId = header.schemaId.getOrElse(ctx.sch.schemaId)
+        val writeSchema = ctx.schemaOrCurrent(schemaId)
+        val spec = ctx.specOf(header.specId)
+        var acc: Option[B] = Some(bb)
+        entries.foreach { en =>
+          if (acc.isDefined && en.status != 2) {
+            if (en.content != 0) acc = None // delete entry in a data manifest
+            else {
+              val entrySeq = en.sequenceNumber.getOrElse(
+                if (en.status == 1) pe._2 else 0L)
+              acc = acc.map(a => seq(a, (IcebergTable.toDataFileMeta(
+                en, entrySeq, ctx.sch, spec, writeSchema), en, writeSchema)))
+            }
+          }
+        }
+        acc
+      }
+    val combO: (Option[B], Option[B]) => Option[B] = (x, y) =>
+      for { xx <- x; yy <- y } yield comb(xx, yy)
+    implicit val tag: scala.reflect.ClassTag[Option[B]] =
+      scala.reflect.ClassTag(classOf[Option[B]])
+    spark.sparkContext
+      .parallelize(work, math.max(1, math.min(work.size,
+        spark.sparkContext.defaultParallelism * 2)))
+      .treeAggregate(Option(zero))(seqO, combO)
   }
 
   private def dvIndexOf(p: Plan): Map[String, (String, Long, Long, Long)] =
@@ -868,6 +896,99 @@ object IcebergTable {
       seq: Long,
       schemaId: Int,
       specId: Int)
+
+  /** Graft partition-spec strings + partition-value map for an entry, for
+    * the transforms FilePruner shares semantics with: identity, day
+    * (graft `days`), truncate. `bucket` is handled by `bucketSurvives`;
+    * year/month/hour prune only via column bounds (conservative).
+    * Static (r14): runs inside the distributed aggregate fold's tasks. */
+  private[iceberg] def pruneSpec(spec: IcePartSpec,
+      sch: IceSchema): Seq[(IcePartField, String, String)] =
+    spec.fields.flatMap { pf =>
+      sch.byId.get(pf.sourceId).flatMap { src =>
+        pf.transform match {
+          case "identity" => Some((pf, src.name, src.name))
+          case "day" => Some((pf, s"days(${src.name})", s"__p_${src.name}_day"))
+          case t if t.startsWith("truncate[") =>
+            val w = t.stripPrefix("truncate[").stripSuffix("]")
+            Some((pf, s"truncate($w,${src.name})", s"__p_${src.name}_trunc"))
+          case _ => None
+        }
+      }
+    }
+
+  /** Render a decoded Avro partition value into the string form
+    * FilePruner's typed partition-value parser expects for the dir name's
+    * column type. None = unrenderable → leave unknown (no pruning). */
+  private[iceberg] def renderPartValue(pf: IcePartField, src: IceField,
+      v: Any): Option[String] =
+    v match {
+      case null => Some(graft.lake.Meta.NullPartition)
+      case _ => (pf.transform, src.dataType) match {
+        case ("identity", DateType) => v match {
+          case i: Int => Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+          case _ => None
+        }
+        case ("identity", IntegerType | LongType | StringType | BooleanType) =>
+          Some(v.toString)
+        case ("day", _) => v match { // graft PDays dir value = epoch days long
+          case i: Int => Some(i.toString)
+          case l: Long => Some(l.toString)
+          case _ => None
+        }
+        case (t, IntegerType | LongType | StringType) if t.startsWith("truncate[") =>
+          Some(v.toString)
+        case _ => None
+      }
+    }
+
+  /** Manifest entry → graft DataFileMeta: partition values under the
+    * transform dir-name convention, column bounds as ColStats keyed by the
+    * SNAPSHOT schema's column names. Float/double bounds are kept only
+    * when the file proves zero NaNs (Iceberg bounds exclude NaN, but
+    * Spark orders NaN above every value — a NaN row could match `x > hi`).
+    * Static (r14): the distributed aggregate fold builds these inside
+    * tasks from a shipped [[FoldCtx]]. */
+  private[iceberg] def toDataFileMeta(e: IcebergAvro.ManifestEntry, seq: Long,
+      sch: IceSchema, spec: IcePartSpec, writeSchema: IceSchema): DataFileMeta = {
+    val pvals = pruneSpec(spec, sch).flatMap { case (field, _, dirName) =>
+      for {
+        src <- sch.byId.get(field.sourceId)
+        raw <- e.partition.get(field.name)
+        rendered <- renderPartValue(field, src, raw)
+      } yield dirName -> rendered
+    }.toMap
+    val stats = sch.fields.flatMap { f =>
+      for {
+        wf <- writeSchema.byId.get(f.id) // column must exist in the file
+        loB <- e.lowerBounds.get(f.id)
+        hiB <- e.upperBounds.get(f.id)
+        (tagLo, lo) <- IcebergMeta.decodeBound(wf.typeStr, loB)
+        (tagHi, hi) <- IcebergMeta.decodeBound(wf.typeStr, hiB)
+        if tagLo == tagHi
+        if tagLo != "d" || e.nanCounts.get(f.id).contains(0L)
+      // missing null count = UNKNOWN (-1: pruner keeps, aggs refuse), never 0
+      } yield f.name -> ColStats(tagLo, lo, hi, e.nullCounts.getOrElse(f.id, -1L))
+    }.toMap
+    DataFileMeta(e.filePath, seq, e.recordCount, e.fileSizeBytes, pvals, stats)
+  }
+
+  /** Everything a fold task needs to turn a raw manifest entry into an
+    * aggregate contribution — pure case-class state, shipped once per
+    * distributed fold (the snapshot schema, every historical schema for
+    * write-schema resolution, every partition spec). */
+  private[iceberg] final case class FoldCtx(
+      sch: IceSchema,
+      schemas: Seq[IceSchema],
+      specs: Seq[IcePartSpec],
+      defaultSpecId: Int) extends Serializable {
+    def schemaOrCurrent(id: Int): IceSchema =
+      schemas.find(_.schemaId == id).getOrElse(sch)
+    def specOf(id: Int): IcePartSpec =
+      specs.find(_.specId == id)
+        .orElse(specs.find(_.specId == defaultSpecId))
+        .getOrElse(IcePartSpec(0, Nil))
+  }
 
   private final case class Plan(
       schema: IceSchema,

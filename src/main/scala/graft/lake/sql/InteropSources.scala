@@ -15,7 +15,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.delta.DeltaTable
 import graft.lake.hudi.HudiTable
-import graft.lake.iceberg.IcebergTable
+import graft.lake.iceberg.{IceSchema, IcebergAvro, IcebergTable}
 
 /** DataSourceV2 batch READ connectors for the three interop formats — the
   * reference's headline usage is plain SQL over an Iceberg table
@@ -282,7 +282,13 @@ class GraftIcebergSource extends InteropReadProvider {
     * created through the catalog, not by CREATE-on-first-write. */
   override protected def path(options: CaseInsensitiveStringMap): String =
     restOf(options) match {
-      case Some((cat, ns, name)) => cat.loadTable(ns, name).metadata.location
+      case Some((cat, ns, name)) =>
+        val lr = cat.loadTable(ns, name)
+        // vended storage credentials (r14): the exists() probe touches
+        // the table's storage, so per-bucket s3a conf lands here too
+        graft.lake.iceberg.rest.IcebergRestCatalog.applyVendedStorage(
+          SparkSession.active, lr.metadata.location, lr)
+        lr.metadata.location
       case None => super.path(options)
     }
 
@@ -307,6 +313,11 @@ class GraftIcebergSource extends InteropReadProvider {
     val (loc, t, writer) = rest match {
       case Some((cat, ns, name)) =>
         val lr = cat.loadTable(ns, name)
+        // vended storage credentials (r14): per-table s3a access from the
+        // LoadTableResult — applied BEFORE any storage IO so metadata,
+        // manifests, data reads and the writer's commits all ride it
+        graft.lake.iceberg.rest.IcebergRestCatalog.applyVendedStorage(
+          spark, lr.metadata.location, lr)
         (lr.metadata.location,
           IcebergTable.load(spark, lr.metadataLocation),
           () => graft.lake.iceberg.IcebergWriter.openRest(spark, cat, ns, name))
@@ -423,17 +434,45 @@ class GraftIcebergSource extends InteropReadProvider {
   *    column is absent (added later) or all-null contribute nothing
   *  - COUNT(col) = Σ(record_count − null_value_count), refused when any
   *    file with the column lacks a null count (unknown ≠ zero) */
+/** Shared cell algebra of the three formats' metadata-aggregate folds:
+  * a fold accumulator is one [[MetaAggFold.Cell]] per requested
+  * aggregate function — counts add, bounds keep their min/max — and the
+  * merge is associative + commutative, which is what lets the same
+  * contribution logic run as a driver loop on small tables and inside a
+  * `treeAggregate` on large ones. Plain case classes: accumulators
+  * cross task boundaries in the distributed folds. */
+private[sql] object MetaAggFold {
+  sealed trait Cell extends Serializable
+  final case class CCnt(n: Long) extends Cell
+  /** `isMin` rides in the cell so merging needs no plan context. */
+  final case class CBnd(isMin: Boolean, v: Option[BigDecimal]) extends Cell
+
+  def merge(a: Seq[Cell], b: Seq[Cell]): Seq[Cell] =
+    a.lazyZip(b).map {
+      case (CCnt(u), CCnt(w)) => CCnt(u + w)
+      case (CBnd(m, u), CBnd(_, w)) =>
+        CBnd(m, (u, w) match {
+          case (None, v) => v
+          case (v, None) => v
+          case (Some(l), Some(r)) => Some(if (m) l.min(r) else l.max(r))
+        })
+      case _ => throw new IllegalStateException("cell shape mismatch")
+    }.toSeq
+}
+
 final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSupport {
   import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  import MetaAggFold._
 
-  private lazy val ctx = t.aggPlan(snap)
-
-  override def consumable(f: Filter): Boolean = ctx.exists {
-    case (sch, files, idCols) =>
-      f.references.forall(r => !r.contains('.') && idCols.contains(r)) &&
-        files.forall { case (dfm, _, _) =>
-          AggPushdown.eval(f, dfm, sch.struct).isDefined }
-  }
+  // r14: both surfaces run as ASSOCIATIVE FOLDS through
+  // IcebergTable.foldAggEntries — the Delta r13 discipline applied to
+  // manifests. Small tables fold on the driver over the cached plan
+  // (plan-identical to the r11 walk); past the manifest-byte threshold
+  // the fold runs INSIDE a distributed manifest read (treeAggregate),
+  // so a whole-estate metadata COUNT/MIN/MAX never materializes the
+  // file list anywhere. Refusal semantics are unchanged: any
+  // disqualifying entry poisons the fold to None and the aggregate
+  // falls back to a real scan.
 
   /** typeStrs whose bounds decode exactly (ColStats "l"/"c" domains). */
   private def minMaxSafe(typeStr: String): Boolean = typeStr match {
@@ -442,35 +481,33 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
     case _ => false
   }
 
+  override def consumable(f: Filter): Boolean = {
+    val idCols = t.aggIdentityCols(snap)
+    if (!f.references.forall(r => !r.contains('.') && idCols.contains(r)))
+      return false
+    val struct = t.aggIceSchema(snap).struct
+    t.foldAggEntries(snap)(true)(
+      (ok, e) => ok && AggPushdown.eval(f, e._1, struct).isDefined,
+      _ && _).getOrElse(false)
+  }
+
   override def tryPush(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       filters: Seq[Filter]): Option[(StructType, Seq[Any])] = {
+    import IcebergInteropAgg._
     if (agg.groupByExpressions.nonEmpty) return None
-    val (sch, files, _) = ctx.getOrElse(return None)
+    val sch = t.aggIceSchema(snap)
     val struct = sch.struct
-    val surviving = files.filter { case (dfm, _, _) =>
-      filters.forall(f => AggPushdown.eval(f, dfm, struct).contains(true)) }
-
     def fieldOf(name: String) = sch.fields.find(_.name == name)
-
     val funcs = agg.aggregateExpressions().toSeq
-    val out = funcs.map {
-      case _: CountStar =>
-        (LongType: DataType, false,
-          Long.box(surviving.map(_._2.recordCount).sum): Any)
+    // driver-side planning: per-func shape + the static refusals
+    // (unresolvable column, unsafe bound type, unsupported function)
+    val plans: Seq[IPlan] = funcs.map {
+      case _: CountStar => ICountStar
       case c: Count if !c.isDistinct =>
         val name = AggPushdown.simpleName(c.column).getOrElse(return None)
         val f = fieldOf(name).getOrElse(return None)
-        var n = 0L
-        surviving.foreach { case (_, e, writeSchema) =>
-          if (writeSchema.byId.contains(f.id) && e.recordCount > 0)
-            e.nullCounts.get(f.id) match {
-              case Some(nc) => n += e.recordCount - nc
-              case None => return None // unknown ≠ zero nulls
-            }
-          // column absent from the file (added later): all rows null → +0
-        }
-        (LongType: DataType, false, Long.box(n): Any)
+        ICountCol(name, f.id)
       case m @ (_: Min | _: Max) =>
         val (colExpr, isMin) = m match {
           case mn: Min => (mn.column, true)
@@ -479,24 +516,74 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
         val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
         val f = fieldOf(name).getOrElse(return None)
         if (!minMaxSafe(f.typeStr)) return None
-        var best: Option[BigDecimal] = None
-        surviving.foreach { case (dfm, e, writeSchema) =>
-          val present = writeSchema.byId.contains(f.id)
-          val allNull = e.nullCounts.get(f.id).contains(e.recordCount)
-          if (present && e.recordCount > 0 && !allNull) {
-            val cs = dfm.stats.getOrElse(name, return None)
-            val v = BigDecimal(if (isMin) cs.min else cs.max)
-            best = Some(best.fold(v)(b =>
-              if (isMin) b.min(v) else b.max(v)))
-          }
-        }
-        (f.dataType, true,
-          best.map(v => AggPushdown.external(v, f.dataType)).orNull: Any)
+        IBound(name, f.id, isMin, f.dataType)
       case _ => return None // SUM/AVG/distinct/UDAF: not metadata-answerable
+    }
+    val zero: Option[Seq[Cell]] = Some(plans.map(identityCell))
+    val folded = t.foldAggEntries(snap)(zero)(
+      (acc, e) => for { a <- acc; c <- contribution(plans, filters, struct, e) }
+        yield merge(a, c),
+      (x, y) => for { a <- x; b <- y } yield merge(a, b))
+    val cells = folded.flatten.getOrElse(return None)
+    val out: Seq[(DataType, Boolean, Any)] = plans.zip(cells).map {
+      case (ICountStar, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
+      case (_: ICountCol, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
+      case (p: IBound, CBnd(_, best)) =>
+        (p.dt, true, best.map(v => AggPushdown.external(v, p.dt)).orNull: Any)
+      case _ => return None // unreachable: cells mirror plans by construction
     }
     val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
       StructField(fn.toString, dt, nullable) }
     Some((StructType(fields), out.map(_._3)))
+  }
+}
+
+object IcebergInteropAgg {
+  import MetaAggFold._
+
+  /** Per-function fold plan, resolved on the driver from the snapshot
+    * schema; shipped into the distributed fold's tasks (pure case-class
+    * state — top-level so no outer SparkSession rides along). */
+  private[sql] sealed trait IPlan extends Serializable
+  private[sql] case object ICountStar extends IPlan
+  private[sql] final case class ICountCol(name: String, fieldId: Int) extends IPlan
+  private[sql] final case class IBound(name: String, fieldId: Int,
+      isMin: Boolean, dt: DataType) extends IPlan
+
+  private[sql] def identityCell(p: IPlan): Cell = p match {
+    case IBound(_, _, isMin, _) => CBnd(isMin, None)
+    case _ => CCnt(0L)
+  }
+
+  /** One file's contribution to every requested aggregate — None when
+    * the file cannot answer exactly; a file failing the pushed filters
+    * contributes the identity (it is not read, so it cannot refuse). */
+  private[sql] def contribution(plans: Seq[IPlan], filters: Seq[Filter],
+      struct: StructType,
+      e: (graft.lake.DataFileMeta, IcebergAvro.ManifestEntry, IceSchema))
+      : Option[Seq[Cell]] = {
+    val (dfm, en, writeSchema) = e
+    if (!filters.forall(f => AggPushdown.eval(f, dfm, struct).contains(true)))
+      return Some(plans.map(identityCell))
+    val cells = plans.map {
+      case ICountStar => CCnt(en.recordCount)
+      case ICountCol(_, fieldId) =>
+        if (writeSchema.byId.contains(fieldId) && en.recordCount > 0)
+          en.nullCounts.get(fieldId) match {
+            case Some(nc) => CCnt(en.recordCount - nc)
+            case None => return None // unknown ≠ zero nulls
+          }
+        // column absent from the file (added later): all rows null → +0
+        else CCnt(0L)
+      case IBound(name, fieldId, isMin, _) =>
+        val present = writeSchema.byId.contains(fieldId)
+        val allNull = en.nullCounts.get(fieldId).contains(en.recordCount)
+        if (present && en.recordCount > 0 && !allNull) {
+          val cs = dfm.stats.getOrElse(name, return None)
+          CBnd(isMin, Some(BigDecimal(if (isMin) cs.min else cs.max)))
+        } else CBnd(isMin, None) // all-null or empty file: no bound
+    }
+    Some(cells)
   }
 }
 
@@ -636,6 +723,7 @@ class GraftDeltaSource extends InteropReadProvider {
 final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
   import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
   import DeltaInteropAgg._
+  import MetaAggFold._
 
   // r13: both surfaces run as ASSOCIATIVE FOLDS through
   // DeltaTable.foldAggEntries — on the driver for small (Eager) tables,
@@ -683,13 +771,13 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
     val zero: Option[Seq[Cell]] = Some(plans.map(identityCell))
     val folded = t.foldAggEntries(zero)(
       (acc, e) => for { a <- acc; c <- contribution(plans, filters, sch, e) }
-        yield merge(plans, a, c),
-      (x, y) => for { a <- x; b <- y } yield merge(plans, a, b))
+        yield merge(a, c),
+      (x, y) => for { a <- x; b <- y } yield merge(a, b))
     val cells = folded.flatten.getOrElse(return None)
     val out: Seq[(DataType, Boolean, Any)] = plans.zip(cells).map {
       case (PCountStar, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
       case (_: PCountCol, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
-      case (p: PBound, CBnd(best)) =>
+      case (p: PBound, CBnd(_, best)) =>
         (p.dt, true, best.map(v => AggPushdown.external(v, p.dt)).orNull: Any)
       case _ => return None // unreachable: cells mirror plans by construction
     }
@@ -700,6 +788,8 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
 }
 
 object DeltaInteropAgg {
+  import MetaAggFold._
+
   /** Per-function fold plan, resolved on the driver; shipped into the
     * distributed fold's tasks (pure case-class state). */
   private sealed trait FPlan extends Serializable
@@ -708,12 +798,8 @@ object DeltaInteropAgg {
   private final case class PBound(name: String, isPart: Boolean, isMin: Boolean,
       dt: DataType) extends FPlan
 
-  private sealed trait Cell extends Serializable
-  private final case class CCnt(n: Long) extends Cell
-  private final case class CBnd(v: Option[BigDecimal]) extends Cell
-
   private def identityCell(p: FPlan): Cell = p match {
-    case _: PBound => CBnd(None)
+    case b: PBound => CBnd(b.isMin, None)
     case _ => CCnt(0L)
   }
 
@@ -741,34 +827,152 @@ object DeltaInteropAgg {
         }
       case PBound(name, isPart, isMin, dt) =>
         if (isPart) dfm.partitionValues.get(name) match {
-          case Some(graft.lake.Meta.NullPartition) => CBnd(None) // MIN/MAX skip nulls
+          case Some(graft.lake.Meta.NullPartition) => CBnd(isMin, None) // MIN/MAX skip nulls
           case Some(raw) =>
-            CBnd(Some(AggPushdown.partValue(raw, dt).getOrElse(return None)))
+            CBnd(isMin, Some(AggPushdown.partValue(raw, dt).getOrElse(return None)))
           case None => return None
         }
         else if (rows > 0 && !nulls.get(name).contains(rows)) {
           val cs = dfm.stats.getOrElse(name, return None)
-          CBnd(Some(AggPushdown.statValue(cs, if (isMin) cs.min else cs.max, dt)
-            .getOrElse(return None)))
-        } else CBnd(None) // all-null or empty file: contributes no bound
+          CBnd(isMin, Some(AggPushdown.statValue(cs,
+            if (isMin) cs.min else cs.max, dt).getOrElse(return None)))
+        } else CBnd(isMin, None) // all-null or empty file: contributes no bound
     }
     Some(cells)
   }
-
-  private def merge(plans: Seq[FPlan], a: Seq[Cell], b: Seq[Cell]): Seq[Cell] =
-    plans.lazyZip(a).lazyZip(b).map { (p, x, y) =>
-      (p, x, y) match {
-        case (_, CCnt(u), CCnt(w)) => CCnt(u + w)
-        case (pb: PBound, CBnd(u), CBnd(w)) =>
-          CBnd((u, w) match {
-            case (None, v) => v
-            case (v, None) => v
-            case (Some(l), Some(r)) => Some(if (pb.isMin) l.min(r) else l.max(r))
-          })
-        case _ => throw new IllegalStateException("cell/plan shape mismatch")
-      }
-    }.toSeq
 }
+/** Metadata-only COUNT/MIN/MAX for the `graft-hudi` connector (r14 —
+  * completes the triangle with [[IcebergInteropAgg]] and
+  * [[DeltaInteropAgg]]): answered from timeline commit stats
+  * (HoodieWriteStat's `numWrites` per base slice) and hive
+  * partition-path values alone — a full-table `count(*)` on a
+  * graft-hudi path is now one timeline fold with ZERO data files
+  * opened, like its two siblings. Hudi's commit stats carry no
+  * per-column bounds or null counts, so the exact surface is narrower
+  * and everything else refuses (exact-or-refuse, [[AggPushdown]]'s
+  * doctrine):
+  *
+  *  - any uncompacted LOG DELTA in a snapshot-view resolution → refuse
+  *    (the per-key merge collapses upserts and drops soft-deleted rows;
+  *    base-row counts become upper bounds). A READ_OPTIMIZED resolution
+  *    serves base slices only BY CONTRACT, so it keeps pushdown with
+  *    logs live — `refuseOnLogs = false`.
+  *  - a slice whose commit stats predate `numWrites` recording → refuse
+  *    (unknown ≠ zero)
+  *  - COUNT(col) / MIN / MAX(col) only on PARTITION columns, decided
+  *    per slice from its hive partition-path value (the NULL dir counts
+  *    as SQL null); every other column has no stats to answer from →
+  *    refuse. MIN/MAX additionally go through the shared
+  *    [[AggPushdown.minMaxSafe]] type gate (same rule as Delta's
+  *    partition-value bounds).
+  *
+  * Scale shape: Hudi snapshot state is already O(file groups) driver
+  * metadata (timeline replay — the format's own granularity), so the
+  * fold is a driver loop over that state; nothing data-sized moves. */
+final class HudiInteropAgg(t: HudiTable, refuseOnLogs: Boolean)
+    extends InteropAggSupport {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  import HudiInteropAgg._
+  import MetaAggFold._
+
+  override def consumable(f: Filter): Boolean = {
+    val partCols = t.partitionColumns.toSet
+    if (!f.references.forall(r => !r.contains('.') && partCols.contains(r)))
+      return false
+    val sch = t.schema
+    t.foldAggSlices(true, refuseOnLogs)(
+      (ok, e) => ok && AggPushdown.eval(f, e._1, sch).isDefined)
+      .getOrElse(false)
+  }
+
+  override def tryPush(agg: Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val sch = t.schema
+    val partCols = t.partitionColumns.toSet
+    val funcs = agg.aggregateExpressions().toSeq
+    val plans: Seq[HPlan] = funcs.map {
+      case _: CountStar => HCountStar
+      case c: Count if !c.isDistinct =>
+        val name = AggPushdown.simpleName(c.column).getOrElse(return None)
+        // only partition columns carry a per-slice null verdict (the
+        // hive dir value); commit stats have no null counts
+        if (!partCols.contains(name) || !sch.fieldNames.contains(name))
+          return None
+        HCountCol(name)
+      case m @ (_: Min | _: Max) =>
+        val (colExpr, isMin) = m match {
+          case mn: Min => (mn.column, true)
+          case mx: Max => (mx.column, false)
+        }
+        val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
+        val f = sch.fields.find(_.name == name).getOrElse(return None)
+        if (!partCols.contains(name)) return None // no column bounds in stats
+        if (!AggPushdown.minMaxSafe(f.dataType)) return None
+        HBound(name, isMin, f.dataType)
+      case _ => return None // SUM/AVG/distinct/UDAF: not metadata-answerable
+    }
+    val zero: Seq[Cell] = plans.map(identityCell)
+    val cells = t.foldAggSlices(zero, refuseOnLogs) { (acc, e) =>
+      contribution(plans, filters, sch, e) match {
+        case Some(c) => merge(acc, c)
+        case None => return None
+      }
+    }.getOrElse(return None)
+    val out: Seq[(DataType, Boolean, Any)] = plans.zip(cells).map {
+      case (HCountStar, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
+      case (_: HCountCol, CCnt(n)) => (LongType: DataType, false, Long.box(n): Any)
+      case (p: HBound, CBnd(_, best)) =>
+        (p.dt, true, best.map(v => AggPushdown.external(v, p.dt)).orNull: Any)
+      case _ => return None // unreachable: cells mirror plans by construction
+    }
+    val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
+      StructField(fn.toString, dt, nullable) }
+    Some((StructType(fields), out.map(_._3)))
+  }
+}
+
+object HudiInteropAgg {
+  import MetaAggFold._
+
+  private sealed trait HPlan
+  private case object HCountStar extends HPlan
+  private final case class HCountCol(name: String) extends HPlan
+  private final case class HBound(name: String, isMin: Boolean,
+      dt: DataType) extends HPlan
+
+  private def identityCell(p: HPlan): Cell = p match {
+    case b: HBound => CBnd(b.isMin, None)
+    case _ => CCnt(0L)
+  }
+
+  /** One base slice's contribution — None when it cannot answer exactly
+    * (missing partition value / unconvertible dir value); slices failing
+    * the pushed filters contribute the identity. */
+  private def contribution(plans: Seq[HPlan], filters: Seq[Filter],
+      sch: StructType,
+      e: (graft.lake.DataFileMeta, Long)): Option[Seq[Cell]] = {
+    val (dfm, rows) = e
+    if (!filters.forall(f => AggPushdown.eval(f, dfm, sch).contains(true)))
+      return Some(plans.map(identityCell))
+    val cells = plans.map {
+      case HCountStar => CCnt(rows)
+      case HCountCol(name) => dfm.partitionValues.get(name) match {
+        case Some(graft.lake.Meta.NullPartition) => CCnt(0L) // NULL dir: all null
+        case Some(_) => CCnt(rows)
+        case None => return None // non-hive layout: no verdict
+      }
+      case HBound(name, isMin, dt) => dfm.partitionValues.get(name) match {
+        case Some(graft.lake.Meta.NullPartition) => CBnd(isMin, None) // MIN/MAX skip nulls
+        case Some(raw) =>
+          CBnd(isMin, Some(AggPushdown.partValue(raw, dt).getOrElse(return None)))
+        case None => return None
+      }
+    }
+    Some(cells)
+  }
+}
+
 class GraftHudiSource extends InteropReadProvider {
   override def shortName(): String = "graft-hudi"
 
@@ -882,6 +1086,12 @@ class GraftHudiSource extends InteropReadProvider {
             s"incremental, got '$other'")
       }
     InteropRead(s"graft-hudi `$loc`", t.schema, scan, t.scanStats(_),
+      // metadata-only COUNT/MIN/MAX from commit stats: the snapshot view
+      // must refuse with uncompacted log deltas (the merge changes
+      // counts); read_optimized serves base slices only by contract, so
+      // its counts stay exact with logs live
+      aggSupport = Some(new HudiInteropAgg(t,
+        refuseOnLogs = queryType == "snapshot")),
       append =
         if (options.get("as.of.instant") != null) None // read-only
         // Hudi's own INSERT operation: fresh file groups, no key dedup

@@ -1209,6 +1209,25 @@ object Lake {
       .agg(count(lit(1)).as("n_orders"),
         Money.sum2(col("o_totalprice")).as("total"))
       .withColumn("src", lit("pre1996"))
+    // r14 RECEIPT — metadata-aggregate pushdown (IcebergInteropAgg, now a
+    // FOLD over manifests like Delta's), proven the AggPushdownSpec way:
+    // a side table's COUNT answers from manifest stats with ZERO data IO
+    // — deleting every data file must not change it.
+    val aggLoc = work(s, "iceberg_sql_agg", d)
+    val side = o.limit(500)
+    val nSide = side.count()
+    IcebergWriter.create(s, aggLoc, o.schema).append(side)
+    val metaN = s.sql(s"SELECT count(*) FROM `graft-iceberg`.`$aggLoc`")
+      .head().getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(aggLoc)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    graft.lake.iceberg.IcebergTable.load(s, aggLoc).planFiles().foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    val metaN2 = s.sql(s"SELECT count(*) FROM `graft-iceberg`.`$aggLoc`")
+      .head().getLong(0)
+    require(metaN == nSide && metaN2 == nSide,
+      s"iceberg metadata COUNT must answer from manifest stats alone " +
+        s"(got $metaN then $metaN2 with data files deleted, want $nSide)")
     cur.unionByName(pre)
   }
 
@@ -1323,6 +1342,33 @@ object Lake {
       .agg(count(lit(1)).as("n_orders"),
         Money.sum2(col("o_totalprice")).as("total"))
       .withColumn("src", lit("pre_upsert"))
+    // r14 RECEIPT — metadata-aggregate pushdown (HudiInteropAgg), proven
+    // the AggPushdownSpec way: a side table's COUNT answers from timeline
+    // commit stats with ZERO data IO — deleting every base file must not
+    // change it. At 100 TB this is the difference between one timeline
+    // fold and a thousand-executor scan.
+    val aggLoc = work(s, "hudi_sql_agg", d)
+    val side = o.limit(500)
+    val nSide = side.count()
+    HudiWriter.create(s, aggLoc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+      .insert(side)
+    val metaN = s.sql(s"SELECT count(*) FROM `graft-hudi`.`$aggLoc`")
+      .head().getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(aggLoc)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // the loader keeps ONE O(1) footer read (self-describing schema,
+    // HudiTable.schemaProbePath) — every other base file goes
+    val at = graft.lake.hudi.HudiTable.load(s, aggLoc)
+    at.planFiles()
+      .map(p => new org.apache.hadoop.fs.Path(aggLoc, p))
+      .filterNot(_.toString == at.schemaProbePath)
+      .foreach(fs.delete(_, false))
+    val metaN2 = s.sql(s"SELECT count(*) FROM `graft-hudi`.`$aggLoc`")
+      .head().getLong(0)
+    require(metaN == nSide && metaN2 == nSide,
+      s"hudi metadata COUNT must answer from commit stats alone " +
+        s"(got $metaN then $metaN2 with data files deleted, want $nSide)")
     cur.unionByName(pre)
   }
 

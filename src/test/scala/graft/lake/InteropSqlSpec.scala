@@ -777,4 +777,100 @@ class InteropSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("timeline instant"), s"got: ${e.getMessage}")
   }
+
+  test("hudi aggregate pushdown: COUNT/MIN/MAX answered from commit stats alone (r14)") {
+    val o = orders.withColumn("bucket", col("o_orderkey") % 5)
+    val loc = freshDir("hudi-agg")
+    HudiWriter.create(spark, loc, o.schema,
+      partitionFields = Seq("bucket"), keyField = "o_orderkey").insert(o)
+    val df = spark.read.format("graft-hudi").load(loc)
+    df.createOrReplaceTempView("hudi_agg")
+    val q = spark.sql(
+      """SELECT count(*) AS n, count(bucket) AS nb,
+                min(bucket) AS mn, max(bucket) AS mx
+         FROM hudi_agg WHERE bucket >= 1""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan") || plan.contains("LocalTableScan"),
+      s"aggregate must collapse to the metadata scan:\n$plan")
+    val want = o.filter(col("bucket") >= 1)
+    val row = q.head()
+    assert(row.getLong(0) == want.count())
+    assert(row.getLong(1) == want.count()) // bucket never null here
+    assert(row.getLong(2) == 1L && row.getLong(3) == 4L)
+    // MIN over a NON-partition column must refuse (commit stats carry no
+    // column bounds) and fall back to a real scan
+    val nq = spark.sql("SELECT min(o_orderkey) AS mk FROM hudi_agg")
+    assert(!nq.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "non-partition min/max has no stats to answer from — must fall back")
+    assert(nq.head().getLong(0) == o.agg(min("o_orderkey")).head().getLong(0))
+    // ZERO data IO, the AggPushdownSpec proof: delete every base file —
+    // the metadata answer must come back identical
+    val t = graft.lake.hudi.HudiTable.load(spark, loc)
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    t.planFiles().foreach(p => fs.delete(new Path(loc, p), false))
+    val again = spark.sql(
+      "SELECT count(*) AS n FROM hudi_agg WHERE bucket >= 1").head()
+    assert(again.getLong(0) == want.count(),
+      "metadata-only count must not touch data files")
+  }
+
+  test("hudi aggregate pushdown refuses on uncompacted logs; read_optimized keeps it (r14)") {
+    val o = orders
+    val loc = freshDir("hudi-agg-mor")
+    val w = HudiWriter.create(spark, loc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey",
+      tableType = "MERGE_ON_READ")
+    w.insert(o)
+    w.deleteLogWhere(col("o_orderpriority") === "1-URGENT")
+    // snapshot view: the merge drops soft-deleted rows — base counts are
+    // upper bounds, pushdown must refuse and the scan must be right
+    val snap = spark.read.format("graft-hudi").load(loc).agg(count(lit(1)).as("n"))
+    assert(!snap.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "live log deltas make base counts upper bounds — must fall back")
+    assert(snap.head().getLong(0) ==
+      o.filter(col("o_orderpriority") =!= "1-URGENT").count())
+    // read_optimized serves base slices by contract: pushdown stays ON
+    // and the metadata answer equals the base-only row count
+    val ro = spark.read.format("graft-hudi")
+      .option("query.type", "read_optimized").load(loc)
+      .agg(count(lit(1)).as("n"))
+    val roPlan = ro.queryExecution.executedPlan.toString
+    assert(roPlan.contains("GraftAggScan") || roPlan.contains("LocalTableScan"),
+      s"read_optimized counts are exact from commit stats:\n$roPlan")
+    assert(ro.head().getLong(0) == o.count())
+  }
+
+  test("iceberg aggregate fold runs DISTRIBUTED past the manifest-byte threshold (r14)") {
+    val o = orders
+    val loc = freshDir("ice-agg-fold")
+    val w = IcebergWriter.create(spark, loc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity"))
+    w.append(o.filter(col("o_orderkey") % 2 === 0))
+    w.append(o.filter(col("o_orderkey") % 2 === 1))
+    val sql = """SELECT count(*) AS n, count(o_custkey) AS nc,
+                        min(o_orderkey) AS mn, max(o_orderdate) AS mx
+                 FROM ice_fold WHERE o_orderstatus = 'F'"""
+    spark.read.format("graft-iceberg").load(loc).createOrReplaceTempView("ice_fold")
+    val driverRow = spark.sql(sql).head() // default threshold: driver fold
+    spark.conf.set("spark.graft.iceberg.aggFoldThresholdBytes", "0")
+    try {
+      val q = spark.sql(sql) // 0 bytes: every fold is a distributed job
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftAggScan") || plan.contains("LocalTableScan"),
+        s"distributed fold must still collapse the aggregate:\n$plan")
+      assert(q.head() == driverRow, "distributed fold == driver fold")
+      val want = o.filter(col("o_orderstatus") === "F")
+      assert(driverRow.getLong(0) == want.count())
+      assert(driverRow.getLong(2) == want.agg(min("o_orderkey")).head().getLong(0))
+      // deletes live → the list-level guard refuses WITHOUT opening any
+      // manifest, and the real scan answers
+      w.equalityDelete(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey"))
+      val dq = spark.read.format("graft-iceberg").load(loc).agg(count(lit(1)).as("n"))
+      assert(!dq.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "delete manifests in the list must refuse the distributed fold")
+      assert(dq.head().getLong(0) ==
+        o.filter(col("o_orderpriority") =!= "1-URGENT").count())
+    } finally spark.conf.unset("spark.graft.iceberg.aggFoldThresholdBytes")
+  }
 }
