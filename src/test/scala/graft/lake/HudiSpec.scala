@@ -828,4 +828,36 @@ class HudiSpec extends AnyFunSuite {
       "after clean only the live clustered slices remain on disk")
     assert(HudiTable.load(spark, loc).scan().count() == n.count())
   }
+
+  test("metadata-table dir is ignored; ARCHIVED timeline rejects loudly (r14)") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "p", "v")
+    val loc = freshDir("archival")
+    HudiWriter.create(spark, loc, df.schema,
+      partitionFields = Seq("p"), keyField = "id").insert(df)
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // `.hoodie/metadata` present (a real table with the metadata table
+    // enabled): graft's state is timeline-authoritative and never lists
+    // data dirs, so the files index is ignored — reads are unchanged
+    val mdtDir = new Path(loc, ".hoodie/metadata/files")
+    fs.mkdirs(mdtDir)
+    val out = fs.create(new Path(mdtDir, "dummy.hfile"))
+    out.write("not-a-real-hfile".getBytes("UTF-8")); out.close()
+    assert(HudiTable.load(spark, loc).scan().count() == 2,
+      "a metadata-table dir must not change timeline-driven reads")
+
+    // an EMPTY archived dir (tables create it eagerly) also reads fine
+    fs.mkdirs(new Path(loc, ".hoodie/archived"))
+    assert(HudiTable.load(spark, loc).scan().count() == 2)
+
+    // actual archive files = instants moved OFF the active timeline:
+    // replay would silently drop their slices — must reject loudly
+    val arch = fs.create(new Path(loc, ".hoodie/archived/.commits_.archive.1_1-0-1"))
+    arch.write("archived-instants".getBytes("UTF-8")); arch.close()
+    val e = intercept[IllegalArgumentException] {
+      HudiTable.load(spark, loc)
+    }
+    assert(e.getMessage.contains("archived"), e.getMessage)
+  }
 }
