@@ -25,11 +25,52 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * This path serves ONLY scans that need positional machinery — plain
   * ORC groups keep Spark's vectorized `spark.read.orc` source (codegen,
-  * column pruning, predicate pushdown). The trade matches the Avro
-  * reader: task granularity is one file (no stripe-level splits), which
-  * is the rare-path price of exact ordinals.
+  * column pruning, predicate pushdown).
+  *
+  * Task granularity is ONE STRIPE (r14; the reference chunks ORC by
+  * stripe the same way, iceberg_bridge.h:229-249): a first distributed
+  * footer pass collects each file's stripe list — (byte range, row
+  * count) pairs, O(stripes) driver metadata — and the scan then runs
+  * one task per stripe, seeded with the stripe's FIRST ROW ORDINAL
+  * (the prefix sum of preceding stripes' row counts, exact from footer
+  * metadata), reading only its byte range via the ORC reader's range
+  * option. A DV'd multi-GB ORC file is no longer one task. The Avro
+  * positional reader stays file-granular — Avro blocks carry no row
+  * counts in the header, and the reference treats Avro the same way
+  * (iceberg_bridge.h:233).
   */
 object IcebergOrcData {
+
+  /** One planned stripe: (file path, byte offset, byte length, ordinal
+    * of the stripe's first row within its file). */
+  final case class StripeSlice(path: String, offset: Long, length: Long,
+      firstRow: Long)
+
+  /** Distributed footer pass: every stripe of `paths` with its byte
+    * range and first-row ordinal — O(files) tasks, O(stripes) collected
+    * metadata (a few dozen bytes per stripe; footers only, no data).
+    * Exposed for the spec's task-count receipt. */
+  def planStripes(spark: SparkSession, paths: Seq[String]): Seq[StripeSlice] = {
+    if (paths.isEmpty) return Nil
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        import scala.jdk.CollectionConverters._
+        val reader = OrcFile.createReader(new Path(p),
+          OrcFile.readerOptions(bcConf.value.value))
+        try {
+          var base = 0L
+          reader.getStripes.asScala.map { st =>
+            val s = StripeSlice(p, st.getOffset, st.getLength, base)
+            base += st.getNumberOfRows
+            s
+          }.toSeq
+        } finally reader.close()
+      }
+      .collect().toSeq
+  }
 
   /** Child index in the file's root struct serving target field `f` —
     * by `iceberg.id` attribute when present, by name otherwise; -1 when
@@ -64,7 +105,8 @@ object IcebergOrcData {
         t.setNanos(c.nanos(r))
         t
       case (_, other) => throw new IllegalArgumentException(
-        s"iceberg orc data: unsupported column type $other for positional read")
+        s"iceberg orc data: unsupported column type $other " +
+          s"(vector ${v.getClass.getName}) for positional read")
     }
   }
 
@@ -78,22 +120,29 @@ object IcebergOrcData {
       StructField(posCol, LongType, nullable = false))
     if (paths.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], target)
+    val stripes = planStripes(spark, paths)
+    if (stripes.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], target)
     val bcConf = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val fieldMeta: Seq[(Int, String, DataType)] =
       writeSchema.fields.map(f => (f.id, f.name, f.dataType))
+    // one task per stripe: the reader's range option confines the read
+    // to stripes whose start offset falls inside [offset, offset+length)
+    // — exactly this stripe — and the emit counter starts at the
+    // stripe's footer-derived first-row ordinal
     val rows = spark.sparkContext
-      .parallelize(paths, math.max(1, paths.size))
-      .flatMap { p =>
-        val reader = OrcFile.createReader(new Path(p),
+      .parallelize(stripes, stripes.size)
+      .flatMap { sl =>
+        val reader = OrcFile.createReader(new Path(sl.path),
           OrcFile.readerOptions(bcConf.value.value))
         val root = reader.getSchema
         require(root.getCategory == TypeDescription.Category.STRUCT,
-          s"iceberg orc data: $p root type ${root.getCategory} is not a struct")
+          s"iceberg orc data: ${sl.path} root type ${root.getCategory} is not a struct")
         val srcIdx: Array[Int] = fieldMeta.map { case (id, name, _) =>
           sourceIndex(root, id, name)
         }.toArray
-        val rr = reader.rows()
+        val rr = reader.rows(reader.options().range(sl.offset, sl.length))
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
             try rr.close() finally reader.close()
@@ -101,7 +150,7 @@ object IcebergOrcData {
         val batch = root.createRowBatch()
         new Iterator[Row] {
           private var inBatch = 0
-          private var ordinal = -1L
+          private var ordinal = sl.firstRow - 1L
           private var exhausted = false
           private def ensure(): Unit =
             while (!exhausted && inBatch >= batch.size) {
@@ -116,7 +165,7 @@ object IcebergOrcData {
             Row.fromSeq(fieldMeta.indices.map { i =>
               val si = srcIdx(i)
               if (si < 0) null else cell(batch.cols(si), r, fieldMeta(i)._3)
-            } :+ p :+ ordinal)
+            } :+ sl.path :+ ordinal)
           }
         }
       }

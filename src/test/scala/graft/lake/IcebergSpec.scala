@@ -469,8 +469,10 @@ class IcebergSpec extends AnyFunSuite {
   }
 
   /** Converts a table's parquet data files to real ORC files and points
-    * the manifests at them with file_format=ORC. */
-  private def convertDataFilesToOrc(loc: String): Unit = {
+    * the manifests at them with file_format=ORC. `orcOptions` pass to
+    * the ORC writer (e.g. orc.stripe.row.count for multi-stripe files). */
+  private def convertDataFilesToOrc(loc: String,
+      orcOptions: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     patchManifests(loc) { r =>
       val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -479,7 +481,7 @@ class IcebergSpec extends AnyFunSuite {
         val orcPath = p.stripSuffix(".parquet") + ".orc"
         val stageDir = orcPath + ".stage"
         spark.read.parquet(p).coalesce(1)
-          .write.mode("overwrite").orc(stageDir)
+          .write.mode("overwrite").options(orcOptions).orc(stageDir)
         val fs = new Path(stageDir).getFileSystem(conf)
         val part = fs.listStatus(new Path(stageDir))
           .map(_.getPath).find(_.getName.endsWith(".orc")).get
@@ -652,6 +654,47 @@ class IcebergSpec extends AnyFunSuite {
     assert(t.scan().orderBy("n_nationkey").collect().toSeq ==
       n.filter(col("n_nationkey") =!= 0 && col("n_nationkey") =!= 7)
         .orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("multi-stripe ORC file with deletes reads in one task PER STRIPE (r14)") {
+    import graft.lake.iceberg.IcebergOrcData
+    // long/string columns only: the parquet→ORC test conversion renders
+    // timestamps as raw longs, which the positional reader rightly
+    // loud-rejects — stripe mechanics are the subject here
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+    val w = IcebergWriter.create(spark, freshDir("orcstripes"), o.schema)
+    w.append(o.coalesce(1)) // one file, known row order
+    // force several small stripes — the file stands in for the multi-GB
+    // DV'd ORC file that used to be ONE task
+    convertDataFilesToOrc(w.location, Map("orc.stripe.row.count" -> "256"))
+    val t1 = IcebergTable.load(spark, w.location)
+    val dataFile = t1.planFiles().head
+    val slices = IcebergOrcData.planStripes(spark, Seq(dataFile))
+    assert(slices.size > 1,
+      s"need a multi-stripe file for this receipt, got ${slices.size} stripe(s)")
+    // the scan parallelizes one task per stripe — receipt on the plan
+    // input (parallelize(stripes, stripes.size)); first-row ordinals are
+    // the exact prefix sums of stripe row counts
+    assert(slices.map(_.firstRow) == slices.map(_.firstRow).sorted)
+    assert(slices.head.firstRow == 0L)
+    // delete the FIRST row of the file and one row deep in the LAST
+    // stripe: correct only if every stripe's emit counter starts at its
+    // own footer-derived base, not at 0
+    val lastBase = slices.last.firstRow
+    import spark.implicits._
+    IcebergWriter.open(spark, w.location).positionDelete(
+      Seq((dataFile, 0L), (dataFile, lastBase + 1L)).toDF("file_path", "pos"))
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0))
+    val expect = keys.zipWithIndex
+      .filterNot { case (_, i) => i == 0 || i == lastBase + 1 }
+      .map(_._1).toSeq
+    val got = IcebergTable.load(spark, w.location).scan()
+      .orderBy("o_orderkey").select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == expect.sorted,
+      s"stripe-split positional read drifted: ${got.size} vs ${expect.size} rows")
   }
 
   test("deletion vectors over ORC data files apply by streamed ordinal (r13)") {
