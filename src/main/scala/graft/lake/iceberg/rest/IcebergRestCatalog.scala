@@ -359,16 +359,74 @@ final class IcebergRestCatalog(uri: String,
   }
 
   private def parseLoadResult(json: String): LoadResult = {
+    import scala.jdk.CollectionConverters._
     val n = mapper.readTree(json)
     val loc = n.path("metadata-location").asText("")
     require(loc.nonEmpty, s"iceberg-rest: LoadTableResult without metadata-location")
-    LoadResult(loc, IcebergMeta.parse(mapper.writeValueAsString(n.get("metadata"))))
+    def strMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    // vended per-table storage access (r14): the spec's LoadTableResult
+    // carries `config` (table-scoped config overrides) and
+    // `storage-credentials` ([{prefix, config}]) — managed catalogs
+    // (Polaris/Tabular/Glue) vend SCOPED, short-lived object-store
+    // credentials here instead of requiring static engine-wide keys
+    val cfg = strMap(n.path("config"))
+    val creds = n.path("storage-credentials").elements().asScala.map { c =>
+      c.path("prefix").asText("") -> strMap(c.path("config"))
+    }.toSeq
+    LoadResult(loc,
+      IcebergMeta.parse(mapper.writeValueAsString(n.get("metadata"))),
+      cfg, creds)
   }
 }
 
 object IcebergRestCatalog {
-  /** LoadTableResult: the authoritative metadata pointer + parsed body. */
-  final case class LoadResult(metadataLocation: String, metadata: IceMeta)
+  /** LoadTableResult: the authoritative metadata pointer + parsed body,
+    * plus the vended table-scoped `config` overrides and
+    * `storage-credentials` ([prefix → config]) when the service sends
+    * them. */
+  final case class LoadResult(metadataLocation: String, metadata: IceMeta,
+      config: Map[String, String] = Map.empty,
+      storageCredentials: Seq[(String, Map[String, String])] = Nil)
+
+  /** Honor vended storage credentials for an s3/s3a table location:
+    * the longest-prefix-matching `storage-credentials` entry (falling
+    * back to the `config` overrides' s3.* keys) maps onto Hadoop's
+    * PER-BUCKET s3a configuration (`fs.s3a.bucket.<bucket>.*`) — scoped
+    * exactly like the spec scopes the vend, so two catalogs vending
+    * different credentials for different buckets coexist in one session.
+    * Spark sessions snapshot `sc.hadoopConfiguration` per query
+    * (`newHadoopConf`), so the settings take effect for every
+    * subsequent read/write of the table. Non-object-store locations
+    * (file:/, hdfs:/) ignore the vend — nothing to configure. */
+  def applyVendedStorage(spark: org.apache.spark.sql.SparkSession,
+      tableLocation: String, lr: LoadResult): Unit = {
+    val matching = lr.storageCredentials
+      .filter { case (p, _) => p.nonEmpty && tableLocation.startsWith(p) }
+    val cfg: Map[String, String] =
+      if (matching.nonEmpty) matching.maxBy(_._1.length)._2
+      else lr.config.filter(_._1.startsWith("s3."))
+    if (cfg.isEmpty) return
+    val uri = try new java.net.URI(tableLocation)
+      catch { case _: Exception => return }
+    val scheme = Option(uri.getScheme).getOrElse(return)
+    if (scheme != "s3" && scheme != "s3a" && scheme != "s3n") return
+    val bucket = Option(uri.getHost).orElse(Option(uri.getAuthority))
+      .getOrElse(return)
+    val hc = spark.sparkContext.hadoopConfiguration
+    def set(k: String, v: String): Unit = hc.set(s"fs.s3a.bucket.$bucket.$k", v)
+    cfg.get("s3.access-key-id").foreach(set("access.key", _))
+    cfg.get("s3.secret-access-key").foreach(set("secret.key", _))
+    cfg.get("s3.session-token").foreach { t =>
+      set("session.token", t)
+      // session credentials need the temporary provider; without it s3a
+      // ignores the token and signs with just the key pair
+      set("aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    }
+    cfg.get("s3.endpoint").foreach(set("endpoint", _))
+    cfg.get("s3.path-style-access").foreach(set("path.style.access", _))
+  }
 
   /** One client (HTTP connection pool + memoized `/v1/config` prefix)
     * per catalog URI per JVM: a single connector read needs the catalog

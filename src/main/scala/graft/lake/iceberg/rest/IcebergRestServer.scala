@@ -37,7 +37,17 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     credentials: Map[String, String] = Map.empty,
     /** Issued-token lifetime; short in specs to exercise the client's
       * expiry-refresh path. */
-    tokenTtlMillis: Long = 3600000L) {
+    tokenTtlMillis: Long = 3600000L,
+    /** Storage credentials to VEND in every LoadTableResult (r14; the
+      * spec's `storage-credentials` — what managed catalogs do instead
+      * of requiring static engine-wide object-store keys). Keys use the
+      * spec's names (`s3.access-key-id`, `s3.secret-access-key`,
+      * `s3.session-token`, `s3.endpoint`, `s3.path-style-access`);
+      * empty = nothing vended (the pre-r14 shape). A real service would
+      * mint SCOPED short-lived credentials per table; the bundled one
+      * vends its configured set with the table location as the scope
+      * prefix, which exercises the whole client path. */
+    vendedStorageCredentials: Map[String, String] = Map.empty) {
 
   private val mapper = new ObjectMapper()
   /** issued bearer token → expiry epoch-millis */
@@ -132,6 +142,13 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     o.put("metadata-location", metadataLocation)
     o.set[JsonNode]("metadata", mapper.readTree(IcebergMeta.render(m)))
     o.putObject("config")
+    if (vendedStorageCredentials.nonEmpty) {
+      val arr = o.putArray("storage-credentials")
+      val entry = arr.addObject()
+      entry.put("prefix", m.location) // scope: this table's storage
+      val cfg = entry.putObject("config")
+      vendedStorageCredentials.foreach { case (k, v) => cfg.put(k, v) }
+    }
     mapper.writeValueAsString(o)
   }
 

@@ -453,4 +453,53 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(n.hasNonNull("next-page-token"))
     } finally server.stop()
   }
+
+  test("vended storage credentials land as per-bucket s3a conf (r14)") {
+    val server = new IcebergRestServer(fresh("icerest-vend-wh"),
+      spark.sessionState.newHadoopConf(),
+      vendedStorageCredentials = Map(
+        "s3.access-key-id" -> "VENDED_AK",
+        "s3.secret-access-key" -> "VENDED_SK",
+        "s3.session-token" -> "VENDED_TOKEN",
+        "s3.endpoint" -> "http://minio.local:9000",
+        "s3.path-style-access" -> "true"))
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "vended", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      val lr = cat.loadTable(Seq("ns"), "vended")
+      // the spec surface: LoadTableResult carries storage-credentials
+      // scoped to the table's location
+      assert(lr.storageCredentials.nonEmpty, "service must vend credentials")
+      val (prefix, cfg) = lr.storageCredentials.head
+      assert(lr.metadata.location.startsWith(prefix))
+      assert(cfg("s3.access-key-id") == "VENDED_AK")
+
+      // application: an s3a table location maps the vend onto Hadoop's
+      // per-bucket s3a keys (a SYNTHETIC location — the warehouse here is
+      // file:/, where the vend is correctly a no-op, asserted below)
+      val synthetic = lr.copy(storageCredentials =
+        Seq("s3a://vend-bucket/wh/ns/vended" -> cfg))
+      IcebergRestCatalog.applyVendedStorage(spark,
+        "s3a://vend-bucket/wh/ns/vended", synthetic)
+      val hc = spark.sparkContext.hadoopConfiguration
+      assert(hc.get("fs.s3a.bucket.vend-bucket.access.key") == "VENDED_AK")
+      assert(hc.get("fs.s3a.bucket.vend-bucket.secret.key") == "VENDED_SK")
+      assert(hc.get("fs.s3a.bucket.vend-bucket.session.token") == "VENDED_TOKEN")
+      assert(hc.get("fs.s3a.bucket.vend-bucket.aws.credentials.provider")
+        .contains("TemporaryAWSCredentialsProvider"))
+      assert(hc.get("fs.s3a.bucket.vend-bucket.endpoint") == "http://minio.local:9000")
+      assert(hc.get("fs.s3a.bucket.vend-bucket.path.style.access") == "true")
+
+      // file:/ locations ignore the vend (nothing to configure) — the
+      // REST resolution over this local warehouse must keep working
+      IcebergRestCatalog.applyVendedStorage(spark, lr.metadata.location, lr)
+      IcebergWriter.openRest(spark, cat, Seq("ns"), "vended").append(o.limit(20))
+      val read = spark.read.format("graft-iceberg")
+        .option("catalog-uri", server.uri)
+        .option("table", "ns.vended").load()
+      assert(read.count() == 20)
+    } finally server.stop()
+  }
 }
