@@ -668,12 +668,24 @@ object Lake {
   }
 
   /** table-level column statistics metadata view — global min/max/nulls
-    * folded from the manifest on the driver ([rows] + LakeSpec asserts
-    * the bounds contain the data). */
+    * folded from the manifest on the driver. HARD ORACLE since r14 (was
+    * [rows] — raw min/max strings render through engine-specific
+    * float/timestamp formatting): the gate projects the view onto the
+    * ENGINE-NEUTRAL integer domain (the Money.scala doctrine) — long
+    * columns cast their stat strings to long, the timestamp column's
+    * "l"-tag stat IS epoch micros — so DuckDB recomputes the identical
+    * frame from raw data and the stats==data equivalence is
+    * hash-checked. The full view (all columns + n_files_with_stats)
+    * stays spec-pinned in LakeSpec. */
   def lakeColumnStats(s: SparkSession, d: String): DataFrame = {
     val t = GraftTable.create(s, work(s, "column_stats", d),
       Tables.orders(s, d).repartition(4), keyColumns = Seq("o_orderkey"))
-    t.columnStats.orderBy("column")
+    t.columnStats
+      .filter(col("column").isin("o_orderkey", "o_custkey", "o_orderdate"))
+      .select(col("column"), col("n_nulls"),
+        col("min").cast("long").as("min_v"),
+        col("max").cast("long").as("max_v"))
+      .orderBy("column")
   }
 
   /** REAL Apache Iceberg interop (the reference's headline — "Native
@@ -1520,6 +1532,26 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_column_stats" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS "column",
+                  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+                  CAST(min(o_orderkey) AS BIGINT) AS min_v,
+                  CAST(max(o_orderkey) AS BIGINT) AS max_v
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey',
+                  CAST(count(*) - count(o_custkey) AS BIGINT),
+                  CAST(min(o_custkey) AS BIGINT),
+                  CAST(max(o_custkey) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate',
+                  CAST(count(*) - count(o_orderdate) AS BIGINT),
+                  CAST(epoch_us(min(o_orderdate)) AS BIGINT),
+                  CAST(epoch_us(max(o_orderdate)) AS BIGINT)
+           FROM orders
+         ) ORDER BY "column" """,
     "lake_delta_variant" ->
       """SELECT o_orderstatus AS status,
                 count(*) AS n_orders,
