@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -102,6 +102,52 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal
           .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
         expression(xxhash64(col("h")))))
+    val definitelyNovel = docs.filter(!might).select("doc_id")
+    val verifiedNovel = docs.filter(might)
+      .join(prior, Seq("h"), "left_anti").select("doc_id")
+    definitelyNovel.unionAll(verifiedNovel)
+  }
+
+  /** The >147M-hash deployment layout for [[incrementalNovel]], as REAL
+    * CODE with a receipt (r14; was a SURVEY sentence): the prior is
+    * SHARDED by hash prefix (`pmod(xxhash64, shards)`), each shard
+    * builds its own independently-sized Bloom filter under the same
+    * [[bloomBits]] contract, and every probe consults ONLY its own
+    * shard's filter — so the per-filter item count (and with it the FP
+    * knee) divides by the shard count while total artifact bytes stay
+    * the operator's choice. Routing is sound because probe and prior
+    * shard by the SAME hash: a prior duplicate always lands in the
+    * filter its probe consults. Exactness is layout-independent — the
+    * might-contain survivors still verify through the anti-join — and
+    * PipelineSpec pins sharded == unsharded end-to-end. */
+  private[graft] def incrementalNovelSharded(input: DataFrame,
+      shards: Int, maxBits: Long = BloomMaxBits): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.graftshim.ColumnExpr.{column, expression}
+    val docs = input.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val prior = docs.filter(col("doc_id") % 10 < 8).select(col("h"))
+    val shardOf = pmod(xxhash64(col("h")), lit(shards.toLong))
+    val blooms: Seq[Array[Byte]] = (0 until shards).map { sh =>
+      val p = prior.filter(shardOf === sh.toLong)
+        .select(xxhash64(col("h")).as("xh"))
+      val est = math.max(p.count(), 1L)
+      val bf = p.stat.bloomFilter("xh", est, bloomBits(est, maxBits))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def mightIn(bytes: Array[Byte]): Column =
+      column(new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(bytes, org.apache.spark.sql.types.BinaryType),
+          expression(xxhash64(col("h")))))
+    // probe routes to its own shard's filter (a when-chain over the
+    // same pmod the build used — codegen'd, no UDF)
+    val might = blooms.zipWithIndex.tail
+      .foldLeft(when(shardOf === 0L, mightIn(blooms.head))) {
+        case (acc, (bytes, sh)) => acc.when(shardOf === sh.toLong, mightIn(bytes))
+      }.otherwise(lit(false))
     val definitelyNovel = docs.filter(!might).select("doc_id")
     val verifiedNovel = docs.filter(might)
       .join(prior, Seq("h"), "left_anti").select("doc_id")

@@ -84,6 +84,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(saturated == honest, "saturation must degrade throughput, not answers")
   }
 
+  test("dedup_incremental: hash-prefix SHARDED bloom layout equals unsharded (r14)") {
+    // the >147M-hash deployment layout as code: prior sharded by
+    // pmod(xxhash64, shards), one filter per shard, probes routed to
+    // their own shard. Planted cross-snapshot dups + fresh docs must
+    // come out IDENTICAL to the single-filter run — and to the truth.
+    import spark.implicits._
+    val frame = (0L until 600L).map(i =>
+      (i, if (i % 10 >= 8) s"text ${i % 60}" else s"text $i"))
+      .toDF("doc_id", "text")
+    val unsharded = queries.Dedup.incrementalNovel(frame)
+      .collect().map(_.getLong(0)).toSet
+    for (shards <- Seq(2, 5)) {
+      val sharded = queries.Dedup.incrementalNovelSharded(frame, shards)
+        .collect().map(_.getLong(0)).toSet
+      assert(sharded == unsharded,
+        s"$shards-shard layout drifted: ${sharded.size} vs ${unsharded.size}")
+    }
+    // shards=1 degenerates to the single-filter shape
+    assert(queries.Dedup.incrementalNovelSharded(frame, 1)
+      .collect().map(_.getLong(0)).toSet == unsharded)
+    // and a saturated sharded run stays exact too (the anti-join verify
+    // is layout-independent)
+    assert(queries.Dedup.incrementalNovelSharded(frame, 2, maxBits = 64L)
+      .collect().map(_.getLong(0)).toSet == unsharded)
+  }
+
   test("cluster training sample is byte-budgeted: wide embeddings cannot flood the driver") {
     val budget = queries.Dedup.SampleByteBudget
     // the hard invariant: rows × dim × 8 ≤ budget for ANY (k, dim)
