@@ -1055,4 +1055,72 @@ class DeltaSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { DeltaTable.load(spark, loc) }
     assert(e.getMessage.contains("futureMagic"))
   }
+
+  test("SHREDDED variant data file: golden fixture pins the read behavior (r14)") {
+    // the variantShredding table feature (files may store typed_value
+    // subcolumns) is OUTSIDE the supported set, so a spec-compliant
+    // shredded table already rejects loudly at the protocol guard. This
+    // arm covers the remaining hazard — a non-compliant writer shredding
+    // a file WITHOUT declaring the feature — with a golden fixture
+    // authored by Spark's OWN shredding writer (zero graft codec code):
+    // the scan must either read the typed_value layout correctly or fail
+    // loudly, never serve silent nulls.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
+    val loc = freshDir("variant-shredded")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", VariantType)))
+    val d = spark.range(5).selectExpr("id",
+      "parse_json(concat('{\"k\":', id, ',\"s\":\"x', id, '\"}')) as v")
+    val w = DeltaWriter.create(spark, loc, schema)
+    w.append(d.coalesce(1)) // ONE data file — the substitution target
+
+    // author a SHREDDED file of the same rows with Spark's shredding
+    // writer, and prove it is physically shredded (typed_value in the
+    // footer schema) before substituting it
+    val stage = freshDir("variant-shredded-stage")
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    try d.coalesce(1).write.mode("overwrite").parquet(stage)
+    finally {
+      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+      spark.conf.unset("spark.sql.variant.inferShreddingSchema")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(stage).getFileSystem(conf)
+    val shredded = fs.listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(shredded, conf))
+    val physSchema = try footer.getFooter.getFileMetaData.getSchema.toString
+      finally footer.close()
+    assert(physSchema.contains("typed_value"),
+      s"fixture must be physically shredded, footer schema:\n$physSchema")
+
+    // substitute the table's data file with the shredded bytes (same
+    // path, same logical rows — only the physical variant layout differs)
+    val t0 = DeltaTable.load(spark, loc)
+    val dataFile = new Path(loc, t0.planFiles().head)
+    fs.delete(dataFile, false)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, shredded, fs, dataFile,
+      false, conf))
+
+    // the pinned behavior: correct values or a loud error — NEVER nulls
+    val read = scala.util.Try {
+      DeltaTable.load(spark, loc)
+        .scan().selectExpr("id", "variant_get(v, '$.k', 'long') as k",
+          "variant_get(v, '$.s', 'string') as s")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq
+    }
+    read match {
+      case scala.util.Success(rows) =>
+        assert(rows == (0L until 5L).map(i => (i, i, s"x$i")).toSeq,
+          s"shredded read must reassemble typed_value exactly, got $rows")
+      case scala.util.Failure(e) =>
+        val msg = String.valueOf(e.getMessage).toLowerCase
+        assert(msg.contains("shred") || msg.contains("variant") ||
+          msg.contains("typed_value") || msg.contains("schema"),
+          s"a refusing read must name the variant/shredding problem, got: $e")
+    }
+  }
 }
