@@ -103,14 +103,19 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
       Project(remapped, native)
     } catch { case _: Throwable => rel }
 
-  /** Groupless COUNT/MIN/MAX over an interop relation, every WHERE
-    * conjunct exactly file-decidable → one driver-computed row. Delegates
-    * the refusal rules to the format's own [[InteropAggSupport.tryPush]]
-    * (live deletes/DVs, missing stats, unsafe bound types all refuse →
-    * the relation falls through to the native-scan substitution). */
+  /** COUNT/MIN/MAX over an interop relation — optionally GROUP BY
+    * identity partition columns (r14; graft-native parity: `SELECT
+    * status, count(*) … GROUP BY status` over 100 TB becomes a metadata
+    * fold) — with every WHERE conjunct exactly file-decidable →
+    * driver-computed rows, zero data files opened. Delegates the
+    * refusal rules to the format's own [[InteropAggSupport]] (live
+    * deletes/DVs, missing stats, unsafe bound types, non-partition
+    * group keys all refuse → the relation falls through to the
+    * native-scan substitution). */
   private object InteropMetadataAggregate extends PredicateHelper {
     def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
         var filters: Seq[Expression] = Nil
         var cur = child
         var continue = true
@@ -125,7 +130,8 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
         cur match {
           case DataSourceV2Relation(t: InteropReadTable, _, _, _, _, _)
               if t.read.aggSupport.isDefined =>
-            try build(t.read.aggSupport.get, agg, aggExprs, filters)
+            try build(t.read.aggSupport.get, agg,
+              groupExprs.map(_.asInstanceOf[AttributeReference]), aggExprs, filters)
             catch { case _: Throwable => None }
           case _ => None
         }
@@ -135,8 +141,18 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
     private def build(
         support: InteropAggSupport,
         agg: Aggregate,
+        groupAttrs: Seq[AttributeReference],
         aggExprs: Seq[NamedExpression],
         filters: Seq[Expression]): Option[LogicalPlan] = {
+      // group values must round-trip exactly from the hive dir rendering,
+      // and the keys must be partition columns — both CHEAP static
+      // checks, ahead of the consumable fold (a GROUP BY on an ordinary
+      // column must not pay a metadata walk just to refuse)
+      if (!groupAttrs.forall(a => AggPushdown.groupTypeSupported(a.dataType)))
+        return None
+      if (groupAttrs.nonEmpty &&
+          !groupAttrs.forall(a => support.groupableCols.contains(a.name)))
+        return None
       // every conjunct must translate AND be exactly file-decidable —
       // file-level filtering is then equivalent to row-level, so no
       // residual re-application is needed (no rows flow at all)
@@ -144,21 +160,36 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
         org.apache.spark.sql.graftshim.ColumnExpr.toV1Filter(f)
           .getOrElse(return None))
       if (!v1.forall(support.consumable)) return None
-      val funcs: Seq[AggregateFunc] = aggExprs.map {
+      // every result expression: a group-column reference or an Alias
+      // over one plain aggregate call. `Left(i)` = i-th group column.
+      val parts: Seq[Either[Int, AggregateFunc]] = aggExprs.map {
+        case a: AttributeReference =>
+          val i = groupAttrs.indexWhere(_.exprId == a.exprId)
+          if (i < 0) return None
+          scala.Left(i)
+        case Alias(a: AttributeReference, _) =>
+          val i = groupAttrs.indexWhere(_.exprId == a.exprId)
+          if (i < 0) return None
+          scala.Left(i)
         case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
           case Count(Seq(Literal(v, _))) =>
             if (v == null) return None // count(NULL) ≡ 0 — rare; keep simple
-            new CountStar()
+            scala.Right(new CountStar())
           case Count(Seq(a: AttributeReference)) =>
-            new VCount(Expressions.column(a.name), false)
-          case Min(a: AttributeReference) => new VMin(Expressions.column(a.name))
-          case Max(a: AttributeReference) => new VMax(Expressions.column(a.name))
+            scala.Right(new VCount(Expressions.column(a.name), false))
+          case Min(a: AttributeReference) =>
+            scala.Right(new VMin(Expressions.column(a.name)))
+          case Max(a: AttributeReference) =>
+            scala.Right(new VMax(Expressions.column(a.name)))
           case _ => return None
         }
         case _ => return None
       }
-      support.tryPush(new Aggregation(funcs.toArray, Array.empty), v1)
-        .flatMap { case (schema, values) =>
+      val funcs = parts.collect { case scala.Right(f) => f }
+      val aggregation = new Aggregation(funcs.toArray, Array.empty)
+
+      if (groupAttrs.isEmpty) {
+        support.tryPush(aggregation, v1).flatMap { case (schema, values) =>
           if (schema.fields.length != aggExprs.length ||
               !schema.fields.zip(aggExprs).forall {
                 case (f, e) => f.dataType == e.dataType })
@@ -173,6 +204,32 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
               Seq(InternalRow.fromSeq(internal.toIndexedSeq))))
           }
         }
+      } else {
+        support.tryPushGrouped(groupAttrs.map(_.name), aggregation, v1)
+          .flatMap { case (schema, groups) =>
+            // agg-only schema must line up with the Right parts' types
+            val aggIdx = parts.zipWithIndex.collect {
+              case (scala.Right(_), i) => i }
+            if (schema.fields.length != aggIdx.length ||
+                !schema.fields.zip(aggIdx).forall {
+                  case (f, i) => f.dataType == aggExprs(i).dataType })
+              return None
+            val convs = schema.fields.map(f =>
+              CatalystTypeConverters.createToCatalystConverter(f.dataType))
+            val rows = groups.map { case (key, vals) =>
+              var vi = 0
+              val cells = parts.map {
+                case scala.Left(gi) =>
+                  AggPushdown.internalGroupValue(key(gi),
+                    groupAttrs(gi).dataType).getOrElse(return None)
+                case scala.Right(_) =>
+                  val v = convs(vi)(vals(vi)); vi += 1; v
+              }
+              InternalRow.fromSeq(cells.toIndexedSeq)
+            }
+            Some(LocalRelation(agg.output, rows))
+          }
+      }
     }
   }
 }

@@ -104,6 +104,21 @@ trait InteropAggSupport {
     * None = not exactly answerable → ordinary scan. */
   def tryPush(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       filters: Seq[Filter]): Option[(StructType, Seq[Any])]
+  /** GROUPED metadata aggregate (r14): group keys must be identity
+    * partition columns whose values every surviving file carries —
+    * yields one row per live group as (RAW hive-dir key strings, null =
+    * the NULL dir) × (agg external values), with the agg-only schema.
+    * `SELECT status, count(*) … GROUP BY status` over 100 TB becomes a
+    * metadata fold (graft-native has had this since r11; this closes
+    * the interop gap). None = not exactly answerable → ordinary scan. */
+  def tryPushGrouped(groupCols: Seq[String],
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[(Seq[String], Seq[Any])])] =
+    None
+  /** Columns a grouped pushdown could key on (identity partition
+    * columns) — a CHEAP static pre-check so the rule skips the
+    * consumable fold entirely for unanswerable group keys. */
+  def groupableCols: Set[String] = Set.empty
 }
 
 /** Receipt helper: planned data-file count of a frame's OPTIMIZED plan.
@@ -458,6 +473,72 @@ private[sql] object MetaAggFold {
         })
       case _ => throw new IllegalStateException("cell shape mismatch")
     }.toSeq
+
+  /** Grouped-fold accumulator: one cell vector per live group key (raw
+    * hive-dir strings; null = the NULL dir). */
+  type GroupAcc = Map[List[String], Seq[Cell]]
+
+  /** Sequence op of a grouped fold over entries of type E: a filtered-out
+    * entry contributes nothing; otherwise its key and cells must both
+    * resolve or the whole fold refuses (None). Shared by all three
+    * formats' tryPushGrouped — each passes its own extractors. */
+  def groupedSeq[E](
+      passes: E => Boolean,
+      keyOf: E => Option[List[String]],
+      cellsOf: E => Option[Seq[Cell]])
+      : (Option[GroupAcc], E) => Option[GroupAcc] = (acc, e) =>
+    acc.flatMap { m =>
+      if (!passes(e)) Some(m)
+      else for { k <- keyOf(e); c <- cellsOf(e) } yield
+        m.updated(k, m.get(k).map(merge(_, c)).getOrElse(c))
+    }
+
+  /** Combine op: union of group maps, merging shared keys' cells. */
+  def groupedComb: (Option[GroupAcc], Option[GroupAcc]) => Option[GroupAcc] =
+    (x, y) => for { a <- x; b <- y } yield
+      b.foldLeft(a) { case (m, (k, c)) =>
+        m.updated(k, m.get(k).map(merge(_, c)).getOrElse(c)) }
+
+  /** Raw group key of one file from its partition values; None = the
+    * file carries no value for some group column (refuse). */
+  def rawKey(pvals: Map[String, String], groupCols: Seq[String]): Option[List[String]] = {
+    val out = List.newBuilder[String]
+    for (c <- groupCols) pvals.get(c) match {
+      case Some(graft.lake.Meta.NullPartition) => out += null
+      case Some(v) => out += v
+      case None => return None
+    }
+    Some(out.result())
+  }
+
+  /** Deterministic group ordering (null first, per-column framing —
+    * the same sort AggPushdown.computeGrouped uses). */
+  def sortedGroups(m: GroupAcc): Seq[(List[String], Seq[Cell])] =
+    m.toSeq.sortBy(_._1.map(k =>
+      if (k == null) "\u0000" else "\u0001" + k + "\u0000").mkString)
+
+  /** Assemble a grouped fold's result: one row per group in
+    * deterministic order, agg cells externalized by their plan kind
+    * (Left = count -> Long; Right(dt) = bound -> external domain value). */
+  def toGroupedResult(
+      kinds: Seq[Either[Unit, DataType]],
+      funcs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+      groups: GroupAcc): Option[(StructType, Seq[(Seq[String], Seq[Any])])] = {
+    val fields = funcs.zip(kinds).map {
+      case (fn, scala.Left(_)) => StructField(fn.toString, LongType, nullable = false)
+      case (fn, scala.Right(dt)) => StructField(fn.toString, dt, nullable = true)
+    }
+    val rows = sortedGroups(groups).map { case (k, cells) =>
+      val vals: Seq[Any] = kinds.zip(cells).map {
+        case (scala.Left(_), CCnt(n)) => Long.box(n): Any
+        case (scala.Right(dt), CBnd(_, best)) =>
+          best.map(v => AggPushdown.external(v, dt)).orNull: Any
+        case _ => return None // cell/kind shape mismatch: refuse
+      }
+      (k: Seq[String], vals)
+    }
+    Some((StructType(fields), rows))
+  }
 }
 
 final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSupport {
@@ -480,6 +561,8 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
     case s if s.startsWith("decimal(") => true
     case _ => false
   }
+
+  override def groupableCols: Set[String] = t.aggIdentityCols(snap)
 
   override def consumable(f: Filter): Boolean = {
     val idCols = t.aggIdentityCols(snap)
@@ -535,6 +618,50 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
     val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
       StructField(fn.toString, dt, nullable) }
     Some((StructType(fields), out.map(_._3)))
+  }
+
+  /** Grouped form: one row per live (identity-partition) group, through
+    * the same fold — driver or distributed by manifest bytes. */
+  override def tryPushGrouped(groupCols: Seq[String],
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[(Seq[String], Seq[Any])])] = {
+    import IcebergInteropAgg._
+    if (groupCols.isEmpty) return None
+    val idCols = t.aggIdentityCols(snap)
+    if (!groupCols.forall(idCols.contains)) return None
+    val sch = t.aggIceSchema(snap)
+    val struct = sch.struct
+    def fieldOf(name: String) = sch.fields.find(_.name == name)
+    val funcs = agg.aggregateExpressions().toSeq
+    val plans: Seq[IPlan] = funcs.map {
+      case _: CountStar => ICountStar
+      case c: Count if !c.isDistinct =>
+        val name = AggPushdown.simpleName(c.column).getOrElse(return None)
+        val f = fieldOf(name).getOrElse(return None)
+        ICountCol(name, f.id)
+      case m @ (_: Min | _: Max) =>
+        val (colExpr, isMin) = m match {
+          case mn: Min => (mn.column, true)
+          case mx: Max => (mx.column, false)
+        }
+        val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
+        val f = fieldOf(name).getOrElse(return None)
+        if (!minMaxSafe(f.typeStr)) return None
+        IBound(name, f.id, isMin, f.dataType)
+      case _ => return None
+    }
+    val gCols = groupCols
+    val seqF = groupedSeq[(graft.lake.DataFileMeta, IcebergAvro.ManifestEntry, IceSchema)](
+      e => filters.forall(f => AggPushdown.eval(f, e._1, struct).contains(true)),
+      e => rawKey(e._1.partitionValues, gCols),
+      e => contribution(plans, Nil, struct, e))
+    val folded = t.foldAggEntries(snap)(
+      Option(Map.empty: GroupAcc))(seqF, groupedComb)
+    val groups = folded.flatten.getOrElse(return None)
+    toGroupedResult(plans.map {
+      case ICountStar | _: ICountCol => scala.Left(())
+      case b: IBound => scala.Right(b.dt)
+    }, funcs, groups)
   }
 }
 
@@ -733,6 +860,8 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
   // unchanged from the r11 loop: any disqualifying file poisons the
   // fold to None and the aggregate falls back to a real scan.
 
+  override def groupableCols: Set[String] = t.partitionColumnSet
+
   override def consumable(f: Filter): Boolean = {
     val sch = t.schema
     val partCols = t.partitionColumnSet
@@ -784,6 +913,47 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
     val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
       StructField(fn.toString, dt, nullable) }
     Some((StructType(fields), out.map(_._3)))
+  }
+
+  /** Grouped form: one row per live (partition-column) group, through
+    * the same fold — driver (Eager) or distributed checkpoint replay
+    * (Lazy). */
+  override def tryPushGrouped(groupCols: Seq[String],
+      agg: Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[(Seq[String], Seq[Any])])] = {
+    if (groupCols.isEmpty) return None
+    val partCols = t.partitionColumnSet
+    if (!groupCols.forall(partCols.contains)) return None
+    val sch = t.schema
+    val funcs = agg.aggregateExpressions().toSeq
+    val plans: Seq[FPlan] = funcs.map {
+      case _: CountStar => PCountStar
+      case c: Count if !c.isDistinct =>
+        val name = AggPushdown.simpleName(c.column).getOrElse(return None)
+        if (!sch.fieldNames.contains(name)) return None
+        PCountCol(name, partCols.contains(name))
+      case m @ (_: Min | _: Max) =>
+        val (colExpr, isMin) = m match {
+          case mn: Min => (mn.column, true)
+          case mx: Max => (mx.column, false)
+        }
+        val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
+        val f = sch.fields.find(_.name == name).getOrElse(return None)
+        if (!AggPushdown.minMaxSafe(f.dataType)) return None
+        PBound(name, partCols.contains(name), isMin, f.dataType)
+      case _ => return None
+    }
+    val gCols = groupCols
+    val seqF = groupedSeq[(graft.lake.DataFileMeta, Long, Map[String, Long])](
+      e => filters.forall(f => AggPushdown.eval(f, e._1, sch).contains(true)),
+      e => rawKey(e._1.partitionValues, gCols),
+      e => contribution(plans, Nil, sch, e))
+    val folded = t.foldAggEntries(Option(Map.empty: GroupAcc))(seqF, groupedComb)
+    val groups = folded.flatten.getOrElse(return None)
+    toGroupedResult(plans.map {
+      case PCountStar | _: PCountCol => scala.Left(())
+      case b: PBound => scala.Right(b.dt)
+    }, funcs, groups)
   }
 }
 
@@ -875,6 +1045,8 @@ final class HudiInteropAgg(t: HudiTable, refuseOnLogs: Boolean)
   import HudiInteropAgg._
   import MetaAggFold._
 
+  override def groupableCols: Set[String] = t.partitionColumns.toSet
+
   override def consumable(f: Filter): Boolean = {
     val partCols = t.partitionColumns.toSet
     if (!f.references.forall(r => !r.contains('.') && partCols.contains(r)))
@@ -929,6 +1101,48 @@ final class HudiInteropAgg(t: HudiTable, refuseOnLogs: Boolean)
     val fields = funcs.zip(out).map { case (fn, (dt, nullable, _)) =>
       StructField(fn.toString, dt, nullable) }
     Some((StructType(fields), out.map(_._3)))
+  }
+
+  /** Grouped form: one row per live (partition-column) group from the
+    * same driver fold over timeline state. */
+  override def tryPushGrouped(groupCols: Seq[String],
+      agg: Aggregation,
+      filters: Seq[Filter]): Option[(StructType, Seq[(Seq[String], Seq[Any])])] = {
+    if (groupCols.isEmpty) return None
+    val partCols = t.partitionColumns.toSet
+    if (!groupCols.forall(partCols.contains)) return None
+    val sch = t.schema
+    val funcs = agg.aggregateExpressions().toSeq
+    val plans: Seq[HPlan] = funcs.map {
+      case _: CountStar => HCountStar
+      case c: Count if !c.isDistinct =>
+        val name = AggPushdown.simpleName(c.column).getOrElse(return None)
+        if (!partCols.contains(name) || !sch.fieldNames.contains(name))
+          return None
+        HCountCol(name)
+      case m @ (_: Min | _: Max) =>
+        val (colExpr, isMin) = m match {
+          case mn: Min => (mn.column, true)
+          case mx: Max => (mx.column, false)
+        }
+        val name = AggPushdown.simpleName(colExpr).getOrElse(return None)
+        val f = sch.fields.find(_.name == name).getOrElse(return None)
+        if (!partCols.contains(name)) return None
+        if (!AggPushdown.minMaxSafe(f.dataType)) return None
+        HBound(name, isMin, f.dataType)
+      case _ => return None
+    }
+    val gCols = groupCols
+    val seqF = groupedSeq[(graft.lake.DataFileMeta, Long)](
+      e => filters.forall(f => AggPushdown.eval(f, e._1, sch).contains(true)),
+      e => rawKey(e._1.partitionValues, gCols),
+      e => contribution(plans, Nil, sch, e))
+    val groups = t.foldAggSlices(Option(Map.empty: GroupAcc), refuseOnLogs)(
+      (acc, e) => seqF(acc, e)).flatten.getOrElse(return None)
+    toGroupedResult(plans.map {
+      case HCountStar | _: HCountCol => scala.Left(())
+      case b: HBound => scala.Right(b.dt)
+    }, funcs, groups)
   }
 }
 

@@ -840,6 +840,71 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(ro.head().getLong(0) == o.count())
   }
 
+  test("GROUPED metadata aggregates collapse to LocalRelation on all three formats (r14)") {
+    val o = orders
+    val truth = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def check(fmt: String, loc: String, withMin: Boolean = true): Unit = {
+      // hudi commit stats carry no column bounds — its grouped surface
+      // is counts only; iceberg/delta also answer min from file stats
+      val minSel = if (withMin) ", min(o_orderkey) AS mn" else ""
+      val q = spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n$minSel
+            FROM `$fmt`.`$loc` GROUP BY o_orderstatus""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"),
+        s"$fmt: grouped aggregate must collapse to metadata rows:\n$plan")
+      val rows = q.collect()
+      assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == truth,
+        s"$fmt grouped counts drifted")
+      if (withMin) {
+        val mins = o.groupBy("o_orderstatus").agg(min("o_orderkey").as("mn"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == mins,
+          s"$fmt grouped min drifted")
+      }
+      // a non-partition group key must refuse and fall back to a scan
+      val bad = spark.sql(
+        s"SELECT o_orderpriority, count(*) AS n FROM `$fmt`.`$loc` " +
+          "GROUP BY o_orderpriority")
+      assert(!bad.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"$fmt: non-partition group keys have no per-file verdict — must scan")
+      assert(bad.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        o.groupBy("o_orderpriority").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    val iLoc = freshDir("grp-ice")
+    IcebergWriter.create(spark, iLoc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(o)
+    check("graft-iceberg", iLoc)
+    val dLoc = freshDir("grp-delta")
+    DeltaWriter.create(spark, dLoc, o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(o)
+    check("graft-delta", dLoc)
+    val hLoc = freshDir("grp-hudi")
+    HudiWriter.create(spark, hLoc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey").insert(o)
+    check("graft-hudi", hLoc, withMin = false)
+    // and a non-partition MIN on hudi refuses (no column stats at all)
+    val hudiMin = spark.sql(
+      s"SELECT o_orderstatus, min(o_orderkey) AS mn FROM `graft-hudi`.`$hLoc` " +
+        "GROUP BY o_orderstatus")
+    assert(!hudiMin.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(hudiMin.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      o.groupBy("o_orderstatus").agg(min("o_orderkey"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // zero data IO: delete the iceberg table's data files — the grouped
+    // metadata answer is unchanged
+    val t = graft.lake.iceberg.IcebergTable.load(spark, iLoc)
+    val fs = new Path(iLoc).getFileSystem(spark.sessionState.newHadoopConf())
+    t.planFiles().foreach(p => fs.delete(new Path(p), false))
+    val again = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n
+          FROM `graft-iceberg`.`$iLoc` GROUP BY o_orderstatus""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == truth, "grouped metadata count must not touch data files")
+  }
+
   test("iceberg aggregate fold runs DISTRIBUTED past the manifest-byte threshold (r14)") {
     val o = orders
     val loc = freshDir("ice-agg-fold")
