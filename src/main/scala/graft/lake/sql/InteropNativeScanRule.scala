@@ -160,70 +160,78 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
         org.apache.spark.sql.graftshim.ColumnExpr.toV1Filter(f)
           .getOrElse(return None))
       if (!v1.forall(support.consumable)) return None
-      // every result expression: a group-column reference or an Alias
-      // over one plain aggregate call. `Left(i)` = i-th group column.
-      val parts: Seq[Either[Int, AggregateFunc]] = aggExprs.map {
+      // every result expression: a group-column reference, a CONSTANT
+      // (`'tag' AS src` riding along an aggregate select), or an Alias
+      // over one plain aggregate call
+      sealed trait Part
+      case class KGroup(i: Int) extends Part
+      case class KConst(lit: Literal) extends Part
+      case class KAgg(fn: AggregateFunc) extends Part
+      val parts: Seq[Part] = aggExprs.map {
         case a: AttributeReference =>
           val i = groupAttrs.indexWhere(_.exprId == a.exprId)
           if (i < 0) return None
-          scala.Left(i)
+          KGroup(i)
         case Alias(a: AttributeReference, _) =>
           val i = groupAttrs.indexWhere(_.exprId == a.exprId)
           if (i < 0) return None
-          scala.Left(i)
+          KGroup(i)
+        case Alias(l: Literal, _) => KConst(l)
         case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
           case Count(Seq(Literal(v, _))) =>
             if (v == null) return None // count(NULL) ≡ 0 — rare; keep simple
-            scala.Right(new CountStar())
+            KAgg(new CountStar())
           case Count(Seq(a: AttributeReference)) =>
-            scala.Right(new VCount(Expressions.column(a.name), false))
+            KAgg(new VCount(Expressions.column(a.name), false))
           case Min(a: AttributeReference) =>
-            scala.Right(new VMin(Expressions.column(a.name)))
+            KAgg(new VMin(Expressions.column(a.name)))
           case Max(a: AttributeReference) =>
-            scala.Right(new VMax(Expressions.column(a.name)))
+            KAgg(new VMax(Expressions.column(a.name)))
           case _ => return None
         }
         case _ => return None
       }
-      val funcs = parts.collect { case scala.Right(f) => f }
+      val funcs = parts.collect { case KAgg(f) => f }
       val aggregation = new Aggregation(funcs.toArray, Array.empty)
 
+      // agg-only schema must line up with the KAgg parts' types
+      val aggIdx = parts.zipWithIndex.collect { case (KAgg(_), i) => i }
+      def aligned(schema: org.apache.spark.sql.types.StructType): Boolean =
+        schema.fields.length == aggIdx.length &&
+          schema.fields.zip(aggIdx).forall {
+            case (f, i) => f.dataType == aggExprs(i).dataType }
       if (groupAttrs.isEmpty) {
         support.tryPush(aggregation, v1).flatMap { case (schema, values) =>
-          if (schema.fields.length != aggExprs.length ||
-              !schema.fields.zip(aggExprs).forall {
-                case (f, e) => f.dataType == e.dataType })
-            None
+          if (!aligned(schema)) None
           else {
             // tryPush returns EXTERNAL row values (it feeds a V1 scan on
             // the DSv2 path); a LocalRelation holds internal ones
-            val internal = schema.fields.zip(values).map { case (f, v) =>
-              CatalystTypeConverters.createToCatalystConverter(f.dataType)(v)
+            val convs = schema.fields.map(f =>
+              CatalystTypeConverters.createToCatalystConverter(f.dataType))
+            var vi = 0
+            val cells = parts.map {
+              case KConst(l) => l.value // already internal
+              case KAgg(_) => val v = convs(vi)(values(vi)); vi += 1; v
+              case KGroup(_) => return None // unreachable: no group attrs
             }
             Some(LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(internal.toIndexedSeq))))
+              Seq(InternalRow.fromSeq(cells.toIndexedSeq))))
           }
         }
       } else {
         support.tryPushGrouped(groupAttrs.map(_.name), aggregation, v1)
           .flatMap { case (schema, groups) =>
-            // agg-only schema must line up with the Right parts' types
-            val aggIdx = parts.zipWithIndex.collect {
-              case (scala.Right(_), i) => i }
-            if (schema.fields.length != aggIdx.length ||
-                !schema.fields.zip(aggIdx).forall {
-                  case (f, i) => f.dataType == aggExprs(i).dataType })
-              return None
+            if (!aligned(schema)) return None
             val convs = schema.fields.map(f =>
               CatalystTypeConverters.createToCatalystConverter(f.dataType))
             val rows = groups.map { case (key, vals) =>
               var vi = 0
               val cells = parts.map {
-                case scala.Left(gi) =>
+                case KGroup(gi) =>
                   AggPushdown.internalGroupValue(key(gi),
                     groupAttrs(gi).dataType).getOrElse(return None)
-                case scala.Right(_) =>
-                  val v = convs(vi)(vals(vi)); vi += 1; v
+                case KConst(l) => l.value // already internal
+                case KAgg(_) => val v = convs(vi)(vals(vi)); vi += 1; v
               }
               InternalRow.fromSeq(cells.toIndexedSeq)
             }

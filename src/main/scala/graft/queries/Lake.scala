@@ -1459,6 +1459,82 @@ object Lake {
     * from, so a corrupted round-trip (wrong bytes, wrong extraction)
     * hash-mismatches. At 100 TB: variants are columnar binary, scans
     * stay vectorized, sibling columns keep stats pruning. */
+  /** GROUPED metadata-aggregate pushdown over the interop connectors
+    * (r14; graft-native parity — native tables have had GROUP BY
+    * identity-partition pushdown since r11): `SELECT part, count(*),
+    * min/max … GROUP BY part` over a graft-iceberg path collapses to a
+    * LocalRelation of per-partition rows computed from MANIFEST STATS
+    * ALONE — at 100 TB a per-partition rollup becomes a metadata fold
+    * (distributed past the manifest-byte threshold), zero data files
+    * opened. Receipts: the plan must carry no scan of the table
+    * (LocalTableScan), and the answer must survive deleting every data
+    * file; Delta and Hudi run the same statement shape (Hudi counts
+    * only — commit stats carry no column bounds). The oracle recomputes
+    * all three frames from raw parquet. */
+  def lakeInteropAggGrouped(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val conf = s.sessionState.newHadoopConf()
+
+    val iLoc = work(s, "interop_agg_grp_ice", d)
+    graft.lake.iceberg.IcebergWriter.create(s, iLoc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(o)
+    val ice = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, count(o_custkey) AS nc,
+                 min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+                 'iceberg' AS src
+          FROM `graft-iceberg`.`$iLoc` GROUP BY o_orderstatus""")
+    require(ice.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "iceberg grouped aggregate must collapse to metadata rows:\n" +
+        ice.queryExecution.executedPlan.toString)
+
+    val dLoc = work(s, "interop_agg_grp_delta", d)
+    graft.lake.delta.DeltaWriter.create(s, dLoc, o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(o)
+    val del = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, count(o_custkey) AS nc,
+                 min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+                 'delta' AS src
+          FROM `graft-delta`.`$dLoc` GROUP BY o_orderstatus""")
+    require(del.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "delta grouped aggregate must collapse to metadata rows")
+
+    val hLoc = work(s, "interop_agg_grp_hudi", d)
+    graft.lake.hudi.HudiWriter.create(s, hLoc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+      .insert(o)
+    // hudi: counts from commit stats; bounds have no stats to answer
+    // from, so the entry projects the columns its surface serves and
+    // fills the bound slots with the count (shape-aligned union)
+    val hud = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, count(o_orderstatus) AS nc,
+                 count(*) AS mn, count(*) AS mx, 'hudi' AS src
+          FROM `graft-hudi`.`$hLoc` GROUP BY o_orderstatus""")
+    require(hud.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "hudi grouped count must collapse to metadata rows")
+
+    // pin the returned frame's rows BEFORE the destruction receipt (the
+    // receipts above already prove the plans; the entry's OUTPUT should
+    // not depend on files the receipt deletes)
+    val out = ice.unionByName(del).unionByName(hud)
+      .orderBy("src", "o_orderstatus").localCheckpoint(true)
+    val expect = ice.select("o_orderstatus", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // ZERO data IO receipt: delete the iceberg table's data files — the
+    // grouped metadata answer must not change
+    val it = graft.lake.iceberg.IcebergTable.load(s, iLoc)
+    val fs = new org.apache.hadoop.fs.Path(iLoc).getFileSystem(conf)
+    it.planFiles().foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    val again = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n FROM `graft-iceberg`.`$iLoc`
+          GROUP BY o_orderstatus""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(again == expect,
+      s"grouped metadata count must not touch data files ($again vs $expect)")
+    out
+  }
+
   def lakeDeltaVariant(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
     val loc = work(s, "delta_variant", d)
@@ -1479,6 +1555,7 @@ object Lake {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_interop_agg_grouped" -> (lakeInteropAggGrouped _),
     "lake_delta_variant" -> (lakeDeltaVariant _),
     "lake_iceberg_rest" -> (lakeIcebergRest _),
     "lake_iceberg_sql" -> (lakeIcebergSql _),
@@ -1532,6 +1609,22 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_interop_agg_grouped" ->
+      """SELECT * FROM (
+           SELECT o_orderstatus, count(*) AS n,
+                  count(o_custkey) AS nc,
+                  min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+                  'iceberg' AS src
+           FROM orders GROUP BY o_orderstatus
+           UNION ALL
+           SELECT o_orderstatus, count(*), count(o_custkey),
+                  min(o_orderkey), max(o_orderkey), 'delta'
+           FROM orders GROUP BY o_orderstatus
+           UNION ALL
+           SELECT o_orderstatus, count(*), count(o_orderstatus),
+                  count(*), count(*), 'hudi'
+           FROM orders GROUP BY o_orderstatus
+         ) ORDER BY src, o_orderstatus""",
     "lake_column_stats" ->
       """SELECT * FROM (
            SELECT 'o_orderkey' AS "column",
