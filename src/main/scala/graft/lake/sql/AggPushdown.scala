@@ -356,6 +356,25 @@ object AggPushdown {
     }
   }
 
+  /** RAW group value (hive dir string, null = NULL dir) → EXTERNAL row
+    * value for the V1 bridge (needConversion=true) — the grouped DSv2
+    * scan's key columns. Same supported set as [[internalGroupValue]]. */
+  def externalGroupValue(raw: String, dt: DataType): Option[Any] = {
+    if (raw == null) return Some(null)
+    dt match {
+      case StringType => Some(raw)
+      case ByteType => raw.toByteOption
+      case ShortType => raw.toShortOption
+      case IntegerType => raw.toIntOption
+      case LongType => raw.toLongOption
+      case BooleanType => raw.toBooleanOption
+      case DateType =>
+        try Some(java.sql.Date.valueOf(java.time.LocalDate.parse(raw)))
+        catch { case _: Throwable => None }
+      case _ => None
+    }
+  }
+
   /** DSv2 entry (sessions WITHOUT GraftExtensions — with them,
     * GraftNativeScanRule substitutes a LocalRelation first): answers a
     * connector `Aggregation` as the scan's (readSchema, single result

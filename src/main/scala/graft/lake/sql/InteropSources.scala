@@ -1546,7 +1546,7 @@ class InteropScanBuilder(read: InteropRead) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
   private var consumed: Array[Filter] = Array.empty
   private var required: StructType = read.schema
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
   private var aggFor: Aggregation = _
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -1578,18 +1578,70 @@ class InteropScanBuilder(read: InteropRead) extends ScanBuilder
         else {
           if (aggFor ne aggregation) {
             aggFor = aggregation
-            aggResult =
-              try a.tryPush(aggregation, consumed.toSeq)
-              catch { case _: Throwable => None }
+            aggResult = try compute(a, aggregation)
+            catch { case _: Throwable => None }
           }
           aggResult.isDefined
         }
     }
 
+  /** Grouped or groupless metadata answer in the DSv2 contract's row
+    * layout: group-by columns FIRST (the order Spark expects of a
+    * complete group-by pushdown), then the aggregate columns. */
+  private def compute(a: InteropAggSupport,
+      aggregation: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
+    val groups = aggregation.groupByExpressions().toSeq
+    if (groups.isEmpty)
+      return a.tryPush(aggregation, consumed.toSeq)
+        .map { case (sch, row) => (sch, Seq(row)) }
+    // grouped (r14): plain partition-column keys only, rendered as the
+    // leading key columns of the scan output
+    val names = groups.map(g =>
+      AggPushdown.simpleName(g).getOrElse(return None))
+    val keyFields = names.map(n =>
+      read.schema.fields.find(_.name == n).getOrElse(return None))
+    if (!keyFields.forall(f => AggPushdown.groupTypeSupported(f.dataType)))
+      return None
+    a.tryPushGrouped(names, aggregation, consumed.toSeq).map {
+      case (aggSchema, rows) =>
+        val schema = StructType(keyFields ++ aggSchema.fields)
+        val full = rows.map { case (key, vals) =>
+          val keyVals = keyFields.zipWithIndex.map { case (f, i) =>
+            AggPushdown.externalGroupValue(key(i), f.dataType)
+              .getOrElse(return None)
+          }
+          keyVals ++ vals
+        }
+        (schema, full)
+    }
+  }
+
   override def build(): Scan = aggResult match {
-    case Some((aggSchema, row)) => new GraftAggScan(aggSchema, row)
+    case Some((aggSchema, Seq(row)))
+        if aggFor != null && aggFor.groupByExpressions().isEmpty =>
+      new GraftAggScan(aggSchema, row)
+    case Some((aggSchema, rows)) => new GraftAggRowsScan(aggSchema, rows)
     case None => new InteropV1Scan(read, pushed, required)
   }
+}
+
+/** Multi-row metadata-aggregate scan: the grouped counterpart of
+  * [[GraftAggScan]] — one driver-computed row per live group, zero data
+  * files opened. */
+class GraftAggRowsScan(aggSchema: StructType, rows: Seq[Seq[Any]]) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftAggRowsScan(metadata-only grouped: ${aggSchema.fieldNames.mkString(", ")})"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def needConversion: Boolean = true
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(
+          rows.map(Row.fromSeq), math.max(1, math.min(rows.size, 4)))
+    }.asInstanceOf[T]
 }
 
 class InteropV1Scan(read: InteropRead, pushed: Array[Filter],

@@ -893,6 +893,20 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(hudiMin.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       o.groupBy("o_orderstatus").agg(min("o_orderkey"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // the V1 DSv2 path (sessions WITHOUT the native-scan rule) answers
+    // grouped aggregates too, through Spark's own complete group-by
+    // pushdown → GraftAggRowsScan (key columns first, then aggs)
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    try {
+      val v1 = spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS mn
+            FROM `graft-delta`.`$dLoc` GROUP BY o_orderstatus""")
+      val plan = v1.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftAggRowsScan"),
+        s"V1 grouped pushdown must produce the grouped agg scan:\n$plan")
+      assert(v1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == truth)
+    } finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+
     // zero data IO: delete the iceberg table's data files — the grouped
     // metadata answer is unchanged
     val t = graft.lake.iceberg.IcebergTable.load(spark, iLoc)
