@@ -16,7 +16,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # a corpus table may be a single file (driver testdata) or a
+    # Spark-written DIRECTORY of part files (ScaleData corpora)
+    p = f"{sfdir}/{t}.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
