@@ -358,6 +358,136 @@ final class IcebergRestCatalog(uri: String,
     }
   }
 
+  // ---- views (r14; the spec's views API) ------------------------------------
+
+  import IcebergRestCatalog.{LoadViewResult, ViewVersion, ViewRepresentation}
+
+  def listViews(ns: Seq[String]): Seq[String] =
+    pagedList(v1(s"/namespaces/${nsSeg(ns)}/views"), "identifiers")
+      .map(_.path("name").asText()).sorted
+
+  def viewExists(ns: Seq[String], name: String): Boolean =
+    send("HEAD", v1(s"/namespaces/${nsSeg(ns)}/views/${seg(name)}"))
+      .statusCode() == 204
+
+  /** CREATE a view: the service materializes view metadata v1 (version 1
+    * carrying the SQL representation) under its warehouse. `schemaJson`
+    * is the spec's Iceberg schema JSON of the view's output. */
+  def createView(ns: Seq[String], name: String, sql: String,
+      schemaJson: String, dialect: String = "spark",
+      properties: Map[String, String] = Map.empty): LoadViewResult = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.set[ObjectNode]("schema", mapper.readTree(schemaJson))
+    val vv = body.putObject("view-version")
+    vv.put("version-id", 1)
+    vv.put("schema-id", 0)
+    vv.putObject("summary").put("engine-name", "graft")
+    val reps = vv.putArray("representations")
+    val rep = reps.addObject()
+    rep.put("type", "sql"); rep.put("sql", sql); rep.put("dialect", dialect)
+    val dn = vv.putArray("default-namespace"); ns.foreach(dn.add)
+    if (properties.nonEmpty) {
+      val p = body.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/views"),
+      Some(mapper.writeValueAsString(body)))
+    r.statusCode() match {
+      case 200 => parseLoadViewResult(r.body())
+      case 409 => sys.error(
+        s"iceberg-rest: view ${ns.mkString(".")}.$name already exists: ${errorOf(r)}")
+      case c => sys.error(s"iceberg-rest: create view $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  def loadView(ns: Seq[String], name: String): LoadViewResult = {
+    val r = send("GET", v1(s"/namespaces/${nsSeg(ns)}/views/${seg(name)}"))
+    r.statusCode() match {
+      case 200 => parseLoadViewResult(r.body())
+      case 404 => throw new NoSuchElementException(
+        s"iceberg-rest: no view ${ns.mkString(".")}.$name in catalog $base: ${errorOf(r)}")
+      case c => sys.error(s"iceberg-rest: load view $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  /** REPLACE the view's SQL: one commit appending a new view version and
+    * making it current (the spec's add-view-version +
+    * set-current-view-version(-1) pair under assert-view-uuid — racing
+    * replacers from one base see exactly one winner). */
+  def replaceView(ns: Seq[String], name: String, sql: String,
+      dialect: String = "spark"): LoadViewResult = {
+    val cur = loadView(ns, name)
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val rq = reqs.addObject()
+    rq.put("type", "assert-view-uuid"); rq.put("uuid", cur.uuid)
+    val ups = body.putArray("updates")
+    val add = ups.addObject()
+    add.put("action", "add-view-version")
+    val vv = add.putObject("view-version")
+    vv.put("version-id", cur.versions.map(_.versionId).max + 1)
+    vv.put("schema-id", 0)
+    vv.putObject("summary").put("engine-name", "graft")
+    val reps = vv.putArray("representations")
+    val rep = reps.addObject()
+    rep.put("type", "sql"); rep.put("sql", sql); rep.put("dialect", dialect)
+    val dn = vv.putArray("default-namespace"); ns.foreach(dn.add)
+    val setCur = ups.addObject()
+    setCur.put("action", "set-current-view-version")
+    setCur.put("view-version-id", -1) // the version just added, per spec
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/views/${seg(name)}"),
+      Some(mapper.writeValueAsString(body)))
+    r.statusCode() match {
+      case 200 => parseLoadViewResult(r.body())
+      case 409 => throw new java.util.ConcurrentModificationException(
+        s"iceberg-rest: replace of view ${ns.mkString(".")}.$name lost the race: ${errorOf(r)}")
+      case c => sys.error(s"iceberg-rest: replace view $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
+  def dropView(ns: Seq[String], name: String): Boolean =
+    send("DELETE", v1(s"/namespaces/${nsSeg(ns)}/views/${seg(name)}"))
+      .statusCode() == 204
+
+  def renameView(fromNs: Seq[String], fromName: String,
+      toNs: Seq[String], toName: String): Unit = {
+    val body = mapper.createObjectNode()
+    val src = body.putObject("source")
+    val sa = src.putArray("namespace"); fromNs.foreach(sa.add)
+    src.put("name", fromName)
+    val dst = body.putObject("destination")
+    val da = dst.putArray("namespace"); toNs.foreach(da.add)
+    dst.put("name", toName)
+    val r = send("POST", v1("/views/rename"), Some(mapper.writeValueAsString(body)))
+    require(r.statusCode() == 200 || r.statusCode() == 204,
+      s"iceberg-rest: rename view ${fromNs.mkString(".")}.$fromName -> " +
+        s"${toNs.mkString(".")}.$toName failed: HTTP ${r.statusCode()} ${errorOf(r)}")
+  }
+
+  private def parseLoadViewResult(json: String): LoadViewResult = {
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(json)
+    val loc = n.path("metadata-location").asText("")
+    require(loc.nonEmpty, "iceberg-rest: LoadViewResult without metadata-location")
+    val m = n.path("metadata")
+    val versions = m.path("versions").elements().asScala.map { v =>
+      ViewVersion(
+        v.path("version-id").asInt(),
+        v.path("timestamp-ms").asLong(),
+        v.path("schema-id").asInt(0),
+        v.path("representations").elements().asScala.map { r =>
+          ViewRepresentation(r.path("type").asText(),
+            r.path("sql").asText(), r.path("dialect").asText())
+        }.toSeq,
+        v.path("default-namespace").elements().asScala.map(_.asText()).toSeq)
+    }.toSeq
+    LoadViewResult(loc, m.path("view-uuid").asText(),
+      m.path("current-version-id").asInt(), versions,
+      m.path("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+  }
+
   private def parseLoadResult(json: String): LoadResult = {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(json)
@@ -381,6 +511,36 @@ final class IcebergRestCatalog(uri: String,
 }
 
 object IcebergRestCatalog {
+  /** One SQL representation of a view version. */
+  final case class ViewRepresentation(tpe: String, sql: String, dialect: String)
+
+  /** One immutable view version (the spec's view-version). */
+  final case class ViewVersion(versionId: Int, timestampMs: Long,
+      schemaId: Int, representations: Seq[ViewRepresentation],
+      defaultNamespace: Seq[String])
+
+  /** LoadViewResult: metadata pointer + the parsed view metadata. */
+  final case class LoadViewResult(metadataLocation: String, uuid: String,
+      currentVersionId: Int, versions: Seq[ViewVersion],
+      properties: Map[String, String]) {
+    def currentVersion: ViewVersion =
+      versions.find(_.versionId == currentVersionId).getOrElse(
+        throw new IllegalStateException(
+          s"view metadata has no version $currentVersionId"))
+    /** The current version's SQL for `dialect` — or, when the version
+      * carries exactly one representation, that one (the spec allows
+      * engines to accept a single foreign-dialect text). */
+    def sql(dialect: String = "spark"): String = {
+      val reps = currentVersion.representations.filter(_.tpe == "sql")
+      reps.find(_.dialect.equalsIgnoreCase(dialect))
+        .orElse(if (reps.length == 1) reps.headOption else None)
+        .map(_.sql)
+        .getOrElse(throw new NoSuchElementException(
+          s"view has no SQL representation for dialect '$dialect' " +
+            s"(have: ${reps.map(_.dialect).mkString(", ")})"))
+    }
+  }
+
   /** LoadTableResult: the authoritative metadata pointer + parsed body,
     * plus the vended table-scoped `config` overrides and
     * `storage-credentials` ([prefix → config]) when the service sends

@@ -55,6 +55,10 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   /** table full name (ns \u0000 name) → current metadata-location */
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** view full name -> current metadata-location (r14; the spec's views
+    * API — view metadata is its own v1 JSON format carrying versioned
+    * SQL representations, materialized like table metadata). */
+  private val views = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val namespaces =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** namespace key -> properties (the spec's namespace metadata). */
@@ -365,6 +369,32 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         o.putObject("defaults"); o.putObject("overrides")
         send(x, 200, mapper.writeValueAsString(o))
 
+      case ("POST", Seq("views", "rename")) =>
+        val b = readBody(x)
+        def identV(n: JsonNode): (Seq[String], String) = {
+          val it = n.path("namespace").elements()
+          val ns = Seq.newBuilder[String]
+          while (it.hasNext) ns += it.next().asText()
+          (ns.result(), n.path("name").asText())
+        }
+        val (sNs, sName) = identV(b.get("source"))
+        val (dNs, dName) = identV(b.get("destination"))
+        val sk = key(sNs, sName); val dk = key(dNs, dName)
+        val outcome: Either[(Int, String, String), Unit] = lock.synchronized {
+          if (!namespaces.contains(dNs.mkString("\u001F")))
+            Left((404, "NoSuchNamespaceException",
+              s"no namespace ${dNs.mkString(".")}"))
+          else if (!views.containsKey(sk))
+            Left((404, "NoSuchViewException", s"no view $sName"))
+          else if (views.containsKey(dk))
+            Left((409, "AlreadyExistsException", s"view $dName exists"))
+          else { views.put(dk, views.remove(sk)); Right(()) }
+        }
+        outcome match {
+          case Left((code, tpe, msg)) => err(x, code, tpe, msg)
+          case Right(_) => send(x, 204, "")
+        }
+
       case ("POST", Seq("tables", "rename")) =>
         val b = readBody(x)
         def ident(n: JsonNode): (Seq[String], String) = {
@@ -435,7 +465,7 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         // the spec: a namespace must be EMPTY to drop (409 otherwise)
         val outcome = lock.synchronized {
           if (!namespaces.contains(ns)) Left((404, "NoSuchNamespaceException"))
-          else if (tables.keySet().asScala
+          else if ((tables.keySet().asScala ++ views.keySet().asScala)
               .exists(_.split("\u0000").toSeq.init.mkString("\u001F") == ns))
             Left((409, "NamespaceNotEmptyException"))
           else { namespaces.remove(ns); nsProps.remove(ns); Right(()) }
@@ -491,6 +521,41 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         }
         next.foreach(o.put("next-page-token", _))
         send(x, 200, mapper.writeValueAsString(o))
+
+      case ("GET", Seq("namespaces", ns, "views")) =>
+        val nsSeq = ns.split("\u001F").toSeq
+        val inNs = views.keySet().asScala.toSeq.sorted
+          .filter(_.split("\u0000").toSeq.init == nsSeq)
+        val (slice, next) = page(x, inNs)
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("identifiers")
+        slice.map(_.split("\u0000").toSeq).foreach { parts =>
+          val ident = arr.addObject()
+          val a = ident.putArray("namespace"); parts.init.foreach(a.add)
+          ident.put("name", parts.last)
+        }
+        next.foreach(o.put("next-page-token", _))
+        send(x, 200, mapper.writeValueAsString(o))
+
+      case ("POST", Seq("namespaces", ns, "views")) => createView(x, ns)
+
+      case (m, Seq("namespaces", ns, "views", v)) =>
+        val k = key(ns.split("\u001F").toSeq, v)
+        m match {
+          case "HEAD" =>
+            send(x, if (views.containsKey(k)) 204 else 404, "")
+          case "GET" =>
+            Option(views.get(k)) match {
+              case None => err(x, 404, "NoSuchViewException", s"no view $v")
+              case Some(loc) => send(x, 200, loadViewResult(loc, readViewMeta(loc)))
+            }
+          case "DELETE" =>
+            if (lock.synchronized(Option(views.remove(k))).isDefined)
+              send(x, 204, "")
+            else err(x, 404, "NoSuchViewException", s"no view $v")
+          case "POST" => commitView(x, k, v)
+          case _ => err(x, 405, "BadRequestException", "unsupported method")
+        }
 
       case ("POST", Seq("namespaces", ns, "tables")) => createTable(x, ns)
       case ("POST", Seq("namespaces", ns, "register")) => registerTable(x, ns)
@@ -587,6 +652,163 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     }
     if (ok) send(x, 200, loadResult(ml, m))
     else err(x, 409, "AlreadyExistsException", s"table $name exists")
+  }
+
+  // ---- views (r14; the spec's views API) ------------------------------------
+  // View metadata is the spec's own v1 JSON (view-uuid, schemas,
+  // versions carrying SQL representations, version-log) — materialized
+  // under the view location like table metadata, pointer-swapped under
+  // the same lock.
+
+  private def readViewMeta(metadataLocation: String): JsonNode = {
+    val p = new Path(metadataLocation)
+    val in = p.getFileSystem(conf).open(p)
+    try mapper.readTree(in) finally in.close()
+  }
+
+  private def writeViewMeta(m: JsonNode, location: String,
+      prevLocation: Option[String]): String = {
+    val version = prevLocation.flatMap { loc =>
+      "^v?(\\d+)".r.findFirstMatchIn(new Path(loc).getName)
+        .map(_.group(1).toInt + 1)
+    }.getOrElse(0)
+    val rel = f"metadata/$version%05d-${java.util.UUID.randomUUID()}.metadata.json"
+    val p = new Path(location, rel)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, false)
+    try out.write(mapper.writeValueAsString(m).getBytes("UTF-8"))
+    finally out.close()
+    fs.makeQualified(p).toString
+  }
+
+  private def loadViewResult(metadataLocation: String, m: JsonNode): String = {
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", metadataLocation)
+    o.set[JsonNode]("metadata", m)
+    o.putObject("config")
+    mapper.writeValueAsString(o)
+  }
+
+  /** CreateViewRequest: {name, schema, view-version {representations:
+    * [{type:"sql", sql, dialect}], default-namespace, ...}, properties}
+    * → view metadata v1 with version-id 1. */
+  private def createView(x: HttpExchange, ns: String): Unit = {
+    val nsSeq = ns.split("\u001F").toSeq
+    if (!namespaces.contains(ns)) {
+      err(x, 404, "NoSuchNamespaceException", s"no namespace $ns"); return
+    }
+    val body = readBody(x)
+    val name = body.get("name").asText()
+    val k = key(nsSeq, name)
+    val loc0 = (nsSeq :+ name).mkString(s"$warehouse/", "/", "")
+    val loc = {
+      val p = new Path(loc0)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val now = System.currentTimeMillis()
+    val m = mapper.createObjectNode()
+    m.put("view-uuid", java.util.UUID.randomUUID().toString)
+    m.put("format-version", 1)
+    m.put("location", loc)
+    val schemas = m.putArray("schemas")
+    val schemaNode = body.path("schema").deepCopy[JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    if (!schemaNode.has("schema-id")) schemaNode.put("schema-id", 0)
+    schemas.add(schemaNode)
+    m.put("current-version-id", 1)
+    val versions = m.putArray("versions")
+    val vv = body.path("view-version").deepCopy[JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    vv.put("version-id", 1)
+    vv.put("timestamp-ms", now)
+    if (!vv.has("schema-id")) vv.put("schema-id", schemaNode.path("schema-id").asInt(0))
+    versions.add(vv)
+    val vlog = m.putArray("version-log")
+    val vl = vlog.addObject(); vl.put("timestamp-ms", now); vl.put("version-id", 1)
+    val props = m.putObject("properties")
+    if (body.hasNonNull("properties"))
+      body.get("properties").properties().asScala
+        .foreach(e => props.put(e.getKey, e.getValue.asText()))
+    val outcome = lock.synchronized {
+      if (views.containsKey(k)) None
+      else {
+        val ml = writeViewMeta(m, loc, None)
+        views.put(k, ml)
+        Some(ml)
+      }
+    }
+    outcome match {
+      case None => err(x, 409, "AlreadyExistsException", s"view $name exists")
+      case Some(ml) => send(x, 200, loadViewResult(ml, m))
+    }
+  }
+
+  /** CommitViewRequest: requirements (assert-view-uuid) + updates
+    * (add-view-version, set-current-view-version; -1 = the version just
+    * added, per spec). Unknown actions reject loudly. */
+  private def commitView(x: HttpExchange, k: String, name: String): Unit = {
+    val body = readBody(x)
+    val reqs = (if (body.has("requirements"))
+      body.get("requirements").elements().asScala.toSeq else Nil)
+    val updates = (if (body.has("updates"))
+      body.get("updates").elements().asScala.toSeq else Nil)
+    val outcome = lock.synchronized {
+      Option(views.get(k)) match {
+        case None => Left((404, "NoSuchViewException", s"no view $name"))
+        case Some(prevLoc) =>
+          val cur = readViewMeta(prevLoc)
+            .deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val uuidFail = reqs.flatMap { r =>
+            r.path("type").asText() match {
+              case "assert-view-uuid" =>
+                val want = r.path("uuid").asText()
+                if (cur.path("view-uuid").asText() == want) None
+                else Some(s"view uuid ${cur.path("view-uuid").asText()} != asserted $want")
+              case other => Some(s"unsupported view requirement type '$other'")
+            }
+          }.headOption
+          uuidFail match {
+            case Some(fail) => Left((409, "CommitFailedException", fail))
+            case None =>
+              var lastAdded = -1
+              updates.foreach { u =>
+                u.path("action").asText() match {
+                  case "add-view-version" =>
+                    val vv = u.path("view-version").deepCopy[JsonNode]()
+                      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                    if (!vv.hasNonNull("timestamp-ms"))
+                      vv.put("timestamp-ms", System.currentTimeMillis())
+                    lastAdded = vv.path("version-id").asInt()
+                    cur.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+                      "versions").add(vv)
+                  case "set-current-view-version" =>
+                    val vid0 = u.path("view-version-id").asInt()
+                    val vid = if (vid0 == -1) lastAdded else vid0
+                    require(vid > 0, "set-current-view-version before add-view-version")
+                    cur.put("current-version-id", vid)
+                    val vl = cur.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+                      "version-log").addObject()
+                    vl.put("timestamp-ms", System.currentTimeMillis())
+                    vl.put("version-id", vid)
+                  case "set-properties" =>
+                    val pn = cur.withObject("properties")
+                    u.path("updates").properties().asScala
+                      .foreach(e => pn.put(e.getKey, e.getValue.asText()))
+                  case other =>
+                    throw new IllegalArgumentException(
+                      s"unsupported view update action '$other'")
+                }
+              }
+              val ml = writeViewMeta(cur, cur.path("location").asText(), Some(prevLoc))
+              views.put(k, ml)
+              Right((ml, cur: JsonNode))
+          }
+      }
+    }
+    outcome match {
+      case Left((code, tpe, msg)) => err(x, code, tpe, msg)
+      case Right((ml, m)) => send(x, 200, loadViewResult(ml, m))
+    }
   }
 
   private def commitTable(x: HttpExchange, k: String, name: String): Unit = {

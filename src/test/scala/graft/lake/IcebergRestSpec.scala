@@ -454,6 +454,71 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("views API: create / load / execute / replace / rename / drop (r14)") {
+    val server = new IcebergRestServer(fresh("icerest-views-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      o.createOrReplaceTempView("views_src_orders")
+      val viewSql =
+        "SELECT o_orderstatus, count(*) AS n FROM views_src_orders " +
+          "GROUP BY o_orderstatus"
+      val outSchema = spark.sql(viewSql).schema
+      val lr = cat.createView(Seq("ns"), "orders_by_status", viewSql,
+        IcebergMeta.renderSchemaJson(iceSchemaOf(spark.sql(viewSql))),
+        properties = Map("comment" -> "per-status counts"))
+      assert(lr.currentVersionId == 1 && lr.versions.length == 1)
+      assert(cat.viewExists(Seq("ns"), "orders_by_status"))
+      assert(cat.listViews(Seq("ns")) == Seq("orders_by_status"))
+      assert(lr.properties("comment") == "per-status counts")
+      // a second create on the name 409s
+      intercept[RuntimeException] {
+        cat.createView(Seq("ns"), "orders_by_status", viewSql,
+          IcebergMeta.renderSchemaJson(iceSchemaOf(spark.sql(viewSql))))
+      }
+
+      // the stored representation EXECUTES (spark dialect) and matches
+      val got = spark.sql(cat.loadView(Seq("ns"), "orders_by_status").sql())
+      assert(got.schema == outSchema)
+      assert(got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        o.groupBy("o_orderstatus").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+      // REPLACE: one commit appends version 2 and makes it current;
+      // version 1 stays in the metadata (view history, per spec)
+      val sql2 = "SELECT o_orderpriority, count(*) AS n FROM " +
+        "views_src_orders GROUP BY o_orderpriority"
+      val lr2 = cat.replaceView(Seq("ns"), "orders_by_status", sql2)
+      assert(lr2.currentVersionId == 2 && lr2.versions.map(_.versionId) == Seq(1, 2))
+      assert(lr2.sql() == sql2)
+      assert(spark.sql(lr2.sql()).collect().length ==
+        o.select("o_orderpriority").distinct().count())
+
+      // rename is a pointer move; the old name 404s, history survives
+      cat.renameView(Seq("ns"), "orders_by_status", Seq("ns"), "obs2")
+      assert(!cat.viewExists(Seq("ns"), "orders_by_status"))
+      assert(cat.loadView(Seq("ns"), "obs2").versions.length == 2)
+      intercept[NoSuchElementException] {
+        cat.loadView(Seq("ns"), "orders_by_status")
+      }
+
+      // a namespace holding a view is NOT empty (spec: 409 on drop)
+      intercept[RuntimeException] { cat.dropNamespace(Seq("ns")) }
+      assert(cat.dropView(Seq("ns"), "obs2"))
+      assert(!cat.dropView(Seq("ns"), "obs2")) // idempotent-false
+      assert(cat.listViews(Seq("ns")).isEmpty)
+
+      // unknown dialect refuses loudly instead of running foreign SQL
+      val lr3 = cat.createView(Seq("ns"), "multi", viewSql,
+        IcebergMeta.renderSchemaJson(iceSchemaOf(spark.sql(viewSql))),
+        dialect = "trino")
+      // exactly one representation → served for any requested dialect
+      assert(lr3.sql("spark") == viewSql)
+    } finally server.stop()
+  }
+
   test("vended storage credentials land as per-bucket s3a conf (r14)") {
     val server = new IcebergRestServer(fresh("icerest-vend-wh"),
       spark.sessionState.newHadoopConf(),
