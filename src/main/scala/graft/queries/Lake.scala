@@ -1441,6 +1441,22 @@ object Lake {
         .option("catalog-uri", server.uri)
         .option("credential", "graft:graft-secret")
         .option("table", "lake.orders").load()
+      // r14 VIEWS receipt — the spec's views API on the same authed
+      // service: create a view over the catalog-resolved frame, load it
+      // back, EXECUTE its stored spark-dialect SQL, and require the
+      // counts agree with the direct read (IcebergRestSpec carries the
+      // full lifecycle: replace/version history/rename/drop/409s)
+      df.createOrReplaceTempView("rest_orders_for_view")
+      val viewSql =
+        "SELECT count(*) AS n FROM rest_orders_for_view"
+      cat.createView(Seq("lake"), "orders_n", viewSql,
+        IcebergMeta.renderSchemaJson(IceSchema(0, Seq(
+          IceField(1, "n", required = false,
+            org.apache.spark.sql.types.LongType, "long")))))
+      val viaView = s.sql(cat.loadView(Seq("lake"), "orders_n").sql())
+        .head().getLong(0)
+      require(viaView == df.count(),
+        s"the view's stored SQL must serve the table's rows ($viaView)")
       df.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           Money.sumUnits(col("o_totalprice")).as("total_cents"))
