@@ -450,13 +450,26 @@ final class IcebergTable private (
     * delete manifest in the list (content != 0) without opening it:
     * conservative (a fully-retired delete manifest refuses too), but a
     * refusal only costs a real scan, never a wrong answer. */
+  /** Manifest-list contents by resolved path (immutable files; bounded
+    * by the table instance's lifetime and O(manifests) small entries). */
+  private val manifestListCache =
+    scala.collection.mutable.HashMap.empty[String, Seq[IcebergAvro.ManifestFileEntry]]
+
   private[lake] def foldAggEntries[B](snapshotId: Long = -1L)(zero: B)(
       seq: (B, (DataFileMeta, IcebergAvro.ManifestEntry, IceSchema)) => B,
       comb: (B, B) => B): Option[B] = {
     val snapId = if (snapshotId >= 0) snapshotId else currentSnapshotId
     if (snapId < 0) return Some(zero) // empty table: fold of nothing
     val snap = meta.snapshot(snapId)
-    val listEntries = IcebergAvro.readManifestList(conf, resolve(snap.manifestList))
+    // manifest lists are immutable once written — memoize per resolved
+    // path so the threshold probe costs one driver read per snapshot,
+    // not one per planned aggregate (r15; r14 advice: k-filter planning
+    // re-read the list k+1 times)
+    val listPath = resolve(snap.manifestList)
+    val listEntries = manifestListCache.synchronized {
+      manifestListCache.getOrElseUpdate(listPath.toString,
+        IcebergAvro.readManifestList(conf, listPath))
+    }
     val threshold = spark.conf.getOption(
       "spark.graft.iceberg.aggFoldThresholdBytes")
       .map(_.toLong).getOrElse(32L * 1024 * 1024)

@@ -70,6 +70,9 @@ final class IcebergRestCatalog(uri: String,
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
   private val base = uri.stripSuffix("/")
 
+  /** Catalog identity for vend-ownership checks (applyVendedStorage). */
+  def baseUri: String = base
+
   // ---- oauth ----------------------------------------------------------------
 
   /** (access_token, refresh-after-millis). */
@@ -413,8 +416,12 @@ final class IcebergRestCatalog(uri: String,
 
   /** REPLACE the view's SQL: one commit appending a new view version and
     * making it current (the spec's add-view-version +
-    * set-current-view-version(-1) pair under assert-view-uuid — racing
-    * replacers from one base see exactly one winner). */
+    * set-current-view-version(-1) pair under assert-view-uuid). Racing
+    * replacers from one base compute the same next version-id; the
+    * SERVER arbitrates by rejecting a duplicate version-id with 409
+    * (assert-view-uuid alone cannot — the view uuid never changes), so
+    * exactly one wins and the loser surfaces as
+    * ConcurrentModificationException. */
   def replaceView(ns: Seq[String], name: String, sql: String,
       dialect: String = "spark"): LoadViewResult = {
     val cur = loadView(ns, name)
@@ -549,7 +556,7 @@ object IcebergRestCatalog {
       config: Map[String, String] = Map.empty,
       storageCredentials: Seq[(String, Map[String, String])] = Nil)
 
-  /** Honor vended storage credentials for an s3/s3a table location:
+  /** Honor vended storage credentials for an s3a table location:
     * the longest-prefix-matching `storage-credentials` entry (falling
     * back to the `config` overrides' s3.* keys) maps onto Hadoop's
     * PER-BUCKET s3a configuration (`fs.s3a.bucket.<bucket>.*`) — scoped
@@ -559,8 +566,16 @@ object IcebergRestCatalog {
     * (`newHadoopConf`), so the settings take effect for every
     * subsequent read/write of the table. Non-object-store locations
     * (file:/, hdfs:/) ignore the vend — nothing to configure. */
+  /** Which catalog (base URI) last vended per-bucket config — a
+    * different catalog re-vending the SAME bucket would clobber the
+    * first one's credentials last-writer-wins mid-session, so that case
+    * refuses loudly; the same catalog refreshing (rotated session
+    * tokens) stays quiet. */
+  private val vendOwner =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def applyVendedStorage(spark: org.apache.spark.sql.SparkSession,
-      tableLocation: String, lr: LoadResult): Unit = {
+      tableLocation: String, lr: LoadResult, owner: String = ""): Unit = {
     val matching = lr.storageCredentials
       .filter { case (p, _) => p.nonEmpty && tableLocation.startsWith(p) }
     val cfg: Map[String, String] =
@@ -570,9 +585,32 @@ object IcebergRestCatalog {
     val uri = try new java.net.URI(tableLocation)
       catch { case _: Exception => return }
     val scheme = Option(uri.getScheme).getOrElse(return)
-    if (scheme != "s3" && scheme != "s3a" && scheme != "s3n") return
+    // s3a ONLY: the fs.s3a.bucket.<bucket>.* keys written below are read
+    // by the s3a filesystem alone — a vend for an s3:// or s3n:// location
+    // would be silently dropped (those schemes' default Hadoop filesystems
+    // never consult them), leaving reads to fail with stale/no
+    // credentials. Reject loudly instead of configuring nothing.
+    if (scheme != "s3a") {
+      if (scheme == "s3" || scheme == "s3n") throw new IllegalArgumentException(
+        s"iceberg-rest: storage credentials vended for $tableLocation cannot " +
+          s"be applied: only the s3a:// scheme is supported (per-bucket " +
+          s"fs.s3a.bucket.* configuration); remap the location to s3a://")
+      return // file:/, hdfs:/ … — nothing to configure
+    }
     val bucket = Option(uri.getHost).orElse(Option(uri.getAuthority))
       .getOrElse(return)
+    // the hadoopConfiguration is session-global: two catalogs vending
+    // different credentials for ONE bucket would clobber each other
+    // last-writer-wins, silently breaking the first catalog's tables
+    // mid-session — refuse loudly instead. The same catalog re-vending
+    // (rotated session tokens) is the normal refresh path and proceeds.
+    val prevOwner = vendOwner.putIfAbsent(bucket, owner)
+    if (prevOwner != null && prevOwner != owner)
+      throw new IllegalStateException(
+        s"iceberg-rest: bucket '$bucket' already carries storage " +
+          s"credentials vended by catalog $prevOwner; refusing to " +
+          s"overwrite them with catalog $owner's vend — use distinct " +
+          s"buckets per catalog (per-bucket s3a config is the scope unit)")
     val hc = spark.sparkContext.hadoopConfiguration
     def set(k: String, v: String): Unit = hc.set(s"fs.s3a.bucket.$bucket.$k", v)
     cfg.get("s3.access-key-id").foreach(set("access.key", _))

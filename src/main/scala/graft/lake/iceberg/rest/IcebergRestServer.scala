@@ -767,7 +767,20 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
               case other => Some(s"unsupported view requirement type '$other'")
             }
           }.headOption
-          uuidFail match {
+          // duplicate version-id = a lost race: the view uuid never changes
+          // across commits, so assert-view-uuid alone cannot arbitrate two
+          // replacers racing from the same base (both compute max+1 = the
+          // same id). The id collision is the arbitration — first writer
+          // appends it, second 409s and must re-read.
+          val existingIds = cur.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+            "versions").elements().asScala.map(_.path("version-id").asInt()).toSet
+          val addedIds = updates.filter(_.path("action").asText() == "add-view-version")
+            .map(_.path("view-version").path("version-id").asInt())
+          val dupFail = addedIds.find(existingIds.contains)
+            .map(id => s"view version-id $id already exists (concurrent commit)")
+            .orElse(addedIds.diff(addedIds.distinct).headOption
+              .map(id => s"view version-id $id added twice in one commit"))
+          uuidFail.orElse(dupFail) match {
             case Some(fail) => Left((409, "CommitFailedException", fail))
             case None =>
               var lastAdded = -1

@@ -155,11 +155,15 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
         return None
       // every conjunct must translate AND be exactly file-decidable —
       // file-level filtering is then equivalent to row-level, so no
-      // residual re-application is needed (no rows flow at all)
+      // residual re-application is needed (no rows flow at all).
+      // Formats whose folds refuse on undecidable entries themselves
+      // (decidesInFold) skip the per-filter consumable pass: planning a
+      // k-filter aggregate is then ONE metadata fold, not k+1 (r15 —
+      // past the distributed-fold threshold each pass was a cluster job)
       val v1 = filters.map(f =>
         org.apache.spark.sql.graftshim.ColumnExpr.toV1Filter(f)
           .getOrElse(return None))
-      if (!v1.forall(support.consumable)) return None
+      if (!support.decidesInFold && !v1.forall(support.consumable)) return None
       // every result expression: a group-column reference, a CONSTANT
       // (`'tag' AS src` riding along an aggregate select), or an Alias
       // over one plain aggregate call

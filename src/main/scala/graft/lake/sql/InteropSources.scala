@@ -119,6 +119,15 @@ trait InteropAggSupport {
     * columns) — a CHEAP static pre-check so the rule skips the
     * consumable fold entirely for unanswerable group keys. */
   def groupableCols: Set[String] = Set.empty
+  /** True when tryPush/tryPushGrouped themselves REFUSE (None) on any
+    * entry where a pushed filter is not exactly decidable — callers may
+    * then skip the per-filter [[consumable]] pre-pass. On the
+    * distributed-fold formats that turns planning one aggregate with k
+    * filters from k+1 cluster jobs over the same manifests into ONE
+    * (r15; r14 advice). The DSv2 builder path still uses
+    * [[consumable]] per filter — it must decide the consumed set before
+    * Spark offers the aggregate. */
+  def decidesInFold: Boolean = false
 }
 
 /** Receipt helper: planned data-file count of a frame's OPTIMIZED plan.
@@ -302,7 +311,7 @@ class GraftIcebergSource extends InteropReadProvider {
         // vended storage credentials (r14): the exists() probe touches
         // the table's storage, so per-bucket s3a conf lands here too
         graft.lake.iceberg.rest.IcebergRestCatalog.applyVendedStorage(
-          SparkSession.active, lr.metadata.location, lr)
+          SparkSession.active, lr.metadata.location, lr, cat.baseUri)
         lr.metadata.location
       case None => super.path(options)
     }
@@ -332,7 +341,7 @@ class GraftIcebergSource extends InteropReadProvider {
         // LoadTableResult — applied BEFORE any storage IO so metadata,
         // manifests, data reads and the writer's commits all ride it
         graft.lake.iceberg.rest.IcebergRestCatalog.applyVendedStorage(
-          spark, lr.metadata.location, lr)
+          spark, lr.metadata.location, lr, cat.baseUri)
         (lr.metadata.location,
           IcebergTable.load(spark, lr.metadataLocation),
           () => graft.lake.iceberg.IcebergWriter.openRest(spark, cat, ns, name))
@@ -456,7 +465,7 @@ class GraftIcebergSource extends InteropReadProvider {
   * contribution logic run as a driver loop on small tables and inside a
   * `treeAggregate` on large ones. Plain case classes: accumulators
   * cross task boundaries in the distributed folds. */
-private[sql] object MetaAggFold {
+private[lake] object MetaAggFold {
   sealed trait Cell extends Serializable
   final case class CCnt(n: Long) extends Cell
   /** `isMin` rides in the cell so merging needs no plan context. */
@@ -481,17 +490,48 @@ private[sql] object MetaAggFold {
   /** Sequence op of a grouped fold over entries of type E: a filtered-out
     * entry contributes nothing; otherwise its key and cells must both
     * resolve or the whole fold refuses (None). Shared by all three
-    * formats' tryPushGrouped — each passes its own extractors. */
+    * formats' tryPushGrouped — each passes its own extractors.
+    *
+    * A ZERO-ROW entry is identity too, BEFORE keying: committed empty
+    * data files (other engines legitimately write them) cannot affect
+    * any COUNT/MIN/MAX, but keying them would emit a `count(*)=0` /
+    * NULL-bounds row for a group a real GROUP BY scan never yields —
+    * an aggregate over zero rows produces zero groups, not one. The
+    * groupless path is unaffected (a single-row aggregate over empty
+    * input IS correct) and needs no such skip. */
   def groupedSeq[E](
-      passes: E => Boolean,
+      passes: E => Option[Boolean],
       keyOf: E => Option[List[String]],
-      cellsOf: E => Option[Seq[Cell]])
+      cellsOf: E => Option[Seq[Cell]],
+      rowsOf: E => Long)
       : (Option[GroupAcc], E) => Option[GroupAcc] = (acc, e) =>
     acc.flatMap { m =>
-      if (!passes(e)) Some(m)
-      else for { k <- keyOf(e); c <- cellsOf(e) } yield
-        m.updated(k, m.get(k).map(merge(_, c)).getOrElse(c))
+      passes(e) match {
+        // a pushed filter UNDECIDABLE for this entry refuses the whole
+        // fold — skipping would silently drop rows the filter may match
+        // (this poison is what lets callers skip a per-filter
+        // consumable() pre-pass; see InteropAggSupport.decidesInFold)
+        case None => None
+        case Some(false) => Some(m)
+        case Some(true) if rowsOf(e) == 0L => Some(m)
+        case Some(true) =>
+          for { k <- keyOf(e); c <- cellsOf(e) } yield
+            m.updated(k, m.get(k).map(merge(_, c)).getOrElse(c))
+      }
     }
+
+  /** Decidability-aware filter evaluation of one entry: None = some
+    * filter is not exactly decidable from this entry's metadata (refuse
+    * the fold); Some(b) = every filter decidable, b = all pass. */
+  def passesAll(filters: Seq[Filter], dfm: graft.lake.DataFileMeta,
+      sch: StructType): Option[Boolean] = {
+    var all = true
+    for (f <- filters) AggPushdown.eval(f, dfm, sch) match {
+      case None => return None
+      case Some(b) => all &= b
+    }
+    Some(all)
+  }
 
   /** Combine op: union of group maps, merging shared keys' cells. */
   def groupedComb: (Option[GroupAcc], Option[GroupAcc]) => Option[GroupAcc] =
@@ -563,6 +603,11 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
   }
 
   override def groupableCols: Set[String] = t.aggIdentityCols(snap)
+
+  // the folds below refuse on any undecidable (filter, entry) pair, so
+  // the optimizer rule skips the per-filter consumable() fold — ONE
+  // manifest pass per planned aggregate instead of k+1 (r15)
+  override def decidesInFold: Boolean = true
 
   override def consumable(f: Filter): Boolean = {
     val idCols = t.aggIdentityCols(snap)
@@ -652,9 +697,10 @@ final class IcebergInteropAgg(t: IcebergTable, snap: Long) extends InteropAggSup
     }
     val gCols = groupCols
     val seqF = groupedSeq[(graft.lake.DataFileMeta, IcebergAvro.ManifestEntry, IceSchema)](
-      e => filters.forall(f => AggPushdown.eval(f, e._1, struct).contains(true)),
+      e => passesAll(filters, e._1, struct),
       e => rawKey(e._1.partitionValues, gCols),
-      e => contribution(plans, Nil, struct, e))
+      e => contribution(plans, Nil, struct, e),
+      e => e._2.recordCount)
     val folded = t.foldAggEntries(snap)(
       Option(Map.empty: GroupAcc))(seqF, groupedComb)
     val groups = folded.flatten.getOrElse(return None)
@@ -683,15 +729,20 @@ object IcebergInteropAgg {
   }
 
   /** One file's contribution to every requested aggregate — None when
-    * the file cannot answer exactly; a file failing the pushed filters
-    * contributes the identity (it is not read, so it cannot refuse). */
+    * the file cannot answer exactly, INCLUDING any pushed filter not
+    * exactly decidable from its metadata (the decidesInFold contract);
+    * a file decidably failing the filters contributes the identity (it
+    * is not read, so it cannot refuse). */
   private[sql] def contribution(plans: Seq[IPlan], filters: Seq[Filter],
       struct: StructType,
       e: (graft.lake.DataFileMeta, IcebergAvro.ManifestEntry, IceSchema))
       : Option[Seq[Cell]] = {
     val (dfm, en, writeSchema) = e
-    if (!filters.forall(f => AggPushdown.eval(f, dfm, struct).contains(true)))
-      return Some(plans.map(identityCell))
+    MetaAggFold.passesAll(filters, dfm, struct) match {
+      case None => return None // undecidable: refuse, never skip
+      case Some(false) => return Some(plans.map(identityCell))
+      case Some(true) => ()
+    }
     val cells = plans.map {
       case ICountStar => CCnt(en.recordCount)
       case ICountCol(_, fieldId) =>
@@ -862,6 +913,10 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
 
   override def groupableCols: Set[String] = t.partitionColumnSet
 
+  // folds refuse on undecidable (filter, entry) pairs — see
+  // InteropAggSupport.decidesInFold (one log/checkpoint fold, not k+1)
+  override def decidesInFold: Boolean = true
+
   override def consumable(f: Filter): Boolean = {
     val sch = t.schema
     val partCols = t.partitionColumnSet
@@ -945,9 +1000,10 @@ final class DeltaInteropAgg(t: DeltaTable) extends InteropAggSupport {
     }
     val gCols = groupCols
     val seqF = groupedSeq[(graft.lake.DataFileMeta, Long, Map[String, Long])](
-      e => filters.forall(f => AggPushdown.eval(f, e._1, sch).contains(true)),
+      e => passesAll(filters, e._1, sch),
       e => rawKey(e._1.partitionValues, gCols),
-      e => contribution(plans, Nil, sch, e))
+      e => contribution(plans, Nil, sch, e),
+      e => e._2)
     val folded = t.foldAggEntries(Option(Map.empty: GroupAcc))(seqF, groupedComb)
     val groups = folded.flatten.getOrElse(return None)
     toGroupedResult(plans.map {
@@ -981,8 +1037,11 @@ object DeltaInteropAgg {
       sch: StructType,
       e: (graft.lake.DataFileMeta, Long, Map[String, Long])): Option[Seq[Cell]] = {
     val (dfm, rows, nulls) = e
-    if (!filters.forall(f => AggPushdown.eval(f, dfm, sch).contains(true)))
-      return Some(plans.map(identityCell))
+    MetaAggFold.passesAll(filters, dfm, sch) match {
+      case None => return None // undecidable: refuse, never skip
+      case Some(false) => return Some(plans.map(identityCell))
+      case Some(true) => ()
+    }
     val cells = plans.map {
       case PCountStar => CCnt(rows)
       case PCountCol(name, isPart) =>
@@ -1046,6 +1105,10 @@ final class HudiInteropAgg(t: HudiTable, refuseOnLogs: Boolean)
   import MetaAggFold._
 
   override def groupableCols: Set[String] = t.partitionColumns.toSet
+
+  // folds refuse on undecidable (filter, slice) pairs — see
+  // InteropAggSupport.decidesInFold (one timeline fold, not k+1)
+  override def decidesInFold: Boolean = true
 
   override def consumable(f: Filter): Boolean = {
     val partCols = t.partitionColumns.toSet
@@ -1134,9 +1197,10 @@ final class HudiInteropAgg(t: HudiTable, refuseOnLogs: Boolean)
     }
     val gCols = groupCols
     val seqF = groupedSeq[(graft.lake.DataFileMeta, Long)](
-      e => filters.forall(f => AggPushdown.eval(f, e._1, sch).contains(true)),
+      e => passesAll(filters, e._1, sch),
       e => rawKey(e._1.partitionValues, gCols),
-      e => contribution(plans, Nil, sch, e))
+      e => contribution(plans, Nil, sch, e),
+      e => e._2)
     val groups = t.foldAggSlices(Option(Map.empty: GroupAcc), refuseOnLogs)(
       (acc, e) => seqF(acc, e)).flatten.getOrElse(return None)
     toGroupedResult(plans.map {
@@ -1167,8 +1231,11 @@ object HudiInteropAgg {
       sch: StructType,
       e: (graft.lake.DataFileMeta, Long)): Option[Seq[Cell]] = {
     val (dfm, rows) = e
-    if (!filters.forall(f => AggPushdown.eval(f, dfm, sch).contains(true)))
-      return Some(plans.map(identityCell))
+    MetaAggFold.passesAll(filters, dfm, sch) match {
+      case None => return None // undecidable: refuse, never skip
+      case Some(false) => return Some(plans.map(identityCell))
+      case Some(true) => ()
+    }
     val cells = plans.map {
       case HCountStar => CCnt(rows)
       case HCountCol(name) => dfm.partitionValues.get(name) match {

@@ -496,10 +496,46 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(spark.sql(lr2.sql()).collect().length ==
         o.select("o_orderpriority").distinct().count())
 
+      // RACE arbitration (r15): two replacers from one base compute the
+      // same next version-id; assert-view-uuid cannot arbitrate (the
+      // uuid never changes across commits), so the SERVER rejects the
+      // duplicate version-id with 409 — exactly one winner, loser
+      // re-reads. Simulated deterministically with two raw commits
+      // built from one loaded base.
+      {
+        val cur = cat.loadView(Seq("ns"), "orders_by_status")
+        val nextId = cur.versions.map(_.versionId).max + 1
+        def body(sqlTxt: String) =
+          s"""{"requirements":[{"type":"assert-view-uuid","uuid":"${cur.uuid}"}],
+              "updates":[
+                {"action":"add-view-version","view-version":{
+                  "version-id":$nextId,"schema-id":0,
+                  "summary":{"engine-name":"graft"},
+                  "representations":[{"type":"sql","sql":"$sqlTxt","dialect":"spark"}],
+                  "default-namespace":["ns"]}},
+                {"action":"set-current-view-version","view-version-id":-1}]}"""
+        val raw = java.net.http.HttpClient.newHttpClient()
+        def post(b: String) = raw.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"${server.uri}/v1/namespaces/ns/views/orders_by_status"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val r1 = post(body("SELECT 11 AS a"))
+        val r2 = post(body("SELECT 22 AS a"))
+        assert(r1.statusCode() == 200, s"first racer must win: ${r1.body()}")
+        assert(r2.statusCode() == 409,
+          s"duplicate version-id must 409, got ${r2.statusCode()}: ${r2.body()}")
+        val after = cat.loadView(Seq("ns"), "orders_by_status")
+        assert(after.versions.map(_.versionId) == Seq(1, 2, nextId),
+          "exactly one racer may append (no duplicate version-ids)")
+        assert(after.sql() == "SELECT 11 AS a")
+      }
+
       // rename is a pointer move; the old name 404s, history survives
       cat.renameView(Seq("ns"), "orders_by_status", Seq("ns"), "obs2")
       assert(!cat.viewExists(Seq("ns"), "orders_by_status"))
-      assert(cat.loadView(Seq("ns"), "obs2").versions.length == 2)
+      assert(cat.loadView(Seq("ns"), "obs2").versions.length == 3)
       intercept[NoSuchElementException] {
         cat.loadView(Seq("ns"), "orders_by_status")
       }
@@ -556,6 +592,25 @@ class IcebergRestSpec extends AnyFunSuite {
         .contains("TemporaryAWSCredentialsProvider"))
       assert(hc.get("fs.s3a.bucket.vend-bucket.endpoint") == "http://minio.local:9000")
       assert(hc.get("fs.s3a.bucket.vend-bucket.path.style.access") == "true")
+
+      // a DIFFERENT catalog re-vending the same bucket would clobber
+      // these credentials last-writer-wins — refuse loudly (r15); the
+      // same owner re-vending (token rotation) stays quiet
+      intercept[IllegalStateException] {
+        IcebergRestCatalog.applyVendedStorage(spark,
+          "s3a://vend-bucket/wh/other",
+          lr.copy(storageCredentials = Seq("s3a://vend-bucket/wh" -> cfg)),
+          owner = "https://other-catalog")
+      }
+      IcebergRestCatalog.applyVendedStorage(spark,
+        "s3a://vend-bucket/wh/ns/vended", synthetic)
+      // s3:// locations cannot ride fs.s3a.bucket.* keys — the default
+      // Hadoop filesystems for that scheme never read them, so applying
+      // the vend would silently configure nothing: loud reject (r15)
+      intercept[IllegalArgumentException] {
+        IcebergRestCatalog.applyVendedStorage(spark, "s3://vend-b2/wh",
+          lr.copy(storageCredentials = Seq("s3://vend-b2/wh" -> cfg)))
+      }
 
       // file:/ locations ignore the vend (nothing to configure) — the
       // REST resolution over this local warehouse must keep working

@@ -952,4 +952,62 @@ class InteropSqlSpec extends AnyFunSuite {
         o.filter(col("o_orderpriority") =!= "1-URGENT").count())
     } finally spark.conf.unset("spark.graft.iceberg.aggFoldThresholdBytes")
   }
+
+  test("zero-row data files do not fabricate grouped metadata groups (r15)") {
+    // other engines legitimately commit empty data files; a grouped
+    // metadata aggregate must not emit count(*)=0 rows for their
+    // partitions — a real GROUP BY scan yields zero groups over zero
+    // rows. (r14 advice, medium.)
+    val o = orders
+    val dLoc = freshDir("grp-zero-delta")
+    DeltaWriter.create(spark, dLoc, o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(o)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dLoc).getFileSystem(conf)
+    // hand-commit an EMPTY parquet file under a partition NO real row has
+    val tmp = freshDir("grp-zero-tmp")
+    o.filter(lit(false)).drop("o_orderstatus").coalesce(1)
+      .write.parquet(tmp)
+    val part = fs.listStatus(new Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val rel = s"o_orderstatus=Z/${part.getName}"
+    fs.mkdirs(new Path(dLoc, "o_orderstatus=Z"))
+    fs.rename(part, new Path(dLoc, rel))
+    val size = fs.getFileStatus(new Path(dLoc, rel)).getLen
+    val logDir = new Path(dLoc, "_delta_log")
+    val nextV = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).max + 1
+    val add = s"""{"add":{"path":"$rel","partitionValues":{"o_orderstatus":"Z"},""" +
+      s""""size":$size,"modificationTime":0,"dataChange":true,""" +
+      s""""stats":"{\\"numRecords\\":0,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+    val out = fs.create(new Path(logDir, f"$nextV%020d.json"))
+    out.write((add + "\n").getBytes("UTF-8")); out.close()
+
+    val truth = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n
+          FROM `graft-delta`.`$dLoc` GROUP BY o_orderstatus""")
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "grouped aggregate must still collapse to metadata rows")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("Z"),
+      s"zero-row file fabricated a group a real scan never yields: $got")
+    assert(got == truth, "grouped counts drifted around the zero-row skip")
+    // groupless stays correct too: a filter selecting ONLY the empty
+    // partition answers count(*)=0 (one row — correct for groupless)
+    val zq = spark.sql(
+      s"SELECT count(*) AS n FROM `graft-delta`.`$dLoc` WHERE o_orderstatus = 'Z'")
+    assert(zq.head().getLong(0) == 0L)
+    // and the shared algebra skips zero-row entries for ALL formats:
+    // a unit probe through groupedSeq directly
+    import graft.lake.sql.MetaAggFold
+    val seqF = MetaAggFold.groupedSeq[(String, Long)](
+      _ => Some(true), e => Some(List(e._1)),
+      _ => Some(Seq(MetaAggFold.CCnt(1L))), _._2)
+    val acc = Seq(("a", 5L), ("b", 0L), ("a", 3L))
+      .foldLeft(Option(Map.empty: MetaAggFold.GroupAcc))(seqF)
+    assert(acc.get.keySet == Set(List("a")),
+      "zero-row entries must be identity in the grouped fold")
+  }
 }
