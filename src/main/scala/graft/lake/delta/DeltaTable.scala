@@ -389,10 +389,40 @@ final class DeltaTable private (
     // holds from the log. Under column mapping the read is by PHYSICAL
     // name (and field id in id mode); the projection renames back to
     // logical.
+    //
+    // VERIFIED HIVE-LAYOUT READ (r15): when every live file sits at
+    // `<root>/p1=v1/…/file` with the unescaped dir strings EQUAL to the
+    // log's partitionValues strings, Spark's partition-dir cast and the
+    // injection's pv-string cast provably agree — so the scan becomes a
+    // genuine hive-partitioned relation and dynamic partition pruning
+    // applies (type-independent: the criterion is string equality of
+    // the two cast inputs). Column mapping renames dirs to physical
+    // names — out of scope, falls back. Any anomaly falls back to the
+    // authoritative injection.
     val logicalDataCols = meta.schema.fieldNames
       .filterNot(meta.partitionColumns.contains)
+    val livePaths = live.map(f => DeltaTable.resolve(location, f.path).toString)
+    val hiveBase: Option[String] =
+      if (meta.partitionColumns.isEmpty || meta.columnMappingMode != "none" ||
+          !graft.lake.HivePartitionedRead.enabled(spark)) None
+      else graft.lake.HivePartitionedRead.verifiedBase(
+        livePaths.toIndexedSeq, meta.partitionColumns,
+        i => meta.partitionColumns.map(c => live(i).partitionValues.get(c).orNull))
+    val hiveOut: Option[DataFrame] = hiveBase.flatMap { base =>
+      try {
+        val partFields = meta.partitionColumns.map(c =>
+          StructField(c, meta.schema(c).dataType))
+        var hdf = graft.lake.HivePartitionedRead.read(spark, "parquet",
+          base, dataSchema, partFields, livePaths)
+        keepRow.foreach(k => hdf = hdf.filter(k))
+        // mode is "none": physical == logical for data columns too
+        Some(hdf.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*))
+      } catch { case _: Throwable => None }
+    }
+    if (hiveOut.isDefined)
+      return filter.map(hiveOut.get.filter).getOrElse(hiveOut.get)
     var df = spark.read.schema(dataSchema)
-      .parquet(live.map(f => DeltaTable.resolve(location, f.path).toString): _*)
+      .parquet(livePaths: _*)
     keepRow.foreach(k => df = df.filter(k))
     val out =
       if (meta.partitionColumns.isEmpty) {

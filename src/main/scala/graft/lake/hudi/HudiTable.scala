@@ -70,7 +70,16 @@ final class HudiTable private (
       * table is self-describing — no schema registry). Exposed so
       * zero-data-IO receipts can account for the single O(1) footer
       * read a reload performs. */
-    val schemaProbePath: String) {
+    val schemaProbePath: String,
+    /** hoodie.datasource.write.hive_style_partitioning from
+      * hoodie.properties: the writer DECLARED `k=v` partition dirs —
+      * the precondition for serving partition columns from the path
+      * (see [[scanInternal]]'s hive-layout read). */
+    private[hudi] val hiveStylePartitioning: Boolean = false,
+    /** hoodie.table.keygenerator.class when recorded: partition paths
+      * are the keygen's rendering of the partition fields, so only the
+      * identity-rendering generators are path-extraction safe. */
+    private[hudi] val keygenClass: Option[String] = None) {
 
   def partitionColumns: Seq[String] = partitionFields
 
@@ -217,7 +226,7 @@ final class HudiTable private (
     val live = slices.filter(s => keep(s.path))
     if (live.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val out = spark.read.schema(schema)
+    val out = baseReader(live, schema)
       .parquet(live.map(s => new Path(location, s.path).toString): _*)
     filter.map(out.filter).getOrElse(out)
   }
@@ -264,6 +273,43 @@ final class HudiTable private (
     filter.map(out.filter).getOrElse(out)
   }
 
+  /** Verified hive-layout base for `live` slices (r15): the writer
+    * DECLARED hive-style partitioning (hoodie.properties), the keygen —
+    * when recorded — renders partition fields identically (the
+    * Simple/Complex generators; a timestamp-based keygen formats, so
+    * the path is NOT the field value), every slice path is
+    * `f1=v1/…/file`, and every dir value is in CANONICAL form for its
+    * column type (parse + re-render reproduces it exactly, which
+    * guarantees the dir-parsed value equals the in-file value the
+    * keygen derived the path from). The scan then reads with `basePath`
+    * so Spark serves the partition columns from directory discovery —
+    * a genuine partitioned relation: static AND dynamic partition
+    * pruning apply, and the columns stop being read from every file.
+    * Any anomaly falls back to the plain read (in-file values
+    * authoritative) — a missed optimization, never a wrong value. */
+  private def hiveBaseFor(live: Seq[HudiTable.Slice]): Option[String] = {
+    if (partitionFields.isEmpty || !hiveStylePartitioning ||
+        !graft.lake.HivePartitionedRead.enabled(spark)) return None
+    val safeGens = Set("SimpleKeyGenerator", "ComplexKeyGenerator",
+      "SimpleAvroKeyGenerator", "ComplexAvroKeyGenerator",
+      "NonpartitionedKeyGenerator")
+    if (keygenClass.exists(k => !safeGens.contains(k.split('.').last)))
+      return None
+    val partFields = partitionFields.map(f =>
+      schema.fields.find(_.name == f).getOrElse(return None))
+    graft.lake.HivePartitionedRead.verifiedBaseCanonical(
+      live.map(s => new Path(location, s.path).toString).toIndexedSeq,
+      partFields)
+  }
+
+  /** The reader for `live` base files: plain parquet, or hive-discovery
+    * (basePath) when [[hiveBaseFor]] verifies the layout. */
+  private def baseReader(live: Seq[HudiTable.Slice],
+      readSchema: StructType): org.apache.spark.sql.DataFrameReader = {
+    val rdr = spark.read.schema(readSchema)
+    hiveBaseFor(live).map(rdr.option("basePath", _)).getOrElse(rdr)
+  }
+
   private def scanInternal(filter: Option[Column],
       withCommitTime: Boolean): DataFrame = {
     val keep = planFiles(filter).toSet
@@ -279,8 +325,9 @@ final class HudiTable private (
         spark.sparkContext.emptyRDD[Row], outSchema)
     val out =
       if (!live.exists(_.logs.nonEmpty)) {
-        // no deltas: plain distributed parquet scan (COW fast path)
-        spark.read.schema(if (withCommitTime) fullSchema else outSchema)
+        // no deltas: distributed parquet scan (COW fast path); verified
+        // hive layouts read partition columns from dirs (DPP-capable)
+        baseReader(live, if (withCommitTime) fullSchema else outSchema)
           .parquet(live.map(s => new Path(location, s.path).toString): _*)
           .select(outCols.map(col).toIndexedSeq: _*)
       } else mergedScan(live, outCols)
@@ -584,6 +631,9 @@ object HudiTable {
     val schema = StructType(full.fields.filterNot(f => MetaColumns.contains(f.name)))
 
     new HudiTable(spark, location, schema, partitionFields, slices,
-      maxSeenFileSeq, sample.toString)
+      maxSeenFileSeq, sample.toString,
+      hiveStylePartitioning = props.getProperty(
+        "hoodie.datasource.write.hive_style_partitioning", "false") == "true",
+      keygenClass = Option(props.getProperty("hoodie.table.keygenerator.class")))
   }
 }

@@ -739,6 +739,17 @@ final class IcebergTable private (
           .filter { case (_, sf) => injectable.contains(sf.dataType) }
       val readPhys = StructType(phys.fields.filterNot(f =>
         idFields.exists(_._2.name == f.name)))
+
+      // VERIFIED HIVE-LAYOUT READ (r15): when this group's files sit in
+      // `name=value` dirs whose parsed values provably equal the
+      // manifest partition tuple (render-equality, driver-side, no IO),
+      // the scan becomes a genuine hive-partitioned relation — Spark
+      // owns the partition columns, so static AND dynamic partition
+      // pruning apply to interop estates like they do to graft-native
+      // tables. Eligibility requires the spec to be ALL-identity with
+      // dir names equal to source column names (a bucket/day dir would
+      // surface as a stray discovered column); any mismatch falls back
+      // to the authoritative FileConstant injection below.
       val eqApplying = p.eqDeletes.filter(d => eqSeqs.drop(eqIdx).contains(d.seq))
       val posApplying = p.posDeletes.filter(d => posSeqs.drop(posIdx).contains(d.seq))
       // DVs applicable to this group's files: per-file, pos-delete seq
@@ -752,7 +763,44 @@ final class IcebergTable private (
       }.toSet
       val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty
 
+      val spec = meta.spec(specId)
+      // writer-chosen dir names ride along (real engines write
+      // `<fieldName>=v`; graft's own writer names dirs internally) —
+      // the read discovers them and a projection renames to the source
+      // columns. A dir name colliding with a DATA column would shadow
+      // it in discovery: refuse.
+      val hiveRead: Option[(DataFrame, Seq[(String, String)])] =
+        if (idFields.isEmpty || fileFmt == "AVRO" ||
+            (fileFmt == "ORC" && needMeta) ||
+            !graft.lake.HivePartitionedRead.enabled(spark) ||
+            spec.fields.exists(_.transform != "identity") ||
+            spec.fields.length != idFields.length) None
+        else try {
+          val paths = files.map(_.entry.filePath).toIndexedSeq
+          graft.lake.HivePartitionedRead.verifiedBaseNamed(
+            paths, idFields.length,
+            i => idFields.map { case (pf, sf) =>
+              IcebergTable.externalPartitionValue(
+                files(i).entry.partition.getOrElse(pf.name, null),
+                sf.dataType, pf.name) }).flatMap { case (base, dirNames) =>
+            val renames = dirNames.zip(idFields.map(_._2.name))
+            val taken = readPhys.fieldNames.toSet
+            if (renames.exists { case (d, t) => d != t && (taken(d) ||
+                idFields.exists(_._2.name == d)) }) None
+            else {
+              val partFields = dirNames.zip(idFields).map { case (d, (_, sf)) =>
+                org.apache.spark.sql.types.StructField(d, sf.dataType) }
+              var hdf = graft.lake.HivePartitionedRead.read(spark,
+                if (fileFmt == "ORC") "orc" else "parquet", base, readPhys,
+                partFields, files.map(_.entry.filePath))
+              Some((hdf, renames))
+            }
+          }
+        } catch { case _: Throwable => None }
+      val hiveDf: Option[DataFrame] = hiveRead.map(_._1)
+
       var df = fileFmt match {
+        case _ if hiveDf.isDefined => hiveDf.get
         case "PARQUET" => spark.read.schema(readPhys)
           .parquet(files.map(_.entry.filePath): _*)
         case "ORC" =>
@@ -788,7 +836,14 @@ final class IcebergTable private (
         else df
           .withColumn(PosFileCol, normPath(col("_metadata.file_path")))
           .withColumn(PosIdxCol, col("_metadata.row_index"))
-      if (idFields.nonEmpty) {
+      // hive-layout read: discovered partition columns carry the
+      // writer's dir names — rename to the source columns (an alias
+      // projection; partition-pruning lineage traces through it)
+      hiveRead.foreach { case (_, renames) =>
+        renames.foreach { case (d, t) =>
+          if (d != t) df = df.withColumnRenamed(d, t) }
+      }
+      if (idFields.nonEmpty && hiveDf.isEmpty) {
         // a PROJECTION, not a join: per-file constants via a memoized
         // codegen expression over the file path (the broadcast-join
         // variant paid a fixed BroadcastExchange latency per group,

@@ -1551,6 +1551,59 @@ object Lake {
     out
   }
 
+  /** DYNAMIC PARTITION PRUNING over the interop triangle (r15): the
+    * verified hive-layout read ([[graft.lake.HivePartitionedRead]])
+    * makes the substituted native plans genuine hive-partitioned
+    * relations, so Spark's PartitionPruning inserts a runtime IN-filter
+    * on the fact side of a selective dim⋈fact join — fact partitions
+    * the dim rows do not name are never scanned. The entry REQUIRES the
+    * `dynamicpruningexpression` receipt in all three executed plans
+    * (the graft-native posture of DppSpec extended to the connectors)
+    * and returns the joined counts for the oracle. At 100 TB this is
+    * the difference between scanning every fact partition and only the
+    * ones the dim names — reference: the scan planner's pruning posture
+    * (pg_lakehouse_iceberg scan_ops.c:60-120) lifted to runtime. */
+  def lakeInteropDpp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+
+    // the dim must be a FILE source: a LocalRelation dim constant-folds
+    // its filter away and Spark sees nothing to prune with
+    val dimLoc = work(s, "interop_dpp_dim", d)
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimLoc)
+    s.read.parquet(dimLoc).createOrReplaceTempView("graft_interop_dpp_dim")
+
+    val iLoc = work(s, "interop_dpp_ice", d)
+    graft.lake.iceberg.IcebergWriter.create(s, iLoc, o.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(o)
+    val dLoc = work(s, "interop_dpp_delta", d)
+    graft.lake.delta.DeltaWriter.create(s, dLoc, o.schema,
+      partitionColumns = Seq("o_orderstatus")).append(o)
+    val hLoc = work(s, "interop_dpp_hudi", d)
+    graft.lake.hudi.HudiWriter.create(s, hLoc, o.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+      .insert(o)
+
+    def q(fmt: String, loc: String, src: String): DataFrame = {
+      val df = s.sql(
+        s"""SELECT '$src' AS src, d.label AS label, count(*) AS n
+            FROM `$fmt`.`$loc` f
+            JOIN graft_interop_dpp_dim d ON f.o_orderstatus = d.status
+            WHERE d.label = 'finished'
+            GROUP BY d.label""")
+      require(df.queryExecution.executedPlan.toString
+          .contains("dynamicpruningexpression"),
+        s"$fmt: expected runtime partition pruning in the fact scan:\n" +
+          df.queryExecution.executedPlan.toString)
+      df
+    }
+    q("graft-iceberg", iLoc, "iceberg")
+      .unionByName(q("graft-delta", dLoc, "delta"))
+      .unionByName(q("graft-hudi", hLoc, "hudi"))
+      .orderBy("src")
+  }
+
   def lakeDeltaVariant(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
     val loc = work(s, "delta_variant", d)
@@ -1571,6 +1624,7 @@ object Lake {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_interop_dpp" -> (lakeInteropDpp _),
     "lake_interop_agg_grouped" -> (lakeInteropAggGrouped _),
     "lake_delta_variant" -> (lakeDeltaVariant _),
     "lake_iceberg_rest" -> (lakeIcebergRest _),
@@ -1625,6 +1679,17 @@ object Lake {
     * must reproduce them exactly. snapshots/files metadata tables have no
     * SQL equivalent → rows-only. */
   val oracles: Map[String, String] = Map(
+    "lake_interop_dpp" ->
+      """SELECT * FROM (
+           SELECT 'delta' AS src, 'finished' AS label, count(*) AS n
+           FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT 'hudi', 'finished', count(*)
+           FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT 'iceberg', 'finished', count(*)
+           FROM orders WHERE o_orderstatus = 'F'
+         ) ORDER BY src""",
     "lake_interop_agg_grouped" ->
       """SELECT * FROM (
            SELECT o_orderstatus, count(*) AS n,

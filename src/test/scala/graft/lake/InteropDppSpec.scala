@@ -1,0 +1,158 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.lake.delta.DeltaWriter
+import graft.lake.hudi.HudiWriter
+import graft.lake.iceberg.IcebergWriter
+
+/** DYNAMIC PARTITION PRUNING on the interop connectors (r15): the
+  * verified hive-layout read ([[HivePartitionedRead]]) makes the
+  * substituted native plans genuine hive-partitioned relations, so
+  * Spark's own PartitionPruning rule inserts a runtime IN-filter on the
+  * fact side of a selective dim⋈fact join — fact partitions the dim
+  * rows do not name are never scanned. Graft-native tables have had
+  * this since the substitution landed (DppSpec); this spec pins the
+  * same capability for graft-iceberg / graft-delta / graft-hudi, plus
+  * the fall-back soundness arm (layout anomalies keep the authoritative
+  * injection path and stay correct). */
+class InteropDppSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"/root/repo/target/graft-interop-dpp-test/$name"
+    val p = new Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  private lazy val orders = Tables.orders(spark, sf)
+
+  /** The dim must be a FILE source: a LocalRelation dim constant-folds
+    * its filter away and Spark sees nothing to prune with. */
+  private lazy val dimView: String = {
+    val dimPath = freshDir("dim")
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("interop_dpp_dim")
+    "interop_dpp_dim"
+  }
+
+  private def assertDpp(fmt: String, loc: String): Unit = {
+    val q = spark.sql(
+      s"""SELECT d.label, count(*) AS n
+          FROM `$fmt`.`$loc` f JOIN $dimView d ON f.o_orderstatus = d.status
+          WHERE d.label = 'finished'
+          GROUP BY d.label""")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruningexpression"),
+      s"$fmt: expected runtime partition pruning in:\n$physical")
+    val rows = q.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "finished")
+    assert(rows(0).getLong(1) ==
+      orders.filter(col("o_orderstatus") === "F").count(), s"$fmt count")
+  }
+
+  test("selective dim filter dynamically prunes iceberg fact partitions") {
+    val loc = freshDir("ice")
+    IcebergWriter.create(spark, loc, orders.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(orders)
+    assertDpp("graft-iceberg", loc)
+  }
+
+  test("selective dim filter dynamically prunes delta fact partitions") {
+    val loc = freshDir("delta")
+    DeltaWriter.create(spark, loc, orders.schema,
+      partitionColumns = Seq("o_orderstatus")).append(orders)
+    assertDpp("graft-delta", loc)
+  }
+
+  test("selective dim filter dynamically prunes hudi fact partitions") {
+    val loc = freshDir("hudi")
+    HudiWriter.create(spark, loc, orders.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+      .insert(orders)
+    assertDpp("graft-hudi", loc)
+  }
+
+  test("hive-layout read serves the EXACT metadata partition values") {
+    // rows and partition values must be identical between the hive
+    // read and the injection path (the soundness equivalence)
+    val loc = freshDir("ice-eq")
+    IcebergWriter.create(spark, loc, orders.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(orders)
+    def all() = spark.read.format("graft-iceberg").load(loc)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hive = all()
+    spark.conf.set("spark.graft.interop.hivePartitionedRead.enabled", "false")
+    val injected = try all()
+    finally spark.conf.unset("spark.graft.interop.hivePartitionedRead.enabled")
+    assert(hive == injected, "hive-layout read drifted from injection")
+    assert(hive == orders.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("layout anomalies fall back to injection and stay correct") {
+    // a file moved OUT of its hive dir (manifest values stay
+    // authoritative): verifiedBase must refuse, the scan must keep the
+    // injected constants, and results must not change
+    val loc = freshDir("ice-anomaly")
+    IcebergWriter.create(spark, loc, orders.schema,
+      partition = Seq("o_orderstatus" -> "identity")).append(orders)
+    val t = graft.lake.iceberg.IcebergTable.load(spark, loc)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(loc).getFileSystem(conf)
+    // relocate one data file to a non-hive dir and rewrite NOTHING else:
+    // iceberg manifests address files by absolute path, so rewriting the
+    // manifest is what a real mover would do — simulate by pointing a
+    // fresh table at a flat COPY of the files via add_files-style
+    // adoption is heavy; instead assert the DRIVER-side eligibility
+    // refusals directly on the helper (unit arms), and the type-level
+    // refusal end-to-end below
+    import graft.lake.{HivePartitionedRead => H}
+    assert(H.splitLayout("/w/t/data/k=1/f.parquet", Seq("k")) ==
+      Some(("/w/t/data", Seq("1"))))
+    assert(H.splitLayout("/w/t/data/f.parquet", Seq("k")).isEmpty)
+    assert(H.splitLayout("/w/t/data/j=1/f.parquet", Seq("k")).isEmpty)
+    assert(H.splitLayout("/w/t/data/k=/f.parquet", Seq("k")).isEmpty)
+    // mismatched value vs authority refuses
+    assert(H.verifiedBase(IndexedSeq("/b/k=2/f.parquet"), Seq("k"),
+      _ => Seq(Int.box(1))).isEmpty)
+    // differing bases refuse
+    assert(H.verifiedBase(
+      IndexedSeq("/b1/k=1/f.parquet", "/b2/k=1/g.parquet"), Seq("k"),
+      _ => Seq(Int.box(1))).isEmpty)
+    // canonical-form refusals (hudi arm): zero-padded, non-bool, default
+    import org.apache.spark.sql.types._
+    assert(!H.canonicalFor("007", IntegerType))
+    assert(H.canonicalFor("7", IntegerType))
+    assert(!H.canonicalFor("default", StringType))
+    assert(H.canonicalFor("__HIVE_DEFAULT_PARTITION__", IntegerType))
+    assert(!H.canonicalFor("2020-1-5", DateType))
+    assert(H.canonicalFor("2020-01-05", DateType))
+    // escaped values round-trip: '=' and '/' are %-escaped in dirs
+    assert(H.unescape("a%3Db%2Fc") == "a=b/c")
+    assert(H.matchesAuthoritative("a%3Db%2Fc", "a=b/c"))
+
+    // END-TO-END refusal: a NON-IDENTITY transform in the spec (bucket
+    // dirs hold derived hashes, not column values) is never
+    // dir-eligible — the scan falls back to reading the source column
+    // from the files and stays exact
+    val evLoc = freshDir("ice-bucket")
+    val ev = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IcebergWriter.create(spark, evLoc, ev.schema,
+      partition = Seq("o_orderkey" -> "bucket[4]")).append(ev)
+    val got = spark.read.format("graft-iceberg").load(evLoc)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = ev.groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, "non-identity transform fallback drifted")
+  }
+}

@@ -115,13 +115,23 @@ class MigrateSpec extends AnyFunSuite {
         .orderBy("o_orderkey").collect().toSeq)
     assert(t.scan().filter(col("o_orderstatus").isNull).count() == 0,
       "injected partition values must never be null")
-    // the constants are a PROJECTION (memoized file_constant expression),
-    // never a join — a plain scan must carry no join and no exchange
+    // partition values never add a join or exchange. Since r15 the
+    // verified hive layout serves them through partition DISCOVERY (a
+    // genuine partitioned relation — DPP-capable, see InteropDppSpec);
+    // with the hive read disabled the memoized file_constant projection
+    // is the pinned fallback.
     val scanPlan = t.scan().queryExecution.executedPlan.toString
     assert(!scanPlan.contains("Join") && !scanPlan.contains("Exchange"),
       s"identity constants must not add a join/exchange:\n$scanPlan")
-    assert(scanPlan.contains("file_constant"),
-      s"constants must come from the file_constant expression:\n$scanPlan")
+    assert(!scanPlan.contains("file_constant"),
+      s"verified hive layout must use partition discovery, not injection:\n$scanPlan")
+    spark.conf.set("spark.graft.interop.hivePartitionedRead.enabled", "false")
+    try {
+      val injected = t.scan()
+      assert(injected.queryExecution.executedPlan.toString.contains("file_constant"),
+        "fallback path must keep the file_constant injection")
+      assert(injected.filter(col("o_orderstatus").isNull).count() == 0)
+    } finally spark.conf.unset("spark.graft.interop.hivePartitionedRead.enabled")
     // partition pruning + footer-bound skipping from snapshot 1
     assert(t.planFiles(Some(col("o_orderstatus") === "F")).size <
       t.planFiles().size, "partition pruning")
