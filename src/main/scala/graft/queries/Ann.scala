@@ -94,11 +94,62 @@ object Ann {
     topK(cands)
   }
 
+  /** Broadcast ceiling for the IVF coarse assignment, in CENTROIDS
+    * (√10⁹ ≈ 32 K centroids × 64 dims × 8 B ≈ 16 MB broadcasts fine;
+    * the default caps the broadcast at ~32 MB for 64-dim vectors).
+    * Past it, [[ivfAssign]] blocks the centroid set. */
+  private[graft] val IvfBroadcastCeiling = 65536L
+
+  /** Coarse assignment (every vector → its nearest centroid), EXACT at
+    * any centroid-set size (r15; closes the r14 verdict's "two-level
+    * quantizer as prose" item — Ann.scala's old comment promised a
+    * nearest-super-cell router, but that is APPROXIMATE: a vector's
+    * true nearest centroid can live outside its nearest super-cell, so
+    * it could never carry the repo's equality receipts. Argmax is
+    * associative under a total order instead, and that gives an exact
+    * scale path):
+    *
+    *  - at or under `maxBroadcast` centroids: ONE broadcast join +
+    *    partial-agg'd max_by — the original single-level shape;
+    *  - past it: the centroid set splits into ⌈n_c / ceiling⌉ BLOCKS,
+    *    each block broadcast-joined for a per-vector block winner
+    *    (same (sim, −c_id) order), then one global argmax over the
+    *    ≤ blocks winners per vector. Identical results to the
+    *    single-level assignment BY CONSTRUCTION (the global argmax of
+    *    per-block argmaxes is the argmax, tie-break included) — the
+    *    spec pins equality on a forced-low ceiling. Per-executor
+    *    broadcast memory stays under the ceiling; total dot-product
+    *    work is unchanged (every centroid is still compared once);
+    *    the corpus scans once per block, each pass map-side. */
+  private[graft] def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      estCentroids: Long, maxBroadcast: Long = IvfBroadcastCeiling): DataFrame = {
+    if (estCentroids <= maxBroadcast)
+      corpus.join(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(first(col("u")).as("u"),
+          max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
+    else {
+      val blocks = math.ceil(estCentroids.toDouble / maxBroadcast).toInt
+      val winners = (0 until blocks).map { b =>
+        val blk = centroids.filter(pmod(col("c_id"), lit(blocks.toLong)) === b.toLong)
+        corpus.join(broadcast(blk))
+          .groupBy(col("vec_id"))
+          .agg(first(col("u")).as("u"),
+            max_by(struct(dot(col("u"), col("cu")).as("sim"), col("c_id").as("c_id")),
+              struct(dot(col("u"), col("cu")), -col("c_id"))).as("w"))
+      }.reduce(_ unionAll _)
+      winners.groupBy(col("vec_id"))
+        .agg(first(col("u")).as("u"),
+          max_by(col("w.c_id"), struct(col("w.sim"), -col("w.c_id"))).as("c_id"))
+    }
+  }
+
   /** IVF ANN (coarse-quantizer inverted file, à la FAISS IVF-Flat): a
     * deterministic ~√n sample of the corpus acts as coarse centroids; each
-    * corpus vector is assigned to its nearest centroid (one map-side pass
-    * against the broadcast centroid set + a single corpus shuffle to
-    * build the inverted lists — at production scale that assignment is
+    * corpus vector is assigned to its nearest centroid ([[ivfAssign]] —
+    * one map-side pass against the broadcast centroid set under the
+    * ceiling, exact blocked argmax past it; a single corpus shuffle
+    * builds the inverted lists — at production scale that assignment is
     * written once as a bucketed table and amortized over every query
     * batch); each query probes its `nprobe` nearest centroids and
     * exact-cosine re-ranks only those lists — touching ~nprobe/√n of the
@@ -106,24 +157,15 @@ object Ann {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 8
     // corpus size from parquet-footer metadata — no extra pass (r02 #3)
-    // SCALE CEILING: the √n centroid set is BROADCAST (√10⁹ ≈ 32 K
-    // centroids × 64 dims × 8 B ≈ 16 MB — fine). Past ~10⁹ vectors the
-    // broadcast outgrows executor memory; the assignment then becomes a
-    // two-level coarse quantizer (broadcast √√n super-centroids, shuffle
-    // corpus by super-cell, join centroids per cell) — shuffle-based, not
-    // broadcast. Not needed at the gate's scale; flagged per r07 audit.
     val n = Tables.rowCount(s, s"$d/embeddings.parquet")
     val step = math.max(1L, (n / math.ceil(math.sqrt(n.toDouble)).toLong) max 1L)
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), normalized(col("embedding")).as("u"))
     val centroids = corpus.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("c_id"), col("u").as("cu"))
-    // inverted-list build: argmax cosine over the broadcast centroids;
-    // max_by keeps the assignment inside one partial-agg'd aggregate
-    val assigned = corpus.join(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(first(col("u")).as("u"),
-        max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
+    // inverted-list build: argmax cosine over the centroids (exact at
+    // any centroid count — see ivfAssign)
+    val assigned = ivfAssign(corpus, centroids, math.max(1L, n / step))
     val queries = queriesOf(s, d).select(col("q_id"), normalized(col("qv")).as("qu"))
     val qc = queries.join(broadcast(centroids))
       .select(col("q_id"), col("qu"), col("c_id"), dot(col("qu"), col("cu")).as("sim"))
@@ -155,11 +197,8 @@ object Ann {
       .select(col("vec_id"), normalized(col("embedding")).as("u"))
     val centroids = corpus.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("c_id"), col("u").as("cu"))
-    // ---- index build (once per corpus) ----
-    val assigned = corpus.join(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(first(col("u")).as("u"),
-        max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
+    // ---- index build (once per corpus; exact at any centroid count) ----
+    val assigned = ivfAssign(corpus, centroids, math.max(1L, n / step))
     // hash distribution clusters each inverted list into ONE task → one
     // file per centroid. Without it the partitioned write fans out
     // tasks × centroids files (32 × √n ≈ 1400 one-row files at sf0.1 —
