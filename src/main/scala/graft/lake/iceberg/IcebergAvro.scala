@@ -80,7 +80,10 @@ object IcebergAvro {
       addedFiles: Int,
       existingFiles: Int,
       deletedFiles: Int,
-      partitions: Seq[FieldSummary])
+      partitions: Seq[FieldSummary],
+      /** v3 row lineage: first row id available to this manifest's
+        * ADDED entries (null-entry inheritance base). */
+      firstRowId: Option[Long] = None)
 
   /** Per-partition-field summary in a manifest-list entry (positional:
     * i-th summary describes the i-th partition field of the manifest's
@@ -123,7 +126,8 @@ object IcebergAvro {
         optInt(r, "added_files_count", "added_data_files_count").getOrElse(0),
         optInt(r, "existing_files_count", "existing_data_files_count").getOrElse(0),
         optInt(r, "deleted_files_count", "deleted_data_files_count").getOrElse(0),
-        partitions)
+        partitions,
+        optLong(r, "first_row_id"))
       (entry, (optLong(r, "added_rows_count").getOrElse(0L),
         optLong(r, "existing_rows_count").getOrElse(0L),
         optLong(r, "deleted_rows_count").getOrElse(0L)))
@@ -155,7 +159,10 @@ object IcebergAvro {
       // the puffin blob this entry frames, and the data file it masks
       referencedDataFile: Option[String] = None,
       contentOffset: Option[Long] = None,
-      contentSizeInBytes: Option[Long] = None)
+      contentSizeInBytes: Option[Long] = None,
+      /** v3 row lineage: the id of this data file's FIRST row; rows get
+        * `_row_id = first_row_id + position` by inheritance. */
+      firstRowId: Option[Long] = None)
 
   /** Header properties of a manifest file. `schemaId` is the table schema
     * in force when the manifest was written — graft resolves the PHYSICAL
@@ -209,7 +216,8 @@ object IcebergAvro {
             },
             opt(df, "referenced_data_file").map(str),
             optLong(df, "content_offset"),
-            optLong(df, "content_size_in_bytes"))
+            optLong(df, "content_size_in_bytes"),
+            optLong(df, "first_row_id"))
         }
         (header, out.toSeq)
       } finally stream.close()
@@ -262,7 +270,8 @@ object IcebergAvro {
       |    {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
       |    {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
       |    {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
-      |  ]},"element-id":508}],"default":null,"field-id":507}
+      |  ]},"element-id":508}],"default":null,"field-id":507},
+      |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}
       |]}""".stripMargin)
 
   /** Writer-side manifest-list entry → Avro record. */
@@ -295,6 +304,7 @@ object IcebergAvro {
       }
       r.put("partitions", arr)
     }
+    r.put("first_row_id", e.firstRowId.map(Long.box).orNull)
     r
   }
 
@@ -345,7 +355,8 @@ object IcebergAvro {
          |"element-id":136}],"default":null,"field-id":135},
          |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
          |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
-         |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+         |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
+         |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142}
          |]},"field-id":2}
          |]}""".stripMargin)
   }

@@ -334,7 +334,21 @@ final class IcebergTable private (
     }
     readManifests.foreach { case (le, (header, entries)) =>
       val schemaId = header.schemaId.getOrElse(sch.schemaId)
-      entries.foreach { en =>
+      // v3 row-lineage inheritance: an ADDED data entry with a null
+      // first_row_id inherits the manifest's first_row_id plus the
+      // record counts of the preceding null-id ADDED entries (spec
+      // rule; graft's own writer records explicit per-entry ids, so
+      // this path serves manifests written by inheritance-relying
+      // engines)
+      var rowIdCursor = le.firstRowId.getOrElse(0L)
+      entries.foreach { en0 =>
+        val en =
+          if (en0.content == 0 && en0.status == 1 && en0.firstRowId.isEmpty &&
+              le.firstRowId.isDefined) {
+            val e2 = en0.copy(firstRowId = Some(rowIdCursor))
+            rowIdCursor += en0.recordCount
+            e2
+          } else en0
         if (en.status != 2) { // DELETED entries are not live
           // v2 inheritance: ADDED entries with null seq inherit the
           // manifest-list entry's sequence number
@@ -649,9 +663,40 @@ final class IcebergTable private (
   private val PosFileCol = "__ice_file"
   private val PosIdxCol = "__ice_pos"
 
-  private def buildScan(p: Plan): DataFrame = {
+  /** v3 ROW LINEAGE scan (r15): the snapshot's rows with the spec's two
+    * lineage metadata columns appended — `_row_id` (the file's
+    * first_row_id + row position; explicit per-entry ids or the
+    * manifest-list inheritance rule) and
+    * `_last_updated_sequence_number` (the file's data sequence number —
+    * this reader never carries MATERIALIZED per-row lineage columns, so
+    * files lacking a first_row_id, non-parquet formats (no row_index),
+    * or a schema declaring its own `_row_id` all refuse LOUDLY rather
+    * than serve wrong ids). Deletes (DV / position / equality) apply as
+    * in [[scan]]; surviving rows keep their positions, so ids are
+    * stable under MoR deletes. */
+  def scanWithLineage(filter: Option[Column] = None,
+      snapshotId: Long = -1L): DataFrame = {
+    val p = plan(filter, snapshotId)
+    require(meta.nextRowId.isDefined,
+      s"iceberg: table at $location does not track row lineage " +
+        "(no next-row-id in metadata)")
+    val out = buildScan(p, lineage = true)
+    filter.map(out.filter).getOrElse(out)
+  }
+
+  private def buildScan(p: Plan, lineage: Boolean = false): DataFrame = {
     val sch = p.schema
-    val target = sch.struct
+    val lineageFields =
+      if (!lineage) Array.empty[StructField]
+      else Array(StructField("_row_id", LongType),
+        StructField("_last_updated_sequence_number", LongType))
+    if (lineage)
+      require(!sch.fields.exists(f =>
+          f.name == "_row_id" || f.name == "_last_updated_sequence_number"),
+        "iceberg: schema declares materialized lineage columns — this " +
+          "reader serves lineage by inheritance only and reading both " +
+          "would be ambiguous")
+    val target = StructType(sch.struct.fields ++ lineageFields)
     if (p.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
@@ -761,7 +806,19 @@ final class IcebergTable private (
           case _ => None
         }
       }.toSet
-      val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty
+      if (lineage) {
+        require(fileFmt == "PARQUET",
+          s"iceberg: row-lineage scan needs parquet row positions; " +
+            s"group has $fileFmt files (${files.head.entry.filePath}, …)")
+        files.find(_.entry.firstRowId.isEmpty).foreach { f =>
+          throw new IllegalArgumentException(
+            s"iceberg: data file ${f.entry.filePath} carries no " +
+              "first_row_id (written before lineage was enabled, or by " +
+              "a writer whose inheritance this reader cannot " +
+              "reconstruct) — _row_id would be wrong, refusing")
+        }
+      }
+      val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty || lineage
 
       val spec = meta.spec(specId)
       // writer-chosen dir names ride along (real engines write
@@ -915,6 +972,29 @@ final class IcebergTable private (
           df = df.join(keys, cond, "left_anti")
       }
 
+      // v3 row-lineage columns (after the delete joins — surviving rows
+      // keep their file positions, so ids are stable under MoR deletes):
+      // _row_id = first_row_id + position; _last_updated_sequence_number
+      // = the file's data sequence number (inheritance; this reader
+      // refuses materialized-lineage files above)
+      val lineageCols: Seq[Column] =
+        if (!lineage) Nil
+        else {
+          val byPath: Map[String, (Long, Long)] = files.map(f =>
+            IcebergTable.pathKey(f.entry.filePath) ->
+              ((f.entry.firstRowId.get, f.seq))).toMap
+          val bc = spark.sparkContext.broadcast(byPath)
+          def const(pick: ((Long, Long)) => Long): Column =
+            graft.expressions.FileConstant.column(col(PosFileCol), LongType,
+              raw => bc.value.get(IcebergTable.pathKey(raw)) match {
+                case Some(v) => Long.box(pick(v))
+                case None => throw new IllegalStateException(
+                  s"iceberg: file $raw missing from the lineage constants")
+              })
+          Seq((const(_._1) + col(PosIdxCol)).as("_row_id"),
+            const(_._2).as("_last_updated_sequence_number"))
+        }
+
       // project to the snapshot schema by FIELD ID (rename/add/drop
       // safe); a field absent from the write schema yields its v3
       // initial-default (files written before the column existed), or
@@ -929,7 +1009,7 @@ final class IcebergTable private (
             .getOrElse(lit(null).cast(f.dataType)).as(f.name)
         }
       }
-      df.select(cols: _*)
+      df.select(cols ++ lineageCols: _*)
     }.reduce(_ unionByName _)
   }
 }

@@ -246,7 +246,40 @@ final class IcebergWriter private (
     * amplification is O(matched rows). Nondeterministic expressions are
     * rejected loudly: the DV build and the rewrite run as separate reads
     * and could disagree on the matched row set. */
+  /** Enable v3 ROW LINEAGE (r15): the table starts tracking
+    * `next-row-id`; every subsequent append assigns per-file
+    * `first_row_id` and readers serve `_row_id` /
+    * `_last_updated_sequence_number` by inheritance
+    * ([[IcebergTable.scanWithLineage]]). Bumps format-version to 3
+    * (lineage fields are v3). Call before the first append — enabling
+    * later would leave earlier files without ids (loud-reject). */
+  def enableRowLineage(): Long = {
+    require(currentMeta.currentSnapshotId.isEmpty,
+      "iceberg: row lineage must be enabled BEFORE the first commit — " +
+        "earlier snapshots' files have no row ids to inherit")
+    if (currentMeta.formatVersion < 3)
+      currentMeta = currentMeta.copy(formatVersion = 3)
+    currentMeta = currentMeta.copy(nextRowId = Some(0L))
+    writeMetadata()
+    currentMeta.nextRowId.get
+  }
+
+  /** Ops that REWRITE surviving rows into new files must carry each
+    * row's existing `_row_id` into the rewritten file (materialized
+    * lineage columns) to keep lineage intact — this writer does not
+    * materialize them, so on lineage-tracking tables those ops refuse
+    * LOUDLY instead of silently minting fresh ids for old rows.
+    * MoR deletes (DV / position / equality) never rewrite rows and
+    * stay allowed. */
+  private def rejectLineageRewrite(op: String): Unit =
+    require(currentMeta.nextRowId.isEmpty,
+      s"iceberg: $op rewrites surviving rows into new files, which would " +
+        "assign FRESH row ids to existing rows on this row-lineage " +
+        "table (corrupting _row_id); materialized-lineage rewrites are " +
+        "not implemented — use MoR deletes + appends instead")
+
   def updateWhere(cond: Column, set: Map[String, Column]): Long = {
+    rejectLineageRewrite("updateWhere")
     val sch = curSchema
     val colNames = sch.fields.map(_.name).toSet
     require(set.keySet.subsetOf(colNames),
@@ -282,6 +315,9 @@ final class IcebergWriter private (
     * row-delta shape Iceberg's own MERGE engines produce. */
   def upsertKeys(source: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "iceberg: upsertKeys needs key columns")
+    // upsert's delete half is MoR (allowed); its data half REPLACES the
+    // matched rows — fresh ids for surviving logical rows → refuse
+    rejectLineageRewrite("upsertKeys")
     val sch = curSchema
     val ids = keyCols.map(n => sch.fields.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
@@ -354,6 +390,7 @@ final class IcebergWriter private (
     * construction; incremental append scans SKIP `replace` snapshots
     * per Iceberg's own semantics, so change consumers see nothing. */
   def compact(): Long = {
+    rejectLineageRewrite("compact")
     if (currentMeta.currentSnapshotId.isEmpty) return -1L // nothing to rewrite
     val t = IcebergTable.load(spark, location)
     val entries = writeDataFiles(t.scan())
@@ -781,7 +818,28 @@ final class IcebergWriter private (
     val mSchema = IcebergAvro.manifestSchema(partFields)
     val dataFileSchema = mSchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    for (((manifestContent, entries), gi) <- groups.zipWithIndex if entries.nonEmpty) {
+
+    // v3 ROW LINEAGE assignment (r15): when the table tracks lineage
+    // (next-row-id present), every ADDED data file gets an explicit
+    // first_row_id from the running cursor — rows then read
+    // `_row_id = first_row_id + position` by inheritance. EXISTING
+    // entries (manifest rewrites) keep their recorded first_row_id, so
+    // compaction-free maintenance preserves ids for free.
+    val lineageBase = currentMeta.nextRowId
+    var rowIdCursor = lineageBase.getOrElse(0L)
+    val groupsAssigned = lineageBase match {
+      case None => groups
+      case Some(_) => groups.map { case (content, entries) =>
+        content -> entries.map { e =>
+          if (e.content == 0 && e.status == 1 && e.firstRowId.isEmpty) {
+            val assigned = e.copy(firstRowId = Some(rowIdCursor))
+            rowIdCursor += e.recordCount
+            assigned
+          } else e
+        }
+      }
+    }
+    for (((manifestContent, entries), gi) <- groupsAssigned.zipWithIndex if entries.nonEmpty) {
     val records = entries.map { e =>
       val r = new org.apache.avro.generic.GenericData.Record(mSchema)
       r.put("status", e.status)
@@ -809,6 +867,7 @@ final class IcebergWriter private (
       df.put("referenced_data_file", e.referencedDataFile.orNull)
       df.put("content_offset", e.contentOffset.map(Long.box).orNull)
       df.put("content_size_in_bytes", e.contentSizeInBytes.map(Long.box).orNull)
+      df.put("first_row_id", e.firstRowId.map(Long.box).orNull)
       r.put("data_file", df)
       r
     }
@@ -854,7 +913,11 @@ final class IcebergWriter private (
       addedSnapshotId = snapId,
       addedFiles = entries.count(_.status == 1),
       existingFiles = entries.count(_.status == 0), deletedFiles = 0,
-      partitions = summaries)
+      partitions = summaries,
+      // lineage tables record the manifest's inheritance base too
+      // (entries carry explicit ids; the base serves list-only readers)
+      firstRowId = entries.filter(e => e.content == 0 && e.status == 1)
+        .flatMap(_.firstRowId).minOption)
     val rows = (s: Int) =>
       entries.filter(_.status == s).map(_.recordCount).sum
     listState = listState :+ (newEntry, (rows(1), rows(0), 0L))
@@ -871,9 +934,11 @@ final class IcebergWriter private (
       snapshots = currentMeta.snapshots :+ IceSnapshot(
         snapId, currentMeta.currentSnapshotId, seq, ts,
         fs.makeQualified(listPath).toString, operation, Some(sch.schemaId),
-        summaryExtras = summaryExtras),
+        summaryExtras = summaryExtras,
+        firstRowId = lineageBase),
       snapshotLog = currentMeta.snapshotLog :+ (ts, snapId),
-      refs = currentMeta.refs + ("main" -> IceRef(snapId, "branch")))
+      refs = currentMeta.refs + ("main" -> IceRef(snapId, "branch")),
+      nextRowId = lineageBase.map(_ => rowIdCursor))
     writeMetadata()
     snapId
   }
@@ -1010,7 +1075,11 @@ object IcebergWriter {
       IcePartField(name, transform, srcField.id, 1000 + i)
     }
     val qualifiedRoot = fs.makeQualified(p)
-    val meta0 = IceMeta(2, java.util.UUID.randomUUID().toString,
+    // VARIANT columns are a v3 type — tables carrying one start at
+    // format-version 3 (same bump rule the DV delete path applies)
+    val v0 = if (schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.VariantType)) 3 else 2
+    val meta0 = IceMeta(v0, java.util.UUID.randomUUID().toString,
       qualifiedRoot.toString,
       0L, fields.map(_.id).maxOption.getOrElse(0), 0, Seq(sch), 0,
       Seq(IcePartSpec(0, specFields)), 999 + partition.size,
@@ -1097,6 +1166,32 @@ object IcebergWriter {
       rest.RestCommit.requirements(base), rest.RestCommit.updates(base, cur))
       .metadata)
     w
+  }
+
+  /** [[openRest]] variant for MULTI-TABLE TRANSACTIONS (r15): commits
+    * are CAPTURED as (base, staged) metadata pairs instead of posted —
+    * data files and manifests land on the table's storage immediately
+    * (the heavy IO, outside any catalog arbitration), but the catalog
+    * pointer does not move. [[rest.IcebergRestTransaction.commit]]
+    * sends every captured table's requirements+updates as ONE
+    * CommitTransactionRequest. Returns (writer, captured-changes
+    * accessor). The handle is CONSUMED by the transaction — reopen
+    * through the catalog for further commits. */
+  def openRestStaged(spark: SparkSession, catalog: rest.IcebergRestCatalog,
+      ns: Seq[String], name: String): (IcebergWriter, () => Seq[(IceMeta, IceMeta)]) = {
+    val lr = catalog.loadTable(ns, name)
+    val meta = lr.metadata
+    val conf = spark.sessionState.newHadoopConf()
+    val listState = meta.currentSnapshotId.map { sid =>
+      IcebergAvro.readManifestListWithRows(conf,
+        new Path(meta.snapshot(sid).manifestList))
+    }.getOrElse(Nil)
+    val w = new IcebergWriter(spark, meta.location, meta, 0, listState,
+      writeInitial = false, None)
+    w.lastTs = (0L +: meta.snapshotLog.map(_._1)).max
+    val captured = scala.collection.mutable.ArrayBuffer[(IceMeta, IceMeta)]()
+    w.restCommit = Some((base, cur) => { captured += ((base, cur)); cur })
+    (w, () => captured.toSeq)
   }
 
   /** REOPEN an existing table for further commits — the cross-process

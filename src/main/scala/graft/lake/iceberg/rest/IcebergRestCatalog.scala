@@ -361,6 +361,37 @@ final class IcebergRestCatalog(uri: String,
     }
   }
 
+  /** MULTI-TABLE TRANSACTION (`POST /v1/{prefix}/transactions/commit`,
+    * r15): every (ns, name, requirements, updates) validated and
+    * applied by the service under ONE commit arbitration —
+    * all-or-nothing. A 409 means some table's requirement no longer
+    * held and NOTHING moved: reopen every table, rebase, retry — the
+    * optimistic loop, transaction-wide. */
+  def commitTransaction(
+      changes: Seq[(Seq[String], String, ArrayNode, ArrayNode)]): Unit = {
+    require(changes.nonEmpty, "iceberg-rest: empty transaction")
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("table-changes")
+    changes.foreach { case (ns, name, reqs, ups) =>
+      val c = arr.addObject()
+      val ident = c.putObject("identifier")
+      val nsArr = ident.putArray("namespace"); ns.foreach(nsArr.add)
+      ident.put("name", name)
+      c.set[ObjectNode]("requirements", reqs)
+      c.set[ObjectNode]("updates", ups)
+    }
+    val r = send("POST", v1("/transactions/commit"),
+      Some(mapper.writeValueAsString(body)))
+    r.statusCode() match {
+      case 200 | 204 => ()
+      case 409 => throw new java.util.ConcurrentModificationException(
+        s"iceberg-rest: multi-table transaction lost the race " +
+          s"(no table changed): ${errorOf(r)}")
+      case c => sys.error(
+        s"iceberg-rest: transaction commit failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
   // ---- views (r14; the spec's views API) ------------------------------------
 
   import IcebergRestCatalog.{LoadViewResult, ViewVersion, ViewRepresentation}

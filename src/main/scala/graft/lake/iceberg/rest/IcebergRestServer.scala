@@ -369,6 +369,9 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         o.putObject("defaults"); o.putObject("overrides")
         send(x, 200, mapper.writeValueAsString(o))
 
+      case ("POST", Seq("transactions", "commit")) =>
+        commitTransaction(x)
+
       case ("POST", Seq("views", "rename")) =>
         val b = readBody(x)
         def identV(n: JsonNode): (Seq[String], String) = {
@@ -821,6 +824,75 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     outcome match {
       case Left((code, tpe, msg)) => err(x, code, tpe, msg)
       case Right((ml, m)) => send(x, 200, loadViewResult(ml, m))
+    }
+  }
+
+  /** CommitTransactionRequest (`POST /v1/transactions/commit` — the
+    * spec's multi-table transaction endpoint): N CommitTableRequests,
+    * each with an identifier. ALL tables' requirements are validated
+    * against current state and ALL updates applied + pointers swapped
+    * under ONE lock hold — all-or-nothing: any failing requirement
+    * 409s the WHOLE transaction and no table moves (the ingest+retire
+    * pattern through the published protocol). 204 on success. */
+  private def commitTransaction(x: HttpExchange): Unit = {
+    val body = readBody(x)
+    val changes = (if (body.has("table-changes"))
+      body.get("table-changes").elements().asScala.toSeq else Nil)
+    if (changes.isEmpty) {
+      err(x, 400, "BadRequestException", "transaction with no table-changes")
+      return
+    }
+    val outcome: Either[(Int, String, String), Unit] = lock.synchronized {
+      val resolved = changes.map { c =>
+        val id = c.path("identifier")
+        val ns = id.path("namespace").elements().asScala.map(_.asText()).toSeq
+        val name = id.path("name").asText()
+        (key(ns, name), s"${ns.mkString(".")}.$name", c)
+      }
+      if (resolved.map(_._1).distinct.size != resolved.size)
+        Left((400, "BadRequestException",
+          "duplicate table in transaction (merge its changes into one entry)"))
+      else {
+        // phase 1: resolve + validate EVERY change, apply updates in
+        // memory — nothing visible yet
+        var failure: Option[(Int, String, String)] = None
+        val staged = resolved.flatMap { case (k, label, c) =>
+          if (failure.isDefined) Nil
+          else Option(tables.get(k)) match {
+            case None =>
+              failure = Some((404, "NoSuchTableException", s"no table $label"))
+              Nil
+            case Some(prevLoc) =>
+              val cur = readMeta(prevLoc)
+              val reqs = (if (c.has("requirements"))
+                c.get("requirements").elements().asScala.toSeq else Nil)
+              reqs.flatMap(r => checkRequirement(cur, r)).headOption match {
+                case Some(fail) =>
+                  failure = Some((409, "CommitFailedException", s"$label: $fail"))
+                  Nil
+                case None =>
+                  val ups = (if (c.has("updates"))
+                    c.get("updates").elements().asScala.toSeq else Nil)
+                  Seq((k, ups.foldLeft(cur)(applyUpdate), prevLoc))
+              }
+          }
+        }
+        failure match {
+          case Some(f) => Left(f)
+          case None =>
+            // phase 2: write every new metadata file, THEN swap all
+            // pointers — an IO failure before any swap leaves only
+            // orphan metadata files, never a torn transaction
+            val mls = staged.map { case (k, next, prevLoc) =>
+              (k, writeMeta(next, Some(prevLoc))) }
+            mls.foreach { case (k, ml) => tables.put(k, ml) }
+            Right(())
+        }
+      }
+    }
+    outcome match {
+      case Left((code, tpe, msg)) => err(x, code, tpe, msg)
+      case Right(_) => send(x, 204, "")
     }
   }
 

@@ -765,8 +765,14 @@ object Lake {
     import graft.lake.iceberg.{IcebergTable, IcebergWriter}
     val o = Tables.orders(s, d)
     val w = IcebergWriter.create(s, work(s, "iceberg_v3", d), o.schema)
+    // v3 ROW LINEAGE (r15): enabled from creation — appends assign
+    // per-file first_row_id, reads inherit _row_id = first + position,
+    // and the DV deletes below must keep SURVIVORS' ids stable
+    w.enableRowLineage()
     w.append(o)
     val before = IcebergTable.load(s, w.location).planFiles().toSet
+    val idsBefore = IcebergTable.load(s, w.location).scanWithLineage()
+      .select("o_orderkey", "_row_id")
     w.deleteWhereDv(col("o_orderpriority") === "1-URGENT")
     w.deleteWhereDv(col("o_orderkey") % 7 === 0) // second DV: union path
     val t = IcebergTable.load(s, w.location)
@@ -774,6 +780,14 @@ object Lake {
       s"iceberg: DV delete must bump to format-version 3, got ${t.meta.formatVersion}")
     require(t.planFiles().toSet == before,
       "iceberg: DV delete must not rewrite data files")
+    val lin = t.scanWithLineage()
+    require(t.meta.nextRowId.contains(o.count()),
+      s"iceberg: next-row-id must equal appended rows, got ${t.meta.nextRowId}")
+    // every surviving row keeps the id it was assigned before the DVs
+    require(lin.select("o_orderkey", "_row_id")
+        .join(idsBefore.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
+        .filter(col("_row_id") =!= col("_rid0")).isEmpty,
+      "iceberg: DV deletes must keep survivors' _row_id stable")
     t.scan()
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
@@ -1457,6 +1471,24 @@ object Lake {
         .head().getLong(0)
       require(viaView == df.count(),
         s"the view's stored SQL must serve the table's rows ($viaView)")
+      // r15 MULTI-TABLE TRANSACTION receipt — the protocol's
+      // `POST /v1/{prefix}/transactions/commit`: one transaction moves
+      // TWO tables atomically (the ingest+retire pattern through a
+      // managed catalog; IcebergRestSpec carries the race/all-or-
+      // nothing arms). The staged side table is then dropped so the
+      // entry's result frame is unchanged.
+      cat.createTable(Seq("lake"), "orders_mirror",
+        IcebergMeta.renderSchemaJson(IceSchema(0, fields)))
+      val mirrorRows = o.limit(20)
+      graft.lake.iceberg.rest.IcebergRestTransaction.commit(s, cat, Seq(
+        (Seq("lake"), "orders_mirror") ->
+          ((w: IcebergWriter) => { w.append(mirrorRows); () })))
+      val mirrored = graft.lake.iceberg.IcebergTable.load(s,
+        cat.loadTable(Seq("lake"), "orders_mirror").metadataLocation)
+        .scan().count()
+      require(mirrored == mirrorRows.count(),
+        s"transaction-committed table must serve its rows ($mirrored)")
+      require(cat.dropTable(Seq("lake"), "orders_mirror"))
       df.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           Money.sumUnits(col("o_totalprice")).as("total_cents"))
@@ -1604,6 +1636,55 @@ object Lake {
       .orderBy("src")
   }
 
+  /** VARIANT columns through Iceberg v3 (r15; Delta parity — the r14
+    * verdict's #5): the same semi-structured order metadata written to
+    * an ICEBERG table whose schema declares the v3 `variant` type
+    * (format-version starts at 3; no bounds recorded — variant has no
+    * ordering), read back through the manifests and queried with typed
+    * `variant_get` extraction. The entry ALSO mirrors a Delta variant
+    * table into the Iceberg one (the mixed-engine estate shape the
+    * verdict names) and requires the mirrored aggregate equal —
+    * cross-format variant transport as an in-entry receipt. Oracle
+    * recomputes from the raw parquet columns, so a corrupted
+    * round-trip on either format hash-mismatches. */
+  def lakeIcebergVariant(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
+    val src = Tables.orders(s, d).selectExpr("o_orderkey",
+      "parse_json(concat('{\"prio\":\"', o_orderpriority, " +
+        "'\",\"status\":\"', o_orderstatus, '\"}')) as v")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("v", VariantType)))
+
+    val iLoc = work(s, "iceberg_variant", d)
+    graft.lake.iceberg.IcebergWriter.create(s, iLoc, schema).append(src)
+    val it = graft.lake.iceberg.IcebergTable.load(s, iLoc)
+    require(it.meta.formatVersion == 3,
+      s"variant is a v3 type; table declared v${it.meta.formatVersion}")
+    def agg(df: DataFrame): DataFrame = df
+      .selectExpr(
+        "variant_get(v, '$.status', 'string') as status",
+        "variant_get(v, '$.prio', 'string') as prio")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("prio")).as("n_prios"))
+    val out = agg(it.scan())
+
+    // cross-format mirror receipt: Delta variant table → read → append
+    // into a second Iceberg v3 table → same aggregate
+    val dLoc = work(s, "iceberg_variant_delta_src", d)
+    graft.lake.delta.DeltaWriter.create(s, dLoc, schema).append(src)
+    val mLoc = work(s, "iceberg_variant_mirror", d)
+    graft.lake.iceberg.IcebergWriter.create(s, mLoc, schema)
+      .append(graft.lake.delta.DeltaTable.load(s, dLoc).scan())
+    val mirrored = agg(graft.lake.iceberg.IcebergTable.load(s, mLoc).scan())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = out
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    require(mirrored == direct,
+      "delta→iceberg variant mirror drifted from the direct write")
+    out
+  }
+
   def lakeDeltaVariant(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
     val loc = work(s, "delta_variant", d)
@@ -1626,6 +1707,7 @@ object Lake {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_interop_dpp" -> (lakeInteropDpp _),
     "lake_interop_agg_grouped" -> (lakeInteropAggGrouped _),
+    "lake_iceberg_variant" -> (lakeIcebergVariant _),
     "lake_delta_variant" -> (lakeDeltaVariant _),
     "lake_iceberg_rest" -> (lakeIcebergRest _),
     "lake_iceberg_sql" -> (lakeIcebergSql _),
@@ -1727,6 +1809,11 @@ object Lake {
            FROM orders
          ) ORDER BY "column" """,
     "lake_delta_variant" ->
+      """SELECT o_orderstatus AS status,
+                count(*) AS n_orders,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+         FROM orders GROUP BY o_orderstatus""",
+    "lake_iceberg_variant" ->
       """SELECT o_orderstatus AS status,
                 count(*) AS n_orders,
                 CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios

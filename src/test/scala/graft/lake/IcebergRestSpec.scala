@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{Tables, TestSpark}
 import graft.lake.iceberg.{IceField, IcePartField, IcePartSpec, IceSchema, IcebergMeta, IcebergTable, IcebergWriter}
-import graft.lake.iceberg.rest.{IcebergRestCatalog, IcebergRestServer}
+import graft.lake.iceberg.rest.{IcebergRestCatalog, IcebergRestServer, IcebergRestTransaction, RestCommit}
 
 /** The PUBLISHED Apache Iceberg REST catalog protocol end to end against
   * the bundled in-process service: create / load / register / list /
@@ -620,6 +620,71 @@ class IcebergRestSpec extends AnyFunSuite {
         .option("catalog-uri", server.uri)
         .option("table", "ns.vended").load()
       assert(read.count() == 20)
+    } finally server.stop()
+  }
+
+  test("multi-table transaction: all-or-nothing commit; race loser changes NOTHING (r15)") {
+    val server = new IcebergRestServer(fresh("icerest-txn-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      val sch = IcebergMeta.renderSchemaJson(iceSchemaOf(o))
+      cat.createTable(Seq("ns"), "ingest", sch)
+      cat.createTable(Seq("ns"), "retire", sch)
+
+      // the ingest+retire pattern: one transaction appends to BOTH
+      // tables; both move, atomically
+      IcebergRestTransaction.commit(spark, cat, Seq(
+        (Seq("ns"), "ingest") -> ((w: IcebergWriter) => { w.append(o.limit(100)); () }),
+        (Seq("ns"), "retire") -> ((w: IcebergWriter) => { w.append(o.limit(40)); () })))
+      def count(name: String): Long = IcebergTable.load(spark,
+        cat.loadTable(Seq("ns"), name).metadataLocation).scan().count()
+      assert(count("ingest") == 100 && count("retire") == 40,
+        "both tables must move in one transaction")
+
+      // a multi-commit op collapses to one change (chain CAS): two
+      // appends inside the op land as one transaction entry
+      IcebergRestTransaction.commit(spark, cat, Seq(
+        (Seq("ns"), "ingest") -> ((w: IcebergWriter) => {
+          w.append(o.limit(5)); w.append(o.limit(5)); () })))
+      assert(count("ingest") == 110)
+
+      // RACE: stage a transaction, then move ONE member table through a
+      // plain single-table commit before the transaction posts — the
+      // whole transaction must 409 and NEITHER table may change
+      val (wI, chI) = IcebergWriter.openRestStaged(spark, cat, Seq("ns"), "ingest")
+      val (wR, chR) = IcebergWriter.openRestStaged(spark, cat, Seq("ns"), "retire")
+      wI.append(o.limit(7))
+      wR.append(o.limit(9))
+      IcebergWriter.openRest(spark, cat, Seq("ns"), "retire").append(o.limit(3))
+      val retireAfterRace = count("retire")
+      val ingestBefore = count("ingest")
+      intercept[java.util.ConcurrentModificationException] {
+        cat.commitTransaction(Seq(
+          (Seq("ns"), "ingest",
+            RestCommit.requirements(chI().head._1),
+            RestCommit.updates(chI().head._1, chI().last._2)),
+          (Seq("ns"), "retire",
+            RestCommit.requirements(chR().head._1),
+            RestCommit.updates(chR().head._1, chR().last._2))))
+      }
+      assert(count("ingest") == ingestBefore,
+        "a losing transaction must not move ANY member table")
+      assert(count("retire") == retireAfterRace)
+      // the standard optimistic loop: rebase (reopen) and retry — lands
+      IcebergRestTransaction.commit(spark, cat, Seq(
+        (Seq("ns"), "ingest") -> ((w: IcebergWriter) => { w.append(o.limit(7)); () }),
+        (Seq("ns"), "retire") -> ((w: IcebergWriter) => { w.append(o.limit(9)); () })))
+      assert(count("ingest") == ingestBefore + 7)
+      assert(count("retire") == retireAfterRace + 9)
+
+      // unknown member table 404s the whole transaction
+      intercept[RuntimeException] {
+        IcebergRestTransaction.commit(spark, cat, Seq(
+          (Seq("ns"), "ghost") -> ((w: IcebergWriter) => { w.append(o.limit(1)); () })))
+      }
     } finally server.stop()
   }
 }

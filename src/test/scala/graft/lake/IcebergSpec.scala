@@ -831,4 +831,92 @@ class IcebergSpec extends AnyFunSuite {
     oldDataFiles.foreach(p => assert(!fs.exists(new Path(p)),
       s"pre-compaction data file must be GC'd: $p"))
   }
+
+  test("v3 ROW LINEAGE: inherited _row_id / _last_updated_sequence_number (r15)") {
+    import spark.implicits._
+    val loc = freshDir("lineage")
+    val df1 = (0L until 60L).map(i => (i, s"a$i")).toDF("k", "s")
+    val df2 = (100L until 140L).map(i => (i, s"b$i")).toDF("k", "s")
+    val w = IcebergWriter.create(spark, loc, df1.schema)
+    w.enableRowLineage()
+    w.append(df1.repartition(3)) // several files: per-file first_row_id
+    w.append(df2.repartition(2))
+    val t = IcebergTable.load(spark, loc)
+    assert(t.meta.formatVersion == 3)
+    assert(t.meta.nextRowId.contains(100L), s"next-row-id ${t.meta.nextRowId}")
+    assert(t.meta.snapshots.map(_.firstRowId) == Seq(Some(0L), Some(60L)),
+      "per-snapshot first-row-id must advance by assigned rows")
+    val got = t.scanWithLineage()
+    val ids = got.select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 100L), "row ids must be exactly 0..n-1, no gaps")
+    // second append's rows carry its sequence number
+    val seqByBatch = got
+      .withColumn("batch", when(col("k") < 100L, 1).otherwise(2))
+      .groupBy("batch")
+      .agg(countDistinct(col("_last_updated_sequence_number")).as("nseq"),
+        min("_last_updated_sequence_number").as("seq"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(seqByBatch(1) == ((1L, 1L)) && seqByBatch(2) == ((1L, 2L)),
+      s"per-batch sequence numbers drifted: $seqByBatch")
+
+    // MoR deletes keep surviving rows' ids STABLE
+    val before = got.select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w.equalityDelete(Seq(0L, 5L, 100L).toDF("k"))
+    val after = IcebergTable.load(spark, loc).scanWithLineage()
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!after.contains(0L) && !after.contains(100L))
+    assert(after.forall { case (k, id) => before(k) == id },
+      "surviving rows must keep their _row_id across MoR deletes")
+
+    // row-rewriting ops would mint fresh ids for old rows: loud-reject
+    intercept[IllegalArgumentException] { w.compact() }
+    intercept[IllegalArgumentException] {
+      w.updateWhere(col("k") === 1L, Map("s" -> lit("x")))
+    }
+    intercept[IllegalArgumentException] {
+      w.upsertKeys(Seq((1L, "x")).toDF("k", "s"), Seq("k"))
+    }
+    // enabling lineage late (files without ids) is refused
+    val loc2 = freshDir("lineage-late")
+    val w2 = IcebergWriter.create(spark, loc2, df1.schema)
+    w2.append(df1)
+    intercept[IllegalArgumentException] { w2.enableRowLineage() }
+    // a plain scan of the lineage table is unchanged
+    assert(t.scan().columns.toSeq == Seq("k", "s"))
+
+    // INHERITANCE arm: an engine that relies on the manifest-LIST base
+    // (null per-entry ids) — rewrite this table's list to carry ONLY
+    // list-level first_row_id and confirm the reader reconstructs the
+    // same ids by the spec's inheritance rule
+    val loc3 = freshDir("lineage-inherit")
+    val w3 = IcebergWriter.create(spark, loc3, df1.schema)
+    w3.append(df1.repartition(2)) // no lineage at write time: null ids
+    w3.append(df2.repartition(2))
+    val conf = spark.sessionState.newHadoopConf()
+    val t3 = IcebergTable.load(spark, loc3)
+    val snap3 = t3.meta.snapshot(t3.meta.currentSnapshotId.get)
+    val listPath = new Path(snap3.manifestList)
+    var cursor = 0L
+    val recs = IcebergAvro.readManifestListWithRows(conf, listPath).map {
+      case (e, rc) =>
+        val withBase = e.copy(firstRowId = Some(cursor))
+        cursor += rc._1 // added rows
+        IcebergAvro.manifestListRecord(withBase, rc)
+    }
+    IcebergAvro.writeAvro(conf, listPath, IcebergAvro.ManifestListSchema,
+      Map("format-version" -> "3"), recs)
+    val m3 = t3.meta.copy(formatVersion = 3, nextRowId = Some(cursor))
+    val fs3 = new Path(loc3).getFileSystem(conf)
+    val out = fs3.create(new Path(loc3, "metadata/v99.metadata.json"), true)
+    out.write(graft.lake.iceberg.IcebergMeta.render(m3).getBytes("UTF-8"))
+    out.close()
+    val hint = fs3.create(new Path(loc3, "metadata/version-hint.text"), true)
+    hint.write("99".getBytes("UTF-8")); hint.close()
+    val inherited = IcebergTable.load(spark, loc3).scanWithLineage()
+      .select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inherited == (0L until 100L),
+      "list-level inheritance must reconstruct gap-free row ids")
+  }
 }
