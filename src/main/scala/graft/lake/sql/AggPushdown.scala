@@ -196,10 +196,15 @@ object AggPushdown {
     }
 
     val statName = table.statNameFor(m)
-    // SQL GROUP BY groups nulls together; the hive NULL dir is one value
+    // SQL GROUP BY groups nulls together; the hive NULL dir is one value.
+    // ZERO-ROW files are identity BEFORE keying (r15, the interop rule's
+    // fix applied here too): a committed empty file cannot affect any
+    // COUNT/MIN/MAX, but keying it would fabricate a count(*)=0 group a
+    // real scan never yields — groupless aggregates keep every file (a
+    // one-row answer over empty input IS correct).
     val buckets: Seq[(Seq[String], Seq[DataFileMeta])] =
       if (groupCols.isEmpty) Seq((Nil, surviving.toSeq))
-      else surviving.toSeq
+      else surviving.toSeq.filter(_.rowCount > 0L)
         .groupBy(df => groupCols.map(c => df.partitionValues(c) match {
           case Meta.NullPartition => null
           case v => v

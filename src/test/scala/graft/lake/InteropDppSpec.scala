@@ -56,6 +56,29 @@ class InteropDppSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(0) == "finished")
     assert(rows(0).getLong(1) ==
       orders.filter(col("o_orderstatus") === "F").count(), s"$fmt count")
+    // FILE-COUNT receipt: after execution, the fact-side scan's metrics
+    // must show FEWER files read than the fact table holds — the
+    // runtime filter actually pruned, not just appeared in the plan
+    // AQE wraps executed subtrees in QueryStageExec LEAVES — recurse
+    // through them (and reused exchanges) to reach the file scans
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+      }.flatten.distinct
+    val factScans = scans(q.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains(loc)))
+    assert(factScans.nonEmpty, s"$fmt: no fact-side file scan found")
+    val readFiles = factScans.map(_.metrics("numFiles").value).sum
+    val allFiles = factScans.map(_.relation.location.inputFiles.length).sum
+    assert(readFiles < allFiles,
+      s"$fmt: runtime pruning must cut files read ($readFiles of $allFiles)")
   }
 
   test("selective dim filter dynamically prunes iceberg fact partitions") {
