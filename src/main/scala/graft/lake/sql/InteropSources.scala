@@ -395,6 +395,18 @@ class GraftIcebergSource extends InteropReadProvider {
     }
     require(options.get("end-snapshot-id") == null,
       "graft-iceberg: end-snapshot-id needs start-snapshot-id")
+    // v3 ROW LINEAGE read (r15): `option("with-lineage", "true")` serves
+    // the spec's `_row_id` / `_last_updated_sequence_number` metadata
+    // columns by inheritance (IcebergTable.scanWithLineage — refuses
+    // loudly on tables/files that cannot answer exactly). Read-only:
+    // lineage is a read-side projection, not an insert target.
+    if (Option(options.get("with-lineage")).contains("true")) {
+      val schema = StructType(t.schema.fields ++ Seq(
+        StructField("_row_id", LongType),
+        StructField("_last_updated_sequence_number", LongType)))
+      return InteropRead(s"graft-iceberg `$loc` +lineage", schema,
+        f => t.scanWithLineage(f, snap), f => t.scanStats(f, snap))
+    }
     // the standard optimistic-commit loop (what Iceberg's own clients
     // run): a catalog-CAS loss means another committer moved the table
     // first — the failed attempt committed NOTHING and referenced

@@ -918,5 +918,20 @@ class IcebergSpec extends AnyFunSuite {
       .select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(inherited == (0L until 100L),
       "list-level inheritance must reconstruct gap-free row ids")
+
+    // SQL-connector surface: option("with-lineage", "true") serves the
+    // same columns through the DSv2 reader (native substitution or V1)
+    val viaSql = spark.read.format("graft-iceberg")
+      .option("with-lineage", "true").load(loc)
+    assert(viaSql.columns.toSeq ==
+      Seq("k", "s", "_row_id", "_last_updated_sequence_number"))
+    assert(viaSql.select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == after,
+      "connector lineage read drifted from scanWithLineage")
+    // a table without lineage refuses the option loudly
+    intercept[Exception] {
+      spark.read.format("graft-iceberg")
+        .option("with-lineage", "true").load(loc2).collect()
+    }
   }
 }
