@@ -396,27 +396,30 @@ final class DeltaTable private (
     // injection's pv-string cast provably agree — so the scan becomes a
     // genuine hive-partitioned relation and dynamic partition pruning
     // applies (type-independent: the criterion is string equality of
-    // the two cast inputs). Column mapping renames dirs to physical
-    // names — out of scope, falls back. Any anomaly falls back to the
+    // the two cast inputs). Under column mapping the dirs AND the log's
+    // partitionValues both carry PHYSICAL names, so the same
+    // verification runs in physical-name space and the projection
+    // renames back to logical. Any anomaly falls back to the
     // authoritative injection.
     val logicalDataCols = meta.schema.fieldNames
       .filterNot(meta.partitionColumns.contains)
     val livePaths = live.map(f => DeltaTable.resolve(location, f.path).toString)
+    val physPartCols = meta.partitionColumns.map(meta.physicalName)
     val hiveBase: Option[String] =
-      if (meta.partitionColumns.isEmpty || meta.columnMappingMode != "none" ||
+      if (meta.partitionColumns.isEmpty ||
           !graft.lake.HivePartitionedRead.enabled(spark)) None
       else graft.lake.HivePartitionedRead.verifiedBase(
-        livePaths.toIndexedSeq, meta.partitionColumns,
-        i => meta.partitionColumns.map(c => live(i).partitionValues.get(c).orNull))
+        livePaths.toIndexedSeq, physPartCols,
+        i => physPartCols.map(pc => live(i).partitionValues.get(pc).orNull))
     val hiveOut: Option[DataFrame] = hiveBase.flatMap { base =>
       try {
         val partFields = meta.partitionColumns.map(c =>
-          StructField(c, meta.schema(c).dataType))
+          StructField(meta.physicalName(c), meta.schema(c).dataType))
         var hdf = graft.lake.HivePartitionedRead.read(spark, "parquet",
           base, dataSchema, partFields, livePaths)
         keepRow.foreach(k => hdf = hdf.filter(k))
-        // mode is "none": physical == logical for data columns too
-        Some(hdf.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*))
+        Some(hdf.select(meta.schema.fieldNames.toIndexedSeq.map(c =>
+          col(meta.physicalName(c)).as(c)): _*))
       } catch { case _: Throwable => None }
     }
     if (hiveOut.isDefined)

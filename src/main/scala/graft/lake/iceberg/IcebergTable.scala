@@ -35,7 +35,12 @@ import graft.lake.{ColStats, DataFileMeta, FilePruner}
   * At 100 TB: planning is O(manifests) driver-side metadata IO with
   * summary skip ahead of it (the same scaling Iceberg's own planner has),
   * file reads are ordinary distributed parquet scans with pushed filters,
-  * and no directory listing ever happens.
+  * and no directory listing ever happens. Identity-partitioned estates
+  * whose dirs VERIFIABLY match the manifest partition tuples read as
+  * genuine hive-partitioned relations ([[graft.lake.HivePartitionedRead]],
+  * r15) — Spark's own static AND dynamic partition pruning apply;
+  * anything else serves partition values by per-file constant injection
+  * (the manifests stay authoritative either way).
   */
 final class IcebergTable private (
     spark: SparkSession,

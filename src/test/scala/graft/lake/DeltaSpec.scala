@@ -426,6 +426,21 @@ class DeltaSpec extends AnyFunSuite {
     // partition pruning works through the physical partitionValues keys
     assert(t.planFiles(Some(col("n_regionkey") === 2)).size <
       t.planFiles().size)
+    // r15: the verified hive-layout read runs in PHYSICAL-name space
+    // under column mapping (dirs and log partitionValues both carry
+    // physical names), so mapped tables are DPP-capable too — the scan
+    // plan carries NO injection join, and the injection fallback stays
+    // value-identical
+    val hivePlan = t.scan().queryExecution.executedPlan.toString
+    assert(!hivePlan.contains("Join"),
+      s"mapped hive-layout scan must not need the injection join:\n$hivePlan")
+    spark.conf.set("spark.graft.interop.hivePartitionedRead.enabled", "false")
+    try {
+      val injected = DeltaTable.load(spark, dir).scan()
+        .orderBy("n_nationkey").collect().toSeq
+      assert(injected == n.orderBy("n_nationkey").collect().toSeq)
+    } finally
+      spark.conf.unset("spark.graft.interop.hivePartitionedRead.enabled")
   }
 
   test("column mapping id mode: field-id matching round-trip with stats pruning") {
