@@ -263,7 +263,9 @@ final class HudiTable private (
     val withMeta =
       if (!affected.exists(_.logs.nonEmpty)) {
         // COW fast path: no shuffle — read rewritten slices, filter rows
-        spark.read.schema(fullSchema)
+        // (verified hive layouts serve partition columns from dirs here
+        // too, so a partition-filtered incremental pull prunes statically)
+        baseReader(affected, fullSchema)
           .parquet(affected.map(s => new Path(location, s.path).toString): _*)
       } else mergedRows(affected) // MOR: per-key merge over touched groups
     val out = withMeta

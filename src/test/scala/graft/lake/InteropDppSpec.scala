@@ -103,6 +103,44 @@ class InteropDppSpec extends AnyFunSuite {
     assertDpp("graft-hudi", loc)
   }
 
+  test("runtime BLOOM filters reach interop scans on NON-partition join keys (r15)") {
+    // the other half of runtime filtering: Spark's InjectRuntimeFilter
+    // adds a bloom-filter semi-filter on the fact side of a selective
+    // shuffle join keyed on an ORDINARY column — row-group/row pruning
+    // where DPP (partition-level) cannot apply. Works on the substituted
+    // interop plans because they are plain file scans; this pins it.
+    val loc = freshDir("ice-bloom")
+    IcebergWriter.create(spark, loc, orders.schema).append(orders) // unpartitioned
+    val dimPath = freshDir("bloom-dim")
+    orders.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("interop_bloom_dim")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val q = spark.sql(
+        s"""SELECT count(*) AS n
+            FROM `graft-iceberg`.`$loc` f
+            JOIN interop_bloom_dim d ON f.o_orderkey = d.k
+            WHERE d.prio = '1-URGENT'""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+      assert(q.head().getLong(0) ==
+        orders.filter(col("o_orderkey") % 97 === 0)
+          .filter(col("o_orderpriority") === "1-URGENT").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("hive-layout read serves the EXACT metadata partition values") {
     // rows and partition values must be identical between the hive
     // read and the injection path (the soundness equivalence)
