@@ -43,20 +43,35 @@ object HivePartitionedRead {
 
   /** Inverse of Hive/Spark's escapePathName (%XX-encoding); malformed
     * escapes stay literal, matching Spark's unescapePathName. */
-  def unescape(s: String): String = {
-    if (s.indexOf('%') < 0) return s
+  def unescape(s: String): String = unescapeStrict(s).getOrElse(s)
+
+  /** Strict decoder: every '%' must begin a two-HEX-DIGIT escape, else
+    * None. Engines' unescapePathName implementations differ on
+    * malformed escapes (parseInt-based ones accept "+1"; digit-checked
+    * ones keep it literal) — a dir value my decode and Spark's decode
+    * could disagree on must never pass eligibility, so malformed
+    * escapes REFUSE instead of guessing. On well-formed input every
+    * implementation agrees. */
+  def unescapeStrict(s: String): Option[String] = {
+    if (s.indexOf('%') < 0) return Some(s)
+    def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        val code = try Integer.parseInt(hex, 16) catch { case _: Exception => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
-        else { sb.append(c); i += 1 }
+      if (c == '%') {
+        if (i + 2 >= s.length) return None
+        val h = hexVal(s.charAt(i + 1)); val l = hexVal(s.charAt(i + 2))
+        if (h < 0 || l < 0) return None
+        sb.append(((h << 4) | l).toChar)
+        i += 3
       } else { sb.append(c); i += 1 }
     }
-    sb.toString
+    Some(sb.toString)
   }
 
   /** Splits `path` as `<base>/<d1=v1>/…/<dk=vk>/<file>`: the n dirs
@@ -95,21 +110,22 @@ object HivePartitionedRead {
   /** Does the dir fragment provably cast to the authoritative EXTERNAL
     * value? render-equality per the class doc; unsupported runtime
     * types answer false (ineligible, never wrong). */
-  def matchesAuthoritative(raw: String, auth: Any): Boolean = {
-    lazy val u = unescape(raw)
-    auth match {
-      case null => raw == NullDir
-      case s: String => s.nonEmpty && s != NullDir && u == s
-      case i: java.lang.Integer => u == i.toString
-      case l: java.lang.Long => u == l.toString
-      case sh: java.lang.Short => u == sh.toString
-      case b: java.lang.Byte => u == b.toString
-      case b: java.lang.Boolean => u == b.toString
-      case d: java.sql.Date => u == d.toString
-      case d: java.time.LocalDate => u == d.toString
-      case _ => false
+  def matchesAuthoritative(raw: String, auth: Any): Boolean =
+    unescapeStrict(raw) match {
+      case None => false // malformed escape: decoders may disagree — refuse
+      case Some(u) => auth match {
+        case null => raw == NullDir
+        case s: String => s.nonEmpty && s != NullDir && u == s
+        case i: java.lang.Integer => u == i.toString
+        case l: java.lang.Long => u == l.toString
+        case sh: java.lang.Short => u == sh.toString
+        case b: java.lang.Byte => u == b.toString
+        case b: java.lang.Boolean => u == b.toString
+        case d: java.sql.Date => u == d.toString
+        case d: java.time.LocalDate => u == d.toString
+        case _ => false
+      }
     }
-  }
 
   /** Is the dir fragment in CANONICAL form for `dt` — i.e. parsing and
     * re-rendering reproduces it exactly? Used when the dir itself is
@@ -121,7 +137,7 @@ object HivePartitionedRead {
     * against a literal string and never eligible. */
   def canonicalFor(raw: String, dt: DataType): Boolean = {
     if (raw == NullDir) return true
-    val u = unescape(raw)
+    val u = unescapeStrict(raw).getOrElse(return false) // malformed: refuse
     if (u.isEmpty || u == NullDir || u == "default") return false
     try dt match {
       case StringType => true

@@ -846,7 +846,10 @@ final class IcebergTable private (
                 files(i).entry.partition.getOrElse(pf.name, null),
                 sf.dataType, pf.name) }).flatMap { case (base, dirNames) =>
             val renames = dirNames.zip(idFields.map(_._2.name))
-            val taken = readPhys.fieldNames.toSet
+            // a dir name colliding with a data column, another target,
+            // or the positional meta columns would shadow/corrupt them
+            // in discovery — refuse (fall back to injection)
+            val taken = readPhys.fieldNames.toSet + PosFileCol + PosIdxCol
             if (renames.exists { case (d, t) => d != t && (taken(d) ||
                 idFields.exists(_._2.name == d)) }) None
             else {

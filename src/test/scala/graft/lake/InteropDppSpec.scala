@@ -200,6 +200,13 @@ class InteropDppSpec extends AnyFunSuite {
     // escaped values round-trip: '=' and '/' are %-escaped in dirs
     assert(H.unescape("a%3Db%2Fc") == "a=b/c")
     assert(H.matchesAuthoritative("a%3Db%2Fc", "a=b/c"))
+    // MALFORMED escapes refuse outright: decoders disagree on them
+    // (parseInt-based ones accept '%+1'; digit-checked ones keep it
+    // literal), so eligibility must never rest on either guess
+    assert(H.unescapeStrict("a%+1b").isEmpty)
+    assert(H.unescapeStrict("a%4").isEmpty)
+    assert(!H.matchesAuthoritative("a%+1b", "a%+1b"))
+    assert(!H.canonicalFor("a%zz", StringType))
 
     // END-TO-END refusal: a NON-IDENTITY transform in the spec (bucket
     // dirs hold derived hashes, not column values) is never
