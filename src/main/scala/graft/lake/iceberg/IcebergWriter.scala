@@ -1194,6 +1194,20 @@ object IcebergWriter {
     (w, () => captured.toSeq)
   }
 
+  /** Capturing writer over STAGED metadata that is not registered
+    * anywhere yet (r15; stage-create CTAS): data files + manifests land
+    * at the staged location, commits are captured (base, staged) pairs
+    * for [[rest.IcebergRestTransaction.createAndCommit]] to replay
+    * through one assert-create transaction. */
+  def openStagedMeta(spark: SparkSession,
+      meta: IceMeta): (IcebergWriter, () => Seq[(IceMeta, IceMeta)]) = {
+    val w = new IcebergWriter(spark, meta.location, meta, 0, Nil,
+      writeInitial = false, None)
+    val captured = scala.collection.mutable.ArrayBuffer[(IceMeta, IceMeta)]()
+    w.restCommit = Some((base, cur) => { captured += ((base, cur)); cur })
+    (w, () => captured.toSeq)
+  }
+
   /** REOPEN an existing table for further commits — the cross-process
     * half of the write bridge (a fresh connector/exporter process must
     * resume committing where the last one stopped). Loads the current

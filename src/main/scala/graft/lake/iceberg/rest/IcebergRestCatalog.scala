@@ -297,6 +297,42 @@ final class IcebergRestCatalog(uri: String,
     }
   }
 
+  /** STAGED CREATE (r15; CreateTableRequest.stage-create): the service
+    * returns the would-be table metadata WITHOUT registering anything —
+    * the table materializes only when a transaction carrying
+    * `assert-create` commits it ([[IcebergRestTransaction.createAndCommit]]:
+    * transactional CTAS through the catalog). The returned LoadResult
+    * carries metadata only (no metadata-location — nothing committed). */
+  def stageCreateTable(ns: Seq[String], name: String, schemaJson: String,
+      specFieldsJson: Option[String] = None,
+      properties: Map[String, String] = Map.empty): LoadResult = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.put("stage-create", true)
+    body.set[ObjectNode]("schema", mapper.readTree(schemaJson))
+    specFieldsJson.foreach { sj =>
+      val spec = body.putObject("partition-spec")
+      spec.put("spec-id", 0)
+      spec.set[ObjectNode]("fields", mapper.readTree(sj))
+    }
+    if (properties.nonEmpty) {
+      val p = body.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    val r = send("POST", v1(s"/namespaces/${nsSeg(ns)}/tables"),
+      Some(mapper.writeValueAsString(body)))
+    r.statusCode() match {
+      case 200 =>
+        val n = mapper.readTree(r.body())
+        LoadResult("", IcebergMeta.parse(
+          mapper.writeValueAsString(n.get("metadata"))))
+      case 409 => sys.error(
+        s"iceberg-rest: table ${ns.mkString(".")}.$name already exists: ${errorOf(r)}")
+      case c => sys.error(
+        s"iceberg-rest: stage-create $name failed: HTTP $c ${errorOf(r)}")
+    }
+  }
+
   /** REGISTER an existing table (its current metadata.json) under a name
     * — the spec's adoption endpoint; zero data or metadata movement. */
   def registerTable(ns: Seq[String], name: String,

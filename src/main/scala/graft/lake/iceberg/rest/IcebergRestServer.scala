@@ -228,6 +228,8 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
         m.copy(snapshots = m.snapshots.filterNot(s => ids(s.id)),
           snapshotLog = m.snapshotLog.filterNot(e => ids(e._2)),
           refs = m.refs.filterNot { case (_, r) => ids(r.snapshotId) })
+      case "set-location" => // staged creates carry the staged location
+        m.copy(location = u.get("location").asText())
       case "set-properties" =>
         val kvs = u.get("updates").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
@@ -626,6 +628,20 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
       0, Seq(IcePartSpec(0, specFields)),
       specFields.map(_.fieldId).maxOption.getOrElse(999),
       props, None, Nil, Nil, Map.empty)
+    // STAGED CREATE (r15; CreateTableRequest.stage-create): return the
+    // would-be metadata WITHOUT registering or writing anything — the
+    // table materializes only when a transaction carrying assert-create
+    // commits it (transactional CTAS through the catalog). An existing
+    // name still 409s eagerly (fail fast, same as the commit would).
+    if (body.path("stage-create").asBoolean(false)) {
+      if (tables.containsKey(k)) {
+        err(x, 409, "AlreadyExistsException", s"table $name exists"); return
+      }
+      val o = mapper.createObjectNode()
+      o.set[JsonNode]("metadata", mapper.readTree(IcebergMeta.render(meta)))
+      send(x, 200, mapper.writeValueAsString(o))
+      return
+    }
     val outcome = lock.synchronized {
       if (tables.containsKey(k)) None
       else {
@@ -854,27 +870,65 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
           "duplicate table in transaction (merge its changes into one entry)"))
       else {
         // phase 1: resolve + validate EVERY change, apply updates in
-        // memory — nothing visible yet
+        // memory — nothing visible yet. A change whose requirements are
+        // exactly [assert-create] TARGETS A STAGED TABLE (transactional
+        // CTAS): it must NOT exist yet; its updates replay the creation
+        // (assign-uuid / add-schema / add-spec / …) over an empty seed
+        // at the warehouse location before the data commits apply.
         var failure: Option[(Int, String, String)] = None
         val staged = resolved.flatMap { case (k, label, c) =>
           if (failure.isDefined) Nil
-          else Option(tables.get(k)) match {
-            case None =>
-              failure = Some((404, "NoSuchTableException", s"no table $label"))
-              Nil
-            case Some(prevLoc) =>
-              val cur = readMeta(prevLoc)
-              val reqs = (if (c.has("requirements"))
-                c.get("requirements").elements().asScala.toSeq else Nil)
-              reqs.flatMap(r => checkRequirement(cur, r)).headOption match {
-                case Some(fail) =>
-                  failure = Some((409, "CommitFailedException", s"$label: $fail"))
-                  Nil
-                case None =>
-                  val ups = (if (c.has("updates"))
-                    c.get("updates").elements().asScala.toSeq else Nil)
-                  Seq((k, ups.foldLeft(cur)(applyUpdate), prevLoc))
+          else {
+            val reqs = (if (c.has("requirements"))
+              c.get("requirements").elements().asScala.toSeq else Nil)
+            val isCreate = reqs.exists(_.path("type").asText() == "assert-create")
+            val ups = (if (c.has("updates"))
+              c.get("updates").elements().asScala.toSeq else Nil)
+            if (isCreate) {
+              if (reqs.lengthCompare(1) != 0) {
+                failure = Some((400, "BadRequestException",
+                  s"$label: assert-create must be the only requirement"))
+                Nil
+              } else if (tables.containsKey(k)) {
+                failure = Some((409, "CommitFailedException",
+                  s"$label: table already exists (assert-create failed)"))
+                Nil
+              } else {
+                val segs = k.split("\u0000").toSeq
+                val loc0 = segs.mkString(s"$warehouse/", "/", "")
+                val loc = {
+                  val p = new Path(loc0)
+                  p.getFileSystem(conf).makeQualified(p).toString
+                }
+                // empty seed: the updates replay the staged creation
+                // (set-location / assign-uuid / add-schema / add-spec …);
+                // an unpartitioned staged table sends no add-spec, so
+                // the default empty spec 0 is appended post-fold
+                val seed = IceMeta(2, "", loc, 0L, 0, 0, Nil, 0,
+                  Nil, 999, Map.empty, None, Nil, Nil, Map.empty)
+                val folded = ups.foldLeft(seed)(applyUpdate)
+                val next =
+                  if (folded.specs.isEmpty)
+                    folded.copy(specs = Seq(IcePartSpec(0, Nil)))
+                  else folded
+                require(next.schemas.nonEmpty && next.uuid.nonEmpty,
+                  s"$label: staged create must replay schema + uuid updates")
+                Seq((k, next, None: Option[String]))
               }
+            } else Option(tables.get(k)) match {
+              case None =>
+                failure = Some((404, "NoSuchTableException", s"no table $label"))
+                Nil
+              case Some(prevLoc) =>
+                val cur = readMeta(prevLoc)
+                reqs.flatMap(r => checkRequirement(cur, r)).headOption match {
+                  case Some(fail) =>
+                    failure = Some((409, "CommitFailedException", s"$label: $fail"))
+                    Nil
+                  case None =>
+                    Seq((k, ups.foldLeft(cur)(applyUpdate), Some(prevLoc)))
+                }
+            }
           }
         }
         failure match {
@@ -884,7 +938,7 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
             // pointers — an IO failure before any swap leaves only
             // orphan metadata files, never a torn transaction
             val mls = staged.map { case (k, next, prevLoc) =>
-              (k, writeMeta(next, Some(prevLoc))) }
+              (k, writeMeta(next, prevLoc)) }
             mls.foreach { case (k, ml) => tables.put(k, ml) }
             Right(())
         }

@@ -50,4 +50,30 @@ object IcebergRestTransaction {
     }
     catalog.commitTransaction(changes)
   }
+
+  /** Transactional CTAS through the catalog (r15; the spec's
+    * stage-create + assert-create pair): the service returns the
+    * would-be metadata WITHOUT registering; `op` stages data files +
+    * manifests at the staged location through a capturing writer; ONE
+    * transaction carrying assert-create + the creation replay + the
+    * data commits then registers the table all-or-nothing. A racing
+    * create of the same name 409s the whole transaction and the staged
+    * files are never referenced — no half-created table is ever
+    * visible. */
+  def createAndCommit(spark: SparkSession, catalog: IcebergRestCatalog,
+      ns: Seq[String], name: String, schemaJson: String,
+      specFieldsJson: Option[String] = None,
+      properties: Map[String, String] = Map.empty)(
+      op: IcebergWriter => Unit): Unit = {
+    val staged = catalog.stageCreateTable(ns, name, schemaJson,
+      specFieldsJson, properties)
+    val (w, changesOf) = IcebergWriter.openStagedMeta(spark, staged.metadata)
+    op(w)
+    val chg = changesOf()
+    val cur = if (chg.isEmpty) staged.metadata else chg.last._2
+    catalog.commitTransaction(Seq((ns, name,
+      RestCommit.createRequirements(),
+      RestCommit.concat(RestCommit.createUpdates(staged.metadata),
+        RestCommit.updates(staged.metadata, cur)))))
+  }
 }

@@ -16,6 +16,52 @@ object RestCommit {
 
   private val mapper = new ObjectMapper()
 
+  /** The STAGED-CREATE commit shape (r15): `assert-create` (the table
+    * must not exist) + updates replaying the staged metadata's creation
+    * over the service's empty seed — set-location first (a staged
+    * custom location must not depend on the service re-deriving it),
+    * then uuid / format-version / schemas / specs / properties. A
+    * transaction then appends the data commits' updates after these. */
+  def createRequirements(): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    arr.addObject().put("type", "assert-create")
+    arr
+  }
+
+  def createUpdates(staged: IceMeta): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    def add(action: String): ObjectNode = {
+      val o = arr.addObject(); o.put("action", action); o
+    }
+    add("set-location").put("location", staged.location)
+    add("assign-uuid").put("uuid", staged.uuid)
+    if (staged.formatVersion > 2)
+      add("upgrade-format-version").put("format-version", staged.formatVersion)
+    staged.schemas.foreach { s =>
+      val o = add("add-schema")
+      o.set[ObjectNode]("schema", IcebergMeta.renderSchemaNode(s))
+      o.put("last-column-id", staged.lastColumnId)
+    }
+    add("set-current-schema").put("schema-id", staged.currentSchemaId)
+    staged.specs.filterNot(sp => sp.specId == 0 && sp.fields.isEmpty)
+      .foreach(sp =>
+        add("add-spec").set[ObjectNode]("spec", IcebergMeta.renderSpecNode(sp)))
+    if (staged.specs.exists(sp => sp.specId == staged.defaultSpecId && sp.fields.nonEmpty))
+      add("set-default-spec").put("spec-id", staged.defaultSpecId)
+    if (staged.properties.nonEmpty) {
+      val o = add("set-properties").putObject("updates")
+      staged.properties.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    }
+    arr
+  }
+
+  /** Concatenate update arrays (creation replay + data-commit diff). */
+  def concat(a: ArrayNode, b: ArrayNode): ArrayNode = {
+    val out = mapper.createArrayNode()
+    out.addAll(a); out.addAll(b)
+    out
+  }
+
   /** assert-table-uuid + assert-ref-snapshot-id(main) at the base state;
     * a null snapshot-id asserts the ref did not exist yet (first commit). */
   def requirements(base: IceMeta): ArrayNode = {

@@ -685,6 +685,46 @@ class IcebergRestSpec extends AnyFunSuite {
         IcebergRestTransaction.commit(spark, cat, Seq(
           (Seq("ns"), "ghost") -> ((w: IcebergWriter) => { w.append(o.limit(1)); () })))
       }
+
+      // STAGED CREATE (transactional CTAS): stage-create returns
+      // metadata without registering — the name stays invisible until
+      // the assert-create transaction commits it WITH its data
+      val sch2 = IcebergMeta.renderSchemaJson(iceSchemaOf(o))
+      val staged0 = cat.stageCreateTable(Seq("ns"), "ctas", sch2)
+      assert(staged0.metadataLocation.isEmpty, "staged create commits nothing")
+      assert(!cat.tableExists(Seq("ns"), "ctas"),
+        "a staged table must not be visible before its transaction")
+      IcebergRestTransaction.createAndCommit(spark, cat, Seq("ns"), "ctas",
+        sch2)(w => { w.append(o.limit(60)); () })
+      assert(cat.tableExists(Seq("ns"), "ctas"))
+      assert(count("ctas") == 60, "CTAS data must land with the create")
+      // re-staging an existing name fails FAST at the stage call
+      intercept[RuntimeException] {
+        cat.stageCreateTable(Seq("ns"), "ctas", sch2)
+      }
+      assert(count("ctas") == 60)
+      // the real RACE: stage first, another creator lands the name,
+      // then the staged transaction 409s at assert-create and the
+      // loser's staged files are never referenced
+      val stagedRace = cat.stageCreateTable(Seq("ns"), "ctas2", sch2)
+      val (wS, chS) = IcebergWriter.openStagedMeta(spark, stagedRace.metadata)
+      wS.append(o.limit(5))
+      cat.createTable(Seq("ns"), "ctas2", sch2) // the racing creator wins
+      intercept[java.util.ConcurrentModificationException] {
+        cat.commitTransaction(Seq((Seq("ns"), "ctas2",
+          RestCommit.createRequirements(),
+          RestCommit.concat(RestCommit.createUpdates(stagedRace.metadata),
+            RestCommit.updates(stagedRace.metadata, chS().last._2)))))
+      }
+      assert(cat.loadTable(Seq("ns"), "ctas2")
+          .metadata.currentSnapshotId.isEmpty,
+        "the losing CTAS's staged data must never be referenced")
+      // a data-less staged create still registers (empty table)
+      IcebergRestTransaction.createAndCommit(spark, cat, Seq("ns"),
+        "ctas_empty", sch2)(_ => ())
+      assert(cat.tableExists(Seq("ns"), "ctas_empty"))
+      assert(cat.loadTable(Seq("ns"), "ctas_empty")
+        .metadata.currentSnapshotId.isEmpty)
     } finally server.stop()
   }
 }
