@@ -134,13 +134,24 @@ object HivePartitionedRead {
     * same field rides in the file — canonical form guarantees the
     * dir-parsed value equals the in-file value the writer derived it
     * from). "default" (Hudi's non-hive null sentinel) is ambiguous
-    * against a literal string and never eligible. */
+    * against a literal string and never eligible.
+    *
+    * StringType requires the fragment to be ESCAPE-FREE (r16, advice):
+    * with no independent authority, a '%' in the dir is ambiguous —
+    * Hudi defaults `hoodie.datasource.write.partitionpath.urlencode`
+    * to false, so a field value containing a literal %XX sequence
+    * (e.g. "100%25") is written verbatim, while Spark's partition
+    * discovery unescapes it to a DIFFERENT value ("100%"). Numeric /
+    * date / boolean canonical forms can never contain '%', so only
+    * strings carried the hazard. A %-free fragment is served verbatim
+    * by every decoder, escaped or not. Values with '%' fall back to
+    * the plain read — missed optimization, never a wrong value. */
   def canonicalFor(raw: String, dt: DataType): Boolean = {
     if (raw == NullDir) return true
     val u = unescapeStrict(raw).getOrElse(return false) // malformed: refuse
     if (u.isEmpty || u == NullDir || u == "default") return false
     try dt match {
-      case StringType => true
+      case StringType => raw.indexOf('%') < 0
       case IntegerType => u == u.toInt.toString
       case LongType => u == u.toLong.toString
       case ShortType => u == u.toShort.toString

@@ -295,7 +295,12 @@ final class HudiTable private (
     val safeGens = Set("SimpleKeyGenerator", "ComplexKeyGenerator",
       "SimpleAvroKeyGenerator", "ComplexAvroKeyGenerator",
       "NonpartitionedKeyGenerator")
-    if (keygenClass.exists(k => !safeGens.contains(k.split('.').last)))
+    // the keygen must be RECORDED and in the verbatim-rendering set
+    // (r16, advice): an absent hoodie.table.keygenerator.class on an
+    // external table may hide a timestamp-based keygen whose path
+    // rendering reformats a string field — canonicalFor(StringType)
+    // cannot detect that, so unrecorded refuses (exact-or-fall-back).
+    if (!keygenClass.exists(k => safeGens.contains(k.split('.').last)))
       return None
     val partFields = partitionFields.map(f =>
       schema.fields.find(_.name == f).getOrElse(return None))

@@ -986,6 +986,16 @@ object HudiWriter {
     if (partitionFields.nonEmpty)
       props.setProperty("hoodie.table.partition.fields", partitionFields.mkString(","))
     props.setProperty("hoodie.datasource.write.hive_style_partitioning", "true")
+    // record the keygen (as Hudi itself does): the verified hive read
+    // requires a RECORDED verbatim-rendering generator (r16, advice) —
+    // this writer renders partition paths with toString, which is
+    // exactly Simple/Complex KeyGenerator semantics
+    props.setProperty("hoodie.table.keygenerator.class",
+      if (partitionFields.isEmpty)
+        "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+      else if (partitionFields.length == 1 && !keyField.contains(","))
+        "org.apache.hudi.keygen.SimpleKeyGenerator"
+      else "org.apache.hudi.keygen.ComplexKeyGenerator")
     val out = fs.create(new Path(p, ".hoodie/hoodie.properties"), false)
     try props.store(out, "graft hudi writer")
     finally out.close()

@@ -97,6 +97,13 @@ object RestCommit {
         "it through a location-based writer or extend RestCommit.updates")
     unchanged("table uuid", base.uuid, cur.uuid)
     unchanged("table location", base.location, cur.location)
+    // v3 row lineage advances next-row-id on every append; the REST
+    // spec has no update action carrying it, so a lineage write through
+    // this path would silently lose lineage at the catalog (r16,
+    // advice). Refuse loudly instead — lineage tables commit through a
+    // location-based writer.
+    unchanged("next-row-id (v3 row lineage; no REST update action)",
+      base.nextRowId, cur.nextRowId)
     if (cur.specs == base.specs)
       unchanged("last-partition-id (without an add-spec to carry it)",
         base.lastPartitionId, cur.lastPartitionId)

@@ -130,8 +130,18 @@ object Ann {
           max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
     else {
       val blocks = math.ceil(estCentroids.toDouble / maxBroadcast).toInt
+      // block on a HASH of c_id, not c_id itself (r16, advice): sampled
+      // centroid ids are multiples of the sampling step, so pmod(c_id,
+      // blocks) collapses to every gcd(step, blocks)-th block — worst
+      // case ALL centroids in block 0, broadcasting the full set at
+      // exactly the scale the ceiling exists for. xxhash64 is dense and
+      // uniform over any id structure (balance is statistical, but at
+      // ceiling scale n/blocks ≫ 1 the binomial spread is a few %);
+      // blocking stays order-independent so the equality-by-construction
+      // argument (global argmax of per-block argmaxes) is unchanged.
       val winners = (0 until blocks).map { b =>
-        val blk = centroids.filter(pmod(col("c_id"), lit(blocks.toLong)) === b.toLong)
+        val blk = centroids.filter(
+          pmod(xxhash64(col("c_id")), lit(blocks.toLong)) === b.toLong)
         corpus.join(broadcast(blk))
           .groupBy(col("vec_id"))
           .agg(first(col("u")).as("u"),

@@ -159,6 +159,38 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet, "every vector must be assigned")
   }
 
+  test("ann_ivf: hash blocking spreads STRIDED centroid ids (r16, advice)") {
+    // sampled centroid ids are multiples of the sampling step, so the
+    // old pmod(c_id, blocks) key collapsed to every gcd(step, blocks)-th
+    // block — worst case ALL centroids in block 0, broadcasting the
+    // full set past the ceiling. Pin the repaired key (xxhash64) on the
+    // degenerate shape: ids ≡ 0 (mod blocks), several blocks populated.
+    import spark.implicits._
+    val blocks = 4
+    val ids = (0 until 400 by 16).map(_.toLong).toDF("c_id") // all ≡ 0 mod 4
+    val perBlock = ids
+      .groupBy(pmod(xxhash64(col("c_id")), lit(blocks.toLong)).as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBlock.keySet.subsetOf((0L until blocks).toSet))
+    assert(perBlock.size > 1,
+      s"strided ids must spread over multiple blocks, got $perBlock")
+    assert(perBlock.values.max < ids.count(),
+      s"no block may hold the full centroid set: $perBlock")
+    // ...and equality still holds on strided ids past the ceiling
+    import graft.functions.VectorFunctions.normalized
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), normalized(col("embedding")).as("u"))
+    val centroids = corpus.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("c_id"), col("u").as("cu"))
+    val est = centroids.count()
+    def assign(ceiling: Long): Map[Long, Long] =
+      queries.Ann.ivfAssign(corpus, centroids, est, maxBroadcast = ceiling)
+        .select("vec_id", "c_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(4L) == assign(Long.MaxValue),
+      "blocked assignment on strided ids drifted from single broadcast")
+  }
+
   test("cluster training sample is byte-budgeted: wide embeddings cannot flood the driver") {
     val budget = queries.Dedup.SampleByteBudget
     // the hard invariant: rows × dim × 8 ≤ budget for ANY (k, dim)

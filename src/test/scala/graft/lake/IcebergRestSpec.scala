@@ -236,6 +236,29 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("row-lineage metadata refuses the REST diff loudly (r16, advice)") {
+    // next-row-id has NO update action in the REST spec; before r16 the
+    // completeness guard missed it, so a lineage enable/append through
+    // the REST path silently dropped lineage at the catalog (the writer
+    // then adopts the catalog's metadata as truth — invisible loss).
+    // Now it refuses, naming the field.
+    val server = new IcebergRestServer(fresh("icerest-lineage-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      val w = IcebergWriter.openRest(spark, cat, Seq("ns"), "t")
+      val e = intercept[IllegalArgumentException] { w.enableRowLineage() }
+      assert(e.getMessage.contains("next-row-id"), e.getMessage)
+      // the catalog state did not move: still zero snapshots, no lineage
+      val lr = cat.loadTable(Seq("ns"), "t")
+      assert(lr.metadata.nextRowId.isEmpty)
+      assert(lr.metadata.currentSnapshotId.isEmpty)
+    } finally server.stop()
+  }
+
   test("every writer mutation is equivalent REST-committed and location-committed") {
     // the REST path commits a metadata DIFF (RestCommit.updates) that the
     // service re-applies, while the location path persists the writer's

@@ -43,6 +43,21 @@ class InteropDppSpec extends AnyFunSuite {
     "interop_dpp_dim"
   }
 
+  /** File scans under `p`, recursing through AQE stage leaves and
+    * reused exchanges (AQE wraps executed subtrees in QueryStageExec
+    * LEAVES, which plain collect never enters). */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+    }.flatten.distinct
+
   private def assertDpp(fmt: String, loc: String): Unit = {
     val q = spark.sql(
       s"""SELECT d.label, count(*) AS n
@@ -59,19 +74,6 @@ class InteropDppSpec extends AnyFunSuite {
     // FILE-COUNT receipt: after execution, the fact-side scan's metrics
     // must show FEWER files read than the fact table holds — the
     // runtime filter actually pruned, not just appeared in the plan
-    // AQE wraps executed subtrees in QueryStageExec LEAVES — recurse
-    // through them (and reused exchanges) to reach the file scans
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collectWithSubqueries {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scans(qs.plan)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          scans(r.child)
-      }.flatten.distinct
     val factScans = scans(q.queryExecution.executedPlan)
       .filter(_.metadata.get("Location").exists(_.contains(loc)))
     assert(factScans.nonEmpty, s"$fmt: no fact-side file scan found")
@@ -101,6 +103,52 @@ class InteropDppSpec extends AnyFunSuite {
       partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
       .insert(orders)
     assertDpp("graft-hudi", loc)
+  }
+
+  test("hudi UNRECORDED keygen refuses the hive read and stays correct (r16)") {
+    // an external table whose hoodie.properties omits
+    // hoodie.table.keygenerator.class may hide a timestamp-based keygen
+    // that REFORMATS a string field into the path — eligibility now
+    // requires the keygen to be recorded AND verbatim-rendering
+    // (advice r16). With the property stripped, the scan must fall
+    // back to the plain read (partition columns from the files) and
+    // serve identical values.
+    val loc = freshDir("hudi-nokeygen")
+    HudiWriter.create(spark, loc, orders.schema,
+      partitionFields = Seq("o_orderstatus"), keyField = "o_orderkey")
+      .insert(orders)
+    // the data-column predicate keeps AggPushdown from answering the
+    // whole query out of metadata — a real file scan must appear
+    def agg() = spark.read.format("graft-hudi").load(loc)
+      .filter(col("o_orderkey") % 2 === 0)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withKeygen = agg()
+    // our writer records the keygen (real Hudi does too) — the hive
+    // read is active: the scan relation is genuinely dir-partitioned
+    def factPartitioned(): Boolean = {
+      val q = spark.read.format("graft-hudi").load(loc)
+        .filter(col("o_orderkey") % 2 === 0)
+        .groupBy("o_orderstatus").count()
+      q.collect()
+      val ss = scans(q.queryExecution.executedPlan)
+      assert(ss.nonEmpty, "expected a file scan in the executed plan")
+      ss.flatMap(_.relation.partitionSchema.fieldNames)
+        .contains("o_orderstatus")
+    }
+    assert(factPartitioned(), "recorded safe keygen must keep the hive read")
+    // strip the property, as an older/external writer would
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(loc, ".hoodie/hoodie.properties")
+    val fs = p.getFileSystem(conf)
+    val props = new java.util.Properties()
+    val in = fs.open(p); try props.load(in) finally in.close()
+    assert(props.remove("hoodie.table.keygenerator.class") != null)
+    fs.delete(p, false)
+    val out = fs.create(p, false)
+    try props.store(out, "keygen stripped") finally out.close()
+    assert(!factPartitioned(), "unrecorded keygen must refuse the hive read")
+    assert(agg() == withKeygen, "fallback read drifted from the hive read")
   }
 
   test("runtime BLOOM filters reach interop scans on NON-partition join keys (r15)") {
@@ -207,6 +255,16 @@ class InteropDppSpec extends AnyFunSuite {
     assert(H.unescapeStrict("a%4").isEmpty)
     assert(!H.matchesAuthoritative("a%+1b", "a%+1b"))
     assert(!H.canonicalFor("a%zz", StringType))
+    // string canonical form is ESCAPE-FREE (r16, advice): with no
+    // independent authority, a well-formed %XX is ambiguous — Hudi's
+    // default urlencode=false writes "100%25" verbatim as the FIELD
+    // value, Spark discovery decodes it to "100%". Refuse any '%'.
+    assert(!H.canonicalFor("100%25", StringType))
+    assert(!H.canonicalFor("a%3Db", StringType))
+    assert(H.canonicalFor("plain-value", StringType))
+    // ...but matchesAuthoritative (authority-backed paths) still
+    // accepts well-formed escapes: decoded == authoritative is proof
+    assert(H.matchesAuthoritative("100%25", "100%"))
 
     // END-TO-END refusal: a NON-IDENTITY transform in the spec (bucket
     // dirs hold derived hashes, not column values) is never
