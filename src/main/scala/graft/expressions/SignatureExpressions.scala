@@ -300,7 +300,8 @@ case class SimHashSig(child: Expression)
   * `maxDim` bounds the plane matrix; input dimensions beyond it are
   * ignored (callers pass maxDim ≥ embedding dim).
   */
-case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, maxDim: Int = 256)
+case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int,
+    maxDim: Int = 256, lcgPlanes: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(bitsPerBand >= 1 && bitsPerBand <= 62, "band key must fit a long")
 
@@ -318,7 +319,26 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, m
     z ^ (z >>> 31)
   }
 
-  /** plane p, flattened: component for dim i at p*maxDim+i, uniform [-1,1]. */
+  /** Plane component for flat index `idx` in MODULAR int64-safe
+    * arithmetic (r16): two Lehmer affine rounds with a QUADRATIC mix
+    * between them — an affine-only chain stays affine in idx, putting
+    * components on a lattice (correlated planes, collapsing band keys);
+    * x·x+x breaks that while every intermediate stays under 2^63, so an
+    * external SQL engine (DuckDB BIGINT, which errors on overflow —
+    * splitmix64's wrapping 64-bit multiplies are inexpressible there)
+    * replays the value bit-for-bit. Uniform [-0.5, 0.5); sign-hash LSH
+    * is scale-invariant so the narrower range changes nothing. */
+  private def lcgComponent(idx: Long): Double = {
+    val m = 2147483647L
+    val x1 = (idx + 1L) * 48271L % m
+    val x15 = (x1 + 11L) % m
+    val x2 = (x15 * x15 + x15) % m
+    val x3 = (x2 * 48271L + 11L) % m
+    x3.toDouble / m - 0.5
+  }
+
+  /** plane p, flattened: component for dim i at p*maxDim+i, uniform [-1,1]
+    * (splitmix64) or [-0.5,0.5) (lcgPlanes — the cross-engine variant). */
   @transient private lazy val planes: Array[Double] = {
     val nPlanes = bands * bitsPerBand
     val a = new Array[Double](nPlanes * maxDim)
@@ -326,13 +346,18 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, m
     while (p < nPlanes) {
       var i = 0
       while (i < maxDim) {
-        val u = splitmix64(p.toLong * 1000003L + i)
-        // (u >>> 11) has 53 random bits → [0, 2^53); the 2^-53 scale puts
-        // it on [0,1) so the affine map lands on the DOCUMENTED [-1,1).
-        // (A 2^-52 scale — [0,2) — made every component mean +1: all
-        // planes pointed near the all-ones direction, band keys
-        // collapsed, and the LSH band join degenerated toward cross.)
-        a(p * maxDim + i) = (u >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+        a(p * maxDim + i) =
+          if (lcgPlanes) lcgComponent(p.toLong * maxDim + i)
+          else {
+            val u = splitmix64(p.toLong * 1000003L + i)
+            // (u >>> 11) has 53 random bits → [0, 2^53); the 2^-53 scale
+            // puts it on [0,1) so the affine map lands on the DOCUMENTED
+            // [-1,1). (A 2^-52 scale — [0,2) — made every component mean
+            // +1: all planes pointed near the all-ones direction, band
+            // keys collapsed, and the LSH band join degenerated toward
+            // cross.)
+            (u >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+          }
         i += 1
       }
       p += 1
@@ -378,6 +403,17 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int, m
   * per-doc sort) with a map-only projection. A document with fewer than
   * w shingles contributes one whole-range fingerprint, mirroring the
   * window shape of the r02 DataFrame formulation.
+  *
+  * The shingle hash is a PLAIN POLYNOMIAL over code points (r16):
+  * word hash = fold cp: (h·131 + cp) mod 1e9+7 from seed 7; shingle
+  * hash = fold word-hashes: (h·1000003 + wh) mod 1e9+7 from seed 11 —
+  * integer arithmetic an external SQL engine replays exactly
+  * (list_reduce + unicode() in the DuckDB oracle), which is what lets
+  * text_fingerprint carry a hard rows+hash oracle instead of the old
+  * xxhash-chain's rows-only gate. Winnowing cares only that the hash
+  * is deterministic and well-spread; 1e9+7 is ample at corpus scale
+  * (window-min collisions only perturb which shingle represents a
+  * window).
   */
 case class WinnowFingerprint(child: Expression, n: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -406,14 +442,30 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
       i += 1
     }
     val k = toks.size()
+    // per-word polynomial hashes computed once (each word participates
+    // in up to n shingles) — see class doc for the cross-engine formula
+    val whs = new Array[Long](k)
+    var wi = 0
+    while (wi < k) {
+      val str = toks.get(wi).toString
+      var h = 7L
+      var ci = 0
+      while (ci < str.length) {
+        val cp = str.codePointAt(ci)
+        h = (h * 131L + cp) % 1000000007L
+        ci += Character.charCount(cp)
+      }
+      whs(wi) = h
+      wi += 1
+    }
     val nShingles = if (k < n) 1 else k - n + 1
     val hs = new Array[Long](nShingles)
     var s = 0
     while (s < nShingles) {
       val end = if (k < n) k else s + n
-      var h = Signatures.ShingleSeed
+      var h = 11L
       var j = s
-      while (j < end) { h = XXH64.hashUTF8String(toks.get(j), h); j += 1 }
+      while (j < end) { h = (h * 1000003L + whs(j)) % 1000000007L; j += 1 }
       hs(s) = h
       s += 1
     }

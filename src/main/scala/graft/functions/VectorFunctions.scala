@@ -51,4 +51,18 @@ object VectorFunctions {
       graft.expressions.HyperplaneBandKeys(
         org.apache.spark.sql.graftshim.ColumnExpr.expression(v.cast("array<double>")),
         bands, bitsPerBand))
+
+  /** [[hyperplaneBandKeys]] with CROSS-ENGINE LCG planes (r16) — same
+    * sign-hash banding, but plane components come from int64-safe
+    * modular arithmetic an external SQL engine replays exactly (DuckDB
+    * BIGINT errors on overflow, so splitmix64's wrapping multiplies are
+    * inexpressible there) — what lets ann_lsh carry a hard DuckDB
+    * oracle. `maxDim` must match the oracle's plane width (the flat
+    * plane index is p·maxDim+i on both sides). */
+  def lcgHyperplaneBandKeys(v: Column, bands: Int, bitsPerBand: Int,
+      maxDim: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.HyperplaneBandKeys(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(v.cast("array<double>")),
+        bands, bitsPerBand, maxDim, lcgPlanes = true))
 }

@@ -61,11 +61,19 @@ object Ann {
     topK(cands)
   }
 
-  /** LSH ANN: both sides get 64 hyperplane bits in 16 bands × 4; a corpus
-    * vector is scored only if it shares ≥1 band bucket with the query —
-    * each probe touches ~1/16 of a uniformly-hashed corpus per band instead
-    * of all of it, and the band join is an equality shuffle, skew-split by
-    * AQE. Exact cosine then re-ranks the candidates (standard LSH re-rank). */
+  /** Plane width for ann_lsh's cross-engine LCG planes: the flat plane
+    * index is p·LshPlaneDim+i on BOTH sides (the oracle regenerates the
+    * same stream), so this is part of the oracle contract, not a cap. */
+  private val LshPlaneDim = 64
+
+  /** LSH ANN: both sides get 16 bands of adaptive-width hyperplane sign
+    * bits; a corpus vector is scored only if it shares ≥1 band bucket
+    * with the query — each probe touches ~1/16 of a uniformly-hashed
+    * corpus per band instead of all of it, and the band join is an
+    * equality shuffle, skew-split by AQE. Exact cosine then re-ranks the
+    * candidates (standard LSH re-rank). [oracle as of r16: planes are
+    * the LCG stream (see lcgHyperplaneBandKeys), so DuckDB replays
+    * signature → band join → re-rank end to end] */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -80,10 +88,12 @@ object Ann {
     // broadcast band join
     val corpusBands = corpus
       .select(col("vec_id"), normalized(col("v")).as("u"),
-        posexplode(hyperplaneBandKeys(col("v"), 16, bandBits)).as(Seq("band", "bkey")))
+        posexplode(lcgHyperplaneBandKeys(col("v"), 16, bandBits, LshPlaneDim))
+          .as(Seq("band", "bkey")))
     val queryBands = queriesOf(s, d)
       .select(col("q_id"), normalized(col("qv")).as("qu"),
-        posexplode(hyperplaneBandKeys(col("qv"), 16, bandBits)).as(Seq("band", "bkey")))
+        posexplode(lcgHyperplaneBandKeys(col("qv"), 16, bandBits, LshPlaneDim))
+          .as(Seq("band", "bkey")))
     val cands = corpusBands.join(broadcast(queryBands),
         Seq("band", "bkey")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("u"), col("qu"))
@@ -123,11 +133,18 @@ object Ann {
     *    the corpus scans once per block, each pass map-side. */
   private[graft] def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       estCentroids: Long, maxBroadcast: Long = IvfBroadcastCeiling): DataFrame = {
+    // argmax on the ROUNDED similarity (4 dp) with the c_id tiebreak —
+    // the same cross-engine discipline as topK (r16): raw-double argmax
+    // would let two near-tie centroids swap winners with the DuckDB
+    // oracle whenever the engines' cosines differ in the last ulp. Any
+    // consistent assignment is a valid IVF; this one is deterministic
+    // across engines, partitionings and cluster sizes.
     if (estCentroids <= maxBroadcast)
       corpus.join(broadcast(centroids))
         .groupBy(col("vec_id"))
         .agg(first(col("u")).as("u"),
-          max_by(col("c_id"), struct(dot(col("u"), col("cu")), -col("c_id"))).as("c_id"))
+          max_by(col("c_id"),
+            struct(Money.qround(dot(col("u"), col("cu")), 4), -col("c_id"))).as("c_id"))
     else {
       val blocks = math.ceil(estCentroids.toDouble / maxBroadcast).toInt
       // block on a HASH of c_id, not c_id itself (r16, advice): sampled
@@ -145,8 +162,9 @@ object Ann {
         corpus.join(broadcast(blk))
           .groupBy(col("vec_id"))
           .agg(first(col("u")).as("u"),
-            max_by(struct(dot(col("u"), col("cu")).as("sim"), col("c_id").as("c_id")),
-              struct(dot(col("u"), col("cu")), -col("c_id"))).as("w"))
+            max_by(struct(Money.qround(dot(col("u"), col("cu")), 4).as("sim"),
+                col("c_id").as("c_id")),
+              struct(Money.qround(dot(col("u"), col("cu")), 4), -col("c_id"))).as("w"))
       }.reduce(_ unionAll _)
       winners.groupBy(col("vec_id"))
         .agg(first(col("u")).as("u"),
@@ -179,7 +197,8 @@ object Ann {
     val queries = queriesOf(s, d).select(col("q_id"), normalized(col("qv")).as("qu"))
     val qc = queries.join(broadcast(centroids))
       .select(col("q_id"), col("qu"), col("c_id"), dot(col("qu"), col("cu")).as("sim"))
-    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    val wq = Window.partitionBy("q_id")
+      .orderBy(Money.qround(col("sim"), 4).desc, col("c_id").asc) // cross-engine probe order (r16)
     val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qu"), col("c_id"))
     val cands = assigned.join(broadcast(probes), Seq("c_id"))
@@ -221,7 +240,8 @@ object Ann {
     val queries = queriesOf(s, d).select(col("q_id"), normalized(col("qv")).as("qu"))
     val qc = queries.join(broadcast(centroids))
       .select(col("q_id"), col("qu"), col("c_id"), dot(col("qu"), col("cu")).as("sim"))
-    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    val wq = Window.partitionBy("q_id")
+      .orderBy(Money.qround(col("sim"), 4).desc, col("c_id").asc) // cross-engine probe order (r16)
     val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qu"), col("c_id"))
     // probed centroid set is ≤ |queries|·nprobe ids — small enough to
@@ -245,7 +265,11 @@ object Ann {
     * range and the max reconstruction error — map-only, the shape of a
     * 4×-compression rewrite of a 100 TB vector store. Error must stay
     * ≤ (vmax−vmin)/510 per dimension (half a code step); AnnSpec-style
-    * check lives in PipelineSpec. [rows] */
+    * check lives in PipelineSpec. [oracle as of r16: the whole
+    * quantize→reconstruct→error pass is plain double arithmetic DuckDB
+    * replays op-for-op — display rounding uses the cross-engine qround
+    * (floor(x·10^k+0.5)/10^k), not engine-native round(), so the
+    * driver's bit-exact float hash matches] */
   def annQuantize(s: SparkSession, d: String): DataFrame = {
     val q = org.apache.spark.sql.graftshim.ColumnExpr.column(
       graft.expressions.Quantize8Stats(
@@ -254,8 +278,9 @@ object Ann {
     Tables.embeddings(s, d)
       .select(col("vec_id"), q.as("q"))
       .select(col("vec_id"), col("q.n_dims").as("n_dims"),
-        round(col("q.vmin"), 6).as("vmin"), round(col("q.vmax"), 6).as("vmax"),
-        round(col("q.max_abs_err"), 8).as("max_abs_err"))
+        Money.qround(col("q.vmin"), 6).as("vmin"),
+        Money.qround(col("q.vmax"), 6).as("vmax"),
+        Money.qround(col("q.max_abs_err"), 8).as("max_abs_err"))
       .orderBy("vec_id")
   }
 
@@ -392,17 +417,64 @@ object Ann {
     "ann_quantize" -> (annQuantize _),
     "ann_pq" -> (annPq _))
 
-  /** Non-SQL-expressible (array math + LSH) → rows-only gate; AnnSpec
-    * checks bruteforce against an in-memory exact computation. */
   /** ann_bruteforce is EXACT top-k (the recall baseline the approximate
     * variants are specced against), so DuckDB can reproduce it outright:
     * same query set (vec_id % 100), same (cos desc, id asc) ranking, same
     * 4-dp rounding. Both sides compute the cosine in double (Spark
     * normalizes then dots; DuckDB's list_cosine_similarity divides by the
     * norms — algebraically equal, FP-different only below the rounding).
-    * The LSH/IVF/PQ entries stay rows+spec: their outputs depend on
-    * probe/bucket membership, which SQL cannot reproduce and which is
-    * exactly what PipelineSpec's recall cross-checks pin. */
+    *
+    * r16 flips the DETERMINISTIC approximate variants to hard oracles
+    * too — DuckDB replays the full algorithm, not just the answer:
+    *  - ann_ivf / ann_ivf_index: centroid sampling (vec_id % step),
+    *    rounded-argmax coarse assignment, rounded top-nprobe probe
+    *    selection, exact re-rank — every ordering uses the qround(4) +
+    *    id-tiebreak discipline so the two engines can never disagree on
+    *    a winner below the rounding. The index variant returns the same
+    *    rows by construction (same centroids/assignment/probes), so it
+    *    shares the SQL.
+    *  - ann_quantize: the SQ8 quantize→reconstruct→max-error pass is
+    *    plain double arithmetic replayed op-for-op.
+    * Still rows+spec, with a scope line each: ann_pq (the k=16 per-
+    * subspace k-means CODEBOOK is an iterative training artifact — SQL
+    * has no fixpoint iteration; PipelineSpec pins recall vs exact), and
+    * ann_lsh's recall properties (PipelineSpec) beyond the signature
+    * parity its own oracle pins. */
+  private val IvfOracleSql: String =
+    """WITH n_t AS (SELECT count(*) AS n FROM embeddings),
+       st AS (SELECT greatest(1, n // CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS step
+              FROM n_t),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT vec_id AS c_id, v AS cv FROM e, st WHERE vec_id % step = 0),
+       asg AS (
+         SELECT vec_id, c_id FROM (
+           SELECT e.vec_id, c.c_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY floor(list_cosine_similarity(e.v, c.cv) * 10000.0 + 0.5) / 10000.0 DESC,
+                             c.c_id ASC) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       pr AS (
+         SELECT q_id, c_id FROM (
+           SELECT q.q_id, c.c_id,
+                  row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 10000.0 + 0.5) / 10000.0 DESC,
+                             c.c_id ASC) AS r
+           FROM q, c) WHERE r <= 8),
+       cand AS (
+         SELECT pr.q_id, a.vec_id, list_cosine_similarity(e.v, q.qv) AS cs
+         FROM pr JOIN asg a ON pr.c_id = a.c_id
+                 JOIN e ON e.vec_id = a.vec_id
+                 JOIN q ON q.q_id = pr.q_id
+         WHERE a.vec_id <> pr.q_id),
+       ranked AS (
+         SELECT q_id, vec_id, cs,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY floor(cs * 10000.0 + 0.5) / 10000.0 DESC, vec_id ASC) AS rank
+         FROM cand)
+     SELECT q_id, vec_id, floor(cs * 10000.0 + 0.5) / 10000.0 AS cos_sim, CAST(rank AS INT) AS rank
+     FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
       """WITH q AS (
@@ -418,5 +490,72 @@ object Ann {
                     ORDER BY floor(c * 10000.0 + 0.5) / 10000.0 DESC, vec_id ASC) AS r
            FROM scored)
          SELECT q_id, vec_id, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim, CAST(r AS INT) AS rank
-         FROM ranked WHERE r <= 5 ORDER BY q_id, rank""")
+         FROM ranked WHERE r <= 5 ORDER BY q_id, rank""",
+    "ann_ivf" -> IvfOracleSql,
+    "ann_ivf_index" -> IvfOracleSql,
+    "ann_lsh" ->
+      // the LSH pipeline replayed: LCG plane stream (two Lehmer affine
+      // rounds + a quadratic mix, all mod 2^31−1 — int64-safe), sign
+      // bits packed MSB-first into per-band keys, band-bucket join,
+      // exact-cosine re-rank with the shared qround(4)+id discipline.
+      // Band width = the same adaptive formula (max(4, ⌈log2(n/64)⌉)).
+      """WITH n_t AS (SELECT count(*) AS n FROM embeddings),
+         bb AS (SELECT greatest(4, CAST(ceil(log2(greatest(1.0, n / 64.0))) AS INT)) AS w
+                FROM n_t),
+         hy AS (
+           SELECT bit,
+                  list_transform(
+                    list_transform(
+                      list_transform(range(0, 64),
+                        j -> (CAST(bit AS BIGINT) * 64 + j + 1) * 48271 + 11),
+                      x -> x % 2147483647),
+                    x -> CAST(((x * x + x) % 2147483647 * 48271 + 11) % 2147483647 AS DOUBLE)
+                         / 2147483647.0 - 0.5) AS h
+           FROM (SELECT unnest(range(0, 16 * (SELECT w FROM bb))) AS bit)),
+         ck AS (
+           SELECT e.vec_id, CAST(hy.bit // bb.w AS INT) AS band,
+                  CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), hy.h) > 0
+                       THEN CAST(1 AS BIGINT) << (bb.w - 1 - CAST(hy.bit % bb.w AS INT))
+                       ELSE 0 END) AS BIGINT) AS bkey
+           FROM embeddings e, hy, bb
+           GROUP BY e.vec_id, hy.bit // bb.w, bb.w),
+         qk AS (
+           SELECT e.vec_id AS q_id, CAST(hy.bit // bb.w AS INT) AS band,
+                  CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), hy.h) > 0
+                       THEN CAST(1 AS BIGINT) << (bb.w - 1 - CAST(hy.bit % bb.w AS INT))
+                       ELSE 0 END) AS BIGINT) AS bkey
+           FROM embeddings e, hy, bb
+           WHERE e.vec_id % 100 = 0
+           GROUP BY e.vec_id, hy.bit // bb.w, bb.w),
+         cand AS (
+           SELECT DISTINCT qk.q_id, ck.vec_id
+           FROM ck JOIN qk ON ck.band = qk.band AND ck.bkey = qk.bkey
+           WHERE ck.vec_id <> qk.q_id),
+         scored AS (
+           SELECT c.q_id, c.vec_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(qe.embedding AS DOUBLE[])) AS cs
+           FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                       JOIN embeddings qe ON qe.vec_id = c.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cs,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY floor(cs * 10000.0 + 0.5) / 10000.0 DESC, vec_id ASC) AS rank
+           FROM scored)
+       SELECT q_id, vec_id, floor(cs * 10000.0 + 0.5) / 10000.0 AS cos_sim, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+    "ann_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s AS (SELECT vec_id, e, len(e) AS n_dims,
+                      list_min(e) AS vmin, list_max(e) AS vmax,
+                      (list_max(e) - list_min(e)) / 255.0 AS scale
+               FROM v)
+         SELECT vec_id, n_dims,
+                floor(vmin * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+                floor(vmax * 1000000.0 + 0.5) / 1000000.0 AS vmax,
+                floor((CASE WHEN scale > 0.0
+                  THEN list_max(list_transform(e,
+                         x -> abs(vmin + round((x - vmin) / scale) * scale - x)))
+                  ELSE 0.0 END) * 100000000.0 + 0.5) / 100000000.0 AS max_abs_err
+         FROM s ORDER BY vec_id""")
 }

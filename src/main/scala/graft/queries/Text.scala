@@ -94,7 +94,10 @@ object Text {
   /** winnowing fingerprints (3-word shingles, window 4): set size, min, and
     * an order-independent xor signature per document — one native map-only
     * pass, no shuffle (two-step select so the struct expression is
-    * evaluated once, not once per extracted field). [rows] */
+    * evaluated once, not once per extracted field). [oracle as of r16:
+    * the shingle hash is a code-point polynomial mod 1e9+7 (see
+    * WinnowFingerprint), so DuckDB replays hash → window-min → distinct
+    * xor exactly] */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
@@ -229,6 +232,70 @@ object Text {
     "text_vocab" -> (textVocab _))
 
   val oracles: Map[String, String] = Map(
+    "text_fingerprint" ->
+      // winnowing replayed with list lambdas: per-word code-point
+      // polynomial (seed 7, ×131), 3-word shingle fold (seed 11,
+      // ×1000003), both mod 1e9+7; window-4 mins; distinct → count /
+      // min / xor. Short docs (< n words) hash their whole token list
+      // as ONE shingle; empty docs reduce to the bare seed (11) —
+      // identical edge shapes to the native expression.
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         wh AS (
+           SELECT doc_id,
+                  list_transform(toks, tok ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 1000000007)) AS whs
+           FROM t),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(whs) < 3 THEN
+                    [list_reduce(list_prepend(CAST(11 AS BIGINT), whs),
+                       (a, b) -> (a * 1000003 + b) % 1000000007)]
+                  ELSE
+                    list_transform(range(0, len(whs) - 2), s ->
+                      list_reduce(list_prepend(CAST(11 AS BIGINT), whs[s + 1 : s + 3]),
+                        (a, b) -> (a * 1000003 + b) % 1000000007))
+                  END AS shs
+           FROM wh),
+         mn AS (
+           SELECT doc_id,
+                  list_transform(
+                    range(0, CASE WHEN len(shs) < 4 THEN 1 ELSE len(shs) - 3 END),
+                    e -> list_min(shs[e + 1 : e + 4])) AS mins
+           FROM sh)
+         SELECT doc_id,
+                len(list_distinct(mins)) AS n_fp,
+                list_min(mins) AS fp_min,
+                list_reduce(list_distinct(mins), (a, b) -> xor(a, b)) AS fp_sig
+         FROM mn""",
+    "text_langid" ->
+      // the full argmax replayed: per-language profile-hit counts over
+      // the same whitespace tokens, greatest() + the same first-match
+      // (alphabetical) tie-break order as predLangCol's when-chain
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+                  len(list_filter(toks, x -> x IN ('el','los','las','y','de'))) AS s_es,
+                  len(list_filter(toks, x -> x IN ('le','la','les','et','des'))) AS s_fr,
+                  len(list_filter(toks, x -> x IN ('的','是','了','和','在'))) AS s_zh
+           FROM t),
+         g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+         SELECT doc_id,
+                CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                     WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                     WHEN s_zh = best THEN 'zh' ELSE 'und' END AS pred_lang,
+                CAST(best AS INT) AS score
+         FROM g""",
     "text_pii_redact" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
