@@ -641,8 +641,67 @@ object IcebergRestCatalog {
   private val vendOwner =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Expiring vend LEASE (r16, verdict #2): when the vended config
+    * carries the spec's `s3.session-token-expires-at-ms`, the bucket is
+    * registered with a re-resolve closure so a LONG session outlives a
+    * short-TTL STS vend — [[refreshExpiredVends]] re-loads the table
+    * through the catalog (the credential source, per the reference's
+    * catalog-owned config chain — iceberg_bridge.h:117-133) and
+    * re-applies the per-bucket conf BEFORE the next scan plans its IO. */
+  private final case class VendLease(owner: String, expiresAtMs: Long,
+      tableLocation: String, reResolve: () => LoadResult)
+  private val vendLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, VendLease]()
+  /** Refresh this long before nominal expiry: in-flight IO holding the
+    * PREVIOUS FileSystem instance finishes on still-valid credentials
+    * while new instances pick up the rotated ones. */
+  private[rest] val VendRefreshMarginMs = 60000L
+  /** Last cfg applied per bucket — rotation is detected by VALUE, and
+    * only a real rotation evicts the cached s3a FileSystem (the cache
+    * pins the client built from the OLD conf; without eviction a
+    * re-applied conf never takes effect). */
+  private val vendApplied =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** Re-resolve + re-apply every registered vend within
+    * [[VendRefreshMarginMs]] of expiry. Invoked at each interop scan
+    * build / plan substitution — a no-op when nothing is registered, so
+    * non-REST sessions never pay for it. Returns refreshed-bucket count
+    * (receipt surface for the spec). */
+  def refreshExpiredVends(spark: org.apache.spark.sql.SparkSession,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    if (vendLeases.isEmpty) return 0
+    var n = 0
+    vendLeases.forEach { (bucket, lease) =>
+      if (nowMs >= lease.expiresAtMs - VendRefreshMarginMs) {
+        val fresh = lease.reResolve()
+        applyVendedStorage(spark, lease.tableLocation, fresh, lease.owner,
+          lease.reResolve)
+        // a re-vend that still reports the SAME (stale) expiry would
+        // re-fire on every call — that is intentional: the catalog is
+        // the source of truth and a service that cannot rotate is a
+        // real outage, not something to mask by backing off
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Eviction is best-effort: closing the cached instance removes it
+    * from Hadoop's FileSystem cache so the NEXT get() constructs a
+    * client from the rotated per-bucket conf. No s3a implementation on
+    * the classpath (or no instance yet) means there is nothing pinned —
+    * nothing to evict. */
+  private def evictCachedFs(spark: org.apache.spark.sql.SparkSession,
+      bucket: String): Unit =
+    try org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"s3a://$bucket/"),
+      spark.sparkContext.hadoopConfiguration).close()
+    catch { case scala.util.control.NonFatal(_) => }
+
   def applyVendedStorage(spark: org.apache.spark.sql.SparkSession,
-      tableLocation: String, lr: LoadResult, owner: String = ""): Unit = {
+      tableLocation: String, lr: LoadResult, owner: String = "",
+      reResolve: () => LoadResult = null): Unit = {
     val matching = lr.storageCredentials
       .filter { case (p, _) => p.nonEmpty && tableLocation.startsWith(p) }
     val cfg: Map[String, String] =
@@ -691,6 +750,20 @@ object IcebergRestCatalog {
     }
     cfg.get("s3.endpoint").foreach(set("endpoint", _))
     cfg.get("s3.path-style-access").foreach(set("path.style.access", _))
+    // ROTATION takes effect (r16): Hadoop's FileSystem cache pins the
+    // s3a client built from the conf at first use — re-setting the conf
+    // alone would never reach an already-created instance, so a
+    // changed-by-value vend evicts the cached FS for this bucket
+    val prevCfg = vendApplied.put(bucket, cfg)
+    if (prevCfg != null && prevCfg != cfg) evictCachedFs(spark, bucket)
+    // short-TTL lease: register for refresh when the vend declares its
+    // expiry and the caller can re-resolve (catalog-backed resolution)
+    cfg.get("s3.session-token-expires-at-ms")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .foreach { exp =>
+        if (reResolve != null)
+          vendLeases.put(bucket, VendLease(owner, exp, tableLocation, reResolve))
+      }
   }
 
   /** One client (HTTP connection pool + memoized `/v1/config` prefix)

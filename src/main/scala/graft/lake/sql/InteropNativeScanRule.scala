@@ -83,6 +83,12 @@ class InteropNativeScanRule extends Rule[LogicalPlan] with PredicateHelper {
       t: InteropReadTable,
       conds: Seq[Expression]): LogicalPlan =
     try {
+      // expiring vended credentials refresh at substitution time (r16):
+      // the optimizer runs immediately before execution, so this is the
+      // last driver-side point before the scan's storage IO. No-op
+      // unless a short-TTL vend is registered.
+      graft.lake.iceberg.rest.IcebergRestCatalog.refreshExpiredVends(
+        org.apache.spark.sql.SparkSession.active)
       val prune = conds
         .flatMap(org.apache.spark.sql.graftshim.ColumnExpr.toV1Filter(_))
         .flatMap(GraftFilters.toColumn)

@@ -310,8 +310,11 @@ class GraftIcebergSource extends InteropReadProvider {
         val lr = cat.loadTable(ns, name)
         // vended storage credentials (r14): the exists() probe touches
         // the table's storage, so per-bucket s3a conf lands here too
+        // (r16: the re-resolve closure registers a refresh lease when
+        // the vend declares an expiry — short STS TTLs outlive scans)
         graft.lake.iceberg.rest.IcebergRestCatalog.applyVendedStorage(
-          SparkSession.active, lr.metadata.location, lr, cat.baseUri)
+          SparkSession.active, lr.metadata.location, lr, cat.baseUri,
+          () => cat.loadTable(ns, name))
         lr.metadata.location
       case None => super.path(options)
     }
@@ -340,8 +343,11 @@ class GraftIcebergSource extends InteropReadProvider {
         // vended storage credentials (r14): per-table s3a access from the
         // LoadTableResult — applied BEFORE any storage IO so metadata,
         // manifests, data reads and the writer's commits all ride it
+        // (r16: expiring vends register a refresh lease — see
+        // refreshExpiredVends, invoked per scan build)
         graft.lake.iceberg.rest.IcebergRestCatalog.applyVendedStorage(
-          spark, lr.metadata.location, lr, cat.baseUri)
+          spark, lr.metadata.location, lr, cat.baseUri,
+          () => cat.loadTable(ns, name))
         (lr.metadata.location,
           IcebergTable.load(spark, lr.metadataLocation),
           () => graft.lake.iceberg.IcebergWriter.openRest(spark, cat, ns, name))
@@ -1756,6 +1762,10 @@ class InteropV1Scan(read: InteropRead, pushed: Array[Filter],
       override def schema: StructType = required
       override def needConversion: Boolean = true
       override def buildScan(): RDD[Row] = {
+        // expiring vended credentials refresh BEFORE the scan's IO plans
+        // (r16) — no-op unless a short-TTL vend is registered
+        graft.lake.iceberg.rest.IcebergRestCatalog.refreshExpiredVends(
+          SparkSession.active)
         val df = read.scan(pushedColumn)
         val projected =
           if (required.isEmpty) df.select() // e.g. SELECT count(*)

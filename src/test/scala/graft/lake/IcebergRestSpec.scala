@@ -236,6 +236,72 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("expiring vended credentials refresh before the next scan (r16)") {
+    // a 15-min STS vend must not kill a session that outlives it: a vend
+    // carrying s3.session-token-expires-at-ms registers a refresh lease,
+    // and refreshExpiredVends (invoked per interop scan build) re-resolves
+    // through the catalog and re-applies the per-bucket conf
+    val server = new IcebergRestServer(fresh("icerest-refresh-wh"),
+      spark.sessionState.newHadoopConf())
+    try {
+      val cat = new IcebergRestCatalog(server.uri)
+      cat.createNamespace(Seq("ns"))
+      val o = Tables.orders(spark, sf)
+      cat.createTable(Seq("ns"), "t", IcebergMeta.renderSchemaJson(iceSchemaOf(o)))
+      IcebergWriter.openRest(spark, cat, Seq("ns"), "t").append(o.limit(10))
+      val lr = cat.loadTable(Seq("ns"), "t")
+      val now = System.currentTimeMillis()
+      def creds(token: String, expMs: Long) = Map(
+        "s3.access-key-id" -> s"AK_$token", "s3.secret-access-key" -> s"SK_$token",
+        "s3.session-token" -> token,
+        "s3.session-token-expires-at-ms" -> expMs.toString)
+      val loc = "s3a://vend-refresh/wh/ns/t"
+      var resolves = 0
+      def reResolve(): IcebergRestCatalog.LoadResult = {
+        resolves += 1
+        // the rotated vend: fresh token, fresh far-future expiry
+        lr.copy(storageCredentials = Seq(loc -> creds("TOK_B", now + 3600000L)))
+      }
+      // initial vend: expires in 10 minutes — comfortably fresh
+      IcebergRestCatalog.applyVendedStorage(spark, loc,
+        lr.copy(storageCredentials = Seq(loc -> creds("TOK_A", now + 600000L))),
+        owner = server.uri, reResolve = () => reResolve())
+      val hc = spark.sparkContext.hadoopConfiguration
+      assert(hc.get("fs.s3a.bucket.vend-refresh.session.token") == "TOK_A")
+      // well before the margin: nothing refreshes
+      assert(IcebergRestCatalog.refreshExpiredVends(spark, now) == 0)
+      assert(resolves == 0)
+      // inside the refresh margin of expiry: the lease re-resolves and
+      // the rotated credentials land in the per-bucket conf
+      assert(IcebergRestCatalog.refreshExpiredVends(spark, now + 600000L - 30000L) == 1)
+      assert(resolves == 1)
+      assert(hc.get("fs.s3a.bucket.vend-refresh.session.token") == "TOK_B")
+      assert(hc.get("fs.s3a.bucket.vend-refresh.access.key") == "AK_TOK_B")
+      // the rotated lease is fresh for an hour — no further refresh
+      assert(IcebergRestCatalog.refreshExpiredVends(spark, now + 600000L) == 0)
+      assert(resolves == 1)
+
+      // END-TO-END: a scan of a REST-resolved table refreshes expired
+      // leases as part of its own planning — register a lease already
+      // past expiry, read through the connector, and the re-resolve
+      // fires without any explicit refresh call
+      IcebergRestCatalog.applyVendedStorage(spark, loc,
+        lr.copy(storageCredentials = Seq(loc -> creds("TOK_OLD", now - 1000L))),
+        owner = server.uri, reResolve = () => reResolve())
+      val before = resolves
+      // the data-column predicate keeps AggPushdown from answering the
+      // count out of metadata — a real scan must build (and refresh)
+      val n = spark.read.format("graft-iceberg")
+        .option("catalog-uri", server.uri)
+        .option("table", "ns.t").load()
+        .filter(col("o_orderkey") >= 0).count()
+      assert(n == 10)
+      assert(resolves > before,
+        "the scan build must refresh expired vend leases before IO plans")
+      assert(hc.get("fs.s3a.bucket.vend-refresh.session.token") == "TOK_B")
+    } finally server.stop()
+  }
+
   test("row-lineage metadata refuses the REST diff loudly (r16, advice)") {
     // next-row-id has NO update action in the REST spec; before r16 the
     // completeness guard missed it, so a lineage enable/append through
