@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // readers' native plans — optimizer-time so DataFrame-chain filters
     // are already collapsed onto the relation (see the rule doc)
     ext.injectOptimizerRule(_ => new graft.lake.sql.InteropNativeScanRule)
+    // runtime bucket-dir pruning over bucket[N] interop estates — maps
+    // dim join values through IcebergBucket into the verified bucket
+    // partition column (see the rule doc); operator-optimization batch,
+    // so PlanDynamicPruningFilters plans the injected subquery later
+    ext.injectOptimizerRule(_ => new graft.lake.sql.InteropBucketDppRule)
     // `SELECT … FROM \`graft-iceberg\`.\`/path\`` — direct SQL over the
     // interop formats; must run in the HINTS batch, ahead of Spark's
     // ResolveSQLOnFile (which rejects non-file providers loudly)

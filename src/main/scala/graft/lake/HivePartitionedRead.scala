@@ -233,8 +233,9 @@ object HivePartitionedRead {
     * same as the injection path's column drop). */
   def read(spark: SparkSession, format: String, basePath: String,
       dataSchema: StructType, partCols: Seq[StructField],
-      files: Seq[String]): DataFrame =
+      files: Seq[String], options: Map[String, String] = Map.empty): DataFrame =
     spark.read.option("basePath", basePath)
+      .options(options) // rides into HadoopFsRelation.options (rule metadata)
       .schema(StructType(dataSchema.fields ++ partCols))
       .format(format).load(files: _*)
 }

@@ -831,33 +831,71 @@ final class IcebergTable private (
       // the read discovers them and a projection renames to the source
       // columns. A dir name colliding with a DATA column would shadow
       // it in discovery: refuse.
+      // Spec fields in DIR ORDER with their hive-read handling (r16):
+      // identity → the dir IS the injectable source value (verified
+      // against the manifest tuple, renamed to the source column);
+      // bucket[N] → the dir is the DERIVED bucket ordinal (int, verified
+      // against the manifest tuple) kept as a GENUINE partition column,
+      // so runtime bucket pruning can target it (InteropBucketDppRule
+      // maps dim join values through IcebergBucket into this column).
+      // Any other transform → no hive read for the group.
+      val bucketRe = """bucket\[(\d+)\]""".r
+      val dirFields: Option[Seq[(IcePartField, IceField, Option[Int])]] =
+        if (idFields.length != meta.spec(specId).fields
+              .count(_.transform == "identity")) None // non-injectable identity
+        else {
+          val fs = meta.spec(specId).fields.map { pf =>
+            pf.transform match {
+              case "identity" => idFields.find(_._1.fieldId == pf.fieldId)
+                .map { case (p, sf) => (p, sf, None: Option[Int]) }
+              case bucketRe(n) => writeSchema.byId.get(pf.sourceId)
+                .map(sf => (pf, sf, Some(n.toInt)))
+              case _ => None
+            }
+          }
+          if (fs.exists(_.isEmpty) || fs.isEmpty) None else Some(fs.flatten)
+        }
       val hiveRead: Option[(DataFrame, Seq[(String, String)])] =
-        if (idFields.isEmpty || fileFmt == "AVRO" ||
+        if (dirFields.isEmpty || fileFmt == "AVRO" ||
             (fileFmt == "ORC" && needMeta) ||
-            !graft.lake.HivePartitionedRead.enabled(spark) ||
-            spec.fields.exists(_.transform != "identity") ||
-            spec.fields.length != idFields.length) None
+            !graft.lake.HivePartitionedRead.enabled(spark)) None
         else try {
+          val dfs = dirFields.get
           val paths = files.map(_.entry.filePath).toIndexedSeq
           graft.lake.HivePartitionedRead.verifiedBaseNamed(
-            paths, idFields.length,
-            i => idFields.map { case (pf, sf) =>
+            paths, dfs.length,
+            i => dfs.map { case (pf, sf, bucketN) =>
+              // bucket dirs hold the ORDINAL (int), identity dirs the
+              // external source value — both authoritative per manifest
               IcebergTable.externalPartitionValue(
                 files(i).entry.partition.getOrElse(pf.name, null),
-                sf.dataType, pf.name) }).flatMap { case (base, dirNames) =>
-            val renames = dirNames.zip(idFields.map(_._2.name))
+                if (bucketN.isDefined) IntegerType else sf.dataType,
+                pf.name) }).flatMap { case (base, dirNames) =>
+            val renames = dirNames.zip(dfs).collect {
+              case (d, (_, sf, None)) => d -> sf.name }
             // a dir name colliding with a data column, another target,
             // or the positional meta columns would shadow/corrupt them
             // in discovery — refuse (fall back to injection)
             val taken = readPhys.fieldNames.toSet + PosFileCol + PosIdxCol
-            if (renames.exists { case (d, t) => d != t && (taken(d) ||
-                idFields.exists(_._2.name == d)) }) None
+            val idTargets = dfs.collect { case (_, sf, None) => sf.name }.toSet
+            if (dirNames.zip(dfs).exists { case (d, (_, sf, bucketN)) =>
+                (bucketN.isDefined || d != sf.name) &&
+                  (taken(d) || idTargets(d)) }) None
             else {
-              val partFields = dirNames.zip(idFields).map { case (d, (_, sf)) =>
-                org.apache.spark.sql.types.StructField(d, sf.dataType) }
+              val partFields = dirNames.zip(dfs).map { case (d, (_, sf, bucketN)) =>
+                org.apache.spark.sql.types.StructField(d,
+                  if (bucketN.isDefined) IntegerType else sf.dataType) }
+              // the bucket mapping rides the relation's options — the
+              // optimizer rule reads it to build the runtime filter
+              // (only for source types IcebergBucket can hash)
+              val bucketOpts = dirNames.zip(dfs).collect {
+                case (d, (_, sf, Some(n))) if Set[DataType](IntegerType,
+                    LongType, StringType, DateType).contains(sf.dataType) =>
+                  s"graft.dpp.bucket.$d" -> s"${sf.name}:$n"
+              }.toMap
               var hdf = graft.lake.HivePartitionedRead.read(spark,
                 if (fileFmt == "ORC") "orc" else "parquet", base, readPhys,
-                partFields, files.map(_.entry.filePath))
+                partFields, files.map(_.entry.filePath), bucketOpts)
               Some((hdf, renames))
             }
           }
