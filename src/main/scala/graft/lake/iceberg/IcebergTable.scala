@@ -757,10 +757,17 @@ final class IcebergTable private (
     val groups = p.dataFiles
       .groupBy(f => (f.schemaId, f.specId, f.entry.fileFormat.toUpperCase,
         suffixFrom(eqSeqs, f.seq, inclusive = false),
-        suffixFrom(posSeqs, f.seq, inclusive = true)))
-      .toSeq.sortBy { case ((sid, spid, fmt, ei, pi), _) => (sid, spid, fmt, ei, pi) }
+        suffixFrom(posSeqs, f.seq, inclusive = true),
+        // lineage delivery is part of the group key (r16): inherited
+        // (first_row_id set) and MATERIALIZED (first_row_id null —
+        // compaction wrote _row_id columns into the files per the v3
+        // spec) files read differently; only lineage tables ever carry
+        // first_row_id, so other tables group exactly as before
+        f.entry.firstRowId.isEmpty))
+      .toSeq.sortBy { case ((sid, spid, fmt, ei, pi, mat), _) =>
+        (sid, spid, fmt, ei, pi, mat) }
 
-    groups.map { case ((schemaId, specId, fileFmt, eqIdx, posIdx), files) =>
+    groups.map { case ((schemaId, specId, fileFmt, eqIdx, posIdx, matLineage), files) =>
       val writeSchema = schemaOrCurrent(schemaId)
       val phys = writeSchema.struct
 
@@ -787,8 +794,18 @@ final class IcebergTable private (
         else meta.spec(specId).fields.filter(_.transform == "identity")
           .flatMap(pf => writeSchema.byId.get(pf.sourceId).map(pf -> _))
           .filter { case (_, sf) => injectable.contains(sf.dataType) }
-      val readPhys = StructType(phys.fields.filterNot(f =>
+      val readPhys0 = StructType(phys.fields.filterNot(f =>
         idFields.exists(_._2.name == f.name)))
+      // MATERIALIZED lineage group (r16, v3 spec): entries without
+      // first_row_id on a lineage scan carry _row_id /
+      // _last_updated_sequence_number as data-file columns (written by
+      // compaction) — read them with the file's own columns instead of
+      // reconstructing from positions
+      val materialized = lineage && matLineage
+      val readPhys = if (!materialized) readPhys0
+        else StructType(readPhys0.fields ++ Seq(
+          StructField("_row_id", LongType),
+          StructField("_last_updated_sequence_number", LongType)))
 
       // VERIFIED HIVE-LAYOUT READ (r15): when this group's files sit in
       // `name=value` dirs whose parsed values provably equal the
@@ -813,17 +830,29 @@ final class IcebergTable private (
       }.toSet
       if (lineage) {
         require(fileFmt == "PARQUET",
-          s"iceberg: row-lineage scan needs parquet row positions; " +
+          s"iceberg: row-lineage scan needs parquet files; " +
             s"group has $fileFmt files (${files.head.entry.filePath}, …)")
-        files.find(_.entry.firstRowId.isEmpty).foreach { f =>
-          throw new IllegalArgumentException(
-            s"iceberg: data file ${f.entry.filePath} carries no " +
-              "first_row_id (written before lineage was enabled, or by " +
-              "a writer whose inheritance this reader cannot " +
-              "reconstruct) — _row_id would be wrong, refusing")
+        if (materialized) {
+          // no first_row_id → the files MUST carry materialized lineage
+          // columns (the v3 rewrite contract). Spark's parquet source
+          // serves a missing column as silent nulls, so the footer
+          // schema is checked up front — a null-id serve would violate
+          // the never-a-wrong-value posture. O(group files) footer
+          // reads, driver-side, materialized groups only.
+          val footer = spark.read
+            .parquet(files.map(_.entry.filePath): _*).schema.fieldNames.toSet
+          if (!footer.contains("_row_id") ||
+              !footer.contains("_last_updated_sequence_number"))
+            throw new IllegalArgumentException(
+              s"iceberg: data file ${files.head.entry.filePath} carries " +
+                "neither first_row_id nor materialized lineage columns " +
+                "(written before lineage was enabled, or by a writer " +
+                "whose lineage this reader cannot reconstruct) — " +
+                "_row_id would be wrong, refusing")
         }
       }
-      val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty || lineage
+      val needMeta = posApplying.nonEmpty || groupDvFiles.nonEmpty ||
+        (lineage && !materialized)
 
       val spec = meta.spec(specId)
       // writer-chosen dir names ride along (real engines write
@@ -1025,6 +1054,10 @@ final class IcebergTable private (
       // refuses materialized-lineage files above)
       val lineageCols: Seq[Column] =
         if (!lineage) Nil
+        else if (materialized)
+          // compaction materialized the ids into the files (v3 rewrite
+          // contract) — serve the columns as read, no reconstruction
+          Seq(col("_row_id"), col("_last_updated_sequence_number"))
         else {
           val byPath: Map[String, (Long, Long)] = files.map(f =>
             IcebergTable.pathKey(f.entry.filePath) ->

@@ -266,11 +266,12 @@ final class IcebergWriter private (
 
   /** Ops that REWRITE surviving rows into new files must carry each
     * row's existing `_row_id` into the rewritten file (materialized
-    * lineage columns) to keep lineage intact — this writer does not
-    * materialize them, so on lineage-tracking tables those ops refuse
-    * LOUDLY instead of silently minting fresh ids for old rows.
-    * MoR deletes (DV / position / equality) never rewrite rows and
-    * stay allowed. */
+    * lineage columns) to keep lineage intact. [[compact]] does exactly
+    * that as of r16 (values unchanged — a rewrite modifies no row);
+    * updateWhere/upsertKeys still refuse: they CHANGE rows, which also
+    * needs per-row _last_updated_sequence_number reassignment for the
+    * changed subset, and that surface is not built yet. MoR deletes
+    * (DV / position / equality) never rewrite rows and stay allowed. */
   private def rejectLineageRewrite(op: String): Unit =
     require(currentMeta.nextRowId.isEmpty,
       s"iceberg: $op rewrites surviving rows into new files, which would " +
@@ -390,12 +391,26 @@ final class IcebergWriter private (
     * construction; incremental append scans SKIP `replace` snapshots
     * per Iceberg's own semantics, so change consumers see nothing. */
   def compact(): Long = {
-    rejectLineageRewrite("compact")
     if (currentMeta.currentSnapshotId.isEmpty) return -1L // nothing to rewrite
     val t = IcebergTable.load(spark, location)
-    val entries = writeDataFiles(t.scan())
-    listState = Nil // the replace snapshot references only the rewrite
-    commitManifests("replace", Seq("data" -> entries))
+    if (currentMeta.nextRowId.isDefined) {
+      // ROW-LINEAGE compaction (r16, verdict #4 — supersedes the loud
+      // reject): the v3 rewrite contract says a rewriter must carry
+      // each surviving row's _row_id / _last_updated_sequence_number
+      // into the new files as MATERIALIZED columns (reserved field
+      // ids); the rewritten entries keep first_row_id null so readers
+      // serve the columns, and next-row-id does not advance (no new
+      // rows are minted by a rewrite).
+      val entries = writeDataFiles(t.scanWithLineage(),
+        materializedLineage = true)
+      listState = Nil
+      commitManifests("replace", Seq("data" -> entries),
+        materializedLineage = true)
+    } else {
+      val entries = writeDataFiles(t.scan())
+      listState = Nil // the replace snapshot references only the rewrite
+      commitManifests("replace", Seq("data" -> entries))
+    }
   }
 
   /** REWRITE MANIFESTS (Iceberg's rewrite_manifests) — METADATA-ONLY
@@ -635,16 +650,25 @@ final class IcebergWriter private (
   /** Writes `df` as parquet under data/ (hive-derived dirs when
     * partitioned; data files keep EVERY table column) and returns manifest
     * entries with footer-derived bounds. */
-  private def writeDataFiles(df: DataFrame): Seq[IcebergAvro.ManifestEntry] = {
+  private def writeDataFiles(df: DataFrame,
+      materializedLineage: Boolean = false): Seq[IcebergAvro.ManifestEntry] = {
     val sch = curSchema
     val spec = curSpec
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_tmp-$nonce")
     // parquet field ids make the files resolvable by id for OTHER readers
+    // (materialized lineage columns use the v3 spec's RESERVED ids)
+    val lineageCols =
+      if (!materializedLineage) Nil
+      else Seq("_row_id" -> 2147483540L,
+        "_last_updated_sequence_number" -> 2147483539L).map { case (n, id) =>
+        val md = new MetadataBuilder().putLong("parquet.field.id", id).build()
+        col(n).as(n, md)
+      }
     val withIds = df.select(sch.fields.map { f =>
       val md = new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build()
       col(f.name).as(f.name, md)
-    }: _*)
+    } ++ lineageCols: _*)
     val derived = spec.fields.zipWithIndex.map { case (pf, i) => (s"__icep_$i", pf) }
     val staged = derived.foldLeft(withIds) { case (d, (n, pf)) =>
       d.withColumn(n, transformColumn(pf))
@@ -787,7 +811,8 @@ final class IcebergWriter private (
     * manifest. */
   private def commitManifests(operation: String,
       groups: Seq[(String, Seq[IcebergAvro.ManifestEntry])],
-      summaryExtras: Map[String, String] = Map.empty): Long = {
+      summaryExtras: Map[String, String] = Map.empty,
+      materializedLineage: Boolean = false): Long = {
     val seq = currentMeta.lastSequenceNumber + 1
     val snapId = seq * 31L + 1000L // deliberately != seq: catches id/seq mix-ups
     // per-ATTEMPT nonce in manifest/list names: two racing writers opened
@@ -829,6 +854,11 @@ final class IcebergWriter private (
     var rowIdCursor = lineageBase.getOrElse(0L)
     val groupsAssigned = lineageBase match {
       case None => groups
+      // materialized-lineage rewrite (r16): the ids ride IN the files
+      // (v3 rewrite contract) — first_row_id stays null so readers
+      // serve the columns, and the cursor must NOT advance (no new
+      // rows were minted; next-row-id is unchanged below)
+      case Some(_) if materializedLineage => groups
       case Some(_) => groups.map { case (content, entries) =>
         content -> entries.map { e =>
           if (e.content == 0 && e.status == 1 && e.firstRowId.isEmpty) {

@@ -788,7 +788,19 @@ object Lake {
         .join(idsBefore.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
         .filter(col("_row_id") =!= col("_rid0")).isEmpty,
       "iceberg: DV deletes must keep survivors' _row_id stable")
-    t.scan()
+    // MATERIALIZED-LINEAGE COMPACTION (r16, verdict #4): the rewrite
+    // carries survivors' ids into the new files as materialized
+    // columns — ids identical pre/post, next-row-id unchanged
+    val preIds = lin.select("o_orderkey", "_row_id")
+    w.compact()
+    val tc = IcebergTable.load(s, w.location)
+    require(tc.meta.nextRowId == t.meta.nextRowId,
+      "iceberg: compaction must not advance next-row-id")
+    require(tc.scanWithLineage().select("o_orderkey", "_row_id")
+        .join(preIds.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
+        .filter(col("_row_id") =!= col("_rid0")).isEmpty,
+      "iceberg: compaction must preserve _row_id (materialized lineage)")
+    tc.scan()
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         Money.sum2(col("o_totalprice")).as("total"))
