@@ -893,28 +893,8 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
                 failure = Some((409, "CommitFailedException",
                   s"$label: table already exists (assert-create failed)"))
                 Nil
-              } else {
-                val segs = k.split("\u0000").toSeq
-                val loc0 = segs.mkString(s"$warehouse/", "/", "")
-                val loc = {
-                  val p = new Path(loc0)
-                  p.getFileSystem(conf).makeQualified(p).toString
-                }
-                // empty seed: the updates replay the staged creation
-                // (set-location / assign-uuid / add-schema / add-spec …);
-                // an unpartitioned staged table sends no add-spec, so
-                // the default empty spec 0 is appended post-fold
-                val seed = IceMeta(2, "", loc, 0L, 0, 0, Nil, 0,
-                  Nil, 999, Map.empty, None, Nil, Nil, Map.empty)
-                val folded = ups.foldLeft(seed)(applyUpdate)
-                val next =
-                  if (folded.specs.isEmpty)
-                    folded.copy(specs = Seq(IcePartSpec(0, Nil)))
-                  else folded
-                require(next.schemas.nonEmpty && next.uuid.nonEmpty,
-                  s"$label: staged create must replay schema + uuid updates")
-                Seq((k, next, None: Option[String]))
-              }
+              } else Seq((k, foldStagedCreate(k, label, ups),
+                None: Option[String]))
             } else Option(tables.get(k)) match {
               case None =>
                 failure = Some((404, "NoSuchTableException", s"no table $label"))
@@ -950,6 +930,32 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     }
   }
 
+  /** Fold a staged create's update replay over the empty seed for
+    * table key `k` — shared by the transaction path and the
+    * SINGLE-TABLE commit endpoint (r16, protocol parity: the spec lets
+    * a stage-create commit through either). The updates replay the
+    * staged creation (set-location / assign-uuid / add-schema /
+    * add-spec …); an unpartitioned staged table sends no add-spec, so
+    * the default empty spec 0 is appended post-fold. */
+  private def foldStagedCreate(k: String, label: String,
+      ups: Seq[com.fasterxml.jackson.databind.JsonNode]): IceMeta = {
+    val segs = k.split("\u0000").toSeq
+    val loc0 = segs.mkString(s"$warehouse/", "/", "")
+    val loc = {
+      val p = new Path(loc0)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val seed = IceMeta(2, "", loc, 0L, 0, 0, Nil, 0,
+      Nil, 999, Map.empty, None, Nil, Nil, Map.empty)
+    val folded = ups.foldLeft(seed)(applyUpdate)
+    val next =
+      if (folded.specs.isEmpty) folded.copy(specs = Seq(IcePartSpec(0, Nil)))
+      else folded
+    require(next.schemas.nonEmpty && next.uuid.nonEmpty,
+      s"$label: staged create must replay schema + uuid updates")
+    next
+  }
+
   private def commitTable(x: HttpExchange, k: String, name: String): Unit = {
     val body = readBody(x)
     val reqs = (if (body.has("requirements"))
@@ -960,8 +966,26 @@ final class IcebergRestServer(warehouse: String, conf: Configuration,
     // lock hold — the commit's atomicity; IO inside the lock is the
     // price of an authoritative storage-backed pointer (a durable
     // implementation serializes on its database transaction instead)
+    // assert-create TARGETS A STAGED TABLE (r16): the spec's
+    // stage-create pair may commit through this single-table endpoint
+    // too, not only through /transactions/commit — same validation,
+    // same all-under-one-lock registration
+    val isCreate = reqs.exists(_.path("type").asText() == "assert-create")
     val outcome = lock.synchronized {
-      Option(tables.get(k)) match {
+      if (isCreate) {
+        if (reqs.lengthCompare(1) != 0)
+          Left((400, "BadRequestException",
+            s"$name: assert-create must be the only requirement"))
+        else if (tables.containsKey(k))
+          Left((409, "CommitFailedException",
+            s"$name: table already exists (assert-create failed)"))
+        else {
+          val next = foldStagedCreate(k, name, updates)
+          val ml = writeMeta(next, None)
+          tables.put(k, ml)
+          Right((ml, next))
+        }
+      } else Option(tables.get(k)) match {
         case None => Left((404, "NoSuchTableException", s"no table $name"))
         case Some(prevLoc) =>
           val cur = readMeta(prevLoc)

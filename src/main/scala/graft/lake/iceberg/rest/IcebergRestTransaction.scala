@@ -76,4 +76,28 @@ object IcebergRestTransaction {
       RestCommit.concat(RestCommit.createUpdates(staged.metadata),
         RestCommit.updates(staged.metadata, cur)))))
   }
+
+  /** [[createAndCommit]] committed through the SINGLE-TABLE endpoint
+    * (r16, protocol parity): the spec allows a stage-create to finish
+    * as one CommitTableRequest carrying assert-create + the creation
+    * replay + the data commits — same all-or-nothing semantics, no
+    * transactions endpoint required of the service. A racing create of
+    * the same name 409s and the loser's staged files are never
+    * referenced. */
+  def createAndCommitSingle(spark: SparkSession, catalog: IcebergRestCatalog,
+      ns: Seq[String], name: String, schemaJson: String,
+      specFieldsJson: Option[String] = None,
+      properties: Map[String, String] = Map.empty)(
+      op: IcebergWriter => Unit): Unit = {
+    val staged = catalog.stageCreateTable(ns, name, schemaJson,
+      specFieldsJson, properties)
+    val (w, changesOf) = IcebergWriter.openStagedMeta(spark, staged.metadata)
+    op(w)
+    val chg = changesOf()
+    val cur = if (chg.isEmpty) staged.metadata else chg.last._2
+    catalog.commitTable(ns, name,
+      RestCommit.createRequirements(),
+      RestCommit.concat(RestCommit.createUpdates(staged.metadata),
+        RestCommit.updates(staged.metadata, cur)))
+  }
 }

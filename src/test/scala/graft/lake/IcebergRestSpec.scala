@@ -814,6 +814,29 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(cat.tableExists(Seq("ns"), "ctas_empty"))
       assert(cat.loadTable(Seq("ns"), "ctas_empty")
         .metadata.currentSnapshotId.isEmpty)
+
+      // SINGLE-TABLE endpoint parity (r16): the spec also lets a
+      // stage-create finish as ONE CommitTableRequest with
+      // assert-create — no transactions endpoint required
+      IcebergRestTransaction.createAndCommitSingle(spark, cat, Seq("ns"),
+        "ctas_single", sch2)(w => { w.append(o.limit(40)); () })
+      assert(cat.tableExists(Seq("ns"), "ctas_single"))
+      assert(count("ctas_single") == 40,
+        "single-endpoint CTAS data must land with the create")
+      // racing creator wins → 409 at assert-create, loser unreferenced
+      val stagedS2 = cat.stageCreateTable(Seq("ns"), "ctas_single2", sch2)
+      val (wS2, chS2) = IcebergWriter.openStagedMeta(spark, stagedS2.metadata)
+      wS2.append(o.limit(5))
+      cat.createTable(Seq("ns"), "ctas_single2", sch2)
+      intercept[java.util.ConcurrentModificationException] {
+        cat.commitTable(Seq("ns"), "ctas_single2",
+          RestCommit.createRequirements(),
+          RestCommit.concat(RestCommit.createUpdates(stagedS2.metadata),
+            RestCommit.updates(stagedS2.metadata, chS2().last._2)))
+      }
+      assert(cat.loadTable(Seq("ns"), "ctas_single2")
+          .metadata.currentSnapshotId.isEmpty,
+        "the losing single-endpoint CTAS's staged data must never be referenced")
     } finally server.stop()
   }
 }
