@@ -32,6 +32,39 @@ object Signatures {
 
   private[expressions] def rotl(x: Long, r: Int): Long =
     if (r % 64 == 0) x else (x << (r % 64)) | (x >>> (64 - (r % 64)))
+
+  /** CROSS-ENGINE primitives (r16): the polynomial/LCG hash family every
+    * oracle-backed signature variant shares. All arithmetic stays under
+    * 2^63 at every step, so an external SQL engine with non-wrapping
+    * BIGINT (DuckDB errors on overflow — xxhash64's wrapping multiplies
+    * are inexpressible there) replays each value bit-for-bit. */
+  private[expressions] final val PolyMod = 1000000007L // word/shingle hashes
+  private[expressions] final val LcgMod = 2147483647L  // 2^31−1 streams
+
+  /** Deterministic pseudo-random stream value for flat index `idx`: two
+    * Lehmer affine rounds with a QUADRATIC mix between them (an
+    * affine-only chain stays affine in idx — a lattice). Uniform on
+    * [0, 2^31−1); max intermediate (2^31−2)² < 2^62. */
+  private[expressions] def lcgMix(idx: Long): Long = {
+    val m = LcgMod
+    val x15 = ((idx + 1L) * 48271L + 11L) % m
+    val x2 = (x15 * x15 + x15) % m
+    (x2 * 48271L + 11L) % m
+  }
+
+  /** Code-point polynomial word hash: fold cp: (h·mult + cp) mod 1e9+7
+    * from `seed` — iterates CODE POINTS (DuckDB's unicode()/length()
+    * unit), not UTF-16 chars. */
+  private[expressions] def polyWordHash(s: String, seed: Long, mult: Long): Long = {
+    var h = seed
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      h = (h * mult + cp) % PolyMod
+      ci += Character.charCount(cp)
+    }
+    h
+  }
 }
 
 /** `graft_shingle_ids(tokens, n)` → sorted distinct array<long>: xxhash64
@@ -42,7 +75,7 @@ object Signatures {
   * Output feeds BOTH MinHash banding and the exact-Jaccard verify
   * (SortedIntersectCount), so the corpus is tokenized exactly once.
   */
-case class ShingleIds(child: Expression, n: Int)
+case class ShingleIds(child: Expression, n: Int, polynomial: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "shingle width must be >= 1")
 
@@ -69,13 +102,35 @@ case class ShingleIds(child: Expression, n: Int)
     val k = toks.size()
     val nShingles = if (k < n) 1 else k - n + 1
     val hs = new Array[Long](nShingles)
+    // polynomial mode (r16): the WinnowFingerprint formula — word hash
+    // (seed 7, ×131) folded per shingle (seed 11, ×1000003), mod 1e9+7 —
+    // so an external SQL oracle regenerates every id; default stays the
+    // chained xxhash64 (stronger hash for the non-oracled scale paths)
+    val pw: Array[Long] =
+      if (!polynomial) null
+      else {
+        val a = new Array[Long](k)
+        var wi = 0
+        while (wi < k) {
+          a(wi) = Signatures.polyWordHash(toks.get(wi).toString, 7L, 131L)
+          wi += 1
+        }
+        a
+      }
     var s = 0
     while (s < nShingles) {
       val end = if (k < n) k else s + n
-      var h = Signatures.ShingleSeed
-      var j = s
-      while (j < end) { h = XXH64.hashUTF8String(toks.get(j), h); j += 1 }
-      hs(s) = h
+      if (polynomial) {
+        var h = 11L
+        var j = s
+        while (j < end) { h = (h * 1000003L + pw(j)) % Signatures.PolyMod; j += 1 }
+        hs(s) = h
+      } else {
+        var h = Signatures.ShingleSeed
+        var j = s
+        while (j < end) { h = XXH64.hashUTF8String(toks.get(j), h); j += 1 }
+        hs(s) = h
+      }
       s += 1
     }
     java.util.Arrays.sort(hs)
@@ -198,10 +253,29 @@ case class NGramIds(child: Expression, n: Int)
   * LSH band. Documents agreeing on a whole band collide. One pass over the
   * id set; map-only — banding needs no aggregate and no shuffle.
   */
-case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
+case class MinHashBandKeys(child: Expression, k: Int, bands: Int,
+    affine: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(k % bands == 0, s"k=$k must divide into bands=$bands")
   private val rowsPerBand = k / bands
+
+  /** affine mode (r16): slot j's permutation is (a_j·x + b_j) mod 2^31−1
+    * with a_j/b_j from the shared [[Signatures.lcgMix]] stream, band keys
+    * the polynomial fold — every step int64-safe, so an external SQL
+    * oracle replays the whole signature. The xxhash default stays for
+    * the non-oracled scale paths. Ids are normalized into [0, m) first
+    * (a no-op for the polynomial shingle ids the oracle pairs this
+    * with, but safe for any long). */
+  @transient private lazy val affineAB: Array[Long] = {
+    val ab = new Array[Long](2 * k)
+    var j = 0
+    while (j < k) {
+      ab(2 * j) = Signatures.lcgMix(2L * j) % (Signatures.LcgMod - 1) + 1 // a != 0
+      ab(2 * j + 1) = Signatures.lcgMix(2L * j + 1)
+      j += 1
+    }
+    ab
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -214,19 +288,31 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
     val ids = input.asInstanceOf[ArrayData]
     val m = ids.numElements()
     val sig = new Array[Long](k)
-    java.util.Arrays.fill(sig, Long.MaxValue)
+    // affine sentinel: every (a·x+b) mod LcgMod < LcgMod, so an empty id
+    // set keeps LcgMod in every slot — the oracle's coalesce value
+    java.util.Arrays.fill(sig, if (affine) Signatures.LcgMod else Long.MaxValue)
     var i = 0
     while (i < m) {
       // null ids skipped (GenericArrayData rows would NPE on getLong;
       // same null posture as DotProduct — ADVICE r02)
       if (!ids.isNullAt(i)) {
         val h1 = ids.getLong(i)
-        val h2 = XXH64.hashLong(h1, 7777L)
-        var j = 0
-        while (j < k) {
-          val v = h1 ^ Signatures.rotl(h2, j)
-          if (v < sig(j)) sig(j) = v
-          j += 1
+        if (affine) {
+          val x = ((h1 % Signatures.LcgMod) + Signatures.LcgMod) % Signatures.LcgMod
+          var j = 0
+          while (j < k) {
+            val v = (affineAB(2 * j) * x + affineAB(2 * j + 1)) % Signatures.LcgMod
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+        } else {
+          val h2 = XXH64.hashLong(h1, 7777L)
+          var j = 0
+          while (j < k) {
+            val v = h1 ^ Signatures.rotl(h2, j)
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
         }
       }
       i += 1
@@ -234,10 +320,20 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var h = XXH64.hashLong(b.toLong, 42L)
-      var j = 0
-      while (j < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + j), h); j += 1 }
-      keys(b) = h
+      if (affine) {
+        var h = 11L
+        var j = 0
+        while (j < rowsPerBand) {
+          h = (h * 1000003L + sig(b * rowsPerBand + j)) % Signatures.PolyMod
+          j += 1
+        }
+        keys(b) = h
+      } else {
+        var h = XXH64.hashLong(b.toLong, 42L)
+        var j = 0
+        while (j < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + j), h); j += 1 }
+        keys(b) = h
+      }
       b += 1
     }
     new GenericArrayData(keys)
@@ -251,7 +347,7 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
   * instance, ±1 per bit of xxhash64(token); sign of each counter is the
   * signature bit. One pass, map-only. Empty tokens skipped.
   */
-case class SimHashSig(child: Expression)
+case class SimHashSig(child: Expression, polynomial: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -270,7 +366,17 @@ case class SimHashSig(child: Expression)
       if (!arr.isNullAt(i)) {
         val t = arr.getUTF8String(i)
         if (t.numBytes() > 0) {
-          val h = XXH64.hashUTF8String(t, 42L)
+          // polynomial mode (r16): 62 usable bits from two code-point
+          // polynomials (seeds 7/13, mults 131/137, mod 1e9+7 — int64-
+          // safe for the SQL oracle); bits 62–63 are constant 0, so
+          // their counters only ever decrement and the sign rule below
+          // keeps them 0 on both engines. xxhash64 stays the default.
+          val h =
+            if (polynomial) {
+              val str = t.toString
+              (Signatures.polyWordHash(str, 7L, 131L) << 31) |
+                Signatures.polyWordHash(str, 13L, 137L)
+            } else XXH64.hashUTF8String(t, 42L)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -328,14 +434,8 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int,
     * splitmix64's wrapping 64-bit multiplies are inexpressible there)
     * replays the value bit-for-bit. Uniform [-0.5, 0.5); sign-hash LSH
     * is scale-invariant so the narrower range changes nothing. */
-  private def lcgComponent(idx: Long): Double = {
-    val m = 2147483647L
-    val x1 = (idx + 1L) * 48271L % m
-    val x15 = (x1 + 11L) % m
-    val x2 = (x15 * x15 + x15) % m
-    val x3 = (x2 * 48271L + 11L) % m
-    x3.toDouble / m - 0.5
-  }
+  private def lcgComponent(idx: Long): Double =
+    Signatures.lcgMix(idx).toDouble / Signatures.LcgMod - 0.5
 
   /** plane p, flattened: component for dim i at p*maxDim+i, uniform [-1,1]
     * (splitmix64) or [-0.5,0.5) (lcgPlanes — the cross-engine variant). */
@@ -447,15 +547,7 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
     val whs = new Array[Long](k)
     var wi = 0
     while (wi < k) {
-      val str = toks.get(wi).toString
-      var h = 7L
-      var ci = 0
-      while (ci < str.length) {
-        val cp = str.codePointAt(ci)
-        h = (h * 131L + cp) % 1000000007L
-        ci += Character.charCount(cp)
-      }
-      whs(wi) = h
+      whs(wi) = Signatures.polyWordHash(toks.get(wi).toString, 7L, 131L)
       wi += 1
     }
     val nShingles = if (k < n) 1 else k - n + 1

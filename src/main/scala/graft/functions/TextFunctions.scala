@@ -42,6 +42,16 @@ object TextFunctions {
       graft.expressions.ShingleIds(
         org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n))
 
+  /** [[shingleIds]] on the CROSS-ENGINE polynomial hash (r16) — same
+    * sorted-distinct set semantics, ids an external SQL oracle can
+    * regenerate (code-point polynomial mod 1e9+7, the WinnowFingerprint
+    * formula). For entries that carry a hard DuckDB oracle. */
+  def polyShingleIds(rawTokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.ShingleIds(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens), n,
+        polynomial = true))
+
   /** Space-joined n-gram STRINGS from raw `split` output — for
     * operators whose grams must be reproducible by an external SQL
     * engine (oracle parity); empty array when the doc has fewer than n
@@ -68,12 +78,30 @@ object TextFunctions {
       graft.expressions.MinHashBandKeys(
         org.apache.spark.sql.graftshim.ColumnExpr.expression(ids), k, bands))
 
+  /** [[minhashBandKeys]] with CROSS-ENGINE affine permutations (r16):
+    * (a_j·x + b_j) mod 2^31−1 slots + polynomial band folds, every step
+    * int64-safe for the SQL oracle. Pair with [[polyShingleIds]]. */
+  def affineMinhashBandKeys(ids: Column, k: Int, bands: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.MinHashBandKeys(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(ids), k, bands,
+        affine = true))
+
   /** 64-bit SimHash (Charikar 2002) from raw `split` output — one pass,
     * map-only. */
   def simhashSig(rawTokens: Column): Column =
     org.apache.spark.sql.graftshim.ColumnExpr.column(
       graft.expressions.SimHashSig(
         org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens)))
+
+  /** [[simhashSig]] on the CROSS-ENGINE polynomial token hash (r16):
+    * 62 usable bits from two code-point polynomials — the SQL oracle
+    * regenerates the signature bit-for-bit. */
+  def polySimhashSig(rawTokens: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.expressions.SimHashSig(
+        org.apache.spark.sql.graftshim.ColumnExpr.expression(rawTokens),
+        polynomial = true))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {

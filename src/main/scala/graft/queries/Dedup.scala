@@ -244,11 +244,14 @@ object Dedup {
     // The id frame feeds three consumers (banding + both verify sides), so
     // it is persisted: ~10× smaller than the corpus (longs, not text), and
     // MEMORY_AND_DISK spills rather than OOMs on a 100 TB run.
+    // cross-engine hash basis (r16 oracle flip): polynomial shingle ids
+    // + affine minhash permutations — DuckDB regenerates both, so the
+    // whole signature → band join → verify pipeline carries a hard oracle
     val docs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), shingleIds(split(col("text"), "\\s+"), 3).as("ids"))
+      .select(col("doc_id"), polyShingleIds(split(col("text"), "\\s+"), 3).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"),
-      posexplode(minhashBandKeys(col("ids"), 64, 16)).as(Seq("band", "bkey")))
+      posexplode(affineMinhashBandKeys(col("ids"), 64, 16)).as(Seq("band", "bkey")))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -259,7 +262,7 @@ object Dedup {
     val b = docs.select(col("doc_id").as("b_id"), col("ids").as("ids_b"))
     val out = cands.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
+        Money.qround(jaccardHashed(col("ids_a"), col("ids_b")), 4).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy("a_id", "b_id")
     // materialize, then release the persisted id frame — the 82-query
@@ -300,8 +303,9 @@ object Dedup {
     require(m == 2 || m == 4, s"simhash chunks must be 2 or 4, got $m")
     val bits = 64 / m
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    // cross-engine signature basis (r16 oracle flip) — see polySimhashSig
     val sigs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), simhashSig(split(col("text"), "\\s+")).as("sim"))
+      .select(col("doc_id"), polySimhashSig(split(col("text"), "\\s+")).as("sim"))
     val chunks = sigs.select(col("doc_id"), col("sim"),
         explode(sequence(lit(0), lit(m - 1))).as("k"))
       .select(col("doc_id"), col("sim"), col("k"),
@@ -418,7 +422,10 @@ object Dedup {
       // shared token happens to land them in the candidate set
       .filter(col("__jac_raw") >= 0.7)
       .select(col("a_id"), col("b_id"),
-        round(col("__jac_raw"), 4).as("jac"))
+        // qround = the oracle's floor(x·10⁴+0.5) form exactly (r16 —
+        // BigDecimal HALF_UP can differ one ulp-class at FP product
+        // boundaries, and the driver's float hash is bit-exact)
+        Money.qround(col("__jac_raw"), 4).as("jac"))
     // family membership WITHOUT materializing any per-family array: each
     // doc row joins its family's representative by content hash — scales
     // as k distributed rows per family, never one k-element row
@@ -484,14 +491,20 @@ object Dedup {
     math.max(4, math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt)
 
   /** Embedding near-dup pairs: 16 bands of adaptive-width hyperplane sign
-    * bits, exact cosine ≥ 0.4 verify on candidates only. */
+    * bits, exact cosine ≥ 0.4 verify on candidates only. [oracle as of
+    * r16: planes come from the cross-engine LCG stream (the ann_lsh
+    * treatment — see lcgHyperplaneBandKeys), so DuckDB replays
+    * signature → band self-join → cosine verify end to end; rounding
+    * uses the shared qround form (identical to round() on the positive
+    * values the ≥ 0.4 filter keeps).] */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // n from parquet-footer metadata — no extra data pass (r02 verdict #3)
     val bandBits = adaptiveBandBits(Tables.rowCount(s, s"$d/embeddings.parquet"))
     val bands = vecs.select(col("vec_id"),
-      posexplode(hyperplaneBandKeys(col("v"), 16, bandBits)).as(Seq("band", "bkey")))
+      posexplode(lcgHyperplaneBandKeys(col("v"), 16, bandBits, 64))
+        .as(Seq("band", "bkey")))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -502,7 +515,8 @@ object Dedup {
     val a = unit.select(col("vec_id").as("a_id"), col("u").as("ua"))
     val b = unit.select(col("vec_id").as("b_id"), col("u").as("ub"))
     cands.join(a, "a_id").join(b, "b_id")
-      .select(col("a_id"), col("b_id"), round(dot(col("ua"), col("ub")), 4).as("cos_sim"))
+      .select(col("a_id"), col("b_id"),
+        Money.qround(dot(col("ua"), col("ub")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("a_id", "b_id")
   }
@@ -805,5 +819,201 @@ object Dedup {
          SELECT t.doc_id, len(t.toks) AS n_tokens,
                 coalesce(a.n_dup_grams, 0) AS n_dup_grams,
                 coalesce(a.dup_tokens, 0) AS dup_tokens
-         FROM t LEFT JOIN agg a USING (doc_id)""")
+         FROM t LEFT JOIN agg a USING (doc_id)""",
+    // r16 flip: the LCG plane stream is engine-reproducible (ann_lsh
+    // treatment), so the whole LSH pipeline replays — signatures, band
+    // self-join, exact-cosine verify with the shared qround(4) form
+    "dedup_embedding" ->
+      """WITH n_t AS (SELECT count(*) AS n FROM embeddings),
+         bb AS (SELECT greatest(4, CAST(ceil(log2(greatest(1.0, n / 64.0))) AS INT)) AS w
+                FROM n_t),
+         hy AS (
+           SELECT bit,
+                  list_transform(
+                    list_transform(
+                      list_transform(range(0, 64),
+                        j -> (CAST(bit AS BIGINT) * 64 + j + 1) * 48271 + 11),
+                      x -> x % 2147483647),
+                    x -> CAST(((x * x + x) % 2147483647 * 48271 + 11) % 2147483647 AS DOUBLE)
+                         / 2147483647.0 - 0.5) AS h
+           FROM (SELECT unnest(range(0, 16 * (SELECT w FROM bb))) AS bit)),
+         ck AS (
+           SELECT e.vec_id, CAST(hy.bit // bb.w AS INT) AS band,
+                  CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), hy.h) > 0
+                       THEN CAST(1 AS BIGINT) << (bb.w - 1 - CAST(hy.bit % bb.w AS INT))
+                       ELSE 0 END) AS BIGINT) AS bkey
+           FROM embeddings e, hy, bb
+           GROUP BY e.vec_id, hy.bit // bb.w, bb.w),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+           FROM ck x JOIN ck y ON x.band = y.band AND x.bkey = y.bkey
+           WHERE x.vec_id < y.vec_id),
+         scored AS (
+           SELECT c.a_id, c.b_id,
+                  floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                    CAST(eb.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+                       JOIN embeddings eb ON eb.vec_id = c.b_id)
+         SELECT a_id, b_id, cos_sim FROM scored
+         WHERE cos_sim >= 0.4 ORDER BY a_id, b_id""",
+    // r16 flip: candidate generation (prefix filter) has 100% recall for
+    // J >= 0.7 under ANY global token order (Bayardo et al.), so the
+    // oracle replays the same pipeline on bigram STRINGS with its own
+    // (df, gram) order — different candidates, provably the same output.
+    // ShingleIds's short-doc fallback (k < 2 tokens -> one whole-doc
+    // shingle) is mirrored; jaccard on string sets equals the hashed-id
+    // jaccard up to 64-bit collisions (negligible).
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         groups AS (
+           SELECT text, lang, min(doc_id) AS rep_id
+           FROM base GROUP BY text, lang),
+         reps AS (
+           SELECT b.doc_id, b.lang,
+                  list_distinct(CASE WHEN len(b.toks) < 2
+                    THEN [array_to_string(b.toks, ' ')]
+                    ELSE list_transform(range(1, len(b.toks)),
+                           s -> b.toks[s] || ' ' || b.toks[s + 1]) END) AS grams
+           FROM base b JOIN groups g ON b.doc_id = g.rep_id),
+         tok AS (
+           SELECT doc_id, lang, len(grams) AS n, unnest(grams) AS id FROM reps),
+         freq AS (SELECT id, count(*) AS df FROM tok GROUP BY id),
+         prefix AS (
+           SELECT doc_id, lang, n, id FROM (
+             SELECT t.doc_id, t.lang, t.n, t.id,
+                    row_number() OVER (PARTITION BY t.doc_id
+                      ORDER BY f.df, t.id) AS rnk
+             FROM tok t JOIN freq f USING (id))
+           WHERE rnk <= floor(n * 0.3) + 1),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM prefix x JOIN prefix y
+             ON x.id = y.id AND x.lang = y.lang AND x.doc_id < y.doc_id
+           WHERE CAST(least(x.n, y.n) AS DOUBLE) >= greatest(x.n, y.n) * 0.65),
+         verified AS (
+           SELECT a_id, b_id, jr FROM (
+             SELECT c.a_id, c.b_id,
+                    CAST(len(list_intersect(ra.grams, rb.grams)) AS DOUBLE)
+                      / (len(ra.grams) + len(rb.grams)
+                         - len(list_intersect(ra.grams, rb.grams))) AS jr
+             FROM cand c JOIN reps ra ON ra.doc_id = c.a_id
+                         JOIN reps rb ON rb.doc_id = c.b_id)
+           WHERE jr >= 0.7),
+         membership AS (
+           SELECT b.doc_id, g.rep_id AS cluster_id, 1.0 AS jac
+           FROM base b JOIN groups g ON b.text = g.text AND b.lang = g.lang
+           WHERE b.doc_id <> g.rep_id),
+         adjacency AS (
+           SELECT b_id AS doc_id, a_id AS cluster_id,
+                  floor(jr * 10000.0 + 0.5) / 10000.0 AS jac
+           FROM verified)
+         SELECT doc_id, cluster_id, jac FROM membership
+         UNION ALL
+         SELECT doc_id, cluster_id, jac FROM adjacency
+         ORDER BY doc_id, cluster_id""",
+    // r16 flip: polynomial shingle ids + affine minhash permutations are
+    // engine-reproducible — the oracle replays signature → band join →
+    // exact-jaccard verify. Jaccard runs on the SAME id sets both sides,
+    // so even the (rare) polynomial collisions agree.
+    "dedup_minhash_lsh" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         wh AS (
+           SELECT doc_id,
+                  list_transform(toks, tok ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 1000000007)) AS whs
+           FROM base),
+         ids AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(whs) < 3 THEN
+                    [list_reduce(list_prepend(CAST(11 AS BIGINT), whs),
+                       (a, b) -> (a * 1000003 + b) % 1000000007)]
+                  ELSE
+                    list_transform(range(0, len(whs) - 2), s ->
+                      list_reduce(list_prepend(CAST(11 AS BIGINT), whs[s + 1 : s + 3]),
+                        (a, b) -> (a * 1000003 + b) % 1000000007))
+                  END) AS ids
+           FROM wh),
+         mixes AS (
+           SELECT idx, ((x15 * x15 + x15) % 2147483647 * 48271 + 11) % 2147483647 AS u
+           FROM (SELECT idx, ((idx + 1) * 48271 + 11) % 2147483647 AS x15
+                 FROM (SELECT unnest(range(0, 128)) AS idx))),
+         perm AS (
+           SELECT CAST(a.idx // 2 AS INT) AS j,
+                  a.u % 2147483646 + 1 AS pa, b.u AS pb
+           FROM mixes a JOIN mixes b ON b.idx = a.idx + 1
+           WHERE a.idx % 2 = 0),
+         slots AS (
+           SELECT d.doc_id, p.j,
+                  coalesce(list_min(list_transform(d.ids,
+                    x -> (p.pa * x + p.pb) % 2147483647)), 2147483647) AS slot
+           FROM ids d, perm p),
+         bkeys AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                  list_reduce(list_prepend(CAST(11 AS BIGINT), list(slot ORDER BY j)),
+                    (a, s) -> (a * 1000003 + s) % 1000000007) AS bkey
+           FROM slots GROUP BY doc_id, j // 4),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+           WHERE x.doc_id < y.doc_id),
+         verified AS (
+           SELECT c.a_id, c.b_id,
+                  floor((CAST(len(list_intersect(ia.ids, ib.ids)) AS DOUBLE)
+                    / (len(ia.ids) + len(ib.ids) - len(list_intersect(ia.ids, ib.ids))))
+                    * 10000.0 + 0.5) / 10000.0 AS jac
+           FROM cand c JOIN ids ia ON ia.doc_id = c.a_id
+                       JOIN ids ib ON ib.doc_id = c.b_id)
+         SELECT a_id, b_id, jac FROM verified
+         WHERE jac >= 0.8 ORDER BY a_id, b_id""",
+    // r16 flip: the polynomial simhash (62 usable bits from two
+    // code-point polynomials) is engine-reproducible. The oracle blocks
+    // with the m=4 exact-chunk scheme REGARDLESS of the engine's m
+    // regime — pigeonhole gives 100% recall at hamming <= 3 under both,
+    // and the exact hamming verify makes the output blocking-independent.
+    "dedup_simhash" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id,
+                  list_transform(toks, tok ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 1000000007) * 2147483648
+                    + list_reduce(list_prepend(CAST(13 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 137 + b) % 1000000007)) AS hs
+           FROM base),
+         sig AS (
+           SELECT doc_id,
+                  coalesce(list_sum(list_transform(range(0, 64), b ->
+                    CASE WHEN 2 * coalesce(list_sum(list_transform(hs,
+                           h -> (h >> CAST(b AS INT)) & 1)), 0) > len(hs)
+                         THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                         ELSE 0 END)), 0) AS sim
+           FROM hs),
+         chunks AS (
+           SELECT doc_id, sim, k,
+                  (sim >> CAST(k * 16 AS INT)) & 65535 AS chunk
+           FROM sig, (SELECT unnest(range(0, 4)) AS k)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                  x.sim AS sa, y.sim AS sb
+           FROM chunks x JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk
+           WHERE x.doc_id < y.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         ORDER BY a_id, b_id""")
 }
