@@ -529,7 +529,9 @@ object Dedup {
     * labels converge in O(log(cluster diameter)) iterations; near-dup
     * clusters are near-cliques, so 8 rounds is far beyond convergence at
     * any corpus size (a production job would loop until a converged-count
-    * aggregate fixes, same plan per round). No driver-side graph. */
+    * aggregate fixes, same plan per round). No driver-side graph.
+    * [oracle as of r16: the pair graph is engine-reproducible, and the
+    * oracle closes it with a recursive CTE — same fixpoint.] */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint (eager) after the pair generation: iterative
     // DataFrame algorithms otherwise double their lineage per round and
@@ -781,6 +783,66 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _))
 
+  /** Shared DuckDB CTE chain (r16): documents → polynomial shingle ids
+    * → affine minhash slots → band keys → candidate pairs → exact-
+    * jaccard-verified pairs (`verified(a_id, b_id, jac)` with qround-4
+    * jac). Interpolated into the dedup_minhash_lsh / dedup_cluster /
+    * pipeline_end_to_end oracles so the three replay ONE pair graph. */
+  private[queries] val MinhashVerifiedCte: String =
+    """base AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         wh AS (
+           SELECT doc_id,
+                  list_transform(toks, tok ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 1000000007)) AS whs
+           FROM base),
+         ids AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(whs) < 3 THEN
+                    [list_reduce(list_prepend(CAST(11 AS BIGINT), whs),
+                       (a, b) -> (a * 1000003 + b) % 1000000007)]
+                  ELSE
+                    list_transform(range(0, len(whs) - 2), s ->
+                      list_reduce(list_prepend(CAST(11 AS BIGINT), whs[s + 1 : s + 3]),
+                        (a, b) -> (a * 1000003 + b) % 1000000007))
+                  END) AS ids
+           FROM wh),
+         mixes AS (
+           SELECT idx, ((x15 * x15 + x15) % 2147483647 * 48271 + 11) % 2147483647 AS u
+           FROM (SELECT idx, ((idx + 1) * 48271 + 11) % 2147483647 AS x15
+                 FROM (SELECT unnest(range(0, 128)) AS idx))),
+         perm AS (
+           SELECT CAST(a.idx // 2 AS INT) AS j,
+                  a.u % 2147483646 + 1 AS pa, b.u AS pb
+           FROM mixes a JOIN mixes b ON b.idx = a.idx + 1
+           WHERE a.idx % 2 = 0),
+         slots AS (
+           SELECT d.doc_id, p.j,
+                  coalesce(list_min(list_transform(d.ids,
+                    x -> (p.pa * x + p.pb) % 2147483647)), 2147483647) AS slot
+           FROM ids d, perm p),
+         bkeys AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                  list_reduce(list_prepend(CAST(11 AS BIGINT), list(slot ORDER BY j)),
+                    (a, s) -> (a * 1000003 + s) % 1000000007) AS bkey
+           FROM slots GROUP BY doc_id, j // 4),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
+           WHERE x.doc_id < y.doc_id),
+         verified AS (
+           SELECT c.a_id, c.b_id,
+                  floor((CAST(len(list_intersect(ia.ids, ib.ids)) AS DOUBLE)
+                    / (len(ia.ids) + len(ib.ids) - len(list_intersect(ia.ids, ib.ids))))
+                    * 10000.0 + 0.5) / 10000.0 AS jac
+           FROM cand c JOIN ids ia ON ia.doc_id = c.a_id
+                       JOIN ids ib ON ib.doc_id = c.b_id)"""
+
   /** Only the exact dedup is SQL-expressible; the LSH families are
     * rows-checked + spec-tested against brute force on sf0.001. */
   val oracles: Map[String, String] = Map(
@@ -917,61 +979,12 @@ object Dedup {
     // r16 flip: polynomial shingle ids + affine minhash permutations are
     // engine-reproducible — the oracle replays signature → band join →
     // exact-jaccard verify. Jaccard runs on the SAME id sets both sides,
-    // so even the (rare) polynomial collisions agree.
+    // so even the (rare) polynomial collisions agree. The CTE chain is
+    // shared: dedup_cluster closes over the SAME verified pair graph
+    // with a recursive CTE, and pipeline_end_to_end consumes the
+    // cluster map inside the full pipeline replay (Pipeline.oracles).
     "dedup_minhash_lsh" ->
-      """WITH base AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-           FROM documents),
-         wh AS (
-           SELECT doc_id,
-                  list_transform(toks, tok ->
-                    list_reduce(list_prepend(CAST(7 AS BIGINT),
-                      list_transform(range(1, length(tok) + 1),
-                        c -> CAST(unicode(tok[c]) AS BIGINT))),
-                      (a, b) -> (a * 131 + b) % 1000000007)) AS whs
-           FROM base),
-         ids AS (
-           SELECT doc_id,
-                  list_distinct(CASE WHEN len(whs) < 3 THEN
-                    [list_reduce(list_prepend(CAST(11 AS BIGINT), whs),
-                       (a, b) -> (a * 1000003 + b) % 1000000007)]
-                  ELSE
-                    list_transform(range(0, len(whs) - 2), s ->
-                      list_reduce(list_prepend(CAST(11 AS BIGINT), whs[s + 1 : s + 3]),
-                        (a, b) -> (a * 1000003 + b) % 1000000007))
-                  END) AS ids
-           FROM wh),
-         mixes AS (
-           SELECT idx, ((x15 * x15 + x15) % 2147483647 * 48271 + 11) % 2147483647 AS u
-           FROM (SELECT idx, ((idx + 1) * 48271 + 11) % 2147483647 AS x15
-                 FROM (SELECT unnest(range(0, 128)) AS idx))),
-         perm AS (
-           SELECT CAST(a.idx // 2 AS INT) AS j,
-                  a.u % 2147483646 + 1 AS pa, b.u AS pb
-           FROM mixes a JOIN mixes b ON b.idx = a.idx + 1
-           WHERE a.idx % 2 = 0),
-         slots AS (
-           SELECT d.doc_id, p.j,
-                  coalesce(list_min(list_transform(d.ids,
-                    x -> (p.pa * x + p.pb) % 2147483647)), 2147483647) AS slot
-           FROM ids d, perm p),
-         bkeys AS (
-           SELECT doc_id, CAST(j // 4 AS INT) AS band,
-                  list_reduce(list_prepend(CAST(11 AS BIGINT), list(slot ORDER BY j)),
-                    (a, s) -> (a * 1000003 + s) % 1000000007) AS bkey
-           FROM slots GROUP BY doc_id, j // 4),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.bkey = y.bkey
-           WHERE x.doc_id < y.doc_id),
-         verified AS (
-           SELECT c.a_id, c.b_id,
-                  floor((CAST(len(list_intersect(ia.ids, ib.ids)) AS DOUBLE)
-                    / (len(ia.ids) + len(ib.ids) - len(list_intersect(ia.ids, ib.ids))))
-                    * 10000.0 + 0.5) / 10000.0 AS jac
-           FROM cand c JOIN ids ia ON ia.doc_id = c.a_id
-                       JOIN ids ib ON ib.doc_id = c.b_id)
+      s"""WITH $MinhashVerifiedCte
          SELECT a_id, b_id, jac FROM verified
          WHERE jac >= 0.8 ORDER BY a_id, b_id""",
     // r16 flip: the polynomial simhash (62 usable bits from two
@@ -1015,5 +1028,25 @@ object Dedup {
            WHERE x.doc_id < y.doc_id)
          SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-         ORDER BY a_id, b_id""")
+         ORDER BY a_id, b_id""",
+    // r16 flip: connected components over the (now engine-reproducible)
+    // minhash pair graph — the recursive CTE computes each node's
+    // reachable set and takes the min id; min-label propagation reaches
+    // the same fixpoint by definition of connectivity. Gate-scale
+    // closures are near-cliques of small families, so the O(sum comp^2)
+    // transitive closure is cheap FOR THE ORACLE (the engine keeps the
+    // O(log diameter) propagation loop).
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $MinhashVerifiedCte,
+         pr AS (SELECT a_id, b_id FROM verified WHERE jac >= 0.8),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pr
+                   UNION ALL SELECT b_id, a_id FROM pr),
+         reach AS (
+           SELECT a AS id, b AS x FROM edges
+           UNION
+           SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x)
+         SELECT id AS doc_id, least(min(x), id) AS canonical_id
+         FROM reach GROUP BY id
+         HAVING least(min(x), id) <> id
+         ORDER BY doc_id""")
 }

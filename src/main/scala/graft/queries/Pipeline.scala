@@ -49,7 +49,59 @@ object Pipeline {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_end_to_end" -> (pipelineEndToEnd _))
 
-  /** near-dup stage (minhash clusters) is not SQL-expressible → rows-only;
-    * PipelineSpec asserts the output invariants and determinism. */
-  val oracles: Map[String, String] = Map.empty
+  /** FLIPPED to a hard oracle in r16: every stage is now engine-
+    * reproducible — the quality/langid gates are the text_quality /
+    * text_langid expressions, exact dedup groups by text, the near-dup
+    * cluster map replays Dedup's shared minhash pair graph + recursive-
+    * CTE closure, redaction is the text_pii_redact regex chain, and
+    * chunk counting is arithmetic. One SQL, the whole pipeline. */
+  val oracles: Map[String, String] = Map(
+    "pipeline_end_to_end" ->
+      raw"""WITH RECURSIVE ${Dedup.MinhashVerifiedCte},
+         pr AS (SELECT a_id, b_id FROM verified WHERE jac >= 0.8),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pr
+                   UNION ALL SELECT b_id, a_id FROM pr),
+         reach AS (
+           SELECT a AS id, b AS x FROM edges
+           UNION
+           SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x),
+         noncanon AS (
+           SELECT id AS doc_id FROM reach GROUP BY id
+           HAVING least(min(x), id) <> id),
+         q AS (
+           SELECT doc_id, lang, text FROM base
+           WHERE floor((least(1.0, len(toks) / 100.0)
+                   * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                            / CAST(length(text) AS DOUBLE))) * 10000.0 + 0.5)
+                 / 10000.0 >= 0.3
+             AND (CASE
+                   WHEN len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) =
+                        greatest(
+                          len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))),
+                          len(list_filter(toks, x -> x IN ('the','a','of','and','to'))),
+                          len(list_filter(toks, x -> x IN ('el','los','las','y','de'))),
+                          len(list_filter(toks, x -> x IN ('le','la','les','et','des'))),
+                          len(list_filter(toks, x -> x IN ('的','是','了','和','在'))))
+                   THEN 'de' ELSE 'known' END) <> 'und'),
+         uniq AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT q.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM q) WHERE rn = 1),
+         canon AS (
+           SELECT u.doc_id, u.lang, u.text FROM uniq u
+           WHERE u.doc_id NOT IN (SELECT doc_id FROM noncanon)),
+         red AS (
+           SELECT lang,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+                    '[0-9]{4,}', '<NUM>', 'g') AS rtext
+           FROM canon),
+         ch AS (
+           SELECT lang,
+                  CAST(floor((len(list_filter(string_split_regex(rtext, '\s+'),
+                    x -> len(x) > 0)) - 1) / 48.0) + 1 AS BIGINT) AS n_chunks
+           FROM red)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chunks) AS BIGINT) AS n_chunks
+         FROM ch GROUP BY lang ORDER BY lang""")
 }
