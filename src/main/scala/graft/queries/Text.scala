@@ -76,7 +76,7 @@ object Text {
   /** stopword-profile language ID: count profile hits per language, argmax
     * with alphabetical tie-break. (A real system would add char n-gram
     * frequencies; the plumbing — per-language score columns, deterministic
-    * argmax — is identical.) [rows] */
+    * argmax — is identical.) [oracle as of r16: plain list/CASE SQL] */
   def textLangid(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     val scored = LangProfiles.foldLeft(Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))) {
@@ -178,7 +178,10 @@ object Text {
     * scale-killer #1; PipelineSpec asserts the SortMergeJoin fallback
     * under a lowered threshold). Per-doc
     * mean uses Money-style integer micro-log units so the result is
-    * bit-stable under any partitioning. [rows + spec vs in-memory] */
+    * bit-stable under any partitioning. [oracle as of r16: counts group
+    * by hashed n-grams ≡ by n-gram strings (64-bit collisions
+    * negligible), ln/round/micro-unit arithmetic is engine-identical,
+    * and the mean uses the shared qround form] */
   def textLmScore(s: SparkSession, d: String): DataFrame = {
     val (out, docs) = lmScorePlan(s, d)
     // materialize, then release the tokenized pin: the gate/bench suite
@@ -216,7 +219,11 @@ object Text {
           .cast("long").as("lp_micro"))
     val out = perBigram.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp_micro")) / count(lit(1)) / 1000000.0, 4).as("mean_logprob"))
+        // qround (floor form) = the oracle's rounding exactly; the mean
+        // is NEGATIVE (log-probs), where BigDecimal HALF_UP and the
+        // floor form diverge — cross-engine consistency wins (r16)
+        Money.qround(sum(col("lp_micro")) / count(lit(1)) / 1000000.0, 4)
+          .as("mean_logprob"))
       .orderBy("doc_id")
     (out, docs)
   }
@@ -232,6 +239,32 @@ object Text {
     "text_vocab" -> (textVocab _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      // the bigram LM replayed: per-position bigram stream, global
+      // unigram/bigram counts, add-one smoothing, natural log in integer
+      // micro-units, qround(4) mean. Counts run on n-gram STRINGS —
+      // equal to the engine's hashed-id grouping up to 64-bit collisions.
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         uni AS (SELECT unnest(toks) AS w FROM t),
+         bi AS (
+           SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+           FROM t, unnest(range(1, len(toks))) AS u(i)),
+         ucount AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+         bcount AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+         v_t AS (SELECT count(*) AS v FROM ucount),
+         per AS (
+           SELECT b.doc_id,
+                  CAST(round(ln((bc.cb + 1) / CAST(uc.cu + v_t.v AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp
+           FROM bi b JOIN bcount bc USING (bg)
+                     JOIN ucount uc ON uc.w = b.w1, v_t)
+         SELECT doc_id, count(*) AS n_bigrams,
+                floor((CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0)
+                  * 10000.0 + 0.5) / 10000.0 AS mean_logprob
+         FROM per GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       // winnowing replayed with list lambdas: per-word code-point
       // polynomial (seed 7, ×131), 3-word shingle fold (seed 11,

@@ -449,11 +449,15 @@ object Stream {
     * one signature row per document ([rows]; PipelineSpec asserts equality
     * with the batch computation). */
   def streamSignatures(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.{shingleIds, simhashSig}
+    // cross-engine signature basis (r16 oracle flip): the polynomial
+    // simhash + polynomial shingle ids are engine-reproducible, so the
+    // per-doc signature rows carry a hard DuckDB oracle (the map-only
+    // stream transform equals the batch expression row-for-row)
+    import graft.functions.TextFunctions.{polyShingleIds, polySimhashSig}
     val sigs = stagedDocsStream(s, "sigs", d)
       .select(col("doc_id"),
-        simhashSig(split(col("text"), "\\s+")).as("simhash"),
-        size(shingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
+        polySimhashSig(split(col("text"), "\\s+")).as("simhash"),
+        size(polyShingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
     runToTable(sigs, "graft_stream_signatures", "append")
       .select("doc_id", "simhash", "n_shingles")
   }
@@ -683,6 +687,53 @@ object Stream {
     * normalizes whatever unit the parquet carries; DuckDB reads it
     * natively), so epoch_us agrees on both sides. */
   val oracles: Map[String, String] = Map(
+    // r16 flip: the streamed per-doc signatures equal the batch
+    // expressions (map-only transform), and both are engine-
+    // reproducible on the polynomial hash basis — sig CTE shared with
+    // dedup_simhash's oracle, shingles with dedup_minhash_lsh's.
+    "stream_signatures" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, toks,
+                  list_transform(toks, tok ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 1000000007) * 2147483648
+                    + list_reduce(list_prepend(CAST(13 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 137 + b) % 1000000007)) AS hs
+           FROM base),
+         sig AS (
+           SELECT doc_id, toks,
+                  coalesce(list_sum(list_transform(range(0, 64), b ->
+                    CASE WHEN 2 * coalesce(list_sum(list_transform(hs,
+                           h -> (h >> CAST(b AS INT)) & 1)), 0) > len(hs)
+                         THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                         ELSE 0 END)), 0) AS simhash
+           FROM hs),
+         wh AS (
+           SELECT doc_id, simhash,
+                  list_transform(toks, tok ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(tok) + 1),
+                        c -> CAST(unicode(tok[c]) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 1000000007)) AS whs
+           FROM sig)
+         SELECT doc_id, simhash,
+                len(list_distinct(CASE WHEN len(whs) < 3 THEN
+                  [list_reduce(list_prepend(CAST(11 AS BIGINT), whs),
+                     (a, b) -> (a * 1000003 + b) % 1000000007)]
+                ELSE
+                  list_transform(range(0, len(whs) - 2), s ->
+                    list_reduce(list_prepend(CAST(11 AS BIGINT), whs[s + 1 : s + 3]),
+                      (a, b) -> (a * 1000003 + b) % 1000000007))
+                END)) AS n_shingles
+         FROM wh""",
     "stream_iceberg_incremental" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total

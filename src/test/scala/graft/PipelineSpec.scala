@@ -788,10 +788,12 @@ class PipelineSpec extends AnyFunSuite {
     import graft.functions.TextFunctions._
     val streamed = streaming.Stream.streamSignatures(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the entry moved to the cross-engine polynomial basis in r16 (its
+    // oracle flip) — the stream==batch receipt follows it
     val batch = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        simhashSig(split(col("text"), "\\s+")).as("simhash"),
-        size(shingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
+        polySimhashSig(split(col("text"), "\\s+")).as("simhash"),
+        size(polyShingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(streamed == batch)
   }
