@@ -672,13 +672,16 @@ final class IcebergTable private (
     * lineage metadata columns appended — `_row_id` (the file's
     * first_row_id + row position; explicit per-entry ids or the
     * manifest-list inheritance rule) and
-    * `_last_updated_sequence_number` (the file's data sequence number —
-    * this reader never carries MATERIALIZED per-row lineage columns, so
-    * files lacking a first_row_id, non-parquet formats (no row_index),
-    * or a schema declaring its own `_row_id` all refuse LOUDLY rather
-    * than serve wrong ids). Deletes (DV / position / equality) apply as
-    * in [[scan]]; surviving rows keep their positions, so ids are
-    * stable under MoR deletes. */
+    * `_last_updated_sequence_number` (the file's data sequence number).
+    * Files WITHOUT a first_row_id must carry MATERIALIZED lineage
+    * columns (written by compact/updateWhere/upsertKeys per the v3
+    * rewrite contract; a NULL materialized last-updated falls back to
+    * the file's data sequence, per spec) — verified against the footer
+    * schema, else refuse LOUDLY. Non-parquet formats (no row_index) and
+    * a schema declaring its own `_row_id` also refuse rather than serve
+    * wrong ids. Deletes (DV / position / equality) apply as in [[scan]];
+    * surviving rows keep their positions, so ids are stable under MoR
+    * deletes. */
   def scanWithLineage(filter: Option[Column] = None,
       snapshotId: Long = -1L): DataFrame = {
     val p = plan(filter, snapshotId)
@@ -1050,15 +1053,34 @@ final class IcebergTable private (
       // v3 row-lineage columns (after the delete joins — surviving rows
       // keep their file positions, so ids are stable under MoR deletes):
       // _row_id = first_row_id + position; _last_updated_sequence_number
-      // = the file's data sequence number (inheritance; this reader
-      // refuses materialized-lineage files above)
+      // = the file's data sequence number (inheritance; materialized
+      // groups read the file columns instead, above)
       val lineageCols: Seq[Column] =
         if (!lineage) Nil
-        else if (materialized)
-          // compaction materialized the ids into the files (v3 rewrite
-          // contract) — serve the columns as read, no reconstruction
-          Seq(col("_row_id"), col("_last_updated_sequence_number"))
-        else {
+        else if (materialized) {
+          // compaction materialized BOTH ids into the files (v3 rewrite
+          // contract); updateWhere/upsertKeys write the carried _row_id
+          // with a NULL _last_updated_sequence_number — the spec's
+          // null-fallback rule inherits the file's data sequence (the
+          // sequence of the commit that updated the row). Per-file
+          // fallback constant, same memoized-projection shape as the
+          // identity-partition injection above.
+          val byPath: Map[String, Long] = files.map(f =>
+            IcebergTable.pathKey(f.entry.filePath) -> f.seq).toMap
+          val bc = spark.sparkContext.broadcast(byPath)
+          val pathC =
+            if (needMeta) col(PosFileCol)
+            else normPath(col("_metadata.file_path"))
+          val seqC = graft.expressions.FileConstant.column(pathC, LongType,
+            raw => bc.value.get(IcebergTable.pathKey(raw)) match {
+              case Some(s) => Long.box(s)
+              case None => throw new IllegalStateException(
+                s"iceberg: file $raw missing from the lineage seq constants")
+            })
+          Seq(col("_row_id"),
+            coalesce(col("_last_updated_sequence_number"), seqC)
+              .as("_last_updated_sequence_number"))
+        } else {
           val byPath: Map[String, (Long, Long)] = files.map(f =>
             IcebergTable.pathKey(f.entry.filePath) ->
               ((f.entry.firstRowId.get, f.seq))).toMap

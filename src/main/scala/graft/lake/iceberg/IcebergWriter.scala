@@ -267,20 +267,16 @@ final class IcebergWriter private (
   /** Ops that REWRITE surviving rows into new files must carry each
     * row's existing `_row_id` into the rewritten file (materialized
     * lineage columns) to keep lineage intact. [[compact]] does exactly
-    * that as of r16 (values unchanged — a rewrite modifies no row);
-    * updateWhere/upsertKeys still refuse: they CHANGE rows, which also
-    * needs per-row _last_updated_sequence_number reassignment for the
-    * changed subset, and that surface is not built yet. MoR deletes
-    * (DV / position / equality) never rewrite rows and stay allowed. */
-  private def rejectLineageRewrite(op: String): Unit =
-    require(currentMeta.nextRowId.isEmpty,
-      s"iceberg: $op rewrites surviving rows into new files, which would " +
-        "assign FRESH row ids to existing rows on this row-lineage " +
-        "table (corrupting _row_id); materialized-lineage rewrites are " +
-        "not implemented — use MoR deletes + appends instead")
-
+    * that (r16: values unchanged — a rewrite modifies no row).
+    * [[updateWhere]] / [[upsertKeys]] CHANGE rows (r16b): changed rows
+    * carry their `_row_id` with a NULL materialized
+    * `_last_updated_sequence_number` — the v3 null-fallback rule makes
+    * readers inherit the file's data sequence, i.e. exactly the
+    * committing snapshot's sequence, without the writer having to know
+    * it pre-commit (a CAS retry would re-sequence the commit; a baked
+    * value would go stale). Upsert's fresh inserts land in SEPARATE
+    * files that take new ids through the normal first_row_id cursor. */
   def updateWhere(cond: Column, set: Map[String, Column]): Long = {
-    rejectLineageRewrite("updateWhere")
     val sch = curSchema
     val colNames = sch.fields.map(_.name).toSet
     require(set.keySet.subsetOf(colNames),
@@ -296,16 +292,28 @@ final class IcebergWriter private (
     val dvEntries = dvDeleteEntries(cond, requireMatch = false)
     if (dvEntries.isEmpty) // zero matches: SQL no-op
       return currentMeta.currentSnapshotId.getOrElse(-1L)
-    val hit = t.scan(Some(cond)) // live rows only — prior deletes honored
+    val lineageOn = currentMeta.nextRowId.isDefined
+    // live rows only — prior deletes honored; on a lineage table the
+    // scan carries each matched row's _row_id for the rewrite
+    val hit = if (lineageOn) t.scanWithLineage(Some(cond)) else t.scan(Some(cond))
     // ONE simultaneous select — SQL UPDATE semantics: every assignment
     // reads the OLD row, so `SET a = b, b = 0` gets the pre-update b. A
     // sequential withColumn fold would feed one assignment's result into
     // the next in Map-iteration order (GraftTable.update documents the
     // same hazard).
-    val updated = hit.select(sch.fields.map(f =>
-      set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))): _*)
+    val dataCols = sch.fields.map(f =>
+      set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name)))
+    val updated =
+      if (!lineageOn) hit.select(dataCols: _*)
+      // carried _row_id + NULL last-updated: the v3 null-fallback rule
+      // serves the file's data sequence = this commit's sequence (the
+      // rows ARE being updated now)
+      else hit.select(dataCols ++ Seq(col("_row_id"),
+        lit(null).cast(LongType).as("_last_updated_sequence_number")): _*)
     commitManifests("overwrite",
-      Seq("deletes" -> dvEntries, "data" -> writeDataFiles(updated)))
+      Seq("deletes" -> dvEntries,
+        "data" -> writeDataFiles(updated, materializedLineage = lineageOn)),
+      materializedGroups = if (lineageOn) Set(1) else Set.empty)
   }
 
   /** SQL MERGE's keyed upsert as ONE native snapshot: an equality-delete
@@ -316,9 +324,6 @@ final class IcebergWriter private (
     * row-delta shape Iceberg's own MERGE engines produce. */
   def upsertKeys(source: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "iceberg: upsertKeys needs key columns")
-    // upsert's delete half is MoR (allowed); its data half REPLACES the
-    // matched rows — fresh ids for surviving logical rows → refuse
-    rejectLineageRewrite("upsertKeys")
     val sch = curSchema
     val ids = keyCols.map(n => sch.fields.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
@@ -328,11 +333,50 @@ final class IcebergWriter private (
         src.select(keyCols.map(col): _*).distinct(), "delete-eq")
       .map { case (p, rows, bytes) =>
         fileEntry(p, content = 2, rows, bytes, Map.empty, Map.empty, Map.empty, ids) }
-    val dataEntries = writeDataFiles(src)
-    if (delEntries.isEmpty && dataEntries.isEmpty) // empty source: no-op
+    if (currentMeta.nextRowId.isEmpty) {
+      val dataEntries = writeDataFiles(src)
+      if (delEntries.isEmpty && dataEntries.isEmpty) // empty source: no-op
+        return currentMeta.currentSnapshotId.getOrElse(-1L)
+      return commitManifests("overwrite",
+        Seq("deletes" -> delEntries, "data" -> dataEntries))
+    }
+    // ROW-LINEAGE upsert (r16b): a keyed MERGE's updated rows keep the
+    // matched target row's _row_id (an update modifies, never re-mints);
+    // inserted rows take fresh ids. The split rides ONE key join against
+    // the target's (key → _row_id) projection; matched rows land in
+    // materialized-lineage files (NULL last-updated → readers inherit
+    // this commit's sequence), inserts in plain files that the commit
+    // cursor assigns first_row_id to — next-row-id advances by exactly
+    // the insert count.
+    val t = IcebergTable.load(spark, location)
+    val tgtKeys = t.scanWithLineage()
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_row_id")).as("__graft_rid"),
+        count(lit(1)).as("__graft_n"))
+    // one evaluation of the join feeds the cardinality check and both
+    // writes (batch-sized; also pins a nondeterministic source)
+    val joined = src.join(tgtKeys, keyCols, "left").localCheckpoint()
+    val dup = joined.filter(col("__graft_n") > 1L).limit(1)
+      .select(keyCols.map(col): _*).collect()
+    require(dup.isEmpty,
+      s"iceberg: upsertKeys on a row-lineage table needs unique key rows " +
+        s"in the target — key ${dup.headOption.getOrElse("")} matches " +
+        "multiple live rows, so the carried _row_id would be ambiguous; " +
+        "dedup the target first (e.g. a keyed delete) or drop lineage")
+    val matched = joined.filter(col("__graft_rid").isNotNull)
+      .select(sch.fields.map(f => col(f.name)) ++ Seq(
+        col("__graft_rid").as("_row_id"),
+        lit(null).cast(LongType).as("_last_updated_sequence_number")): _*)
+    val fresh = joined.filter(col("__graft_rid").isNull)
+      .select(sch.fields.map(f => col(f.name)): _*)
+    val matchedEntries = writeDataFiles(matched, materializedLineage = true)
+    val freshEntries = writeDataFiles(fresh)
+    if (delEntries.isEmpty && matchedEntries.isEmpty && freshEntries.isEmpty)
       return currentMeta.currentSnapshotId.getOrElse(-1L)
     commitManifests("overwrite",
-      Seq("deletes" -> delEntries, "data" -> dataEntries))
+      Seq("deletes" -> delEntries, "data" -> matchedEntries,
+        "data" -> freshEntries),
+      materializedGroups = Set(1))
   }
 
   /** Metadata-only rename: a NEW schema-id with the same field ids — data
@@ -405,7 +449,7 @@ final class IcebergWriter private (
         materializedLineage = true)
       listState = Nil
       commitManifests("replace", Seq("data" -> entries),
-        materializedLineage = true)
+        materializedGroups = Set(0))
     } else {
       val entries = writeDataFiles(t.scan())
       listState = Nil // the replace snapshot references only the rewrite
@@ -812,7 +856,7 @@ final class IcebergWriter private (
   private def commitManifests(operation: String,
       groups: Seq[(String, Seq[IcebergAvro.ManifestEntry])],
       summaryExtras: Map[String, String] = Map.empty,
-      materializedLineage: Boolean = false): Long = {
+      materializedGroups: Set[Int] = Set.empty): Long = {
     val seq = currentMeta.lastSequenceNumber + 1
     val snapId = seq * 31L + 1000L // deliberately != seq: catches id/seq mix-ups
     // per-ATTEMPT nonce in manifest/list names: two racing writers opened
@@ -854,13 +898,15 @@ final class IcebergWriter private (
     var rowIdCursor = lineageBase.getOrElse(0L)
     val groupsAssigned = lineageBase match {
       case None => groups
-      // materialized-lineage rewrite (r16): the ids ride IN the files
-      // (v3 rewrite contract) — first_row_id stays null so readers
-      // serve the columns, and the cursor must NOT advance (no new
-      // rows were minted; next-row-id is unchanged below)
-      case Some(_) if materializedLineage => groups
-      case Some(_) => groups.map { case (content, entries) =>
-        content -> entries.map { e =>
+      case Some(_) => groups.zipWithIndex.map { case ((content, entries), gi) =>
+        // materialized-lineage groups (r16 rewrites, r16b updates): the
+        // ids ride IN those files (v3 rewrite contract) — first_row_id
+        // stays null so readers serve the columns, and the cursor must
+        // NOT advance for them (no new rows minted). Other data groups
+        // in the SAME commit (upsert's fresh inserts) still take cursor
+        // ids — next-row-id advances by exactly their row count.
+        if (materializedGroups(gi)) content -> entries
+        else content -> entries.map { e =>
           if (e.content == 0 && e.status == 1 && e.firstRowId.isEmpty) {
             val assigned = e.copy(firstRowId = Some(rowIdCursor))
             rowIdCursor += e.recordCount

@@ -900,13 +900,6 @@ class IcebergSpec extends AnyFunSuite {
     assert(preCompact.forall { case (k, (id, _)) => mixed(k) == id },
       "mixed materialized+inherited scan drifted")
 
-    // row-CHANGING ops still loud-reject (they need per-row seq reassignment)
-    intercept[IllegalArgumentException] {
-      w.updateWhere(col("k") === 1L, Map("s" -> lit("x")))
-    }
-    intercept[IllegalArgumentException] {
-      w.upsertKeys(Seq((1L, "x")).toDF("k", "s"), Seq("k"))
-    }
     // enabling lineage late (files without ids) is refused
     val loc2 = freshDir("lineage-late")
     val w2 = IcebergWriter.create(spark, loc2, df1.schema)
@@ -962,6 +955,96 @@ class IcebergSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.read.format("graft-iceberg")
         .option("with-lineage", "true").load(loc2).collect()
+    }
+  }
+
+  test("v3 ROW LINEAGE through row-CHANGING ops: updateWhere / upsertKeys (r16b)") {
+    // Supersedes the r16 loud-reject: per the v3 rewrite contract, an
+    // update carries the matched row's _row_id into the rewritten file
+    // with a NULL materialized _last_updated_sequence_number — readers
+    // inherit the file's data sequence (the committing snapshot's), so
+    // "which commit last updated this row" is correct WITHOUT the writer
+    // predicting its own sequence (CAS-retry safe). Upsert splits
+    // matched (carried id) from fresh rows (cursor-minted ids).
+    import spark.implicits._
+    val loc = freshDir("lineage-update")
+    val df1 = (0L until 50L).map(i => (i, s"a$i")).toDF("k", "s")
+    val w = IcebergWriter.create(spark, loc, df1.schema)
+    w.enableRowLineage()
+    w.append(df1.repartition(3))
+    val base = IcebergTable.load(spark, loc)
+    val pre = base.scanWithLineage()
+      .select("k", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val preNext = base.meta.nextRowId
+
+    // UPDATE: matched rows keep _row_id and take the update commit's
+    // sequence; untouched rows are byte-identical
+    val updSnap = w.updateWhere(col("k") < 10L, Map("s" -> lit("upd")))
+    val tU = IcebergTable.load(spark, loc)
+    val updSeq = tU.meta.snapshot(updSnap).sequenceNumber
+    assert(tU.meta.nextRowId == preNext,
+      "updateWhere must not advance next-row-id (no rows minted)")
+    val post = tU.scanWithLineage()
+      .select("k", "s", "_row_id", "_last_updated_sequence_number")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(post.size == 50, "update must not change row count")
+    (0L until 50L).foreach { k =>
+      val (s, id, seq) = post(k)
+      assert(id == pre(k)._1, s"_row_id must be carried through update (k=$k)")
+      if (k < 10L) {
+        assert(s == "upd")
+        assert(seq == updSeq,
+          s"updated row k=$k must carry the UPDATE commit's sequence " +
+            s"($updSeq), got $seq — the null-fallback inheritance rule")
+      } else {
+        assert(s == s"a$k")
+        assert(seq == pre(k)._2, s"untouched row k=$k must keep its sequence")
+      }
+    }
+
+    // UPSERT: matched key keeps its id at the upsert's sequence; fresh
+    // keys mint ids from the preserved cursor; next-row-id advances by
+    // exactly the insert count
+    val upSnap = w.upsertKeys(
+      Seq((3L, "up3"), (60L, "new60"), (61L, "new61")).toDF("k", "s"), Seq("k"))
+    val tP = IcebergTable.load(spark, loc)
+    val upSeq = tP.meta.snapshot(upSnap).sequenceNumber
+    assert(tP.meta.nextRowId == preNext.map(_ + 2),
+      s"upsert of 2 fresh keys must advance next-row-id by 2: ${tP.meta.nextRowId}")
+    val post2 = tP.scanWithLineage()
+      .select("k", "s", "_row_id", "_last_updated_sequence_number")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(post2.size == 52)
+    assert(post2(3L) == (("up3", pre(3L)._1, upSeq)),
+      s"upserted existing key must keep its _row_id at the upsert seq: ${post2(3L)}")
+    assert(Set(post2(60L)._2, post2(61L)._2) ==
+      Set(preNext.get, preNext.get + 1L),
+      s"fresh keys must take the next cursor ids: ${post2(60L)} ${post2(61L)}")
+    assert(post2(60L)._3 == upSeq && post2(61L)._3 == upSeq)
+    (0L until 50L).filter(_ != 3L).foreach { k =>
+      assert(post2(k) == post(k), s"non-upserted row k=$k must be untouched")
+    }
+
+    // compaction after the update/upsert REmaterializes the whole state
+    // (the null-last-updated files resolve through inheritance first)
+    w.compact()
+    val post3 = IcebergTable.load(spark, loc).scanWithLineage()
+      .select("k", "s", "_row_id", "_last_updated_sequence_number")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(post3 == post2, "compaction must preserve post-update lineage")
+    assert(IcebergTable.load(spark, loc).scan().columns.toSeq == Seq("k", "s"))
+
+    // ambiguous carry: duplicate live rows for an upserted key refuse
+    w.append(Seq((7L, "dup")).toDF("k", "s"))
+    intercept[IllegalArgumentException] {
+      w.upsertKeys(Seq((7L, "x")).toDF("k", "s"), Seq("k"))
     }
   }
 }
