@@ -456,6 +456,122 @@ final class DeltaTable private (
       }
     filter.map(out.filter).getOrElse(out)
   }
+
+  /** ROW-TRACKING scan (r16b — Delta's row-lineage counterpart to
+    * Iceberg v3 `scanWithLineage`): the table's rows with `_row_id` and
+    * `_row_commit_version` appended, per the protocol's resolution
+    * rules — a row's id is its file's MATERIALIZED row-id column when
+    * non-null, else `baseRowId + row_index` (fresh); its commit version
+    * is the materialized column else `defaultRowCommitVersion`. The
+    * materialized column NAMES come from the table configuration, so
+    * tables written by any conformant engine resolve. Exact-or-refuse:
+    * a live file without a baseRowId (added before tracking was
+    * enabled) refuses loudly — its fresh ids would be wrong — as does a
+    * schema that declares the output column names. DV deletes never
+    * disturb survivors' ids (row_index is position-stable). */
+  def scanWithRowTracking(filter: Option[Column] = None): DataFrame = {
+    require(meta.rowTrackingEnabled,
+      s"delta: table at $location does not enable row tracking " +
+        "(no delta.enableRowTracking in configuration)")
+    require(!meta.schema.fieldNames.exists(n =>
+        n == "_row_id" || n == "_row_commit_version"),
+      "delta: schema declares _row_id/_row_commit_version — serving " +
+        "lineage columns beside them would be ambiguous")
+    val matId = meta.materializedRowIdCol
+    val matVer = meta.materializedRowVerCol
+    val live = prunedAdds(filter)
+    val target = StructType(meta.schema.fields ++ Seq(
+      StructField("_row_id", LongType),
+      StructField("_row_commit_version", LongType)))
+    if (live.isEmpty)
+      return filter.foldLeft(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))(
+        (d, f) => d.filter(f))
+    live.foreach(a => require(
+      a.baseRowId.isDefined && a.defaultRowCommitVersion.isDefined,
+      s"delta: live file ${a.path} carries no baseRowId — written " +
+        "before row tracking was enabled? its ids cannot be " +
+        "reconstructed, refusing"))
+
+    val dvDescs: Map[String, DeletionVectors.Descriptor] = live.flatMap { a =>
+      a.deletionVector.map { d =>
+        DeltaTable.pathKey(
+          DeltaTable.resolve(location, a.path).toString) -> d
+      }
+    }.toMap
+    val keepRow: Option[Column] = if (dvDescs.isEmpty) None else
+      Some(DeltaTable.dvKeepColumn(spark, location,
+        spark.sessionState.newHadoopConf(), dvDescs,
+        col("_metadata.file_path"), col("_metadata.row_index")))
+
+    val logicalDataCols = meta.schema.fieldNames
+      .filterNot(meta.partitionColumns.contains)
+    val livePaths = live.map(f => DeltaTable.resolve(location, f.path).toString)
+    // read schema: physical data columns + the materialized lineage
+    // columns when configured (files written before any rewrite lack
+    // them — Spark serves missing columns as nulls, which is exactly
+    // the protocol's null-means-fresh fallback)
+    val physData = StructType(dataSchema.fields ++
+      (matId.toSeq ++ matVer.toSeq).map(n => StructField(n, LongType)))
+    if (meta.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    var df = spark.read.schema(physData).parquet(livePaths: _*)
+    keepRow.foreach(k => df = df.filter(k))
+
+    val byPath: Map[String, (Long, Long)] = live.map(a =>
+      DeltaTable.pathKey(DeltaTable.resolve(location, a.path).toString) ->
+        ((a.baseRowId.get, a.defaultRowCommitVersion.get))).toMap
+    val bc = spark.sparkContext.broadcast(byPath)
+    def const(pick: ((Long, Long)) => Long): Column =
+      graft.expressions.FileConstant.column(
+        DeltaTable.normPath(col("_metadata.file_path")), LongType,
+        raw => bc.value.get(DeltaTable.pathKey(raw)) match {
+          case Some(v) => Long.box(pick(v))
+          case None => throw new IllegalStateException(
+            s"delta: file $raw missing from the row-tracking constants")
+        })
+    val rowIdC = coalesce(
+      matId.map(col).getOrElse(lit(null).cast(LongType)),
+      const(_._1) + col("_metadata.row_index")).as("_row_id")
+    val rowVerC = coalesce(
+      matVer.map(col).getOrElse(lit(null).cast(LongType)),
+      const(_._2)).as("_row_commit_version")
+
+    val out =
+      if (meta.partitionColumns.isEmpty)
+        df.select(logicalDataCols.toIndexedSeq.map(c =>
+          col(meta.physicalName(c)).as(c)) ++ Seq(rowIdC, rowVerC): _*)
+      else {
+        // partition injection (scan()'s broadcast shape) with the
+        // lineage columns computed BEFORE the projection drops _metadata
+        df = df
+          .withColumn("__fp", DeltaTable.normPath(col("_metadata.file_path")))
+          .withColumn("_row_id", rowIdC)
+          .withColumn("_row_commit_version", rowVerC)
+          .select((col("__fp") +: col("_row_id") +:
+            col("_row_commit_version") +:
+            logicalDataCols.toIndexedSeq.map(c =>
+              col(meta.physicalName(c)).as(c))): _*)
+        val pvSchema = StructType(
+          StructField("__fp", StringType) +:
+            meta.partitionColumns.map(c => StructField(s"__pv_$c", StringType)))
+        val pvRows = live.map { a =>
+          org.apache.spark.sql.Row.fromSeq(
+            DeltaTable.pathKey(DeltaTable.resolve(location, a.path).toString) +:
+              meta.partitionColumns.map(c =>
+                a.partitionValues.get(meta.physicalName(c)).orNull))
+        }
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema)
+        df.join(broadcast(pvDf), Seq("__fp"))
+          .select(meta.schema.fieldNames.toIndexedSeq.map { c =>
+            if (meta.partitionColumns.contains(c))
+              col(s"__pv_$c").cast(meta.schema(c).dataType).as(c)
+            else col(c)
+          } ++ Seq(col("_row_id"), col("_row_commit_version")): _*)
+      }
+    filter.map(out.filter).getOrElse(out)
+  }
 }
 
 object DeltaTable {
@@ -493,6 +609,17 @@ object DeltaTable {
 
     def logicalByPhysical: Map[String, String] =
       schema.fieldNames.map(n => physicalName(n) -> n).toMap
+
+    /** ROW TRACKING (writer feature; r16b): whether the table records
+      * row lineage, and the config-resolved names of the materialized
+      * override columns (physical, outside the schema — per protocol
+      * they live in `delta.rowTracking.materialized*ColumnName`). */
+    def rowTrackingEnabled: Boolean =
+      configuration.getOrElse("delta.enableRowTracking", "") == "true"
+    def materializedRowIdCol: Option[String] =
+      configuration.get("delta.rowTracking.materializedRowIdColumnName")
+    def materializedRowVerCol: Option[String] =
+      configuration.get("delta.rowTracking.materializedRowCommitVersionColumnName")
   }
 
   final case class AddFile(
@@ -507,7 +634,13 @@ object DeltaTable {
         * (an all-null column has a nullCount but no bounds) and its
         * `nulls` field defaults a MISSING count to 0 (fine for pruning,
         * fatal for exact COUNT pushdown — unknown is not zero). */
-      nullCounts: Map[String, Long] = Map.empty)
+      nullCounts: Map[String, Long] = Map.empty,
+      /** Row-tracking id span (r16b): fresh row ids read as
+        * baseRowId + row_index; commit versions default to
+        * defaultRowCommitVersion — both overridden per row by the
+        * table's materialized columns when non-null. */
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Reconstructed-state representation. [[Eager]] is the small-table
     * fast path: every add action materialized on the driver (identical
@@ -1323,7 +1456,14 @@ object DeltaTable {
       case _ => (None, Map.empty[String, ColStats], Map.empty[String, Long])
     }
     AddFile(decodePath(n.path("path").asText()), pvals,
-      n.path("size").asLong(0L), nRec, stats, dv, nulls)
+      n.path("size").asLong(0L), nRec, stats, dv, nulls,
+      baseRowId =
+        if (n.has("baseRowId") && !n.get("baseRowId").isNull)
+          Some(n.get("baseRowId").asLong()) else None,
+      defaultRowCommitVersion =
+        if (n.has("defaultRowCommitVersion") &&
+            !n.get("defaultRowCommitVersion").isNull)
+          Some(n.get("defaultRowCommitVersion").asLong()) else None)
   }
 
   private def parseAddRow(r: org.apache.spark.sql.Row): AddFile = {
@@ -1344,7 +1484,10 @@ object DeltaTable {
     }
     AddFile(decodePath(r.getAs[String]("path")),
       if (pvals == null) Map.empty else pvals,
-      r.getAs[Long]("size"), nRec, stats, dv, nullCounts)
+      r.getAs[Long]("size"), nRec, stats, dv, nullCounts,
+      baseRowId = idx.get("baseRowId").filterNot(r.isNullAt).map(r.getLong),
+      defaultRowCommitVersion =
+        idx.get("defaultRowCommitVersion").filterNot(r.isNullAt).map(r.getLong))
   }
 
   /** Delta per-file stats JSON → graft ColStats. Only top-level columns

@@ -35,7 +35,8 @@ final class DeltaWriter private (
     partitionColumns: Seq[String],
     columnMapping: Option[String],
     enableCdf: Boolean = false,
-    enableIct: Boolean = false) {
+    enableIct: Boolean = false,
+    enableRowTracking: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   /** VARIANT columns (r13): the protocol's `variantType` reader+writer
@@ -69,6 +70,22 @@ final class DeltaWriter private (
   // carried INSIDE the commit (commitInfo.inCommitTimestamp) instead of
   // read off file mtimes a copy/restore can scramble. Restored by open().
   private var lastIct = 0L
+  // ROW TRACKING (writer features `rowTracking` + its prerequisite
+  // `domainMetadata`, r16b — Delta's row-lineage counterpart to Iceberg
+  // v3): every committed add takes a fresh `baseRowId` span from the
+  // `delta.rowTracking` domain's high-water mark and
+  // `defaultRowCommitVersion` = its commit; fresh ids read as
+  // baseRowId + row_index, rewrites carry ids in MATERIALIZED columns
+  // that override per row (null = fresh fallback, per protocol).
+  // Highest assigned row id so far (-1 = none); restored by open().
+  private var rowIdHwm = -1L
+  if (enableRowTracking) {
+    require(!schema.fieldNames.exists(DeltaWriter.MatCols.contains),
+      s"delta rowTracking: schema collides with the materialized " +
+        s"lineage column names ${DeltaWriter.MatCols.mkString(", ")}")
+    require(columnMapping.isEmpty,
+      "delta rowTracking: combination with column mapping is not built here")
+  }
 
   // logical -> physical column name (identity without column mapping)
   private val phys: Map[String, String] = columnMapping match {
@@ -97,8 +114,45 @@ final class DeltaWriter private (
     * freeform audit record OSS Delta writes on every commit; it is what
     * makes the `#history` metadata view informative. RESTORE builds its
     * own tagged commitInfo (the one operation changes() keys on). */
-  private def commit(actions: Seq[ObjectNode],
+  private def commit(actions0: Seq[ObjectNode],
       operation: String = null): Long = {
+    // ROW-TRACKING assignment — the single commit chokepoint: every add
+    // that does not already carry a baseRowId (re-adds of DV'd files
+    // deepCopy the original and keep theirs, per protocol) takes the
+    // next id span and this commit's version; the same commit then
+    // records the advanced high-water mark in the `delta.rowTracking`
+    // domainMetadata action (protocol requirement — a writer that
+    // assigns ids must publish the watermark it consumed up to).
+    val actions =
+      if (!enableRowTracking) actions0
+      else {
+        var assigned = false
+        actions0.foreach { n =>
+          if (n.has("add")) {
+            val a = n.get("add").asInstanceOf[ObjectNode]
+            if (!a.has("baseRowId")) {
+              val rows = Option(a.get("stats")).filterNot(_.isNull)
+                .map(s => mapper.readTree(s.asText())
+                  .path("numRecords").asLong(-1L)).getOrElse(-1L)
+              require(rows >= 0L, "delta rowTracking: add action without " +
+                "numRecords stats — cannot size its baseRowId span")
+              a.put("baseRowId", rowIdHwm + 1L)
+              a.put("defaultRowCommitVersion", version + 1L)
+              rowIdHwm += rows
+              assigned = true
+            }
+          }
+        }
+        if (!assigned) actions0
+        else {
+          val dm = mapper.createObjectNode()
+          val d = dm.putObject("domainMetadata")
+          d.put("domain", "delta.rowTracking")
+          d.put("configuration", s"""{"rowIdHighWaterMark":$rowIdHwm}""")
+          d.put("removed", false)
+          actions0 :+ dm
+        }
+      }
     val all =
       if (operation == null && !enableIct) actions
       else {
@@ -146,18 +200,22 @@ final class DeltaWriter private (
         (if (hasVariant) Seq("variantType") else Nil)
     val writerFeats = readerFeats ++
       (if (enableCdf) Seq("changeDataFeed") else Nil) ++
-      (if (enableIct) Seq("inCommitTimestamp") else Nil)
+      (if (enableIct) Seq("inCommitTimestamp") else Nil) ++
+      // rowTracking is WRITER-ONLY (readers scan without ids; the
+      // lineage columns are opt-in metadata) and requires domainMetadata
+      (if (enableRowTracking) Seq("rowTracking", "domainMetadata") else Nil)
     if (dvEnabled || v2CpEnabled || twEnabled || hasVariant ||
         columnMapping.contains("id")) {
       pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
       val rf = pr.putArray("readerFeatures"); readerFeats.foreach(rf.add)
       val wf = pr.putArray("writerFeatures"); writerFeats.foreach(wf.add)
-    } else if (enableIct) {
-      // inCommitTimestamp is WRITER-ONLY: writer table features (7 +
-      // explicit list) without raising the reader bar — a reader-v1/v2
-      // engine reads an ICT table fine (real Delta writers do the same;
-      // forcing minReaderVersion 3 here would lock those readers out
-      // for no reason). Legacy-implied writer features must be listed
+    } else if (enableIct || enableRowTracking) {
+      // inCommitTimestamp / rowTracking / domainMetadata are
+      // WRITER-ONLY: writer table features (7 + explicit list) without
+      // raising the reader bar — a reader-v1/v2 engine reads these
+      // tables fine (real Delta writers do the same; forcing
+      // minReaderVersion 3 here would lock those readers out for no
+      // reason). Legacy-implied writer features must be listed
       // explicitly once version 7 is in force.
       pr.put("minReaderVersion", if (columnMapping.isDefined) 2 else 1)
       pr.put("minWriterVersion", 7)
@@ -207,6 +265,15 @@ final class DeltaWriter private (
     // absent enablement-version properties = enabled since creation,
     // per the protocol's inCommitTimestamp rules
     if (enableIct) cfg.put("delta.enableInCommitTimestamps", "true")
+    if (enableRowTracking) {
+      cfg.put("delta.enableRowTracking", "true")
+      // the protocol resolves materialized lineage columns by NAME from
+      // these properties (they are physical names outside the schema)
+      cfg.put("delta.rowTracking.materializedRowIdColumnName",
+        DeltaWriter.MatRowIdCol)
+      cfg.put("delta.rowTracking.materializedRowCommitVersionColumnName",
+        DeltaWriter.MatRowVerCol)
+    }
     columnMapping.foreach { mode =>
       cfg.put("delta.columnMapping.mode", mode)
       cfg.put("delta.columnMapping.maxColumnId", schema.length.toString)
@@ -545,7 +612,17 @@ final class DeltaWriter private (
   private def readForRewrite(adds: Seq[ObjectNode]): DataFrame = {
     val paths = adds.map(n =>
       DeltaTable.resolve(location, n.get("add").get("path").asText()).toString)
-    val physData = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    val physData0 = StructType(dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    // row-tracking rewrites must carry each row's CURRENT lineage into
+    // the new files: read the materialized columns (absent in
+    // fresh-only files → nulls) and resolve them against the add's
+    // baseRowId/defaultRowCommitVersion fallback HERE, so every
+    // rewritten row leaves with concrete materialized values
+    val physData =
+      if (!enableRowTracking) physData0
+      else StructType(physData0.fields ++ Seq(
+        StructField(DeltaWriter.MatRowIdCol, LongType),
+        StructField(DeltaWriter.MatRowVerCol, LongType)))
     var df = spark.read.schema(physData).parquet(paths: _*)
     val dvs: Map[String, DeletionVectors.Descriptor] = adds.flatMap { n =>
       dvDescOf(n.get("add")).map { d =>
@@ -557,10 +634,38 @@ final class DeltaWriter private (
       df = df.filter(DeltaTable.dvKeepColumn(spark, location, conf, dvs,
         col("_metadata.file_path"), col("_metadata.row_index")))
     }
+    val lineageCols: Seq[Column] =
+      if (!enableRowTracking) Nil
+      else {
+        val byPath: Map[String, (Long, Long)] = adds.map { n =>
+          val a = n.get("add")
+          require(a.has("baseRowId") && a.has("defaultRowCommitVersion"),
+            s"delta rowTracking: live file ${a.get("path").asText()} " +
+              "carries no baseRowId — written before tracking? refusing")
+          DeltaTable.pathKey(DeltaTable.resolve(location,
+            a.get("path").asText()).toString) ->
+            ((a.get("baseRowId").asLong(), a.get("defaultRowCommitVersion").asLong()))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(byPath)
+        def const(pick: ((Long, Long)) => Long): Column =
+          graft.expressions.FileConstant.column(
+            DeltaTable.normPath(col("_metadata.file_path")), LongType,
+            raw => bc.value.get(DeltaTable.pathKey(raw)) match {
+              case Some(v) => Long.box(pick(v))
+              case None => throw new IllegalStateException(
+                s"delta rowTracking: file $raw missing from rewrite constants")
+            })
+        Seq(coalesce(col(DeltaWriter.MatRowIdCol),
+            const(_._1) + col("_metadata.row_index"))
+            .as(DeltaWriter.MatRowIdCol),
+          coalesce(col(DeltaWriter.MatRowVerCol), const(_._2))
+            .as(DeltaWriter.MatRowVerCol))
+      }
     var out = df
       .withColumn("__fp", DeltaTable.normPath(col("_metadata.file_path")))
       .select((col("__fp") +:
-        dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c))): _*)
+        dataSchema.fieldNames.toIndexedSeq.map(c => col(phys(c)).as(c))) ++
+        lineageCols: _*)
     if (partitionColumns.nonEmpty) {
       val pvSchema = StructType(StructField("__fp", StringType) +:
         partitionColumns.map(c => StructField(s"__pv_$c", StringType)))
@@ -584,6 +689,13 @@ final class DeltaWriter private (
     }
     out
   }
+
+  /** Column set a COW rewrite writes back: the table schema plus (on a
+    * row-tracking table) the two materialized lineage columns
+    * readForRewrite resolved to concrete per-row values. */
+  private def rewriteCols: Seq[String] =
+    schema.fieldNames.toSeq ++
+      (if (enableRowTracking) DeltaWriter.MatCols else Nil)
 
   /** The files among `adds` actually holding rows where `hitCol` is true
     * — one distributed probe returning O(files) paths, the exactness fix
@@ -641,7 +753,7 @@ final class DeltaWriter private (
         probe.filter(col("__fp").isin(touchedKeys: _*))
       }
     val remaining = tdf.filter(!col("__hit"))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(rewriteCols.map(col): _*)
     val newAdds: Seq[ObjectNode] =
       if (remaining.isEmpty) Nil else writeFiles(remaining)
     val cdcActs =
@@ -695,7 +807,7 @@ final class DeltaWriter private (
     val parts = math.max(1,
       math.ceil(totalBytes.toDouble / math.max(1L, targetBytes)).toInt)
     val rows = readForRewrite(group)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(rewriteCols.map(col): _*)
       .coalesce(parts)
     val newAdds = writeFiles(rows)
     // row-conservation guard: OPTIMIZE must be a pure re-layout. A read
@@ -818,11 +930,18 @@ final class DeltaWriter private (
     val hit = tdf.filter(col("__hit")).drop("__hit")
     val miss = tdf.filter(!col("__hit")).drop("__hit")
     val updated = {
-      val u = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+      val u0 = set.foldLeft(hit) { case (d, (c, e)) => d.withColumn(c, e) }
+      // row tracking: a CHANGED row keeps its materialized row id but
+      // its commit version becomes this commit — write null and let the
+      // protocol's fresh-value fallback (defaultRowCommitVersion of the
+      // new add) serve it, so the value is right even though the commit
+      // version is not known until the log write
+      val u = if (!enableRowTracking) u0
+        else u0.withColumn(DeltaWriter.MatRowVerCol, lit(null).cast(LongType))
       if (exprsDeterministic) u else u.localCheckpoint()
     }
     val merged = miss.unionByName(updated)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(rewriteCols.map(col): _*)
     val newAdds: Seq[ObjectNode] =
       if (merged.isEmpty) Nil else writeFiles(merged)
     val cdcActs =
@@ -1109,12 +1228,39 @@ final class DeltaWriter private (
     val t = DeltaTable.load(spark, location)
     val k = src.select(keyCols.zipWithIndex.map { case (c, i) =>
       col(c).cast("string").as(s"__dk$i") }.toIndexedSeq: _*).distinct()
+    // ROW TRACKING (r16b): a keyed MERGE's matched rows are UPDATES —
+    // they must keep the retired target row's row id (materialized,
+    // with a null commit version → the new add's default serves this
+    // commit); unmatched rows stay fresh (null materialized id → the
+    // baseRowId fallback mints). One key join against the live rows'
+    // (key → id) projection decides the split; ambiguous multi-row
+    // matches refuse (which id would the update carry?). MUST run (and
+    // eagerly pin) BEFORE the DV delete below mutates the live state —
+    // the retired rows are exactly the ones whose ids are carried.
+    val writeSrc =
+      if (!enableRowTracking || live.isEmpty) src
+      else {
+        val tgtKeys = readForRewrite(live.values.toSeq)
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(col(DeltaWriter.MatRowIdCol)).as("__graft_rid"),
+            count(lit(1)).as("__graft_n"))
+        val joined = src.join(tgtKeys, keyCols, "left").localCheckpoint()
+        val dup = joined.filter(col("__graft_n") > 1L).limit(1)
+          .select(keyCols.map(col): _*).collect()
+        require(dup.isEmpty,
+          s"delta rowTracking: upsertKeys needs unique key rows in the " +
+            s"target — key ${dup.headOption.getOrElse("")} matches " +
+            "multiple live rows, so the carried row id would be ambiguous")
+        joined.select(schema.fieldNames.map(col).toIndexedSeq ++ Seq(
+          col("__graft_rid").as(DeltaWriter.MatRowIdCol),
+          lit(null).cast(LongType).as(DeltaWriter.MatRowVerCol)): _*)
+      }
     val (dvActs, dvCdc) =
       dvDeleteActions(t.planFiles(None).toSet, df =>
         df.join(k, keyCols.zipWithIndex.map { case (c, i) =>
           df(c).cast("string") === k(s"__dk$i") }.reduce(_ && _), "left_semi"))
         .getOrElse((Nil, Nil))
-    val addsN = writeFiles(src)
+    val addsN = writeFiles(writeSrc)
     addsN.foreach(n => live(n.get("add").get("path").asText()) = n)
     // a pure-insert merge (no matched keys) is a blind append — CDF
     // synthesis covers it; a mixed commit needs authoritative cdc rows
@@ -1136,14 +1282,28 @@ final class DeltaWriter private (
     StructField("offset", IntegerType),
     StructField("sizeInBytes", IntegerType),
     StructField("cardinality", LongType)))
-  private val addType = StructType(Seq(
+  private def addType = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", MapType(StringType, StringType, true)),
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
-    StructField("deletionVector", dvType, true)))
+    StructField("deletionVector", dvType, true)) ++
+    // row-tracking tables must checkpoint the per-add id spans — a
+    // checkpoint-seeded reader otherwise has no fresh-id base
+    (if (enableRowTracking) Seq(
+      StructField("baseRowId", LongType, true),
+      StructField("defaultRowCommitVersion", LongType, true)) else Nil))
+  // the protocol REQUIRES checkpoints to carry every live domainMetadata
+  private val domainType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
+  private def domainStructs: Seq[org.apache.spark.sql.Row] =
+    if (!enableRowTracking || rowIdHwm < 0L) Nil
+    else Seq(org.apache.spark.sql.Row("delta.rowTracking",
+      s"""{"rowIdHighWaterMark":$rowIdHwm}""", false))
   private val protoType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
     StructField("minWriterVersion", IntegerType),
@@ -1195,6 +1355,13 @@ final class DeltaWriter private (
        else Map.empty[String, String]) ++
         (if (enableIct) Map("delta.enableInCommitTimestamps" -> "true")
          else Map.empty[String, String]) ++
+        (if (enableRowTracking) Map(
+          "delta.enableRowTracking" -> "true",
+          "delta.rowTracking.materializedRowIdColumnName" ->
+            DeltaWriter.MatRowIdCol,
+          "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            DeltaWriter.MatRowVerCol)
+         else Map.empty[String, String]) ++
         columnMapping.map(mode => Map(
           "delta.columnMapping.mode" -> mode,
           "delta.columnMapping.maxColumnId" -> schema.length.toString))
@@ -1220,9 +1387,13 @@ final class DeltaWriter private (
       // dataChange is FALSE in checkpoints, per protocol: checkpoint
       // actions reconstruct STATE; a checkpoint-seeded CDF/incremental
       // reader must not mistake an OPTIMIZE'd file for a row change
-      Row(a.get("path").asText(), pv.toMap,
+      val base = Seq[Any](a.get("path").asText(), pv.toMap,
         a.get("size").asLong(), a.get("modificationTime").asLong(),
         false, a.get("stats").asText(), dvRow)
+      Row(base ++ (if (!enableRowTracking) Nil else Seq(
+        if (a.has("baseRowId")) Long.box(a.get("baseRowId").asLong()) else null,
+        if (a.has("defaultRowCommitVersion"))
+          Long.box(a.get("defaultRowCommitVersion").asLong()) else null)): _*)
     }
     (protoStruct, metaStruct, addStructs)
   }
@@ -1296,14 +1467,24 @@ final class DeltaWriter private (
       StructField("metaData", metaType, true),
       StructField("add", addType, true),
       StructField("remove", removeType, true),
-      StructField("txn", txnType, true)))
+      StructField("txn", txnType, true)) ++
+      (if (enableRowTracking)
+        Seq(StructField("domainMetadata", domainType, true)) else Nil))
+    // row-tracking checkpoints carry a sixth action column — pad the
+    // positional rows so arity tracks the schema
+    def r(proto: Any, meta: Any, add: Any, rm: Any, txn: Any,
+        dom: Any = null): Row =
+      if (enableRowTracking) Row(proto, meta, add, rm, txn, dom)
+      else Row(proto, meta, add, rm, txn)
     val (proto, meta, adds) = checkpointStructs
-    val txnRows = txnStructs.map(t => Row(null, null, null, null, t))
-    val rmRows = tombstoneStructs.map(r => Row(null, null, null, r, null))
+    val txnRows = txnStructs.map(t => r(null, null, null, null, t))
+    val rmRows = tombstoneStructs.map(x => r(null, null, null, x, null))
+    val domRows = domainStructs.map(d => r(null, null, null, null, null, d))
     if (parts == 1) {
-      val rows = Row(proto, null, null, null, null) +:
-        Row(null, meta, null, null, null) +:
-        (txnRows ++ adds.map(a => Row(null, null, a, null, null)) ++ rmRows)
+      val rows = r(proto, null, null, null, null) +:
+        r(null, meta, null, null, null) +:
+        (txnRows ++ domRows ++
+          adds.map(a => r(null, null, a, null, null)) ++ rmRows)
       writeSingleParquet(rows, cpSchema,
         new Path(logDir, f"$version%020d.checkpoint.parquet"))
     } else {
@@ -1311,14 +1492,15 @@ final class DeltaWriter private (
       (1 to parts).foreach { p =>
         val partAdds = byPart.getOrElse(p - 1, Nil).map(_._1)
         val rows =
-          (if (p == 1) Seq(Row(proto, null, null, null, null),
-            Row(null, meta, null, null, null)) ++ txnRows ++ rmRows
-           else Nil) ++ partAdds.map(a => Row(null, null, a, null, null))
+          (if (p == 1) Seq(r(proto, null, null, null, null),
+            r(null, meta, null, null, null)) ++ txnRows ++ domRows ++ rmRows
+           else Nil) ++ partAdds.map(a => r(null, null, a, null, null))
         writeSingleParquet(rows, cpSchema,
           new Path(logDir, f"$version%020d.checkpoint.$p%010d.$parts%010d.parquet"))
       }
     }
-    writeLastCheckpoint(live.size.toLong + 2 + txns.size + rmRows.size,
+    writeLastCheckpoint(
+      live.size.toLong + 2 + txns.size + rmRows.size + domRows.size,
       if (parts == 1) None else Some(parts))
   }
 
@@ -1357,18 +1539,25 @@ final class DeltaWriter private (
       StructField("metaData", metaType, true),
       StructField("checkpointMetadata", cpMetaType, true),
       StructField("sidecar", sidecarType, true),
-      StructField("txn", txnType, true)))
+      StructField("txn", txnType, true)) ++
+      (if (enableRowTracking)
+        Seq(StructField("domainMetadata", domainType, true)) else Nil))
+    def r(proto: Any, meta: Any, cpm: Any, sc: Any, txn: Any,
+        dom: Any = null): Row =
+      if (enableRowTracking) Row(proto, meta, cpm, sc, txn, dom)
+      else Row(proto, meta, cpm, sc, txn)
     val rows = Seq(
-      Row(proto, null, null, null, null),
-      Row(null, meta, null, null, null),
-      Row(null, null, Row(version, null), null, null),
-      Row(null, null, null,
+      r(proto, null, null, null, null),
+      r(null, meta, null, null, null),
+      r(null, null, Row(version, null), null, null),
+      r(null, null, null,
         Row(sidecarName, scStatus.getLen, scStatus.getModificationTime, null),
-        null)) ++ txnStructs.map(t => Row(null, null, null, null, t))
+        null)) ++ txnStructs.map(t => r(null, null, null, null, t)) ++
+      domainStructs.map(d => r(null, null, null, null, null, d))
     val uuid = java.util.UUID.randomUUID().toString
     writeSingleParquet(rows, topSchema,
       new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet"))
-    writeLastCheckpoint(live.size.toLong + 3 + txns.size)
+    writeLastCheckpoint(live.size.toLong + 3 + txns.size + domainStructs.size)
   }
 }
 
@@ -1418,6 +1607,8 @@ object DeltaWriter {
     var tw = false
     var ict = false
     var maxIct = 0L
+    var rowTracking = false
+    var hwm = -1L
     val live = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
     val txnSeen = scala.collection.mutable.Map[String, (Long, Long)]()
     commits.foreach { case (_, p) =>
@@ -1438,6 +1629,22 @@ object DeltaWriter {
           require(m.path("configuration").path("delta.columnMapping.mode")
             .asText("none") == "none",
             "delta: open() does not reconstruct column-mapping state")
+          rowTracking = m.path("configuration")
+            .path("delta.enableRowTracking").asText("") == "true"
+          if (rowTracking) {
+            // this writer materializes under ITS column names — a table
+            // whose config names others would get silently-ignored
+            // lineage columns on rewrite: refuse loudly
+            val idCol = m.path("configuration")
+              .path("delta.rowTracking.materializedRowIdColumnName")
+              .asText("")
+            val verCol = m.path("configuration")
+              .path("delta.rowTracking.materializedRowCommitVersionColumnName")
+              .asText("")
+            require(idCol == MatRowIdCol && verCol == MatRowVerCol,
+              s"delta: open() cannot adopt row tracking with foreign " +
+                s"materialized column names ($idCol, $verCol)")
+          }
         }
         if (n.has("protocol")) {
           val fts = n.get("protocol").path("writerFeatures")
@@ -1467,13 +1674,20 @@ object DeltaWriter {
         if (n.has("commitInfo"))
           maxIct = math.max(maxIct,
             n.get("commitInfo").path("inCommitTimestamp").asLong(0L))
+        if (n.has("domainMetadata")) {
+          val d = n.get("domainMetadata")
+          if (d.path("domain").asText("") == "delta.rowTracking" &&
+              !d.path("removed").asBoolean(false))
+            hwm = mapper.readTree(d.path("configuration").asText("{}"))
+              .path("rowIdHighWaterMark").asLong(-1L)
+        }
       }
     }
     require(schemaStr != null, s"delta: no metaData action under $location")
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
       .asInstanceOf[StructType]
     val w = new DeltaWriter(spark, location, schema, partitionCols, None,
-      cdf, enableIct = ict)
+      cdf, enableIct = ict, enableRowTracking = rowTracking)
     w.version = commits.map(_._1).max
     live.foreach { case (rel, node) => w.live(rel) = node }
     txnSeen.foreach { case (app, v) => w.txns(app) = v }
@@ -1481,6 +1695,7 @@ object DeltaWriter {
     w.v2CpEnabled = v2cp
     w.twEnabled = tw
     w.lastIct = maxIct // the monotone chain continues across processes
+    w.rowIdHwm = hwm // fresh spans continue above every assigned id
     w
   }
 
@@ -1518,7 +1733,8 @@ object DeltaWriter {
       partitionColumns: Seq[String] = Nil,
       columnMapping: Option[String] = None,
       enableCdf: Boolean = false,
-      enableIct: Boolean = false): DeltaWriter = {
+      enableIct: Boolean = false,
+      enableRowTracking: Boolean = false): DeltaWriter = {
     require(columnMapping.forall(Set("name", "id").contains),
       s"delta: columnMapping mode $columnMapping")
     val p = new Path(location)
@@ -1526,8 +1742,17 @@ object DeltaWriter {
     fs.delete(p, true)
     fs.mkdirs(new Path(p, "_delta_log"))
     val w = new DeltaWriter(spark, location, schema, partitionColumns,
-      columnMapping, enableCdf, enableIct)
+      columnMapping, enableCdf, enableIct, enableRowTracking)
     w.commit(Seq(w.protocolAction, w.metaAction))
     w
   }
+
+  /** Materialized lineage column names this writer records in the table
+    * configuration (`delta.rowTracking.materialized*ColumnName`) — the
+    * protocol resolves them from config, so any conformant reader finds
+    * them; fixed here (collision with the user schema is refused at
+    * creation). */
+  private[delta] val MatRowIdCol = "_graft_row_id_phys"
+  private[delta] val MatRowVerCol = "_graft_row_commit_phys"
+  private[delta] val MatCols = Seq(MatRowIdCol, MatRowVerCol)
 }

@@ -801,12 +801,14 @@ class GraftDeltaSource extends InteropReadProvider {
   // CREATE time (validateCreateOptions), not at the first deferred write
   override protected def validateCreateOptions(
       options: CaseInsensitiveStringMap): Unit = {
-    val known = Set("delta.enablechangedatafeed", "delta.enableincommittimestamps")
+    val known = Set("delta.enablechangedatafeed",
+      "delta.enableincommittimestamps", "delta.enablerowtracking")
     val stray = options.keySet().toArray.map(String.valueOf)
       .filter(k => k.startsWith("delta.") && !known(k.toLowerCase))
     require(stray.isEmpty,
       s"graft-delta: unsupported table option(s) ${stray.mkString(", ")} " +
-        s"(supported: delta.enableChangeDataFeed, delta.enableInCommitTimestamps)")
+        s"(supported: delta.enableChangeDataFeed, " +
+        "delta.enableInCommitTimestamps, delta.enableRowTracking)")
   }
 
   override protected def createAndAppend(spark: SparkSession, loc: String,
@@ -818,6 +820,8 @@ class GraftDeltaSource extends InteropReadProvider {
       enableCdf = Option(options.get("delta.enableChangeDataFeed"))
         .exists(_.toBoolean),
       enableIct = Option(options.get("delta.enableInCommitTimestamps"))
+        .exists(_.toBoolean),
+      enableRowTracking = Option(options.get("delta.enableRowTracking"))
         .exists(_.toBoolean)).append(df)
   }
 
@@ -877,6 +881,18 @@ class GraftDeltaSource extends InteropReadProvider {
     }
     val timeTravel = options.containsKey("versionAsOf") ||
       options.containsKey("timestampAsOf")
+    // ROW TRACKING read (r16b; the graft-iceberg `with-lineage` twin):
+    // `option("with-row-tracking", "true")` serves the protocol's
+    // `_row_id` / `_row_commit_version` columns
+    // (DeltaTable.scanWithRowTracking — refuses loudly on untracked
+    // tables or unreconstructable files). Read-only projection.
+    if (Option(options.get("with-row-tracking")).contains("true")) {
+      val schema = StructType(t.schema.fields ++ Seq(
+        StructField("_row_id", LongType),
+        StructField("_row_commit_version", LongType)))
+      return InteropRead(s"graft-delta `$loc` +row-tracking", schema,
+        f => t.scanWithRowTracking(f), t.scanStats(_))
+    }
     InteropRead(s"graft-delta `$loc`", t.schema, t.scan(_), t.scanStats(_),
       aggSupport = Some(new DeltaInteropAgg(t)),
       append =

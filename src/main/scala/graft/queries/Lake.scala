@@ -800,7 +800,31 @@ object Lake {
         .join(preIds.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
         .filter(col("_row_id") =!= col("_rid0")).isEmpty,
       "iceberg: compaction must preserve _row_id (materialized lineage)")
-    tc.scan()
+    // ROW-CHANGING op receipt (r16b): updateWhere on the lineage table
+    // carries each matched row's _row_id into its rewritten file with a
+    // NULL materialized last-updated — readers inherit the UPDATE
+    // commit's sequence (v3 null-fallback), untouched rows keep theirs.
+    // o_clerk is outside the aggregate below, so the oracle is blind to
+    // the update's VALUES and checks only that lineage plumbing never
+    // perturbs query results.
+    val wu = graft.lake.iceberg.IcebergWriter.open(s, w.location)
+    val updSnap = wu.updateWhere(col("o_orderkey") % 11 === 3,
+      Map("o_orderpriority" -> lit("5-LOW")))
+    val tu = IcebergTable.load(s, w.location)
+    require(tu.meta.nextRowId == t.meta.nextRowId,
+      "iceberg: updateWhere must not advance next-row-id")
+    val updSeq = tu.meta.snapshot(updSnap).sequenceNumber
+    val linU = tu.scanWithLineage()
+      .select(col("o_orderkey"), col("_row_id"),
+        col("_last_updated_sequence_number").as("_seq"),
+        (col("o_orderkey") % 11 === 3).as("_hit"))
+    require(linU.join(preIds.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
+        .filter(col("_row_id") =!= col("_rid0")).isEmpty,
+      "iceberg: updateWhere must carry _row_id through the rewrite")
+    require(linU.filter(col("_hit") && col("_seq") =!= updSeq).isEmpty &&
+        linU.filter(!col("_hit") && col("_seq") === updSeq).isEmpty,
+      "iceberg: exactly the updated rows must carry the update sequence")
+    tu.scan()
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         Money.sum2(col("o_totalprice")).as("total"))
@@ -952,6 +976,30 @@ object Lake {
       s"OPTIMIZE must shrink the live file count (was $total)")
     require(wm.vacuum(retainMs = 0L) > 0,
       "VACUUM must GC the superseded files")
+    // ROW TRACKING receipt (r16b — Delta's row-lineage counterpart to
+    // the Iceberg v3 arm in lake_iceberg_v3): a tracking-enabled table
+    // assigns gap-free fresh row ids, a COW update carries each
+    // matched row's id into its rewritten file (materialized columns)
+    // while exactly the updated rows take the update's commit version.
+    // Bounded side table; the entry's oracle output is untouched.
+    locally {
+      import graft.lake.delta.{DeltaTable => DT, DeltaWriter => DW}
+      val loc = work(s, "delta_write_rt", d)
+      val side = o.limit(200).select("o_orderkey", "o_orderpriority")
+      val wr = DW.create(s, loc, side.schema, enableRowTracking = true)
+      wr.append(side)
+      val pre = DT.load(s, loc).scanWithRowTracking()
+        .select("o_orderkey", "_row_id")
+      val updVer = wr.updateWhere(col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> lit("5-LOW")))
+      val post = DT.load(s, loc).scanWithRowTracking()
+      require(post.join(pre.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
+          .filter(col("_row_id") =!= col("_rid0")).isEmpty,
+        "delta: COW update must carry _row_id through the rewrite")
+      require(post.filter((col("o_orderkey") % 7 === 0) =!=
+          (col("_row_commit_version") === updVer)).isEmpty,
+        "delta: exactly the updated rows must carry the update version")
+    }
     statusAgg(optimized.scan())
   }
 

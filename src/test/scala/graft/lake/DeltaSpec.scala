@@ -1138,4 +1138,130 @@ class DeltaSpec extends AnyFunSuite {
           s"a refusing read must name the variant/shredding problem, got: $e")
     }
   }
+
+  test("ROW TRACKING: fresh ids, DV/COW stability, update/upsert carry (r16b)") {
+    // Delta's row-lineage counterpart to Iceberg v3: writer features
+    // rowTracking + domainMetadata, per-add baseRowId spans under the
+    // delta.rowTracking high-water mark, materialized column override
+    // on rewrite. Receipts mirror the IcebergSpec lineage arms.
+    import spark.implicits._
+    val loc = freshDir("rowtracking")
+    val df1 = (0L until 40L).map(i => (i, s"a$i")).toDF("k", "s")
+    val df2 = (100L until 130L).map(i => (i, s"b$i")).toDF("k", "s")
+    val w = DeltaWriter.create(spark, loc, df1.schema,
+      enableRowTracking = true)
+    w.append(df1.repartition(2)) // several files: per-file baseRowId spans
+    w.append(df2.repartition(2))
+    val t0 = DeltaTable.load(spark, loc)
+    val got0 = t0.scanWithRowTracking()
+      .select("k", "_row_id", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got0.values.map(_._1).toSeq.sorted == (0L until 70L),
+      "fresh row ids must be exactly 0..n-1, no gaps")
+    assert(got0.filter(_._1 < 100L).values.map(_._2).toSet == Set(1L) &&
+      got0.filter(_._1 >= 100L).values.map(_._2).toSet == Set(2L),
+      "each append batch must carry its own commit version")
+
+    // DV delete: survivors keep ids (row_index stable under masking)
+    w.deleteWhereDv(col("k") === 0L || col("k") === 100L)
+    val afterDv = DeltaTable.load(spark, loc).scanWithRowTracking()
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!afterDv.contains(0L) && !afterDv.contains(100L))
+    assert(afterDv.forall { case (k, id) => got0(k)._1 == id },
+      "DV-delete survivors must keep their _row_id")
+
+    // COW delete (file rewrite): carried rows keep id AND version
+    w.deleteWhere(col("k") === 5L)
+    val afterCow = DeltaTable.load(spark, loc).scanWithRowTracking()
+      .select("k", "_row_id", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!afterCow.contains(5L))
+    assert(afterCow.forall { case (k, v) => got0(k) == v },
+      "COW-rewrite carried rows must keep (_row_id, _row_commit_version)")
+
+    // UPDATE: matched rows keep id, take the update commit's version
+    val updVer = w.updateWhere(col("k") < 10L, Map("s" -> lit("upd")))
+    val afterUpd = DeltaTable.load(spark, loc).scanWithRowTracking()
+      .select("k", "s", "_row_id", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    afterUpd.foreach { case (k, (s, id, ver)) =>
+      assert(id == got0(k)._1, s"update must carry _row_id (k=$k)")
+      if (k < 10L) {
+        assert(s == "upd")
+        assert(ver == updVer,
+          s"updated row k=$k must carry the UPDATE commit version " +
+            s"($updVer), got $ver")
+      } else assert(ver == afterCow(k)._2,
+        s"untouched row k=$k must keep its commit version")
+    }
+
+    // UPSERT: matched key keeps its id at the merge version; fresh keys
+    // mint ids above the high-water mark
+    val upVer = w.upsertKeys(
+      Seq((3L, "up3"), (500L, "new")).toDF("k", "s"), Seq("k"))
+    val afterUp = DeltaTable.load(spark, loc).scanWithRowTracking()
+      .select("k", "s", "_row_id", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(afterUp(3L) == (("up3", got0(3L)._1, upVer)),
+      s"upserted existing key must keep its _row_id: ${afterUp(3L)}")
+    assert(afterUp(500L)._2 >= 70L,
+      s"fresh key must mint a new id above the watermark: ${afterUp(500L)}")
+    assert(afterUp(500L)._3 == upVer)
+    val ids = afterUp.values.map(_._2).toSeq
+    assert(ids.distinct.size == ids.size, "row ids must stay unique")
+
+    // OPTIMIZE (dataChange=false re-layout) preserves everything
+    w.optimize(smallBytes = Long.MaxValue)
+    val afterOpt = DeltaTable.load(spark, loc).scanWithRowTracking()
+      .select("k", "s", "_row_id", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(afterOpt == afterUp, "OPTIMIZE must preserve row tracking state")
+
+    // checkpoint-seeded load serves the same lineage; reopened writer
+    // continues the id chain (domainMetadata high-water mark restored)
+    w.checkpoint()
+    val cpSeeded = DeltaTable.load(spark, loc)
+    val afterCp = cpSeeded.scanWithRowTracking()
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterCp == afterOpt.map { case (k, v) => k -> v._2 },
+      "checkpoint-seeded row-tracking read drifted")
+    val w2 = DeltaWriter.open(spark, loc)
+    w2.append(Seq((600L, "z")).toDF("k", "s"))
+    val afterReopen = DeltaTable.load(spark, loc).scanWithRowTracking()
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterReopen(600L) > afterOpt.values.map(_._2).max,
+      "reopened writer must mint ids above every assigned id")
+    assert(afterReopen.values.toSeq.distinct.size == afterReopen.size)
+
+    // plain scan stays clean of the materialized columns
+    assert(DeltaTable.load(spark, loc).scan().columns.toSeq == Seq("k", "s"))
+
+    // SQL-connector surface (the graft-iceberg with-lineage twin):
+    // option("with-row-tracking", "true") serves the same columns
+    val viaSql = spark.read.format("graft-delta")
+      .option("with-row-tracking", "true").load(loc)
+    assert(viaSql.columns.toSeq ==
+      Seq("k", "s", "_row_id", "_row_commit_version"))
+    assert(viaSql.select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == afterReopen,
+      "connector row-tracking read drifted from scanWithRowTracking")
+
+    // a non-tracking table refuses the lineage scan loudly
+    val loc2 = freshDir("rowtracking-off")
+    val w3 = DeltaWriter.create(spark, loc2, df1.schema)
+    w3.append(df1.limit(3))
+    intercept[IllegalArgumentException] {
+      DeltaTable.load(spark, loc2).scanWithRowTracking().collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft-delta")
+        .option("with-row-tracking", "true").load(loc2).collect()
+    }
+  }
 }

@@ -1010,4 +1010,58 @@ class InteropSqlSpec extends AnyFunSuite {
     assert(acc.get.keySet == Set(List("a")),
       "zero-row entries must be identity in the grouped fold")
   }
+
+  test("SQL UPDATE preserves row lineage on both modern formats (r16b)") {
+    // The r16b writer surfaces reached through plain SQL: the
+    // connector's UPDATE lowers to IcebergWriter.updateWhere /
+    // DeltaWriter.updateWhere, which now carry each matched row's id
+    // through the rewrite — pinned here via the lineage read options.
+    import spark.implicits._
+    val side = (0L until 60L).map(i => (i, s"c$i")).toDF("k", "s")
+
+    // iceberg v3 row lineage
+    val iceLoc = freshDir("ice-upd-lineage")
+    val wi = IcebergWriter.create(spark, iceLoc, side.schema)
+    wi.enableRowLineage()
+    wi.append(side.repartition(2))
+    def iceIds() = spark.read.format("graft-iceberg")
+      .option("with-lineage", "true").load(iceLoc)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val icePre = iceIds()
+    spark.sql(s"UPDATE `graft-iceberg`.`$iceLoc` SET s = 'sql-upd' WHERE k % 5 = 0")
+    assert(iceIds() == icePre,
+      "SQL UPDATE on an iceberg lineage table must carry every _row_id")
+    val iceSeqs = spark.read.format("graft-iceberg")
+      .option("with-lineage", "true").load(iceLoc)
+      .select("k", "s", "_last_updated_sequence_number").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val updSeq = iceSeqs.filter(_._1 % 5 == 0).map(_._3).toSet
+    assert(updSeq.size == 1 && !iceSeqs.filter(_._1 % 5 != 0)
+        .exists(_._3 == updSeq.head),
+      "exactly the SQL-updated rows must carry the update sequence")
+    assert(iceSeqs.filter(_._1 % 5 == 0).forall(_._2 == "sql-upd"))
+
+    // delta row tracking
+    val dLoc = freshDir("delta-upd-rt")
+    val wd = DeltaWriter.create(spark, dLoc, side.schema,
+      enableRowTracking = true)
+    wd.append(side.repartition(2))
+    def dIds() = spark.read.format("graft-delta")
+      .option("with-row-tracking", "true").load(dLoc)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dPre = dIds()
+    spark.sql(s"UPDATE `graft-delta`.`$dLoc` SET s = 'sql-upd' WHERE k % 5 = 0")
+    assert(dIds() == dPre,
+      "SQL UPDATE on a delta row-tracking table must carry every _row_id")
+    val dVers = spark.read.format("graft-delta")
+      .option("with-row-tracking", "true").load(dLoc)
+      .select("k", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dUpdVer = dVers.filter(_._1 % 5 == 0).values.toSet
+    assert(dUpdVer.size == 1 &&
+      !dVers.filter(_._1 % 5 != 0).values.exists(_ == dUpdVer.head),
+      "exactly the SQL-updated rows must carry the update commit version")
+  }
 }
