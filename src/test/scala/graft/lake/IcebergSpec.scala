@@ -1030,6 +1030,19 @@ class IcebergSpec extends AnyFunSuite {
       assert(post2(k) == post(k), s"non-upserted row k=$k must be untouched")
     }
 
+    // metadata-only manifest consolidation must carry explicit ids —
+    // a dropped first_row_id would flip carried entries into the
+    // materialized delivery mode and refuse (entries copy their
+    // recorded ids through rewriteManifests)
+    require(w.rewriteManifests(targetEntries = 2) != -1L,
+      "post-upsert table must have manifests to consolidate")
+    val postRm = IcebergTable.load(spark, loc).scanWithLineage()
+      .select("k", "s", "_row_id", "_last_updated_sequence_number")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(postRm == post2, "rewriteManifests must preserve lineage")
+
     // compaction after the update/upsert REmaterializes the whole state
     // (the null-last-updated files resolve through inheritance first)
     w.compact()
