@@ -141,10 +141,14 @@ class InteropBucketDppRule extends Rule[LogicalPlan] with PredicateHelper {
               if (a.references.subsetOf(left.outputSet)) (a, b) else (b, a)
             if (lk.references.subsetOf(newLeft.outputSet) &&
                 rk.references.subsetOf(newRight.outputSet)) {
+              // build plans are the PRISTINE sides: passing the
+              // already-pruned opposite side would nest one
+              // DynamicPruningSubquery inside the other's build plan
+              // (circular pruning when both sides qualify)
               if (canPruneLeft(joinType))
-                tryPrune(newLeft, lk, newRight, rk).foreach(newLeft = _)
+                tryPrune(newLeft, lk, right, rk).foreach(newLeft = _)
               if (canPruneRight(joinType))
-                tryPrune(newRight, rk, newLeft, lk).foreach(newRight = _)
+                tryPrune(newRight, rk, left, lk).foreach(newRight = _)
             }
           case _ =>
         }
