@@ -76,7 +76,12 @@ class LineagePropertySpec extends AnyFunSuite {
       if (flip) w.equalityDelete(keys.toSeq.toDF("k"))
       else w.deleteWhereDv(col("k").isInCollection(keys), requireMatch = false)
     }
-    def maintain(): Unit = w.compact()
+    private var mflip = false
+    def maintain(): Unit = {
+      // alternate the data rewrite and the metadata-only consolidation
+      mflip = !mflip
+      if (mflip) w.compact() else w.rewriteManifests(targetEntries = 4)
+    }
     def scanLineage(): Map[Long, (Long, Long, Long)] =
       IcebergTable.load(spark, loc).scanWithLineage()
         .select("k", "v", "_row_id", "_last_updated_sequence_number")
