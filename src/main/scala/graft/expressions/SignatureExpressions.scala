@@ -65,6 +65,25 @@ object Signatures {
     }
     h
   }
+
+  /** Both simhash polynomials in ONE code-point pass, packed
+    * `(h₇,₁₃₁ << 31) | h₁₃,₁₃₇` (each value < 1e9+7 < 2^30 — the
+    * halves cannot overlap). Bit-identical to two [[polyWordHash]]
+    * calls; exists because the simhash hot path hashed every token
+    * TWICE and the fused fold halves the iteration (the oracle replays
+    * the same arithmetic either way). */
+  private[expressions] def polyWordHash2(s: String): Long = {
+    var h1 = 7L
+    var h2 = 13L
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      h1 = (h1 * 131L + cp) % PolyMod
+      h2 = (h2 * 137L + cp) % PolyMod
+      ci += Character.charCount(cp)
+    }
+    (h1 << 31) | h2
+  }
 }
 
 /** `graft_shingle_ids(tokens, n)` → sorted distinct array<long>: xxhash64
@@ -372,11 +391,8 @@ case class SimHashSig(child: Expression, polynomial: Boolean = false)
           // their counters only ever decrement and the sign rule below
           // keeps them 0 on both engines. xxhash64 stays the default.
           val h =
-            if (polynomial) {
-              val str = t.toString
-              (Signatures.polyWordHash(str, 7L, 131L) << 31) |
-                Signatures.polyWordHash(str, 13L, 137L)
-            } else XXH64.hashUTF8String(t, 42L)
+            if (polynomial) Signatures.polyWordHash2(t.toString)
+            else XXH64.hashUTF8String(t, 42L)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
