@@ -75,7 +75,11 @@ object DeltaExport {
       "incremental export needs key columns (keyless tables delete " +
         "positionally; positions don't survive the rewrite into Delta files)")
     val w = DeltaWriter.open(spark, dest)
+    // pinned: touched keys feed both the DV delete and the current-rows
+    // semi-join — one cdc scan + distinct, not one per consumer
+    // (commit-sized keys, the IcebergExport posture)
     val touched = t.cdc(from, to).select(keyCols.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ALWAYS delete the touched keys before re-appending their current
     // rows (the IcebergExport lesson: a pure-append range does not prove
     // the keys are new to the mirror — graft append is not upsert). The
@@ -85,6 +89,7 @@ object DeltaExport {
     val current = t.scan().join(touched, keyCols, "left_semi")
     w.append(current)
     commits += 1
+    touched.unpersist(blocking = false)
     graft.lake.ExportProvenance.write(spark, dest, to)
     commits
   }

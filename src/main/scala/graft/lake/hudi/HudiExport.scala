@@ -100,8 +100,17 @@ object HudiExport {
       s"hudi export needs exactly one key column, got $keyCols")
     val key = keyCols.head
     val w = HudiWriter.open(spark, dest)
-    val touched = t.cdc(from, to).select(col(key)).distinct()
-    val current = t.scan().join(touched, Seq(key), "left_semi")
+    // touched keys feed THREE consumers (the current-rows semi-join, the
+    // gone-keys anti-join, and through them every ingest pass below) and
+    // `current` feeds FOUR (emptiness probe, unique-key validation, the
+    // upsert routing join, the fresh-key anti-join) — pin both so the cdc
+    // scan and the snapshot semi-join run once, not once per consumer.
+    // Both frames are sync-range-sized (touched keys / their current
+    // rows), the bounded-artifact class a mirror refresh is allowed to
+    // hold — never O(table).
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val touched = t.cdc(from, to).select(col(key)).distinct().persist(mem)
+    val current = t.scan().join(touched, Seq(key), "left_semi").persist(mem)
     var commits = 0
     if (!current.isEmpty) {
       requireUniqueKeys(current, key, "sync range's current rows")
@@ -113,6 +122,8 @@ object HudiExport {
     if (!gone.isEmpty) {
       if (w.deleteMatchingLog(gone, key) != null) commits += 1
     }
+    current.unpersist(blocking = false)
+    touched.unpersist(blocking = false)
     graft.lake.ExportProvenance.write(spark, dest, to)
     commits
   }

@@ -97,7 +97,12 @@ object IcebergExport {
       "incremental export needs key columns (keyless tables delete " +
         "positionally; positions don't survive the rewrite into Iceberg files)")
     val changes = t.cdc(from, to)
+    // touched keys feed BOTH commits (the eq-delete write and the
+    // current-rows semi-join) — pin them so the cdc scan + distinct runs
+    // once, not once per consumer. Commit-sized (keys of the sync range),
+    // the same bounded-artifact class as the export's snapshot ids.
     val touched = changes.select(keyCols.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ALWAYS eq-delete the touched keys before re-appending their
     // current rows. A "pure-append range" (no delete events) does NOT
     // prove the keys are new to the mirror: graft append is not upsert,
@@ -111,6 +116,7 @@ object IcebergExport {
     val current = t.scan().join(touched, keyCols, "left_semi")
     val snapId = w.append(current)
     commits += 1
+    touched.unpersist(blocking = false)
     w.tag(s"$TagPrefix$to", snapId)
     commits
   }

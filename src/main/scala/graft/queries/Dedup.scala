@@ -397,10 +397,16 @@ object Dedup {
     // per-doc prefix: the ⌊0.3·n⌋+1 tokens with smallest (df, id)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("id"))
+    // pinned: the self-join below evaluates BOTH aliases of `prefix`, and
+    // without the pin each side replays the whole explode → df-join →
+    // window pipeline (measured: the two duplicated stages were the
+    // heaviest in the entry's profile). Prefix rows are O(docs × 0.3·n)
+    // ids — the posting-list artifact, far smaller than the corpus.
     val prefix = tok.join(freq, "id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= floor(col("n") * 0.3) + 1)
       .select(col("doc_id"), col("lang"), col("n"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.id") === col("y.id") && col("x.lang") === col("y.lang") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -477,6 +483,7 @@ object Dedup {
     hashed.unpersist(blocking = false)
     groups.unpersist(blocking = false)
     docs.unpersist(blocking = false)
+    prefix.unpersist(blocking = false)
     result
   }
 

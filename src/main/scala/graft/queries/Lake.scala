@@ -818,11 +818,20 @@ object Lake {
       .select(col("o_orderkey"), col("_row_id"),
         col("_last_updated_sequence_number").as("_seq"),
         (col("o_orderkey") % 11 === 3).as("_hit"))
-    require(linU.join(preIds.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
-        .filter(col("_row_id") =!= col("_rid0")).isEmpty,
+    // the three update receipts (id carry, hit-rows stamp, miss-rows
+    // stamp) share the same scan+join — ONE aggregate pass computes all
+    // three violation counts instead of three isEmpty jobs (r16 opt;
+    // identical predicates, the join is 1:1-complete on o_orderkey so
+    // per-row checks over the join equal checks over linU itself)
+    val viol = linU.join(preIds.withColumnRenamed("_row_id", "_rid0"), "o_orderkey")
+      .agg(
+        count(when(col("_row_id") =!= col("_rid0"), 1)).as("id_drift"),
+        count(when(col("_hit") && col("_seq") =!= updSeq, 1)).as("hit_wrong"),
+        count(when(!col("_hit") && col("_seq") === updSeq, 1)).as("miss_wrong"))
+      .head()
+    require(viol.getLong(0) == 0,
       "iceberg: updateWhere must carry _row_id through the rewrite")
-    require(linU.filter(col("_hit") && col("_seq") =!= updSeq).isEmpty &&
-        linU.filter(!col("_hit") && col("_seq") === updSeq).isEmpty,
+    require(viol.getLong(1) == 0 && viol.getLong(2) == 0,
       "iceberg: exactly the updated rows must carry the update sequence")
     tu.scan()
       .groupBy("o_orderstatus")
