@@ -1645,7 +1645,22 @@ class GraftTable private (
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(root, s"_tmp_d$nonce")
     fs.delete(tmp, true)
-    withMicrosTimestamps { keys.write.mode("overwrite").parquet(tmp.toString) }
+    // first pass REBALANCEs toward the shard target (AQE sizes the
+    // post-shuffle partitions by bytes — the guide's coalesce-on-write):
+    // the common small-delete case lands at the target in ONE write job
+    // instead of scatter + bin-pack; a 10⁹-key delete still writes
+    // parallel (AQE splits at the advisory). The advisory is scoped to
+    // this write; without AQE the hint is a no-op and the bin-pack pass
+    // below still enforces the target.
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevAdv = spark.conf.getOption(advisoryKey)
+    spark.conf.set(advisoryKey, target.toString)
+    try withMicrosTimestamps {
+      keys.hint("rebalance").write.mode("overwrite").parquet(tmp.toString)
+    } finally prevAdv match {
+      case Some(v) => spark.conf.set(advisoryKey, v)
+      case None => spark.conf.unset(advisoryKey)
+    }
     var srcDir = tmp
     var parts = listParquet(tmp).sortBy(_.toString)
     val totalBytes = parts.map(p => fs.getFileStatus(p).getLen).sum

@@ -571,12 +571,20 @@ object Dedup {
     var converged = false
     while (!converged) {
       val viaNeighbors = edges.join(labels, edges("b_id") === labels("id"))
-        .select(edges("a_id").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .select(edges("a_id").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      // carry each id's OLD label through the same min-aggregate (every id
+      // appears exactly once in `labels`, so min(old) ignoring the
+      // neighbor rows' nulls IS the old label): the convergence probe
+      // becomes a filter over the already-checkpointed round output
+      // instead of a second join+aggregate job per round (r16 opt —
+      // identical fixpoint, one shuffle per round instead of two)
+      val next = labels.select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .localCheckpoint()
-      converged = next.join(labels, Seq("id", "label"), "left_anti").isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
     }
     labels
   }
