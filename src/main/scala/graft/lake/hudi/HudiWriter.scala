@@ -174,12 +174,25 @@ final class HudiWriter private (
         rows.withColumn("_hoodie_commit_time",
           coalesce(col("_hoodie_commit_time"), lit(instant)))
       else rows.withColumn("_hoodie_commit_time", lit(instant))
-    val fidMeta = spark.createDataFrame(
-      spark.sparkContext.parallelize(partPathOf.toSeq.map { case (fid, pp) =>
-        org.apache.spark.sql.Row(fid, pp)
-      }.toIndexedSeq, 1),
-      StructType(Seq(StructField("__fid", StringType), StructField("__pp", StringType))))
-    val withMeta = stamped.join(broadcast(fidMeta), Seq("__fid"))
+    // fid → partition path as a LITERAL map expression (constant-folded
+    // once, no broadcast-build job per commit) while the commit's group
+    // count stays plan-sized; a 10⁵-group rewrite falls back to the
+    // broadcast join so the expression tree never explodes.
+    val ppLookup: DataFrame => DataFrame =
+      if (partPathOf.size <= 4096) { df =>
+        val fids = partPathOf.keys.toIndexedSeq
+        df.withColumn("__pp", element_at(
+          map_from_arrays(typedLit(fids), typedLit(fids.map(partPathOf))),
+          col("__fid")))
+      } else { df =>
+        val fidMeta = spark.createDataFrame(
+          spark.sparkContext.parallelize(partPathOf.toSeq.map { case (fid, pp) =>
+            org.apache.spark.sql.Row(fid, pp)
+          }.toIndexedSeq, 1),
+          StructType(Seq(StructField("__fid", StringType), StructField("__pp", StringType))))
+        df.join(broadcast(fidMeta), Seq("__fid"))
+      }
+    val withMeta = ppLookup(stamped)
       .withColumn("_hoodie_commit_seqno",
         concat(lit(instant + "_0_"), monotonically_increasing_id()))
       .withColumn("_hoodie_record_key", keyCol)
