@@ -46,7 +46,7 @@ object HudiExport {
     * lost a row). Refuse loudly, naming a witness key. One aggregate job
     * over the rows being written (count vs distinct-key count). */
   private def requireUniqueKeys(df: org.apache.spark.sql.DataFrame,
-      key: String, what: String): Unit = {
+      key: String, what: String): Long = {
     // count nulls explicitly: countDistinct IGNORES nulls, so a single
     // null-key row would trip the mismatch branch yet leave the
     // duplicate-witness query empty (head() on nothing) — report the
@@ -66,6 +66,7 @@ object HudiExport {
           s"rows (e.g. $key=$witness) — a keyed Hudi table cannot represent " +
           "them; deduplicate the source or mirror to a row-based format")
     }
+    r.getLong(0) // row count — callers fold their emptiness probe into this pass
   }
 
   /** Exports `t`'s current snapshot to `dest` (cleared first). Requires
@@ -112,16 +113,17 @@ object HudiExport {
     val touched = t.cdc(from, to).select(col(key)).distinct().persist(mem)
     val current = t.scan().join(touched, Seq(key), "left_semi").persist(mem)
     var commits = 0
-    if (!current.isEmpty) {
-      requireUniqueKeys(current, key, "sync range's current rows")
+    // the emptiness probe rides the unique-key validation aggregate — an
+    // empty sync range reads count 0 from the same single pass (the old
+    // separate isEmpty re-ran the whole cdc+semi-join chain)
+    if (requireUniqueKeys(current, key, "sync range's current rows") > 0) {
       w.upsertLog(current)
       commits += 1
     }
-    // touched keys with no current row are deletions
+    // touched keys with no current row are deletions; deleteMatchingLog
+    // already no-ops (null) on zero matches, so no pre-probe
     val gone = touched.join(t.scan().select(col(key)), Seq(key), "left_anti")
-    if (!gone.isEmpty) {
-      if (w.deleteMatchingLog(gone, key) != null) commits += 1
-    }
+    if (w.deleteMatchingLog(gone, key) != null) commits += 1
     current.unpersist(blocking = false)
     touched.unpersist(blocking = false)
     graft.lake.ExportProvenance.write(spark, dest, to)

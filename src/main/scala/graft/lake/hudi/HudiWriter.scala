@@ -473,7 +473,9 @@ final class HudiWriter private (
       fresh = routed.filter(col("__fid").isNull)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
-    if (!fresh.isEmpty) stats ++= writeFreshGroups(fresh, instant)
+    // no emptiness pre-probe: writeFreshGroups' own sizing count returns
+    // Nil on an empty frame (the probe was a second full pass)
+    stats ++= writeFreshGroups(fresh, instant)
     commit(instant, stats.toSeq, "commit") // COW rewrite = full commit
     routedPin.foreach(_.unpersist(blocking = false))
     updates.unpersist(blocking = false)
@@ -673,7 +675,9 @@ final class HudiWriter private (
     val fresh =
       if (matched == null) updates
       else updates.join(matched, keyCol === matched("__k"), "left_anti")
-    if (!fresh.isEmpty) stats ++= writeFreshGroups(fresh, instant)
+    // no emptiness pre-probe — writeFreshGroups sizes (and short-circuits
+    // empty) with its own single counting pass
+    stats ++= writeFreshGroups(fresh, instant)
     commit(instant, stats.toSeq, "deltacommit")
     if (!alreadyPinned) updates.unpersist(blocking = false)
     instant
