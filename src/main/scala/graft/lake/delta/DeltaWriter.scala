@@ -741,9 +741,20 @@ final class DeltaWriter private (
     // per-FILE zero-match pruning (stats over-approximation): a file
     // where the predicate matches nothing is left completely untouched —
     // no pointless rewrite, and (on CDF tables) no add+remove commit
-    // without cdc files, which changes() would rightly reject
-    val touched = matchedFiles(affectedAdds, probe, col("__hit"))
+    // without cdc files, which changes() would rightly reject. The probe
+    // aggregates hits AND totals per file in its single pass, so the
+    // "every row deleted" case below is driver arithmetic instead of a
+    // second scan of the touched files (r16 opt).
+    val perFile = probe.groupBy("__fp")
+      .agg(count(lit(1)).as("__n"), count(when(col("__hit"), 1)).as("__hits"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hitKeys = perFile.filter(_._3 > 0).map(_._1).toSet
+    val touched = affectedAdds.filter { n =>
+      hitKeys(DeltaTable.pathKey(DeltaTable.resolve(location,
+        n.get("add").get("path").asText()).toString))
+    }
     if (touched.isEmpty) return version
+    val everyRowGone = perFile.filter(_._3 > 0).forall(t => t._3 == t._2)
     val tdf =
       if (exprsDeterministic)
         readForRewrite(touched).withColumn("__hit", coalesce(cond, lit(false)))
@@ -755,7 +766,7 @@ final class DeltaWriter private (
     val remaining = tdf.filter(!col("__hit"))
       .select(rewriteCols.map(col): _*)
     val newAdds: Seq[ObjectNode] =
-      if (remaining.isEmpty) Nil else writeFiles(remaining)
+      if (everyRowGone) Nil else writeFiles(remaining)
     val cdcActs =
       if (!enableCdf) Nil
       else writeCdcFiles(tdf.filter(col("__hit"))
