@@ -51,8 +51,14 @@ object Bench {
     // pre-r16 cold-start methodology (old numbers kept in bench_archive).
     if (!sys.env.get("GRAFT_BENCH_WARM").contains("off")) {
       val warmDir = "/root/testdata/sf0.001"
+      // warm only the queries this invocation will time (args restrict
+      // both, so targeted A/B runs don't pay a full-suite warm pass; the
+      // driver passes no args → every query warms, as before)
+      val warmSet =
+        if (args.isEmpty) SparkEntry.queries
+        else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       if (new java.io.File(warmDir).isDirectory)
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        warmSet.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try {
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
             spark.sharedState.cacheManager.clearCache()

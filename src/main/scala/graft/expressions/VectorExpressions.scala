@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -69,6 +69,94 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid assignment against a CLOSURE-SHIPPED centroid set —
+  * the map-only form of `corpus × broadcast(centroids) → max_by(struct(
+  * qround(dot, 4), -c_id))` (Ann.ivfAssign's single-level branch). The
+  * join+aggregate shape sorts and re-shuffles every (vector × centroid)
+  * row just to take a per-vector argmax; this expression computes the
+  * same argmax inside the scan projection, so coarse assignment carries
+  * NO shuffle at all (optimization guide §2.4; same posture as the PQ
+  * codebook and semantic-dedup centroids — a bounded driver artifact in
+  * the task closure, ≤ ceiling × dim × 8 B).
+  *
+  * Equality contract with the join form (the oracle replays it in SQL):
+  *  - per-centroid similarity is floor(dot(u, cu) · 10⁴ + 0.5) / 10⁴ —
+  *    the identical IEEE op sequence as qround(DotProduct, 4);
+  *  - dot semantics match DotProduct exactly (min-length prefix, null
+  *    elements skipped);
+  *  - `cids` MUST be sorted ascending and `flat` laid out to match, so
+  *    strict `>` keeps the smallest c_id on rounded ties — exactly
+  *    max_by's (sim, -c_id) order. Callers guarantee a non-empty set
+  *    (an empty one must keep the join shape: it yields zero rows, not
+  *    an arbitrary assignment).
+  */
+case class NearestCentroidId(child: Expression, cids: Array[Long],
+    flat: Array[Double], dim: Int) extends UnaryExpression {
+  require(cids.nonEmpty && flat.length == cids.length * dim,
+    s"graft_nearest_centroid: ${cids.length} ids × $dim dims != ${flat.length} values")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid needs array<double> input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[ArrayData]
+    val m = math.min(u.numElements(), dim)
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cids.length) {
+      var s = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < m) {
+        if (!u.isNullAt(j)) s += u.getDouble(j) * flat(off + j)
+        j += 1
+      }
+      val sim = math.floor(s * 10000.0 + 0.5) / 10000.0
+      if (c == 0 || sim > bestSim) { bestSim = sim; best = cids(c) }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u => {
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      s"""
+         |int $m = java.lang.Math.min($u.numElements(), $dim);
+         |long $best = 0L;
+         |double $bestSim = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cidsRef.length; $c++) {
+         |  double $s = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if (!$u.isNullAt($j)) $s += $u.getDouble($j) * $flatRef[$off + $j];
+         |  }
+         |  double $sim = java.lang.Math.floor($s * 10000.0 + 0.5) / 10000.0;
+         |  if ($c == 0 || $sim > $bestSim) { $bestSim = $sim; $best = $cidsRef[$c]; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** |A ∩ B| for two SORTED DISTINCT array<long> columns, as a codegen'd

@@ -139,13 +139,45 @@ object Ann {
     // oracle whenever the engines' cosines differ in the last ulp. Any
     // consistent assignment is a valid IVF; this one is deterministic
     // across engines, partitionings and cluster sizes.
-    if (estCentroids <= maxBroadcast)
-      corpus.join(broadcast(centroids))
-        .groupBy(col("vec_id"))
-        .agg(first(col("u")).as("u"),
-          max_by(col("c_id"),
-            struct(Money.qround(dot(col("u"), col("cu")), 4), -col("c_id"))).as("c_id"))
-    else {
+    if (estCentroids <= maxBroadcast) {
+      // MAP-ONLY single-level assignment (r16 opt, guide §2.4): the old
+      // corpus × broadcast(centroids) + max_by shape planned as a
+      // BroadcastNestedLoopJoin feeding Sort→SortAggregate→Exchange→
+      // Sort→SortAggregate — a full sort and shuffle of the n × n_c
+      // cross-scored rows (vectors included) just to take a per-vector
+      // argmax. Under the ceiling the centroid set is by definition a
+      // bounded artifact (≤ ceiling × dim × 8 B ≈ 32 MB), so it ships in
+      // the task closure — the dedup_semantic precedent — and the argmax
+      // runs inside the scan projection: ZERO shuffles over the corpus.
+      // NearestCentroidId reproduces max_by(struct(qround(dot,4),-c_id))
+      // exactly (see its equality contract); PipelineSpec pins this path
+      // equal to the blocked one, and the ann_ivf oracle replays the
+      // join+argmax form in SQL.
+      val rows = centroids.select(col("c_id"), col("cu")).collect()
+      if (rows.isEmpty)
+        // no centroids ⇒ the join form yields ZERO rows; keep that shape
+        // (an expression would have to invent an assignment)
+        corpus.join(broadcast(centroids))
+          .groupBy(col("vec_id"))
+          .agg(first(col("u")).as("u"),
+            max_by(col("c_id"),
+              struct(Money.qround(dot(col("u"), col("cu")), 4), -col("c_id"))).as("c_id"))
+      else {
+        val sorted = rows
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        val dim = sorted.head._2.length
+        require(sorted.forall(_._2.length == dim),
+          "ivfAssign: centroid vectors must share one dimensionality")
+        val flat = new Array[Double](sorted.length * dim)
+        sorted.zipWithIndex.foreach { case ((_, v), i) =>
+          System.arraycopy(v, 0, flat, i * dim, dim) }
+        val nearest = org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.expressions.NearestCentroidId(
+            org.apache.spark.sql.graftshim.ColumnExpr.expression(col("u")),
+            sorted.map(_._1), flat, dim))
+        corpus.select(col("vec_id"), col("u"), nearest.as("c_id"))
+      }
+    } else {
       val blocks = math.ceil(estCentroids.toDouble / maxBroadcast).toInt
       // block on a HASH of c_id, not c_id itself (r16, advice): sampled
       // centroid ids are multiples of the sampling step, so pmod(c_id,

@@ -78,8 +78,17 @@ object Curation {
       .select(explode(col("grams")).as("g")).distinct()
     val hits = docs.filter(col("doc_id") % EvalMod =!= 0)
       .select(col("doc_id"), explode(col("grams")).as("g"))
-      .distinct() // count DISTINCT shared grams per doc
+      // broadcast semi-filter BEFORE the distinct (r16 opt, guide §3.2):
+      // the old distinct-then-join shuffled EVERY corpus gram occurrence
+      // just to dedupe pairs that mostly don't match any eval gram; the
+      // map-side hash join drops non-matching grams first, so the
+      // distinct's exchange carries only eval-overlapping (doc, gram)
+      // pairs — bounded by |eval grams| × docs-that-overlap, not by the
+      // corpus. Same rows out: the join key is exactly the distinct key's
+      // gram half, evalGrams is already distinct, and inner-join-then-
+      // distinct ≡ distinct-then-inner-join on any multiset.
       .join(broadcast(evalGrams), "g")
+      .distinct() // count DISTINCT shared grams per doc
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     Tables.documents(s, d).filter(col("doc_id") % EvalMod =!= 0)
       .select(col("doc_id"))

@@ -23,10 +23,20 @@ object Pipeline {
   def pipelineEndToEnd(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("text"))
-    // 1+2: per-row quality + language gates — map-only, fused in the scan
+    // 1+2: per-row quality + language gates — map-only. PINNED above the
+    // fan-out (r16 opt): PushDownPredicates otherwise sinks this fused
+    // regex-heavy predicate below fanOut's round-robin exchange, i.e.
+    // into the scan stage — which on a few-split source (one parquet
+    // file here; one gzip shard in the wild) serializes the single most
+    // expensive per-row pass of the pipeline into one task. The barrier
+    // evaluates bit-identically (see PushdownBarrier); where fanOut
+    // no-ops (already-wide source) the plan is unchanged.
     val kept = docs.filter(
-      Text.qualityScoreCol(col("text")) >= 0.3 &&
-        Text.predLangCol(col("text")) =!= "und")
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.expressions.PushdownBarrier(
+          org.apache.spark.sql.graftshim.ColumnExpr.expression(
+            Text.qualityScoreCol(col("text")) >= 0.3 &&
+              Text.predLangCol(col("text")) =!= "und"))))
     // 3: exact dedup — smallest doc_id survives per content digest
     val uniq = kept
       .groupBy(sha2(col("text"), 256).as("h"))

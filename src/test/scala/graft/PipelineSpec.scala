@@ -134,6 +134,33 @@ class PipelineSpec extends AnyFunSuite {
       s"sharded build must be FLAT in shard count: $j16 jobs at 16 shards vs $j1 at 1")
   }
 
+  test("ann_ivf: map-only assignment honors the rounded-tie order (r16 opt)") {
+    // the single-level branch is now a closure-shipped argmax expression
+    // (NearestCentroidId) instead of join+max_by; its contract is the
+    // max_by(struct(qround(dot,4), -c_id)) order. Pin the two spots where
+    // a naive rewrite would drift, against the join-based blocked path:
+    //  - exact tie (duplicate centroid vectors) → smallest c_id wins;
+    //  - ROUNDED tie with the raw-larger dot on the LARGER c_id → the
+    //    rounding must decide (raw compare would flip the winner).
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0))).toDF("vec_id", "u")
+    val centroids = Seq(
+      (10L, Seq(0.12342, 0.0)), // rounds to 0.1234 for vec 1
+      (11L, Seq(0.12344, 0.0)), // raw-larger, same 4-dp rounding
+      (12L, Seq(0.0, 0.9)),     // vec 2's winner, exact tie with 13
+      (13L, Seq(0.0, 0.9))).toDF("c_id", "cu")
+    def assign(ceiling: Long): Map[Long, Long] =
+      queries.Ann.ivfAssign(corpus, centroids, 4L, maxBroadcast = ceiling)
+        .select("vec_id", "c_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapOnly = assign(Long.MaxValue)
+    assert(mapOnly == Map(1L -> 10L, 2L -> 12L),
+      s"rounded-tie order drifted: $mapOnly")
+    assert(mapOnly == assign(1L), "map-only vs blocked path disagree on ties")
+  }
+
   test("ann_ivf: blocked coarse assignment equals single-broadcast (r15)") {
     // the broadcast ceiling as CODE (r14 verdict #3): past the ceiling
     // the centroid set splits into blocks — per-block argmax, then a
