@@ -105,14 +105,65 @@ object Stream {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+  /** Total bytes under a source path — the sizing input for
+    * [[statePartitionsFor]] (driver-side FS metadata, no job). */
+  private def sourceBytes(s: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Scale-adaptive STATE partition count (r16 opt, guide §2.2).
+    * A stateful micro-batch topology pins its state-store count to
+    * `spark.sql.shuffle.partitions` at start, and AQE is DISABLED in
+    * stateful workloads — so nothing ever coalesces the near-empty state
+    * partitions a core-count conf implies on a small stream: each one
+    * pays store open/commit/maintenance per micro-batch (measured 0.3-2 s
+    * of non-CPU wait PER TASK at 32 partitions on the gate's inputs —
+    * stream_dedup_watermark's two stateful stages carried 63 s of task
+    * wall for 0.4 s of CPU). Derive the count from INPUT SIZE instead —
+    * one state partition per `GRAFT_STREAM_STATE_ADVISORY` bytes of
+    * source (default 64 MB, AQE's own advisory), clamped to the session
+    * conf — i.e. the same bytes-per-partition coalescing AQE applies to
+    * batch exchanges, applied up front because streaming must fix its
+    * partitioning at start. At production scale the clamp leaves the
+    * session setting in charge; `GRAFT_STREAM_STATE_PARTITIONS` forces an
+    * explicit count for deployments that size state directly. Results
+    * are partitioning-independent (keyed state; the entries' outputs are
+    * aggregates), which LakeStreamSpec/StreamSpec pin stream == batch. */
+  private def statePartitionsFor(s: SparkSession, inputBytes: Long): Int = {
+    val session = s.sessionState.conf.numShufflePartitions
+    sys.env.get("GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse {
+      val advisory = sys.env.get("GRAFT_STREAM_STATE_ADVISORY")
+        .map(_.toLong).getOrElse(64L << 20)
+      math.max(1L, math.min(session.toLong,
+        (inputBytes + advisory - 1) / advisory)).toInt
+    }
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String,
+      stateBytes: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
     val unique = s"${name}_${runSeq.incrementAndGet()}" // reruns in one session
-    val q = df.writeStream
-      .format("memory").queryName(unique)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val parts =
+      if (stateBytes < 0) sessionParts
+      else statePartitionsFor(spark, stateBytes)
+    // scoped conf: the stream captures shuffle partitions at start; the
+    // session setting is restored before any other work plans against it
+    if (parts != sessionParts)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(unique)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (parts != sessionParts)
+        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
     df.sparkSession.table(unique)
   }
 
@@ -121,11 +172,12 @@ object Stream {
     * which is exactly the batch time-bucket aggregation, hence [oracle].
     * At scale the watermark is what bounds the window state store. */
   def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
-    val agg = readEvents(s, stageInput(s, "winagg", d))
+    val in = stageInput(s, "winagg", d)
+    val agg = readEvents(s, in)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), graft.queries.Money.sum2(col("value"), 1000000L).as("sum_value"))
-    runToTable(agg, "graft_stream_window_agg", "complete")
+    runToTable(agg, "graft_stream_window_agg", "complete", sourceBytes(s, in))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -168,13 +220,14 @@ object Stream {
     * state partitioned by the group key. [oracle: gaps-and-islands SQL] */
   def streamSessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = readEvents(s, stageInput(s, "sessionize", d))
+    val in = stageInput(s, "sessionize", d)
+    val ev = readEvents(s, in)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessEvent]
     val sessions = ev.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         sessionizeGroup)
-    runToTable(sessions.toDF(), "graft_stream_sessionize", "append")
+    runToTable(sessions.toDF(), "graft_stream_sessionize", "append", sourceBytes(s, in))
       .select("user_id", "n_sessions", "n_events", "max_session_events")
   }
 
@@ -268,9 +321,10 @@ object Stream {
   private val DocsDdl =
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
-  private def stagedDocsStream(s: SparkSession, name: String, d: String): DataFrame =
-    s.readStream.schema(DocsDdl).parquet(
-      stageDir(s, name, d, singleFileOf(s, d, "documents"), "documents.parquet"))
+  private def stagedDocsStream(s: SparkSession, name: String, d: String): (DataFrame, Long) = {
+    val dir = stageDir(s, name, d, singleFileOf(s, d, "documents"), "documents.parquet")
+    (s.readStream.schema(DocsDdl).parquet(dir), sourceBytes(s, dir))
+  }
 
   /** Single-FILE form of a corpus table for stream staging: the driver's
     * testdata is one file per table, but a Spark-written corpus (the
@@ -307,11 +361,12 @@ object Stream {
     * nondeterministic.) At production scale the same query runs with a
     * watermark on ingest time to bound state to a dedup horizon. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val deduped = stagedDocsStream(s, "dedup", d)
+    val (docsIn, docsBytes) = stagedDocsStream(s, "dedup", d)
+    val deduped = docsIn
       .withColumn("h", sha2(col("text"), 256))
       .dropDuplicates("lang", "h")
       .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
-    runToTable(deduped, "graft_stream_dedup", "complete")
+    runToTable(deduped, "graft_stream_dedup", "complete", docsBytes)
       .select("lang", "n_distinct")
   }
 
@@ -327,13 +382,14 @@ object Stream {
     * micro-batch); only the dedup carries state, same posture as
     * stream_dedup (stream_dedup_watermark shows the bounded variant). */
   def streamCurate(s: SparkSession, d: String): DataFrame = {
-    val curated = stagedDocsStream(s, "curate", d)
+    val (docsIn, docsBytes) = stagedDocsStream(s, "curate", d)
+    val curated = docsIn
       .filter(graft.queries.Curation.stratumKeep &&
         graft.queries.Text.qualityScoreCol(col("text")) >= 0.3)
       .withColumn("h", sha2(col("text"), 256))
       .dropDuplicates("lang", "h")
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    runToTable(curated, "graft_stream_curate", "complete")
+    runToTable(curated, "graft_stream_curate", "complete", docsBytes)
       .select("lang", "n_docs")
   }
 
@@ -349,7 +405,8 @@ object Stream {
     * micro-batching must not change a single prediction). [rows] */
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     val (model, lo, hi) = graft.queries.Curation.qualityStudent(s, d)
-    val stream = stagedDocsStream(s, "classify", d)
+    val (docsIn, docsBytes) = stagedDocsStream(s, "classify", d)
+    val stream = docsIn
       .withColumn("q", graft.queries.Text.qualityScoreCol(col("text")))
       .withColumn("teacher_label",
         when(col("q") >= hi, 1L).when(col("q") <= lo, 0L).otherwise(-1L))
@@ -358,7 +415,7 @@ object Stream {
       .groupBy(col("teacher_label"),
         col("prediction").cast("long").as("pred_label"))
       .agg(count(lit(1)).as("n_docs"))
-    runToTable(scored, "graft_stream_classify", "complete")
+    runToTable(scored, "graft_stream_classify", "complete", docsBytes)
       .select("teacher_label", "pred_label", "n_docs")
   }
 
@@ -382,7 +439,7 @@ object Stream {
     t.append(ev.filter(col("event_id") % 2 === 1))
     val agg = s.readStream.format("graft-table").load(tableLoc)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
-    runToTable(agg, "graft_stream_lake_source", "complete")
+    runToTable(agg, "graft_stream_lake_source", "complete", sourceBytes(s, tableLoc))
       .select("event_type", "n")
   }
 
@@ -419,7 +476,7 @@ object Stream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type").agg(count(lit(1)).as("n_events"))
-    runToTable(deduped, "graft_stream_dedup_wm", "complete")
+    runToTable(deduped, "graft_stream_dedup_wm", "complete", sourceBytes(s, dir))
       .select("event_type", "n_events")
   }
 
@@ -433,12 +490,13 @@ object Stream {
   def streamJoin(s: SparkSession, d: String): DataFrame = {
     val dim = graft.Tables.events(s, d)
       .groupBy("event_type").agg(max(col("value")).as("type_max"))
-    val agg = readEvents(s, stageInput(s, "join", d))
+    val in = stageInput(s, "join", d)
+    val agg = readEvents(s, in)
       .join(broadcast(dim), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("value") > col("type_max") * 0.5, 1L).otherwise(0L)).as("n_above_half"))
-    runToTable(agg, "graft_stream_join", "complete")
+    runToTable(agg, "graft_stream_join", "complete", sourceBytes(s, in))
       .select("event_type", "n_events", "n_above_half")
   }
 
@@ -454,7 +512,8 @@ object Stream {
     // per-doc signature rows carry a hard DuckDB oracle (the map-only
     // stream transform equals the batch expression row-for-row)
     import graft.functions.TextFunctions.{polyShingleIds, polySimhashSig}
-    val sigs = stagedDocsStream(s, "sigs", d)
+    val (docsIn, _) = stagedDocsStream(s, "sigs", d)
+    val sigs = docsIn
       .select(col("doc_id"),
         polySimhashSig(split(col("text"), "\\s+")).as("simhash"),
         size(polyShingleIds(split(col("text"), "\\s+"), 3)).as("n_shingles"))
@@ -482,7 +541,7 @@ object Stream {
     val agg = s.readStream.format("graft-table").option("cdc", "true").load(tableLoc)
       .groupBy(col("_change_type").as("change_type"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    runToTable(agg, "graft_stream_lake_cdc", "complete")
+    runToTable(agg, "graft_stream_lake_cdc", "complete", sourceBytes(s, tableLoc))
       .select("change_type", "event_type", "n")
   }
 
@@ -511,7 +570,7 @@ object Stream {
       .groupBy("_change_type", "_commit_version")
       .agg(count(lit(1)).as("n_rows"),
         graft.queries.Money.sum2(col("o_totalprice")).as("total"))
-    runToTable(agg, "graft_stream_delta_cdf", "complete")
+    runToTable(agg, "graft_stream_delta_cdf", "complete", sourceBytes(s, loc))
       .select("_change_type", "_commit_version", "n_rows", "total")
   }
 
@@ -545,7 +604,7 @@ object Stream {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         graft.queries.Money.sum2(col("o_totalprice")).as("total"))
-    runToTable(agg, "graft_stream_hudi_incremental", "complete")
+    runToTable(agg, "graft_stream_hudi_incremental", "complete", sourceBytes(s, loc))
       .select("o_orderstatus", "n_orders", "total")
   }
 
@@ -574,7 +633,7 @@ object Stream {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         graft.queries.Money.sum2(col("o_totalprice")).as("total"))
-    runToTable(agg, "graft_stream_iceberg_incremental", "complete")
+    runToTable(agg, "graft_stream_iceberg_incremental", "complete", sourceBytes(s, loc))
       .select("o_orderstatus", "n_orders", "total")
   }
 
