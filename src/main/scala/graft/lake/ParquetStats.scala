@@ -41,6 +41,30 @@ object ParquetStats {
     }
   }
 
+  /** Spark schema of ONE parquet file from its footer only — no Spark job.
+    * `spark.read.parquet(file).schema` schedules a one-task inference job
+    * per call (~30–50 ms of driver round-trips at any data size); table
+    * loads on a busy timeline pay it once per load. Spark-written files
+    * carry the exact Catalyst schema as footer key-value metadata (the
+    * same source distributed inference prefers); foreign files fall back
+    * to Spark's own parquet→Catalyst converter under the session conf.
+    * Single-file semantics match the read-path sampling this replaces. */
+  def sparkSchema(spark: org.apache.spark.sql.SparkSession,
+      file: Path): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val fmd = r.getFooter.getFileMetaData
+      Option(fmd.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(j => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+        .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+          .convert(fmd.getSchema))
+    } finally r.close()
+  }
+
   /** Total record count of a parquet file (or every .parquet under a
     * directory) from footers only — no data pages, no Spark job. */
   def rowCount(conf: Configuration, path: Path): Long = {

@@ -634,7 +634,11 @@ object HudiTable {
       .getOrElse(throw new IllegalStateException(
         s"hudi: no live file groups and no surviving base files under " +
           s"$location — schema cannot be inferred"))
-    val full = spark.read.parquet(sample.toString).schema
+    // footer-only schema read on the driver: load() runs once per commit
+    // on write paths and once per consumer on read paths — the old
+    // spark.read.parquet(sample).schema fired a one-task inference JOB
+    // per load for the same footer bytes
+    val full = graft.lake.ParquetStats.sparkSchema(spark, sample)
     val schema = StructType(full.fields.filterNot(f => MetaColumns.contains(f.name)))
 
     new HudiTable(spark, location, schema, partitionFields, slices,

@@ -841,9 +841,14 @@ final class IcebergTable private (
           // serves a missing column as silent nulls, so the footer
           // schema is checked up front — a null-id serve would violate
           // the never-a-wrong-value posture. O(group files) footer
-          // reads, driver-side, materialized groups only.
-          val footer = spark.read
-            .parquet(files.map(_.entry.filePath): _*).schema.fieldNames.toSet
+          // reads, driver-side, materialized groups only (the old
+          // spark.read.parquet(...).schema sampled ONE representative
+          // file through a one-task Spark job; reading the footers
+          // directly is jobless AND checks the sampled file exactly as
+          // before — sampling stays single-file because a group's files
+          // share a writer schema).
+          val footer = graft.lake.ParquetStats.sparkSchema(spark,
+            new Path(files.head.entry.filePath)).fieldNames.toSet
           if (!footer.contains("_row_id") ||
               !footer.contains("_last_updated_sequence_number"))
             throw new IllegalArgumentException(
